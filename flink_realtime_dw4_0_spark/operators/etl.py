@@ -1,0 +1,44 @@
+"""ETL validity filters + dynamic column pruning (SURVEY §2.3 P8-P10).
+
+Parity: the log ETL (DwdBaseLog.java:212-233), the CDC ETL
+(DimAPP.java:190-213), and the config-driven keep-list pruning
+(DimAPP.java:82-95) — all as declarative filters/expressions so Catalyst
+pushes them into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def etl_log_valid(df: DataFrame) -> DataFrame:
+    """P8 — keep records that parsed (corrupt → null struct from
+    ``from_json``) AND have (page or start) AND common.mid AND ts
+    (DwdBaseLog.java:212-233)."""
+    return df.filter(
+        (F.col("page").isNotNull() | F.col("start").isNotNull())
+        & F.col("common.mid").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+
+
+def etl_cdc_valid(df: DataFrame, database: str = "gmall") -> DataFrame:
+    """P9 — keep `database='gmall'`, drop bootstrap-start/complete, require
+    non-empty data payload (DimAPP.java:190-213)."""
+    return df.filter(
+        (F.col("database") == database)
+        & ~F.col("type").isin("bootstrap-start", "bootstrap-complete")
+        & F.col("data").isNotNull()
+        & (F.size(F.col("data")) > 0)
+    )
+
+
+def prune_map_columns(map_col: Column, keep: Column) -> Column:
+    """P10 — keep only the JSON keys listed in the config keep-list
+    (DimAPP.java:82-95; the removeIf at :91).
+
+    `keep` is an array<string> column (config ``sink_columns`` split on ',').
+    Runs as a map_filter lambda — JVM-side, no UDF.
+    """
+    return F.map_filter(map_col, lambda k, _v: F.array_contains(keep, k))

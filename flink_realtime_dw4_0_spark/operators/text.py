@@ -1,0 +1,130 @@
+"""Text analysis operators for large-scale training-data pipelines.
+
+Extends the reference's planned keyword-tokenizer surface (X13 — the IK
+analyzer dep at pom.xml:203-207 implies the classic gmall KeywordUDTF) into
+a full text toolkit: tokenization, language ID, quality scoring, token
+counting, fingerprinting.
+
+Everything is built-in Column expressions (split / filter / aggregate
+lambdas) — JVM-side, codegen-friendly, no Python UDFs in the hot path, so
+the same code runs per-partition-parallel over 100 TB of documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic.  Deterministic and engine-portable (the DuckDB oracle uses the
+# same lists — see plans/catalog.py).
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "for", "on"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "ein", "zu", "den"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "por", "con"],
+    "fr": ["le", "la", "de", "et", "un", "est", "pour", "que", "dans", "sur"],
+    "zh": ["de", "le", "shi", "zai", "you", "wo", "ta", "men", "zhe", "na"],
+}
+
+# BPE-ish pre-tokenizer regex: runs of letters, runs of digits, or a single
+# non-alphanumeric symbol.  Kept RE2/Java-portable for the oracle.
+BPE_REGEX = "[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+MOD = 1_000_000_007
+
+
+def tokenize(col: Column | str) -> Column:
+    """X13 — whitespace tokenizer (the engine's UDTF-equivalent: array +
+    explode, SURVEY §2.9)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def token_count_ws(col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokenize(col))
+
+
+def token_count_bpe(col: Column | str) -> Column:
+    """BPE-ish token count via regex pre-tokenization."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_REGEX), F.lit(0)))
+
+
+def stopword_hits(tokens: Column, words: list[str]) -> Column:
+    """Occurrence count of tokens from a wordlist (not distinct)."""
+    lit = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(lit, t)))
+
+
+def lang_scores(col: Column | str) -> list[Column]:
+    toks = tokenize(col)
+    return [stopword_hits(toks, ws).alias(f"score_{lang}") for lang, ws in LANG_STOPWORDS.items()]
+
+
+def lang_id(col: Column | str) -> Column:
+    """Language-ID heuristic: argmax stopword-hit score, lexicographic
+    tiebreak, 'und' (undetermined) when all scores are 0."""
+    toks = tokenize(col)
+    pairs = F.array(
+        *[
+            F.struct(
+                stopword_hits(toks, ws).alias("score"), F.lit(lang).alias("lang")
+            )
+            for lang, ws in sorted(LANG_STOPWORDS.items())
+        ]
+    )
+    # argmax via fold: strictly-greater keeps the lexicographically-first
+    # language on ties (languages visited in sorted order)
+    return F.aggregate(
+        pairs,
+        F.struct(F.lit(-1).alias("score"), F.lit("und").alias("lang")),
+        lambda acc, p: F.when(
+            (p["score"] > acc["score"]), F.struct(p["score"].alias("score"), p["lang"].alias("lang"))
+        ).otherwise(acc),
+        lambda acc: F.when(acc["score"] > 0, acc["lang"]).otherwise(F.lit("und")),
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring: length / word stats / stopword ratio — the standard
+    pre-training quality filters, computed columnar."""
+    toks = tokenize(text_col)
+    n_tok = F.size(toks)
+    n_char = F.length(F.col(text_col))
+    en_hits = stopword_hits(toks, LANG_STOPWORDS["en"])
+    return df.withColumns(
+        {
+            "n_tokens": n_tok,
+            "n_chars_m": n_char,
+            "avg_token_len": F.round((n_char - (n_tok - 1)) / n_tok, 4),
+            "stopword_ratio": F.round(en_hits / n_tok, 4),
+            "is_quality": (
+                (n_tok >= 10) & ((n_char - (n_tok - 1)) / n_tok >= 3)
+            ).cast("int"),
+        }
+    )
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Content fingerprint: md5 over whitespace-normalized lowercase text.
+
+    md5 is engine-portable (identical hex in Spark and DuckDB), so exact
+    dedup on the fingerprint is oracle-checkable; the polynomial rolling
+    hash variant is `rolling_hash` below.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.concat_ws(" ", tokenize(c)))
+
+
+def rolling_hash(col: Column | str) -> Column:
+    """Polynomial rolling hash over characters: h = (h*31 + ascii(ch)) % p.
+
+    Pure fold via ``aggregate`` — stays JVM-side.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.aggregate(
+        F.split(c, ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % MOD,
+    )

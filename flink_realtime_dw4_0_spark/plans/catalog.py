@@ -1,0 +1,1035 @@
+"""Query catalog: every SURVEY §2 operator as a (Spark plan, DuckDB oracle)
+pair over the driver's testdata tables.
+
+This is the engine's capability inventory made executable.  Each entry is
+one operator family exercised on the TPC-H-ish tables (FIXTURES.md §6
+mapping: orders/lineitem ≈ order_info/order_detail, nation/region ≈
+base_dic, events ≈ topic_log).  The `oracle` string is ANSI-ish SQL DuckDB
+runs on the same parquet — identical aliases, deterministic values
+(integer thresholds, md5 hashing, rounded aggregates).
+
+Streaming-only semantics (keyed state, watermark eviction, upsert sinks)
+are exercised in tests/ with availableNow triggers; entries here are their
+batch-equivalent plans, which is what the correctness gate can check.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators import dedup, etl, joins, multimodal, project, similarity, split, text
+from ..operators.windows import windowed_agg
+from ..sources.files import load_table
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → driver does rows-only check
+    tags: tuple[str, ...] = field(default=())
+    bench: bool = False  # included in bench.py headline set
+
+
+CATALOG: dict[str, QuerySpec] = {}
+
+
+def q(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = False):
+    def deco(fn):
+        CATALOG[name] = QuerySpec(fn=fn, oracle=oracle, tags=tags, bench=bench)
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# DuckDB-side tokenizer mirroring operators.text.tokenize
+_DK_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+# ===========================================================================
+# TPC-H-style headline queries (bench set) — exercise scan/filter/agg/join
+# ===========================================================================
+
+@q(
+    "tpch_q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4)           AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+           round(avg(l_quantity), 4)                                   AS avg_qty,
+           round(avg(l_extendedprice), 4)                              AS avg_price,
+           round(avg(l_discount), 4)                                   AS avg_disc,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "scan"),
+    bench=True,
+)
+def tpch_q1(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2000-12-01"))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc), 4).alias("sum_disc_price"),
+        F.round(F.sum(disc * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@q(
+    "tpch_q3_shipping_priority",
+    """
+    SELECT l.l_orderkey AS l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+           o.o_orderpriority AS o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1998-06-01' AND l.l_shipdate > DATE '1998-06-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    """,
+    tags=("join", "agg"),
+    bench=True,
+)
+def tpch_q3(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-06-01"))
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-06-01"))
+    return (
+        joins.equi_join(c, o, on=c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_s"),
+            "o_orderpriority",
+        )
+    )
+
+
+@q(
+    "tpch_q5_local_supplier_volume",
+    """
+    SELECT n.n_name AS n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA' AND o.o_orderdate >= DATE '1996-01-01'
+    GROUP BY n.n_name
+    """,
+    tags=("join", "agg"),
+    bench=True,
+)
+def tpch_q5(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= F.lit("1996-01-01"))
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, (F.col("l_suppkey") == s.s_suppkey) & (F.col("c_nationkey") == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue")
+        )
+    )
+
+
+# ===========================================================================
+# P — projections / filters / scalar expressions (SURVEY §2.3)
+# ===========================================================================
+
+@q(
+    "p1_map_value_projection",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           event_type
+    FROM events
+    """,
+    tags=("projection",),
+)
+def p1_map_projection(spark, sf_dir):
+    """P1 — `data['id'] AS id` map extraction (DwdTradeCartAdd.java:63-77):
+    props JSON → MAP<STRING,STRING> → element_at + cast."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "props_map", F.from_json("props", "map<string,string>")
+    )
+    return ev.select(
+        "event_id",
+        F.element_at("props_map", "k").cast("long").alias("k"),
+        "event_type",
+    )
+
+
+@q(
+    "p3_p7_route_filter",
+    """
+    SELECT event_id, user_id, round(value, 4) AS value_r
+    FROM events
+    WHERE event_type = 'purchase' AND value > 50
+      AND CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+    """,
+    tags=("filter",),
+)
+def p3_route_filter(spark, sf_dir):
+    """P3/P4/P7 — equality routing + IS NOT NULL update detection
+    (DwdTradeCartAdd.java:79-86, DwdTradeOrderPaySucDetail.java:190-194)."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "props_map", F.from_json("props", "map<string,string>")
+    )
+    routed = project.route_filter(ev, event_type="purchase").filter(
+        (F.col("value") > 50) & project.updated_field(F.col("props_map"), "k")
+    )
+    return routed.select("event_id", "user_id", F.round("value", 4).alias("value_r"))
+
+
+@q(
+    "p5_p6_conditional_delta",
+    """
+    SELECT event_id,
+           CASE WHEN event_type = 'purchase'
+                THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                ELSE CAST(json_extract_string(props, '$.k') AS BIGINT) - 10 END AS delta
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+    """,
+    tags=("projection",),
+)
+def p5_conditional(spark, sf_dir):
+    """P5/P6 — cast-arithmetic + conditional IF: the cart-add incremental
+    quantity pattern (DwdTradeCartAdd.java:68)."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "props_map", F.from_json("props", "map<string,string>")
+    )
+    k = F.element_at("props_map", F.lit("k"))
+    delta = project.cart_add_delta(k, F.lit("10"), F.when(F.col("event_type") == "purchase", "insert").otherwise("update"))
+    return ev.filter(k.cast("long").isNotNull()).select("event_id", delta.alias("delta"))
+
+
+@q(
+    "p8_p9_etl_validity",
+    """
+    SELECT event_id, event_type
+    FROM events
+    WHERE props IS NOT NULL AND json_extract_string(props, '$.k') IS NOT NULL
+      AND user_id IS NOT NULL AND ts IS NOT NULL
+      AND event_type NOT IN ('error')
+    """,
+    tags=("filter", "etl"),
+)
+def p8_etl(spark, sf_dir):
+    """P8/P9 — ETL validity filters (DwdBaseLog.java:212-233,
+    DimAPP.java:190-213): parseable payload, required keys present,
+    bootstrap/dirty types dropped."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "props_map", F.from_json("props", "map<string,string>")
+    )
+    return ev.filter(
+        F.col("props").isNotNull()
+        & F.col("props_map").getItem("k").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & ~F.col("event_type").isin("error")
+    ).select("event_id", "event_type")
+
+
+@q(
+    "p10_dynamic_column_pruning",
+    """
+    SELECT event_id,
+           CASE WHEN event_type = 'purchase'
+                  AND json_extract_string(props, '$.k') IS NOT NULL
+                THEN 1 ELSE 0 END AS kept_cols
+    FROM events
+    """,
+    tags=("projection", "etl"),
+)
+def p10_pruning(spark, sf_dir):
+    """P10 — config-driven keep-list pruning (DimAPP.java:82-95): the map
+    payload is filtered to the sink_columns of the matching config row;
+    non-configured tables keep nothing."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "props_map", F.from_json("props", "map<string,string>")
+    )
+    keep = F.when(F.col("event_type") == "purchase", F.array(F.lit("k"))).otherwise(
+        F.array().cast("array<string>")
+    )
+    pruned = etl.prune_map_columns(F.col("props_map"), keep)
+    return ev.select(
+        "event_id", F.size(pruned).cast("int").alias("kept_cols")
+    ).withColumn("kept_cols", F.greatest(F.col("kept_cols"), F.lit(0)))
+
+
+# ===========================================================================
+# J — joins (SURVEY §2.4)
+# ===========================================================================
+
+@q(
+    "j1_inner_equijoin",
+    """
+    SELECT o.o_orderkey AS o_orderkey, o.o_orderstatus AS o_orderstatus,
+           count(*) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey, o.o_orderstatus
+    """,
+    tags=("join",),
+    bench=True,
+)
+def j1_inner(spark, sf_dir):
+    """J1 — streaming inner equi-join shape (DwdTradeOrderDetail.java:113-115),
+    batch plan: shuffle hash/sort-merge on the key, AQE handles skew."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        joins.equi_join(o, li, on=o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+        )
+    )
+
+
+@q(
+    "j2_left_outer_join",
+    """
+    SELECT o.o_orderkey AS o_orderkey,
+           count(l.l_orderkey) AS n_returned,
+           round(coalesce(sum(l.l_extendedprice), 0), 2) AS returned_value
+    FROM orders o LEFT JOIN (SELECT * FROM lineitem WHERE l_returnflag = 'R') l
+      ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey
+    """,
+    tags=("join",),
+)
+def j2_left(spark, sf_dir):
+    """J2 — left outer join with null-padded misses
+    (DwdTradeOrderDetail.java:116-119); in streaming this is the retract
+    path emulated by keyed MERGE (sinks/upsert.py)."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        joins.equi_join(o, li, on=o.o_orderkey == li.l_orderkey, how="left")
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("l_orderkey").alias("n_returned"),
+            F.round(F.coalesce(F.sum("l_extendedprice"), F.lit(0.0)), 2).alias("returned_value"),
+        )
+    )
+
+
+@q(
+    "j3_interval_join",
+    """
+    SELECT p.event_id AS pay_event_id, c.event_id AS click_event_id
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND p.ts >= c.ts - INTERVAL 15 MINUTE
+     AND p.ts <= c.ts + INTERVAL 5 SECOND
+    """,
+    tags=("join", "interval"),
+    bench=True,
+)
+def j3_interval(spark, sf_dir):
+    """J3 — event-time interval join, bounds [-15 min, +5 s] exactly as the
+    payment×order_detail join (DwdTradeOrderPaySucDetail.java:119-144)."""
+    ev = t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pay_event_id"), F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"), F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    return joins.interval_join(
+        p, c, key=("pu", "cu"), time_cols=("pts", "cts"),
+        lower="INTERVAL 15 MINUTES", upper="INTERVAL 5 SECONDS",
+    ).select("pay_event_id", "click_event_id")
+
+
+@q(
+    "j4_lookup_join_inner",
+    """
+    SELECT c.c_custkey AS c_custkey, n.n_name AS n_name, r.r_name AS r_name
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+                    JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+    tags=("join", "lookup"),
+)
+def j4_lookup(spark, sf_dir):
+    """J4 — processing-time temporal lookup join (FOR SYSTEM_TIME AS OF,
+    DwdInteractionCommentInfo.java:64-80) as broadcast stream-static join."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return joins.lookup_join(
+        joins.lookup_join(c, n, on=c.c_nationkey == n.n_nationkey),
+        r,
+        on=F.col("n_regionkey") == r.r_regionkey,
+        select=[F.col("c_custkey"), F.col("n_name"), F.col("r_name")],
+    )
+
+
+@q(
+    "j5_lookup_join_left",
+    """
+    SELECT s.s_suppkey AS s_suppkey, n.n_name AS n_name
+    FROM supplier s LEFT JOIN (SELECT * FROM nation WHERE n_regionkey < 2) n
+      ON s.s_nationkey = n.n_nationkey
+    """,
+    tags=("join", "lookup"),
+)
+def j5_lookup_left(spark, sf_dir):
+    """J5 — left temporal lookup join (DwdTradeOrderPaySucDetail.java:90-113):
+    unmatched keys survive null-padded."""
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").filter(F.col("n_regionkey") < 2)
+    return joins.lookup_join(
+        s, n, on=s.s_nationkey == n.n_nationkey, how="left",
+        select=[F.col("s_suppkey"), F.col("n_name")],
+    )
+
+
+@q(
+    "j6_config_dispatch_join",
+    """
+    SELECT e.event_id AS event_id, 'dwd_' || e.event_type AS sink_table
+    FROM events e
+    WHERE e.event_type IN ('click', 'view', 'purchase')
+    """,
+    tags=("join", "config"),
+)
+def j6_config(spark, sf_dir):
+    """J6 — broadcast config-dispatch join (DimAPP.java:67-73,
+    DimBroadcastFunction.java:26-97): records paired with their config row
+    by table name; non-configured tables drop out."""
+    ev = t(spark, sf_dir, "events")
+    config = spark.createDataFrame(
+        [(et, f"dwd_{et}") for et in ("click", "view", "purchase")],
+        "source_table string, sink_table string",
+    )
+    return joins.config_dispatch_join(ev, config, key=("event_type", "source_table")).select(
+        "event_id", "sink_table"
+    )
+
+
+# ===========================================================================
+# A — windowed aggregations (SURVEY §2.5, the 8 planned DWS tables)
+# ===========================================================================
+
+@q(
+    "a1_keyword_count",
+    f"""
+    SELECT tok AS keyword, count(*) AS kw_count
+    FROM (SELECT unnest({_DK_TOKS}) AS tok FROM documents)
+    GROUP BY tok
+    """,
+    tags=("window", "udtf"),
+)
+def a1_keyword(spark, sf_dir):
+    """A1 — keyword tokenize + count (dws_traffic_source_keyword_page_view,
+    Constant.java:40; tokenizer X13)."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(text.tokenize("text")).alias("keyword"))
+        .groupBy("keyword")
+        .agg(F.count(F.lit(1)).alias("kw_count"))
+    )
+
+
+@q(
+    "a2_traffic_window_pv",
+    """
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           strftime(time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
+           event_type,
+           count(*) AS pv, count(DISTINCT user_id) AS uv,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+    tags=("window",),
+    bench=True,
+)
+def a2_traffic(spark, sf_dir):
+    """A2 — per-dimension PV/UV/sum per tumbling window
+    (dws_traffic_vc_ch_ar_is_new_page_view, Constant.java:41)."""
+    ev = t(spark, sf_dir, "events")
+    return windowed_agg(
+        ev, "ts", "1 hour", ["event_type"],
+        [
+            F.count(F.lit(1)).alias("pv"),
+            F.count_distinct(F.col("user_id")).alias("uv"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        ],
+    )
+
+
+@q(
+    "a3_unique_visitors_daily",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS dt, count(DISTINCT user_id) AS uv
+    FROM events WHERE event_type = 'view' GROUP BY 1
+    """,
+    tags=("window", "dedup-state"),
+)
+def a3_uv(spark, sf_dir):
+    """A3 — daily UV with first-visit-per-day dedup
+    (dws_traffic_home_detail_page_view, Constant.java:42); batch equivalent
+    of the keyed first-seen state (operators/state.py)."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("dt"))
+        .agg(F.count_distinct("user_id").alias("uv"))
+    )
+
+
+@q(
+    "a4_user_login_window",
+    """
+    WITH firsts AS (SELECT user_id, min(strftime(ts, '%Y-%m-%d')) AS first_dt FROM events GROUP BY user_id)
+    SELECT strftime(e.ts, '%Y-%m-%d') AS dt,
+           count(DISTINCT e.user_id) AS uu,
+           count(DISTINCT CASE WHEN f.first_dt < strftime(e.ts, '%Y-%m-%d') THEN e.user_id END) AS back_uu
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY 1
+    """,
+    tags=("window", "state"),
+)
+def a4_login(spark, sf_dir):
+    """A4 — unique + returning users per window (dws_user_user_login,
+    Constant.java:43): keyed last-login state in streaming, min-date join
+    in batch."""
+    ev = t(spark, sf_dir, "events").withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
+    firsts = ev.groupBy("user_id").agg(F.min("dt").alias("first_dt"))
+    return (
+        ev.join(firsts, "user_id")
+        .groupBy("dt")
+        .agg(
+            F.count_distinct("user_id").alias("uu"),
+            F.count_distinct(
+                F.when(F.col("first_dt") < F.col("dt"), F.col("user_id"))
+            ).alias("back_uu"),
+        )
+    )
+
+
+@q(
+    "a5_register_window",
+    """
+    SELECT strftime(time_bucket(INTERVAL '6 hours', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           strftime(time_bucket(INTERVAL '6 hours', ts) + INTERVAL 6 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
+           count(*) AS register_ct
+    FROM events WHERE event_type = 'signup' GROUP BY 1, 2
+    """,
+    tags=("window",),
+)
+def a5_register(spark, sf_dir):
+    """A5 — register count per window (dws_user_user_register, Constant.java:44)."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    return windowed_agg(ev, "ts", "6 hours", [], [F.count(F.lit(1)).alias("register_ct")])
+
+
+@q(
+    "a6_cart_add_uu_window",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS dt, count(DISTINCT user_id) AS cart_add_uu
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+    """,
+    tags=("window", "dedup-state"),
+)
+def a6_cart(spark, sf_dir):
+    """A6 — cart-add unique users per day (dws_trade_cart_add_uu,
+    Constant.java:45)."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("dt")).agg(
+        F.count_distinct("user_id").alias("cart_add_uu")
+    )
+
+
+@q(
+    "a7_sku_order_window",
+    """
+    SELECT strftime(l.l_shipdate, '%Y-%m') AS ship_month, p.p_brand AS p_brand,
+           count(*) AS order_ct,
+           round(sum(l.l_extendedprice), 2) AS orig_amount,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS final_amount
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1, 2
+    """,
+    tags=("window", "join"),
+    bench=True,
+)
+def a7_sku(spark, sf_dir):
+    """A7 — per-SKU order amounts per window + dim enrichment
+    (dws_trade_sku_order, Constant.java:46)."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    return (
+        joins.lookup_join(li, p, on=li.l_partkey == p.p_partkey)
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"), F.col("p_brand"))
+        .agg(
+            F.count(F.lit(1)).alias("order_ct"),
+            F.round(F.sum("l_extendedprice"), 2).alias("orig_amount"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("final_amount"),
+        )
+    )
+
+
+@q(
+    "a8_province_order_window",
+    """
+    SELECT strftime(o.o_orderdate, '%Y-%m') AS order_month, n.n_name AS n_name,
+           count(*) AS order_ct, round(sum(o.o_totalprice), 2) AS total_amount
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                  JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+    """,
+    tags=("window", "join"),
+)
+def a8_province(spark, sf_dir):
+    """A8 — per-province order stats per window (dws_trade_province_order,
+    Constant.java:47)."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"), F.col("n_name"))
+        .agg(
+            F.count(F.lit(1)).alias("order_ct"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_amount"),
+        )
+    )
+
+
+# ===========================================================================
+# F/T — splits, explode, stateful batch analogs (SURVEY §2.6-2.7)
+# ===========================================================================
+
+@q(
+    "f1_route_split",
+    """
+    SELECT CASE WHEN event_type = 'error' THEN 'err'
+                WHEN event_type = 'signup' THEN 'start'
+                ELSE 'page' END AS route,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+    tags=("split",),
+)
+def f1_route(spark, sf_dir):
+    """F1 — 5-way side-output routing (DwdBaseLog.java:57-133) as a scalar
+    route classifier + filtered fan-out."""
+    ev = t(spark, sf_dir, "events")
+    route = (
+        F.when(F.col("event_type") == "error", "err")
+        .when(F.col("event_type") == "signup", "start")
+        .otherwise("page")
+    )
+    return ev.groupBy(route.alias("route")).agg(F.count(F.lit(1)).alias("n"))
+
+
+@q(
+    "f2_explode_enrich",
+    f"""
+    SELECT doc_id, lang, unnest({_DK_TOKS}) AS token FROM documents
+    """,
+    tags=("split", "explode"),
+)
+def f2_explode(spark, sf_dir):
+    """F2 — array explode with parent enrichment (DwdBaseLog.java:98-121):
+    each element emitted with its parent's metadata."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", F.explode(text.tokenize("text")).alias("token"))
+
+
+@q(
+    "t1_is_new_fix",
+    """
+    SELECT event_id, user_id,
+           CASE WHEN strftime(ts, '%Y-%m-%d') =
+                     min(strftime(ts, '%Y-%m-%d')) OVER (PARTITION BY user_id)
+                THEN 1 ELSE 0 END AS is_new_fixed
+    FROM events
+    """,
+    tags=("state",),
+)
+def t1_is_new(spark, sf_dir):
+    """T1 — the new-visitor fix decision table (DwdBaseLog.java:135-183):
+    is_new is 1 only on the user's first-ever day.  Batch analog of the
+    keyed ValueState op (operators/state.py holds the streaming version)."""
+    ev = t(spark, sf_dir, "events").withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
+    w = Window.partitionBy("user_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("dt") == F.min("dt").over(w), 1).otherwise(0).alias("is_new_fixed"),
+    )
+
+
+@q(
+    "t2_first_seen_dedup",
+    """
+    SELECT user_id, strftime(ts, '%Y-%m-%d') AS dt, min(event_id) AS first_event_id
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("state", "dedup-state"),
+)
+def t2_first_seen(spark, sf_dir):
+    """First-seen-per-day dedup — the keyed-state primitive behind A3/A4/A6
+    UU counts (SURVEY §2.6), batch analog (event_id is time-ordered in the
+    generator, so min(event_id) = first arrival)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("user_id", F.date_format("ts", "yyyy-MM-dd").alias("dt")).agg(
+        F.min("event_id").alias("first_event_id")
+    )
+
+
+# ===========================================================================
+# X — scalar datetime surface (SURVEY §2.8)
+# ===========================================================================
+
+@q(
+    "x_datetime_surface",
+    """
+    SELECT event_id,
+           epoch_ms(ts) AS ts_ms,
+           strftime(ts, '%Y-%m-%d') AS dt,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS dts,
+           strftime(ts, '%Y%m%d') AS dt_part,
+           epoch_ms(ts) - 86400000 AS ts_yesterday,
+           strftime(ts - INTERVAL 1 DAY, '%Y-%m-%d') AS dt_yesterday
+    FROM events
+    """,
+    tags=("scalar",),
+)
+def x_datetime(spark, sf_dir):
+    """X1-X6, X11-X12 — the DateFormatUtil surface (DateFormatUtil.java:28-68)
+    as zone-aware built-ins (functions/datetime.py)."""
+    from ..functions import datetime as dtf
+
+    ev = t(spark, sf_dir, "events")
+    ms = F.unix_millis("ts")
+    return ev.select(
+        "event_id",
+        ms.alias("ts_ms"),
+        dtf.ts_to_date(ms).alias("dt"),
+        dtf.ts_to_datetime(ms).alias("dts"),
+        dtf.ts_to_partition(ms).alias("dt_part"),
+        dtf.yesterday_ts(ms).alias("ts_yesterday"),
+        dtf.ts_to_date(dtf.yesterday_ts(ms)).alias("dt_yesterday"),
+    )
+
+
+# ===========================================================================
+# D — deduplication (training-data pipeline operators)
+# ===========================================================================
+
+_DK_SHINGLES = """
+WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk FROM documents),
+sh AS (SELECT doc_id,
+              CASE WHEN len(tk) >= 3
+                   THEN list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in range(1, len(tk) - 1)])
+                   ELSE [] END AS s
+       FROM toks),
+inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+"""
+
+
+@q(
+    "dedup_exact",
+    f"""
+    SELECT md5(list_aggregate(string_split_regex(lower(trim(text)), '\\s+'), 'string_agg', ' ')) AS fp,
+           min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+    tags=("dedup",),
+    bench=True,
+)
+def dedup_exact_q(spark, sf_dir):
+    """Exact dedup: hash-groupBy on normalized-content fingerprint; one
+    shuffle, map-side combinable."""
+    return dedup.exact_dedup(t(spark, sf_dir, "documents"))
+
+
+@q(
+    "dedup_ngram_jaccard",
+    _DK_SHINGLES
+    + """
+    , pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT p.id_a AS id_a, p.id_b AS id_b, p.inter AS inter,
+           sa.n AS n_a, sb.n AS n_b
+    FROM pairs p JOIN sizes sa ON p.id_a = sa.doc_id
+                 JOIN sizes sb ON p.id_b = sb.doc_id
+    WHERE p.inter * 3 >= (sa.n + sb.n)
+    """,
+    tags=("dedup",),
+    bench=True,
+)
+def dedup_jaccard_q(spark, sf_dir):
+    """N-gram jaccard near-dup pairs (threshold 1/2, integer-exact test)."""
+    return dedup.ngram_jaccard_pairs(t(spark, sf_dir, "documents"))
+
+
+def _minhash_oracle(num_perm: int = 16, band_size: int = 2) -> str:
+    sigs = ",\n           ".join(
+        f"min(md5('p{i}:' || shingle)) AS mh{i}" for i in range(num_perm)
+    )
+    n_bands = num_perm // band_size
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT doc_id, {bi} AS band, md5({expr}) AS bucket FROM sig".format(
+            bi=bi,
+            expr=" || '|' || ".join(f"mh{bi * band_size + j}" for j in range(band_size)),
+        )
+        for bi in range(n_bands)
+    )
+    return (
+        _DK_SHINGLES
+        + f"""
+    , sig AS (SELECT doc_id, {sigs} FROM inv GROUP BY doc_id),
+    bands AS ({band_selects}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+    ver AS (SELECT c.id_a, c.id_b,
+                   len(list_intersect(sa.s, sb.s)) AS inter,
+                   len(sa.s) AS n_a, len(sb.s) AS n_b
+            FROM cand c JOIN sh sa ON c.id_a = sa.doc_id
+                        JOIN sh sb ON c.id_b = sb.doc_id)
+    SELECT id_a, id_b, inter, n_a, n_b FROM ver WHERE inter * 3 >= (n_a + n_b)
+    """
+    )
+
+
+@q(
+    "dedup_minhash_lsh",
+    _minhash_oracle(),
+    tags=("dedup", "lsh"),
+    bench=True,
+)
+def dedup_minhash_q(spark, sf_dir):
+    """MinHash+LSH near-dup pairs: md5-permutation signatures → banded
+    buckets → candidates → exact-jaccard verify.  Deterministic and
+    engine-portable, so even the LSH stage is oracle-checked."""
+    return dedup.minhash_lsh_pairs(t(spark, sf_dir, "documents"))
+
+
+@q("dedup_simhash", None, tags=("dedup", "simhash"))
+def dedup_simhash_q(spark, sf_dir):
+    """SimHash near-dup pairs (hamming <= 3 over 32-bit sketches); banded
+    candidate generation.  Rows-only check (bit-level SQL twin is
+    impractical); pytest verifies against planted near-dups."""
+    return dedup.simhash_pairs(t(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
+# S — similarity search over embeddings
+# ===========================================================================
+
+@q(
+    "ann_cosine_pairs",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.3
+    """,
+    tags=("similarity",),
+    bench=True,
+)
+def ann_pairs(spark, sf_dir):
+    """Brute-force cosine similarity join (threshold 0.3)."""
+    return similarity.cosine_pairs(t(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+@q(
+    "ann_brute_force_topk",
+    """
+    SELECT q.vec_id AS query_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+                      c.vec_id ASC) AS rank,
+           c.vec_id AS neighbor_id,
+           round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS sim
+    FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+    WHERE q.vec_id % 25 = 0
+    QUALIFY rank <= 5
+    """,
+    tags=("similarity",),
+)
+def ann_topk(spark, sf_dir):
+    """Exact top-k cosine neighbors for a probe subset (vec_id % 25 = 0)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(
+        emb.filter(F.col("vec_id") % 25 == 0), emb, k=5
+    )
+
+
+@q("ann_lsh_topk", None, tags=("similarity", "lsh"))
+def ann_lsh(spark, sf_dir):
+    """LSH-bucketed ANN (scale path) — approximate by design, rows-only;
+    pytest measures recall vs brute force."""
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.lsh_bucket_topk(emb.filter(F.col("vec_id") % 25 == 0), emb, k=5)
+
+
+# ===========================================================================
+# TX — text analysis
+# ===========================================================================
+
+def _langid_oracle() -> str:
+    langs = sorted(text.LANG_STOPWORDS)
+    scores = ",\n           ".join(
+        "len(list_filter({toks}, x -> list_contains({lst}, x))) AS score_{lang}".format(
+            toks=_DK_TOKS,
+            lst="[" + ", ".join(f"'{w}'" for w in text.LANG_STOPWORDS[lang]) + "]",
+            lang=lang,
+        )
+        for lang in langs
+    )
+    greatest = "greatest(" + ", ".join(f"score_{lg}" for lg in langs) + ")"
+    case = "CASE WHEN " + greatest + " = 0 THEN 'und' " + " ".join(
+        f"WHEN score_{lg} = {greatest} THEN '{lg}'" for lg in langs
+    ) + " END"
+    return f"""
+    WITH scored AS (SELECT doc_id, {scores} FROM documents)
+    SELECT doc_id, {case} AS pred_lang FROM scored
+    """
+
+
+@q("text_langid", _langid_oracle(), tags=("text",))
+def text_langid_q(spark, sf_dir):
+    """Language ID: stopword-hit argmax heuristic (lexicographic tiebreak,
+    'und' when nothing matches)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.lang_id("text").alias("pred_lang"))
+
+
+@q(
+    "text_quality",
+    f"""
+    WITH x AS (SELECT doc_id, {_DK_TOKS} AS tk, length(text) AS nc FROM documents)
+    SELECT doc_id,
+           len(tk) AS n_tokens,
+           round((nc - (len(tk) - 1)) / len(tk), 4) AS avg_token_len,
+           round(len(list_filter(tk, t -> list_contains(['the','and','of','to','a','in','is','it','for','on'], t))) / len(tk), 4) AS stopword_ratio,
+           CASE WHEN len(tk) >= 10 AND (nc - (len(tk) - 1)) / len(tk) >= 3 THEN 1 ELSE 0 END AS is_quality
+    FROM x
+    """,
+    tags=("text",),
+    bench=True,
+)
+def text_quality_q(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return text.quality_features(docs).select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+        "avg_token_len", "stopword_ratio", "is_quality",
+    )
+
+
+@q(
+    "text_token_count",
+    f"""
+    SELECT doc_id,
+           len({_DK_TOKS}) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS bpe_tokens
+    FROM documents
+    """,
+    tags=("text",),
+)
+def text_tokens_q(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count_ws("text").cast("long").alias("ws_tokens"),
+        text.token_count_bpe("text").cast("long").alias("bpe_tokens"),
+    )
+
+
+@q(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id,
+           md5(list_aggregate({_DK_TOKS}, 'string_agg', ' ')) AS fp,
+           list_reduce(list_prepend(0::BIGINT, [ord(c)::BIGINT for c in string_split(text, '')]),
+                       (acc, x) -> (acc * 31 + x) % 1000000007) AS rhash
+    FROM documents
+    """,
+    tags=("text",),
+)
+def text_fp_q(spark, sf_dir):
+    """Document fingerprinting: md5 content fingerprint + polynomial
+    rolling hash (char fold, JVM-side)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.doc_fingerprint("text").alias("fp"),
+        text.rolling_hash("text").alias("rhash"),
+    )
+
+
+# ===========================================================================
+# M — multimodal plumbing
+# ===========================================================================
+
+@q(
+    "multimodal_meta",
+    """
+    SELECT doc_id AS media_id, 'image' AS media_type,
+           strlen(text) AS byte_len, sha256(text) AS sha256
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def mm_meta(spark, sf_dir):
+    """Binary-payload metadata (byte_len, sha256) computed without ever
+    decoding the payload — the columnar fast path for media tables."""
+    docs = t(spark, sf_dir, "documents")
+    return multimodal.to_media(docs, "doc_id", "text", "image").select(
+        "media_id", "media_type", "byte_len", "sha256"
+    )
+
+
+@q("multimodal_features", None, tags=("multimodal",))
+def mm_features(spark, sf_dir):
+    """Decode/feature-extract via Arrow-batched mapInPandas (decoder is a
+    deterministic stub — see operators/multimodal.py).  Rows-only check."""
+    docs = t(spark, sf_dir, "documents")
+    media = multimodal.to_media(docs, "doc_id", "text", "image")
+    return multimodal.extract_features(media)

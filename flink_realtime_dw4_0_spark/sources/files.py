@@ -1,0 +1,47 @@
+"""Batch/stream file sources over the driver's parquet testdata.
+
+These are the engine's bounded-source equivalents of the reference's Kafka
+sources (S1/S3, ``FlinkSourceUtil.java:29-61``): every operator in this
+repo is defined on DataFrames, so it runs identically over these bounded
+reads and over ``readStream`` inputs.
+
+Scale notes: plain ``spark.read.parquet`` gets predicate pushdown, column
+pruning and partition-size splitting (``spark.sql.files.maxPartitionBytes``)
+for free — at 100 TB the same call fans out to one task per ~128 MB split.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+# events.ts is written as INT64 TIMESTAMP(NANOS) (timezone-naive); with
+# spark.sql.legacy.parquet.nanosAsLong=true it arrives as a long we convert
+# to a proper timestamp here, once, at the ingest edge.
+_NANOS_TS_COLS = {"events": ["ts"]}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for c in _NANOS_TS_COLS.get(name, []):
+        if dict(df.dtypes).get(c) == "bigint":
+            # integer div — float division would lose precision on ns epochs
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register the testdata tables as temp views for spark.sql queries."""
+    for n, df in load_tables(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(n)

@@ -1,0 +1,86 @@
+"""Unit tests for operator semantics that the batch oracle can't see:
+dedup recall against planted near-dups, ANN recall, simhash behavior,
+multimodal plumbing, scalar function edge cases."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_realtime_dw4_0_spark.operators import dedup, multimodal, similarity, text
+from flink_realtime_dw4_0_spark.sources.files import load_table
+
+
+def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(docs).collect()
+    }
+    lsh = {(r.id_a, r.id_b) for r in dedup.minhash_lsh_pairs(docs).collect()}
+    assert exact, "expected planted near-dups in testdata"
+    # verify stage guarantees precision = 1; recall should be high
+    assert lsh <= exact
+    assert len(lsh) / len(exact) >= 0.8
+
+
+def test_exact_dedup_counts(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.exact_dedup(docs)
+    assert out.agg(F.sum("n_copies")).collect()[0][0] == docs.count()
+
+
+def test_simhash_finds_neardups(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {(r.id_a, r.id_b) for r in dedup.ngram_jaccard_pairs(docs).collect()}
+    sim = {(r.id_a, r.id_b) for r in dedup.simhash_pairs(docs, max_hamming=3).collect()}
+    # near-identical docs must collide under simhash
+    hits = len(exact & sim)
+    assert hits >= len(exact) * 0.5
+
+
+def test_ann_lsh_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 25 == 0)
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(probes, emb, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.lsh_bucket_topk(probes, emb, k=5).collect()
+    }
+    # LSH with 8 planes on random vectors: expect some overlap, not exactness
+    assert len(approx & brute) / len(brute) >= 0.1
+
+
+def test_multimodal_roundtrip(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    media = multimodal.to_media(docs, "doc_id", "text", "image")
+    feats = multimodal.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 50
+    assert all(64 <= r.width < 128 and r.n_frames == 1 for r in rows)
+
+
+def test_multimodal_unknown_type_raises(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(1)
+    media = multimodal.to_media(docs, "doc_id", "text", "hologram")
+    try:
+        multimodal.extract_features(media).collect()
+        raise AssertionError("expected decoder NotImplementedError")
+    except Exception as e:  # noqa: BLE001
+        assert "NotImplementedError" in str(e) or "no decoder" in str(e)
+
+
+def test_lang_id_und_for_empty_scores(spark):
+    df = spark.createDataFrame([("xyzzy qwerty",), ("the cat is on the mat",)], ["text"])
+    out = df.select(text.lang_id("text").alias("l")).collect()
+    assert out[0].l == "und"
+    assert out[1].l == "en"
+
+
+def test_rolling_hash_deterministic(spark):
+    df = spark.createDataFrame([("abc",)], ["text"])
+    v = df.select(text.rolling_hash("text").alias("h")).collect()[0].h
+    # ((0*31+97)*31+98)*31+99 % 1e9+7
+    assert v == ((97 * 31 + 98) * 31 + 99) % 1_000_000_007

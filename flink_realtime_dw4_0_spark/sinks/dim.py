@@ -1,0 +1,65 @@
+"""Dimension-table sink with dynamic DDL (SURVEY §2.2 K4/K5).
+
+Parity: the HBase dim sink (DimHBaseSinkFunction.java:39-75 — delete on
+`type='delete'`, upsert otherwise, target resolved from config) and the
+dynamic DDL executor (DimAPP.java:117-182 — config ops c/r → create table,
+d → drop, u → drop+create).
+
+Spark restatement: each dim table is a KeyedTable under a warehouse root;
+DDL ops become directory lifecycle; all effects run in ``foreachBatch``
+and are idempotent across batch replays (SURVEY §7.3 hard part 5: a
+replayed MERGE of the same rows converges to the same table).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .upsert import KeyedTable
+
+
+class DimWarehouse:
+    """Directory-per-dim-table warehouse driven by the config stream."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def table_path(self, sink_table: str) -> str:
+        return os.path.join(self.root, sink_table)
+
+    def apply_ddl(self, config_ops: list) -> None:
+        """K5 — dynamic DDL from config ops (DimAPP.java:137-162):
+        c/r → ensure exists, d → drop, u → drop + recreate."""
+        for row in config_ops:
+            path = self.table_path(row["sink_table"])
+            op = row["op"]
+            if op in ("d", "u") and os.path.exists(path):
+                shutil.rmtree(path)
+            if op in ("c", "r", "u"):
+                os.makedirs(path, exist_ok=True)
+
+    def merge_dim_batch(
+        self,
+        spark: SparkSession,
+        batch: DataFrame,
+        sink_table: str,
+        row_key: str,
+    ) -> None:
+        """K4 — per-record upsert/delete resolved by CDC type
+        (DimHBaseSinkFunction.java:42-51: 'delete' deletes, everything else
+        — insert/update/bootstrap-insert — puts)."""
+        table = KeyedTable(self.table_path(sink_table), keys=[row_key], version_col="ts")
+        # a null rowkey is undeliverable (HBase put requires one — the
+        # reference would fail the put, DimHBaseSinkFunction.java:56)
+        batch = batch.filter(F.col(row_key).isNotNull())
+        upserts = batch.filter(F.col("type") != "delete")
+        deletes = batch.filter(F.col("type") == "delete")
+        table.merge(spark, upserts, deletes=deletes if deletes.limit(1).count() else None)
+
+    def read_dim(self, spark: SparkSession, sink_table: str) -> DataFrame | None:
+        return KeyedTable(self.table_path(sink_table), keys=[]).read(spark)

@@ -1,0 +1,92 @@
+"""Upsert / changelog sink emulation (SURVEY §2.2 K3).
+
+Parity: Flink's upsert-kafka sink (SQLUtil.java:55-63) consumes a retract
+stream and emits keyed records + null-value tombstones for retractions —
+required downstream of streaming left joins (DwdTradeOrderDetail.java:54-58).
+
+Spark-native design (SURVEY §7.3): outer-join results converge through a
+keyed last-write-wins MERGE per micro-batch.  The intermediate retract
+*sequence* differs from Flink (no eager null-padded emissions); the final
+relation is identical — which is what the batch oracle checks and what any
+downstream table consumer observes.
+
+Storage: a keyed parquet table with read-merge-overwrite (atomic via
+temp-dir swap).  On a production cluster this becomes Delta/Iceberg
+``MERGE INTO`` with the same keys — the calling convention is identical,
+and per-batch work stays proportional to the touched partitions.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+class KeyedTable:
+    """A primary-keyed table with MERGE semantics over parquet.
+
+    upsert(batch)  — last-write-wins by key (ordered by `version_col`)
+    delete(keys)   — tombstone application (type='delete' rows, K4)
+    """
+
+    def __init__(self, path: str, keys: list[str], version_col: str | None = None):
+        self.path = path
+        self.keys = keys
+        self.version_col = version_col
+
+    def exists(self, spark: SparkSession) -> bool:
+        return os.path.exists(os.path.join(self.path, "_SUCCESS"))
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        return spark.read.parquet(self.path) if self.exists(spark) else None
+
+    def _overwrite(self, df: DataFrame) -> None:
+        tmp = f"{self.path}__tmp_{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(self.path):
+            shutil.rmtree(self.path)
+        os.replace(tmp, self.path)
+
+    def merge(self, spark: SparkSession, batch: DataFrame, deletes: DataFrame | None = None) -> None:
+        """MERGE: upsert `batch` rows by key (latest version wins within the
+        batch), then remove keys present in `deletes`."""
+        w_cols = [F.col(k) for k in self.keys]
+        if self.version_col:
+            batch = (
+                batch.withColumn(
+                    "__rn",
+                    F.row_number().over(
+                        Window.partitionBy(*w_cols).orderBy(F.col(self.version_col).desc())
+                    ),
+                )
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        else:
+            batch = batch.dropDuplicates(self.keys)
+        current = self.read(spark)
+        if current is not None:
+            keep = current.join(batch.select(*self.keys), on=self.keys, how="left_anti")
+            merged = keep.unionByName(batch, allowMissingColumns=True)
+        else:
+            merged = batch
+        if deletes is not None:
+            merged = merged.join(deletes.select(*self.keys).distinct(), on=self.keys, how="left_anti")
+        self._overwrite(merged)
+
+
+def upsert_kafka_records(df: DataFrame, keys: list[str], tombstone_when=None) -> DataFrame:
+    """Render a changelog batch as upsert-kafka wire records:
+    key = JSON of PK columns, value = JSON of the row (NULL for tombstones)
+    — exactly the contract the reference's upsert-kafka DDL declares
+    (SQLUtil.java:55-63, PK at DwdTradeOrderDetail.java:86)."""
+    key = F.to_json(F.struct(*[F.col(k) for k in keys]))
+    value = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+    if tombstone_when is not None:
+        value = F.when(tombstone_when, F.lit(None).cast("string")).otherwise(value)
+    return df.select(key.alias("key"), value.alias("value"))

@@ -1,0 +1,323 @@
+"""Golden micro-batch tests for the streaming pipelines (SURVEY §5.2):
+deterministic gmall-shaped event sequences (FIXTURES.md) through the real
+decode → transform → sink paths, including the cross-batch state cases the
+reference's decision tables encode."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_realtime_dw4_0_spark import schemas
+from flink_realtime_dw4_0_spark.sinks.dim import DimWarehouse
+from flink_realtime_dw4_0_spark.sinks.upsert import KeyedTable, upsert_kafka_records
+from flink_realtime_dw4_0_spark.sources import kafka as ksrc
+from flink_realtime_dw4_0_spark.streaming import dwd_trade, dws
+from flink_realtime_dw4_0_spark.streaming.dim import dim_foreach_batch
+from flink_realtime_dw4_0_spark.streaming.dwd_log import (
+    dwd_log_foreach_batch, parquet_route_writers,
+)
+
+
+def mx(table, typ, data, old=None, ts=1704067200, database="gmall"):
+    """Maxwell envelope row (ts in SECONDS, FIXTURES.md §1)."""
+    return json.dumps(
+        {"database": database, "table": table, "type": typ, "data": data,
+         "old": old or {}, "ts": ts}
+    )
+
+
+def values_df(spark, lines):
+    return spark.createDataFrame([(ln,) for ln in lines], "value string")
+
+
+# --------------------------------------------------------------------------
+# cart_add: the four coverage cases (DwdTradeCartAdd.java:63-90)
+# --------------------------------------------------------------------------
+
+def test_cart_add_decision_table(spark):
+    lines = [
+        mx("cart_info", "insert", {"id": "1", "user_id": "u1", "sku_id": "s1",
+                                   "sku_num": "3", "cart_price": "9.9",
+                                   "sku_name": "a", "create_time": "2024-01-01 00:00:00"}),
+        mx("cart_info", "update", {"id": "2", "user_id": "u1", "sku_id": "s1", "sku_num": "5"},
+           old={"sku_num": "2"}),
+        mx("cart_info", "update", {"id": "3", "user_id": "u1", "sku_id": "s1", "sku_num": "1"},
+           old={"sku_num": "4"}),          # decrease → excluded
+        mx("cart_info", "update", {"id": "4", "user_id": "u1", "sku_id": "s1", "sku_num": "9"},
+           old={"is_checked": "0"}),        # no old.sku_num → excluded
+        mx("order_info", "insert", {"id": "9"}),  # other table → excluded
+    ]
+    decoded = ksrc.topic_db(values_df(spark, lines), watermark=None)
+    out = {r["id"]: r["sku_num"] for r in dwd_trade.cart_add_transform(decoded).collect()}
+    assert out == {"1": "3", "2": "3"}  # insert keeps 3; update emits 5-2
+
+
+# --------------------------------------------------------------------------
+# comment lookup join (DwdInteractionCommentInfo.java:64-100)
+# --------------------------------------------------------------------------
+
+def test_comment_lookup_join(spark):
+    lines = [
+        mx("comment_info", "insert", {"id": "c1", "user_id": "u1", "sku_id": "s1",
+                                      "appraise": "1201", "comment_txt": "good"}),
+        mx("comment_info", "insert", {"id": "c2", "user_id": "u2", "sku_id": "s2",
+                                      "appraise": "9999", "comment_txt": "?"}),  # no dic row → dropped
+        mx("comment_info", "update", {"id": "c3", "appraise": "1201"}),  # not insert → dropped
+    ]
+    base_dic = spark.createDataFrame(
+        [("1201", "好评"), ("1202", "中评")], schemas.BASE_DIC
+    )
+    decoded = ksrc.topic_db(values_df(spark, lines), watermark=None)
+    rows = dwd_trade.comment_info_transform(decoded, base_dic).collect()
+    assert [(r.id, r.appraise_name) for r in rows] == [("c1", "好评")]
+
+
+# --------------------------------------------------------------------------
+# order_detail 4-way join: cross-batch convergence (DwdTradeOrderDetail.java)
+# --------------------------------------------------------------------------
+
+def test_order_detail_incremental_join(spark, tmp_path):
+    j = dwd_trade.OrderDetailJoin(str(tmp_path / "odj"))
+    od = {"id": "d1", "order_id": "o1", "sku_id": "s1", "sku_name": "x",
+          "order_price": "10", "sku_num": "2", "create_time": "t",
+          "split_total_amount": "20", "split_activity_amount": "1",
+          "split_coupon_amount": "2"}
+
+    # batch 1: od + oi arrive, no activity yet → left join null-padded
+    b1 = ksrc.topic_db(values_df(spark, [
+        mx("order_detail", "insert", od, ts=100),
+        mx("order_info", "insert", {"id": "o1", "user_id": "u7", "province_id": "p3"}, ts=100),
+    ]), watermark=None)
+    j.process_batch(b1, spark)
+    r1 = j.out.read(spark).collect()
+    assert len(r1) == 1 and r1[0].user_id == "u7" and r1[0].activity_id is None
+
+    # batch 2: the activity row arrives late → the same key is re-derived
+    # and upserted (Flink's retract+emit collapses to this MERGE)
+    b2 = ksrc.topic_db(values_df(spark, [
+        mx("order_detail_activity", "insert",
+           {"order_detail_id": "d1", "activity_id": "a9", "activity_rule_id": "r1"}, ts=101),
+    ]), watermark=None)
+    j.process_batch(b2, spark)
+    r2 = j.out.read(spark).collect()
+    assert len(r2) == 1 and r2[0].activity_id == "a9" and r2[0].coupon_id is None
+
+
+# --------------------------------------------------------------------------
+# pay_suc: interval-join bounds + status transition + lookup
+# (DwdTradeOrderPaySucDetail.java:119-195)
+# --------------------------------------------------------------------------
+
+def test_pay_suc_interval_and_lookup(spark):
+    t0 = 1704067200  # order_detail event time (seconds)
+    od_lines = [json.dumps({"id": "d1", "order_id": "o1", "sku_id": "s1",
+                            "sku_name": "x", "order_price": "10", "sku_num": "1",
+                            "split_total_amount": "20", "ts": t0})]
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+    od_schema = StructType(
+        [StructField(n, StringType()) for n in
+         ("id", "order_id", "sku_id", "sku_name", "order_price", "sku_num", "split_total_amount")]
+        + [StructField("ts", LongType())]
+    )
+    od = ksrc.dwd_resource(values_df(spark, od_lines), od_schema, watermark=None)
+
+    def pay(order_id, ts, status="1602", old_status="1601", typ="update"):
+        return mx("payment_info", typ,
+                  {"user_id": "u1", "order_id": order_id, "payment_type": "1101",
+                   "callback_time": "t", "payment_status": status, "total_amount": "20"},
+                  old={"payment_status": old_status} if old_status else None, ts=ts)
+
+    lines = [
+        pay("o1", t0 + 3),                        # inside [-15min, +5s] → kept
+        pay("o1", t0 + 600, old_status=None),     # update without old.payment_status → dropped
+        pay("o1", t0 + 3, status="1603"),         # wrong status → dropped
+        pay("o1", t0 + 6),                        # outside +5 s bound → dropped by interval
+        pay("o1", t0 - 60),                       # pay before order, inside 15 min → kept
+    ]
+    topic = ksrc.topic_db(values_df(spark, lines), watermark=None)
+    base_dic = spark.createDataFrame([("1101", "支付宝")], schemas.BASE_DIC)
+    rows = dwd_trade.pay_suc_transform(topic, od, base_dic).collect()
+    assert len(rows) == 2
+    assert all(r.payment_type_name == "支付宝" and r.order_detail_id == "d1" for r in rows)
+
+
+# --------------------------------------------------------------------------
+# DIM pipeline: config dispatch, pruning, delete, bootstrap filtering
+# (DimAPP.java + DimHBaseSinkFunction.java)
+# --------------------------------------------------------------------------
+
+def test_dim_pipeline_merge_prune_delete(spark, tmp_path):
+    wh = DimWarehouse(str(tmp_path / "dimwh"))
+    config = spark.createDataFrame(
+        [("base_dic", "dim_base_dic", "dic_code,dic_name", "info", "dic_code", "r")],
+        schemas.TABLE_PROCESS_DIM,
+    )
+    fn = dim_foreach_batch(wh, lambda s: config)
+
+    b1 = ksrc.topic_db(values_df(spark, [
+        mx("base_dic", "bootstrap-start", {}),                     # filtered (P9)
+        mx("base_dic", "bootstrap-insert",
+           {"dic_code": "1201", "dic_name": "好评", "junk_col": "drop-me"}, ts=1),
+        mx("base_dic", "insert", {"dic_code": "1202", "dic_name": "中评"}, ts=1),
+        mx("other_table", "insert", {"id": "1"}, ts=1),            # not configured → dropped
+        mx("base_dic", "insert", {"id": "x"}, ts=1, database="nope"),  # wrong db → dropped
+    ]), watermark=None)
+    fn(b1, 0)
+    t = wh.read_dim(spark, "dim_base_dic")
+    rows = {r.rowkey: dict(r.data) for r in t.collect()}
+    assert set(rows) == {"1201", "1202"}
+    assert rows["1201"] == {"dic_code": "1201", "dic_name": "好评"}  # junk_col pruned (P10)
+
+    # batch 2: update one row, delete the other (K4 semantics)
+    b2 = ksrc.topic_db(values_df(spark, [
+        mx("base_dic", "update", {"dic_code": "1201", "dic_name": "NEW"}, ts=2),
+        mx("base_dic", "delete", {"dic_code": "1202", "dic_name": "中评"}, ts=2),
+    ]), watermark=None)
+    fn(b2, 1)
+    rows = {r.rowkey: dict(r.data) for r in wh.read_dim(spark, "dim_base_dic").collect()}
+    assert set(rows) == {"1201"}
+    assert rows["1201"]["dic_name"] == "NEW"
+
+
+# --------------------------------------------------------------------------
+# DWD log pipeline end-to-end via file stream: ETL, is_new fix across
+# batches, 5-way split + explode (DwdBaseLog.java)
+# --------------------------------------------------------------------------
+
+DAY1 = 1704067200000  # 2024-01-01 (millis)
+DAY2 = DAY1 + 86_400_000
+
+
+def log_line(mid, is_new, ts, page=None, start=None, err=None, displays=None, actions=None):
+    rec = {"common": {"mid": mid, "is_new": is_new, "vc": "v1", "ch": "ch1",
+                      "ar": "ar1", "uid": mid, "sid": "s-" + mid},
+           "ts": ts}
+    if page:
+        rec["page"] = page
+    if start:
+        rec["start"] = start
+    if err:
+        rec["err"] = err
+    if displays:
+        rec["displays"] = displays
+    if actions:
+        rec["actions"] = actions
+    return json.dumps(rec)
+
+
+def test_dwd_log_pipeline_stream(spark, tmp_path):
+    src = tmp_path / "log_src"
+    src.mkdir()
+    out_root = str(tmp_path / "routes")
+    page = {"page_id": "home", "during_time": 1000}
+
+    # file 1 = day 1 batch; file 2 = day 2 batch (maxFilesPerTrigger=1)
+    (src / "f1.json").write_text("\n".join([
+        log_line("m1", "1", DAY1 + 1000, page=page,
+                 displays=[{"item": "i1", "item_type": "sku", "pos_id": "p1"}],
+                 actions=[{"action_id": "fav", "item": "i1", "ts": DAY1 + 1500}]),
+        log_line("m1", "1", DAY1 + 2000, page=page),     # same day → stays 1
+        log_line("m2", "0", DAY1 + 3000, page=page),     # old visitor, no state → backfill
+        log_line("m3", "1", DAY1 + 4000, start={"entry": "icon", "loading_time": 200}),
+        log_line("m4", "1", DAY1 + 5000, page=page, err={"error_code": "42", "msg": "x"}),
+        '{"broken json',                                  # dropped by ETL
+        json.dumps({"common": {"is_new": "1"}, "ts": DAY1}),  # no mid → dropped
+        json.dumps({"common": {"mid": "m9", "is_new": "1"}, "ts": DAY1}),  # no page/start → dropped
+    ]))
+    (src / "f2.json").write_text("\n".join([
+        log_line("m1", "1", DAY2 + 1000, page=page),     # next day, state says day1 → rewritten 0
+        log_line("m5", "1", DAY2 + 2000, page=page),     # brand new on day2 → stays 1
+    ]))
+
+    state = KeyedTable(str(tmp_path / "visitor_state"), keys=["mid"])
+    writers = parquet_route_writers(out_root, ["err", "start", "display", "action", "page"])
+    raw = ksrc.file_json_raw(spark, str(src), max_files=1)
+    from flink_realtime_dw4_0_spark.streaming.dwd_log import run_dwd_log_pipeline
+
+    qh = run_dwd_log_pipeline(raw, state, writers, str(tmp_path / "ckpt"), available_now=True)
+    qh.awaitTermination(120)
+
+    page_df = spark.read.parquet(os.path.join(out_root, "page"))
+    got = {(r["common"]["mid"], r["ts"]): r["common"]["is_new"] for r in page_df.collect()}
+    assert got[("m1", DAY1 + 1000)] == "1"
+    assert got[("m1", DAY1 + 2000)] == "1"     # same-day repeat stays new
+    assert got[("m1", DAY2 + 1000)] == "0"     # cross-batch state rewrites
+    assert got[("m2", DAY1 + 3000)] == "0"
+    assert got[("m5", DAY2 + 2000)] == "1"
+
+    # routing: err extracted first; start routed; display/action exploded
+    assert spark.read.parquet(os.path.join(out_root, "err")).count() == 1
+    assert spark.read.parquet(os.path.join(out_root, "start")).count() == 1
+    disp = spark.read.parquet(os.path.join(out_root, "display")).collect()
+    assert len(disp) == 1 and disp[0]["display"]["item"] == "i1"
+    act = spark.read.parquet(os.path.join(out_root, "action")).collect()
+    assert len(act) == 1 and act[0]["action"]["action_id"] == "fav"
+    # backfilled state: m2's first_login_dt is the day before day1
+    st = {r.mid: r.first_login_dt for r in state.read(spark).collect()}
+    assert st["m2"] == "2023-12-31"
+    assert st["m1"] == "2024-01-01"
+
+
+# --------------------------------------------------------------------------
+# native keyed-state op (applyInPandasWithState) through a real stream
+# --------------------------------------------------------------------------
+
+def test_visitor_fix_stateful_stream(spark, tmp_path):
+    from flink_realtime_dw4_0_spark.operators.state import visitor_fix
+
+    src = tmp_path / "vf_src"
+    src.mkdir()
+    (src / "f1.json").write_text("\n".join([
+        json.dumps({"mid": "m1", "event_id": 1, "ts": DAY1 + 1000, "is_new": "1"}),
+        json.dumps({"mid": "m1", "event_id": 2, "ts": DAY2 + 1000, "is_new": "1"}),
+        json.dumps({"mid": "m2", "event_id": 3, "ts": DAY1 + 1000, "is_new": "0"}),
+    ]))
+    stream = (
+        spark.readStream.schema("mid string, event_id long, ts long, is_new string")
+        .json(str(src))
+    )
+    out = visitor_fix(stream)
+    q = (
+        out.writeStream.format("memory").queryName("vf_out")
+        .option("checkpointLocation", str(tmp_path / "vf_ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = {r.event_id: (r.is_new, r.first_login_dt) for r in spark.sql("SELECT * FROM vf_out").collect()}
+    assert rows[1] == ("1", "2024-01-01")
+    assert rows[2] == ("0", "2024-01-01")   # later day rewritten, in-batch state
+    assert rows[3] == ("0", "2023-12-31")   # backfill yesterday
+
+
+# --------------------------------------------------------------------------
+# DWS windowed aggs on decoded streams (batch-mode check of the transforms)
+# --------------------------------------------------------------------------
+
+def test_dws_keyword_and_traffic(spark):
+    page = {"page_id": "good_list", "during_time": 500, "item": "apple phone",
+            "item_type": "keyword", "last_page_id": "search"}
+    lines = [
+        log_line("m1", "1", DAY1 + 1000, page=page),
+        log_line("m2", "1", DAY1 + 2000, page=page),
+        log_line("m3", "1", DAY1 + 60_000, page={"page_id": "home", "during_time": 7}),
+    ]
+    decoded = ksrc.topic_log(values_df(spark, lines), watermark=None)
+    kw = {(r.keyword, r.stt.second): r.keyword_count
+          for r in dws.keyword_page_view(decoded).collect()}
+    assert kw[("apple", 0)] == 2 and kw[("phone", 0)] == 2
+
+    tr = dws.traffic_vc_ch_ar_is_new(decoded).collect()
+    assert sum(r.pv_ct for r in tr) == 3
+    assert {r.dur_sum for r in tr} == {1000, 7}
+
+
+def test_upsert_kafka_records_tombstones(spark):
+    df = spark.createDataFrame([("k1", "a", "delete"), ("k2", "b", "insert")],
+                               "id string, v string, type string")
+    recs = upsert_kafka_records(df, keys=["id"], tombstone_when=F.col("type") == "delete")
+    got = {json.loads(r.key)["id"]: r.value for r in recs.collect()}
+    assert got["k1"] is None and json.loads(got["k2"])["v"] == "b"

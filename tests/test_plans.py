@@ -1,0 +1,73 @@
+"""Physical-plan quality gates: assert the optimizations we rely on at
+100 TB actually appear in the plans — predicate pushdown into the parquet
+scan, column pruning, broadcast joins for dim lookups, partial (map-side)
+aggregation, and no Python in JVM-only paths."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_realtime_dw4_0_spark.plans.catalog import CATALOG
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = CATALOG[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_predicates_pushed_to_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q6_forecast_revenue")
+    assert "PushedFilters:" in plan
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+
+
+def test_q6_column_pruning(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q6_forecast_revenue")
+    schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    # only the 4 referenced columns are read, not all 11
+    assert "l_extendedprice" in schema and "l_returnflag" not in schema
+
+
+def test_f1_reads_single_column(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "f1_route_split")
+    schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "event_type" in schema and "props" not in schema and "value" not in schema
+
+
+def test_lookup_joins_broadcast(spark, sf_dir):
+    for name in ("j4_lookup_join_inner", "j5_lookup_join_left", "tpch_q5_local_supplier_volume"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_windowed_agg_partial(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "a2_traffic_window_pv")
+    # map-side combine before the shuffle
+    assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_whole_stage_codegen_on_scan_agg(spark, sf_dir):
+    df = CATALOG["tpch_q1_pricing_summary"].fn(spark, sf_dir)
+    df.collect()  # AQE finalizes the plan only at execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # whole-stage-codegen stages print as "*(n) Operator"
+    assert "*(1)" in plan or "*(2)" in plan
+
+
+def test_no_python_udf_in_jvm_paths(spark, sf_dir):
+    # everything except the declared pandas-UDF ops stays JVM-side
+    pandas_ok = {"ann_cosine_pairs", "multimodal_features", "ann_lsh_topk"}
+    for name in (
+        "tpch_q1_pricing_summary", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+        "text_langid", "text_quality", "a2_traffic_window_pv",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_interval_join_no_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "j3_interval_join")
+    # equi-key keeps it a hash/sort-merge join, never a cartesian product
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan

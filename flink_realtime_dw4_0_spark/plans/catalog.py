@@ -1160,3 +1160,99 @@ def tpch_q6(spark, sf_dir):
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"))
+
+
+# ===========================================================================
+# Additional parity + scale-knob queries
+# ===========================================================================
+
+@q(
+    "p2_struct_field_access",
+    """
+    SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS info_k
+    FROM events
+    """,
+    tags=("projection",),
+)
+def p2_struct(spark, sf_dir):
+    """P2 — nested struct field access (`info.dic_name`,
+    DwdInteractionCommentInfo.java:73): JSON decoded to a typed struct,
+    field read via dotted path."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "info", F.from_json("props", "struct<k:bigint>")
+    )
+    return ev.select("event_id", F.col("info.k").alias("info_k"))
+
+
+@q(
+    "dedup_ngram_capped",
+    _DK_SHINGLES
+    + """
+    , freq AS (SELECT shingle FROM inv GROUP BY shingle HAVING count(*) <= 50),
+    inv_c AS (SELECT inv.doc_id, inv.shingle FROM inv JOIN freq USING (shingle)),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM inv_c a JOIN inv_c b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT p.id_a AS id_a, p.id_b AS id_b, p.inter AS inter,
+           sa.n AS n_a, sb.n AS n_b
+    FROM pairs p JOIN sizes sa ON p.id_a = sa.doc_id
+                 JOIN sizes sb ON p.id_b = sb.doc_id
+    WHERE p.inter * 7 >= 3 * (sa.n + sb.n)
+    """,
+    tags=("dedup", "scale-knob"),
+)
+def dedup_capped(spark, sf_dir):
+    """N-gram jaccard with hot-shingle frequency capping (drop shingles in
+    >50 docs) — the knob that bounds inverted-index blowup at 100 TB.
+    Intersections shrink for pairs that only share hot shingles, so the
+    threshold is effectively on rare-shingle overlap (3/7 here; the oracle
+    mirrors the identical algorithm)."""
+    return dedup.ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"),
+        threshold_num=3, threshold_den=7, max_shingle_freq=50,
+    )
+
+
+@q(
+    "dedup_embedding_neardup",
+    """
+    SELECT DISTINCT b.vec_id AS drop_id
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.3
+    """,
+    tags=("dedup", "similarity"),
+)
+def dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup dedup: drop every vector that has a
+    lower-id neighbor above threshold (keep-first policy).  Runs on the
+    vectorized block-GEMM path."""
+    emb = t(spark, sf_dir, "embeddings")
+    pairs = similarity.cosine_pairs(emb, threshold=0.3)
+    return pairs.select(F.col("id_b").alias("drop_id")).distinct()
+
+
+@q(
+    "text_stats_by_source",
+    f"""
+    SELECT source,
+           count(*) AS n_docs,
+           sum(len({_DK_TOKS})) AS total_tokens,
+           round(avg(len({_DK_TOKS})), 4) AS avg_tokens,
+           count(DISTINCT lang) AS n_langs
+    FROM documents GROUP BY source
+    """,
+    tags=("text", "agg"),
+)
+def text_stats(spark, sf_dir):
+    """Corpus statistics rollup per source — the bookkeeping aggregation a
+    training-data pipeline runs after filtering."""
+    docs = t(spark, sf_dir, "documents").withColumn(
+        "n_tok", F.size(text.tokenize("text")).cast("long")
+    )
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+        F.count_distinct("lang").alias("n_langs"),
+    )

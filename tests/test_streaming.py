@@ -321,3 +321,45 @@ def test_upsert_kafka_records_tombstones(spark):
     recs = upsert_kafka_records(df, keys=["id"], tombstone_when=F.col("type") == "delete")
     got = {json.loads(r.key)["id"]: r.value for r in recs.collect()}
     assert got["k1"] is None and json.loads(got["k2"])["v"] == "b"
+
+
+# --------------------------------------------------------------------------
+# T4 — watermark semantics: a record older than (max event time - delay)
+# in a LATER batch is dropped by the windowed agg, matching the reference's
+# no-allowed-lateness behavior (SURVEY §2.6: late data simply dropped)
+# --------------------------------------------------------------------------
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    src = tmp_path / "wm_src"
+    src.mkdir()
+    page = {"page_id": "good_list", "during_time": 5, "item": "kw",
+            "item_type": "keyword", "last_page_id": "search"}
+    # batch 1: two on-time records in window [0s, 10s); batches 2-3 advance
+    # the watermark (the *applied* watermark lags the computed one by a
+    # batch); batch 4 delivers a record for the long-closed window → dropped
+    batches = [
+        [log_line("m1", "1", DAY1 + 1_000, page=page),
+         log_line("m2", "1", DAY1 + 2_000, page=page)],
+        [log_line("mX", "1", DAY1 + 100_000, page=page)],
+        [log_line("mY", "1", DAY1 + 200_000, page=page)],
+        [log_line("m3", "1", DAY1 + 4_000, page=page)],
+    ]
+    for i, lines in enumerate(batches):
+        f = src / f"f{i}.json"
+        f.write_text("\n".join(lines))
+        # the file source orders batches by modification time
+        os.utime(f, (1_000_000 + i * 10, 1_000_000 + i * 10))
+    raw = ksrc.file_json_raw(spark, str(src), max_files=1)
+    decoded = ksrc.topic_log(raw, watermark="5 seconds")
+    agg = dws.keyword_page_view(decoded)
+    q = (
+        agg.writeStream.format("memory").queryName("wm_out").outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "wm_ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM wm_out").collect()
+    # [0s,10s) closed with only the 2 on-time records (the late one was
+    # dropped); the +100s window flushed with 1; the +200s window is open
+    got = {(r.stt.minute, r.stt.second): r.keyword_count for r in rows}
+    assert got == {(0, 0): 2, (1, 40): 1}, rows

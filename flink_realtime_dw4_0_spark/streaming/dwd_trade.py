@@ -97,12 +97,27 @@ class OrderDetailJoin:
     side, then re-joins only the order-detail keys touched by the batch
     and MERGEs the result keyed by od.id (the upsert-kafka PK, :86)."""
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, state_ttl_sec: int | None = None):
         self.od = KeyedTable(f"{root}/od", keys=["id"], version_col="ts")
         self.oi = KeyedTable(f"{root}/oi", keys=["id"], version_col="ts")
         self.oda = KeyedTable(f"{root}/oda", keys=["order_detail_id"], version_col="ts")
         self.odc = KeyedTable(f"{root}/odc", keys=["order_detail_id"], version_col="ts")
         self.out = KeyedTable(f"{root}/out", keys=["id"], version_col="ts")
+        # T6 — idle-state TTL (setIdleStateRetention, DwdTradeOrderDetail.java:32):
+        # side-table rows older than (max seen ts - ttl) can no longer be
+        # matched and are pruned, bounding join state exactly like Flink's
+        # 5 s retention.  None = keep forever.
+        self.state_ttl_sec = state_ttl_sec
+        self._max_ts = 0
+
+    def _prune_ttl(self, spark: SparkSession) -> None:
+        if not self.state_ttl_sec or not self._max_ts:
+            return
+        horizon = self._max_ts - self.state_ttl_sec
+        for table in (self.od, self.oi, self.oda, self.odc):
+            cur = table.read(spark)
+            if cur is not None:
+                table._overwrite(cur.filter(F.col("ts") >= horizon))
 
     @staticmethod
     def _slice(topic_db: DataFrame, table: str, fields: dict[str, str]) -> DataFrame:
@@ -141,6 +156,9 @@ class OrderDetailJoin:
         for table, new in ((self.od, od_new), (self.oi, oi_new), (self.oda, oda_new), (self.odc, odc_new)):
             if new.limit(1).count():
                 table.merge(spark, new)
+                batch_max = new.agg(F.max(F.col("ts").cast("long"))).collect()[0][0] or 0
+                self._max_ts = max(self._max_ts, batch_max)
+        self._prune_ttl(spark)
 
         od_all = self.od.read(spark)
         if od_all is None:

@@ -363,3 +363,63 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # dropped); the +100s window flushed with 1; the +200s window is open
     got = {(r.stt.minute, r.stt.second): r.keyword_count for r in rows}
     assert got == {(0, 0): 2, (1, 40): 1}, rows
+
+
+# --------------------------------------------------------------------------
+# T6 — join idle-state TTL (setIdleStateRetention, DwdTradeOrderDetail.java:32)
+# --------------------------------------------------------------------------
+
+def test_order_detail_join_state_ttl(spark, tmp_path):
+    j = dwd_trade.OrderDetailJoin(str(tmp_path / "ttlj"), state_ttl_sec=10)
+    od = {"id": "d1", "order_id": "o1", "sku_id": "s1", "sku_name": "x",
+          "order_price": "1", "sku_num": "1", "create_time": "t",
+          "split_total_amount": "1", "split_activity_amount": "1",
+          "split_coupon_amount": "1"}
+    b1 = ksrc.topic_db(values_df(spark, [mx("order_detail", "insert", od, ts=100)]),
+                       watermark=None)
+    j.process_batch(b1, spark)
+    assert j.od.read(spark).count() == 1
+    # 50 s later: the unmatched od row is beyond the 10 s TTL → pruned,
+    # so the late-arriving order_info can no longer match (Flink parity)
+    b2 = ksrc.topic_db(values_df(spark, [
+        mx("order_info", "insert", {"id": "o1", "user_id": "u1", "province_id": "p"}, ts=150),
+    ]), watermark=None)
+    j.process_batch(b2, spark)
+    assert j.od.read(spark).count() == 0          # evicted
+    assert (j.out.read(spark) or spark.createDataFrame([], "id string")).count() == 0
+
+
+# --------------------------------------------------------------------------
+# SQL-text API parity (BaseSQLAPP, SURVEY §3.3): the reference's own query
+# text (dialect-adjusted) over a decoded topic_db view
+# --------------------------------------------------------------------------
+
+def test_sql_text_cart_add_matches_dataframe_path(spark):
+    from flink_realtime_dw4_0_spark.streaming import sql_api
+
+    lines = [
+        mx("cart_info", "insert", {"id": "1", "user_id": "u", "sku_id": "s",
+                                   "sku_num": "3", "cart_price": "9",
+                                   "sku_name": "n", "create_time": "t"}),
+        mx("cart_info", "update", {"id": "2", "sku_num": "5"}, old={"sku_num": "2"}),
+        mx("cart_info", "update", {"id": "3", "sku_num": "1"}, old={"sku_num": "4"}),
+    ]
+    decoded = ksrc.topic_db(values_df(spark, lines), watermark=None)
+    sql_api.register_topic_db(spark, decoded)
+    via_sql = {(r.id, r.sku_num) for r in sql_api.sql(spark, sql_api.CART_ADD_SQL).collect()}
+    via_df = {(r.id, r.sku_num) for r in dwd_trade.cart_add_transform(decoded).collect()}
+    assert via_sql == via_df == {("1", "3"), ("2", "3")}
+
+
+def test_sql_text_comment_lookup(spark):
+    from flink_realtime_dw4_0_spark.streaming import sql_api
+
+    decoded = ksrc.topic_db(values_df(spark, [
+        mx("comment_info", "insert", {"id": "c1", "user_id": "u", "sku_id": "s",
+                                      "appraise": "1201", "comment_txt": "x"}),
+    ]), watermark=None)
+    sql_api.register_topic_db(spark, decoded)
+    sql_api.register_dim(spark, "base_dic",
+                         spark.createDataFrame([("1201", "好评")], schemas.BASE_DIC))
+    rows = sql_api.sql(spark, sql_api.COMMENT_INFO_SQL).collect()
+    assert [(r.id, r.appraise_name) for r in rows] == [("c1", "好评")]

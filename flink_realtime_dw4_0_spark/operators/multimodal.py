@@ -104,3 +104,55 @@ def extract_features(df: DataFrame) -> DataFrame:
             yield out
 
     return df.mapInPandas(fn, FEATURE_SCHEMA)
+
+
+def resize(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Resize stage (stubbed kernel).
+
+    A real implementation decodes + rescales pixels per row inside the
+    Arrow batch (PIL not in this container — the stub rewrites the payload
+    deterministically and stamps the new dims).  The Spark plumbing —
+    schema in/out, batch shape, partition-parallel execution — is real.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            # stub: tag the payload with the resize op (a real kernel
+            # would emit re-encoded bytes)
+            pdf["payload"] = [
+                bytes(p) + f"|resized:{target_w}x{target_h}".encode() for p in pdf["payload"]
+            ]
+            pdf["byte_len"] = [len(p) for p in pdf["payload"]]
+            yield pdf
+
+    return df.mapInPandas(fn, df.schema)
+
+
+def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame-sampling stage for video payloads: 1 output row per sampled
+    frame, enriched with (frame_idx, media_id) — the explode-with-parent
+    pattern (F2) applied to media.  Frame decode itself is the stub."""
+    from pyspark.sql.types import StructType, StructField, IntegerType
+
+    out_schema = StructType(
+        list(MEDIA_SCHEMA.fields) + [StructField("frame_idx", IntegerType())]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                _, _, n_frames = _fake_decode(r["payload"], r["media_type"])
+                for fi in range(0, n_frames, every_n):
+                    d = dict(r)
+                    d["frame_idx"] = fi
+                    rows.append(d)
+            yield pd.DataFrame(rows, columns=[*pdf.columns, "frame_idx"]) if rows else None
+
+    def gen(batches):
+        for out in fn(batches):
+            if out is not None:
+                yield out
+
+    return df.mapInPandas(gen, out_schema)

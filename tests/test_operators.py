@@ -84,3 +84,34 @@ def test_rolling_hash_deterministic(spark):
     v = df.select(text.rolling_hash("text").alias("h")).collect()[0].h
     # ((0*31+97)*31+98)*31+99 % 1e9+7
     assert v == ((97 * 31 + 98) * 31 + 99) % 1_000_000_007
+
+
+def test_multimodal_resize_and_frame_sample(spark, sf_dir):
+    from flink_realtime_dw4_0_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = multimodal.to_media(docs, "doc_id", "text", "video")
+    resized = multimodal.resize(media, 224, 224)
+    rows = resized.collect()
+    assert all(r.payload.endswith(b"|resized:224x224") for r in rows)
+    assert all(r.byte_len == len(r.payload) for r in rows)
+
+    frames = multimodal.frame_sample(media, every_n=5).collect()
+    assert frames and all(r.frame_idx % 5 == 0 for r in frames)
+    # every video contributes at least frame 0
+    assert {r.media_id for r in frames} == {r.media_id for r in media.collect()}
+
+
+def test_serving_sink_merge(spark, tmp_path):
+    from flink_realtime_dw4_0_spark.sinks.serving import serving_foreach_batch
+    from flink_realtime_dw4_0_spark.sinks.upsert import KeyedTable
+
+    table = KeyedTable(str(tmp_path / "serving"), keys=["stt", "dim"])
+    fn = serving_foreach_batch(table)
+    b1 = spark.createDataFrame([("w1", "a", 5), ("w1", "b", 3)], "stt string, dim string, ct long")
+    fn(b1, 0)
+    # window re-emitted with an updated count → replaces, not duplicates
+    b2 = spark.createDataFrame([("w1", "a", 9)], "stt string, dim string, ct long")
+    fn(b2, 1)
+    got = {(r.stt, r.dim): r.ct for r in table.read(spark).collect()}
+    assert got == {("w1", "a"): 9, ("w1", "b"): 3}

@@ -29,6 +29,12 @@ _NANOS_TS_COLS = {"events": ["ts"]}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Defensive: the harness may hand us a session it built itself.  Both
+    # confs are runtime-settable and required for correct reads: nanos
+    # parquet (events.ts) refuses to load without the legacy flag, and the
+    # oracle comparison assumes UTC wall-clock formatting.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in _NANOS_TS_COLS.get(name, []):
         if dict(df.dtypes).get(c) == "bigint":

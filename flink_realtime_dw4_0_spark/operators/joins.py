@@ -84,3 +84,65 @@ def config_dispatch_join(stream: DataFrame, config: DataFrame, key: tuple[str, s
     """
     sk, ck = key
     return stream.join(F.broadcast(config), stream[sk] == config[ck], "inner")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: the skewed (left) side is salted into `salt`
+    sub-keys by hashing its remaining columns; the small/right side is
+    replicated across all salt values.  One hot key then lands on `salt`
+    reducers instead of one.
+
+    AQE's skew-join split handles most cases automatically; explicit
+    salting remains the tool for extreme single-key skew (one key >> one
+    partition even after splitting) and for deterministic layouts.
+    Result is identical to the unsalted join (verified in tests).
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi"):
+        # right/full-outer would emit one row per salt copy for unmatched
+        # replicated-side keys
+        raise ValueError(f"salted_join supports inner/left joins, not {how!r}")
+    other_cols = [c for c in left.columns if c != key]
+    salted_l = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in other_cols] or [F.col(key)]), F.lit(salt))
+    )
+    salted_r = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = salted_l.join(salted_r, on=[key, "__salt"], how=how)
+    return out.drop("__salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    num_buckets: int = 16,
+) -> None:
+    """Persist a table bucketed (and sorted) by its join key — repeated
+    big-big joins on that key then skip the shuffle entirely (co-located
+    sort-merge join).  At 100 TB this is the difference between re-shuffling
+    the fact table per query and reading pre-clustered buckets."""
+    import os
+    import shutil
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a stale location (e.g. from another session's catalog) blocks CREATE
+    loc = os.path.join(
+        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"), table
+    )
+    if os.path.exists(loc):
+        shutil.rmtree(loc)
+    (
+        df.write.bucketBy(num_buckets, *keys)
+        .sortBy(*keys)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table)
+    )

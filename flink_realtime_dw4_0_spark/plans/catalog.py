@@ -1256,3 +1256,17 @@ def text_stats(spark, sf_dir):
         F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
         F.count_distinct("lang").alias("n_langs"),
     )
+
+
+@q("sketch_hll_distinct", None, tags=("sketch", "approx"))
+def sketch_hll(spark, sf_dir):
+    """Approximate distinct-count sketch (HyperLogLog++) per event_type —
+    the serving-layer cardinality path for A8-style tables at 100 TB
+    (exact distinct needs a full shuffle of user ids; HLL is map-side
+    mergeable).  Approximate → rows-only check; pytest bounds the error
+    against exact counts."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("uu_approx"),
+        F.count(F.lit(1)).alias("pv"),
+    )

@@ -72,6 +72,9 @@ def get_spark(
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
         )
         .config("spark.sql.streaming.statefulOperator.allowMultiple", "true")
+        # managed tables (bucketed layouts) live outside the source tree
+        .config("spark.sql.warehouse.dir", os.environ.get(
+            "SPARK_GRAFT_WAREHOUSE", "/tmp/sparkdw-warehouse"))
     )
     if master:
         builder = builder.master(master)

@@ -115,3 +115,58 @@ def test_serving_sink_merge(spark, tmp_path):
     fn(b2, 1)
     got = {(r.stt, r.dim): r.ct for r in table.read(spark).collect()}
     assert got == {("w1", "a"): 9, ("w1", "b"): 3}
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from flink_realtime_dw4_0_spark.operators import joins
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    plain = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey").count()
+    )
+    salted = (
+        joins.salted_join(
+            li.withColumnRenamed("l_orderkey", "k"),
+            o.withColumnRenamed("o_orderkey", "k"),
+            key="k", salt=4,
+        )
+        .groupBy(F.col("k").alias("o_orderkey")).count()
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_bucketed_join_skips_shuffle(spark, sf_dir):
+    from flink_realtime_dw4_0_spark.operators import joins
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    joins.write_bucketed(o, "b_orders", ["o_orderkey"], 4)
+    joins.write_bucketed(li.withColumnRenamed("l_orderkey", "o_orderkey"), "b_lineitem", ["o_orderkey"], 4)
+    # force the big-big join path (broadcast would trivially avoid shuffle)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+        assert joined.count() == li.count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+        assert "Exchange" not in plan, plan  # co-located: no shuffle
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_hll_sketch_error_bound(spark, sf_dir):
+    from flink_realtime_dw4_0_spark.plans.catalog import CATALOG
+
+    approx = {
+        r.event_type: r.uu_approx
+        for r in CATALOG["sketch_hll_distinct"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r.event_type: r.uu
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type").agg(F.count_distinct("user_id").alias("uu")).collect()
+    }
+    for et, ex in exact.items():
+        assert abs(approx[et] - ex) / ex < 0.1, (et, approx[et], ex)

@@ -423,3 +423,39 @@ def test_sql_text_comment_lookup(spark):
                          spark.createDataFrame([("1201", "好评")], schemas.BASE_DIC))
     rows = sql_api.sql(spark, sql_api.COMMENT_INFO_SQL).collect()
     assert [(r.id, r.appraise_name) for r in rows] == [("c1", "好评")]
+
+
+# --------------------------------------------------------------------------
+# DWS end-to-end: windowed agg stream → serving table MERGE (K7)
+# --------------------------------------------------------------------------
+
+def test_dws_window_to_serving_table(spark, tmp_path):
+    from flink_realtime_dw4_0_spark.sinks.serving import serving_foreach_batch
+
+    src = tmp_path / "dws_src"
+    src.mkdir()
+    page = {"page_id": "good_list", "during_time": 5, "item": "kw",
+            "item_type": "keyword", "last_page_id": "search"}
+    batches = [
+        [log_line("m1", "1", DAY1 + 1_000, page=page),
+         log_line("m2", "1", DAY1 + 2_000, page=page)],
+        [log_line("m3", "1", DAY1 + 100_000, page=page)],
+        [log_line("m4", "1", DAY1 + 200_000, page=page)],
+    ]
+    for i, lines in enumerate(batches):
+        f = src / f"f{i}.json"
+        f.write_text("\n".join(lines))
+        os.utime(f, (1_000_000 + i * 10, 1_000_000 + i * 10))
+
+    table = KeyedTable(str(tmp_path / "dws_serving"), keys=["stt", "keyword"])
+    raw = ksrc.file_json_raw(spark, str(src), max_files=1)
+    agg = dws.keyword_page_view(ksrc.topic_log(raw, watermark="5 seconds"))
+    q = (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(serving_foreach_batch(table))
+        .option("checkpointLocation", str(tmp_path / "dws_ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = {(r.stt.second, r.keyword): r.keyword_count for r in table.read(spark).collect()}
+    assert rows[(0, "kw")] == 2  # first window flushed into serving

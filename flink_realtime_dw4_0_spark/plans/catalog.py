@@ -1270,3 +1270,39 @@ def sketch_hll(spark, sf_dir):
         F.approx_count_distinct("user_id", 0.02).alias("uu_approx"),
         F.count(F.lit(1)).alias("pv"),
     )
+
+
+@q(
+    "semi_join_exists",
+    """
+    SELECT o.o_orderkey
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    """,
+    tags=("join", "semi"),
+)
+def semi_join(spark, sf_dir):
+    """Left-semi join (EXISTS) — not in the reference (SURVEY §2.4), free
+    via Catalyst; exposed as engine surface."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_semi").select("o_orderkey")
+
+
+@q(
+    "anti_join_not_exists",
+    """
+    SELECT c.c_custkey
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    """,
+    tags=("join", "anti"),
+)
+def anti_join(spark, sf_dir):
+    """Left-anti join (NOT EXISTS) — customers with no urgent orders."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")

@@ -136,7 +136,11 @@ def ngram_jaccard_pairs(
             F.col("inter") * (threshold_den + threshold_num)
             >= threshold_num * (F.col("n_a") + F.col("n_b"))
         )
-        .select("id_a", "id_b", "inter", "n_a", "n_b")
+        .select(
+            "id_a", "id_b", "inter",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+        )
     )
 
 
@@ -248,7 +252,11 @@ def minhash_lsh_pairs(
             >= threshold_num * (F.col("n_a") + F.col("n_b"))
         )
     )
-    return verified.select("id_a", "id_b", "inter", "n_a", "n_b")
+    return verified.select(
+        "id_a", "id_b", "inter",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+    )
 
 
 def simhash(col: Column | str, bits: int = 32) -> Column:

@@ -120,7 +120,7 @@ def brute_force_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim"))
     )
@@ -210,7 +210,7 @@ def lsh_bucket_topk(
     scored = cand.withColumn("sim", cosine(F.col("vq"), F.col("vc")))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim"))
     )

@@ -1108,7 +1108,7 @@ def w_rank_lag(spark, sf_dir):
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.rank().over(w_rank).alias("price_rank"),
+        F.rank().over(w_rank).cast("long").alias("price_rank"),
         F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(w_seq), 2).alias("delta_prev"),
     )
 
@@ -1237,7 +1237,7 @@ def dedup_embedding(spark, sf_dir):
     f"""
     SELECT source,
            count(*) AS n_docs,
-           sum(len({_DK_TOKS})) AS total_tokens,
+           CAST(sum(len({_DK_TOKS})) AS BIGINT) AS total_tokens,
            round(avg(len({_DK_TOKS})), 4) AS avg_tokens,
            count(DISTINCT lang) AS n_langs
     FROM documents GROUP BY source

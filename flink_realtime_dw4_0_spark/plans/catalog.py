@@ -1306,3 +1306,11 @@ def anti_join(spark, sf_dir):
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+@q("ann_ivf_topk", None, tags=("similarity", "ivf"))
+def ann_ivf(spark, sf_dir):
+    """IVF-bucketed ANN (coarse quantizer + nprobe cells) — the second
+    scale path beside LSH.  Rows-only; pytest measures recall."""
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb.filter(F.col("vec_id") % 25 == 0), emb, k=5)

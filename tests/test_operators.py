@@ -170,3 +170,17 @@ def test_hll_sketch_error_bound(spark, sf_dir):
     }
     for et, ex in exact.items():
         assert abs(approx[et] - ex) / ex < 0.1, (et, approx[et], ex)
+
+
+def test_ann_ivf_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 25 == 0)
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(probes, emb, k=5).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(probes, emb, k=5, n_cells=8, nprobe=4).collect()
+    }
+    assert len(ivf & brute) / len(brute) >= 0.3

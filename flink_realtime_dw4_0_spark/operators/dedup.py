@@ -144,6 +144,62 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """AllPairs/PPJoin-style prefix-filtered similarity join — identical
+    output to `ngram_jaccard_pairs`, asymptotically far less work.
+
+    Sets with jaccard >= t must share a shingle within their *prefixes*
+    (first |s| - ceil(t*|s|) + 1 shingles under a global rare-first
+    ordering), so only prefix entries are indexed for candidate
+    generation; candidates then get one exact verification pass.  At scale
+    this bounds the self-join to rare-shingle collisions instead of every
+    co-occurring pair.
+    """
+    from pyspark.sql.window import Window
+
+    t = threshold_num / threshold_den
+    sh = _shingled(df, id_col, text_col, n)
+    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
+    inv = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
+    ranked = inv.join(freq, "shingle")
+    w = Window.partitionBy("doc_id").orderBy("freq", "shingle")
+    prefix = (
+        ranked.join(sizes, "doc_id")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1)
+        .select("doc_id", "shingle")
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sha = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    shb = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sha, "id_a")
+        .join(shb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("long"))
+        .withColumn("n_a", F.size("sh_a").cast("long"))
+        .withColumn("n_b", F.size("sh_b").cast("long"))
+        .filter(
+            F.col("inter") * (threshold_den + threshold_num)
+            >= threshold_num * (F.col("n_a") + F.col("n_b"))
+        )
+        .select("id_a", "id_b", "inter", "n_a", "n_b")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",

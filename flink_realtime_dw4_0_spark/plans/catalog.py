@@ -803,7 +803,13 @@ def dedup_exact_q(spark, sf_dir):
     bench=True,
 )
 def dedup_jaccard_q(spark, sf_dir):
-    """N-gram jaccard near-dup pairs (threshold 1/2, integer-exact test)."""
+    """N-gram jaccard near-dup pairs (threshold 1/2, integer-exact test).
+
+    Uses the inverted-index plan whose cached index is shared with the
+    minhash stage (fastest as a suite at this SF).  The AllPairs/PPJoin
+    prefix-filtered variant (`dedup.ngram_jaccard_pairs_prefix`, identical
+    output, equality-tested) is the plan of record at corpus scale, where
+    indexing only rare-shingle prefixes bounds the candidate join."""
     return dedup.ngram_jaccard_pairs(t(spark, sf_dir, "documents"))
 
 

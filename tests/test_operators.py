@@ -184,3 +184,10 @@ def test_ann_ivf_recall(spark, sf_dir):
         for r in similarity.ivf_topk(probes, emb, k=5, n_cells=8, nprobe=4).collect()
     }
     assert len(ivf & brute) / len(brute) >= 0.3
+
+
+def test_prefix_filtered_jaccard_equals_naive(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    naive = sorted(map(tuple, dedup.ngram_jaccard_pairs(docs).collect()))
+    pref = sorted(map(tuple, dedup.ngram_jaccard_pairs_prefix(docs).collect()))
+    assert naive == pref and naive

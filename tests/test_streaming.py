@@ -459,3 +459,41 @@ def test_dws_window_to_serving_table(spark, tmp_path):
     q.awaitTermination(120)
     rows = {(r.stt.second, r.keyword): r.keyword_count for r in table.read(spark).collect()}
     assert rows[(0, "kw")] == 2  # first window flushed into serving
+
+
+# --------------------------------------------------------------------------
+# Full layered warehouse e2e (ODS → DIM/DWD → DWS → serving)
+# --------------------------------------------------------------------------
+
+def test_full_warehouse_end_to_end(spark, tmp_path):
+    from flink_realtime_dw4_0_spark import demo
+    from flink_realtime_dw4_0_spark.sources.kafka import file_json_raw
+    from flink_realtime_dw4_0_spark.streaming.warehouse import Warehouse, WarehousePaths
+
+    src_db = tmp_path / "src_db"; src_db.mkdir()
+    src_log = tmp_path / "src_log"; src_log.mkdir()
+    (src_db / "b0.json").write_text("\n".join(demo.fixture_db_lines()))
+    (src_log / "b0.json").write_text("\n".join(demo.fixture_log_lines()))
+    config = spark.createDataFrame(
+        [("base_dic", "dim_base_dic", "dic_code,dic_name", "info", "dic_code", "r")],
+        schemas.TABLE_PROCESS_DIM,
+    )
+    wh = Warehouse(spark, WarehousePaths(str(tmp_path / "wh")), lambda s: config)
+    wh.run_available_now(file_json_raw(spark, str(src_db)), file_json_raw(spark, str(src_log)))
+
+    # DIM
+    dim = {r.rowkey for r in wh.dim_wh.read_dim(spark, "dim_base_dic").collect()}
+    assert dim == {"1101", "1201"}
+    # DWD cart: insert(+2) and incremental update(+3) as separate events
+    carts = sorted(r.sku_num for r in spark.read.parquet(wh.cart_add_dir).collect())
+    assert carts == ["2", "3"]
+    # DWD comment enriched through the dim built in the same run
+    assert wh.comment_table.read(spark).collect()[0].appraise_name == "GoodReview"
+    # DWD 4-way join with null-padded activity
+    od = wh.od_join.out.read(spark).collect()[0]
+    assert od.user_id == "u1" and od.activity_id is None
+    # DWS windowed serving tables (flushed by the far-future heartbeat)
+    kw = {(r.keyword): r.keyword_count for r in wh.kw_serving.read(spark).collect()}
+    assert kw == {"fast": 2, "widget": 2}
+    tr = {r.is_new: r.pv_ct for r in wh.traffic_serving.read(spark).collect()}
+    assert tr == {"1": 3, "0": 1}

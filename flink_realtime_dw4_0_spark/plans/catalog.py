@@ -1320,3 +1320,34 @@ def ann_ivf(spark, sf_dir):
     scale path beside LSH.  Rows-only; pytest measures recall."""
     emb = t(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(emb.filter(F.col("vec_id") % 25 == 0), emb, k=5)
+
+
+@q(
+    "rollup_revenue",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS rf,
+           coalesce(l_linestatus, 'ALL') AS ls,
+           round(sum(l_extendedprice), 2) AS base_price,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "rollup"),
+)
+def rollup_q(spark, sf_dir):
+    """ROLLUP grouping sets — hierarchical totals in one pass (engine
+    surface beyond the reference; Catalyst expands to grouping sets)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("base_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "base_price",
+            "n",
+        )
+    )

@@ -497,3 +497,45 @@ def test_full_warehouse_end_to_end(spark, tmp_path):
     assert kw == {"fast": 2, "widget": 2}
     tr = {r.is_new: r.pv_ct for r in wh.traffic_serving.read(spark).collect()}
     assert tr == {"1": 3, "0": 1}
+
+
+# --------------------------------------------------------------------------
+# F3 — Debezium config decode + dynamic DDL op dispatch (DimAPP.java:117-182)
+# --------------------------------------------------------------------------
+
+def test_debezium_decode_and_ddl_ops(spark, tmp_path):
+    from flink_realtime_dw4_0_spark.sources.cdc import debezium_to_table_process
+
+    def dz(op, row):
+        return json.dumps({"op": op, "before": row if op == "d" else None,
+                           "after": None if op == "d" else row, "ts_ms": 1})
+
+    cfg = {"source_table": "base_dic", "sink_table": "dim_base_dic",
+           "sink_columns": "a,b", "sink_family": "info", "sink_row_key": "a"}
+    lines = [dz("r", cfg), dz("u", cfg), dz("d", cfg)]
+    decoded = debezium_to_table_process(values_df(spark, lines)).collect()
+    assert [r.op for r in decoded] == ["r", "u", "d"]
+    assert all(r.source_table == "base_dic" for r in decoded)  # d reads `before`
+
+    wh = DimWarehouse(str(tmp_path / "ddl"))
+    wh.apply_ddl([{"sink_table": "dim_x", "op": "c"}])
+    assert os.path.isdir(wh.table_path("dim_x"))
+    # u = drop + recreate (DimAPP.java:159-162): directory is emptied
+    open(os.path.join(wh.table_path("dim_x"), "junk"), "w").write("x")
+    wh.apply_ddl([{"sink_table": "dim_x", "op": "u"}])
+    assert os.path.isdir(wh.table_path("dim_x"))
+    assert os.listdir(wh.table_path("dim_x")) == []
+    wh.apply_ddl([{"sink_table": "dim_x", "op": "d"}])
+    assert not os.path.exists(wh.table_path("dim_x"))
+
+
+def test_visitor_fix_invalid_is_new_unchanged(spark, tmp_path):
+    from flink_realtime_dw4_0_spark.operators.state import visitor_fix_batch
+
+    state = KeyedTable(str(tmp_path / "vstate"), keys=["mid"])
+    batch = spark.createDataFrame(
+        [("m1", 1, DAY1 + 1000, "weird")], "mid string, event_id long, ts long, is_new string"
+    )
+    out = visitor_fix_batch(batch, state, spark).collect()
+    # invalid marker passes through untouched (reference only rewrites '1')
+    assert out[0].is_new == "weird"

@@ -1351,3 +1351,48 @@ def rollup_q(spark, sf_dir):
             "n",
         )
     )
+
+
+@q(
+    "pivot_event_counts",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS dt,
+           count(*) FILTER (event_type = 'click')    AS click_ct,
+           count(*) FILTER (event_type = 'view')     AS view_ct,
+           count(*) FILTER (event_type = 'purchase') AS purchase_ct,
+           count(*) FILTER (event_type = 'signup')   AS signup_ct,
+           count(*) FILTER (event_type = 'error')    AS error_ct
+    FROM events GROUP BY 1
+    """,
+    tags=("agg", "pivot"),
+)
+def pivot_q(spark, sf_dir):
+    """Pivot (conditional aggregation): per-day event-type count matrix."""
+    ev = t(spark, sf_dir, "events")
+    aggs = [
+        F.count(F.when(F.col("event_type") == et, 1)).alias(f"{et}_ct")
+        for et in ("click", "view", "purchase", "signup", "error")
+    ]
+    return ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("dt")).agg(*aggs)
+
+
+@q(
+    "percentiles_by_segment",
+    """
+    SELECT c_mktsegment,
+           round(quantile_cont(c_acctbal, 0.5), 4)  AS p50,
+           round(quantile_cont(c_acctbal, 0.9), 4)  AS p90,
+           round(quantile_cont(c_acctbal, 0.99), 4) AS p99
+    FROM customer GROUP BY c_mktsegment
+    """,
+    tags=("agg", "percentile"),
+)
+def percentiles_q(spark, sf_dir):
+    """Exact interpolated percentiles per segment (Spark `percentile` ==
+    DuckDB `quantile_cont`, both exact linear interpolation)."""
+    c = t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.round(F.expr("percentile(c_acctbal, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(c_acctbal, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(c_acctbal, 0.99)"), 4).alias("p99"),
+    )

@@ -18,6 +18,7 @@ from datetime import datetime, timedelta
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     IntegerType, LongType, StringType, StructField, StructType,
@@ -51,6 +52,7 @@ def visitor_fix_fn(
                  state ≠ today      → rewrite to '0' (returning visitor)
     is_new='0':  state empty        → backfill yesterday (:171)
                  state set          → unchanged
+    other:       dirty marker — passed through, state untouched (:176-178)
     """
     first_dt = state.get[0] if state.exists else None
     out = []
@@ -66,7 +68,7 @@ def visitor_fix_fn(
                     first_dt = cur_dt
                 elif first_dt != cur_dt:
                     is_new = "0"
-            else:
+            elif is_new == "0":
                 if first_dt is None:
                     first_dt = (
                         datetime.strptime(cur_dt, "%Y-%m-%d") - timedelta(days=1)
@@ -110,41 +112,44 @@ _FIRST_SEEN_OUT = StructType(
         StructField("is_first", IntegerType()),
     ]
 )
-_FIRST_SEEN_STATE = StructType([StructField("last_dt", StringType())])
+_FIRST_SEEN_STATE = StructType([StructField("seen", IntegerType())])
 
 
 def first_seen_fn(
-    key: tuple[str],
+    key: tuple[str, str],
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    """Per-key per-day first-seen marker — the UU dedup primitive behind
-    A3/A4/A6 (SURVEY §2.5): emits is_first=1 exactly once per (key, day)."""
-    last_dt = state.get[0] if state.exists else None
+    """Per-(key, day) first-seen marker — the UU dedup primitive behind
+    A3/A4/A6 (SURVEY §2.5): emits is_first=1 exactly once per (key, day).
+
+    State is keyed by (key, day) rather than tracking only the latest day,
+    so an earlier day's first event arriving out of order (late data inside
+    the watermark) is still flagged."""
+    seen = state.exists
     for pdf in pdfs:
         pdf = pdf.sort_values("ts")
         flags = []
-        for _, r in pdf.iterrows():
-            cur_dt = _dt_of_ms(int(r["ts"]))
-            if last_dt is None or cur_dt > last_dt:
-                flags.append(1)
-                last_dt = cur_dt
-            else:
-                flags.append(0)
+        for _ in range(len(pdf)):
+            flags.append(0 if seen else 1)
+            seen = True
         yield pd.DataFrame(
             {
                 "key": pdf["key"],
-                "dt": [_dt_of_ms(int(x)) for x in pdf["ts"]],
+                "dt": pdf["dt"],
                 "ts": pdf["ts"],
                 "is_first": flags,
             }
         )
-    state.update((last_dt,))
+    state.update((1,))
 
 
 def first_seen(df: DataFrame) -> DataFrame:
     """Dedup-state op over a stream with columns (key, ts)."""
-    return df.groupBy("key").applyInPandasWithState(
+    with_dt = df.withColumn(
+        "dt", F.date_format(F.timestamp_millis("ts"), "yyyy-MM-dd")
+    )
+    return with_dt.groupBy("key", "dt").applyInPandasWithState(
         first_seen_fn,
         outputStructType=_FIRST_SEEN_OUT,
         stateStructType=_FIRST_SEEN_STATE,
@@ -160,15 +165,16 @@ def visitor_fix_batch(batch: DataFrame, state, spark) -> DataFrame:
 
     The sequential decision table collapses to a closed form per batch:
     the key's effective first_login_dt is the stored state, else derived
-    from its earliest record in the batch (is_new=1 → that day;
-    is_new=0 → the day before, the backfill at DwdBaseLog.java:171); then
-    is_new=1 records on a later day than effective are rewritten to 0.
+    from its earliest VALID record in the batch (is_new=1 → that day;
+    is_new=0 → the day before, the backfill at DwdBaseLog.java:171; other
+    markers are dirty data and never touch state, :176-178); then is_new=1
+    records on a later day than effective are rewritten to 0.
     Set-based ⇒ one shuffle per batch, no per-record Python.
     """
     from pyspark.sql import functions as F
 
     b = batch.withColumn("dt", F.date_format(F.timestamp_millis("ts"), "yyyy-MM-dd"))
-    firsts = b.groupBy("mid").agg(
+    firsts = b.filter(F.col("is_new").isin("1", "0")).groupBy("mid").agg(
         F.min_by(F.struct("dt", "is_new"), F.struct("ts")).alias("fr")
     )
     candidate = F.when(
@@ -199,4 +205,9 @@ def visitor_fix_batch(batch: DataFrame, state, spark) -> DataFrame:
         .drop("dt")
     )
     state.merge(spark, eff)
+    # materialize fixed, then release eff — otherwise one cached plan
+    # accumulates per micro-batch for the lifetime of the stream
+    fixed = fixed.persist()
+    fixed.count()
+    eff.unpersist()
     return fixed

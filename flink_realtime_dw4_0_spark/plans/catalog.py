@@ -1089,7 +1089,7 @@ def set_ops(spark, sf_dir):
         F.col("o_custkey").alias("c_custkey")
     )
     both = seg.intersect(big).withColumn("src", F.lit("both"))
-    only = seg.exceptAll(big.distinct()).distinct().withColumn("src", F.lit("only_seg"))
+    only = seg.subtract(big).withColumn("src", F.lit("only_seg"))
     return both.unionByName(only)
 
 
@@ -1204,7 +1204,7 @@ def p2_struct(spark, sf_dir):
            sa.n AS n_a, sb.n AS n_b
     FROM pairs p JOIN sizes sa ON p.id_a = sa.doc_id
                  JOIN sizes sb ON p.id_b = sb.doc_id
-    WHERE p.inter * 7 >= 3 * (sa.n + sb.n)
+    WHERE p.inter * 10 >= 3 * (sa.n + sb.n)
     """,
     tags=("dedup", "scale-knob"),
 )

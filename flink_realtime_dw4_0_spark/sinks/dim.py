@@ -57,9 +57,32 @@ class DimWarehouse:
         # a null rowkey is undeliverable (HBase put requires one — the
         # reference would fail the put, DimHBaseSinkFunction.java:56)
         batch = batch.filter(F.col(row_key).isNotNull())
-        upserts = batch.filter(F.col("type") != "delete")
-        deletes = batch.filter(F.col("type") == "delete")
-        table.merge(spark, upserts, deletes=deletes if deletes.limit(1).count() else None)
+        # The reference applies puts/deletes in stream order per record
+        # (DimHBaseSinkFunction.java:42-51): a delete followed by a
+        # re-insert of the same key must leave the row present.  Resolve to
+        # each key's LATEST event (ts, then arrival order within the
+        # batch), then apply that one event's action.
+        from pyspark.sql.window import Window
+
+        latest = (
+            batch.withColumn("__seq", F.monotonically_increasing_id())
+            .withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy(row_key).orderBy(
+                        F.col("ts").desc(), F.col("__seq").desc()
+                    )
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__seq")
+        ).persist()
+        try:
+            upserts = latest.filter(F.col("type") != "delete")
+            deletes = latest.filter(F.col("type") == "delete")
+            table.merge(spark, upserts, deletes=deletes if deletes.limit(1).count() else None)
+        finally:
+            latest.unpersist()
 
     def read_dim(self, spark: SparkSession, sink_table: str) -> DataFrame | None:
         return KeyedTable(self.table_path(sink_table), keys=[]).read(spark)

@@ -57,12 +57,21 @@ class KeyedTable:
         batch), then remove keys present in `deletes`."""
         w_cols = [F.col(k) for k in self.keys]
         if self.version_col:
+            # deterministic tiebreak: equal versions (e.g. Maxwell second-
+            # granularity ts) fall back to comparing the remaining columns,
+            # so the winner is stable run-to-run instead of partition-order
+            rest = [
+                c
+                for c, dt in batch.dtypes
+                if c not in self.keys and c != self.version_col and "map<" not in dt
+            ]
+            order = [F.col(self.version_col).desc()] + (
+                [F.struct(*[F.col(c) for c in rest]).desc()] if rest else []
+            )
             batch = (
                 batch.withColumn(
                     "__rn",
-                    F.row_number().over(
-                        Window.partitionBy(*w_cols).orderBy(F.col(self.version_col).desc())
-                    ),
+                    F.row_number().over(Window.partitionBy(*w_cols).orderBy(*order)),
                 )
                 .filter(F.col("__rn") == 1)
                 .drop("__rn")

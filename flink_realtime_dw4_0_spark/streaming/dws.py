@@ -74,9 +74,12 @@ def user_login(log: DataFrame, size: str = WINDOW) -> DataFrame:
     """A4 — unique users + 7-day-back users per window (Constant.java:43):
     uses the corrected is_new + first_login_dt emitted by the visitor fix."""
     u = log.filter(F.col("uid").isNotNull())
+    # approx_count_distinct: exact DISTINCT aggregations are rejected in
+    # streaming (same constraint as province_order below); the batch-exact
+    # twin is the a4_user_login_window catalog query
     out = _win(u, size).agg(
-        F.count_distinct("uid").alias("uu_ct"),
-        F.count_distinct(
+        F.approx_count_distinct("uid").alias("uu_ct"),
+        F.approx_count_distinct(
             F.when(
                 F.datediff(F.to_date(F.timestamp_millis("ts")), F.to_date("first_login_dt")) >= 7,
                 F.col("uid"),

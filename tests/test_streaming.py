@@ -539,3 +539,74 @@ def test_visitor_fix_invalid_is_new_unchanged(spark, tmp_path):
     out = visitor_fix_batch(batch, state, spark).collect()
     # invalid marker passes through untouched (reference only rewrites '1')
     assert out[0].is_new == "weird"
+
+
+# --------------------------------------------------------------------------
+# Regression tests for review findings
+# --------------------------------------------------------------------------
+
+def test_dim_delete_then_reinsert_same_batch(spark, tmp_path):
+    """Reference applies events in stream order (DimHBaseSinkFunction):
+    delete then re-insert within one batch must leave the row present."""
+    wh = DimWarehouse(str(tmp_path / "dimwh2"))
+    config = spark.createDataFrame(
+        [("base_dic", "dim_base_dic", "dic_code,dic_name", "info", "dic_code", "r")],
+        schemas.TABLE_PROCESS_DIM,
+    )
+    fn = dim_foreach_batch(wh, lambda s: config)
+    fn(ksrc.topic_db(values_df(spark, [
+        mx("base_dic", "insert", {"dic_code": "1201", "dic_name": "A"}, ts=1),
+    ]), watermark=None), 0)
+    fn(ksrc.topic_db(values_df(spark, [
+        mx("base_dic", "delete", {"dic_code": "1201", "dic_name": "A"}, ts=2),
+        mx("base_dic", "insert", {"dic_code": "1201", "dic_name": "B"}, ts=3),
+        mx("base_dic", "delete", {"dic_code": "1202", "dic_name": "X"}, ts=2),
+    ]), watermark=None), 1)
+    rows = {r.rowkey: dict(r.data) for r in wh.read_dim(spark, "dim_base_dic").collect()}
+    assert rows == {"1201": {"dic_code": "1201", "dic_name": "B"}}
+
+
+def test_visitor_fix_invalid_then_valid_same_day(spark, tmp_path):
+    """Invalid markers must NOT backfill state (DwdBaseLog.java:176-178):
+    a later genuine is_new=1 the same day stays 1."""
+    from flink_realtime_dw4_0_spark.operators.state import visitor_fix_batch
+
+    state = KeyedTable(str(tmp_path / "vstate2"), keys=["mid"])
+    batch = spark.createDataFrame(
+        [("m1", 1, DAY1 + 1000, "weird"), ("m1", 2, DAY1 + 2000, "1")],
+        "mid string, event_id long, ts long, is_new string",
+    )
+    out = {r.event_id: r.is_new for r in visitor_fix_batch(batch, state, spark).collect()}
+    assert out == {1: "weird", 2: "1"}
+    st = {r.mid: r.first_login_dt for r in state.read(spark).collect()}
+    assert st == {"m1": "2024-01-01"}
+
+
+def test_first_seen_out_of_order_days(spark, tmp_path):
+    """A day's first event arriving after a later day's event must still be
+    flagged (state is per (key, day))."""
+    from flink_realtime_dw4_0_spark.operators.state import first_seen
+
+    src = tmp_path / "fs_src"
+    src.mkdir()
+    (src / "f1.json").write_text(
+        json.dumps({"key": "k1", "ts": DAY2 + 1000}))          # day-2 first
+    (src / "f2.json").write_text("\n".join([
+        json.dumps({"key": "k1", "ts": DAY1 + 1000}),          # day-1 (late) first
+        json.dumps({"key": "k1", "ts": DAY2 + 2000}),          # day-2 repeat
+    ]))
+    os.utime(src / "f1.json", (1_000_000, 1_000_000))
+    os.utime(src / "f2.json", (1_000_010, 1_000_010))
+    stream = spark.readStream.schema("key string, ts long").json(str(src))
+    q = (
+        first_seen(stream).writeStream.format("memory").queryName("fs_out")
+        .option("checkpointLocation", str(tmp_path / "fs_ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = {(r.dt, r.ts): r.is_first for r in spark.sql("SELECT * FROM fs_out").collect()}
+    assert rows == {
+        ("2024-01-02", DAY2 + 1000): 1,
+        ("2024-01-01", DAY1 + 1000): 1,   # late day still flagged
+        ("2024-01-02", DAY2 + 2000): 0,
+    }

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .split import explode_computed
 from .text import doc_fingerprint, tokenize
 
 
@@ -93,7 +94,7 @@ def _shingle_index(
     # cache manager matches the identical logical subplan from the minhash
     # signature stage, saving ~7s across the dedup suite when both run in
     # one session (the common pipeline case).
-    inv = sh.select("doc_id", F.explode("sh").alias("shingle")).cache()
+    inv = explode_computed(sh, ["doc_id"], "sh", "shingle").cache()
     if max_shingle_freq is not None:
         hot = (
             inv.groupBy("shingle")
@@ -167,7 +168,7 @@ def ngram_jaccard_pairs_prefix(
     t = threshold_num / threshold_den
     sh = _shingled(df, id_col, text_col, n)
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
-    inv = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    inv = explode_computed(sh, ["doc_id"], "sh", "shingle")
     freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
     ranked = inv.join(freq, "shingle")
     w = Window.partitionBy("doc_id").orderBy("freq", "shingle")
@@ -213,7 +214,7 @@ def minhash_signatures(
     standard minhash, but portable across engines.
     """
     assert num_perm % 4 == 0
-    sh = _shingled(df, id_col, text_col, n).select("doc_id", F.explode("sh").alias("shingle"))
+    sh = explode_computed(_shingled(df, id_col, text_col, n), ["doc_id"], "sh", "shingle")
     # 4 permutations per md5: each digest yields four independent 32-bit
     # (8-hex-char) slices — 4x less hashing than one md5 per permutation
     sigs = [
@@ -247,23 +248,23 @@ def minhash_lsh_pairs(
     assert num_perm % band_size == 0
     sig = minhash_signatures(df, id_col, text_col, n, num_perm).cache()
     n_bands = num_perm // band_size
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|", *[F.col(f"mh{bi * band_size + j}") for j in range(band_size)]
-                            )
-                        ).alias("bucket"),
-                    )
-                    for bi in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
+    bands = explode_computed(
+        sig,
+        ["doc_id"],
+        F.array(
+            *[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            "|", *[F.col(f"mh{bi * band_size + j}") for j in range(band_size)]
+                        )
+                    ).alias("bucket"),
+                )
+                for bi in range(n_bands)
+            ]
+        ),
+        "bb",
     ).select("doc_id", "bb.band", "bb.bucket")
     a = bands.alias("a")
     b = bands.alias("b")
@@ -291,7 +292,7 @@ def minhash_lsh_pairs(
     sh = _shingled(df, id_col, text_col, n).cache()
     sh_c = sh.join(cand_docs, "doc_id")
     sizes = sh_c.select("doc_id", F.size("sh").alias("n_sh"))
-    inv_c = sh_c.select("doc_id", F.explode("sh").alias("shingle"))
+    inv_c = explode_computed(sh_c, ["doc_id"], "sh", "shingle")
     a = inv_c.alias("a")
     b = inv_c.alias("b")
     inter = (
@@ -373,25 +374,25 @@ def simhash_pairs(
         "doc_id", F.transform(bit_sums, lambda s: (s > 0).cast("int")).alias("bv")
     ).cache()
     band_w = bits // bands
-    banded = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.concat_ws(
-                            "",
-                            *[
-                                F.element_at("bv", bi * band_w + j + 1).cast("string")
-                                for j in range(band_w)
-                            ],
-                        ).alias("bucket"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bb"),
+    banded = explode_computed(
+        sig,
+        ["doc_id"],
+        F.array(
+            *[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.concat_ws(
+                        "",
+                        *[
+                            F.element_at("bv", bi * band_w + j + 1).cast("string")
+                            for j in range(band_w)
+                        ],
+                    ).alias("bucket"),
+                )
+                for bi in range(bands)
+            ]
+        ),
+        "bb",
     ).select("doc_id", "bb.band", "bb.bucket")
     a = banded.alias("a")
     b = banded.alias("b")

@@ -186,17 +186,18 @@ def lsh_bucket_topk(
         )
 
     def with_buckets(df: DataFrame, idc: str, vc: str) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias(idc),
-            F.col(vec_col).alias(vc),
-            F.explode(
-                F.array(
-                    *[
-                        F.concat(F.lit(f"{ti}:"), sig(F.col(vec_col), pl))
-                        for ti, pl in enumerate(tables)
-                    ]
-                )
-            ).alias("bucket"),
+        from .split import explode_computed
+
+        return explode_computed(
+            df,
+            [F.col(id_col).alias(idc), F.col(vec_col).alias(vc)],
+            F.array(
+                *[
+                    F.concat(F.lit(f"{ti}:"), sig(F.col(vec_col), pl))
+                    for ti, pl in enumerate(tables)
+                ]
+            ),
+            "bucket",
         )
 
     q = with_buckets(queries, "query_id", "vq")

@@ -43,3 +43,27 @@ def explode_enrich(df: DataFrame, array_col: str, out_name: str) -> DataFrame:
     return df.filter(F.col(array_col).isNotNull()).select(
         "common", "page", "ts", F.explode(array_col).alias(out_name)
     )
+
+
+def explode_computed(
+    df: DataFrame, keep: list[str | Column], arr: Column | str, alias: str
+) -> DataFrame:
+    """Explode a COMPUTED array column without Catalyst's
+    InferFiltersFromGenerate pathology.
+
+    For ``explode(expr)`` Catalyst infers ``size(expr) > 0 AND
+    isnotnull(expr)`` and pushes it toward the scan, substituting the full
+    expression into the predicate — so an expensive array (tokenize +
+    shingle, md5 band buckets, hyperplane signatures) is computed three
+    times per row, and the pushed copy can land *below* the repartition
+    that was meant to spread the work, serializing it on the source's
+    (often single-file) partitioning.  ``explode_outer`` triggers no such
+    inference; the null rows it keeps for empty arrays are removed by a
+    trivial post-filter on the OUTPUT attribute.  Measured 12x on the
+    sf0.1 shingle inverted index.
+
+    Caveat: the post-filter also drops genuine NULL *elements* — every
+    array built in this engine has non-null elements.
+    """
+    out = df.select(*keep, F.explode_outer(arr).alias(alias))
+    return out.filter(F.col(alias).isNotNull())

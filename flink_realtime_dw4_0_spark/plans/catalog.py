@@ -462,7 +462,7 @@ def a1_keyword(spark, sf_dir):
     Constant.java:40; tokenizer X13)."""
     docs = t(spark, sf_dir, "documents")
     return (
-        docs.select(F.explode(text.tokenize("text")).alias("keyword"))
+        split.explode_computed(docs, [], text.tokenize("text"), "keyword")
         .groupBy("keyword")
         .agg(F.count(F.lit(1)).alias("kw_count"))
     )
@@ -672,7 +672,7 @@ def f2_explode(spark, sf_dir):
     """F2 — array explode with parent enrichment (DwdBaseLog.java:98-121):
     each element emitted with its parent's metadata."""
     docs = t(spark, sf_dir, "documents")
-    return docs.select("doc_id", "lang", F.explode(text.tokenize("text")).alias("token"))
+    return split.explode_computed(docs, ["doc_id", "lang"], text.tokenize("text"), "token")
 
 
 @q(

@@ -32,9 +32,16 @@ def _flat(df: DataFrame) -> DataFrame:
 def keyword_page_view(page_log: DataFrame, size: str = WINDOW) -> DataFrame:
     """A1 — dws_traffic_source_keyword_page_view_window: tokenize search
     keyword, count per keyword per window (Constant.java:40, X13 UDTF)."""
-    kw = page_log.filter(
-        (F.col("page.last_page_id") == "search") & F.col("page.item").isNotNull()
-    ).select("row_time", F.explode(tokenize(F.col("page.item"))).alias("keyword"))
+    from ..operators.split import explode_computed
+
+    kw = explode_computed(
+        page_log.filter(
+            (F.col("page.last_page_id") == "search") & F.col("page.item").isNotNull()
+        ),
+        ["row_time"],
+        tokenize(F.col("page.item")),
+        "keyword",
+    )
     out = _win(kw, size, "keyword").agg(F.count(F.lit(1)).alias("keyword_count"))
     return _flat(out)
 

@@ -610,3 +610,124 @@ def test_first_seen_out_of_order_days(spark, tmp_path):
         ("2024-01-01", DAY1 + 1000): 1,   # late day still flagged
         ("2024-01-02", DAY2 + 2000): 0,
     }
+
+
+# --------------------------------------------------------------------------
+# A4/A5/A7/A8 — streaming window aggs under append mode + watermark
+# (batch-exact twins live in plans/catalog.py; these pin the STREAMING
+# behavior: windows only emit once the applied watermark passes their end,
+# and the UU variants hold up under approx_count_distinct)
+# --------------------------------------------------------------------------
+
+def _feed_files(src, batches):
+    """One file per micro-batch, mtime-ordered (file source batches by
+    mtime; the applied watermark lags the computed one by one batch)."""
+    src.mkdir()
+    for i, lines in enumerate(batches):
+        f = src / f"f{i}.json"
+        f.write_text("\n".join(lines))
+        os.utime(f, (1_000_000 + i * 10, 1_000_000 + i * 10))
+
+
+def _run_to_memory(spark, df, tmp_path, name):
+    q = (
+        df.writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"{name}_ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}").collect()
+
+
+def test_dws_register_window_stream(spark, tmp_path):
+    """A5 — user_info inserts counted per closed window; the open window
+    (heartbeat's own) is withheld in append mode."""
+    day1_s = DAY1 // 1000
+    # NB: heartbeats must survive the user_info/insert route filter —
+    # Catalyst pushes deterministic predicates BELOW EventTimeWatermark, so
+    # rows dropped by the filter never advance the watermark.  Far-future
+    # user_info inserts advance it; their own (still-open) windows are
+    # withheld by append mode.
+    _feed_files(tmp_path / "reg_src", [
+        [mx("user_info", "insert", {"id": "u1"}, ts=day1_s + 1),
+         mx("user_info", "insert", {"id": "u2"}, ts=day1_s + 2),
+         mx("user_info", "update", {"id": "u1"}, ts=day1_s + 3),   # not insert
+         mx("order_info", "insert", {"id": "o1"}, ts=day1_s + 4)], # not user_info
+        [mx("user_info", "insert", {"id": "hb1"}, ts=day1_s + 100)],
+        [mx("user_info", "insert", {"id": "hb2"}, ts=day1_s + 200)],
+    ])
+    raw = ksrc.file_json_raw(spark, str(tmp_path / "reg_src"), max_files=1)
+    rows = _run_to_memory(
+        spark, dws.user_register(ksrc.topic_db(raw, watermark="5 seconds")),
+        tmp_path, "reg_out")
+    got = {(r.stt.isoformat(), r.register_ct) for r in rows}
+    # availableNow ends with a no-data batch applying the final computed
+    # watermark (195 s) — so hb1's window closes too; hb2's stays open
+    assert got == {("2024-01-01T00:00:00", 2), ("2024-01-01T00:01:40", 1)}
+
+
+def test_dws_user_login_window_stream(spark, tmp_path):
+    """A4 — uu + 7-day-back counts per closed window (approx_count_distinct
+    is exact at these cardinalities)."""
+    def ev(uid, ts, first_dt):
+        return json.dumps({"uid": uid, "ts": ts, "first_login_dt": first_dt})
+
+    _feed_files(tmp_path / "login_src", [
+        [ev("u1", DAY1 + 1000, "2023-12-01"),    # back user (>= 7 days)
+         ev("u1", DAY1 + 2000, "2023-12-01"),    # same uid, same window
+         ev("u2", DAY1 + 3000, "2024-01-01")],   # new that day
+        [ev("hb", DAY1 + 100_000, "2024-01-01")],
+        [ev("hb", DAY1 + 200_000, "2024-01-01")],
+    ])
+    log = (
+        spark.readStream.schema("uid string, ts long, first_login_dt string")
+        .option("maxFilesPerTrigger", 1).json(str(tmp_path / "login_src"))
+        .withColumn("row_time", F.timestamp_millis("ts"))
+        .withWatermark("row_time", "5 seconds")
+    )
+    rows = _run_to_memory(spark, dws.user_login(log), tmp_path, "login_out")
+    got = {(r.stt.isoformat(), r.uu_ct, r.back_ct) for r in rows}
+    # hb1's window closes on the final no-data batch; hb2's stays open
+    assert got == {("2024-01-01T00:00:00", 2, 1), ("2024-01-01T00:01:40", 1, 0)}
+
+
+def test_dws_sku_and_province_order_stream(spark, tmp_path):
+    """A7/A8 — per-SKU amount sums and per-province order counts over the
+    same order_detail stream, windows emitted only when closed."""
+    def od(order_id, sku, prov, total, act, coup, ts):
+        return json.dumps({"order_id": order_id, "sku_id": sku,
+                           "province_id": prov, "split_total_amount": total,
+                           "split_activity_amount": act,
+                           "split_coupon_amount": coup, "ts": ts})
+
+    batches = [
+        [od("o1", "s1", "p1", "10.00", "1.00", None, DAY1 + 1000),
+         od("o1", "s2", "p1", "20.00", None, "2.00", DAY1 + 2000),
+         od("o2", "s1", "p2", "5.50", None, None, DAY1 + 3000)],
+        [od("hb", "sX", "pX", "0.00", None, None, DAY1 + 100_000)],
+        [od("hb", "sX", "pX", "0.00", None, None, DAY1 + 200_000)],
+    ]
+    schema = ("order_id string, sku_id string, province_id string, "
+              "split_total_amount string, split_activity_amount string, "
+              "split_coupon_amount string, ts long")
+
+    def stream(name):
+        _feed_files(tmp_path / name, batches)
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).json(str(tmp_path / name))
+            .withColumn("row_time", F.timestamp_millis("ts"))
+            .withWatermark("row_time", "5 seconds")
+        )
+
+    sku = {(r.sku_id): (r.order_amount, r.activity_amount, r.coupon_amount)
+           for r in _run_to_memory(spark, dws.sku_order(stream("sku_src"), None),
+                                   tmp_path, "sku_out")}
+    # hb1's window closes on the final no-data batch (hb2's stays open)
+    assert sku == {"s1": (15.5, 1.0, 0.0), "s2": (20.0, 0.0, 2.0),
+                   "sX": (0.0, 0.0, 0.0)}
+
+    prov = {(r.province_id): (r.order_ct, r.order_amount)
+            for r in _run_to_memory(spark, dws.province_order(stream("prov_src")),
+                                    tmp_path, "prov_out")}
+    assert prov == {"p1": (1, 30.0), "p2": (1, 5.5), "pX": (1, 0.0)}

@@ -115,6 +115,9 @@ _FIRST_SEEN_OUT = StructType(
 _FIRST_SEEN_STATE = StructType([StructField("seen", IntegerType())])
 
 
+FIRST_SEEN_TTL_HOURS = 36
+
+
 def first_seen_fn(
     key: tuple[str, str],
     pdfs: Iterator[pd.DataFrame],
@@ -125,7 +128,17 @@ def first_seen_fn(
 
     State is keyed by (key, day) rather than tracking only the latest day,
     so an earlier day's first event arriving out of order (late data inside
-    the watermark) is still flagged."""
+    the watermark) is still flagged.
+
+    State TTL (the 100 TB concern): each (key, day) entry expires
+    FIRST_SEEN_TTL_HOURS of processing time after its last event — without
+    it the store grows by |keys| entries EVERY day, forever.  An event
+    arriving after its day's state expired would be re-flagged, but such
+    an event is far beyond any sane watermark and is dropped by the
+    windowed aggregations downstream (SURVEY §2.6: late data dropped)."""
+    if state.hasTimedOut:
+        state.remove()
+        return
     seen = state.exists
     for pdf in pdfs:
         pdf = pdf.sort_values("ts")
@@ -142,6 +155,7 @@ def first_seen_fn(
             }
         )
     state.update((1,))
+    state.setTimeoutDuration(FIRST_SEEN_TTL_HOURS * 3600 * 1000)
 
 
 def first_seen(df: DataFrame) -> DataFrame:
@@ -154,7 +168,7 @@ def first_seen(df: DataFrame) -> DataFrame:
         outputStructType=_FIRST_SEEN_OUT,
         stateStructType=_FIRST_SEEN_STATE,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
 
 

@@ -1,0 +1,99 @@
+"""Corpus-management operators: deterministic splits, stratified samples,
+distribution histograms.
+
+The ops every large training-data pipeline runs between dedup and
+training: carve train/val/test, downsample a stratum, inspect the length
+distribution.  All are hash-based and DETERMINISTIC — a doc's split
+assignment never changes across runs, machines, or engines — and all stay
+in JVM expressions (md5 / substring / string compare), so they distribute
+trivially: no shuffle at all for split/sample (narrow maps), one
+aggregation shuffle for the histograms.
+
+Engine-portability (the oracle story): bucket arithmetic uses md5 HEX
+STRING comparison, never hex→int conversion — `substr(md5(k),1,4) <
+'0ccc'` means the same thing in Spark and DuckDB, while hex-to-int
+functions differ between engines.  16^4 = 65536 buckets gives 0.0015%
+split granularity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 4 hex chars = 65536 buckets; boundaries are hex-string literals.
+_BUCKET_LEN = 4
+_BUCKETS = 16**_BUCKET_LEN
+
+
+def _bucket(key: Column, salt: str) -> Column:
+    """Deterministic bucket id as a fixed-width hex string."""
+    return F.substring(F.md5(F.concat(F.lit(salt + ":"), key.cast("string"))), 1, _BUCKET_LEN)
+
+
+def _hex_lit(frac: float) -> str:
+    """The hex-string boundary below which `frac` of buckets fall.
+
+    frac >= 1.0 returns 'zzzz' (lexically above every hex string) — the
+    natural `format(65536, '04x')` would be 5 chars and lexically BELOW
+    'ffff', inverting the comparison."""
+    edge = min(_BUCKETS, max(0, round(frac * _BUCKETS)))
+    if edge >= _BUCKETS:
+        return "z" * _BUCKET_LEN
+    return format(edge, f"0{_BUCKET_LEN}x")
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    train: float = 0.9,
+    val: float = 0.05,
+    salt: str = "split",
+) -> DataFrame:
+    """Assign each row to train/val/test by hashing its key — stable under
+    re-runs, insertions, and re-partitioning (unlike randomSplit, whose
+    assignment depends on partition layout).  Pure narrow map: zero
+    shuffle at any scale."""
+    b = _bucket(F.col(key_col), salt)
+    return df.withColumn(
+        "split",
+        F.when(b < F.lit(_hex_lit(train)), "train")
+        .when(b < F.lit(_hex_lit(train + val)), "val")
+        .otherwise("test"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str = "doc_id",
+    default_frac: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic per-stratum downsample: keep a row iff its hash
+    bucket falls under its stratum's fraction.  The per-stratum rates
+    arrive as a literal CASE, so this is also a pure narrow map — the
+    standard rebalancing step (e.g. cap 'en' at 10%, keep all 'yo')."""
+    b = _bucket(F.col(key_col), salt)
+    edge = None
+    for stratum, frac in sorted(fractions.items()):
+        cond = F.col(strata_col) == stratum
+        lit = F.lit(_hex_lit(frac))
+        edge = F.when(cond, lit) if edge is None else edge.when(cond, lit)
+    edge = F.lit(_hex_lit(default_frac)) if edge is None else edge.otherwise(
+        F.lit(_hex_lit(default_frac))
+    )
+    return df.filter(b < edge)
+
+
+def length_histogram(
+    df: DataFrame, text_col: str = "text", bin_width: int = 100
+) -> DataFrame:
+    """Character-length histogram: one partial-aggregated shuffle, however
+    large the corpus."""
+    return (
+        df.withColumn("bin", (F.length(text_col) / bin_width).cast("long") * bin_width)
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("doc_ct"))
+    )

@@ -1396,3 +1396,79 @@ def percentiles_q(spark, sf_dir):
         F.round(F.expr("percentile(c_acctbal, 0.9)"), 4).alias("p90"),
         F.round(F.expr("percentile(c_acctbal, 0.99)"), 4).alias("p99"),
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus management — deterministic splits / stratified sampling / histograms
+# (operators/sampling.py; every op is a narrow hash map or one agg shuffle)
+# --------------------------------------------------------------------------
+
+@q(
+    "sample_split_assign",
+    """
+    WITH assigned AS (
+      SELECT doc_id,
+             CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+                  THEN 'train'
+                  WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'f333'
+                  THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents)
+    SELECT split, count(*) AS n_docs, CAST(min(doc_id) AS BIGINT) AS min_id
+    FROM assigned GROUP BY split
+    """,
+    tags=("sampling", "corpus"),
+)
+def sample_split_q(spark, sf_dir):
+    """Deterministic hash train/val/test split (90/5/5): assignment is a
+    pure narrow map on md5(key) — stable across runs/partitioning, unlike
+    randomSplit — then one count shuffle for the audit rollup."""
+    from ..operators import sampling
+
+    docs = sampling.split_assign(t(spark, sf_dir, "documents"))
+    return docs.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_id")
+    )
+
+
+@q(
+    "sample_stratified",
+    """
+    SELECT lang, count(*) AS n_kept
+    FROM documents
+    WHERE substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 4) <
+          CASE WHEN lang = 'en' THEN '4000'
+               WHEN lang = 'de' THEN '8000'
+               ELSE 'zzzz' END
+    GROUP BY lang
+    """,
+    tags=("sampling", "corpus"),
+)
+def sample_stratified_q(spark, sf_dir):
+    """Deterministic stratified downsample (cap en at 25%, de at 50%, keep
+    the rest) — the rebalancing step between dedup and training; a pure
+    narrow filter at any corpus size."""
+    from ..operators import sampling
+
+    kept = sampling.stratified_sample(
+        t(spark, sf_dir, "documents"), "lang",
+        {"en": 0.25, "de": 0.5}, default_frac=1.0,
+    )
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+@q(
+    "corpus_length_histogram",
+    """
+    SELECT CAST(floor(length(text) / 100) AS BIGINT) * 100 AS bin,
+           count(*) AS doc_ct
+    FROM documents GROUP BY bin
+    """,
+    tags=("sampling", "corpus"),
+)
+def length_hist_q(spark, sf_dir):
+    """Character-length histogram (100-char bins) — the distribution check
+    behind min/max-length quality filters; one partial-agg shuffle."""
+    from ..operators import sampling
+
+    return sampling.length_histogram(t(spark, sf_dir, "documents"))

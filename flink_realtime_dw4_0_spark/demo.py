@@ -75,9 +75,12 @@ def fixture_log_lines() -> list[str]:
         # far-future record so watermarked DWS windows flush.  NOTE it must
         # pass every DWS query's own filter: predicates are pushed below
         # the watermark node, so each query's watermark advances only on
-        # rows its filter keeps (a search page advances both keyword and
-        # traffic windows).
-        _log("mid9", "1", DAY1 + 600_000, page=page),
+        # rows its filter keeps — a good_detail page arriving from search
+        # with an item advances keyword, traffic AND home/detail-UV.
+        _log("mid9", "1", DAY1 + 600_000,
+             page={"page_id": "good_detail", "during_time": 100,
+                   "item": "fast widget", "item_type": "keyword",
+                   "last_page_id": "search"}),
     ]
 
 
@@ -123,6 +126,9 @@ def main() -> None:
         print("=== DWS: traffic window serving table ===")
         tr = wh.traffic_serving.read(spark)
         (tr.orderBy("stt").show(truncate=False) if tr is not None else print("(empty)"))
+        print("=== DWS: home/detail UV (first_seen flags layered into window) ===")
+        uv = wh.uv_serving.read(spark)
+        (uv.orderBy("stt").show(truncate=False) if uv is not None else print("(empty)"))
     finally:
         shutil.rmtree(root, ignore_errors=True)
         spark.stop()

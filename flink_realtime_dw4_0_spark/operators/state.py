@@ -115,60 +115,83 @@ _FIRST_SEEN_OUT = StructType(
 _FIRST_SEEN_STATE = StructType([StructField("seen", IntegerType())])
 
 
-FIRST_SEEN_TTL_HOURS = 36
+FIRST_SEEN_TTL_MS = 12 * 3600 * 1000
 
 
-def first_seen_fn(
-    key: tuple[str, str],
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Per-(key, day) first-seen marker — the UU dedup primitive behind
-    A3/A4/A6 (SURVEY §2.5): emits is_first=1 exactly once per (key, day).
+def _first_seen_fn(ttl_ms: int):
+    """Build the per-(key, day) first-seen state function (TTL closure)."""
+
+    def fn(
+        key: tuple[str, str],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        seen = state.exists
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            flags = []
+            for _ in range(len(pdf)):
+                flags.append(0 if seen else 1)
+                seen = True
+            yield pd.DataFrame(
+                {
+                    "key": pdf["key"],
+                    "dt": pdf["dt"],
+                    "ts": pdf["ts"],
+                    "is_first": flags,
+                }
+            )
+        state.update((1,))
+        if ttl_ms > 0:  # 0 → NoTimeout config, where setting a timer throws
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttl_ms)
+
+    return fn
+
+
+first_seen_fn = _first_seen_fn(FIRST_SEEN_TTL_MS)
+
+
+def first_seen(
+    df: DataFrame, delay: str = "24 hours", ttl_ms: int | None = FIRST_SEEN_TTL_MS
+) -> DataFrame:
+    """Per-(key, day) first-seen marker over a stream with columns
+    (key, ts) — the UU dedup primitive behind A3/A4/A6 (SURVEY §2.5):
+    emits is_first=1 exactly once per (key, day).
 
     State is keyed by (key, day) rather than tracking only the latest day,
-    so an earlier day's first event arriving out of order (late data inside
-    the watermark) is still flagged.
+    so an earlier day's first event arriving out of order — within
+    `delay` of the max event time seen — is still flagged.
 
-    State TTL (the 100 TB concern): each (key, day) entry expires
-    FIRST_SEEN_TTL_HOURS of processing time after its last event — without
-    it the store grows by |keys| entries EVERY day, forever.  An event
-    arriving after its day's state expired would be re-flagged, but such
-    an event is far beyond any sane watermark and is dropped by the
-    windowed aggregations downstream (SURVEY §2.6: late data dropped)."""
-    if state.hasTimedOut:
-        state.remove()
-        return
-    seen = state.exists
-    for pdf in pdfs:
-        pdf = pdf.sort_values("ts")
-        flags = []
-        for _ in range(len(pdf)):
-            flags.append(0 if seen else 1)
-            seen = True
-        yield pd.DataFrame(
-            {
-                "key": pdf["key"],
-                "dt": pdf["dt"],
-                "ts": pdf["ts"],
-                "is_first": flags,
-            }
-        )
-    state.update((1,))
-    state.setTimeoutDuration(FIRST_SEEN_TTL_HOURS * 3600 * 1000)
+    State TTL (the 100 TB concern): each (key, day) entry is removed once
+    the WATERMARK passes ttl_ms beyond its last activity; without this the
+    store grows by |keys| entries every day, forever.  Event-time timeout,
+    NOT processing-time: processing-time timers make the scheduler run
+    no-data micro-batches continuously to fire them (an availableNow drain
+    never terminates), while event-time timers fire only as the watermark
+    moves and converge.
 
-
-def first_seen(df: DataFrame) -> DataFrame:
-    """Dedup-state op over a stream with columns (key, ts)."""
-    with_dt = df.withColumn(
-        "dt", F.date_format(F.timestamp_millis("ts"), "yyyy-MM-dd")
-    )
+    ``ttl_ms=None`` disables the TTL *and the input watermark*: Spark
+    forbids redefining a watermark downstream of a watermarked stateful
+    op, so the TTL'd form cannot feed a windowed agg in the SAME query.
+    Pass None to chain op → window in one query (and bound state some
+    other way); keep the default TTL when the flags feed a sink/foreachBatch
+    directly — the warehouse instead layers flags through a DWD table
+    (two queries), keeping both the TTL and the windows."""
+    with_dt = df.withColumn("row_time", F.timestamp_millis("ts"))
+    if ttl_ms is not None:
+        with_dt = with_dt.withWatermark("row_time", delay)
+    with_dt = with_dt.withColumn("dt", F.date_format("row_time", "yyyy-MM-dd"))
     return with_dt.groupBy("key", "dt").applyInPandasWithState(
-        first_seen_fn,
+        _first_seen_fn(ttl_ms) if ttl_ms is not None else _first_seen_fn(0),
         outputStructType=_FIRST_SEEN_OUT,
         stateStructType=_FIRST_SEEN_STATE,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout,
     )
 
 

@@ -69,10 +69,14 @@ def traffic_vc_ch_ar_is_new(page_log: DataFrame, size: str = WINDOW) -> DataFram
 
 def home_detail_uv(first_seen_flags: DataFrame, size: str = WINDOW) -> DataFrame:
     """A3 — UV of home/detail pages per window from first-seen flags
-    (operators/state.first_seen output) (Constant.java:42)."""
-    f = first_seen_flags.filter(F.col("is_first") == 1).withColumn(
-        "row_time", F.timestamp_millis("ts")
-    )
+    (operators/state.first_seen output) (Constant.java:42).
+
+    If the caller already attached a (watermarked) row_time it is kept —
+    re-deriving it would strip the watermark tag and break append-mode
+    chaining (first_seen → window agg runs as ONE streaming query)."""
+    f = first_seen_flags.filter(F.col("is_first") == 1)
+    if "row_time" not in f.columns:
+        f = f.withColumn("row_time", F.timestamp_millis("ts"))
     out = _win(f, size).agg(F.count(F.lit(1)).alias("uv_ct"))
     return _flat(out)
 

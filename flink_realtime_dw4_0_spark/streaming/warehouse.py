@@ -12,6 +12,16 @@ Structured Streaming aggs with watermarks (cross-batch windows accumulate
 correctly; a foreachBatch-side agg would overwrite partial windows).
 
 All sinks are keyed MERGEs, so the whole graph is replay-idempotent.
+
+Watermark-advance delta vs Flink (documented semantic difference): Flink
+generates watermarks at the SOURCE, before any SQL filter, so every
+topic_db event advances every consumer's clock.  Spark computes the
+watermark at the EventTimeWatermark node — and Catalyst pushes
+deterministic route filters (`table='cart_info'` etc.) BELOW it, so a
+consumer's watermark advances only on events that survive its own filter.
+Consequence: a window over a quiet table flushes on that table's next
+event (or the query's no-data batch) rather than on unrelated topic
+traffic.  Results converge identically; only emission latency differs.
 """
 
 from __future__ import annotations
@@ -80,6 +90,8 @@ class Warehouse:
         self.traffic_serving = KeyedTable(
             os.path.join(paths.dws, "traffic"), keys=["stt", "vc", "ch", "ar", "is_new"]
         )
+        self.uv_serving = KeyedTable(os.path.join(paths.dws, "home_detail_uv"), keys=["stt"])
+        self.uv_flags_dir = os.path.join(paths.dwd, "uv_flags")
 
     # ---- DWD (db side): one foreachBatch handles dim + trade facts ------
     def db_foreach_batch(self):
@@ -114,18 +126,53 @@ class Warehouse:
         )
         return dwd_log_foreach_batch(self.visitor_state, writers)
 
-    # ---- DWS: native streaming window aggs over the DWD page stream -----
+    # ---- DWD2: A3's first-seen flags as their own layered table ---------
+    # Spark forbids redefining a watermark downstream of a watermarked
+    # stateful op, so first_seen-with-TTL cannot feed a windowed agg in
+    # ONE query (first_seen(ttl_ms=None) can, at the cost of unbounded
+    # state).  The warehouse keeps BOTH the TTL and the windows by
+    # layering the flags through a DWD table — exactly the reference's
+    # job-per-layer topology (flags job ≈ DwdBaseLog keyed state; window
+    # job ≈ the planned DWS app).
+    def uv_flags_query(self, available_now: bool = True):
+        from ..operators.state import first_seen
+
+        os.makedirs(self.paths.page_dir, exist_ok=True)
+        page_stream = self.spark.readStream.schema(PAGE_SCHEMA).parquet(self.paths.page_dir)
+        home_detail = page_stream.filter(
+            F.col("page.page_id").isin("home", "good_detail")
+        ).select(F.col("common.mid").alias("key"), "ts")
+        w = (
+            first_seen(home_detail, delay="5 seconds")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", self.uv_flags_dir)
+            .option("checkpointLocation", os.path.join(self.paths.ckpt, "dwd_uv_flags"))
+        )
+        if available_now:
+            w = w.trigger(availableNow=True)
+        return w.start()
+
+    # ---- DWS: native streaming window aggs over the DWD streams ---------
     def dws_queries(self, available_now: bool = True):
         os.makedirs(self.paths.page_dir, exist_ok=True)
+        os.makedirs(self.uv_flags_dir, exist_ok=True)
         page_stream = (
             self.spark.readStream.schema(PAGE_SCHEMA)
             .parquet(self.paths.page_dir)
             .withColumn("row_time", F.timestamp_millis("ts"))
             .withWatermark("row_time", "5 seconds")
         )
+        uv_flags = (
+            self.spark.readStream.schema("key string, dt string, ts long, is_first int")
+            .parquet(self.uv_flags_dir)
+            .withColumn("row_time", F.timestamp_millis("ts"))
+            .withWatermark("row_time", "5 seconds")
+        )
         specs = [
             (dws.keyword_page_view(page_stream), self.kw_serving, "dws_kw"),
             (dws.traffic_vc_ch_ar_is_new(page_stream), self.traffic_serving, "dws_traffic"),
+            (dws.home_detail_uv(uv_flags), self.uv_serving, "dws_uv"),
         ]
         handles = []
         for agg, table, name in specs:
@@ -162,5 +209,6 @@ class Warehouse:
         separate jobs)."""
         for q in self.start(raw_db, raw_log, available_now=True):
             q.awaitTermination(timeout)
+        self.uv_flags_query(available_now=True).awaitTermination(timeout)
         for q in self.dws_queries(available_now=True):
             q.awaitTermination(timeout)

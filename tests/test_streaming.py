@@ -497,6 +497,10 @@ def test_full_warehouse_end_to_end(spark, tmp_path):
     assert kw == {"fast": 2, "widget": 2}
     tr = {r.is_new: r.pv_ct for r in wh.traffic_serving.read(spark).collect()}
     assert tr == {"1": 3, "0": 1}
+    # DWS A3: first_seen flags layered through a DWD table into the window;
+    # mid1+mid3 hit home/good_detail pages in the first window
+    uv = {(r.stt.isoformat(), r.uv_ct) for r in wh.uv_serving.read(spark).collect()}
+    assert uv == {("2024-01-01T00:00:00", 2)}
 
 
 # --------------------------------------------------------------------------

@@ -58,6 +58,12 @@ def fixture_db_lines() -> list[str]:
         _mx("order_info", "insert", {"id": "o1", "user_id": "u1", "province_id": "11"}),
         _mx("comment_info", "insert", {"id": "m1", "user_id": "u1", "sku_id": "s1",
                                        "appraise": "1201", "comment_txt": "great widget"}),
+        # far-future cart add: advances the cart-UU (A6) watermark so the
+        # first window flushes (same heartbeat rule as the log fixture)
+        _mx("cart_info", "insert", {"id": "c9", "user_id": "u9", "sku_id": "s9",
+                                    "sku_num": "1", "cart_price": "1.0",
+                                    "sku_name": "hb", "create_time": "2024-01-01 08:10:00"},
+            ts=DAY1 // 1000 + 600),
     ]
     return lines
 
@@ -129,6 +135,9 @@ def main() -> None:
         print("=== DWS: home/detail UV (first_seen flags layered into window) ===")
         uv = wh.uv_serving.read(spark)
         (uv.orderBy("stt").show(truncate=False) if uv is not None else print("(empty)"))
+        print("=== DWS: cart-add unique users ===")
+        cu = wh.cart_uu_serving.read(spark)
+        (cu.orderBy("stt").show(truncate=False) if cu is not None else print("(empty)"))
     finally:
         shutil.rmtree(root, ignore_errors=True)
         spark.stop()

@@ -51,6 +51,12 @@ PAGE_SCHEMA = StructType(
     ]
 )
 
+# cart_add DWD output (dwd_trade.cart_add_transform select-list)
+CART_ADD_SCHEMA = (
+    "id string, user_id string, sku_id string, cart_price string, "
+    "sku_num string, sku_name string, create_time string, ts long"
+)
+
 
 @dataclass
 class WarehousePaths:
@@ -92,6 +98,8 @@ class Warehouse:
         )
         self.uv_serving = KeyedTable(os.path.join(paths.dws, "home_detail_uv"), keys=["stt"])
         self.uv_flags_dir = os.path.join(paths.dwd, "uv_flags")
+        self.cart_uu_serving = KeyedTable(os.path.join(paths.dws, "cart_add_uu"), keys=["stt"])
+        self.cart_uu_flags_dir = os.path.join(paths.dwd, "cart_uu_flags")
 
     # ---- DWD (db side): one foreachBatch handles dim + trade facts ------
     def db_foreach_batch(self):
@@ -134,24 +142,36 @@ class Warehouse:
     # layering the flags through a DWD table — exactly the reference's
     # job-per-layer topology (flags job ≈ DwdBaseLog keyed state; window
     # job ≈ the planned DWS app).
-    def uv_flags_query(self, available_now: bool = True):
+    def _flags_query(self, keyed: DataFrame, flags_dir: str, name: str, available_now: bool):
         from ..operators.state import first_seen
 
-        os.makedirs(self.paths.page_dir, exist_ok=True)
-        page_stream = self.spark.readStream.schema(PAGE_SCHEMA).parquet(self.paths.page_dir)
-        home_detail = page_stream.filter(
-            F.col("page.page_id").isin("home", "good_detail")
-        ).select(F.col("common.mid").alias("key"), "ts")
         w = (
-            first_seen(home_detail, delay="5 seconds")
+            first_seen(keyed, delay="5 seconds")
             .writeStream.outputMode("append")
             .format("parquet")
-            .option("path", self.uv_flags_dir)
-            .option("checkpointLocation", os.path.join(self.paths.ckpt, "dwd_uv_flags"))
+            .option("path", flags_dir)
+            .option("checkpointLocation", os.path.join(self.paths.ckpt, name))
         )
         if available_now:
             w = w.trigger(availableNow=True)
         return w.start()
+
+    def flags_queries(self, available_now: bool = True):
+        os.makedirs(self.paths.page_dir, exist_ok=True)
+        os.makedirs(self.cart_add_dir, exist_ok=True)
+        page_stream = self.spark.readStream.schema(PAGE_SCHEMA).parquet(self.paths.page_dir)
+        home_detail = page_stream.filter(
+            F.col("page.page_id").isin("home", "good_detail")
+        ).select(F.col("common.mid").alias("key"), "ts")
+        cart_stream = self.spark.readStream.schema(CART_ADD_SCHEMA).parquet(self.cart_add_dir)
+        cart_users = cart_stream.filter(F.col("user_id").isNotNull()).select(
+            F.col("user_id").alias("key"),
+            (F.col("ts") * 1000).alias("ts"),  # maxwell envelope ts is seconds
+        )
+        return [
+            self._flags_query(home_detail, self.uv_flags_dir, "dwd_uv_flags", available_now),
+            self._flags_query(cart_users, self.cart_uu_flags_dir, "dwd_cart_uu_flags", available_now),
+        ]
 
     # ---- DWS: native streaming window aggs over the DWD streams ---------
     def dws_queries(self, available_now: bool = True):
@@ -163,16 +183,24 @@ class Warehouse:
             .withColumn("row_time", F.timestamp_millis("ts"))
             .withWatermark("row_time", "5 seconds")
         )
-        uv_flags = (
-            self.spark.readStream.schema("key string, dt string, ts long, is_first int")
-            .parquet(self.uv_flags_dir)
-            .withColumn("row_time", F.timestamp_millis("ts"))
-            .withWatermark("row_time", "5 seconds")
-        )
+        def flags_stream(flags_dir: str) -> DataFrame:
+            return (
+                self.spark.readStream.schema("key string, dt string, ts long, is_first int")
+                .parquet(flags_dir)
+                .withColumn("row_time", F.timestamp_millis("ts"))
+                .withWatermark("row_time", "5 seconds")
+            )
+
+        os.makedirs(self.cart_uu_flags_dir, exist_ok=True)
         specs = [
             (dws.keyword_page_view(page_stream), self.kw_serving, "dws_kw"),
             (dws.traffic_vc_ch_ar_is_new(page_stream), self.traffic_serving, "dws_traffic"),
-            (dws.home_detail_uv(uv_flags), self.uv_serving, "dws_uv"),
+            (dws.home_detail_uv(flags_stream(self.uv_flags_dir)), self.uv_serving, "dws_uv"),
+            (
+                dws.cart_add_uu(flags_stream(self.cart_uu_flags_dir)),
+                self.cart_uu_serving,
+                "dws_cart_uu",
+            ),
         ]
         handles = []
         for agg, table, name in specs:
@@ -209,6 +237,7 @@ class Warehouse:
         separate jobs)."""
         for q in self.start(raw_db, raw_log, available_now=True):
             q.awaitTermination(timeout)
-        self.uv_flags_query(available_now=True).awaitTermination(timeout)
+        for q in self.flags_queries(available_now=True):
+            q.awaitTermination(timeout)
         for q in self.dws_queries(available_now=True):
             q.awaitTermination(timeout)

@@ -484,9 +484,9 @@ def test_full_warehouse_end_to_end(spark, tmp_path):
     # DIM
     dim = {r.rowkey for r in wh.dim_wh.read_dim(spark, "dim_base_dic").collect()}
     assert dim == {"1101", "1201"}
-    # DWD cart: insert(+2) and incremental update(+3) as separate events
+    # DWD cart: insert(+2), incremental update(+3), heartbeat insert(+1)
     carts = sorted(r.sku_num for r in spark.read.parquet(wh.cart_add_dir).collect())
-    assert carts == ["2", "3"]
+    assert carts == ["1", "2", "3"]
     # DWD comment enriched through the dim built in the same run
     assert wh.comment_table.read(spark).collect()[0].appraise_name == "GoodReview"
     # DWD 4-way join with null-padded activity
@@ -501,6 +501,11 @@ def test_full_warehouse_end_to_end(spark, tmp_path):
     # mid1+mid3 hit home/good_detail pages in the first window
     uv = {(r.stt.isoformat(), r.uv_ct) for r in wh.uv_serving.read(spark).collect()}
     assert uv == {("2024-01-01T00:00:00", 2)}
+    # DWS A6: cart-add UU over the cart_add DWD stream (u1 adds twice but
+    # the c1 update row carries no user_id; only the insert counts)
+    cu = {(r.stt.isoformat(), r.cart_add_uu_ct)
+          for r in wh.cart_uu_serving.read(spark).collect()}
+    assert cu == {("2024-01-01T00:00:00", 1)}
 
 
 # --------------------------------------------------------------------------

@@ -1472,3 +1472,45 @@ def length_hist_q(spark, sf_dir):
     from ..operators import sampling
 
     return sampling.length_histogram(t(spark, sf_dir, "documents"))
+
+
+@q(
+    "asof_join_attribution",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts, max(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+    purch AS (
+      SELECT user_id, ts, event_id, round(value, 4) AS value_r
+      FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+           epoch_ms(p.ts) AS p_ts_ms, p.value_r AS value_r,
+           c.click_id AS click_id, epoch_ms(c.ts) AS click_ts_ms
+    FROM purch p ASOF JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    tags=("join", "asof"),
+)
+def asof_join_q(spark, sf_dir):
+    """As-of join (attribution): each purchase matched to the user's
+    latest click at-or-before it — joins.asof_join's union+carry-forward
+    plan vs DuckDB's native ASOF JOIN.  Right side pre-deduped per
+    (user, ts) so tie-breaks are well-defined in both engines."""
+    ev = t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.round("value", 4).alias("value_r"),
+    )
+    res = joins.asof_join(purch, clicks, on="user_id")
+    return res.select(
+        "purchase_id", "user_id",
+        F.unix_millis("ts").alias("p_ts_ms"),
+        "value_r", "click_id",
+        F.unix_millis("ts_asof").alias("click_ts_ms"),
+    )

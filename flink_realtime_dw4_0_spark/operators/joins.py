@@ -175,6 +175,8 @@ def asof_join(
     """
     from pyspark.sql.window import Window
 
+    if how not in ("inner", "left"):
+        raise ValueError(f"asof_join supports how='inner'|'left', got {how!r}")
     key = [on] if isinstance(on, str) else list(on)
     lpay_cols = [c for c in left.columns if c not in key]
     rpay_cols = [c for c in right.columns if c not in key]

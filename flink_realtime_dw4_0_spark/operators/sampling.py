@@ -27,8 +27,17 @@ _BUCKETS = 16**_BUCKET_LEN
 
 
 def _bucket(key: Column, salt: str) -> Column:
-    """Deterministic bucket id as a fixed-width hex string."""
-    return F.substring(F.md5(F.concat(F.lit(salt + ":"), key.cast("string"))), 1, _BUCKET_LEN)
+    """Deterministic bucket id as a fixed-width hex string.
+
+    NULL keys hash like the empty string — md5(concat(.., NULL)) would be
+    NULL, silently routing every NULL-key row to the `otherwise` split (or
+    dropping it from every sample); coalescing keeps the assignment
+    deterministic and the row counted."""
+    return F.substring(
+        F.md5(F.concat(F.lit(salt + ":"), F.coalesce(key.cast("string"), F.lit("")))),
+        1,
+        _BUCKET_LEN,
+    )
 
 
 def _hex_lit(frac: float) -> str:

@@ -115,11 +115,15 @@ _FIRST_SEEN_OUT = StructType(
 _FIRST_SEEN_STATE = StructType([StructField("seen", IntegerType())])
 
 
-FIRST_SEEN_TTL_MS = 12 * 3600 * 1000
+# Must exceed the 24 h day span: a (key, day) entry's last legitimate
+# event can trail its first by almost a full day, and the timer re-arms
+# per activity, so ttl > 24 h guarantees live days never expire.
+FIRST_SEEN_TTL_MS = 36 * 3600 * 1000
 
 
 def _first_seen_fn(ttl_ms: int):
-    """Build the per-(key, day) first-seen state function (TTL closure)."""
+    """Build the per-(key, day) first-seen state function (TTL closure).
+    ttl_ms=0 → never sets a timer (safe under NoTimeout)."""
 
     def fn(
         key: tuple[str, str],
@@ -130,8 +134,10 @@ def _first_seen_fn(ttl_ms: int):
             state.remove()
             return
         seen = state.exists
+        max_ts = 0
         for pdf in pdfs:
             pdf = pdf.sort_values("ts")
+            max_ts = max(max_ts, int(pdf["ts"].max()))
             flags = []
             for _ in range(len(pdf)):
                 flags.append(0 if seen else 1)
@@ -145,13 +151,20 @@ def _first_seen_fn(ttl_ms: int):
                 }
             )
         state.update((1,))
-        if ttl_ms > 0:  # 0 → NoTimeout config, where setting a timer throws
-            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttl_ms)
+        if ttl_ms > 0:
+            # Anchor the timer to event time, not the bare watermark: in
+            # the FIRST micro-batch the applied watermark is still 0, and
+            # an epoch-anchored timer fires on the very next batch —
+            # wiping live state and re-emitting is_first=1 for the key.
+            base = max(state.getCurrentWatermarkMs(), max_ts)
+            state.setTimeoutTimestamp(base + ttl_ms)
 
     return fn
 
 
-first_seen_fn = _first_seen_fn(FIRST_SEEN_TTL_MS)
+# Timer-free variant — safe to pass directly to applyInPandasWithState
+# with GroupStateTimeout.NoTimeout (setting a timer there throws).
+first_seen_fn = _first_seen_fn(0)
 
 
 def first_seen(
@@ -173,24 +186,28 @@ def first_seen(
     never terminates), while event-time timers fire only as the watermark
     moves and converge.
 
-    ``ttl_ms=None`` disables the TTL *and the input watermark*: Spark
-    forbids redefining a watermark downstream of a watermarked stateful
-    op, so the TTL'd form cannot feed a windowed agg in the SAME query.
-    Pass None to chain op → window in one query (and bound state some
-    other way); keep the default TTL when the flags feed a sink/foreachBatch
-    directly — the warehouse instead layers flags through a DWD table
-    (two queries), keeping both the TTL and the windows."""
+    ``ttl_ms`` must exceed 24 h + the expected lateness: a live day's
+    events can span almost 24 h, and the timer re-arms on each activity.
+    ``ttl_ms=None`` or ``0`` disables the TTL *and the input watermark*:
+    Spark forbids redefining a watermark downstream of a watermarked
+    stateful op, so the TTL'd form cannot feed a windowed agg in the SAME
+    query.  Pass None to chain op → window in one query (and bound state
+    some other way); keep the default TTL when the flags feed a
+    sink/foreachBatch directly — the warehouse instead layers flags
+    through a DWD table (two queries), keeping both the TTL and the
+    windows."""
+    ttl = ttl_ms or 0  # None and 0 both mean "no TTL" (NoTimeout)
     with_dt = df.withColumn("row_time", F.timestamp_millis("ts"))
-    if ttl_ms is not None:
+    if ttl > 0:
         with_dt = with_dt.withWatermark("row_time", delay)
     with_dt = with_dt.withColumn("dt", F.date_format("row_time", "yyyy-MM-dd"))
     return with_dt.groupBy("key", "dt").applyInPandasWithState(
-        _first_seen_fn(ttl_ms) if ttl_ms is not None else _first_seen_fn(0),
+        _first_seen_fn(ttl),
         outputStructType=_FIRST_SEEN_OUT,
         stateStructType=_FIRST_SEEN_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout
-        if ttl_ms is not None
+        if ttl > 0
         else GroupStateTimeout.NoTimeout,
     )
 

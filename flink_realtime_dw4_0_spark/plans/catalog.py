@@ -1408,9 +1408,9 @@ def percentiles_q(spark, sf_dir):
     """
     WITH assigned AS (
       SELECT doc_id,
-             CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+             CASE WHEN substr(md5('split:' || COALESCE(CAST(doc_id AS VARCHAR), '')), 1, 4) < 'e666'
                   THEN 'train'
-                  WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'f333'
+                  WHEN substr(md5('split:' || COALESCE(CAST(doc_id AS VARCHAR), '')), 1, 4) < 'f333'
                   THEN 'val'
                   ELSE 'test' END AS split
       FROM documents)
@@ -1436,7 +1436,7 @@ def sample_split_q(spark, sf_dir):
     """
     SELECT lang, count(*) AS n_kept
     FROM documents
-    WHERE substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 4) <
+    WHERE substr(md5('sample:' || COALESCE(CAST(doc_id AS VARCHAR), '')), 1, 4) <
           CASE WHEN lang = 'en' THEN '4000'
                WHEN lang = 'de' THEN '8000'
                ELSE 'zzzz' END

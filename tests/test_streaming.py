@@ -34,6 +34,16 @@ def values_df(spark, lines):
     return spark.createDataFrame([(ln,) for ln in lines], "value string")
 
 
+def _feed_files(src, batches):
+    """One file per micro-batch, mtime-ordered (file source batches by
+    mtime; the applied watermark lags the computed one by one batch)."""
+    src.mkdir()
+    for i, lines in enumerate(batches):
+        f = src / f"f{i}.json"
+        f.write_text("\n".join(lines))
+        os.utime(f, (1_000_000 + i * 10, 1_000_000 + i * 10))
+
+
 # --------------------------------------------------------------------------
 # cart_add: the four coverage cases (DwdTradeCartAdd.java:63-90)
 # --------------------------------------------------------------------------
@@ -433,19 +443,14 @@ def test_dws_window_to_serving_table(spark, tmp_path):
     from flink_realtime_dw4_0_spark.sinks.serving import serving_foreach_batch
 
     src = tmp_path / "dws_src"
-    src.mkdir()
     page = {"page_id": "good_list", "during_time": 5, "item": "kw",
             "item_type": "keyword", "last_page_id": "search"}
-    batches = [
+    _feed_files(src, [
         [log_line("m1", "1", DAY1 + 1_000, page=page),
          log_line("m2", "1", DAY1 + 2_000, page=page)],
         [log_line("m3", "1", DAY1 + 100_000, page=page)],
         [log_line("m4", "1", DAY1 + 200_000, page=page)],
-    ]
-    for i, lines in enumerate(batches):
-        f = src / f"f{i}.json"
-        f.write_text("\n".join(lines))
-        os.utime(f, (1_000_000 + i * 10, 1_000_000 + i * 10))
+    ])
 
     table = KeyedTable(str(tmp_path / "dws_serving"), keys=["stt", "keyword"])
     raw = ksrc.file_json_raw(spark, str(src), max_files=1)
@@ -597,16 +602,15 @@ def test_first_seen_out_of_order_days(spark, tmp_path):
     from flink_realtime_dw4_0_spark.operators.state import first_seen
 
     src = tmp_path / "fs_src"
-    src.mkdir()
-    (src / "f1.json").write_text(
-        json.dumps({"key": "k1", "ts": DAY2 + 1000}))          # day-2 first
-    (src / "f2.json").write_text("\n".join([
-        json.dumps({"key": "k1", "ts": DAY1 + 1000}),          # day-1 (late) first
-        json.dumps({"key": "k1", "ts": DAY2 + 2000}),          # day-2 repeat
-    ]))
-    os.utime(src / "f1.json", (1_000_000, 1_000_000))
-    os.utime(src / "f2.json", (1_000_010, 1_000_010))
-    stream = spark.readStream.schema("key string, ts long").json(str(src))
+    _feed_files(src, [
+        [json.dumps({"key": "k1", "ts": DAY2 + 1000})],        # day-2 first
+        ["\n".join([
+            json.dumps({"key": "k1", "ts": DAY1 + 1000}),      # day-1 (late) first
+            json.dumps({"key": "k1", "ts": DAY2 + 2000}),      # day-2 repeat
+        ])],
+    ])
+    stream = (spark.readStream.schema("key string, ts long")
+              .option("maxFilesPerTrigger", 1).json(str(src)))
     q = (
         first_seen(stream).writeStream.format("memory").queryName("fs_out")
         .option("checkpointLocation", str(tmp_path / "fs_ckpt"))
@@ -627,16 +631,6 @@ def test_first_seen_out_of_order_days(spark, tmp_path):
 # behavior: windows only emit once the applied watermark passes their end,
 # and the UU variants hold up under approx_count_distinct)
 # --------------------------------------------------------------------------
-
-def _feed_files(src, batches):
-    """One file per micro-batch, mtime-ordered (file source batches by
-    mtime; the applied watermark lags the computed one by one batch)."""
-    src.mkdir()
-    for i, lines in enumerate(batches):
-        f = src / f"f{i}.json"
-        f.write_text("\n".join(lines))
-        os.utime(f, (1_000_000 + i * 10, 1_000_000 + i * 10))
-
 
 def _run_to_memory(spark, df, tmp_path, name):
     q = (
@@ -740,3 +734,31 @@ def test_dws_sku_and_province_order_stream(spark, tmp_path):
             for r in _run_to_memory(spark, dws.province_order(stream("prov_src")),
                                     tmp_path, "prov_out")}
     assert prov == {"p1": (1, 30.0), "p2": (1, 5.5), "pX": (1, 0.0)}
+
+
+def test_first_seen_ttl_timer_not_epoch_anchored(spark, tmp_path):
+    """Regression: the event-time TTL timer must anchor to event time, not
+    the first batch's zero watermark — an epoch-anchored timer fires on
+    the next batch, wiping live state and double-flagging the key."""
+    from flink_realtime_dw4_0_spark.operators.state import first_seen
+
+    src = tmp_path / "ttl_src"
+    _feed_files(src, [
+        [json.dumps({"key": "k1", "ts": DAY1 + 1000})],
+        [json.dumps({"key": "kX", "ts": DAY1 + 7_200_000})],   # advances wm
+        [json.dumps({"key": "k1", "ts": DAY1 + 3_600_000})],   # same day again
+    ])
+    stream = (spark.readStream.schema("key string, ts long")
+              .option("maxFilesPerTrigger", 1).json(str(src)))
+    q = (
+        first_seen(stream).writeStream.format("memory").queryName("ttl_out")
+        .option("checkpointLocation", str(tmp_path / "ttl_ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    rows = {(r.key, r.ts): r.is_first for r in spark.sql("SELECT * FROM ttl_out").collect()}
+    assert rows == {
+        ("k1", DAY1 + 1000): 1,
+        ("kX", DAY1 + 7_200_000): 1,
+        ("k1", DAY1 + 3_600_000): 0,   # state survived -> not re-flagged
+    }

@@ -42,3 +42,26 @@ def prune_map_columns(map_col: Column, keep: Column) -> Column:
     Runs as a map_filter lambda — JVM-side, no UDF.
     """
     return F.map_filter(map_col, lambda k, _v: F.array_contains(keep, k))
+
+
+def dedup_within_watermark(
+    df: DataFrame,
+    keys: list[str],
+    time_col: str = "row_time",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Exactly-once-delivery emulation for at-least-once transports.
+
+    The reference gets exactly-once into Kafka from transactional
+    producers coordinated with checkpoints (FlinkSinkUtil.java:20-31);
+    Spark's Kafka sink is at-least-once, so replays after a failure can
+    re-deliver records.  Consumers restore effective exactly-once by
+    dropping key duplicates inside the watermark horizon:
+    dropDuplicatesWithinWatermark keeps per-key state only until the
+    watermark passes `delay` beyond the key's event time — bounded state,
+    unlike plain dropDuplicates whose state grows forever on a stream.
+
+    `delay` must cover the transport's maximum redelivery window (for
+    Kafka replays: the checkpoint interval plus recovery time).
+    """
+    return df.withWatermark(time_col, delay).dropDuplicatesWithinWatermark(keys)

@@ -71,3 +71,23 @@ def test_interval_join_no_cartesian(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "j3_interval_join")
     # equi-key keeps it a hash/sort-merge join, never a cartesian product
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_asof_join_single_pass_no_pair_explosion(spark, sf_dir):
+    """The as-of join must stay a union + windowed carry-forward — never a
+    join operator (equi+range materializes every co-keyed pair)."""
+    plan = plan_of(spark, sf_dir, "asof_join_attribution")
+    assert "Window" in plan
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",
+                "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert bad not in plan, f"asof join degraded to {bad}"
+
+
+def test_sampling_split_is_narrow(spark, sf_dir):
+    """Hash split/sample assignment is a pure map — the only exchange in
+    the catalog queries is their audit groupBy rollup."""
+    for name in ("sample_split_assign", "sample_stratified"):
+        plan = plan_of(spark, sf_dir, name)
+        # one partial+final agg pair → exactly one shuffle boundary
+        assert plan.count("Exchange hashpartitioning") <= 1, name
+        assert "Join" not in plan, name

@@ -762,3 +762,31 @@ def test_first_seen_ttl_timer_not_epoch_anchored(spark, tmp_path):
         ("kX", DAY1 + 7_200_000): 1,
         ("k1", DAY1 + 3_600_000): 0,   # state survived -> not re-flagged
     }
+
+
+def test_dedup_within_watermark_drops_redelivery(spark, tmp_path):
+    """K1 delta: at-least-once redelivery collapsed to exactly-once by
+    watermark-bounded key dedup (duplicate arrives in a LATER batch)."""
+    from flink_realtime_dw4_0_spark.operators.etl import dedup_within_watermark
+
+    src = tmp_path / "eo_src"
+    _feed_files(src, [
+        [json.dumps({"event_id": "e1", "ts": DAY1 + 1000}),
+         json.dumps({"event_id": "e2", "ts": DAY1 + 2000})],
+        [json.dumps({"event_id": "e1", "ts": DAY1 + 1000})],   # replayed
+        [json.dumps({"event_id": "e3", "ts": DAY1 + 9000})],
+    ])
+    stream = (
+        spark.readStream.schema("event_id string, ts long")
+        .option("maxFilesPerTrigger", 1).json(str(src))
+        .withColumn("row_time", F.timestamp_millis("ts"))
+    )
+    out = dedup_within_watermark(stream, ["event_id"], delay="10 seconds")
+    q = (
+        out.writeStream.format("memory").queryName("eo_out").outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "eo_ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(r.event_id for r in spark.sql("SELECT * FROM eo_out").collect())
+    assert rows == ["e1", "e2", "e3"]

@@ -1514,3 +1514,29 @@ def asof_join_q(spark, sf_dir):
         "value_r", "click_id",
         F.unix_millis("ts_asof").alias("click_ts_ms"),
     )
+
+
+@q(
+    "correlated_subquery_above_avg",
+    """
+    SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS bal
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
+                       WHERE c2.c_mktsegment = c.c_mktsegment)
+    """,
+    tags=("sql", "subquery"),
+)
+def correlated_subquery_q(spark, sf_dir):
+    """Correlated scalar subquery — the IDENTICAL SQL text runs on both
+    engines; Catalyst decorrelates it into an aggregate + join (no
+    per-row re-execution), covering the SQL-surface area the reference
+    leaves to flink-table-planner (SURVEY §4)."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS bal
+        FROM customer c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
+                           WHERE c2.c_mktsegment = c.c_mktsegment)
+        """
+    )

@@ -1540,3 +1540,34 @@ def correlated_subquery_q(spark, sf_dir):
                            WHERE c2.c_mktsegment = c.c_mktsegment)
         """
     )
+
+
+@q(
+    "cube_order_counts",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS st,
+           coalesce(o_orderpriority, 'ALL') AS pri,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "cube"),
+)
+def cube_q(spark, sf_dir):
+    """CUBE grouping sets — every dimension combination in one pass
+    (Catalyst expands to grouping sets; completes the ROLLUP/CUBE
+    multidimensional surface)."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("st"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("pri"),
+            "n", "total",
+        )
+    )

@@ -165,17 +165,30 @@ def ngram_jaccard_pairs_prefix(
     """
     from pyspark.sql.window import Window
 
-    t = threshold_num / threshold_den
-    sh = _shingled(df, id_col, text_col, n)
-    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
-    inv = explode_computed(sh, ["doc_id"], "sh", "shingle")
-    freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
-    ranked = inv.join(freq, "shingle")
-    w = Window.partitionBy("doc_id").orderBy("freq", "shingle")
+    # Both stages cached: the shingle table feeds the index and the verify
+    # stage; the exploded inverted index's logical subplan is exactly the
+    # minhash signature stage's input, so the cache is shared when both
+    # dedup tiers run in one session (the common pipeline case).
+    sh = _shingled(df, id_col, text_col, n).cache()
+    inv = explode_computed(sh, ["doc_id"], "sh", "shingle").cache()
+    # Global shingle frequency via a window (one shuffle by shingle), then
+    # rank + per-doc size in a single doc_id shuffle — shingles are
+    # distinct per doc, so count-over-doc == |shingle set|.
+    w_freq = Window.partitionBy("shingle")
+    w_doc = Window.partitionBy("doc_id")
+    w_rank = w_doc.orderBy("freq", "shingle")
+    # prefix test pos <= n - ceil(t*n) + 1, done in exact integer
+    # arithmetic: ceil(num*n/den) <= n - pos + 1  <=>  num*n <= den*(n-pos+1)
+    # (float t*n drops candidates on exact boundaries, e.g. 0.3*10 -> 3.0000000000000004)
+    n_sh = F.col("n_sh")
     prefix = (
-        ranked.join(sizes, "doc_id")
-        .withColumn("pos", F.row_number().over(w))
-        .filter(F.col("pos") <= F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1)
+        inv.withColumn("freq", F.count(F.lit(1)).over(w_freq))
+        .withColumn("pos", F.row_number().over(w_rank))
+        .withColumn("n_sh", F.count(F.lit(1)).over(w_doc).cast("long"))
+        .filter(
+            F.lit(threshold_num) * n_sh
+            <= F.lit(threshold_den) * (n_sh - F.col("pos") + 1)
+        )
         .select("doc_id", "shingle")
     )
     a = prefix.alias("a")

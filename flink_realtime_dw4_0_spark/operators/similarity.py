@@ -41,17 +41,33 @@ def cosine_pairs(
     threshold: float = 0.9,
     query_filter: Column | None = None,
     vectorized: bool = True,
+    block_rows: int = 65536,
+    n_blocks: int | None = None,
+    broadcast_rows: int = 262144,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with cosine >= threshold (brute force).
 
-    `vectorized=True` (default) runs as a block-matrix product: the corpus
-    matrix is broadcast once, each partition multiplies its block against
-    it with numpy (float64 GEMM) and emits only pairs over threshold.
-    ~100× faster than per-pair expression folds.  Scale notes: broadcast
-    holds to ~10M×64 f32 (2.5 GB); past that, block-partition BOTH sides
-    (grid join) — same inner kernel, no code change per block.
+    `vectorized=True` (default) picks between two GEMM plans by a counted
+    bound — the corpus is NEVER pulled to the driver unguarded:
 
-    `query_filter` restricts the left/query side (e.g. a probe subset).
+    * corpus <= `broadcast_rows`: the BROADCAST fast path — collect the
+      (provably small) corpus once, broadcast it, and let every partition
+      GEMM its slice against it via `mapInPandas`.  No shuffle at all;
+      parallelism = input partitions.
+    * otherwise (or `n_blocks` forced): the BLOCK-GRID join — vectors are
+      hash-assigned to `n_blocks` blocks, each unordered block pair
+      (i <= j) meets in exactly one grid cell (triangle replication —
+      A-side rows of block b go to cells (b, j>=b), B-side rows to cells
+      (i<=b, b)), and each cell runs a chunked float64 GEMM over its two
+      blocks.  Nothing is collected to the driver and no block pair is
+      materialized twice, so the plan scales with the cluster; per-row
+      shuffle amplification is ~n_blocks, the classic O(n*sqrt(n/mem))
+      all-pairs trade.  `n_blocks` defaults to ceil(count/block_rows).
+
+    `query_filter` restricts the query side: emitted pairs are (a, b)
+    with a.id < b.id and a matching the filter.  In the grid plan the
+    filtered side is replicated across the full grid (no triangle
+    shortcut — the sides are no longer symmetric).
     """
     if not vectorized:
         a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
@@ -66,34 +82,105 @@ def cosine_pairs(
             .select("id_a", "id_b")
         )
 
+    import math
+
     import numpy as np
-    from collections.abc import Iterator
     import pandas as pd
 
-    spark = df.sparkSession
-    corpus = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).collect()
-    ids = np.array([r.id for r in corpus], dtype=np.int64)
-    mat = np.array([r.v for r in corpus], dtype=np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if n_blocks is None:
+        n = base.count()
+        if n <= broadcast_rows:
+            # bounded-by-count broadcast fast path: zero shuffle, corpus
+            # collected only after proving it fits the broadcast ceiling
+            from collections.abc import Iterator
 
-    a = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    if query_filter is not None:
-        a = a.filter(query_filter)
+            spark = df.sparkSession
+            corpus = base.collect()
+            c_ids = np.array([r.id for r in corpus], dtype=np.int64)
+            c_mat = np.array([r.v for r in corpus], dtype=np.float64)
+            c_norms = np.sqrt((c_mat * c_mat).sum(axis=1))
+            bc = spark.sparkContext.broadcast((c_ids, c_mat, c_norms))
+            a = base if query_filter is None else base.filter(query_filter)
 
-    def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        b_ids, b_mat, b_norms = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            q_ids = pdf["id"].to_numpy(dtype=np.int64)
-            q_mat = np.array(list(pdf["v"]), dtype=np.float64)
-            q_norms = np.sqrt((q_mat * q_mat).sum(axis=1))
-            sims = (q_mat @ b_mat.T) / np.outer(q_norms, b_norms)
-            qi, bi = np.nonzero((sims >= threshold) & (q_ids[:, None] < b_ids[None, :]))
-            yield pd.DataFrame({"id_a": q_ids[qi], "id_b": b_ids[bi]})
+            def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                b_ids, b_mat, b_norms = bc.value
+                for pdf in batches:
+                    if pdf.empty:
+                        continue
+                    q_ids = pdf["id"].to_numpy(dtype=np.int64)
+                    q_mat = np.array(list(pdf["v"]), dtype=np.float64)
+                    q_norms = np.sqrt((q_mat * q_mat).sum(axis=1))
+                    sims = (q_mat @ b_mat.T) / np.outer(q_norms, b_norms)
+                    qi, bi = np.nonzero(
+                        (sims >= threshold) & (q_ids[:, None] < b_ids[None, :])
+                    )
+                    yield pd.DataFrame({"id_a": q_ids[qi], "id_b": b_ids[bi]})
 
-    return a.mapInPandas(block, "id_a long, id_b long")
+            return a.mapInPandas(block, "id_a long, id_b long")
+        n_blocks = max(1, math.ceil(n / block_rows))
+    nb = int(n_blocks)
+    symmetric = query_filter is None
+    blk = F.pmod(F.xxhash64(F.col("id")), F.lit(nb)).cast("int")
+
+    a_side = base if symmetric else base.filter(query_filter)
+    # A rows of block b cover cells (b, j): j in [b, nb) symmetric, all j
+    # otherwise; B rows of block b cover cells (i, b): i in [0, b] / all i.
+    a_cells = F.sequence(blk if symmetric else F.lit(0), F.lit(nb - 1))
+    a_tag = a_side.withColumn("_blk", blk).select(
+        F.explode(F.transform(a_cells, lambda j: F.col("_blk") * nb + j)).alias("cell"),
+        F.lit(0).alias("role"),
+        "id",
+        "v",
+    )
+    b_cells = F.sequence(F.lit(0), blk if symmetric else F.lit(nb - 1))
+    b_tag = base.withColumn("_blk", blk).select(
+        F.explode(F.transform(b_cells, lambda i: i * nb + F.col("_blk"))).alias("cell"),
+        F.lit(1).alias("role"),
+        "id",
+        "v",
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
+        )
+        pa = pdf[pdf["role"] == 0]
+        pb = pdf[pdf["role"] == 1]
+        if pa.empty or pb.empty:
+            return empty
+        a_ids = pa["id"].to_numpy(dtype=np.int64)
+        a_mat = np.array(list(pa["v"]), dtype=np.float64)
+        a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
+        b_ids = pb["id"].to_numpy(dtype=np.int64)
+        b_mat = np.array(list(pb["v"]), dtype=np.float64)
+        b_norms = np.sqrt((b_mat * b_mat).sum(axis=1))
+        cell = int(pdf["cell"].iloc[0])
+        diag_or_asym = (not symmetric) or (cell // nb == cell % nb)
+        outs = []
+        # chunk the A side so the sims buffer stays ~32 MB however large
+        # the blocks are
+        step = max(1, (1 << 22) // max(1, len(b_ids)))
+        for lo in range(0, len(a_ids), step):
+            hi = lo + step
+            sims = (a_mat[lo:hi] @ b_mat.T) / np.outer(a_norms[lo:hi], b_norms)
+            mask = sims >= threshold
+            if diag_or_asym:
+                # same block (or filtered query side): keep a.id < b.id
+                mask &= a_ids[lo:hi, None] < b_ids[None, :]
+            ai, bi = np.nonzero(mask)
+            ia, ib = a_ids[lo:hi][ai], b_ids[bi]
+            if not diag_or_asym:
+                # disjoint blocks meet once; normalize pair orientation
+                ia, ib = np.minimum(ia, ib), np.maximum(ia, ib)
+            outs.append(pd.DataFrame({"id_a": ia, "id_b": ib}))
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    return (
+        a_tag.unionByName(b_tag)
+        .groupBy("cell")
+        .applyInPandas(kernel, "id_a long, id_b long")
+    )
 
 
 def brute_force_topk(
@@ -217,6 +304,45 @@ def lsh_bucket_topk(
     )
 
 
+def _train_ivf_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    sample_cap: int | None = None,
+) -> tuple["np.ndarray", int]:  # noqa: F821 — numpy imported lazily
+    """Deterministic IVF centroids trained on a BOUNDED corpus sample.
+
+    The sample is the `cap` rows with the smallest xxhash64(id) — a
+    deterministic pseudo-random subset whose physical plan is a
+    per-partition top-k (TakeOrderedAndProject), so only `cap` rows ever
+    reach the driver no matter how large the corpus is.  Seeding is an
+    id-ordered stratified pick over the sample, sharpened by one Lloyd
+    step (also sample-only).  Returns (centroids, sample_size).
+    """
+    import numpy as np
+
+    cap = int(sample_cap) if sample_cap is not None else max(n_cells * 64, 1024)
+    rows = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("id")), F.col("id"))
+        .limit(cap)
+        .collect()
+    )
+    rows.sort(key=lambda r: r.id)
+    mat = np.array([r.v for r in rows], dtype=np.float64)
+    stride = max(1, len(rows) // n_cells)
+    cents = mat[::stride][:n_cells].copy()
+    # one deterministic Lloyd step sharpens the stratified seed
+    d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    assign = d.argmin(axis=1)
+    for c in range(len(cents)):
+        members = mat[assign == c]
+        if len(members):
+            cents[c] = members.mean(axis=0)
+    return cents, len(rows)
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -225,13 +351,15 @@ def ivf_topk(
     vec_col: str = "embedding",
     n_cells: int = 16,
     nprobe: int = 4,
+    sample_cap: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: a coarse quantizer assigns every vector to
     its nearest of `n_cells` centroids; a query probes its `nprobe`
     closest cells and exact-ranks only those vectors.
 
-    Centroids are deterministic (id-ordered stratified sample + one Lloyd
-    refinement step), so results are reproducible run-to-run.  Scale path:
+    Centroids are deterministic and trained on a bounded sample (see
+    `_train_ivf_centroids`), so results are reproducible run-to-run and
+    the driver never holds more than `sample_cap` vectors.  Scale path:
     the cell assignment is one numpy pass per partition; search cost drops
     to ~nprobe/n_cells of brute force; at 100 TB the cell id becomes the
     table's partition key so a probe reads only its cells' files.
@@ -242,18 +370,7 @@ def ivf_topk(
     from collections.abc import Iterator
 
     spark = corpus.sparkSession
-    rows = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).orderBy("id").collect()
-    mat = np.array([r.v for r in rows], dtype=np.float64)
-    n = len(rows)
-    stride = max(1, n // n_cells)
-    cents = mat[::stride][:n_cells].copy()
-    # one deterministic Lloyd step sharpens the stratified seed
-    d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-    assign = d.argmin(axis=1)
-    for c in range(len(cents)):
-        members = mat[assign == c]
-        if len(members):
-            cents[c] = members.mean(axis=0)
+    cents, _ = _train_ivf_centroids(corpus, id_col, vec_col, n_cells, sample_cap)
     bc = spark.sparkContext.broadcast(cents)
 
     def cell_of(df: DataFrame, idc: str, vc: str, probes: int) -> DataFrame:
@@ -264,8 +381,9 @@ def ivf_topk(
                     continue
                 m = np.array(list(pdf[vc]), dtype=np.float64)
                 dist = ((m[:, None, :] - cents_[None, :, :]) ** 2).sum(axis=2)
-                order = np.argsort(dist, axis=1)[:, :probes]
-                out = pdf.loc[pdf.index.repeat(probes)].reset_index(drop=True)
+                p = min(probes, len(cents_))
+                order = np.argsort(dist, axis=1)[:, :p]
+                out = pdf.loc[pdf.index.repeat(p)].reset_index(drop=True)
                 out["cell"] = order.ravel()
                 yield out
 

@@ -805,12 +805,14 @@ def dedup_exact_q(spark, sf_dir):
 def dedup_jaccard_q(spark, sf_dir):
     """N-gram jaccard near-dup pairs (threshold 1/2, integer-exact test).
 
-    Uses the inverted-index plan whose cached index is shared with the
-    minhash stage (fastest as a suite at this SF).  The AllPairs/PPJoin
-    prefix-filtered variant (`dedup.ngram_jaccard_pairs_prefix`, identical
-    output, equality-tested) is the plan of record at corpus scale, where
-    indexing only rare-shingle prefixes bounds the candidate join."""
-    return dedup.ngram_jaccard_pairs(t(spark, sf_dir, "documents"))
+    Runs the AllPairs/PPJoin prefix-filtered plan — identical output to
+    the naive inverted-index self-join (equality-tested) but the
+    candidate join touches only rare-shingle *prefixes*, so a hot shingle
+    appearing in k docs no longer costs k²/2 join rows.  This is the plan
+    of record at corpus scale AND the fastest at this SF; the naive plan
+    remains available as `dedup.ngram_jaccard_pairs` (the oracle mirrors
+    it directly)."""
+    return dedup.ngram_jaccard_pairs_prefix(t(spark, sf_dir, "documents"))
 
 
 def _minhash_oracle(num_perm: int = 16, band_size: int = 4) -> str:

@@ -191,3 +191,75 @@ def test_prefix_filtered_jaccard_equals_naive(spark, sf_dir):
     naive = sorted(map(tuple, dedup.ngram_jaccard_pairs(docs).collect()))
     pref = sorted(map(tuple, dedup.ngram_jaccard_pairs_prefix(docs).collect()))
     assert naive == pref and naive
+
+def test_cosine_pairs_grid_equals_expression_path(spark, sf_dir):
+    """The block-grid GEMM join (any block count) must emit exactly the
+    pairs the pure-expression plan does — including multi-block grids,
+    where triangle replication must cover every block pair once."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = sorted(
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_pairs(emb, threshold=0.3, vectorized=False).collect()
+    )
+    assert exact
+    for nb in (1, 4):
+        grid = sorted(
+            (r.id_a, r.id_b)
+            for r in similarity.cosine_pairs(emb, threshold=0.3, n_blocks=nb).collect()
+        )
+        assert grid == exact, f"n_blocks={nb}"
+
+
+def test_cosine_pairs_grid_query_filter(spark, sf_dir):
+    """Asymmetric (filtered query side) grid replication covers the full
+    bipartite block grid."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flt = F.col("id") % 7 == 0
+    exact = sorted(
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_pairs(
+            emb, threshold=0.3, query_filter=F.col("id_a") % 7 == 0, vectorized=False
+        ).collect()
+    )
+    grid = sorted(
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_pairs(
+            emb, threshold=0.3, query_filter=flt, n_blocks=3
+        ).collect()
+    )
+    assert grid == exact and exact
+
+
+def test_cosine_pairs_collect_is_bounded(spark, sf_dir):
+    """Past the broadcast ceiling the plan MUST be the shuffle-fed grid
+    join (FlatMapGroupsInPandas over grid cells) — no driver-side
+    broadcast build, the round-1 scale ceiling.  Under the ceiling the
+    zero-shuffle broadcast path (MapInPandas) is allowed because the
+    collect is gated by a count check."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    over = (
+        similarity.cosine_pairs(emb, threshold=0.3, broadcast_rows=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "FlatMapGroupsInPandas" in over
+    under = (
+        similarity.cosine_pairs(emb, threshold=0.3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" in under and "FlatMapGroupsInPandas" not in under
+
+
+def test_ivf_centroid_training_is_bounded(spark, sf_dir):
+    """Centroid training must touch only a bounded sample, however large
+    the corpus — the driver OOM guard for 100 TB."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    cap = max(8, n // 4)
+    cents, n_used = similarity._train_ivf_centroids(emb, "vec_id", "embedding", 4, cap)
+    assert n_used == cap < n
+    assert len(cents) == 4
+    # and the capped trainer still powers a working end-to-end query
+    probes = emb.filter(F.col("vec_id") % 25 == 0)
+    out = similarity.ivf_topk(probes, emb, k=3, n_cells=4, nprobe=2, sample_cap=cap)
+    got = out.groupBy("query_id").count().collect()
+    assert got and all(r["count"] <= 3 for r in got)

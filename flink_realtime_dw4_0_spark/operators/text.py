@@ -40,6 +40,75 @@ def tokenize(col: Column | str) -> Column:
     return F.split(F.lower(F.trim(c)), r"\s+")
 
 
+# Java regex for a run of Han (CJK ideograph) characters; the DuckDB
+# oracle's RE2 spelling is \p{Han} — same character class.
+CJK_RUN = r"\p{IsHan}+"
+
+
+def tokenize_keywords(col: Column | str) -> Column:
+    """X13 — CJK-aware keyword tokenizer (the reference's planned IK
+    *Chinese* analyzer UDTF: ik-analyzer dep at pom.xml:203-207 feeding
+    KeywordUDTF / dws_traffic_source_keyword_page_view_window,
+    Constant.java:40).
+
+    Chinese search strings have no spaces, so whitespace splitting alone
+    degenerates to one "keyword" per query.  Here each Han run is
+    segmented into overlapping character bigrams (the classic CJK
+    fallback that IK's fine-grained mode approximates; single-char runs
+    pass through), while non-Han tokens remain whitespace-split.  Pure
+    Column expressions — JVM-side codegen, no Python in the hot path —
+    and exactly mirrored by the DuckDB oracle (plans/catalog.py
+    `x13_cjk_keyword_count`).
+
+    For dictionary-based segmentation (closer to ik_smart), see
+    `tokenize_keywords_jieba` — optional, import-gated.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    spaced = F.regexp_replace(F.lower(F.trim(c)), f"({CJK_RUN})", " $1 ")
+    toks = F.filter(F.split(F.trim(spaced), r"\s+"), lambda t: F.length(t) > 0)
+    return F.flatten(
+        F.transform(
+            toks,
+            lambda t: F.when(
+                t.rlike(f"^{CJK_RUN}$") & (F.length(t) >= 2),
+                F.transform(
+                    F.sequence(F.lit(1), F.length(t) - 1),
+                    lambda i: t.substr(i, F.lit(2)),
+                ),
+            ).otherwise(F.array(t)),
+        )
+    )
+
+
+def tokenize_keywords_jieba(col: Column | str) -> Column:
+    """Dictionary-based Chinese segmentation via jieba (optional dep) —
+    the closest match to the reference's ik_smart mode.  Arrow-batched
+    pandas UDF (never row-at-a-time); raises ImportError with guidance
+    when jieba is absent (this container ships without it, so the tested
+    default is `tokenize_keywords`' bigram fallback)."""
+    try:
+        import jieba  # noqa: F401
+    except ImportError as e:  # pragma: no cover - jieba absent in CI image
+        raise ImportError(
+            "jieba is not installed; use tokenize_keywords() (CJK bigram "
+            "fallback) or install jieba for dictionary segmentation"
+        ) from e
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def seg(s: pd.Series) -> pd.Series:  # pragma: no cover - needs jieba
+        import jieba
+
+        return s.map(
+            lambda x: [t for t in jieba.lcut(str(x).strip().lower()) if t.strip()]
+        )
+
+    c = F.col(col) if isinstance(col, str) else col
+    return seg(c)
+
+
 def token_count_ws(col: Column | str) -> Column:
     """Whitespace token count."""
     return F.size(tokenize(col))

@@ -448,21 +448,82 @@ def j6_config(spark, sf_dir):
 # A — windowed aggregations (SURVEY §2.5, the 8 planned DWS tables)
 # ===========================================================================
 
+# DuckDB (RE2) mirror of text.tokenize_keywords: isolate Han runs, split on
+# whitespace, segment Han runs of length>=2 into overlapping char bigrams.
+# Plain-string (not f-string) because of the regex braces.
+_DK_CJK_KW = r"""
+  SELECT src_id, unnest(CASE WHEN regexp_matches(t, '^\p{Han}+$') AND length(t) >= 2
+           THEN list_transform(generate_series(1, length(t) - 1), i -> substring(t, i, 2))
+           ELSE [t] END) AS keyword
+  FROM (SELECT src_id,
+               unnest(list_filter(
+                 string_split_regex(trim(regexp_replace(lower(trim(txt)), '(\p{Han}+)', ' \1 ', 'g')), '\s+'),
+                 t -> length(t) > 0)) AS t
+        FROM __KW_SRC__)
+"""
+
+
 @q(
     "a1_keyword_count",
-    f"""
-    SELECT tok AS keyword, count(*) AS kw_count
-    FROM (SELECT unnest({_DK_TOKS}) AS tok FROM documents)
-    GROUP BY tok
+    "WITH kw AS ("
+    + _DK_CJK_KW.replace("__KW_SRC__", "(SELECT doc_id AS src_id, text AS txt FROM documents)")
+    + """)
+    SELECT keyword, count(*) AS kw_count FROM kw GROUP BY keyword
     """,
     tags=("window", "udtf"),
 )
 def a1_keyword(spark, sf_dir):
     """A1 — keyword tokenize + count (dws_traffic_source_keyword_page_view,
-    Constant.java:40; tokenizer X13)."""
+    Constant.java:40; tokenizer X13 — CJK-aware, equal to whitespace split
+    on non-CJK text)."""
     docs = t(spark, sf_dir, "documents")
     return (
-        split.explode_computed(docs, [], text.tokenize("text"), "keyword")
+        split.explode_computed(docs, [], text.tokenize_keywords("text"), "keyword")
+        .groupBy("keyword")
+        .agg(F.count(F.lit(1)).alias("kw_count"))
+    )
+
+
+# gmall-style search strings: zh / mixed / latin — exercises every branch of
+# the CJK tokenizer (bigrams, single-han passthrough, whitespace fallback).
+_CJK_FIXTURE = [
+    (1, "小米手机至尊版"),
+    (2, "iphone 13 pro"),
+    (3, "苹果手机 apple"),
+    (4, "华为智能手机"),
+    (5, "联想笔记本电脑"),
+    (6, "图书"),
+    (7, "口红"),
+    (8, "电饭煲 小米"),
+    (9, "茶"),
+    (10, "PS5 游戏机"),
+]
+
+
+@q(
+    "x13_cjk_keyword_count",
+    "WITH kw AS ("
+    + _DK_CJK_KW.replace(
+        "__KW_SRC__",
+        "(SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{s}')" for i, s in _CJK_FIXTURE)
+        + ") AS v(src_id, txt))",
+    )
+    + """)
+    SELECT keyword, count(*) AS kw_count FROM kw GROUP BY keyword
+    """,
+    tags=("udtf", "cjk"),
+)
+def x13_cjk_keywords(spark, sf_dir):
+    """X13 — the reference's IK Chinese analyzer surface
+    (pom.xml:203-207, KeywordUDTF): CJK bigram segmentation over
+    realistic gmall search strings, exactly mirrored by the DuckDB
+    oracle.  Independent of sf_dir (literal fixture) by design — the
+    synthetic documents corpus is Latin-only, so this query is what
+    actually proves the Han path."""
+    rows = spark.createDataFrame(_CJK_FIXTURE, "src_id long, txt string")
+    return (
+        split.explode_computed(rows, [], text.tokenize_keywords("txt"), "keyword")
         .groupBy("keyword")
         .agg(F.count(F.lit(1)).alias("kw_count"))
     )

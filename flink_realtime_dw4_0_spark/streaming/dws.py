@@ -12,7 +12,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.text import tokenize
 
 WINDOW = "10 seconds"  # the classic gmall DWS tumbling size
 
@@ -31,15 +30,18 @@ def _flat(df: DataFrame) -> DataFrame:
 
 def keyword_page_view(page_log: DataFrame, size: str = WINDOW) -> DataFrame:
     """A1 — dws_traffic_source_keyword_page_view_window: tokenize search
-    keyword, count per keyword per window (Constant.java:40, X13 UDTF)."""
+    keyword, count per keyword per window (Constant.java:40, X13 UDTF —
+    the reference's IK Chinese analyzer; here the CJK-aware tokenizer,
+    which equals whitespace split on non-CJK text)."""
     from ..operators.split import explode_computed
+    from ..operators.text import tokenize_keywords
 
     kw = explode_computed(
         page_log.filter(
             (F.col("page.last_page_id") == "search") & F.col("page.item").isNotNull()
         ),
         ["row_time"],
-        tokenize(F.col("page.item")),
+        tokenize_keywords(F.col("page.item")),
         "keyword",
     )
     out = _win(kw, size, "keyword").agg(F.count(F.lit(1)).alias("keyword_count"))

@@ -263,3 +263,45 @@ def test_ivf_centroid_training_is_bounded(spark, sf_dir):
     out = similarity.ivf_topk(probes, emb, k=3, n_cells=4, nprobe=2, sample_cap=cap)
     got = out.groupBy("query_id").count().collect()
     assert got and all(r["count"] <= 3 for r in got)
+
+
+def test_tokenize_keywords_cjk_bigrams(spark):
+    """CJK-aware keyword tokenizer (X13): Han runs segment into
+    overlapping bigrams, single-han passes through, Latin tokens are
+    plain whitespace tokens — and on pure-ASCII text the output equals
+    the whitespace tokenizer exactly."""
+    df = spark.createDataFrame(
+        [
+            (1, "小米手机"),
+            (2, "苹果手机 apple"),
+            (3, "中"),
+            (4, "Plain ASCII  text"),
+        ],
+        "id long, s string",
+    )
+    got = {
+        r.id: r.kw
+        for r in df.select("id", text.tokenize_keywords("s").alias("kw")).collect()
+    }
+    assert got[1] == ["小米", "米手", "手机"]
+    assert got[2] == ["苹果", "果手", "手机", "apple"]
+    assert got[3] == ["中"]
+    ascii_ws = (
+        df.filter(F.col("id") == 4).select(text.tokenize("s").alias("tk")).collect()[0].tk
+    )
+    assert got[4] == ascii_ws == ["plain", "ascii", "text"]
+
+
+def test_tokenize_keywords_jieba_gated(spark):
+    """The dictionary segmenter is import-gated: with jieba absent it
+    raises a guiding ImportError (never a silent fallback)."""
+    import pytest
+
+    try:
+        import jieba  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="jieba"):
+            text.tokenize_keywords_jieba("s")
+        return
+    df = spark.createDataFrame([(1, "小米手机")], "id long, s string")
+    assert df.select(text.tokenize_keywords_jieba("s").alias("kw")).collect()[0].kw

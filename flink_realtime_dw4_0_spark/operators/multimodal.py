@@ -139,20 +139,28 @@ def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
         list(MEDIA_SCHEMA.fields) + [StructField("frame_idx", IntegerType())]
     )
 
+    import numpy as np
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                _, _, n_frames = _fake_decode(r["payload"], r["media_type"])
-                for fi in range(0, n_frames, every_n):
-                    d = dict(r)
-                    d["frame_idx"] = fi
-                    rows.append(d)
-            yield pd.DataFrame(rows, columns=[*pdf.columns, "frame_idx"]) if rows else None
+            if pdf.empty:
+                continue
+            # vectorized explode-with-parent: per-row sampled-frame count,
+            # then one index.repeat + a ramp subtraction for frame indices
+            # (no per-row Python row building)
+            n_frames = np.fromiter(
+                (
+                    _fake_decode(p, t)[2]
+                    for p, t in zip(pdf["payload"], pdf["media_type"])
+                ),
+                dtype=np.int64,
+                count=len(pdf),
+            )
+            reps = (n_frames + every_n - 1) // every_n  # ceil(n/every_n)
+            out = pdf.loc[pdf.index.repeat(reps)].reset_index(drop=True)
+            ends = np.cumsum(reps)
+            ramp = np.arange(int(ends[-1])) - np.repeat(ends - reps, reps)
+            out["frame_idx"] = (ramp * every_n).astype(np.int32)
+            yield out
 
-    def gen(batches):
-        for out in fn(batches):
-            if out is not None:
-                yield out
-
-    return df.mapInPandas(gen, out_schema)
+    return df.mapInPandas(fn, out_schema)

@@ -13,8 +13,8 @@ sequencing.
 from __future__ import annotations
 
 from collections.abc import Iterator
-from datetime import datetime, timedelta
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -36,10 +36,6 @@ _VISITOR_OUT = StructType(
 _VISITOR_STATE = StructType([StructField("first_login_dt", StringType())])
 
 
-def _dt_of_ms(ms: int) -> str:
-    return datetime.utcfromtimestamp(ms / 1000).strftime("%Y-%m-%d")
-
-
 def visitor_fix_fn(
     key: tuple[str],
     pdfs: Iterator[pd.DataFrame],
@@ -53,49 +49,61 @@ def visitor_fix_fn(
     is_new='0':  state empty        → backfill yesterday (:171)
                  state set          → unchanged
     other:       dirty marker — passed through, state untouched (:176-178)
+
+    Vectorized: per key, first_login_dt changes at most ONCE (set by the
+    earliest valid record when state is empty, immutable after), so the
+    sequential walk collapses to locating that record and masking — no
+    per-row Python on the hottest stream.  Day strings arrive in the
+    `dt` column, computed JVM-side in the session timezone by
+    `visitor_fix` (matching the reference's fixed-zone DateFormatUtil and
+    the batch twin `visitor_fix_batch`).
     """
     first_dt = state.get[0] if state.exists else None
-    out = []
     for pdf in pdfs:
         pdf = pdf.sort_values(["ts", "event_id"])
-        fixed = []
-        firsts = []
-        for _, r in pdf.iterrows():
-            cur_dt = _dt_of_ms(int(r["ts"]))
-            is_new = r["is_new"]
-            if is_new == "1":
-                if first_dt is None:
-                    first_dt = cur_dt
-                elif first_dt != cur_dt:
-                    is_new = "0"
-            elif is_new == "0":
-                if first_dt is None:
-                    first_dt = (
-                        datetime.strptime(cur_dt, "%Y-%m-%d") - timedelta(days=1)
-                    ).strftime("%Y-%m-%d")
-            fixed.append(is_new)
-            firsts.append(first_dt)
-        out.append(
-            pd.DataFrame(
-                {
-                    "mid": pdf["mid"],
-                    "event_id": pdf["event_id"],
-                    "ts": pdf["ts"],
-                    "is_new": fixed,
-                    "first_login_dt": firsts,
-                }
-            )
+        n = len(pdf)
+        is_new = pdf["is_new"].to_numpy(dtype=object)
+        days = pdf["dt"].to_numpy(dtype=object)
+        firsts = np.full(n, first_dt, dtype=object)
+        if first_dt is None:
+            valid = (is_new == "1") | (is_new == "0")
+            if valid.any():
+                i = int(np.argmax(valid))
+                if is_new[i] == "1":
+                    est = days[i]
+                else:  # backfill: day before the first valid record's day
+                    est = (pd.Timestamp(days[i]) - pd.Timedelta(days=1)).strftime(
+                        "%Y-%m-%d"
+                    )
+                firsts[i:] = est
+                first_dt = est
+        known = firsts != None  # noqa: E711 — elementwise on object array
+        fixed = np.where((is_new == "1") & known & (days != firsts), "0", is_new)
+        yield pd.DataFrame(
+            {
+                "mid": pdf["mid"],
+                "event_id": pdf["event_id"],
+                "ts": pdf["ts"],
+                "is_new": fixed,
+                "first_login_dt": firsts,
+            }
         )
     state.update((first_dt,))
-    yield from out
 
 
 def visitor_fix(df: DataFrame) -> DataFrame:
     """T1 — apply the new-visitor fix to a stream with columns
     (mid, event_id, ts, is_new).  Keyed shuffle on mid, per-key ValueState —
     the same topology as keyBy + KeyedProcessFunction (DwdBaseLog.java:202-206).
+
+    The event day is attached here as a JVM-side session-timezone
+    `date_format` (the pipeline default is the reference's UTC+8,
+    session.py) so streaming and batch day attribution agree.
     """
-    return df.groupBy("mid").applyInPandasWithState(
+    with_dt = df.withColumn(
+        "dt", F.date_format(F.timestamp_millis("ts"), "yyyy-MM-dd")
+    )
+    return with_dt.groupBy("mid").applyInPandasWithState(
         visitor_fix_fn,
         outputStructType=_VISITOR_OUT,
         stateStructType=_VISITOR_STATE,
@@ -138,9 +146,9 @@ def _first_seen_fn(ttl_ms: int):
         for pdf in pdfs:
             pdf = pdf.sort_values("ts")
             max_ts = max(max_ts, int(pdf["ts"].max()))
-            flags = []
-            for _ in range(len(pdf)):
-                flags.append(0 if seen else 1)
+            flags = np.zeros(len(pdf), dtype=np.int32)
+            if not seen and len(pdf):
+                flags[0] = 1
                 seen = True
             yield pd.DataFrame(
                 {
@@ -260,7 +268,12 @@ def visitor_fix_batch(batch: DataFrame, state, spark) -> DataFrame:
     )
     state.merge(spark, eff)
     # materialize fixed, then release eff — otherwise one cached plan
-    # accumulates per micro-batch for the lifetime of the stream
+    # accumulates per micro-batch for the lifetime of the stream.
+    # The returned DataFrame is PERSISTED (it must not lazily re-read the
+    # state parquet the merge just rewrote); the caller owns releasing it
+    # (dwd_log_foreach_batch unpersists in its finally block) — leaking
+    # one cached plan per micro-batch is the same accumulation `eff`
+    # guards against.
     fixed = fixed.persist()
     fixed.count()
     eff.unpersist()

@@ -10,10 +10,12 @@ keyed last-write-wins MERGE per micro-batch.  The intermediate retract
 relation is identical — which is what the batch oracle checks and what any
 downstream table consumer observes.
 
-Storage: a keyed parquet table with read-merge-overwrite (atomic via
-temp-dir swap).  On a production cluster this becomes Delta/Iceberg
-``MERGE INTO`` with the same keys — the calling convention is identical,
-and per-batch work stays proportional to the touched partitions.
+Storage: a keyed parquet table with read-merge-overwrite, crash-safe via
+versioned directories + an atomically-flipped CURRENT pointer (the same
+snapshot-pointer idea Delta/Iceberg use).  On a production cluster this
+becomes Delta/Iceberg ``MERGE INTO`` with the same keys — the calling
+convention is identical, and per-batch work stays proportional to the
+touched partitions.
 """
 
 from __future__ import annotations
@@ -39,18 +41,43 @@ class KeyedTable:
         self.keys = keys
         self.version_col = version_col
 
+    def _current_file(self) -> str:
+        return os.path.join(self.path, "CURRENT")
+
+    def _current_dir(self) -> str | None:
+        f = self._current_file()
+        if not os.path.exists(f):
+            return None
+        with open(f) as fh:
+            v = fh.read().strip()
+        d = os.path.join(self.path, v)
+        return d if os.path.exists(d) else None
+
     def exists(self, spark: SparkSession) -> bool:
-        return os.path.exists(os.path.join(self.path, "_SUCCESS"))
+        return self._current_dir() is not None
 
     def read(self, spark: SparkSession) -> DataFrame | None:
-        return spark.read.parquet(self.path) if self.exists(spark) else None
+        d = self._current_dir()
+        return spark.read.parquet(d) if d is not None else None
 
     def _overwrite(self, df: DataFrame) -> None:
-        tmp = f"{self.path}__tmp_{uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(self.path):
-            shutil.rmtree(self.path)
-        os.replace(tmp, self.path)
+        """Crash-safe overwrite: write a fresh version dir, flip the
+        CURRENT pointer atomically (tmp file + os.replace), then GC stale
+        versions.  There is never a window with the table absent — a crash
+        leaves either the old or the new version current.  (The previous
+        rmtree-then-rename swap had a no-table window: a foreachBatch
+        replay landing in it would silently rebuild the table from the
+        replayed batch alone, losing all previously merged keys.)"""
+        os.makedirs(self.path, exist_ok=True)
+        v = f"v_{uuid.uuid4().hex[:12]}"
+        df.write.mode("overwrite").parquet(os.path.join(self.path, v))
+        tmp = f"{self._current_file()}.tmp_{v}"
+        with open(tmp, "w") as fh:
+            fh.write(v)
+        os.replace(tmp, self._current_file())
+        for d in os.listdir(self.path):
+            if d.startswith("v_") and d != v:
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
 
     def merge(self, spark: SparkSession, batch: DataFrame, deletes: DataFrame | None = None) -> None:
         """MERGE: upsert `batch` rows by key (latest version wins within the

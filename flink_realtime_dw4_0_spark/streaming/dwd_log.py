@@ -37,19 +37,21 @@ def dwd_log_foreach_batch(
         flat = valid.withColumn("mid", F.col("common.mid")).withColumn(
             "is_new", F.col("common.is_new")
         )
-        fixed = state_ops.visitor_fix_batch(flat, state_table, spark)
+        inner = state_ops.visitor_fix_batch(flat, state_table, spark)
         # write the fix back into the nested common struct, as the
-        # reference mutates common.is_new in place (DwdBaseLog.java:152-176)
-        fixed = fixed.withColumn(
+        # reference mutates common.is_new in place (DwdBaseLog.java:152-176).
+        # `inner` comes back persisted+materialized; the routes' narrow
+        # projection recomputes from its cached blocks, so no second
+        # persist — and it is released here, not leaked per micro-batch.
+        fixed = inner.withColumn(
             "common", F.col("common").withField("is_new", F.col("is_new"))
         ).drop("mid", "is_new", "first_login_dt")
-        fixed.persist()
         try:
             for name, route_df in log_routes(fixed).items():
                 if name in writers:
                     writers[name](route_df, batch_id)
         finally:
-            fixed.unpersist()
+            inner.unpersist()
 
     return fn
 

@@ -17,6 +17,18 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter
 
 
+def kafka_records(df: DataFrame, key_col: str | None = None) -> DataFrame:
+    """The append-sink wire projection (SQLUtil.java:41-48): value = JSON
+    of the whole row, key = the optional key column as a string.  Shared
+    by `kafka_append` and the broker-less transport contract tests
+    (tests/test_kafka_contract.py), so what the tests assert is exactly
+    what production ships."""
+    cols = [F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value")]
+    if key_col:
+        cols.insert(0, F.col(key_col).cast("string").alias("key"))
+    return df.select(*cols)
+
+
 def kafka_append(
     df: DataFrame,
     brokers: str,
@@ -25,11 +37,8 @@ def kafka_append(
     key_col: str | None = None,
 ) -> DataStreamWriter:
     """K1/K2 — JSON append sink (SQLUtil.java:41-48)."""
-    cols = [F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value")]
-    if key_col:
-        cols.insert(0, F.col(key_col).cast("string").alias("key"))
     return (
-        df.select(*cols)
+        kafka_records(df, key_col)
         .writeStream.format("kafka")
         .option("kafka.bootstrap.servers", brokers)
         .option("topic", topic)

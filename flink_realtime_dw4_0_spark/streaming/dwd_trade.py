@@ -153,11 +153,32 @@ class OrderDetailJoin:
             batch, "order_detail_coupon",
             {"order_detail_id": "order_detail_id", "coupon_id": "coupon_id"},
         )
-        for table, new in ((self.od, od_new), (self.oi, oi_new), (self.oda, oda_new), (self.odc, odc_new)):
-            if new.limit(1).count():
+        # one driver action for all four sides: per-table row count + max
+        # ts in a single aggregation over the batch (was up to 8 jobs —
+        # limit(1).count() + agg(max).collect() per table — chatty at high
+        # trigger rates)
+        routes = {
+            "order_detail": (self.od, od_new),
+            "order_info": (self.oi, oi_new),
+            "order_detail_activity": (self.oda, oda_new),
+            "order_detail_coupon": (self.odc, odc_new),
+        }
+        stats = {
+            r["table"]: (r["n"], r["mx"])
+            for r in project.route_filter(batch, database=GMALL)
+            .filter((F.col("type") == "insert") & F.col("table").isin(*routes))
+            .groupBy("table")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max(F.col("ts").cast("long")).alias("mx"),
+            )
+            .collect()
+        }
+        for name, (table, new) in routes.items():
+            n, mx = stats.get(name, (0, None))
+            if n:
                 table.merge(spark, new)
-                batch_max = new.agg(F.max(F.col("ts").cast("long"))).collect()[0][0] or 0
-                self._max_ts = max(self._max_ts, batch_max)
+                self._max_ts = max(self._max_ts, mx or 0)
         self._prune_ttl(spark)
 
         od_all = self.od.read(spark)

@@ -305,3 +305,34 @@ def test_tokenize_keywords_jieba_gated(spark):
         return
     df = spark.createDataFrame([(1, "小米手机")], "id long, s string")
     assert df.select(text.tokenize_keywords_jieba("s").alias("kw")).collect()[0].kw
+
+
+def test_serving_db_sink_idempotent_upsert(spark, tmp_path):
+    """K7 via an embedded SQL DB: INSERT..ON CONFLICT keyed upsert —
+    replaying a micro-batch (foreachBatch redelivery) and re-emitting a
+    window with updated counts both converge, as a Doris unique-key-model
+    table would."""
+    import duckdb
+
+    from flink_realtime_dw4_0_spark.sinks.serving import serving_db_foreach_batch
+
+    db = str(tmp_path / "serving.duckdb")
+    fn = serving_db_foreach_batch(db, "dws_keyword", keys=["stt", "keyword"])
+    b1 = spark.createDataFrame(
+        [("w1", "小米", 5), ("w1", "phone", 3)], "stt string, keyword string, ct long"
+    )
+    fn(b1, 0)
+    fn(b1, 0)  # exact replay — must not duplicate
+    b2 = spark.createDataFrame(
+        [("w1", "小米", 9), ("w2", "tv", 1)], "stt string, keyword string, ct long"
+    )
+    fn(b2, 1)  # update one key, insert a new window
+    con = duckdb.connect(db)
+    got = {
+        (stt, kw): ct
+        for stt, kw, ct in con.execute(
+            "SELECT stt, keyword, ct FROM dws_keyword"
+        ).fetchall()
+    }
+    con.close()
+    assert got == {("w1", "小米"): 9, ("w1", "phone"): 3, ("w2", "tv"): 1}

@@ -3,23 +3,81 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+   "queries": {name: sec, ...}, "sf": ...,
+   "stress": {"scale": K, "skew_frac": f, "total": sec, "queries": {...}}}
 
 Each query is fully materialized via the noop sink (forces every column's
 computation, unlike count()).
+
+The stress section re-runs a linear/join-heavy subset against a DERIVED
+corpus: the sf tables replicated `scale`x with key remapping (join
+relations preserved) plus an injected hot key covering `skew_frac` of
+lineitem — so the trend line and AQE skew-join splitting are exercised by
+data, not only plan tests.  Disable with SPARK_GRAFT_STRESS=0.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from flink_realtime_dw4_0_spark.plans.catalog import CATALOG  # noqa: E402
 from flink_realtime_dw4_0_spark.session import get_spark  # noqa: E402
+
+STRESS_QUERIES = [
+    "tpch_q1_pricing_summary",   # wide scan-agg
+    "tpch_q3_shipping_priority", # 3-way join
+    "j1_inner_equijoin",         # the skew-injected join
+    "a2_traffic_window_pv",      # windowed agg over events
+    "dedup_exact",               # hash-groupBy over documents
+    "text_quality",              # columnar text features
+]
+
+# keys remapped so every copy keeps its join partners: k' = k*scale + rep
+_SCALED = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+}
+_COPIED = ["region", "nation", "supplier", "part", "embeddings"]
+
+
+def build_stress_dir(spark, sf_dir: str, out_dir: str, scale: int, skew_frac: float) -> None:
+    """Materialize the derived corpus: replicate + remap, inject skew."""
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+    rep = F.explode(F.sequence(F.lit(0), F.lit(scale - 1))).alias("__rep")
+    for tb, keys in _SCALED.items():
+        df = spark.read.parquet(f"{sf_dir}/{tb}.parquet").select("*", rep)
+        for k in keys:
+            df = df.withColumn(k, F.col(k) * scale + F.col("__rep"))
+        df = df.drop("__rep")
+        if tb == "lineitem" and skew_frac > 0:
+            # hot key: a skew_frac slice of all line items lands on ONE
+            # order — the classic power-law key AQE's skew split handles
+            hot = spark.read.parquet(f"{sf_dir}/orders.parquet").agg(
+                F.min("o_orderkey")
+            ).collect()[0][0] * scale
+            df = df.withColumn(
+                "l_orderkey",
+                F.when(F.rand(seed=7) < skew_frac, F.lit(hot)).otherwise(
+                    F.col("l_orderkey")
+                ),
+            )
+        df.write.mode("overwrite").parquet(f"{out_dir}/{tb}.parquet")
+    for tb in _COPIED:
+        spark.read.parquet(f"{sf_dir}/{tb}.parquet").write.mode("overwrite").parquet(
+            f"{out_dir}/{tb}.parquet"
+        )
 
 
 def main() -> None:
@@ -47,17 +105,40 @@ def main() -> None:
         times[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_bench_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+    out = {
+        "metric": "catalog_bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    if os.environ.get("SPARK_GRAFT_STRESS", "1") != "0":
+        scale = int(os.environ.get("SPARK_GRAFT_STRESS_SCALE", "8"))
+        skew_frac = float(os.environ.get("SPARK_GRAFT_STRESS_SKEW", "0.25"))
+        stress_dir = os.environ.get(
+            "SPARK_GRAFT_STRESS_DIR",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_stress"),
         )
-    )
+        try:
+            build_stress_dir(spark, sf_dir, stress_dir, scale, skew_frac)
+            stimes: dict[str, float] = {}
+            for name in STRESS_QUERIES:
+                t0 = time.perf_counter()
+                CATALOG[name].fn(spark, stress_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                stimes[name] = round(time.perf_counter() - t0, 3)
+            out["stress"] = {
+                "scale": scale,
+                "skew_frac": skew_frac,
+                "total": round(sum(stimes.values()), 3),
+                "queries": stimes,
+            }
+        finally:
+            shutil.rmtree(stress_dir, ignore_errors=True)
+
+    print(json.dumps(out))
     spark.stop()
 
 

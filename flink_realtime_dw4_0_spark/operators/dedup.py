@@ -431,3 +431,85 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: (node, component)
+    where component = the minimum doc id reachable from the node.
+
+    Hash-min label propagation: every node starts labeled with itself;
+    each round every node takes the min of its own and its neighbors'
+    labels; stop when a round changes nothing.  Each round is one
+    shuffle-join + map-side-combinable min-aggregation — fully
+    distributed, no driver-side graph.  Rounds needed = cluster diameter,
+    which for near-dup clusters is tiny (dup sets are quasi-cliques: most
+    pairs connect directly).  For adversarial long-chain graphs switch to
+    alternating large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce"), which converges in O(log n)
+    rounds with the same join/agg primitives.
+
+    The per-round convergence check is one count job on the changed set —
+    cheap next to the join, and it lets clean corpora exit after round 1.
+    """
+    e = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    edges = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).cache()
+    labels = (
+        edges.select("u").distinct().withColumn("lbl", F.col("u")).cache()
+    )
+    for _ in range(max_iterations):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "u", "left")
+            .select(
+                "u",
+                F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("lbl", "old"), "u")
+            .filter(F.col("lbl") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if not changed:
+            break
+    edges.unpersist()
+    return labels.select(F.col("u").alias("doc_id"), F.col("lbl").alias("component"))
+
+
+def dedup_keep_list(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The end of the dedup pipeline: every document labeled with its
+    near-dup component and a keep flag (keep the min-id representative of
+    each component; docs in no pair are their own singleton component).
+
+    This is what a 100 TB curation run actually materializes — the pair
+    list is an intermediate; the keep-list joins back to the corpus as a
+    single broadcast-or-shuffle equi-join on doc id."""
+    comps = connected_components(pairs)
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(comps, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("component"),
+            (F.coalesce("component", "doc_id") == F.col("doc_id"))
+            .cast("int")
+            .alias("keep"),
+        )
+    )

@@ -1634,3 +1634,139 @@ def cube_q(spark, sf_dir):
             "n", "total",
         )
     )
+
+
+# ===========================================================================
+# DC — dedup clustering + curation pipeline (the end of the dedup story:
+# pairs are an intermediate; what a 100 TB curation run materializes is a
+# per-document component + keep flag, then a cleaned corpus)
+# ===========================================================================
+
+_DK_NEARDUP_PAIRS = """
+, jp AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+    FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2),
+  np AS (
+    SELECT p.id_a, p.id_b
+    FROM jp p JOIN sizes sa ON p.id_a = sa.doc_id
+              JOIN sizes sb ON p.id_b = sb.doc_id
+    WHERE p.inter * 3 >= (sa.n + sb.n)),
+  e AS (SELECT id_a AS u, id_b AS v FROM np
+        UNION SELECT id_b, id_a FROM np),
+  reach(u, r) AS (
+    SELECT u, u FROM e
+    UNION
+    SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u),
+  comp AS (SELECT u AS doc_id, min(r) AS component FROM reach GROUP BY u)
+"""
+
+
+@q(
+    "dedup_components_keep",
+    _DK_SHINGLES.replace("WITH", "WITH RECURSIVE", 1)
+    + _DK_NEARDUP_PAIRS
+    + """
+    SELECT d.doc_id AS doc_id,
+           coalesce(c.component, d.doc_id) AS component,
+           CAST(coalesce(c.component, d.doc_id) = d.doc_id AS INT) AS keep
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    """,
+    tags=("dedup", "graph"),
+)
+def dedup_components_q(spark, sf_dir):
+    """Near-dup clustering: connected components over the jaccard pair
+    graph (distributed hash-min label propagation, dedup.py) and the
+    min-id keep flag per component — every document labeled, singletons
+    their own component.  The oracle mirrors the closure with a recursive
+    CTE (exact for the test graph; the Spark plan is the one that scales)."""
+    docs = t(spark, sf_dir, "documents")
+    return dedup.dedup_keep_list(docs, dedup.ngram_jaccard_pairs(docs))
+
+
+@q(
+    "pipeline_corpus_clean",
+    _DK_SHINGLES.replace("WITH", "WITH RECURSIVE", 1)
+    + _DK_NEARDUP_PAIRS
+    + f"""
+    , q AS (
+        SELECT doc_id, lang, source, {_DK_TOKS} AS tk, length(text) AS nc,
+               md5(list_aggregate({_DK_TOKS}, 'string_agg', ' ')) AS fp
+        FROM documents),
+      quality AS (
+        SELECT doc_id, lang, source, len(tk) AS n_tokens, fp FROM q
+        WHERE len(tk) >= 10 AND (nc - (len(tk) - 1)) / len(tk) >= 3),
+      exact_keep AS (
+        SELECT min(doc_id) AS doc_id FROM quality GROUP BY fp),
+      near_keep AS (
+        SELECT d.doc_id FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+        WHERE coalesce(c.component, d.doc_id) = d.doc_id)
+    SELECT q.doc_id AS doc_id, q.lang AS lang, q.source AS source,
+           q.n_tokens AS n_tokens
+    FROM quality q
+    JOIN exact_keep ek ON q.doc_id = ek.doc_id
+    JOIN near_keep nk ON q.doc_id = nk.doc_id
+    """,
+    tags=("pipeline", "dedup", "text"),
+)
+def corpus_clean_q(spark, sf_dir):
+    """The composed training-data curation pipeline over the corpus:
+    quality gate → exact dedup (min-id per fingerprint) → near-dup drop
+    (component keep-list) — one declarative plan; Catalyst shares the
+    document scan and the dedup stages run exactly as their standalone
+    queries do.  Output: the surviving documents with metadata."""
+    docs = t(spark, sf_dir, "documents")
+    quality = (
+        text.quality_features(docs)
+        .filter(F.col("is_quality") == 1)
+        .select("doc_id", "lang", "source", F.col("n_tokens").cast("long").alias("n_tokens"), "text")
+    )
+    exact_keep = dedup.exact_dedup(quality).select(F.col("keep_id").alias("doc_id"))
+    near_keep = dedup.dedup_keep_list(docs, dedup.ngram_jaccard_pairs(docs)).filter(
+        F.col("keep") == 1
+    ).select("doc_id")
+    return (
+        quality.join(exact_keep, "doc_id")
+        .join(near_keep, "doc_id")
+        .select("doc_id", "lang", "source", "n_tokens")
+    )
+
+
+@q(
+    "w_session_window",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events),
+    s AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g)
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+    tags=("window", "session"),
+)
+def session_window_q(spark, sf_dir):
+    """Session windows (gap 30 min) per user — native F.session_window
+    (merging event-time sessions; works identically over a stream with a
+    watermark).  The oracle is the classic gaps-and-islands SQL; the gap
+    boundary is exclusive on both sides (a gap of exactly 30 min starts a
+    new session), matching Spark's [start, last+gap) window."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -336,3 +336,27 @@ def test_serving_db_sink_idempotent_upsert(spark, tmp_path):
     }
     con.close()
     assert got == {("w1", "小米"): 9, ("w1", "phone"): 3, ("w2", "tv"): 1}
+
+
+def test_connected_components_transitive_chain(spark):
+    """Hash-min label propagation must close transitive chains (A-B, B-C,
+    C-D collapse to one component even though A-D never pair directly) —
+    the property pair-listing dedup misses."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "id_a long, id_b long",
+    )
+    comps = {
+        r.doc_id: r.component
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in (1, 2, 3, 4, 10, 11, 20, 21, 22, 99)],
+        "doc_id long, text string",
+    )
+    keep = {r.doc_id: (r.component, r.keep) for r in dedup.dedup_keep_list(docs, pairs).collect()}
+    assert keep[99] == (99, 1)  # singleton keeps itself
+    assert keep[4] == (1, 0) and keep[1] == (1, 1)
+    assert sum(k for _, k in keep.values()) == 4  # one keeper per component + singleton

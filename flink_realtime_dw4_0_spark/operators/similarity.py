@@ -365,33 +365,43 @@ def ivf_topk(
     table's partition key so a probe reads only its cells' files.
     Approximate → rows-only; tests measure recall vs brute force.
     """
+    spark = corpus.sparkSession
+    cents, _ = _train_ivf_centroids(corpus, id_col, vec_col, n_cells, sample_cap)
+    bc = spark.sparkContext.broadcast(cents)
+    c_cells = _assign_cells(corpus, bc, id_col, vec_col, "neighbor_id", "vc", 1)
+    q_cells = _assign_cells(queries, bc, id_col, vec_col, "query_id", "vq", nprobe)
+    return _rank_probed(q_cells, c_cells, k)
+
+
+def _assign_cells(df, bc, id_col, vec_col, out_id, out_vec, probes: int) -> DataFrame:
+    """Nearest-`probes` centroid cells per vector — one numpy pass per
+    Arrow batch against the broadcast centroid matrix."""
     import numpy as np
     import pandas as pd
     from collections.abc import Iterator
 
-    spark = corpus.sparkSession
-    cents, _ = _train_ivf_centroids(corpus, id_col, vec_col, n_cells, sample_cap)
-    bc = spark.sparkContext.broadcast(cents)
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents_ = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.array(list(pdf[out_vec]), dtype=np.float64)
+            dist = ((m[:, None, :] - cents_[None, :, :]) ** 2).sum(axis=2)
+            p = min(probes, len(cents_))
+            order = np.argsort(dist, axis=1)[:, :p]
+            out = pdf.loc[pdf.index.repeat(p)].reset_index(drop=True)
+            out["cell"] = order.ravel()
+            yield out
 
-    def cell_of(df: DataFrame, idc: str, vc: str, probes: int) -> DataFrame:
-        def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            cents_ = bc.value
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                m = np.array(list(pdf[vc]), dtype=np.float64)
-                dist = ((m[:, None, :] - cents_[None, :, :]) ** 2).sum(axis=2)
-                p = min(probes, len(cents_))
-                order = np.argsort(dist, axis=1)[:, :p]
-                out = pdf.loc[pdf.index.repeat(p)].reset_index(drop=True)
-                out["cell"] = order.ravel()
-                yield out
+    schema = f"{out_id} long, {out_vec} array<float>, cell int"
+    return df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias(out_vec)).mapInPandas(
+        fn, schema
+    )
 
-        schema = f"{idc} long, {vc} array<float>, cell int"
-        return df.select(F.col(id_col).alias(idc), F.col(vec_col).alias(vc)).mapInPandas(fn, schema)
 
-    c_cells = cell_of(corpus, "neighbor_id", "vc", 1)
-    q_cells = cell_of(queries, "query_id", "vq", nprobe)
+def _rank_probed(q_cells: DataFrame, c_cells: DataFrame, k: int) -> DataFrame:
+    """Join query probes to corpus cells and exact-rank within the probed
+    set (shared tail of the in-memory and materialized-index IVF paths)."""
     scored = (
         q_cells.join(c_cells, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -404,3 +414,60 @@ def ivf_topk(
         .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim"))
         .distinct()
     )
+
+
+def ivf_index_write(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    sample_cap: int | None = None,
+) -> None:
+    """Materialize the IVF index as a cell-PARTITIONED parquet table +
+    sidecar centroids — the 100 TB ANN layout.
+
+    Every vector is written under its nearest cell's partition directory
+    (`cell=N/`), so a probe's `cell IN (...)` filter becomes a storage-
+    level PartitionFilter: Spark lists and reads ONLY the nprobe probed
+    directories, never the other (n_cells - nprobe)/n_cells of the corpus.
+    Centroids ride along as `_ivf_centroids.json` (leading underscore:
+    ignored by parquet readers)."""
+    import json
+    import os
+
+    spark = corpus.sparkSession
+    cents, _ = _train_ivf_centroids(corpus, id_col, vec_col, n_cells, sample_cap)
+    bc = spark.sparkContext.broadcast(cents)
+    assigned = _assign_cells(corpus, bc, id_col, vec_col, "neighbor_id", "vc", 1)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    with open(os.path.join(path, "_ivf_centroids.json"), "w") as fh:
+        json.dump(cents.tolist(), fh)
+
+
+def ivf_index_topk(
+    spark,
+    queries: DataFrame,
+    path: str,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe a materialized IVF index (`ivf_index_write`): assign each
+    query its `nprobe` nearest cells, then read ONLY those cells'
+    partition directories (static partition pruning — the probed cell set
+    is collected first, ≤ n_cells integers) and exact-rank within them.
+    Identical results to `ivf_topk` under the same centroids."""
+    import json
+    import os
+
+    import numpy as np
+
+    with open(os.path.join(path, "_ivf_centroids.json")) as fh:
+        cents = np.array(json.load(fh), dtype=np.float64)
+    bc = spark.sparkContext.broadcast(cents)
+    q_cells = _assign_cells(queries, bc, id_col, vec_col, "query_id", "vq", nprobe).cache()
+    probed = [r.cell for r in q_cells.select("cell").distinct().collect()]
+    c_cells = spark.read.parquet(path).filter(F.col("cell").isin(probed))
+    return _rank_probed(q_cells, c_cells, k)

@@ -1770,3 +1770,151 @@ def session_window_q(spark, sf_dir):
             "n_events",
         )
     )
+
+
+@q("ann_ivf_index_topk", None, tags=("similarity", "ivf", "index"))
+def ann_ivf_index_q(spark, sf_dir):
+    """Materialized IVF index probe: cell-PARTITIONED parquet layout +
+    sidecar centroids; probes read only their nprobe cells' partition
+    directories (PartitionFilters — plan-tested).  The 100 TB ANN layout:
+    the index is written once, probes touch nprobe/n_cells of storage."""
+    import tempfile
+
+    emb = t(spark, sf_dir, "embeddings")
+    idx = tempfile.mkdtemp(prefix="ivf_idx_") + "/index"
+    similarity.ivf_index_write(emb, idx, n_cells=16)
+    probes = emb.filter(F.col("vec_id") % 25 == 0)
+    return similarity.ivf_index_topk(spark, probes, idx, k=5, nprobe=4)
+
+
+# ===========================================================================
+# Q — additional TPC-H query shapes (general analytics surface beyond the
+# reference's parity set: semi-join EXISTS, conditional aggregation,
+# HAVING over grouped sums)
+# ===========================================================================
+
+@q(
+    "tpch_q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= DATE '1995-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+    tags=("tpch", "semijoin"),
+)
+def tpch_q4(spark, sf_dir):
+    """TPC-H Q4 shape (the synthetic lineitem carries only l_shipdate, so
+    'late' = shipped 60+ days after order): correlated EXISTS with a
+    non-equi conjunct, decorrelated to a left-semi join; pure integer
+    counts (no float rounding surface)."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "1995-01-01")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate >= o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@q(
+    "tpch_q12_priority_lines",
+    """
+    SELECT l_returnflag,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+    GROUP BY l_returnflag
+    """,
+    tags=("tpch",),
+)
+def tpch_q12(spark, sf_dir):
+    """TPC-H Q12 shape (per-flag high/low priority line counts): join +
+    conditional integer aggregation; the lineitem date filters push to
+    the parquet scan."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01")
+    )
+    o = t(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@q(
+    "tpch_q14_promo_revenue",
+    """
+    SELECT round(100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                                   THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 4) AS promo_revenue,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1995-09-01' AND l_shipdate < DATE '1995-10-01'
+    """,
+    tags=("tpch",),
+)
+def tpch_q14(spark, sf_dir):
+    """TPC-H Q14 (promo revenue): numerator and denominator emitted
+    separately, each rounded at the disc-price quantization (4-dec) —
+    a cross-engine float ratio has no stable rounding level."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-09-01") & (F.col("l_shipdate") < "1995-10-01")
+    )
+    p = t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0 * F.sum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0)), 4
+            ).alias("promo_revenue"),
+            F.round(F.sum(rev), 4).alias("total_revenue"),
+        )
+    )
+
+
+@q(
+    "tpch_q18_large_orders",
+    """
+    SELECT c_name, c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           round(o_totalprice, 2) AS o_totalprice,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    HAVING sum(l_quantity) > 250
+    """,
+    tags=("tpch", "having"),
+)
+def tpch_q18(spark, sf_dir):
+    """TPC-H Q18 (large-volume customers): grouped HAVING over the
+    3-way join; quantity sums rounded at the 2-dec money quantization."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.sum("l_quantity") > 250)
+    )

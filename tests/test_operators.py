@@ -360,3 +360,31 @@ def test_connected_components_transitive_chain(spark):
     assert keep[99] == (99, 1)  # singleton keeps itself
     assert keep[4] == (1, 0) and keep[1] == (1, 1)
     assert sum(k for _, k in keep.values()) == 4  # one keeper per component + singleton
+
+
+def test_ivf_materialized_index_partition_pruning(spark, sf_dir, tmp_path):
+    """The materialized IVF index: cell-partitioned layout, probes read
+    only their cells' directories (PartitionFilters in the scan), and
+    results match the in-memory IVF path under the same centroids."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf_index")
+    similarity.ivf_index_write(emb, idx, n_cells=8)
+    probes = emb.filter(F.col("vec_id") % 25 == 0)
+
+    out = similarity.ivf_index_topk(spark, probes, idx, k=5, nprobe=2)
+    got = {(r.query_id, r.rank): r.neighbor_id for r in out.collect()}
+    mem = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in similarity.ivf_topk(probes, emb, k=5, n_cells=8, nprobe=2).collect()
+    }
+    assert got == mem and got
+
+    # the corpus scan must carry a partition filter on cell — storage-level
+    # candidate restriction, not a full read + post-filter
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    # and the executed scan must physically touch ONE of 8 cell dirs
+    pruned = spark.read.parquet(idx).filter(F.col("cell").isin([0]))
+    pruned.collect()
+    scan = pruned._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    assert scan.metrics().apply("numPartitions").value() == 1

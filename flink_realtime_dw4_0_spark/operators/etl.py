@@ -65,3 +65,30 @@ def dedup_within_watermark(
     Kafka replays: the checkpoint interval plus recovery time).
     """
     return df.withWatermark(time_col, delay).dropDuplicatesWithinWatermark(keys)
+
+
+def _log_valid_cond() -> Column:
+    # built lazily: constructing Columns needs an active SparkContext
+    return (
+        (F.col("page").isNotNull() | F.col("start").isNotNull())
+        & F.col("common.mid").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+
+
+def observe_etl_drops(df: DataFrame, name="etl_log") -> DataFrame:
+    """P8 observability — the reference LOGS each dirty record
+    (DwdBaseLog.java:227-230); per-record logging at 100 TB is an
+    anti-pattern, so the Spark-native equivalent is an ``observe()``
+    metric: counters accumulate inside the same scan (zero extra pass,
+    no action needed) and surface per micro-batch through
+    ``StreamingQueryProgress.observedMetrics[name]`` (streaming) or an
+    ``Observation`` (batch — pass the Observation object as ``name``).
+
+    Attach BEFORE ``etl_log_valid``; the filter afterwards is unchanged.
+    """
+    return df.observe(
+        name,
+        F.count(F.lit(1)).alias("n_input"),
+        F.count_if(~F.coalesce(_log_valid_cond(), F.lit(False))).alias("n_dropped"),
+    )

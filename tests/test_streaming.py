@@ -790,3 +790,30 @@ def test_dedup_within_watermark_drops_redelivery(spark, tmp_path):
     q.awaitTermination(120)
     rows = sorted(r.event_id for r in spark.sql("SELECT * FROM eo_out").collect())
     assert rows == ["e1", "e2", "e3"]
+
+
+def test_observe_etl_drops_counts_dirty(spark):
+    """observe() metrics ride the ETL scan: dirty records (no page/start,
+    missing mid, missing ts) are counted without a second pass, and the
+    validity filter's output matches n_input - n_dropped."""
+    from pyspark.sql import Observation
+
+    from flink_realtime_dw4_0_spark.operators import etl
+    from flink_realtime_dw4_0_spark import schemas
+
+    rows = [
+        '{"common":{"mid":"m1"},"page":{"page_id":"home"},"ts":1000}',
+        '{"common":{"mid":"m2"},"start":{"entry":"icon"},"ts":2000}',
+        '{"common":{"mid":"m3"},"ts":3000}',          # no page/start -> dirty
+        '{"page":{"page_id":"x"},"ts":4000}',          # no mid -> dirty
+        'not json at all',                              # corrupt -> dirty
+    ]
+    df = spark.createDataFrame([(r,) for r in rows], "value string")
+    from flink_realtime_dw4_0_spark.sources.kafka import decode_json
+
+    decoded = decode_json(df, schemas.LOG_EVENT)
+    obs = Observation("etl_log")
+    observed = etl.observe_etl_drops(decoded, obs)
+    kept = etl.etl_log_valid(observed).count()
+    assert obs.get == {"n_input": 5, "n_dropped": 3}
+    assert kept == 5 - 3

@@ -817,3 +817,18 @@ def test_observe_etl_drops_counts_dirty(spark):
     kept = etl.etl_log_valid(observed).count()
     assert obs.get == {"n_input": 5, "n_dropped": 3}
     assert kept == 5 - 3
+
+
+def test_dws_keyword_window_cjk(spark):
+    """A1 with a Chinese search string: the window aggregation counts
+    CJK bigram keywords (the IK-analyzer surface), not one undivided
+    query string — the reference's whole point for the tokenizer."""
+    page = {"page_id": "good_list", "during_time": 300, "item": "小米手机 pro",
+            "item_type": "keyword", "last_page_id": "search"}
+    lines = [
+        log_line("m1", "1", DAY1 + 1000, page=page),
+        log_line("m2", "1", DAY1 + 2000, page=page),
+    ]
+    decoded = ksrc.topic_log(values_df(spark, lines), watermark=None)
+    kw = {r.keyword: r.keyword_count for r in dws.keyword_page_view(decoded).collect()}
+    assert kw == {"小米": 2, "米手": 2, "手机": 2, "pro": 2}

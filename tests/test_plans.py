@@ -91,3 +91,42 @@ def test_sampling_split_is_narrow(spark, sf_dir):
         # one partial+final agg pair → exactly one shuffle boundary
         assert plan.count("Exchange hashpartitioning") <= 1, name
         assert "Join" not in plan, name
+
+
+def test_prefix_jaccard_no_cartesian_and_partial_agg(spark, sf_dir):
+    """The jaccard plan of record (prefix join): candidate generation is
+    an equi-join on shingle (never a cartesian), and the distinct runs
+    with a partial (map-side) aggregate before its shuffle."""
+    plan = plan_of(spark, sf_dir, "dedup_ngram_jaccard")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "partial_" in plan or "HashAggregate" in plan
+
+
+def test_q4_semi_join_and_pushdown(spark, sf_dir):
+    """Correlated EXISTS must decorrelate to a LeftSemi join with the
+    orders date filter pushed into the scan — no subquery-per-row."""
+    plan = plan_of(spark, sf_dir, "tpch_q4_order_priority")
+    assert "LeftSemi" in plan
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "o_orderdate" in pushed
+
+
+def test_session_window_single_shuffle(spark, sf_dir):
+    """Session windows need exactly one keyed shuffle (by user) — the
+    merge/sort happens within partitions, no second Exchange."""
+    plan = plan_of(spark, sf_dir, "w_session_window")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_cosine_grid_no_exchange_storm(spark, sf_dir):
+    """The block-grid cosine plan: one shuffle into grid cells (the
+    groupBy), and the GEMM kernel is FlatMapGroupsInPandas — Python only
+    at the Arrow-batch boundary."""
+    from flink_realtime_dw4_0_spark.operators import similarity
+    from flink_realtime_dw4_0_spark.sources.files import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = similarity.cosine_pairs(emb, threshold=0.3, n_blocks=4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan

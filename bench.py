@@ -37,6 +37,7 @@ STRESS_QUERIES = [
     "j1_inner_equijoin",         # the skew-injected join
     "a2_traffic_window_pv",      # windowed agg over events
     "dedup_exact",               # hash-groupBy over documents
+    "dedup_minhash_lsh",         # LSH dedup under 8x replica cliques
     "text_quality",              # columnar text features
 ]
 

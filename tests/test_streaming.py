@@ -832,3 +832,49 @@ def test_dws_keyword_window_cjk(spark):
     decoded = ksrc.topic_log(values_df(spark, lines), watermark=None)
     kw = {r.keyword: r.keyword_count for r in dws.keyword_page_view(decoded).collect()}
     assert kw == {"小米": 2, "米手": 2, "手机": 2, "pro": 2}
+
+
+def test_session_window_streaming(spark, tmp_path):
+    """session_window works as a streaming aggregation: watermarked
+    event-time sessions merge within the gap and close when the
+    watermark passes, same semantics as the batch catalog query."""
+    import json
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    base = 1_700_000_000_000
+    rows = [
+        {"user": "u1", "ts": base},
+        {"user": "u1", "ts": base + 10_000},        # same session (gap 30s)
+        {"user": "u1", "ts": base + 120_000},        # new session
+        {"user": "u2", "ts": base + 5_000},
+        {"user": "u2", "ts": base + 600_000},        # advances watermark far
+    ]
+    with open(src / "a.json", "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+    stream = spark.readStream.schema("user string, ts long").json(str(src))
+    agg = (
+        stream.withColumn("row_time", F.timestamp_millis("ts"))
+        .withWatermark("row_time", "10 seconds")
+        .groupBy(F.session_window("row_time", "30 seconds").alias("w"), "user")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user", F.col("w.start").alias("stt"), "n")
+    )
+    out = str(tmp_path / "sess_out")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "sess_ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.user, r.stt.isoformat(), r.n) for r in spark.read.parquet(out).collect()}
+    # only sessions the watermark has closed are emitted (append mode):
+    # u1's two sessions and u2's first; u2's last session stays open
+    assert ("u1", "2023-11-14T22:13:20", 2) in got
+    assert ("u1", "2023-11-14T22:15:20", 1) in got
+    assert ("u2", "2023-11-14T22:13:25", 1) in got
+    assert len(got) == 3

@@ -138,6 +138,23 @@ def main() -> None:
         print("=== DWS: cart-add unique users ===")
         cu = wh.cart_uu_serving.read(spark)
         (cu.orderBy("stt").show(truncate=False) if cu is not None else print("(empty)"))
+
+        # --- training-data curation suite over the synthetic corpus -----
+        sf = os.environ.get("SPARK_GRAFT_SF_DIR_DEMO", "/root/testdata/sf0.001")
+        if os.path.exists(sf):
+            from .plans.catalog import CATALOG
+
+            print("=== Corpus curation: quality -> exact dedup -> near-dup drop ===")
+            cleaned = CATALOG["pipeline_corpus_clean"].fn(spark, sf)
+            docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+            n_in, n_out = docs.count(), cleaned.count()
+            print(f"documents in: {n_in}  surviving: {n_out}  dropped: {n_in - n_out}")
+            print("=== Near-dup components (largest clusters) ===")
+            CATALOG["dedup_components_keep"].fn(spark, sf).groupBy("component").agg(
+                F.count(F.lit(1)).alias("cluster_size")
+            ).filter(F.col("cluster_size") > 1).orderBy(
+                F.col("cluster_size").desc(), "component"
+            ).show(5, truncate=False)
     finally:
         shutil.rmtree(root, ignore_errors=True)
         spark.stop()

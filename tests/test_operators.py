@@ -388,3 +388,12 @@ def test_ivf_materialized_index_partition_pruning(spark, sf_dir, tmp_path):
     pruned.collect()
     scan = pruned._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
     assert scan.metrics().apply("numPartitions").value() == 1
+
+
+def test_dedup_keep_list_empty_pair_graph(spark):
+    """A clean corpus (no near-dup pairs) must label every doc its own
+    singleton component with keep=1 — and converge in one round."""
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(5)], "doc_id long, text string")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    keep = {r.doc_id: (r.component, r.keep) for r in dedup.dedup_keep_list(docs, pairs).collect()}
+    assert keep == {i: (i, 1) for i in range(5)}

@@ -486,6 +486,8 @@ def connected_components(
         labels = new_labels
         if not changed:
             break
+    # release the edge cache: the returned labels are themselves cached,
+    # and their lineage can rebuild edges if that cache is ever evicted
     edges.unpersist()
     return labels.select(F.col("u").alias("doc_id"), F.col("lbl").alias("component"))
 

@@ -106,3 +106,82 @@ def length_histogram(
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("doc_ct"))
     )
+
+
+def concat_chunk_assign(
+    df: DataFrame,
+    chunk_tokens: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Concat-and-chunk assignment — the GPT-style pretraining packing:
+    documents are concatenated in a deterministic global order (by id)
+    and the stream is cut into fixed `chunk_tokens` sequences.  Returns
+    per document its global token offset and the chunk range it spans:
+    (doc_id, n_tokens, start_off, chunk_id, end_chunk_id).
+
+    Scale design: a single global window cumsum is a one-partition
+    bottleneck, so this runs the classic DISTRIBUTED PREFIX SUM —
+    range-repartition by id (Spark's sort machinery), per-partition
+    running sums via one window inside each range partition, partition
+    totals collected (≤ #partitions longs) and turned into broadcast
+    prefix offsets.  No stage sees more than its partition; the driver
+    holds one long per partition.
+
+    Deterministic and integer-exact, so the DuckDB oracle (one window
+    cumsum) hash-matches (`pack_concat_chunk`).
+    """
+    import pandas as pd
+    from collections.abc import Iterator
+
+    spark = df.sparkSession
+    parts = max(2, spark.sparkContext.defaultParallelism)
+    base = (
+        df.select(F.col(id_col).alias("doc_id"), F.col(tokens_col).cast("long").alias("n_tokens"))
+        .repartitionByRange(parts, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+
+    # per-partition running sum as an Arrow pass over the already-sorted
+    # range partition — no shuffle (Window.partitionBy(_pid) would add an
+    # Exchange; the iterator's closure carries the running total across
+    # Arrow batches of the same partition)
+    def cumsum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        run = 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ends = pdf["n_tokens"].cumsum() + run
+            run = int(ends.iloc[-1])
+            pdf["_local_end"] = ends
+            yield pdf
+
+    local = base.mapInPandas(
+        cumsum, "doc_id long, n_tokens long, _pid int, _local_end long"
+    ).cache()
+    totals = {
+        r._pid: r.total
+        for r in local.groupBy("_pid").agg(F.sum("n_tokens").alias("total")).collect()
+    }
+    prefix = {}
+    acc = 0
+    for pid in sorted(totals):
+        prefix[pid] = acc
+        acc += totals[pid]
+    pref_df = spark.createDataFrame(
+        [(pid, off) for pid, off in prefix.items()], "_pid int, _prefix long"
+    )
+    out = (
+        local.join(F.broadcast(pref_df), "_pid")
+        .withColumn("start_off", F.col("_prefix") + F.col("_local_end") - F.col("n_tokens"))
+        # SQL `div` = exact integer division (float `/` misrounds at large
+        # offsets); `n_tokens - 1` puts a doc's last token in its chunk
+        .withColumn("chunk_id", F.expr(f"start_off div {int(chunk_tokens)}"))
+        .withColumn(
+            "end_chunk_id",
+            F.expr(f"(start_off + n_tokens - 1) div {int(chunk_tokens)}"),
+        )
+        .select("doc_id", "n_tokens", "start_off", "chunk_id", "end_chunk_id")
+    )
+    return out

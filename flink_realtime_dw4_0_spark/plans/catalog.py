@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..operators import dedup, etl, joins, multimodal, project, similarity, split, text
+from ..operators import dedup, etl, joins, multimodal, project, sampling, similarity, split, text
 from ..operators.windows import windowed_agg
 from ..sources.files import load_table
 
@@ -1918,3 +1918,31 @@ def tpch_q18(spark, sf_dir):
         .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
         .filter(F.sum("l_quantity") > 250)
     )
+
+
+@q(
+    "pack_concat_chunk",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, CAST(len({_DK_TOKS}) AS BIGINT) AS n_tokens FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
+      FROM toks)
+    SELECT doc_id, n_tokens, start_off,
+           start_off // 2048 AS chunk_id,
+           (start_off + n_tokens - 1) // 2048 AS end_chunk_id
+    FROM c
+    """,
+    tags=("packing", "pretraining"),
+)
+def pack_concat_chunk_q(spark, sf_dir):
+    """Concat-and-chunk packing (GPT-style pretraining): documents
+    concatenated in id order, cut into 2048-token chunks; each doc gets
+    its global offset and chunk span.  Spark side is a DISTRIBUTED
+    prefix sum (range partitions -> per-partition Arrow cumsum ->
+    broadcast prefix offsets) — the oracle's single window cumsum is the
+    semantic spec, not the scale plan."""
+    docs = t(spark, sf_dir, "documents")
+    with_tokens = docs.select("doc_id", text.token_count_ws("text").alias("n_tokens"))
+    return sampling.concat_chunk_assign(with_tokens, 2048)

@@ -397,3 +397,25 @@ def test_dedup_keep_list_empty_pair_graph(spark):
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     keep = {r.doc_id: (r.component, r.keep) for r in dedup.dedup_keep_list(docs, pairs).collect()}
     assert keep == {i: (i, 1) for i in range(5)}
+
+
+def test_concat_chunk_assign_contiguous_and_distributed(spark, sf_dir):
+    """Concat-and-chunk: offsets are gapless in id order (the distributed
+    prefix sum is exact), chunk spans are consistent, and the plan never
+    funnels through a single partition (the scale trap of a global
+    window cumsum)."""
+    from flink_realtime_dw4_0_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_tokens = docs.select("doc_id", text.token_count_ws("text").alias("n_tokens"))
+    out = sampling.concat_chunk_assign(with_tokens, 128)
+    rows = sorted((r.doc_id, r.n_tokens, r.start_off, r.chunk_id, r.end_chunk_id)
+                  for r in out.collect())
+    expect = 0
+    for doc_id, n, off, cid, ecid in rows:
+        assert off == expect, (doc_id, off, expect)
+        expect = off + n
+        assert cid == off // 128 and ecid == (off + n - 1) // 128
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    assert "rangepartitioning" in plan

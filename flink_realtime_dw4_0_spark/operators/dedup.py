@@ -516,3 +516,48 @@ def dedup_keep_list(
             .alias("keep"),
         )
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_overlap: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination — flag corpus documents sharing at least
+    `min_overlap` distinct n-gram shingles with the benchmark/eval set
+    (the standard guard against test-set leakage into training data).
+
+    Scale shape: the benchmark's distinct shingle set is tiny next to the
+    corpus (eval suites are thousands of docs), so it broadcasts; the
+    corpus-side inverted index then needs NO shuffle for the probe — the
+    only shuffle is the per-doc overlap count, map-side combinable.
+    Returns every corpus doc: (doc_id, overlap, contaminated).
+    """
+    inv_c = explode_computed(
+        _shingled(corpus, id_col, text_col, n), ["doc_id"], "sh", "shingle"
+    )
+    bench_sh = (
+        explode_computed(
+            _shingled(benchmark, id_col, text_col, n), ["doc_id"], "sh", "shingle"
+        )
+        .select("shingle")
+        .distinct()
+    )
+    # shingles are distinct per doc, so count(1) == distinct overlap
+    hits = (
+        inv_c.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    return (
+        corpus.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("overlap", F.lit(0)).cast("long").alias("overlap"),
+            (F.coalesce("overlap", F.lit(0)) >= min_overlap).cast("int").alias("contaminated"),
+        )
+    )

@@ -197,3 +197,33 @@ def rolling_hash(col: Column | str) -> Column:
         F.lit(0).cast("long"),
         lambda acc, ch: (acc * 31 + F.ascii(ch)) % MOD,
     )
+
+
+# --- PII scrubbing + URL surface (pre-training curation passes) ----------
+# Patterns are RE2-and-Java-portable (no backrefs/lookaround), so the
+# DuckDB oracle applies literally the same strings.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?[0-9][0-9()\-\s.]{7,}[0-9]"
+URL_REGEX = r"https?://[^\s]+"
+URL_DOMAIN = r"https?://([^/\s]+)"
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Replace emails then phone-number shapes with typed placeholders —
+    the standard pre-training PII pass, pure `regexp_replace` chain
+    (JVM codegen, no UDF).  Order matters: emails first, so the phone
+    pattern never eats digits inside an already-replaced span."""
+    c = F.col(col) if isinstance(col, str) else col
+    scrubbed = F.regexp_replace(c, PII_EMAIL, "<EMAIL>")
+    return F.regexp_replace(scrubbed, PII_PHONE, "<PHONE>")
+
+
+def extract_urls(col: Column | str) -> Column:
+    """All http(s) URLs in the text as an array."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(URL_REGEX), F.lit(0))
+
+
+def url_domain(url: Column) -> Column:
+    """Host part of a URL (group 1 of URL_DOMAIN)."""
+    return F.regexp_extract(url, URL_DOMAIN, 1)

@@ -1946,3 +1946,97 @@ def pack_concat_chunk_q(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     with_tokens = docs.select("doc_id", text.token_count_ws("text").alias("n_tokens"))
     return sampling.concat_chunk_assign(with_tokens, 2048)
+
+
+# ===========================================================================
+# PX — PII scrubbing / URL surface / decontamination (curation passes)
+# ===========================================================================
+
+_PII_FIXTURE = [
+    (1, "contact me at alice.smith+work@ex-1.co.uk or call +1 (415) 555-0133 today"),
+    (2, "no pii here just text about widgets and sprockets"),
+    (3, "see https://sub.example.co.uk/path?q=1 and http://mirror.io/x for docs"),
+    (4, "bob@ex.io wrote: backup line 415-555-0199 https://ex.io/a"),
+]
+
+_PII_SRC = (
+    "(SELECT * FROM (VALUES "
+    + ", ".join(f"({i}, '{s}')" for i, s in _PII_FIXTURE)
+    + ") AS v(src_id, txt))"
+)
+
+# the exact same pattern strings the Spark ops use (text.py) — RE2/Java portable
+_RX_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_RX_PHONE = r"\+?[0-9][0-9()\-\s.]{7,}[0-9]"
+_RX_URL = r"https?://[^\s]+"
+_RX_DOMAIN = r"https?://([^/\s]+)"
+
+
+@q(
+    "text_pii_scrub",
+    "SELECT src_id, regexp_replace(regexp_replace(txt, '"
+    + _RX_EMAIL
+    + "', '<EMAIL>', 'g'), '"
+    + _RX_PHONE
+    + "', '<PHONE>', 'g') AS scrubbed FROM "
+    + _PII_SRC,
+    tags=("text", "pii"),
+)
+def text_pii_scrub_q(spark, sf_dir):
+    """PII scrubbing pass: emails then phone shapes to typed placeholders
+    (pure regexp_replace chain; identical pattern strings on both
+    engines).  Literal fixture — the synthetic corpus carries no PII, so
+    this is what proves the patterns."""
+    rows = spark.createDataFrame(_PII_FIXTURE, "src_id long, txt string")
+    return rows.select("src_id", text.scrub_pii("txt").alias("scrubbed"))
+
+
+@q(
+    "text_url_domains",
+    "WITH u AS (SELECT unnest(regexp_extract_all(txt, '"
+    + _RX_URL
+    + "')) AS url FROM "
+    + _PII_SRC
+    + ") SELECT regexp_extract(url, '"
+    + _RX_DOMAIN
+    + "', 1) AS domain, count(*) AS n FROM u GROUP BY domain",
+    tags=("text", "url"),
+)
+def text_url_domains_q(spark, sf_dir):
+    """URL extraction + domain stats: regexp_extract_all -> explode ->
+    host-part groupBy (all JVM expressions)."""
+    rows = spark.createDataFrame(_PII_FIXTURE, "src_id long, txt string")
+    return (
+        split.explode_computed(rows, [], text.extract_urls("txt"), "url")
+        .select(text.url_domain(F.col("url")).alias("domain"))
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q(
+    "dedup_decontaminate",
+    _DK_SHINGLES
+    + """
+    , bench AS (SELECT DISTINCT shingle FROM inv WHERE doc_id % 97 = 0),
+    hits AS (
+      SELECT i.doc_id, count(*) AS overlap
+      FROM inv i JOIN bench b ON i.shingle = b.shingle
+      WHERE i.doc_id % 97 <> 0 GROUP BY 1)
+    SELECT d.doc_id AS doc_id,
+           CAST(coalesce(h.overlap, 0) AS BIGINT) AS overlap,
+           CAST(coalesce(h.overlap, 0) >= 5 AS INT) AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % 97 <> 0
+    """,
+    tags=("dedup", "decontamination"),
+)
+def dedup_decontaminate_q(spark, sf_dir):
+    """Benchmark decontamination: corpus docs sharing >= 5 distinct
+    3-gram shingles with the benchmark set (here: doc_id % 97 == 0 as
+    the stand-in eval suite) are flagged — the test-set-leakage guard.
+    Benchmark shingles broadcast; the corpus probe needs no shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return dedup.decontaminate(corpus, bench, min_overlap=5)

@@ -2040,3 +2040,47 @@ def dedup_decontaminate_q(spark, sf_dir):
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
     return dedup.decontaminate(corpus, bench, min_overlap=5)
+
+
+@q(
+    "text_repetition",
+    f"""
+    WITH toks AS (SELECT doc_id, {_DK_TOKS} AS tk FROM documents),
+    g AS (SELECT doc_id,
+                 CASE WHEN len(tk) >= 2
+                      THEN [tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))]
+                      ELSE [] END AS grams
+          FROM toks)
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_grams,
+           CAST(len(grams) - len(list_distinct(grams)) AS BIGINT) AS n_repeated,
+           CASE WHEN len(grams) > 0
+                THEN round((len(grams) - len(list_distinct(grams))) / len(grams), 4)
+                ELSE 0.0 END AS rep_ratio
+    FROM g
+    """,
+    tags=("text", "quality"),
+)
+def text_repetition_q(spark, sf_dir):
+    """Within-document repetition (Gopher-style quality signal): the
+    fraction of duplicate word bigrams inside each document — high
+    ratios mark boilerplate/spam.  Pure array expressions (transform +
+    array_distinct), no shuffle at all: a narrow map over the corpus."""
+    docs = t(spark, sf_dir, "documents")
+    tk = text.tokenize("text")
+    grams = F.when(
+        F.size(tk) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 1),
+            lambda i: F.array_join(F.slice(tk, i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    staged = docs.select("doc_id", grams.alias("grams"))
+    n = F.size("grams")
+    n_rep = n - F.size(F.array_distinct("grams"))
+    return staged.select(
+        "doc_id",
+        n.cast("long").alias("n_grams"),
+        n_rep.cast("long").alias("n_repeated"),
+        F.when(n > 0, F.round(n_rep / n, 4)).otherwise(F.lit(0.0)).alias("rep_ratio"),
+    )

@@ -1921,6 +1921,379 @@ def tpch_q18(spark, sf_dir):
 
 
 @q(
+    "tpch_q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 4) AS revenue
+    FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 year(l_shipdate) AS l_year,
+                 l_extendedprice * (1 - l_discount) AS volume
+          FROM supplier s JOIN lineitem l ON s_suppkey = l_suppkey
+            JOIN orders o ON o_orderkey = l_orderkey
+            JOIN customer c ON c_custkey = o_custkey
+            JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+          WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            AND l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31') v
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    tags=("tpch", "join"),
+)
+def tpch_q7(spark, sf_dir):
+    """TPC-H Q7 (volume shipping between two nations): the nation-name
+    filter lands INSIDE the two broadcast dims, so supplier/customer
+    shrink to 2/25 nations before touching the fact tables; only the
+    cross-pair predicate is evaluated post-join."""
+    pair = ("NATION_1", "NATION_2")
+    n = t(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
+    s = t(spark, sf_dir, "supplier").join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("s_nk"),
+    )
+    c = t(spark, sf_dir, "customer").join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))),
+        F.col("c_nationkey") == F.col("c_nk"),
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1995-01-01", "1996-12-31")
+    )
+    o = t(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+    )
+
+
+@q(
+    "tpch_q8_market_share",
+    """
+    SELECT o_year,
+           round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END), 4) AS nation_volume,
+           round(sum(volume), 4) AS total_volume
+    FROM (SELECT year(o_orderdate) AS o_year,
+                 l_extendedprice * (1 - l_discount) AS volume, n2.n_name AS nation
+          FROM part p JOIN lineitem l ON p_partkey = l_partkey
+            JOIN supplier s ON s_suppkey = l_suppkey
+            JOIN orders o ON l_orderkey = o_orderkey
+            JOIN customer c ON o_custkey = c_custkey
+            JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+            JOIN region r ON n1.n_regionkey = r_regionkey
+            JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+          WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+            AND o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31') v
+    GROUP BY o_year
+    """,
+    tags=("tpch", "join"),
+)
+def tpch_q8(spark, sf_dir):
+    """TPC-H Q8 shape (market share of NATION_3 suppliers in ASIA's
+    ECONOMY-part market): numerator/denominator emitted separately at the
+    4-dec disc-price quantization (a float ratio has no stable
+    cross-engine rounding).  All five dims broadcast; the only shuffles
+    are lineitem⋈orders and the final tiny groupBy."""
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation")
+    )
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    n1 = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    c = (
+        t(spark, sf_dir, "customer")
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1995-01-01", "1996-12-31")
+    )
+    li = t(spark, sf_dir, "lineitem")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(0)), 4).alias("nation_volume"),
+            F.round(F.sum(vol), 4).alias("total_volume"),
+        )
+    )
+
+
+@q(
+    "tpch_q10_returned_items",
+    """
+    SELECT c_custkey, c_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           round(c_acctbal, 2) AS c_acctbal, n_name
+    FROM customer JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    """,
+    tags=("tpch", "join"),
+)
+def tpch_q10(spark, sf_dir):
+    """TPC-H Q10 (revenue lost to returned items, per customer): the
+    quarter filter prunes orders at the scan, returnflag prunes lineitem;
+    nation broadcasts.  Full grouped output (the spec's LIMIT 20 by
+    revenue is tie-unstable across engines, so sorting is left to the
+    consumer)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = t(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"), "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+    )
+
+
+@q(
+    "tpch_q13_customer_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey) co
+    GROUP BY c_count
+    """,
+    tags=("tpch", "outerjoin"),
+)
+def tpch_q13(spark, sf_dir):
+    """TPC-H Q13 shape (customer order-count distribution): left outer
+    join with a predicate in the JOIN condition (not WHERE — zero-order
+    customers must survive), double aggregation.  The synthetic orders
+    carry no o_comment, so the not-like filter becomes a priority
+    exclusion; same join-conditional shape."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@q(
+    "tpch_q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    tags=("tpch", "subquery"),
+)
+def tpch_q15(spark, sf_dir):
+    """TPC-H Q15 (top supplier by quarterly revenue): the revenue CTE is
+    computed once; its global max is a 1-row aggregate joined back via
+    broadcast — never a single-partition window.  Equality compares
+    values rounded at the 4-dec quantization, stable in both engines."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(s, F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@q(
+    "tpch_q17_small_qty_revenue",
+    """
+    WITH pq AS (
+      SELECT l_partkey AS pk, count(*) AS cnt,
+             sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qsum
+      FROM lineitem GROUP BY l_partkey)
+    SELECT round(sum(l_extendedprice), 2) AS small_qty_base
+    FROM lineitem JOIN part ON p_partkey = l_partkey JOIN pq ON pk = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND CAST(round(l_quantity * 100) AS BIGINT) * 5 * cnt < qsum
+    """,
+    tags=("tpch", "subquery"),
+)
+def tpch_q17(spark, sf_dir):
+    """TPC-H Q17 shape (revenue from small-quantity lines vs the
+    part's average): the correlated `l_quantity < 0.2 * avg(...)` is
+    rewritten integer-exact — quantities are 2-dec quantized, so
+    `100*qty * 5 * cnt < sum(100*qty)` ⟺ qty < avg/5 with zero float
+    boundary risk in either engine.  Per-part stats are a small
+    aggregate broadcast back against the fact scan."""
+    li = t(spark, sf_dir, "lineitem")
+    qc = F.round(F.col("l_quantity") * 100).cast("long")
+    pq = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum(qc).alias("qsum")
+    )
+    p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(pq), F.col("l_partkey") == F.col("pk"))
+        .filter(qc * 5 * F.col("cnt") < F.col("qsum"))
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("small_qty_base"))
+    )
+
+
+@q(
+    "tpch_q19_discounted_revenue",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=("tpch",),
+)
+def tpch_q19(spark, sf_dir):
+    """TPC-H Q19 shape (disjunction of brand/size/quantity clauses; the
+    synthetic part has no p_container, so size ranges stand in).  The
+    OR-of-conjunctions stays one JVM predicate post-join; Catalyst
+    extracts the common-brand IN-list as a pushable pre-filter on the
+    broadcast build side."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+    )
+    qty, size, brand = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    clause = (
+        ((brand == "Brand#12") & size.between(1, 5) & qty.between(1, 11))
+        | ((brand == "Brand#23") & size.between(1, 10) & qty.between(10, 20))
+        | ((brand == "Brand#34") & size.between(1, 15) & qty.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(clause)
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+    )
+
+
+@q(
+    "tpch_q21_suppliers_waiting",
+    """
+    WITH late AS (
+      SELECT l_orderkey, l_suppkey FROM lineitem l JOIN orders o ON o_orderkey = l_orderkey
+      WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    SELECT s_name, count(*) AS numwait
+    FROM supplier s JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+      JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F' AND n.n_name = 'NATION_1'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s_name
+    """,
+    tags=("tpch", "semijoin", "antijoin"),
+)
+def tpch_q21(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who alone were late on multi-supplier
+    orders; no l_receiptdate/l_commitdate in the synthetic schema, so
+    'late' = shipped >90 days after order date).  EXISTS → left-semi,
+    NOT EXISTS → left-anti, both with a non-equi suppkey≠ conjunct on the
+    orderkey shuffle; the NATION_1 supplier dim broadcasts."""
+    n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    s = t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name")
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    late = (
+        li.join(o.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select(F.col("l_orderkey").alias("lk"), F.col("l_suppkey").alias("sk"))
+    )
+    l1 = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o.filter(F.col("o_orderstatus") == "F"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey", "s_name")
+    )
+    l2 = li.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
+    return (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            late,
+            (F.col("l_orderkey") == F.col("lk")) & (F.col("l_suppkey") != F.col("sk")),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@q(
+    "tpch_q22_dormant_customers",
+    """
+    SELECT cntrycode, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+    FROM (SELECT c_nationkey AS cntrycode, c_acctbal, c_custkey
+          FROM customer
+          WHERE c_nationkey IN (1, 2, 3, 4, 5, 6, 7)
+            AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                             WHERE c_acctbal > 0 AND c_nationkey IN (1, 2, 3, 4, 5, 6, 7))
+            AND NOT EXISTS (SELECT 1 FROM orders
+                            WHERE o_custkey = c_custkey
+                              AND o_orderdate >= DATE '2000-01-01')) cc
+    GROUP BY cntrycode
+    """,
+    tags=("tpch", "antijoin", "subquery"),
+)
+def tpch_q22(spark, sf_dir):
+    """TPC-H Q22 shape (rich-but-dormant customers): every synthetic
+    customer has orders, so 'never ordered' becomes 'no order since
+    2000'; phone country codes don't exist, so c_nationkey stands in.
+    Scalar-avg subquery → 1-row aggregate broadcast; NOT EXISTS →
+    left-anti against the date-pruned orders scan."""
+    nations = (1, 2, 3, 4, 5, 6, 7)
+    c = t(spark, sf_dir, "customer").filter(F.col("c_nationkey").isin(*nations))
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
+    recent = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "2000-01-01")
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+@q(
     "pack_concat_chunk",
     f"""
     WITH toks AS (

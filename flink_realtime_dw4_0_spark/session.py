@@ -50,6 +50,11 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         # --- core engine tuning -------------------------------------------
+        # local mode runs driver+executors in ONE JVM whose default heap is
+        # 1g — far too small for 32 threads + broadcast builds (observed
+        # broadcast OOM on the 8x stress corpus).  Only effective at JVM
+        # launch; on a real cluster spark-submit owns this.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

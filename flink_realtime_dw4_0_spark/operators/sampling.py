@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # 4 hex chars = 65536 buckets; boundaries are hex-string literals.
 _BUCKET_LEN = 4
@@ -185,3 +186,76 @@ def concat_chunk_assign(
         .select("doc_id", "n_tokens", "start_off", "chunk_id", "end_chunk_id")
     )
     return out
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list[Column],
+    range_cols: list[Column],
+    out_col: str = "rank",
+) -> DataFrame:
+    """1-based row number in a TOTAL order, without the single-partition
+    global window (`row_number().over(Window.orderBy(...))` funnels the
+    whole table through one task).
+
+    Same distributed-prefix-sum shape as `concat_chunk_assign`, with a
+    unit weight: range-repartition on the order keys (Spark samples the
+    key distribution, so partitions are balanced even on skewed counts),
+    sort within partitions, count rows per partition with one Arrow pass,
+    and offset each partition by the broadcast prefix of earlier
+    partition sizes.  The driver only ever holds one long per partition.
+
+    `order_cols` must be a total order (include a unique tiebreak column)
+    or ranks are nondeterministic within ties.  `range_cols` are the same
+    keys as bare columns (repartitionByRange accepts desc() exprs but the
+    partitioner needs the natural columns with matching direction via the
+    sort exprs themselves).
+    """
+    import pandas as pd
+    from collections.abc import Iterator
+
+    spark = df.sparkSession
+    parts = max(2, spark.sparkContext.defaultParallelism)
+    base = (
+        df.repartitionByRange(parts, *range_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+
+    # fresh StructType — StructType.add mutates in place, and mutating
+    # base.schema would make base itself claim a column it doesn't have
+    out_schema = T.StructType(
+        list(base.schema.fields) + [T.StructField("_local_rn", T.LongType())]
+    )
+
+    def rn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        run = 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pdf["_local_rn"] = range(run + 1, run + 1 + len(pdf))
+            run += len(pdf)
+            yield pdf
+
+    # cache is REQUIRED for correctness, not speed: the range partitioner
+    # samples key boundaries per execution, and the partition sizes
+    # collected below must describe the SAME partitioning the final join
+    # reads — an uncached recompute could place rows in different
+    # partitions than the offsets were built for.
+    local = base.mapInPandas(rn, out_schema).cache()
+    sizes = {
+        r._pid: r.ct
+        for r in local.groupBy("_pid").agg(F.count(F.lit(1)).alias("ct")).collect()
+    }
+    prefix, acc = {}, 0
+    for pid in sorted(sizes):
+        prefix[pid] = acc
+        acc += sizes[pid]
+    pref_df = spark.createDataFrame(
+        [(pid, off) for pid, off in prefix.items()], "_pid int, _prefix long"
+    )
+    return (
+        local.join(F.broadcast(pref_df), "_pid")
+        .withColumn(out_col, F.col("_prefix") + F.col("_local_rn"))
+        .drop("_pid", "_local_rn", "_prefix")
+    )

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # Tiny per-language stopword lists for the n-gram/stopword language-ID
 # heuristic.  Deterministic and engine-portable (the DuckDB oracle uses the
@@ -227,3 +228,82 @@ def extract_urls(col: Column | str) -> Column:
 def url_domain(url: Column) -> Column:
     """Host part of a URL (group 1 of URL_DOMAIN)."""
     return F.regexp_extract(url, URL_DOMAIN, 1)
+
+
+# --- vocabulary / frequency surface (tokenizer-training prep) ------------
+
+def token_counts(
+    df: DataFrame, text_col: str = "text", extra_keys: list[str] | None = None
+) -> DataFrame:
+    """(token, cnt) corpus term frequencies (plus optional grouping keys,
+    e.g. a language column): explode via the InferFilters-safe path, then
+    ONE map-side-combinable shuffle.  Empty-string tokens (blank docs)
+    are dropped."""
+    from .split import explode_computed
+
+    spark_parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < spark_parallelism:
+        df = df.repartition(spark_parallelism)
+    keys = list(extra_keys or [])
+    toks = explode_computed(df, keys, tokenize(text_col), "token")
+    return (
+        toks.filter(F.col("token") != "")
+        .groupBy(*keys, "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def vocab_build(df: DataFrame, text_col: str = "text", min_count: int = 1) -> DataFrame:
+    """Frequency-ranked vocabulary: (token, cnt, token_id) with contiguous
+    1-based ids in (cnt DESC, token ASC) order — what a tokenizer trainer
+    or embedding table wants.
+
+    Scale design: counting is one combinable shuffle; the global id
+    assignment uses `sampling.global_rank`'s distributed prefix sum, so
+    a 100M-token vocabulary never funnels through a single-partition
+    window."""
+    from .sampling import global_rank
+
+    counts = token_counts(df, text_col)
+    if min_count > 1:
+        counts = counts.filter(F.col("cnt") >= min_count)
+    return global_rank(
+        counts,
+        order_cols=[F.col("cnt").desc(), F.col("token").asc()],
+        range_cols=[F.col("cnt").desc(), F.col("token").asc()],
+        out_col="token_id",
+    ).select("token", "cnt", "token_id")
+
+
+def top_tokens_by_group(
+    df: DataFrame,
+    group_col: Column | str,
+    text_col: str = "text",
+    k: int = 10,
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Exact top-k tokens per group (e.g. per language): (group, token,
+    cnt, rnk <= k).
+
+    A single `Window.partitionBy(group)` puts EVERY distinct token of a
+    group through one task — with billions of distinct tokens per
+    language at corpus scale, that is the classic skewed-window
+    bottleneck.  Instead: two-phase exact top-k — tokens are salted into
+    `salt_buckets` sub-partitions, each sub-partition keeps its local
+    top-k (a bucket holds each token's TOTAL count, since the salt is a
+    hash of the token itself), and the final window ranks only the
+    <= salt_buckets*k survivors per group."""
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    counts = token_counts(df.withColumn("_grp", g), text_col, extra_keys=["_grp"])
+    salt = F.pmod(F.xxhash64("token"), F.lit(salt_buckets))
+    order = [F.col("cnt").desc(), F.col("token").asc()]
+    w_local = Window.partitionBy("_grp", "_salt").orderBy(*order)
+    w_final = Window.partitionBy("_grp").orderBy(*order)
+    return (
+        counts.withColumn("_salt", salt)
+        .withColumn("_lrnk", F.row_number().over(w_local))
+        .filter(F.col("_lrnk") <= k)
+        .withColumn("rnk", F.row_number().over(w_final))
+        .filter(F.col("rnk") <= k)
+        .select(F.col("_grp").alias("grp"), "token", "cnt", "rnk")
+    )

@@ -1327,6 +1327,46 @@ def text_stats(spark, sf_dir):
     )
 
 
+@q(
+    "text_vocab_build",
+    f"""
+    WITH tok AS (SELECT unnest({_DK_TOKS}) AS token FROM documents),
+    v AS (SELECT token, count(*) AS cnt FROM tok WHERE token <> '' GROUP BY token)
+    SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token) AS token_id
+    FROM v WHERE cnt >= 3
+    """,
+    tags=("text", "vocab"),
+)
+def text_vocab_build_q(spark, sf_dir):
+    """Frequency-ranked vocabulary over the corpus (min_count=3):
+    contiguous ids assigned by a distributed prefix sum
+    (`sampling.global_rank`), never a single-partition window — the
+    oracle's `row_number() OVER (ORDER BY ...)` is the semantic twin but
+    NOT the plan."""
+    return text.vocab_build(t(spark, sf_dir, "documents"), min_count=3)
+
+
+@q(
+    "text_top_tokens_by_lang",
+    f"""
+    WITH tok AS (SELECT lang, unnest({_DK_TOKS}) AS token FROM documents),
+    counts AS (SELECT lang, token, count(*) AS cnt FROM tok
+               WHERE token <> '' GROUP BY lang, token)
+    SELECT lang AS grp, token, cnt, rnk FROM (
+      SELECT lang, token, cnt,
+             row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rnk
+      FROM counts) x
+    WHERE rnk <= 10
+    """,
+    tags=("text", "topk"),
+)
+def text_top_tokens_q(spark, sf_dir):
+    """Exact top-10 tokens per language — two-phase salted top-k (local
+    top-k per hash bucket, final rank over <= 64*k survivors per group),
+    so no group's full distinct-token set ever meets one task."""
+    return text.top_tokens_by_group(t(spark, sf_dir, "documents"), "lang", k=10)
+
+
 @q("sketch_hll_distinct", None, tags=("sketch", "approx"))
 def sketch_hll(spark, sf_dir):
     """Approximate distinct-count sketch (HyperLogLog++) per event_type —

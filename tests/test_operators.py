@@ -419,3 +419,59 @@ def test_concat_chunk_assign_contiguous_and_distributed(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan, plan
     assert "rangepartitioning" in plan
+
+
+def test_global_rank_total_order_and_distributed(spark):
+    """global_rank == the single-partition window row_number it replaces,
+    on a frame big enough to span several range partitions (including
+    heavy count ties, which the token tiebreak must order), and the plan
+    never collapses to a single partition."""
+    from flink_realtime_dw4_0_spark.operators import sampling
+
+    rows = [(f"tok{i:05d}", (i * 7919) % 50) for i in range(5000)]
+    df = spark.createDataFrame(rows, "token string, cnt long")
+    order = [F.col("cnt").desc(), F.col("token").asc()]
+    out = sampling.global_rank(df, order, order, out_col="token_id")
+    got = {r.token: r.token_id for r in out.collect()}
+    expect = {
+        tok: i + 1
+        for i, (tok, _) in enumerate(
+            sorted(rows, key=lambda r: (-r[1], r[0]))
+        )
+    }
+    assert got == expect
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    assert "rangepartitioning" in plan
+
+
+def test_vocab_build_ranks_by_frequency(spark):
+    """vocab_build: contiguous 1-based ids in (cnt desc, token) order,
+    min_count filter applied, blank tokens dropped."""
+    df = spark.createDataFrame(
+        [(1, "b b b a a c"), (2, "a  b"), (3, "   "), (4, "c")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.token: (r.cnt, r.token_id)
+        for r in text.vocab_build(df, min_count=2).collect()
+    }
+    assert got == {"b": (4, 1), "a": (3, 2), "c": (2, 3)}
+
+
+def test_top_tokens_by_group_exact_two_phase(spark):
+    """Salted two-phase top-k == the naive per-group ranking, ties broken
+    lexicographically."""
+    docs = [
+        (1, "en", "x x x y y z w"),
+        (2, "en", "y z z"),
+        (3, "de", "a b b"),
+        (4, "de", "b a a"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+    out = text.top_tokens_by_group(df, "lang", k=2)
+    got = {(r.grp, r.rnk): (r.token, r.cnt) for r in out.collect()}
+    assert got == {
+        ("en", 1): ("x", 3), ("en", 2): ("y", 3),
+        ("de", 1): ("a", 3), ("de", 2): ("b", 3),
+    }

@@ -307,3 +307,37 @@ def top_tokens_by_group(
         .filter(F.col("rnk") <= k)
         .select(F.col("_grp").alias("grp"), "token", "cnt", "rnk")
     )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k tf-idf keywords per document: (doc_id, token, tf, rnk).
+
+    Uses LINEAR idf (tf * N/df) ranked through scaled integer division
+    (`tf * N * 1_000_000 div df`) — order-equivalent to tf/df, and exact
+    integer arithmetic means both engines rank identically (log-idf's
+    last-ulp differences can flip ranks across engines).
+
+    Scale shape: tf is one (doc, token) combinable shuffle; df is a
+    token-keyed aggregate of the (already small) tf table, broadcast
+    back; N is a 1-row broadcast; the final window partitions by doc —
+    a document's distinct tokens always fit one task.
+    """
+    tf = token_counts(df.select(F.col(id_col).alias("doc_id"), text_col),
+                      text_col, extra_keys=["doc_id"]).withColumnRenamed("cnt", "tf")
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    score = F.expr("tf * n_docs * 1000000 div df")
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(F.broadcast(n_docs))
+        .withColumn("score", score)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "token", "tf", "rnk")
+    )

@@ -1367,6 +1367,63 @@ def text_top_tokens_q(spark, sf_dir):
     return text.top_tokens_by_group(t(spark, sf_dir, "documents"), "lang", k=10)
 
 
+@q(
+    "text_tfidf_keywords",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_DK_TOKS}) AS token FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok WHERE token <> ''
+           GROUP BY doc_id, token),
+    dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+    SELECT doc_id, token, tf, rnk FROM (
+      SELECT t.doc_id, t.token, t.tf,
+             row_number() OVER (PARTITION BY t.doc_id
+               ORDER BY (t.tf * n.n_docs * 1000000) // d.df DESC, t.token) AS rnk
+      FROM tf t JOIN dfreq d ON t.token = d.token CROSS JOIN n) x
+    WHERE rnk <= 3
+    """,
+    tags=("text", "tfidf"),
+)
+def text_tfidf_q(spark, sf_dir):
+    """Top-3 tf-idf keywords per document — linear idf ranked via scaled
+    INTEGER division (log-idf's last-ulp float differences can flip ranks
+    across engines; `tf*N*1e6 div df` is order-equivalent and exact)."""
+    return text.tfidf_keywords(t(spark, sf_dir, "documents"), k=3)
+
+
+@q(
+    "w_moving_avg_range",
+    """
+    SELECT event_id, user_id,
+           round(avg(value) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 4) AS avg_1h,
+           count(*) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_1h
+    FROM events
+    """,
+    tags=("window-fn", "range-frame"),
+)
+def w_moving_avg(spark, sf_dir):
+    """Event-time moving average: RANGE frame over the trailing hour per
+    user (epoch-microsecond order keys — integer-exact frame bounds in
+    both engines; RANGE includes ts ties, so the frame is a set and
+    ordering within ties can't change it)."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 4).alias("avg_1h"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+    )
+
+
 @q("sketch_hll_distinct", None, tags=("sketch", "approx"))
 def sketch_hll(spark, sf_dir):
     """Approximate distinct-count sketch (HyperLogLog++) per event_type —

@@ -322,19 +322,21 @@ def tfidf_keywords(
     integer arithmetic means both engines rank identically (log-idf's
     last-ulp differences can flip ranks across engines).
 
-    Scale shape: tf is one (doc, token) combinable shuffle; df is a
-    token-keyed aggregate of the (already small) tf table, broadcast
-    back; N is a 1-row broadcast; the final window partitions by doc —
-    a document's distinct tokens always fit one task.
+    Scale shape: tf is one (doc, token) combinable shuffle; df comes
+    from an unordered count over a token-partitioned window — the
+    corpus-wide distinct-token table is never a join build side (it is
+    NOT broadcastable at 100 TB), and an unordered count window needs no
+    sort, only the token shuffle; N is a 1-row broadcast; the final
+    window partitions by doc — a document's distinct tokens always fit
+    one task.
     """
     tf = token_counts(df.select(F.col(id_col).alias("doc_id"), text_col),
                       text_col, extra_keys=["doc_id"]).withColumnRenamed("cnt", "tf")
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
     score = F.expr("tf * n_docs * 1000000 div df")
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
     return (
-        tf.join(F.broadcast(dfreq), "token")
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("token")))
         .join(F.broadcast(n_docs))
         .withColumn("score", score)
         .withColumn("rnk", F.row_number().over(w))

@@ -130,3 +130,55 @@ def test_cosine_grid_no_exchange_storm(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" in plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_q21_semi_and_anti_joins(spark, sf_dir):
+    """Q21's EXISTS/NOT EXISTS run as semi/anti joins (never a count-
+    based rewrite or cartesian), with the nation filter broadcast."""
+    plan = plan_of(spark, sf_dir, "tpch_q21_suppliers_waiting")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q19_brand_prefilter_reaches_part_scan(spark, sf_dir):
+    """The OR-of-conjunctions' common brand IN-list prunes the part scan
+    (build side), not just the joined rows."""
+    plan = plan_of(spark, sf_dir, "tpch_q19_discounted_revenue")
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters:" in ln and "p_brand" in ln]
+    assert pushed, plan
+
+
+def test_q7_dim_filters_before_facts(spark, sf_dir):
+    """Q7's nation-name filter shrinks the broadcast dims before they
+    meet lineitem/orders — the filter must appear below the broadcast
+    exchange, not above the join."""
+    plan = plan_of(spark, sf_dir, "tpch_q7_volume_shipping")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("n_name") >= 2  # both dim copies carry the filter
+
+
+def test_tfidf_df_window_no_extra_join(spark, sf_dir):
+    """Doc frequency comes from a token-partitioned window: no
+    SortMergeJoin against a token aggregate, no broadcast of the
+    distinct-token table."""
+    plan = plan_of(spark, sf_dir, "text_tfidf_keywords")
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_moving_avg_single_user_shuffle(spark, sf_dir):
+    """The trailing-hour RANGE frame runs on ONE hashpartitioning
+    exchange by user_id (both window functions share the frame)."""
+    plan = plan_of(spark, sf_dir, "w_moving_avg_range")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "SinglePartition" not in plan
+
+
+def test_vocab_build_distributed_rank(spark, sf_dir):
+    """Vocabulary ids are assigned by the distributed prefix sum — the
+    plan must show a range partitioning and never a single-partition
+    funnel."""
+    plan = plan_of(spark, sf_dir, "text_vocab_build")
+    assert "SinglePartition" not in plan, plan
+    assert "rangepartitioning" in plan

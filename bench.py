@@ -14,6 +14,11 @@ corpus: the sf tables replicated `scale`x with key remapping (join
 relations preserved) plus an injected hot key covering `skew_frac` of
 lineitem — so the trend line and AQE skew-join splitting are exercised by
 data, not only plan tests.  Disable with SPARK_GRAFT_STRESS=0.
+
+The streaming section drives the DWD log pipeline end-to-end
+(availableNow, two batches, keyed state + 5-way routing) and reports
+rows/sec.  Disable with SPARK_GRAFT_STREAM=0; size with
+SPARK_GRAFT_STREAM_ROWS.
 """
 
 from __future__ import annotations
@@ -81,6 +86,84 @@ def build_stress_dir(spark, sf_dir: str, out_dir: str, scale: int, skew_frac: fl
         )
 
 
+def bench_streaming(spark) -> dict:
+    """End-to-end throughput of the DWD log pipeline (the reference's
+    hottest stream): json decode -> ETL validity -> keyed visitor-fix
+    state -> 5-way route split -> parquet sinks, driven availableNow in
+    two batches so the cross-batch state path is exercised.
+
+    Rows/sec here is single-node wall-clock including sink I/O and the
+    state-table MERGE — the honest number a capacity plan needs.
+    """
+    import json as _json
+    import tempfile
+
+    n = int(os.environ.get("SPARK_GRAFT_STREAM_ROWS", "400000"))
+    tmp = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        day_ms = 1_700_000_000_000
+        files = 4
+        per = n // files
+        for fi in range(files):
+            with open(os.path.join(src, f"f{fi}.json"), "w") as fh:
+                for j in range(per):
+                    i = fi * per + j
+                    rec = {
+                        "common": {
+                            "mid": f"m{i % 5000}",
+                            "is_new": "1" if i % 3 else "0",
+                            "vc": "v1", "ch": "ch1", "ar": "ar1",
+                            "uid": f"m{i % 5000}", "sid": f"s{i % 5000}",
+                        },
+                        "ts": day_ms + i,
+                    }
+                    if i % 13 == 0:
+                        rec["start"] = {"entry": "icon", "loading_time": 200}
+                    else:
+                        rec["page"] = {"page_id": "home", "during_time": 1000}
+                        if i % 10 == 0:
+                            rec["displays"] = [
+                                {"item": f"i{k}", "item_type": "sku", "pos_id": f"p{k}"}
+                                for k in range(3)
+                            ]
+                            rec["actions"] = [
+                                {"action_id": "fav", "item": "i0", "ts": day_ms + i}
+                            ]
+                        if i % 31 == 0:
+                            rec["err"] = {"error_code": "42", "msg": "x"}
+                    fh.write(_json.dumps(rec) + "\n")
+
+        from flink_realtime_dw4_0_spark.sinks.upsert import KeyedTable
+        from flink_realtime_dw4_0_spark.sources import kafka as ksrc
+        from flink_realtime_dw4_0_spark.streaming.dwd_log import (
+            parquet_route_writers,
+            run_dwd_log_pipeline,
+        )
+
+        state = KeyedTable(os.path.join(tmp, "state"), keys=["mid"])
+        writers = parquet_route_writers(
+            os.path.join(tmp, "routes"),
+            ["err", "start", "display", "action", "page"],
+        )
+        raw = ksrc.file_json_raw(spark, src, max_files=2)  # 2 batches
+        t0 = time.perf_counter()
+        qh = run_dwd_log_pipeline(
+            raw, state, writers, os.path.join(tmp, "ckpt"), available_now=True
+        )
+        qh.awaitTermination(600)
+        dt = time.perf_counter() - t0
+        return {
+            "pipeline": "dwd_log",
+            "rows": files * per,
+            "sec": round(dt, 3),
+            "rows_per_sec": int((files * per) / dt),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -135,8 +218,12 @@ def main() -> None:
                 # Isolate stress timings: a prior query's cached data (the
                 # 8x shingle index) otherwise squeezes the heap and taxes
                 # unrelated queries 7x (observed on text_quality: 24s
-                # after minhash, 2.5s isolated).
+                # after minhash, 2.5s isolated).  clearCache's unpersist
+                # is asynchronous — force a GC and settle so the measured
+                # query doesn't run against a heap of dying blocks.
                 spark.catalog.clearCache()
+                spark.sparkContext._jvm.System.gc()
+                time.sleep(1)
                 t0 = time.perf_counter()
                 CATALOG[name].fn(spark, stress_dir).write.format("noop").mode(
                     "overwrite"
@@ -150,6 +237,11 @@ def main() -> None:
             }
         finally:
             shutil.rmtree(stress_dir, ignore_errors=True)
+
+    if os.environ.get("SPARK_GRAFT_STREAM", "1") != "0":
+        spark.catalog.clearCache()
+        time.sleep(2)  # settle async block frees before timing the stream
+        out["streaming"] = bench_streaming(spark)
 
     print(json.dumps(out))
     spark.stop()

@@ -1483,6 +1483,80 @@ def ann_ivf(spark, sf_dir):
 
 
 @q(
+    "ts_gap_fill_hourly",
+    """
+    WITH c AS (SELECT event_type, date_trunc('hour', ts) AS b, count(*) AS n
+               FROM events GROUP BY event_type, date_trunc('hour', ts)),
+    s AS (SELECT event_type, min(b) AS mn, max(b) AS mx FROM c GROUP BY event_type),
+    h AS (SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS b FROM s)
+    SELECT h.event_type AS event_type,
+           strftime(h.b, '%Y-%m-%d %H:%M:%S') AS bucket_s,
+           coalesce(c.n, 0) AS n
+    FROM h LEFT JOIN c ON h.event_type = c.event_type AND h.b = c.b
+    """,
+    tags=("timeseries", "gap-fill"),
+)
+def ts_gap_fill_q(spark, sf_dir):
+    """Time-series gap fill: hourly event counts per type with missing
+    buckets zero-filled between each type's first and last hour.  The
+    bucket spine is generated per key from a tiny per-key min/max
+    aggregate (`sequence` + explode) — never a driver-side calendar —
+    and the fill is one keyed left join."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", "ts").alias("b")
+    )
+    c = ev.groupBy("event_type", "b").agg(F.count(F.lit(1)).alias("n"))
+    s = c.groupBy("event_type").agg(F.min("b").alias("mn"), F.max("b").alias("mx"))
+    h = s.select(
+        "event_type",
+        F.explode(F.expr("sequence(mn, mx, interval 1 hour)")).alias("b"),
+    )
+    return (
+        h.join(c, ["event_type", "b"], "left")
+        .select(
+            "event_type",
+            F.date_format("b", "yyyy-MM-dd HH:mm:ss").alias("bucket_s"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )
+
+
+@q(
+    "grouping_sets_mixed",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS rf,
+           coalesce(l_linestatus, 'ALL') AS ls,
+           round(sum(l_quantity), 2) AS qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    tags=("agg", "grouping-sets"),
+)
+def grouping_sets_q(spark, sf_dir):
+    """Explicit GROUPING SETS (neither a rollup nor a cube: per-flag,
+    per-status, and grand-total rows in ONE pass over the fact table —
+    three aggregations for one scan+shuffle)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag", "l_linestatus",
+        )
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "qty",
+            "n",
+        )
+    )
+
+
+@q(
     "rollup_revenue",
     """
     SELECT coalesce(l_returnflag, 'ALL') AS rf,

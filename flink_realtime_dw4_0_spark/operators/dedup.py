@@ -190,6 +190,10 @@ def ngram_jaccard_pairs_prefix(
             <= F.lit(threshold_den) * (n_sh - F.col("pos") + 1)
         )
         .select("doc_id", "shingle", "n_sh")
+        # cached: the self-join consumes BOTH sides of this subplan, and
+        # Catalyst does not ReusedExchange across the join — uncached, the
+        # freq/rank windows run twice (measured 2x window work at sf0.1)
+        .cache()
     )
     a = prefix.alias("a")
     b = prefix.alias("b")

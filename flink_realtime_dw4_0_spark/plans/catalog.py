@@ -2316,17 +2316,21 @@ def tpch_q17(spark, sf_dir):
     part's average): the correlated `l_quantity < 0.2 * avg(...)` is
     rewritten integer-exact — quantities are 2-dec quantized, so
     `100*qty * 5 * cnt < sum(100*qty)` ⟺ qty < avg/5 with zero float
-    boundary risk in either engine.  Per-part stats are a small
-    aggregate broadcast back against the fact scan."""
-    li = t(spark, sf_dir, "lineitem")
+    boundary risk in either engine.  A part belongs to exactly one
+    brand, so lineitem is semi-filtered to the brand's parts FIRST and
+    the per-part stats aggregate only those lines — the broadcast stats
+    table is bounded by one brand's part count (dim-scale), never the
+    full partkey domain."""
     qc = F.round(F.col("l_quantity") * 100).cast("long")
+    p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    li = t(spark, sf_dir, "lineitem").join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    )
     pq = li.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.count(F.lit(1)).alias("cnt"), F.sum(qc).alias("qsum")
     )
-    p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23").select("p_partkey")
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(pq), F.col("l_partkey") == F.col("pk"))
+        li.join(F.broadcast(pq), F.col("l_partkey") == F.col("pk"))
         .filter(qc * 5 * F.col("cnt") < F.col("qsum"))
         .agg(F.round(F.sum("l_extendedprice"), 2).alias("small_qty_base"))
     )

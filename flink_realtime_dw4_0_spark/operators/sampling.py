@@ -259,3 +259,35 @@ def global_rank(
         .withColumn(out_col, F.col("_prefix") + F.col("_local_rn"))
         .drop("_pid", "_local_rn", "_prefix")
     )
+
+
+def token_budget_take(
+    df: DataFrame,
+    budget: int,
+    n_tokens_col: str = "n_tokens",
+    source_col: str = "source",
+    priority_col: str = "n_chars",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source token-budget selection: take documents in priority order
+    (descending `priority_col`, key tiebreak) until the source's running
+    token total exceeds `budget` — the standard data-mixture step that
+    caps each source's contribution in TOKENS, not documents.
+
+    Scale shape: one window partitioned by source — each source's cumsum
+    runs inside its own partition group, so the operator scales with the
+    number of sources × docs-per-source.  If a single source dwarfs the
+    rest (one giant crawl), route that source through the distributed
+    prefix sum (`concat_chunk_assign` / `global_rank` pattern) instead of
+    a per-key window; for the typical many-domain corpus this shape is
+    the cheaper single shuffle."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(F.col(priority_col).desc(), F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(
+        "cum_tokens", F.sum(n_tokens_col).over(w).cast("long")
+    ).filter(F.col("cum_tokens") <= budget)

@@ -343,3 +343,53 @@ def tfidf_keywords(
         .filter(F.col("rnk") <= k)
         .select("doc_id", "token", "tf", "rnk")
     )
+
+
+def boilerplate_ratio(
+    docs: DataFrame,
+    min_docs: int = 20,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-common shingle exposure per document (RefinedWeb/CCNet-style
+    boilerplate signal): the fraction of a document's distinct word
+    n-shingles that occur in >= `min_docs` documents corpus-wide.  High
+    ratios mark template/boilerplate text that survives within-document
+    repetition checks because the repetition lives ACROSS documents.
+
+    Scale shape: explode to an inverted (doc, shingle) index; shingle
+    frequency is one map-side-combinable groupBy; the common-shingle join
+    shuffles on the same shingle key (co-partitioned with the aggregate
+    output), then one groupBy on doc_id.  No broadcast of the shingle
+    domain, no all-pairs anything — linear in corpus size at any SF.
+    """
+    from . import dedup
+
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), dedup.shingles(text_col, n).alias("s")
+    ).filter(F.size("s") > 0)
+    inv = sh.select("doc_id", F.explode("s").alias("shingle"))
+    common = (
+        inv.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df_cnt"))
+        .filter(F.col("df_cnt") >= min_docs)
+        .select("shingle")
+    )
+    n_common = (
+        inv.join(common, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        sh.select("doc_id", F.size("s").cast("long").alias("n_shingles"))
+        .join(n_common, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+        )
+        .withColumn(
+            "boilerplate_ratio", F.round(F.col("n_common") / F.col("n_shingles"), 4)
+        )
+    )

@@ -2468,6 +2468,307 @@ def tpch_q22(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Derived partsupp: the synthetic testdata ships no partsupp table, so the
+# five partsupp-dependent TPC-H queries (Q2/Q9/Q11/Q16/Q20) run over a
+# deterministic relation derived from part × supplier-count with dbgen-style
+# stride arithmetic: 4 suppliers per part at stride max(S/4, 1) — distinct
+# within a part for any S ≥ 4 — and formula-valued availqty / supplycost
+# (integer cents, so every threshold below stays integer-exact).  The same
+# arithmetic is expressed once here for Spark and once in _PS_CTES for the
+# DuckDB oracle, keeping all five queries fully hash-checkable.
+# ---------------------------------------------------------------------------
+
+_PS_CTES = """
+    ps_base AS (
+      SELECT p_partkey AS ps_partkey,
+             (p_partkey + i.i * greatest(sc.s_total // 4, 1)) % sc.s_total + 1 AS ps_suppkey
+      FROM part,
+           (SELECT count(*) AS s_total FROM supplier) sc,
+           range(4) i(i)),
+    partsupp AS (
+      SELECT ps_partkey, ps_suppkey,
+             (ps_partkey * 7 + ps_suppkey * 131) % 9999 + 1 AS ps_availqty,
+             (ps_partkey * 31 + ps_suppkey * 17) % 100000 AS ps_supplycost_cents
+      FROM ps_base)
+"""
+
+
+def _partsupp(spark, sf_dir, part: DataFrame | None = None) -> DataFrame:
+    """Derived partsupp (see _PS_CTES).  `part` lets callers pass an
+    already-filtered part projection so the derived relation is built only
+    over the parts a query touches — at 100 TB that keeps partsupp on the
+    broadcast side whenever the part filter is selective, instead of
+    materializing 4×|part| rows to shuffle.  Supplier count is a 1-row
+    aggregate cross-joined in (broadcast), never a collected literal."""
+    p = (part if part is not None else t(spark, sf_dir, "part")).select("p_partkey")
+    s_cnt = t(spark, sf_dir, "supplier").agg(F.count(F.lit(1)).alias("s_total"))
+    idx = spark.range(4).select(F.col("id").alias("i"))
+    stride = F.greatest(F.expr("s_total DIV 4"), F.lit(1))
+    base = (
+        p.crossJoin(F.broadcast(s_cnt))
+        .crossJoin(F.broadcast(idx))
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            ((F.col("p_partkey") + F.col("i") * stride) % F.col("s_total") + 1).alias("ps_suppkey"),
+        )
+    )
+    return base.select(
+        "ps_partkey",
+        "ps_suppkey",
+        ((F.col("ps_partkey") * 7 + F.col("ps_suppkey") * 131) % 9999 + 1).alias("ps_availqty"),
+        ((F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 17) % 100000).alias(
+            "ps_supplycost_cents"
+        ),
+    )
+
+
+@q(
+    "tpch_q2_min_cost_supplier",
+    f"""
+    WITH {_PS_CTES},
+    eur AS (
+      SELECT ps_partkey, ps_supplycost_cents, s_name, s_acctbal, n_name
+      FROM partsupp JOIN supplier ON s_suppkey = ps_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'),
+    mn AS (SELECT ps_partkey AS mk, min(ps_supplycost_cents) AS min_cost
+           FROM eur GROUP BY ps_partkey)
+    SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey, p_brand,
+           ps_supplycost_cents
+    FROM part JOIN eur ON p_partkey = ps_partkey
+         JOIN mn ON mk = p_partkey AND ps_supplycost_cents = min_cost
+    WHERE p_size = 15 AND p_type = 'STANDARD'
+    """,
+    tags=("tpch", "subquery", "partsupp"),
+)
+def tpch_q2(spark, sf_dir):
+    """TPC-H Q2 (minimum-cost supplier; no p_mfgr/s_address in the synthetic
+    schema, so the projection carries brand + acctbal instead).  The
+    correlated min-cost subquery is a per-part MIN over the region-filtered
+    partsupp joined back on (partkey, cost=min) — two shuffles on
+    ps_partkey, dims broadcast.  Cost is integer cents: the min-equality
+    join has zero float risk."""
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n = t(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    eur = _partsupp(spark, sf_dir).join(
+        F.broadcast(s), F.col("ps_suppkey") == F.col("s_suppkey")
+    ).select("ps_partkey", "ps_supplycost_cents", "s_name", "s_acctbal", "n_name")
+    mn = eur.groupBy(F.col("ps_partkey").alias("mk")).agg(
+        F.min("ps_supplycost_cents").alias("min_cost")
+    )
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey", "p_brand")
+    return (
+        eur.join(mn, (F.col("ps_partkey") == F.col("mk"))
+                 & (F.col("ps_supplycost_cents") == F.col("min_cost")))
+        .join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name", "n_name", "p_partkey", "p_brand", "ps_supplycost_cents",
+        )
+    )
+
+
+@q(
+    "tpch_q9_product_type_profit",
+    f"""
+    WITH {_PS_CTES}
+    SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                     - ps_supplycost_cents
+                       * CAST(round(l_quantity * 100) AS BIGINT)) / 10000.0,
+                 2) AS sum_profit
+    FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY n_name, o_year
+    """,
+    tags=("tpch", "join", "partsupp"),
+)
+def tpch_q9(spark, sf_dir):
+    """TPC-H Q9 (product-type profit by nation and year).  partsupp is
+    derived from the '%gear%'-FILTERED part set, so the (partkey, suppkey)
+    build side stays dim-scale and broadcasts; the only big shuffle is
+    lineitem→orders on orderkey.  supplier/nation broadcast.  Profit is
+    summed in fixed-point 1e-4 dollars (prices/discounts/quantities are
+    2-dec quantized), so the sum is a bigint — no float accumulation-order
+    drift between engines; the single final /1e4 division takes identical
+    exact integers on both sides."""
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%")).select("p_partkey")
+    ps = _partsupp(spark, sf_dir, part=p)
+    li = t(spark, sf_dir, "lineitem").join(
+        F.broadcast(ps),
+        (F.col("l_partkey") == F.col("ps_partkey")) & (F.col("l_suppkey") == F.col("ps_suppkey")),
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    ext100 = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc100 = F.round(F.col("l_discount") * 100).cast("long")
+    qty100 = F.round(F.col("l_quantity") * 100).cast("long")
+    profit_1e4 = ext100 * (100 - disc100) - F.col("ps_supplycost_cents") * qty100
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(profit_1e4) / 10000.0, 2).alias("sum_profit"))
+    )
+
+
+@q(
+    "tpch_q11_important_stock",
+    f"""
+    WITH {_PS_CTES},
+    nps AS (
+      SELECT ps_partkey, ps_supplycost_cents * ps_availqty AS v
+      FROM partsupp JOIN supplier ON s_suppkey = ps_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'),
+    byp AS (SELECT ps_partkey, sum(v) AS value_cents FROM nps GROUP BY ps_partkey),
+    tot AS (SELECT sum(value_cents) AS t, count(*) AS npart FROM byp)
+    SELECT ps_partkey, value_cents
+    FROM byp, tot
+    WHERE value_cents * npart > t
+    """,
+    tags=("tpch", "subquery", "partsupp"),
+)
+def tpch_q11(spark, sf_dir):
+    """TPC-H Q11 (important stock): per-part inventory value for one
+    nation's suppliers, kept where above the nation-wide average share —
+    an SF-invariant, integer-exact rewrite of the spec's fixed
+    0.0001/SF fraction (value·npart > total ⟺ value > total/npart).
+    The global total is a 1-row aggregate broadcast back; one shuffle on
+    ps_partkey."""
+    n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    s = t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    nps = _partsupp(spark, sf_dir).join(
+        F.broadcast(s), F.col("ps_suppkey") == F.col("s_suppkey")
+    ).select("ps_partkey", (F.col("ps_supplycost_cents") * F.col("ps_availqty")).alias("v"))
+    byp = nps.groupBy("ps_partkey").agg(F.sum("v").alias("value_cents"))
+    tot = byp.agg(F.sum("value_cents").alias("t"), F.count(F.lit(1)).alias("npart"))
+    return (
+        byp.join(F.broadcast(tot))
+        .filter(F.col("value_cents") * F.col("npart") > F.col("t"))
+        .select("ps_partkey", "value_cents")
+    )
+
+
+@q(
+    "tpch_q16_parts_supplier_relationship",
+    f"""
+    WITH {_PS_CTES}
+    SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM partsupp JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    tags=("tpch", "antijoin", "partsupp"),
+)
+def tpch_q16(spark, sf_dir):
+    """TPC-H Q16 (parts/supplier relationship; the synthetic supplier has
+    no s_comment, so 'complaint' suppliers = negative account balance).
+    partsupp derives from the brand/type/size-filtered part set; the
+    excluded-supplier list is a broadcast anti-join; the count-distinct
+    shuffles once on the (brand, type, size) grouping key."""
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    ps = _partsupp(spark, sf_dir, part=p)
+    bad = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(bad), F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@q(
+    "tpch_q20_part_promotion",
+    f"""
+    WITH {_PS_CTES},
+    qty AS (
+      SELECT l_partkey, l_suppkey,
+             sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty100
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      GROUP BY l_partkey, l_suppkey),
+    cand AS (
+      SELECT DISTINCT ps_suppkey
+      FROM partsupp
+        JOIN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%') pp
+          ON pp.p_partkey = ps_partkey
+        JOIN qty ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+      WHERE ps_availqty * 200 > qty100)
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         JOIN cand ON ps_suppkey = s_suppkey
+    WHERE n_name IN ('NATION_6', 'NATION_7', 'NATION_9',
+                     'NATION_11', 'NATION_14', 'NATION_19')
+    """,
+    tags=("tpch", "semijoin", "partsupp"),
+)
+def tpch_q20(spark, sf_dir):
+    """TPC-H Q20 (suppliers with excess stock of promoted parts): availqty
+    > half the year's shipped quantity for that (part, supplier).  The
+    spec's correlated scalar sum is a grouped lineitem aggregate inner-
+    joined on the composite key (NULL sum ⟹ excluded, matching the
+    spec's NULL comparison); quantities are 2-dec quantized so the half
+    threshold is the integer-exact availqty·200 > Σ(qty·100).  partsupp
+    derives from the 'small%' part subset → broadcast; one shuffle for
+    the lineitem group-by."""
+    qc = F.round(F.col("l_quantity") * 100).cast("long")
+    qty = (
+        t(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(qc).alias("qty100"))
+    )
+    pp = t(spark, sf_dir, "part").filter(F.col("p_name").like("small%")).select("p_partkey")
+    ps = _partsupp(spark, sf_dir, part=pp)
+    cand = (
+        qty.join(
+            F.broadcast(ps),
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .filter(F.col("ps_availqty") * 200 > F.col("qty100"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    n = t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(
+            "NATION_6", "NATION_7", "NATION_9", "NATION_11", "NATION_14", "NATION_19"
+        )
+    )
+    return (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(cand), F.col("s_suppkey") == F.col("ps_suppkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
 @q(
     "pack_concat_chunk",
     f"""
@@ -2631,4 +2932,59 @@ def text_repetition_q(spark, sf_dir):
         n.cast("long").alias("n_grams"),
         n_rep.cast("long").alias("n_repeated"),
         F.when(n > 0, F.round(n_rep / n, 4)).otherwise(F.lit(0.0)).alias("rep_ratio"),
+    )
+
+
+@q(
+    "text_boilerplate_ratio",
+    _DK_SHINGLES
+    + """
+    , freq AS (SELECT shingle, count(*) AS df_cnt FROM inv GROUP BY shingle),
+    common AS (SELECT shingle FROM freq WHERE df_cnt >= 20),
+    nc AS (SELECT doc_id, count(*) AS n_common
+           FROM inv JOIN common USING (shingle) GROUP BY doc_id)
+    SELECT s.doc_id AS doc_id, s.n AS n_shingles,
+           coalesce(nc.n_common, 0) AS n_common,
+           round(coalesce(nc.n_common, 0) / s.n, 4) AS boilerplate_ratio
+    FROM sizes s LEFT JOIN nc USING (doc_id)
+    WHERE s.n > 0
+    """,
+    tags=("text", "quality", "pretraining"),
+)
+def text_boilerplate_ratio_q(spark, sf_dir):
+    """Cross-document boilerplate exposure (fraction of a doc's shingles
+    that are corpus-common) — the complement of `text_repetition`'s
+    within-document signal.  See operators.text.boilerplate_ratio for the
+    linear scale shape (no shingle-domain broadcast, no pair join)."""
+    return text.boilerplate_ratio(t(spark, sf_dir, "documents"), min_docs=20)
+
+
+@q(
+    "sample_token_budget",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, n_chars,
+             CAST(len({_DK_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source
+                                 ORDER BY n_chars DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM toks)
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= 300
+    """,
+    tags=("sampling", "pretraining"),
+)
+def sample_token_budget_q(spark, sf_dir):
+    """Token-budget mixture capping: each source contributes its
+    longest-first documents until a 300-token budget fills.  One window
+    shuffle partitioned by source (see operators.sampling.token_budget_take
+    for the giant-source escape hatch)."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", text.token_count_ws("text").cast("long").alias("n_tokens")
+    )
+    return sampling.token_budget_take(docs, budget=300).select(
+        "doc_id", "source", "n_tokens", "cum_tokens"
     )

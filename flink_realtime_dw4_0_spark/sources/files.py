@@ -40,6 +40,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if dict(df.dtypes).get(c) == "bigint":
             # integer div — float division would lose precision on ns epochs
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    # Parquet files whose timestamps carry isAdjustedToUTC=false arrive as
+    # TIMESTAMP_NTZ under Spark's NTZ inference; unix_millis & friends only
+    # accept TIMESTAMP.  The session timezone is pinned to UTC above, so the
+    # cast reinterprets the naive wall clock as a UTC instant — exactly how
+    # DuckDB's epoch() treats the same column, keeping the oracle exact.
+    for c, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -182,3 +182,45 @@ def test_vocab_build_distributed_rank(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "text_vocab_build")
     assert "SinglePartition" not in plan, plan
     assert "rangepartitioning" in plan
+
+
+def test_q9_partsupp_broadcast_single_fact_shuffle(spark, sf_dir):
+    """Q9's derived partsupp comes from the filtered part set, so the
+    composite-key (partkey, suppkey) join must be a broadcast — the only
+    sort-merge/shuffle join allowed is lineitem→orders on orderkey."""
+    plan = plan_of(spark, sf_dir, "tpch_q9_product_type_profit")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters:" in ln and "p_name" in ln]
+    assert pushed, "p_name LIKE filter must reach the part scan"
+
+
+def test_q2_min_cost_integer_join_no_cartesian(spark, sf_dir):
+    """Q2's correlated-min rewrite: the (partkey, cost=min) back-join is
+    an equi-join (hash or sort-merge) on the composite key, never a
+    nested-loop, and the region/nation/supplier dims broadcast.  The two
+    BroadcastNestedLoopJoin Cross nodes inside the derived partsupp are
+    deliberate (1-row supplier-count × 4-row index) and excluded."""
+    plan = plan_of(spark, sf_dir, "tpch_q2_min_cost_supplier")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the min-cost back-join must be keyed on (ps_partkey, cost)
+    assert any(
+        j in plan
+        for j in ("SortMergeJoin [ps_partkey", "BroadcastHashJoin [ps_partkey")
+    ), plan
+    # only the derived-partsupp cross joins may be nested-loop: 2 per
+    # derivation, and the eur subtree appears on both sides of the
+    # min-cost back-join (the broadcast exchanges themselves are reused)
+    assert plan.count("BroadcastNestedLoopJoin") <= 4
+
+
+def test_q20_candidate_semi_chain_broadcasts(spark, sf_dir):
+    """Q20: the 'small%' partsupp subset and the candidate supplier list
+    are both dim-scale and must broadcast; the lineitem year aggregate is
+    the single fact shuffle."""
+    plan = plan_of(spark, sf_dir, "tpch_q20_part_promotion")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters:" in ln and "l_shipdate" in ln]
+    assert pushed, "shipdate year-range must reach the lineitem scan"

@@ -1,0 +1,91 @@
+"""Data-profiling operators: the observability half of a pipeline engine.
+
+Before a 100 TB job runs, two questions decide whether it will finish:
+what's actually in each column (nulls, cardinality, range), and whether
+the join/group keys are skewed enough to melt a partition.  Both answers
+here come from single-pass, map-side-combinable aggregations — profiling
+must be cheaper than the job it de-risks.
+
+Parity note: the reference has no profiling surface (its Flink jobs are
+hand-tuned against known gmall topics); these are engine-level additions
+in the spirit of its `ConfigUtil` introspection helpers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _stat_exprs(df: DataFrame, col: str) -> list:
+    """count/nulls/distinct plus type-aware min/max rendered as strings
+    that format identically in Spark and DuckDB (doubles rounded to 4,
+    timestamps formatted explicitly, strings/ints cast verbatim)."""
+    dtype = dict(df.dtypes)[col]
+    c = F.col(col)
+    if dtype in ("double", "float"):
+        mn = F.round(F.min(c), 4).cast("string")
+        mx = F.round(F.max(c), 4).cast("string")
+    elif dtype.startswith("timestamp"):
+        mn = F.date_format(F.min(c), "yyyy-MM-dd HH:mm:ss")
+        mx = F.date_format(F.max(c), "yyyy-MM-dd HH:mm:ss")
+    else:
+        mn = F.min(c).cast("string")
+        mx = F.max(c).cast("string")
+    return [
+        F.sum(c.isNull().cast("long")).alias(f"{col}__nulls"),
+        F.count_distinct(c).alias(f"{col}__distinct"),
+        mn.alias(f"{col}__min"),
+        mx.alias(f"{col}__max"),
+    ]
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One-pass column profile: (column, n_nulls, n_distinct, min_s, max_s)
+    per requested column, plus the table row count on every row.
+
+    Scale shape: ONE aggregation over the table computes every statistic
+    (all exprs share the single scan and partial-aggregate), and the
+    wide→long unpivot happens on the resulting 1-row frame — driver-tiny
+    regardless of table size.  count_distinct is exact; swap in
+    approx_count_distinct when profiling runs interactive."""
+    aggs = [F.count(F.lit(1)).alias("__n_rows")]
+    for col in cols:
+        aggs.extend(_stat_exprs(df, col))
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{col}', {col}__nulls, {col}__distinct, {col}__min, {col}__max"
+        for col in cols
+    )
+    return wide.select(
+        F.col("__n_rows").alias("n_rows"),
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column_name, n_nulls, n_distinct, min_s, max_s)"
+        ),
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct", "min_s", "max_s")
+
+
+def key_skew(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
+    """Join/group-key skew diagnostic: the top-k heaviest keys with their
+    row share — the number that predicts whether a shuffle on `key_col`
+    needs AQE skew-splitting or salting.
+
+    Scale shape: one map-side-combinable groupBy on the key, a global
+    TakeOrdered for the top-k (no single-partition window — ordering a
+    full key domain through one task is exactly the failure this tool
+    diagnoses), and a 1-row total broadcast for the share."""
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    total = df.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        counts.orderBy(F.col("cnt").desc(), F.col("key"))
+        .limit(top_k)
+        .join(F.broadcast(total))
+        .select(
+            "key",
+            "cnt",
+            F.round(F.col("cnt") * 100.0 / F.col("total"), 4).alias("share_pct"),
+        )
+    )

@@ -2988,3 +2988,68 @@ def sample_token_budget_q(spark, sf_dir):
     return sampling.token_budget_take(docs, budget=300).select(
         "doc_id", "source", "n_tokens", "cum_tokens"
     )
+
+
+@q(
+    "profile_orders_columns",
+    """
+    WITH w AS (
+      SELECT count(*) AS n_rows,
+             sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS ck_nulls,
+             count(DISTINCT o_custkey) AS ck_dist,
+             CAST(min(o_custkey) AS VARCHAR) AS ck_min,
+             CAST(max(o_custkey) AS VARCHAR) AS ck_max,
+             sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS st_nulls,
+             count(DISTINCT o_orderstatus) AS st_dist,
+             CAST(min(o_orderstatus) AS VARCHAR) AS st_min,
+             CAST(max(o_orderstatus) AS VARCHAR) AS st_max,
+             sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS tp_nulls,
+             count(DISTINCT o_totalprice) AS tp_dist,
+             CAST(round(min(o_totalprice), 4) AS VARCHAR) AS tp_min,
+             CAST(round(max(o_totalprice), 4) AS VARCHAR) AS tp_max,
+             sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS od_nulls,
+             count(DISTINCT o_orderdate) AS od_dist,
+             strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS od_min,
+             strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS od_max
+      FROM orders)
+    SELECT u.* FROM w, LATERAL (
+      VALUES ('o_custkey', n_rows, ck_nulls, ck_dist, ck_min, ck_max),
+             ('o_orderstatus', n_rows, st_nulls, st_dist, st_min, st_max),
+             ('o_totalprice', n_rows, tp_nulls, tp_dist, tp_min, tp_max),
+             ('o_orderdate', n_rows, od_nulls, od_dist, od_min, od_max)
+    ) u(column_name, n_rows, n_nulls, n_distinct, min_s, max_s)
+    """,
+    tags=("profiling",),
+)
+def profile_orders_q(spark, sf_dir):
+    """Single-pass column profile of orders (nulls / exact distinct /
+    type-aware min-max): every statistic shares one scan + partial
+    aggregate; the unpivot runs on the 1-row result."""
+    from ..operators import profiling
+
+    return profiling.profile_columns(
+        t(spark, sf_dir, "orders"),
+        ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"],
+    )
+
+
+@q(
+    "profile_key_skew",
+    """
+    WITH counts AS (
+      SELECT CAST(l_orderkey AS VARCHAR) AS key, count(*) AS cnt
+      FROM lineitem GROUP BY 1),
+    tot AS (SELECT count(*) AS total FROM lineitem)
+    SELECT key, cnt, round(cnt * 100.0 / total, 4) AS share_pct
+    FROM counts, tot
+    ORDER BY cnt DESC, key LIMIT 10
+    """,
+    tags=("profiling",),
+)
+def profile_key_skew_q(spark, sf_dir):
+    """Top-10 heaviest join keys on lineitem.l_orderkey with row share —
+    the pre-flight check for shuffle skew.  Map-side-combinable groupBy +
+    global TakeOrdered; never a single-partition window."""
+    from ..operators import profiling
+
+    return profiling.key_skew(t(spark, sf_dir, "lineitem"), "l_orderkey", top_k=10)

@@ -471,3 +471,38 @@ def ivf_index_topk(
     probed = [r.cell for r in q_cells.select("cell").distinct().collect()]
     c_cells = spark.read.parquet(path).filter(F.col("cell").isin(probed))
     return _rank_probed(q_cells, c_cells, k)
+
+
+def quantize_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization + L2 norm — the storage-
+    shrink step before an ANN index ships (4x smaller, GEMM-friendly).
+
+    q_i = round(127 · x_i / max|x|), computed entirely in JVM array
+    expressions (transform/aggregate) — a pure narrow map, zero shuffle
+    at any scale.  All arithmetic runs in double so the result is
+    bit-identical across engines; the quantized codes are exact integers
+    (no float in the output payload — the norm/scale round at 4 dec).
+    Zero vectors are dropped (scale undefined)."""
+    x2d = lambda x: x.cast("double")  # noqa: E731
+    staged = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x2d(x)))).alias("__mx"),
+    ).filter(F.col("__mx") > 0)
+    sq_sum = F.aggregate(
+        F.transform(F.col("__v"), lambda x: x2d(x) * x2d(x)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return staged.select(
+        id_col,
+        F.round(F.sqrt(sq_sum), 4).alias("l2_norm"),
+        F.transform(
+            F.col("__v"), lambda x: F.round(x2d(x) * 127 / F.col("__mx")).cast("int")
+        ).alias("q_int8"),
+        F.round(F.col("__mx"), 4).alias("scale"),
+    )

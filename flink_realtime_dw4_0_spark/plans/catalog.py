@@ -3053,3 +3053,29 @@ def profile_key_skew_q(spark, sf_dir):
     from ..operators import profiling
 
     return profiling.key_skew(t(spark, sf_dir, "lineitem"), "l_orderkey", top_k=10)
+
+
+@q(
+    "embedding_quantize_int8",
+    """
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+      FROM embeddings)
+    SELECT vec_id,
+           round(sqrt(list_aggregate(
+             list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+             'sum')), 4) AS l2_norm,
+           list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 127 / mx) AS INT)) AS q_int8,
+           round(mx, 4) AS scale
+    FROM s WHERE mx > 0
+    """,
+    tags=("similarity", "pretraining"),
+)
+def embedding_quantize_q(spark, sf_dir):
+    """Symmetric int8 vector quantization + L2 norm (ANN storage-shrink
+    pass): pure array expressions, zero shuffle; quantized codes are
+    exact integers so the oracle hash-matches the full payload.  See
+    operators.similarity.quantize_int8."""
+    return similarity.quantize_int8(t(spark, sf_dir, "embeddings"))

@@ -2597,6 +2597,7 @@ def tpch_q2(spark, sf_dir):
     GROUP BY n_name, o_year
     """,
     tags=("tpch", "join", "partsupp"),
+    bench=True,
 )
 def tpch_q9(spark, sf_dir):
     """TPC-H Q9 (product-type profit by nation and year).  partsupp is

@@ -1,0 +1,130 @@
+"""Property-based tests (hypothesis) for the invariants the oracle can't
+state: budget prefix-closure, quantization error bounds, profiler
+consistency.  Spark-session-per-example would be minutes per case, so the
+strategy generates SMALL frames and each property runs the real operator
+once per generated dataset with a shared session."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from flink_realtime_dw4_0_spark.operators import profiling, sampling, similarity
+
+_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+docs_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 10_000),          # doc_id (may collide; op must cope)
+        st.sampled_from(["a", "b", "c"]),  # source
+        st.integers(1, 500),             # n_tokens
+        st.integers(1, 2_000),           # n_chars (priority)
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda r: r[0],
+)
+
+
+@given(rows=docs_strategy, budget=st.integers(1, 1_000))
+@settings(**_SETTINGS)
+def test_token_budget_never_exceeded_and_prefix_closed(spark, rows, budget):
+    pdf = pd.DataFrame(rows, columns=["doc_id", "source", "n_tokens", "n_chars"])
+    df = spark.createDataFrame(pdf)
+    out = sampling.token_budget_take(df, budget=budget).toPandas()
+    # 1) no source's total exceeds the budget
+    if len(out):
+        assert out.groupby("source")["n_tokens"].sum().max() <= budget
+    # 2) prefix-closed in priority order: if a doc is taken, every doc of
+    #    the same source with strictly higher priority is taken too
+    taken = set(out["doc_id"])
+    for src, grp in pdf.groupby("source"):
+        ordered = grp.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        seen_missing = False
+        for _, r in ordered.iterrows():
+            if r["doc_id"] in taken:
+                assert not seen_missing, "taken doc after a skipped one"
+            else:
+                seen_missing = True
+
+
+vec_strategy = st.lists(
+    st.lists(
+        st.floats(
+            min_value=-100, max_value=100, allow_nan=False, allow_infinity=False,
+            width=32,
+        ),
+        min_size=2,
+        max_size=8,
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(vecs=vec_strategy)
+@settings(**_SETTINGS)
+def test_quantize_int8_bounds_and_roundtrip(spark, vecs):
+    pdf = pd.DataFrame(
+        {"vec_id": range(len(vecs)), "embedding": [[float(x) for x in v] for v in vecs]}
+    )
+    df = spark.createDataFrame(pdf)
+    out = similarity.quantize_int8(df).toPandas()
+    inp = {i: v for i, v in zip(pdf["vec_id"], pdf["embedding"])}
+    for _, r in out.iterrows():
+        codes, scale = list(r["q_int8"]), float(r["scale"])
+        assert all(-127 <= c <= 127 for c in codes)
+        # codes hit the full range: the max-|x| element maps to ±127
+        assert max(abs(c) for c in codes) == 127
+        # roundtrip error ≤ half a quantization step, plus the 4-dec
+        # rounding of the reported scale (≤ 5e-5 absolute, amplified by
+        # at most |c|/127 ≤ 1)
+        step = scale / 127
+        for x, c in zip(inp[int(r["vec_id"])], codes):
+            assert abs(x - c * step) <= step / 2 + 6e-5 + 1e-9
+    # zero vectors are dropped, everything else kept
+    n_nonzero = sum(1 for v in pdf["embedding"] if any(x != 0 for x in v))
+    assert len(out) == n_nonzero
+
+
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.integers(-1_000_000, 1_000_000)),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(**_SETTINGS)
+def test_profile_columns_matches_pandas(spark, vals):
+    pdf = pd.DataFrame({"v": pd.array(vals, dtype="Int64")})
+    df = spark.createDataFrame(pdf)
+    out = profiling.profile_columns(df, ["v"]).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["n_rows"] == len(vals)
+    assert r["n_nulls"] == sum(v is None for v in vals)
+    non_null = [v for v in vals if v is not None]
+    assert r["n_distinct"] == len(set(non_null))
+    if non_null:
+        assert r["min_s"] == str(min(non_null))
+        assert r["max_s"] == str(max(non_null))
+    else:
+        assert r["min_s"] is None and r["max_s"] is None
+
+
+def test_key_skew_shares_sum_and_order(spark):
+    pdf = pd.DataFrame({"k": ["hot"] * 60 + [f"k{i}" for i in range(40)]})
+    out = profiling.key_skew(spark.createDataFrame(pdf), "k", top_k=5).toPandas()
+    assert list(out["key"])[0] == "hot"
+    assert math.isclose(out["share_pct"].iloc[0], 60.0)
+    assert len(out) == 5
+    # counts are non-increasing in rank order
+    assert list(out["cnt"]) == sorted(out["cnt"], reverse=True)

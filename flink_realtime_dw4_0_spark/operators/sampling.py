@@ -291,3 +291,29 @@ def token_budget_take(
     return df.withColumn(
         "cum_tokens", F.sum(n_tokens_col).over(w).cast("long")
     ).filter(F.col("cum_tokens") <= budget)
+
+
+def per_group_cap(
+    df: DataFrame,
+    group_col: str = "source",
+    n: int = 10,
+    key_col: str = "doc_id",
+    salt: str = "cap",
+) -> DataFrame:
+    """Keep at most `n` rows per group, chosen by deterministic hash order
+    — the per-domain cap that stops one crawl host from dominating a
+    mixture.  Unlike `LIMIT`-per-group via arbitrary order, the md5 sort
+    key makes the selection stable under re-partitioning, insertions of
+    unrelated rows, and re-runs.
+
+    Scale shape: one window partitioned by the group key; same skew
+    caveat (and escape hatch) as `token_budget_take`."""
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h, F.col(key_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )

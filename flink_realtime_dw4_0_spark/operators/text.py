@@ -393,3 +393,44 @@ def boilerplate_ratio(
             "boilerplate_ratio", F.round(F.col("n_common") / F.col("n_shingles"), 4)
         )
     )
+
+
+def shingle_novelty(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-novelty score: the fraction of a document's distinct word
+    n-shingles whose FIRST corpus occurrence (by ascending id — ingestion
+    order) is this document.  Low novelty == the document mostly restates
+    earlier content; the streaming-friendly cousin of pairwise dedup that
+    needs no pair join at all.
+
+    Scale shape: inverted (doc, shingle) index; first-occurrence is one
+    map-side-combinable min() groupBy on shingle; the membership join
+    shuffles on the same key; then one groupBy on doc_id.  Linear, no
+    pair explosion, no broadcast of the shingle domain."""
+    from . import dedup
+
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), dedup.shingles(text_col, n).alias("s")
+    ).filter(F.size("s") > 0)
+    inv = sh.select("doc_id", F.explode("s").alias("shingle"))
+    first = inv.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    n_novel = (
+        inv.join(first, "shingle")
+        .filter(F.col("doc_id") == F.col("first_doc"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    return (
+        sh.select("doc_id", F.size("s").cast("long").alias("n_shingles"))
+        .join(n_novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+        )
+        .withColumn("novelty_ratio", F.round(F.col("n_novel") / F.col("n_shingles"), 4))
+    )

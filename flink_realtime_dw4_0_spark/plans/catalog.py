@@ -3080,3 +3080,48 @@ def embedding_quantize_q(spark, sf_dir):
     exact integers so the oracle hash-matches the full payload.  See
     operators.similarity.quantize_int8."""
     return similarity.quantize_int8(t(spark, sf_dir, "embeddings"))
+
+
+@q(
+    "sample_per_source_cap",
+    """
+    WITH r AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    SELECT doc_id, source FROM r WHERE rn <= 10
+    """,
+    tags=("sampling", "pretraining"),
+)
+def sample_per_source_cap_q(spark, sf_dir):
+    """Per-domain cap: at most 10 docs per source, selected by
+    deterministic md5 order — stable under re-partitioning/re-runs,
+    unlike any LIMIT-per-group.  One source-partitioned window."""
+    return sampling.per_group_cap(
+        t(spark, sf_dir, "documents"), group_col="source", n=10
+    ).select("doc_id", "source")
+
+
+@q(
+    "text_shingle_novelty",
+    _DK_SHINGLES
+    + """
+    , first AS (SELECT shingle, min(doc_id) AS first_doc FROM inv GROUP BY shingle),
+    nv AS (SELECT i.doc_id, count(*) AS n_novel
+           FROM inv i JOIN first f ON i.shingle = f.shingle AND i.doc_id = f.first_doc
+           GROUP BY i.doc_id)
+    SELECT s.doc_id AS doc_id, s.n AS n_shingles,
+           coalesce(nv.n_novel, 0) AS n_novel,
+           round(coalesce(nv.n_novel, 0) / s.n, 4) AS novelty_ratio
+    FROM sizes s LEFT JOIN nv USING (doc_id)
+    WHERE s.n > 0
+    """,
+    tags=("text", "quality", "pretraining"),
+)
+def text_shingle_novelty_q(spark, sf_dir):
+    """First-occurrence novelty per document (fraction of its shingles
+    first seen here, ids = ingestion order): the no-pair-join cousin of
+    dedup.  See operators.text.shingle_novelty for the linear shape."""
+    return text.shingle_novelty(t(spark, sf_dir, "documents"))

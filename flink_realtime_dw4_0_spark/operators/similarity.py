@@ -506,3 +506,86 @@ def quantize_int8(
         ).alias("q_int8"),
         F.round(F.col("__mx"), 4).alias("scale"),
     )
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_cap: int | None = None,
+) -> tuple["np.ndarray", list[float]]:  # noqa: F821 — numpy imported lazily
+    """Distributed Lloyd's k-means over an embedding column.
+
+    The scale contract: per iteration, only the MODEL (k×dim centroid
+    floats) crosses the driver boundary — assignment is a broadcast-
+    centroid numpy pass per Arrow batch (`_assign_cells`, probes=1), and
+    the centroid update reduces (cell, dim) partial sums map-side before
+    one k×dim-row shuffle; the full corpus never leaves the executors
+    (contrast: the r01 `ivf_topk` trained by collecting the corpus).
+
+    Init reuses `_train_ivf_centroids` (bounded deterministic sample +
+    stratified seed + one sample-side Lloyd step); `iters` full-data
+    steps refine it.  Assignment ties break toward the lower cell id
+    (np.argmin), so the fit is deterministic for a given corpus
+    regardless of partitioning.
+
+    Returns (centroids ndarray, per-iteration inertia list) — inertia is
+    the summed squared distance to the assigned centroid, the monotone
+    non-increasing quantity Lloyd guarantees (up to float summation
+    noise on ties).
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    cents, _ = _train_ivf_centroids(corpus, id_col, vec_col, k, sample_cap)
+    inertia: list[float] = []
+    vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(cents)
+        assigned = _assign_cells(vecs, bc, "id", "v", "id", "v", probes=1)
+        # per-(cell, dim) partial sums: posexplode fans out dim rows per
+        # vector, but the partial aggregate combines them map-side to at
+        # most parts·k·dim rows before the single shuffle
+        sums = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        new_cents = cents.copy()
+        counts = np.zeros(len(cents))
+        acc = np.zeros_like(cents)
+        for r in sums:
+            acc[r.cell, r.pos] = r.s
+            counts[r.cell] = r.c
+        nonzero = counts > 0
+        new_cents[nonzero] = acc[nonzero] / counts[nonzero, None]
+        # inertia of the JUST-USED centroids (cheap: reuses the broadcast)
+        inertia.append(_inertia_of(assigned, bc))
+        bc.destroy()
+        cents = new_cents
+    return cents, inertia
+
+
+def _inertia_of(assigned: DataFrame, bc) -> float:
+    """Σ min-distance² under the broadcast centroids — one Arrow pass +
+    a scalar sum; nothing but one double reaches the driver."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents_ = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.array(list(pdf["v"]), dtype=np.float64)
+            c = cents_[pdf["cell"].to_numpy()]
+            yield pd.DataFrame({"d2": [float(((m - c) ** 2).sum())]})
+
+    return (
+        assigned.mapInPandas(fn, "d2 double").agg(F.sum("d2").alias("s")).collect()[0].s
+        or 0.0
+    )

@@ -3125,3 +3125,79 @@ def text_shingle_novelty_q(spark, sf_dir):
     first seen here, ids = ingestion order): the no-pair-join cousin of
     dedup.  See operators.text.shingle_novelty for the linear shape."""
     return text.shingle_novelty(t(spark, sf_dir, "documents"))
+
+
+@q(
+    "stat_corr_price_qty",
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(round(l_quantity * 100) AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS DECIMAL(38,0))
+                      * CAST(round(l_quantity * 100) AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS DECIMAL(38,0))
+                      * CAST(round(l_extendedprice * 100) AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(round(l_quantity * 100) AS DECIMAL(38,0))
+                      * CAST(round(l_quantity * 100) AS DECIMAL(38,0))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_price_qty
+    FROM m
+    """,
+    tags=("stats", "agg"),
+)
+def stat_corr_q(spark, sf_dir):
+    """Pearson correlation per return flag, ORACLE-EXACT: the five moment
+    sums accumulate 2-dec-quantized values as DECIMAL(38,0) — exact
+    integers in any summation order on both engines — and only the final
+    corr formula runs in double over those identical exact inputs.  The
+    built-in F.corr/DuckDB corr() would each stream floats in engine-
+    specific order and disagree in the last ulps; this formulation is the
+    portable way to ship distributed second-moment statistics.  One
+    map-side-combinable aggregation, same cost as tpch_q1."""
+    xc = F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)")
+    yc = F.round(F.col("l_quantity") * 100).cast("decimal(38,0)")
+    m = t(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(xc).cast("double").alias("sx"),
+        F.sum(yc).cast("double").alias("sy"),
+        F.sum(xc * yc).cast("double").alias("sxy"),
+        F.sum(xc * xc).cast("double").alias("sxx"),
+        F.sum(yc * yc).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return m.select(
+        "l_returnflag",
+        F.round(
+            (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("corr_price_qty"),
+    )
+
+
+@q(
+    "ann_kmeans_cells",
+    None,  # iterative model fit — not SQL-expressible; driver does rows-only
+    tags=("similarity", "iterative"),
+)
+def ann_kmeans_cells_q(spark, sf_dir):
+    """Distributed Lloyd's k-means (2 full-data refinement iterations over
+    the sampled init), then the final cell populations.  Only the k×dim
+    model crosses the driver per iteration — see similarity.kmeans_fit.
+    Deterministic (hash-sample init + argmin tie-break), so the rows-only
+    check is stable across runs."""
+    emb = t(spark, sf_dir, "embeddings")
+    cents, _ = similarity.kmeans_fit(emb, k=8, iters=2)
+    bc = spark.sparkContext.broadcast(cents)
+    assigned = similarity._assign_cells(
+        emb, bc, "vec_id", "embedding", "id", "v", probes=1
+    )
+    return (
+        assigned.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .select(F.col("cell").cast("long").alias("cell"), "n_vecs")
+    )

@@ -128,3 +128,24 @@ def test_key_skew_shares_sum_and_order(spark):
     assert len(out) == 5
     # counts are non-increasing in rank order
     assert list(out["cnt"]) == sorted(out["cnt"], reverse=True)
+
+
+def test_kmeans_distributed_refinement(spark):
+    """Distributed Lloyd: inertia non-increasing over full-data
+    iterations, deterministic under re-partitioning, model-only driver
+    traffic (asserted by shape)."""
+    import numpy as np
+
+    from flink_realtime_dw4_0_spark.operators import similarity
+    from flink_realtime_dw4_0_spark.sources.files import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents, inertia = similarity.kmeans_fit(emb, k=4, iters=3)
+    dim = len(emb.select("embedding").first()[0])
+    assert cents.shape == (4, dim)
+    assert len(inertia) == 3
+    for a, b in zip(inertia, inertia[1:]):
+        assert b <= a * (1 + 1e-9), inertia
+    cents2, inertia2 = similarity.kmeans_fit(emb.repartition(7), k=4, iters=3)
+    assert np.allclose(cents, cents2)
+    assert np.allclose(inertia, inertia2)

@@ -3201,3 +3201,101 @@ def ann_kmeans_cells_q(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_vecs"))
         .select(F.col("cell").cast("long").alias("cell"), "n_vecs")
     )
+
+
+@q(
+    "funnel_view_click_purchase",
+    """
+    WITH v1 AS (
+      SELECT user_id, min(ts) AS v_ts FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c1 AS (
+      SELECT e.user_id, min(e.ts) AS c_ts
+      FROM events e JOIN v1 ON e.user_id = v1.user_id
+      WHERE e.event_type = 'click' AND e.ts > v1.v_ts GROUP BY e.user_id),
+    p1 AS (
+      SELECT e.user_id, min(e.ts) AS p_ts
+      FROM events e JOIN c1 ON e.user_id = c1.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c1.c_ts GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM v1) AS n_view,
+           (SELECT count(*) FROM c1) AS n_click_after_view,
+           (SELECT count(*) FROM p1) AS n_purchase_after_click
+    """,
+    tags=("analytics", "funnel"),
+)
+def funnel_q(spark, sf_dir):
+    """Ordered funnel (first view -> first later click -> first later
+    purchase), the CEP-lite sequence query a gmall-style DWS serves.
+    Each stage is a per-user min() after a keyed join on the previous
+    stage's anchor timestamp — three map-side-combinable aggregations
+    shuffling on user_id, no window over the event stream, no
+    self-cartesian.  Counts are exact integers."""
+    ev = t(spark, sf_dir, "events")
+    v1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c1 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v1, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p1 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c1, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    nv = v1.agg(F.count(F.lit(1)).alias("n_view"))
+    nc = c1.agg(F.count(F.lit(1)).alias("n_click_after_view"))
+    np_ = p1.agg(F.count(F.lit(1)).alias("n_purchase_after_click"))
+    return nv.crossJoin(nc).crossJoin(np_)
+
+
+@q(
+    "retention_cohorts",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    first_day AS (
+      SELECT user_id, min(d) AS d0 FROM days GROUP BY user_id)
+    SELECT strftime(f.d0, '%Y-%m-%d') AS cohort_day,
+           count(DISTINCT f.user_id) AS cohort_size,
+           count(DISTINCT CASE WHEN d.d = f.d0 + INTERVAL 1 DAY
+                               THEN f.user_id END) AS retained_d1,
+           count(DISTINCT CASE WHEN d.d = f.d0 + INTERVAL 7 DAY
+                               THEN f.user_id END) AS retained_d7
+    FROM first_day f JOIN days d ON f.user_id = d.user_id
+    GROUP BY f.d0
+    """,
+    tags=("analytics", "retention"),
+)
+def retention_q(spark, sf_dir):
+    """Cohort retention (D1/D7): cohort = first active day per user;
+    retained = any activity exactly k days later.  The (user, day)
+    activity set is deduped FIRST (one groupBy), so the cohort join fans
+    out over at most users x active-days rows — never raw events; the
+    conditional count-distincts share one aggregation."""
+    ev = t(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    first_day = days.groupBy("user_id").agg(F.min("d").alias("d0"))
+    joined = first_day.join(days, "user_id")
+    return (
+        joined.groupBy("d0")
+        .agg(
+            F.count_distinct("user_id").alias("cohort_size"),
+            F.count_distinct(
+                F.when(F.col("d") == F.date_add(F.col("d0"), 1), F.col("user_id"))
+            ).alias("retained_d1"),
+            F.count_distinct(
+                F.when(F.col("d") == F.date_add(F.col("d0"), 7), F.col("user_id"))
+            ).alias("retained_d7"),
+        )
+        .select(
+            F.date_format("d0", "yyyy-MM-dd").alias("cohort_day"),
+            "cohort_size", "retained_d1", "retained_d7",
+        )
+    )

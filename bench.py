@@ -39,6 +39,7 @@ from flink_realtime_dw4_0_spark.session import get_spark  # noqa: E402
 STRESS_QUERIES = [
     "tpch_q1_pricing_summary",   # wide scan-agg
     "tpch_q3_shipping_priority", # 3-way join
+    "tpch_q9_product_type_profit",  # 5-way join, derived-partsupp broadcast
     "j1_inner_equijoin",         # the skew-injected join
     "a2_traffic_window_pv",      # windowed agg over events
     "dedup_exact",               # hash-groupBy over documents

@@ -475,3 +475,32 @@ def test_top_tokens_by_group_exact_two_phase(spark):
         ("en", 1): ("x", 3), ("en", 2): ("y", 3),
         ("de", 1): ("a", 3), ("de", 2): ("b", 3),
     }
+
+
+def test_load_table_normalizes_timestamp_ntz(spark, tmp_path):
+    """Parquet written with isAdjustedToUTC=false arrives as TIMESTAMP_NTZ
+    under Spark's NTZ inference; load_table must hand every consumer a
+    plain TIMESTAMP whose epoch reading matches DuckDB's (naive == UTC).
+    Regression: unix_millis() rejects NTZ (broke x_datetime_surface when
+    the testdata was regenerated)."""
+    import datetime
+
+    import pyspark.sql.functions as F
+    import pyspark.sql.types as T
+
+    wall = datetime.datetime(2024, 3, 1, 12, 30, 0)
+    df = spark.createDataFrame(
+        [(1, wall)],
+        T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("ts", T.TimestampNTZType()),
+            ]
+        ),
+    )
+    path = str(tmp_path / "ntz")
+    df.write.parquet(path + "/x.parquet")
+    out = load_table(spark, path, "x")
+    assert dict(out.dtypes)["ts"] == "timestamp"
+    ms = out.select(F.unix_millis("ts").alias("ms")).first().ms
+    assert ms == int(wall.replace(tzinfo=datetime.timezone.utc).timestamp() * 1000)

@@ -352,6 +352,7 @@ def ivf_topk(
     n_cells: int = 16,
     nprobe: int = 4,
     sample_cap: int | None = None,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: a coarse quantizer assigns every vector to
     its nearest of `n_cells` centroids; a query probes its `nprobe`
@@ -359,14 +360,23 @@ def ivf_topk(
 
     Centroids are deterministic and trained on a bounded sample (see
     `_train_ivf_centroids`), so results are reproducible run-to-run and
-    the driver never holds more than `sample_cap` vectors.  Scale path:
-    the cell assignment is one numpy pass per partition; search cost drops
-    to ~nprobe/n_cells of brute force; at 100 TB the cell id becomes the
+    the driver never holds more than `sample_cap` vectors.
+    `refine_iters > 0` sharpens them with that many FULL-DATA distributed
+    Lloyd steps (`kmeans_fit` — only the k×dim model crosses the driver),
+    tightening cells (lower inertia → better recall per probe) at the
+    cost of `refine_iters` extra corpus passes.  Scale path: the cell
+    assignment is one numpy pass per partition; search cost drops to
+    ~nprobe/n_cells of brute force; at 100 TB the cell id becomes the
     table's partition key so a probe reads only its cells' files.
     Approximate → rows-only; tests measure recall vs brute force.
     """
     spark = corpus.sparkSession
-    cents, _ = _train_ivf_centroids(corpus, id_col, vec_col, n_cells, sample_cap)
+    if refine_iters > 0:
+        cents, _ = kmeans_fit(
+            corpus, n_cells, refine_iters, id_col, vec_col, sample_cap
+        )
+    else:
+        cents, _ = _train_ivf_centroids(corpus, id_col, vec_col, n_cells, sample_cap)
     bc = spark.sparkContext.broadcast(cents)
     c_cells = _assign_cells(corpus, bc, id_col, vec_col, "neighbor_id", "vc", 1)
     q_cells = _assign_cells(queries, bc, id_col, vec_col, "query_id", "vq", nprobe)

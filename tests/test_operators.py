@@ -504,3 +504,32 @@ def test_load_table_normalizes_timestamp_ntz(spark, tmp_path):
     assert dict(out.dtypes)["ts"] == "timestamp"
     ms = out.select(F.unix_millis("ts").alias("ms")).first().ms
     assert ms == int(wall.replace(tzinfo=datetime.timezone.utc).timestamp() * 1000)
+
+
+def test_ann_ivf_refined_exhaustive_equals_brute(spark, sf_dir):
+    """kmeans-refined IVF with exhaustive probing (nprobe == n_cells) is
+    EXACT — every cell is searched, so the refined quantizer may move
+    vectors between cells but cannot change the top-k.  Also: refined
+    recall at partial probing is at least as good as the recall floor the
+    unrefined test asserts."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 50 == 0)
+    brute = {
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in similarity.brute_force_topk(probes, emb, k=5).collect()
+    }
+    exact_ivf = {
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in similarity.ivf_topk(
+            probes, emb, k=5, n_cells=4, nprobe=4, refine_iters=1
+        ).collect()
+    }
+    assert exact_ivf == brute
+    partial = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(
+            probes, emb, k=5, n_cells=8, nprobe=4, refine_iters=1
+        ).collect()
+    }
+    brute_pairs = {(q, n) for q, _, n in brute}
+    assert len(partial & brute_pairs) / len(brute_pairs) >= 0.3

@@ -3299,3 +3299,65 @@ def retention_q(spark, sf_dir):
             "cohort_size", "retained_d1", "retained_d7",
         )
     )
+
+
+@q(
+    "j7_null_safe_join",
+    """
+    WITH a AS (SELECT o_orderkey, nullif(o_orderstatus, 'F') AS st FROM orders),
+    d AS (SELECT DISTINCT st FROM a)
+    SELECT d.st AS st, count(*) AS n_orders
+    FROM a JOIN d ON a.st IS NOT DISTINCT FROM d.st
+    GROUP BY d.st
+    """,
+    tags=("join", "nulls"),
+)
+def j7_null_safe_join_q(spark, sf_dir):
+    """Null-safe equi-join (Flink/ANSI `IS NOT DISTINCT FROM`, Spark
+    `<=>`): NULL keys MATCH each other instead of vanishing — the
+    semantics CDC pipelines need when a nullable column is the join key.
+    Stays a hash join (null-safe equality is a valid equi-key), never a
+    nested loop; counts are exact."""
+    a = t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.nullif(F.col("o_orderstatus"), F.lit("F")).alias("st")
+    )
+    d = a.select("st").distinct().select(F.col("st").alias("d_st"))
+    return (
+        a.join(d, a.st.eqNullSafe(F.col("d_st")))
+        .groupBy(F.col("d_st").alias("st"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@q(
+    "set_ops_all",
+    """
+    SELECT st, count(*) AS n FROM (
+      SELECT o_orderstatus AS st FROM orders WHERE o_totalprice > 100000
+      UNION ALL
+      SELECT o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT'
+      EXCEPT ALL
+      SELECT o_orderstatus FROM orders WHERE o_totalprice > 300000
+      INTERSECT ALL
+      SELECT o_orderstatus FROM orders WHERE o_orderdate >= DATE '1996-01-01'
+    ) GROUP BY st
+    """,
+    tags=("setop", "nulls"),
+)
+def set_ops_all_q(spark, sf_dir):
+    """Bag-semantics set operators (UNION/EXCEPT/INTERSECT ALL — row
+    multiplicities preserved, the semantics Flink batch SQL and the ANSI
+    spec define).  Spark evaluates with the same precedence as the SQL
+    text (INTERSECT binds tighter than EXCEPT/UNION); the result is
+    re-aggregated so the oracle compare is order-free."""
+    o = t(spark, sf_dir, "orders")
+    u1 = o.filter(F.col("o_totalprice") > 100000).select(F.col("o_orderstatus").alias("st"))
+    u2 = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderstatus").alias("st")
+    )
+    e1 = o.filter(F.col("o_totalprice") > 300000).select(F.col("o_orderstatus").alias("st"))
+    i1 = o.filter(F.col("o_orderdate") >= "1996-01-01").select(
+        F.col("o_orderstatus").alias("st")
+    )
+    combined = u1.unionAll(u2).exceptAll(e1.intersectAll(i1))
+    return combined.groupBy("st").agg(F.count(F.lit(1)).alias("n"))

@@ -3361,3 +3361,38 @@ def set_ops_all_q(spark, sf_dir):
     )
     combined = u1.unionAll(u2).exceptAll(e1.intersectAll(i1))
     return combined.groupBy("st").agg(F.count(F.lit(1)).alias("n"))
+
+
+@q(
+    "dim_scd2_history",
+    """
+    SELECT user_id,
+           epoch_ms(ts) AS valid_from_ms,
+           epoch_ms(lead(ts) OVER w) AS valid_to_ms,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current,
+           value
+    FROM events
+    WHERE event_type = 'signup'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("dim", "scd2", "windowfn"),
+)
+def dim_scd2_history_q(spark, sf_dir):
+    """SCD type-2 dimension history from a CDC-style update stream: each
+    per-key update becomes a versioned validity interval
+    [valid_from, valid_to), open-ended on the current row — the history
+    table the reference's type-1 HBase dims (DimAPP) cannot answer
+    as-of queries from.  One window shuffle partitioned by the dim key;
+    at scale this is the standard backfill companion to the streaming
+    `asof_join`."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    return ev.select(
+        "user_id",
+        F.unix_millis("ts").alias("valid_from_ms"),
+        F.unix_millis(F.lead("ts").over(w)).alias("valid_to_ms"),
+        F.row_number().over(w).cast("long").alias("version"),
+        F.when(F.lead("ts").over(w).isNull(), 1).otherwise(0).alias("is_current"),
+        "value",
+    )

@@ -149,3 +149,21 @@ def test_kmeans_distributed_refinement(spark):
     cents2, inertia2 = similarity.kmeans_fit(emb.repartition(7), k=4, iters=3)
     assert np.allclose(cents, cents2)
     assert np.allclose(inertia, inertia2)
+
+
+@given(rows=docs_strategy, n=st.integers(1, 15))
+@settings(**_SETTINGS)
+def test_per_group_cap_bounds_and_stability(spark, rows, n):
+    pdf = pd.DataFrame(rows, columns=["doc_id", "source", "n_tokens", "n_chars"])
+    df = spark.createDataFrame(pdf)
+    out = sampling.per_group_cap(df, group_col="source", n=n).toPandas()
+    # at most n per group, never more rows than input
+    if len(out):
+        assert out.groupby("source").size().max() <= n
+    # deterministic under re-partitioning: same selected ids
+    out2 = sampling.per_group_cap(df.repartition(5), group_col="source", n=n).toPandas()
+    assert set(out["doc_id"]) == set(out2["doc_id"])
+    # groups smaller than n are kept whole
+    for src, grp in pdf.groupby("source"):
+        if len(grp) <= n:
+            assert set(grp["doc_id"]) <= set(out["doc_id"])

@@ -317,3 +317,26 @@ def per_group_cap(
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    rate_col: Column,
+    key_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic per-row weighted sampling: keep a row with
+    probability `rate_col` (clamped to [0,1]) — quality-weighted
+    downsampling where better documents survive more often, without any
+    RNG state (stable under re-runs/re-partitioning, like every sampler
+    in this module).
+
+    The row's md5 bucket (16 bits) is compared against the row's own
+    rate edge rendered as a fixed-width hex string, so the whole
+    predicate is one narrow JVM map — no shuffle, no UDF."""
+    edge = F.least(
+        F.lit(65535), F.greatest(F.lit(0), F.floor(rate_col * 65536).cast("long"))
+    )
+    full = rate_col >= 1.0
+    b = _bucket(F.col(key_col), salt)
+    return df.filter(full | (b < F.format_string("%04x", edge)))

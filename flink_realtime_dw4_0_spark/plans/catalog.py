@@ -3396,3 +3396,26 @@ def dim_scd2_history_q(spark, sf_dir):
         F.when(F.lead("ts").over(w).isNull(), 1).otherwise(0).alias("is_current"),
         "value",
     )
+
+
+@q(
+    "sample_quality_weighted",
+    """
+    SELECT doc_id, source, n_chars
+    FROM documents
+    WHERE n_chars >= 200
+       OR substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 4)
+          < printf('%04x', least(65535, greatest(0,
+              CAST(floor(n_chars * 65536 / 200.0) AS BIGINT))))
+    """,
+    tags=("sampling", "pretraining"),
+)
+def sample_quality_weighted_q(spark, sf_dir):
+    """Quality-weighted downsampling: keep probability = n_chars/200
+    (clamped) — longer documents survive proportionally more often,
+    deterministically (md5 bucket vs the row's own rate edge, no RNG).
+    Pure narrow map; see operators.sampling.weighted_sample."""
+    docs = t(spark, sf_dir, "documents")
+    return sampling.weighted_sample(docs, F.col("n_chars") / 200.0).select(
+        "doc_id", "source", "n_chars"
+    )

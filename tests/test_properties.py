@@ -167,3 +167,23 @@ def test_per_group_cap_bounds_and_stability(spark, rows, n):
     for src, grp in pdf.groupby("source"):
         if len(grp) <= n:
             assert set(grp["doc_id"]) <= set(out["doc_id"])
+
+
+@given(rows=docs_strategy)
+@settings(**_SETTINGS)
+def test_weighted_sample_clamps_and_is_deterministic(spark, rows):
+    import pyspark.sql.functions as F
+
+    pdf = pd.DataFrame(rows, columns=["doc_id", "source", "n_tokens", "n_chars"])
+    df = spark.createDataFrame(pdf)
+    rate = F.col("n_chars") / 500.0
+    out = sampling.weighted_sample(df, rate).toPandas()
+    # rate >= 1 rows are always kept
+    must_keep = set(pdf.loc[pdf["n_chars"] >= 500, "doc_id"])
+    assert must_keep <= set(out["doc_id"])
+    # deterministic under re-partitioning
+    out2 = sampling.weighted_sample(df.repartition(5), rate).toPandas()
+    assert set(out["doc_id"]) == set(out2["doc_id"])
+    # rate 0 keeps nothing, rate 1 keeps everything
+    assert sampling.weighted_sample(df, F.lit(0.0)).count() == 0
+    assert sampling.weighted_sample(df, F.lit(1.0)).count() == len(pdf)

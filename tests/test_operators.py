@@ -533,3 +533,24 @@ def test_ann_ivf_refined_exhaustive_equals_brute(spark, sf_dir):
     }
     brute_pairs = {(q, n) for q, _, n in brute}
     assert len(partial & brute_pairs) / len(brute_pairs) >= 0.3
+
+
+def test_run_cli_list_and_execute(spark, sf_dir, capsys):
+    """The query-runner CLI: --list renders the inventory; executing a
+    query prints rows; unknown names suggest close matches and exit 2."""
+    from flink_realtime_dw4_0_spark.run import main
+
+    assert main(["--list", "tpch"]) == 0
+    out = capsys.readouterr().out
+    assert "tpch_q9_product_type_profit" in out and "oracle" in out
+
+    assert main(["tpch_q6_forecast_revenue", sf_dir, "-n", "5"]) == 0
+    out = capsys.readouterr().out
+    assert "rows total" in out
+
+    assert main(["tpch_q6_forecast_revenue", sf_dir, "--explain"]) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out
+
+    assert main(["tpch_q6_forcast"]) == 2
+    assert "did you mean" in capsys.readouterr().out

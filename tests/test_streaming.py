@@ -878,3 +878,56 @@ def test_session_window_streaming(spark, tmp_path):
     assert ("u1", "2023-11-14T22:15:20", 1) in got
     assert ("u2", "2023-11-14T22:13:25", 1) in got
     assert len(got) == 3
+
+
+# --------------------------------------------------------------------------
+# SCD2 streaming history: cross-batch interval chaining + replay idempotence
+# --------------------------------------------------------------------------
+
+def test_scd2_history_cross_batch_and_replay(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from flink_realtime_dw4_0_spark.sinks.scd2 import Scd2History
+
+    h = Scd2History(str(tmp_path / "scd2"), key="user_id")
+
+    def b(rows):
+        return spark.createDataFrame(rows, "user_id string, attr string, ts timestamp")
+
+    import datetime as dt
+
+    t = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+
+    # batch 1: u1 has two in-batch versions (chained), u2 one
+    b1 = b([("u1", "a", t("2024-01-01 00:00:00")),
+            ("u1", "b", t("2024-01-01 01:00:00")),
+            ("u2", "x", t("2024-01-01 00:30:00"))])
+    h.process_batch(b1, spark)
+    r1 = {(r.user_id, r.attr): (r.valid_from_ms, r.valid_to_ms)
+          for r in h.read(spark).collect()}
+    assert r1[("u1", "a")][1] == r1[("u1", "b")][0]  # chained
+    assert r1[("u1", "b")][1] is None and r1[("u2", "x")][1] is None
+
+    # batch 2: u1 updates again -> previous open row closes at the new ts
+    b2 = b([("u1", "c", t("2024-01-02 00:00:00"))])
+    h.process_batch(b2, spark)
+    rows = h.read(spark).collect()
+    open_rows = [r for r in rows if r.valid_to_ms is None]
+    assert {(r.user_id, r.attr) for r in open_rows} == {("u1", "c"), ("u2", "x")}
+    closed_b = [r for r in rows if r.attr == "b"][0]
+    assert closed_b.valid_to_ms == [r for r in rows if r.attr == "c"][0].valid_from_ms
+
+    # replay batch 2 (foreachBatch redelivery) -> byte-identical table
+    before = sorted(map(tuple, rows))
+    h.process_batch(b2, spark)
+    assert sorted(map(tuple, h.read(spark).collect())) == before
+
+    # exactly one open row per key, intervals never overlap per key
+    pdf = h.read(spark).toPandas().sort_values(["user_id", "valid_from_ms"])
+    for _, grp in pdf.groupby("user_id"):
+        assert grp["valid_to_ms"].isna().sum() == 1
+        ends = grp["valid_to_ms"].fillna(float("inf")).tolist()
+        starts = grp["valid_from_ms"].tolist()
+        assert all(e >= s for s, e in zip(starts, ends))
+        # consecutive intervals of a key must not overlap
+        assert all(starts[i + 1] >= ends[i] for i in range(len(starts) - 1))

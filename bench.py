@@ -87,6 +87,36 @@ def build_stress_dir(spark, sf_dir: str, out_dir: str, scale: int, skew_frac: fl
         )
 
 
+DUP_STRESS_QUERIES = [
+    "dedup_exact",          # the right tier for exact copies: one groupBy
+    "dedup_minhash_lsh",    # hot-bucket cap keeps the clique sub-quadratic
+    "dedup_ngram_capped",   # hot-shingle cap drops the boilerplate grams
+]
+
+
+def build_dup_stress_dir(spark, sf_dir: str, out_dir: str, scale: int, dup_frac: float) -> None:
+    """Duplicate-heavy corpus: documents replicated `scale`x (ids remapped),
+    then `dup_frac` of all rows overwritten with ONE boilerplate text — the
+    hot-cluster worst case for LSH (every copy lands in the same bucket in
+    every band).  At sf0.1 x8 x0.25 that is ~10k identical docs in one
+    bucket: uncapped LSH would emit ~5e7 candidate pairs; the capped plan
+    stays O(k * max_bucket_size)."""
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+    boiler = " ".join(
+        f"standard legal boilerplate footer clause {i} all rights reserved"
+        for i in range(8)
+    )
+    rep = F.explode(F.sequence(F.lit(0), F.lit(scale - 1))).alias("__rep")
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").select("*", rep)
+    df = df.withColumn("doc_id", F.col("doc_id") * scale + F.col("__rep")).drop("__rep")
+    df = df.withColumn(
+        "text",
+        F.when(F.rand(seed=11) < dup_frac, F.lit(boiler)).otherwise(F.col("text")),
+    )
+    df.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+
 def bench_streaming(spark) -> dict:
     """End-to-end throughput of the DWD log pipeline (the reference's
     hottest stream): json decode -> ETL validity -> keyed visitor-fix
@@ -354,6 +384,33 @@ def main() -> None:
             }
         finally:
             shutil.rmtree(stress_dir, ignore_errors=True)
+
+        # Duplicate-heavy stress: the corpus shape dedup actually targets.
+        dup_frac = float(os.environ.get("SPARK_GRAFT_STRESS_DUP", "0.25"))
+        dup_dir = stress_dir + "_dup"
+        try:
+            build_dup_stress_dir(spark, sf_dir, dup_dir, scale, dup_frac)
+            n_docs = spark.read.parquet(f"{dup_dir}/documents.parquet").count()
+            dtimes: dict[str, float] = {}
+            for name in DUP_STRESS_QUERIES:
+                spark.catalog.clearCache()
+                spark.sparkContext._jvm.System.gc()
+                time.sleep(1)
+                t0 = time.perf_counter()
+                CATALOG[name].fn(spark, dup_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dtimes[name] = round(time.perf_counter() - t0, 3)
+            out["stress_dup"] = {
+                "scale": scale,
+                "dup_frac": dup_frac,
+                "n_docs": n_docs,
+                "hot_cluster": int(n_docs * dup_frac),
+                "total": round(sum(dtimes.values()), 3),
+                "queries": dtimes,
+            }
+        finally:
+            shutil.rmtree(dup_dir, ignore_errors=True)
 
     if os.environ.get("SPARK_GRAFT_STREAM", "1") != "0":
         spark.catalog.clearCache()

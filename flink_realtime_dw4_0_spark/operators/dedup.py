@@ -267,6 +267,7 @@ def minhash_lsh_pairs(
     band_size: int = 4,
     threshold_num: int = 1,
     threshold_den: int = 2,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH near-dup candidate pairs, verified with exact integer
     jaccard >= num/den.
@@ -274,6 +275,19 @@ def minhash_lsh_pairs(
     Bands of `band_size` signature slots are hashed to buckets; docs
     sharing any bucket become candidates (the only pairs ever shuffled —
     this is what scales to 100 TB), then candidates are verified exactly.
+
+    `max_bucket_size` bounds the per-(band,bucket) candidate fan-out: a
+    bucket of k docs otherwise emits k*(k-1)/2 join rows, and
+    duplicate-heavy corpora (the normal case for dedup — boilerplate
+    clusters of 1e5 docs are routine at 100 TB) make a single hot bucket
+    quadratic.  Members of an oversized bucket are deterministically
+    chunked into sub-buckets of <= max_bucket_size by a PER-BAND salted
+    order (row_number over md5(band:doc_id)), so each band partitions a
+    hot cluster DIFFERENTLY; pairs split in one band collide in another,
+    and the union of per-band chunk cliques keeps the cluster connected
+    for `connected_components` (golden-tested).  Cost per bucket drops
+    from O(k^2) to O(k * max_bucket_size).  The salt is md5, so the
+    DuckDB oracle mirrors the capped plan bit-for-bit.
     """
     assert num_perm % band_size == 0
     sig = minhash_signatures(df, id_col, text_col, n, num_perm).cache()
@@ -296,6 +310,31 @@ def minhash_lsh_pairs(
         ),
         "bb",
     ).select("doc_id", "bb.band", "bb.bucket")
+    if max_bucket_size is not None:
+        from pyspark.sql.window import Window
+
+        # Per-band salted deterministic order, then fixed-size chunking.
+        # One extra shuffle of the (doc_id, band, bucket) table — narrow
+        # rows, and the self-join below was going to shuffle on the same
+        # keys anyway.
+        salt = F.md5(
+            F.concat_ws(
+                ":", F.col("band").cast("string"), F.col("doc_id").cast("string")
+            )
+        )
+        w = Window.partitionBy("band", "bucket").orderBy(salt, "doc_id")
+        bands = (
+            bands.withColumn("__rn", F.row_number().over(w))
+            .withColumn(
+                "bucket",
+                F.concat_ws(
+                    "#",
+                    "bucket",
+                    F.floor((F.col("__rn") - 1) / max_bucket_size).cast("string"),
+                ),
+            )
+            .drop("__rn")
+        )
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -314,9 +353,9 @@ def minhash_lsh_pairs(
     # only for matched rows, and the pair list side is broadcast-sized, so
     # the verify is two broadcast-ish joins + a codegen array_intersect —
     # measured 6x faster than rebuilding a candidate-restricted inverted
-    # index (whose extra shuffles dominate when candidates are few).  If a
-    # hostile corpus floods buckets, bound candidates upstream (band/row
-    # tuning), not the verify.
+    # index (whose extra shuffles dominate when candidates are few).
+    # Bucket floods are bounded upstream by `max_bucket_size`, so the
+    # candidate list stays linear in corpus size even on dup-heavy data.
     sh = _shingled(df, id_col, text_col, n).cache()
     sha = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     shb = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))

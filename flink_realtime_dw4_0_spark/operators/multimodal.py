@@ -1,10 +1,15 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Images/audio/video ride as `binary` columns with a metadata struct; decode
-and feature extraction run as Arrow-batched `mapInPandas` stages.  The
-decode itself is STUBBED (no image/audio libs in this container) behind a
-deterministic fake — the Spark-side plumbing (schema, batching, partition
-shape) is real and tested.
+and feature extraction run as Arrow-batched `mapInPandas` stages.
+
+Header metadata is REAL for container formats: stdlib-only parsers read
+PNG IHDR (width/height), BMP BITMAPINFOHEADER (width/height), and WAV
+RIFF chunks (sample_rate/channels/sample-frame count — surfaced as
+width/height/n_frames).  Only full pixel/sample DECODE is stubbed (no
+PIL/ffmpeg in this container) behind a deterministic fake for payloads
+that are not a recognized container — the Spark-side plumbing (schema,
+batching, partition shape) is real and tested either way.
 
 Scale notes: binary payloads dominate row size — keep
 `spark.sql.files.maxPartitionBytes` small enough that a partition of blobs
@@ -63,8 +68,47 @@ def to_media(df: DataFrame, id_col: str, bytes_src_col: str, media_type: str) ->
     )
 
 
+def _parse_media_header(payload: bytes) -> tuple[int, int, int] | None:
+    """stdlib-only container-header parse: PNG IHDR / BMP DIB / WAV RIFF.
+
+    Returns (width, height, n_frames); for WAV the triple carries
+    (sample_rate, channels, sample_frames).  None if the payload is not a
+    recognized container (caller falls back to the disclosed stub).
+    """
+    import struct
+
+    if (
+        payload[:8] == b"\x89PNG\r\n\x1a\n"
+        and len(payload) >= 24
+        and payload[12:16] == b"IHDR"
+    ):
+        w, h = struct.unpack(">II", payload[16:24])
+        return int(w), int(h), 1
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        # BITMAPINFOHEADER: int32-LE width at 18, height at 22 (negative
+        # height = top-down row order; magnitude is the pixel height)
+        w, h = struct.unpack("<ii", payload[18:26])
+        return int(w), abs(int(h)), 1
+    if payload[:4] == b"RIFF" and len(payload) >= 12 and payload[8:12] == b"WAVE":
+        pos, channels, rate, block_align, data_size = 12, None, None, None, None
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            sz = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+            if cid == b"fmt " and pos + 22 <= len(payload):
+                channels = struct.unpack("<H", payload[pos + 10 : pos + 12])[0]
+                rate = struct.unpack("<I", payload[pos + 12 : pos + 16])[0]
+                block_align = struct.unpack("<H", payload[pos + 20 : pos + 22])[0]
+            elif cid == b"data":
+                data_size = sz
+            pos += 8 + sz + (sz % 2)  # chunks are word-aligned
+        if channels and rate:
+            frames = data_size // block_align if (data_size and block_align) else 0
+            return int(rate), int(channels), int(frames)
+    return None
+
+
 def _fake_decode(payload: bytes, media_type: str) -> tuple[int, int, int]:
-    """Deterministic stand-in for a real decoder.
+    """Deterministic stand-in for a real pixel/sample decoder.
 
     A real deployment would decode with PIL/ffmpeg here; those libs are not
     in this container, so dimensions are derived deterministically from the
@@ -79,6 +123,80 @@ def _fake_decode(payload: bytes, media_type: str) -> tuple[int, int, int]:
     return width, height, n_frames
 
 
+def _decode(payload: bytes, media_type: str) -> tuple[int, int, int]:
+    """Real header parse first; deterministic fake only for payloads that
+    are not a recognized container."""
+    parsed = _parse_media_header(bytes(payload)) if payload is not None else None
+    if parsed is not None:
+        return parsed
+    return _fake_decode(payload, media_type)
+
+
+def synthetic_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL-container media fixtures, built entirely JVM-side.
+
+    Per id, one of three genuine binary headers (kind = id % 3):
+      0 → PNG  (signature + IHDR, big-endian width/height)     33 bytes
+      1 → BMP  ('BM' + BITMAPINFOHEADER, little-endian dims)   26 bytes
+      2 → WAV  (RIFF/WAVE + fmt + data chunk headers)          44 bytes
+    Dimensions are arithmetic in the id (width = 16 + id%1000, ...), so a
+    SQL oracle can verify what the header PARSERS recover — closing the
+    loop between the binary plumbing and the feature extractor.  The bytes
+    come from hex-string expressions via to_binary: a narrow, codegen'd
+    JVM map, no Python until the parse stage itself.
+    """
+    i = F.col(id_col).cast("long")
+    kind = i % 3
+
+    def hx(col, n):  # fixed-width uppercase hex of a non-negative long
+        return F.lpad(F.hex(col), n, "0")
+
+    def le16(col):  # little-endian 2-byte hex (value < 65536)
+        return F.concat(hx(col % 256, 2), hx(F.floor(col / 256).cast("long"), 2))
+
+    png_w = F.lit(16) + i % 1000
+    png_h = F.lit(16) + (i * 7) % 1000
+    png_hex = F.concat(
+        F.lit("89504E470D0A1A0A" + "0000000D" + "49484452"),  # sig, len 13, IHDR
+        hx(png_w, 8),
+        hx(png_h, 8),
+        F.lit("08060000007B000000"),  # bit depth/color/CRC filler
+    )
+    bmp_w = F.lit(1) + i % 255
+    bmp_h = F.lit(1) + (i * 3) % 255
+    bmp_hex = F.concat(
+        F.lit("424D" + "46000000" + "00000000" + "36000000" + "28000000"),
+        hx(bmp_w, 2), F.lit("000000"),  # int32-LE, dims < 256
+        hx(bmp_h, 2), F.lit("000000"),
+    )
+    sr = F.lit(8000) + (i % 100) * 50
+    ch = F.lit(1) + i % 2
+    nfr = F.lit(1) + i % 1000
+    ba = ch * 2  # block align: 16-bit mono/stereo
+    ds = nfr * ba
+    wav_hex = F.concat(
+        F.lit("52494646" + "24000000" + "57415645"),  # RIFF size WAVE
+        F.lit("666D7420" + "10000000" + "0100"),      # 'fmt ' len=16 PCM
+        hx(ch, 2), F.lit("00"),
+        le16(sr), F.lit("0000"),
+        F.lit("00000000"),  # byte rate (derivable; parsers don't read it)
+        hx(ba, 2), F.lit("00"), F.lit("1000"),  # block align, 16-bit
+        F.lit("64617461"),  # 'data'
+        le16(ds), F.lit("0000"),
+    )
+    payload = F.to_binary(
+        F.when(kind == 0, png_hex).when(kind == 1, bmp_hex).otherwise(wav_hex),
+        F.lit("hex"),
+    )
+    return df.select(
+        i.alias("media_id"),
+        payload.alias("payload"),
+        F.when(kind == 2, F.lit("audio")).otherwise(F.lit("image")).alias("media_type"),
+        F.length(payload).cast("long").alias("byte_len"),
+        F.sha2(payload, 256).alias("sha256"),
+    )
+
+
 def extract_features(df: DataFrame) -> DataFrame:
     """Decode/feature-extract via Arrow-batched mapInPandas.
 
@@ -90,7 +208,7 @@ def extract_features(df: DataFrame) -> DataFrame:
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = [_fake_decode(p, t) for p, t in zip(pdf["payload"], pdf["media_type"])]
+            dims = [_decode(p, t) for p, t in zip(pdf["payload"], pdf["media_type"])]
             out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -150,7 +268,7 @@ def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
             # (no per-row Python row building)
             n_frames = np.fromiter(
                 (
-                    _fake_decode(p, t)[2]
+                    _decode(p, t)[2]
                     for p, t in zip(pdf["payload"], pdf["media_type"])
                 ),
                 dtype=np.int64,

@@ -272,12 +272,15 @@ def lsh_bucket_topk(
             ],
         )
 
-    def with_buckets(df: DataFrame, idc: str, vc: str) -> DataFrame:
+    def with_buckets(df: DataFrame, idc: str) -> DataFrame:
         from .split import explode_computed
 
+        # id + bucket ONLY: the bucket join and candidate distinct move
+        # narrow rows; a vector sharing b buckets with a query would
+        # otherwise ride the exchange b times at dim*8 bytes a copy.
         return explode_computed(
             df,
-            [F.col(id_col).alias(idc), F.col(vec_col).alias(vc)],
+            [F.col(id_col).alias(idc)],
             F.array(
                 *[
                     F.concat(F.lit(f"{ti}:"), sig(F.col(vec_col), pl))
@@ -287,15 +290,24 @@ def lsh_bucket_topk(
             "bucket",
         )
 
-    q = with_buckets(queries, "query_id", "vq")
-    c = with_buckets(corpus, "neighbor_id", "vc")
+    q = with_buckets(queries, "query_id")
+    c = with_buckets(corpus, "neighbor_id")
+    # Dedup on ids BEFORE vectors enter the plan, then re-join each vector
+    # table exactly once — the distinct shuffles (query_id, neighbor_id)
+    # pairs instead of two full embedding arrays per shared bucket.
     cand = (
         q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "vq", "neighbor_id", "vc")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = cand.withColumn("sim", cosine(F.col("vq"), F.col("vc")))
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("vq"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vc"))
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("sim", cosine(F.col("vq"), F.col("vc")))
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -876,7 +876,9 @@ def dedup_jaccard_q(spark, sf_dir):
     return dedup.ngram_jaccard_pairs_prefix(t(spark, sf_dir, "documents"))
 
 
-def _minhash_oracle(num_perm: int = 16, band_size: int = 4) -> str:
+def _minhash_oracle(
+    num_perm: int = 16, band_size: int = 4, max_bucket_size: int | None = None
+) -> str:
     sigs = ",\n           ".join(
         f"min(substr(md5('p{i // 4}:' || shingle), {1 + 8 * (i % 4)}, 8)) AS mh{i}"
         for i in range(num_perm)
@@ -889,11 +891,25 @@ def _minhash_oracle(num_perm: int = 16, band_size: int = 4) -> str:
         )
         for bi in range(n_bands)
     )
+    # Mirror of the Spark-side hot-bucket cap: per-band salted row_number
+    # chunks oversized buckets into sub-buckets of <= max_bucket_size.
+    cap = (
+        f""",
+    bands AS (SELECT doc_id, band,
+                     bucket || '#' || CAST((row_number() OVER (
+                         PARTITION BY band, bucket
+                         ORDER BY md5(CAST(band AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), doc_id
+                     ) - 1) // {max_bucket_size} AS VARCHAR) AS bucket
+              FROM bands0)"""
+        if max_bucket_size is not None
+        else ""
+    )
+    bands_name = "bands0" if max_bucket_size is not None else "bands"
     return (
         _DK_SHINGLES
         + f"""
     , sig AS (SELECT doc_id, {sigs} FROM inv GROUP BY doc_id),
-    bands AS ({band_selects}),
+    {bands_name} AS ({band_selects}){cap},
     cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
              FROM bands a JOIN bands b
                ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
@@ -909,15 +925,20 @@ def _minhash_oracle(num_perm: int = 16, band_size: int = 4) -> str:
 
 @q(
     "dedup_minhash_lsh",
-    _minhash_oracle(),
+    _minhash_oracle(max_bucket_size=50),
     tags=("dedup", "lsh"),
     bench=True,
 )
 def dedup_minhash_q(spark, sf_dir):
     """MinHash+LSH near-dup pairs: md5-permutation signatures → banded
     buckets → candidates → exact-jaccard verify.  Deterministic and
-    engine-portable, so even the LSH stage is oracle-checked."""
-    return dedup.minhash_lsh_pairs(t(spark, sf_dir, "documents"))
+    engine-portable, so even the LSH stage is oracle-checked.
+
+    Runs with the hot-bucket cap on (max_bucket_size=50): a boilerplate
+    cluster of k docs costs O(k*50) candidate rows instead of O(k^2) —
+    the plan of record for dup-heavy corpora; the oracle mirrors the
+    capped sub-bucketing bit-for-bit (per-band md5-salted chunks)."""
+    return dedup.minhash_lsh_pairs(t(spark, sf_dir, "documents"), max_bucket_size=50)
 
 
 @q("dedup_simhash", None, tags=("dedup", "simhash"))
@@ -1096,12 +1117,33 @@ def mm_meta(spark, sf_dir):
     )
 
 
-@q("multimodal_features", None, tags=("multimodal",))
+@q(
+    "multimodal_features",
+    """
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 2 THEN 'audio' ELSE 'image' END AS media_type,
+           CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 26 ELSE 44 END AS byte_len,
+           CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 1000
+                           WHEN 1 THEN 1 + doc_id % 255
+                           ELSE 8000 + (doc_id % 100) * 50 END AS width,
+           CASE doc_id % 3 WHEN 0 THEN 16 + (doc_id * 7) % 1000
+                           WHEN 1 THEN 1 + (doc_id * 3) % 255
+                           ELSE 1 + doc_id % 2 END AS height,
+           CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 1000 ELSE 1 END AS n_frames
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
 def mm_features(spark, sf_dir):
-    """Decode/feature-extract via Arrow-batched mapInPandas (decoder is a
-    deterministic stub — see operators/multimodal.py).  Rows-only check."""
+    """Header feature-extract via Arrow-batched mapInPandas over REAL
+    container bytes: `synthetic_media` builds genuine PNG/BMP/WAV headers
+    JVM-side with id-derived dimensions, and the stdlib parsers in
+    operators/multimodal.py recover width/height/sample-rate/frames from
+    the binary.  The oracle predicts the same dims arithmetically, so the
+    binary build AND the parse are both value-checked (upgraded from the
+    r2 rows-only check)."""
     docs = t(spark, sf_dir, "documents")
-    media = multimodal.to_media(docs, "doc_id", "text", "image")
+    media = multimodal.synthetic_media(docs, "doc_id")
     return multimodal.extract_features(media)
 
 

@@ -23,6 +23,44 @@ def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
     assert len(lsh) / len(exact) >= 0.8
 
 
+def test_minhash_bucket_cap_identity_when_loose(spark, sf_dir):
+    """A cap larger than any bucket must be a no-op: identical output to
+    the uncapped plan (chunk 0 holds everyone)."""
+    docs = load_table(spark, sf_dir, "documents")
+    uncapped = {
+        tuple(r) for r in dedup.minhash_lsh_pairs(docs).collect()
+    }
+    capped = {
+        tuple(r)
+        for r in dedup.minhash_lsh_pairs(docs, max_bucket_size=10**6).collect()
+    }
+    assert capped == uncapped and uncapped
+
+
+def test_minhash_bucket_cap_bounds_hot_cluster(spark):
+    """A hot cluster of k identical docs floods one bucket per band; the
+    cap must (a) bound candidate fan-out to O(k*cap) instead of O(k^2)
+    and (b) keep the cluster CONNECTED for components — per-band salted
+    chunking partitions the clique differently in each band, so the
+    union of chunk cliques still links everything."""
+    k, cap = 200, 10
+    boiler = "lorem ipsum dolor sit amet " * 8
+    rows = [(i, boiler) for i in range(k)] + [
+        (k + i, f"unique document number {i} with its own words {i * 7}")
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = dedup.minhash_lsh_pairs(docs, max_bucket_size=cap)
+    n_pairs = pairs.count()
+    # uncapped would emit k*(k-1)/2 = 19900 clique pairs; capped must stay
+    # within bands * k/cap chunks * cap^2/2 pairs = 4*20*45 = 3600
+    assert 0 < n_pairs <= 3600
+    comps = dedup.connected_components(pairs)
+    cluster = comps.filter(F.col("doc_id") < k)
+    assert cluster.select("component").distinct().count() == 1
+    assert cluster.count() == k
+
+
 def test_exact_dedup_counts(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     out = dedup.exact_dedup(docs)
@@ -554,3 +592,56 @@ def test_run_cli_list_and_execute(spark, sf_dir, capsys):
 
     assert main(["tpch_q6_forcast"]) == 2
     assert "did you mean" in capsys.readouterr().out
+
+
+def test_media_header_parsers_real_bytes():
+    """stdlib-built PNG/BMP/WAV bytes parse to their true dimensions."""
+    import struct
+
+    from flink_realtime_dw4_0_spark.operators.multimodal import _parse_media_header
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", 640, 480)
+        + b"\x08\x06\x00\x00\x00" + b"\x00" * 4
+    )
+    assert _parse_media_header(png) == (640, 480, 1)
+
+    bmp = (
+        b"BM" + struct.pack("<IHHI", 70, 0, 0, 54)
+        + struct.pack("<I", 40) + struct.pack("<ii", 320, -200)  # top-down
+    )
+    assert _parse_media_header(bmp) == (320, 200, 1)
+
+    # 44.1 kHz stereo, 1000 sample frames (16-bit)
+    fmt = struct.pack("<HHIIHH", 1, 2, 44100, 44100 * 4, 4, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + 4000) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 4000)
+    )
+    assert _parse_media_header(wav) == (44100, 2, 1000)
+
+    assert _parse_media_header(b"just some text payload") is None
+
+
+def test_synthetic_media_roundtrip(spark):
+    """JVM-built container bytes → Python header parse recovers the
+    id-derived dimensions exactly (the multimodal_features oracle's claim,
+    checked here row-by-row at unit scale)."""
+    from flink_realtime_dw4_0_spark.operators.multimodal import (
+        extract_features, synthetic_media,
+    )
+
+    ids = spark.range(0, 30).withColumnRenamed("id", "doc_id")
+    feats = {r.media_id: r for r in extract_features(synthetic_media(ids)).collect()}
+    for i in range(30):
+        r = feats[i]
+        if i % 3 == 0:
+            assert (r.width, r.height, r.n_frames) == (16 + i % 1000, 16 + (i * 7) % 1000, 1)
+        elif i % 3 == 1:
+            assert (r.width, r.height, r.n_frames) == (1 + i % 255, 1 + (i * 3) % 255, 1)
+        else:
+            assert (r.width, r.height, r.n_frames) == (8000 + (i % 100) * 50, 1 + i % 2, 1 + i % 1000)

@@ -224,3 +224,22 @@ def test_q20_candidate_semi_chain_broadcasts(spark, sf_dir):
     assert "CartesianProduct" not in plan
     pushed = [ln for ln in plan.splitlines() if "PushedFilters:" in ln and "l_shipdate" in ln]
     assert pushed, "shipdate year-range must reach the lineitem scan"
+
+
+def test_lsh_ann_distinct_before_vectors(spark, sf_dir):
+    """The candidate distinct must shuffle (query_id, neighbor_id) id
+    pairs only; embedding arrays join in AFTER dedup, once per side —
+    otherwise every shared bucket re-ships both vectors at dim*8 bytes."""
+    from flink_realtime_dw4_0_spark.operators import similarity
+    from flink_realtime_dw4_0_spark.sources.files import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 25 == 0)
+    df = similarity.lsh_bucket_topk(probes, emb, k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the distinct is a two-phase HashAggregate on the id pair; no
+    # aggregate carries an embedding column as a grouping key
+    for line in plan.splitlines():
+        if "HashAggregate" in line and "keys=" in line:
+            keys = line.split("keys=")[1].split("]")[0]
+            assert "vq" not in keys and "vc" not in keys and "embedding" not in keys, line

@@ -195,7 +195,7 @@ def bench_streaming(spark) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def bench_streaming_trade(spark) -> dict:
+def bench_streaming_trade(spark, skew_frac: float = 0.0) -> dict:
     """End-to-end throughput of the incremental trade join (the
     reference's stateful-join path): Maxwell envelope decode → 4-way
     keyed-table MERGE (order_detail ⋈ order_info ⟕ activity ⟕ coupon) →
@@ -204,6 +204,12 @@ def bench_streaming_trade(spark) -> dict:
 
     Rows/sec counts every CDC envelope processed, including the keyed
     MERGE I/O — the honest number for sizing the DWD trade topology.
+
+    `skew_frac` routes that fraction of order_detail rows to ONE hot
+    order_id — the power-law key a real order stream has (flash-sale
+    order, bot retries).  The hot key concentrates the detail⋈order
+    derive join and the keyed state MERGE on one key; throughput within
+    ~2x of the uniform number means no state-store blowup.
     """
     import json as _json
     import tempfile
@@ -230,8 +236,12 @@ def bench_streaming_trade(spark) -> dict:
                 for j in range(per):
                     i = fi * per + j
                     ts = t0s + i
+                    # hot key: route ~skew_frac of details to order o0
+                    # (deterministic — i%100 slots below the cutoff),
+                    # except detail i%4==0 which anchors its own order row
+                    hot = skew_frac > 0 and i % 4 != 0 and (i % 100) < skew_frac * 100
                     fh.write(env("order_detail", {
-                        "id": f"d{i}", "order_id": f"o{i // 4}",
+                        "id": f"d{i}", "order_id": "o0" if hot else f"o{i // 4}",
                         "sku_id": f"s{i % 100}", "sku_name": "x",
                         "order_price": "10", "sku_num": "2", "create_time": "t",
                         "split_total_amount": "20",
@@ -281,6 +291,7 @@ def bench_streaming_trade(spark) -> dict:
             "rows": total,
             "sec": round(dt, 3),
             "rows_per_sec": int(total / dt),
+            "skew_frac": skew_frac,
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -419,6 +430,10 @@ def main() -> None:
         spark.catalog.clearCache()
         time.sleep(1)
         out["streaming_trade"] = bench_streaming_trade(spark)
+        spark.catalog.clearCache()
+        time.sleep(1)
+        # hot-order replay: same envelope volume, 25% of details on one key
+        out["streaming_trade_skew"] = bench_streaming_trade(spark, skew_frac=0.25)
 
     print(json.dumps(out))
     spark.stop()

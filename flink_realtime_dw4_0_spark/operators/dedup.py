@@ -311,30 +311,11 @@ def minhash_lsh_pairs(
         "bb",
     ).select("doc_id", "bb.band", "bb.bucket")
     if max_bucket_size is not None:
-        from pyspark.sql.window import Window
-
         # Per-band salted deterministic order, then fixed-size chunking.
         # One extra shuffle of the (doc_id, band, bucket) table — narrow
         # rows, and the self-join below was going to shuffle on the same
         # keys anyway.
-        salt = F.md5(
-            F.concat_ws(
-                ":", F.col("band").cast("string"), F.col("doc_id").cast("string")
-            )
-        )
-        w = Window.partitionBy("band", "bucket").orderBy(salt, "doc_id")
-        bands = (
-            bands.withColumn("__rn", F.row_number().over(w))
-            .withColumn(
-                "bucket",
-                F.concat_ws(
-                    "#",
-                    "bucket",
-                    F.floor((F.col("__rn") - 1) / max_bucket_size).cast("string"),
-                ),
-            )
-            .drop("__rn")
-        )
+        bands = _cap_buckets(bands, max_bucket_size)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -400,6 +381,31 @@ def simhash_bits(col: Column | str, bits: int = 32) -> Column:
     return F.transform(simhash(col, bits), lambda s: (s > 0).cast("int"))
 
 
+def _cap_buckets(bands: DataFrame, max_bucket_size: int) -> DataFrame:
+    """Chunk oversized (band,bucket) groups into sub-buckets of
+    <= max_bucket_size under a per-band md5-salted deterministic order —
+    shared by the MinHash and SimHash candidate generators (see
+    `minhash_lsh_pairs` for the recall/connectivity argument)."""
+    from pyspark.sql.window import Window
+
+    salt = F.md5(
+        F.concat_ws(":", F.col("band").cast("string"), F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy("band", "bucket").orderBy(salt, "doc_id")
+    return (
+        bands.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "bucket",
+            F.concat_ws(
+                "#",
+                "bucket",
+                F.floor((F.col("__rn") - 1) / max_bucket_size).cast("string"),
+            ),
+        )
+        .drop("__rn")
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -407,9 +413,14 @@ def simhash_pairs(
     bits: int = 32,
     bands: int = 4,
     max_hamming: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: banded candidate generation (docs sharing at
-    least one identical band of bits), then exact hamming <= max_hamming."""
+    least one identical band of bits), then exact hamming <= max_hamming.
+
+    `max_bucket_size` bounds per-(band,bucket) fan-out exactly like
+    `minhash_lsh_pairs` — a boilerplate cluster of k identical docs shares
+    every band bucket, and uncapped would emit k^2/2 candidate rows."""
     # stage 1: hash tokens once, physically (cache blocks Catalyst from
     # re-inlining the md5 array into all `bits` lambdas below)
     hashed = df.select(
@@ -451,6 +462,8 @@ def simhash_pairs(
         ),
         "bb",
     ).select("doc_id", "bb.band", "bb.bucket")
+    if max_bucket_size is not None:
+        banded = _cap_buckets(banded, max_bucket_size)
     a = banded.alias("a")
     b = banded.alias("b")
     # dedupe candidates on ids only — distinct over rows carrying two

@@ -19,13 +19,16 @@ from pyspark.sql import functions as F
 
 def _stat_exprs(df: DataFrame, col: str) -> list:
     """count/nulls/distinct plus type-aware min/max rendered as strings
-    that format identically in Spark and DuckDB (doubles rounded to 4,
-    timestamps formatted explicitly, strings/ints cast verbatim)."""
+    that format identically in Spark and DuckDB (floats through a
+    fixed-scale DECIMAL so large magnitudes never flip to scientific
+    notation — double→string in Spark prints '1.23E7' at >= 1e7 while
+    DuckDB prints '12300000.0'; timestamps formatted explicitly,
+    strings/ints/decimals cast verbatim)."""
     dtype = dict(df.dtypes)[col]
     c = F.col(col)
     if dtype in ("double", "float"):
-        mn = F.round(F.min(c), 4).cast("string")
-        mx = F.round(F.max(c), 4).cast("string")
+        mn = F.round(F.min(c), 4).cast("decimal(38,4)").cast("string")
+        mx = F.round(F.max(c), 4).cast("decimal(38,4)").cast("string")
     elif dtype.startswith("timestamp"):
         mn = F.date_format(F.min(c), "yyyy-MM-dd HH:mm:ss")
         mx = F.date_format(F.max(c), "yyyy-MM-dd HH:mm:ss")
@@ -88,4 +91,8 @@ def key_skew(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
             "cnt",
             F.round(F.col("cnt") * 100.0 / F.col("total"), 4).alias("share_pct"),
         )
+        # joins do not guarantee order preservation: re-sort the top_k
+        # rows (trivial — top_k rows) so rank order is part of the
+        # contract, not an accident of the current physical plan
+        .orderBy(F.col("cnt").desc(), F.col("key"))
     )

@@ -3048,8 +3048,8 @@ def sample_token_budget_q(spark, sf_dir):
              CAST(max(o_orderstatus) AS VARCHAR) AS st_max,
              sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS tp_nulls,
              count(DISTINCT o_totalprice) AS tp_dist,
-             CAST(round(min(o_totalprice), 4) AS VARCHAR) AS tp_min,
-             CAST(round(max(o_totalprice), 4) AS VARCHAR) AS tp_max,
+             CAST(CAST(round(min(o_totalprice), 4) AS DECIMAL(38,4)) AS VARCHAR) AS tp_min,
+             CAST(CAST(round(max(o_totalprice), 4) AS DECIMAL(38,4)) AS VARCHAR) AS tp_max,
              sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS od_nulls,
              count(DISTINCT o_orderdate) AS od_dist,
              strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS od_min,

@@ -41,7 +41,14 @@ def main(argv: list[str] | None = None) -> int:
     n = 20
     if "-n" in args:
         i = args.index("-n")
-        n = int(args[i + 1])
+        if i + 1 >= len(args):
+            print("usage: -n requires a row count (e.g. -n 50)")
+            return 2
+        try:
+            n = int(args[i + 1])
+        except ValueError:
+            print(f"usage: -n requires an integer row count, got {args[i + 1]!r}")
+            return 2
         del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
 

@@ -59,6 +59,7 @@ def serving_db_foreach_batch(
     db_path: str,
     table_name: str,
     keys: list[str],
+    max_rows_per_batch: int = 1_000_000,
 ) -> Callable[[DataFrame, int], None]:
     """K7 with a real SQL database: per micro-batch keyed upsert via
     ``INSERT ... ON CONFLICT (keys) DO UPDATE`` — the semantics of a Doris
@@ -74,10 +75,24 @@ def serving_db_foreach_batch(
 
     Idempotent under foreachBatch replay: re-delivered rows hit the same
     primary keys and converge to the same final table.
+
+    `max_rows_per_batch` enforces that contract: serving rows are
+    post-aggregation and driver-bounded by design, so a batch exceeding
+    the cap means the sink was pointed at a fact stream by mistake — it
+    fails loudly BEFORE `toPandas()` can OOM the driver (route fact-scale
+    output through a distributed sink instead).
     """
     import duckdb
 
     def fn(batch: DataFrame, batch_id: int) -> None:
+        over = batch.limit(max_rows_per_batch + 1).count()
+        if over > max_rows_per_batch:
+            raise ValueError(
+                f"serving sink batch exceeds max_rows_per_batch="
+                f"{max_rows_per_batch}: serving tables hold post-aggregation "
+                "rows (windows x dims); a fact-scale stream must use a "
+                "distributed sink, not a driver-side upsert"
+            )
         pdf = batch.dropDuplicates(keys).toPandas()
         if pdf.empty:
             return

@@ -28,20 +28,28 @@ def _flat(df: DataFrame) -> DataFrame:
     ).drop("w")
 
 
-def keyword_page_view(page_log: DataFrame, size: str = WINDOW) -> DataFrame:
+def keyword_page_view(page_log: DataFrame, size: str = WINDOW, tokenizer=None) -> DataFrame:
     """A1 — dws_traffic_source_keyword_page_view_window: tokenize search
     keyword, count per keyword per window (Constant.java:40, X13 UDTF —
     the reference's IK Chinese analyzer; here the CJK-aware tokenizer,
-    which equals whitespace split on non-CJK text)."""
+    which equals whitespace split on non-CJK text).
+
+    `tokenizer` swaps the segmentation strategy (a Column → array<string>
+    fn): default CJK-bigram `tokenize_keywords`; dictionary-based
+    `tokenize_keywords_dict` / `tokenize_keywords_jieba` plug in
+    unchanged — the window/explode/count plumbing is segmenter-agnostic.
+    """
     from ..operators.split import explode_computed
     from ..operators.text import tokenize_keywords
 
+    if tokenizer is None:
+        tokenizer = tokenize_keywords
     kw = explode_computed(
         page_log.filter(
             (F.col("page.last_page_id") == "search") & F.col("page.item").isNotNull()
         ),
         ["row_time"],
-        tokenize_keywords(F.col("page.item")),
+        tokenizer(F.col("page.item")),
         "keyword",
     )
     out = _win(kw, size, "keyword").agg(F.count(F.lit(1)).alias("keyword_count"))

@@ -645,3 +645,116 @@ def test_synthetic_media_roundtrip(spark):
             assert (r.width, r.height, r.n_frames) == (1 + i % 255, 1 + (i * 3) % 255, 1)
         else:
             assert (r.width, r.height, r.n_frames) == (8000 + (i % 100) * 50, 1 + i % 2, 1 + i % 1000)
+
+
+def test_run_cli_malformed_n_flag(capsys):
+    from flink_realtime_dw4_0_spark.run import main
+
+    assert main(["tpch_q6_forecast_revenue", "-n"]) == 2
+    assert "usage" in capsys.readouterr().out
+    assert main(["tpch_q6_forecast_revenue", "-n", "lots"]) == 2
+    assert "usage" in capsys.readouterr().out
+
+
+TOY_DICT = [
+    "苹果", "手机", "苹果手机", "充电器", "小米", "电视机", "电视",
+    "洗衣机", "华为", "笔记本", "电脑", "笔记本电脑", "平板", "耳机",
+    "蓝牙耳机", "蓝牙", "空调", "冰箱", "智能", "手表",
+]
+
+
+def test_dictionary_segmenter_golden(spark):
+    """Forward-maximum-matching over a 20-entry toy dictionary: real word
+    boundaries (longest match wins), OOV single-char fallback, mixed
+    Latin passthrough — the import-gated jieba path's exact output
+    contract, provable without jieba."""
+    from flink_realtime_dw4_0_spark.operators.text import tokenize_keywords_dict
+
+    rows = [
+        ("苹果手机充电器",),            # longest match: 苹果手机 not 苹果+手机
+        ("buy 小米电视机 online",),     # latin + 电视机 beats 电视
+        ("华为笔记本电脑和蓝牙耳机",),   # 和 is OOV -> single char
+        ("Smart 手表",),
+    ]
+    df = spark.createDataFrame(rows, ["kw"])
+    got = [
+        r.toks
+        for r in df.select(
+            tokenize_keywords_dict("kw", TOY_DICT).alias("toks")
+        ).collect()
+    ]
+    assert got[0] == ["苹果手机", "充电器"]
+    assert got[1] == ["buy", "小米", "电视机", "online"]
+    assert got[2] == ["华为", "笔记本电脑", "和", "蓝牙耳机"]
+    assert got[3] == ["smart", "手表"]
+
+
+def test_keyword_window_with_dictionary_tokenizer(spark):
+    """A1's window/explode/count plumbing is segmenter-agnostic: the
+    dictionary FMM tokenizer plugs into keyword_page_view unchanged and
+    counts land on real word boundaries."""
+    import datetime as dt
+
+    from flink_realtime_dw4_0_spark.operators.text import tokenize_keywords_dict
+    from flink_realtime_dw4_0_spark.streaming.dws import keyword_page_view
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 3)
+    rows = [
+        (t0, ("search", "苹果手机")),
+        (t0, ("search", "苹果手机 充电器")),
+        (t0, ("home", "苹果手机")),      # filtered: not from search
+        (t0, ("search", None)),          # filtered: null keyword
+    ]
+    df = spark.createDataFrame(
+        rows, "row_time timestamp, page struct<last_page_id:string, item:string>"
+    )
+    out = keyword_page_view(
+        df, tokenizer=lambda c: tokenize_keywords_dict(c, TOY_DICT)
+    )
+    got = {r.keyword: r.keyword_count for r in out.collect()}
+    assert got == {"苹果手机": 2, "充电器": 1}
+
+
+def test_serving_sink_row_cap_guard(spark, tmp_path):
+    """A fact-scale batch must fail loudly BEFORE toPandas(), not OOM the
+    driver; a bounded batch under the cap still upserts normally."""
+    import duckdb
+
+    from flink_realtime_dw4_0_spark.sinks.serving import serving_db_foreach_batch
+
+    db = str(tmp_path / "serve.db")
+    fn = serving_db_foreach_batch(db, "t", keys=["k"], max_rows_per_batch=10)
+
+    ok = spark.range(5).selectExpr("CAST(id AS STRING) AS k", "id AS v")
+    fn(ok, 0)
+    with duckdb.connect(db) as con:
+        assert con.execute('SELECT count(*) FROM "t"').fetchone()[0] == 5
+
+    big = spark.range(100).selectExpr("CAST(id AS STRING) AS k", "id AS v")
+    try:
+        fn(big, 1)
+        raise AssertionError("expected max_rows_per_batch guard to trip")
+    except ValueError as e:
+        assert "max_rows_per_batch" in str(e)
+    # table untouched by the rejected batch
+    with duckdb.connect(db) as con:
+        assert con.execute('SELECT count(*) FROM "t"').fetchone()[0] == 5
+
+
+def test_simhash_bucket_cap(spark, sf_dir):
+    """SimHash's banded candidate generator honors the same hot-bucket
+    cap: loose cap == uncapped output; tight cap bounds a hot cluster."""
+    docs = load_table(spark, sf_dir, "documents")
+    uncapped = {tuple(r) for r in dedup.simhash_pairs(docs).collect()}
+    loose = {
+        tuple(r)
+        for r in dedup.simhash_pairs(docs, max_bucket_size=10**6).collect()
+    }
+    assert loose == uncapped and uncapped
+
+    k, cap = 120, 10
+    boiler = "identical boilerplate page body text " * 6
+    hot = spark.createDataFrame([(i, boiler) for i in range(k)], ["doc_id", "text"])
+    n = dedup.simhash_pairs(hot, max_bucket_size=cap).count()
+    # 4 bands x 12 chunks x C(10,2)=45 pairs = 2160 max, vs k^2/2 = 7140
+    assert 0 < n <= 2160

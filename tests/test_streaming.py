@@ -931,3 +931,57 @@ def test_scd2_history_cross_batch_and_replay(spark, tmp_path):
         assert all(e >= s for s, e in zip(starts, ends))
         # consecutive intervals of a key must not overlap
         assert all(starts[i + 1] >= ends[i] for i in range(len(starts) - 1))
+
+
+def test_scd2_equal_ts_tiebreak_and_late_rejection(spark, tmp_path):
+    """Equal-ts updates collapse deterministically to one version per
+    (key, ts) — no duplicate (key, valid_from_ms) PKs — and a late update
+    older than the open row is rejected instead of leaving two open rows."""
+    import datetime as dt
+
+    from flink_realtime_dw4_0_spark.sinks.scd2 import Scd2History
+
+    t = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    h = Scd2History(str(tmp_path / "scd2"), key="user_id", seq_col="seq")
+
+    def b(rows):
+        return spark.createDataFrame(
+            rows, "user_id string, attr string, ts timestamp, seq long"
+        )
+
+    # two updates in the SAME second (Maxwell second-granularity ts):
+    # the higher seq must win; exactly one row at that valid_from
+    b1 = b([("u1", "first", t("2024-01-01 00:00:00"), 1),
+            ("u1", "second", t("2024-01-01 00:00:00"), 2),
+            ("u1", "later", t("2024-01-01 02:00:00"), 3)])
+    h.process_batch(b1, spark)
+    rows = h.read(spark).collect()
+    at0 = [r for r in rows if r.valid_from_ms == 1704067200000]
+    assert len(at0) == 1 and at0[0].attr == "second"
+    assert [r.attr for r in rows if r.valid_to_ms is None] == ["later"]
+
+    # replay must converge value-identically (content-hash / seq stable)
+    before = sorted(sorted(r.asDict().items()) for r in rows)
+    h.process_batch(b1, spark)
+    assert sorted(sorted(r.asDict().items()) for r in h.read(spark).collect()) == before
+
+    # a LATE row (ts before the current open row) is rejected: still
+    # exactly one open row, and the open row is unchanged
+    late = b([("u1", "stale", t("2024-01-01 01:00:00"), 4)])
+    h.process_batch(late, spark)
+    rows = h.read(spark).collect()
+    assert "stale" not in {r.attr for r in rows}
+    opens = [r for r in rows if r.valid_to_ms is None]
+    assert len(opens) == 1 and opens[0].attr == "later"
+
+    # a mixed batch (late prefix + genuinely new row): late part dropped,
+    # new row chains onto the open one at the NEW row's ts
+    mixed = b([("u1", "stale2", t("2024-01-01 01:30:00"), 5),
+               ("u1", "newest", t("2024-01-01 03:00:00"), 6)])
+    h.process_batch(mixed, spark)
+    rows = h.read(spark).collect()
+    assert "stale2" not in {r.attr for r in rows}
+    opens = [r for r in rows if r.valid_to_ms is None]
+    assert len(opens) == 1 and opens[0].attr == "newest"
+    closed_later = [r for r in rows if r.attr == "later"][0]
+    assert closed_later.valid_to_ms == opens[0].valid_from_ms

@@ -231,6 +231,87 @@ def ngram_jaccard_pairs_prefix(
     )
 
 
+def ngram_jaccard_pairs_prefix_capped(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    max_shingle_freq: int = 50,
+) -> DataFrame:
+    """Prefix-filtered jaccard join over FREQUENCY-CAPPED shingle sets —
+    the ngram tier's plan of record for duplicate-heavy corpora.
+
+    Semantics: shingles appearing in more than `max_shingle_freq` docs
+    (boilerplate grams — the df-filter / stopword idea) are dropped FIRST;
+    jaccard is then computed entirely over the surviving sets (both the
+    intersection AND the set sizes), so a boilerplate cluster of 10^5
+    identical docs contributes no candidates at all — it is the exact
+    tier's job (`exact_dedup`), not the similarity join's.  The remaining
+    corpus goes through the AllPairs prefix filter, so cost is bounded by
+    rare-shingle collisions: sub-quadratic even when every doc has a few
+    replicas.  Capped sizes (not full sizes) keep the threshold test
+    consistent with the filtered universe; the DuckDB oracle mirrors the
+    same two-stage definition.
+    """
+    from pyspark.sql.window import Window
+
+    sh = _shingled(df, id_col, text_col, n)
+    inv = explode_computed(sh, ["doc_id"], "sh", "shingle")
+    w_freq = Window.partitionBy("shingle")
+    inv_c = (
+        inv.withColumn("freq", F.count(F.lit(1)).over(w_freq))
+        .filter(F.col("freq") <= max_shingle_freq)
+    ).cache()
+    w_doc = Window.partitionBy("doc_id")
+    w_rank = w_doc.orderBy("freq", "shingle")
+    n_sh = F.col("n_sh")
+    prefix = (
+        inv_c.withColumn("pos", F.row_number().over(w_rank))
+        .withColumn("n_sh", F.count(F.lit(1)).over(w_doc).cast("long"))
+        .filter(
+            F.lit(threshold_num) * n_sh
+            <= F.lit(threshold_den) * (n_sh - F.col("pos") + 1)
+        )
+        .select("doc_id", "shingle", "n_sh")
+        .cache()
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.least(F.col("a.n_sh"), F.col("b.n_sh"))
+                * (threshold_den + threshold_num)
+                >= F.lit(threshold_num) * (F.col("a.n_sh") + F.col("b.n_sh"))
+            ),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    # capped per-doc arrays for the verify (array_intersect over the
+    # SAME filtered universe the candidates came from)
+    sh_c = inv_c.groupBy("doc_id").agg(F.collect_list("shingle").alias("sh")).cache()
+    sha = sh_c.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    shb = sh_c.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sha, "id_a")
+        .join(shb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("long"))
+        .withColumn("n_a", F.size("sh_a").cast("long"))
+        .withColumn("n_b", F.size("sh_b").cast("long"))
+        .filter(
+            F.col("inter") * (threshold_den + threshold_num)
+            >= threshold_num * (F.col("n_a") + F.col("n_b"))
+        )
+        .select("id_a", "id_b", "inter", "n_a", "n_b")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -256,6 +337,30 @@ def minhash_signatures(
         for i in range(num_perm)
     ]
     return sh.groupBy("doc_id").agg(*sigs)
+
+
+def minhash_bands(sig: DataFrame, num_perm: int, band_size: int) -> DataFrame:
+    """(doc_id, band, bucket) LSH index rows from a signature table —
+    each band's bucket is md5 over its `band_size` signature slots."""
+    n_bands = num_perm // band_size
+    return explode_computed(
+        sig,
+        ["doc_id"],
+        F.array(
+            *[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            "|", *[F.col(f"mh{bi * band_size + j}") for j in range(band_size)]
+                        )
+                    ).alias("bucket"),
+                )
+                for bi in range(n_bands)
+            ]
+        ),
+        "bb",
+    ).select("doc_id", "bb.band", "bb.bucket")
 
 
 def minhash_lsh_pairs(
@@ -291,25 +396,7 @@ def minhash_lsh_pairs(
     """
     assert num_perm % band_size == 0
     sig = minhash_signatures(df, id_col, text_col, n, num_perm).cache()
-    n_bands = num_perm // band_size
-    bands = explode_computed(
-        sig,
-        ["doc_id"],
-        F.array(
-            *[
-                F.struct(
-                    F.lit(bi).alias("band"),
-                    F.md5(
-                        F.concat_ws(
-                            "|", *[F.col(f"mh{bi * band_size + j}") for j in range(band_size)]
-                        )
-                    ).alias("bucket"),
-                )
-                for bi in range(n_bands)
-            ]
-        ),
-        "bb",
-    ).select("doc_id", "bb.band", "bb.bucket")
+    bands = minhash_bands(sig, num_perm, band_size)
     if max_bucket_size is not None:
         # Per-band salted deterministic order, then fixed-size chunking.
         # One extra shuffle of the (doc_id, band, bucket) table — narrow

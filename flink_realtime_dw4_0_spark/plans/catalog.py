@@ -529,6 +529,77 @@ def x13_cjk_keywords(spark, sf_dir):
     )
 
 
+# Toy dictionary for the FMM (forward-maximum-matching) segmentation
+# surface — the word list a production deployment swaps for jieba/IK's
+# ~350k-entry dictionary.  Mirrored verbatim in the DuckDB oracle.
+_FMM_DICT = [
+    "小米", "手机", "智能手机", "苹果手机", "苹果", "华为", "笔记本电脑",
+    "笔记本", "电脑", "联想", "图书", "口红", "电饭煲", "游戏机", "游戏",
+    "至尊", "智能", "电视机", "洗衣机", "至尊版",
+]
+
+
+def _fmm_oracle() -> str:
+    """DuckDB twin of operators.text.tokenize_keywords_dict: whitespace
+    split → Han/non-Han span split → recursive-CTE forward maximum
+    matching against the dictionary (longest word >= 2 chars at each
+    position, single-char fallback), then keyword counts."""
+    dict_vals = ", ".join(f"('{w}')" for w in _FMM_DICT)
+    src_vals = ", ".join(f"({i}, '{s}')" for i, s in _CJK_FIXTURE)
+    return f"""
+    WITH RECURSIVE
+    dict(w) AS (VALUES {dict_vals}),
+    src AS (SELECT src_id, lower(trim(txt)) AS txt
+            FROM (VALUES {src_vals}) v(src_id, txt)),
+    parts AS (
+      SELECT src_id, unnest(string_split_regex(txt, '\\s+')) AS part FROM src),
+    spans AS (
+      SELECT src_id, unnest(regexp_extract_all(part, '[一-鿿]+|[^一-鿿]+')) AS span
+      FROM parts WHERE len(part) > 0),
+    fmm(src_id, span, pos, tok) AS (
+      SELECT src_id, span, CAST(1 AS BIGINT), CAST(NULL AS VARCHAR)
+      FROM spans WHERE regexp_matches(span, '^[一-鿿]+$')
+      UNION ALL
+      SELECT src_id, span, pos + len(tok), tok FROM (
+        SELECT f.src_id, f.span, f.pos,
+               coalesce(
+                 (SELECT d.w FROM dict d
+                  WHERE len(d.w) >= 2 AND substr(f.span, f.pos, len(d.w)) = d.w
+                  ORDER BY len(d.w) DESC LIMIT 1),
+                 substr(f.span, f.pos, 1)) AS tok
+        FROM fmm f WHERE f.pos <= len(f.span))
+    ),
+    kw AS (
+      SELECT tok AS keyword FROM fmm WHERE tok IS NOT NULL
+      UNION ALL
+      SELECT span FROM spans WHERE NOT regexp_matches(span, '^[一-鿿]+$'))
+    SELECT keyword, count(*) AS kw_count FROM kw GROUP BY keyword
+    """
+
+
+@q(
+    "x14_dict_keyword_count",
+    _fmm_oracle(),
+    tags=("udtf", "cjk", "dict"),
+)
+def x14_dict_keywords(spark, sf_dir):
+    """X13 dictionary mode — forward-maximum-matching segmentation (the
+    algorithm the reference's ik_smart analyzer and jieba's dictionary
+    pass approximate) over the same gmall search strings as x13.  The
+    Arrow-batched FMM UDF is value-checked against a recursive-CTE SQL
+    twin, so real word boundaries (长词优先 / longest-match-first) are
+    driver-verified, not just golden-tested.  Independent of sf_dir
+    (literal fixture) like x13."""
+    rows = spark.createDataFrame(_CJK_FIXTURE, "src_id long, txt string")
+    return (
+        split.explode_computed(
+            rows, [], text.tokenize_keywords_dict("txt", _FMM_DICT), "keyword"
+        )
+        .groupBy("keyword")
+        .agg(F.count(F.lit(1)).alias("kw_count"))
+    )
+
+
 @q(
     "a2_traffic_window_pv",
     """
@@ -1301,25 +1372,29 @@ def p2_struct(spark, sf_dir):
     + """
     , freq AS (SELECT shingle FROM inv GROUP BY shingle HAVING count(*) <= 50),
     inv_c AS (SELECT inv.doc_id, inv.shingle FROM inv JOIN freq USING (shingle)),
+    sizes_c AS (SELECT doc_id, count(*) AS n FROM inv_c GROUP BY doc_id),
     pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
       FROM inv_c a JOIN inv_c b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2)
     SELECT p.id_a AS id_a, p.id_b AS id_b, p.inter AS inter,
            sa.n AS n_a, sb.n AS n_b
-    FROM pairs p JOIN sizes sa ON p.id_a = sa.doc_id
-                 JOIN sizes sb ON p.id_b = sb.doc_id
+    FROM pairs p JOIN sizes_c sa ON p.id_a = sa.doc_id
+                 JOIN sizes_c sb ON p.id_b = sb.doc_id
     WHERE p.inter * 10 >= 3 * (sa.n + sb.n)
     """,
     tags=("dedup", "scale-knob"),
 )
 def dedup_capped(spark, sf_dir):
-    """N-gram jaccard with hot-shingle frequency capping (drop shingles in
-    >50 docs) — the knob that bounds inverted-index blowup at 100 TB.
-    Intersections shrink for pairs that only share hot shingles, so the
-    threshold is effectively on rare-shingle overlap (3/7 here; the oracle
-    mirrors the identical algorithm)."""
-    return dedup.ngram_jaccard_pairs(
+    """N-gram jaccard over FREQUENCY-CAPPED shingle sets (shingles in >50
+    docs dropped first; jaccard over the survivors — the df-filter idea).
+    Runs the prefix-filtered AllPairs plan on the capped universe, so a
+    boilerplate cluster contributes no candidates at all (exact dedup's
+    job), and replica cliques stay bounded by rare-shingle collisions —
+    sub-quadratic on dup-heavy corpora (bench stress_dup section).  The
+    oracle mirrors the same two-stage definition with the naive join
+    (plan-independent answer, threshold 3/7)."""
+    return dedup.ngram_jaccard_pairs_prefix_capped(
         t(spark, sf_dir, "documents"),
         threshold_num=3, threshold_den=7, max_shingle_freq=50,
     )
@@ -1998,6 +2073,25 @@ def ann_ivf_index_q(spark, sf_dir):
     similarity.ivf_index_write(emb, idx, n_cells=16)
     probes = emb.filter(F.col("vec_id") % 25 == 0)
     return similarity.ivf_index_topk(spark, probes, idx, k=5, nprobe=4)
+
+
+@q("streaming_neardup_decisions", None, tags=("streaming", "dedup", "stateful"))
+def streaming_neardup_q(spark, sf_dir):
+    """Ingestion-time near-dup filter (streaming/neardup.py): documents
+    fed as two micro-batches (doc_id parity) through the stateful LSH
+    index; returns the per-doc accept/reject decisions.  Cross-batch
+    state + LSH estimate → no SQL twin (rows-only); semantics are
+    golden-tested (in-batch groups, cross-batch rejection, hot-cluster
+    cap, replay stability) in tests/test_streaming.py."""
+    import tempfile
+
+    from ..streaming.neardup import StreamingNearDup
+
+    docs = t(spark, sf_dir, "documents")
+    nd = StreamingNearDup(tempfile.mkdtemp(prefix="neardup_") + "/state")
+    d1 = nd.process_batch(docs.filter(F.col("doc_id") % 2 == 0), spark)
+    d2 = nd.process_batch(docs.filter(F.col("doc_id") % 2 == 1), spark)
+    return d1.unionByName(d2)
 
 
 # ===========================================================================

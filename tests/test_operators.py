@@ -758,3 +758,22 @@ def test_simhash_bucket_cap(spark, sf_dir):
     n = dedup.simhash_pairs(hot, max_bucket_size=cap).count()
     # 4 bands x 12 chunks x C(10,2)=45 pairs = 2160 max, vs k^2/2 = 7140
     assert 0 < n <= 2160
+
+
+def test_prefix_capped_drops_boilerplate_keeps_neardups(spark):
+    """Capped-prefix jaccard: a boilerplate cluster (hot shingles) yields
+    NO pairs — that's exact dedup's job — while a rare near-dup pair
+    over the capped universe is still found."""
+    boiler = "every page shares this exact legal footer text " * 4
+    rows = [(i, boiler) for i in range(30)] + [
+        (100, "a genuinely unique story about mountain climbing in spring"),
+        (101, "a genuinely unique story about mountain climbing in winter"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs_prefix_capped(
+            docs, max_shingle_freq=10
+        ).collect()
+    }
+    assert pairs == {(100, 101)}

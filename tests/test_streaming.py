@@ -985,3 +985,78 @@ def test_scd2_equal_ts_tiebreak_and_late_rejection(spark, tmp_path):
     assert len(opens) == 1 and opens[0].attr == "newest"
     closed_later = [r for r in rows if r.attr == "later"][0]
     assert closed_later.valid_to_ms == opens[0].valid_from_ms
+
+
+def test_streaming_neardup_ingestion_filter(spark, tmp_path):
+    """Ingestion-time LSH dedup: in-batch groups keep one representative,
+    cross-batch near-dups are rejected against the accepted index, novel
+    docs are accepted, and replaying a batch is decision-stable with no
+    state growth."""
+    from flink_realtime_dw4_0_spark.streaming.neardup import StreamingNearDup
+
+    nd = StreamingNearDup(str(tmp_path / "nd"))
+    base = "the quick brown fox jumps over the lazy dog near the riverbank every sunny morning in spring"
+
+    b1 = spark.createDataFrame(
+        [
+            (1, base),
+            (2, "completely different content about astronomy and telescopes and galaxies far away"),
+            (3, "yet another unrelated text describing cooking recipes with garlic and olive oil"),
+            (4, base.replace("sunny", "rainy")),  # near-dup of 1, same batch
+        ],
+        ["doc_id", "text"],
+    )
+    d1 = {r.doc_id: (r.accepted, r.matched_id) for r in nd.process_batch(b1, spark).collect()}
+    assert d1[1] == (1, None) and d1[2] == (1, None) and d1[3] == (1, None)
+    assert d1[4] == (0, 1)
+
+    b2 = spark.createDataFrame(
+        [
+            (10, base.replace("morning", "evening")),  # near-dup of accepted 1
+            (11, "a novel essay on distributed query engines and columnar execution models"),
+        ],
+        ["doc_id", "text"],
+    )
+    d2 = {r.doc_id: (r.accepted, r.matched_id) for r in nd.process_batch(b2, spark).collect()}
+    assert d2[10] == (0, 1)
+    assert d2[11] == (1, None)
+
+    idx_before = nd.index.read(spark).count()
+    sig_before = nd.sigs.read(spark).count()
+    # replay batch 2: same decisions, no state growth
+    d2r = {r.doc_id: r.accepted for r in nd.process_batch(b2, spark).collect()}
+    assert d2r == {10: 0, 11: 1}
+    assert nd.index.read(spark).count() == idx_before
+    assert nd.sigs.read(spark).count() == sig_before
+    # 4 accepted docs indexed, each with 4 bands
+    assert sig_before == 4 and idx_before == 16
+
+
+def test_streaming_neardup_hot_cluster_across_batches(spark, tmp_path):
+    """A boilerplate cluster larger than the bucket cap must still match
+    across batches: the index stores UNCAPPED buckets (chunk suffixes are
+    batch-population-dependent), so batch-2 copies reject against the
+    single indexed representative; state holds ONE rep for the cluster."""
+    from flink_realtime_dw4_0_spark.streaming.neardup import StreamingNearDup
+
+    nd = StreamingNearDup(str(tmp_path / "ndhot"), max_bucket_size=10)
+    boiler = "identical legal boilerplate footer appears on every single page " * 4
+
+    b1 = spark.createDataFrame(
+        [(i, boiler) for i in range(40)], ["doc_id", "text"]
+    )
+    d1 = nd.process_batch(b1, spark).collect()
+    acc1 = {r.doc_id for r in d1 if r.accepted}
+    # sub-bucket chunking trades a little in-batch recall for the O(k*cap)
+    # bound: a 40-doc clique collapses to a FEW representatives (each
+    # non-rep shares a chunk with a smaller doc in some band), not to 40
+    assert 0 in acc1 and len(acc1) <= 4
+
+    b2 = spark.createDataFrame(
+        [(100 + i, boiler) for i in range(20)], ["doc_id", "text"]
+    )
+    d2 = nd.process_batch(b2, spark).collect()
+    # every batch-2 copy matches an indexed representative (uncapped
+    # cross-batch buckets) — zero state growth
+    assert all(r.accepted == 0 and r.matched_id in acc1 for r in d2)
+    assert nd.sigs.read(spark).count() == len(acc1)

@@ -2075,14 +2075,109 @@ def ann_ivf_index_q(spark, sf_dir):
     return similarity.ivf_index_topk(spark, probes, idx, k=5, nprobe=4)
 
 
-@q("streaming_neardup_decisions", None, tags=("streaming", "dedup", "stateful"))
+def _neardup_oracle(
+    num_perm: int = 16, band_size: int = 4, cap: int = 50,
+    threshold_num: int = 1, threshold_den: int = 2,
+) -> str:
+    """DuckDB twin of the TWO-BATCH stateful ingestion filter: batch-1
+    in-batch dedup → accepted index → batch-2 history probe + in-batch
+    dedup.  Every stage (md5 minhash, banded buckets, per-band salted
+    cap, signature-match estimate) is deterministic, so even the keyed
+    STATE transition is value-checked — rare for a stateful streaming
+    operator."""
+    sigs = ",\n           ".join(
+        f"min(substr(md5('p{i // 4}:' || shingle), {1 + 8 * (i % 4)}, 8)) AS mh{i}"
+        for i in range(num_perm)
+    )
+    n_bands = num_perm // band_size
+
+    def band_selects(src: str) -> str:
+        return "\n      UNION ALL ".join(
+            "SELECT doc_id, {bi} AS band, md5({expr}) AS bucket FROM {src}".format(
+                bi=bi,
+                expr=" || '|' || ".join(
+                    f"mh{bi * band_size + j}" for j in range(band_size)
+                ),
+                src=src,
+            )
+            for bi in range(n_bands)
+        )
+
+    def capped(src: str) -> str:
+        return f"""SELECT doc_id, band,
+            bucket || '#' || CAST((row_number() OVER (
+                PARTITION BY band, bucket
+                ORDER BY md5(CAST(band AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), doc_id
+            ) - 1) // {cap} AS VARCHAR) AS bucket FROM {src}"""
+
+    est = (
+        "("
+        + " + ".join(
+            f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END"
+            for i in range(num_perm)
+        )
+        + f") * {threshold_den} >= {threshold_num} * {num_perm}"
+    )
+    return (
+        _DK_SHINGLES
+        + f"""
+    , sig AS (SELECT doc_id, {sigs} FROM inv GROUP BY doc_id),
+    b1sig AS (SELECT * FROM sig WHERE doc_id % 2 = 0),
+    b2sig AS (SELECT * FROM sig WHERE doc_id % 2 = 1),
+    bands1_raw AS ({band_selects('b1sig')}),
+    bands2_raw AS ({band_selects('b2sig')}),
+    bands1 AS ({capped('bands1_raw')}),
+    bands2 AS ({capped('bands2_raw')}),
+    p1 AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands1 a JOIN bands1 b
+             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+    m1 AS (SELECT p.id_b AS doc_id, min(p.id_a) AS m
+           FROM p1 p JOIN sig sa ON p.id_a = sa.doc_id
+                     JOIN sig sb ON p.id_b = sb.doc_id
+           WHERE {est} GROUP BY p.id_b),
+    dec1 AS (SELECT s.doc_id, m1.m AS matched_id
+             FROM b1sig s LEFT JOIN m1 ON s.doc_id = m1.doc_id),
+    acc1 AS (SELECT doc_id FROM dec1 WHERE matched_id IS NULL),
+    idx AS (SELECT b.doc_id, b.band, b.bucket
+            FROM bands1_raw b JOIN acc1 USING (doc_id)),
+    cand2 AS (SELECT DISTINCT b2.doc_id, i.doc_id AS old_id
+              FROM bands2_raw b2 JOIN idx i
+                ON b2.band = i.band AND b2.bucket = i.bucket),
+    h2 AS (SELECT c.doc_id, min(c.old_id) AS hm
+           FROM cand2 c JOIN sig sa ON c.doc_id = sa.doc_id
+                        JOIN sig sb ON c.old_id = sb.doc_id
+           WHERE {est} GROUP BY c.doc_id),
+    p2 AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands2 a JOIN bands2 b
+             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+    m2 AS (SELECT p.id_b AS doc_id, min(p.id_a) AS m
+           FROM p2 p JOIN sig sa ON p.id_a = sa.doc_id
+                     JOIN sig sb ON p.id_b = sb.doc_id
+           WHERE {est} GROUP BY p.id_b),
+    dec2 AS (SELECT s.doc_id, coalesce(h2.hm, m2.m) AS matched_id
+             FROM b2sig s LEFT JOIN h2 ON s.doc_id = h2.doc_id
+                          LEFT JOIN m2 ON s.doc_id = m2.doc_id),
+    alldec AS (SELECT * FROM dec1 UNION ALL SELECT * FROM dec2)
+    SELECT doc_id, matched_id,
+           CASE WHEN matched_id IS NULL THEN 1 ELSE 0 END AS accepted
+    FROM alldec
+    """
+    )
+
+
+@q(
+    "streaming_neardup_decisions",
+    _neardup_oracle(),
+    tags=("streaming", "dedup", "stateful"),
+)
 def streaming_neardup_q(spark, sf_dir):
     """Ingestion-time near-dup filter (streaming/neardup.py): documents
     fed as two micro-batches (doc_id parity) through the stateful LSH
-    index; returns the per-doc accept/reject decisions.  Cross-batch
-    state + LSH estimate → no SQL twin (rows-only); semantics are
-    golden-tested (in-batch groups, cross-batch rejection, hot-cluster
-    cap, replay stability) in tests/test_streaming.py."""
+    index; returns the per-doc accept/reject decisions.  The md5-based
+    pipeline is fully deterministic, so the DuckDB oracle replays BOTH
+    batches including the state transition — the accept/reject decisions
+    and witness ids are value-checked, not just row-counted.  Replay /
+    hot-cluster / cross-batch goldens live in tests/test_streaming.py."""
     import tempfile
 
     from ..streaming.neardup import StreamingNearDup

@@ -1012,11 +1012,44 @@ def dedup_minhash_q(spark, sf_dir):
     return dedup.minhash_lsh_pairs(t(spark, sf_dir, "documents"), max_bucket_size=50)
 
 
-@q("dedup_simhash", None, tags=("dedup", "simhash"))
+@q(
+    "dedup_simhash",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents),
+    hs AS (SELECT doc_id, md5(tok) AS h FROM toks),
+    bits AS (
+      SELECT doc_id, g.i,
+             sum(CASE WHEN substr(h, CAST(g.i AS INT), 1)
+                      IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s
+      FROM hs, generate_series(1, 32) AS g(i)
+      GROUP BY doc_id, g.i),
+    bv AS (SELECT doc_id, i, CASE WHEN s > 0 THEN 1 ELSE 0 END AS b FROM bits),
+    buckets AS (
+      SELECT doc_id, CAST((i - 1) // 8 AS INT) AS band,
+             string_agg(CAST(b AS VARCHAR), '' ORDER BY i) AS bucket
+      FROM bv GROUP BY doc_id, (i - 1) // 8),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+    ham AS (
+      SELECT c.id_a, c.id_b,
+             sum(CASE WHEN va.b != vb.b THEN 1 ELSE 0 END) AS hamming
+      FROM cand c JOIN bv va ON va.doc_id = c.id_a
+                  JOIN bv vb ON vb.doc_id = c.id_b AND va.i = vb.i
+      GROUP BY c.id_a, c.id_b)
+    SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+    """,
+    tags=("dedup", "simhash"),
+)
 def dedup_simhash_q(spark, sf_dir):
     """SimHash near-dup pairs (hamming <= 3 over 32-bit sketches); banded
-    candidate generation.  Rows-only check (bit-level SQL twin is
-    impractical); pytest verifies against planted near-dups."""
+    candidate generation.  The sketch is md5-nibble sign sums — integer
+    arithmetic end to end — so even the bit-level pipeline has a DuckDB
+    twin (upgraded from r2's rows-only check); pytest additionally
+    verifies recall against planted near-dups."""
     return dedup.simhash_pairs(t(spark, sf_dir, "documents"))
 
 

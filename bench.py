@@ -330,12 +330,12 @@ def main() -> None:
     # reproducible solo-equivalent measurement.  The deliberate shingle-
     # stage cache sharing between the two dedup queries is preserved by
     # skipping isolation between members of the same cache group.
-    # Each query is measured as min-of-2 back-to-back runs: single runs on
+    # Each query is measured as min-of-3 back-to-back runs: single runs on
     # a 32-thread shared JVM show 3-8x outliers from GC/eviction timing
-    # (observed: minhash 1.3 s vs 5.5 s on IDENTICAL in-session reps); the
-    # min measures the plan, not the collector.  The second run legally
-    # reuses caches the first built — warm numbers are the steady-state a
-    # pipeline run sees.
+    # (observed: minhash 1.3 s vs 5.5 s on IDENTICAL in-session reps; full
+    # bench totals ranged 9.5-14.1 s under min-of-2); the min measures the
+    # plan, not the collector.  Later runs legally reuse caches the first
+    # built — warm numbers are the steady-state a pipeline run sees.
     cache_groups = {"dedup_ngram_jaccard": "shingles", "dedup_minhash_lsh": "shingles"}
     times: dict[str, float] = {}
     prev_group = None
@@ -347,7 +347,7 @@ def main() -> None:
             time.sleep(1)
         prev_group = group
         reps = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             CATALOG[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             reps.append(time.perf_counter() - t0)

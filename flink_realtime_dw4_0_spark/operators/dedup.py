@@ -635,6 +635,92 @@ def connected_components(
     return labels.select(F.col("u").alias("doc_id"), F.col("lbl").alias("component"))
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — the O(log n)-round alternative to `connected_components`'
+    hash-min propagation, whose round count is the cluster DIAMETER.
+
+    Near-dup clusters are quasi-cliques (diameter ~2), so hash-min is the
+    default; this variant is for adversarial chain-shaped graphs (e.g.
+    overlapping-window shingle chains), where diameter rounds at 100 TB
+    would mean hundreds of shuffles.
+
+    Each round:
+      large-star: every node connects its LARGER neighbors to its current
+        minimum neighbor (strictly decreases larger-neighbor edges);
+      small-star: every node connects its smaller-or-equal neighbors to
+        the minimum (contracts stars onto their centers).
+    Both steps are one groupBy-min + one join each — the same shuffle
+    primitives as hash-min, just fewer rounds.  Convergence: when the
+    small-star step changes nothing, every node points at its component
+    minimum.  Output matches `connected_components` exactly
+    (equality-tested, incl. a chain where hash-min needs length rounds).
+    """
+    # canonical directed edges hi -> lo (hi > lo), one row per undirected
+    # edge; both star steps emit canonically, so set-compare is exact
+    e = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    edges = (
+        e.select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .cache()
+    )
+
+    def large_star(ed: DataFrame) -> DataFrame:
+        # full (symmetrized) neighborhood; every neighbor v > u attaches
+        # to m(u) = min(N(u) ∪ {u}); output rows are (v, m) with v > m
+        sym = ed.unionByName(ed.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        m = F.least(F.col("mv"), F.col("u"))
+        return (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), m.alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(ed: DataFrame) -> DataFrame:
+        # edges already point hi -> lo: attach every smaller neighbor and
+        # the center itself to m(u) = min of the smaller neighborhood
+        mins = ed.groupBy("u").agg(F.min("v").alias("mv"))
+        return (
+            ed.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("mv").alias("v"))
+            .unionByName(mins.select("u", F.col("mv").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    for _ in range(max_iterations):
+        # localCheckpoint truncates lineage: iterative self-referential
+        # plans otherwise double in analysis cost every round (the loop
+        # would spend its time in Catalyst, not in the shuffles)
+        ss = small_star(large_star(edges)).localCheckpoint(eager=True)
+        # converged when small-star output == current edges (set equality
+        # via two anti-join emptiness probes on the narrow pair sets)
+        changed = (
+            ss.join(edges, ["u", "v"], "left_anti").limit(1).count()
+            or edges.join(ss, ["u", "v"], "left_anti").limit(1).count()
+        )
+        edges = ss
+        if not changed:
+            break
+    # final edges form stars: u -> component minimum; minima themselves
+    # appear only as targets, so add them back as their own component
+    nodes = pairs.select(F.col("id_a").alias("doc_id")).unionByName(
+        pairs.select(F.col("id_b").alias("doc_id"))
+    ).distinct()
+    return (
+        nodes.join(edges.withColumnRenamed("u", "doc_id"), "doc_id", "left")
+        .select("doc_id", F.coalesce("v", "doc_id").alias("component"))
+    )
+
+
 def dedup_keep_list(
     df: DataFrame,
     pairs: DataFrame,

@@ -2006,6 +2006,26 @@ def dedup_components_q(spark, sf_dir):
 
 
 @q(
+    "dedup_components_star",
+    _DK_SHINGLES.replace("WITH", "WITH RECURSIVE", 1)
+    + _DK_NEARDUP_PAIRS
+    + """
+    SELECT doc_id, component FROM comp
+    """,
+    tags=("dedup", "graph"),
+)
+def dedup_components_star_q(spark, sf_dir):
+    """Connected components by alternating large-star/small-star
+    contraction (Kiveris et al.) — O(log n) rounds vs hash-min's
+    diameter rounds, for adversarial chain-shaped near-dup graphs.
+    Same answer as `dedup_components_keep`'s propagation (components are
+    algorithm-independent), checked against the same recursive-CTE
+    closure; a 120-node chain golden lives in tests/test_operators.py."""
+    docs = t(spark, sf_dir, "documents")
+    return dedup.connected_components_star(dedup.ngram_jaccard_pairs(docs))
+
+
+@q(
     "pipeline_corpus_clean",
     _DK_SHINGLES.replace("WITH", "WITH RECURSIVE", 1)
     + _DK_NEARDUP_PAIRS

@@ -777,3 +777,21 @@ def test_prefix_capped_drops_boilerplate_keeps_neardups(spark):
         ).collect()
     }
     assert pairs == {(100, 101)}
+
+
+def test_star_components_match_hashmin_and_handle_chains(spark, sf_dir):
+    """Alternating large/small-star contraction must agree with hash-min
+    on real near-dup graphs AND collapse a 120-node chain (diameter =
+    length — hash-min's worst case) in O(log n) rounds."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs).select("id_a", "id_b").cache()
+    hm = {(r.doc_id, r.component) for r in dedup.connected_components(pairs).collect()}
+    st = {(r.doc_id, r.component) for r in dedup.connected_components_star(pairs).collect()}
+    assert st == hm and st
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(119)], ["id_a", "id_b"]
+    )
+    out = dedup.connected_components_star(chain, max_iterations=10).collect()
+    assert len(out) == 120
+    assert {r.component for r in out} == {0}

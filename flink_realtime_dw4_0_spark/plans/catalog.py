@@ -1096,10 +1096,65 @@ def ann_topk(spark, sf_dir):
     )
 
 
-@q("ann_lsh_topk", None, tags=("similarity", "lsh"))
+def _lsh_ann_oracle(n_tables: int = 6, n_planes: int = 4, dim: int = 64, k: int = 5) -> str:
+    """DuckDB twin of `similarity.lsh_bucket_topk`: the ±1 hyperplanes
+    are md5-derived CONSTANTS (emitted here as literal arrays), so the
+    bucket signatures, candidate set, and cosine re-rank are all
+    reproducible — sign flips would need a projection within ~1e-13 of
+    zero (never observed; bucket equality verified vector-by-vector at
+    sf0.01).  'Approximate' describes recall vs brute force, not
+    nondeterminism."""
+    from ..operators.similarity import _hyperplanes
+
+    tables = _hyperplanes(n_tables, n_planes, dim)
+
+    def bucket(ti: int, src: str) -> str:
+        bits = " || ".join(
+            "(CASE WHEN list_dot_product(CAST({src}.embedding AS DOUBLE[]), {lst}) > 0 "
+            "THEN '1' ELSE '0' END)".format(
+                src=src, lst="[" + ",".join(str(x) for x in pl) + "]"
+            )
+            for pl in tables[ti]
+        )
+        return f"('{ti}:' || {bits})"
+
+    q_buckets = "\n      UNION ALL ".join(
+        f"SELECT vec_id AS query_id, {bucket(ti, 'q')} AS bucket FROM probes q"
+        for ti in range(n_tables)
+    )
+    c_buckets = "\n      UNION ALL ".join(
+        f"SELECT vec_id AS neighbor_id, {bucket(ti, 'c')} AS bucket FROM embeddings c"
+        for ti in range(n_tables)
+    )
+    return f"""
+    WITH probes AS (SELECT * FROM embeddings WHERE vec_id % 25 = 0),
+    qb AS ({q_buckets}),
+    cb AS ({c_buckets}),
+    cand AS (SELECT DISTINCT qb.query_id, cb.neighbor_id
+             FROM qb JOIN cb USING (bucket)
+             WHERE qb.query_id != cb.neighbor_id),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(n.embedding AS DOUBLE[])) AS sim
+      FROM cand c JOIN embeddings q ON c.query_id = q.vec_id
+                  JOIN embeddings n ON c.neighbor_id = n.vec_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored)
+    SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@q("ann_lsh_topk", _lsh_ann_oracle(), tags=("similarity", "lsh"))
 def ann_lsh(spark, sf_dir):
-    """LSH-bucketed ANN (scale path) — approximate by design, rows-only;
-    pytest measures recall vs brute force."""
+    """LSH-bucketed ANN (scale path).  Approximate RECALL, deterministic
+    ANSWER: the md5-derived hyperplanes are constants, so the DuckDB twin
+    replays buckets → candidates → cosine re-rank exactly (upgraded from
+    r2's rows-only check); pytest still measures recall vs brute force."""
     emb = t(spark, sf_dir, "embeddings")
     return similarity.lsh_bucket_topk(emb.filter(F.col("vec_id") % 25 == 0), emb, k=5)
 

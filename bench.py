@@ -236,10 +236,16 @@ def bench_streaming_trade(spark, skew_frac: float = 0.0) -> dict:
                 for j in range(per):
                     i = fi * per + j
                     ts = t0s + i
-                    # hot key: route ~skew_frac of details to order o0
-                    # (deterministic — i%100 slots below the cutoff),
-                    # except detail i%4==0 which anchors its own order row
-                    hot = skew_frac > 0 and i % 4 != 0 and (i % 100) < skew_frac * 100
+                    # hot key: route skew_frac of ALL details to order o0
+                    # (deterministic — i%100 slots below the cutoff).
+                    # Details i%4==0 anchor their own order row and stay
+                    # cold, so the cutoff divides by their 3/4 share to
+                    # keep the realized hot fraction == skew_frac
+                    hot = (
+                        skew_frac > 0
+                        and i % 4 != 0
+                        and (i % 100) < skew_frac * 100 / 0.75
+                    )
                     fh.write(env("order_detail", {
                         "id": f"d{i}", "order_id": "o0" if hot else f"o{i // 4}",
                         "sku_id": f"s{i % 100}", "sku_name": "x",

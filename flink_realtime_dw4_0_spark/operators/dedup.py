@@ -152,19 +152,28 @@ def ngram_jaccard_pairs_prefix(
     n: int = 3,
     threshold_num: int = 1,
     threshold_den: int = 2,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
-    """AllPairs/PPJoin-style prefix-filtered similarity join — identical
-    output to `ngram_jaccard_pairs`, asymptotically far less work.
+    """AllPairs/PPJoin-style prefix-filtered similarity join.
 
-    Sets with jaccard >= t must share a shingle within their *prefixes*
-    (first |s| - ceil(t*|s|) + 1 shingles under a global rare-first
-    ordering), so only prefix entries are indexed for candidate
-    generation; candidates then get one exact verification pass.  At scale
-    this bounds the self-join to rare-shingle collisions instead of every
-    co-occurring pair.
+    Uncapped (default): identical output to `ngram_jaccard_pairs`,
+    asymptotically far less work — sets with jaccard >= t must share a
+    shingle within their *prefixes* (first |s| - ceil(t*|s|) + 1 shingles
+    under a global rare-first ordering), so only prefix entries are
+    indexed for candidate generation; candidates then get one exact
+    verification pass.  At scale this bounds the self-join to
+    rare-shingle collisions instead of every co-occurring pair.
+
+    With `max_shingle_freq`: shingles appearing in more than that many
+    docs (boilerplate grams — the df-filter / stopword idea) are dropped
+    FIRST, and jaccard is computed entirely over the surviving sets
+    (intersection AND sizes), so a boilerplate cluster of 10^5 identical
+    docs contributes no candidates at all — that is the exact tier's job
+    (`exact_dedup`).  Sub-quadratic even when every doc has replicas.
     """
     from pyspark.sql.window import Window
 
+    capped = max_shingle_freq is not None
     # Both stages cached: the shingle table feeds the index and the verify
     # stage; the exploded inverted index's logical subplan is exactly the
     # minhash signature stage's input, so the cache is shared when both
@@ -177,13 +186,15 @@ def ngram_jaccard_pairs_prefix(
     w_freq = Window.partitionBy("shingle")
     w_doc = Window.partitionBy("doc_id")
     w_rank = w_doc.orderBy("freq", "shingle")
+    ranked = inv.withColumn("freq", F.count(F.lit(1)).over(w_freq))
+    if capped:
+        ranked = ranked.filter(F.col("freq") <= max_shingle_freq).cache()
     # prefix test pos <= n - ceil(t*n) + 1, done in exact integer
     # arithmetic: ceil(num*n/den) <= n - pos + 1  <=>  num*n <= den*(n-pos+1)
     # (float t*n drops candidates on exact boundaries, e.g. 0.3*10 -> 3.0000000000000004)
     n_sh = F.col("n_sh")
     prefix = (
-        inv.withColumn("freq", F.count(F.lit(1)).over(w_freq))
-        .withColumn("pos", F.row_number().over(w_rank))
+        ranked.withColumn("pos", F.row_number().over(w_rank))
         .withColumn("n_sh", F.count(F.lit(1)).over(w_doc).cast("long"))
         .filter(
             F.lit(threshold_num) * n_sh
@@ -215,8 +226,15 @@ def ngram_jaccard_pairs_prefix(
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    sha = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    shb = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # verify arrays come from the SAME universe the candidates did:
+    # full shingle sets when uncapped, df-filtered sets when capped
+    ver = (
+        ranked.groupBy("doc_id").agg(F.collect_list("shingle").alias("sh")).cache()
+        if capped
+        else sh
+    )
+    sha = ver.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    shb = ver.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
         cand.join(sha, "id_a")
         .join(shb, "id_b")
@@ -240,75 +258,13 @@ def ngram_jaccard_pairs_prefix_capped(
     threshold_den: int = 2,
     max_shingle_freq: int = 50,
 ) -> DataFrame:
-    """Prefix-filtered jaccard join over FREQUENCY-CAPPED shingle sets —
-    the ngram tier's plan of record for duplicate-heavy corpora.
-
-    Semantics: shingles appearing in more than `max_shingle_freq` docs
-    (boilerplate grams — the df-filter / stopword idea) are dropped FIRST;
-    jaccard is then computed entirely over the surviving sets (both the
-    intersection AND the set sizes), so a boilerplate cluster of 10^5
-    identical docs contributes no candidates at all — it is the exact
-    tier's job (`exact_dedup`), not the similarity join's.  The remaining
-    corpus goes through the AllPairs prefix filter, so cost is bounded by
-    rare-shingle collisions: sub-quadratic even when every doc has a few
-    replicas.  Capped sizes (not full sizes) keep the threshold test
-    consistent with the filtered universe; the DuckDB oracle mirrors the
-    same two-stage definition.
-    """
-    from pyspark.sql.window import Window
-
-    sh = _shingled(df, id_col, text_col, n)
-    inv = explode_computed(sh, ["doc_id"], "sh", "shingle")
-    w_freq = Window.partitionBy("shingle")
-    inv_c = (
-        inv.withColumn("freq", F.count(F.lit(1)).over(w_freq))
-        .filter(F.col("freq") <= max_shingle_freq)
-    ).cache()
-    w_doc = Window.partitionBy("doc_id")
-    w_rank = w_doc.orderBy("freq", "shingle")
-    n_sh = F.col("n_sh")
-    prefix = (
-        inv_c.withColumn("pos", F.row_number().over(w_rank))
-        .withColumn("n_sh", F.count(F.lit(1)).over(w_doc).cast("long"))
-        .filter(
-            F.lit(threshold_num) * n_sh
-            <= F.lit(threshold_den) * (n_sh - F.col("pos") + 1)
-        )
-        .select("doc_id", "shingle", "n_sh")
-        .cache()
-    )
-    a = prefix.alias("a")
-    b = prefix.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (
-                F.least(F.col("a.n_sh"), F.col("b.n_sh"))
-                * (threshold_den + threshold_num)
-                >= F.lit(threshold_num) * (F.col("a.n_sh") + F.col("b.n_sh"))
-            ),
-        )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
-    )
-    # capped per-doc arrays for the verify (array_intersect over the
-    # SAME filtered universe the candidates came from)
-    sh_c = inv_c.groupBy("doc_id").agg(F.collect_list("shingle").alias("sh")).cache()
-    sha = sh_c.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    shb = sh_c.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
-    return (
-        cand.join(sha, "id_a")
-        .join(shb, "id_b")
-        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("long"))
-        .withColumn("n_a", F.size("sh_a").cast("long"))
-        .withColumn("n_b", F.size("sh_b").cast("long"))
-        .filter(
-            F.col("inter") * (threshold_den + threshold_num)
-            >= threshold_num * (F.col("n_a") + F.col("n_b"))
-        )
-        .select("id_a", "id_b", "inter", "n_a", "n_b")
+    """The ngram tier's plan of record for duplicate-heavy corpora:
+    `ngram_jaccard_pairs_prefix` with the df-filter cap on (see its
+    docstring for the capped semantics — jaccard over the surviving
+    shingle universe on both sides)."""
+    return ngram_jaccard_pairs_prefix(
+        df, id_col, text_col, n, threshold_num, threshold_den,
+        max_shingle_freq=max_shingle_freq,
     )
 
 

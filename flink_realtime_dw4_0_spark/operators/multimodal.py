@@ -85,10 +85,17 @@ def _parse_media_header(payload: bytes) -> tuple[int, int, int] | None:
         w, h = struct.unpack(">II", payload[16:24])
         return int(w), int(h), 1
     if payload[:2] == b"BM" and len(payload) >= 26:
-        # BITMAPINFOHEADER: int32-LE width at 18, height at 22 (negative
-        # height = top-down row order; magnitude is the pixel height)
-        w, h = struct.unpack("<ii", payload[18:26])
-        return int(w), abs(int(h)), 1
+        # 'BM' alone is two bytes of ordinary text ("BMW review…"), so
+        # require a known DIB header size at offset 14 before trusting
+        # the dims — the false-positive rate on text payloads drops from
+        # ~1/alphabet² to negligible
+        dib = struct.unpack("<I", payload[14:18])[0]
+        if dib in (12, 40, 52, 56, 64, 108, 124):
+            # BITMAPINFOHEADER: int32-LE width at 18, height at 22
+            # (negative height = top-down row order; magnitude is the
+            # pixel height)
+            w, h = struct.unpack("<ii", payload[18:26])
+            return int(w), abs(int(h)), 1
     if payload[:4] == b"RIFF" and len(payload) >= 12 and payload[8:12] == b"WAVE":
         pos, channels, rate, block_align, data_size = 12, None, None, None, None
         while pos + 8 <= len(payload):
@@ -124,8 +131,11 @@ def _fake_decode(payload: bytes, media_type: str) -> tuple[int, int, int]:
 
 
 def _decode(payload: bytes, media_type: str) -> tuple[int, int, int]:
-    """Real header parse first; deterministic fake only for payloads that
-    are not a recognized container."""
+    """Validate the media type FIRST (a real decoder rejects unknown
+    types regardless of payload content), then real header parse, with
+    the deterministic fake only for unrecognized-container payloads."""
+    if media_type not in {"image", "audio", "video"}:
+        raise NotImplementedError(f"no decoder for media_type={media_type!r}")
     parsed = _parse_media_header(bytes(payload)) if payload is not None else None
     if parsed is not None:
         return parsed

@@ -246,7 +246,15 @@ def lsh_bucket_topk(
     Scale path vs brute force: each table's join touches only same-bucket
     pairs (expected n²/2^planes per table), so total work is
     O(L · n²/2^b) instead of O(n²).  Recall/cost is tuned by (L, b).
-    Approximate → no SQL oracle; tests measure recall vs brute force.
+    Approximate RECALL, deterministic answer (md5-constant hyperplanes) —
+    oracle-checked; tests additionally measure recall vs brute force.
+
+    Contract (shared with `brute_force_topk`): `queries` is the PROBE
+    set and must be broadcast-sized (thousands to low millions of rows,
+    not a second corpus) — it is explicitly broadcast for the post-dedup
+    vector join.  For corpus-vs-corpus all-pairs similarity use
+    `cosine_pairs`, whose count-gated hybrid never broadcasts unproven
+    sizes.
     """
     tables = _hyperplanes(n_tables, n_planes, dim)
 

@@ -161,8 +161,10 @@ def tokenize_keywords_dict(col: Column | str, dictionary: list[str]) -> Column:
 
     # hint-free form: `from __future__ import annotations` stringifies
     # type hints, and pandas_udf cannot resolve 'pd.Series' against this
-    # module's globals (pandas is imported lazily here)
-    seg = pandas_udf(lambda s: s.map(seg_text), "array<string>")
+    # module's globals (pandas is imported lazily here).  na_action keeps
+    # NULL input NULL (matching tokenize_keywords' null propagation)
+    # instead of str(None) becoming a phantom 'none' token.
+    seg = pandas_udf(lambda s: s.map(seg_text, na_action="ignore"), "array<string>")
 
     c = F.col(col) if isinstance(col, str) else col
     return seg(c)

@@ -64,10 +64,14 @@ class Scd2History:
         # collide on the (key, valid_from_ms) PK.  Tiebreak is the
         # monotonic seq/offset column when the source provides one, else
         # a deterministic content hash (arbitrary but replay-stable).
+        # The hash goes through to_json(struct(...)): unlike concat_ws it
+        # keeps NULL columns distinct from empty/shifted values and
+        # escapes separators, so distinct rows cannot hash-collide into a
+        # partition-order-dependent row_number winner.
         tie = (
             F.col(self.seq_col)
             if self.seq_col
-            else F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in batch.columns]))
+            else F.md5(F.to_json(F.struct(*[F.col(c) for c in batch.columns])))
         )
         wdup = Window.partitionBy(k, ts).orderBy(tie.desc())
         batch = (

@@ -85,15 +85,17 @@ def serving_db_foreach_batch(
     import duckdb
 
     def fn(batch: DataFrame, batch_id: int) -> None:
-        over = batch.limit(max_rows_per_batch + 1).count()
-        if over > max_rows_per_batch:
+        # limit(cap+1) bounds the driver transfer BEFORE collection, so
+        # the guard costs zero extra Spark jobs on the healthy path and a
+        # fact-scale batch still fails before it can OOM the driver
+        pdf = batch.dropDuplicates(keys).limit(max_rows_per_batch + 1).toPandas()
+        if len(pdf) > max_rows_per_batch:
             raise ValueError(
                 f"serving sink batch exceeds max_rows_per_batch="
                 f"{max_rows_per_batch}: serving tables hold post-aggregation "
                 "rows (windows x dims); a fact-scale stream must use a "
                 "distributed sink, not a driver-side upsert"
             )
-        pdf = batch.dropDuplicates(keys).toPandas()
         if pdf.empty:
             return
         cols = [(f.name, _ddl_type(f.dataType.simpleString())) for f in batch.schema.fields]

@@ -27,18 +27,23 @@ Per micro-batch (foreachBatch):
      replay-idempotent: re-accepting the same doc rewrites the same keys).
 
 Decisions are emitted per input doc: (doc_id, accepted, matched_id) where
-matched_id is an accepted near-dup that caused rejection (null when
-accepted).  Rejected docs are NOT indexed, so state grows with the UNIQUE
+matched_id (null when accepted) names an earlier member of the doc's
+near-dup group — an indexed doc for history matches, or a smaller-id
+batch mate for in-batch matches.  The witness may itself have been
+rejected in favor of a yet-earlier member (witness CHAINS are not
+resolved per batch — follow `matched_id` transitively, or use the batch
+tier's `connected_components`, when the canonical representative is
+needed).  Rejected docs are NOT indexed, so state grows with the UNIQUE
 corpus, not the stream — which also keeps index buckets sparse: a hot
 boilerplate cluster contributes ONE indexed representative, so the
 state-probe join can't accumulate a quadratic bucket over time (the
 in-batch side is additionally `max_bucket_size`-capped).
 
-Replay contract: the accepted/rejected DECISION is replay-stable
-(self-matches are excluded when a redelivered batch meets its own index
-entries); `matched_id` names SOME valid witness and may differ across
-replays when new witnesses entered the index in between — the keyed
-decisions sink converges to one witness per doc.
+Replay contract: decisions are a pure function of (batch, state BEFORE
+the batch) — the history probe masks the batch's own ids, so a
+redelivered batch neither self-matches nor lets same-cluster
+representatives reject each other — and the state merge re-writes the
+same keys.  Replays therefore converge byte-identically (tested).
 
 Reference parity: the reference has no dedup surface (its DWS module is
 empty); this is an engine-level extension in the spirit of its keyed-state
@@ -117,11 +122,21 @@ class StreamingNearDup:
         # 1. against the ACCEPTED index: any estimated near-dup rejects
         idx = self.index.read(spark)
         if idx is not None:
+            # Exclude ALL of the current batch's ids from the history
+            # probe (not just self-matches): a redelivered batch finds its
+            # own accepted docs in the index, and two same-cluster
+            # representatives that the capped in-batch join let through
+            # would otherwise reject EACH OTHER on replay — flipping a
+            # previously-accepted decision.  With the batch's ids masked,
+            # the probe sees exactly the pre-batch state, so decisions are
+            # a pure function of (batch, state-before-batch).
             cand = (
                 bands.join(idx.withColumnRenamed("doc_id", "old_id"), ["band", "bucket"])
-                # self-exclusion keeps replays idempotent: a redelivered
-                # batch finds its own accepted docs in the index
-                .filter(F.col("old_id") != F.col("doc_id"))
+                .join(
+                    sig.select(F.col("doc_id").alias("old_id")),
+                    "old_id",
+                    "left_anti",
+                )
                 .select("doc_id", "old_id")
                 .distinct()
             )
@@ -173,11 +188,19 @@ class StreamingNearDup:
                 F.coalesce("hist_match", "batch_match").alias("matched_id"),
             )
             .withColumn("accepted", F.col("matched_id").isNull().cast("int"))
-        ).cache()
+            # eager localCheckpoint, not cache: (a) truncates lineage so
+            # the returned frame cannot re-read index/sigs version dirs
+            # that the merges below garbage-collect; (b) lets the
+            # per-batch caches be released before the next micro-batch
+            # instead of accumulating for the stream's lifetime
+            .localCheckpoint(eager=True)
+        )
 
         accepted = decisions.filter(F.col("accepted") == 1).select("doc_id")
         self.index.merge(spark, bands.join(accepted, "doc_id"))
         self.sigs.merge(spark, sig.join(accepted, "doc_id"))
+        for df in (sig, bands, bands_sj):
+            df.unpersist()
         return decisions
 
     def foreach_batch(self, decisions_sink: KeyedTable | None = None):

@@ -1060,3 +1060,10 @@ def test_streaming_neardup_hot_cluster_across_batches(spark, tmp_path):
     # cross-batch buckets) — zero state growth
     assert all(r.accepted == 0 and r.matched_id in acc1 for r in d2)
     assert nd.sigs.read(spark).count() == len(acc1)
+
+    # replaying batch 1 must reproduce its decisions EXACTLY: the history
+    # probe masks the batch's own ids, so the multiple accepted
+    # representatives do not reject each other on redelivery
+    d1r = {(r.doc_id, r.accepted, r.matched_id) for r in nd.process_batch(b1, spark).collect()}
+    assert d1r == {(r.doc_id, r.accepted, r.matched_id) for r in d1}
+    assert nd.sigs.read(spark).count() == len(acc1)

@@ -187,3 +187,84 @@ def test_weighted_sample_clamps_and_is_deterministic(spark, rows):
     # rate 0 keeps nothing, rate 1 keeps everything
     assert sampling.weighted_sample(df, F.lit(0.0)).count() == 0
     assert sampling.weighted_sample(df, F.lit(1.0)).count() == len(pdf)
+
+
+# -- FMM segmentation invariants ------------------------------------------
+
+@given(
+    runs=st.lists(
+        st.text(
+            alphabet=st.sampled_from(
+                list("苹果手机充电器小米电视洗衣华为笔记本脑智能表")
+            ),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    dict_words=st.lists(
+        st.text(
+            alphabet=st.sampled_from(
+                list("苹果手机充电器小米电视洗衣华为笔记本脑智能表")
+            ),
+            min_size=2,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+)
+@settings(**_SETTINGS)
+def test_fmm_segments_concat_to_input(spark, runs, dict_words):
+    """Dictionary FMM is a PARTITION of each Han run: concatenating the
+    emitted tokens in order reproduces the input exactly — no dictionary
+    (random or adversarial) can drop or duplicate characters."""
+    from flink_realtime_dw4_0_spark.operators.text import tokenize_keywords_dict
+
+    text = " ".join(runs)
+    df = spark.createDataFrame([(text,)], ["kw"])
+    toks = df.select(
+        tokenize_keywords_dict("kw", dict_words).alias("t")
+    ).collect()[0].t
+    assert "".join(toks) == "".join(runs)
+
+
+# -- media header round-trip ----------------------------------------------
+
+@given(
+    w=st.integers(1, 2**20),
+    h=st.integers(-(2**20), 2**20).filter(lambda x: x != 0),
+    sr=st.integers(1, 384_000),
+    ch=st.integers(1, 8),
+    frames=st.integers(0, 1_000_000),
+)
+@settings(**_SETTINGS)
+def test_media_header_roundtrip_any_dims(w, h, sr, ch, frames):
+    """struct-built containers parse back to their written parameters for
+    arbitrary dimensions (BMP height sign-folded; WAV frames derived from
+    data size / block align)."""
+    import struct
+
+    from flink_realtime_dw4_0_spark.operators.multimodal import _parse_media_header
+
+    png = (
+        b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", w, abs(h)) + b"\x08\x06\x00\x00\x00" + b"\x00" * 4
+    )
+    assert _parse_media_header(png) == (w, abs(h), 1)
+
+    bmp = (
+        b"BM" + struct.pack("<IHHI", 0, 0, 0, 54)
+        + struct.pack("<I", 40) + struct.pack("<ii", w, h)
+    )
+    assert _parse_media_header(bmp) == (w, abs(h), 1)
+
+    ba = ch * 2
+    fmt = struct.pack("<HHIIHH", 1, ch, sr, sr * ba, ba, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", frames * ba)
+    )
+    assert _parse_media_header(wav) == (sr, ch, frames)

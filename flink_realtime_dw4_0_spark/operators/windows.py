@@ -18,6 +18,32 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+_UNIT_SECONDS = {
+    "second": 1, "seconds": 1,
+    "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600,
+    "day": 86400, "days": 86400,
+}
+
+
+def duration_seconds(s: str) -> int:
+    """Parse a Spark-style duration string ('30 minutes', '1 day') to
+    whole seconds.  Sub-second windows aren't part of this surface."""
+    n, unit = s.strip().split()
+    return int(n) * _UNIT_SECONDS[unit.lower()]
+
+
+def _finish(out: DataFrame, start_col: str, end_col: str) -> DataFrame:
+    """Emit window bounds as formatted strings (`window_start`,
+    `window_end`) so results hash identically across engines/timezones."""
+    rest = [c for c in out.columns if c not in (start_col, end_col)]
+    return out.select(
+        F.date_format(start_col, "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.date_format(end_col, "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        *rest,
+    )
+
+
 def windowed_agg(
     df: DataFrame,
     ts_col: str,
@@ -26,15 +52,69 @@ def windowed_agg(
     aggs: list[Column],
 ) -> DataFrame:
     """Generic tumbling-window groupBy — the common shape of all 8 DWS
-    tables (Constant.java:40-47).
-
-    Window bounds are emitted as formatted strings (`window_start`,
-    `window_end`) so results hash identically across engines/timezones.
-    """
+    tables (Constant.java:40-47)."""
     out = df.groupBy(F.window(ts_col, size).alias("__w"), *dims).agg(*aggs)
-    rest = [c for c in out.columns if c != "__w"]
-    return out.select(
-        F.date_format("__w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-        F.date_format("__w.end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
-        *rest,
+    return _finish(
+        out.select(F.col("__w.start").alias("__ws"), F.col("__w.end").alias("__we"),
+                   *[c for c in out.columns if c != "__w"]),
+        "__ws", "__we",
     )
+
+
+def windowed_agg_hop(
+    df: DataFrame,
+    ts_col: str,
+    size: str,
+    slide: str,
+    dims: list[str],
+    aggs: list[Column],
+) -> DataFrame:
+    """Sliding (HOP) window aggregation — Flink SQL's ``HOP(..., slide,
+    size)`` window TVF, the standard "last hour, refreshed every N
+    minutes" serving shape the DWS tables upgrade to when dashboards need
+    overlap.  Built-in in Spark: ``F.window(ts, size, slide)`` replicates
+    each row into size/slide windows before the partial aggregation, so
+    the shuffle still carries pre-combined partials — at 100 TB the cost
+    is exactly (size/slide)x the tumbling agg, never a re-scan per slide.
+    """
+    out = df.groupBy(F.window(ts_col, size, slide).alias("__w"), *dims).agg(*aggs)
+    return _finish(
+        out.select(F.col("__w.start").alias("__ws"), F.col("__w.end").alias("__we"),
+                   *[c for c in out.columns if c != "__w"]),
+        "__ws", "__we",
+    )
+
+
+def windowed_agg_cumulate(
+    df: DataFrame,
+    ts_col: str,
+    step: str,
+    max_size: str,
+    dims: list[str],
+    aggs: list[Column],
+) -> DataFrame:
+    """Cumulative (CUMULATE) window aggregation — Flink SQL's
+    ``CUMULATE(..., step, max_size)`` TVF: expanding windows
+    [base, base+step), [base, base+2*step), ... [base, base+max_size)
+    that all share a day/period anchor — the "running total since
+    midnight, emitted every step" DWS shape (e.g. GMV-today curves).
+
+    Spark has no built-in cumulate window; the composition is an explode
+    over the (max_size/step) window ends each row belongs to, then one
+    grouped aggregation — same partial-agg/shuffle profile as HOP with
+    factor max_size/step.  Rows land in every window whose end is
+    strictly after the event time (Flink semantics: event belongs to all
+    cumulating windows of its anchor period that have not yet closed).
+    """
+    step_s, max_s = duration_seconds(step), duration_seconds(max_size)
+    if max_s % step_s:
+        raise ValueError(f"max_size {max_size!r} must be a multiple of step {step!r}")
+    n = max_s // step_s
+    exploded = (
+        df.withColumn("__base", F.window(ts_col, max_size)["start"])
+        .withColumn("__j", F.explode(F.sequence(F.lit(1), F.lit(n))))
+        .withColumn("__end", F.expr(f"timestampadd(SECOND, __j * {step_s}, __base)"))
+        .filter(F.col("__end") > F.col(ts_col))
+    )
+    out = exploded.groupBy("__base", "__end", *dims).agg(*aggs)
+    return _finish(out, "__base", "__end")

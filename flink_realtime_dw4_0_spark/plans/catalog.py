@@ -628,6 +628,71 @@ def a2_traffic(spark, sf_dir):
 
 
 @q(
+    "a9_hop_window_pv",
+    """
+    SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+           strftime(wstart + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
+           event_type,
+           count(*) AS pv, count(DISTINCT user_id) AS uv,
+           round(sum(value), 2) AS sum_value
+    FROM (SELECT e.*, time_bucket(INTERVAL '30 minutes', e.ts) - k * INTERVAL 30 MINUTE AS wstart
+          FROM events e CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS k) g)
+    GROUP BY 1, 2, 3
+    """,
+    tags=("window", "hop"),
+)
+def a9_hop(spark, sf_dir):
+    """Sliding (HOP) window PV/UV — Flink's HOP window TVF surface the
+    DWS tables use for overlapping dashboards (1 h window, 30 min slide:
+    every event lands in exactly 2 windows).  Built-in
+    `F.window(ts, size, slide)`; the oracle replays the replication with
+    a generate_series cross join."""
+    ev = t(spark, sf_dir, "events")
+    from ..operators.windows import windowed_agg_hop
+
+    return windowed_agg_hop(
+        ev, "ts", "1 hour", "30 minutes", ["event_type"],
+        [
+            F.count(F.lit(1)).alias("pv"),
+            F.count_distinct(F.col("user_id")).alias("uv"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        ],
+    )
+
+
+@q(
+    "a10_cumulate_window",
+    """
+    SELECT strftime(b, '%Y-%m-%d %H:%M:%S') AS window_start,
+           strftime(wend, '%Y-%m-%d %H:%M:%S') AS window_end,
+           event_type,
+           count(*) AS pv, round(sum(value), 2) AS sum_value
+    FROM (SELECT e.*, date_trunc('day', e.ts) AS b,
+                 date_trunc('day', e.ts) + j * INTERVAL 6 HOUR AS wend
+          FROM events e CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS j) g)
+    WHERE wend > ts
+    GROUP BY 1, 2, 3
+    """,
+    tags=("window", "cumulate"),
+)
+def a10_cumulate(spark, sf_dir):
+    """Cumulative (CUMULATE) window — Flink's CUMULATE TVF: expanding
+    windows anchored at midnight emitted every 6 h (the "GMV so far
+    today" DWS curve).  Spark lacks the TVF; composed as
+    sequence-explode + one grouped agg (operators.windows)."""
+    ev = t(spark, sf_dir, "events")
+    from ..operators.windows import windowed_agg_cumulate
+
+    return windowed_agg_cumulate(
+        ev, "ts", "6 hours", "1 day", ["event_type"],
+        [
+            F.count(F.lit(1)).alias("pv"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        ],
+    )
+
+
+@q(
     "a3_unique_visitors_daily",
     """
     SELECT strftime(ts, '%Y-%m-%d') AS dt, count(DISTINCT user_id) AS uv

@@ -795,3 +795,60 @@ def test_star_components_match_hashmin_and_handle_chains(spark, sf_dir):
     out = dedup.connected_components_star(chain, max_iterations=10).collect()
     assert len(out) == 120
     assert {r.component for r in out} == {0}
+
+
+def test_hop_window_replication_and_bounds(spark):
+    """HOP (1 h size, 30 min slide): every event lands in exactly 2
+    windows; bounds are slide-aligned and size apart; counts match a
+    hand computation on boundary-straddling events."""
+    from datetime import datetime
+
+    from flink_realtime_dw4_0_spark.operators.windows import windowed_agg_hop
+
+    rows = [
+        (1, datetime(2024, 1, 1, 10, 0, 0)),   # exactly on a slide edge
+        (2, datetime(2024, 1, 1, 10, 29, 59)),
+        (3, datetime(2024, 1, 1, 10, 30, 0)),  # next slide
+    ]
+    df = spark.createDataFrame(rows, ["id", "ts"])
+    out = windowed_agg_hop(
+        df, "ts", "1 hour", "30 minutes", [], [F.count(F.lit(1)).alias("n")]
+    ).collect()
+    got = {(r.window_start, r.window_end): r.n for r in out}
+    assert got == {
+        ("2024-01-01 09:30:00", "2024-01-01 10:30:00"): 2,  # ids 1,2
+        ("2024-01-01 10:00:00", "2024-01-01 11:00:00"): 3,  # all three
+        ("2024-01-01 10:30:00", "2024-01-01 11:30:00"): 1,  # id 3
+    }
+    assert sum(r.n for r in out) == 2 * len(rows)
+
+
+def test_cumulate_window_expanding_membership(spark):
+    """CUMULATE (step 6 h, max 1 day): an event at hour h belongs to every
+    window of its day whose end is strictly after h — an event exactly on
+    a step boundary is NOT in the window ending there."""
+    from datetime import datetime
+
+    from flink_realtime_dw4_0_spark.operators.windows import windowed_agg_cumulate
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0, 0)),   # in all 4 windows
+        (2, datetime(2024, 1, 1, 6, 0, 0)),   # NOT in the 06:00 window
+        (3, datetime(2024, 1, 1, 23, 59, 0)), # only the 24:00 window
+    ]
+    df = spark.createDataFrame(rows, ["id", "ts"])
+    out = windowed_agg_cumulate(
+        df, "ts", "6 hours", "1 day", [], [F.count(F.lit(1)).alias("n")]
+    ).collect()
+    got = {(r.window_start, r.window_end): r.n for r in out}
+    assert got == {
+        ("2024-01-01 00:00:00", "2024-01-01 06:00:00"): 1,
+        ("2024-01-01 00:00:00", "2024-01-01 12:00:00"): 2,
+        ("2024-01-01 00:00:00", "2024-01-01 18:00:00"): 2,
+        ("2024-01-01 00:00:00", "2024-01-02 00:00:00"): 3,
+    }
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        windowed_agg_cumulate(df, "ts", "7 hours", "1 day", [], [])

@@ -3823,3 +3823,98 @@ def sample_quality_weighted_q(spark, sf_dir):
     return sampling.weighted_sample(docs, F.col("n_chars") / 200.0).select(
         "doc_id", "source", "n_chars"
     )
+
+
+@q(
+    "j8_scd2_temporal_join",
+    """
+    WITH dim AS (
+      SELECT user_id,
+             epoch_ms(ts) AS valid_from_ms,
+             CAST(row_number() OVER w AS BIGINT) AS version,
+             value,
+             epoch_ms(lead(ts) OVER w) AS valid_to_ms
+      FROM events WHERE event_type = 'signup'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT v.event_id AS event_id, v.user_id AS user_id,
+           d.version AS version, round(d.value, 2) AS dim_value
+    FROM (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
+          FROM events WHERE event_type = 'view') v
+    JOIN dim d ON d.user_id = v.user_id
+              AND d.valid_from_ms <= v.ts_ms
+              AND (d.valid_to_ms IS NULL OR v.ts_ms < d.valid_to_ms)
+    """,
+    tags=("join", "temporal", "scd2"),
+)
+def j8_scd2_temporal(spark, sf_dir):
+    """Event-time temporal join against the SCD2 dimension history —
+    Flink SQL's `FOR SYSTEM_TIME AS OF row_time` on a VERSIONED table
+    (the event-time sibling of the reference's proc-time lookup joins
+    J4/J5, DwdInteractionCommentInfo.java:78): each fact row is enriched
+    with the dim version valid AT ITS EVENT TIME, not the current one.
+
+    Plan: rides `joins.asof_join` (union + one windowed carry-forward,
+    linear per key) rather than an interval-predicate join that would
+    materialize every (fact, version) co-key pair first.  The oracle
+    states the same semantics declaratively via validity intervals.
+    Dim payload is ordered (valid_from_ms, version, value) so equal-ts
+    versions resolve to the highest version — exactly the non-empty
+    interval in the oracle's [valid_from, valid_to) chain."""
+    dim = dim_scd2_history_q(spark, sf_dir).select(
+        "user_id", "valid_from_ms", "version", "value"
+    )
+    facts = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .select("event_id", "user_id", F.unix_millis("ts").alias("ts_ms"))
+    )
+    joined = joins.asof_join(
+        facts, dim, on="user_id", left_ts="ts_ms", right_ts="valid_from_ms", how="inner"
+    )
+    return joined.select(
+        "event_id", "user_id", "version", F.round("value", 2).alias("dim_value")
+    )
+
+
+@q(
+    "cdc_changelog_aggregate",
+    """
+    WITH latest AS (
+      SELECT user_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT event_type,
+           count(*) AS n_keys,
+           round(sum(value), 2) AS sum_latest,
+           round(avg(value), 4) AS avg_latest
+    FROM latest WHERE rn = 1
+    GROUP BY event_type
+    """,
+    tags=("cdc", "changelog", "agg"),
+)
+def cdc_changelog_aggregate_q(spark, sf_dir):
+    """Aggregation over an upsert changelog — the Flink "aggregate a
+    retract stream" shape (what a Doris serving table holds downstream
+    of the K3 upsert-kafka topics): materialize latest-state-per-key,
+    then aggregate the states.
+
+    Spark-first plan: latest-per-key is ONE map-combinable `max_by`
+    aggregation keyed by (ts, event_id) — partial aggregation on the map
+    side, no per-key window sort — then a second tiny shuffle for the
+    rollup.  The oracle's row_number window is the semantic twin, not
+    the plan.  (ts, event_id) is tie-free: event_id is unique."""
+    ev = t(spark, sf_dir, "events")
+    latest = ev.groupBy("user_id").agg(
+        F.max_by(F.struct("event_type", "value"), F.struct("ts", "event_id")).alias("s")
+    )
+    return (
+        latest.select(F.col("s.event_type").alias("event_type"), F.col("s.value").alias("value"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.round(F.sum("value"), 2).alias("sum_latest"),
+            F.round(F.avg("value"), 4).alias("avg_latest"),
+        )
+    )

@@ -852,3 +852,28 @@ def test_cumulate_window_expanding_membership(spark):
 
     with pytest.raises(ValueError):
         windowed_agg_cumulate(df, "ts", "7 hours", "1 day", [], [])
+
+
+def test_scd2_temporal_join_equal_ts_versions(spark):
+    """Two dim versions sharing valid_from (equal-ts CDC updates): the
+    empty [vf, vf) interval must never win — facts at/after the tie get
+    the HIGHEST version, facts before the tie get the prior version."""
+    from flink_realtime_dw4_0_spark.operators.joins import asof_join
+
+    dim = spark.createDataFrame(
+        [
+            (7, 1000, 1, 10.0),
+            (7, 2000, 2, 20.0),  # equal valid_from pair
+            (7, 2000, 3, 30.0),
+        ],
+        ["user_id", "valid_from_ms", "version", "value"],
+    )
+    facts = spark.createDataFrame(
+        [(100, 7, 1500), (101, 7, 2000), (102, 7, 9999), (103, 7, 500)],
+        ["event_id", "user_id", "ts_ms"],
+    )
+    out = asof_join(
+        facts, dim, on="user_id", left_ts="ts_ms", right_ts="valid_from_ms", how="inner"
+    )
+    got = {r.event_id: r.version for r in out.collect()}
+    assert got == {100: 1, 101: 3, 102: 3}  # 103 predates v1 → dropped

@@ -746,3 +746,78 @@ def decontaminate(
             (F.coalesce("overlap", F.lit(0)) >= min_overlap).cast("int").alias("contaminated"),
         )
     )
+
+
+def decontaminate_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_overlap: int = 5,
+    k_hashes: int = 3,
+    prefix_len: int = 4,
+) -> DataFrame:
+    """Bloom-filter benchmark decontamination — the fixed-size variant of
+    `decontaminate`: instead of broadcasting the benchmark's raw shingle
+    strings (unbounded as eval suites grow), broadcast its BLOOM FILTER:
+    the set of bit positions lit by `k_hashes` md5-derived hash functions
+    over an m = 16^prefix_len position space (default 65,536).  The
+    broadcast is bounded by m regardless of benchmark size — the 100 TB
+    contract.
+
+    Positions are hex prefixes of md5("bloom{i}:" || shingle), compared
+    as strings — engine-portable with no integer conversions.  A probe
+    shingle "hits" iff all k of its positions are set; a doc is flagged
+    when >= min_overlap distinct shingles hit.  One-sided error as with
+    any Bloom filter: overlap_est >= true overlap (no false negatives;
+    deterministic false-positive rate ~(bits_set/m)^k), so every doc the
+    exact operator flags is flagged here too — property-tested.
+
+    Returns every corpus doc: (doc_id, overlap_est, contaminated).
+    """
+    def positions(shingle: Column) -> list[Column]:
+        return [
+            F.substring(
+                F.md5(F.concat(F.lit(f"bloom{i}:"), shingle)), 1, prefix_len
+            )
+            for i in range(k_hashes)
+        ]
+
+    bench_sh = (
+        explode_computed(
+            _shingled(benchmark, id_col, text_col, n), ["doc_id"], "sh", "shingle"
+        )
+        .select("shingle")
+        .distinct()
+    )
+    bloom = (
+        bench_sh.select(F.explode(F.array(*positions(F.col("shingle")))).alias("pos"))
+        .distinct()
+    )
+    probe = explode_computed(
+        _shingled(corpus, id_col, text_col, n), ["doc_id"], "sh", "shingle"
+    ).select(
+        "doc_id", "shingle",
+        F.explode(F.array(*positions(F.col("shingle")))).alias("pos"),
+    )
+    # per (doc, shingle): all k exploded positions must be set (duplicate
+    # positions within a shingle's k-tuple match consistently, so the
+    # joined-row count equals k iff every position is in the filter)
+    sh_hits = (
+        probe.join(F.broadcast(bloom), "pos")
+        .groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("nbits"))
+        .filter(F.col("nbits") == k_hashes)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("overlap_est"))
+    )
+    return (
+        corpus.select(F.col(id_col).alias("doc_id"))
+        .join(sh_hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("overlap_est", F.lit(0)).cast("long").alias("overlap_est"),
+            (F.coalesce("overlap_est", F.lit(0)) >= min_overlap).cast("int").alias("contaminated"),
+        )
+    )

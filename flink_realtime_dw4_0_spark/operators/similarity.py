@@ -619,3 +619,69 @@ def _inertia_of(assigned: DataFrame, bc) -> float:
         assigned.mapInPandas(fn, "d2 double").agg(F.sum("d2").alias("s")).collect()[0].s
         or 0.0
     )
+
+
+def semantic_dedup_drops(
+    df: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    dim: int = 64,
+    max_cell_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): partition the corpus into clusters, compare
+    embeddings ONLY within a cluster, and drop every vector that has a
+    lower-id cluster-mate above the cosine threshold (keep-first policy).
+
+    Clustering here is a deterministic sign-projection cell code from
+    md5-derived ±1 hyperplanes (the same constants family as
+    `lsh_bucket_topk`) standing in for SemDeDup's k-means assignment —
+    deterministic, trainless, and exactly replayable by the SQL oracle.
+
+    Scale shape vs `cosine_pairs` all-pairs: comparisons are
+    O(sum over cells of k_c^2) instead of O(n^2); cell count is 2^n_planes,
+    so raising n_planes keeps expected cell size ~n/2^b as the corpus
+    grows.  The vectors shuffle ONCE on the cell code; each cell's
+    self-join is local to its partition group.  `max_cell_size` optionally
+    chunks oversized cells under a salted deterministic order (same design
+    as dedup._cap_buckets) — unlike multi-band LSH, pairs split across
+    chunks are LOST (no second band to recover them), which is the
+    standard SemDeDup recall/cost dial.
+
+    Returns distinct (cell, drop_id) — each vector lives in exactly one
+    cell, so drop_id is unique in the output.
+    """
+    planes = _hyperplanes(1, n_planes, dim)[0]
+    bits = [
+        F.when(
+            _dot(F.col(vec_col), F.array(*[F.lit(float(v)) for v in pl])) > 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for pl in planes
+    ]
+    cells = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
+                      F.concat(*bits).alias("cell"))
+    if max_cell_size is not None:
+        salt = F.md5(F.concat_ws(":", "cell", F.col("__id").cast("string")))
+        w = Window.partitionBy("cell").orderBy(salt, "__id")
+        cells = (
+            cells.withColumn("__rn", F.row_number().over(w))
+            .withColumn(
+                "cell",
+                F.concat_ws(
+                    "#", "cell",
+                    F.floor((F.col("__rn") - 1) / max_cell_size).cast("string"),
+                ),
+            )
+            .drop("__rn")
+        )
+    a = cells.select("cell", F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
+    b = cells.select("cell", F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("__va"), F.col("__vb")) >= F.lit(threshold))
+    )
+    return pairs.select("cell", F.col("id_b").alias("drop_id")).distinct()

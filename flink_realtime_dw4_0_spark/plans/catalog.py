@@ -3918,3 +3918,82 @@ def cdc_changelog_aggregate_q(spark, sf_dir):
             F.round(F.avg("value"), 4).alias("avg_latest"),
         )
     )
+
+
+def _semantic_dedup_oracle(threshold: float = 0.3, n_planes: int = 6, dim: int = 64) -> str:
+    """DuckDB twin of `similarity.semantic_dedup_drops`: the ±1
+    hyperplanes are md5-derived constants, so the cell codes and
+    within-cell cosine comparisons replay exactly (same determinism
+    argument as `_lsh_ann_oracle`)."""
+    from ..operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(1, n_planes, dim)[0]
+    bits = " || ".join(
+        "(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), {lst}) > 0 "
+        "THEN '1' ELSE '0' END)".format(lst="[" + ",".join(str(x) for x in pl) + "]")
+        for pl in planes
+    )
+    return f"""
+    WITH cells AS (SELECT e.vec_id, e.embedding, ({bits}) AS cell FROM embeddings e)
+    SELECT DISTINCT a.cell AS cell, b.vec_id AS drop_id
+    FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= {threshold}
+    """
+
+
+@q("dedup_semantic_cells", _semantic_dedup_oracle(), tags=("dedup", "similarity", "semdedup"))
+def dedup_semantic_q(spark, sf_dir):
+    """SemDeDup-style cluster-bounded semantic dedup: sign-projection
+    cells stand in for k-means clusters; near-dups are pruned within a
+    cell only — the comparison count is sum(k_c^2) over cells, not n^2,
+    which is what makes embedding dedup feasible at 100 TB (the
+    unclustered twin is `dedup_embedding_neardup`)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup_drops(emb, threshold=0.3)
+
+
+def _bloom_decon_oracle(min_overlap: int = 5, k_hashes: int = 3, prefix_len: int = 4) -> str:
+    """DuckDB twin of `dedup.decontaminate_bloom`: the bloom positions
+    are md5 hex prefixes (string-compared, engine-portable), so the set
+    bits, per-shingle hit test, and per-doc overlap replay exactly —
+    including the filter's deterministic false positives."""
+    pos = lambda i, src: f"substr(md5('bloom{i}:' || {src}.shingle), 1, {prefix_len})"
+    bloom_sel = "\n       UNION ALL ".join(
+        f"SELECT {pos(i, 'b')} AS pos FROM bench b" for i in range(k_hashes)
+    )
+    probe_sel = "\n       UNION ALL ".join(
+        f"SELECT p.doc_id, p.shingle, {pos(i, 'p')} AS pos FROM corp p"
+        for i in range(k_hashes)
+    )
+    return (
+        _DK_SHINGLES
+        + f"""
+    , bench AS (SELECT DISTINCT shingle FROM inv WHERE doc_id % 97 = 0),
+    corp AS (SELECT doc_id, shingle FROM inv WHERE doc_id % 97 <> 0),
+    bloom AS (SELECT DISTINCT pos FROM ({bloom_sel})),
+    probe AS ({probe_sel}),
+    hit AS (SELECT doc_id, shingle, count(*) AS nbits
+            FROM probe JOIN bloom USING (pos) GROUP BY doc_id, shingle),
+    ov AS (SELECT doc_id, count(*) AS overlap_est
+           FROM hit WHERE nbits = {k_hashes} GROUP BY doc_id)
+    SELECT d.doc_id AS doc_id,
+           CAST(coalesce(o.overlap_est, 0) AS BIGINT) AS overlap_est,
+           CAST(coalesce(o.overlap_est, 0) >= {min_overlap} AS INT) AS contaminated
+    FROM documents d LEFT JOIN ov o ON d.doc_id = o.doc_id
+    WHERE d.doc_id % 97 <> 0
+    """
+    )
+
+
+@q("dedup_decontaminate_bloom", _bloom_decon_oracle(), tags=("dedup", "decontamination", "sketch"))
+def dedup_decontaminate_bloom_q(spark, sf_dir):
+    """Bloom-filter decontamination: same contract as dedup_decontaminate
+    but the broadcast is a fixed-size bit-position set (m = 65,536)
+    instead of the benchmark's raw shingles — bounded regardless of how
+    large the eval suite grows.  One-sided error (no false negatives),
+    deterministic, oracle-replayed bit for bit."""
+    docs = t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return dedup.decontaminate_bloom(corpus, bench, min_overlap=5)

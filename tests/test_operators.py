@@ -877,3 +877,50 @@ def test_scd2_temporal_join_equal_ts_versions(spark):
     )
     got = {r.event_id: r.version for r in out.collect()}
     assert got == {100: 1, 101: 3, 102: 3}  # 103 predates v1 → dropped
+
+
+def test_semantic_dedup_subset_and_exact_duplicates(spark, sf_dir):
+    """Cell-bounding can only REMOVE pairs vs the all-pairs plan (drops
+    are a subset), and exact duplicates always share a cell so they are
+    always caught; a loose max_cell_size must be a no-op."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    allpairs = {
+        r.id_b for r in similarity.cosine_pairs(emb, threshold=0.3).collect()
+    }
+    sem = similarity.semantic_dedup_drops(emb, threshold=0.3)
+    sem_ids = {r.drop_id for r in sem.collect()}
+    assert sem_ids and sem_ids <= allpairs
+
+    loose = similarity.semantic_dedup_drops(emb, threshold=0.3, max_cell_size=10**6)
+    assert {(r.cell.split("#")[0], r.drop_id) for r in loose.collect()} == {
+        (r.cell, r.drop_id) for r in sem.collect()
+    }
+
+    # planted exact duplicate: identical embedding rows MUST collide
+    one = emb.limit(1).select(F.lit(999999).alias("vec_id"), "embedding", "label")
+    planted = emb.unionByName(one)
+    drops = {
+        r.drop_id
+        for r in similarity.semantic_dedup_drops(planted, threshold=0.99).collect()
+    }
+    assert 999999 in drops
+
+
+def test_bloom_decontaminate_no_false_negatives(spark, sf_dir):
+    """Bloom membership is one-sided: overlap_est >= exact overlap for
+    every doc, so the exact operator's flagged set is a subset of the
+    bloom-flagged set; with a roomy filter the two should mostly agree."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    exact = {r.doc_id: r.overlap for r in dedup.decontaminate(corpus, bench).collect()}
+    bloom = {
+        r.doc_id: r.overlap_est
+        for r in dedup.decontaminate_bloom(corpus, bench).collect()
+    }
+    assert set(bloom) == set(exact)
+    assert all(bloom[d] >= exact[d] for d in exact)
+    flagged_exact = {d for d, ov in exact.items() if ov >= 5}
+    flagged_bloom = {d for d, ov in bloom.items() if ov >= 5}
+    assert flagged_exact <= flagged_bloom
+    assert flagged_exact, "expected planted contamination in testdata"

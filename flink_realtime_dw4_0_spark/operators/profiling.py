@@ -96,3 +96,70 @@ def key_skew(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
         # contract, not an accident of the current physical plan
         .orderBy(F.col("cnt").desc(), F.col("key"))
     )
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    seed: str = "hll",
+    register_hex: int = 2,
+    tail_hex: int = 6,
+) -> DataFrame:
+    """HyperLogLog register table per group — the MERGEABLE state behind
+    an approximate distinct count, materialized instead of hidden inside
+    `approx_count_distinct` so it (a) is integer-exact and oracle-
+    checkable and (b) can be stored/merged across partitions, days, or
+    clusters with a plain `max` groupBy (the serving-layer pattern for
+    incremental cardinality at 100 TB: registers union + max, never a
+    re-scan of history).
+
+    Hashing is md5; the register id is the first `register_hex` hex
+    chars (m = 16^register_hex registers, default 256) and rho (position
+    of the first set bit) is computed on the next `tail_hex` hex chars
+    entirely with string ops — leading-zero nibbles via regexp, the
+    first non-zero nibble via a 16-way CASE — so any engine replays it
+    without integer/bit conversions.  All-zero tails cap at
+    4*tail_hex + 1.  Output: (*group_cols, register, max_rho); the
+    estimator itself (harmonic mean + small-range correction) is plain
+    arithmetic over <= m rows per group (tests compute it and bound the
+    error vs exact distinct).
+    """
+    h = F.md5(F.concat(F.lit(seed + ":"), F.col(key_col).cast("string")))
+    out = (
+        df.filter(F.col(key_col).isNotNull())
+        .withColumn("__reg", F.substring(h, 1, register_hex))
+        .withColumn("__tail", F.substring(h, register_hex + 1, tail_hex))
+        .withColumn("__nz", F.length(F.regexp_extract("__tail", "^0*", 0)))
+        .withColumn("__first", F.expr("substring(__tail, __nz + 1, 1)"))
+    )
+    extra = (
+        F.when(F.col("__first") == "1", 3)
+        .when(F.col("__first").isin("2", "3"), 2)
+        .when(F.col("__first").isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    rho = F.when(F.col("__nz") == tail_hex, 4 * tail_hex + 1).otherwise(
+        4 * F.col("__nz") + extra + 1
+    )
+    return (
+        out.withColumn("__rho", rho.cast("long"))
+        .groupBy(*group_cols, F.col("__reg").alias("register"))
+        .agg(F.max("__rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(registers: list[int], m: int) -> float:
+    """Driver-side HLL estimator over one group's register values (the
+    tiny final step — everything distributed happens in
+    `hll_registers`).  Standard HLL with the small-range (linear
+    counting) correction."""
+    import math
+
+    alpha = 0.7213 / (1 + 1.079 / m)
+    z = sum(2.0 ** -r for r in registers) + (m - len(registers))  # unseen → 2^0
+    est = alpha * m * m / z
+    v = m - len(registers)
+    if est <= 2.5 * m and v > 0:
+        est = m * math.log(m / v)
+    return est

@@ -924,3 +924,43 @@ def test_bloom_decontaminate_no_false_negatives(spark, sf_dir):
     flagged_bloom = {d for d, ov in bloom.items() if ov >= 5}
     assert flagged_exact <= flagged_bloom
     assert flagged_exact, "expected planted contamination in testdata"
+
+
+def test_hll_registers_estimate_accuracy_and_mergeability(spark, sf_dir):
+    """The register sketch must (a) estimate within ~10% of exact distinct
+    per group (m=256 → ~6.5% standard error) and (b) merge: registers
+    computed on two halves of the data, max-merged, equal the registers
+    of the whole."""
+    from flink_realtime_dw4_0_spark.operators.profiling import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    regs: dict = {}
+    for r in hll_registers(ev, "user_id", ["event_type"]).collect():
+        regs.setdefault(r.event_type, []).append(r.max_rho)
+    for et, n in exact.items():
+        est = hll_estimate(regs[et], 256)
+        assert abs(est - n) / n < 0.15, (et, est, n)
+
+    h1 = hll_registers(ev.filter(F.col("event_id") % 2 == 0), "user_id", ["event_type"])
+    h2 = hll_registers(ev.filter(F.col("event_id") % 2 == 1), "user_id", ["event_type"])
+    merged = {
+        (r.event_type, r.register): r.max_rho
+        for r in h1.unionByName(h2)
+        .groupBy("event_type", "register")
+        .agg(F.max("max_rho").alias("max_rho"))
+        .collect()
+    }
+    whole = {
+        (r.event_type, r.register): r.max_rho
+        for r in hll_registers(ev, "user_id", ["event_type"]).collect()
+    }
+    assert merged == whole

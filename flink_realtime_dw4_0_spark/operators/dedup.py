@@ -821,3 +821,63 @@ def decontaminate_bloom(
             (F.coalesce("overlap_est", F.lit(0)) >= min_overlap).cast("int").alias("contaminated"),
         )
     )
+
+
+def substring_dup_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    win: int = 8,
+    fp_hex: int = 16,
+) -> DataFrame:
+    """Substring-level duplication profile — the token-window analogue of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499): for every length-`win` token window in
+    every document, count how many windows recur ANYWHERE in the corpus
+    (cross- or intra-document).  Doc-level dedup misses exactly these —
+    boilerplate headers, license blocks, quoted passages — which is why
+    substring dedup is its own tier in pretraining pipelines.
+
+    Scale shape: windows travel as `fp_hex`-char md5 fingerprints, not
+    the window text, so the global frequency shuffle carries 16 bytes
+    per window instead of the window itself (~64+ bytes at win=8); the
+    frequency count is map-side combinable.  Two shuffles total
+    (fp count, per-doc rollup).  Fingerprint collisions at 64 bits are
+    ~n²/2^65 — absent at any feasible corpus size, and the oracle
+    replays the same fingerprints so the check is still exact.
+
+    Returns every doc: (doc_id, n_windows, n_dup_windows, dup_ratio).
+    """
+    toks = df.select(F.col(id_col).alias("doc_id"), tokenize(text_col).alias("tk"))
+    n = F.size("tk")
+    fps = F.when(
+        n >= win,
+        F.transform(
+            F.sequence(F.lit(1), n - win + 1),
+            lambda i: F.substring(
+                F.md5(F.array_join(F.slice("tk", i, win), " ")), 1, fp_hex
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    with_fps = toks.select("doc_id", fps.alias("fps"))
+    e = with_fps.select("doc_id", F.explode("fps").alias("fp"))
+    freq = e.groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
+    dup = (
+        e.join(freq.filter(F.col("n") > 1), "fp")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    return (
+        with_fps.join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("fps").cast("long").alias("n_windows"),
+            F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup_windows"),
+            F.when(
+                F.size("fps") > 0,
+                F.round(F.coalesce("n_dup", F.lit(0)) / F.size("fps"), 4),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_ratio"),
+        )
+    )

@@ -4033,3 +4033,36 @@ def sketch_hll_registers_q(spark, sf_dir):
 
     ev = t(spark, sf_dir, "events")
     return hll_registers(ev, "user_id", ["event_type"])
+
+
+@q(
+    "dedup_substring_windows",
+    """
+    WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+                  FROM documents),
+    w AS (SELECT doc_id,
+                 CASE WHEN len(tk) >= 8
+                      THEN [substr(md5(array_to_string(tk[i:i+7], ' ')), 1, 16)
+                            for i in range(1, len(tk) - 6)]
+                      ELSE [] END AS fps
+          FROM toks),
+    e AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+    c AS (SELECT fp, count(*) AS n FROM e GROUP BY fp),
+    d AS (SELECT e.doc_id, count(*) AS n_dup
+          FROM e JOIN c ON e.fp = c.fp WHERE c.n > 1 GROUP BY e.doc_id)
+    SELECT w.doc_id AS doc_id,
+           CAST(len(fps) AS BIGINT) AS n_windows,
+           CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup_windows,
+           CASE WHEN len(fps) > 0 THEN round(coalesce(d.n_dup, 0) / len(fps), 4)
+                ELSE 0.0 END AS dup_ratio
+    FROM w LEFT JOIN d ON w.doc_id = d.doc_id
+    """,
+    tags=("dedup", "substring", "pretraining"),
+)
+def dedup_substring_windows_q(spark, sf_dir):
+    """Substring-level duplication (Lee et al. 2022 tier): per-doc count
+    of length-8 token windows that recur anywhere in the corpus —
+    catches boilerplate/quoted spans that doc-level dedup can't see.
+    Windows shuffle as 64-bit md5 fingerprints, not text."""
+    docs = t(spark, sf_dir, "documents")
+    return dedup.substring_dup_profile(docs, win=8)

@@ -964,3 +964,24 @@ def test_hll_registers_estimate_accuracy_and_mergeability(spark, sf_dir):
         for r in hll_registers(ev, "user_id", ["event_type"]).collect()
     }
     assert merged == whole
+
+
+def test_substring_dup_profile_planted_passage(spark):
+    """A passage shared verbatim between two otherwise-different docs must
+    mark exactly its windows as duplicated in both docs; a unique doc
+    reports zero; short docs (< win tokens) report zero windows."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, shared + " one two three"),
+        (2, "x y z " + shared),
+        (3, "completely different words in this unique document here"),
+        (4, "tiny doc"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_windows, r.n_dup_windows)
+        for r in dedup.substring_dup_profile(docs, win=8).collect()
+    }
+    # doc1: 11 tokens → 4 windows, 1 of which (the shared passage) recurs
+    # doc2: 11 tokens → 4 windows, 1 shared
+    assert got == {1: (4, 1), 2: (4, 1), 3: (1, 0), 4: (0, 0)}

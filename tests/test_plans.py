@@ -243,3 +243,44 @@ def test_lsh_ann_distinct_before_vectors(spark, sf_dir):
         if "HashAggregate" in line and "keys=" in line:
             keys = line.split("keys=")[1].split("]")[0]
             assert "vq" not in keys and "vc" not in keys and "embedding" not in keys, line
+
+
+def test_bloom_decontaminate_broadcasts_positions(spark, sf_dir):
+    """The bloom position set (bounded by m=65,536) must broadcast; the
+    corpus probe side must never shuffle for the membership join."""
+    plan = plan_of(spark, sf_dir, "dedup_decontaminate_bloom")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_cell_join_no_cartesian(spark, sf_dir):
+    """Cell-bounded comparisons: the self-join must be an equi-join on
+    the cell code (shuffle or broadcast hash), never a cartesian."""
+    plan = plan_of(spark, sf_dir, "dedup_semantic_cells")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_substring_windows_partial_agg_on_fingerprints(spark, sf_dir):
+    """The global window-frequency count must partial-aggregate map-side
+    (HashAggregate below the exchange) and carry fingerprints, not text."""
+    plan = plan_of(spark, sf_dir, "dedup_substring_windows")
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_temporal_join_single_key_shuffle_no_pair_explosion(spark, sf_dir):
+    """The SCD2 temporal join rides the asof union+window plan: one sort
+    per key partition, no join-then-filter pair explosion."""
+    plan = plan_of(spark, sf_dir, "j8_scd2_temporal_join")
+    assert "CartesianProduct" not in plan
+    assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_changelog_aggregate_partial_maxby(spark, sf_dir):
+    """Latest-per-key via max_by must partial-aggregate before the
+    user_id exchange (the point of avoiding a row_number window)."""
+    plan = plan_of(spark, sf_dir, "cdc_changelog_aggregate")
+    assert "Window" not in plan  # no per-key sort window anywhere
+    # map-side combine proof: a partial max_by BELOW the user_id exchange
+    assert "partial_max_by" in plan
+    assert plan.index("partial_max_by") > plan.index("Exchange hashpartitioning(user_id")

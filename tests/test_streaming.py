@@ -1067,3 +1067,46 @@ def test_streaming_neardup_hot_cluster_across_batches(spark, tmp_path):
     d1r = {(r.doc_id, r.accepted, r.matched_id) for r in nd.process_batch(b1, spark).collect()}
     assert d1r == {(r.doc_id, r.accepted, r.matched_id) for r in d1}
     assert nd.sigs.read(spark).count() == len(acc1)
+
+
+def test_hop_window_streaming_append(spark, tmp_path):
+    """HOP windows run natively in Structured Streaming: each event lands
+    in size/slide windows, and append mode emits a window only once its
+    end passes the applied watermark — late-closing parity with the
+    tumbling path."""
+    from flink_realtime_dw4_0_spark.operators.windows import windowed_agg_hop
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    T = DAY1 // 1000  # seconds
+    src = tmp_path / "hop_src"
+    batches = [
+        [json.dumps({"id": 1, "ts_ms": (T + 1) * 1000}),
+         json.dumps({"id": 2, "ts_ms": (T + 2) * 1000})],
+        [json.dumps({"id": 3, "ts_ms": (T + 100) * 1000})],
+        [json.dumps({"id": 4, "ts_ms": (T + 200) * 1000})],
+    ]
+    _feed_files(src, batches)
+    raw = ksrc.file_json_raw(spark, str(src), max_files=1)
+    j = F.from_json("value", "id long, ts_ms long").alias("j")
+    decoded = (
+        raw.select(j)
+        .select("j.id", F.timestamp_millis(F.col("j.ts_ms")).alias("ts"))
+        .withWatermark("ts", "5 seconds")
+    )
+    agg = windowed_agg_hop(decoded, "ts", "10 seconds", "5 seconds", [],
+                           [F.count(F.lit(1)).alias("n")])
+    q = (
+        agg.writeStream.format("memory").queryName("hop_out").outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "hop_ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r.window_start, r.window_end): r.n
+           for r in spark.sql("SELECT * FROM hop_out").collect()}
+    # T = 2024-01-01 00:00:00 UTC; the +200 s event's windows stay open
+    assert got == {
+        ("2023-12-31 23:59:55", "2024-01-01 00:00:05"): 2,
+        ("2024-01-01 00:00:00", "2024-01-01 00:00:10"): 2,
+        ("2024-01-01 00:01:35", "2024-01-01 00:01:45"): 1,
+        ("2024-01-01 00:01:40", "2024-01-01 00:01:50"): 1,
+    }, got

@@ -4066,3 +4066,46 @@ def dedup_substring_windows_q(spark, sf_dir):
     Windows shuffle as 64-bit md5 fingerprints, not text."""
     docs = t(spark, sf_dir, "documents")
     return dedup.substring_dup_profile(docs, win=8)
+
+
+@q(
+    "w_analytic_suite",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(ntile(4) OVER w_price AS BIGINT) AS price_quartile,
+           round(percent_rank() OVER w_price, 6) AS pr,
+           round(cume_dist() OVER w_price, 6) AS cd,
+           first_value(o_orderkey) OVER w_seq AS first_order,
+           last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                                 AND UNBOUNDED FOLLOWING) AS last_order,
+           CAST(nth_value(o_orderkey, 2) OVER w_seq AS BIGINT) AS second_order
+    FROM orders
+    WINDOW w_price AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
+           w_seq   AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window-fn", "analytic"),
+)
+def w_analytic_suite_q(spark, sf_dir):
+    """Remaining analytic-window surface beyond w_rank_lag: ntile,
+    percent_rank, cume_dist, first/last/nth_value with explicit frames
+    (last_value needs the full-partition frame — the default frame stops
+    at CURRENT ROW, a classic cross-engine trap both engines share).
+    One shuffle+sort per window spec; Catalyst collapses the two specs
+    into two sorts over the same o_custkey exchange."""
+    o = t(spark, sf_dir, "orders")
+    w_price = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    w_seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w_seq.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w_price).cast("long").alias("price_quartile"),
+        F.round(F.percent_rank().over(w_price), 6).alias("pr"),
+        F.round(F.cume_dist().over(w_price), 6).alias("cd"),
+        F.first("o_orderkey").over(w_seq).alias("first_order"),
+        F.last("o_orderkey").over(w_full).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w_seq).cast("long").alias("second_order"),
+    )

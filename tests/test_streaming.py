@@ -1110,3 +1110,41 @@ def test_hop_window_streaming_append(spark, tmp_path):
         ("2024-01-01 00:01:35", "2024-01-01 00:01:45"): 1,
         ("2024-01-01 00:01:40", "2024-01-01 00:01:50"): 1,
     }, got
+
+
+def test_streaming_topn_evictions_and_replay(spark, tmp_path):
+    """Continuous top-N: arrivals re-rank, evicted rows emit tombstones,
+    rank shifts re-emit, and a redelivered batch emits NOTHING (the
+    changelog is idempotent under at-least-once delivery)."""
+    from flink_realtime_dw4_0_spark.streaming.topn import StreamingTopN
+
+    tn = StreamingTopN(str(tmp_path / "topn"), ["province"], "order_id", "amount", n=2)
+
+    b1 = spark.createDataFrame(
+        [("p1", "o1", 10.0), ("p1", "o2", 5.0), ("p2", "o3", 7.0)],
+        "province string, order_id string, amount double",
+    )
+    c1 = {(r.order_id, r.op, r.rnk) for r in tn.process_batch(b1, spark).collect()}
+    assert c1 == {("o1", "upsert", 1), ("o2", "upsert", 2), ("o3", "upsert", 1)}
+
+    # o4 enters p1's top-2 → o2 evicted; o0 tops p2 → o3 shifts 1→2
+    b2 = spark.createDataFrame(
+        [("p1", "o4", 8.0), ("p2", "o0", 12.0)],
+        "province string, order_id string, amount double",
+    )
+    c2 = {(r.order_id, r.op, r.rnk) for r in tn.process_batch(b2, spark).collect()}
+    assert c2 == {
+        ("o4", "upsert", 2),
+        ("o2", "delete", 2),
+        ("o0", "upsert", 1),
+        ("o3", "upsert", 2),
+    }
+    state = {(r.province, r.order_id, r.rnk) for r in tn.state.read(spark).collect()}
+    assert state == {
+        ("p1", "o1", 1), ("p1", "o4", 2), ("p2", "o0", 1), ("p2", "o3", 2),
+    }
+
+    # redelivery of b2: no rank changes, empty changelog, state unchanged
+    c2r = tn.process_batch(b2, spark).collect()
+    assert c2r == []
+    assert {(r.province, r.order_id, r.rnk) for r in tn.state.read(spark).collect()} == state

@@ -163,3 +163,43 @@ def hll_estimate(registers: list[int], m: int) -> float:
     if est <= 2.5 * m and v > 0:
         est = m * math.log(m / v)
     return est
+
+
+def countmin_registers(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 3,
+    pos_hex: int = 3,
+    seed: str = "cm",
+) -> DataFrame:
+    """Count-min sketch registers over a key column — the mergeable
+    frequency-sketch companion to `hll_registers`: `depth` hash rows of
+    16^pos_hex counters (default 3 x 4096).  Like the HLL registers, the
+    state is (sketch_row, pos, cnt) rows: integer-exact, oracle-
+    checkable, and mergeable across any split with a plain SUM — the
+    incremental heavy-hitters path (est(key) = min over rows of the
+    counter at md5("{seed}{row}:" || key), always >= the true count).
+
+    One map-side-combinable shuffle of depth rows per input row;
+    positions are md5 hex prefixes compared as strings (engine-portable,
+    no integer conversions).
+    """
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("sketch_row"),
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{seed}{i}:"), F.col(key_col).cast("string"))),
+                    1,
+                    pos_hex,
+                ).alias("pos"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .select(F.explode(rows).alias("r"))
+        .groupBy(F.col("r.sketch_row").alias("sketch_row"), F.col("r.pos").alias("pos"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -4109,3 +4109,28 @@ def w_analytic_suite_q(spark, sf_dir):
         F.last("o_orderkey").over(w_full).alias("last_order"),
         F.nth_value("o_orderkey", 2).over(w_seq).cast("long").alias("second_order"),
     )
+
+
+def _countmin_oracle(depth: int = 3, pos_hex: int = 3) -> str:
+    probe = "\n      UNION ALL ".join(
+        f"SELECT {i} AS sketch_row, substr(md5('cm{i}:' || token), 1, {pos_hex}) AS pos FROM tok"
+        for i in range(depth)
+    )
+    return f"""
+    WITH tok AS (SELECT unnest({_DK_TOKS}) AS token FROM documents),
+    u AS ({probe})
+    SELECT sketch_row, pos, count(*) AS cnt FROM u WHERE pos IS NOT NULL GROUP BY 1, 2
+    """
+
+
+@q("sketch_countmin_tokens", _countmin_oracle(), tags=("sketch", "approx", "mergeable"))
+def sketch_countmin_q(spark, sf_dir):
+    """Count-min register table over the corpus token stream (3 x 4096
+    counters) — mergeable heavy-hitters state, integer-exact and
+    oracle-replayed; sum-merge across splits and the one-sided estimate
+    bound are tested in pytest."""
+    from ..operators.profiling import countmin_registers
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(text.tokenize("text")).alias("token"))
+    return countmin_registers(toks, "token")

@@ -985,3 +985,49 @@ def test_substring_dup_profile_planted_passage(spark):
     # doc1: 11 tokens → 4 windows, 1 of which (the shared passage) recurs
     # doc2: 11 tokens → 4 windows, 1 shared
     assert got == {1: (4, 1), 2: (4, 1), 3: (1, 0), 4: (0, 0)}
+
+
+def test_countmin_registers_one_sided_and_mergeable(spark, sf_dir):
+    """Count-min estimates (min over rows of the hit counter) are always
+    >= the true count; top tokens estimate tightly; registers computed on
+    halves SUM-merge to the whole-corpus registers."""
+    from flink_realtime_dw4_0_spark.operators.profiling import countmin_registers
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id"), F.explode(text.tokenize("text")).alias("token")
+    )
+    true_counts = {
+        r.token: r.n
+        for r in toks.groupBy("token").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    cms = {
+        (r.sketch_row, r.pos): r.cnt
+        for r in countmin_registers(toks, "token").collect()
+    }
+
+    import hashlib
+
+    def est(token):
+        vals = []
+        for i in range(3):
+            pos = hashlib.md5(f"cm{i}:{token}".encode()).hexdigest()[:3]
+            vals.append(cms.get((i, pos), 0))
+        return min(vals)
+
+    top = sorted(true_counts.items(), key=lambda kv: -kv[1])[:10]
+    for token, n in true_counts.items():
+        assert est(token) >= n, token
+    for token, n in top:
+        assert est(token) <= n * 1.5, (token, est(token), n)
+
+    h1 = countmin_registers(toks.filter(F.col("doc_id") % 2 == 0), "token")
+    h2 = countmin_registers(toks.filter(F.col("doc_id") % 2 == 1), "token")
+    merged = {
+        (r.sketch_row, r.pos): r.cnt
+        for r in h1.unionByName(h2)
+        .groupBy("sketch_row", "pos")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    assert merged == cms

@@ -105,6 +105,14 @@ def windowed_agg_cumulate(
     factor max_size/step.  Rows land in every window whose end is
     strictly after the event time (Flink semantics: event belongs to all
     cumulating windows of its anchor period that have not yet closed).
+
+    Streaming note: the exploded grouping keys here are derived columns,
+    which drops Spark's event-time metadata, so this exact shape cannot
+    run in append mode.  The streaming idiom for cumulate serving tables
+    is: tumble at `step` granularity (watermark-finalized, append-safe),
+    then roll the steps up cumulatively at read/serving time — an
+    O(max/step)-row window per key on the SERVING table, not the fact
+    stream.  Batch/backfill uses this function directly.
     """
     step_s, max_s = duration_seconds(step), duration_seconds(max_size)
     if max_s % step_s:

@@ -268,3 +268,71 @@ def test_media_header_roundtrip_any_dims(w, h, sr, ch, frames):
         + b"data" + struct.pack("<I", frames * ba)
     )
     assert _parse_media_header(wav) == (sr, ch, frames)
+
+
+# -- window TVF membership laws -------------------------------------------
+
+@given(offsets=st.lists(st.integers(0, 86_399), min_size=1, max_size=30))
+@settings(**_SETTINGS)
+def test_hop_window_membership_law(spark, offsets):
+    """For ANY event times: each event lands in exactly size/slide hop
+    windows, and per-window counts match a direct python replay of the
+    slide-aligned membership rule."""
+    import collections
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from flink_realtime_dw4_0_spark.operators.windows import windowed_agg_hop
+
+    base = datetime(2024, 3, 1)
+    rows = [(i, base + timedelta(seconds=s)) for i, s in enumerate(offsets)]
+    df = spark.createDataFrame(rows, ["id", "ts"])
+    out = windowed_agg_hop(
+        df, "ts", "1 hour", "15 minutes", [], [F.count(F.lit(1)).alias("n")]
+    ).collect()
+    assert sum(r.n for r in out) == 4 * len(offsets)
+
+    exp: collections.Counter = collections.Counter()
+    for s in offsets:
+        b = (s // 900) * 900
+        for k in range(4):
+            exp[b - k * 900] += 1
+    got = {
+        int((datetime.strptime(r.window_start, "%Y-%m-%d %H:%M:%S") - base).total_seconds()): r.n
+        for r in out
+    }
+    assert got == dict(exp)
+
+
+@given(offsets=st.lists(st.integers(0, 86_399), min_size=1, max_size=30))
+@settings(**_SETTINGS)
+def test_cumulate_window_membership_law(spark, offsets):
+    """For ANY event times within one anchor day: an event at offset s
+    belongs to exactly the cumulate windows whose end exceeds s — counts
+    match the python replay window-for-window."""
+    import collections
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from flink_realtime_dw4_0_spark.operators.windows import windowed_agg_cumulate
+
+    base = datetime(2024, 3, 1)
+    rows = [(i, base + timedelta(seconds=s)) for i, s in enumerate(offsets)]
+    df = spark.createDataFrame(rows, ["id", "ts"])
+    out = windowed_agg_cumulate(
+        df, "ts", "6 hours", "1 day", [], [F.count(F.lit(1)).alias("n")]
+    ).collect()
+
+    exp: collections.Counter = collections.Counter()
+    for s in offsets:
+        for j in (1, 2, 3, 4):
+            if j * 21_600 > s:
+                exp[j * 21_600] += 1
+    got = {
+        int((datetime.strptime(r.window_end, "%Y-%m-%d %H:%M:%S") - base).total_seconds()): r.n
+        for r in out
+    }
+    assert got == dict(exp)
+    assert all(r.window_start == "2024-03-01 00:00:00" for r in out)

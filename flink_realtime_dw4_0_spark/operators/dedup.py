@@ -424,24 +424,36 @@ def simhash_bits(col: Column | str, bits: int = 32) -> Column:
     return F.transform(simhash(col, bits), lambda s: (s > 0).cast("int"))
 
 
-def _cap_buckets(bands: DataFrame, max_bucket_size: int) -> DataFrame:
-    """Chunk oversized (band,bucket) groups into sub-buckets of
-    <= max_bucket_size under a per-band md5-salted deterministic order —
-    shared by the MinHash and SimHash candidate generators (see
-    `minhash_lsh_pairs` for the recall/connectivity argument)."""
+def _cap_buckets(
+    bands: DataFrame,
+    max_bucket_size: int,
+    group_cols: tuple[str, ...] = ("band", "bucket"),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Chunk oversized groups into sub-buckets of <= max_bucket_size
+    under an md5-salted deterministic order — shared by the MinHash and
+    SimHash candidate generators (see `minhash_lsh_pairs` for the
+    recall/connectivity argument) and by
+    `similarity.semantic_dedup_drops` (group_cols=('cell',)).  The salt
+    mixes the first group col with the id so multi-band callers chunk
+    each band differently; the chunk suffix lands on the LAST group col.
+    """
     from pyspark.sql.window import Window
 
+    chunk_col = group_cols[-1]
     salt = F.md5(
-        F.concat_ws(":", F.col("band").cast("string"), F.col("doc_id").cast("string"))
+        F.concat_ws(
+            ":", F.col(group_cols[0]).cast("string"), F.col(id_col).cast("string")
+        )
     )
-    w = Window.partitionBy("band", "bucket").orderBy(salt, "doc_id")
+    w = Window.partitionBy(*group_cols).orderBy(salt, id_col)
     return (
         bands.withColumn("__rn", F.row_number().over(w))
         .withColumn(
-            "bucket",
+            chunk_col,
             F.concat_ws(
                 "#",
-                "bucket",
+                chunk_col,
                 F.floor((F.col("__rn") - 1) / max_bucket_size).cast("string"),
             ),
         )
@@ -791,15 +803,18 @@ def decontaminate_bloom(
         .select("shingle")
         .distinct()
     )
-    bloom = (
-        bench_sh.select(F.explode(F.array(*positions(F.col("shingle")))).alias("pos"))
-        .distinct()
+    bloom = explode_computed(
+        bench_sh.select(F.array(*positions(F.col("shingle"))).alias("pp")),
+        [], "pp", "pos",
+    ).distinct()
+    probe_sh = explode_computed(
+        _shingled(corpus, id_col, text_col, n), ["doc_id"], "sh", "shingle"
     )
     probe = explode_computed(
-        _shingled(corpus, id_col, text_col, n), ["doc_id"], "sh", "shingle"
-    ).select(
-        "doc_id", "shingle",
-        F.explode(F.array(*positions(F.col("shingle")))).alias("pos"),
+        probe_sh.select(
+            "doc_id", "shingle", F.array(*positions(F.col("shingle"))).alias("pp")
+        ),
+        ["doc_id", "shingle"], "pp", "pos",
     )
     # per (doc, shingle): all k exploded positions must be set (duplicate
     # positions within a shingle's k-tuple match consistently, so the
@@ -848,6 +863,12 @@ def substring_dup_profile(
 
     Returns every doc: (doc_id, n_windows, n_dup_windows, dup_ratio).
     """
+    # same fan-out as _shingled: fingerprinting is CPU-bound and source
+    # corpora often arrive as one big file
+    parts = df.rdd.getNumPartitions()
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if parts < target:
+        df = df.repartition(target)
     toks = df.select(F.col(id_col).alias("doc_id"), tokenize(text_col).alias("tk"))
     n = F.size("tk")
     fps = F.when(
@@ -859,8 +880,9 @@ def substring_dup_profile(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    with_fps = toks.select("doc_id", fps.alias("fps"))
-    e = with_fps.select("doc_id", F.explode("fps").alias("fp"))
+    # cached: consumed by the frequency explode AND the final rollup join
+    with_fps = toks.select("doc_id", fps.alias("fps")).cache()
+    e = explode_computed(with_fps, ["doc_id"], "fps", "fp")
     freq = e.groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
     dup = (
         e.join(freq.filter(F.col("n") > 1), "fp")

@@ -664,19 +664,9 @@ def semantic_dedup_drops(
     cells = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
                       F.concat(*bits).alias("cell"))
     if max_cell_size is not None:
-        salt = F.md5(F.concat_ws(":", "cell", F.col("__id").cast("string")))
-        w = Window.partitionBy("cell").orderBy(salt, "__id")
-        cells = (
-            cells.withColumn("__rn", F.row_number().over(w))
-            .withColumn(
-                "cell",
-                F.concat_ws(
-                    "#", "cell",
-                    F.floor((F.col("__rn") - 1) / max_cell_size).cast("string"),
-                ),
-            )
-            .drop("__rn")
-        )
+        from .dedup import _cap_buckets
+
+        cells = _cap_buckets(cells, max_cell_size, group_cols=("cell",), id_col="__id")
     a = cells.select("cell", F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
     b = cells.select("cell", F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
     pairs = (

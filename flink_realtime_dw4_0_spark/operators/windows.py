@@ -27,10 +27,26 @@ _UNIT_SECONDS = {
 
 
 def duration_seconds(s: str) -> int:
-    """Parse a Spark-style duration string ('30 minutes', '1 day') to
-    whole seconds.  Sub-second windows aren't part of this surface."""
-    n, unit = s.strip().split()
-    return int(n) * _UNIT_SECONDS[unit.lower()]
+    """Parse a Spark-style duration string ('30 minutes', '1 day',
+    compound '1 hour 30 minutes') to whole seconds — accepting the same
+    shapes `F.window` accepts, so hop and cumulate stay consistent.
+    Sub-second windows aren't part of this surface."""
+    parts = s.strip().split()
+    if not parts or len(parts) % 2:
+        raise ValueError(
+            f"duration {s!r}: expected '<n> <unit> [<n> <unit> ...]' "
+            f"with units in {sorted(set(_UNIT_SECONDS))}"
+        )
+    total = 0
+    for n, unit in zip(parts[::2], parts[1::2]):
+        try:
+            total += int(n) * _UNIT_SECONDS[unit.lower()]
+        except (ValueError, KeyError):
+            raise ValueError(
+                f"duration {s!r}: bad component {n!r} {unit!r} "
+                f"(units: {sorted(set(_UNIT_SECONDS))})"
+            ) from None
+    return total
 
 
 def _finish(out: DataFrame, start_col: str, end_col: str) -> DataFrame:

@@ -13,9 +13,10 @@ CHANGELOG — rows whose rank appeared/changed as upserts, evicted rows as
 tombstones — which is precisely what the K3 upsert-kafka sink transports
 downstream.
 
-Scale shape: the per-batch work is one shuffle on the key over
-(batch ∪ N·keys) rows — state never exceeds N rows per key, so the
-re-rank's sort input is bounded regardless of history length.  Replay of
+Scale shape: only keys with arrivals are re-ranked — the per-batch work
+is one shuffle over (batch ∪ N·touched_keys) rows, independent of how
+many keys the state holds, and state never exceeds N rows per key so
+the sort input is bounded regardless of history length.  Replay of
 a delivered batch is a no-op (dropDuplicates on (key, id) + unchanged
 ranks emit nothing), keeping the changelog idempotent under
 at-least-once delivery.
@@ -57,9 +58,18 @@ class StreamingTopN:
         top-N (rank is the row's last known rank)."""
         cols = self.key_cols + [self.id_col, self.order_col]
         prev = self.state.read(spark)
-        cand = batch.select(*cols)
+        arrivals = batch.select(*cols)
+        # only keys with arrivals can change rank (AppendFast): restrict
+        # the re-rank, eviction, and change detection to the TOUCHED keys
+        # — per-batch cost is O(touched_keys * N + batch), not
+        # O(total_keys * N); untouched keys ride through state.merge.
         if prev is not None:
-            cand = cand.unionByName(prev.select(*cols))
+            touched = arrivals.select(*self.key_cols).distinct()
+            prev_touched = prev.join(touched, self.key_cols, "left_semi")
+            cand = arrivals.unionByName(prev_touched.select(*cols))
+        else:
+            prev_touched = None
+            cand = arrivals
         cand = cand.dropDuplicates(self.key_cols + [self.id_col])
         w = Window.partitionBy(*self.key_cols).orderBy(
             F.col(self.order_col).desc(), F.col(self.id_col)
@@ -68,12 +78,14 @@ class StreamingTopN:
             F.col("rnk") <= self.n
         )
         on = self.key_cols + [self.id_col]
-        if prev is not None:
-            evicted = prev.join(ranked.select(*on), on, "left_anti")
+        if prev_touched is not None:
+            evicted = prev_touched.join(ranked.select(*on), on, "left_anti")
             changed = (
                 ranked.alias("new")
                 .join(
-                    prev.select(*on, F.col("rnk").alias("__old_rnk")), on, "left"
+                    prev_touched.select(*on, F.col("rnk").alias("__old_rnk")),
+                    on,
+                    "left",
                 )
                 .filter(
                     F.col("__old_rnk").isNull() | (F.col("__old_rnk") != F.col("rnk"))

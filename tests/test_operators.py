@@ -1031,3 +1031,16 @@ def test_countmin_registers_one_sided_and_mergeable(spark, sf_dir):
         .collect()
     }
     assert merged == cms
+
+
+def test_duration_seconds_compound_and_errors(spark):
+    from flink_realtime_dw4_0_spark.operators.windows import duration_seconds
+
+    assert duration_seconds("1 hour 30 minutes") == 5400
+    assert duration_seconds("2 days") == 172800
+    import pytest
+
+    with pytest.raises(ValueError, match="duration"):
+        duration_seconds("90")
+    with pytest.raises(ValueError, match="duration"):
+        duration_seconds("1 fortnight")

@@ -1148,3 +1148,25 @@ def test_streaming_topn_evictions_and_replay(spark, tmp_path):
     c2r = tn.process_batch(b2, spark).collect()
     assert c2r == []
     assert {(r.province, r.order_id, r.rnk) for r in tn.state.read(spark).collect()} == state
+
+
+def test_streaming_topn_untouched_keys_isolated(spark, tmp_path):
+    """A batch touching only one key must not re-rank, re-emit, or
+    disturb the state of other keys."""
+    from flink_realtime_dw4_0_spark.streaming.topn import StreamingTopN
+
+    tn = StreamingTopN(str(tmp_path / "topn2"), ["province"], "order_id", "amount", n=2)
+    b1 = spark.createDataFrame(
+        [("p1", "o1", 10.0), ("p2", "o2", 7.0), ("p2", "o3", 6.0)],
+        "province string, order_id string, amount double",
+    )
+    tn.process_batch(b1, spark)
+    b2 = spark.createDataFrame(
+        [("p1", "o4", 20.0)], "province string, order_id string, amount double"
+    )
+    c2 = [(r.province, r.order_id, r.op, r.rnk) for r in tn.process_batch(b2, spark).collect()]
+    assert sorted(c2) == [("p1", "o1", "upsert", 2), ("p1", "o4", "upsert", 1)]
+    state = {(r.province, r.order_id, r.rnk) for r in tn.state.read(spark).collect()}
+    assert state == {
+        ("p1", "o4", 1), ("p1", "o1", 2), ("p2", "o2", 1), ("p2", "o3", 2),
+    }

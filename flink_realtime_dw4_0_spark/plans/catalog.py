@@ -4134,3 +4134,61 @@ def sketch_countmin_q(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     toks = docs.select(F.explode(text.tokenize("text")).alias("token"))
     return countmin_registers(toks, "token")
+
+
+@q(
+    "x15_array_surface",
+    """
+    WITH b AS (SELECT event_id, [x for x in range(1, event_id % 5 + 2)] AS arr
+               FROM events)
+    SELECT event_id,
+           [x * x for x in arr] AS squares,
+           list_filter(arr, x -> x % 2 = 0) AS evens,
+           CAST(list_sum(arr) AS BIGINT) AS total,
+           [arr[i] + arr[len(arr) - i + 1] for i in range(1, len(arr) + 1)] AS palin_sum,
+           CAST(len(list_filter(arr, x -> x % 2 = 0)) > 0 AS INT) AS has_even,
+           list_reverse(list_sort(arr)) AS sorted_desc
+    FROM b
+    """,
+    tags=("scalar", "higher-order"),
+)
+def x15_array_surface_q(spark, sf_dir):
+    """Higher-order array function surface — transform / filter /
+    aggregate / zip_with / exists / sort, the JVM-side lambda toolkit
+    every other operator here leans on (dot products, shingles, window
+    fingerprints), exercised directly against DuckDB's list calculus.
+    All whole-stage-codegen; zero Python."""
+    ev = t(spark, sf_dir, "events")
+    arr = F.sequence(F.lit(1), (F.col("event_id") % 5 + 1).cast("int"))
+    b = ev.select("event_id", arr.alias("arr"))
+    return b.select(
+        "event_id",
+        F.transform("arr", lambda x: x * x).alias("squares"),
+        F.filter("arr", lambda x: x % 2 == 0).alias("evens"),
+        F.aggregate("arr", F.lit(0).cast("long"), lambda acc, x: acc + x).alias("total"),
+        F.zip_with("arr", F.reverse("arr"), lambda x, y: x + y).alias("palin_sum"),
+        F.exists("arr", lambda x: x % 2 == 0).cast("int").alias("has_even"),
+        F.reverse(F.array_sort("arr")).alias("sorted_desc"),
+    )
+
+
+@q(
+    "sketch_histogram_orders",
+    """
+    SELECT o_orderpriority,
+           CAST(floor(o_totalprice / 20000.0) AS BIGINT) AS bin,
+           count(*) AS cnt
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    tags=("sketch", "approx", "mergeable"),
+)
+def sketch_histogram_q(spark, sf_dir):
+    """Fixed-width histogram registers over order totals per priority —
+    the mergeable quantile-sketch state (cardinality/frequency/quantile
+    trio with the HLL and count-min registers); estimator accuracy and
+    sum-merge are pytest-bounded."""
+    from ..operators.profiling import histogram_registers
+
+    o = t(spark, sf_dir, "orders")
+    return histogram_registers(o, "o_totalprice", ["o_orderpriority"], 20000.0)

@@ -1044,3 +1044,49 @@ def test_duration_seconds_compound_and_errors(spark):
         duration_seconds("90")
     with pytest.raises(ValueError, match="duration"):
         duration_seconds("1 fortnight")
+
+
+def test_histogram_registers_quantile_accuracy_and_merge(spark, sf_dir):
+    """Histogram-sketch quantiles land within one bin width of the exact
+    percentile, and registers from two halves SUM-merge to the whole."""
+    from flink_realtime_dw4_0_spark.operators.profiling import (
+        histogram_quantile,
+        histogram_registers,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    width = 20000.0
+    regs: dict = {}
+    for r in histogram_registers(o, "o_totalprice", ["o_orderpriority"], width).collect():
+        regs.setdefault(r.o_orderpriority, []).append((r.bin, r.cnt))
+    exact = {
+        r.o_orderpriority: (r.p50, r.p90)
+        for r in o.groupBy("o_orderpriority")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        )
+        .collect()
+    }
+    for prio, (p50, p90) in exact.items():
+        assert abs(histogram_quantile(regs[prio], width, 0.5) - p50) <= width
+        assert abs(histogram_quantile(regs[prio], width, 0.9) - p90) <= width
+
+    h1 = histogram_registers(
+        o.filter(F.col("o_orderkey") % 2 == 0), "o_totalprice", ["o_orderpriority"], width
+    )
+    h2 = histogram_registers(
+        o.filter(F.col("o_orderkey") % 2 == 1), "o_totalprice", ["o_orderpriority"], width
+    )
+    merged = {
+        (r.o_orderpriority, r.bin): r.cnt
+        for r in h1.unionByName(h2)
+        .groupBy("o_orderpriority", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    whole = {
+        (r.o_orderpriority, r.bin): r.cnt
+        for r in histogram_registers(o, "o_totalprice", ["o_orderpriority"], width).collect()
+    }
+    assert merged == whole

@@ -142,3 +142,68 @@ def windowed_agg_cumulate(
     )
     out = exploded.groupBy("__base", "__end", *dims).agg(*aggs)
     return _finish(out, "__base", "__end")
+
+
+def cumulate_rollup(
+    steps: DataFrame,
+    step: str,
+    max_size: str,
+    dims: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """Serving-side half of the streaming CUMULATE idiom: given
+    STEP-granularity tumbling aggregates (`windowed_agg(df, ts, step,
+    ...)` output — append-safe, watermark-finalized in streams), produce
+    the cumulative windows `windowed_agg_cumulate` would emit, without
+    touching the fact stream.
+
+    Shape: per (anchor period, dims), gap-fill the max/step step spine
+    (explode of a constant-length sequence), then one running-sum window
+    ordered by step end.  Input is the SERVING table (windows x dims
+    rows), so the per-key window sort is over <= max/step rows — the
+    O(steps) rollup the cumulate docstring promises.  Only additive
+    aggregates roll up this way (sums/counts); distinct-style measures
+    need the first-seen state path like every cumulative UV.
+
+    Equality `cumulate_rollup(windowed_agg(step)) ==
+    windowed_agg_cumulate(df)` modulo empty windows (a cumulative window
+    whose prefix saw no events yet has no row in either) is tested.
+    """
+    step_s, max_s = duration_seconds(step), duration_seconds(max_size)
+    if max_s % step_s:
+        raise ValueError(f"max_size {max_size!r} must be a multiple of step {step!r}")
+    n = max_s // step_s
+    ws = F.to_timestamp("window_start", "yyyy-MM-dd HH:mm:ss")
+    anchored = steps.withColumn("__anchor", F.window(ws, max_size)["start"]).withColumn(
+        "__step_end", F.expr(f"timestampadd(SECOND, {step_s}, to_timestamp(window_start))")
+    )
+    # spine: every (anchor, dims) with at least one step gets all n ends
+    spine = (
+        anchored.select("__anchor", *dims)
+        .distinct()
+        .withColumn("__j", F.explode(F.sequence(F.lit(1), F.lit(n))))
+        .withColumn("__end", F.expr(f"timestampadd(SECOND, __j * {step_s}, __anchor)"))
+        .drop("__j")
+    )
+    filled = spine.join(
+        anchored.withColumnRenamed("__step_end", "__end"),
+        ["__anchor", "__end", *dims],
+        "left",
+    )
+    from pyspark.sql.window import Window as W
+
+    w = (
+        W.partitionBy("__anchor", *dims)
+        .orderBy("__end")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    rolled = filled.select(
+        "__anchor",
+        "__end",
+        *dims,
+        *[F.sum(F.coalesce(F.col(c), F.lit(0))).over(w).alias(c) for c in sum_cols],
+        F.sum(F.when(F.col(sum_cols[0]).isNotNull(), 1).otherwise(0)).over(w).alias("__seen"),
+    )
+    # drop cumulative windows whose prefix has no data yet (they have no
+    # twin in windowed_agg_cumulate either)
+    return _finish(rolled.filter(F.col("__seen") > 0).drop("__seen"), "__anchor", "__end")

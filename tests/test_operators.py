@@ -1090,3 +1090,30 @@ def test_histogram_registers_quantile_accuracy_and_merge(spark, sf_dir):
         for r in histogram_registers(o, "o_totalprice", ["o_orderpriority"], width).collect()
     }
     assert merged == whole
+
+
+def test_cumulate_rollup_equals_direct_cumulate(spark, sf_dir):
+    """The serving-side rollup over step-granularity tumbles must
+    reproduce windowed_agg_cumulate exactly: same windows, same counts,
+    same sums (float compared at 1e-6)."""
+    from flink_realtime_dw4_0_spark.operators.windows import (
+        cumulate_rollup,
+        windowed_agg,
+        windowed_agg_cumulate,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    aggs = [F.count(F.lit(1)).alias("pv"), F.sum("value").alias("sv")]
+    steps = windowed_agg(ev, "ts", "6 hours", ["event_type"], aggs)
+    rolled = {
+        (r.window_start, r.window_end, r.event_type): (r.pv, r.sv)
+        for r in cumulate_rollup(steps, "6 hours", "1 day", ["event_type"], ["pv", "sv"]).collect()
+    }
+    direct = {
+        (r.window_start, r.window_end, r.event_type): (r.pv, r.sv)
+        for r in windowed_agg_cumulate(ev, "ts", "6 hours", "1 day", ["event_type"], aggs).collect()
+    }
+    assert set(rolled) == set(direct)
+    for k, (pv, sv) in direct.items():
+        assert rolled[k][0] == pv, k
+        assert abs(rolled[k][1] - sv) < 1e-6, k

@@ -1170,3 +1170,66 @@ def test_streaming_topn_untouched_keys_isolated(spark, tmp_path):
     assert state == {
         ("p1", "o4", 1), ("p1", "o1", 2), ("p2", "o2", 1), ("p2", "o3", 2),
     }
+
+
+def test_cumulate_streaming_idiom(spark, tmp_path):
+    """The documented streaming CUMULATE path end-to-end: step-granularity
+    tumbling windows finalize under the watermark in append mode, and the
+    serving-side rollup over the emitted steps equals the batch cumulate
+    over the same (finalized) events."""
+    from flink_realtime_dw4_0_spark.operators.windows import (
+        cumulate_rollup,
+        windowed_agg,
+        windowed_agg_cumulate,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    T = DAY1 // 1000
+    src = tmp_path / "cum_src"
+    # events across three 6 h steps of one day, then a far-future row to
+    # close every window via the applied watermark
+    batches = [
+        [json.dumps({"id": 1, "ts_ms": (T + 3600) * 1000}),
+         json.dumps({"id": 2, "ts_ms": (T + 7200) * 1000})],
+        [json.dumps({"id": 3, "ts_ms": (T + 8 * 3600) * 1000})],
+        [json.dumps({"id": 4, "ts_ms": (T + 13 * 3600) * 1000})],
+        [json.dumps({"id": 5, "ts_ms": (T + 10 * 86400) * 1000})],
+        [json.dumps({"id": 6, "ts_ms": (T + 20 * 86400) * 1000})],
+    ]
+    _feed_files(src, batches)
+    raw = ksrc.file_json_raw(spark, str(src), max_files=1)
+    j = F.from_json("value", "id long, ts_ms long").alias("j")
+    decoded = (
+        raw.select(j)
+        .select("j.id", F.timestamp_millis(F.col("j.ts_ms")).alias("ts"))
+        .withWatermark("ts", "5 seconds")
+    )
+    steps = windowed_agg(decoded, "ts", "6 hours", [], [F.count(F.lit(1)).alias("pv")])
+    q = (
+        steps.writeStream.format("memory").queryName("cum_steps").outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cum_ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.sql("SELECT * FROM cum_steps")
+    # finalized events = ids 1-4 (the day-1 windows all closed); replay
+    # them through the batch cumulate as the oracle
+    from datetime import datetime, timezone
+
+    finalized = spark.createDataFrame(
+        [(i, datetime.fromtimestamp(s, tz=timezone.utc).replace(tzinfo=None))
+         for i, s in [(1, T + 3600), (2, T + 7200), (3, T + 8 * 3600), (4, T + 13 * 3600)]],
+        ["id", "ts"],
+    )
+    direct = {
+        (r.window_start, r.window_end): r.pv
+        for r in windowed_agg_cumulate(finalized, "ts", "6 hours", "1 day", [], [F.count(F.lit(1)).alias("pv")]).collect()
+    }
+    rolled = {
+        (r.window_start, r.window_end): r.pv
+        for r in cumulate_rollup(
+            emitted.filter(F.col("window_start").startswith("2024-01-01")),
+            "6 hours", "1 day", [], ["pv"],
+        ).collect()
+    }
+    assert rolled == direct and rolled

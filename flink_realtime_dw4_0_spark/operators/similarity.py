@@ -667,6 +667,11 @@ def semantic_dedup_drops(
         from .dedup import _cap_buckets
 
         cells = _cap_buckets(cells, max_cell_size, group_cols=("cell",), id_col="__id")
+    # both self-join sides consume the cell assignment; without this the
+    # n_planes x dim dot products run twice (no exchange reuse across the
+    # differently-projected join branches) — same deliberate cache as the
+    # prefix-jaccard double-consumed subplan
+    cells = cells.cache()
     a = cells.select("cell", F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
     b = cells.select("cell", F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
     pairs = (

@@ -4192,3 +4192,39 @@ def sketch_histogram_q(spark, sf_dir):
 
     o = t(spark, sf_dir, "orders")
     return histogram_registers(o, "o_totalprice", ["o_orderpriority"], 20000.0)
+
+
+@q(
+    "j9_full_outer_join",
+    """
+    SELECT coalesce(a.k, b.k) AS k,
+           a.n_urgent AS n_urgent, b.n_big AS n_big
+    FROM (SELECT o_custkey AS k, count(*) AS n_urgent FROM orders
+          WHERE o_orderpriority = '1-URGENT' GROUP BY 1) a
+    FULL OUTER JOIN
+         (SELECT o_custkey AS k, count(*) AS n_big FROM orders
+          WHERE o_totalprice > 250000 GROUP BY 1) b
+    ON a.k = b.k
+    """,
+    tags=("join", "outer"),
+)
+def j9_full_outer_q(spark, sf_dir):
+    """Full outer equi-join — the one join type absent from the
+    reference's surface (SURVEY §2.4 note); exposed as engine surface
+    (reconciliation between two aggregates where either side may be
+    missing the key).  Plain shuffle hash/sort-merge full-outer on the
+    key; NULL-padded sides survive the coalesce key."""
+    o = t(spark, sf_dir, "orders")
+    a = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.col("o_custkey").alias("ka"))
+        .agg(F.count(F.lit(1)).alias("n_urgent"))
+    )
+    b = (
+        o.filter(F.col("o_totalprice") > 250000)
+        .groupBy(F.col("o_custkey").alias("kb"))
+        .agg(F.count(F.lit(1)).alias("n_big"))
+    )
+    return a.join(b, a.ka == b.kb, "full_outer").select(
+        F.coalesce("ka", "kb").alias("k"), "n_urgent", "n_big"
+    )

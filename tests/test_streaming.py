@@ -1233,3 +1233,47 @@ def test_cumulate_streaming_idiom(spark, tmp_path):
         ).collect()
     }
     assert rolled == direct and rolled
+
+
+def test_streaming_sketch_merge_hll_and_countmin(spark, tmp_path, sf_dir):
+    """Register sketches maintained incrementally over micro-batches must
+    equal the registers computed over the whole data in one shot — the
+    no-history-re-scan serving contract (max-merge HLL, sum-merge CMS);
+    HLL max-merge is additionally replay-idempotent."""
+    from flink_realtime_dw4_0_spark.operators.profiling import (
+        countmin_registers,
+        hll_registers,
+    )
+    from flink_realtime_dw4_0_spark.sources.files import load_table
+    from flink_realtime_dw4_0_spark.streaming.sketches import StreamingSketchMerge
+
+    ev = load_table(spark, sf_dir, "events")
+    b1, b2 = ev.filter(F.col("event_id") % 2 == 0), ev.filter(F.col("event_id") % 2 == 1)
+
+    hll = StreamingSketchMerge(
+        str(tmp_path / "hll"), ["event_type", "register"], "max_rho", "max"
+    )
+    hll.process_batch(hll_registers(b1, "user_id", ["event_type"]), spark)
+    hll.process_batch(hll_registers(b2, "user_id", ["event_type"]), spark)
+    whole = {
+        (r.event_type, r.register): r.max_rho
+        for r in hll_registers(ev, "user_id", ["event_type"]).collect()
+    }
+    got = {(r.event_type, r.register): r.max_rho for r in hll.read(spark).collect()}
+    assert got == whole
+    # replay of b2: max-merge is idempotent
+    hll.process_batch(hll_registers(b2, "user_id", ["event_type"]), spark)
+    assert {(r.event_type, r.register): r.max_rho for r in hll.read(spark).collect()} == whole
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token")
+    )
+    cms = StreamingSketchMerge(
+        str(tmp_path / "cms"), ["sketch_row", "pos"], "cnt", "sum"
+    )
+    cms.process_batch(countmin_registers(toks.filter(F.col("doc_id") % 2 == 0), "token"), spark)
+    cms.process_batch(countmin_registers(toks.filter(F.col("doc_id") % 2 == 1), "token"), spark)
+    whole_cms = {
+        (r.sketch_row, r.pos): r.cnt for r in countmin_registers(toks, "token").collect()
+    }
+    assert {(r.sketch_row, r.pos): r.cnt for r in cms.read(spark).collect()} == whole_cms

@@ -429,6 +429,36 @@ def main() -> None:
         finally:
             shutil.rmtree(dup_dir, ignore_errors=True)
 
+    # Extras: the round-3 second-pass operators, timed solo (min-of-2) at
+    # the target SF — not in the headline total so BENCH totals stay
+    # comparable across rounds, but visible for trend tracking.
+    if os.environ.get("SPARK_GRAFT_EXTRAS", "1") != "0":
+        extras = [
+            "dedup_semantic_cells",
+            "dedup_decontaminate_bloom",
+            "dedup_substring_windows",
+            "sketch_hll_registers",
+            "sketch_countmin_tokens",
+            "a9_hop_window_pv",
+            "j8_scd2_temporal_join",
+        ]
+        etimes: dict[str, float] = {}
+        for name in extras:
+            if name not in CATALOG:
+                continue
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(1)
+            reps = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                CATALOG[name].fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                reps.append(time.perf_counter() - t0)
+            etimes[name] = round(min(reps), 3)
+        out["extras"] = {"total": round(sum(etimes.values()), 3), "queries": etimes}
+
     if os.environ.get("SPARK_GRAFT_STREAM", "1") != "0":
         spark.catalog.clearCache()
         time.sleep(2)  # settle async block frees before timing the stream

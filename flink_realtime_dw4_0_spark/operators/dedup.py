@@ -903,3 +903,70 @@ def substring_dup_profile(
             .alias("dup_ratio"),
         )
     )
+
+
+def char_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Distinct character n-grams of a string — the candidate-generation
+    key for fuzzy string matching (trigram indexing, the pg_trgm /
+    Elasticsearch ngram approach)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(c) - n + 1, F.lit(0))),
+            lambda i: F.substring(c, i, n),
+        )
+    )
+
+
+def fuzzy_join_pairs(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    max_edit: int = 2,
+    n: int = 3,
+    max_gram_freq: int | None = 50,
+) -> DataFrame:
+    """Fuzzy self-join (entity resolution): pairs of rows whose strings
+    are within `max_edit` Levenshtein distance, found via shared
+    character-trigram candidates + exact edit-distance verify — the
+    classic trigram-index plan (pg_trgm), sized for clusters: no
+    quadratic all-pairs compare, candidates only where a DISCRIMINATIVE
+    trigram collides.
+
+    `max_gram_freq` drops trigrams appearing in more than that many
+    strings (stopgram removal — shared prefixes like 'Customer#0' would
+    otherwise pair everyone); like the LSH tiers, recall is bounded by
+    the candidate rule (two strings with NO surviving shared trigram are
+    not compared) and the oracle mirrors the same rule, so the check is
+    exact.  Candidate rows carry ids only; strings join back once for
+    the O(candidates) verify.  Returns (id_a, id_b, dist).
+    """
+    s = df.select(F.col(id_col).alias("__id"), F.col(str_col).alias("__s"))
+    g = explode_computed(
+        s.select("__id", char_ngrams("__s", n).alias("__g")), ["__id"], "__g", "gram"
+    )
+    if max_gram_freq is not None:
+        hot = (
+            g.groupBy("gram")
+            .count()
+            .filter(F.col("count") > max_gram_freq)
+            .select("gram")
+        )
+        g = g.join(F.broadcast(hot), "gram", "left_anti")
+    a = g.select("gram", F.col("__id").alias("id_a"))
+    b = g.select("gram", F.col("__id").alias("id_b"))
+    cand = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = s.select(F.col("__id").alias("id_a"), F.col("__s").alias("__sa"))
+    sb = s.select(F.col("__id").alias("id_b"), F.col("__s").alias("__sb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("dist", F.levenshtein("__sa", "__sb").cast("long"))
+        .filter(F.col("dist") <= max_edit)
+        .select("id_a", "id_b", "dist")
+    )

@@ -4228,3 +4228,58 @@ def j9_full_outer_q(spark, sf_dir):
     return a.join(b, a.ka == b.kb, "full_outer").select(
         F.coalesce("ka", "kb").alias("k"), "n_urgent", "n_big"
     )
+
+
+@q(
+    "fuzzy_join_customers",
+    """
+    WITH s AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+    g0 AS (SELECT id, unnest(list_distinct([name[i:i+2] for i in range(1, len(name) - 1)])) AS gram
+           FROM s),
+    hot AS (SELECT gram FROM g0 GROUP BY gram HAVING count(*) > 50),
+    g AS (SELECT g0.id, g0.gram FROM g0 ANTI JOIN hot USING (gram)),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM g a JOIN g b USING (gram) WHERE a.id < b.id)
+    SELECT c.id_a, c.id_b, CAST(levenshtein(sa.name, sb.name) AS BIGINT) AS dist
+    FROM cand c JOIN s sa ON c.id_a = sa.id JOIN s sb ON c.id_b = sb.id
+    WHERE levenshtein(sa.name, sb.name) <= 2
+    """,
+    tags=("join", "fuzzy", "entity-resolution"),
+)
+def fuzzy_join_customers_q(spark, sf_dir):
+    """Fuzzy self-join on customer names (trigram candidates + exact
+    Levenshtein verify, stopgrams df-capped at 50) — the entity-
+    resolution tier: near-identical names pair without an all-pairs
+    compare.  Both engines run the identical candidate rule, so the
+    result is value-exact despite the bounded recall."""
+    c = t(spark, sf_dir, "customer")
+    return dedup.fuzzy_join_pairs(c, "c_custkey", "c_name", max_edit=2)
+
+
+@q(
+    "ts_zscore_anomaly",
+    """
+    WITH s AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+               FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type,
+           round((e.value - s.mu) / s.sd, 4) AS z
+    FROM events e JOIN s USING (event_type)
+    WHERE s.sd > 0 AND abs(e.value - s.mu) > 3 * s.sd
+    """,
+    tags=("timeseries", "anomaly"),
+)
+def ts_zscore_anomaly_q(spark, sf_dir):
+    """Per-group z-score outlier detection (|z| > 3) — the monitoring
+    primitive over metric streams.  Two-pass plan: one tiny per-group
+    moment aggregation broadcast back over the facts; the flag compares
+    unrounded doubles on both engines (identical IEEE arithmetic), z
+    rounded for display only."""
+    ev = t(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    return (
+        ev.join(F.broadcast(s), "event_type")
+        .filter((F.col("sd") > 0) & (F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sd")))
+        .select("event_id", "event_type", F.round((F.col("value") - F.col("mu")) / F.col("sd"), 4).alias("z"))
+    )

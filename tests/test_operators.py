@@ -1117,3 +1117,24 @@ def test_cumulate_rollup_equals_direct_cumulate(spark, sf_dir):
     for k, (pv, sv) in direct.items():
         assert rolled[k][0] == pv, k
         assert abs(rolled[k][1] - sv) < 1e-6, k
+
+
+def test_fuzzy_join_planted_typos(spark):
+    """Names within the edit bound pair up via shared rare trigrams;
+    unrelated names don't; stopgram capping doesn't pair strings whose
+    only shared grams are corpus-common."""
+    rows = [
+        (1, "Jonathan Smith"),
+        (2, "Jonathon Smith"),   # 1 edit from id 1
+        (3, "Jonathan Smyth"),   # 1 edit from id 1, 2 from id 2
+        (4, "Elizabeth Jones"),  # unrelated
+    ]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    got = {(r.id_a, r.id_b): r.dist for r in
+           dedup.fuzzy_join_pairs(df, "id", "name", max_edit=2, max_gram_freq=None).collect()}
+    assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 2}
+
+    # df-cap: with every shared gram exceeding the cap, nothing pairs
+    many = [(i, "SharedPrefix") for i in range(10)]
+    df2 = spark.createDataFrame(many, ["id", "name"])
+    assert dedup.fuzzy_join_pairs(df2, "id", "name", max_gram_freq=5).count() == 0

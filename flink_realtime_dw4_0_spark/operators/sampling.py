@@ -340,3 +340,45 @@ def weighted_sample(
     full = rate_col >= 1.0
     b = _bucket(F.col(key_col), salt)
     return df.filter(full | (b < F.format_string("%04x", edge)))
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split documents into overlapping token windows — the
+    context-length chunker feeding sequence packing: windows of
+    `chunk_tokens` advancing by (chunk_tokens - overlap), last window
+    ragged, every doc emitting at least one chunk.
+
+    Pure narrow map + explode (no shuffle at all): each chunk carries
+    (doc_id, chunk_id, n_chunk_tokens, chunk_fp) with the text as an
+    md5 fingerprint so downstream exact-dedup of chunks is a groupBy
+    away and the exchange never carries chunk text.
+    """
+    from .text import tokenize
+
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError(f"overlap {overlap} must be < chunk_tokens {chunk_tokens}")
+    tk = tokenize(text_col)
+    base = df.select(F.col(id_col).alias("doc_id"), tk.alias("tk"))
+    n_chunks = F.greatest(
+        F.floor((F.size("tk") - overlap + stride - 1) / stride).cast("int"), F.lit(1)
+    )
+    starts = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1), lambda k: k * stride + 1
+    )
+    exploded = base.select(
+        "doc_id", "tk", F.posexplode(starts).alias("chunk_id", "start")
+    )
+    chunk = F.slice("tk", F.col("start"), chunk_tokens)
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.substring(F.md5(F.array_join(chunk, " ")), 1, 16).alias("chunk_fp"),
+    )

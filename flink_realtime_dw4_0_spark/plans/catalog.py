@@ -4283,3 +4283,65 @@ def ts_zscore_anomaly_q(spark, sf_dir):
         .filter((F.col("sd") > 0) & (F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sd")))
         .select("event_id", "event_type", F.round((F.col("value") - F.col("mu")) / F.col("sd"), 4).alias("z"))
     )
+
+
+@q(
+    "pack_chunk_overlap",
+    f"""
+    WITH toks AS (SELECT doc_id, {_DK_TOKS} AS tk FROM documents),
+    n AS (SELECT doc_id, tk,
+                 greatest(CAST(floor((len(tk) - 8 + 55) / 56.0) AS INT), 1) AS n_chunks
+          FROM toks),
+    e AS (SELECT doc_id, tk, unnest(range(0, n_chunks)) AS chunk_id FROM n)
+    SELECT doc_id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(tk[chunk_id * 56 + 1 : chunk_id * 56 + 64]) AS BIGINT) AS n_chunk_tokens,
+           substr(md5(array_to_string(tk[chunk_id * 56 + 1 : chunk_id * 56 + 64], ' ')), 1, 16) AS chunk_fp
+    FROM e
+    """,
+    tags=("sampling", "chunking", "pretraining"),
+)
+def pack_chunk_overlap_q(spark, sf_dir):
+    """Overlapping-window document chunking (64-token windows, 8-token
+    overlap) — the context-length chunker upstream of `pack_concat_chunk`;
+    chunks travel as md5 fingerprints, never text.  Zero-shuffle narrow
+    plan."""
+    docs = t(spark, sf_dir, "documents")
+    return sampling.chunk_documents(docs, chunk_tokens=64, overlap=8)
+
+
+@q(
+    "text_bpe_pair_counts",
+    f"""
+    WITH toks AS (SELECT {_DK_TOKS} AS tk FROM documents),
+    p AS (SELECT tk[i] AS left_tok, tk[i+1] AS right_tok
+          FROM toks, LATERAL (SELECT unnest(range(1, len(tk))) AS i)
+          WHERE len(tk) >= 2)
+    SELECT left_tok, right_tok, count(*) AS n
+    FROM p GROUP BY 1, 2 HAVING count(*) >= 5
+    """,
+    tags=("text", "tokenizer"),
+)
+def text_bpe_pair_counts_q(spark, sf_dir):
+    """Adjacent-token pair frequencies (min count 5) — the statistic one
+    BPE/WordPiece merge iteration ranks on; one map-combinable shuffle
+    over exploded pairs."""
+    docs = t(spark, sf_dir, "documents")
+    tk = text.tokenize("text")
+    pairs = F.when(
+        F.size(tk) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 1),
+            lambda i: F.struct(
+                F.element_at(tk, i).alias("left_tok"),
+                F.element_at(tk, i + 1).alias("right_tok"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<left_tok:string,right_tok:string>>"))
+    e = split.explode_computed(docs.select(pairs.alias("p")), [], "p", "pr")
+    return (
+        e.select(F.col("pr.left_tok").alias("left_tok"), F.col("pr.right_tok").alias("right_tok"))
+        .groupBy("left_tok", "right_tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+    )

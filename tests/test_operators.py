@@ -1138,3 +1138,23 @@ def test_fuzzy_join_planted_typos(spark):
     many = [(i, "SharedPrefix") for i in range(10)]
     df2 = spark.createDataFrame(many, ["id", "name"])
     assert dedup.fuzzy_join_pairs(df2, "id", "name", max_gram_freq=5).count() == 0
+
+
+def test_chunk_documents_overlap_and_ragged_tail(spark):
+    """Chunk boundaries: stride = chunk - overlap, ragged last window,
+    short docs emit exactly one whole-doc chunk, invalid overlap raises."""
+    from flink_realtime_dw4_0_spark.operators.sampling import chunk_documents
+
+    text10 = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text10), (2, "a b c")], ["doc_id", "text"])
+    got = {
+        (r.doc_id, r.chunk_id): r.n_chunk_tokens
+        for r in chunk_documents(df, chunk_tokens=8, overlap=2).collect()
+    }
+    # doc1: stride 6 → windows [1..8] and [7..10] (4 tokens); doc2: one chunk
+    assert got == {(1, 0): 8, (1, 1): 4, (2, 0): 3}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)

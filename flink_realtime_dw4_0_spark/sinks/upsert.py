@@ -36,13 +36,34 @@ class KeyedTable:
     delete(keys)   — tombstone application (type='delete' rows, K4)
     """
 
-    def __init__(self, path: str, keys: list[str], version_col: str | None = None):
+    def __init__(
+        self,
+        path: str,
+        keys: list[str],
+        version_col: str | None = None,
+        keep_versions: int = 1,
+    ):
         self.path = path
         self.keys = keys
         self.version_col = version_col
+        if keep_versions < 1:
+            raise ValueError(f"keep_versions must be >= 1, got {keep_versions}")
+        self.keep_versions = keep_versions
 
     def _current_file(self) -> str:
         return os.path.join(self.path, "CURRENT")
+
+    def _history_file(self) -> str:
+        return os.path.join(self.path, "HISTORY")
+
+    def _history(self) -> list[str]:
+        """Version names, oldest first, that still exist on disk."""
+        f = self._history_file()
+        if not os.path.exists(f):
+            return []
+        with open(f) as fh:
+            names = [ln.strip() for ln in fh if ln.strip()]
+        return [v for v in names if os.path.exists(os.path.join(self.path, v))]
 
     def _current_dir(self) -> str | None:
         f = self._current_file()
@@ -60,6 +81,22 @@ class KeyedTable:
         d = self._current_dir()
         return spark.read.parquet(d) if d is not None else None
 
+    def read_version(self, spark: SparkSession, steps_back: int = 0) -> DataFrame | None:
+        """Time-travel read: the snapshot `steps_back` merges ago
+        (0 = current).  Requires `keep_versions > steps_back` — older
+        snapshots are GC'd.  This is the Delta/Iceberg `VERSION AS OF`
+        shape on the same snapshot-pointer layout; on a cluster the
+        KeyedTable maps onto those formats and this call maps onto their
+        time travel."""
+        hist = self._history()
+        if steps_back < 0 or steps_back >= len(hist):
+            return None
+        return spark.read.parquet(os.path.join(self.path, hist[-1 - steps_back]))
+
+    def history(self) -> list[str]:
+        """Retained snapshot names, oldest first (audit surface)."""
+        return self._history()
+
     def _overwrite(self, df: DataFrame) -> None:
         """Crash-safe overwrite: write a fresh version dir, flip the
         CURRENT pointer atomically (tmp file + os.replace), then GC stale
@@ -71,12 +108,15 @@ class KeyedTable:
         os.makedirs(self.path, exist_ok=True)
         v = f"v_{uuid.uuid4().hex[:12]}"
         df.write.mode("overwrite").parquet(os.path.join(self.path, v))
+        with open(self._history_file(), "a") as fh:
+            fh.write(v + "\n")
         tmp = f"{self._current_file()}.tmp_{v}"
         with open(tmp, "w") as fh:
             fh.write(v)
         os.replace(tmp, self._current_file())
+        retained = set(self._history()[-self.keep_versions:]) | {v}
         for d in os.listdir(self.path):
-            if d.startswith("v_") and d != v:
+            if d.startswith("v_") and d not in retained:
                 shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
 
     def merge(self, spark: SparkSession, batch: DataFrame, deletes: DataFrame | None = None) -> None:

@@ -1277,3 +1277,21 @@ def test_streaming_sketch_merge_hll_and_countmin(spark, tmp_path, sf_dir):
         (r.sketch_row, r.pos): r.cnt for r in countmin_registers(toks, "token").collect()
     }
     assert {(r.sketch_row, r.pos): r.cnt for r in cms.read(spark).collect()} == whole_cms
+
+
+def test_keyed_table_time_travel(spark, tmp_path):
+    """keep_versions retains prior snapshots for time-travel reads;
+    default (1) preserves the old GC-everything behavior."""
+    t3 = KeyedTable(str(tmp_path / "tt"), keys=["k"], keep_versions=3)
+    for i in range(4):
+        t3.merge(spark, spark.createDataFrame([("a", i)], "k string, v long"))
+    assert {r.v for r in t3.read(spark).collect()} == {3}
+    assert {r.v for r in t3.read_version(spark, 1).collect()} == {2}
+    assert {r.v for r in t3.read_version(spark, 2).collect()} == {1}
+    assert t3.read_version(spark, 3) is None  # GC'd (keep_versions=3)
+    assert len(t3.history()) == 3
+
+    t1 = KeyedTable(str(tmp_path / "tt1"), keys=["k"])
+    t1.merge(spark, spark.createDataFrame([("a", 1)], "k string, v long"))
+    t1.merge(spark, spark.createDataFrame([("a", 2)], "k string, v long"))
+    assert len(t1.history()) == 1 and t1.read_version(spark, 1) is None

@@ -446,11 +446,14 @@ def main() -> None:
         for name in extras:
             if name not in CATALOG:
                 continue
-            spark.catalog.clearCache()
-            spark.sparkContext._jvm.System.gc()
-            time.sleep(1)
             reps = []
             for _ in range(2):
+                # clear INSIDE the rep loop: several extras cache
+                # intermediates internally, and a warm rep 2 would
+                # under-report their real cold cost
+                spark.catalog.clearCache()
+                spark.sparkContext._jvm.System.gc()
+                time.sleep(1)
                 t0 = time.perf_counter()
                 CATALOG[name].fn(spark, sf_dir).write.format("noop").mode(
                     "overwrite"

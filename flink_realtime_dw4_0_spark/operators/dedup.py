@@ -910,11 +910,13 @@ def char_ngrams(col: Column | str, n: int = 3) -> Column:
     key for fuzzy string matching (trigram indexing, the pg_trgm /
     Elasticsearch ngram approach)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(c) - n + 1, F.lit(0))),
-            lambda i: F.substring(c, i, n),
-        )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(c) - n + 1), lambda i: F.substring(c, i, n)
+    )
+    # guard like shingles_of: sequence(1, 0) DESCENDS in Spark, so a
+    # short string would emit bogus grams instead of none
+    return F.when(F.length(c) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
     )
 
 

@@ -185,11 +185,24 @@ def cumulate_rollup(
         .withColumn("__end", F.expr(f"timestampadd(SECOND, __j * {step_s}, __anchor)"))
         .drop("__j")
     )
-    filled = spine.join(
-        anchored.withColumnRenamed("__step_end", "__end"),
-        ["__anchor", "__end", *dims],
-        "left",
+    # null-SAFE join on dims (NULL is a legitimate group key out of
+    # windowed_agg); join-miss detection via an explicit presence marker,
+    # not a measure column (a step whose first aggregate is NULL is still
+    # a present step)
+    right = anchored.withColumnRenamed("__step_end", "__end").withColumn(
+        "__present", F.lit(1)
     )
+    right = right.select(
+        F.col("__anchor").alias("__r_anchor"),
+        F.col("__end").alias("__r_end"),
+        *[F.col(c).alias(f"__r_{c}") for c in dims],
+        *[F.col(c).alias(f"__m_{c}") for c in sum_cols],
+        "__present",
+    )
+    cond = (F.col("__anchor") == F.col("__r_anchor")) & (F.col("__end") == F.col("__r_end"))
+    for c in dims:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__r_{c}"))
+    filled = spine.join(right, cond, "left")
     from pyspark.sql.window import Window as W
 
     w = (
@@ -201,8 +214,10 @@ def cumulate_rollup(
         "__anchor",
         "__end",
         *dims,
-        *[F.sum(F.coalesce(F.col(c), F.lit(0))).over(w).alias(c) for c in sum_cols],
-        F.sum(F.when(F.col(sum_cols[0]).isNotNull(), 1).otherwise(0)).over(w).alias("__seen"),
+        # F.sum skips NULLs and yields NULL iff every input is NULL —
+        # matching the direct cumulate for all-NULL measure prefixes
+        *[F.sum(F.col(f"__m_{c}")).over(w).alias(c) for c in sum_cols],
+        F.sum(F.coalesce(F.col("__present"), F.lit(0))).over(w).alias("__seen"),
     )
     # drop cumulative windows whose prefix has no data yet (they have no
     # twin in windowed_agg_cumulate either)

@@ -57,12 +57,22 @@ class KeyedTable:
         return os.path.join(self.path, "HISTORY")
 
     def _history(self) -> list[str]:
-        """Version names, oldest first, that still exist on disk."""
+        """COMMITTED version names, oldest first, that still exist on
+        disk.  HISTORY is appended only after the CURRENT flip, so an
+        uncommitted (crash-orphaned) version dir never appears here; if a
+        crash lost the append for the committed CURRENT itself, it is
+        self-healed to the tail."""
         f = self._history_file()
-        if not os.path.exists(f):
-            return []
-        with open(f) as fh:
-            names = [ln.strip() for ln in fh if ln.strip()]
+        names: list[str] = []
+        if os.path.exists(f):
+            with open(f) as fh:
+                names = [ln.strip() for ln in fh if ln.strip()]
+        cur = None
+        if os.path.exists(self._current_file()):
+            with open(self._current_file()) as fh:
+                cur = fh.read().strip()
+        if cur and cur not in names:
+            names.append(cur)
         return [v for v in names if os.path.exists(os.path.join(self.path, v))]
 
     def _current_dir(self) -> str | None:
@@ -108,16 +118,34 @@ class KeyedTable:
         os.makedirs(self.path, exist_ok=True)
         v = f"v_{uuid.uuid4().hex[:12]}"
         df.write.mode("overwrite").parquet(os.path.join(self.path, v))
-        with open(self._history_file(), "a") as fh:
-            fh.write(v + "\n")
         tmp = f"{self._current_file()}.tmp_{v}"
         with open(tmp, "w") as fh:
             fh.write(v)
+        # commit order: flip CURRENT first, append HISTORY after — a crash
+        # in between leaves a committed version that _history self-heals,
+        # never a phantom uncommitted snapshot in the time-travel chain
         os.replace(tmp, self._current_file())
-        retained = set(self._history()[-self.keep_versions:]) | {v}
+        with open(self._history_file(), "a") as fh:
+            fh.write(v + "\n")
+        retained_list = self._history()[-self.keep_versions:]
+        retained = set(retained_list) | {v}
         for d in os.listdir(self.path):
             if d.startswith("v_") and d not in retained:
                 shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+        # compact HISTORY to the retained tail so per-merge metadata cost
+        # stays O(keep_versions), not O(total merges ever)
+        tmp_h = f"{self._history_file()}.tmp_{v}"
+        with open(tmp_h, "w") as fh:
+            fh.write("".join(n + "\n" for n in retained_list))
+        os.replace(tmp_h, self._history_file())
+
+    def replace(self, df: DataFrame) -> None:
+        """Full-snapshot overwrite for callers that have ALREADY computed
+        the complete next state (e.g. a register-sketch merge that read +
+        combined the previous snapshot itself) — skips merge()'s second
+        state read and its guaranteed-empty anti-join.  Same crash-safe
+        versioned commit as merge."""
+        self._overwrite(df)
 
     def merge(self, spark: SparkSession, batch: DataFrame, deletes: DataFrame | None = None) -> None:
         """MERGE: upsert `batch` rows by key (latest version wins within the

@@ -47,9 +47,12 @@ class StreamingSketchMerge:
         merged = (
             cand.groupBy(*self.key_cols)
             .agg(agg.alias(self.value_col))
-            .localCheckpoint()  # pin before merge() GCs prior state dirs
+            .localCheckpoint()  # pin before the commit GCs prior state dirs
         )
-        self.state.merge(spark, merged)
+        # merged IS the complete next state (it read + combined prev):
+        # replace() commits it directly, skipping merge()'s second state
+        # read and its guaranteed-empty anti-join
+        self.state.replace(merged)
 
     def read(self, spark: SparkSession) -> DataFrame | None:
         return self.state.read(spark)

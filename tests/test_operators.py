@@ -1158,3 +1158,50 @@ def test_chunk_documents_overlap_and_ragged_tail(spark):
 
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_char_ngrams_short_and_empty_strings(spark):
+    """Strings shorter than n emit NO grams (sequence(1,0) descends in
+    Spark — the shingles_of trap); empty strings never pair with each
+    other in the fuzzy join."""
+    from flink_realtime_dw4_0_spark.operators.dedup import char_ngrams
+
+    df = spark.createDataFrame([("ab",), ("",), ("abc",)], ["s"])
+    got = [r.g for r in df.select(char_ngrams("s", 3).alias("g")).collect()]
+    assert got == [[], [], ["abc"]]
+
+    empties = spark.createDataFrame([(1, ""), (2, ""), (3, "x")], ["id", "name"])
+    assert dedup.fuzzy_join_pairs(empties, "id", "name", max_gram_freq=None).count() == 0
+
+
+def test_cumulate_rollup_null_dims_and_null_measures(spark):
+    """NULL dim groups survive the spine join (null-safe equality) and
+    all-NULL measure prefixes report NULL, matching the direct
+    cumulate."""
+    from datetime import datetime
+
+    from flink_realtime_dw4_0_spark.operators.windows import (
+        cumulate_rollup,
+        windowed_agg,
+        windowed_agg_cumulate,
+    )
+
+    rows = [
+        (1, datetime(2024, 1, 1, 1, 0), None, None),       # NULL dim + NULL measure
+        (2, datetime(2024, 1, 1, 7, 0), None, 5.0),
+        (3, datetime(2024, 1, 1, 2, 0), "a", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp, d string, v double")
+    aggs = [F.count(F.lit(1)).alias("pv"), F.sum("v").alias("sv")]
+    steps = windowed_agg(df, "ts", "6 hours", ["d"], aggs)
+    rolled = {
+        (r.window_start, r.window_end, r.d): (r.pv, r.sv)
+        for r in cumulate_rollup(steps, "6 hours", "1 day", ["d"], ["pv", "sv"]).collect()
+    }
+    direct = {
+        (r.window_start, r.window_end, r.d): (r.pv, r.sv)
+        for r in windowed_agg_cumulate(df, "ts", "6 hours", "1 day", ["d"], aggs).collect()
+    }
+    assert rolled == direct
+    # the NULL-dim 06:00 window exists and its sum is NULL (all-NULL prefix)
+    assert direct[("2024-01-01 00:00:00", "2024-01-01 06:00:00", None)] == (1, None)

@@ -4345,3 +4345,29 @@ def text_bpe_pair_counts_q(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 5)
     )
+
+
+@q(
+    "multimodal_frame_sample",
+    """
+    WITH m AS (SELECT doc_id AS media_id,
+                      CASE WHEN doc_id % 3 = 2 THEN 'audio' ELSE 'image' END AS media_type,
+                      CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 1000 ELSE 1 END AS n_frames
+               FROM documents)
+    SELECT media_id, media_type,
+           CAST(unnest(range(0, n_frames, 5)) AS BIGINT) AS frame_idx
+    FROM m
+    """,
+    tags=("multimodal",),
+)
+def mm_frame_sample(spark, sf_dir):
+    """Frame sampling (every 5th frame) over real synthetic containers —
+    the Arrow mapInPandas explode-with-parent stage, value-checked: the
+    oracle predicts the sampled frame grid arithmetically from the same
+    id-derived frame counts the WAV headers encode (audio rows carry the
+    sample-frame count; images are single-frame)."""
+    docs = t(spark, sf_dir, "documents")
+    media = multimodal.synthetic_media(docs, "doc_id")
+    return multimodal.frame_sample(media, every_n=5).select(
+        "media_id", "media_type", F.col("frame_idx").cast("long").alias("frame_idx")
+    )

@@ -4371,3 +4371,99 @@ def mm_frame_sample(spark, sf_dir):
     return multimodal.frame_sample(media, every_n=5).select(
         "media_id", "media_type", F.col("frame_idx").cast("long").alias("frame_idx")
     )
+
+
+@q(
+    "path_analysis_sessions",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT user_id, event_type, ts, event_id,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM g),
+    p AS (SELECT user_id, sid,
+                 array_to_string(list(event_type ORDER BY ts, event_id)[1:5], '>') AS path
+          FROM s GROUP BY user_id, sid)
+    SELECT path, count(*) AS n_sessions
+    FROM p GROUP BY path HAVING count(*) >= 3
+    """,
+    tags=("session", "path", "ordered-agg"),
+)
+def path_analysis_q(spark, sf_dir):
+    """User-journey path analysis: per 30-min session, the ordered
+    sequence of the first 5 event types, counted across sessions — the
+    ordered-aggregation family (collect-sort-slice) the funnel/retention
+    queries don't cover.  Determinism: collect_list order is fixed by
+    sorting on (ts, event_id) structs before projection; sessions ride
+    the native session_window (equivalence with gaps-and-islands proven
+    by w_session_window)."""
+    ev = t(spark, sf_dir, "events")
+    sw = ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id").agg(
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))).alias("evs")
+    )
+    path = F.array_join(
+        F.slice(F.transform("evs", lambda s: s["event_type"]), 1, 5), ">"
+    )
+    return (
+        sw.select(path.alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .filter(F.col("n_sessions") >= 3)
+    )
+
+
+@q(
+    "dq_orders_expectations",
+    """
+    SELECT 'not_null_o_orderkey' AS check_name,
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'accepted_values_o_orderstatus',
+           CAST(sum(CASE WHEN o_orderstatus IS NULL
+                         OR o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'range_o_totalprice',
+           CAST(sum(CASE WHEN o_totalprice IS NULL
+                         OR o_totalprice < 0 OR o_totalprice > 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'unique_o_orderkey',
+           CAST(coalesce((SELECT sum(n - 1) FROM
+                 (SELECT count(*) AS n FROM orders GROUP BY o_orderkey HAVING count(*) > 1)), 0) AS BIGINT)
+    UNION ALL
+    SELECT 'fk_o_custkey',
+           CAST((SELECT count(*) FROM orders o
+                 WHERE o.o_custkey IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    """,
+    tags=("quality", "expectations"),
+)
+def dq_orders_q(spark, sf_dir):
+    """Data-quality expectation suite over orders (not-null, accepted
+    values, range, key uniqueness, referential integrity vs customer) —
+    the dbt-test / Great-Expectations layer as Spark aggregations: all
+    row checks in ONE pass, uniqueness one groupBy, FK one broadcast
+    anti-join.  `passed` derived from counts on both engines."""
+    from ..operators import quality as dq
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    out = dq.run_expectations(
+        o,
+        [
+            dq.expect_not_null("o_orderkey"),
+            dq.expect_in("o_orderstatus", ["O", "F", "P"]),
+            dq.expect_between("o_totalprice", 0, 1_000_000),
+            dq.expect_unique(["o_orderkey"]),
+            dq.expect_fk("o_custkey", c, "c_custkey"),
+        ],
+    )
+    return out.drop("passed")

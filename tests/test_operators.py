@@ -1205,3 +1205,43 @@ def test_cumulate_rollup_null_dims_and_null_measures(spark):
     assert rolled == direct
     # the NULL-dim 06:00 window exists and its sum is NULL (all-NULL prefix)
     assert direct[("2024-01-01 00:00:00", "2024-01-01 06:00:00", None)] == (1, None)
+
+
+def test_expectations_planted_violations(spark):
+    """Each expectation kind counts exactly its planted violations:
+    nulls, out-of-domain, out-of-range, duplicate keys (n-1 extras),
+    and FK orphans (null FKs are not orphans)."""
+    from flink_realtime_dw4_0_spark.operators import quality as dq
+
+    rows = [
+        (1, "O", 10.0, 100),
+        (1, "F", 20.0, 101),      # duplicate key 1
+        (2, "X", -5.0, None),     # bad status, bad range, null FK (not orphan)
+        (None, "O", 30.0, 999),   # null key, FK orphan
+    ]
+    df = spark.createDataFrame(rows, "k int, st string, v double, fk int")
+    ref = spark.createDataFrame([(100,), (101,)], ["rk"])
+    out = {
+        r.check_name: (r.n_violations, r.passed)
+        for r in dq.run_expectations(
+            df,
+            [
+                dq.expect_not_null("k"),
+                dq.expect_in("st", ["O", "F"]),
+                dq.expect_between("v", 0, 100),
+                dq.expect_unique(["k"]),
+                dq.expect_fk("fk", ref, "rk"),
+            ],
+        ).collect()
+    }
+    assert out == {
+        "not_null_k": (1, 0),
+        "accepted_values_st": (1, 0),
+        "range_v": (1, 0),
+        "unique_k": (1, 0),
+        "fk_fk": (1, 0),
+    }
+
+    clean = spark.createDataFrame([(1, "O", 1.0, 100)], "k int, st string, v double, fk int")
+    res = dq.run_expectations(clean, [dq.expect_not_null("k"), dq.expect_unique(["k"])])
+    assert all(r.passed == 1 and r.n_violations == 0 for r in res.collect())

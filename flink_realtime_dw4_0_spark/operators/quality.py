@@ -65,7 +65,6 @@ def run_expectations(df: DataFrame, checks: list[Expectation]) -> DataFrame:
     aggregation pass; each unique check is one groupBy; each fk check is
     one broadcast anti-join count.  Returns
     (check_name, n_violations, passed) for every check."""
-    spark = df.sparkSession
     results: list[DataFrame] = []
     row_checks = [c for c in checks if c.kind == "row"]
     if row_checks:
@@ -117,3 +116,27 @@ def run_expectations(df: DataFrame, checks: list[Expectation]) -> DataFrame:
         F.coalesce("n_violations", F.lit(0)).alias("n_violations"),
         (F.coalesce("n_violations", F.lit(0)) == 0).cast("int").alias("passed"),
     )
+
+
+def publish_if(
+    table,
+    df: DataFrame,
+    checks: list[Expectation],
+) -> tuple[bool, DataFrame]:
+    """Write-audit-publish: evaluate the expectation suite on the
+    CANDIDATE snapshot and commit it to the KeyedTable only if every
+    check passes — the WAP pattern (audit a staged write, atomically
+    publish or abandon).  The staged DataFrame is pinned with
+    localCheckpoint so the audit and the publish see identical data even
+    if its lineage reads the table's previous version.  Returns
+    (published, report); on failure the table is untouched and the
+    report carries the violation counts.  Combined with
+    `keep_versions`, a bad publish that DOES slip through is one
+    `read_version(1)` rollback away.
+    """
+    staged = df.localCheckpoint()
+    report = run_expectations(staged, checks).cache()
+    ok = report.filter(F.col("passed") == 0).count() == 0
+    if ok:
+        table.replace(staged)
+    return ok, report

@@ -1295,3 +1295,32 @@ def test_keyed_table_time_travel(spark, tmp_path):
     t1.merge(spark, spark.createDataFrame([("a", 1)], "k string, v long"))
     t1.merge(spark, spark.createDataFrame([("a", 2)], "k string, v long"))
     assert len(t1.history()) == 1 and t1.read_version(spark, 1) is None
+
+
+def test_write_audit_publish_gate(spark, tmp_path):
+    """WAP: a candidate snapshot failing any expectation is NOT
+    published (table keeps its prior version); a clean candidate
+    publishes atomically; the prior version stays reachable for
+    rollback via time travel."""
+    from flink_realtime_dw4_0_spark.operators import quality as dq
+
+    table = KeyedTable(str(tmp_path / "wap"), keys=["k"], keep_versions=2)
+    table.replace(spark.createDataFrame([(1, "O")], "k int, st string"))
+
+    bad = spark.createDataFrame([(2, "X"), (None, "O")], "k int, st string")
+    ok, report = dq.publish_if(
+        table, bad, [dq.expect_not_null("k"), dq.expect_in("st", ["O", "F"])]
+    )
+    assert not ok
+    assert {r.check_name for r in report.filter("passed = 0").collect()} == {
+        "not_null_k", "accepted_values_st",
+    }
+    assert [r.k for r in table.read(spark).collect()] == [1]  # untouched
+
+    good = spark.createDataFrame([(2, "F"), (3, "O")], "k int, st string")
+    ok2, _ = dq.publish_if(
+        table, good, [dq.expect_not_null("k"), dq.expect_in("st", ["O", "F"])]
+    )
+    assert ok2
+    assert sorted(r.k for r in table.read(spark).collect()) == [2, 3]
+    assert [r.k for r in table.read_version(spark, 1).collect()] == [1]  # rollback point

@@ -4467,3 +4467,91 @@ def dq_orders_q(spark, sf_dir):
         ],
     )
     return out.drop("passed")
+
+
+@q(
+    "cep_match_sequence",
+    """
+    WITH a0 AS (
+      SELECT user_id, view_ts FROM (
+        SELECT user_id, view_ts,
+               row_number() OVER (PARTITION BY user_id ORDER BY view_ts) AS rn
+        FROM (SELECT DISTINCT user_id, ts AS view_ts
+              FROM events WHERE event_type = 'view'))
+      WHERE rn <= 5),
+    s1 AS (
+      SELECT a.user_id, a.view_ts, min(e.ts) AS click_ts
+      FROM a0 a JOIN events e ON e.user_id = a.user_id
+      WHERE e.event_type = 'click' AND e.ts > a.view_ts
+      GROUP BY a.user_id, a.view_ts),
+    s2 AS (
+      SELECT s.user_id, s.view_ts, s.click_ts, min(e.ts) AS purchase_ts
+      FROM s1 s JOIN events e ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s.click_ts
+      GROUP BY s.user_id, s.view_ts, s.click_ts),
+    m AS (
+      SELECT user_id, view_ts, click_ts, purchase_ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY view_ts) AS rn
+      FROM s2 WHERE purchase_ts <= view_ts + INTERVAL 3 DAY)
+    SELECT user_id, epoch_us(view_ts) AS view_us, epoch_us(click_ts) AS click_us,
+           epoch_us(purchase_ts) AS purchase_us
+    FROM m WHERE rn = 1
+    """,
+    tags=("cep", "pattern", "sequence"),
+)
+def cep_match_q(spark, sf_dir):
+    """Flink-CEP-style pattern match (Pattern.begin('view')
+    .followedBy('click').followedBy('purchase').within(3 days)) as keyed
+    joins + min-aggregations — see operators/cep.py for the exact
+    earliest-anchor greedy semantics the oracle replays.  Anchors capped
+    at 5 per key (hot-key bound); the winning chain's bound timestamps
+    are emitted as epoch micros (integer-exact)."""
+    from ..operators import cep
+
+    ev = t(spark, sf_dir, "events")
+    m = cep.match_sequence(
+        ev,
+        [
+            ("view", F.col("event_type") == "view"),
+            ("click", F.col("event_type") == "click"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
+        within="3 DAY",
+        max_anchors_per_key=5,
+    )
+    return m.select(
+        "user_id",
+        F.unix_micros("view_ts").alias("view_us"),
+        F.unix_micros("click_ts").alias("click_us"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+    )
+
+
+@q(
+    "markov_event_transitions",
+    """
+    WITH o AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_state
+      FROM events),
+    c AS (
+      SELECT prev_state, event_type AS next_state, count(*) AS n_transitions
+      FROM o WHERE prev_state IS NOT NULL
+      GROUP BY prev_state, event_type)
+    SELECT prev_state, next_state, n_transitions,
+           round(n_transitions / sum(n_transitions)
+                 OVER (PARTITION BY prev_state), 6) AS p_transition
+    FROM c
+    """,
+    tags=("cep", "markov", "analytics"),
+)
+def markov_q(spark, sf_dir):
+    """First-order Markov transition matrix of per-user event flows
+    (operators/cep.py:transition_matrix): one keyed lag pass + one
+    grouped count; normalization is a window over the |states|² result,
+    never the event stream."""
+    from ..operators import cep
+
+    ev = t(spark, sf_dir, "events")
+    return cep.transition_matrix(ev)

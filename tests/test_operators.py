@@ -1245,3 +1245,80 @@ def test_expectations_planted_violations(spark):
     clean = spark.createDataFrame([(1, "O", 1.0, 100)], "k int, st string, v double, fk int")
     res = dq.run_expectations(clean, [dq.expect_not_null("k"), dq.expect_unique(["k"])])
     assert all(r.passed == 1 and r.n_violations == 0 for r in res.collect())
+
+
+def test_cep_match_sequence_semantics(spark):
+    from datetime import datetime as dt
+
+    from flink_realtime_dw4_0_spark.operators import cep
+
+    T = lambda s: dt(2024, 1, 1, 0, 0, s)
+    rows = [
+        # key 1: greedy chain from first anchor overruns `within`, but a
+        # later anchor completes inside it — later-anchor recovery.
+        (1, T(0), "A"), (1, T(1), "B"), (1, T(50), "A"),
+        (1, T(51), "B"), (1, T(52), "C"),
+        # key 2: clean in-window chain, extra noise events skipped
+        # (relaxed contiguity).
+        (2, T(0), "A"), (2, T(1), "X"), (2, T(2), "B"), (2, T(3), "C"),
+        # key 3: out of order pattern -> no match.
+        (3, T(0), "C"), (3, T(1), "B"), (3, T(2), "A"),
+        # key 4: chain exists but exceeds `within` from every anchor.
+        (4, T(0), "A"), (4, T(30), "B"), (4, T(59), "C"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id int, ts timestamp, event_type string")
+    out = cep.match_sequence(
+        ev,
+        [("a", F.col("event_type") == "A"),
+         ("b", F.col("event_type") == "B"),
+         ("c", F.col("event_type") == "C")],
+        within="10 SECOND",
+    )
+    got = {r.user_id: (r.a_ts.second, r.b_ts.second, r.c_ts.second)
+           for r in out.collect()}
+    assert got == {1: (50, 51, 52), 2: (0, 2, 3)}
+
+
+def test_cep_anchor_cap_bounds_hot_key(spark):
+    from datetime import datetime as dt
+
+    from flink_realtime_dw4_0_spark.operators import cep
+
+    # 50 anchors but only the very last A is followed by B; with the cap
+    # at 5 earliest anchors the match is (correctly, per the documented
+    # bound) missed; uncapped it is found.
+    rows = [(1, dt(2024, 1, 1, 0, 0, s), "A") for s in range(50)]
+    rows += [(1, dt(2024, 1, 1, 0, 1, 0), "B")]
+    ev = spark.createDataFrame(rows, "user_id int, ts timestamp, event_type string")
+    steps = [("a", F.col("event_type") == "A"), ("b", F.col("event_type") == "B")]
+    assert cep.match_sequence(ev, steps).count() == 1
+    capped = cep.match_sequence(ev, steps, max_anchors_per_key=5)
+    # earliest anchor still wins and B at minute 1 is after ALL anchors,
+    # so the capped match binds anchor #1
+    r = capped.collect()[0]
+    assert r.a_ts.second == 0 and r.b_ts.minute == 1
+
+
+def test_transition_matrix_probabilities(spark):
+    from datetime import datetime as dt
+
+    from flink_realtime_dw4_0_spark.operators import cep
+
+    rows = [
+        (1, dt(2024, 1, 1, 0, 0, 0), 0, "A"),
+        (1, dt(2024, 1, 1, 0, 0, 1), 1, "B"),
+        (1, dt(2024, 1, 1, 0, 0, 2), 2, "A"),
+        (1, dt(2024, 1, 1, 0, 0, 3), 3, "C"),
+        (2, dt(2024, 1, 1, 0, 0, 0), 4, "A"),
+        (2, dt(2024, 1, 1, 0, 0, 1), 5, "B"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_id long, event_type string"
+    )
+    got = {(r.prev_state, r.next_state): (r.n_transitions, r.p_transition)
+           for r in cep.transition_matrix(ev).collect()}
+    assert got == {
+        ("A", "B"): (2, round(2 / 3, 6)),
+        ("A", "C"): (1, round(1 / 3, 6)),
+        ("B", "A"): (1, 1.0),
+    }

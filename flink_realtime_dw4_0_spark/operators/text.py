@@ -494,3 +494,124 @@ def shingle_novelty(
         )
         .withColumn("novelty_ratio", F.round(F.col("n_novel") / F.col("n_shingles"), 4))
     )
+
+
+# --- LM-based quality filtering / data selection -------------------------
+
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style LM quality score: per-document cross-entropy under the
+    corpus's own unigram language model (add-1 smoothed).
+
+    CCNet (Wenzek et al. 2020) ranks CommonCrawl documents by the
+    perplexity of a KenLM model — low-perplexity ≈ fluent, in-domain;
+    high ≈ boilerplate/garbage — and keeps the best tercile.  The
+    distributed shape: one corpus term-frequency aggregation (token-keyed,
+    map-combinable), one per-doc term-frequency aggregation, then a
+    token-keyed shuffle join between them — the vocabulary is never
+    broadcast or collected, so an open-vocabulary 100 TB corpus streams
+    through three shuffles total.  Blank documents (no tokens) drop out.
+
+    Returns (id_col, n_tokens, xent) with xent = -(1/n)·Σ tf·log2 p̂(tok)
+    rounded to 4 decimals (p̂ = (cnt+1)/(total+|V|)).
+    """
+    from .split import explode_computed
+
+    tk = explode_computed(
+        df.select(id_col, text_col), [id_col], tokenize(text_col), "token"
+    ).filter(F.col("token") != "")
+    corpus = tk.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = corpus.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("v")
+    )
+    doc_tf = tk.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    joined = doc_tf.join(corpus, "token").crossJoin(F.broadcast(totals))
+    ll = F.sum(
+        F.col("tf")
+        * F.log2((F.col("cnt") + 1) / (F.col("total") + F.col("v")))
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(F.sum("tf").alias("n_tokens"), ll.alias("__ll"))
+        .select(
+            id_col,
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(-F.col("__ll") / F.col("n_tokens"), 4).alias("xent"),
+        )
+    )
+
+
+def _hashed_ngram_features(
+    df: DataFrame, id_col: str, text_col: str, m: int
+) -> DataFrame:
+    """(id, bucket) rows: whitespace unigrams + adjacent bigrams hashed
+    into ``m`` md5 buckets (DSIR's feature space).  One row per feature
+    OCCURRENCE — repeated features weigh repeatedly, per the paper."""
+    from .split import explode_computed
+
+    toks = tokenize(text_col)
+    # adjacent bigrams; guard short docs (sequence(1, 0) is DESCENDING in
+    # Spark, so it must never be emitted)
+    grams = F.when(F.size(toks) >= 2,
+        F.concat(
+            toks,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+            ),
+        ),
+    ).otherwise(toks)
+    feats = explode_computed(
+        df.select(id_col, text_col), [id_col], grams, "feat"
+    ).filter(F.col("feat") != "")
+    bucket = F.conv(F.substring(F.md5("feat"), 1, 6), 16, 10).cast("long") % m
+    return feats.select(id_col, bucket.alias("bucket"))
+
+
+def dsir_logweights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m: int = 4096,
+) -> DataFrame:
+    """DSIR (Xie et al. 2023, arXiv:2302.03169) importance log-weights
+    for data selection: score every raw document by how much more likely
+    its hashed-n-gram features are under the TARGET distribution than
+    under the RAW distribution; resampling raw data ∝ exp(weight) shifts
+    the corpus toward the target domain.
+
+    log w(doc) = Σ_f∈doc [log p̂_target(f) − log p̂_raw(f)], add-1
+    smoothed over the m hash buckets.  Scale shape: both distributions
+    are m-row tables (m = 4096 default), so the per-doc scoring join is a
+    BROADCAST of 2·m log-ratios against the exploded feature stream —
+    the only corpus-sized exchanges are the two bucket-count
+    aggregations, both map-combinable.
+    """
+    raw_f = _hashed_ngram_features(raw, id_col, text_col, m)
+    tgt_f = _hashed_ngram_features(target, id_col, text_col, m)
+    raw_c = raw_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("r_cnt"))
+    tgt_c = tgt_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("t_cnt"))
+    rt = raw_c.agg(F.sum("r_cnt").alias("r_total"))
+    tt = tgt_c.agg(F.sum("t_cnt").alias("t_total"))
+    ratios = (
+        raw_c.join(tgt_c, "bucket", "full")
+        .crossJoin(F.broadcast(rt))
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "bucket",
+            (
+                F.log((F.coalesce("t_cnt", F.lit(0)) + 1) / (F.col("t_total") + m))
+                - F.log((F.coalesce("r_cnt", F.lit(0)) + 1) / (F.col("r_total") + m))
+            ).alias("log_ratio"),
+        )
+    )
+    return (
+        raw_f.join(F.broadcast(ratios), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_features"),
+            F.round(F.sum("log_ratio"), 4).alias("log_weight"),
+        )
+    )

@@ -4555,3 +4555,73 @@ def markov_q(spark, sf_dir):
 
     ev = t(spark, sf_dir, "events")
     return cep.transition_matrix(ev)
+
+
+@q(
+    "text_unigram_xent",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, token FROM (
+        SELECT doc_id, unnest({_DK_TOKS}) AS token FROM documents)
+      WHERE token <> ''),
+    cf AS (SELECT token, count(*) AS cnt FROM tk GROUP BY token),
+    tot AS (SELECT sum(cnt) AS total, count(*) AS v FROM cf),
+    dtf AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY doc_id, token)
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+           round(-sum(tf * log2((cnt + 1.0) / (total + v))) / sum(tf), 4) AS xent
+    FROM dtf JOIN cf USING (token) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    tags=("text", "lm-filter", "quality"),
+)
+def text_unigram_xent_q(spark, sf_dir):
+    """CCNet-style LM quality score (text.unigram_logprob): per-doc
+    cross-entropy under the corpus's own add-1-smoothed unigram LM —
+    the perplexity-filter tier of a pre-training curation pipeline.
+    Vocabulary never leaves the executors (token-keyed shuffle join,
+    not a broadcast)."""
+    docs = t(spark, sf_dir, "documents")
+    return text.unigram_logprob(docs)
+
+
+@q(
+    "text_dsir_logweights",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_DK_TOKS} AS tk FROM documents),
+    uni AS (SELECT doc_id, source, unnest(tk) AS feat FROM toks),
+    bi AS (
+      SELECT doc_id, source, tk[i] || ' ' || tk[i + 1] AS feat
+      FROM toks, unnest(generate_series(1, len(tk) - 1)) AS g(i)
+      WHERE len(tk) >= 2),
+    feats AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(feat), 1, 6))::BIGINT % 4096 AS bucket
+      FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+      WHERE feat <> ''),
+    rc AS (SELECT bucket, count(*) AS r_cnt FROM feats GROUP BY bucket),
+    tc AS (SELECT bucket, count(*) AS t_cnt FROM feats
+           WHERE source = 'src13' GROUP BY bucket),
+    rt AS (SELECT sum(r_cnt) AS r_total FROM rc),
+    tt AS (SELECT sum(t_cnt) AS t_total FROM tc),
+    ratios AS (
+      SELECT rc.bucket,
+             ln((coalesce(t_cnt, 0) + 1.0) / (t_total + 4096))
+             - ln((r_cnt + 1.0) / (r_total + 4096)) AS log_ratio
+      FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN rt CROSS JOIN tt)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
+           round(sum(log_ratio), 4) AS log_weight
+    FROM feats JOIN ratios USING (bucket)
+    GROUP BY doc_id
+    """,
+    tags=("text", "data-selection", "dsir"),
+)
+def text_dsir_q(spark, sf_dir):
+    """DSIR importance log-weights (text.dsir_logweights, arXiv:2302.03169):
+    hashed unigram+bigram features, target = the 'src13' slice of the
+    corpus, raw = everything.  Both feature distributions collapse to
+    4096-bucket tables, so scoring is a broadcast join against the
+    exploded feature stream — corpus-sized data crosses the wire only in
+    the two map-combinable bucket counts."""
+    docs = t(spark, sf_dir, "documents")
+    return text.dsir_logweights(docs, docs.filter(F.col("source") == "src13"))

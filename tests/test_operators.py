@@ -1322,3 +1322,44 @@ def test_transition_matrix_probabilities(spark):
         ("A", "C"): (1, round(1 / 3, 6)),
         ("B", "A"): (1, 1.0),
     }
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_tokens, r.xent)
+           for r in text.unigram_logprob(docs).collect()}
+    # corpus: a=2 b=2 c=1, total=5, V=3; p(tok)=(cnt+1)/8
+    xent1 = -(2 * math.log2(3 / 8) + 1 * math.log2(3 / 8)) / 3
+    xent2 = -(math.log2(3 / 8) + math.log2(2 / 8)) / 2
+    assert 3 not in out  # blank doc drops out
+    assert out[1] == (3, round(xent1, 4))
+    assert out[2] == (2, round(xent2, 4))
+
+
+def test_dsir_logweights_shift_toward_target(spark):
+    # target distribution is pure "spark sql" docs; a raw doc matching the
+    # target must out-weigh one that shares nothing with it.
+    raw = spark.createDataFrame(
+        [(1, "spark sql engine"), (2, "cats purr loudly"), (3, "spark sql")],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(10, "spark sql"), (11, "spark sql engine")], "doc_id long, text string"
+    )
+    out = {r.doc_id: (r.n_features, r.log_weight)
+           for r in text.dsir_logweights(raw, target).collect()}
+    # features = unigrams + adjacent bigrams
+    assert out[1][0] == 5 and out[2][0] == 5 and out[3][0] == 3
+    assert out[1][1] > out[2][1]
+    assert out[3][1] > out[2][1]
+
+
+def test_dsir_single_token_doc_has_no_bigrams(spark):
+    raw = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
+    out = text.dsir_logweights(raw, raw).collect()
+    assert out[0].n_features == 1

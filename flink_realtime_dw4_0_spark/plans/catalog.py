@@ -4625,3 +4625,86 @@ def text_dsir_q(spark, sf_dir):
     the two map-combinable bucket counts."""
     docs = t(spark, sf_dir, "documents")
     return text.dsir_logweights(docs, docs.filter(F.col("source") == "src13"))
+
+
+def _morton_sql(cols: list[str], bits: int) -> str:
+    k = len(cols)
+    terms = [
+        f"((({c} >> {i}) & 1) << {i * k + j})"
+        for i in range(bits)
+        for j, c in enumerate(cols)
+    ]
+    return " | ".join(terms)
+
+
+@q(
+    "layout_zorder_keys",
+    f"""
+    SELECT o_orderkey, {_morton_sql(['o_custkey', 'o_orderkey'], 16)} AS z
+    FROM orders
+    """,
+    tags=("layout", "zorder", "data-skipping"),
+)
+def layout_zorder_q(spark, sf_dir):
+    """Z-order (Morton) clustering key over (o_custkey, o_orderkey) —
+    the bit-interleave behind OPTIMIZE ZORDER BY, as a pure shift/mask
+    Column expression (operators/layout.py:morton_key).  The write path
+    (layout.write_zordered: range-repartition on this key + in-partition
+    sort) is exercised with a row-group-stats pruning test in
+    tests/test_plans.py."""
+    from ..operators import layout
+
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey", layout.morton_key(["o_custkey", "o_orderkey"]).alias("z")
+    )
+
+
+@q(
+    "graph_pagerank_suppliers",
+    """
+    WITH e AS (
+      SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+    r0 AS (SELECT node, 1.0 / n AS rank FROM nodes CROSS JOIN nn),
+    c1 AS (SELECT e.dst AS node, sum(r.rank / d.outdeg) AS mass
+           FROM e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+           GROUP BY e.dst),
+    r1 AS (SELECT nodes.node, 0.15 / n + 0.85 * coalesce(mass, 0) AS rank
+           FROM nodes CROSS JOIN nn LEFT JOIN c1 ON nodes.node = c1.node),
+    c2 AS (SELECT e.dst AS node, sum(r.rank / d.outdeg) AS mass
+           FROM e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+           GROUP BY e.dst),
+    r2 AS (SELECT nodes.node, 0.15 / n + 0.85 * coalesce(mass, 0) AS rank
+           FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.node = c2.node),
+    c3 AS (SELECT e.dst AS node, sum(r.rank / d.outdeg) AS mass
+           FROM e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+           GROUP BY e.dst),
+    r3 AS (SELECT nodes.node, 0.15 / n + 0.85 * coalesce(mass, 0) AS rank
+           FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.node = c3.node)
+    SELECT node, round(rank, 9) AS pagerank FROM r3
+    """,
+    tags=("graph", "pagerank", "iterative"),
+)
+def graph_pagerank_q(spark, sf_dir):
+    """PageRank (3 power iterations, d = 0.85) over the customer→supplier
+    purchase graph (operators/graph.py) — link-graph importance as a
+    curation prior.  The oracle replays the exact simplified-PageRank
+    recurrence (no dangling redistribution) as chained CTEs; ranks are
+    rounded at the end only."""
+    from ..operators import graph
+
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+    )
+    pr = graph.pagerank(edges, iters=3, damping=0.85)
+    return pr.select("node", F.round("pagerank", 9).alias("pagerank"))

@@ -1363,3 +1363,41 @@ def test_dsir_single_token_doc_has_no_bigrams(spark):
     raw = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
     out = text.dsir_logweights(raw, raw).collect()
     assert out[0].n_features == 1
+
+
+def test_morton_key_reference_values(spark):
+    from flink_realtime_dw4_0_spark.operators import layout
+
+    def ref(x, y, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    rows = [(5, 3), (0, 0), (65535, 1), (1234, 4321)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = [r.z for r in df.select(layout.morton_key(["x", "y"]).alias("z")).collect()]
+    assert got == [ref(x, y) for x, y in rows]
+
+
+def test_pagerank_star_graph(spark):
+    from flink_realtime_dw4_0_spark.operators import graph
+
+    e = spark.createDataFrame([("a", "c"), ("b", "c")], "src string, dst string")
+    got = {r.node: r.pagerank for r in graph.pagerank(e, iters=1).collect()}
+    # N=3, r0=1/3; a,b have no in-links: 0.15/3; c: 0.15/3 + 0.85*(2/3)
+    assert abs(got["a"] - 0.05) < 1e-12 and abs(got["b"] - 0.05) < 1e-12
+    assert abs(got["c"] - (0.05 + 0.85 * 2 / 3)) < 1e-12
+    # mass only leaks (c is a sink): sum <= 1
+    assert sum(got.values()) <= 1 + 1e-12
+
+
+def test_pagerank_more_inlinks_more_rank(spark):
+    from flink_realtime_dw4_0_spark.operators import graph
+
+    edges = [("u%d" % i, "hub") for i in range(10)] + [("u0", "minor")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.pagerank for r in graph.pagerank(e, iters=3).collect()}
+    assert got["hub"] > got["minor"] > 0
+    assert len(got) == 12

@@ -284,3 +284,36 @@ def test_changelog_aggregate_partial_maxby(spark, sf_dir):
     # map-side combine proof: a partial max_by BELOW the user_id exchange
     assert "partial_max_by" in plan
     assert plan.index("partial_max_by") > plan.index("Exchange hashpartitioning(user_id")
+
+
+def test_zorder_layout_rowgroup_skipping(spark, tmp_path):
+    """Z-order clustering must make single-dimension predicates skip
+    row groups that a differently-sorted layout cannot: same filtered
+    result, but the z-ordered scan materializes a fraction of the rows
+    (parquet min/max stats exclude whole files/row groups)."""
+    from flink_realtime_dw4_0_spark.operators import layout
+
+    base = spark.range(20000).select(
+        (F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 6), 16, 10)
+         .cast("long") % 1024).alias("x"),
+        (F.conv(F.substring(F.md5(F.concat(F.lit("y"), F.col("id").cast("string"))), 1, 6), 16, 10)
+         .cast("long") % 1024).alias("y"),
+        F.col("id").alias("v"),
+    )
+    zp, sp = str(tmp_path / "z"), str(tmp_path / "s")
+    layout.write_zordered(base, zp, ["x", "y"], bits=10, n_files=16)
+    base.repartitionByRange(16, "v").sortWithinPartitions("v") \
+        .write.mode("overwrite").parquet(sp)
+
+    def scan(path):
+        df = spark.read.parquet(path).filter(F.col("x") < 128)
+        df.collect()
+        leaf = df._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+        return df.count(), leaf.metrics().apply("numOutputRows").value()
+
+    n_z, read_z = scan(zp)
+    n_s, read_s = scan(sp)
+    assert n_z == n_s > 0                      # same answer
+    assert read_s == 20000                     # unclustered reads everything
+    # 16 files = 2 z-prefix bits per dim -> x<128 lives in ~1/4 of the files
+    assert read_z <= 0.45 * read_s

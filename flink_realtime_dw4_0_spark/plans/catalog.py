@@ -4708,3 +4708,41 @@ def graph_pagerank_q(spark, sf_dir):
     )
     pr = graph.pagerank(edges, iters=3, damping=0.85)
     return pr.select("node", F.round("pagerank", 9).alias("pagerank"))
+
+
+@q(
+    "late_event_flags",
+    """
+    WITH e AS (
+      SELECT event_id, ts, user_id % 8 AS part,
+             md5(CAST(event_id AS VARCHAR)) AS arrival
+      FROM events)
+    SELECT event_id,
+           CASE WHEN ts < max(ts) OVER (PARTITION BY part ORDER BY arrival
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     - INTERVAL 7 DAY
+                THEN 1 ELSE 0 END AS is_late
+    FROM e
+    """,
+    tags=("streaming-twin", "watermark", "late-data"),
+)
+def late_event_flags_q(spark, sf_dir):
+    """Batch twin of the late-data side output
+    (streaming/sideoutput.py:late_flags_batch — Flink's
+    sideOutputLateData): replay the stream with an md5-shuffled arrival
+    order (simulated out-of-order delivery across 8 source partitions)
+    and flag each row against its partition's running-max watermark at
+    arrival, 7-day out-of-orderness bound.  Per-partition keyed window —
+    no global sort.  The cross-batch stateful router itself is golden-
+    tested in tests/test_streaming.py."""
+    from ..streaming.sideoutput import late_flags_batch
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        (F.col("user_id") % 8).alias("part"),
+        F.md5(F.col("event_id").cast("string")).alias("arrival"),
+    )
+    return late_flags_batch(
+        ev, delay="7 DAY", partition_col="part", order_col="arrival"
+    ).select("event_id", "is_late")

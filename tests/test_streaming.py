@@ -1324,3 +1324,84 @@ def test_write_audit_publish_gate(spark, tmp_path):
     assert ok2
     assert sorted(r.k for r in table.read(spark).collect()) == [2, 3]
     assert [r.k for r in table.read_version(spark, 1).collect()] == [1]  # rollback point
+
+
+def test_late_router_side_output(spark, tmp_path):
+    """Flink allowedLateness/sideOutputLateData parity: rows below the
+    PRE-batch watermark (min across partition maxima, minus delay) go to
+    the late side output; the watermark never moves mid-batch; an idle
+    partition holds the watermark back; replaying a batch routes
+    identically (pure function of pre-batch state)."""
+    from datetime import datetime as dt
+
+    from flink_realtime_dw4_0_spark.streaming.sideoutput import LateRouter
+
+    router = LateRouter(
+        str(tmp_path / "wm"), delay="5 seconds", partition_col="part"
+    )
+    T = lambda m, s: dt(2024, 1, 1, 0, m, s)
+
+    # batch 1: no prior watermark -> nothing can be late
+    b1 = spark.createDataFrame(
+        [(0, T(1, 0), 1), (1, T(0, 0), 2)], "part int, ts timestamp, event_id int"
+    )
+    on1, late1 = router.process_batch(b1, spark)
+    assert on1.count() == 2 and late1.count() == 0
+
+    # watermark now = min(01:00, 00:00) - 5s = 23:59:55 of minute -1...
+    # i.e. min partition max 00:00 minus 5s. A row at 00:00:10 in part 0
+    # is NOT late; a row 10s before the min-partition max is.
+    b2 = spark.createDataFrame(
+        [
+            (0, T(0, 10), 3),   # above 00:00-5s -> on time
+            (0, dt(2023, 12, 31, 23, 59, 40), 4),  # below -> late
+            (1, T(2, 0), 5),
+        ],
+        "part int, ts timestamp, event_id int",
+    )
+    on2, late2 = router.process_batch(b2, spark)
+    assert {r.event_id for r in late2.collect()} == {4}
+    assert {r.event_id for r in on2.collect()} == {3, 5}
+
+    # idle partition holds the watermark: part 1 advanced to 00:02 but
+    # part 0's max is 00:01, so wm = 00:01 - 5s, not 00:02 - 5s
+    b3 = spark.createDataFrame(
+        [(1, T(0, 58), 6)], "part int, ts timestamp, event_id int"
+    )
+    on3, late3 = router.process_batch(b3, spark)
+    assert on3.count() == 1 and late3.count() == 0
+
+    # replay determinism: same batch against advanced state routes by the
+    # CURRENT pre-batch state (documented), and b3's replay is unchanged
+    # because max-merge is idempotent
+    on3r, late3r = router.process_batch(b3, spark)
+    assert on3r.count() == 1 and late3r.count() == 0
+
+
+def test_late_flags_batch_matches_router_decisions(spark, tmp_path):
+    """The batch twin (per-partition watermark) agrees with the stateful
+    router when each arrival is its own micro-batch within one
+    partition."""
+    from datetime import datetime as dt
+
+    from flink_realtime_dw4_0_spark.streaming.sideoutput import (
+        LateRouter,
+        late_flags_batch,
+    )
+
+    T = lambda s: dt(2024, 1, 1, 0, 0, s)
+    arrivals = [(0, T(10), 1), (0, T(30), 2), (0, T(20), 3), (0, T(4), 4)]
+    ev = spark.createDataFrame(arrivals, "part int, ts timestamp, event_id int")
+
+    flags = {
+        r.event_id: r.is_late
+        for r in late_flags_batch(ev, delay="5 seconds", order_col="event_id").collect()
+    }
+
+    router = LateRouter(str(tmp_path / "wm2"), delay="5 seconds")
+    routed = {}
+    for row in arrivals:
+        b = spark.createDataFrame([row], "part int, ts timestamp, event_id int")
+        on, late = router.process_batch(b, spark)
+        routed[row[2]] = 1 if late.count() else 0
+    assert flags == routed == {1: 0, 2: 0, 3: 1, 4: 1}

@@ -441,6 +441,11 @@ def main() -> None:
             "sketch_countmin_tokens",
             "a9_hop_window_pv",
             "j8_scd2_temporal_join",
+            "cep_match_sequence",
+            "text_unigram_xent",
+            "text_dsir_logweights",
+            "graph_pagerank_suppliers",
+            "late_event_flags",
         ]
         etimes: dict[str, float] = {}
         for name in extras:

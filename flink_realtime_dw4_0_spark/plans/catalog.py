@@ -4746,3 +4746,35 @@ def late_event_flags_q(spark, sf_dir):
     return late_flags_batch(
         ev, delay="7 DAY", partition_col="part", order_col="arrival"
     ).select("event_id", "is_late")
+
+
+@q(
+    "assoc_part_pairs",
+    """
+    WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+    nb AS (SELECT count(DISTINCT b) AS n_baskets FROM bi),
+    ic AS (SELECT i, count(*) AS cnt FROM bi GROUP BY i),
+    p AS (
+      SELECT a.i AS item_a, b2.i AS item_b, count(*) AS pair_cnt
+      FROM bi a JOIN bi b2 ON a.b = b2.b AND a.i < b2.i
+      GROUP BY a.i, b2.i HAVING count(*) >= 2)
+    SELECT item_a, item_b, pair_cnt,
+           round(pair_cnt / n_baskets, 6) AS support,
+           round(pair_cnt * n_baskets / (ca.cnt * cb.cnt), 6) AS lift
+    FROM p
+    JOIN ic ca ON ca.i = p.item_a
+    JOIN ic cb ON cb.i = p.item_b
+    CROSS JOIN nb
+    """,
+    tags=("assoc", "market-basket", "analytics"),
+)
+def assoc_part_pairs_q(spark, sf_dir):
+    """Market-basket co-occurrence over order baskets
+    (operators/assoc.py:basket_pairs): which parts sell together, with
+    exact support and lift.  Pair fan-out is Σ k² over basket sizes
+    (k ≈ 10 here; the max_items_per_basket cap guards pathological
+    baskets at scale)."""
+    from ..operators import assoc
+
+    li = t(spark, sf_dir, "lineitem")
+    return assoc.basket_pairs(li, basket="l_orderkey", item="l_partkey")

@@ -1401,3 +1401,30 @@ def test_pagerank_more_inlinks_more_rank(spark):
     got = {r.node: r.pagerank for r in graph.pagerank(e, iters=3).collect()}
     assert got["hub"] > got["minor"] > 0
     assert len(got) == 12
+
+
+def test_basket_pairs_support_and_lift(spark):
+    from flink_realtime_dw4_0_spark.operators import assoc
+
+    rows = [  # baskets: {1:ab, 2:ab, 3:ac, 4:a}
+        (1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "c"), (4, "a"),
+        (1, "a"),  # duplicate item in basket dedupes
+    ]
+    df = spark.createDataFrame(rows, "o int, p string")
+    got = {(r.item_a, r.item_b): (r.pair_cnt, r.support, r.lift)
+           for r in assoc.basket_pairs(df, basket="o", item="p").collect()}
+    # only (a,b) reaches min_pair_count=2: cnt=2, support=2/4,
+    # lift = 2*4/(4*2) = 1.0
+    assert got == {("a", "b"): (2, 0.5, 1.0)}
+
+
+def test_basket_pairs_item_cap_bounds_fanout(spark):
+    from flink_realtime_dw4_0_spark.operators import assoc
+
+    rows = [(1, f"i{j:02d}") for j in range(40)] + [(2, "i00"), (2, "i01")]
+    df = spark.createDataFrame(rows, "o int, p string")
+    capped = assoc.basket_pairs(
+        df, basket="o", item="p", min_pair_count=1, max_items_per_basket=5
+    )
+    # basket 1 truncated to 5 items -> at most C(5,2)+1 pairs
+    assert 0 < capped.count() <= 11

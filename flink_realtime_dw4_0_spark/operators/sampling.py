@@ -382,3 +382,56 @@ def chunk_documents(
         F.size(chunk).cast("long").alias("n_chunk_tokens"),
         F.substring(F.md5(F.array_join(chunk, " ")), 1, 16).alias("chunk_fp"),
     )
+
+
+def negative_pairs(
+    df: DataFrame, id_col: str = "vec_id", k: int = 4, seed: str = "ns"
+) -> DataFrame:
+    """Contrastive negative sampling: k deterministic pseudo-random
+    negatives per anchor — the (anchor, negative) pair generation behind
+    contrastive embedding training / triplet mining, without RNG state
+    (md5 is the hash, so runs and engines agree bit-for-bit).
+
+    Shape: a dense 1..n rank via the distributed prefix-sum
+    `global_rank` (no single-partition window), then each anchor derives
+    k candidate ranks as md5(seed‖id‖':'‖j) mod n and one equi-join on
+    rank resolves them to ids.  Self-collisions are dropped (an anchor
+    can yield < k pairs — P(self) = 1/n per draw).  Only the corpus size
+    n crosses the driver."""
+    ids = df.select(id_col).distinct()
+    ranked = global_rank(ids, [F.col(id_col)], [F.col(id_col)], "rank")
+    n = ids.count()
+    expanded = ranked.select(
+        id_col, F.explode(F.sequence(F.lit(1), F.lit(k))).alias("j")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(seed),
+                    F.col(id_col).cast("string"),
+                    F.lit(":"),
+                    F.col("j").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    cand = expanded.withColumn("neg_rank", (h % n) + 1)
+    return (
+        cand.join(
+            ranked.select(
+                F.col(id_col).alias("neg_id"), F.col("rank").alias("neg_rank")
+            ),
+            "neg_rank",
+        )
+        .filter(F.col("neg_id") != F.col(id_col))
+        .select(
+            F.col(id_col).alias("anchor_id"),
+            F.col("j").cast("long").alias("j"),
+            "neg_id",
+        )
+    )

@@ -551,17 +551,19 @@ def _hashed_ngram_features(
     from .split import explode_computed
 
     toks = tokenize(text_col)
-    # adjacent bigrams; guard short docs (sequence(1, 0) is DESCENDING in
-    # Spark, so it must never be emitted)
-    grams = F.when(F.size(toks) >= 2,
-        F.concat(
-            toks,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 1),
-                lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
-            ),
-        ),
-    ).otherwise(toks)
+    # adjacent bigrams via zip_with over two shifted slices.  The lambda
+    # references ONLY its own arguments — a lambda capturing the outer
+    # token array (e.g. element_at(toks, i) over a sequence) re-evaluates
+    # the whole split() tree per element in the interpreted higher-order
+    # path: O(len²) tokenization, measured 24 s vs ~1 s at sf0.1.  Slices
+    # of length size-1 are empty for single-token docs, so no
+    # descending-sequence guard is needed.
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    grams = F.concat(toks, bigrams)
     feats = explode_computed(
         df.select(id_col, text_col), [id_col], grams, "feat"
     ).filter(F.col("feat") != "")

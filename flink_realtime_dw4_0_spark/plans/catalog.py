@@ -4778,3 +4778,33 @@ def assoc_part_pairs_q(spark, sf_dir):
 
     li = t(spark, sf_dir, "lineitem")
     return assoc.basket_pairs(li, basket="l_orderkey", item="l_partkey")
+
+
+@q(
+    "sample_negative_pairs",
+    """
+    WITH ids AS (SELECT DISTINCT vec_id FROM embeddings),
+    ranked AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS r FROM ids),
+    nn AS (SELECT count(*) AS n FROM ids),
+    expd AS (SELECT vec_id, j FROM ranked CROSS JOIN nn,
+             unnest(generate_series(1, 4)) AS g(j)),
+    cand AS (
+      SELECT vec_id, j,
+             (('0x' || substr(md5('ns' || vec_id || ':' || j), 1, 8))::BIGINT
+              % (SELECT n FROM nn)) + 1 AS neg_rank
+      FROM expd)
+    SELECT c.vec_id AS anchor_id, c.j AS j, r2.vec_id AS neg_id
+    FROM cand c JOIN ranked r2 ON r2.r = c.neg_rank
+    WHERE r2.vec_id <> c.vec_id
+    """,
+    tags=("sampling", "contrastive", "training-prep"),
+)
+def sample_negative_pairs_q(spark, sf_dir):
+    """Contrastive negative sampling (sampling.negative_pairs): 4
+    deterministic md5-derived negatives per embedding id, resolved via
+    the distributed-prefix-sum global rank — no RNG, no single-partition
+    window, oracle replays the draws bit-for-bit."""
+    from ..operators import sampling
+
+    emb = t(spark, sf_dir, "embeddings")
+    return sampling.negative_pairs(emb, id_col="vec_id", k=4)

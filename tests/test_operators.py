@@ -1428,3 +1428,23 @@ def test_basket_pairs_item_cap_bounds_fanout(spark):
     )
     # basket 1 truncated to 5 items -> at most C(5,2)+1 pairs
     assert 0 < capped.count() <= 11
+
+
+def test_negative_pairs_properties(spark, sf_dir):
+    from flink_realtime_dw4_0_spark.operators import sampling
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    out = sampling.negative_pairs(emb, id_col="vec_id", k=3).collect()
+    n_ids = emb.distinct().count()
+    assert all(r.anchor_id != r.neg_id for r in out)
+    per_anchor = {}
+    for r in out:
+        per_anchor.setdefault(r.anchor_id, set()).add(r.j)
+    assert all(len(js) <= 3 for js in per_anchor.values())
+    # self-collisions are rare (3/n expected): nearly every anchor keeps 3
+    assert len(out) >= 3 * n_ids - 6
+    # partition-invariance: same pairs from a different layout
+    out2 = sampling.negative_pairs(
+        emb.repartition(7), id_col="vec_id", k=3
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))

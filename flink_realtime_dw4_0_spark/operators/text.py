@@ -617,3 +617,102 @@ def dsir_logweights(
             F.round(F.sum("log_ratio"), 4).alias("log_weight"),
         )
     )
+
+
+def gopher_rules(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The Gopher document-quality ruleset (Rae et al. 2021,
+    arXiv:2112.11446 Table A1) — the de-facto standard repetition /
+    well-formedness filters for pre-training corpora.
+
+    Computed columns (all deterministic, rounded to 4 decimals):
+      n_words, mean_word_len     — word count, mean word length
+      symbol_word_ratio          — '#' and '...' occurrences per word
+      bullet_line_frac           — lines starting with a bullet
+      ellipsis_line_frac         — lines ending with an ellipsis
+      alpha_word_frac            — words containing ≥1 [a-z] char
+      dup_line_frac              — 1 − distinct/total lines
+      top2gram_char_frac         — chars covered by the most frequent
+                                   word 2-gram (ties → lexicographically
+                                   greatest gram; 0 when no bigrams)
+      gopher_pass                — AND of the paper's thresholds
+
+    Shape: everything except top2gram_char_frac is per-row array
+    calculus (higher-order functions whose lambdas reference only their
+    own arguments — no captured-array re-evaluation); the 2-gram stage
+    is one explode + two map-combinable aggregations keyed by doc."""
+    from .split import explode_computed
+
+    toks = tokenize(text_col)
+    lines = F.split(F.col(text_col), "\n")
+    base = df.select(
+        id_col,
+        text_col,
+        toks.alias("tk"),
+        lines.alias("ln"),
+        F.length(text_col).alias("nc"),
+    )
+    n_words = F.size("tk")
+    sum_len = F.aggregate(
+        "tk", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    n_hash = (F.length(text_col) - F.length(F.replace(text_col, F.lit("#"), F.lit("")))).cast("long")
+    n_ell = F.floor(
+        (F.length(text_col) - F.length(F.replace(text_col, F.lit("..."), F.lit("")))) / 3
+    ).cast("long")
+    n_lines = F.size("ln")
+    bullet = F.size(F.filter("ln", lambda x: F.trim(x).startswith("- ") | F.trim(x).startswith("* ")))
+    ell_end = F.size(F.filter("ln", lambda x: F.rtrim(x).endswith("...")))
+    alpha = F.size(F.filter("tk", lambda x: x.rlike("[a-z]")))
+    stats = base.select(
+        id_col,
+        F.col("nc"),
+        n_words.cast("long").alias("n_words"),
+        F.round(sum_len / n_words, 4).alias("mean_word_len"),
+        F.round((n_hash + n_ell) / n_words, 4).alias("symbol_word_ratio"),
+        F.round(bullet / n_lines, 4).alias("bullet_line_frac"),
+        F.round(ell_end / n_lines, 4).alias("ellipsis_line_frac"),
+        F.round(alpha / n_words, 4).alias("alpha_word_frac"),
+        F.round(1 - F.size(F.array_distinct("ln")) / n_lines, 4).alias("dup_line_frac"),
+    )
+    bigrams = F.zip_with(
+        F.slice(F.col("tk"), 1, F.size("tk") - 1),
+        F.slice(F.col("tk"), 2, F.size("tk") - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    big = explode_computed(base, [id_col], bigrams, "g").filter(F.col("g") != " ")
+    top2 = (
+        big.groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        .agg(F.max(F.struct("cnt", "g")).alias("top"))
+        .select(id_col, F.col("top.cnt").alias("t_cnt"), F.col("top.g").alias("t_g"))
+    )
+    out = (
+        stats.join(top2, id_col, "left")
+        .select(
+            id_col,
+            "n_words", "mean_word_len", "symbol_word_ratio",
+            "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+            "dup_line_frac",
+            F.coalesce(
+                F.when(
+                    F.col("nc") > 0,
+                    F.round(F.col("t_cnt") * F.length("t_g") / F.col("nc"), 4),
+                ),
+                F.lit(0.0),
+            ).alias("top2gram_char_frac"),
+        )
+    )
+    gopher_pass = (
+        (F.col("n_words") >= 50) & (F.col("n_words") <= 100_000)
+        & (F.col("mean_word_len") >= 3) & (F.col("mean_word_len") <= 10)
+        & (F.col("symbol_word_ratio") <= 0.1)
+        & (F.col("bullet_line_frac") <= 0.9)
+        & (F.col("ellipsis_line_frac") <= 0.3)
+        & (F.col("alpha_word_frac") >= 0.8)
+        & (F.col("dup_line_frac") <= 0.3)
+        & (F.col("top2gram_char_frac") <= 0.2)
+    )
+    return out.withColumn("gopher_pass", gopher_pass.cast("int"))

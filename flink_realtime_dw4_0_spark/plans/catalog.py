@@ -4808,3 +4808,67 @@ def sample_negative_pairs_q(spark, sf_dir):
 
     emb = t(spark, sf_dir, "embeddings")
     return sampling.negative_pairs(emb, id_col="vec_id", k=4)
+
+
+@q(
+    "text_gopher_rules",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text, {_DK_TOKS} AS tk,
+             string_split(text, chr(10)) AS ln, length(text) AS nc
+      FROM documents),
+    stats AS (
+      SELECT doc_id, nc,
+        CAST(len(tk) AS BIGINT) AS n_words,
+        round(list_sum(list_transform(tk, x -> length(x))) / len(tk), 4) AS mean_word_len,
+        round((
+          (length(text) - length(replace(text, '#', '')))
+          + floor((length(text) - length(replace(text, '...', ''))) / 3)
+        ) / len(tk), 4) AS symbol_word_ratio,
+        round(len(list_filter(ln, x -> trim(x) LIKE '- %' OR trim(x) LIKE '* %'))
+              / len(ln), 4) AS bullet_line_frac,
+        round(len(list_filter(ln, x -> rtrim(x) LIKE '%...')) / len(ln), 4)
+          AS ellipsis_line_frac,
+        round(len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) / len(tk), 4)
+          AS alpha_word_frac,
+        round(1 - len(list_distinct(ln)) / len(ln), 4) AS dup_line_frac
+      FROM base),
+    big AS (
+      SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS g, nc
+      FROM base, unnest(generate_series(1, len(tk) - 1)) AS gs(i)
+      WHERE len(tk) >= 2 AND tk[i] || ' ' || tk[i + 1] <> ' '),
+    cnts AS (
+      SELECT doc_id, g, nc, count(*) AS cnt,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY count(*) DESC, g DESC) AS rn
+      FROM big GROUP BY doc_id, g, nc),
+    top2 AS (SELECT doc_id, round(cnt * length(g) / nc, 4) AS t_frac
+             FROM cnts WHERE rn = 1),
+    o AS (
+      SELECT s.*, coalesce(CASE WHEN s.nc > 0 THEN t.t_frac END, 0.0)
+               AS top2gram_char_frac
+      FROM stats s LEFT JOIN top2 t USING (doc_id))
+    SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+           bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+           dup_line_frac, top2gram_char_frac,
+           CASE WHEN n_words BETWEEN 50 AND 100000
+                 AND mean_word_len BETWEEN 3 AND 10
+                 AND symbol_word_ratio <= 0.1
+                 AND bullet_line_frac <= 0.9
+                 AND ellipsis_line_frac <= 0.3
+                 AND alpha_word_frac >= 0.8
+                 AND dup_line_frac <= 0.3
+                 AND top2gram_char_frac <= 0.2
+                THEN 1 ELSE 0 END AS gopher_pass
+    FROM o
+    """,
+    tags=("text", "quality", "gopher"),
+)
+def text_gopher_q(spark, sf_dir):
+    """Gopher quality ruleset (text.gopher_rules, arXiv:2112.11446):
+    word/line well-formedness stats plus the top-2-gram repetition
+    fraction, and the paper's pass/fail thresholds — the standard
+    pre-training filter battery.  Array calculus per row; one explode +
+    two keyed aggregations for the 2-gram stage."""
+    docs = t(spark, sf_dir, "documents")
+    return text.gopher_rules(docs)

@@ -1448,3 +1448,70 @@ def test_negative_pairs_properties(spark, sf_dir):
         emb.repartition(7), id_col="vec_id", k=3
     ).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_gopher_rules_flag_pathologies(spark):
+    clean = " ".join(f"word{i:03d}" for i in range(72))  # 72 distinct words
+    bullets = "\n".join(f"- item {i}" for i in range(10))
+    duplines = "\n".join(["same line here"] * 8 + ["one more"])
+    repeated = "badger badger " * 40  # one dominant bigram
+    symbols = "### lots # of ## hashes # here " * 10
+    docs = spark.createDataFrame(
+        [(1, clean), (2, bullets), (3, duplines), (4, repeated), (5, symbols)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.asDict() for r in text.gopher_rules(docs).collect()}
+    assert out[1]["gopher_pass"] == 1
+    assert out[2]["bullet_line_frac"] == 1.0 and out[2]["gopher_pass"] == 0
+    assert out[3]["dup_line_frac"] > 0.7 and out[3]["gopher_pass"] == 0
+    assert out[4]["top2gram_char_frac"] > 0.2 and out[4]["gopher_pass"] == 0
+    assert out[5]["symbol_word_ratio"] > 0.1 and out[5]["gopher_pass"] == 0
+    assert out[1]["n_words"] == 72
+
+
+def test_sql_udfs_match_column_functions(spark):
+    """The SQL-registered surface (reference: CREATE TEMPORARY FUNCTION
+    ik_analyze consumed via LATERAL TABLE) must agree exactly with the
+    Column-expression twins, and the Flink UDTF call shape must work as
+    a lateral explode."""
+    from flink_realtime_dw4_0_spark.functions.sql_udfs import register_sql_functions
+    from flink_realtime_dw4_0_spark.operators import layout
+
+    names = register_sql_functions(spark)
+    assert "keyword_tokens" in names
+
+    rows = [
+        ("小米手机 apple pie 华为手机",),
+        ("Contact a@b.com or +1 (555) 123-4567 now",),
+        ("  The   Quick  brown FOX  ",),
+    ]
+    df = spark.createDataFrame(rows, "s string")
+    df.createOrReplaceTempView("udf_src")
+
+    sql = spark.sql("""
+        SELECT keyword_tokens(s) AS kt, doc_fingerprint(s) AS fp,
+               scrub_pii(s) AS sc, token_count_ws(s) AS tc
+        FROM udf_src""").collect()
+    col = df.select(
+        text.tokenize_keywords("s").alias("kt"),
+        text.doc_fingerprint("s").alias("fp"),
+        text.scrub_pii("s").alias("sc"),
+        text.token_count_ws("s").alias("tc"),
+    ).collect()
+    assert [r.asDict() for r in sql] == [r.asDict() for r in col]
+
+    # morton2 == layout.morton_key
+    pts = spark.createDataFrame([(5, 3), (1234, 4321)], "x long, y long")
+    pts.createOrReplaceTempView("udf_pts")
+    zs = [r.z for r in spark.sql("SELECT morton2(x, y) AS z FROM udf_pts").collect()]
+    ze = [r.z for r in pts.select(layout.morton_key(["x", "y"]).alias("z")).collect()]
+    assert zs == ze
+
+    # the Flink LATERAL TABLE(udtf(...)) shape
+    lat = spark.sql("""
+        SELECT T.keyword FROM (SELECT keyword_tokens(s) AS ks FROM udf_src
+                               WHERE s LIKE '%apple%'),
+             LATERAL explode(ks) AS T(keyword)""").collect()
+    assert [r.keyword for r in lat] == [
+        "小米", "米手", "手机", "apple", "pie", "华为", "为手", "手机",
+    ]

@@ -1,0 +1,101 @@
+"""Time-series operators: exponential smoothing and touch attribution.
+
+The serving-layer metric calculus a realtime DW exposes next to its
+windowed aggregates: smoothed per-key levels (alerting baselines) and
+marketing attribution over the event stream.
+
+Scale shapes:
+  * ``ewma_level`` folds each key's series with a JVM higher-order
+    ``aggregate`` over a sorted collected array — one shuffle, no Python,
+    per-key memory bounded by that key's series length (the same
+    contract as every keyed-state operator here).  For single keys with
+    unbounded series, the affine-scan decomposition applies (EWMA is a
+    linear recurrence: each chunk reduces to s_out = A·s_in + B, chunks
+    prefix-combine associatively) — not needed at this data's key
+    cardinality, documented as the upgrade path.
+  * ``last_touch_attribution`` is one keyed window pass (max / max_by
+    over preceding rows) — no self-join, no per-anchor fan-out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def ewma_level(
+    df: DataFrame,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    seq: str = "event_id",
+    alpha: float = 0.2,
+) -> DataFrame:
+    """Final exponentially-weighted level per key:
+    s₁ = x₁, sₜ = (1−α)·sₜ₋₁ + α·xₜ over the (ts, seq)-ordered series.
+
+    The fold is `aggregate(rest, first, (acc, x) -> (1−α)·acc + α·x)` —
+    the identical left-to-right double arithmetic DuckDB's list_reduce
+    performs, so results are bit-reproducible across engines (rounded
+    for display only)."""
+    arr = F.transform(
+        F.sort_array(F.collect_list(F.struct(ts, seq, value))),
+        lambda s: s[value].cast("double"),
+    )
+    g = df.groupBy(key).agg(arr.alias("__xs"))
+    folded = F.aggregate(
+        F.slice("__xs", 2, F.size("__xs") - 1),
+        F.element_at("__xs", 1),
+        lambda acc, x: (1 - alpha) * acc + alpha * x,
+    )
+    return g.select(
+        key,
+        F.size("__xs").cast("long").alias("n_points"),
+        F.round(folded, 6).alias("ewma"),
+    )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    conversion: str = "purchase",
+    touches: tuple[str, ...] = ("view", "click"),
+    within: str = "7 DAY",
+) -> DataFrame:
+    """Last-touch attribution: every conversion event joined to the most
+    recent PRIOR touch event of the same key within ``within``.
+
+    One window pass per key ordered by event time: the running
+    (max ts, max_by type) over preceding touch rows rides the same sort
+    the conversion filter uses — no self-join.  Conversions with no
+    in-window touch attribute to 'none'."""
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col(type_col).isin(*touches)
+    touch_ts = F.max(F.when(is_touch, F.col(ts))).over(w)
+    touch_type = F.max_by(
+        F.when(is_touch, F.col(type_col)), F.when(is_touch, F.col(ts))
+    ).over(w)
+    flagged = events.withColumn("__t_ts", touch_ts).withColumn(
+        "__t_type", touch_type
+    )
+    in_window = F.col("__t_ts") >= F.col(ts) - F.expr(f"INTERVAL {within}")
+    return (
+        flagged.filter(F.col(type_col) == conversion)
+        .select(
+            key,
+            F.col(ts).alias("conversion_ts"),
+            F.when(in_window, F.col("__t_type"))
+            .otherwise(F.lit("none"))
+            .alias("touch_type"),
+            F.when(in_window, F.col("__t_ts")).alias("touch_ts"),
+        )
+    )

@@ -4872,3 +4872,64 @@ def text_gopher_q(spark, sf_dir):
     two keyed aggregations for the 2-gram stage."""
     docs = t(spark, sf_dir, "documents")
     return text.gopher_rules(docs)
+
+
+@q(
+    "ts_ewma_level",
+    """
+    WITH s AS (
+      SELECT user_id, list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS xs
+      FROM events GROUP BY user_id)
+    SELECT user_id, CAST(len(xs) AS BIGINT) AS n_points,
+           round(list_reduce(xs, (acc, x) -> 0.8 * acc + 0.2 * x), 6) AS ewma
+    FROM s
+    """,
+    tags=("timeseries", "smoothing"),
+)
+def ts_ewma_q(spark, sf_dir):
+    """Per-user EWMA level (timeseries.ewma_level, α = 0.2): the
+    left-fold recurrence runs as a JVM higher-order aggregate on this
+    side and list_reduce on the oracle — identical double arithmetic, so
+    the smoothed levels are bit-reproducible."""
+    from ..operators import timeseries
+
+    ev = t(spark, sf_dir, "events")
+    return timeseries.ewma_level(ev, alpha=0.2)
+
+
+@q(
+    "attr_last_touch",
+    """
+    WITH f AS (
+      SELECT user_id, ts, event_type,
+             max(CASE WHEN event_type IN ('view','click') THEN ts END)
+               OVER w AS t_ts,
+             arg_max(CASE WHEN event_type IN ('view','click') THEN event_type END,
+                     CASE WHEN event_type IN ('view','click') THEN ts END)
+               OVER w AS t_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+    SELECT user_id, epoch_us(ts) AS conversion_us,
+           CASE WHEN t_ts >= ts - INTERVAL 7 DAY THEN t_type
+                ELSE 'none' END AS touch_type,
+           CASE WHEN t_ts >= ts - INTERVAL 7 DAY THEN epoch_us(t_ts) END AS touch_us
+    FROM f WHERE event_type = 'purchase'
+    """,
+    tags=("attribution", "analytics", "window"),
+)
+def attr_last_touch_q(spark, sf_dir):
+    """Last-touch attribution (timeseries.last_touch_attribution): each
+    purchase attributed to the user's most recent prior view/click
+    within 7 days — one keyed window pass (running max + max_by over
+    preceding touches), no self-join, 'none' when no touch qualifies."""
+    from ..operators import timeseries
+
+    ev = t(spark, sf_dir, "events")
+    out = timeseries.last_touch_attribution(ev)
+    return out.select(
+        "user_id",
+        F.unix_micros("conversion_ts").alias("conversion_us"),
+        "touch_type",
+        F.unix_micros("touch_ts").alias("touch_us"),
+    )

@@ -1515,3 +1515,41 @@ def test_sql_udfs_match_column_functions(spark):
     assert [r.keyword for r in lat] == [
         "小米", "米手", "手机", "apple", "pie", "华为", "为手", "手机",
     ]
+
+
+def test_ewma_level_recursion(spark):
+    from datetime import datetime as dt
+
+    from flink_realtime_dw4_0_spark.operators import timeseries
+
+    rows = [(1, dt(2024, 1, 1, 0, 0, s), s, float(v))
+            for s, v in enumerate([10, 20, 30])]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_id long, value double")
+    r = timeseries.ewma_level(df, alpha=0.5).collect()[0]
+    # s1=10, s2=.5*10+.5*20=15, s3=.5*15+.5*30=22.5
+    assert r.n_points == 3 and r.ewma == 22.5
+
+
+def test_last_touch_attribution_semantics(spark):
+    from datetime import datetime as dt
+
+    from flink_realtime_dw4_0_spark.operators import timeseries
+
+    D = lambda d, h=0: dt(2024, 1, d, h)
+    rows = [
+        (1, D(1), "view"), (1, D(2), "click"), (1, D(3), "purchase"),  # last touch = click
+        (2, D(1), "view"), (2, D(20), "purchase"),                      # touch too old -> none
+        (3, D(5), "purchase"),                                          # no touch at all
+        (4, D(1), "click"), (4, D(1, 2), "purchase"), (4, D(1, 3), "view"),
+        (4, D(1, 4), "purchase"),                                       # 2nd purchase -> view
+    ]
+    ev = spark.createDataFrame(rows, "user_id int, ts timestamp, event_type string")
+    out = {(r.user_id, r.conversion_ts): r.touch_type
+           for r in timeseries.last_touch_attribution(ev).collect()}
+    assert out == {
+        (1, D(3)): "click",
+        (2, D(20)): "none",
+        (3, D(5)): "none",
+        (4, D(1, 2)): "click",
+        (4, D(1, 4)): "view",
+    }

@@ -317,3 +317,33 @@ def test_zorder_layout_rowgroup_skipping(spark, tmp_path):
     assert read_s == 20000                     # unclustered reads everything
     # 16 files = 2 z-prefix bits per dim -> x<128 lives in ~1/4 of the files
     assert read_z <= 0.45 * read_s
+
+
+def test_cep_match_no_cartesian(spark, sf_dir):
+    """Every CEP stage is a keyed equi-join + min-agg; the plan must
+    contain no cartesian/nested-loop product."""
+    from flink_realtime_dw4_0_spark.plans.catalog import CATALOG
+
+    df = CATALOG["cep_match_sequence"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dsir_ratios_broadcast(spark, sf_dir):
+    """DSIR scoring must broadcast the m-bucket log-ratio table against
+    the exploded feature stream — the feature stream must never
+    sort-merge against a 4096-row side."""
+    from flink_realtime_dw4_0_spark.plans.catalog import CATALOG
+
+    df = CATALOG["text_dsir_logweights"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_basket_pairs_no_cartesian(spark, sf_dir):
+    from flink_realtime_dw4_0_spark.plans.catalog import CATALOG
+
+    df = CATALOG["assoc_part_pairs"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

@@ -99,3 +99,41 @@ def last_touch_attribution(
             F.when(in_window, F.col("__t_ts")).alias("touch_ts"),
         )
     )
+
+
+def linear_attribution(
+    events: DataFrame,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    conversion: str = "purchase",
+    touches: tuple[str, ...] = ("view", "click"),
+    within: str = "7 DAY",
+) -> DataFrame:
+    """Linear multi-touch attribution: every touch in the ``within``
+    window before a conversion shares credit equally (weight 1/k).
+
+    Shape: conversions equi-join touches on the key with a range
+    predicate (the interval-join family — Catalyst keeps it a hash join
+    on the key with a post-filter, no cartesian); the per-conversion
+    touch count is a window over the joined result, not the raw
+    stream."""
+    conv = events.filter(F.col(type_col) == conversion).select(
+        F.col(key), F.col(ts).alias("conversion_ts")
+    )
+    tch = events.filter(F.col(type_col).isin(*touches)).select(
+        F.col(key), F.col(ts).alias("touch_ts"), F.col(type_col).alias("touch_type")
+    )
+    joined = conv.join(tch, key).filter(
+        (F.col("touch_ts") < F.col("conversion_ts"))
+        & (F.col("touch_ts") >= F.col("conversion_ts") - F.expr(f"INTERVAL {within}"))
+    )
+    w = Window.partitionBy(key, "conversion_ts")
+    return joined.select(
+        key,
+        "conversion_ts",
+        "touch_ts",
+        "touch_type",
+        F.round(1.0 / F.count(F.lit(1)).over(w), 6).alias("weight"),
+    )

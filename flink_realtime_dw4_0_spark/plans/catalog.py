@@ -4933,3 +4933,41 @@ def attr_last_touch_q(spark, sf_dir):
         "touch_type",
         F.unix_micros("touch_ts").alias("touch_us"),
     )
+
+
+@q(
+    "attr_linear_weights",
+    """
+    WITH c AS (SELECT user_id, ts AS conversion_ts FROM events
+               WHERE event_type = 'purchase'),
+    tch AS (SELECT user_id, ts AS touch_ts, event_type AS touch_type
+            FROM events WHERE event_type IN ('view','click')),
+    j AS (
+      SELECT c.user_id, c.conversion_ts, t.touch_ts, t.touch_type
+      FROM c JOIN tch t ON c.user_id = t.user_id
+      WHERE t.touch_ts < c.conversion_ts
+        AND t.touch_ts >= c.conversion_ts - INTERVAL 7 DAY)
+    SELECT user_id, epoch_us(conversion_ts) AS conversion_us,
+           epoch_us(touch_ts) AS touch_us, touch_type,
+           round(1.0 / count(*) OVER (PARTITION BY user_id, conversion_ts), 6)
+             AS weight
+    FROM j
+    """,
+    tags=("attribution", "analytics", "interval-join"),
+)
+def attr_linear_q(spark, sf_dir):
+    """Linear multi-touch attribution
+    (timeseries.linear_attribution): every view/click in the 7 days
+    before a purchase shares credit 1/k — the interval-join family with
+    the weight window over the joined result."""
+    from ..operators import timeseries
+
+    ev = t(spark, sf_dir, "events")
+    out = timeseries.linear_attribution(ev)
+    return out.select(
+        "user_id",
+        F.unix_micros("conversion_ts").alias("conversion_us"),
+        F.unix_micros("touch_ts").alias("touch_us"),
+        "touch_type",
+        "weight",
+    )

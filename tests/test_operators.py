@@ -1553,3 +1553,21 @@ def test_last_touch_attribution_semantics(spark):
         (4, D(1, 2)): "click",
         (4, D(1, 4)): "view",
     }
+
+
+def test_linear_attribution_weights_sum_to_one(spark):
+    from datetime import datetime as dt
+
+    from flink_realtime_dw4_0_spark.operators import timeseries
+
+    D = lambda d: dt(2024, 1, d)
+    rows = [
+        (1, D(1), "view"), (1, D(2), "click"), (1, D(3), "view"),
+        (1, D(4), "purchase"),
+        (2, D(1), "view"), (2, D(20), "purchase"),  # touch out of window
+    ]
+    ev = spark.createDataFrame(rows, "user_id int, ts timestamp, event_type string")
+    out = timeseries.linear_attribution(ev).collect()
+    u1 = [r for r in out if r.user_id == 1]
+    assert len(u1) == 3 and all(abs(r.weight - 1 / 3) < 1e-5 for r in u1)
+    assert not [r for r in out if r.user_id == 2]

@@ -1405,3 +1405,37 @@ def test_late_flags_batch_matches_router_decisions(spark, tmp_path):
         on, late = router.process_batch(b, spark)
         routed[row[2]] = 1 if late.count() else 0
     assert flags == routed == {1: 0, 2: 0, 3: 1, 4: 1}
+
+
+def test_streaming_ewma_matches_batch(spark, tmp_path):
+    """Incremental EWMA over micro-batches == the batch fold over the
+    whole series (bit-exact: the seeded continuation performs the same
+    op sequence); out-of-order rows are rejected, not blended."""
+    from datetime import datetime as dt
+
+    from flink_realtime_dw4_0_spark.operators.timeseries import ewma_level
+    from flink_realtime_dw4_0_spark.streaming.timeseries import StreamingEwma
+
+    rows = [(1, dt(2024, 1, 1, 0, 0, s), s, float(10 * (s + 1))) for s in range(9)]
+    rows += [(2, dt(2024, 1, 1, 0, 0, s), 100 + s, float(s * s)) for s in range(5)]
+    schema = "user_id long, ts timestamp, event_id long, value double"
+
+    se = StreamingEwma(str(tmp_path / "ewma"), alpha=0.3)
+    for lo, hi in [(0, 4), (4, 9), (9, 14)]:
+        rej = se.process_batch(spark.createDataFrame(rows[lo:hi], schema), spark)
+        assert rej == 0
+    got = {r.user_id: (round(r.ewma, 6), r.n_points)
+           for r in se.read(spark).collect()}
+
+    whole = ewma_level(spark.createDataFrame(rows, schema), alpha=0.3)
+    want = {r.user_id: (r.ewma, r.n_points) for r in whole.collect()}
+    assert got == want
+
+    # out-of-order delivery is rejected and leaves state untouched
+    stale = spark.createDataFrame(
+        [(1, dt(2024, 1, 1, 0, 0, 2), 2, 999.0)], schema
+    )
+    assert se.process_batch(stale, spark) == 1
+    after = {r.user_id: (round(r.ewma, 6), r.n_points)
+             for r in se.read(spark).collect()}
+    assert after == want

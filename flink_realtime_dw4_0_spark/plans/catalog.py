@@ -4971,3 +4971,45 @@ def attr_linear_q(spark, sf_dir):
         "touch_type",
         "weight",
     )
+
+
+@q(
+    "graph_triangle_counts",
+    """
+    WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+    p AS (
+      SELECT a.i AS x, b2.i AS y
+      FROM bi a JOIN bi b2 ON a.b = b2.b AND a.i < b2.i
+      GROUP BY a.i, b2.i HAVING count(*) >= 2),
+    und AS (SELECT x AS a, y AS b FROM p UNION ALL SELECT y, x FROM p),
+    deg AS (SELECT a AS n, count(*) AS d FROM und GROUP BY a),
+    ori AS (
+      SELECT u.a, u.b
+      FROM und u JOIN deg da ON da.n = u.a JOIN deg db ON db.n = u.b
+      WHERE da.d < db.d OR (da.d = db.d AND u.a < u.b)),
+    tri AS (
+      SELECT w.x, w.y, w.z
+      FROM (SELECT o1.a AS x, o1.b AS y, o2.b AS z
+            FROM ori o1 JOIN ori o2 ON o1.b = o2.a) w
+      JOIN ori o3 ON o3.a = w.x AND o3.b = w.z),
+    corners AS (SELECT x AS node FROM tri
+                UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+    SELECT node, count(*) AS n_triangles FROM corners GROUP BY node
+    """,
+    tags=("graph", "triangles"),
+)
+def graph_triangles_q(spark, sf_dir):
+    """Per-node triangle counts (graph.triangle_count) over the
+    co-purchase graph (part pairs bought together in ≥2 orders) —
+    degree-ordered orientation bounds the wedge fan-out at O(√m) per
+    node, the compact-forward scheme; the oracle replays the identical
+    orientation rule."""
+    from ..operators import assoc, graph
+
+    li = t(spark, sf_dir, "lineitem")
+    edges = assoc.basket_pairs(
+        li, basket="l_orderkey", item="l_partkey", min_pair_count=2
+    ).select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
+    return graph.triangle_count(edges).select(
+        F.col("node"), F.col("n_triangles")
+    )

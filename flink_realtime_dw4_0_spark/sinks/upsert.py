@@ -107,6 +107,61 @@ class KeyedTable:
         """Retained snapshot names, oldest first (audit surface)."""
         return self._history()
 
+    def changes(self, spark: SparkSession, steps_back: int = 1) -> DataFrame | None:
+        """Change data feed between the snapshot ``steps_back`` merges ago
+        and CURRENT — the Delta/Iceberg `table_changes` surface on the
+        same snapshot layout.  Rows carry a `_change_type` column:
+        'insert', 'delete', 'update_preimage', 'update_postimage'
+        (post/pre pairs for keys whose non-key payload changed).
+
+        One full-outer join on the primary key between two snapshot
+        reads; payload equality compares an md5 of the non-key struct, so
+        the diff never widens beyond key + one hash column per side until
+        the final projection.  Requires `keep_versions > steps_back`."""
+        old = self.read_version(spark, steps_back)
+        new = self.read_version(spark, 0)
+        if old is None or new is None:
+            return None
+        val_cols = [c for c in new.columns if c not in self.keys]
+        if not val_cols:  # keys-only table: membership diff, no updates
+            o_k, n_k = old.select(*self.keys), new.select(*self.keys)
+            return (
+                n_k.exceptAll(o_k)
+                .withColumn("_change_type", F.lit("insert"))
+                .unionByName(
+                    o_k.exceptAll(n_k).withColumn("_change_type", F.lit("delete"))
+                )
+            )
+        sig = F.md5(F.to_json(F.struct(*val_cols)))
+        old_s = old.select(*self.keys, sig.alias("__sig_o"), F.struct(*val_cols).alias("__row_o"))
+        new_s = new.select(*self.keys, sig.alias("__sig_n"), F.struct(*val_cols).alias("__row_n"))
+        j = old_s.join(new_s, self.keys, "full_outer")
+        ins = j.filter(F.col("__sig_o").isNull()).select(
+            *self.keys, F.col("__row_n").alias("__row"), F.lit("insert").alias("_change_type")
+        )
+        dele = j.filter(F.col("__sig_n").isNull()).select(
+            *self.keys, F.col("__row_o").alias("__row"), F.lit("delete").alias("_change_type")
+        )
+        upd = j.filter(
+            F.col("__sig_o").isNotNull()
+            & F.col("__sig_n").isNotNull()
+            & (F.col("__sig_o") != F.col("__sig_n"))
+        )
+        pre = upd.select(
+            *self.keys, F.col("__row_o").alias("__row"),
+            F.lit("update_preimage").alias("_change_type"),
+        )
+        post = upd.select(
+            *self.keys, F.col("__row_n").alias("__row"),
+            F.lit("update_postimage").alias("_change_type"),
+        )
+        out = ins.unionByName(dele).unionByName(pre).unionByName(post)
+        return out.select(
+            *self.keys,
+            *[F.col(f"__row.{c}").alias(c) for c in val_cols],
+            "_change_type",
+        )
+
     def _overwrite(self, df: DataFrame) -> None:
         """Crash-safe overwrite: write a fresh version dir, flip the
         CURRENT pointer atomically (tmp file + os.replace), then GC stale

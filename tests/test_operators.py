@@ -1571,3 +1571,33 @@ def test_linear_attribution_weights_sum_to_one(spark):
     u1 = [r for r in out if r.user_id == 1]
     assert len(u1) == 3 and all(abs(r.weight - 1 / 3) < 1e-5 for r in u1)
     assert not [r for r in out if r.user_id == 2]
+
+
+def test_triangle_count_known_graph(spark):
+    from flink_realtime_dw4_0_spark.operators import graph
+
+    # K4 on {a,b,c,d} (4 triangles, every node in 3) + pendant edge d-e
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    e = spark.createDataFrame(k4 + [("d", "e"), ("b", "a")], "src string, dst string")
+    got = {r.node: r.n_triangles for r in graph.triangle_count(e).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+    total = sum(got.values()) // 3
+    assert total == 4
+
+
+def test_keyed_table_change_data_feed(spark, tmp_path):
+    from flink_realtime_dw4_0_spark.sinks.upsert import KeyedTable
+
+    tb = KeyedTable(str(tmp_path / "cdf"), keys=["k"], keep_versions=3)
+    tb.replace(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    tb.merge(spark, spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string"),
+             deletes=spark.createDataFrame([(1,)], "k int"))
+    ch = {(r.k, r._change_type): r.v for r in tb.changes(spark).collect()}
+    assert ch == {
+        (1, "delete"): "a",
+        (2, "update_preimage"): "b",
+        (2, "update_postimage"): "B",
+        (3, "insert"): "c",
+    }
+    # unchanged rows never appear; window beyond retention -> None
+    assert tb.changes(spark, steps_back=5) is None

@@ -446,6 +446,12 @@ def main() -> None:
             "text_dsir_logweights",
             "graph_pagerank_suppliers",
             "late_event_flags",
+            "assoc_part_pairs",
+            "graph_triangle_counts",
+            "text_gopher_rules",
+            "ts_ewma_level",
+            "attr_linear_weights",
+            "sample_negative_pairs",
         ]
         etimes: dict[str, float] = {}
         for name in extras:

@@ -1439,3 +1439,53 @@ def test_streaming_ewma_matches_batch(spark, tmp_path):
     after = {r.user_id: (round(r.ewma, 6), r.n_points)
              for r in se.read(spark).collect()}
     assert after == want
+
+
+def test_incremental_agg_view_tracks_base(spark, tmp_path):
+    """Materialized SUM/COUNT view maintained purely from the base
+    table's change feed: after every commit+refresh the view equals a
+    direct aggregate of the base — including group moves (update changes
+    a row's group) and groups dying (count -> 0 rows removed)."""
+    from flink_realtime_dw4_0_spark.sinks.matview import IncrementalAggView
+    from flink_realtime_dw4_0_spark.sinks.upsert import KeyedTable
+
+    base = KeyedTable(str(tmp_path / "base"), keys=["k"], keep_versions=2)
+    view = IncrementalAggView(
+        base, str(tmp_path / "view"), group_cols=["g"], sum_cols=["v"]
+    )
+    S = "k int, g string, v long"
+
+    def check():
+        got = {(r.g): (r.sum_v, r.n_rows) for r in view.read(spark).collect()}
+        b = base.read(spark)
+        want = {
+            r.g: (r.s, r.n)
+            for r in b.groupBy("g")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert got == want, (got, want)
+
+    base.replace(spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 5), (3, "b", 7)], S))
+    view.refresh(spark)
+    check()
+
+    # update value, move a row to another group, insert, delete
+    base.merge(
+        spark,
+        spark.createDataFrame([(1, "a", 20), (3, "c", 7), (4, "b", 1)], S),
+        deletes=spark.createDataFrame([(2,)], "k int"),
+    )
+    view.refresh(spark)
+    check()
+    # group 'b' lost row 3 but gained row 4; 'a' lost row 2
+    got = {r.g for r in view.read(spark).collect()}
+    assert got == {"a", "b", "c"}
+
+    # kill group c entirely -> its view row disappears
+    base.merge(spark, spark.createDataFrame([], S),
+               deletes=spark.createDataFrame([(3,)], "k int"))
+    view.refresh(spark)
+    check()
+    assert {r.g for r in view.read(spark).collect()} == {"a", "b"}

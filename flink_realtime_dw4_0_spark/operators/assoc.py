@@ -20,6 +20,44 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _basket_items(
+    df: DataFrame, basket: str, item: str, max_items_per_basket: int | None
+) -> DataFrame:
+    bi = df.select(F.col(basket).alias("b"), F.col(item).alias("i")).distinct()
+    if max_items_per_basket is not None:
+        w = Window.partitionBy("b").orderBy(F.md5(F.col("i").cast("string")), "i")
+        bi = (
+            bi.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_items_per_basket)
+            .drop("__rn")
+        )
+    return bi
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    *,
+    basket: str,
+    item: str,
+    min_pair_count: int = 2,
+    max_items_per_basket: int | None = None,
+) -> DataFrame:
+    """(item_a, item_b, pair_cnt) for unordered item pairs co-occurring
+    in a basket (item_a < item_b; items deduped per basket) — the pair
+    core without the support/lift statistics, for consumers that only
+    need the edge list (e.g. graph.triangle_count)."""
+    bi = _basket_items(df, basket, item, max_items_per_basket)
+    a = bi.withColumnRenamed("i", "item_a")
+    b = bi.withColumnRenamed("i", "item_b")
+    return (
+        a.join(b, "b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= min_pair_count)
+    )
+
+
 def basket_pairs(
     df: DataFrame,
     *,
@@ -36,24 +74,15 @@ def basket_pairs(
     both over the (possibly truncated) basket-item universe, so the
     definition stays internally consistent under the cap.
     """
-    bi = df.select(F.col(basket).alias("b"), F.col(item).alias("i")).distinct()
-    if max_items_per_basket is not None:
-        w = Window.partitionBy("b").orderBy(F.md5(F.col("i").cast("string")), "i")
-        bi = (
-            bi.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= max_items_per_basket)
-            .drop("__rn")
-        )
+    bi = _basket_items(df, basket, item, max_items_per_basket)
     n_baskets = bi.select("b").distinct().count()
     item_cnt = bi.groupBy("i").agg(F.count(F.lit(1)).alias("cnt"))
-    a = bi.withColumnRenamed("i", "item_a")
-    b = bi.withColumnRenamed("i", "item_b")
-    pairs = (
-        a.join(b, "b")
-        .filter(F.col("item_a") < F.col("item_b"))
-        .groupBy("item_a", "item_b")
-        .agg(F.count(F.lit(1)).alias("pair_cnt"))
-        .filter(F.col("pair_cnt") >= min_pair_count)
+    pairs = cooccurrence_pairs(
+        df,
+        basket=basket,
+        item=item,
+        min_pair_count=min_pair_count,
+        max_items_per_basket=max_items_per_basket,
     )
     return (
         pairs.join(item_cnt.withColumnRenamed("i", "item_a").withColumnRenamed("cnt", "cnt_a"), "item_a")

@@ -644,8 +644,10 @@ def gopher_rules(
     is one explode + two map-combinable aggregations keyed by doc."""
     from .split import explode_computed
 
-    toks = tokenize(text_col)
-    lines = F.split(F.col(text_col), "\n")
+    # drop phantom '' tokens (blank docs) and the phantom empty line a
+    # trailing newline would create — both would skew every denominator
+    toks = F.filter(tokenize(text_col), lambda t: t != "")
+    lines = F.split(F.regexp_replace(F.col(text_col), r"\n+$", ""), "\n")
     base = df.select(
         id_col,
         text_col,
@@ -654,6 +656,10 @@ def gopher_rules(
         F.length(text_col).alias("nc"),
     )
     n_words = F.size("tk")
+    # denominator guard: a zero-token doc divides by 1 (stats 0, fails
+    # the n_words >= 50 gate anyway) instead of yielding NULLs whose
+    # CASE/boolean semantics diverge between engines
+    w_den = F.greatest(n_words, F.lit(1))
     sum_len = F.aggregate(
         "tk", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
     )
@@ -669,16 +675,19 @@ def gopher_rules(
         id_col,
         F.col("nc"),
         n_words.cast("long").alias("n_words"),
-        F.round(sum_len / n_words, 4).alias("mean_word_len"),
-        F.round((n_hash + n_ell) / n_words, 4).alias("symbol_word_ratio"),
+        F.round(sum_len / w_den, 4).alias("mean_word_len"),
+        F.round((n_hash + n_ell) / w_den, 4).alias("symbol_word_ratio"),
         F.round(bullet / n_lines, 4).alias("bullet_line_frac"),
         F.round(ell_end / n_lines, 4).alias("ellipsis_line_frac"),
-        F.round(alpha / n_words, 4).alias("alpha_word_frac"),
+        F.round(alpha / w_den, 4).alias("alpha_word_frac"),
         F.round(1 - F.size(F.array_distinct("ln")) / n_lines, 4).alias("dup_line_frac"),
     )
+    # greatest(…, 0): the filtered token array CAN be empty (whitespace-
+    # only doc), and slice rejects a negative length
+    n_bi = F.greatest(F.size("tk") - 1, F.lit(0))
     bigrams = F.zip_with(
-        F.slice(F.col("tk"), 1, F.size("tk") - 1),
-        F.slice(F.col("tk"), 2, F.size("tk") - 1),
+        F.slice(F.col("tk"), 1, n_bi),
+        F.slice(F.col("tk"), 2, n_bi),
         lambda a, b: F.concat_ws(" ", a, b),
     )
     big = explode_computed(base, [id_col], bigrams, "g").filter(F.col("g") != " ")

@@ -66,6 +66,7 @@ def last_touch_attribution(
     conversion: str = "purchase",
     touches: tuple[str, ...] = ("view", "click"),
     within: str = "7 DAY",
+    seq: str = "event_id",
 ) -> DataFrame:
     """Last-touch attribution: every conversion event joined to the most
     recent PRIOR touch event of the same key within ``within``.
@@ -73,16 +74,20 @@ def last_touch_attribution(
     One window pass per key ordered by event time: the running
     (max ts, max_by type) over preceding touch rows rides the same sort
     the conversion filter uses — no self-join.  Conversions with no
-    in-window touch attribute to 'none'."""
+    in-window touch attribute to 'none'.  ``seq`` tiebreaks equal
+    timestamps (frame membership AND the max_by winner), making the
+    output a pure function of the data under any partitioning — the
+    same determinism contract as transition_matrix / late_flags_batch."""
     w = (
         Window.partitionBy(key)
-        .orderBy(ts)
+        .orderBy(ts, seq)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     is_touch = F.col(type_col).isin(*touches)
     touch_ts = F.max(F.when(is_touch, F.col(ts))).over(w)
     touch_type = F.max_by(
-        F.when(is_touch, F.col(type_col)), F.when(is_touch, F.col(ts))
+        F.when(is_touch, F.col(type_col)),
+        F.when(is_touch, F.struct(ts, seq)),
     ).over(w)
     flagged = events.withColumn("__t_ts", touch_ts).withColumn(
         "__t_type", touch_type
@@ -110,6 +115,7 @@ def linear_attribution(
     conversion: str = "purchase",
     touches: tuple[str, ...] = ("view", "click"),
     within: str = "7 DAY",
+    seq: str = "event_id",
 ) -> DataFrame:
     """Linear multi-touch attribution: every touch in the ``within``
     window before a conversion shares credit equally (weight 1/k).
@@ -118,9 +124,11 @@ def linear_attribution(
     predicate (the interval-join family — Catalyst keeps it a hash join
     on the key with a post-filter, no cartesian); the per-conversion
     touch count is a window over the joined result, not the raw
-    stream."""
+    stream.  The window partitions on the conversion's ``seq`` so two
+    conversions sharing (key, ts) each keep full credit (weights per
+    conversion always sum to 1) instead of splitting each other's."""
     conv = events.filter(F.col(type_col) == conversion).select(
-        F.col(key), F.col(ts).alias("conversion_ts")
+        F.col(key), F.col(ts).alias("conversion_ts"), F.col(seq).alias("__cid")
     )
     tch = events.filter(F.col(type_col).isin(*touches)).select(
         F.col(key), F.col(ts).alias("touch_ts"), F.col(type_col).alias("touch_type")
@@ -129,7 +137,7 @@ def linear_attribution(
         (F.col("touch_ts") < F.col("conversion_ts"))
         & (F.col("touch_ts") >= F.col("conversion_ts") - F.expr(f"INTERVAL {within}"))
     )
-    w = Window.partitionBy(key, "conversion_ts")
+    w = Window.partitionBy(key, "__cid")
     return joined.select(
         key,
         "conversion_ts",

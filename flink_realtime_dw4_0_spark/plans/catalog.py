@@ -4814,23 +4814,26 @@ def sample_negative_pairs_q(spark, sf_dir):
     "text_gopher_rules",
     f"""
     WITH base AS (
-      SELECT doc_id, text, {_DK_TOKS} AS tk,
-             string_split(text, chr(10)) AS ln, length(text) AS nc
+      SELECT doc_id, text,
+             list_filter({_DK_TOKS}, x -> x <> '') AS tk,
+             string_split(regexp_replace(text, '\\n+$', ''), chr(10)) AS ln,
+             length(text) AS nc
       FROM documents),
     stats AS (
       SELECT doc_id, nc,
         CAST(len(tk) AS BIGINT) AS n_words,
-        round(list_sum(list_transform(tk, x -> length(x))) / len(tk), 4) AS mean_word_len,
+        round(coalesce(list_sum(list_transform(tk, x -> length(x))), 0)
+              / greatest(len(tk), 1), 4) AS mean_word_len,
         round((
           (length(text) - length(replace(text, '#', '')))
           + floor((length(text) - length(replace(text, '...', ''))) / 3)
-        ) / len(tk), 4) AS symbol_word_ratio,
+        ) / greatest(len(tk), 1), 4) AS symbol_word_ratio,
         round(len(list_filter(ln, x -> trim(x) LIKE '- %' OR trim(x) LIKE '* %'))
               / len(ln), 4) AS bullet_line_frac,
         round(len(list_filter(ln, x -> rtrim(x) LIKE '%...')) / len(ln), 4)
           AS ellipsis_line_frac,
-        round(len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) / len(tk), 4)
-          AS alpha_word_frac,
+        round(len(list_filter(tk, x -> regexp_matches(x, '[a-z]')))
+              / greatest(len(tk), 1), 4) AS alpha_word_frac,
         round(1 - len(list_distinct(ln)) / len(ln), 4) AS dup_line_frac
       FROM base),
     big AS (
@@ -4905,10 +4908,12 @@ def ts_ewma_q(spark, sf_dir):
              max(CASE WHEN event_type IN ('view','click') THEN ts END)
                OVER w AS t_ts,
              arg_max(CASE WHEN event_type IN ('view','click') THEN event_type END,
-                     CASE WHEN event_type IN ('view','click') THEN ts END)
+                     CASE WHEN event_type IN ('view','click')
+                          THEN lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                               || lpad(CAST(event_id AS VARCHAR), 12, '0') END)
                OVER w AS t_type
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
     SELECT user_id, epoch_us(ts) AS conversion_us,
            CASE WHEN t_ts >= ts - INTERVAL 7 DAY THEN t_type
@@ -4938,18 +4943,18 @@ def attr_last_touch_q(spark, sf_dir):
 @q(
     "attr_linear_weights",
     """
-    WITH c AS (SELECT user_id, ts AS conversion_ts FROM events
+    WITH c AS (SELECT user_id, ts AS conversion_ts, event_id AS cid FROM events
                WHERE event_type = 'purchase'),
     tch AS (SELECT user_id, ts AS touch_ts, event_type AS touch_type
             FROM events WHERE event_type IN ('view','click')),
     j AS (
-      SELECT c.user_id, c.conversion_ts, t.touch_ts, t.touch_type
+      SELECT c.user_id, c.conversion_ts, c.cid, t.touch_ts, t.touch_type
       FROM c JOIN tch t ON c.user_id = t.user_id
       WHERE t.touch_ts < c.conversion_ts
         AND t.touch_ts >= c.conversion_ts - INTERVAL 7 DAY)
     SELECT user_id, epoch_us(conversion_ts) AS conversion_us,
            epoch_us(touch_ts) AS touch_us, touch_type,
-           round(1.0 / count(*) OVER (PARTITION BY user_id, conversion_ts), 6)
+           round(1.0 / count(*) OVER (PARTITION BY user_id, cid), 6)
              AS weight
     FROM j
     """,
@@ -5007,7 +5012,7 @@ def graph_triangles_q(spark, sf_dir):
     from ..operators import assoc, graph
 
     li = t(spark, sf_dir, "lineitem")
-    edges = assoc.basket_pairs(
+    edges = assoc.cooccurrence_pairs(
         li, basket="l_orderkey", item="l_partkey", min_pair_count=2
     ).select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
     return graph.triangle_count(edges).select(

@@ -45,7 +45,17 @@ class IncrementalAggView:
     def refresh(self, spark: SparkSession) -> None:
         ch = self.base.changes(spark, 1)
         if ch is None:
-            # first commit: the whole snapshot is the delta
+            # Bootstrap is legal ONLY while the view is empty.  With view
+            # state present, a missing change feed (keep_versions=1 on
+            # the base, or a re-run after the previous snapshot was GC'd)
+            # must fail loudly — falling back to a full-snapshot insert
+            # would silently double every sum/count.
+            if self.view.read(spark) is not None:
+                raise RuntimeError(
+                    "change feed unavailable but the view has state; "
+                    "cannot refresh incrementally (base needs "
+                    "keep_versions >= 2 and one refresh per commit)"
+                )
             base_df = self.base.read(spark)
             if base_df is None:
                 return
@@ -75,6 +85,10 @@ class IncrementalAggView:
             )
         else:
             merged = deltas
+        # the live/dead split consumes `merged` twice; materialize the
+        # change-feed diff + delta aggregation once instead of recomputing
+        # the full-outer join per consumer
+        merged = merged.localCheckpoint()
         live = merged.filter(F.col("n_rows") > 0)
         dead = merged.filter(F.col("n_rows") <= 0).select(*self.group_cols)
         self.view.merge(spark, live, deletes=dead)

@@ -78,8 +78,13 @@ class LateRouter:
                 - F.expr(f"INTERVAL {self.delay}")
                 - F.expr(f"INTERVAL {self.allowed_lateness}")
             )
-            late = batch.filter(F.col(self.ts_col) < threshold)
-            on_time = batch.filter(~(F.col(self.ts_col) < threshold))
+            # NULL event times can never be late (coalesce, not a bare
+            # <: a bare NULL comparison would fail BOTH filters and
+            # silently lose the row — the exact contract this module
+            # exists to prevent)
+            is_late = F.coalesce(F.col(self.ts_col) < threshold, F.lit(False))
+            late = batch.filter(is_late)
+            on_time = batch.filter(~is_late)
         # advance per-partition watermark state (monotone max-merge)
         new_max = batch.groupBy(self.partition_col).agg(
             F.max(self.ts_col).alias("max_ts")

@@ -47,11 +47,16 @@ class StreamingEwma:
         k, ts, v, seq, a = self.key, self.ts, self.value, self.seq, self.alpha
         prev = self.state.read(spark)
         if prev is None:
-            prev = spark.createDataFrame(
-                [],
-                f"{k} long, ewma double, n_points long, "
-                f"last_ts timestamp, last_seq long",
-            )
+            # derive the empty state schema from the BATCH's own types
+            # (a hardcoded `key long` would make string/int keys fail the
+            # first-batch join under ANSI casting)
+            prev = batch.select(
+                F.col(k),
+                F.lit(None).cast("double").alias("ewma"),
+                F.lit(None).cast("long").alias("n_points"),
+                F.col(ts).alias("last_ts"),
+                F.col(seq).cast("long").alias("last_seq"),
+            ).limit(0)
         joined = batch.select(
             F.col(k),
             F.col(ts).alias("__ts"),

@@ -1543,7 +1543,9 @@ def test_last_touch_attribution_semantics(spark):
         (4, D(1), "click"), (4, D(1, 2), "purchase"), (4, D(1, 3), "view"),
         (4, D(1, 4), "purchase"),                                       # 2nd purchase -> view
     ]
-    ev = spark.createDataFrame(rows, "user_id int, ts timestamp, event_type string")
+    rows = [(u, t, i, e) for i, (u, t, e) in enumerate(rows)]
+    ev = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_id long, event_type string")
     out = {(r.user_id, r.conversion_ts): r.touch_type
            for r in timeseries.last_touch_attribution(ev).collect()}
     assert out == {
@@ -1566,7 +1568,9 @@ def test_linear_attribution_weights_sum_to_one(spark):
         (1, D(4), "purchase"),
         (2, D(1), "view"), (2, D(20), "purchase"),  # touch out of window
     ]
-    ev = spark.createDataFrame(rows, "user_id int, ts timestamp, event_type string")
+    rows = [(u, t, i, e) for i, (u, t, e) in enumerate(rows)]
+    ev = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_id long, event_type string")
     out = timeseries.linear_attribution(ev).collect()
     u1 = [r for r in out if r.user_id == 1]
     assert len(u1) == 3 and all(abs(r.weight - 1 / 3) < 1e-5 for r in u1)
@@ -1601,3 +1605,43 @@ def test_keyed_table_change_data_feed(spark, tmp_path):
     }
     # unchanged rows never appear; window beyond retention -> None
     assert tb.changes(spark, steps_back=5) is None
+
+
+def test_attribution_equal_ts_tiebreak_and_conversion_identity(spark):
+    """Review regressions: equal-timestamp touches resolve by event_id
+    (deterministic under any layout), and two conversions sharing
+    (key, ts) each keep full credit in linear attribution."""
+    from datetime import datetime as dt
+
+    from flink_realtime_dw4_0_spark.operators import timeseries
+
+    T = dt(2024, 1, 2)
+    rows = [
+        (1, dt(2024, 1, 1), 0, "view"),
+        (1, dt(2024, 1, 1), 1, "click"),   # same ts, higher seq -> wins
+        (1, T, 2, "purchase"),
+        (1, T, 3, "purchase"),             # duplicate-ts conversion
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_id long, event_type string")
+    lt = timeseries.last_touch_attribution(ev).collect()
+    assert all(r.touch_type == "click" for r in lt) and len(lt) == 2
+
+    lin = timeseries.linear_attribution(ev).collect()
+    # each of the 2 conversions sees 2 touches at weight 1/2
+    assert len(lin) == 4 and all(r.weight == 0.5 for r in lin)
+
+
+def test_gopher_rules_trailing_newline_no_phantoms(spark):
+    clean = " ".join(f"word{i:03d}" for i in range(50))
+    docs = spark.createDataFrame(
+        [(1, clean), (2, clean + "\n"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.asDict() for r in text.gopher_rules(docs).collect()}
+    # trailing newline must not create a phantom token or line
+    assert out[1]["n_words"] == out[2]["n_words"] == 50
+    assert out[1]["gopher_pass"] == out[2]["gopher_pass"] == 1
+    assert out[2]["dup_line_frac"] == 0.0
+    # whitespace-only doc: zero words, all stats defined, fails the gate
+    assert out[3]["n_words"] == 0 and out[3]["gopher_pass"] == 0

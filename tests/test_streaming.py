@@ -1489,3 +1489,43 @@ def test_incremental_agg_view_tracks_base(spark, tmp_path):
     view.refresh(spark)
     check()
     assert {r.g for r in view.read(spark).collect()} == {"a", "b"}
+
+
+def test_late_router_null_ts_routes_on_time(spark, tmp_path):
+    """Review regression: NULL event times must pass through on_time,
+    never vanish from both outputs."""
+    from datetime import datetime as dt
+
+    from flink_realtime_dw4_0_spark.streaming.sideoutput import LateRouter
+
+    router = LateRouter(str(tmp_path / "wmn"), delay="5 seconds")
+    b1 = spark.createDataFrame(
+        [(0, dt(2024, 1, 1, 0, 5, 0), 1)], "part int, ts timestamp, event_id int"
+    )
+    router.process_batch(b1, spark)
+    b2 = spark.createDataFrame(
+        [(0, None, 2), (0, dt(2024, 1, 1, 0, 0, 0), 3)],
+        "part int, ts timestamp, event_id int",
+    )
+    on2, late2 = router.process_batch(b2, spark)
+    assert {r.event_id for r in on2.collect()} == {2}
+    assert {r.event_id for r in late2.collect()} == {3}
+
+
+def test_incremental_agg_view_refuses_gapped_feed(spark, tmp_path):
+    """Review regression: a missing change feed with view state present
+    must raise, not silently double-count via the bootstrap path."""
+    import pytest
+
+    from flink_realtime_dw4_0_spark.sinks.matview import IncrementalAggView
+    from flink_realtime_dw4_0_spark.sinks.upsert import KeyedTable
+
+    base = KeyedTable(str(tmp_path / "b1"), keys=["k"])  # keep_versions=1!
+    view = IncrementalAggView(
+        base, str(tmp_path / "v1"), group_cols=["g"], sum_cols=["v"]
+    )
+    base.replace(spark.createDataFrame([(1, "a", 5)], "k int, g string, v long"))
+    view.refresh(spark)  # bootstrap while view empty: fine
+    base.merge(spark, spark.createDataFrame([(2, "a", 3)], "k int, g string, v long"))
+    with pytest.raises(RuntimeError, match="change feed unavailable"):
+        view.refresh(spark)

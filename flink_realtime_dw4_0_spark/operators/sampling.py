@@ -435,3 +435,52 @@ def negative_pairs(
             "neg_id",
         )
     )
+
+
+def length_bucket_batches(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    capacity_tokens: int = 1024,
+) -> DataFrame:
+    """Padding-efficient batch assignment for training: docs bucket by
+    padded (power-of-two) token length, and each bucket packs
+    ``capacity_tokens // bucket`` docs per batch — the standard
+    length-grouped batching that keeps padding waste < 50% without
+    sorting the whole corpus by length.
+
+    Distributed rank: within-bucket positions come from the global
+    prefix-sum rank over (bucket, id) minus each bucket's start rank —
+    NO per-bucket single-partition window, so a dominant bucket (most
+    docs are mid-length) can't funnel through one task.
+
+    Returns (id, n_tokens, bucket, batch_id); deterministic (id-ordered
+    within bucket)."""
+    from ..operators.text import token_count_ws
+
+    base = df.select(
+        id_col, token_count_ws(text_col).cast("long").alias("n_tokens")
+    )
+    bucket = F.pow(
+        F.lit(2.0), F.ceil(F.log2(F.greatest(F.col("n_tokens"), F.lit(1))))
+    ).cast("long")
+    base = base.withColumn("bucket", bucket)
+    ranked = global_rank(
+        base, [F.col("bucket"), F.col(id_col)], [F.col("bucket"), F.col(id_col)], "__r"
+    )
+    starts = ranked.groupBy("bucket").agg(F.min("__r").alias("__r0"))
+    per_batch = F.greatest(
+        (F.lit(capacity_tokens) / F.col("bucket")).cast("long"), F.lit(1)
+    )
+    return (
+        ranked.join(starts, "bucket")
+        .select(
+            id_col,
+            "n_tokens",
+            "bucket",
+            F.floor((F.col("__r") - F.col("__r0")) / per_batch)
+            .cast("long")
+            .alias("batch_id"),
+        )
+    )

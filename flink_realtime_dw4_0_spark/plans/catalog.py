@@ -4257,6 +4257,83 @@ def fuzzy_join_customers_q(spark, sf_dir):
 
 
 @q(
+    "sample_length_bucket_batches",
+    f"""
+    WITH b AS (
+      SELECT doc_id, CAST(len({_DK_TOKS}) AS BIGINT) AS n_tokens,
+             CAST(power(2, ceil(log2(greatest(len({_DK_TOKS}), 1)))) AS BIGINT)
+               AS bucket
+      FROM documents),
+    r AS (SELECT doc_id, n_tokens, bucket,
+                 row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1
+                   AS wr
+          FROM b)
+    SELECT doc_id, n_tokens, bucket,
+           CAST(floor(wr / greatest(CAST(1024 / bucket AS BIGINT), 1)) AS BIGINT)
+             AS batch_id
+    FROM r
+    """,
+    tags=("sampling", "batching", "training-prep"),
+)
+def length_bucket_batches_q(spark, sf_dir):
+    """Length-grouped batch assignment
+    (sampling.length_bucket_batches): power-of-two padded-length
+    buckets, capacity_tokens // bucket docs per batch — padding-
+    efficient training batches with within-bucket positions from the
+    distributed prefix-sum rank (no single-partition window)."""
+    docs = t(spark, sf_dir, "documents")
+    return sampling.length_bucket_batches(docs, capacity_tokens=1024)
+
+
+@q(
+    "entity_resolution_customers",
+    """
+    WITH RECURSIVE s AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+    g0 AS (SELECT id, unnest(list_distinct([name[i:i+2] for i in range(1, len(name) - 1)])) AS gram
+           FROM s),
+    hot AS (SELECT gram FROM g0 GROUP BY gram HAVING count(*) > 50),
+    g AS (SELECT g0.id, g0.gram FROM g0 ANTI JOIN hot USING (gram)),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM g a JOIN g b USING (gram) WHERE a.id < b.id),
+    p AS (SELECT c.id_a, c.id_b
+          FROM cand c JOIN s sa ON c.id_a = sa.id JOIN s sb ON c.id_b = sb.id
+          WHERE levenshtein(sa.name, sb.name) <= 2),
+    e AS (SELECT id_a AS u, id_b AS v FROM p
+          UNION SELECT id_b, id_a FROM p),
+    reach(u, r) AS (
+      SELECT u, v FROM e
+      UNION
+      SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u),
+    comp AS (SELECT u AS id, least(u, min(r)) AS component
+             FROM reach GROUP BY u)
+    SELECT s.id AS c_custkey,
+           coalesce(c.component, s.id) AS canonical_id
+    FROM s LEFT JOIN comp c ON s.id = c.id
+    """,
+    tags=("entity-resolution", "graph", "composed"),
+)
+def entity_resolution_q(spark, sf_dir):
+    """Composed entity resolution: trigram-blocked fuzzy matching
+    (dedup.fuzzy_join_pairs) → star-contraction connected components →
+    canonical (min) id per identity cluster, every customer labeled.
+    Star contraction (O(log n) rounds) rather than hash-min because
+    near-identical serial names chain — cluster DIAMETER is large even
+    though each edge is local.  The oracle replays the closure with a
+    recursive CTE."""
+    c = t(spark, sf_dir, "customer")
+    pairs = dedup.fuzzy_join_pairs(c, "c_custkey", "c_name", max_edit=2)
+    comp = dedup.connected_components_star(pairs.select("id_a", "id_b"))
+    return (
+        c.select(F.col("c_custkey"))
+        .join(comp.withColumnRenamed("doc_id", "c_custkey"), "c_custkey", "left")
+        .select(
+            "c_custkey",
+            F.coalesce("component", "c_custkey").alias("canonical_id"),
+        )
+    )
+
+
+@q(
     "ts_zscore_anomaly",
     """
     WITH s AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd

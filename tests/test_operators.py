@@ -1645,3 +1645,23 @@ def test_gopher_rules_trailing_newline_no_phantoms(spark):
     assert out[2]["dup_line_frac"] == 0.0
     # whitespace-only doc: zero words, all stats defined, fails the gate
     assert out[3]["n_words"] == 0 and out[3]["gopher_pass"] == 0
+
+
+def test_length_bucket_batches_properties(spark, sf_dir):
+    from flink_realtime_dw4_0_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.length_bucket_batches(docs, capacity_tokens=256).collect()
+    assert len(out) == docs.count()
+    for r in out:
+        # bucket = smallest power of two >= n_tokens
+        assert r.bucket >= max(r.n_tokens, 1) and r.bucket < 2 * max(r.n_tokens, 1)
+        assert r.bucket & (r.bucket - 1) == 0
+    # every batch holds at most capacity // bucket docs, and token cost
+    # at padded length never exceeds capacity (unless one doc alone)
+    from collections import Counter
+
+    sizes = Counter((r.bucket, r.batch_id) for r in out)
+    for (bucket, _), n in sizes.items():
+        per = max(256 // bucket, 1)
+        assert n <= per

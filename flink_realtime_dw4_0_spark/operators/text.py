@@ -725,3 +725,64 @@ def gopher_rules(
         & (F.col("top2gram_char_frac") <= 0.2)
     )
     return out.withColumn("gopher_pass", gopher_pass.cast("int"))
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned BPE merge table: encode each document into
+    subword tokens (the GPT-2 byte-pair algorithm over word-internal
+    character symbols, with '</w>' closing each word).
+
+    The merge RANKING comes from the corpus statistic the engine already
+    computes distributed (`text_bpe_pair_counts` per iteration); this
+    operator is the APPLY side: per word, repeatedly merge the
+    lowest-rank adjacent pair until none applies.  The loop is
+    inherently per-word sequential, so it runs as an Arrow-batched
+    pandas UDF — the merge dict closes over the UDF and ships once per
+    task; a per-batch word-level memo dedupes repeated words (Zipf makes
+    the hit rate high).  No SQL twin exists for the fixpoint loop, so
+    coverage is golden tests (hand-checked encodings) + the rows-only
+    driver check.
+
+    Returns (id, bpe_tokens array<string>, n_bpe_tokens)."""
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def enc_word(word: str, memo: dict) -> list:
+        got = memo.get(word)
+        if got is not None:
+            return got
+        # word arrives WITHOUT the marker; symbols = chars + closing '</w>'
+        syms = list(word) + ["</w>"]
+        while len(syms) > 1:
+            best, best_rank = None, None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best, best_rank = i, r
+            if best is None:
+                break
+            syms = syms[:best] + [syms[best] + syms[best + 1]] + syms[best + 2:]
+        memo[word] = syms
+        return syms
+
+    @pandas_udf("array<string>")
+    def enc(s):  # pd.Series -> pd.Series
+        memo: dict = {}
+        return s.map(
+            lambda x: [
+                t
+                for w in str(x).strip().lower().split()
+                for t in enc_word(w, memo)
+            ],
+            na_action="ignore",
+        )
+
+    c = F.col(text_col)
+    out = df.select(id_col, enc(c).alias("bpe_tokens"))
+    return out.withColumn("n_bpe_tokens", F.size("bpe_tokens").cast("long"))

@@ -4256,6 +4256,35 @@ def fuzzy_join_customers_q(spark, sf_dir):
     return dedup.fuzzy_join_pairs(c, "c_custkey", "c_name", max_edit=2)
 
 
+# frequent English character merges, in rank order — a fixed toy merge
+# table so the encode query is deterministic without a driver-side
+# training collect (the LEARN side is text_bpe_pair_counts per round)
+_BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("the", "</w>"), ("i", "n"), ("e", "r"),
+    ("a", "n"), ("r", "e"), ("o", "n"), ("er", "</w>"), ("a", "t"),
+    ("s", "</w>"), ("e", "n"), ("o", "r"), ("s", "t"), ("in", "g"),
+    ("ing", "</w>"), ("an", "d"), ("and", "</w>"), ("o", "u"), ("a", "r"),
+]
+
+
+@q(
+    "text_bpe_encode_counts",
+    None,  # the merge fixpoint loop has no SQL twin; golden-tested
+    tags=("text", "tokenizer", "rows-only"),
+)
+def text_bpe_encode_q(spark, sf_dir):
+    """Real BPE encoding (text.bpe_encode): apply a ranked merge table
+    per word until fixpoint — the GPT-2 apply algorithm as an
+    Arrow-batched UDF with a per-batch word memo (Zipf hit rate).
+    Deterministic under the fixed merge table; rows-only by design
+    (the iterative merge loop is not SQL-expressible), semantics proven
+    by hand-checked goldens in tests/test_operators.py."""
+    docs = t(spark, sf_dir, "documents")
+    return text.bpe_encode(docs, _BPE_MERGES).select(
+        "doc_id", "n_bpe_tokens"
+    )
+
+
 @q(
     "sample_length_bucket_batches",
     f"""
@@ -4405,16 +4434,16 @@ def text_bpe_pair_counts_q(spark, sf_dir):
     over exploded pairs."""
     docs = t(spark, sf_dir, "documents")
     tk = text.tokenize("text")
-    pairs = F.when(
-        F.size(tk) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(tk) - 1),
-            lambda i: F.struct(
-                F.element_at(tk, i).alias("left_tok"),
-                F.element_at(tk, i + 1).alias("right_tok"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<left_tok:string,right_tok:string>>"))
+    # zip_with over shifted slices: a lambda capturing the outer token
+    # array (element_at(tk, i) over a sequence) re-evaluates split() per
+    # element in the interpreted higher-order path — the same O(len²)
+    # pathology fixed in text.dsir_logweights
+    n_bi = F.greatest(F.size(tk) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(tk, 1, n_bi),
+        F.slice(tk, 2, n_bi),
+        lambda a, b: F.struct(a.alias("left_tok"), b.alias("right_tok")),
+    )
     e = split.explode_computed(docs.select(pairs.alias("p")), [], "p", "pr")
     return (
         e.select(F.col("pr.left_tok").alias("left_tok"), F.col("pr.right_tok").alias("right_tok"))

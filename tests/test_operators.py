@@ -1665,3 +1665,37 @@ def test_length_bucket_batches_properties(spark, sf_dir):
     for (bucket, _), n in sizes.items():
         per = max(256 // bucket, 1)
         assert n <= per
+
+
+def test_bpe_encode_applies_merges_in_rank_order(spark):
+    # classic toy example: merges learned for 'low/lower/lowest'
+    merges = [
+        ("l", "o"),        # lo
+        ("lo", "w"),       # low
+        ("e", "r"),        # er
+        ("er", "</w>"),    # er</w>
+        ("low", "</w>"),   # low</w>
+    ]
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.bpe_tokens, r.n_bpe_tokens)
+           for r in text.bpe_encode(docs, merges).collect()}
+    assert out[1][0] == [
+        "low</w>",                 # low
+        "low", "er</w>",           # lower
+        "low", "e", "s", "t", "</w>",  # lowest (no est merges learned)
+    ]
+    assert out[1][1] == 8
+    assert out[2] == ([], 0)
+    assert out[3][0] is None  # NULL propagates
+
+
+def test_bpe_encode_rank_priority_not_position(spark):
+    # ('b','c') has better rank than ('a','b'): 'abc' -> a + bc, then no
+    # rule joins a+bc, proving rank order (not leftmost-first) drives it
+    merges = [("b", "c"), ("a", "b")]
+    docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    toks = text.bpe_encode(docs, merges).collect()[0].bpe_tokens
+    assert toks == ["a", "bc", "</w>"]

@@ -4267,6 +4267,138 @@ _BPE_MERGES = [
 ]
 
 
+_GOPHER_SQL = f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             list_filter({_DK_TOKS}, x -> x <> '') AS tk,
+             string_split(regexp_replace(text, '\\n+$', ''), chr(10)) AS ln,
+             length(text) AS nc
+      FROM documents),
+    stats AS (
+      SELECT doc_id, nc,
+        CAST(len(tk) AS BIGINT) AS n_words,
+        round(coalesce(list_sum(list_transform(tk, x -> length(x))), 0)
+              / greatest(len(tk), 1), 4) AS mean_word_len,
+        round((
+          (length(text) - length(replace(text, '#', '')))
+          + floor((length(text) - length(replace(text, '...', ''))) / 3)
+        ) / greatest(len(tk), 1), 4) AS symbol_word_ratio,
+        round(len(list_filter(ln, x -> trim(x) LIKE '- %' OR trim(x) LIKE '* %'))
+              / len(ln), 4) AS bullet_line_frac,
+        round(len(list_filter(ln, x -> rtrim(x) LIKE '%...')) / len(ln), 4)
+          AS ellipsis_line_frac,
+        round(len(list_filter(tk, x -> regexp_matches(x, '[a-z]')))
+              / greatest(len(tk), 1), 4) AS alpha_word_frac,
+        round(1 - len(list_distinct(ln)) / len(ln), 4) AS dup_line_frac
+      FROM base),
+    big AS (
+      SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS g, nc
+      FROM base, unnest(generate_series(1, len(tk) - 1)) AS gs(i)
+      WHERE len(tk) >= 2 AND tk[i] || ' ' || tk[i + 1] <> ' '),
+    cnts AS (
+      SELECT doc_id, g, nc, count(*) AS cnt,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY count(*) DESC, g DESC) AS rn
+      FROM big GROUP BY doc_id, g, nc),
+    top2 AS (SELECT doc_id, round(cnt * length(g) / nc, 4) AS t_frac
+             FROM cnts WHERE rn = 1),
+    o AS (
+      SELECT s.*, coalesce(CASE WHEN s.nc > 0 THEN t.t_frac END, 0.0)
+               AS top2gram_char_frac
+      FROM stats s LEFT JOIN top2 t USING (doc_id))
+    SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+           bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+           dup_line_frac, top2gram_char_frac,
+           CASE WHEN n_words BETWEEN 50 AND 100000
+                 AND mean_word_len BETWEEN 3 AND 10
+                 AND symbol_word_ratio <= 0.1
+                 AND bullet_line_frac <= 0.9
+                 AND ellipsis_line_frac <= 0.3
+                 AND alpha_word_frac >= 0.8
+                 AND dup_line_frac <= 0.3
+                 AND top2gram_char_frac <= 0.2
+                THEN 1 ELSE 0 END AS gopher_pass
+    FROM o
+    """
+
+
+
+@q(
+    "pipeline_pretrain_curation",
+    f"""
+    WITH RECURSIVE
+    gop AS (SELECT doc_id FROM ({_GOPHER_SQL}) g WHERE gopher_pass = 1),
+    d1 AS (SELECT d.* FROM documents d JOIN gop USING (doc_id)),
+    ex AS (SELECT min(doc_id) AS doc_id FROM (
+             SELECT doc_id,
+                    md5(list_aggregate(string_split_regex(lower(trim(text)), '\\s+'),
+                        'string_agg', ' ')) AS fp
+             FROM d1) GROUP BY fp),
+    d2 AS (SELECT d1.* FROM d1 JOIN ex USING (doc_id)),
+    toks2 AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+              FROM d2),
+    sh AS (SELECT doc_id,
+                  CASE WHEN len(tk) >= 3
+                       THEN list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                           for i in range(1, len(tk) - 1)])
+                       ELSE [] END AS s
+           FROM toks2),
+    inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+    jp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+           FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+    np AS (SELECT p.id_a, p.id_b
+           FROM jp p JOIN sizes sa ON p.id_a = sa.doc_id
+                     JOIN sizes sb ON p.id_b = sb.doc_id
+           WHERE p.inter * 3 >= (sa.n + sb.n)),
+    e AS (SELECT id_a AS u, id_b AS v FROM np UNION SELECT id_b, id_a FROM np),
+    reach(u, r) AS (
+      SELECT u, u FROM e
+      UNION
+      SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u),
+    comp AS (SELECT u AS doc_id, min(r) AS component FROM reach GROUP BY u),
+    keepers AS (SELECT d2.doc_id FROM d2 LEFT JOIN comp c USING (doc_id)
+                WHERE c.component IS NULL OR c.component = d2.doc_id)
+    SELECT k.doc_id,
+           CAST(len(string_split_regex(lower(trim(d.text)), '\\s+')) AS BIGINT)
+             AS n_tokens,
+           CASE WHEN substr(md5('split:' || COALESCE(CAST(k.doc_id AS VARCHAR), '')), 1, 4) < 'e666'
+                THEN 'train'
+                WHEN substr(md5('split:' || COALESCE(CAST(k.doc_id AS VARCHAR), '')), 1, 4) < 'f333'
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM keepers k JOIN documents d USING (doc_id)
+    """,
+    tags=("pipeline", "curation", "composed"),
+)
+def pipeline_pretrain_q(spark, sf_dir):
+    """The flagship end-to-end curation pipeline as ONE declarative
+    plan: Gopher quality gate → exact dedup (min-id per fingerprint) →
+    near-dup component drop (jaccard ≥ ½ on the surviving subset —
+    induced-subgraph components equal filtered-pair components because
+    jaccard is corpus-independent) → deterministic train/val/test
+    split.  Every stage is the library operator the standalone queries
+    already verify; the composition itself is oracle-exact."""
+    docs = t(spark, sf_dir, "documents")
+    gop = (
+        text.gopher_rules(docs)
+        .filter(F.col("gopher_pass") == 1)
+        .select("doc_id")
+    )
+    d1 = docs.join(gop, "doc_id")
+    ex = dedup.exact_dedup(d1).select(F.col("keep_id").alias("doc_id"))
+    d2 = d1.join(ex, "doc_id")
+    pairs = dedup.ngram_jaccard_pairs(d2)
+    kl = dedup.dedup_keep_list(d2, pairs)
+    final = d2.join(kl.filter(F.col("keep") == 1).select("doc_id"), "doc_id")
+    return sampling.split_assign(final).select(
+        "doc_id",
+        text.token_count_ws("text").cast("long").alias("n_tokens"),
+        "split",
+    )
+
+
 @q(
     "text_bpe_encode_counts",
     None,  # the merge fixpoint loop has no SQL twin; golden-tested
@@ -4918,59 +5050,7 @@ def sample_negative_pairs_q(spark, sf_dir):
 
 @q(
     "text_gopher_rules",
-    f"""
-    WITH base AS (
-      SELECT doc_id, text,
-             list_filter({_DK_TOKS}, x -> x <> '') AS tk,
-             string_split(regexp_replace(text, '\\n+$', ''), chr(10)) AS ln,
-             length(text) AS nc
-      FROM documents),
-    stats AS (
-      SELECT doc_id, nc,
-        CAST(len(tk) AS BIGINT) AS n_words,
-        round(coalesce(list_sum(list_transform(tk, x -> length(x))), 0)
-              / greatest(len(tk), 1), 4) AS mean_word_len,
-        round((
-          (length(text) - length(replace(text, '#', '')))
-          + floor((length(text) - length(replace(text, '...', ''))) / 3)
-        ) / greatest(len(tk), 1), 4) AS symbol_word_ratio,
-        round(len(list_filter(ln, x -> trim(x) LIKE '- %' OR trim(x) LIKE '* %'))
-              / len(ln), 4) AS bullet_line_frac,
-        round(len(list_filter(ln, x -> rtrim(x) LIKE '%...')) / len(ln), 4)
-          AS ellipsis_line_frac,
-        round(len(list_filter(tk, x -> regexp_matches(x, '[a-z]')))
-              / greatest(len(tk), 1), 4) AS alpha_word_frac,
-        round(1 - len(list_distinct(ln)) / len(ln), 4) AS dup_line_frac
-      FROM base),
-    big AS (
-      SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS g, nc
-      FROM base, unnest(generate_series(1, len(tk) - 1)) AS gs(i)
-      WHERE len(tk) >= 2 AND tk[i] || ' ' || tk[i + 1] <> ' '),
-    cnts AS (
-      SELECT doc_id, g, nc, count(*) AS cnt,
-             row_number() OVER (PARTITION BY doc_id
-                                ORDER BY count(*) DESC, g DESC) AS rn
-      FROM big GROUP BY doc_id, g, nc),
-    top2 AS (SELECT doc_id, round(cnt * length(g) / nc, 4) AS t_frac
-             FROM cnts WHERE rn = 1),
-    o AS (
-      SELECT s.*, coalesce(CASE WHEN s.nc > 0 THEN t.t_frac END, 0.0)
-               AS top2gram_char_frac
-      FROM stats s LEFT JOIN top2 t USING (doc_id))
-    SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
-           bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
-           dup_line_frac, top2gram_char_frac,
-           CASE WHEN n_words BETWEEN 50 AND 100000
-                 AND mean_word_len BETWEEN 3 AND 10
-                 AND symbol_word_ratio <= 0.1
-                 AND bullet_line_frac <= 0.9
-                 AND ellipsis_line_frac <= 0.3
-                 AND alpha_word_frac >= 0.8
-                 AND dup_line_frac <= 0.3
-                 AND top2gram_char_frac <= 0.2
-                THEN 1 ELSE 0 END AS gopher_pass
-    FROM o
-    """,
+    _GOPHER_SQL,
     tags=("text", "quality", "gopher"),
 )
 def text_gopher_q(spark, sf_dir):

@@ -1529,3 +1529,42 @@ def test_incremental_agg_view_refuses_gapped_feed(spark, tmp_path):
     base.merge(spark, spark.createDataFrame([(2, "a", 3)], "k int, g string, v long"))
     with pytest.raises(RuntimeError, match="change feed unavailable"):
         view.refresh(spark)
+
+
+def test_late_router_end_to_end_stream(spark, tmp_path):
+    """Drive LateRouter through a REAL Structured Streaming query
+    (file source, one file per micro-batch, foreachBatch): batch 1
+    establishes the watermark, batch 2's stale row lands in the late
+    sink, fresh rows in the main sink."""
+    import json
+
+    from flink_realtime_dw4_0_spark.streaming.sideoutput import LateRouter
+
+    T0 = 1_700_000_000_000  # epoch ms
+    src = tmp_path / "lr_src"
+    _feed_files(src, [
+        [json.dumps({"part": 0, "ms": T0 + 600_000, "event_id": 1})],
+        ["\n".join([
+            json.dumps({"part": 0, "ms": T0, "event_id": 2}),          # stale
+            json.dumps({"part": 0, "ms": T0 + 700_000, "event_id": 3}),
+        ])],
+    ])
+    router = LateRouter(str(tmp_path / "lr_wm"), delay="5 seconds")
+    on_dir, late_dir = str(tmp_path / "on"), str(tmp_path / "late")
+
+    def route(batch, batch_id):
+        ev = batch.withColumn("ts", F.timestamp_millis("ms"))
+        on_time, late = router.process_batch(ev, batch.sparkSession)
+        on_time.write.mode("append").parquet(on_dir)
+        late.write.mode("append").parquet(late_dir)
+
+    stream = (spark.readStream.schema("part int, ms long, event_id int")
+              .option("maxFilesPerTrigger", 1).json(str(src)))
+    q = (stream.writeStream.foreachBatch(route)
+         .option("checkpointLocation", str(tmp_path / "lr_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    on_ids = {r.event_id for r in spark.read.parquet(on_dir).collect()}
+    late_ids = {r.event_id for r in spark.read.parquet(late_dir).collect()}
+    assert on_ids == {1, 3} and late_ids == {2}

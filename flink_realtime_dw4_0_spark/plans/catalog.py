@@ -4495,6 +4495,116 @@ def entity_resolution_q(spark, sf_dir):
 
 
 @q(
+    "ts_mom_growth",
+    """
+    WITH m AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1)
+    SELECT month, revenue,
+           round(revenue - lag(revenue) OVER (ORDER BY month), 2) AS delta,
+           round((revenue - lag(revenue) OVER (ORDER BY month))
+                 / lag(revenue) OVER (ORDER BY month) * 100, 4) AS pct_growth
+    FROM m
+    """,
+    tags=("timeseries", "serving", "window"),
+)
+def ts_mom_growth_q(spark, sf_dir):
+    """Month-over-month revenue growth — the standard serving-dashboard
+    delta query: monthly rollup (map-combinable), then a lag window over
+    the TINY month table (dozens of rows — the single-partition window
+    is over the aggregate, never the facts)."""
+    o = t(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month",
+        "revenue",
+        F.round(F.col("revenue") - prev, 2).alias("delta"),
+        F.round((F.col("revenue") - prev) / prev * 100, 4).alias("pct_growth"),
+    )
+
+
+@q(
+    "ts_mad_anomaly",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN med m USING (event_type) GROUP BY e.event_type),
+    s AS (SELECT med.event_type, med.med, dev.mad
+          FROM med JOIN dev USING (event_type))
+    SELECT e.event_id, e.event_type,
+           round(abs(e.value - s.med) / (s.mad * 1.4826), 4) AS robust_z
+    FROM events e JOIN s USING (event_type)
+    WHERE s.mad > 0 AND abs(e.value - s.med) / (s.mad * 1.4826) > 3.5
+    """,
+    tags=("timeseries", "anomaly", "robust"),
+)
+def ts_mad_anomaly_q(spark, sf_dir):
+    """Robust (median/MAD) outlier detection — immune to the outliers
+    that inflate z-score's own stddev.  Two tiny per-group exact
+    percentile aggregations broadcast back over the facts; the flag
+    compares unrounded doubles on both engines."""
+    ev = t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad"))
+    )
+    s = med.join(dev, "event_type")
+    rz = F.abs(F.col("value") - F.col("med")) / (F.col("mad") * 1.4826)
+    return (
+        ev.join(F.broadcast(s), "event_type")
+        .filter((F.col("mad") > 0) & (rz > 3.5))
+        .select("event_id", "event_type", F.round(rz, 4).alias("robust_z"))
+    )
+
+
+@q(
+    "text_script_mix",
+    """
+    SELECT doc_id,
+           round(len(regexp_extract_all(text, '[a-zA-Z]')) * 1.0
+                 / greatest(length(text), 1), 4) AS latin_frac,
+           round(len(regexp_extract_all(text, '[0-9]')) * 1.0
+                 / greatest(length(text), 1), 4) AS digit_frac,
+           round(len(regexp_extract_all(text, '[一-鿿]')) * 1.0
+                 / greatest(length(text), 1), 4) AS han_frac
+    FROM documents
+    """,
+    tags=("text", "script", "langid"),
+)
+def text_script_mix_q(spark, sf_dir):
+    """Character-script composition per document (Latin / digit / Han
+    fractions) — the script-detection signal that routes docs to the
+    right tokenizer (whitespace vs CJK bigram vs FMM).  Pure narrow
+    regexp counting, no shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    nc = F.greatest(F.length("text"), F.lit(1))
+
+    def frac(pat):
+        return F.round(
+            F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0))) / nc, 4
+        )
+
+    return docs.select(
+        "doc_id",
+        frac("[a-zA-Z]").alias("latin_frac"),
+        frac("[0-9]").alias("digit_frac"),
+        frac("[一-鿿]").alias("han_frac"),
+    )
+
+
+@q(
     "ts_zscore_anomaly",
     """
     WITH s AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd

@@ -4389,7 +4389,7 @@ def pipeline_pretrain_q(spark, sf_dir):
     d1 = docs.join(gop, "doc_id")
     ex = dedup.exact_dedup(d1).select(F.col("keep_id").alias("doc_id"))
     d2 = d1.join(ex, "doc_id")
-    pairs = dedup.ngram_jaccard_pairs(d2)
+    pairs = dedup.ngram_jaccard_pairs_prefix(d2)  # == naive output, scale plan
     kl = dedup.dedup_keep_list(d2, pairs)
     final = d2.join(kl.filter(F.col("keep") == 1).select("doc_id"), "doc_id")
     return sampling.split_assign(final).select(

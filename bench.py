@@ -452,6 +452,7 @@ def main() -> None:
             "ts_ewma_level",
             "attr_linear_weights",
             "sample_negative_pairs",
+            "pipeline_pretrain_curation",
         ]
         etimes: dict[str, float] = {}
         for name in extras:

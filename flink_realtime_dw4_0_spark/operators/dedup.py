@@ -545,9 +545,52 @@ def simhash_pairs(
     )
 
 
+def _components_driver(pairs: DataFrame) -> DataFrame:
+    """Union-find on the driver for a PROVEN-small pair graph (the
+    caller count-gates before calling — same design as the cosine
+    broadcast/grid hybrid).  Labels are identical to the distributed
+    loops: every node -> minimum reachable id (union always attaches the
+    larger root under the smaller)."""
+    rows = pairs.select("id_a", "id_b").collect()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        ra, rb = find(r.id_a), find(r.id_b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    nodes = {r.id_a for r in rows} | {r.id_b for r in rows}
+    spark = pairs.sparkSession
+    from pyspark.sql.types import StructField, StructType
+
+    dt = pairs.schema["id_a"].dataType
+    schema = StructType(
+        [StructField("doc_id", dt), StructField("component", dt)]
+    )
+    return spark.createDataFrame(
+        [(n, find(n)) for n in sorted(nodes)], schema
+    )
+
+
+# Pair graphs below this count solve on the driver (one bounded collect);
+# above it, the distributed loops run.  ~100k pairs ≈ a few MB of ids —
+# far under any driver budget, while saving 10-50 iterative Spark jobs
+# whose fixed launch cost dwarfs the work at the small end.
+COMPONENTS_DRIVER_THRESHOLD = 100_000
+
+
 def connected_components(
     pairs: DataFrame,
     max_iterations: int = 25,
+    driver_threshold: int | None = COMPONENTS_DRIVER_THRESHOLD,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph: (node, component)
     where component = the minimum doc id reachable from the node.
@@ -565,7 +608,15 @@ def connected_components(
 
     The per-round convergence check is one count job on the changed set —
     cheap next to the join, and it lets clean corpora exit after round 1.
+
+    Count-gated hybrid: a pair graph proven ≤ ``driver_threshold`` rows
+    solves with driver union-find (one bounded collect) — tens of
+    iterative Spark jobs cost more than the data at the small end; pass
+    ``driver_threshold=None`` (or 0) to force the distributed loop.
     """
+    if driver_threshold:
+        if not pairs.limit(driver_threshold + 1).count() > driver_threshold:
+            return _components_driver(pairs)
     e = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
     edges = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -606,6 +657,7 @@ def connected_components(
 def connected_components_star(
     pairs: DataFrame,
     max_iterations: int = 20,
+    driver_threshold: int | None = COMPONENTS_DRIVER_THRESHOLD,
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star
     contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -628,6 +680,9 @@ def connected_components_star(
     minimum.  Output matches `connected_components` exactly
     (equality-tested, incl. a chain where hash-min needs length rounds).
     """
+    if driver_threshold:
+        if not pairs.limit(driver_threshold + 1).count() > driver_threshold:
+            return _components_driver(pairs)
     # canonical directed edges hi -> lo (hi > lo), one row per undirected
     # edge; both star steps emit canonically, so set-compare is exact
     e = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
@@ -693,6 +748,7 @@ def dedup_keep_list(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    components_fn=None,
 ) -> DataFrame:
     """The end of the dedup pipeline: every document labeled with its
     near-dup component and a keep flag (keep the min-id representative of
@@ -700,8 +756,13 @@ def dedup_keep_list(
 
     This is what a 100 TB curation run actually materializes — the pair
     list is an intermediate; the keep-list joins back to the corpus as a
-    single broadcast-or-shuffle equi-join on doc id."""
-    comps = connected_components(pairs)
+    single broadcast-or-shuffle equi-join on doc id.
+
+    ``components_fn`` selects the clustering algorithm (default hash-min,
+    whose round count is the cluster DIAMETER; pass
+    ``connected_components_star`` for chain-shaped pair graphs — both
+    produce identical min-id labels, equality-tested)."""
+    comps = (components_fn or connected_components)(pairs)
     return (
         df.select(F.col(id_col).alias("doc_id"))
         .join(comps, "doc_id", "left")

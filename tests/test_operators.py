@@ -384,7 +384,13 @@ def test_connected_components_transitive_chain(spark):
         [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
         "id_a long, id_b long",
     )
+    # driver_threshold=0 pins the DISTRIBUTED hash-min loop; the gated
+    # default must agree exactly
     comps = {
+        r.doc_id: r.component
+        for r in dedup.connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert comps == {
         r.doc_id: r.component
         for r in dedup.connected_components(pairs).collect()
     }
@@ -785,14 +791,18 @@ def test_star_components_match_hashmin_and_handle_chains(spark, sf_dir):
     length — hash-min's worst case) in O(log n) rounds."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_pairs(docs).select("id_a", "id_b").cache()
-    hm = {(r.doc_id, r.component) for r in dedup.connected_components(pairs).collect()}
-    st = {(r.doc_id, r.component) for r in dedup.connected_components_star(pairs).collect()}
-    assert st == hm and st
+    hm = {(r.doc_id, r.component)
+          for r in dedup.connected_components(pairs, driver_threshold=0).collect()}
+    st = {(r.doc_id, r.component)
+          for r in dedup.connected_components_star(pairs, driver_threshold=0).collect()}
+    dr = {(r.doc_id, r.component) for r in dedup.connected_components(pairs).collect()}
+    assert st == hm == dr and st
 
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(119)], ["id_a", "id_b"]
     )
-    out = dedup.connected_components_star(chain, max_iterations=10).collect()
+    out = dedup.connected_components_star(
+        chain, max_iterations=10, driver_threshold=0).collect()
     assert len(out) == 120
     assert {r.component for r in out} == {0}
 

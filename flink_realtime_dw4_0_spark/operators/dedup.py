@@ -545,13 +545,13 @@ def simhash_pairs(
     )
 
 
-def _components_driver(pairs: DataFrame) -> DataFrame:
+def _components_driver(pairs: DataFrame, rows: list) -> DataFrame:
     """Union-find on the driver for a PROVEN-small pair graph (the
-    caller count-gates before calling — same design as the cosine
+    caller gates on ONE bounded collect and passes the rows — the pairs
+    plan is never executed twice; same proven-small design as the cosine
     broadcast/grid hybrid).  Labels are identical to the distributed
     loops: every node -> minimum reachable id (union always attaches the
     larger root under the smaller)."""
-    rows = pairs.select("id_a", "id_b").collect()
     parent: dict = {}
 
     def find(x):
@@ -610,13 +610,17 @@ def connected_components(
     cheap next to the join, and it lets clean corpora exit after round 1.
 
     Count-gated hybrid: a pair graph proven ≤ ``driver_threshold`` rows
-    solves with driver union-find (one bounded collect) — tens of
-    iterative Spark jobs cost more than the data at the small end; pass
-    ``driver_threshold=None`` (or 0) to force the distributed loop.
+    solves with driver union-find — tens of iterative Spark jobs cost
+    more than the data at the small end.  The gate is ONE limited
+    collect that doubles as the driver path's input (no second pairs
+    execution); on the distributed path its waste is bounded at
+    threshold+1 id rows.  Pass ``driver_threshold=None``/0 to force the
+    distributed loop.
     """
     if driver_threshold:
-        if not pairs.limit(driver_threshold + 1).count() > driver_threshold:
-            return _components_driver(pairs)
+        head = pairs.select("id_a", "id_b").limit(driver_threshold + 1).collect()
+        if len(head) <= driver_threshold:
+            return _components_driver(pairs, head)
     e = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
     edges = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -681,8 +685,9 @@ def connected_components_star(
     (equality-tested, incl. a chain where hash-min needs length rounds).
     """
     if driver_threshold:
-        if not pairs.limit(driver_threshold + 1).count() > driver_threshold:
-            return _components_driver(pairs)
+        head = pairs.select("id_a", "id_b").limit(driver_threshold + 1).collect()
+        if len(head) <= driver_threshold:
+            return _components_driver(pairs, head)
     # canonical directed edges hi -> lo (hi > lo), one row per undirected
     # edge; both star steps emit canonically, so set-compare is exact
     e = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))

@@ -462,9 +462,15 @@ def length_bucket_batches(
     base = df.select(
         id_col, token_count_ws(text_col).cast("long").alias("n_tokens")
     )
-    bucket = F.pow(
-        F.lit(2.0), F.ceil(F.log2(F.greatest(F.col("n_tokens"), F.lit(1))))
-    ).cast("long")
+    # smallest power of two >= n, INTEGER-exact: 2^bit_length(n-1).
+    # pow(2, ceil(log2(n))) is a latent off-by-2x: JVM log2(2^29) returns
+    # 29.000000000000004, so exact powers of two round UP a bucket (and
+    # diverge from DuckDB, whose log2 is exact there).
+    bucket = F.expr(
+        "CASE WHEN n_tokens <= 1 THEN CAST(1 AS BIGINT) "
+        "ELSE shiftleft(CAST(1 AS BIGINT), "
+        "length(conv(n_tokens - 1, 10, 2))) END"
+    )
     base = base.withColumn("bucket", bucket)
     ranked = global_rank(
         base, [F.col("bucket"), F.col(id_col)], [F.col("bucket"), F.col(id_col)], "__r"

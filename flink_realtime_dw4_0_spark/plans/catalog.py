@@ -4432,7 +4432,8 @@ def text_bpe_encode_q(spark, sf_dir):
     f"""
     WITH b AS (
       SELECT doc_id, CAST(len({_DK_TOKS}) AS BIGINT) AS n_tokens,
-             CAST(power(2, ceil(log2(greatest(len({_DK_TOKS}), 1)))) AS BIGINT)
+             CASE WHEN len(string_split_regex(lower(trim(text)), '\\s+')) <= 1 THEN 1
+                  ELSE (CAST(1 AS BIGINT) << length(bin(len(string_split_regex(lower(trim(text)), '\\s+')) - 1))) END
                AS bucket
       FROM documents),
     r AS (SELECT doc_id, n_tokens, bucket,

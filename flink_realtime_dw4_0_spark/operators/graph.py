@@ -127,3 +127,64 @@ def triangle_count(edges: DataFrame, *, src: str = "src", dst: str = "dst") -> D
         .union(tri.select(F.col("z").alias("node")))
     )
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def deterministic_walks(
+    edges: DataFrame,
+    *,
+    length: int = 3,
+    seed: str = "walk",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Deterministic graph walks — DeepWalk/node2vec context generation
+    with NO RNG state: the walker that started at ``s``, standing at
+    ``u`` on step ``k``, moves to
+    ``neighbors(u)[ md5(seed‖s‖':'‖k) mod deg(u) ]`` where neighbors is
+    the sorted-distinct adjacency array.  Fully reproducible across
+    runs, partitionings, and engines (the md5 arithmetic replays in the
+    SQL twin), which is what makes walk-based context pairs usable as
+    versioned training data.
+
+    One walk per node; walks stop early at sinks.  Shape per step: one
+    equi-join of the walker frontier against the adjacency table (the
+    frontier only ever carries (start, cur) ids) — ``length`` keyed
+    shuffles total, no driver traffic.
+
+    Returns (start, step, node): step 0 is the start itself.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    nbrs = e.groupBy("u").agg(F.sort_array(F.collect_set("v")).alias("ns"))
+    nodes = e.select("u").union(e.select(F.col("v").alias("u"))).distinct()
+    frontier = nodes.select(F.col("u").alias("start"), F.col("u").alias("cur"))
+    out = frontier.select(
+        "start", F.lit(0).alias("step"), F.col("cur").alias("node")
+    )
+    for k in range(1, length + 1):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(seed),
+                        F.col("start").cast("string"),
+                        F.lit(f":{k}"),
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        stepped = (
+            frontier.join(nbrs, frontier["cur"] == nbrs["u"])
+            .select(
+                "start",
+                F.element_at("ns", (h % F.size("ns") + 1).cast("int")).alias("cur"),
+            )
+        )
+        out = out.unionByName(
+            stepped.select("start", F.lit(k).alias("step"), F.col("cur").alias("node"))
+        )
+        frontier = stepped
+    return out

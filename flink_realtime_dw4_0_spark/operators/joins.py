@@ -215,3 +215,54 @@ def asof_join(
             for c in rpay_cols
         ],
     )
+
+
+def banded_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_ts: str,
+    right_ts: str,
+    lo: str,
+    hi: str,
+    band_seconds: int | None = None,
+) -> DataFrame:
+    """Big-big interval join WITHOUT an equi-key: all (l, r) with
+    r.ts ∈ [l.ts + lo, l.ts + hi].
+
+    A bare range predicate plans as a nested-loop/cartesian — the
+    O(n·m) trap.  Banding makes it an equi-join: time is cut into
+    ``band_seconds``-wide buckets (default = the window width), each
+    left row explodes to the ≤2 (window ≤ band ⇒ at most ⌈w/band⌉+1)
+    buckets its window can touch, the right side buckets once, the join
+    runs on the bucket id, and the exact range predicate post-filters.
+    Fan-out is bounded by the bucket count per window — this is the
+    standard range-bucketing rewrite (cf. Spark's own
+    spark.sql.rangeJoin discussions / Databricks range-join hints),
+    expressed with plain operators so it works anywhere.
+
+    ``lo``/``hi`` are INTERVAL strings (e.g. '0 seconds', '5 minutes');
+    column names must be disjoint or pre-aliased by the caller.
+    """
+    lo_us = F.expr(f"unix_micros(TIMESTAMP '1970-01-01' + INTERVAL {lo})")
+    hi_us = F.expr(f"unix_micros(TIMESTAMP '1970-01-01' + INTERVAL {hi})")
+    l_us = F.unix_micros(F.col(left_ts))
+    r_us = F.unix_micros(F.col(right_ts))
+    if band_seconds is None:
+        band = (hi_us - lo_us).cast("long") + F.lit(1)
+    else:
+        band = F.lit(int(band_seconds) * 1_000_000).cast("long")
+    lb = left.withColumn(
+        "__bkt",
+        F.explode(
+            F.sequence(
+                F.floor((l_us + lo_us) / band), F.floor((l_us + hi_us) / band)
+            )
+        ),
+    )
+    rb = right.withColumn("__bkt", F.floor(r_us / band))
+    out = lb.join(rb, "__bkt").filter(
+        (F.col(right_ts) >= F.col(left_ts) + F.expr(f"INTERVAL {lo}"))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {hi}"))
+    )
+    return out.drop("__bkt")

@@ -4505,6 +4505,82 @@ def entity_resolution_q(spark, sf_dir):
     )
 
 
+_WALK_STEP = """
+w{k} AS (SELECT w.start,
+            n.ns[('0x' || substr(md5('walk' || w.start || ':{k}'), 1, 6))::BIGINT
+                 % len(n.ns) + 1] AS cur
+     FROM w{prev} w JOIN n ON w.cur = n.u)"""
+
+
+@q(
+    "graph_walk_contexts",
+    """
+    WITH p AS (SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+               FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    e AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p),
+    n AS (SELECT u, list(DISTINCT v ORDER BY v) AS ns FROM e GROUP BY u),
+    w0 AS (SELECT u AS start, u AS cur FROM (SELECT DISTINCT u FROM e)),"""
+    + ",".join(_WALK_STEP.format(k=k, prev=k - 1) for k in (1, 2, 3))
+    + """
+    SELECT start, 0 AS step, cur AS node FROM w0
+    UNION ALL SELECT start, 1, cur FROM w1
+    UNION ALL SELECT start, 2, cur FROM w2
+    UNION ALL SELECT start, 3, cur FROM w3
+    """,
+    tags=("graph", "walks", "training-prep"),
+)
+def graph_walks_q(spark, sf_dir):
+    """Deterministic DeepWalk-style context walks
+    (graph.deterministic_walks, length 3) over the undirected
+    customer↔supplier purchase graph — md5-driven hop choice, so the
+    walk corpus is bit-reproducible and the oracle replays every hop.
+    Per step: one keyed join of the (start, cur) frontier against the
+    adjacency table."""
+    from ..operators import graph
+
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    p = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("a"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("b"),
+    )
+    und = p.union(p.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    return graph.deterministic_walks(und, length=3, src="a", dst="b")
+
+
+@q(
+    "j10_banded_interval_join",
+    """
+    SELECT a.event_id AS view_id, b.event_id AS purchase_id
+    FROM events a JOIN events b
+      ON b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+    WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+    """,
+    tags=("join", "interval", "banded"),
+)
+def j10_banded_interval_q(spark, sf_dir):
+    """Keyless big-big interval join (any purchase within 5 minutes
+    after any view, across ALL users) via the range-bucketing rewrite
+    (joins.banded_interval_join): a bare range predicate would plan as
+    a nested-loop cartesian; banding turns it into one hash equi-join
+    on the time bucket with ≤2× left fan-out + an exact post-filter.
+    Plan-gated cartesian-free; equality vs the naive theta join tested."""
+    from ..operators import joins
+
+    ev = t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), F.col("ts").alias("v_ts")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    out = joins.banded_interval_join(
+        views, buys, left_ts="v_ts", right_ts="p_ts",
+        lo="0 seconds", hi="5 minutes",
+    )
+    return out.select("view_id", "purchase_id")
+
+
 @q(
     "ts_mom_growth",
     """

@@ -1709,3 +1709,31 @@ def test_bpe_encode_rank_priority_not_position(spark):
     docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
     toks = text.bpe_encode(docs, merges).collect()[0].bpe_tokens
     assert toks == ["a", "bc", "</w>"]
+
+
+def test_deterministic_walks_semantics(spark):
+    from flink_realtime_dw4_0_spark.operators import graph
+
+    # path graph a-b-c (undirected), plus sink d with only an inbound edge
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("a", "d")],
+        "src string, dst string",
+    )
+    out = graph.deterministic_walks(e, length=2).collect()
+    rows = {(r.start, r.step): r.node for r in out}
+    # step 0 is the start itself for every node
+    for n in ("a", "b", "c", "d"):
+        assert rows[(n, 0)] == n
+    # d is a sink: its walk ends at step 0
+    assert (("d", 1) not in rows)
+    # every hop follows an actual edge
+    adj = {("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("a", "d")}
+    for (s, k), n in rows.items():
+        if k > 0:
+            prev = rows[(s, k - 1)]
+            assert (prev, n) in adj, (s, k, prev, n)
+    # reproducible under different partitioning
+    out2 = graph.deterministic_walks(e.repartition(5), length=2).collect()
+    assert {(r.start, r.step, r.node) for r in out2} == {
+        (r.start, r.step, r.node) for r in out
+    }

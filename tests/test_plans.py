@@ -347,3 +347,41 @@ def test_basket_pairs_no_cartesian(spark, sf_dir):
     df = CATALOG["assoc_part_pairs"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_banded_interval_join_no_cartesian_and_equals_naive(spark, sf_dir):
+    """The keyless interval join must plan as a hash equi-join on the
+    time bucket (no cartesian / nested loop) and return exactly the
+    naive theta-join's pairs."""
+    from flink_realtime_dw4_0_spark.operators import joins
+    from flink_realtime_dw4_0_spark.sources.files import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), F.col("ts").alias("v_ts"))
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts"))
+
+    banded = joins.banded_interval_join(
+        views, buys, left_ts="v_ts", right_ts="p_ts",
+        lo="0 seconds", hi="5 minutes")
+    plan = banded._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    naive = views.crossJoin(buys).filter(
+        (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 5 minutes")))
+    got = sorted((r.view_id, r.purchase_id)
+                 for r in banded.select("view_id", "purchase_id").collect())
+    want = sorted((r.view_id, r.purchase_id)
+                  for r in naive.select("view_id", "purchase_id").collect())
+    assert got == want and got
+
+    # a band narrower than the window (more buckets per row) must agree too
+    narrow = joins.banded_interval_join(
+        views, buys, left_ts="v_ts", right_ts="p_ts",
+        lo="0 seconds", hi="5 minutes", band_seconds=60)
+    got2 = sorted((r.view_id, r.purchase_id)
+                  for r in narrow.select("view_id", "purchase_id").collect())
+    assert got2 == want

@@ -453,6 +453,8 @@ def main() -> None:
             "attr_linear_weights",
             "sample_negative_pairs",
             "pipeline_pretrain_curation",
+            "j10_banded_interval_join",
+            "graph_walk_contexts",
         ]
         etimes: dict[str, float] = {}
         for name in extras:

@@ -4505,6 +4505,82 @@ def entity_resolution_q(spark, sf_dir):
     )
 
 
+@q(
+    "w_time_range_frame",
+    """
+    SELECT event_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           round(sum(value) OVER w, 2) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "range-frame", "timeseries"),
+)
+def w_time_range_frame_q(spark, sf_dir):
+    """Time-based RANGE window frame (rolling 1-hour count/sum per
+    user) — the value-based frame the row-frame analytic suite doesn't
+    cover.  Spark's RANGE frame needs a numeric ordering key, so the
+    frame runs over epoch seconds with a 3600-second bound — identical
+    membership to the oracle's INTERVAL frame (microsecond ties
+    included on both sides)."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_1h"),
+        F.round(F.sum("value").over(w), 2).alias("sum_1h"),
+    )
+
+
+@q(
+    "session_bounce_rate",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1
+                  ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT user_id, ts,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM g),
+    per AS (SELECT user_id, sid, count(*) AS n_events FROM s GROUP BY 1, 2)
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                 / count(*), 4) AS bounce_rate
+    FROM per
+    """,
+    tags=("session", "serving", "analytics"),
+)
+def session_bounce_q(spark, sf_dir):
+    """Bounce rate (share of 30-min sessions with exactly one event) —
+    the classic traffic KPI over the native session window; equivalence
+    of session_window with the oracle's gaps-and-islands is already
+    pinned by w_session_window."""
+    ev = t(spark, sf_dir, "events")
+    per = ev.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum((F.col("n_events") == 1).cast("int")).cast("long").alias("n_bounces"),
+        F.round(
+            F.sum((F.col("n_events") == 1).cast("int"))
+            / F.count(F.lit(1)),
+            4,
+        ).alias("bounce_rate"),
+    )
+
+
 _WALK_STEP = """
 w{k} AS (SELECT w.start,
             n.ns[('0x' || substr(md5('walk' || w.start || ':{k}'), 1, 6))::BIGINT

@@ -292,3 +292,29 @@ def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
             yield out
 
     return df.mapInPandas(fn, out_schema)
+
+
+def patch_grid(df: DataFrame, patch: int = 16) -> DataFrame:
+    """ViT-style patch grid for image payloads: one row per (py, px)
+    patch coordinate, with the grid derived from the REAL parsed header
+    dimensions (ceil(width/patch) × ceil(height/patch)) — the
+    image-side analog of frame_sample's explode-with-parent stage.
+    Pixel extraction itself is the decode stub; the coordinates, counts,
+    and Arrow plumbing are real and oracle-checkable because the
+    synthetic fixtures carry arithmetic (id-derived) dimensions.
+
+    Non-image payloads pass through with zero rows (documented: audio
+    has no spatial grid)."""
+    feats = extract_features(df)
+    imgs = feats.filter(F.col("media_type") == "image")
+    nx = F.ceil(F.col("width") / patch).cast("int")
+    ny = F.ceil(F.col("height") / patch).cast("int")
+    g = imgs.select(
+        "media_id", "width", "height",
+        F.explode(F.sequence(F.lit(0), ny - 1)).alias("py"),
+        nx.alias("__nx"),
+    )
+    return g.select(
+        "media_id", "width", "height", "py",
+        F.explode(F.sequence(F.lit(0), F.col("__nx") - 1)).alias("px"),
+    )

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 # 4 hex chars = 65536 buckets; boundaries are hex-string literals.
 _BUCKET_LEN = 4
@@ -489,4 +490,48 @@ def length_bucket_batches(
             .cast("long")
             .alias("batch_id"),
         )
+    )
+
+
+def weighted_sample_wor(
+    df: DataFrame,
+    *,
+    weight_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    group_cols: list[str] | None = None,
+    seed: str = "wor",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES),
+    deterministic: each row draws u = md5-uniform(0,1) from its key and
+    scores u^(1/w); the top-k scores per group are exactly a
+    weight-proportional sample without replacement.
+
+    No RNG state — reruns, insert-order, and partitioning can't change
+    the sample, and the DuckDB twin replays the identical draw.  The
+    top-k is a per-group window over (score desc, key) — for a single
+    giant group use the salted two-phase top-k (text.top_tokens_by_group)
+    shape instead; grouped sampling keys are the normal case.
+    Rows with weight <= 0 never sample."""
+    groups = list(group_cols or [])
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string"))), 1, 6
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 1.0
+    ) / F.lit(float(16**6 + 1))
+    score = F.pow(u, 1.0 / F.col(weight_col))
+    w = Window.partitionBy(*groups).orderBy(
+        F.col("__score").desc(), F.col(key_col)
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__score", score)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__score", "__rn")
     )

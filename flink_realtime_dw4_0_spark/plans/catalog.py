@@ -4506,6 +4506,69 @@ def entity_resolution_q(spark, sf_dir):
 
 
 @q(
+    "multimodal_patch_grid",
+    """
+    WITH dims AS (
+      SELECT doc_id AS media_id,
+             CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 1000
+                             ELSE 1 + doc_id % 255 END AS width,
+             CASE doc_id % 3 WHEN 0 THEN 16 + (doc_id * 7) % 1000
+                             ELSE 1 + (doc_id * 3) % 255 END AS height
+      FROM documents WHERE doc_id % 3 <> 2)
+    SELECT media_id, width, height, py.py AS py, px.px AS px
+    FROM dims,
+         unnest(range(0, CAST(ceil(height / 16.0) AS BIGINT))) AS py(py),
+         unnest(range(0, CAST(ceil(width / 16.0) AS BIGINT))) AS px(px)
+    """,
+    tags=("multimodal", "patch-grid"),
+)
+def mm_patch_grid(spark, sf_dir):
+    """ViT-style 16×16 patch grid over real synthetic image containers
+    (multimodal.patch_grid): one row per patch coordinate, grid derived
+    from the PARSED header dims — the oracle predicts the same grid
+    arithmetically from the id-derived dimensions, so the header parse
+    and the explode plumbing are both value-checked.  Audio rows
+    correctly contribute nothing."""
+    docs = t(spark, sf_dir, "documents")
+    media = multimodal.synthetic_media(docs, "doc_id")
+    return multimodal.patch_grid(media, patch=16).select(
+        "media_id", "width", "height",
+        F.col("py").cast("long").alias("py"),
+        F.col("px").cast("long").alias("px"),
+    )
+
+
+@q(
+    "sample_weighted_wor",
+    """
+    WITH s AS (
+      SELECT doc_id, source,
+             pow((('0x' || substr(md5('wor' || doc_id), 1, 6))::BIGINT + 1.0)
+                 / 16777217.0,
+                 1.0 / n_chars) AS sc
+      FROM documents WHERE n_chars > 0),
+    r AS (SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY sc DESC, doc_id) AS rn
+          FROM s)
+    SELECT doc_id, source FROM r WHERE rn <= 5
+    """,
+    tags=("sampling", "weighted", "training-prep"),
+)
+def sample_weighted_wor_q(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement
+    (sampling.weighted_sample_wor — Efraimidis-Spirakis A-ES): 5 docs
+    per source with probability ∝ n_chars, via deterministic md5 draws
+    u^(1/w) — no RNG state, so the sample is stable across runs and the
+    oracle replays every draw."""
+    docs = t(spark, sf_dir, "documents")
+    out = sampling.weighted_sample_wor(
+        docs, weight_col="n_chars", k=5, group_cols=["source"]
+    )
+    return out.select("doc_id", "source")
+
+
+@q(
     "w_time_range_frame",
     """
     SELECT event_id,

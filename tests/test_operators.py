@@ -1737,3 +1737,26 @@ def test_deterministic_walks_semantics(spark):
     assert {(r.start, r.step, r.node) for r in out2} == {
         (r.start, r.step, r.node) for r in out
     }
+
+
+def test_weighted_wor_sampling_properties(spark, sf_dir):
+    from flink_realtime_dw4_0_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.weighted_sample_wor(
+        docs, weight_col="n_chars", k=5, group_cols=["source"]
+    )
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.source, []).append(r.doc_id)
+    assert all(len(v) <= 5 for v in per.values())
+    # weight-proportional: the sampled docs skew long vs the corpus mean
+    mean_all = docs.agg(F.avg("n_chars")).collect()[0][0]
+    mean_s = out.agg(F.avg("n_chars")).collect()[0][0]
+    assert mean_s > mean_all
+    # deterministic under partitioning
+    out2 = sampling.weighted_sample_wor(
+        docs.repartition(13), weight_col="n_chars", k=5, group_cols=["source"]
+    ).collect()
+    assert {r.doc_id for r in out2} == {r.doc_id for r in rows}

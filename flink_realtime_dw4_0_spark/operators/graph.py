@@ -33,19 +33,38 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    weight: str | None = None,
     checkpoint_interval: int = 4,
 ) -> DataFrame:
     """PageRank over a (src, dst) edge list (duplicate edges count once —
     deduped up front).  Returns (node, pagerank) over every node that
     appears as a source or destination.
 
+    With ``weight``, mass distributes ∝ edge weight instead of uniformly
+    (duplicate (src, dst) rows sum their weights): the weighted-graph
+    variant used when edges carry interaction counts.
+
     ``checkpoint_interval`` controls how often the rank vector's lineage
     is truncated: every iteration is safest for long runs, but each
     localCheckpoint is an eager materialization job — for short runs
     letting a few iterations chain in one plan is measurably faster
     (3.9 s -> ~2 s at sf0.1 for iters=3)."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    # one eager materialization; the distinct already leaves e hash-
+    if weight is None:
+        e = edges.select(
+            F.col(src).alias("src"), F.col(dst).alias("dst")
+        ).distinct()
+        e = e.withColumn("w", F.lit(1.0))
+    else:
+        e = (
+            edges.select(
+                F.col(src).alias("src"),
+                F.col(dst).alias("dst"),
+                F.col(weight).cast("double").alias("w"),
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+        )
+    # one eager materialization; the dedup/agg already leaves e hash-
     # partitioned on (src, dst), and the per-iteration joins broadcast
     # the (small) rank vector, so no further repartition is needed
     e = e.localCheckpoint()
@@ -56,14 +75,14 @@ def pagerank(
         .localCheckpoint()
     )
     n = nodes.count()
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    deg = e.groupBy("src").agg(F.sum("w").alias("wsum"))
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for it in range(iters):
         contrib = (
             e.join(ranks.withColumnRenamed("node", "src"), "src")
             .join(deg, "src")
             .groupBy("dst")
-            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("mass"))
+            .agg(F.sum(F.col("rank") * F.col("w") / F.col("wsum")).alias("mass"))
         )
         ranks = nodes.join(
             contrib.withColumnRenamed("dst", "node"), "node", "left"

@@ -5285,6 +5285,54 @@ def graph_pagerank_q(spark, sf_dir):
 
 
 @q(
+    "graph_pagerank_weighted",
+    """
+    WITH we AS (
+      SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst,
+             CAST(count(*) AS DOUBLE) AS w
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey GROUP BY 1, 2),
+    nodes AS (SELECT src AS node FROM we UNION SELECT dst FROM we),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    deg AS (SELECT src, sum(w) AS wsum FROM we GROUP BY src),
+    r0 AS (SELECT node, 1.0 / n AS rank FROM nodes CROSS JOIN nn),
+    c1 AS (SELECT e.dst AS node, sum(r.rank * e.w / d.wsum) AS mass
+           FROM we e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+           GROUP BY e.dst),
+    r1 AS (SELECT nodes.node, 0.15 / n + 0.85 * coalesce(mass, 0) AS rank
+           FROM nodes CROSS JOIN nn LEFT JOIN c1 ON nodes.node = c1.node),
+    c2 AS (SELECT e.dst AS node, sum(r.rank * e.w / d.wsum) AS mass
+           FROM we e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+           GROUP BY e.dst),
+    r2 AS (SELECT nodes.node, 0.15 / n + 0.85 * coalesce(mass, 0) AS rank
+           FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.node = c2.node),
+    c3 AS (SELECT e.dst AS node, sum(r.rank * e.w / d.wsum) AS mass
+           FROM we e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+           GROUP BY e.dst),
+    r3 AS (SELECT nodes.node, 0.15 / n + 0.85 * coalesce(mass, 0) AS rank
+           FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.node = c3.node)
+    SELECT node, round(rank, 9) AS pagerank FROM r3
+    """,
+    tags=("graph", "pagerank", "weighted"),
+)
+def graph_pagerank_weighted_q(spark, sf_dir):
+    """Weighted PageRank: mass distributes ∝ purchase volume (lineitem
+    count per customer→supplier edge) instead of uniformly — the
+    interaction-weighted variant (graph.pagerank(weight=...)); same
+    chained-CTE oracle with weighted mass."""
+    from ..operators import graph
+
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    edges = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        F.lit(1.0).alias("w"),
+    )
+    pr = graph.pagerank(edges, iters=3, damping=0.85, weight="w")
+    return pr.select("node", F.round("pagerank", 9).alias("pagerank"))
+
+
+@q(
     "late_event_flags",
     """
     WITH e AS (

@@ -4688,6 +4688,93 @@ def graph_walks_q(spark, sf_dir):
 
 
 @q(
+    "graph_walk_skipgrams",
+    """
+    WITH p AS (SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+               FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    e AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p),
+    n AS (SELECT u, list(DISTINCT v ORDER BY v) AS ns FROM e GROUP BY u),
+    w0 AS (SELECT u AS start, u AS cur FROM (SELECT DISTINCT u FROM e)),"""
+    + ",".join(_WALK_STEP.format(k=k, prev=k - 1) for k in (1, 2, 3))
+    + """,
+    walk AS (
+      SELECT start, 0 AS step, cur AS node FROM w0
+      UNION ALL SELECT start, 1, cur FROM w1
+      UNION ALL SELECT start, 2, cur FROM w2
+      UNION ALL SELECT start, 3, cur FROM w3)
+    SELECT a.node AS center, b.node AS context,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM walk a JOIN walk b
+      ON a.start = b.start AND abs(a.step - b.step) = 1
+    GROUP BY 1, 2
+    """,
+    tags=("graph", "walks", "training-prep"),
+)
+def graph_walk_skipgrams_q(spark, sf_dir):
+    """Skip-gram (center, context) co-occurrence counts from the
+    deterministic walks (window ±1) — the actual node-embedding
+    training artifact.  One self-join of the walk table on
+    (start, adjacent step); walk generation is shared with
+    graph_walk_contexts."""
+    from ..operators import graph
+
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    p = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("a"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("b"),
+    )
+    und = p.union(p.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    walk = graph.deterministic_walks(und, length=3, src="a", dst="b")
+    a = walk.select(F.col("start"), F.col("step").alias("sa"), F.col("node").alias("center"))
+    b = walk.select(F.col("start"), F.col("step").alias("sb"), F.col("node").alias("context"))
+    return (
+        a.join(b, "start")
+        .filter(F.abs(F.col("sa") - F.col("sb")) == 1)
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+@q(
+    "serving_revenue_share",
+    """
+    WITH r AS (
+      SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      GROUP BY n.n_name)
+    SELECT n_name, revenue,
+           round(revenue / sum(revenue) OVER (), 6) AS share
+    FROM r
+    """,
+    tags=("serving", "analytics", "window"),
+)
+def serving_revenue_share_q(spark, sf_dir):
+    """Per-nation revenue share — contribution analysis: the grand-total
+    window runs over the tiny nation rollup (25 rows), never the fact
+    table."""
+    li = t(spark, sf_dir, "lineitem")
+    su = t(spark, sf_dir, "supplier")
+    na = t(spark, sf_dir, "nation")
+    r = (
+        li.join(su, li.l_suppkey == su.s_suppkey)
+        .join(na, su.s_nationkey == na.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy()
+    return r.select(
+        "n_name", "revenue", F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias("share")
+    )
+
+
+@q(
     "j10_banded_interval_join",
     """
     SELECT a.event_id AS view_id, b.event_id AS purchase_id

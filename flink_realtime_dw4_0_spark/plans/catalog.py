@@ -5245,9 +5245,7 @@ def text_unigram_xent_q(spark, sf_dir):
     return text.unigram_logprob(docs)
 
 
-@q(
-    "text_dsir_logweights",
-    f"""
+_DSIR_SQL = f"""
     WITH toks AS (
       SELECT doc_id, source, {_DK_TOKS} AS tk FROM documents),
     uni AS (SELECT doc_id, source, unnest(tk) AS feat FROM toks),
@@ -5274,7 +5272,12 @@ def text_unigram_xent_q(spark, sf_dir):
            round(sum(log_ratio), 4) AS log_weight
     FROM feats JOIN ratios USING (bucket)
     GROUP BY doc_id
-    """,
+    """
+
+
+@q(
+    "text_dsir_logweights",
+    _DSIR_SQL,
     tags=("text", "data-selection", "dsir"),
 )
 def text_dsir_q(spark, sf_dir):
@@ -5286,6 +5289,42 @@ def text_dsir_q(spark, sf_dir):
     the two map-combinable bucket counts."""
     docs = t(spark, sf_dir, "documents")
     return text.dsir_logweights(docs, docs.filter(F.col("source") == "src13"))
+
+
+@q(
+    "pipeline_dsir_selection",
+    f"""
+    WITH dsir AS ({_DSIR_SQL.strip()}),
+    ranked AS (
+      SELECT d.doc_id, d.source, w.log_weight,
+             row_number() OVER (PARTITION BY d.source
+                                ORDER BY w.log_weight DESC, d.doc_id) AS rn,
+             count(*) OVER (PARTITION BY d.source) AS n_src
+      FROM documents d JOIN dsir w USING (doc_id))
+    SELECT doc_id, source, log_weight
+    FROM ranked WHERE rn <= ceil(n_src * 0.2)
+    """,
+    tags=("pipeline", "data-selection", "dsir", "composed"),
+)
+def pipeline_dsir_selection_q(spark, sf_dir):
+    """DSIR selection closed end-to-end: importance log-weights → keep
+    the top 20% per source (deterministic rank, doc-id tiebreak) — the
+    actual domain-shifted training subset, not just scores.  The rank
+    window runs per source; at one-giant-source scale swap in the
+    distributed global_rank like sample_length_bucket_batches."""
+    docs = t(spark, sf_dir, "documents")
+    w = text.dsir_logweights(docs, docs.filter(F.col("source") == "src13"))
+    j = docs.join(w, "doc_id").select("doc_id", "source", "log_weight")
+    win = Window.partitionBy("source").orderBy(
+        F.col("log_weight").desc(), "doc_id"
+    )
+    n_src = Window.partitionBy("source")
+    return (
+        j.withColumn("__rn", F.row_number().over(win))
+        .withColumn("__n", F.count(F.lit(1)).over(n_src))
+        .filter(F.col("__rn") <= F.ceil(F.col("__n") * 0.2))
+        .select("doc_id", "source", "log_weight")
+    )
 
 
 def _morton_sql(cols: list[str], bits: int) -> str:

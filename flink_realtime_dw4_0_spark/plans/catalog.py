@@ -5327,6 +5327,133 @@ def pipeline_dsir_selection_q(spark, sf_dir):
     )
 
 
+@q(
+    "pipeline_curriculum_order",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, token FROM (
+        SELECT doc_id, unnest({_DK_TOKS}) AS token FROM documents)
+      WHERE token <> ''),
+    cf AS (SELECT token, count(*) AS cnt FROM tk GROUP BY token),
+    tot AS (SELECT sum(cnt) AS total, count(*) AS v FROM cf),
+    dtf AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY doc_id, token),
+    xent AS (
+      SELECT doc_id,
+             round(-sum(tf * log2((cnt + 1.0) / (total + v))) / sum(tf), 4) AS xent
+      FROM dtf JOIN cf USING (token) CROSS JOIN tot GROUP BY doc_id)
+    SELECT doc_id, xent,
+           CAST(row_number() OVER (ORDER BY xent, doc_id) AS BIGINT)
+             AS curriculum_rank
+    FROM xent
+    """,
+    tags=("pipeline", "curriculum", "training-prep"),
+)
+def pipeline_curriculum_q(spark, sf_dir):
+    """Curriculum ordering: documents ranked easiest-first by their
+    unigram-LM cross-entropy (fluent/common text early, rare/noisy text
+    late) — the data-ordering artifact curriculum-training consumes.
+    The total order runs as the distributed prefix-sum global_rank, not
+    a single-partition window."""
+    docs = t(spark, sf_dir, "documents")
+    x = text.unigram_logprob(docs).select("doc_id", "xent")
+    ranked = sampling.global_rank(
+        x, [F.col("xent"), F.col("doc_id")], [F.col("xent"), F.col("doc_id")],
+        "curriculum_rank",
+    )
+    return ranked.select(
+        "doc_id", "xent", F.col("curriculum_rank").cast("long").alias("curriculum_rank")
+    )
+
+
+@q(
+    "ts_winsorize",
+    """
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS p05,
+             quantile_cont(value, 0.95) AS p95
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type,
+           round(CASE WHEN e.value < b.p05 THEN b.p05
+                      WHEN e.value > b.p95 THEN b.p95
+                      ELSE e.value END, 4) AS value_w,
+           CAST(CASE WHEN e.value < b.p05 OR e.value > b.p95
+                     THEN 1 ELSE 0 END AS INT) AS clipped
+    FROM events e JOIN b USING (event_type)
+    """,
+    tags=("timeseries", "robust", "cleaning"),
+)
+def ts_winsorize_q(spark, sf_dir):
+    """Winsorization: clip metric values to per-group exact [p05, p95] —
+    the outlier-capping cleaning step before averaging.  One tiny
+    percentile aggregation broadcast back over the facts."""
+    ev = t(spark, sf_dir, "events")
+    b = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("p05"),
+        F.percentile("value", F.lit(0.95)).alias("p95"),
+    )
+    return (
+        ev.join(F.broadcast(b), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round(
+                F.when(F.col("value") < F.col("p05"), F.col("p05"))
+                .when(F.col("value") > F.col("p95"), F.col("p95"))
+                .otherwise(F.col("value")),
+                4,
+            ).alias("value_w"),
+            (
+                (F.col("value") < F.col("p05")) | (F.col("value") > F.col("p95"))
+            ).cast("int").alias("clipped"),
+        )
+    )
+
+
+@q(
+    "funnel_time_to_convert",
+    """
+    WITH v1 AS (SELECT user_id, min(ts) AS v_ts FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    p1 AS (SELECT e.user_id, min(e.ts) AS p_ts
+           FROM events e JOIN v1 ON e.user_id = v1.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > v1.v_ts
+           GROUP BY e.user_id)
+    SELECT CAST(floor(epoch(p1.p_ts - v1.v_ts) / 86400) AS BIGINT) AS days,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM v1 JOIN p1 USING (user_id)
+    GROUP BY 1
+    """,
+    tags=("funnel", "analytics", "histogram"),
+)
+def funnel_ttc_q(spark, sf_dir):
+    """Time-to-convert histogram: days between a user's first view and
+    first later purchase — the duration distribution the funnel counts
+    don't show.  Two keyed min-aggregations and a day-bucket rollup."""
+    ev = t(spark, sf_dir, "events")
+    v1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("v_ts"))
+    )
+    p1 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v1, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id").agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        v1.join(p1, "user_id")
+        .select(
+            F.floor(
+                (F.unix_micros("p_ts") - F.unix_micros("v_ts"))
+                / (86400 * 1_000_000)
+            ).cast("long").alias("days")
+        )
+        .groupBy("days")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
 def _morton_sql(cols: list[str], bits: int) -> str:
     k = len(cols)
     terms = [

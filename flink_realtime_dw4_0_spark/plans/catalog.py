@@ -5454,6 +5454,72 @@ def funnel_ttc_q(spark, sf_dir):
     )
 
 
+@q(
+    "dq_cross_split_leakage",
+    f"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(list_aggregate({_DK_TOKS}, 'string_agg', ' ')) AS f,
+             CASE WHEN substr(md5('split:' || COALESCE(CAST(doc_id AS VARCHAR), '')), 1, 4) < 'e666'
+                  THEN 'train'
+                  WHEN substr(md5('split:' || COALESCE(CAST(doc_id AS VARCHAR), '')), 1, 4) < 'f333'
+                  THEN 'val' ELSE 'test' END AS split
+      FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.split AS split_a, b.split AS split_b
+    FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+    WHERE a.split <> b.split
+    """,
+    tags=("quality", "leakage", "composed"),
+)
+def dq_cross_split_leakage_q(spark, sf_dir):
+    """Cross-split leakage QA: exact-duplicate pairs that straddle the
+    train/val/test boundary — the check every split pipeline must run
+    (a test doc with a training twin invalidates the eval).  One
+    fingerprint self-join restricted to differing splits; at scale the
+    join key is the md5 fingerprint, so the shuffle carries hashes, not
+    text."""
+    docs = t(spark, sf_dir, "documents")
+    fp = sampling.split_assign(docs).select(
+        "doc_id", text.doc_fingerprint("text").alias("f"), "split"
+    )
+    a = fp.select(F.col("doc_id").alias("id_a"), "f", F.col("split").alias("split_a"))
+    b = fp.select(F.col("doc_id").alias("id_b"), "f", F.col("split").alias("split_b"))
+    return (
+        a.join(b, "f")
+        .filter((F.col("id_a") < F.col("id_b")) & (F.col("split_a") != F.col("split_b")))
+        .select("id_a", "id_b", "split_a", "split_b")
+    )
+
+
+@q(
+    "text_lexical_diversity",
+    f"""
+    WITH tk AS (SELECT doc_id, list_filter({_DK_TOKS}, x -> x <> '') AS t
+                FROM documents)
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(t)) AS BIGINT) AS n_types,
+           round(len(list_distinct(t)) / greatest(len(t), 1), 4) AS ttr
+    FROM tk
+    """,
+    tags=("text", "quality", "diversity"),
+)
+def text_lexical_diversity_q(spark, sf_dir):
+    """Type-token ratio (lexical diversity) per document — low TTR marks
+    repetitive/templated text; pure array calculus, no shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    tk = F.filter(text.tokenize("text"), lambda x: x != "")
+    base = docs.select("doc_id", tk.alias("t"))
+    return base.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("t")).cast("long").alias("n_types"),
+        F.round(
+            F.size(F.array_distinct("t")) / F.greatest(F.size("t"), F.lit(1)), 4
+        ).alias("ttr"),
+    )
+
+
 def _morton_sql(cols: list[str], bits: int) -> str:
     k = len(cols)
     terms = [

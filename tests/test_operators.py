@@ -1760,3 +1760,29 @@ def test_weighted_wor_sampling_properties(spark, sf_dir):
         docs.repartition(13), weight_col="n_chars", k=5, group_cols=["source"]
     ).collect()
     assert {r.doc_id for r in out2} == {r.doc_id for r in rows}
+
+
+def test_cross_split_leakage_fires_on_planted_twins(spark):
+    """The leakage QA must catch exact-duplicate docs landing in
+    different splits (doc ids hash independently of content)."""
+    from flink_realtime_dw4_0_spark.operators import sampling
+
+    # clone one text across many ids: with 200 ids at 90/5/5 split odds,
+    # at least one pair is certain to straddle splits
+    docs = spark.createDataFrame(
+        [(i, "identical text twin") for i in range(200)]
+        + [(1000, "a unique document")],
+        "doc_id long, text string",
+    )
+    fp = sampling.split_assign(docs).select(
+        "doc_id", text.doc_fingerprint("text").alias("f"), "split"
+    )
+    a = fp.select(F.col("doc_id").alias("id_a"), "f", F.col("split").alias("split_a"))
+    b = fp.select(F.col("doc_id").alias("id_b"), "f", F.col("split").alias("split_b"))
+    leaks = (
+        a.join(b, "f")
+        .filter((F.col("id_a") < F.col("id_b")) & (F.col("split_a") != F.col("split_b")))
+    )
+    assert leaks.count() > 0
+    # the unique doc never appears
+    assert leaks.filter((F.col("id_a") == 1000) | (F.col("id_b") == 1000)).count() == 0

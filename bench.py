@@ -488,7 +488,35 @@ def main() -> None:
         # hot-order replay: same envelope volume, 25% of details on one key
         out["streaming_trade_skew"] = bench_streaming_trade(spark, skew_frac=0.25)
 
-    print(json.dumps(out))
+    # The driver tail-captures stdout and parses the LAST line as JSON —
+    # r3's single giant object (stress+extras+streaming inline) overflowed
+    # that window and BENCH_r03 recorded "parsed": null.  Full detail goes
+    # to a sidecar file; stdout gets ONE compact headline object, printed
+    # last and alone, with only scalar summaries of the extra sections.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(out, fh, indent=2)
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": out["queries"],
+        "sf": out["sf"],
+    }
+    if "stress" in out:
+        compact["stress_total"] = out["stress"]["total"]
+    if "stress_dup" in out:
+        compact["stress_dup_total"] = out["stress_dup"]["total"]
+    if "extras" in out:
+        compact["extras_total"] = out["extras"]["total"]
+    for k in ("streaming", "streaming_trade", "streaming_trade_skew"):
+        if k in out:
+            compact[f"{k}_rows_per_sec"] = out[k]["rows_per_sec"]
+    sys.stdout.flush()
+    print(json.dumps(compact))
+    sys.stdout.flush()
     spark.stop()
 
 

@@ -535,7 +535,12 @@ def simhash_pairs(
     )
     sva = sig.select(F.col("doc_id").alias("id_a"), F.col("bv").alias("bv_a"))
     svb = sig.select(F.col("doc_id").alias("id_b"), F.col("bv").alias("bv_b"))
-    hamming = F.size(F.filter(F.zip_with("bv_a", "bv_b", lambda x, y: x != y), lambda z: z))
+    # cast to long: F.size yields INT while any SQL-oracle twin's
+    # sum(CASE...) aggregate widens — normalize the width Spark-side so
+    # value-hash comparisons see identical types (driver contract)
+    hamming = F.size(
+        F.filter(F.zip_with("bv_a", "bv_b", lambda x, y: x != y), lambda z: z)
+    ).cast("long")
     return (
         cand.join(sva, "id_a")
         .join(svb, "id_b")

@@ -244,8 +244,20 @@ def banded_interval_join(
     ``lo``/``hi`` are INTERVAL strings (e.g. '0 seconds', '5 minutes');
     column names must be disjoint or pre-aliased by the caller.
     """
-    lo_us = F.expr(f"unix_micros(TIMESTAMP '1970-01-01' + INTERVAL {lo})")
-    hi_us = F.expr(f"unix_micros(TIMESTAMP '1970-01-01' + INTERVAL {hi})")
+    # Interval width must be computed timezone-independently: a bare
+    # TIMESTAMP '1970-01-01' literal parses in the SESSION timezone, so
+    # unix_micros() of it alone is offset by the UTC offset in non-UTC
+    # sessions (e.g. the documented Asia/Shanghai pipeline mode).
+    # Day-time interval addition is instant-based, so subtracting the
+    # same literal's unix_micros cancels the zone offset exactly and
+    # leaves the pure interval width in microseconds.
+    epoch_us = "unix_micros(TIMESTAMP '1970-01-01')"
+    lo_us = F.expr(
+        f"unix_micros(TIMESTAMP '1970-01-01' + INTERVAL {lo}) - {epoch_us}"
+    )
+    hi_us = F.expr(
+        f"unix_micros(TIMESTAMP '1970-01-01' + INTERVAL {hi}) - {epoch_us}"
+    )
     l_us = F.unix_micros(F.col(left_ts))
     r_us = F.unix_micros(F.col(right_ts))
     if band_seconds is None:

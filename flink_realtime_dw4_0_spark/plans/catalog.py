@@ -1101,7 +1101,7 @@ def dedup_minhash_q(spark, sf_dir):
         ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
     ham AS (
       SELECT c.id_a, c.id_b,
-             sum(CASE WHEN va.b != vb.b THEN 1 ELSE 0 END) AS hamming
+             CAST(sum(CASE WHEN va.b != vb.b THEN 1 ELSE 0 END) AS BIGINT) AS hamming
       FROM cand c JOIN bv va ON va.doc_id = c.id_a
                   JOIN bv vb ON vb.doc_id = c.id_b AND va.i = vb.i
       GROUP BY c.id_a, c.id_b)
@@ -1346,14 +1346,14 @@ def mm_meta(spark, sf_dir):
     """
     SELECT doc_id AS media_id,
            CASE WHEN doc_id % 3 = 2 THEN 'audio' ELSE 'image' END AS media_type,
-           CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 26 ELSE 44 END AS byte_len,
-           CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 1000
+           CAST(CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 26 ELSE 44 END AS BIGINT) AS byte_len,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 1000
                            WHEN 1 THEN 1 + doc_id % 255
-                           ELSE 8000 + (doc_id % 100) * 50 END AS width,
-           CASE doc_id % 3 WHEN 0 THEN 16 + (doc_id * 7) % 1000
+                           ELSE 8000 + (doc_id % 100) * 50 END AS INTEGER) AS width,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 16 + (doc_id * 7) % 1000
                            WHEN 1 THEN 1 + (doc_id * 3) % 255
-                           ELSE 1 + doc_id % 2 END AS height,
-           CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 1000 ELSE 1 END AS n_frames
+                           ELSE 1 + doc_id % 2 END AS INTEGER) AS height,
+           CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 1000 ELSE 1 END AS INTEGER) AS n_frames
     FROM documents
     """,
     tags=("multimodal",),
@@ -1622,7 +1622,7 @@ def text_vocab_build_q(spark, sf_dir):
     WITH tok AS (SELECT lang, unnest({_DK_TOKS}) AS token FROM documents),
     counts AS (SELECT lang, token, count(*) AS cnt FROM tok
                WHERE token <> '' GROUP BY lang, token)
-    SELECT lang AS grp, token, cnt, rnk FROM (
+    SELECT lang AS grp, token, cnt, CAST(rnk AS INTEGER) AS rnk FROM (
       SELECT lang, token, cnt,
              row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rnk
       FROM counts) x
@@ -1645,7 +1645,7 @@ def text_top_tokens_q(spark, sf_dir):
            GROUP BY doc_id, token),
     dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
     n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
-    SELECT doc_id, token, tf, rnk FROM (
+    SELECT doc_id, token, tf, CAST(rnk AS INTEGER) AS rnk FROM (
       SELECT t.doc_id, t.token, t.tf,
              row_number() OVER (PARTITION BY t.doc_id
                ORDER BY (t.tf * n.n_docs * 1000000) // d.df DESC, t.token) AS rnk
@@ -2404,8 +2404,8 @@ def tpch_q4(spark, sf_dir):
     "tpch_q12_priority_lines",
     """
     SELECT l_returnflag,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
     GROUP BY l_returnflag
@@ -2500,7 +2500,7 @@ def tpch_q18(spark, sf_dir):
     """
     SELECT supp_nation, cust_nation, l_year, round(sum(volume), 4) AS revenue
     FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-                 year(l_shipdate) AS l_year,
+                 CAST(year(l_shipdate) AS INTEGER) AS l_year,
                  l_extendedprice * (1 - l_discount) AS volume
           FROM supplier s JOIN lineitem l ON s_suppkey = l_suppkey
             JOIN orders o ON o_orderkey = l_orderkey
@@ -2549,7 +2549,7 @@ def tpch_q7(spark, sf_dir):
     SELECT o_year,
            round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END), 4) AS nation_volume,
            round(sum(volume), 4) AS total_volume
-    FROM (SELECT year(o_orderdate) AS o_year,
+    FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
                  l_extendedprice * (1 - l_discount) AS volume, n2.n_name AS nation
           FROM part p JOIN lineitem l ON p_partkey = l_partkey
             JOIN supplier s ON s_suppkey = l_suppkey
@@ -2985,7 +2985,7 @@ def tpch_q2(spark, sf_dir):
     "tpch_q9_product_type_profit",
     f"""
     WITH {_PS_CTES}
-    SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+    SELECT n_name AS nation, CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
            round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                        * (100 - CAST(round(l_discount * 100) AS BIGINT))
                      - ps_supplycost_cents
@@ -3043,7 +3043,7 @@ def tpch_q9(spark, sf_dir):
       FROM partsupp JOIN supplier ON s_suppkey = ps_suppkey
            JOIN nation ON s_nationkey = n_nationkey
       WHERE n_name = 'NATION_7'),
-    byp AS (SELECT ps_partkey, sum(v) AS value_cents FROM nps GROUP BY ps_partkey),
+    byp AS (SELECT ps_partkey, CAST(sum(v) AS BIGINT) AS value_cents FROM nps GROUP BY ps_partkey),
     tot AS (SELECT sum(value_cents) AS t, count(*) AS npart FROM byp)
     SELECT ps_partkey, value_cents
     FROM byp, tot
@@ -3181,7 +3181,8 @@ def tpch_q20(spark, sf_dir):
       SELECT doc_id, CAST(len({_DK_TOKS}) AS BIGINT) AS n_tokens FROM documents),
     c AS (
       SELECT doc_id, n_tokens,
-             sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
+             CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens
+                  AS BIGINT) AS start_off
       FROM toks)
     SELECT doc_id, n_tokens, start_off,
            start_off // 2048 AS chunk_id,
@@ -3215,7 +3216,7 @@ _PII_FIXTURE = [
 
 _PII_SRC = (
     "(SELECT * FROM (VALUES "
-    + ", ".join(f"({i}, '{s}')" for i, s in _PII_FIXTURE)
+    + ", ".join(f"(CAST({i} AS BIGINT), '{s}')" for i, s in _PII_FIXTURE)
     + ") AS v(src_id, txt))"
 )
 
@@ -3373,9 +3374,9 @@ def text_boilerplate_ratio_q(spark, sf_dir):
       FROM documents),
     c AS (
       SELECT doc_id, source, n_tokens,
-             sum(n_tokens) OVER (PARTITION BY source
-                                 ORDER BY n_chars DESC, doc_id
-                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+             CAST(sum(n_tokens) OVER (PARTITION BY source
+                                      ORDER BY n_chars DESC, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
       FROM toks)
     SELECT doc_id, source, n_tokens, cum_tokens
     FROM c WHERE cum_tokens <= 300
@@ -3400,19 +3401,19 @@ def sample_token_budget_q(spark, sf_dir):
     """
     WITH w AS (
       SELECT count(*) AS n_rows,
-             sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS ck_nulls,
+             CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ck_nulls,
              count(DISTINCT o_custkey) AS ck_dist,
              CAST(min(o_custkey) AS VARCHAR) AS ck_min,
              CAST(max(o_custkey) AS VARCHAR) AS ck_max,
-             sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS st_nulls,
+             CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS st_nulls,
              count(DISTINCT o_orderstatus) AS st_dist,
              CAST(min(o_orderstatus) AS VARCHAR) AS st_min,
              CAST(max(o_orderstatus) AS VARCHAR) AS st_max,
-             sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS tp_nulls,
+             CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS tp_nulls,
              count(DISTINCT o_totalprice) AS tp_dist,
              CAST(CAST(round(min(o_totalprice), 4) AS DECIMAL(38,4)) AS VARCHAR) AS tp_min,
              CAST(CAST(round(max(o_totalprice), 4) AS DECIMAL(38,4)) AS VARCHAR) AS tp_max,
-             sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS od_nulls,
+             CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS od_nulls,
              count(DISTINCT o_orderdate) AS od_dist,
              strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS od_min,
              strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS od_max
@@ -4510,10 +4511,10 @@ def entity_resolution_q(spark, sf_dir):
     """
     WITH dims AS (
       SELECT doc_id AS media_id,
-             CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 1000
-                             ELSE 1 + doc_id % 255 END AS width,
-             CASE doc_id % 3 WHEN 0 THEN 16 + (doc_id * 7) % 1000
-                             ELSE 1 + (doc_id * 3) % 255 END AS height
+             CAST(CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 1000
+                             ELSE 1 + doc_id % 255 END AS INTEGER) AS width,
+             CAST(CASE doc_id % 3 WHEN 0 THEN 16 + (doc_id * 7) % 1000
+                             ELSE 1 + (doc_id * 3) % 255 END AS INTEGER) AS height
       FROM documents WHERE doc_id % 3 <> 2)
     SELECT media_id, width, height, py.py AS py, px.px AS px
     FROM dims,

@@ -385,3 +385,50 @@ def test_banded_interval_join_no_cartesian_and_equals_naive(spark, sf_dir):
     got2 = sorted((r.view_id, r.purchase_id)
                   for r in narrow.select("view_id", "purchase_id").collect())
     assert got2 == want
+
+
+def test_banded_interval_join_non_utc_session(spark, sf_dir):
+    """Interval widths must be timezone-independent: in a non-UTC
+    session a bare TIMESTAMP literal parses in the session zone, and a
+    naive unix_micros(epoch + INTERVAL) shifts left-side buckets by
+    ~offset/band while the right side stays put — silently dropping
+    matches.  Run the banded join under Asia/Shanghai (+08:00) with a
+    band narrower than the window (the default band width cancels the
+    offset, so only a narrow band exposes the bug) and require equality
+    with the naive theta-join."""
+    from flink_realtime_dw4_0_spark.operators import joins
+    from flink_realtime_dw4_0_spark.sources.files import load_table
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Shanghai")
+        ev = load_table(spark, sf_dir, "events")
+        views = ev.filter(F.col("event_type") == "view").select(
+            F.col("event_id").alias("view_id"), F.col("ts").alias("v_ts"))
+        buys = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts"))
+        banded = joins.banded_interval_join(
+            views, buys, left_ts="v_ts", right_ts="p_ts",
+            lo="0 seconds", hi="5 minutes", band_seconds=60)
+        naive = views.crossJoin(buys).filter(
+            (F.col("p_ts") >= F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 5 minutes")))
+        got = sorted((r.view_id, r.purchase_id)
+                     for r in banded.select("view_id", "purchase_id").collect())
+        want = sorted((r.view_id, r.purchase_id)
+                      for r in naive.select("view_id", "purchase_id").collect())
+        assert got == want and got
+        # negative lo (look-back window) must survive non-UTC too
+        back = joins.banded_interval_join(
+            views, buys, left_ts="v_ts", right_ts="p_ts",
+            lo="-5 minutes", hi="0 seconds", band_seconds=60)
+        naive_back = views.crossJoin(buys).filter(
+            (F.col("p_ts") >= F.col("v_ts") - F.expr("INTERVAL 5 minutes"))
+            & (F.col("p_ts") <= F.col("v_ts")))
+        got_b = sorted((r.view_id, r.purchase_id)
+                       for r in back.select("view_id", "purchase_id").collect())
+        want_b = sorted((r.view_id, r.purchase_id)
+                        for r in naive_back.select("view_id", "purchase_id").collect())
+        assert got_b == want_b
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)

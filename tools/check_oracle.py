@@ -25,6 +25,92 @@ TABLES = (
 )
 
 
+def _kind_spark(dt: str) -> str:
+    """Canonical type kind for a Spark dtype string.  Integer widths are
+    kept distinct because the driver's value hash does not collapse
+    width differences (the r3 dedup_simhash INT-vs-HUGEINT lesson)."""
+    d = dt.lower()
+    if d in ("tinyint", "byte"):
+        return "i8"
+    if d in ("smallint", "short"):
+        return "i16"
+    if d in ("int", "integer"):
+        return "i32"
+    if d in ("bigint", "long"):
+        return "i64"
+    if d == "float":
+        return "f32"
+    if d == "double":
+        return "f64"
+    if d.startswith("decimal"):
+        return "dec"
+    if d.startswith("array"):
+        return "array"
+    if d.startswith("struct"):
+        return "struct"
+    if d.startswith("map"):
+        return "map"
+    if d.startswith("timestamp"):
+        return "ts"
+    return d  # string / boolean / date / binary
+
+
+def _kind_arrow(t) -> str:
+    """Canonical type kind for a pyarrow type from the DuckDB oracle.
+    NOTE duckdb's HUGEINT (what every un-cast sum() returns) arrives as
+    decimal128(38,0) — kind 'dec' — so an oracle sum() whose Spark twin
+    is an integer column is flagged here even though stringified values
+    agree."""
+    import pyarrow as pa
+
+    if pa.types.is_int8(t):
+        return "i8"
+    if pa.types.is_int16(t):
+        return "i16"
+    if pa.types.is_int32(t):
+        return "i32"
+    if pa.types.is_int64(t) or pa.types.is_uint32(t):
+        return "i64"
+    if pa.types.is_float32(t):
+        return "f32"
+    if pa.types.is_float64(t):
+        return "f64"
+    if pa.types.is_decimal(t):
+        return "dec"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_boolean(t):
+        return "boolean"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "ts"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "array"
+    if pa.types.is_struct(t):
+        return "struct"
+    if pa.types.is_map(t):
+        return "map"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    return str(t)
+
+
+def type_mismatches(scols, sdtypes, oracle_arrow_schema):
+    """Columns whose canonical kind differs between the Spark result and
+    the DuckDB oracle result.  These hash-mismatch in the driver even
+    when stringified values agree."""
+    sk = {c: _kind_spark(d) for c, d in sdtypes}
+    out = []
+    for field in oracle_arrow_schema:
+        if field.name not in sk:
+            continue
+        ok = _kind_arrow(field.type)
+        if sk[field.name] != ok:
+            out.append((field.name, sk[field.name], ok))
+    return out
+
+
 def norm_cell(v):
     if v is None:
         return ""
@@ -67,11 +153,16 @@ def main() -> int:
             print(f"ok?   {name}: rows-only, {len(srows)} rows")
             continue
         try:
-            cur = con.execute(spec.oracle)
-            dcols = [d[0] for d in cur.description]
-            drows = cur.fetchall()
+            atbl = con.execute(spec.oracle).arrow()
+            dcols = atbl.schema.names
+            drows = [tuple(r.values()) for r in atbl.to_pylist()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
+            failures += 1
+            continue
+        tmis = type_mismatches(scols, sdf.dtypes, atbl.schema)
+        if tmis:
+            print(f"FAIL  {name}: type kind mismatch (spark vs oracle): {tmis}")
             failures += 1
             continue
         sc, sr = norm_rows(scols, [tuple(r) for r in srows])

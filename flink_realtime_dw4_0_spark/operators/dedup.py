@@ -616,17 +616,23 @@ def connected_components(
 
     Count-gated hybrid: a pair graph proven ≤ ``driver_threshold`` rows
     solves with driver union-find — tens of iterative Spark jobs cost
-    more than the data at the small end.  The gate is ONE limited
-    collect that doubles as the driver path's input (no second pairs
-    execution); on the distributed path its waste is bounded at
-    threshold+1 id rows.  Pass ``driver_threshold=None``/0 to force the
-    distributed loop.
+    more than the data at the small end.  The gate makes this API eager
+    (it runs the limited collect at call time).  The id-projected pairs
+    are persisted across the gate, so partitions the gate scanned are
+    NOT recomputed on the distributed path — the upstream (typically
+    shuffle-heavy LSH/fuzzy-join) plan executes once per partition
+    either way, and the gate's extra materialization is bounded at
+    threshold+1 id rows.  Pass ``driver_threshold=None``/0 to keep the
+    call fully lazy and force the distributed loop.
     """
+    ids = pairs.select("id_a", "id_b")
     if driver_threshold:
-        head = pairs.select("id_a", "id_b").limit(driver_threshold + 1).collect()
+        ids = ids.persist()
+        head = ids.limit(driver_threshold + 1).collect()
         if len(head) <= driver_threshold:
+            ids.unpersist()
             return _components_driver(pairs, head)
-    e = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    e = ids.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
     edges = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).cache()
@@ -660,6 +666,8 @@ def connected_components(
     # release the edge cache: the returned labels are themselves cached,
     # and their lineage can rebuild edges if that cache is ever evicted
     edges.unpersist()
+    if driver_threshold:
+        ids.unpersist()
     return labels.select(F.col("u").alias("doc_id"), F.col("lbl").alias("component"))
 
 
@@ -689,13 +697,18 @@ def connected_components_star(
     minimum.  Output matches `connected_components` exactly
     (equality-tested, incl. a chain where hash-min needs length rounds).
     """
+    ids = pairs.select("id_a", "id_b")
     if driver_threshold:
-        head = pairs.select("id_a", "id_b").limit(driver_threshold + 1).collect()
+        # same persisted-across-the-gate design as connected_components:
+        # the gate's partial scan is reused, never recomputed
+        ids = ids.persist()
+        head = ids.limit(driver_threshold + 1).collect()
         if len(head) <= driver_threshold:
+            ids.unpersist()
             return _components_driver(pairs, head)
     # canonical directed edges hi -> lo (hi > lo), one row per undirected
     # edge; both star steps emit canonically, so set-compare is exact
-    e = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    e = ids.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     edges = (
         e.select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -744,10 +757,18 @@ def connected_components_star(
         if not changed:
             break
     # final edges form stars: u -> component minimum; minima themselves
-    # appear only as targets, so add them back as their own component
-    nodes = pairs.select(F.col("id_a").alias("doc_id")).unionByName(
-        pairs.select(F.col("id_b").alias("doc_id"))
-    ).distinct()
+    # appear only as targets, so add them back as their own component.
+    # nodes come from the persisted id projection (not pairs) and are
+    # checkpointed eagerly so the persisted gate input can be released
+    # without the lazy result re-executing the upstream pairs plan
+    nodes = (
+        ids.select(F.col("id_a").alias("doc_id"))
+        .unionByName(ids.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if driver_threshold:
+        ids.unpersist()
     return (
         nodes.join(edges.withColumnRenamed("u", "doc_id"), "doc_id", "left")
         .select("doc_id", F.coalesce("v", "doc_id").alias("component"))

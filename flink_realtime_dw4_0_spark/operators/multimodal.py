@@ -306,7 +306,14 @@ def patch_grid(df: DataFrame, patch: int = 16) -> DataFrame:
     Non-image payloads pass through with zero rows (documented: audio
     has no spatial grid)."""
     feats = extract_features(df)
-    imgs = feats.filter(F.col("media_type") == "image")
+    # degenerate-container guard: width/height 0 would make sequence(0, -1)
+    # DESCEND ([0, -1]) and emit phantom patches with py/px = -1; corrupt
+    # headers contribute zero rows instead
+    imgs = feats.filter(
+        (F.col("media_type") == "image")
+        & (F.col("width") > 0)
+        & (F.col("height") > 0)
+    )
     nx = F.ceil(F.col("width") / patch).cast("int")
     ny = F.ceil(F.col("height") / patch).cast("int")
     g = imgs.select(

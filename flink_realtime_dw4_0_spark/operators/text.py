@@ -622,9 +622,14 @@ def dsir_logweights(
 def gopher_rules(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """The Gopher document-quality ruleset (Rae et al. 2021,
-    arXiv:2112.11446 Table A1) — the de-facto standard repetition /
-    well-formedness filters for pre-training corpora.
+    """The WELL-FORMEDNESS half of the Gopher document-quality ruleset
+    (Rae et al. 2021, arXiv:2112.11446 Table A1) plus the duplicate-line
+    and top-2-gram repetition signals.  `gopher_pass` ANDs exactly the
+    thresholds listed below — NOT the paper's full filter: the stop-word
+    rule, top 3-/4-gram char fractions, duplicate line/paragraph CHAR
+    fractions, and duplicate 5..10-gram coverage live in
+    `gopher_repetition`, and the complete Table A1 gate is the AND of
+    both (`text_gopher_full` in the catalog).
 
     Computed columns (all deterministic, rounded to 4 decimals):
       n_words, mean_word_len     — word count, mean word length
@@ -786,3 +791,193 @@ def bpe_encode(
     c = F.col(text_col)
     out = df.select(id_col, enc(c).alias("bpe_tokens"))
     return out.withColumn("n_bpe_tokens", F.size("bpe_tokens").cast("long"))
+
+
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+# Table A1 thresholds for the repetition signals (Rae et al. 2021):
+# duplicate line/paragraph fraction <= 0.30, their CHAR fractions <= 0.20,
+# top {2,3,4}-gram char fraction <= {0.20, 0.18, 0.16}, and duplicate
+# {5..10}-gram char fraction <= {0.15, 0.14, 0.13, 0.12, 0.11, 0.10}.
+GOPHER_TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def gopher_repetition(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The rest of the Gopher Table A1 battery (Rae et al. 2021,
+    arXiv:2112.11446) — the repetition-removal and stop-word signals
+    `gopher_rules` does not cover, so the two together implement the
+    paper's FULL filter:
+
+      n_stop_words            — tokens in the paper's 8-word stop list
+      dup_para_frac           — 1 − distinct/total paragraphs (\\n{2,} split)
+      dup_line_char_frac      — chars in repeat occurrences of duplicated
+                                lines / total chars ((cnt−1)·len summed)
+      dup_para_char_frac      — same, over paragraphs
+      top3gram_char_frac,     — chars covered by the most frequent word
+      top4gram_char_frac        3-/4-gram (cnt·len(gram)/total chars;
+                                ties → lexicographically greatest gram)
+      dup_5gram_char_frac ..  — chars of token positions covered by ANY
+      dup_10gram_char_frac      n-gram occurring ≥2 times (overlaps count
+                                once), / total chars
+      gopher_rep_pass         — AND of the Table A1 thresholds above plus
+                                n_stop_words ≥ 2
+
+    Plan shape (scale): ONE posexplode of the token array, ONE window
+    shuffle keyed by doc (9 `lead`s build every 2..10-gram per position —
+    no captured-array higher-order lambdas, which re-evaluate per
+    element), then map-combinable counts over (doc, n, gram).  Duplicate
+    coverage explodes dup grams back to positions and distincts them, so
+    overlapping repeats are counted once; everything downstream of the
+    explode carries ids + small ints, never text bodies.  Lines and
+    paragraphs go through plain explode + count — no O(L²) per-row array
+    calculus."""
+    W = Window.partitionBy("__id").orderBy("__pos")
+    toks = F.filter(tokenize(text_col), lambda t: t != "")
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        toks.alias("tk"),
+        F.split(F.regexp_replace(F.col(text_col), r"\n+$", ""), "\n").alias("ln"),
+        F.split(F.regexp_replace(F.col(text_col), r"\n+$", ""), r"\n{2,}").alias("pg"),
+        F.length(text_col).alias("nc"),
+    ).cache()
+    nc_den = F.greatest(F.col("nc"), F.lit(1))
+
+    # --- per-row signals: stop words + paragraph duplicate fraction ----
+    row_stats = base.select(
+        "__id",
+        F.col("nc"),
+        F.size(F.filter("tk", lambda x: x.isin(*GOPHER_STOP_WORDS)))
+        .cast("long")
+        .alias("n_stop_words"),
+        F.round(
+            1 - F.size(F.array_distinct("pg")) / F.greatest(F.size("pg"), F.lit(1)), 4
+        ).alias("dup_para_frac"),
+    )
+
+    # --- duplicated line / paragraph CHAR fractions (explode + count) --
+    def dup_char_frac(arr_col: str, out: str) -> DataFrame:
+        from .split import explode_computed
+
+        u = explode_computed(base, ["__id", "nc"], F.col(arr_col), "x")
+        return (
+            u.groupBy("__id", "nc", "x")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") > 1)
+            .groupBy("__id")
+            .agg(
+                F.round(
+                    F.sum((F.col("cnt") - 1) * F.length("x"))
+                    / F.greatest(F.first("nc"), F.lit(1)),
+                    4,
+                ).alias(out)
+            )
+        )
+
+    dl = dup_char_frac("ln", "dup_line_char_frac")
+    dp = dup_char_frac("pg", "dup_para_char_frac")
+
+    # --- one token-position frame feeds every n-gram statistic ---------
+    pos = base.select(
+        "__id", "nc", F.size("tk").alias("nt"), F.posexplode_outer("tk")
+    ).select(
+        "__id", "nc", "nt", F.col("pos").alias("__pos"), F.col("col").alias("tok")
+    )
+    leads = pos.select(
+        "__id", "nc", "nt", "__pos", F.length("tok").alias("tok_len"),
+        *[
+            F.concat_ws(
+                " ", "tok", *[F.lead("tok", j).over(W) for j in range(1, n)]
+            ).alias(f"g{n}")
+            for n in range(2, 11)
+        ],
+    )
+    grams = (
+        leads.select(
+            "__id", "nc", "nt", "__pos",
+            F.explode(
+                F.array(
+                    *[
+                        F.when(
+                            F.col("__pos") + n <= F.col("nt"),
+                            F.struct(F.lit(n).alias("n"), F.col(f"g{n}").alias("gram")),
+                        )
+                        for n in range(2, 11)
+                    ]
+                )
+            ).alias("s"),
+        )
+        .filter(F.col("s").isNotNull())
+        .select("__id", "nc", "__pos", F.col("s.n").alias("n"), F.col("s.gram").alias("gram"))
+    )
+    gcnt = grams.groupBy("__id", "nc", "n", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+
+    tops = (
+        gcnt.filter(F.col("n") <= 4)
+        .groupBy("__id", "n")
+        .agg(F.max(F.struct("cnt", "gram")).alias("top"), F.first("nc").alias("nc"))
+        .select(
+            "__id", "n",
+            F.round(
+                F.col("top.cnt") * F.length("top.gram") / F.greatest("nc", F.lit(1)), 4
+            ).alias("frac"),
+        )
+        .groupBy("__id")
+        .pivot("n", [3, 4])
+        .agg(F.first("frac"))
+        .withColumnRenamed("3", "top3gram_char_frac")
+        .withColumnRenamed("4", "top4gram_char_frac")
+    )
+
+    dupg = gcnt.filter((F.col("n") >= 5) & (F.col("cnt") >= 2)).select("__id", "n", "gram")
+    cover = (
+        grams.filter(F.col("n") >= 5)
+        .join(dupg, ["__id", "n", "gram"])
+        .select("__id", "nc", "n", F.explode(F.sequence("__pos", F.col("__pos") + F.col("n") - 1)).alias("p"))
+        .distinct()
+    )
+    covchars = (
+        cover.join(
+            pos.select("__id", F.col("__pos").alias("p"), F.length("tok").alias("tl")),
+            ["__id", "p"],
+        )
+        .groupBy("__id", "n")
+        .agg(F.round(F.sum("tl") / F.greatest(F.first("nc"), F.lit(1)), 4).alias("frac"))
+        .groupBy("__id")
+        .pivot("n", list(range(5, 11)))
+        .agg(F.first("frac"))
+    )
+    covchars = covchars.select(
+        "__id", *[F.col(str(n)).alias(f"dup_{n}gram_char_frac") for n in range(5, 11)]
+    )
+
+    out = (
+        row_stats.join(dl, "__id", "left")
+        .join(dp, "__id", "left")
+        .join(tops, "__id", "left")
+        .join(covchars, "__id", "left")
+    )
+    fill = {
+        "dup_line_char_frac": 0.0, "dup_para_char_frac": 0.0,
+        "top3gram_char_frac": 0.0, "top4gram_char_frac": 0.0,
+        **{f"dup_{n}gram_char_frac": 0.0 for n in range(5, 11)},
+    }
+    out = out.fillna(fill)
+    rep_pass = (
+        (F.col("n_stop_words") >= 2)
+        & (F.col("dup_para_frac") <= 0.30)
+        & (F.col("dup_line_char_frac") <= 0.20)
+        & (F.col("dup_para_char_frac") <= 0.20)
+        & (F.col("top3gram_char_frac") <= GOPHER_TOP_NGRAM_MAX[3])
+        & (F.col("top4gram_char_frac") <= GOPHER_TOP_NGRAM_MAX[4])
+    )
+    for n, thr in GOPHER_DUP_NGRAM_MAX.items():
+        rep_pass = rep_pass & (F.col(f"dup_{n}gram_char_frac") <= thr)
+    return out.select(
+        F.col("__id").alias(id_col),
+        "n_stop_words", "dup_para_frac", "dup_line_char_frac",
+        "dup_para_char_frac", "top3gram_char_frac", "top4gram_char_frac",
+        *[f"dup_{n}gram_char_frac" for n in range(5, 11)],
+    ).withColumn("gopher_rep_pass", rep_pass.cast("int"))

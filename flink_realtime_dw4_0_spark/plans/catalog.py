@@ -5908,3 +5908,163 @@ def graph_triangles_q(spark, sf_dir):
     return graph.triangle_count(edges).select(
         F.col("node"), F.col("n_triangles")
     )
+
+
+# ===========================================================================
+# Gopher Table A1 — the repetition-removal + stop-word signals that
+# complete the paper's filter (text.gopher_repetition; gopher_rules holds
+# the well-formedness half)
+# ===========================================================================
+
+_GOPHER_STOPS_SQL = "', '".join(
+    ("the", "be", "to", "of", "and", "that", "have", "with")
+)
+
+_GOPHER_REP_SQL = f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             list_filter({_DK_TOKS}, x -> x <> '') AS tk,
+             string_split(regexp_replace(text, '\\n+$', ''), chr(10)) AS ln,
+             regexp_split_to_array(regexp_replace(text, '\\n+$', ''), '\\n{{2,}}') AS pg,
+             length(text) AS nc
+      FROM documents),
+    rowstats AS (
+      SELECT doc_id, nc,
+             CAST(len(list_filter(tk, x -> x IN ('{_GOPHER_STOPS_SQL}'))) AS BIGINT)
+               AS n_stop_words,
+             round(1 - len(list_distinct(pg)) / greatest(len(pg), 1), 4)
+               AS dup_para_frac
+      FROM base),
+    lx AS (SELECT doc_id, nc, unnest(ln) AS x FROM base),
+    lc AS (SELECT doc_id, nc, x, count(*) AS cnt FROM lx GROUP BY ALL),
+    dl AS (SELECT doc_id, round(sum((cnt - 1) * length(x)) / greatest(any_value(nc), 1), 4)
+                    AS dup_line_char_frac
+           FROM lc WHERE cnt > 1 GROUP BY doc_id),
+    px AS (SELECT doc_id, nc, unnest(pg) AS x FROM base),
+    pc AS (SELECT doc_id, nc, x, count(*) AS cnt FROM px GROUP BY ALL),
+    dp AS (SELECT doc_id, round(sum((cnt - 1) * length(x)) / greatest(any_value(nc), 1), 4)
+                    AS dup_para_char_frac
+           FROM pc WHERE cnt > 1 GROUP BY doc_id),
+    grams AS (
+      SELECT b.doc_id, b.nc, ns.n, gi.i,
+             array_to_string(list_slice(b.tk, gi.i, gi.i + ns.n - 1), ' ') AS gram
+      FROM base b
+      CROSS JOIN (SELECT unnest(generate_series(2, 10)) AS n) ns,
+           unnest(generate_series(1, len(b.tk))) AS gi(i)
+      WHERE gi.i + ns.n - 1 <= len(b.tk)),
+    gcnt AS (SELECT doc_id, nc, n, gram, count(*) AS cnt
+             FROM grams GROUP BY ALL),
+    topg AS (
+      SELECT doc_id, n,
+             round(cnt * length(gram) / greatest(nc, 1), 4) AS frac
+      FROM (SELECT doc_id, nc, n, gram, cnt,
+                   row_number() OVER (PARTITION BY doc_id, n
+                                      ORDER BY cnt DESC, gram DESC) AS rn
+            FROM gcnt WHERE n IN (3, 4)) x
+      WHERE rn = 1),
+    tops AS (
+      SELECT doc_id,
+             max(CASE WHEN n = 3 THEN frac END) AS top3gram_char_frac,
+             max(CASE WHEN n = 4 THEN frac END) AS top4gram_char_frac
+      FROM topg GROUP BY doc_id),
+    dupg AS (SELECT doc_id, n, gram FROM gcnt WHERE n >= 5 AND cnt >= 2),
+    cover AS (
+      SELECT DISTINCT g.doc_id, g.nc, g.n, pp.p
+      FROM grams g
+      JOIN dupg d ON d.doc_id = g.doc_id AND d.n = g.n AND d.gram = g.gram,
+           unnest(generate_series(g.i, g.i + g.n - 1)) AS pp(p)
+      WHERE g.n >= 5),
+    tokpos AS (
+      SELECT doc_id, ti.i, length(tk[ti.i]) AS tl
+      FROM base, unnest(generate_series(1, len(tk))) AS ti(i)),
+    covchars AS (
+      SELECT c.doc_id, c.n,
+             round(sum(t.tl) / greatest(any_value(c.nc), 1), 4) AS frac
+      FROM cover c JOIN tokpos t ON t.doc_id = c.doc_id AND t.i = c.p
+      GROUP BY c.doc_id, c.n),
+    covp AS (
+      SELECT doc_id,
+             max(CASE WHEN n = 5 THEN frac END) AS dup_5gram_char_frac,
+             max(CASE WHEN n = 6 THEN frac END) AS dup_6gram_char_frac,
+             max(CASE WHEN n = 7 THEN frac END) AS dup_7gram_char_frac,
+             max(CASE WHEN n = 8 THEN frac END) AS dup_8gram_char_frac,
+             max(CASE WHEN n = 9 THEN frac END) AS dup_9gram_char_frac,
+             max(CASE WHEN n = 10 THEN frac END) AS dup_10gram_char_frac
+      FROM covchars GROUP BY doc_id),
+    o AS (
+      SELECT r.doc_id, r.n_stop_words, r.dup_para_frac,
+             coalesce(dl.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+             coalesce(dp.dup_para_char_frac, 0.0) AS dup_para_char_frac,
+             coalesce(t.top3gram_char_frac, 0.0) AS top3gram_char_frac,
+             coalesce(t.top4gram_char_frac, 0.0) AS top4gram_char_frac,
+             coalesce(c.dup_5gram_char_frac, 0.0) AS dup_5gram_char_frac,
+             coalesce(c.dup_6gram_char_frac, 0.0) AS dup_6gram_char_frac,
+             coalesce(c.dup_7gram_char_frac, 0.0) AS dup_7gram_char_frac,
+             coalesce(c.dup_8gram_char_frac, 0.0) AS dup_8gram_char_frac,
+             coalesce(c.dup_9gram_char_frac, 0.0) AS dup_9gram_char_frac,
+             coalesce(c.dup_10gram_char_frac, 0.0) AS dup_10gram_char_frac
+      FROM rowstats r
+      LEFT JOIN dl ON dl.doc_id = r.doc_id
+      LEFT JOIN dp ON dp.doc_id = r.doc_id
+      LEFT JOIN tops t ON t.doc_id = r.doc_id
+      LEFT JOIN covp c ON c.doc_id = r.doc_id)
+    SELECT *,
+           CASE WHEN n_stop_words >= 2
+                 AND dup_para_frac <= 0.30
+                 AND dup_line_char_frac <= 0.20
+                 AND dup_para_char_frac <= 0.20
+                 AND top3gram_char_frac <= 0.18
+                 AND top4gram_char_frac <= 0.16
+                 AND dup_5gram_char_frac <= 0.15
+                 AND dup_6gram_char_frac <= 0.14
+                 AND dup_7gram_char_frac <= 0.13
+                 AND dup_8gram_char_frac <= 0.12
+                 AND dup_9gram_char_frac <= 0.11
+                 AND dup_10gram_char_frac <= 0.10
+                THEN 1 ELSE 0 END AS gopher_rep_pass
+    FROM o
+    """
+
+
+@q(
+    "text_gopher_repetition",
+    _GOPHER_REP_SQL,
+    tags=("text", "quality", "gopher"),
+)
+def text_gopher_repetition_q(spark, sf_dir):
+    """Gopher repetition-removal + stop-word signals
+    (text.gopher_repetition, arXiv:2112.11446 Table A1): duplicate
+    line/paragraph char fractions, top 3-/4-gram coverage, duplicate
+    5..10-gram coverage (overlap-once semantics), and the paper's
+    thresholds ANDed into gopher_rep_pass.  One posexplode + one window
+    of 9 leads builds every n-gram; counts are map-combinable; only ids
+    and small ints shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    return text.gopher_repetition(docs)
+
+
+@q(
+    "text_gopher_full",
+    f"""
+    WITH wf AS ({_GOPHER_SQL}),
+    rep AS ({_GOPHER_REP_SQL})
+    SELECT wf.doc_id, wf.gopher_pass, rep.gopher_rep_pass,
+           CASE WHEN wf.gopher_pass = 1 AND rep.gopher_rep_pass = 1
+                THEN 1 ELSE 0 END AS gopher_full_pass
+    FROM wf JOIN rep ON wf.doc_id = rep.doc_id
+    """,
+    tags=("text", "quality", "gopher"),
+)
+def text_gopher_full_q(spark, sf_dir):
+    """The COMPLETE Gopher filter (Rae et al. Table A1): well-formedness
+    half (gopher_rules) AND repetition half (gopher_repetition) — the
+    flag a pre-training curation pipeline actually gates on."""
+    docs = t(spark, sf_dir, "documents")
+    wf = text.gopher_rules(docs).select("doc_id", "gopher_pass")
+    rep = text.gopher_repetition(docs).select("doc_id", "gopher_rep_pass")
+    return wf.join(rep, "doc_id").select(
+        "doc_id", "gopher_pass", "gopher_rep_pass",
+        ((F.col("gopher_pass") == 1) & (F.col("gopher_rep_pass") == 1))
+        .cast("int")
+        .alias("gopher_full_pass"),
+    )

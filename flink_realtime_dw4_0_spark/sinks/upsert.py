@@ -10,22 +10,32 @@ keyed last-write-wins MERGE per micro-batch.  The intermediate retract
 relation is identical — which is what the batch oracle checks and what any
 downstream table consumer observes.
 
-Storage: a keyed parquet table with read-merge-overwrite, crash-safe via
-versioned directories + an atomically-flipped CURRENT pointer (the same
-snapshot-pointer idea Delta/Iceberg use).  On a production cluster this
-becomes Delta/Iceberg ``MERGE INTO`` with the same keys — the calling
-convention is identical, and per-batch work stays proportional to the
-touched partitions.
+Storage: a keyed parquet table hash-bucketed into ``n_buckets`` fixed
+buckets, crash-safe via versioned directories + a per-version bucket
+MANIFEST + an atomically-flipped CURRENT pointer (the same
+snapshot-pointer + manifest idea Delta/Iceberg use).  A MERGE rewrites
+ONLY the buckets the batch touches and inherits the rest from the
+previous manifest, so per-batch cost is O(touched state), not O(total
+state) — matching the ``MERGE INTO`` contract those formats give on a
+real cluster.
+
+TTL is two-layer, the way Flink's RocksDB state TTL works: a logical
+horizon (``set_ttl_horizon``) filters expired rows out of every
+``read()`` immediately, and the physical bytes are reclaimed lazily
+whenever a bucket is rewritten by a later merge (compaction-style) or
+eagerly via ``compact()``.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 from pyspark.sql.window import Window
 
 
@@ -42,6 +52,8 @@ class KeyedTable:
         keys: list[str],
         version_col: str | None = None,
         keep_versions: int = 1,
+        n_buckets: int = 16,
+        ttl_col: str = "ts",
     ):
         self.path = path
         self.keys = keys
@@ -49,6 +61,44 @@ class KeyedTable:
         if keep_versions < 1:
             raise ValueError(f"keep_versions must be >= 1, got {keep_versions}")
         self.keep_versions = keep_versions
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+        self.n_buckets = n_buckets
+        self.ttl_col = ttl_col
+        self.ttl_horizon: int | None = None
+        ttl_f = os.path.join(self.path, "TTL")
+        if os.path.exists(ttl_f):  # survive restarts: expired stays expired
+            with open(ttl_f) as fh:
+                txt = fh.read().strip()
+            self.ttl_horizon = int(txt) if txt else None
+
+    def set_ttl_horizon(self, horizon: int | None) -> None:
+        """Logical TTL watermark: rows with ``ttl_col < horizon`` vanish
+        from ``read()`` immediately (exact semantics, zero I/O) and are
+        physically dropped whenever their bucket is next rewritten —
+        the same lazy-compaction cleanup Flink's RocksDB TTL uses.
+        Persisted so a restarted pipeline never resurrects expired rows."""
+        self.ttl_horizon = horizon
+        if horizon is not None:
+            os.makedirs(self.path, exist_ok=True)
+            tmp = os.path.join(self.path, "TTL.tmp")
+            with open(tmp, "w") as fh:
+                fh.write(str(int(horizon)))
+            os.replace(tmp, os.path.join(self.path, "TTL"))
+
+    def _apply_ttl(self, df: DataFrame | None) -> DataFrame | None:
+        if df is None or self.ttl_horizon is None or self.ttl_col not in df.columns:
+            return df
+        return df.filter(
+            F.col(self.ttl_col).cast("long") >= F.lit(int(self.ttl_horizon))
+        )
+
+    def _bucket_expr(self):
+        if not self.keys:
+            return F.lit(0).cast("int")
+        return F.pmod(
+            F.hash(*[F.col(k) for k in self.keys]), F.lit(self.n_buckets)
+        ).cast("int")
 
     def _current_file(self) -> str:
         return os.path.join(self.path, "CURRENT")
@@ -76,20 +126,59 @@ class KeyedTable:
         return [v for v in names if os.path.exists(os.path.join(self.path, v))]
 
     def _current_dir(self) -> str | None:
+        v = self._current_version()
+        if v is None:
+            return None
+        d = os.path.join(self.path, v)
+        return d if os.path.exists(d) else None
+
+    def _current_version(self) -> str | None:
         f = self._current_file()
         if not os.path.exists(f):
             return None
         with open(f) as fh:
             v = fh.read().strip()
-        d = os.path.join(self.path, v)
-        return d if os.path.exists(d) else None
+        return v if os.path.exists(os.path.join(self.path, v)) else None
+
+    def _manifest_path(self, version: str) -> str:
+        return os.path.join(self.path, version, "MANIFEST.json")
+
+    def _load_manifest(self, version: str) -> dict | None:
+        p = self._manifest_path(version)
+        if not os.path.exists(p):
+            return None  # legacy flat layout (pre-bucketing snapshot)
+        with open(p) as fh:
+            return json.load(fh)
+
+    def _bucket_paths(self, manifest: dict) -> list[str]:
+        return [
+            os.path.join(self.path, ver, f"__b={b}")
+            for b, ver in sorted(manifest["buckets"].items(), key=lambda kv: int(kv[0]))
+        ]
+
+    def _read_snapshot(self, spark: SparkSession, version: str) -> DataFrame:
+        """Raw snapshot read (no TTL filter): resolve the version's
+        manifest to its bucket leaf dirs — untouched buckets live in
+        OLDER version dirs; reading leaf dirs directly adds no inferred
+        partition column."""
+        man = self._load_manifest(version)
+        if man is None:
+            return spark.read.parquet(os.path.join(self.path, version))
+        paths = self._bucket_paths(man)
+        if not paths:
+            return spark.createDataFrame(
+                [], StructType.fromJson(man["schema"])
+            )
+        return spark.read.parquet(*paths)
 
     def exists(self, spark: SparkSession) -> bool:
-        return self._current_dir() is not None
+        return self._current_version() is not None
 
     def read(self, spark: SparkSession) -> DataFrame | None:
-        d = self._current_dir()
-        return spark.read.parquet(d) if d is not None else None
+        v = self._current_version()
+        if v is None:
+            return None
+        return self._apply_ttl(self._read_snapshot(spark, v))
 
     def read_version(self, spark: SparkSession, steps_back: int = 0) -> DataFrame | None:
         """Time-travel read: the snapshot `steps_back` merges ago
@@ -101,7 +190,7 @@ class KeyedTable:
         hist = self._history()
         if steps_back < 0 or steps_back >= len(hist):
             return None
-        return spark.read.parquet(os.path.join(self.path, hist[-1 - steps_back]))
+        return self._read_snapshot(spark, hist[-1 - steps_back])
 
     def history(self) -> list[str]:
         """Retained snapshot names, oldest first (audit surface)."""
@@ -162,17 +251,35 @@ class KeyedTable:
             "_change_type",
         )
 
-    def _overwrite(self, df: DataFrame) -> None:
-        """Crash-safe overwrite: write a fresh version dir, flip the
-        CURRENT pointer atomically (tmp file + os.replace), then GC stale
-        versions.  There is never a window with the table absent — a crash
-        leaves either the old or the new version current.  (The previous
-        rmtree-then-rename swap had a no-table window: a foreachBatch
-        replay landing in it would silently rebuild the table from the
-        replayed batch alone, losing all previously merged keys.)"""
+    def _commit(self, df: DataFrame, inherit: dict[str, str]) -> None:
+        """Crash-safe bucketed commit: write `df`'s rows partitioned by
+        key-hash bucket into a fresh version dir, write the version's
+        MANIFEST (rewritten buckets -> this version; `inherit` buckets ->
+        their existing version dirs), flip the CURRENT pointer atomically
+        (tmp file + os.replace), then GC version dirs no retained
+        manifest references.  There is never a window with the table
+        absent — a crash leaves either the old or the new version
+        current, and an uncommitted version dir is invisible (HISTORY is
+        appended only after the flip)."""
         os.makedirs(self.path, exist_ok=True)
         v = f"v_{uuid.uuid4().hex[:12]}"
-        df.write.mode("overwrite").parquet(os.path.join(self.path, v))
+        vdir = os.path.join(self.path, v)
+        schema_json = df.schema.jsonValue()
+        df.withColumn("__b", self._bucket_expr()).write.mode("overwrite").partitionBy(
+            "__b"
+        ).parquet(vdir)
+        written = {
+            d.split("=", 1)[1]
+            for d in os.listdir(vdir)
+            if d.startswith("__b=")
+        }
+        buckets = dict(inherit)
+        buckets.update({b: v for b in written})
+        man = {"n_buckets": self.n_buckets, "schema": schema_json, "buckets": buckets}
+        tmp_m = self._manifest_path(v) + ".tmp"
+        with open(tmp_m, "w") as fh:
+            json.dump(man, fh)
+        os.replace(tmp_m, self._manifest_path(v))
         tmp = f"{self._current_file()}.tmp_{v}"
         with open(tmp, "w") as fh:
             fh.write(v)
@@ -183,9 +290,15 @@ class KeyedTable:
         with open(self._history_file(), "a") as fh:
             fh.write(v + "\n")
         retained_list = self._history()[-self.keep_versions:]
-        retained = set(retained_list) | {v}
+        # a version dir stays on disk while ANY retained manifest points a
+        # bucket at it (untouched buckets are inherited across versions)
+        referenced = set(retained_list) | {v}
+        for r in retained_list:
+            r_man = self._load_manifest(r)
+            if r_man is not None:
+                referenced.update(r_man["buckets"].values())
         for d in os.listdir(self.path):
-            if d.startswith("v_") and d not in retained:
+            if d.startswith("v_") and d not in referenced:
                 shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
         # compact HISTORY to the retained tail so per-merge metadata cost
         # stays O(keep_versions), not O(total merges ever)
@@ -193,6 +306,10 @@ class KeyedTable:
         with open(tmp_h, "w") as fh:
             fh.write("".join(n + "\n" for n in retained_list))
         os.replace(tmp_h, self._history_file())
+
+    def _overwrite(self, df: DataFrame) -> None:
+        """Full-snapshot commit: every bucket rewritten."""
+        self._commit(df, inherit={})
 
     def replace(self, df: DataFrame) -> None:
         """Full-snapshot overwrite for callers that have ALREADY computed
@@ -228,15 +345,83 @@ class KeyedTable:
             )
         else:
             batch = batch.dropDuplicates(self.keys)
-        current = self.read(spark)
-        if current is not None:
+
+        cur_version = self._current_version()
+        if cur_version is None:
+            merged = batch
+            if deletes is not None:
+                merged = merged.join(
+                    deletes.select(*self.keys).distinct(), on=self.keys, how="left_anti"
+                )
+            self._commit(merged, inherit={})
+            return
+
+        man = self._load_manifest(cur_version)
+        incremental = (
+            man is not None
+            and man.get("n_buckets") == self.n_buckets
+            and bool(self.keys)
+            and sorted(
+                (f["name"], f["type"]) if isinstance(f["type"], str) else (f["name"], json.dumps(f["type"]))
+                for f in man["schema"]["fields"]
+            )
+            == sorted(
+                (f["name"], f["type"]) if isinstance(f["type"], str) else (f["name"], json.dumps(f["type"]))
+                for f in batch.schema.jsonValue()["fields"]
+            )
+        )
+        if not incremental:
+            # legacy layout / bucket-count change / schema evolution:
+            # one full rewrite re-baselines every bucket on the new shape
+            current = self._apply_ttl(self._read_snapshot(spark, cur_version))
             keep = current.join(batch.select(*self.keys), on=self.keys, how="left_anti")
             merged = keep.unionByName(batch, allowMissingColumns=True)
+            if deletes is not None:
+                merged = merged.join(
+                    deletes.select(*self.keys).distinct(), on=self.keys, how="left_anti"
+                )
+            self._commit(merged, inherit={})
+            return
+
+        # incremental path: rewrite ONLY the buckets the batch (or the
+        # deletes) touches; every other bucket is inherited by manifest
+        # reference.  The touched-bucket probe is one tiny job over the
+        # already-materialized micro-batch — bounded by n_buckets rows.
+        probe = batch.select(self._bucket_expr().alias("__b"))
+        if deletes is not None:
+            probe = probe.unionByName(deletes.select(self._bucket_expr().alias("__b")))
+        touched = {str(r["__b"]) for r in probe.distinct().collect()}
+        cur_map = man["buckets"]
+        touched_paths = [
+            os.path.join(self.path, cur_map[b], f"__b={b}")
+            for b in sorted(touched, key=int)
+            if b in cur_map
+        ]
+        if touched_paths:
+            cur_t = self._apply_ttl(spark.read.parquet(*touched_paths))
+            keep = cur_t.join(batch.select(*self.keys), on=self.keys, how="left_anti")
+            merged = keep.unionByName(batch)
         else:
             merged = batch
         if deletes is not None:
-            merged = merged.join(deletes.select(*self.keys).distinct(), on=self.keys, how="left_anti")
-        self._overwrite(merged)
+            merged = merged.join(
+                deletes.select(*self.keys).distinct(), on=self.keys, how="left_anti"
+            )
+        # normalize column ORDER to the stored schema: the anti-joins
+        # above are USING-joins, which move key columns to the front, and
+        # a version whose files order columns differently from inherited
+        # buckets would make the multi-path read's schema nondeterministic
+        merged = merged.select(*[f["name"] for f in man["schema"]["fields"]])
+        inherit = {b: ver for b, ver in cur_map.items() if b not in touched}
+        self._commit(merged, inherit=inherit)
+
+    def compact(self, spark: SparkSession) -> None:
+        """Eager physical cleanup: rewrite every bucket through the TTL
+        filter (and drop inherited references), reclaiming expired rows'
+        bytes now instead of at the next touch of their bucket."""
+        current = self.read(spark)
+        if current is not None:
+            self._commit(current, inherit={})
 
 
 def upsert_kafka_records(df: DataFrame, keys: list[str], tombstone_when=None) -> DataFrame:

@@ -111,13 +111,16 @@ class OrderDetailJoin:
         self._max_ts = 0
 
     def _prune_ttl(self, spark: SparkSession) -> None:
+        """Advance the logical TTL horizon on every side table.  Expired
+        rows vanish from read() immediately (exact join semantics) at
+        zero I/O; their bytes are reclaimed lazily when a later merge
+        rewrites their bucket — compaction-style cleanup, not the former
+        four full-table rewrites per micro-batch (O(total state))."""
         if not self.state_ttl_sec or not self._max_ts:
             return
         horizon = self._max_ts - self.state_ttl_sec
         for table in (self.od, self.oi, self.oda, self.odc):
-            cur = table.read(spark)
-            if cur is not None:
-                table._overwrite(cur.filter(F.col("ts") >= horizon))
+            table.set_ttl_horizon(horizon)
 
     @staticmethod
     def _slice(topic_db: DataFrame, table: str, fields: dict[str, str]) -> DataFrame:

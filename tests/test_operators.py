@@ -1786,3 +1786,51 @@ def test_cross_split_leakage_fires_on_planted_twins(spark):
     assert leaks.count() > 0
     # the unique doc never appears
     assert leaks.filter((F.col("id_a") == 1000) | (F.col("id_b") == 1000)).count() == 0
+
+
+def test_gopher_repetition_hand_computed(spark):
+    """Hand-computed Table A1 repetition signals (text.gopher_repetition):
+    stop-word rule, duplicate paragraph/line char fractions, and the
+    overlap-once duplicate n-gram coverage."""
+    clean = ("the alpha and beta " + " ".join(f"w{i:02d}" for i in range(48)))
+    no_stop = "cat dog bird fish horse cow sheep goat llama yak"
+    # "alpha beta gamma delta epsilon" occurs twice (pos 0-4, 6-10):
+    # covered tokens chars = 2*(5+4+5+5+7) = 52; nc = 59 chars + 11 spaces
+    dup5 = ("alpha beta gamma delta epsilon zeta "
+            "alpha beta gamma delta epsilon eta")
+    dup_para = "para one here\n\npara one here\n\nunique paragraph"
+    dup_line = "this is a repeated line\nthis is a repeated line\nthis is a repeated line\nunique closing line"
+    # overlapping dup 5-grams: "a b a b a" (starts 0,2,4,6,8) and
+    # "b a b a b" (starts 1,3,5,7,9) together cover ALL 14 single-char
+    # tokens, each position once; nc = 14 + 13 spaces = 27
+    overlap = " ".join(["a", "b"] * 7)
+    docs = spark.createDataFrame(
+        [(1, clean), (2, no_stop), (3, dup5), (4, dup_para), (5, dup_line),
+         (6, overlap)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.asDict() for r in text.gopher_repetition(docs).collect()}
+
+    assert out[1]["n_stop_words"] == 2 and out[1]["gopher_rep_pass"] == 1
+    assert all(out[1][f"dup_{n}gram_char_frac"] == 0.0 for n in range(5, 11))
+
+    assert out[2]["n_stop_words"] == 0 and out[2]["gopher_rep_pass"] == 0
+
+    nc3 = len(dup5)
+    assert out[3]["dup_5gram_char_frac"] == round(52 / nc3, 4)
+    assert out[3]["dup_6gram_char_frac"] == 0.0  # zeta/eta break the 6-run
+    assert out[3]["gopher_rep_pass"] == 0
+
+    nc4 = len(dup_para)
+    assert out[4]["dup_para_frac"] == round(1 - 2 / 3, 4)
+    assert out[4]["dup_para_char_frac"] == round(13 / nc4, 4)
+    assert out[4]["gopher_rep_pass"] == 0
+
+    nc5 = len(dup_line)
+    assert out[5]["dup_line_char_frac"] == round(2 * 23 / nc5, 4)
+
+    # overlap-once semantics: positions covered by ANY duplicated 5-gram
+    # count once — all 14 single-char tokens, not 5x the occurrences
+    nc6 = len(overlap)
+    assert out[6]["dup_5gram_char_frac"] == round(14 / nc6, 4)
+    assert out[6]["gopher_rep_pass"] == 0

@@ -69,7 +69,8 @@ def to_media(df: DataFrame, id_col: str, bytes_src_col: str, media_type: str) ->
 
 
 def _parse_media_header(payload: bytes) -> tuple[int, int, int] | None:
-    """stdlib-only container-header parse: PNG IHDR / BMP DIB / WAV RIFF.
+    """stdlib-only container-header parse: PNG IHDR / BMP DIB / JPEG
+    SOFn (marker-segment scan) / WAV RIFF.
 
     Returns (width, height, n_frames); for WAV the triple carries
     (sample_rate, channels, sample_frames).  None if the payload is not a
@@ -96,6 +97,30 @@ def _parse_media_header(payload: bytes) -> tuple[int, int, int] | None:
             # pixel height)
             w, h = struct.unpack("<ii", payload[18:26])
             return int(w), abs(int(h)), 1
+    if payload[:2] == b"\xff\xd8":  # JPEG SOI — scan marker segments
+        # SOFn markers carry the frame dims; C4 (DHT), C8 (JPG ext) and
+        # CC (DAC) share the Cx range but are NOT frame headers
+        sof = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+        pos = 2
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                break  # desynchronized — not a well-formed stream
+            marker = payload[pos + 1]
+            if marker == 0xFF:  # fill byte padding before a marker
+                pos += 1
+                continue
+            if marker in (0xD9, 0xDA):  # EOI / SOS: dims precede scan data
+                break
+            if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # standalone
+                pos += 2
+                continue
+            seg_len = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
+            if marker in sof and pos + 9 <= len(payload):
+                # SOF payload: precision(1), height(2 BE), width(2 BE)
+                h, w = struct.unpack(">HH", payload[pos + 5 : pos + 9])
+                return int(w), int(h), 1
+            pos += 2 + seg_len
+        return None  # JPEG without a parseable SOF — caller stubs
     if payload[:4] == b"RIFF" and len(payload) >= 12 and payload[8:12] == b"WAVE":
         pos, channels, rate, block_align, data_size = 12, None, None, None, None
         while pos + 8 <= len(payload):
@@ -145,10 +170,12 @@ def _decode(payload: bytes, media_type: str) -> tuple[int, int, int]:
 def synthetic_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic REAL-container media fixtures, built entirely JVM-side.
 
-    Per id, one of three genuine binary headers (kind = id % 3):
+    Per id, one of four genuine binary headers (kind = id % 4):
       0 → PNG  (signature + IHDR, big-endian width/height)     33 bytes
       1 → BMP  ('BM' + BITMAPINFOHEADER, little-endian dims)   26 bytes
       2 → WAV  (RIFF/WAVE + fmt + data chunk headers)          44 bytes
+      3 → JPEG (SOI + APP0/JFIF + SOF0 + EOI — the parser must
+                WALK marker segments past APP0 to reach the dims) 35 bytes
     Dimensions are arithmetic in the id (width = 16 + id%1000, ...), so a
     SQL oracle can verify what the header PARSERS recover — closing the
     loop between the binary plumbing and the feature extractor.  The bytes
@@ -156,7 +183,7 @@ def synthetic_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     JVM map, no Python until the parse stage itself.
     """
     i = F.col(id_col).cast("long")
-    kind = i % 3
+    kind = i % 4
 
     def hx(col, n):  # fixed-width uppercase hex of a non-negative long
         return F.lpad(F.hex(col), n, "0")
@@ -194,8 +221,22 @@ def synthetic_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.lit("64617461"),  # 'data'
         le16(ds), F.lit("0000"),
     )
+    jpg_w = F.lit(1) + (i * 5) % 2000
+    jpg_h = F.lit(1) + (i * 11) % 2000
+    jpg_hex = F.concat(
+        F.lit("FFD8"),                                   # SOI
+        F.lit("FFE0" + "0010" + "4A46494600"             # APP0/JFIF len 16
+              + "0101" + "00" + "0001" + "0001" + "0000"),
+        F.lit("FFC0" + "000B" + "08"),                   # SOF0 len 11, 8-bit
+        hx(jpg_h, 4), hx(jpg_w, 4),                      # height, width (BE)
+        F.lit("01" + "011100"),                          # 1 component
+        F.lit("FFD9"),                                   # EOI
+    )
     payload = F.to_binary(
-        F.when(kind == 0, png_hex).when(kind == 1, bmp_hex).otherwise(wav_hex),
+        F.when(kind == 0, png_hex)
+        .when(kind == 1, bmp_hex)
+        .when(kind == 3, jpg_hex)
+        .otherwise(wav_hex),
         F.lit("hex"),
     )
     return df.select(

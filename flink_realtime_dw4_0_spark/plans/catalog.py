@@ -1345,22 +1345,25 @@ def mm_meta(spark, sf_dir):
     "multimodal_features",
     """
     SELECT doc_id AS media_id,
-           CASE WHEN doc_id % 3 = 2 THEN 'audio' ELSE 'image' END AS media_type,
-           CAST(CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 26 ELSE 44 END AS BIGINT) AS byte_len,
-           CAST(CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 1000
+           CASE WHEN doc_id % 4 = 2 THEN 'audio' ELSE 'image' END AS media_type,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 33 WHEN 1 THEN 26
+                           WHEN 3 THEN 35 ELSE 44 END AS BIGINT) AS byte_len,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 16 + doc_id % 1000
                            WHEN 1 THEN 1 + doc_id % 255
+                           WHEN 3 THEN 1 + (doc_id * 5) % 2000
                            ELSE 8000 + (doc_id % 100) * 50 END AS INTEGER) AS width,
-           CAST(CASE doc_id % 3 WHEN 0 THEN 16 + (doc_id * 7) % 1000
+           CAST(CASE doc_id % 4 WHEN 0 THEN 16 + (doc_id * 7) % 1000
                            WHEN 1 THEN 1 + (doc_id * 3) % 255
+                           WHEN 3 THEN 1 + (doc_id * 11) % 2000
                            ELSE 1 + doc_id % 2 END AS INTEGER) AS height,
-           CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 1000 ELSE 1 END AS INTEGER) AS n_frames
+           CAST(CASE WHEN doc_id % 4 = 2 THEN 1 + doc_id % 1000 ELSE 1 END AS INTEGER) AS n_frames
     FROM documents
     """,
     tags=("multimodal",),
 )
 def mm_features(spark, sf_dir):
     """Header feature-extract via Arrow-batched mapInPandas over REAL
-    container bytes: `synthetic_media` builds genuine PNG/BMP/WAV headers
+    container bytes: `synthetic_media` builds genuine PNG/BMP/WAV/JPEG headers
     JVM-side with id-derived dimensions, and the stdlib parsers in
     operators/multimodal.py recover width/height/sample-rate/frames from
     the binary.  The oracle predicts the same dims arithmetically, so the
@@ -4511,11 +4514,13 @@ def entity_resolution_q(spark, sf_dir):
     """
     WITH dims AS (
       SELECT doc_id AS media_id,
-             CAST(CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 1000
-                             ELSE 1 + doc_id % 255 END AS INTEGER) AS width,
-             CAST(CASE doc_id % 3 WHEN 0 THEN 16 + (doc_id * 7) % 1000
-                             ELSE 1 + (doc_id * 3) % 255 END AS INTEGER) AS height
-      FROM documents WHERE doc_id % 3 <> 2)
+             CAST(CASE doc_id % 4 WHEN 0 THEN 16 + doc_id % 1000
+                             WHEN 1 THEN 1 + doc_id % 255
+                             ELSE 1 + (doc_id * 5) % 2000 END AS INTEGER) AS width,
+             CAST(CASE doc_id % 4 WHEN 0 THEN 16 + (doc_id * 7) % 1000
+                             WHEN 1 THEN 1 + (doc_id * 3) % 255
+                             ELSE 1 + (doc_id * 11) % 2000 END AS INTEGER) AS height
+      FROM documents WHERE doc_id % 4 <> 2)
     SELECT media_id, width, height, py.py AS py, px.px AS px
     FROM dims,
          unnest(range(0, CAST(ceil(height / 16.0) AS BIGINT))) AS py(py),
@@ -5013,8 +5018,8 @@ def text_bpe_pair_counts_q(spark, sf_dir):
     "multimodal_frame_sample",
     """
     WITH m AS (SELECT doc_id AS media_id,
-                      CASE WHEN doc_id % 3 = 2 THEN 'audio' ELSE 'image' END AS media_type,
-                      CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 1000 ELSE 1 END AS n_frames
+                      CASE WHEN doc_id % 4 = 2 THEN 'audio' ELSE 'image' END AS media_type,
+                      CASE WHEN doc_id % 4 = 2 THEN 1 + doc_id % 1000 ELSE 1 END AS n_frames
                FROM documents)
     SELECT media_id, media_type,
            CAST(unnest(range(0, n_frames, 5)) AS BIGINT) AS frame_idx

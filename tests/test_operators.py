@@ -630,6 +630,23 @@ def test_media_header_parsers_real_bytes():
     )
     assert _parse_media_header(wav) == (44100, 2, 1000)
 
+    # JPEG: the parser must WALK segments (APP0, a comment) to reach
+    # SOF2 (progressive) and must not mistake DHT (C4) for a frame header
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    jpg = (
+        b"\xff\xd8"
+        + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xFE, b"a comment")
+        + seg(0xC4, b"\x00" * 17)  # DHT — not a SOF despite the Cx range
+        + seg(0xC2, struct.pack(">BHHB", 8, 1080, 1920, 3) + b"\x01\x11\x00" * 3)
+        + b"\xff\xd9"
+    )
+    assert _parse_media_header(jpg) == (1920, 1080, 1)
+    # truncated JPEG with no SOF: parser declines (stub path), no crash
+    assert _parse_media_header(b"\xff\xd8\xff\xe0\x00\x04\x00\x00\xff\xd9") is None
+
     assert _parse_media_header(b"just some text payload") is None
 
 
@@ -641,14 +658,16 @@ def test_synthetic_media_roundtrip(spark):
         extract_features, synthetic_media,
     )
 
-    ids = spark.range(0, 30).withColumnRenamed("id", "doc_id")
+    ids = spark.range(0, 40).withColumnRenamed("id", "doc_id")
     feats = {r.media_id: r for r in extract_features(synthetic_media(ids)).collect()}
-    for i in range(30):
+    for i in range(40):
         r = feats[i]
-        if i % 3 == 0:
+        if i % 4 == 0:
             assert (r.width, r.height, r.n_frames) == (16 + i % 1000, 16 + (i * 7) % 1000, 1)
-        elif i % 3 == 1:
+        elif i % 4 == 1:
             assert (r.width, r.height, r.n_frames) == (1 + i % 255, 1 + (i * 3) % 255, 1)
+        elif i % 4 == 3:  # JPEG — dims live past APP0, parser walks to SOF0
+            assert (r.width, r.height, r.n_frames) == (1 + (i * 5) % 2000, 1 + (i * 11) % 2000, 1)
         else:
             assert (r.width, r.height, r.n_frames) == (8000 + (i % 100) * 50, 1 + i % 2, 1 + i % 1000)
 

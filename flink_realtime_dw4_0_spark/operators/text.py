@@ -110,12 +110,13 @@ def tokenize_keywords_jieba(col: Column | str) -> Column:
     return seg(c)
 
 
-def tokenize_keywords_dict(col: Column | str, dictionary: list[str]) -> Column:
+def tokenize_keywords_dict(col: Column | str, dictionary: list[str] | None = None) -> Column:
     """Dictionary-based Chinese segmentation by forward maximum matching
     (FMM) — the greedy longest-word-first algorithm ik_smart and jieba's
     dictionary pass approximate.  Testable without external deps: the
-    word list is supplied by the caller (jieba ships ~350k entries; a
-    golden test proves the same plumbing with a toy dictionary).
+    default word list is the vendored ~900-entry general + e-commerce
+    vocabulary (`data.zh_vocab.ZH_VOCAB`; jieba ships ~350k entries —
+    same plumbing, bigger table); callers can supply their own.
 
     Semantics match `tokenize_keywords_jieba`'s output contract
     (array<string> of lowercased words): Han runs are segmented
@@ -128,6 +129,10 @@ def tokenize_keywords_dict(col: Column | str, dictionary: list[str]) -> Column:
 
     from pyspark.sql.functions import pandas_udf
 
+    if dictionary is None:
+        from ..data.zh_vocab import ZH_VOCAB
+
+        dictionary = list(ZH_VOCAB)
     vocab = {w.strip().lower() for w in dictionary if w.strip()}
     max_len = max((len(w) for w in vocab), default=1)
     # BMP Han block — the practical subset of CJK_RUN's \p{IsHan}

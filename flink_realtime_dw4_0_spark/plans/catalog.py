@@ -497,6 +497,16 @@ _CJK_FIXTURE = [
     (8, "电饭煲 小米"),
     (9, "茶"),
     (10, "PS5 游戏机"),
+    # realistic multi-word queries that only segment correctly with a
+    # real vocabulary (长词优先 over compounds, OOV single-char fallback)
+    (11, "蓝牙耳机充电器"),
+    (12, "华为智能手表正品包邮"),
+    (13, "小米电视机优惠券"),
+    (14, "苹果笔记本电脑旗舰店"),
+    (15, "扫地机器人双十一秒杀"),
+    (16, "羽绒服男冬季新款"),
+    (17, "儿童玩具积木拼图"),
+    (18, "保温杯不锈钢大容量"),
 ]
 
 
@@ -529,14 +539,11 @@ def x13_cjk_keywords(spark, sf_dir):
     )
 
 
-# Toy dictionary for the FMM (forward-maximum-matching) segmentation
-# surface — the word list a production deployment swaps for jieba/IK's
-# ~350k-entry dictionary.  Mirrored verbatim in the DuckDB oracle.
-_FMM_DICT = [
-    "小米", "手机", "智能手机", "苹果手机", "苹果", "华为", "笔记本电脑",
-    "笔记本", "电脑", "联想", "图书", "口红", "电饭煲", "游戏机", "游戏",
-    "至尊", "智能", "电视机", "洗衣机", "至尊版",
-]
+# Vendored ~900-entry general + e-commerce vocabulary for the FMM
+# (forward-maximum-matching) segmentation surface — the word list a
+# production deployment swaps for jieba/IK's ~350k-entry dictionary.
+# Mirrored verbatim in the DuckDB oracle's dict VALUES table.
+from ..data.zh_vocab import ZH_VOCAB as _FMM_DICT  # noqa: E402
 
 
 def _fmm_oracle() -> str:

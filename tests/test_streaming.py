@@ -1637,3 +1637,31 @@ def test_keyed_table_schema_evolution_falls_back_to_full_rewrite(spark, tmp_path
     tb.merge(spark, spark.createDataFrame([("b", 2, "x")], "k string, v long, extra string"))
     got = {r.k: (r.v, r.extra) for r in tb.read(spark).collect()}
     assert got == {"a": (1, None), "b": (2, "x")}
+
+
+def test_dws_keyword_window_dict_realistic(spark):
+    """A1 with the VENDORED ~900-entry dictionary (FMM segmentation):
+    realistic multi-word Chinese search queries segment on true word
+    boundaries — compounds win over their prefixes (蓝牙耳机 not 蓝牙+耳机,
+    笔记本电脑 not 笔记本+电脑), OOV spans fall back per character, and the
+    window counts aggregate real words instead of bigram noise."""
+    from flink_realtime_dw4_0_spark.operators.text import tokenize_keywords_dict
+
+    def pg(item):
+        return {"page_id": "good_list", "during_time": 300, "item": item,
+                "item_type": "keyword", "last_page_id": "search"}
+
+    lines = [
+        log_line("m1", "1", DAY1 + 1000, page=pg("蓝牙耳机充电器")),
+        log_line("m2", "1", DAY1 + 2000, page=pg("华为智能手表正品包邮")),
+        log_line("m3", "1", DAY1 + 3000, page=pg("苹果笔记本电脑旗舰店")),
+        log_line("m4", "1", DAY1 + 4000, page=pg("蓝牙耳机 华为")),
+    ]
+    decoded = ksrc.topic_log(values_df(spark, lines), watermark=None)
+    out = dws.keyword_page_view(decoded, tokenizer=tokenize_keywords_dict)
+    kw = {r.keyword: r.keyword_count for r in out.collect()}
+    assert kw == {
+        "蓝牙耳机": 2, "充电器": 1,
+        "华为": 2, "智能手表": 1, "正品": 1, "包邮": 1,
+        "苹果": 1, "笔记本电脑": 1, "旗舰店": 1,
+    }

@@ -140,3 +140,73 @@ def publish_if(
     if ok:
         table.replace(staged)
     return ok, report
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str,
+    split_col: str,
+    ref_value,
+    cur_value,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between two splits of one table — the
+    standard production drift monitor for a feature/score column
+    (PSI = Σ (p_i − q_i)·ln(p_i / q_i) over fixed bins; rule of thumb:
+    < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted).
+
+    Bins are FIXED equal-width over [lo, hi) supplied by the caller
+    (+ two overflow bins), so the plan is one narrow projection + one
+    map-combinable count per (split, bin) + a driver-free pivot join —
+    no quantile job, no sort, deterministic on both engines.  Counts get
+    +0.5 Laplace smoothing so empty bins never divide by zero (the
+    conventional estimator fix, applied identically in the oracle).
+
+    Returns one row per bin (bin id, per-split counts, p, q, the bin's
+    PSI term) plus the total under bin = -1 — shaped for both dashboard
+    plotting and a single-row gate."""
+    width = (hi - lo) / n_bins
+    v = F.col(value_col).cast("double")
+    bin_id = (
+        F.when(v < lo, F.lit(-2))  # underflow bin
+        .when(v >= hi, F.lit(n_bins))
+        .otherwise(F.floor((v - lo) / width))
+        .cast("int")
+    )
+    base = df.filter(F.col(split_col).isin(ref_value, cur_value)).select(
+        bin_id.alias("bin"),
+        F.when(F.col(split_col) == ref_value, 1).otherwise(0).alias("is_ref"),
+    )
+    counts = base.groupBy("bin").agg(
+        F.sum("is_ref").cast("long").alias("n_ref"),
+        F.sum(1 - F.col("is_ref")).cast("long").alias("n_cur"),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    k = n_bins + 2  # + under/overflow
+    per = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "bin", "n_ref", "n_cur",
+            ((F.col("n_ref") + 0.5) / (F.col("t_ref") + 0.5 * k)).alias("p"),
+            ((F.col("n_cur") + 0.5) / (F.col("t_cur") + 0.5 * k)).alias("q"),
+        )
+        .select(
+            "bin", "n_ref", "n_cur",
+            F.round("p", 6).alias("p"),
+            F.round("q", 6).alias("q"),
+            F.round((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")), 6)
+            .alias("psi_term"),
+        )
+    )
+    total = per.agg(
+        F.sum("n_ref").alias("n_ref"),
+        F.sum("n_cur").alias("n_cur"),
+        F.round(F.sum("p"), 6).alias("p"),
+        F.round(F.sum("q"), 6).alias("q"),
+        F.round(F.sum("psi_term"), 6).alias("psi_term"),
+    ).select(F.lit(-1).cast("int").alias("bin"), "n_ref", "n_cur", "p", "q", "psi_term")
+    return per.unionByName(total)

@@ -986,3 +986,68 @@ def gopher_repetition(
         "dup_para_char_frac", "top3gram_char_frac", "top4gram_char_frac",
         *[f"dup_{n}gram_char_frac" for n in range(5, 11)],
     ).withColumn("gopher_rep_pass", rep_pass.cast("int"))
+
+
+def c4_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    badwords: list[str] | None = None,
+) -> DataFrame:
+    """C4 heuristic cleaning (Raffel et al. 2020, arXiv:1910.10683 §2.2)
+    — the other standard pre-training filter battery next to Gopher:
+
+      line level (applied, producing `clean_text`):
+        * keep only lines ending in terminal punctuation (. ! ? ")
+        * keep only lines with >= 5 whitespace words
+        * drop lines mentioning javascript (case-insensitive)
+      page level (flags):
+        * n_sentences       — terminal-punctuation count in clean_text;
+                              pages need >= 3
+        * has_lorem_ipsum   — placeholder-text marker
+        * has_curly_brace   — '{' marks code, dropped by C4
+        * badword_hits      — tokens in the caller's blocklist (C4 uses a
+                              public blocklist; pass your own — default
+                              empty list, so the rule passes vacuously)
+        * c4_keep           — AND of the page rules
+
+    Everything is per-row array calculus (split + filter + join; lambdas
+    reference only their own arguments), so the pass is one narrow
+    projection — no shuffle, no UDF."""
+    bw = [w.lower() for w in (badwords or [])]
+    lines = F.split(F.regexp_replace(F.col(text_col), r"\n+$", ""), "\n")
+
+    def line_ok(x):
+        t = F.rtrim(x)
+        ends = (
+            t.endswith(".") | t.endswith("!") | t.endswith("?") | t.endswith('"')
+        )
+        words = F.size(F.filter(F.split(F.trim(x), r"\s+"), lambda w: w != ""))
+        return ends & (words >= 5) & ~F.lower(x).contains("javascript")
+
+    kept = F.filter(lines, line_ok)
+    clean = F.array_join(kept, "\n")
+    n_sent = F.size(F.split(clean, r"[.!?]")) - 1  # separators count
+    toks = F.filter(tokenize(text_col), lambda t: t != "")
+    bw_hits = (
+        F.size(F.filter(toks, lambda x: x.isin(*bw))) if bw else F.lit(0)
+    ).cast("long")
+    has_lorem = F.lower(F.col(text_col)).contains("lorem ipsum")
+    has_brace = F.col(text_col).contains("{")
+    out = df.select(
+        id_col,
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_lines_kept"),
+        clean.alias("clean_text"),
+        n_sent.cast("long").alias("n_sentences"),
+        has_lorem.cast("int").alias("has_lorem_ipsum"),
+        has_brace.cast("int").alias("has_curly_brace"),
+        bw_hits.alias("badword_hits"),
+    )
+    keep = (
+        (F.col("n_sentences") >= 3)
+        & (F.col("has_lorem_ipsum") == 0)
+        & (F.col("has_curly_brace") == 0)
+        & (F.col("badword_hits") == 0)
+    )
+    return out.withColumn("c4_keep", keep.cast("int"))

@@ -1,6082 +1,25 @@
-"""Query catalog: every SURVEY §2 operator as a (Spark plan, DuckDB oracle)
-pair over the driver's testdata tables.
+"""Query catalog façade: importing this module registers every tier's
+queries into CATALOG — the same entries, names, oracles, and iteration
+order as the former single-file catalog (split by tier for
+maintainability; zero behavior change).
 
-This is the engine's capability inventory made executable.  Each entry is
-one operator family exercised on the TPC-H-ish tables (FIXTURES.md §6
-mapping: orders/lineitem ≈ order_info/order_detail, nation/region ≈
-base_dic, events ≈ topic_log).  The `oracle` string is ANSI-ish SQL DuckDB
-runs on the same parquet — identical aliases, deterministic values
-(integer thresholds, md5 hashing, rounded aggregates).
-
-Streaming-only semantics (keyed state, watermark eviction, upsert sinks)
-are exercised in tests/ with availableNow triggers; entries here are their
-batch-equivalent plans, which is what the correctness gate can check.
+This is the engine's capability inventory made executable: every
+SURVEY §2 operator plus the training-data-pipeline tiers as a
+(Spark plan, DuckDB oracle) pair over the driver's testdata tables.
+Streaming-only semantics (keyed state, watermark eviction, upsert
+sinks) are exercised in tests/ with availableNow triggers; entries here
+are their batch-equivalent plans, which is what the correctness gate
+can check.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Callable
-
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-from pyspark.sql.window import Window
-
-from ..operators import dedup, etl, joins, multimodal, project, sampling, similarity, split, text
-from ..operators.windows import windowed_agg
-from ..sources.files import load_table
-
-
-@dataclass
-class QuerySpec:
-    fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None  # None → driver does rows-only check
-    tags: tuple[str, ...] = field(default=())
-    bench: bool = False  # included in bench.py headline set
-
-
-CATALOG: dict[str, QuerySpec] = {}
-
-
-def q(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = False):
-    def deco(fn):
-        CATALOG[name] = QuerySpec(fn=fn, oracle=oracle, tags=tags, bench=bench)
-        return fn
-
-    return deco
-
-
-def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_table(spark, sf_dir, name)
-
-
-# DuckDB-side tokenizer mirroring operators.text.tokenize
-_DK_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
-
-
-# ===========================================================================
-# TPC-H-style headline queries (bench set) — exercise scan/filter/agg/join
-# ===========================================================================
-
-@q(
-    "tpch_q1_pricing_summary",
-    """
-    SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                   AS sum_qty,
-           round(sum(l_extendedprice), 2)                              AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 4)           AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
-           round(avg(l_quantity), 4)                                   AS avg_qty,
-           round(avg(l_extendedprice), 4)                              AS avg_price,
-           round(avg(l_discount), 4)                                   AS avg_disc,
-           count(*)                                                    AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= DATE '2000-12-01'
-    GROUP BY l_returnflag, l_linestatus
-    """,
-    tags=("agg", "scan"),
-    bench=True,
-)
-def tpch_q1(spark, sf_dir):
-    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2000-12-01"))
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(disc), 4).alias("sum_disc_price"),
-        F.round(F.sum(disc * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
-        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-        F.count(F.lit(1)).alias("count_order"),
-    )
-
-
-@q(
-    "tpch_q3_shipping_priority",
-    """
-    SELECT l.l_orderkey AS l_orderkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
-           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
-           o.o_orderpriority AS o_orderpriority
-    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
-                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    WHERE c.c_mktsegment = 'BUILDING'
-      AND o.o_orderdate < DATE '1998-06-01' AND l.l_shipdate > DATE '1998-06-01'
-    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
-    """,
-    tags=("join", "agg"),
-    bench=True,
-)
-def tpch_q3(spark, sf_dir):
-    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-06-01"))
-    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-06-01"))
-    return (
-        joins.equi_join(c, o, on=c.c_custkey == o.o_custkey)
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue")
-        )
-        .select(
-            "l_orderkey",
-            "revenue",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_s"),
-            "o_orderpriority",
-        )
-    )
-
-
-@q(
-    "tpch_q5_local_supplier_volume",
-    """
-    SELECT n.n_name AS n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
-    FROM customer c
-      JOIN orders o   ON c.c_custkey = o.o_custkey
-      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-      JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
-      JOIN nation n   ON s.s_nationkey = n.n_nationkey
-      JOIN region r   ON n.n_regionkey = r.r_regionkey
-    WHERE r.r_name = 'ASIA' AND o.o_orderdate >= DATE '1996-01-01'
-    GROUP BY n.n_name
-    """,
-    tags=("join", "agg"),
-    bench=True,
-)
-def tpch_q5(spark, sf_dir):
-    c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= F.lit("1996-01-01"))
-    li = t(spark, sf_dir, "lineitem")
-    s = t(spark, sf_dir, "supplier")
-    n = t(spark, sf_dir, "nation")
-    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(s, (F.col("l_suppkey") == s.s_suppkey) & (F.col("c_nationkey") == s.s_nationkey))
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .groupBy("n_name")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue")
-        )
-    )
-
-
-# ===========================================================================
-# P — projections / filters / scalar expressions (SURVEY §2.3)
-# ===========================================================================
-
-@q(
-    "p1_map_value_projection",
-    """
-    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-           event_type
-    FROM events
-    """,
-    tags=("projection",),
-)
-def p1_map_projection(spark, sf_dir):
-    """P1 — `data['id'] AS id` map extraction (DwdTradeCartAdd.java:63-77):
-    props JSON → MAP<STRING,STRING> → element_at + cast."""
-    ev = t(spark, sf_dir, "events").withColumn(
-        "props_map", F.from_json("props", "map<string,string>")
-    )
-    return ev.select(
-        "event_id",
-        F.element_at("props_map", "k").cast("long").alias("k"),
-        "event_type",
-    )
-
-
-@q(
-    "p3_p7_route_filter",
-    """
-    SELECT event_id, user_id, round(value, 4) AS value_r
-    FROM events
-    WHERE event_type = 'purchase' AND value > 50
-      AND CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
-    """,
-    tags=("filter",),
-)
-def p3_route_filter(spark, sf_dir):
-    """P3/P4/P7 — equality routing + IS NOT NULL update detection
-    (DwdTradeCartAdd.java:79-86, DwdTradeOrderPaySucDetail.java:190-194)."""
-    ev = t(spark, sf_dir, "events").withColumn(
-        "props_map", F.from_json("props", "map<string,string>")
-    )
-    routed = project.route_filter(ev, event_type="purchase").filter(
-        (F.col("value") > 50) & project.updated_field(F.col("props_map"), "k")
-    )
-    return routed.select("event_id", "user_id", F.round("value", 4).alias("value_r"))
-
-
-@q(
-    "p5_p6_conditional_delta",
-    """
-    SELECT event_id,
-           CASE WHEN event_type = 'purchase'
-                THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
-                ELSE CAST(json_extract_string(props, '$.k') AS BIGINT) - 10 END AS delta
-    FROM events
-    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
-    """,
-    tags=("projection",),
-)
-def p5_conditional(spark, sf_dir):
-    """P5/P6 — cast-arithmetic + conditional IF: the cart-add incremental
-    quantity pattern (DwdTradeCartAdd.java:68)."""
-    ev = t(spark, sf_dir, "events").withColumn(
-        "props_map", F.from_json("props", "map<string,string>")
-    )
-    k = F.element_at("props_map", F.lit("k"))
-    delta = project.cart_add_delta(k, F.lit("10"), F.when(F.col("event_type") == "purchase", "insert").otherwise("update"))
-    return ev.filter(k.cast("long").isNotNull()).select("event_id", delta.alias("delta"))
-
-
-@q(
-    "p8_p9_etl_validity",
-    """
-    SELECT event_id, event_type
-    FROM events
-    WHERE props IS NOT NULL AND json_extract_string(props, '$.k') IS NOT NULL
-      AND user_id IS NOT NULL AND ts IS NOT NULL
-      AND event_type NOT IN ('error')
-    """,
-    tags=("filter", "etl"),
-)
-def p8_etl(spark, sf_dir):
-    """P8/P9 — ETL validity filters (DwdBaseLog.java:212-233,
-    DimAPP.java:190-213): parseable payload, required keys present,
-    bootstrap/dirty types dropped."""
-    ev = t(spark, sf_dir, "events").withColumn(
-        "props_map", F.from_json("props", "map<string,string>")
-    )
-    return ev.filter(
-        F.col("props").isNotNull()
-        & F.col("props_map").getItem("k").isNotNull()
-        & F.col("user_id").isNotNull()
-        & F.col("ts").isNotNull()
-        & ~F.col("event_type").isin("error")
-    ).select("event_id", "event_type")
-
-
-@q(
-    "p10_dynamic_column_pruning",
-    """
-    SELECT event_id,
-           CASE WHEN event_type = 'purchase'
-                  AND json_extract_string(props, '$.k') IS NOT NULL
-                THEN 1 ELSE 0 END AS kept_cols
-    FROM events
-    """,
-    tags=("projection", "etl"),
-)
-def p10_pruning(spark, sf_dir):
-    """P10 — config-driven keep-list pruning (DimAPP.java:82-95): the map
-    payload is filtered to the sink_columns of the matching config row;
-    non-configured tables keep nothing."""
-    ev = t(spark, sf_dir, "events").withColumn(
-        "props_map", F.from_json("props", "map<string,string>")
-    )
-    keep = F.when(F.col("event_type") == "purchase", F.array(F.lit("k"))).otherwise(
-        F.array().cast("array<string>")
-    )
-    pruned = etl.prune_map_columns(F.col("props_map"), keep)
-    return ev.select(
-        "event_id", F.size(pruned).cast("int").alias("kept_cols")
-    ).withColumn("kept_cols", F.greatest(F.col("kept_cols"), F.lit(0)))
-
-
-# ===========================================================================
-# J — joins (SURVEY §2.4)
-# ===========================================================================
-
-@q(
-    "j1_inner_equijoin",
-    """
-    SELECT o.o_orderkey AS o_orderkey, o.o_orderstatus AS o_orderstatus,
-           count(*) AS n_items,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
-    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-    GROUP BY o.o_orderkey, o.o_orderstatus
-    """,
-    tags=("join",),
-    bench=True,
-)
-def j1_inner(spark, sf_dir):
-    """J1 — streaming inner equi-join shape (DwdTradeOrderDetail.java:113-115),
-    batch plan: shuffle hash/sort-merge on the key, AQE handles skew."""
-    o = t(spark, sf_dir, "orders")
-    li = t(spark, sf_dir, "lineitem")
-    return (
-        joins.equi_join(o, li, on=o.o_orderkey == li.l_orderkey)
-        .groupBy("o_orderkey", "o_orderstatus")
-        .agg(
-            F.count(F.lit(1)).alias("n_items"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
-        )
-    )
-
-
-@q(
-    "j2_left_outer_join",
-    """
-    SELECT o.o_orderkey AS o_orderkey,
-           count(l.l_orderkey) AS n_returned,
-           round(coalesce(sum(l.l_extendedprice), 0), 2) AS returned_value
-    FROM orders o LEFT JOIN (SELECT * FROM lineitem WHERE l_returnflag = 'R') l
-      ON o.o_orderkey = l.l_orderkey
-    GROUP BY o.o_orderkey
-    """,
-    tags=("join",),
-)
-def j2_left(spark, sf_dir):
-    """J2 — left outer join with null-padded misses
-    (DwdTradeOrderDetail.java:116-119); in streaming this is the retract
-    path emulated by keyed MERGE (sinks/upsert.py)."""
-    o = t(spark, sf_dir, "orders")
-    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    return (
-        joins.equi_join(o, li, on=o.o_orderkey == li.l_orderkey, how="left")
-        .groupBy("o_orderkey")
-        .agg(
-            F.count("l_orderkey").alias("n_returned"),
-            F.round(F.coalesce(F.sum("l_extendedprice"), F.lit(0.0)), 2).alias("returned_value"),
-        )
-    )
-
-
-@q(
-    "j3_interval_join",
-    """
-    SELECT p.event_id AS pay_event_id, c.event_id AS click_event_id
-    FROM events p JOIN events c
-      ON p.user_id = c.user_id
-     AND p.event_type = 'purchase' AND c.event_type = 'click'
-     AND p.ts >= c.ts - INTERVAL 15 MINUTE
-     AND p.ts <= c.ts + INTERVAL 5 SECOND
-    """,
-    tags=("join", "interval"),
-    bench=True,
-)
-def j3_interval(spark, sf_dir):
-    """J3 — event-time interval join, bounds [-15 min, +5 s] exactly as the
-    payment×order_detail join (DwdTradeOrderPaySucDetail.java:119-144)."""
-    ev = t(spark, sf_dir, "events")
-    p = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("pay_event_id"), F.col("user_id").alias("pu"), F.col("ts").alias("pts")
-    )
-    c = ev.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_event_id"), F.col("user_id").alias("cu"), F.col("ts").alias("cts")
-    )
-    return joins.interval_join(
-        p, c, key=("pu", "cu"), time_cols=("pts", "cts"),
-        lower="INTERVAL 15 MINUTES", upper="INTERVAL 5 SECONDS",
-    ).select("pay_event_id", "click_event_id")
-
-
-@q(
-    "j4_lookup_join_inner",
-    """
-    SELECT c.c_custkey AS c_custkey, n.n_name AS n_name, r.r_name AS r_name
-    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-                    JOIN region r ON n.n_regionkey = r.r_regionkey
-    """,
-    tags=("join", "lookup"),
-)
-def j4_lookup(spark, sf_dir):
-    """J4 — processing-time temporal lookup join (FOR SYSTEM_TIME AS OF,
-    DwdInteractionCommentInfo.java:64-80) as broadcast stream-static join."""
-    c = t(spark, sf_dir, "customer")
-    n = t(spark, sf_dir, "nation")
-    r = t(spark, sf_dir, "region")
-    return joins.lookup_join(
-        joins.lookup_join(c, n, on=c.c_nationkey == n.n_nationkey),
-        r,
-        on=F.col("n_regionkey") == r.r_regionkey,
-        select=[F.col("c_custkey"), F.col("n_name"), F.col("r_name")],
-    )
-
-
-@q(
-    "j5_lookup_join_left",
-    """
-    SELECT s.s_suppkey AS s_suppkey, n.n_name AS n_name
-    FROM supplier s LEFT JOIN (SELECT * FROM nation WHERE n_regionkey < 2) n
-      ON s.s_nationkey = n.n_nationkey
-    """,
-    tags=("join", "lookup"),
-)
-def j5_lookup_left(spark, sf_dir):
-    """J5 — left temporal lookup join (DwdTradeOrderPaySucDetail.java:90-113):
-    unmatched keys survive null-padded."""
-    s = t(spark, sf_dir, "supplier")
-    n = t(spark, sf_dir, "nation").filter(F.col("n_regionkey") < 2)
-    return joins.lookup_join(
-        s, n, on=s.s_nationkey == n.n_nationkey, how="left",
-        select=[F.col("s_suppkey"), F.col("n_name")],
-    )
-
-
-@q(
-    "j6_config_dispatch_join",
-    """
-    SELECT e.event_id AS event_id, 'dwd_' || e.event_type AS sink_table
-    FROM events e
-    WHERE e.event_type IN ('click', 'view', 'purchase')
-    """,
-    tags=("join", "config"),
-)
-def j6_config(spark, sf_dir):
-    """J6 — broadcast config-dispatch join (DimAPP.java:67-73,
-    DimBroadcastFunction.java:26-97): records paired with their config row
-    by table name; non-configured tables drop out."""
-    ev = t(spark, sf_dir, "events")
-    config = spark.createDataFrame(
-        [(et, f"dwd_{et}") for et in ("click", "view", "purchase")],
-        "source_table string, sink_table string",
-    )
-    return joins.config_dispatch_join(ev, config, key=("event_type", "source_table")).select(
-        "event_id", "sink_table"
-    )
-
-
-# ===========================================================================
-# A — windowed aggregations (SURVEY §2.5, the 8 planned DWS tables)
-# ===========================================================================
-
-# DuckDB (RE2) mirror of text.tokenize_keywords: isolate Han runs, split on
-# whitespace, segment Han runs of length>=2 into overlapping char bigrams.
-# Plain-string (not f-string) because of the regex braces.
-_DK_CJK_KW = r"""
-  SELECT src_id, unnest(CASE WHEN regexp_matches(t, '^\p{Han}+$') AND length(t) >= 2
-           THEN list_transform(generate_series(1, length(t) - 1), i -> substring(t, i, 2))
-           ELSE [t] END) AS keyword
-  FROM (SELECT src_id,
-               unnest(list_filter(
-                 string_split_regex(trim(regexp_replace(lower(trim(txt)), '(\p{Han}+)', ' \1 ', 'g')), '\s+'),
-                 t -> length(t) > 0)) AS t
-        FROM __KW_SRC__)
-"""
-
-
-@q(
-    "a1_keyword_count",
-    "WITH kw AS ("
-    + _DK_CJK_KW.replace("__KW_SRC__", "(SELECT doc_id AS src_id, text AS txt FROM documents)")
-    + """)
-    SELECT keyword, count(*) AS kw_count FROM kw GROUP BY keyword
-    """,
-    tags=("window", "udtf"),
-)
-def a1_keyword(spark, sf_dir):
-    """A1 — keyword tokenize + count (dws_traffic_source_keyword_page_view,
-    Constant.java:40; tokenizer X13 — CJK-aware, equal to whitespace split
-    on non-CJK text)."""
-    docs = t(spark, sf_dir, "documents")
-    return (
-        split.explode_computed(docs, [], text.tokenize_keywords("text"), "keyword")
-        .groupBy("keyword")
-        .agg(F.count(F.lit(1)).alias("kw_count"))
-    )
-
-
-# gmall-style search strings: zh / mixed / latin — exercises every branch of
-# the CJK tokenizer (bigrams, single-han passthrough, whitespace fallback).
-_CJK_FIXTURE = [
-    (1, "小米手机至尊版"),
-    (2, "iphone 13 pro"),
-    (3, "苹果手机 apple"),
-    (4, "华为智能手机"),
-    (5, "联想笔记本电脑"),
-    (6, "图书"),
-    (7, "口红"),
-    (8, "电饭煲 小米"),
-    (9, "茶"),
-    (10, "PS5 游戏机"),
-    # realistic multi-word queries that only segment correctly with a
-    # real vocabulary (长词优先 over compounds, OOV single-char fallback)
-    (11, "蓝牙耳机充电器"),
-    (12, "华为智能手表正品包邮"),
-    (13, "小米电视机优惠券"),
-    (14, "苹果笔记本电脑旗舰店"),
-    (15, "扫地机器人双十一秒杀"),
-    (16, "羽绒服男冬季新款"),
-    (17, "儿童玩具积木拼图"),
-    (18, "保温杯不锈钢大容量"),
-]
-
-
-@q(
-    "x13_cjk_keyword_count",
-    "WITH kw AS ("
-    + _DK_CJK_KW.replace(
-        "__KW_SRC__",
-        "(SELECT * FROM (VALUES "
-        + ", ".join(f"({i}, '{s}')" for i, s in _CJK_FIXTURE)
-        + ") AS v(src_id, txt))",
-    )
-    + """)
-    SELECT keyword, count(*) AS kw_count FROM kw GROUP BY keyword
-    """,
-    tags=("udtf", "cjk"),
-)
-def x13_cjk_keywords(spark, sf_dir):
-    """X13 — the reference's IK Chinese analyzer surface
-    (pom.xml:203-207, KeywordUDTF): CJK bigram segmentation over
-    realistic gmall search strings, exactly mirrored by the DuckDB
-    oracle.  Independent of sf_dir (literal fixture) by design — the
-    synthetic documents corpus is Latin-only, so this query is what
-    actually proves the Han path."""
-    rows = spark.createDataFrame(_CJK_FIXTURE, "src_id long, txt string")
-    return (
-        split.explode_computed(rows, [], text.tokenize_keywords("txt"), "keyword")
-        .groupBy("keyword")
-        .agg(F.count(F.lit(1)).alias("kw_count"))
-    )
-
-
-# Vendored ~900-entry general + e-commerce vocabulary for the FMM
-# (forward-maximum-matching) segmentation surface — the word list a
-# production deployment swaps for jieba/IK's ~350k-entry dictionary.
-# Mirrored verbatim in the DuckDB oracle's dict VALUES table.
-from ..data.zh_vocab import ZH_VOCAB as _FMM_DICT  # noqa: E402
-
-
-def _fmm_oracle() -> str:
-    """DuckDB twin of operators.text.tokenize_keywords_dict: whitespace
-    split → Han/non-Han span split → recursive-CTE forward maximum
-    matching against the dictionary (longest word >= 2 chars at each
-    position, single-char fallback), then keyword counts."""
-    dict_vals = ", ".join(f"('{w}')" for w in _FMM_DICT)
-    src_vals = ", ".join(f"({i}, '{s}')" for i, s in _CJK_FIXTURE)
-    return f"""
-    WITH RECURSIVE
-    dict(w) AS (VALUES {dict_vals}),
-    src AS (SELECT src_id, lower(trim(txt)) AS txt
-            FROM (VALUES {src_vals}) v(src_id, txt)),
-    parts AS (
-      SELECT src_id, unnest(string_split_regex(txt, '\\s+')) AS part FROM src),
-    spans AS (
-      SELECT src_id, unnest(regexp_extract_all(part, '[一-鿿]+|[^一-鿿]+')) AS span
-      FROM parts WHERE len(part) > 0),
-    fmm(src_id, span, pos, tok) AS (
-      SELECT src_id, span, CAST(1 AS BIGINT), CAST(NULL AS VARCHAR)
-      FROM spans WHERE regexp_matches(span, '^[一-鿿]+$')
-      UNION ALL
-      SELECT src_id, span, pos + len(tok), tok FROM (
-        SELECT f.src_id, f.span, f.pos,
-               coalesce(
-                 (SELECT d.w FROM dict d
-                  WHERE len(d.w) >= 2 AND substr(f.span, f.pos, len(d.w)) = d.w
-                  ORDER BY len(d.w) DESC LIMIT 1),
-                 substr(f.span, f.pos, 1)) AS tok
-        FROM fmm f WHERE f.pos <= len(f.span))
-    ),
-    kw AS (
-      SELECT tok AS keyword FROM fmm WHERE tok IS NOT NULL
-      UNION ALL
-      SELECT span FROM spans WHERE NOT regexp_matches(span, '^[一-鿿]+$'))
-    SELECT keyword, count(*) AS kw_count FROM kw GROUP BY keyword
-    """
-
-
-@q(
-    "x14_dict_keyword_count",
-    _fmm_oracle(),
-    tags=("udtf", "cjk", "dict"),
-)
-def x14_dict_keywords(spark, sf_dir):
-    """X13 dictionary mode — forward-maximum-matching segmentation (the
-    algorithm the reference's ik_smart analyzer and jieba's dictionary
-    pass approximate) over the same gmall search strings as x13.  The
-    Arrow-batched FMM UDF is value-checked against a recursive-CTE SQL
-    twin, so real word boundaries (长词优先 / longest-match-first) are
-    driver-verified, not just golden-tested.  Independent of sf_dir
-    (literal fixture) like x13."""
-    rows = spark.createDataFrame(_CJK_FIXTURE, "src_id long, txt string")
-    return (
-        split.explode_computed(
-            rows, [], text.tokenize_keywords_dict("txt", _FMM_DICT), "keyword"
-        )
-        .groupBy("keyword")
-        .agg(F.count(F.lit(1)).alias("kw_count"))
-    )
-
-
-@q(
-    "a2_traffic_window_pv",
-    """
-    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-           strftime(time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
-           event_type,
-           count(*) AS pv, count(DISTINCT user_id) AS uv,
-           round(sum(value), 2) AS sum_value
-    FROM events GROUP BY 1, 2, 3
-    """,
-    tags=("window",),
-    bench=True,
-)
-def a2_traffic(spark, sf_dir):
-    """A2 — per-dimension PV/UV/sum per tumbling window
-    (dws_traffic_vc_ch_ar_is_new_page_view, Constant.java:41)."""
-    ev = t(spark, sf_dir, "events")
-    return windowed_agg(
-        ev, "ts", "1 hour", ["event_type"],
-        [
-            F.count(F.lit(1)).alias("pv"),
-            F.count_distinct(F.col("user_id")).alias("uv"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-        ],
-    )
-
-
-@q(
-    "a9_hop_window_pv",
-    """
-    SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
-           strftime(wstart + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
-           event_type,
-           count(*) AS pv, count(DISTINCT user_id) AS uv,
-           round(sum(value), 2) AS sum_value
-    FROM (SELECT e.*, time_bucket(INTERVAL '30 minutes', e.ts) - k * INTERVAL 30 MINUTE AS wstart
-          FROM events e CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS k) g)
-    GROUP BY 1, 2, 3
-    """,
-    tags=("window", "hop"),
-)
-def a9_hop(spark, sf_dir):
-    """Sliding (HOP) window PV/UV — Flink's HOP window TVF surface the
-    DWS tables use for overlapping dashboards (1 h window, 30 min slide:
-    every event lands in exactly 2 windows).  Built-in
-    `F.window(ts, size, slide)`; the oracle replays the replication with
-    a generate_series cross join."""
-    ev = t(spark, sf_dir, "events")
-    from ..operators.windows import windowed_agg_hop
-
-    return windowed_agg_hop(
-        ev, "ts", "1 hour", "30 minutes", ["event_type"],
-        [
-            F.count(F.lit(1)).alias("pv"),
-            F.count_distinct(F.col("user_id")).alias("uv"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-        ],
-    )
-
-
-@q(
-    "a10_cumulate_window",
-    """
-    SELECT strftime(b, '%Y-%m-%d %H:%M:%S') AS window_start,
-           strftime(wend, '%Y-%m-%d %H:%M:%S') AS window_end,
-           event_type,
-           count(*) AS pv, round(sum(value), 2) AS sum_value
-    FROM (SELECT e.*, date_trunc('day', e.ts) AS b,
-                 date_trunc('day', e.ts) + j * INTERVAL 6 HOUR AS wend
-          FROM events e CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS j) g)
-    WHERE wend > ts
-    GROUP BY 1, 2, 3
-    """,
-    tags=("window", "cumulate"),
-)
-def a10_cumulate(spark, sf_dir):
-    """Cumulative (CUMULATE) window — Flink's CUMULATE TVF: expanding
-    windows anchored at midnight emitted every 6 h (the "GMV so far
-    today" DWS curve).  Spark lacks the TVF; composed as
-    sequence-explode + one grouped agg (operators.windows)."""
-    ev = t(spark, sf_dir, "events")
-    from ..operators.windows import windowed_agg_cumulate
-
-    return windowed_agg_cumulate(
-        ev, "ts", "6 hours", "1 day", ["event_type"],
-        [
-            F.count(F.lit(1)).alias("pv"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-        ],
-    )
-
-
-@q(
-    "a3_unique_visitors_daily",
-    """
-    SELECT strftime(ts, '%Y-%m-%d') AS dt, count(DISTINCT user_id) AS uv
-    FROM events WHERE event_type = 'view' GROUP BY 1
-    """,
-    tags=("window", "dedup-state"),
-)
-def a3_uv(spark, sf_dir):
-    """A3 — daily UV with first-visit-per-day dedup
-    (dws_traffic_home_detail_page_view, Constant.java:42); batch equivalent
-    of the keyed first-seen state (operators/state.py)."""
-    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "view")
-    return (
-        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("dt"))
-        .agg(F.count_distinct("user_id").alias("uv"))
-    )
-
-
-@q(
-    "a4_user_login_window",
-    """
-    WITH firsts AS (SELECT user_id, min(strftime(ts, '%Y-%m-%d')) AS first_dt FROM events GROUP BY user_id)
-    SELECT strftime(e.ts, '%Y-%m-%d') AS dt,
-           count(DISTINCT e.user_id) AS uu,
-           count(DISTINCT CASE WHEN f.first_dt < strftime(e.ts, '%Y-%m-%d') THEN e.user_id END) AS back_uu
-    FROM events e JOIN firsts f ON e.user_id = f.user_id
-    GROUP BY 1
-    """,
-    tags=("window", "state"),
-)
-def a4_login(spark, sf_dir):
-    """A4 — unique + returning users per window (dws_user_user_login,
-    Constant.java:43): keyed last-login state in streaming, min-date join
-    in batch."""
-    ev = t(spark, sf_dir, "events").withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
-    firsts = ev.groupBy("user_id").agg(F.min("dt").alias("first_dt"))
-    return (
-        ev.join(firsts, "user_id")
-        .groupBy("dt")
-        .agg(
-            F.count_distinct("user_id").alias("uu"),
-            F.count_distinct(
-                F.when(F.col("first_dt") < F.col("dt"), F.col("user_id"))
-            ).alias("back_uu"),
-        )
-    )
-
-
-@q(
-    "a5_register_window",
-    """
-    SELECT strftime(time_bucket(INTERVAL '6 hours', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-           strftime(time_bucket(INTERVAL '6 hours', ts) + INTERVAL 6 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
-           count(*) AS register_ct
-    FROM events WHERE event_type = 'signup' GROUP BY 1, 2
-    """,
-    tags=("window",),
-)
-def a5_register(spark, sf_dir):
-    """A5 — register count per window (dws_user_user_register, Constant.java:44)."""
-    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
-    return windowed_agg(ev, "ts", "6 hours", [], [F.count(F.lit(1)).alias("register_ct")])
-
-
-@q(
-    "a6_cart_add_uu_window",
-    """
-    SELECT strftime(ts, '%Y-%m-%d') AS dt, count(DISTINCT user_id) AS cart_add_uu
-    FROM events WHERE event_type = 'purchase' GROUP BY 1
-    """,
-    tags=("window", "dedup-state"),
-)
-def a6_cart(spark, sf_dir):
-    """A6 — cart-add unique users per day (dws_trade_cart_add_uu,
-    Constant.java:45)."""
-    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
-    return ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("dt")).agg(
-        F.count_distinct("user_id").alias("cart_add_uu")
-    )
-
-
-@q(
-    "a7_sku_order_window",
-    """
-    SELECT strftime(l.l_shipdate, '%Y-%m') AS ship_month, p.p_brand AS p_brand,
-           count(*) AS order_ct,
-           round(sum(l.l_extendedprice), 2) AS orig_amount,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS final_amount
-    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-    GROUP BY 1, 2
-    """,
-    tags=("window", "join"),
-    bench=True,
-)
-def a7_sku(spark, sf_dir):
-    """A7 — per-SKU order amounts per window + dim enrichment
-    (dws_trade_sku_order, Constant.java:46)."""
-    li = t(spark, sf_dir, "lineitem")
-    p = t(spark, sf_dir, "part")
-    return (
-        joins.lookup_join(li, p, on=li.l_partkey == p.p_partkey)
-        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"), F.col("p_brand"))
-        .agg(
-            F.count(F.lit(1)).alias("order_ct"),
-            F.round(F.sum("l_extendedprice"), 2).alias("orig_amount"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("final_amount"),
-        )
-    )
-
-
-@q(
-    "a8_province_order_window",
-    """
-    SELECT strftime(o.o_orderdate, '%Y-%m') AS order_month, n.n_name AS n_name,
-           count(*) AS order_ct, round(sum(o.o_totalprice), 2) AS total_amount
-    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-                  JOIN nation n ON c.c_nationkey = n.n_nationkey
-    GROUP BY 1, 2
-    """,
-    tags=("window", "join"),
-)
-def a8_province(spark, sf_dir):
-    """A8 — per-province order stats per window (dws_trade_province_order,
-    Constant.java:47)."""
-    o = t(spark, sf_dir, "orders")
-    c = t(spark, sf_dir, "customer")
-    n = t(spark, sf_dir, "nation")
-    return (
-        o.join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"), F.col("n_name"))
-        .agg(
-            F.count(F.lit(1)).alias("order_ct"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_amount"),
-        )
-    )
-
-
-# ===========================================================================
-# F/T — splits, explode, stateful batch analogs (SURVEY §2.6-2.7)
-# ===========================================================================
-
-@q(
-    "f1_route_split",
-    """
-    SELECT CASE WHEN event_type = 'error' THEN 'err'
-                WHEN event_type = 'signup' THEN 'start'
-                ELSE 'page' END AS route,
-           count(*) AS n
-    FROM events GROUP BY 1
-    """,
-    tags=("split",),
-)
-def f1_route(spark, sf_dir):
-    """F1 — 5-way side-output routing (DwdBaseLog.java:57-133) as a scalar
-    route classifier + filtered fan-out."""
-    ev = t(spark, sf_dir, "events")
-    route = (
-        F.when(F.col("event_type") == "error", "err")
-        .when(F.col("event_type") == "signup", "start")
-        .otherwise("page")
-    )
-    return ev.groupBy(route.alias("route")).agg(F.count(F.lit(1)).alias("n"))
-
-
-@q(
-    "f2_explode_enrich",
-    f"""
-    SELECT doc_id, lang, unnest({_DK_TOKS}) AS token FROM documents
-    """,
-    tags=("split", "explode"),
-)
-def f2_explode(spark, sf_dir):
-    """F2 — array explode with parent enrichment (DwdBaseLog.java:98-121):
-    each element emitted with its parent's metadata."""
-    docs = t(spark, sf_dir, "documents")
-    return split.explode_computed(docs, ["doc_id", "lang"], text.tokenize("text"), "token")
-
-
-@q(
-    "t1_is_new_fix",
-    """
-    SELECT event_id, user_id,
-           CASE WHEN strftime(ts, '%Y-%m-%d') =
-                     min(strftime(ts, '%Y-%m-%d')) OVER (PARTITION BY user_id)
-                THEN 1 ELSE 0 END AS is_new_fixed
-    FROM events
-    """,
-    tags=("state",),
-)
-def t1_is_new(spark, sf_dir):
-    """T1 — the new-visitor fix decision table (DwdBaseLog.java:135-183):
-    is_new is 1 only on the user's first-ever day.  Batch analog of the
-    keyed ValueState op (operators/state.py holds the streaming version)."""
-    ev = t(spark, sf_dir, "events").withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
-    w = Window.partitionBy("user_id")
-    return ev.select(
-        "event_id",
-        "user_id",
-        F.when(F.col("dt") == F.min("dt").over(w), 1).otherwise(0).alias("is_new_fixed"),
-    )
-
-
-@q(
-    "t2_first_seen_dedup",
-    """
-    SELECT user_id, strftime(ts, '%Y-%m-%d') AS dt, min(event_id) AS first_event_id
-    FROM events GROUP BY 1, 2
-    """,
-    tags=("state", "dedup-state"),
-)
-def t2_first_seen(spark, sf_dir):
-    """First-seen-per-day dedup — the keyed-state primitive behind A3/A4/A6
-    UU counts (SURVEY §2.6), batch analog (event_id is time-ordered in the
-    generator, so min(event_id) = first arrival)."""
-    ev = t(spark, sf_dir, "events")
-    return ev.groupBy("user_id", F.date_format("ts", "yyyy-MM-dd").alias("dt")).agg(
-        F.min("event_id").alias("first_event_id")
-    )
-
-
-# ===========================================================================
-# X — scalar datetime surface (SURVEY §2.8)
-# ===========================================================================
-
-@q(
-    "x_datetime_surface",
-    """
-    SELECT event_id,
-           epoch_ms(ts) AS ts_ms,
-           strftime(ts, '%Y-%m-%d') AS dt,
-           strftime(ts, '%Y-%m-%d %H:%M:%S') AS dts,
-           strftime(ts, '%Y%m%d') AS dt_part,
-           epoch_ms(ts) - 86400000 AS ts_yesterday,
-           strftime(ts - INTERVAL 1 DAY, '%Y-%m-%d') AS dt_yesterday
-    FROM events
-    """,
-    tags=("scalar",),
-)
-def x_datetime(spark, sf_dir):
-    """X1-X6, X11-X12 — the DateFormatUtil surface (DateFormatUtil.java:28-68)
-    as zone-aware built-ins (functions/datetime.py)."""
-    from ..functions import datetime as dtf
-
-    ev = t(spark, sf_dir, "events")
-    ms = F.unix_millis("ts")
-    return ev.select(
-        "event_id",
-        ms.alias("ts_ms"),
-        dtf.ts_to_date(ms).alias("dt"),
-        dtf.ts_to_datetime(ms).alias("dts"),
-        dtf.ts_to_partition(ms).alias("dt_part"),
-        dtf.yesterday_ts(ms).alias("ts_yesterday"),
-        dtf.ts_to_date(dtf.yesterday_ts(ms)).alias("dt_yesterday"),
-    )
-
-
-# ===========================================================================
-# D — deduplication (training-data pipeline operators)
-# ===========================================================================
-
-_DK_SHINGLES = """
-WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk FROM documents),
-sh AS (SELECT doc_id,
-              CASE WHEN len(tk) >= 3
-                   THEN list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in range(1, len(tk) - 1)])
-                   ELSE [] END AS s
-       FROM toks),
-inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
-sizes AS (SELECT doc_id, len(s) AS n FROM sh)
-"""
-
-
-@q(
-    "dedup_exact",
-    f"""
-    SELECT md5(list_aggregate(string_split_regex(lower(trim(text)), '\\s+'), 'string_agg', ' ')) AS fp,
-           min(doc_id) AS keep_id, count(*) AS n_copies
-    FROM documents GROUP BY 1
-    """,
-    tags=("dedup",),
-    bench=True,
-)
-def dedup_exact_q(spark, sf_dir):
-    """Exact dedup: hash-groupBy on normalized-content fingerprint; one
-    shuffle, map-side combinable."""
-    return dedup.exact_dedup(t(spark, sf_dir, "documents"))
-
-
-@q(
-    "dedup_ngram_jaccard",
-    _DK_SHINGLES
-    + """
-    , pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2)
-    SELECT p.id_a AS id_a, p.id_b AS id_b, p.inter AS inter,
-           sa.n AS n_a, sb.n AS n_b
-    FROM pairs p JOIN sizes sa ON p.id_a = sa.doc_id
-                 JOIN sizes sb ON p.id_b = sb.doc_id
-    WHERE p.inter * 3 >= (sa.n + sb.n)
-    """,
-    tags=("dedup",),
-    bench=True,
-)
-def dedup_jaccard_q(spark, sf_dir):
-    """N-gram jaccard near-dup pairs (threshold 1/2, integer-exact test).
-
-    Runs the AllPairs/PPJoin prefix-filtered plan — identical output to
-    the naive inverted-index self-join (equality-tested) but the
-    candidate join touches only rare-shingle *prefixes*, so a hot shingle
-    appearing in k docs no longer costs k²/2 join rows.  This is the plan
-    of record at corpus scale AND the fastest at this SF; the naive plan
-    remains available as `dedup.ngram_jaccard_pairs` (the oracle mirrors
-    it directly)."""
-    return dedup.ngram_jaccard_pairs_prefix(t(spark, sf_dir, "documents"))
-
-
-def _minhash_oracle(
-    num_perm: int = 16, band_size: int = 4, max_bucket_size: int | None = None
-) -> str:
-    sigs = ",\n           ".join(
-        f"min(substr(md5('p{i // 4}:' || shingle), {1 + 8 * (i % 4)}, 8)) AS mh{i}"
-        for i in range(num_perm)
-    )
-    n_bands = num_perm // band_size
-    band_selects = "\n      UNION ALL ".join(
-        "SELECT doc_id, {bi} AS band, md5({expr}) AS bucket FROM sig".format(
-            bi=bi,
-            expr=" || '|' || ".join(f"mh{bi * band_size + j}" for j in range(band_size)),
-        )
-        for bi in range(n_bands)
-    )
-    # Mirror of the Spark-side hot-bucket cap: per-band salted row_number
-    # chunks oversized buckets into sub-buckets of <= max_bucket_size.
-    cap = (
-        f""",
-    bands AS (SELECT doc_id, band,
-                     bucket || '#' || CAST((row_number() OVER (
-                         PARTITION BY band, bucket
-                         ORDER BY md5(CAST(band AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), doc_id
-                     ) - 1) // {max_bucket_size} AS VARCHAR) AS bucket
-              FROM bands0)"""
-        if max_bucket_size is not None
-        else ""
-    )
-    bands_name = "bands0" if max_bucket_size is not None else "bands"
-    return (
-        _DK_SHINGLES
-        + f"""
-    , sig AS (SELECT doc_id, {sigs} FROM inv GROUP BY doc_id),
-    {bands_name} AS ({band_selects}){cap},
-    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-             FROM bands a JOIN bands b
-               ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-    ver AS (SELECT c.id_a, c.id_b,
-                   len(list_intersect(sa.s, sb.s)) AS inter,
-                   len(sa.s) AS n_a, len(sb.s) AS n_b
-            FROM cand c JOIN sh sa ON c.id_a = sa.doc_id
-                        JOIN sh sb ON c.id_b = sb.doc_id)
-    SELECT id_a, id_b, inter, n_a, n_b FROM ver WHERE inter * 3 >= (n_a + n_b)
-    """
-    )
-
-
-@q(
-    "dedup_minhash_lsh",
-    _minhash_oracle(max_bucket_size=50),
-    tags=("dedup", "lsh"),
-    bench=True,
-)
-def dedup_minhash_q(spark, sf_dir):
-    """MinHash+LSH near-dup pairs: md5-permutation signatures → banded
-    buckets → candidates → exact-jaccard verify.  Deterministic and
-    engine-portable, so even the LSH stage is oracle-checked.
-
-    Runs with the hot-bucket cap on (max_bucket_size=50): a boilerplate
-    cluster of k docs costs O(k*50) candidate rows instead of O(k^2) —
-    the plan of record for dup-heavy corpora; the oracle mirrors the
-    capped sub-bucketing bit-for-bit (per-band md5-salted chunks)."""
-    return dedup.minhash_lsh_pairs(t(spark, sf_dir, "documents"), max_bucket_size=50)
-
-
-@q(
-    "dedup_simhash",
-    """
-    WITH toks AS (
-      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
-      FROM documents),
-    hs AS (SELECT doc_id, md5(tok) AS h FROM toks),
-    bits AS (
-      SELECT doc_id, g.i,
-             sum(CASE WHEN substr(h, CAST(g.i AS INT), 1)
-                      IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s
-      FROM hs, generate_series(1, 32) AS g(i)
-      GROUP BY doc_id, g.i),
-    bv AS (SELECT doc_id, i, CASE WHEN s > 0 THEN 1 ELSE 0 END AS b FROM bits),
-    buckets AS (
-      SELECT doc_id, CAST((i - 1) // 8 AS INT) AS band,
-             string_agg(CAST(b AS VARCHAR), '' ORDER BY i) AS bucket
-      FROM bv GROUP BY doc_id, (i - 1) // 8),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM buckets a JOIN buckets b
-        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-    ham AS (
-      SELECT c.id_a, c.id_b,
-             CAST(sum(CASE WHEN va.b != vb.b THEN 1 ELSE 0 END) AS BIGINT) AS hamming
-      FROM cand c JOIN bv va ON va.doc_id = c.id_a
-                  JOIN bv vb ON vb.doc_id = c.id_b AND va.i = vb.i
-      GROUP BY c.id_a, c.id_b)
-    SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
-    """,
-    tags=("dedup", "simhash"),
-)
-def dedup_simhash_q(spark, sf_dir):
-    """SimHash near-dup pairs (hamming <= 3 over 32-bit sketches); banded
-    candidate generation.  The sketch is md5-nibble sign sums — integer
-    arithmetic end to end — so even the bit-level pipeline has a DuckDB
-    twin (upgraded from r2's rows-only check); pytest additionally
-    verifies recall against planted near-dups."""
-    return dedup.simhash_pairs(t(spark, sf_dir, "documents"))
-
-
-# ===========================================================================
-# S — similarity search over embeddings
-# ===========================================================================
-
-@q(
-    "ann_cosine_pairs",
-    """
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.3
-    """,
-    tags=("similarity",),
-    bench=True,
-)
-def ann_pairs(spark, sf_dir):
-    """Brute-force cosine similarity join (threshold 0.3)."""
-    return similarity.cosine_pairs(t(spark, sf_dir, "embeddings"), threshold=0.3)
-
-
-@q(
-    "ann_brute_force_topk",
-    """
-    SELECT q.vec_id AS query_id,
-           row_number() OVER (
-             PARTITION BY q.vec_id
-             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
-                      c.vec_id ASC) AS rank,
-           c.vec_id AS neighbor_id,
-           round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS sim
-    FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
-    WHERE q.vec_id % 25 = 0
-    QUALIFY rank <= 5
-    """,
-    tags=("similarity",),
-)
-def ann_topk(spark, sf_dir):
-    """Exact top-k cosine neighbors for a probe subset (vec_id % 25 = 0)."""
-    emb = t(spark, sf_dir, "embeddings")
-    return similarity.brute_force_topk(
-        emb.filter(F.col("vec_id") % 25 == 0), emb, k=5
-    )
-
-
-def _lsh_ann_oracle(n_tables: int = 6, n_planes: int = 4, dim: int = 64, k: int = 5) -> str:
-    """DuckDB twin of `similarity.lsh_bucket_topk`: the ±1 hyperplanes
-    are md5-derived CONSTANTS (emitted here as literal arrays), so the
-    bucket signatures, candidate set, and cosine re-rank are all
-    reproducible — sign flips would need a projection within ~1e-13 of
-    zero (never observed; bucket equality verified vector-by-vector at
-    sf0.01).  'Approximate' describes recall vs brute force, not
-    nondeterminism."""
-    from ..operators.similarity import _hyperplanes
-
-    tables = _hyperplanes(n_tables, n_planes, dim)
-
-    def bucket(ti: int, src: str) -> str:
-        bits = " || ".join(
-            "(CASE WHEN list_dot_product(CAST({src}.embedding AS DOUBLE[]), {lst}) > 0 "
-            "THEN '1' ELSE '0' END)".format(
-                src=src, lst="[" + ",".join(str(x) for x in pl) + "]"
-            )
-            for pl in tables[ti]
-        )
-        return f"('{ti}:' || {bits})"
-
-    q_buckets = "\n      UNION ALL ".join(
-        f"SELECT vec_id AS query_id, {bucket(ti, 'q')} AS bucket FROM probes q"
-        for ti in range(n_tables)
-    )
-    c_buckets = "\n      UNION ALL ".join(
-        f"SELECT vec_id AS neighbor_id, {bucket(ti, 'c')} AS bucket FROM embeddings c"
-        for ti in range(n_tables)
-    )
-    return f"""
-    WITH probes AS (SELECT * FROM embeddings WHERE vec_id % 25 = 0),
-    qb AS ({q_buckets}),
-    cb AS ({c_buckets}),
-    cand AS (SELECT DISTINCT qb.query_id, cb.neighbor_id
-             FROM qb JOIN cb USING (bucket)
-             WHERE qb.query_id != cb.neighbor_id),
-    scored AS (
-      SELECT c.query_id, c.neighbor_id,
-             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                                    CAST(n.embedding AS DOUBLE[])) AS sim
-      FROM cand c JOIN embeddings q ON c.query_id = q.vec_id
-                  JOIN embeddings n ON c.neighbor_id = n.vec_id),
-    ranked AS (
-      SELECT query_id, neighbor_id, sim,
-             CAST(row_number() OVER (PARTITION BY query_id
-                                     ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
-      FROM scored)
-    SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
-    FROM ranked WHERE rank <= {k}
-    """
-
-
-@q("ann_lsh_topk", _lsh_ann_oracle(), tags=("similarity", "lsh"))
-def ann_lsh(spark, sf_dir):
-    """LSH-bucketed ANN (scale path).  Approximate RECALL, deterministic
-    ANSWER: the md5-derived hyperplanes are constants, so the DuckDB twin
-    replays buckets → candidates → cosine re-rank exactly (upgraded from
-    r2's rows-only check); pytest still measures recall vs brute force."""
-    emb = t(spark, sf_dir, "embeddings")
-    return similarity.lsh_bucket_topk(emb.filter(F.col("vec_id") % 25 == 0), emb, k=5)
-
-
-# ===========================================================================
-# TX — text analysis
-# ===========================================================================
-
-def _langid_oracle() -> str:
-    langs = sorted(text.LANG_STOPWORDS)
-    scores = ",\n           ".join(
-        "len(list_filter({toks}, x -> list_contains({lst}, x))) AS score_{lang}".format(
-            toks=_DK_TOKS,
-            lst="[" + ", ".join(f"'{w}'" for w in text.LANG_STOPWORDS[lang]) + "]",
-            lang=lang,
-        )
-        for lang in langs
-    )
-    greatest = "greatest(" + ", ".join(f"score_{lg}" for lg in langs) + ")"
-    case = "CASE WHEN " + greatest + " = 0 THEN 'und' " + " ".join(
-        f"WHEN score_{lg} = {greatest} THEN '{lg}'" for lg in langs
-    ) + " END"
-    return f"""
-    WITH scored AS (SELECT doc_id, {scores} FROM documents)
-    SELECT doc_id, {case} AS pred_lang FROM scored
-    """
-
-
-@q("text_langid", _langid_oracle(), tags=("text",))
-def text_langid_q(spark, sf_dir):
-    """Language ID: stopword-hit argmax heuristic (lexicographic tiebreak,
-    'und' when nothing matches)."""
-    docs = t(spark, sf_dir, "documents")
-    return docs.select("doc_id", text.lang_id("text").alias("pred_lang"))
-
-
-@q(
-    "text_quality",
-    f"""
-    WITH x AS (SELECT doc_id, {_DK_TOKS} AS tk, length(text) AS nc FROM documents)
-    SELECT doc_id,
-           len(tk) AS n_tokens,
-           round((nc - (len(tk) - 1)) / len(tk), 4) AS avg_token_len,
-           round(len(list_filter(tk, t -> list_contains(['the','and','of','to','a','in','is','it','for','on'], t))) / len(tk), 4) AS stopword_ratio,
-           CASE WHEN len(tk) >= 10 AND (nc - (len(tk) - 1)) / len(tk) >= 3 THEN 1 ELSE 0 END AS is_quality
-    FROM x
-    """,
-    tags=("text",),
-    bench=True,
-)
-def text_quality_q(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents")
-    return text.quality_features(docs).select(
-        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
-        "avg_token_len", "stopword_ratio", "is_quality",
-    )
-
-
-@q(
-    "text_token_count",
-    f"""
-    SELECT doc_id,
-           len({_DK_TOKS}) AS ws_tokens,
-           len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS bpe_tokens
-    FROM documents
-    """,
-    tags=("text",),
-)
-def text_tokens_q(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        text.token_count_ws("text").cast("long").alias("ws_tokens"),
-        text.token_count_bpe("text").cast("long").alias("bpe_tokens"),
-    )
-
-
-@q(
-    "text_fingerprint",
-    f"""
-    SELECT doc_id,
-           md5(list_aggregate({_DK_TOKS}, 'string_agg', ' ')) AS fp,
-           list_reduce(list_prepend(0::BIGINT, [ord(c)::BIGINT for c in string_split(text, '')]),
-                       (acc, x) -> (acc * 31 + x) % 1000000007) AS rhash
-    FROM documents
-    """,
-    tags=("text",),
-)
-def text_fp_q(spark, sf_dir):
-    """Document fingerprinting: md5 content fingerprint + polynomial
-    rolling hash (char fold, JVM-side)."""
-    docs = t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        text.doc_fingerprint("text").alias("fp"),
-        text.rolling_hash("text").alias("rhash"),
-    )
-
-
-# ===========================================================================
-# M — multimodal plumbing
-# ===========================================================================
-
-@q(
-    "multimodal_meta",
-    """
-    SELECT doc_id AS media_id, 'image' AS media_type,
-           strlen(text) AS byte_len, sha256(text) AS sha256
-    FROM documents
-    """,
-    tags=("multimodal",),
-)
-def mm_meta(spark, sf_dir):
-    """Binary-payload metadata (byte_len, sha256) computed without ever
-    decoding the payload — the columnar fast path for media tables."""
-    docs = t(spark, sf_dir, "documents")
-    return multimodal.to_media(docs, "doc_id", "text", "image").select(
-        "media_id", "media_type", "byte_len", "sha256"
-    )
-
-
-@q(
-    "multimodal_features",
-    """
-    SELECT doc_id AS media_id,
-           CASE WHEN doc_id % 4 = 2 THEN 'audio' ELSE 'image' END AS media_type,
-           CAST(CASE doc_id % 4 WHEN 0 THEN 33 WHEN 1 THEN 26
-                           WHEN 3 THEN 35 ELSE 44 END AS BIGINT) AS byte_len,
-           CAST(CASE doc_id % 4 WHEN 0 THEN 16 + doc_id % 1000
-                           WHEN 1 THEN 1 + doc_id % 255
-                           WHEN 3 THEN 1 + (doc_id * 5) % 2000
-                           ELSE 8000 + (doc_id % 100) * 50 END AS INTEGER) AS width,
-           CAST(CASE doc_id % 4 WHEN 0 THEN 16 + (doc_id * 7) % 1000
-                           WHEN 1 THEN 1 + (doc_id * 3) % 255
-                           WHEN 3 THEN 1 + (doc_id * 11) % 2000
-                           ELSE 1 + doc_id % 2 END AS INTEGER) AS height,
-           CAST(CASE WHEN doc_id % 4 = 2 THEN 1 + doc_id % 1000 ELSE 1 END AS INTEGER) AS n_frames
-    FROM documents
-    """,
-    tags=("multimodal",),
-)
-def mm_features(spark, sf_dir):
-    """Header feature-extract via Arrow-batched mapInPandas over REAL
-    container bytes: `synthetic_media` builds genuine PNG/BMP/WAV/JPEG headers
-    JVM-side with id-derived dimensions, and the stdlib parsers in
-    operators/multimodal.py recover width/height/sample-rate/frames from
-    the binary.  The oracle predicts the same dims arithmetically, so the
-    binary build AND the parse are both value-checked (upgraded from the
-    r2 rows-only check)."""
-    docs = t(spark, sf_dir, "documents")
-    media = multimodal.synthetic_media(docs, "doc_id")
-    return multimodal.extract_features(media)
-
-
-# ===========================================================================
-# Q — sorts / limits / set ops / analytic windows (SURVEY §2.10: absent in
-# the reference, exposed by the engine via Catalyst)
-# ===========================================================================
-
-@q(
-    "sort_topn",
-    """
-    SELECT o_orderkey, round(o_totalprice, 2) AS total
-    FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey ASC
-    LIMIT 10
-    """,
-    tags=("sort", "limit"),
-)
-def sort_topn(spark, sf_dir):
-    """Top-N with a unique tiebreak (deterministic LIMIT boundary)."""
-    o = t(spark, sf_dir, "orders")
-    return (
-        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-        .limit(10)
-        .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
-    )
-
-
-@q(
-    "set_ops",
-    """
-    SELECT c_custkey, 'both' AS src FROM (
-      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-      INTERSECT
-      SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 200000)
-    UNION ALL
-    SELECT c_custkey, 'only_seg' AS src FROM (
-      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-      EXCEPT
-      SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 200000)
-    """,
-    tags=("setop",),
-)
-def set_ops(spark, sf_dir):
-    """INTERSECT / EXCEPT / UNION over key sets."""
-    seg = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    big = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000).select(
-        F.col("o_custkey").alias("c_custkey")
-    )
-    both = seg.intersect(big).withColumn("src", F.lit("both"))
-    only = seg.subtract(big).withColumn("src", F.lit("only_seg"))
-    return both.unionByName(only)
-
-
-@q(
-    "w_rank_lag",
-    """
-    SELECT o_custkey, o_orderkey,
-           rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
-           round(o_totalprice - lag(o_totalprice) OVER (
-             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS delta_prev
-    FROM orders
-    """,
-    tags=("window-fn",),
-)
-def w_rank_lag(spark, sf_dir):
-    """Analytic window functions (rank / lag) with deterministic ordering."""
-    o = t(spark, sf_dir, "orders")
-    w_rank = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
-    )
-    w_seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        F.rank().over(w_rank).cast("long").alias("price_rank"),
-        F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(w_seq), 2).alias("delta_prev"),
-    )
-
-
-@q(
-    "x_string_json_surface",
-    """
-    SELECT event_id,
-           string_split(event_type || ',' || source, ',')[1] AS first_csv,
-           len(string_split(event_type || ',' || source, ',')) AS n_csv,
-           json_extract_string(props, '$.k') AS k_str,
-           CAST(row_to_json(struct_pack(event_id := event_id, t := event_type)) AS VARCHAR) AS packed
-    FROM (SELECT event_id, event_type, 'src' AS source, props FROM events)
-    """,
-    tags=("scalar", "string"),
-)
-def x_string_json(spark, sf_dir):
-    """X8 (CSV split) + X10 (JSON parse/serialize) scalar surface."""
-    ev = t(spark, sf_dir, "events").withColumn("source", F.lit("src"))
-    csv = F.split(F.concat_ws(",", "event_type", "source"), ",")
-    return ev.select(
-        "event_id",
-        csv.getItem(0).alias("first_csv"),
-        F.size(csv).cast("long").alias("n_csv"),
-        F.from_json("props", "map<string,string>").getItem("k").alias("k_str"),
-        F.to_json(F.struct(F.col("event_id"), F.col("event_type").alias("t"))).alias("packed"),
-    )
-
-
-@q(
-    "tpch_q6_forecast_revenue",
-    """
-    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
-    FROM lineitem
-    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
-      AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
-    """,
-    tags=("scan", "pushdown"),
-    bench=True,
-)
-def tpch_q6(spark, sf_dir):
-    """Pure predicate+agg — the parquet-pushdown showcase (all four
-    predicates reach the scan; see tests/test_plans.py)."""
-    li = t(spark, sf_dir, "lineitem")
-    return li.filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01"))
-        & (F.col("l_shipdate") < F.lit("1997-01-01"))
-        & (F.col("l_discount") >= 0.03)
-        & (F.col("l_discount") <= 0.07)
-        & (F.col("l_quantity") < 24)
-    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"))
-
-
-# ===========================================================================
-# Additional parity + scale-knob queries
-# ===========================================================================
-
-@q(
-    "p2_struct_field_access",
-    """
-    SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS info_k
-    FROM events
-    """,
-    tags=("projection",),
-)
-def p2_struct(spark, sf_dir):
-    """P2 — nested struct field access (`info.dic_name`,
-    DwdInteractionCommentInfo.java:73): JSON decoded to a typed struct,
-    field read via dotted path."""
-    ev = t(spark, sf_dir, "events").withColumn(
-        "info", F.from_json("props", "struct<k:bigint>")
-    )
-    return ev.select("event_id", F.col("info.k").alias("info_k"))
-
-
-@q(
-    "dedup_ngram_capped",
-    _DK_SHINGLES
-    + """
-    , freq AS (SELECT shingle FROM inv GROUP BY shingle HAVING count(*) <= 50),
-    inv_c AS (SELECT inv.doc_id, inv.shingle FROM inv JOIN freq USING (shingle)),
-    sizes_c AS (SELECT doc_id, count(*) AS n FROM inv_c GROUP BY doc_id),
-    pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-      FROM inv_c a JOIN inv_c b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2)
-    SELECT p.id_a AS id_a, p.id_b AS id_b, p.inter AS inter,
-           sa.n AS n_a, sb.n AS n_b
-    FROM pairs p JOIN sizes_c sa ON p.id_a = sa.doc_id
-                 JOIN sizes_c sb ON p.id_b = sb.doc_id
-    WHERE p.inter * 10 >= 3 * (sa.n + sb.n)
-    """,
-    tags=("dedup", "scale-knob"),
-)
-def dedup_capped(spark, sf_dir):
-    """N-gram jaccard over FREQUENCY-CAPPED shingle sets (shingles in >50
-    docs dropped first; jaccard over the survivors — the df-filter idea).
-    Runs the prefix-filtered AllPairs plan on the capped universe, so a
-    boilerplate cluster contributes no candidates at all (exact dedup's
-    job), and replica cliques stay bounded by rare-shingle collisions —
-    sub-quadratic on dup-heavy corpora (bench stress_dup section).  The
-    oracle mirrors the same two-stage definition with the naive join
-    (plan-independent answer, threshold 3/7)."""
-    return dedup.ngram_jaccard_pairs_prefix_capped(
-        t(spark, sf_dir, "documents"),
-        threshold_num=3, threshold_den=7, max_shingle_freq=50,
-    )
-
-
-@q(
-    "dedup_embedding_neardup",
-    """
-    SELECT DISTINCT b.vec_id AS drop_id
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.3
-    """,
-    tags=("dedup", "similarity"),
-)
-def dedup_embedding(spark, sf_dir):
-    """Embedding-cosine near-dup dedup: drop every vector that has a
-    lower-id neighbor above threshold (keep-first policy).  Runs on the
-    vectorized block-GEMM path."""
-    emb = t(spark, sf_dir, "embeddings")
-    pairs = similarity.cosine_pairs(emb, threshold=0.3)
-    return pairs.select(F.col("id_b").alias("drop_id")).distinct()
-
-
-@q(
-    "text_stats_by_source",
-    f"""
-    SELECT source,
-           count(*) AS n_docs,
-           CAST(sum(len({_DK_TOKS})) AS BIGINT) AS total_tokens,
-           round(avg(len({_DK_TOKS})), 4) AS avg_tokens,
-           count(DISTINCT lang) AS n_langs
-    FROM documents GROUP BY source
-    """,
-    tags=("text", "agg"),
-)
-def text_stats(spark, sf_dir):
-    """Corpus statistics rollup per source — the bookkeeping aggregation a
-    training-data pipeline runs after filtering."""
-    docs = t(spark, sf_dir, "documents").withColumn(
-        "n_tok", F.size(text.tokenize("text")).cast("long")
-    )
-    return docs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tok").alias("total_tokens"),
-        F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
-        F.count_distinct("lang").alias("n_langs"),
-    )
-
-
-@q(
-    "text_vocab_build",
-    f"""
-    WITH tok AS (SELECT unnest({_DK_TOKS}) AS token FROM documents),
-    v AS (SELECT token, count(*) AS cnt FROM tok WHERE token <> '' GROUP BY token)
-    SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token) AS token_id
-    FROM v WHERE cnt >= 3
-    """,
-    tags=("text", "vocab"),
-)
-def text_vocab_build_q(spark, sf_dir):
-    """Frequency-ranked vocabulary over the corpus (min_count=3):
-    contiguous ids assigned by a distributed prefix sum
-    (`sampling.global_rank`), never a single-partition window — the
-    oracle's `row_number() OVER (ORDER BY ...)` is the semantic twin but
-    NOT the plan."""
-    return text.vocab_build(t(spark, sf_dir, "documents"), min_count=3)
-
-
-@q(
-    "text_top_tokens_by_lang",
-    f"""
-    WITH tok AS (SELECT lang, unnest({_DK_TOKS}) AS token FROM documents),
-    counts AS (SELECT lang, token, count(*) AS cnt FROM tok
-               WHERE token <> '' GROUP BY lang, token)
-    SELECT lang AS grp, token, cnt, CAST(rnk AS INTEGER) AS rnk FROM (
-      SELECT lang, token, cnt,
-             row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rnk
-      FROM counts) x
-    WHERE rnk <= 10
-    """,
-    tags=("text", "topk"),
-)
-def text_top_tokens_q(spark, sf_dir):
-    """Exact top-10 tokens per language — two-phase salted top-k (local
-    top-k per hash bucket, final rank over <= 64*k survivors per group),
-    so no group's full distinct-token set ever meets one task."""
-    return text.top_tokens_by_group(t(spark, sf_dir, "documents"), "lang", k=10)
-
-
-@q(
-    "text_tfidf_keywords",
-    f"""
-    WITH tok AS (SELECT doc_id, unnest({_DK_TOKS}) AS token FROM documents),
-    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok WHERE token <> ''
-           GROUP BY doc_id, token),
-    dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
-    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
-    SELECT doc_id, token, tf, CAST(rnk AS INTEGER) AS rnk FROM (
-      SELECT t.doc_id, t.token, t.tf,
-             row_number() OVER (PARTITION BY t.doc_id
-               ORDER BY (t.tf * n.n_docs * 1000000) // d.df DESC, t.token) AS rnk
-      FROM tf t JOIN dfreq d ON t.token = d.token CROSS JOIN n) x
-    WHERE rnk <= 3
-    """,
-    tags=("text", "tfidf"),
-)
-def text_tfidf_q(spark, sf_dir):
-    """Top-3 tf-idf keywords per document — linear idf ranked via scaled
-    INTEGER division (log-idf's last-ulp float differences can flip ranks
-    across engines; `tf*N*1e6 div df` is order-equivalent and exact)."""
-    return text.tfidf_keywords(t(spark, sf_dir, "documents"), k=3)
-
-
-@q(
-    "w_moving_avg_range",
-    """
-    SELECT event_id, user_id,
-           round(avg(value) OVER (
-             PARTITION BY user_id ORDER BY epoch_us(ts)
-             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 4) AS avg_1h,
-           count(*) OVER (
-             PARTITION BY user_id ORDER BY epoch_us(ts)
-             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_1h
-    FROM events
-    """,
-    tags=("window-fn", "range-frame"),
-)
-def w_moving_avg(spark, sf_dir):
-    """Event-time moving average: RANGE frame over the trailing hour per
-    user (epoch-microsecond order keys — integer-exact frame bounds in
-    both engines; RANGE includes ts ties, so the frame is a set and
-    ordering within ties can't change it)."""
-    ev = t(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
-        .rangeBetween(-3_600_000_000, 0)
-    )
-    return ev.select(
-        "event_id",
-        "user_id",
-        F.round(F.avg("value").over(w), 4).alias("avg_1h"),
-        F.count(F.lit(1)).over(w).alias("n_1h"),
-    )
-
-
-@q("sketch_hll_distinct", None, tags=("sketch", "approx"))
-def sketch_hll(spark, sf_dir):
-    """Approximate distinct-count sketch (HyperLogLog++) per event_type —
-    the serving-layer cardinality path for A8-style tables at 100 TB
-    (exact distinct needs a full shuffle of user ids; HLL is map-side
-    mergeable).  Approximate → rows-only check; pytest bounds the error
-    against exact counts."""
-    ev = t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("uu_approx"),
-        F.count(F.lit(1)).alias("pv"),
-    )
-
-
-@q(
-    "semi_join_exists",
-    """
-    SELECT o.o_orderkey
-    FROM orders o
-    WHERE EXISTS (SELECT 1 FROM lineitem l
-                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
-    """,
-    tags=("join", "semi"),
-)
-def semi_join(spark, sf_dir):
-    """Left-semi join (EXISTS) — not in the reference (SURVEY §2.4), free
-    via Catalyst; exposed as engine surface."""
-    o = t(spark, sf_dir, "orders")
-    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    return o.join(li, o.o_orderkey == li.l_orderkey, "left_semi").select("o_orderkey")
-
-
-@q(
-    "anti_join_not_exists",
-    """
-    SELECT c.c_custkey
-    FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o
-                      WHERE o.o_custkey = c.c_custkey
-                        AND o.o_orderpriority = '1-URGENT')
-    """,
-    tags=("join", "anti"),
-)
-def anti_join(spark, sf_dir):
-    """Left-anti join (NOT EXISTS) — customers with no urgent orders."""
-    c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
-
-
-@q("ann_ivf_topk", None, tags=("similarity", "ivf"))
-def ann_ivf(spark, sf_dir):
-    """IVF-bucketed ANN (coarse quantizer + nprobe cells) — the second
-    scale path beside LSH.  Rows-only; pytest measures recall."""
-    emb = t(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(emb.filter(F.col("vec_id") % 25 == 0), emb, k=5)
-
-
-@q(
-    "ts_gap_fill_hourly",
-    """
-    WITH c AS (SELECT event_type, date_trunc('hour', ts) AS b, count(*) AS n
-               FROM events GROUP BY event_type, date_trunc('hour', ts)),
-    s AS (SELECT event_type, min(b) AS mn, max(b) AS mx FROM c GROUP BY event_type),
-    h AS (SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS b FROM s)
-    SELECT h.event_type AS event_type,
-           strftime(h.b, '%Y-%m-%d %H:%M:%S') AS bucket_s,
-           coalesce(c.n, 0) AS n
-    FROM h LEFT JOIN c ON h.event_type = c.event_type AND h.b = c.b
-    """,
-    tags=("timeseries", "gap-fill"),
-)
-def ts_gap_fill_q(spark, sf_dir):
-    """Time-series gap fill: hourly event counts per type with missing
-    buckets zero-filled between each type's first and last hour.  The
-    bucket spine is generated per key from a tiny per-key min/max
-    aggregate (`sequence` + explode) — never a driver-side calendar —
-    and the fill is one keyed left join."""
-    ev = t(spark, sf_dir, "events").select(
-        "event_type", F.date_trunc("hour", "ts").alias("b")
-    )
-    c = ev.groupBy("event_type", "b").agg(F.count(F.lit(1)).alias("n"))
-    s = c.groupBy("event_type").agg(F.min("b").alias("mn"), F.max("b").alias("mx"))
-    h = s.select(
-        "event_type",
-        F.explode(F.expr("sequence(mn, mx, interval 1 hour)")).alias("b"),
-    )
-    return (
-        h.join(c, ["event_type", "b"], "left")
-        .select(
-            "event_type",
-            F.date_format("b", "yyyy-MM-dd HH:mm:ss").alias("bucket_s"),
-            F.coalesce("n", F.lit(0)).alias("n"),
-        )
-    )
-
-
-@q(
-    "grouping_sets_mixed",
-    """
-    SELECT coalesce(l_returnflag, 'ALL') AS rf,
-           coalesce(l_linestatus, 'ALL') AS ls,
-           round(sum(l_quantity), 2) AS qty,
-           count(*) AS n
-    FROM lineitem
-    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-    """,
-    tags=("agg", "grouping-sets"),
-)
-def grouping_sets_q(spark, sf_dir):
-    """Explicit GROUPING SETS (neither a rollup nor a cube: per-flag,
-    per-status, and grand-total rows in ONE pass over the fact table —
-    three aggregations for one scan+shuffle)."""
-    li = t(spark, sf_dir, "lineitem")
-    return (
-        li.groupingSets(
-            [["l_returnflag"], ["l_linestatus"], []],
-            "l_returnflag", "l_linestatus",
-        )
-        .agg(
-            F.round(F.sum("l_quantity"), 2).alias("qty"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .select(
-            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
-            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
-            "qty",
-            "n",
-        )
-    )
-
-
-@q(
-    "rollup_revenue",
-    """
-    SELECT coalesce(l_returnflag, 'ALL') AS rf,
-           coalesce(l_linestatus, 'ALL') AS ls,
-           round(sum(l_extendedprice), 2) AS base_price,
-           count(*) AS n
-    FROM lineitem
-    GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
-    tags=("agg", "rollup"),
-)
-def rollup_q(spark, sf_dir):
-    """ROLLUP grouping sets — hierarchical totals in one pass (engine
-    surface beyond the reference; Catalyst expands to grouping sets)."""
-    li = t(spark, sf_dir, "lineitem")
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum("l_extendedprice"), 2).alias("base_price"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .select(
-            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
-            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
-            "base_price",
-            "n",
-        )
-    )
-
-
-@q(
-    "pivot_event_counts",
-    """
-    SELECT strftime(ts, '%Y-%m-%d') AS dt,
-           count(*) FILTER (event_type = 'click')    AS click_ct,
-           count(*) FILTER (event_type = 'view')     AS view_ct,
-           count(*) FILTER (event_type = 'purchase') AS purchase_ct,
-           count(*) FILTER (event_type = 'signup')   AS signup_ct,
-           count(*) FILTER (event_type = 'error')    AS error_ct
-    FROM events GROUP BY 1
-    """,
-    tags=("agg", "pivot"),
-)
-def pivot_q(spark, sf_dir):
-    """Pivot (conditional aggregation): per-day event-type count matrix."""
-    ev = t(spark, sf_dir, "events")
-    aggs = [
-        F.count(F.when(F.col("event_type") == et, 1)).alias(f"{et}_ct")
-        for et in ("click", "view", "purchase", "signup", "error")
-    ]
-    return ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("dt")).agg(*aggs)
-
-
-@q(
-    "percentiles_by_segment",
-    """
-    SELECT c_mktsegment,
-           round(quantile_cont(c_acctbal, 0.5), 4)  AS p50,
-           round(quantile_cont(c_acctbal, 0.9), 4)  AS p90,
-           round(quantile_cont(c_acctbal, 0.99), 4) AS p99
-    FROM customer GROUP BY c_mktsegment
-    """,
-    tags=("agg", "percentile"),
-)
-def percentiles_q(spark, sf_dir):
-    """Exact interpolated percentiles per segment (Spark `percentile` ==
-    DuckDB `quantile_cont`, both exact linear interpolation)."""
-    c = t(spark, sf_dir, "customer")
-    return c.groupBy("c_mktsegment").agg(
-        F.round(F.expr("percentile(c_acctbal, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(c_acctbal, 0.9)"), 4).alias("p90"),
-        F.round(F.expr("percentile(c_acctbal, 0.99)"), 4).alias("p99"),
-    )
-
-
-# --------------------------------------------------------------------------
-# Corpus management — deterministic splits / stratified sampling / histograms
-# (operators/sampling.py; every op is a narrow hash map or one agg shuffle)
-# --------------------------------------------------------------------------
-
-@q(
-    "sample_split_assign",
-    """
-    WITH assigned AS (
-      SELECT doc_id,
-             CASE WHEN substr(md5('split:' || COALESCE(CAST(doc_id AS VARCHAR), '')), 1, 4) < 'e666'
-                  THEN 'train'
-                  WHEN substr(md5('split:' || COALESCE(CAST(doc_id AS VARCHAR), '')), 1, 4) < 'f333'
-                  THEN 'val'
-                  ELSE 'test' END AS split
-      FROM documents)
-    SELECT split, count(*) AS n_docs, CAST(min(doc_id) AS BIGINT) AS min_id
-    FROM assigned GROUP BY split
-    """,
-    tags=("sampling", "corpus"),
-)
-def sample_split_q(spark, sf_dir):
-    """Deterministic hash train/val/test split (90/5/5): assignment is a
-    pure narrow map on md5(key) — stable across runs/partitioning, unlike
-    randomSplit — then one count shuffle for the audit rollup."""
-    from ..operators import sampling
-
-    docs = sampling.split_assign(t(spark, sf_dir, "documents"))
-    return docs.groupBy("split").agg(
-        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_id")
-    )
-
-
-@q(
-    "sample_stratified",
-    """
-    SELECT lang, count(*) AS n_kept
-    FROM documents
-    WHERE substr(md5('sample:' || COALESCE(CAST(doc_id AS VARCHAR), '')), 1, 4) <
-          CASE WHEN lang = 'en' THEN '4000'
-               WHEN lang = 'de' THEN '8000'
-               ELSE 'zzzz' END
-    GROUP BY lang
-    """,
-    tags=("sampling", "corpus"),
-)
-def sample_stratified_q(spark, sf_dir):
-    """Deterministic stratified downsample (cap en at 25%, de at 50%, keep
-    the rest) — the rebalancing step between dedup and training; a pure
-    narrow filter at any corpus size."""
-    from ..operators import sampling
-
-    kept = sampling.stratified_sample(
-        t(spark, sf_dir, "documents"), "lang",
-        {"en": 0.25, "de": 0.5}, default_frac=1.0,
-    )
-    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
-
-
-@q(
-    "corpus_length_histogram",
-    """
-    SELECT CAST(floor(length(text) / 100) AS BIGINT) * 100 AS bin,
-           count(*) AS doc_ct
-    FROM documents GROUP BY bin
-    """,
-    tags=("sampling", "corpus"),
-)
-def length_hist_q(spark, sf_dir):
-    """Character-length histogram (100-char bins) — the distribution check
-    behind min/max-length quality filters; one partial-agg shuffle."""
-    from ..operators import sampling
-
-    return sampling.length_histogram(t(spark, sf_dir, "documents"))
-
-
-@q(
-    "asof_join_attribution",
-    """
-    WITH clicks AS (
-      SELECT user_id, ts, max(event_id) AS click_id
-      FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
-    purch AS (
-      SELECT user_id, ts, event_id, round(value, 4) AS value_r
-      FROM events WHERE event_type = 'purchase')
-    SELECT p.event_id AS purchase_id, p.user_id AS user_id,
-           epoch_ms(p.ts) AS p_ts_ms, p.value_r AS value_r,
-           c.click_id AS click_id, epoch_ms(c.ts) AS click_ts_ms
-    FROM purch p ASOF JOIN clicks c
-      ON p.user_id = c.user_id AND p.ts >= c.ts
-    """,
-    tags=("join", "asof"),
-)
-def asof_join_q(spark, sf_dir):
-    """As-of join (attribution): each purchase matched to the user's
-    latest click at-or-before it — joins.asof_join's union+carry-forward
-    plan vs DuckDB's native ASOF JOIN.  Right side pre-deduped per
-    (user, ts) so tie-breaks are well-defined in both engines."""
-    ev = t(spark, sf_dir, "events")
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .groupBy("user_id", "ts")
-        .agg(F.max("event_id").alias("click_id"))
-    )
-    purch = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts",
-        F.col("event_id").alias("purchase_id"),
-        F.round("value", 4).alias("value_r"),
-    )
-    res = joins.asof_join(purch, clicks, on="user_id")
-    return res.select(
-        "purchase_id", "user_id",
-        F.unix_millis("ts").alias("p_ts_ms"),
-        "value_r", "click_id",
-        F.unix_millis("ts_asof").alias("click_ts_ms"),
-    )
-
-
-@q(
-    "correlated_subquery_above_avg",
-    """
-    SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS bal
-    FROM customer c
-    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
-                       WHERE c2.c_mktsegment = c.c_mktsegment)
-    """,
-    tags=("sql", "subquery"),
-)
-def correlated_subquery_q(spark, sf_dir):
-    """Correlated scalar subquery — the IDENTICAL SQL text runs on both
-    engines; Catalyst decorrelates it into an aggregate + join (no
-    per-row re-execution), covering the SQL-surface area the reference
-    leaves to flink-table-planner (SURVEY §4)."""
-    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
-    return spark.sql(
-        """
-        SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS bal
-        FROM customer c
-        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
-                           WHERE c2.c_mktsegment = c.c_mktsegment)
-        """
-    )
-
-
-@q(
-    "cube_order_counts",
-    """
-    SELECT coalesce(o_orderstatus, 'ALL') AS st,
-           coalesce(o_orderpriority, 'ALL') AS pri,
-           count(*) AS n,
-           round(sum(o_totalprice), 2) AS total
-    FROM orders
-    GROUP BY CUBE (o_orderstatus, o_orderpriority)
-    """,
-    tags=("agg", "cube"),
-)
-def cube_q(spark, sf_dir):
-    """CUBE grouping sets — every dimension combination in one pass
-    (Catalyst expands to grouping sets; completes the ROLLUP/CUBE
-    multidimensional surface)."""
-    o = t(spark, sf_dir, "orders")
-    return (
-        o.cube("o_orderstatus", "o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
-        )
-        .select(
-            F.coalesce("o_orderstatus", F.lit("ALL")).alias("st"),
-            F.coalesce("o_orderpriority", F.lit("ALL")).alias("pri"),
-            "n", "total",
-        )
-    )
-
-
-# ===========================================================================
-# DC — dedup clustering + curation pipeline (the end of the dedup story:
-# pairs are an intermediate; what a 100 TB curation run materializes is a
-# per-document component + keep flag, then a cleaned corpus)
-# ===========================================================================
-
-_DK_NEARDUP_PAIRS = """
-, jp AS (
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-    FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-    GROUP BY 1, 2),
-  np AS (
-    SELECT p.id_a, p.id_b
-    FROM jp p JOIN sizes sa ON p.id_a = sa.doc_id
-              JOIN sizes sb ON p.id_b = sb.doc_id
-    WHERE p.inter * 3 >= (sa.n + sb.n)),
-  e AS (SELECT id_a AS u, id_b AS v FROM np
-        UNION SELECT id_b, id_a FROM np),
-  reach(u, r) AS (
-    SELECT u, u FROM e
-    UNION
-    SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u),
-  comp AS (SELECT u AS doc_id, min(r) AS component FROM reach GROUP BY u)
-"""
-
-
-@q(
-    "dedup_components_keep",
-    _DK_SHINGLES.replace("WITH", "WITH RECURSIVE", 1)
-    + _DK_NEARDUP_PAIRS
-    + """
-    SELECT d.doc_id AS doc_id,
-           coalesce(c.component, d.doc_id) AS component,
-           CAST(coalesce(c.component, d.doc_id) = d.doc_id AS INT) AS keep
-    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
-    """,
-    tags=("dedup", "graph"),
-)
-def dedup_components_q(spark, sf_dir):
-    """Near-dup clustering: connected components over the jaccard pair
-    graph (distributed hash-min label propagation, dedup.py) and the
-    min-id keep flag per component — every document labeled, singletons
-    their own component.  The oracle mirrors the closure with a recursive
-    CTE (exact for the test graph; the Spark plan is the one that scales)."""
-    docs = t(spark, sf_dir, "documents")
-    return dedup.dedup_keep_list(docs, dedup.ngram_jaccard_pairs(docs))
-
-
-@q(
-    "dedup_components_star",
-    _DK_SHINGLES.replace("WITH", "WITH RECURSIVE", 1)
-    + _DK_NEARDUP_PAIRS
-    + """
-    SELECT doc_id, component FROM comp
-    """,
-    tags=("dedup", "graph"),
-)
-def dedup_components_star_q(spark, sf_dir):
-    """Connected components by alternating large-star/small-star
-    contraction (Kiveris et al.) — O(log n) rounds vs hash-min's
-    diameter rounds, for adversarial chain-shaped near-dup graphs.
-    Same answer as `dedup_components_keep`'s propagation (components are
-    algorithm-independent), checked against the same recursive-CTE
-    closure; a 120-node chain golden lives in tests/test_operators.py."""
-    docs = t(spark, sf_dir, "documents")
-    return dedup.connected_components_star(dedup.ngram_jaccard_pairs(docs))
-
-
-@q(
-    "pipeline_corpus_clean",
-    _DK_SHINGLES.replace("WITH", "WITH RECURSIVE", 1)
-    + _DK_NEARDUP_PAIRS
-    + f"""
-    , q AS (
-        SELECT doc_id, lang, source, {_DK_TOKS} AS tk, length(text) AS nc,
-               md5(list_aggregate({_DK_TOKS}, 'string_agg', ' ')) AS fp
-        FROM documents),
-      quality AS (
-        SELECT doc_id, lang, source, len(tk) AS n_tokens, fp FROM q
-        WHERE len(tk) >= 10 AND (nc - (len(tk) - 1)) / len(tk) >= 3),
-      exact_keep AS (
-        SELECT min(doc_id) AS doc_id FROM quality GROUP BY fp),
-      near_keep AS (
-        SELECT d.doc_id FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
-        WHERE coalesce(c.component, d.doc_id) = d.doc_id)
-    SELECT q.doc_id AS doc_id, q.lang AS lang, q.source AS source,
-           q.n_tokens AS n_tokens
-    FROM quality q
-    JOIN exact_keep ek ON q.doc_id = ek.doc_id
-    JOIN near_keep nk ON q.doc_id = nk.doc_id
-    """,
-    tags=("pipeline", "dedup", "text"),
-)
-def corpus_clean_q(spark, sf_dir):
-    """The composed training-data curation pipeline over the corpus:
-    quality gate → exact dedup (min-id per fingerprint) → near-dup drop
-    (component keep-list) — one declarative plan; Catalyst shares the
-    document scan and the dedup stages run exactly as their standalone
-    queries do.  Output: the surviving documents with metadata."""
-    docs = t(spark, sf_dir, "documents")
-    quality = (
-        text.quality_features(docs)
-        .filter(F.col("is_quality") == 1)
-        .select("doc_id", "lang", "source", F.col("n_tokens").cast("long").alias("n_tokens"), "text")
-    )
-    exact_keep = dedup.exact_dedup(quality).select(F.col("keep_id").alias("doc_id"))
-    near_keep = dedup.dedup_keep_list(docs, dedup.ngram_jaccard_pairs(docs)).filter(
-        F.col("keep") == 1
-    ).select("doc_id")
-    return (
-        quality.join(exact_keep, "doc_id")
-        .join(near_keep, "doc_id")
-        .select("doc_id", "lang", "source", "n_tokens")
-    )
-
-
-@q(
-    "w_session_window",
-    """
-    WITH g AS (
-      SELECT user_id, ts,
-             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
-                  THEN 1 ELSE 0 END AS brk
-      FROM events),
-    s AS (
-      SELECT user_id, ts,
-             sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
-      FROM g)
-    SELECT user_id,
-           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-           strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
-           count(*) AS n_events
-    FROM s GROUP BY user_id, sid
-    """,
-    tags=("window", "session"),
-)
-def session_window_q(spark, sf_dir):
-    """Session windows (gap 30 min) per user — native F.session_window
-    (merging event-time sessions; works identically over a stream with a
-    watermark).  The oracle is the classic gaps-and-islands SQL; the gap
-    boundary is exclusive on both sides (a gap of exactly 30 min starts a
-    new session), matching Spark's [start, last+gap) window."""
-    ev = t(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            "user_id",
-            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
-            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
-            "n_events",
-        )
-    )
-
-
-@q("ann_ivf_index_topk", None, tags=("similarity", "ivf", "index"))
-def ann_ivf_index_q(spark, sf_dir):
-    """Materialized IVF index probe: cell-PARTITIONED parquet layout +
-    sidecar centroids; probes read only their nprobe cells' partition
-    directories (PartitionFilters — plan-tested).  The 100 TB ANN layout:
-    the index is written once, probes touch nprobe/n_cells of storage."""
-    import tempfile
-
-    emb = t(spark, sf_dir, "embeddings")
-    idx = tempfile.mkdtemp(prefix="ivf_idx_") + "/index"
-    similarity.ivf_index_write(emb, idx, n_cells=16)
-    probes = emb.filter(F.col("vec_id") % 25 == 0)
-    return similarity.ivf_index_topk(spark, probes, idx, k=5, nprobe=4)
-
-
-def _neardup_oracle(
-    num_perm: int = 16, band_size: int = 4, cap: int = 50,
-    threshold_num: int = 1, threshold_den: int = 2,
-) -> str:
-    """DuckDB twin of the TWO-BATCH stateful ingestion filter: batch-1
-    in-batch dedup → accepted index → batch-2 history probe + in-batch
-    dedup.  Every stage (md5 minhash, banded buckets, per-band salted
-    cap, signature-match estimate) is deterministic, so even the keyed
-    STATE transition is value-checked — rare for a stateful streaming
-    operator."""
-    sigs = ",\n           ".join(
-        f"min(substr(md5('p{i // 4}:' || shingle), {1 + 8 * (i % 4)}, 8)) AS mh{i}"
-        for i in range(num_perm)
-    )
-    n_bands = num_perm // band_size
-
-    def band_selects(src: str) -> str:
-        return "\n      UNION ALL ".join(
-            "SELECT doc_id, {bi} AS band, md5({expr}) AS bucket FROM {src}".format(
-                bi=bi,
-                expr=" || '|' || ".join(
-                    f"mh{bi * band_size + j}" for j in range(band_size)
-                ),
-                src=src,
-            )
-            for bi in range(n_bands)
-        )
-
-    def capped(src: str) -> str:
-        return f"""SELECT doc_id, band,
-            bucket || '#' || CAST((row_number() OVER (
-                PARTITION BY band, bucket
-                ORDER BY md5(CAST(band AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), doc_id
-            ) - 1) // {cap} AS VARCHAR) AS bucket FROM {src}"""
-
-    est = (
-        "("
-        + " + ".join(
-            f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END"
-            for i in range(num_perm)
-        )
-        + f") * {threshold_den} >= {threshold_num} * {num_perm}"
-    )
-    return (
-        _DK_SHINGLES
-        + f"""
-    , sig AS (SELECT doc_id, {sigs} FROM inv GROUP BY doc_id),
-    b1sig AS (SELECT * FROM sig WHERE doc_id % 2 = 0),
-    b2sig AS (SELECT * FROM sig WHERE doc_id % 2 = 1),
-    bands1_raw AS ({band_selects('b1sig')}),
-    bands2_raw AS ({band_selects('b2sig')}),
-    bands1 AS ({capped('bands1_raw')}),
-    bands2 AS ({capped('bands2_raw')}),
-    p1 AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM bands1 a JOIN bands1 b
-             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-    m1 AS (SELECT p.id_b AS doc_id, min(p.id_a) AS m
-           FROM p1 p JOIN sig sa ON p.id_a = sa.doc_id
-                     JOIN sig sb ON p.id_b = sb.doc_id
-           WHERE {est} GROUP BY p.id_b),
-    dec1 AS (SELECT s.doc_id, m1.m AS matched_id
-             FROM b1sig s LEFT JOIN m1 ON s.doc_id = m1.doc_id),
-    acc1 AS (SELECT doc_id FROM dec1 WHERE matched_id IS NULL),
-    idx AS (SELECT b.doc_id, b.band, b.bucket
-            FROM bands1_raw b JOIN acc1 USING (doc_id)),
-    cand2 AS (SELECT DISTINCT b2.doc_id, i.doc_id AS old_id
-              FROM bands2_raw b2 JOIN idx i
-                ON b2.band = i.band AND b2.bucket = i.bucket),
-    h2 AS (SELECT c.doc_id, min(c.old_id) AS hm
-           FROM cand2 c JOIN sig sa ON c.doc_id = sa.doc_id
-                        JOIN sig sb ON c.old_id = sb.doc_id
-           WHERE {est} GROUP BY c.doc_id),
-    p2 AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM bands2 a JOIN bands2 b
-             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-    m2 AS (SELECT p.id_b AS doc_id, min(p.id_a) AS m
-           FROM p2 p JOIN sig sa ON p.id_a = sa.doc_id
-                     JOIN sig sb ON p.id_b = sb.doc_id
-           WHERE {est} GROUP BY p.id_b),
-    dec2 AS (SELECT s.doc_id, coalesce(h2.hm, m2.m) AS matched_id
-             FROM b2sig s LEFT JOIN h2 ON s.doc_id = h2.doc_id
-                          LEFT JOIN m2 ON s.doc_id = m2.doc_id),
-    alldec AS (SELECT * FROM dec1 UNION ALL SELECT * FROM dec2)
-    SELECT doc_id, matched_id,
-           CASE WHEN matched_id IS NULL THEN 1 ELSE 0 END AS accepted
-    FROM alldec
-    """
-    )
-
-
-@q(
-    "streaming_neardup_decisions",
-    _neardup_oracle(),
-    tags=("streaming", "dedup", "stateful"),
-)
-def streaming_neardup_q(spark, sf_dir):
-    """Ingestion-time near-dup filter (streaming/neardup.py): documents
-    fed as two micro-batches (doc_id parity) through the stateful LSH
-    index; returns the per-doc accept/reject decisions.  The md5-based
-    pipeline is fully deterministic, so the DuckDB oracle replays BOTH
-    batches including the state transition — the accept/reject decisions
-    and witness ids are value-checked, not just row-counted.  Replay /
-    hot-cluster / cross-batch goldens live in tests/test_streaming.py."""
-    import tempfile
-
-    from ..streaming.neardup import StreamingNearDup
-
-    docs = t(spark, sf_dir, "documents")
-    nd = StreamingNearDup(tempfile.mkdtemp(prefix="neardup_") + "/state")
-    d1 = nd.process_batch(docs.filter(F.col("doc_id") % 2 == 0), spark)
-    d2 = nd.process_batch(docs.filter(F.col("doc_id") % 2 == 1), spark)
-    return d1.unionByName(d2)
-
-
-# ===========================================================================
-# Q — additional TPC-H query shapes (general analytics surface beyond the
-# reference's parity set: semi-join EXISTS, conditional aggregation,
-# HAVING over grouped sums)
-# ===========================================================================
-
-@q(
-    "tpch_q4_order_priority",
-    """
-    SELECT o_orderpriority, count(*) AS order_count
-    FROM orders o
-    WHERE o.o_orderdate >= DATE '1995-01-01'
-      AND EXISTS (SELECT 1 FROM lineitem l
-                  WHERE l.l_orderkey = o.o_orderkey
-                    AND l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY)
-    GROUP BY o_orderpriority
-    """,
-    tags=("tpch", "semijoin"),
-)
-def tpch_q4(spark, sf_dir):
-    """TPC-H Q4 shape (the synthetic lineitem carries only l_shipdate, so
-    'late' = shipped 60+ days after order): correlated EXISTS with a
-    non-equi conjunct, decorrelated to a left-semi join; pure integer
-    counts (no float rounding surface)."""
-    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "1995-01-01")
-    li = t(spark, sf_dir, "lineitem")
-    return (
-        o.join(
-            li,
-            (o.o_orderkey == li.l_orderkey)
-            & (li.l_shipdate >= o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
-            "left_semi",
-        )
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("order_count"))
-    )
-
-
-@q(
-    "tpch_q12_priority_lines",
-    """
-    SELECT l_returnflag,
-           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
-    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-    WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
-    GROUP BY l_returnflag
-    """,
-    tags=("tpch",),
-)
-def tpch_q12(spark, sf_dir):
-    """TPC-H Q12 shape (per-flag high/low priority line counts): join +
-    conditional integer aggregation; the lineitem date filters push to
-    the parquet scan."""
-    li = t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01")
-    )
-    o = t(spark, sf_dir, "orders")
-    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    return (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .groupBy("l_returnflag")
-        .agg(
-            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
-        )
-    )
-
-
-@q(
-    "tpch_q14_promo_revenue",
-    """
-    SELECT round(100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
-                                   THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 4) AS promo_revenue,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    WHERE l_shipdate >= DATE '1995-09-01' AND l_shipdate < DATE '1995-10-01'
-    """,
-    tags=("tpch",),
-)
-def tpch_q14(spark, sf_dir):
-    """TPC-H Q14 (promo revenue): numerator and denominator emitted
-    separately, each rounded at the disc-price quantization (4-dec) —
-    a cross-engine float ratio has no stable rounding level."""
-    li = t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= "1995-09-01") & (F.col("l_shipdate") < "1995-10-01")
-    )
-    p = t(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.join(p, li.l_partkey == p.p_partkey)
-        .agg(
-            F.round(
-                100.0 * F.sum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0)), 4
-            ).alias("promo_revenue"),
-            F.round(F.sum(rev), 4).alias("total_revenue"),
-        )
-    )
-
-
-@q(
-    "tpch_q18_large_orders",
-    """
-    SELECT c_name, c_custkey, o_orderkey,
-           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-           round(o_totalprice, 2) AS o_totalprice,
-           round(sum(l_quantity), 2) AS total_qty
-    FROM customer JOIN orders ON c_custkey = o_custkey
-                  JOIN lineitem ON o_orderkey = l_orderkey
-    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
-    HAVING sum(l_quantity) > 250
-    """,
-    tags=("tpch", "having"),
-)
-def tpch_q18(spark, sf_dir):
-    """TPC-H Q18 (large-volume customers): grouped HAVING over the
-    3-way join; quantity sums rounded at the 2-dec money quantization."""
-    c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders")
-    li = t(spark, sf_dir, "lineitem")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, o.o_orderkey == li.l_orderkey)
-        .groupBy(
-            "c_name", "c_custkey", "o_orderkey",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
-            F.round("o_totalprice", 2).alias("o_totalprice"),
-        )
-        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
-        .filter(F.sum("l_quantity") > 250)
-    )
-
-
-@q(
-    "tpch_q7_volume_shipping",
-    """
-    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 4) AS revenue
-    FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-                 CAST(year(l_shipdate) AS INTEGER) AS l_year,
-                 l_extendedprice * (1 - l_discount) AS volume
-          FROM supplier s JOIN lineitem l ON s_suppkey = l_suppkey
-            JOIN orders o ON o_orderkey = l_orderkey
-            JOIN customer c ON c_custkey = o_custkey
-            JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
-            JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
-          WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
-            AND l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31') v
-    GROUP BY supp_nation, cust_nation, l_year
-    """,
-    tags=("tpch", "join"),
-)
-def tpch_q7(spark, sf_dir):
-    """TPC-H Q7 (volume shipping between two nations): the nation-name
-    filter lands INSIDE the two broadcast dims, so supplier/customer
-    shrink to 2/25 nations before touching the fact tables; only the
-    cross-pair predicate is evaluated post-join."""
-    pair = ("NATION_1", "NATION_2")
-    n = t(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
-    s = t(spark, sf_dir, "supplier").join(
-        F.broadcast(n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))),
-        F.col("s_nationkey") == F.col("s_nk"),
-    )
-    c = t(spark, sf_dir, "customer").join(
-        F.broadcast(n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))),
-        F.col("c_nationkey") == F.col("c_nk"),
-    )
-    li = t(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate").between("1995-01-01", "1996-12-31")
-    )
-    o = t(spark, sf_dir, "orders")
-    return (
-        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .filter(F.col("supp_nation") != F.col("cust_nation"))
-        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
-    )
-
-
-@q(
-    "tpch_q8_market_share",
-    """
-    SELECT o_year,
-           round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END), 4) AS nation_volume,
-           round(sum(volume), 4) AS total_volume
-    FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
-                 l_extendedprice * (1 - l_discount) AS volume, n2.n_name AS nation
-          FROM part p JOIN lineitem l ON p_partkey = l_partkey
-            JOIN supplier s ON s_suppkey = l_suppkey
-            JOIN orders o ON l_orderkey = o_orderkey
-            JOIN customer c ON o_custkey = c_custkey
-            JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
-            JOIN region r ON n1.n_regionkey = r_regionkey
-            JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
-          WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
-            AND o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31') v
-    GROUP BY o_year
-    """,
-    tags=("tpch", "join"),
-)
-def tpch_q8(spark, sf_dir):
-    """TPC-H Q8 shape (market share of NATION_3 suppliers in ASIA's
-    ECONOMY-part market): numerator/denominator emitted separately at the
-    4-dec disc-price quantization (a float ratio has no stable
-    cross-engine rounding).  All five dims broadcast; the only shuffles
-    are lineitem⋈orders and the final tiny groupBy."""
-    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
-    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    n2 = t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation")
-    )
-    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select("r_regionkey")
-    n1 = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
-    c = (
-        t(spark, sf_dir, "customer")
-        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
-        .select("c_custkey")
-    )
-    o = t(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate").between("1995-01-01", "1996-12-31")
-    )
-    li = t(spark, sf_dir, "lineitem")
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy(F.year("o_orderdate").alias("o_year"))
-        .agg(
-            F.round(F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(0)), 4).alias("nation_volume"),
-            F.round(F.sum(vol), 4).alias("total_volume"),
-        )
-    )
-
-
-@q(
-    "tpch_q10_returned_items",
-    """
-    SELECT c_custkey, c_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
-           round(c_acctbal, 2) AS c_acctbal, n_name
-    FROM customer JOIN orders ON c_custkey = o_custkey
-      JOIN lineitem ON l_orderkey = o_orderkey
-      JOIN nation ON c_nationkey = n_nationkey
-    WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
-      AND l_returnflag = 'R'
-    GROUP BY c_custkey, c_name, c_acctbal, n_name
-    """,
-    tags=("tpch", "join"),
-)
-def tpch_q10(spark, sf_dir):
-    """TPC-H Q10 (revenue lost to returned items, per customer): the
-    quarter filter prunes orders at the scan, returnflag prunes lineitem;
-    nation broadcasts.  Full grouped output (the spec's LIMIT 20 by
-    revenue is tie-unstable across engines, so sorting is left to the
-    consumer)."""
-    c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
-    )
-    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    n = t(spark, sf_dir, "nation")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
-        .groupBy("c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"), "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
-    )
-
-
-@q(
-    "tpch_q13_customer_distribution",
-    """
-    SELECT c_count, count(*) AS custdist
-    FROM (SELECT c_custkey, count(o_orderkey) AS c_count
-          FROM customer LEFT OUTER JOIN orders
-            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
-          GROUP BY c_custkey) co
-    GROUP BY c_count
-    """,
-    tags=("tpch", "outerjoin"),
-)
-def tpch_q13(spark, sf_dir):
-    """TPC-H Q13 shape (customer order-count distribution): left outer
-    join with a predicate in the JOIN condition (not WHERE — zero-order
-    customers must survive), double aggregation.  The synthetic orders
-    carry no o_comment, so the not-like filter becomes a priority
-    exclusion; same join-conditional shape."""
-    c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
-        .groupBy("c_count")
-        .agg(F.count(F.lit(1)).alias("custdist"))
-    )
-
-
-@q(
-    "tpch_q15_top_supplier",
-    """
-    WITH revenue AS (
-      SELECT l_suppkey AS supplier_no,
-             round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
-      FROM lineitem
-      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
-      GROUP BY l_suppkey)
-    SELECT s_suppkey, s_name, total_revenue
-    FROM supplier JOIN revenue ON s_suppkey = supplier_no
-    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
-    """,
-    tags=("tpch", "subquery"),
-)
-def tpch_q15(spark, sf_dir):
-    """TPC-H Q15 (top supplier by quarterly revenue): the revenue CTE is
-    computed once; its global max is a 1-row aggregate joined back via
-    broadcast — never a single-partition window.  Equality compares
-    values rounded at the 4-dec quantization, stable in both engines."""
-    li = t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
-    )
-    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("total_revenue")
-    )
-    mx = rev.agg(F.max("total_revenue").alias("mx"))
-    s = t(spark, sf_dir, "supplier")
-    return (
-        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
-        .join(s, F.col("s_suppkey") == F.col("supplier_no"))
-        .select("s_suppkey", "s_name", "total_revenue")
-    )
-
-
-@q(
-    "tpch_q17_small_qty_revenue",
-    """
-    WITH pq AS (
-      SELECT l_partkey AS pk, count(*) AS cnt,
-             sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qsum
-      FROM lineitem GROUP BY l_partkey)
-    SELECT round(sum(l_extendedprice), 2) AS small_qty_base
-    FROM lineitem JOIN part ON p_partkey = l_partkey JOIN pq ON pk = l_partkey
-    WHERE p_brand = 'Brand#23'
-      AND CAST(round(l_quantity * 100) AS BIGINT) * 5 * cnt < qsum
-    """,
-    tags=("tpch", "subquery"),
-)
-def tpch_q17(spark, sf_dir):
-    """TPC-H Q17 shape (revenue from small-quantity lines vs the
-    part's average): the correlated `l_quantity < 0.2 * avg(...)` is
-    rewritten integer-exact — quantities are 2-dec quantized, so
-    `100*qty * 5 * cnt < sum(100*qty)` ⟺ qty < avg/5 with zero float
-    boundary risk in either engine.  A part belongs to exactly one
-    brand, so lineitem is semi-filtered to the brand's parts FIRST and
-    the per-part stats aggregate only those lines — the broadcast stats
-    table is bounded by one brand's part count (dim-scale), never the
-    full partkey domain."""
-    qc = F.round(F.col("l_quantity") * 100).cast("long")
-    p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23").select("p_partkey")
-    li = t(spark, sf_dir, "lineitem").join(
-        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
-    )
-    pq = li.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.count(F.lit(1)).alias("cnt"), F.sum(qc).alias("qsum")
-    )
-    return (
-        li.join(F.broadcast(pq), F.col("l_partkey") == F.col("pk"))
-        .filter(qc * 5 * F.col("cnt") < F.col("qsum"))
-        .agg(F.round(F.sum("l_extendedprice"), 2).alias("small_qty_base"))
-    )
-
-
-@q(
-    "tpch_q19_discounted_revenue",
-    """
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
-    FROM lineitem JOIN part ON p_partkey = l_partkey
-    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
-       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
-       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
-    """,
-    tags=("tpch",),
-)
-def tpch_q19(spark, sf_dir):
-    """TPC-H Q19 shape (disjunction of brand/size/quantity clauses; the
-    synthetic part has no p_container, so size ranges stand in).  The
-    OR-of-conjunctions stays one JVM predicate post-join; Catalyst
-    extracts the common-brand IN-list as a pushable pre-filter on the
-    broadcast build side."""
-    li = t(spark, sf_dir, "lineitem")
-    p = t(spark, sf_dir, "part").filter(
-        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
-    )
-    qty, size, brand = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
-    clause = (
-        ((brand == "Brand#12") & size.between(1, 5) & qty.between(1, 11))
-        | ((brand == "Brand#23") & size.between(1, 10) & qty.between(10, 20))
-        | ((brand == "Brand#34") & size.between(1, 15) & qty.between(20, 30))
-    )
-    return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .filter(clause)
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
-    )
-
-
-@q(
-    "tpch_q21_suppliers_waiting",
-    """
-    WITH late AS (
-      SELECT l_orderkey, l_suppkey FROM lineitem l JOIN orders o ON o_orderkey = l_orderkey
-      WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY)
-    SELECT s_name, count(*) AS numwait
-    FROM supplier s JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
-      JOIN orders o ON o.o_orderkey = l1.l_orderkey
-      JOIN nation n ON s.s_nationkey = n.n_nationkey
-    WHERE o.o_orderstatus = 'F' AND n.n_name = 'NATION_1'
-      AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
-      AND EXISTS (SELECT 1 FROM lineitem l2
-                  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
-      AND NOT EXISTS (SELECT 1 FROM late l3
-                      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
-    GROUP BY s_name
-    """,
-    tags=("tpch", "semijoin", "antijoin"),
-)
-def tpch_q21(spark, sf_dir):
-    """TPC-H Q21 shape (suppliers who alone were late on multi-supplier
-    orders; no l_receiptdate/l_commitdate in the synthetic schema, so
-    'late' = shipped >90 days after order date).  EXISTS → left-semi,
-    NOT EXISTS → left-anti, both with a non-equi suppkey≠ conjunct on the
-    orderkey shuffle; the NATION_1 supplier dim broadcasts."""
-    n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
-    s = t(spark, sf_dir, "supplier").join(
-        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
-    ).select("s_suppkey", "s_name")
-    li = t(spark, sf_dir, "lineitem")
-    o = t(spark, sf_dir, "orders")
-    late = (
-        li.join(o.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
-        .select(F.col("l_orderkey").alias("lk"), F.col("l_suppkey").alias("sk"))
-    )
-    l1 = (
-        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(o.filter(F.col("o_orderstatus") == "F"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
-        .select("l_orderkey", "l_suppkey", "s_name")
-    )
-    l2 = li.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
-    return (
-        l1.join(
-            l2,
-            (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
-            "left_semi",
-        )
-        .join(
-            late,
-            (F.col("l_orderkey") == F.col("lk")) & (F.col("l_suppkey") != F.col("sk")),
-            "left_anti",
-        )
-        .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
-    )
-
-
-@q(
-    "tpch_q22_dormant_customers",
-    """
-    SELECT cntrycode, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
-    FROM (SELECT c_nationkey AS cntrycode, c_acctbal, c_custkey
-          FROM customer
-          WHERE c_nationkey IN (1, 2, 3, 4, 5, 6, 7)
-            AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
-                             WHERE c_acctbal > 0 AND c_nationkey IN (1, 2, 3, 4, 5, 6, 7))
-            AND NOT EXISTS (SELECT 1 FROM orders
-                            WHERE o_custkey = c_custkey
-                              AND o_orderdate >= DATE '2000-01-01')) cc
-    GROUP BY cntrycode
-    """,
-    tags=("tpch", "antijoin", "subquery"),
-)
-def tpch_q22(spark, sf_dir):
-    """TPC-H Q22 shape (rich-but-dormant customers): every synthetic
-    customer has orders, so 'never ordered' becomes 'no order since
-    2000'; phone country codes don't exist, so c_nationkey stands in.
-    Scalar-avg subquery → 1-row aggregate broadcast; NOT EXISTS →
-    left-anti against the date-pruned orders scan."""
-    nations = (1, 2, 3, 4, 5, 6, 7)
-    c = t(spark, sf_dir, "customer").filter(F.col("c_nationkey").isin(*nations))
-    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
-    recent = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "2000-01-01")
-    return (
-        c.join(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("ab"))
-        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
-        .groupBy(F.col("c_nationkey").alias("cntrycode"))
-        .agg(
-            F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# Derived partsupp: the synthetic testdata ships no partsupp table, so the
-# five partsupp-dependent TPC-H queries (Q2/Q9/Q11/Q16/Q20) run over a
-# deterministic relation derived from part × supplier-count with dbgen-style
-# stride arithmetic: 4 suppliers per part at stride max(S/4, 1) — distinct
-# within a part for any S ≥ 4 — and formula-valued availqty / supplycost
-# (integer cents, so every threshold below stays integer-exact).  The same
-# arithmetic is expressed once here for Spark and once in _PS_CTES for the
-# DuckDB oracle, keeping all five queries fully hash-checkable.
-# ---------------------------------------------------------------------------
-
-_PS_CTES = """
-    ps_base AS (
-      SELECT p_partkey AS ps_partkey,
-             (p_partkey + i.i * greatest(sc.s_total // 4, 1)) % sc.s_total + 1 AS ps_suppkey
-      FROM part,
-           (SELECT count(*) AS s_total FROM supplier) sc,
-           range(4) i(i)),
-    partsupp AS (
-      SELECT ps_partkey, ps_suppkey,
-             (ps_partkey * 7 + ps_suppkey * 131) % 9999 + 1 AS ps_availqty,
-             (ps_partkey * 31 + ps_suppkey * 17) % 100000 AS ps_supplycost_cents
-      FROM ps_base)
-"""
-
-
-def _partsupp(spark, sf_dir, part: DataFrame | None = None) -> DataFrame:
-    """Derived partsupp (see _PS_CTES).  `part` lets callers pass an
-    already-filtered part projection so the derived relation is built only
-    over the parts a query touches — at 100 TB that keeps partsupp on the
-    broadcast side whenever the part filter is selective, instead of
-    materializing 4×|part| rows to shuffle.  Supplier count is a 1-row
-    aggregate cross-joined in (broadcast), never a collected literal."""
-    p = (part if part is not None else t(spark, sf_dir, "part")).select("p_partkey")
-    s_cnt = t(spark, sf_dir, "supplier").agg(F.count(F.lit(1)).alias("s_total"))
-    idx = spark.range(4).select(F.col("id").alias("i"))
-    stride = F.greatest(F.expr("s_total DIV 4"), F.lit(1))
-    base = (
-        p.crossJoin(F.broadcast(s_cnt))
-        .crossJoin(F.broadcast(idx))
-        .select(
-            F.col("p_partkey").alias("ps_partkey"),
-            ((F.col("p_partkey") + F.col("i") * stride) % F.col("s_total") + 1).alias("ps_suppkey"),
-        )
-    )
-    return base.select(
-        "ps_partkey",
-        "ps_suppkey",
-        ((F.col("ps_partkey") * 7 + F.col("ps_suppkey") * 131) % 9999 + 1).alias("ps_availqty"),
-        ((F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 17) % 100000).alias(
-            "ps_supplycost_cents"
-        ),
-    )
-
-
-@q(
-    "tpch_q2_min_cost_supplier",
-    f"""
-    WITH {_PS_CTES},
-    eur AS (
-      SELECT ps_partkey, ps_supplycost_cents, s_name, s_acctbal, n_name
-      FROM partsupp JOIN supplier ON s_suppkey = ps_suppkey
-           JOIN nation ON s_nationkey = n_nationkey
-           JOIN region ON n_regionkey = r_regionkey
-      WHERE r_name = 'EUROPE'),
-    mn AS (SELECT ps_partkey AS mk, min(ps_supplycost_cents) AS min_cost
-           FROM eur GROUP BY ps_partkey)
-    SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey, p_brand,
-           ps_supplycost_cents
-    FROM part JOIN eur ON p_partkey = ps_partkey
-         JOIN mn ON mk = p_partkey AND ps_supplycost_cents = min_cost
-    WHERE p_size = 15 AND p_type = 'STANDARD'
-    """,
-    tags=("tpch", "subquery", "partsupp"),
-)
-def tpch_q2(spark, sf_dir):
-    """TPC-H Q2 (minimum-cost supplier; no p_mfgr/s_address in the synthetic
-    schema, so the projection carries brand + acctbal instead).  The
-    correlated min-cost subquery is a per-part MIN over the region-filtered
-    partsupp joined back on (partkey, cost=min) — two shuffles on
-    ps_partkey, dims broadcast.  Cost is integer cents: the min-equality
-    join has zero float risk."""
-    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
-    n = t(spark, sf_dir, "nation").join(
-        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
-    )
-    s = t(spark, sf_dir, "supplier").join(
-        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
-    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
-    eur = _partsupp(spark, sf_dir).join(
-        F.broadcast(s), F.col("ps_suppkey") == F.col("s_suppkey")
-    ).select("ps_partkey", "ps_supplycost_cents", "s_name", "s_acctbal", "n_name")
-    mn = eur.groupBy(F.col("ps_partkey").alias("mk")).agg(
-        F.min("ps_supplycost_cents").alias("min_cost")
-    )
-    p = t(spark, sf_dir, "part").filter(
-        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
-    ).select("p_partkey", "p_brand")
-    return (
-        eur.join(mn, (F.col("ps_partkey") == F.col("mk"))
-                 & (F.col("ps_supplycost_cents") == F.col("min_cost")))
-        .join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
-        .select(
-            F.round("s_acctbal", 2).alias("s_acctbal"),
-            "s_name", "n_name", "p_partkey", "p_brand", "ps_supplycost_cents",
-        )
-    )
-
-
-@q(
-    "tpch_q9_product_type_profit",
-    f"""
-    WITH {_PS_CTES}
-    SELECT n_name AS nation, CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
-           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
-                     - ps_supplycost_cents
-                       * CAST(round(l_quantity * 100) AS BIGINT)) / 10000.0,
-                 2) AS sum_profit
-    FROM lineitem
-      JOIN part ON p_partkey = l_partkey
-      JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
-      JOIN supplier ON s_suppkey = l_suppkey
-      JOIN orders ON o_orderkey = l_orderkey
-      JOIN nation ON s_nationkey = n_nationkey
-    WHERE p_name LIKE '%gear%'
-    GROUP BY n_name, o_year
-    """,
-    tags=("tpch", "join", "partsupp"),
-    bench=True,
-)
-def tpch_q9(spark, sf_dir):
-    """TPC-H Q9 (product-type profit by nation and year).  partsupp is
-    derived from the '%gear%'-FILTERED part set, so the (partkey, suppkey)
-    build side stays dim-scale and broadcasts; the only big shuffle is
-    lineitem→orders on orderkey.  supplier/nation broadcast.  Profit is
-    summed in fixed-point 1e-4 dollars (prices/discounts/quantities are
-    2-dec quantized), so the sum is a bigint — no float accumulation-order
-    drift between engines; the single final /1e4 division takes identical
-    exact integers on both sides."""
-    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%")).select("p_partkey")
-    ps = _partsupp(spark, sf_dir, part=p)
-    li = t(spark, sf_dir, "lineitem").join(
-        F.broadcast(ps),
-        (F.col("l_partkey") == F.col("ps_partkey")) & (F.col("l_suppkey") == F.col("ps_suppkey")),
-    )
-    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    ext100 = F.round(F.col("l_extendedprice") * 100).cast("long")
-    disc100 = F.round(F.col("l_discount") * 100).cast("long")
-    qty100 = F.round(F.col("l_quantity") * 100).cast("long")
-    profit_1e4 = ext100 * (100 - disc100) - F.col("ps_supplycost_cents") * qty100
-    return (
-        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(F.sum(profit_1e4) / 10000.0, 2).alias("sum_profit"))
-    )
-
-
-@q(
-    "tpch_q11_important_stock",
-    f"""
-    WITH {_PS_CTES},
-    nps AS (
-      SELECT ps_partkey, ps_supplycost_cents * ps_availqty AS v
-      FROM partsupp JOIN supplier ON s_suppkey = ps_suppkey
-           JOIN nation ON s_nationkey = n_nationkey
-      WHERE n_name = 'NATION_7'),
-    byp AS (SELECT ps_partkey, CAST(sum(v) AS BIGINT) AS value_cents FROM nps GROUP BY ps_partkey),
-    tot AS (SELECT sum(value_cents) AS t, count(*) AS npart FROM byp)
-    SELECT ps_partkey, value_cents
-    FROM byp, tot
-    WHERE value_cents * npart > t
-    """,
-    tags=("tpch", "subquery", "partsupp"),
-)
-def tpch_q11(spark, sf_dir):
-    """TPC-H Q11 (important stock): per-part inventory value for one
-    nation's suppliers, kept where above the nation-wide average share —
-    an SF-invariant, integer-exact rewrite of the spec's fixed
-    0.0001/SF fraction (value·npart > total ⟺ value > total/npart).
-    The global total is a 1-row aggregate broadcast back; one shuffle on
-    ps_partkey."""
-    n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
-    s = t(spark, sf_dir, "supplier").join(
-        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
-    ).select("s_suppkey")
-    nps = _partsupp(spark, sf_dir).join(
-        F.broadcast(s), F.col("ps_suppkey") == F.col("s_suppkey")
-    ).select("ps_partkey", (F.col("ps_supplycost_cents") * F.col("ps_availqty")).alias("v"))
-    byp = nps.groupBy("ps_partkey").agg(F.sum("v").alias("value_cents"))
-    tot = byp.agg(F.sum("value_cents").alias("t"), F.count(F.lit(1)).alias("npart"))
-    return (
-        byp.join(F.broadcast(tot))
-        .filter(F.col("value_cents") * F.col("npart") > F.col("t"))
-        .select("ps_partkey", "value_cents")
-    )
-
-
-@q(
-    "tpch_q16_parts_supplier_relationship",
-    f"""
-    WITH {_PS_CTES}
-    SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
-    FROM partsupp JOIN part ON p_partkey = ps_partkey
-    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
-      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
-      AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
-    GROUP BY p_brand, p_type, p_size
-    """,
-    tags=("tpch", "antijoin", "partsupp"),
-)
-def tpch_q16(spark, sf_dir):
-    """TPC-H Q16 (parts/supplier relationship; the synthetic supplier has
-    no s_comment, so 'complaint' suppliers = negative account balance).
-    partsupp derives from the brand/type/size-filtered part set; the
-    excluded-supplier list is a broadcast anti-join; the count-distinct
-    shuffles once on the (brand, type, size) grouping key."""
-    p = t(spark, sf_dir, "part").filter(
-        (F.col("p_brand") != "Brand#1")
-        & (F.col("p_type") != "PROMO")
-        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
-    ).select("p_partkey", "p_brand", "p_type", "p_size")
-    ps = _partsupp(spark, sf_dir, part=p)
-    bad = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
-    return (
-        ps.join(F.broadcast(bad), F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")
-        .join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
-        .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
-    )
-
-
-@q(
-    "tpch_q20_part_promotion",
-    f"""
-    WITH {_PS_CTES},
-    qty AS (
-      SELECT l_partkey, l_suppkey,
-             sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty100
-      FROM lineitem
-      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
-      GROUP BY l_partkey, l_suppkey),
-    cand AS (
-      SELECT DISTINCT ps_suppkey
-      FROM partsupp
-        JOIN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%') pp
-          ON pp.p_partkey = ps_partkey
-        JOIN qty ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
-      WHERE ps_availqty * 200 > qty100)
-    SELECT s_suppkey, s_name, n_name
-    FROM supplier JOIN nation ON s_nationkey = n_nationkey
-         JOIN cand ON ps_suppkey = s_suppkey
-    WHERE n_name IN ('NATION_6', 'NATION_7', 'NATION_9',
-                     'NATION_11', 'NATION_14', 'NATION_19')
-    """,
-    tags=("tpch", "semijoin", "partsupp"),
-)
-def tpch_q20(spark, sf_dir):
-    """TPC-H Q20 (suppliers with excess stock of promoted parts): availqty
-    > half the year's shipped quantity for that (part, supplier).  The
-    spec's correlated scalar sum is a grouped lineitem aggregate inner-
-    joined on the composite key (NULL sum ⟹ excluded, matching the
-    spec's NULL comparison); quantities are 2-dec quantized so the half
-    threshold is the integer-exact availqty·200 > Σ(qty·100).  partsupp
-    derives from the 'small%' part subset → broadcast; one shuffle for
-    the lineitem group-by."""
-    qc = F.round(F.col("l_quantity") * 100).cast("long")
-    qty = (
-        t(spark, sf_dir, "lineitem")
-        .filter((F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01"))
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(F.sum(qc).alias("qty100"))
-    )
-    pp = t(spark, sf_dir, "part").filter(F.col("p_name").like("small%")).select("p_partkey")
-    ps = _partsupp(spark, sf_dir, part=pp)
-    cand = (
-        qty.join(
-            F.broadcast(ps),
-            (F.col("l_partkey") == F.col("ps_partkey"))
-            & (F.col("l_suppkey") == F.col("ps_suppkey")),
-        )
-        .filter(F.col("ps_availqty") * 200 > F.col("qty100"))
-        .select("ps_suppkey")
-        .distinct()
-    )
-    n = t(spark, sf_dir, "nation").filter(
-        F.col("n_name").isin(
-            "NATION_6", "NATION_7", "NATION_9", "NATION_11", "NATION_14", "NATION_19"
-        )
-    )
-    return (
-        t(spark, sf_dir, "supplier")
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(cand), F.col("s_suppkey") == F.col("ps_suppkey"))
-        .select("s_suppkey", "s_name", "n_name")
-    )
-
-
-@q(
-    "pack_concat_chunk",
-    f"""
-    WITH toks AS (
-      SELECT doc_id, CAST(len({_DK_TOKS}) AS BIGINT) AS n_tokens FROM documents),
-    c AS (
-      SELECT doc_id, n_tokens,
-             CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens
-                  AS BIGINT) AS start_off
-      FROM toks)
-    SELECT doc_id, n_tokens, start_off,
-           start_off // 2048 AS chunk_id,
-           (start_off + n_tokens - 1) // 2048 AS end_chunk_id
-    FROM c
-    """,
-    tags=("packing", "pretraining"),
-)
-def pack_concat_chunk_q(spark, sf_dir):
-    """Concat-and-chunk packing (GPT-style pretraining): documents
-    concatenated in id order, cut into 2048-token chunks; each doc gets
-    its global offset and chunk span.  Spark side is a DISTRIBUTED
-    prefix sum (range partitions -> per-partition Arrow cumsum ->
-    broadcast prefix offsets) — the oracle's single window cumsum is the
-    semantic spec, not the scale plan."""
-    docs = t(spark, sf_dir, "documents")
-    with_tokens = docs.select("doc_id", text.token_count_ws("text").alias("n_tokens"))
-    return sampling.concat_chunk_assign(with_tokens, 2048)
-
-
-# ===========================================================================
-# PX — PII scrubbing / URL surface / decontamination (curation passes)
-# ===========================================================================
-
-_PII_FIXTURE = [
-    (1, "contact me at alice.smith+work@ex-1.co.uk or call +1 (415) 555-0133 today"),
-    (2, "no pii here just text about widgets and sprockets"),
-    (3, "see https://sub.example.co.uk/path?q=1 and http://mirror.io/x for docs"),
-    (4, "bob@ex.io wrote: backup line 415-555-0199 https://ex.io/a"),
-]
-
-_PII_SRC = (
-    "(SELECT * FROM (VALUES "
-    + ", ".join(f"(CAST({i} AS BIGINT), '{s}')" for i, s in _PII_FIXTURE)
-    + ") AS v(src_id, txt))"
-)
-
-# the exact same pattern strings the Spark ops use (text.py) — RE2/Java portable
-_RX_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-_RX_PHONE = r"\+?[0-9][0-9()\-\s.]{7,}[0-9]"
-_RX_URL = r"https?://[^\s]+"
-_RX_DOMAIN = r"https?://([^/\s]+)"
-
-
-@q(
-    "text_pii_scrub",
-    "SELECT src_id, regexp_replace(regexp_replace(txt, '"
-    + _RX_EMAIL
-    + "', '<EMAIL>', 'g'), '"
-    + _RX_PHONE
-    + "', '<PHONE>', 'g') AS scrubbed FROM "
-    + _PII_SRC,
-    tags=("text", "pii"),
-)
-def text_pii_scrub_q(spark, sf_dir):
-    """PII scrubbing pass: emails then phone shapes to typed placeholders
-    (pure regexp_replace chain; identical pattern strings on both
-    engines).  Literal fixture — the synthetic corpus carries no PII, so
-    this is what proves the patterns."""
-    rows = spark.createDataFrame(_PII_FIXTURE, "src_id long, txt string")
-    return rows.select("src_id", text.scrub_pii("txt").alias("scrubbed"))
-
-
-@q(
-    "text_url_domains",
-    "WITH u AS (SELECT unnest(regexp_extract_all(txt, '"
-    + _RX_URL
-    + "')) AS url FROM "
-    + _PII_SRC
-    + ") SELECT regexp_extract(url, '"
-    + _RX_DOMAIN
-    + "', 1) AS domain, count(*) AS n FROM u GROUP BY domain",
-    tags=("text", "url"),
-)
-def text_url_domains_q(spark, sf_dir):
-    """URL extraction + domain stats: regexp_extract_all -> explode ->
-    host-part groupBy (all JVM expressions)."""
-    rows = spark.createDataFrame(_PII_FIXTURE, "src_id long, txt string")
-    return (
-        split.explode_computed(rows, [], text.extract_urls("txt"), "url")
-        .select(text.url_domain(F.col("url")).alias("domain"))
-        .groupBy("domain")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-
-
-@q(
-    "dedup_decontaminate",
-    _DK_SHINGLES
-    + """
-    , bench AS (SELECT DISTINCT shingle FROM inv WHERE doc_id % 97 = 0),
-    hits AS (
-      SELECT i.doc_id, count(*) AS overlap
-      FROM inv i JOIN bench b ON i.shingle = b.shingle
-      WHERE i.doc_id % 97 <> 0 GROUP BY 1)
-    SELECT d.doc_id AS doc_id,
-           CAST(coalesce(h.overlap, 0) AS BIGINT) AS overlap,
-           CAST(coalesce(h.overlap, 0) >= 5 AS INT) AS contaminated
-    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
-    WHERE d.doc_id % 97 <> 0
-    """,
-    tags=("dedup", "decontamination"),
-)
-def dedup_decontaminate_q(spark, sf_dir):
-    """Benchmark decontamination: corpus docs sharing >= 5 distinct
-    3-gram shingles with the benchmark set (here: doc_id % 97 == 0 as
-    the stand-in eval suite) are flagged — the test-set-leakage guard.
-    Benchmark shingles broadcast; the corpus probe needs no shuffle."""
-    docs = t(spark, sf_dir, "documents")
-    bench = docs.filter(F.col("doc_id") % 97 == 0)
-    corpus = docs.filter(F.col("doc_id") % 97 != 0)
-    return dedup.decontaminate(corpus, bench, min_overlap=5)
-
-
-@q(
-    "text_repetition",
-    f"""
-    WITH toks AS (SELECT doc_id, {_DK_TOKS} AS tk FROM documents),
-    g AS (SELECT doc_id,
-                 CASE WHEN len(tk) >= 2
-                      THEN [tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))]
-                      ELSE [] END AS grams
-          FROM toks)
-    SELECT doc_id,
-           CAST(len(grams) AS BIGINT) AS n_grams,
-           CAST(len(grams) - len(list_distinct(grams)) AS BIGINT) AS n_repeated,
-           CASE WHEN len(grams) > 0
-                THEN round((len(grams) - len(list_distinct(grams))) / len(grams), 4)
-                ELSE 0.0 END AS rep_ratio
-    FROM g
-    """,
-    tags=("text", "quality"),
-)
-def text_repetition_q(spark, sf_dir):
-    """Within-document repetition (Gopher-style quality signal): the
-    fraction of duplicate word bigrams inside each document — high
-    ratios mark boilerplate/spam.  Pure array expressions (transform +
-    array_distinct), no shuffle at all: a narrow map over the corpus."""
-    docs = t(spark, sf_dir, "documents")
-    tk = text.tokenize("text")
-    grams = F.when(
-        F.size(tk) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(tk) - 1),
-            lambda i: F.array_join(F.slice(tk, i, 2), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    staged = docs.select("doc_id", grams.alias("grams"))
-    n = F.size("grams")
-    n_rep = n - F.size(F.array_distinct("grams"))
-    return staged.select(
-        "doc_id",
-        n.cast("long").alias("n_grams"),
-        n_rep.cast("long").alias("n_repeated"),
-        F.when(n > 0, F.round(n_rep / n, 4)).otherwise(F.lit(0.0)).alias("rep_ratio"),
-    )
-
-
-@q(
-    "text_boilerplate_ratio",
-    _DK_SHINGLES
-    + """
-    , freq AS (SELECT shingle, count(*) AS df_cnt FROM inv GROUP BY shingle),
-    common AS (SELECT shingle FROM freq WHERE df_cnt >= 20),
-    nc AS (SELECT doc_id, count(*) AS n_common
-           FROM inv JOIN common USING (shingle) GROUP BY doc_id)
-    SELECT s.doc_id AS doc_id, s.n AS n_shingles,
-           coalesce(nc.n_common, 0) AS n_common,
-           round(coalesce(nc.n_common, 0) / s.n, 4) AS boilerplate_ratio
-    FROM sizes s LEFT JOIN nc USING (doc_id)
-    WHERE s.n > 0
-    """,
-    tags=("text", "quality", "pretraining"),
-)
-def text_boilerplate_ratio_q(spark, sf_dir):
-    """Cross-document boilerplate exposure (fraction of a doc's shingles
-    that are corpus-common) — the complement of `text_repetition`'s
-    within-document signal.  See operators.text.boilerplate_ratio for the
-    linear scale shape (no shingle-domain broadcast, no pair join)."""
-    return text.boilerplate_ratio(t(spark, sf_dir, "documents"), min_docs=20)
-
-
-@q(
-    "sample_token_budget",
-    f"""
-    WITH toks AS (
-      SELECT doc_id, source, n_chars,
-             CAST(len({_DK_TOKS}) AS BIGINT) AS n_tokens
-      FROM documents),
-    c AS (
-      SELECT doc_id, source, n_tokens,
-             CAST(sum(n_tokens) OVER (PARTITION BY source
-                                      ORDER BY n_chars DESC, doc_id
-                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
-      FROM toks)
-    SELECT doc_id, source, n_tokens, cum_tokens
-    FROM c WHERE cum_tokens <= 300
-    """,
-    tags=("sampling", "pretraining"),
-)
-def sample_token_budget_q(spark, sf_dir):
-    """Token-budget mixture capping: each source contributes its
-    longest-first documents until a 300-token budget fills.  One window
-    shuffle partitioned by source (see operators.sampling.token_budget_take
-    for the giant-source escape hatch)."""
-    docs = t(spark, sf_dir, "documents").select(
-        "doc_id", "source", "n_chars", text.token_count_ws("text").cast("long").alias("n_tokens")
-    )
-    return sampling.token_budget_take(docs, budget=300).select(
-        "doc_id", "source", "n_tokens", "cum_tokens"
-    )
-
-
-@q(
-    "profile_orders_columns",
-    """
-    WITH w AS (
-      SELECT count(*) AS n_rows,
-             CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ck_nulls,
-             count(DISTINCT o_custkey) AS ck_dist,
-             CAST(min(o_custkey) AS VARCHAR) AS ck_min,
-             CAST(max(o_custkey) AS VARCHAR) AS ck_max,
-             CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS st_nulls,
-             count(DISTINCT o_orderstatus) AS st_dist,
-             CAST(min(o_orderstatus) AS VARCHAR) AS st_min,
-             CAST(max(o_orderstatus) AS VARCHAR) AS st_max,
-             CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS tp_nulls,
-             count(DISTINCT o_totalprice) AS tp_dist,
-             CAST(CAST(round(min(o_totalprice), 4) AS DECIMAL(38,4)) AS VARCHAR) AS tp_min,
-             CAST(CAST(round(max(o_totalprice), 4) AS DECIMAL(38,4)) AS VARCHAR) AS tp_max,
-             CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS od_nulls,
-             count(DISTINCT o_orderdate) AS od_dist,
-             strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS od_min,
-             strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS od_max
-      FROM orders)
-    SELECT u.* FROM w, LATERAL (
-      VALUES ('o_custkey', n_rows, ck_nulls, ck_dist, ck_min, ck_max),
-             ('o_orderstatus', n_rows, st_nulls, st_dist, st_min, st_max),
-             ('o_totalprice', n_rows, tp_nulls, tp_dist, tp_min, tp_max),
-             ('o_orderdate', n_rows, od_nulls, od_dist, od_min, od_max)
-    ) u(column_name, n_rows, n_nulls, n_distinct, min_s, max_s)
-    """,
-    tags=("profiling",),
-)
-def profile_orders_q(spark, sf_dir):
-    """Single-pass column profile of orders (nulls / exact distinct /
-    type-aware min-max): every statistic shares one scan + partial
-    aggregate; the unpivot runs on the 1-row result."""
-    from ..operators import profiling
-
-    return profiling.profile_columns(
-        t(spark, sf_dir, "orders"),
-        ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"],
-    )
-
-
-@q(
-    "profile_key_skew",
-    """
-    WITH counts AS (
-      SELECT CAST(l_orderkey AS VARCHAR) AS key, count(*) AS cnt
-      FROM lineitem GROUP BY 1),
-    tot AS (SELECT count(*) AS total FROM lineitem)
-    SELECT key, cnt, round(cnt * 100.0 / total, 4) AS share_pct
-    FROM counts, tot
-    ORDER BY cnt DESC, key LIMIT 10
-    """,
-    tags=("profiling",),
-)
-def profile_key_skew_q(spark, sf_dir):
-    """Top-10 heaviest join keys on lineitem.l_orderkey with row share —
-    the pre-flight check for shuffle skew.  Map-side-combinable groupBy +
-    global TakeOrdered; never a single-partition window."""
-    from ..operators import profiling
-
-    return profiling.key_skew(t(spark, sf_dir, "lineitem"), "l_orderkey", top_k=10)
-
-
-@q(
-    "embedding_quantize_int8",
-    """
-    WITH s AS (
-      SELECT vec_id, embedding,
-             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
-      FROM embeddings)
-    SELECT vec_id,
-           round(sqrt(list_aggregate(
-             list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-             'sum')), 4) AS l2_norm,
-           list_transform(embedding,
-             x -> CAST(round(CAST(x AS DOUBLE) * 127 / mx) AS INT)) AS q_int8,
-           round(mx, 4) AS scale
-    FROM s WHERE mx > 0
-    """,
-    tags=("similarity", "pretraining"),
-)
-def embedding_quantize_q(spark, sf_dir):
-    """Symmetric int8 vector quantization + L2 norm (ANN storage-shrink
-    pass): pure array expressions, zero shuffle; quantized codes are
-    exact integers so the oracle hash-matches the full payload.  See
-    operators.similarity.quantize_int8."""
-    return similarity.quantize_int8(t(spark, sf_dir, "embeddings"))
-
-
-@q(
-    "sample_per_source_cap",
-    """
-    WITH r AS (
-      SELECT doc_id, source,
-             row_number() OVER (
-               PARTITION BY source
-               ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
-      FROM documents)
-    SELECT doc_id, source FROM r WHERE rn <= 10
-    """,
-    tags=("sampling", "pretraining"),
-)
-def sample_per_source_cap_q(spark, sf_dir):
-    """Per-domain cap: at most 10 docs per source, selected by
-    deterministic md5 order — stable under re-partitioning/re-runs,
-    unlike any LIMIT-per-group.  One source-partitioned window."""
-    return sampling.per_group_cap(
-        t(spark, sf_dir, "documents"), group_col="source", n=10
-    ).select("doc_id", "source")
-
-
-@q(
-    "text_shingle_novelty",
-    _DK_SHINGLES
-    + """
-    , first AS (SELECT shingle, min(doc_id) AS first_doc FROM inv GROUP BY shingle),
-    nv AS (SELECT i.doc_id, count(*) AS n_novel
-           FROM inv i JOIN first f ON i.shingle = f.shingle AND i.doc_id = f.first_doc
-           GROUP BY i.doc_id)
-    SELECT s.doc_id AS doc_id, s.n AS n_shingles,
-           coalesce(nv.n_novel, 0) AS n_novel,
-           round(coalesce(nv.n_novel, 0) / s.n, 4) AS novelty_ratio
-    FROM sizes s LEFT JOIN nv USING (doc_id)
-    WHERE s.n > 0
-    """,
-    tags=("text", "quality", "pretraining"),
-)
-def text_shingle_novelty_q(spark, sf_dir):
-    """First-occurrence novelty per document (fraction of its shingles
-    first seen here, ids = ingestion order): the no-pair-join cousin of
-    dedup.  See operators.text.shingle_novelty for the linear shape."""
-    return text.shingle_novelty(t(spark, sf_dir, "documents"))
-
-
-@q(
-    "stat_corr_price_qty",
-    """
-    WITH m AS (
-      SELECT l_returnflag,
-             CAST(count(*) AS DOUBLE) AS n,
-             CAST(sum(CAST(round(l_extendedprice * 100) AS DECIMAL(38,0))) AS DOUBLE) AS sx,
-             CAST(sum(CAST(round(l_quantity * 100) AS DECIMAL(38,0))) AS DOUBLE) AS sy,
-             CAST(sum(CAST(round(l_extendedprice * 100) AS DECIMAL(38,0))
-                      * CAST(round(l_quantity * 100) AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
-             CAST(sum(CAST(round(l_extendedprice * 100) AS DECIMAL(38,0))
-                      * CAST(round(l_extendedprice * 100) AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
-             CAST(sum(CAST(round(l_quantity * 100) AS DECIMAL(38,0))
-                      * CAST(round(l_quantity * 100) AS DECIMAL(38,0))) AS DOUBLE) AS syy
-      FROM lineitem GROUP BY l_returnflag)
-    SELECT l_returnflag,
-           round((n * sxy - sx * sy)
-                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_price_qty
-    FROM m
-    """,
-    tags=("stats", "agg"),
-)
-def stat_corr_q(spark, sf_dir):
-    """Pearson correlation per return flag, ORACLE-EXACT: the five moment
-    sums accumulate 2-dec-quantized values as DECIMAL(38,0) — exact
-    integers in any summation order on both engines — and only the final
-    corr formula runs in double over those identical exact inputs.  The
-    built-in F.corr/DuckDB corr() would each stream floats in engine-
-    specific order and disagree in the last ulps; this formulation is the
-    portable way to ship distributed second-moment statistics.  One
-    map-side-combinable aggregation, same cost as tpch_q1."""
-    xc = F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)")
-    yc = F.round(F.col("l_quantity") * 100).cast("decimal(38,0)")
-    m = t(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(xc).cast("double").alias("sx"),
-        F.sum(yc).cast("double").alias("sy"),
-        F.sum(xc * yc).cast("double").alias("sxy"),
-        F.sum(xc * xc).cast("double").alias("sxx"),
-        F.sum(yc * yc).cast("double").alias("syy"),
-    )
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
-    return m.select(
-        "l_returnflag",
-        F.round(
-            (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
-            6,
-        ).alias("corr_price_qty"),
-    )
-
-
-@q(
-    "ann_kmeans_cells",
-    None,  # iterative model fit — not SQL-expressible; driver does rows-only
-    tags=("similarity", "iterative"),
-)
-def ann_kmeans_cells_q(spark, sf_dir):
-    """Distributed Lloyd's k-means (2 full-data refinement iterations over
-    the sampled init), then the final cell populations.  Only the k×dim
-    model crosses the driver per iteration — see similarity.kmeans_fit.
-    Deterministic (hash-sample init + argmin tie-break), so the rows-only
-    check is stable across runs."""
-    emb = t(spark, sf_dir, "embeddings")
-    cents, _ = similarity.kmeans_fit(emb, k=8, iters=2)
-    bc = spark.sparkContext.broadcast(cents)
-    assigned = similarity._assign_cells(
-        emb, bc, "vec_id", "embedding", "id", "v", probes=1
-    )
-    return (
-        assigned.groupBy("cell")
-        .agg(F.count(F.lit(1)).alias("n_vecs"))
-        .select(F.col("cell").cast("long").alias("cell"), "n_vecs")
-    )
-
-
-@q(
-    "funnel_view_click_purchase",
-    """
-    WITH v1 AS (
-      SELECT user_id, min(ts) AS v_ts FROM events WHERE event_type = 'view' GROUP BY user_id),
-    c1 AS (
-      SELECT e.user_id, min(e.ts) AS c_ts
-      FROM events e JOIN v1 ON e.user_id = v1.user_id
-      WHERE e.event_type = 'click' AND e.ts > v1.v_ts GROUP BY e.user_id),
-    p1 AS (
-      SELECT e.user_id, min(e.ts) AS p_ts
-      FROM events e JOIN c1 ON e.user_id = c1.user_id
-      WHERE e.event_type = 'purchase' AND e.ts > c1.c_ts GROUP BY e.user_id)
-    SELECT (SELECT count(*) FROM v1) AS n_view,
-           (SELECT count(*) FROM c1) AS n_click_after_view,
-           (SELECT count(*) FROM p1) AS n_purchase_after_click
-    """,
-    tags=("analytics", "funnel"),
-)
-def funnel_q(spark, sf_dir):
-    """Ordered funnel (first view -> first later click -> first later
-    purchase), the CEP-lite sequence query a gmall-style DWS serves.
-    Each stage is a per-user min() after a keyed join on the previous
-    stage's anchor timestamp — three map-side-combinable aggregations
-    shuffling on user_id, no window over the event stream, no
-    self-cartesian.  Counts are exact integers."""
-    ev = t(spark, sf_dir, "events")
-    v1 = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("v_ts"))
-    )
-    c1 = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v1, "user_id")
-        .filter(F.col("ts") > F.col("v_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("c_ts"))
-    )
-    p1 = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c1, "user_id")
-        .filter(F.col("ts") > F.col("c_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("p_ts"))
-    )
-    nv = v1.agg(F.count(F.lit(1)).alias("n_view"))
-    nc = c1.agg(F.count(F.lit(1)).alias("n_click_after_view"))
-    np_ = p1.agg(F.count(F.lit(1)).alias("n_purchase_after_click"))
-    return nv.crossJoin(nc).crossJoin(np_)
-
-
-@q(
-    "retention_cohorts",
-    """
-    WITH days AS (
-      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
-    first_day AS (
-      SELECT user_id, min(d) AS d0 FROM days GROUP BY user_id)
-    SELECT strftime(f.d0, '%Y-%m-%d') AS cohort_day,
-           count(DISTINCT f.user_id) AS cohort_size,
-           count(DISTINCT CASE WHEN d.d = f.d0 + INTERVAL 1 DAY
-                               THEN f.user_id END) AS retained_d1,
-           count(DISTINCT CASE WHEN d.d = f.d0 + INTERVAL 7 DAY
-                               THEN f.user_id END) AS retained_d7
-    FROM first_day f JOIN days d ON f.user_id = d.user_id
-    GROUP BY f.d0
-    """,
-    tags=("analytics", "retention"),
-)
-def retention_q(spark, sf_dir):
-    """Cohort retention (D1/D7): cohort = first active day per user;
-    retained = any activity exactly k days later.  The (user, day)
-    activity set is deduped FIRST (one groupBy), so the cohort join fans
-    out over at most users x active-days rows — never raw events; the
-    conditional count-distincts share one aggregation."""
-    ev = t(spark, sf_dir, "events")
-    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
-    first_day = days.groupBy("user_id").agg(F.min("d").alias("d0"))
-    joined = first_day.join(days, "user_id")
-    return (
-        joined.groupBy("d0")
-        .agg(
-            F.count_distinct("user_id").alias("cohort_size"),
-            F.count_distinct(
-                F.when(F.col("d") == F.date_add(F.col("d0"), 1), F.col("user_id"))
-            ).alias("retained_d1"),
-            F.count_distinct(
-                F.when(F.col("d") == F.date_add(F.col("d0"), 7), F.col("user_id"))
-            ).alias("retained_d7"),
-        )
-        .select(
-            F.date_format("d0", "yyyy-MM-dd").alias("cohort_day"),
-            "cohort_size", "retained_d1", "retained_d7",
-        )
-    )
-
-
-@q(
-    "j7_null_safe_join",
-    """
-    WITH a AS (SELECT o_orderkey, nullif(o_orderstatus, 'F') AS st FROM orders),
-    d AS (SELECT DISTINCT st FROM a)
-    SELECT d.st AS st, count(*) AS n_orders
-    FROM a JOIN d ON a.st IS NOT DISTINCT FROM d.st
-    GROUP BY d.st
-    """,
-    tags=("join", "nulls"),
-)
-def j7_null_safe_join_q(spark, sf_dir):
-    """Null-safe equi-join (Flink/ANSI `IS NOT DISTINCT FROM`, Spark
-    `<=>`): NULL keys MATCH each other instead of vanishing — the
-    semantics CDC pipelines need when a nullable column is the join key.
-    Stays a hash join (null-safe equality is a valid equi-key), never a
-    nested loop; counts are exact."""
-    a = t(spark, sf_dir, "orders").select(
-        "o_orderkey", F.nullif(F.col("o_orderstatus"), F.lit("F")).alias("st")
-    )
-    d = a.select("st").distinct().select(F.col("st").alias("d_st"))
-    return (
-        a.join(d, a.st.eqNullSafe(F.col("d_st")))
-        .groupBy(F.col("d_st").alias("st"))
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-    )
-
-
-@q(
-    "set_ops_all",
-    """
-    SELECT st, count(*) AS n FROM (
-      SELECT o_orderstatus AS st FROM orders WHERE o_totalprice > 100000
-      UNION ALL
-      SELECT o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT'
-      EXCEPT ALL
-      SELECT o_orderstatus FROM orders WHERE o_totalprice > 300000
-      INTERSECT ALL
-      SELECT o_orderstatus FROM orders WHERE o_orderdate >= DATE '1996-01-01'
-    ) GROUP BY st
-    """,
-    tags=("setop", "nulls"),
-)
-def set_ops_all_q(spark, sf_dir):
-    """Bag-semantics set operators (UNION/EXCEPT/INTERSECT ALL — row
-    multiplicities preserved, the semantics Flink batch SQL and the ANSI
-    spec define).  Spark evaluates with the same precedence as the SQL
-    text (INTERSECT binds tighter than EXCEPT/UNION); the result is
-    re-aggregated so the oracle compare is order-free."""
-    o = t(spark, sf_dir, "orders")
-    u1 = o.filter(F.col("o_totalprice") > 100000).select(F.col("o_orderstatus").alias("st"))
-    u2 = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
-        F.col("o_orderstatus").alias("st")
-    )
-    e1 = o.filter(F.col("o_totalprice") > 300000).select(F.col("o_orderstatus").alias("st"))
-    i1 = o.filter(F.col("o_orderdate") >= "1996-01-01").select(
-        F.col("o_orderstatus").alias("st")
-    )
-    combined = u1.unionAll(u2).exceptAll(e1.intersectAll(i1))
-    return combined.groupBy("st").agg(F.count(F.lit(1)).alias("n"))
-
-
-@q(
-    "dim_scd2_history",
-    """
-    SELECT user_id,
-           epoch_ms(ts) AS valid_from_ms,
-           epoch_ms(lead(ts) OVER w) AS valid_to_ms,
-           CAST(row_number() OVER w AS BIGINT) AS version,
-           CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current,
-           value
-    FROM events
-    WHERE event_type = 'signup'
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    """,
-    tags=("dim", "scd2", "windowfn"),
-)
-def dim_scd2_history_q(spark, sf_dir):
-    """SCD type-2 dimension history from a CDC-style update stream: each
-    per-key update becomes a versioned validity interval
-    [valid_from, valid_to), open-ended on the current row — the history
-    table the reference's type-1 HBase dims (DimAPP) cannot answer
-    as-of queries from.  One window shuffle partitioned by the dim key;
-    at scale this is the standard backfill companion to the streaming
-    `asof_join`."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
-    return ev.select(
-        "user_id",
-        F.unix_millis("ts").alias("valid_from_ms"),
-        F.unix_millis(F.lead("ts").over(w)).alias("valid_to_ms"),
-        F.row_number().over(w).cast("long").alias("version"),
-        F.when(F.lead("ts").over(w).isNull(), 1).otherwise(0).alias("is_current"),
-        "value",
-    )
-
-
-@q(
-    "sample_quality_weighted",
-    """
-    SELECT doc_id, source, n_chars
-    FROM documents
-    WHERE n_chars >= 200
-       OR substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 4)
-          < printf('%04x', least(65535, greatest(0,
-              CAST(floor(n_chars * 65536 / 200.0) AS BIGINT))))
-    """,
-    tags=("sampling", "pretraining"),
-)
-def sample_quality_weighted_q(spark, sf_dir):
-    """Quality-weighted downsampling: keep probability = n_chars/200
-    (clamped) — longer documents survive proportionally more often,
-    deterministically (md5 bucket vs the row's own rate edge, no RNG).
-    Pure narrow map; see operators.sampling.weighted_sample."""
-    docs = t(spark, sf_dir, "documents")
-    return sampling.weighted_sample(docs, F.col("n_chars") / 200.0).select(
-        "doc_id", "source", "n_chars"
-    )
-
-
-@q(
-    "j8_scd2_temporal_join",
-    """
-    WITH dim AS (
-      SELECT user_id,
-             epoch_ms(ts) AS valid_from_ms,
-             CAST(row_number() OVER w AS BIGINT) AS version,
-             value,
-             epoch_ms(lead(ts) OVER w) AS valid_to_ms
-      FROM events WHERE event_type = 'signup'
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    )
-    SELECT v.event_id AS event_id, v.user_id AS user_id,
-           d.version AS version, round(d.value, 2) AS dim_value
-    FROM (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
-          FROM events WHERE event_type = 'view') v
-    JOIN dim d ON d.user_id = v.user_id
-              AND d.valid_from_ms <= v.ts_ms
-              AND (d.valid_to_ms IS NULL OR v.ts_ms < d.valid_to_ms)
-    """,
-    tags=("join", "temporal", "scd2"),
-)
-def j8_scd2_temporal(spark, sf_dir):
-    """Event-time temporal join against the SCD2 dimension history —
-    Flink SQL's `FOR SYSTEM_TIME AS OF row_time` on a VERSIONED table
-    (the event-time sibling of the reference's proc-time lookup joins
-    J4/J5, DwdInteractionCommentInfo.java:78): each fact row is enriched
-    with the dim version valid AT ITS EVENT TIME, not the current one.
-
-    Plan: rides `joins.asof_join` (union + one windowed carry-forward,
-    linear per key) rather than an interval-predicate join that would
-    materialize every (fact, version) co-key pair first.  The oracle
-    states the same semantics declaratively via validity intervals.
-    Dim payload is ordered (valid_from_ms, version, value) so equal-ts
-    versions resolve to the highest version — exactly the non-empty
-    interval in the oracle's [valid_from, valid_to) chain."""
-    dim = dim_scd2_history_q(spark, sf_dir).select(
-        "user_id", "valid_from_ms", "version", "value"
-    )
-    facts = (
-        t(spark, sf_dir, "events")
-        .filter(F.col("event_type") == "view")
-        .select("event_id", "user_id", F.unix_millis("ts").alias("ts_ms"))
-    )
-    joined = joins.asof_join(
-        facts, dim, on="user_id", left_ts="ts_ms", right_ts="valid_from_ms", how="inner"
-    )
-    return joined.select(
-        "event_id", "user_id", "version", F.round("value", 2).alias("dim_value")
-    )
-
-
-@q(
-    "cdc_changelog_aggregate",
-    """
-    WITH latest AS (
-      SELECT user_id, event_type, value,
-             row_number() OVER (PARTITION BY user_id
-                                ORDER BY ts DESC, event_id DESC) AS rn
-      FROM events)
-    SELECT event_type,
-           count(*) AS n_keys,
-           round(sum(value), 2) AS sum_latest,
-           round(avg(value), 4) AS avg_latest
-    FROM latest WHERE rn = 1
-    GROUP BY event_type
-    """,
-    tags=("cdc", "changelog", "agg"),
-)
-def cdc_changelog_aggregate_q(spark, sf_dir):
-    """Aggregation over an upsert changelog — the Flink "aggregate a
-    retract stream" shape (what a Doris serving table holds downstream
-    of the K3 upsert-kafka topics): materialize latest-state-per-key,
-    then aggregate the states.
-
-    Spark-first plan: latest-per-key is ONE map-combinable `max_by`
-    aggregation keyed by (ts, event_id) — partial aggregation on the map
-    side, no per-key window sort — then a second tiny shuffle for the
-    rollup.  The oracle's row_number window is the semantic twin, not
-    the plan.  (ts, event_id) is tie-free: event_id is unique."""
-    ev = t(spark, sf_dir, "events")
-    latest = ev.groupBy("user_id").agg(
-        F.max_by(F.struct("event_type", "value"), F.struct("ts", "event_id")).alias("s")
-    )
-    return (
-        latest.select(F.col("s.event_type").alias("event_type"), F.col("s.value").alias("value"))
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_keys"),
-            F.round(F.sum("value"), 2).alias("sum_latest"),
-            F.round(F.avg("value"), 4).alias("avg_latest"),
-        )
-    )
-
-
-def _semantic_dedup_oracle(threshold: float = 0.3, n_planes: int = 6, dim: int = 64) -> str:
-    """DuckDB twin of `similarity.semantic_dedup_drops`: the ±1
-    hyperplanes are md5-derived constants, so the cell codes and
-    within-cell cosine comparisons replay exactly (same determinism
-    argument as `_lsh_ann_oracle`)."""
-    from ..operators.similarity import _hyperplanes
-
-    planes = _hyperplanes(1, n_planes, dim)[0]
-    bits = " || ".join(
-        "(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), {lst}) > 0 "
-        "THEN '1' ELSE '0' END)".format(lst="[" + ",".join(str(x) for x in pl) + "]")
-        for pl in planes
-    )
-    return f"""
-    WITH cells AS (SELECT e.vec_id, e.embedding, ({bits}) AS cell FROM embeddings e)
-    SELECT DISTINCT a.cell AS cell, b.vec_id AS drop_id
-    FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                 CAST(b.embedding AS DOUBLE[])) >= {threshold}
-    """
-
-
-@q("dedup_semantic_cells", _semantic_dedup_oracle(), tags=("dedup", "similarity", "semdedup"))
-def dedup_semantic_q(spark, sf_dir):
-    """SemDeDup-style cluster-bounded semantic dedup: sign-projection
-    cells stand in for k-means clusters; near-dups are pruned within a
-    cell only — the comparison count is sum(k_c^2) over cells, not n^2,
-    which is what makes embedding dedup feasible at 100 TB (the
-    unclustered twin is `dedup_embedding_neardup`)."""
-    emb = t(spark, sf_dir, "embeddings")
-    return similarity.semantic_dedup_drops(emb, threshold=0.3)
-
-
-def _bloom_decon_oracle(min_overlap: int = 5, k_hashes: int = 3, prefix_len: int = 4) -> str:
-    """DuckDB twin of `dedup.decontaminate_bloom`: the bloom positions
-    are md5 hex prefixes (string-compared, engine-portable), so the set
-    bits, per-shingle hit test, and per-doc overlap replay exactly —
-    including the filter's deterministic false positives."""
-    pos = lambda i, src: f"substr(md5('bloom{i}:' || {src}.shingle), 1, {prefix_len})"
-    bloom_sel = "\n       UNION ALL ".join(
-        f"SELECT {pos(i, 'b')} AS pos FROM bench b" for i in range(k_hashes)
-    )
-    probe_sel = "\n       UNION ALL ".join(
-        f"SELECT p.doc_id, p.shingle, {pos(i, 'p')} AS pos FROM corp p"
-        for i in range(k_hashes)
-    )
-    return (
-        _DK_SHINGLES
-        + f"""
-    , bench AS (SELECT DISTINCT shingle FROM inv WHERE doc_id % 97 = 0),
-    corp AS (SELECT doc_id, shingle FROM inv WHERE doc_id % 97 <> 0),
-    bloom AS (SELECT DISTINCT pos FROM ({bloom_sel})),
-    probe AS ({probe_sel}),
-    hit AS (SELECT doc_id, shingle, count(*) AS nbits
-            FROM probe JOIN bloom USING (pos) GROUP BY doc_id, shingle),
-    ov AS (SELECT doc_id, count(*) AS overlap_est
-           FROM hit WHERE nbits = {k_hashes} GROUP BY doc_id)
-    SELECT d.doc_id AS doc_id,
-           CAST(coalesce(o.overlap_est, 0) AS BIGINT) AS overlap_est,
-           CAST(coalesce(o.overlap_est, 0) >= {min_overlap} AS INT) AS contaminated
-    FROM documents d LEFT JOIN ov o ON d.doc_id = o.doc_id
-    WHERE d.doc_id % 97 <> 0
-    """
-    )
-
-
-@q("dedup_decontaminate_bloom", _bloom_decon_oracle(), tags=("dedup", "decontamination", "sketch"))
-def dedup_decontaminate_bloom_q(spark, sf_dir):
-    """Bloom-filter decontamination: same contract as dedup_decontaminate
-    but the broadcast is a fixed-size bit-position set (m = 65,536)
-    instead of the benchmark's raw shingles — bounded regardless of how
-    large the eval suite grows.  One-sided error (no false negatives),
-    deterministic, oracle-replayed bit for bit."""
-    docs = t(spark, sf_dir, "documents")
-    bench = docs.filter(F.col("doc_id") % 97 == 0)
-    corpus = docs.filter(F.col("doc_id") % 97 != 0)
-    return dedup.decontaminate_bloom(corpus, bench, min_overlap=5)
-
-
-@q(
-    "sketch_hll_registers",
-    """
-    WITH h AS (SELECT event_type, md5('hll:' || CAST(user_id AS VARCHAR)) AS hx
-               FROM events WHERE user_id IS NOT NULL),
-    t AS (SELECT event_type, substr(hx, 1, 2) AS register, substr(hx, 3, 6) AS tail FROM h),
-    r AS (SELECT event_type, register, tail,
-                 length(regexp_extract(tail, '^0*')) AS nz FROM t),
-    x AS (SELECT event_type, register,
-                 CASE WHEN nz = 6 THEN 25
-                      ELSE 4 * nz
-                           + CASE substr(tail, nz + 1, 1)
-                               WHEN '1' THEN 3
-                               WHEN '2' THEN 2 WHEN '3' THEN 2
-                               WHEN '4' THEN 1 WHEN '5' THEN 1
-                               WHEN '6' THEN 1 WHEN '7' THEN 1
-                               ELSE 0 END
-                           + 1 END AS rho
-          FROM r)
-    SELECT event_type, register, CAST(max(rho) AS BIGINT) AS max_rho
-    FROM x GROUP BY 1, 2
-    """,
-    tags=("sketch", "approx", "mergeable"),
-)
-def sketch_hll_registers_q(spark, sf_dir):
-    """HLL register table per event_type (m = 256) — the mergeable sketch
-    STATE, integer-exact and oracle-replayed (unlike the opaque
-    `approx_count_distinct` twin `sketch_hll_distinct`, which stays
-    rows-only).  Registers merge across any partitioning with max —
-    incremental cardinality without re-scans."""
-    from ..operators.profiling import hll_registers
-
-    ev = t(spark, sf_dir, "events")
-    return hll_registers(ev, "user_id", ["event_type"])
-
-
-@q(
-    "dedup_substring_windows",
-    """
-    WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
-                  FROM documents),
-    w AS (SELECT doc_id,
-                 CASE WHEN len(tk) >= 8
-                      THEN [substr(md5(array_to_string(tk[i:i+7], ' ')), 1, 16)
-                            for i in range(1, len(tk) - 6)]
-                      ELSE [] END AS fps
-          FROM toks),
-    e AS (SELECT doc_id, unnest(fps) AS fp FROM w),
-    c AS (SELECT fp, count(*) AS n FROM e GROUP BY fp),
-    d AS (SELECT e.doc_id, count(*) AS n_dup
-          FROM e JOIN c ON e.fp = c.fp WHERE c.n > 1 GROUP BY e.doc_id)
-    SELECT w.doc_id AS doc_id,
-           CAST(len(fps) AS BIGINT) AS n_windows,
-           CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup_windows,
-           CASE WHEN len(fps) > 0 THEN round(coalesce(d.n_dup, 0) / len(fps), 4)
-                ELSE 0.0 END AS dup_ratio
-    FROM w LEFT JOIN d ON w.doc_id = d.doc_id
-    """,
-    tags=("dedup", "substring", "pretraining"),
-)
-def dedup_substring_windows_q(spark, sf_dir):
-    """Substring-level duplication (Lee et al. 2022 tier): per-doc count
-    of length-8 token windows that recur anywhere in the corpus —
-    catches boilerplate/quoted spans that doc-level dedup can't see.
-    Windows shuffle as 64-bit md5 fingerprints, not text."""
-    docs = t(spark, sf_dir, "documents")
-    return dedup.substring_dup_profile(docs, win=8)
-
-
-@q(
-    "w_analytic_suite",
-    """
-    SELECT o_custkey, o_orderkey,
-           CAST(ntile(4) OVER w_price AS BIGINT) AS price_quartile,
-           round(percent_rank() OVER w_price, 6) AS pr,
-           round(cume_dist() OVER w_price, 6) AS cd,
-           first_value(o_orderkey) OVER w_seq AS first_order,
-           last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                                        ROWS BETWEEN UNBOUNDED PRECEDING
-                                                 AND UNBOUNDED FOLLOWING) AS last_order,
-           CAST(nth_value(o_orderkey, 2) OVER w_seq AS BIGINT) AS second_order
-    FROM orders
-    WINDOW w_price AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
-           w_seq   AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-    """,
-    tags=("window-fn", "analytic"),
-)
-def w_analytic_suite_q(spark, sf_dir):
-    """Remaining analytic-window surface beyond w_rank_lag: ntile,
-    percent_rank, cume_dist, first/last/nth_value with explicit frames
-    (last_value needs the full-partition frame — the default frame stops
-    at CURRENT ROW, a classic cross-engine trap both engines share).
-    One shuffle+sort per window spec; Catalyst collapses the two specs
-    into two sorts over the same o_custkey exchange."""
-    o = t(spark, sf_dir, "orders")
-    w_price = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
-    )
-    w_seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    w_full = w_seq.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        F.ntile(4).over(w_price).cast("long").alias("price_quartile"),
-        F.round(F.percent_rank().over(w_price), 6).alias("pr"),
-        F.round(F.cume_dist().over(w_price), 6).alias("cd"),
-        F.first("o_orderkey").over(w_seq).alias("first_order"),
-        F.last("o_orderkey").over(w_full).alias("last_order"),
-        F.nth_value("o_orderkey", 2).over(w_seq).cast("long").alias("second_order"),
-    )
-
-
-def _countmin_oracle(depth: int = 3, pos_hex: int = 3) -> str:
-    probe = "\n      UNION ALL ".join(
-        f"SELECT {i} AS sketch_row, substr(md5('cm{i}:' || token), 1, {pos_hex}) AS pos FROM tok"
-        for i in range(depth)
-    )
-    return f"""
-    WITH tok AS (SELECT unnest({_DK_TOKS}) AS token FROM documents),
-    u AS ({probe})
-    SELECT sketch_row, pos, count(*) AS cnt FROM u WHERE pos IS NOT NULL GROUP BY 1, 2
-    """
-
-
-@q("sketch_countmin_tokens", _countmin_oracle(), tags=("sketch", "approx", "mergeable"))
-def sketch_countmin_q(spark, sf_dir):
-    """Count-min register table over the corpus token stream (3 x 4096
-    counters) — mergeable heavy-hitters state, integer-exact and
-    oracle-replayed; sum-merge across splits and the one-sided estimate
-    bound are tested in pytest."""
-    from ..operators.profiling import countmin_registers
-
-    docs = t(spark, sf_dir, "documents")
-    toks = docs.select(F.explode(text.tokenize("text")).alias("token"))
-    return countmin_registers(toks, "token")
-
-
-@q(
-    "x15_array_surface",
-    """
-    WITH b AS (SELECT event_id, [x for x in range(1, event_id % 5 + 2)] AS arr
-               FROM events)
-    SELECT event_id,
-           [x * x for x in arr] AS squares,
-           list_filter(arr, x -> x % 2 = 0) AS evens,
-           CAST(list_sum(arr) AS BIGINT) AS total,
-           [arr[i] + arr[len(arr) - i + 1] for i in range(1, len(arr) + 1)] AS palin_sum,
-           CAST(len(list_filter(arr, x -> x % 2 = 0)) > 0 AS INT) AS has_even,
-           list_reverse(list_sort(arr)) AS sorted_desc
-    FROM b
-    """,
-    tags=("scalar", "higher-order"),
-)
-def x15_array_surface_q(spark, sf_dir):
-    """Higher-order array function surface — transform / filter /
-    aggregate / zip_with / exists / sort, the JVM-side lambda toolkit
-    every other operator here leans on (dot products, shingles, window
-    fingerprints), exercised directly against DuckDB's list calculus.
-    All whole-stage-codegen; zero Python."""
-    ev = t(spark, sf_dir, "events")
-    arr = F.sequence(F.lit(1), (F.col("event_id") % 5 + 1).cast("int"))
-    b = ev.select("event_id", arr.alias("arr"))
-    return b.select(
-        "event_id",
-        F.transform("arr", lambda x: x * x).alias("squares"),
-        F.filter("arr", lambda x: x % 2 == 0).alias("evens"),
-        F.aggregate("arr", F.lit(0).cast("long"), lambda acc, x: acc + x).alias("total"),
-        F.zip_with("arr", F.reverse("arr"), lambda x, y: x + y).alias("palin_sum"),
-        F.exists("arr", lambda x: x % 2 == 0).cast("int").alias("has_even"),
-        F.reverse(F.array_sort("arr")).alias("sorted_desc"),
-    )
-
-
-@q(
-    "sketch_histogram_orders",
-    """
-    SELECT o_orderpriority,
-           CAST(floor(o_totalprice / 20000.0) AS BIGINT) AS bin,
-           count(*) AS cnt
-    FROM orders
-    GROUP BY 1, 2
-    """,
-    tags=("sketch", "approx", "mergeable"),
-)
-def sketch_histogram_q(spark, sf_dir):
-    """Fixed-width histogram registers over order totals per priority —
-    the mergeable quantile-sketch state (cardinality/frequency/quantile
-    trio with the HLL and count-min registers); estimator accuracy and
-    sum-merge are pytest-bounded."""
-    from ..operators.profiling import histogram_registers
-
-    o = t(spark, sf_dir, "orders")
-    return histogram_registers(o, "o_totalprice", ["o_orderpriority"], 20000.0)
-
-
-@q(
-    "j9_full_outer_join",
-    """
-    SELECT coalesce(a.k, b.k) AS k,
-           a.n_urgent AS n_urgent, b.n_big AS n_big
-    FROM (SELECT o_custkey AS k, count(*) AS n_urgent FROM orders
-          WHERE o_orderpriority = '1-URGENT' GROUP BY 1) a
-    FULL OUTER JOIN
-         (SELECT o_custkey AS k, count(*) AS n_big FROM orders
-          WHERE o_totalprice > 250000 GROUP BY 1) b
-    ON a.k = b.k
-    """,
-    tags=("join", "outer"),
-)
-def j9_full_outer_q(spark, sf_dir):
-    """Full outer equi-join — the one join type absent from the
-    reference's surface (SURVEY §2.4 note); exposed as engine surface
-    (reconciliation between two aggregates where either side may be
-    missing the key).  Plain shuffle hash/sort-merge full-outer on the
-    key; NULL-padded sides survive the coalesce key."""
-    o = t(spark, sf_dir, "orders")
-    a = (
-        o.filter(F.col("o_orderpriority") == "1-URGENT")
-        .groupBy(F.col("o_custkey").alias("ka"))
-        .agg(F.count(F.lit(1)).alias("n_urgent"))
-    )
-    b = (
-        o.filter(F.col("o_totalprice") > 250000)
-        .groupBy(F.col("o_custkey").alias("kb"))
-        .agg(F.count(F.lit(1)).alias("n_big"))
-    )
-    return a.join(b, a.ka == b.kb, "full_outer").select(
-        F.coalesce("ka", "kb").alias("k"), "n_urgent", "n_big"
-    )
-
-
-@q(
-    "fuzzy_join_customers",
-    """
-    WITH s AS (SELECT c_custkey AS id, c_name AS name FROM customer),
-    g0 AS (SELECT id, unnest(list_distinct([name[i:i+2] for i in range(1, len(name) - 1)])) AS gram
-           FROM s),
-    hot AS (SELECT gram FROM g0 GROUP BY gram HAVING count(*) > 50),
-    g AS (SELECT g0.id, g0.gram FROM g0 ANTI JOIN hot USING (gram)),
-    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-             FROM g a JOIN g b USING (gram) WHERE a.id < b.id)
-    SELECT c.id_a, c.id_b, CAST(levenshtein(sa.name, sb.name) AS BIGINT) AS dist
-    FROM cand c JOIN s sa ON c.id_a = sa.id JOIN s sb ON c.id_b = sb.id
-    WHERE levenshtein(sa.name, sb.name) <= 2
-    """,
-    tags=("join", "fuzzy", "entity-resolution"),
-)
-def fuzzy_join_customers_q(spark, sf_dir):
-    """Fuzzy self-join on customer names (trigram candidates + exact
-    Levenshtein verify, stopgrams df-capped at 50) — the entity-
-    resolution tier: near-identical names pair without an all-pairs
-    compare.  Both engines run the identical candidate rule, so the
-    result is value-exact despite the bounded recall."""
-    c = t(spark, sf_dir, "customer")
-    return dedup.fuzzy_join_pairs(c, "c_custkey", "c_name", max_edit=2)
-
-
-# frequent English character merges, in rank order — a fixed toy merge
-# table so the encode query is deterministic without a driver-side
-# training collect (the LEARN side is text_bpe_pair_counts per round)
-_BPE_MERGES = [
-    ("t", "h"), ("th", "e"), ("the", "</w>"), ("i", "n"), ("e", "r"),
-    ("a", "n"), ("r", "e"), ("o", "n"), ("er", "</w>"), ("a", "t"),
-    ("s", "</w>"), ("e", "n"), ("o", "r"), ("s", "t"), ("in", "g"),
-    ("ing", "</w>"), ("an", "d"), ("and", "</w>"), ("o", "u"), ("a", "r"),
-]
-
-
-_GOPHER_SQL = f"""
-    WITH base AS (
-      SELECT doc_id, text,
-             list_filter({_DK_TOKS}, x -> x <> '') AS tk,
-             string_split(regexp_replace(text, '\\n+$', ''), chr(10)) AS ln,
-             length(text) AS nc
-      FROM documents),
-    stats AS (
-      SELECT doc_id, nc,
-        CAST(len(tk) AS BIGINT) AS n_words,
-        round(coalesce(list_sum(list_transform(tk, x -> length(x))), 0)
-              / greatest(len(tk), 1), 4) AS mean_word_len,
-        round((
-          (length(text) - length(replace(text, '#', '')))
-          + floor((length(text) - length(replace(text, '...', ''))) / 3)
-        ) / greatest(len(tk), 1), 4) AS symbol_word_ratio,
-        round(len(list_filter(ln, x -> trim(x) LIKE '- %' OR trim(x) LIKE '* %'))
-              / len(ln), 4) AS bullet_line_frac,
-        round(len(list_filter(ln, x -> rtrim(x) LIKE '%...')) / len(ln), 4)
-          AS ellipsis_line_frac,
-        round(len(list_filter(tk, x -> regexp_matches(x, '[a-z]')))
-              / greatest(len(tk), 1), 4) AS alpha_word_frac,
-        round(1 - len(list_distinct(ln)) / len(ln), 4) AS dup_line_frac
-      FROM base),
-    big AS (
-      SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS g, nc
-      FROM base, unnest(generate_series(1, len(tk) - 1)) AS gs(i)
-      WHERE len(tk) >= 2 AND tk[i] || ' ' || tk[i + 1] <> ' '),
-    cnts AS (
-      SELECT doc_id, g, nc, count(*) AS cnt,
-             row_number() OVER (PARTITION BY doc_id
-                                ORDER BY count(*) DESC, g DESC) AS rn
-      FROM big GROUP BY doc_id, g, nc),
-    top2 AS (SELECT doc_id, round(cnt * length(g) / nc, 4) AS t_frac
-             FROM cnts WHERE rn = 1),
-    o AS (
-      SELECT s.*, coalesce(CASE WHEN s.nc > 0 THEN t.t_frac END, 0.0)
-               AS top2gram_char_frac
-      FROM stats s LEFT JOIN top2 t USING (doc_id))
-    SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
-           bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
-           dup_line_frac, top2gram_char_frac,
-           CASE WHEN n_words BETWEEN 50 AND 100000
-                 AND mean_word_len BETWEEN 3 AND 10
-                 AND symbol_word_ratio <= 0.1
-                 AND bullet_line_frac <= 0.9
-                 AND ellipsis_line_frac <= 0.3
-                 AND alpha_word_frac >= 0.8
-                 AND dup_line_frac <= 0.3
-                 AND top2gram_char_frac <= 0.2
-                THEN 1 ELSE 0 END AS gopher_pass
-    FROM o
-    """
-
-
-
-@q(
-    "pipeline_pretrain_curation",
-    f"""
-    WITH RECURSIVE
-    gop AS (SELECT doc_id FROM ({_GOPHER_SQL}) g WHERE gopher_pass = 1),
-    d1 AS (SELECT d.* FROM documents d JOIN gop USING (doc_id)),
-    ex AS (SELECT min(doc_id) AS doc_id FROM (
-             SELECT doc_id,
-                    md5(list_aggregate(string_split_regex(lower(trim(text)), '\\s+'),
-                        'string_agg', ' ')) AS fp
-             FROM d1) GROUP BY fp),
-    d2 AS (SELECT d1.* FROM d1 JOIN ex USING (doc_id)),
-    toks2 AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
-              FROM d2),
-    sh AS (SELECT doc_id,
-                  CASE WHEN len(tk) >= 3
-                       THEN list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
-                                           for i in range(1, len(tk) - 1)])
-                       ELSE [] END AS s
-           FROM toks2),
-    inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
-    sizes AS (SELECT doc_id, len(s) AS n FROM sh),
-    jp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-           FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-           GROUP BY 1, 2),
-    np AS (SELECT p.id_a, p.id_b
-           FROM jp p JOIN sizes sa ON p.id_a = sa.doc_id
-                     JOIN sizes sb ON p.id_b = sb.doc_id
-           WHERE p.inter * 3 >= (sa.n + sb.n)),
-    e AS (SELECT id_a AS u, id_b AS v FROM np UNION SELECT id_b, id_a FROM np),
-    reach(u, r) AS (
-      SELECT u, u FROM e
-      UNION
-      SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u),
-    comp AS (SELECT u AS doc_id, min(r) AS component FROM reach GROUP BY u),
-    keepers AS (SELECT d2.doc_id FROM d2 LEFT JOIN comp c USING (doc_id)
-                WHERE c.component IS NULL OR c.component = d2.doc_id)
-    SELECT k.doc_id,
-           CAST(len(string_split_regex(lower(trim(d.text)), '\\s+')) AS BIGINT)
-             AS n_tokens,
-           CASE WHEN substr(md5('split:' || COALESCE(CAST(k.doc_id AS VARCHAR), '')), 1, 4) < 'e666'
-                THEN 'train'
-                WHEN substr(md5('split:' || COALESCE(CAST(k.doc_id AS VARCHAR), '')), 1, 4) < 'f333'
-                THEN 'val'
-                ELSE 'test' END AS split
-    FROM keepers k JOIN documents d USING (doc_id)
-    """,
-    tags=("pipeline", "curation", "composed"),
-)
-def pipeline_pretrain_q(spark, sf_dir):
-    """The flagship end-to-end curation pipeline as ONE declarative
-    plan: Gopher quality gate → exact dedup (min-id per fingerprint) →
-    near-dup component drop (jaccard ≥ ½ on the surviving subset —
-    induced-subgraph components equal filtered-pair components because
-    jaccard is corpus-independent) → deterministic train/val/test
-    split.  Every stage is the library operator the standalone queries
-    already verify; the composition itself is oracle-exact."""
-    docs = t(spark, sf_dir, "documents")
-    gop = (
-        text.gopher_rules(docs)
-        .filter(F.col("gopher_pass") == 1)
-        .select("doc_id")
-    )
-    # cache the shared stage boundaries: the gopher gate feeds two
-    # consumers (fingerprint agg + survivor join) and the deduped corpus
-    # feeds three (pair generation, keep-list labeling, final join) —
-    # uncached, Catalyst re-runs the whole upstream subtree per consumer
-    # (measured 40 s -> ~8 s at sf0.1)
-    d1 = docs.join(gop, "doc_id").cache()
-    ex = dedup.exact_dedup(d1).select(F.col("keep_id").alias("doc_id"))
-    d2 = d1.join(ex, "doc_id").cache()
-    pairs = dedup.ngram_jaccard_pairs_prefix(d2)  # == naive output, scale plan
-    # star contraction, not hash-min: survivors of exact dedup chain
-    # (A~B~C with A,C not direct pairs), so cluster diameter — hash-min's
-    # round count — is unbounded; star converges in O(log n) rounds
-    # (measured 37 s -> ~3 s for the component stage at sf0.1)
-    kl = dedup.dedup_keep_list(
-        d2, pairs, components_fn=dedup.connected_components_star)
-    final = d2.join(kl.filter(F.col("keep") == 1).select("doc_id"), "doc_id")
-    return sampling.split_assign(final).select(
-        "doc_id",
-        text.token_count_ws("text").cast("long").alias("n_tokens"),
-        "split",
-    )
-
-
-@q(
-    "text_bpe_encode_counts",
-    None,  # the merge fixpoint loop has no SQL twin; golden-tested
-    tags=("text", "tokenizer", "rows-only"),
-)
-def text_bpe_encode_q(spark, sf_dir):
-    """Real BPE encoding (text.bpe_encode): apply a ranked merge table
-    per word until fixpoint — the GPT-2 apply algorithm as an
-    Arrow-batched UDF with a per-batch word memo (Zipf hit rate).
-    Deterministic under the fixed merge table; rows-only by design
-    (the iterative merge loop is not SQL-expressible), semantics proven
-    by hand-checked goldens in tests/test_operators.py."""
-    docs = t(spark, sf_dir, "documents")
-    return text.bpe_encode(docs, _BPE_MERGES).select(
-        "doc_id", "n_bpe_tokens"
-    )
-
-
-@q(
-    "sample_length_bucket_batches",
-    f"""
-    WITH b AS (
-      SELECT doc_id, CAST(len({_DK_TOKS}) AS BIGINT) AS n_tokens,
-             CASE WHEN len(string_split_regex(lower(trim(text)), '\\s+')) <= 1 THEN 1
-                  ELSE (CAST(1 AS BIGINT) << length(bin(len(string_split_regex(lower(trim(text)), '\\s+')) - 1))) END
-               AS bucket
-      FROM documents),
-    r AS (SELECT doc_id, n_tokens, bucket,
-                 row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1
-                   AS wr
-          FROM b)
-    SELECT doc_id, n_tokens, bucket,
-           CAST(floor(wr / greatest(CAST(1024 / bucket AS BIGINT), 1)) AS BIGINT)
-             AS batch_id
-    FROM r
-    """,
-    tags=("sampling", "batching", "training-prep"),
-)
-def length_bucket_batches_q(spark, sf_dir):
-    """Length-grouped batch assignment
-    (sampling.length_bucket_batches): power-of-two padded-length
-    buckets, capacity_tokens // bucket docs per batch — padding-
-    efficient training batches with within-bucket positions from the
-    distributed prefix-sum rank (no single-partition window)."""
-    docs = t(spark, sf_dir, "documents")
-    return sampling.length_bucket_batches(docs, capacity_tokens=1024)
-
-
-@q(
-    "entity_resolution_customers",
-    """
-    WITH RECURSIVE s AS (SELECT c_custkey AS id, c_name AS name FROM customer),
-    g0 AS (SELECT id, unnest(list_distinct([name[i:i+2] for i in range(1, len(name) - 1)])) AS gram
-           FROM s),
-    hot AS (SELECT gram FROM g0 GROUP BY gram HAVING count(*) > 50),
-    g AS (SELECT g0.id, g0.gram FROM g0 ANTI JOIN hot USING (gram)),
-    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-             FROM g a JOIN g b USING (gram) WHERE a.id < b.id),
-    p AS (SELECT c.id_a, c.id_b
-          FROM cand c JOIN s sa ON c.id_a = sa.id JOIN s sb ON c.id_b = sb.id
-          WHERE levenshtein(sa.name, sb.name) <= 2),
-    e AS (SELECT id_a AS u, id_b AS v FROM p
-          UNION SELECT id_b, id_a FROM p),
-    reach(u, r) AS (
-      SELECT u, v FROM e
-      UNION
-      SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u),
-    comp AS (SELECT u AS id, least(u, min(r)) AS component
-             FROM reach GROUP BY u)
-    SELECT s.id AS c_custkey,
-           coalesce(c.component, s.id) AS canonical_id
-    FROM s LEFT JOIN comp c ON s.id = c.id
-    """,
-    tags=("entity-resolution", "graph", "composed"),
-)
-def entity_resolution_q(spark, sf_dir):
-    """Composed entity resolution: trigram-blocked fuzzy matching
-    (dedup.fuzzy_join_pairs) → star-contraction connected components →
-    canonical (min) id per identity cluster, every customer labeled.
-    Star contraction (O(log n) rounds) rather than hash-min because
-    near-identical serial names chain — cluster DIAMETER is large even
-    though each edge is local.  The oracle replays the closure with a
-    recursive CTE."""
-    c = t(spark, sf_dir, "customer")
-    pairs = dedup.fuzzy_join_pairs(c, "c_custkey", "c_name", max_edit=2)
-    comp = dedup.connected_components_star(pairs.select("id_a", "id_b"))
-    return (
-        c.select(F.col("c_custkey"))
-        .join(comp.withColumnRenamed("doc_id", "c_custkey"), "c_custkey", "left")
-        .select(
-            "c_custkey",
-            F.coalesce("component", "c_custkey").alias("canonical_id"),
-        )
-    )
-
-
-@q(
-    "multimodal_patch_grid",
-    """
-    WITH dims AS (
-      SELECT doc_id AS media_id,
-             CAST(CASE doc_id % 4 WHEN 0 THEN 16 + doc_id % 1000
-                             WHEN 1 THEN 1 + doc_id % 255
-                             ELSE 1 + (doc_id * 5) % 2000 END AS INTEGER) AS width,
-             CAST(CASE doc_id % 4 WHEN 0 THEN 16 + (doc_id * 7) % 1000
-                             WHEN 1 THEN 1 + (doc_id * 3) % 255
-                             ELSE 1 + (doc_id * 11) % 2000 END AS INTEGER) AS height
-      FROM documents WHERE doc_id % 4 <> 2)
-    SELECT media_id, width, height, py.py AS py, px.px AS px
-    FROM dims,
-         unnest(range(0, CAST(ceil(height / 16.0) AS BIGINT))) AS py(py),
-         unnest(range(0, CAST(ceil(width / 16.0) AS BIGINT))) AS px(px)
-    """,
-    tags=("multimodal", "patch-grid"),
-)
-def mm_patch_grid(spark, sf_dir):
-    """ViT-style 16×16 patch grid over real synthetic image containers
-    (multimodal.patch_grid): one row per patch coordinate, grid derived
-    from the PARSED header dims — the oracle predicts the same grid
-    arithmetically from the id-derived dimensions, so the header parse
-    and the explode plumbing are both value-checked.  Audio rows
-    correctly contribute nothing."""
-    docs = t(spark, sf_dir, "documents")
-    media = multimodal.synthetic_media(docs, "doc_id")
-    return multimodal.patch_grid(media, patch=16).select(
-        "media_id", "width", "height",
-        F.col("py").cast("long").alias("py"),
-        F.col("px").cast("long").alias("px"),
-    )
-
-
-@q(
-    "sample_weighted_wor",
-    """
-    WITH s AS (
-      SELECT doc_id, source,
-             pow((('0x' || substr(md5('wor' || doc_id), 1, 6))::BIGINT + 1.0)
-                 / 16777217.0,
-                 1.0 / n_chars) AS sc
-      FROM documents WHERE n_chars > 0),
-    r AS (SELECT doc_id, source,
-                 row_number() OVER (PARTITION BY source
-                                    ORDER BY sc DESC, doc_id) AS rn
-          FROM s)
-    SELECT doc_id, source FROM r WHERE rn <= 5
-    """,
-    tags=("sampling", "weighted", "training-prep"),
-)
-def sample_weighted_wor_q(spark, sf_dir):
-    """Weighted sampling WITHOUT replacement
-    (sampling.weighted_sample_wor — Efraimidis-Spirakis A-ES): 5 docs
-    per source with probability ∝ n_chars, via deterministic md5 draws
-    u^(1/w) — no RNG state, so the sample is stable across runs and the
-    oracle replays every draw."""
-    docs = t(spark, sf_dir, "documents")
-    out = sampling.weighted_sample_wor(
-        docs, weight_col="n_chars", k=5, group_cols=["source"]
-    )
-    return out.select("doc_id", "source")
-
-
-@q(
-    "w_time_range_frame",
-    """
-    SELECT event_id,
-           CAST(count(*) OVER w AS BIGINT) AS n_1h,
-           round(sum(value) OVER w, 2) AS sum_1h
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts
-                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
-    """,
-    tags=("window", "range-frame", "timeseries"),
-)
-def w_time_range_frame_q(spark, sf_dir):
-    """Time-based RANGE window frame (rolling 1-hour count/sum per
-    user) — the value-based frame the row-frame analytic suite doesn't
-    cover.  Spark's RANGE frame needs a numeric ordering key, so the
-    frame runs over epoch seconds with a 3600-second bound — identical
-    membership to the oracle's INTERVAL frame (microsecond ties
-    included on both sides)."""
-    ev = t(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
-        .rangeBetween(-3_600_000_000, 0)
-    )
-    return ev.select(
-        "event_id",
-        F.count(F.lit(1)).over(w).cast("long").alias("n_1h"),
-        F.round(F.sum("value").over(w), 2).alias("sum_1h"),
-    )
-
-
-@q(
-    "session_bounce_rate",
-    """
-    WITH g AS (
-      SELECT user_id, ts, event_id,
-             CASE WHEN lag(ts) OVER w IS NULL
-                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1
-                  ELSE 0 END AS brk
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-    s AS (SELECT user_id, ts,
-                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) AS sid
-          FROM g),
-    per AS (SELECT user_id, sid, count(*) AS n_events FROM s GROUP BY 1, 2)
-    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
-           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_bounces,
-           round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
-                 / count(*), 4) AS bounce_rate
-    FROM per
-    """,
-    tags=("session", "serving", "analytics"),
-)
-def session_bounce_q(spark, sf_dir):
-    """Bounce rate (share of 30-min sessions with exactly one event) —
-    the classic traffic KPI over the native session window; equivalence
-    of session_window with the oracle's gaps-and-islands is already
-    pinned by w_session_window."""
-    ev = t(spark, sf_dir, "events")
-    per = ev.groupBy(
-        F.session_window("ts", "30 minutes").alias("w"), "user_id"
-    ).agg(F.count(F.lit(1)).alias("n_events"))
-    return per.agg(
-        F.count(F.lit(1)).cast("long").alias("n_sessions"),
-        F.sum((F.col("n_events") == 1).cast("int")).cast("long").alias("n_bounces"),
-        F.round(
-            F.sum((F.col("n_events") == 1).cast("int"))
-            / F.count(F.lit(1)),
-            4,
-        ).alias("bounce_rate"),
-    )
-
-
-_WALK_STEP = """
-w{k} AS (SELECT w.start,
-            n.ns[('0x' || substr(md5('walk' || w.start || ':{k}'), 1, 6))::BIGINT
-                 % len(n.ns) + 1] AS cur
-     FROM w{prev} w JOIN n ON w.cur = n.u)"""
-
-
-@q(
-    "graph_walk_contexts",
-    """
-    WITH p AS (SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
-               FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-    e AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p),
-    n AS (SELECT u, list(DISTINCT v ORDER BY v) AS ns FROM e GROUP BY u),
-    w0 AS (SELECT u AS start, u AS cur FROM (SELECT DISTINCT u FROM e)),"""
-    + ",".join(_WALK_STEP.format(k=k, prev=k - 1) for k in (1, 2, 3))
-    + """
-    SELECT start, 0 AS step, cur AS node FROM w0
-    UNION ALL SELECT start, 1, cur FROM w1
-    UNION ALL SELECT start, 2, cur FROM w2
-    UNION ALL SELECT start, 3, cur FROM w3
-    """,
-    tags=("graph", "walks", "training-prep"),
-)
-def graph_walks_q(spark, sf_dir):
-    """Deterministic DeepWalk-style context walks
-    (graph.deterministic_walks, length 3) over the undirected
-    customer↔supplier purchase graph — md5-driven hop choice, so the
-    walk corpus is bit-reproducible and the oracle replays every hop.
-    Per step: one keyed join of the (start, cur) frontier against the
-    adjacency table."""
-    from ..operators import graph
-
-    o = t(spark, sf_dir, "orders")
-    li = t(spark, sf_dir, "lineitem")
-    p = o.join(li, o.o_orderkey == li.l_orderkey).select(
-        F.concat(F.lit("c"), F.col("o_custkey")).alias("a"),
-        F.concat(F.lit("s"), F.col("l_suppkey")).alias("b"),
-    )
-    und = p.union(p.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    return graph.deterministic_walks(und, length=3, src="a", dst="b")
-
-
-@q(
-    "graph_walk_skipgrams",
-    """
-    WITH p AS (SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
-               FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-    e AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p),
-    n AS (SELECT u, list(DISTINCT v ORDER BY v) AS ns FROM e GROUP BY u),
-    w0 AS (SELECT u AS start, u AS cur FROM (SELECT DISTINCT u FROM e)),"""
-    + ",".join(_WALK_STEP.format(k=k, prev=k - 1) for k in (1, 2, 3))
-    + """,
-    walk AS (
-      SELECT start, 0 AS step, cur AS node FROM w0
-      UNION ALL SELECT start, 1, cur FROM w1
-      UNION ALL SELECT start, 2, cur FROM w2
-      UNION ALL SELECT start, 3, cur FROM w3)
-    SELECT a.node AS center, b.node AS context,
-           CAST(count(*) AS BIGINT) AS n_pairs
-    FROM walk a JOIN walk b
-      ON a.start = b.start AND abs(a.step - b.step) = 1
-    GROUP BY 1, 2
-    """,
-    tags=("graph", "walks", "training-prep"),
-)
-def graph_walk_skipgrams_q(spark, sf_dir):
-    """Skip-gram (center, context) co-occurrence counts from the
-    deterministic walks (window ±1) — the actual node-embedding
-    training artifact.  One self-join of the walk table on
-    (start, adjacent step); walk generation is shared with
-    graph_walk_contexts."""
-    from ..operators import graph
-
-    o = t(spark, sf_dir, "orders")
-    li = t(spark, sf_dir, "lineitem")
-    p = o.join(li, o.o_orderkey == li.l_orderkey).select(
-        F.concat(F.lit("c"), F.col("o_custkey")).alias("a"),
-        F.concat(F.lit("s"), F.col("l_suppkey")).alias("b"),
-    )
-    und = p.union(p.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    walk = graph.deterministic_walks(und, length=3, src="a", dst="b")
-    a = walk.select(F.col("start"), F.col("step").alias("sa"), F.col("node").alias("center"))
-    b = walk.select(F.col("start"), F.col("step").alias("sb"), F.col("node").alias("context"))
-    return (
-        a.join(b, "start")
-        .filter(F.abs(F.col("sa") - F.col("sb")) == 1)
-        .groupBy("center", "context")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
-    )
-
-
-@q(
-    "serving_revenue_share",
-    """
-    WITH r AS (
-      SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
-      FROM lineitem l
-      JOIN supplier s ON l.l_suppkey = s.s_suppkey
-      JOIN nation n ON s.s_nationkey = n.n_nationkey
-      GROUP BY n.n_name)
-    SELECT n_name, revenue,
-           round(revenue / sum(revenue) OVER (), 6) AS share
-    FROM r
-    """,
-    tags=("serving", "analytics", "window"),
-)
-def serving_revenue_share_q(spark, sf_dir):
-    """Per-nation revenue share — contribution analysis: the grand-total
-    window runs over the tiny nation rollup (25 rows), never the fact
-    table."""
-    li = t(spark, sf_dir, "lineitem")
-    su = t(spark, sf_dir, "supplier")
-    na = t(spark, sf_dir, "nation")
-    r = (
-        li.join(su, li.l_suppkey == su.s_suppkey)
-        .join(na, su.s_nationkey == na.n_nationkey)
-        .groupBy("n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
-    )
-    w = Window.partitionBy()
-    return r.select(
-        "n_name", "revenue", F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias("share")
-    )
-
-
-@q(
-    "j10_banded_interval_join",
-    """
-    SELECT a.event_id AS view_id, b.event_id AS purchase_id
-    FROM events a JOIN events b
-      ON b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
-    WHERE a.event_type = 'view' AND b.event_type = 'purchase'
-    """,
-    tags=("join", "interval", "banded"),
-)
-def j10_banded_interval_q(spark, sf_dir):
-    """Keyless big-big interval join (any purchase within 5 minutes
-    after any view, across ALL users) via the range-bucketing rewrite
-    (joins.banded_interval_join): a bare range predicate would plan as
-    a nested-loop cartesian; banding turns it into one hash equi-join
-    on the time bucket with ≤2× left fan-out + an exact post-filter.
-    Plan-gated cartesian-free; equality vs the naive theta join tested."""
-    from ..operators import joins
-
-    ev = t(spark, sf_dir, "events")
-    views = ev.filter(F.col("event_type") == "view").select(
-        F.col("event_id").alias("view_id"), F.col("ts").alias("v_ts")
-    )
-    buys = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
-    )
-    out = joins.banded_interval_join(
-        views, buys, left_ts="v_ts", right_ts="p_ts",
-        lo="0 seconds", hi="5 minutes",
-    )
-    return out.select("view_id", "purchase_id")
-
-
-@q(
-    "ts_mom_growth",
-    """
-    WITH m AS (
-      SELECT strftime(o_orderdate, '%Y-%m') AS month,
-             round(sum(o_totalprice), 2) AS revenue
-      FROM orders GROUP BY 1)
-    SELECT month, revenue,
-           round(revenue - lag(revenue) OVER (ORDER BY month), 2) AS delta,
-           round((revenue - lag(revenue) OVER (ORDER BY month))
-                 / lag(revenue) OVER (ORDER BY month) * 100, 4) AS pct_growth
-    FROM m
-    """,
-    tags=("timeseries", "serving", "window"),
-)
-def ts_mom_growth_q(spark, sf_dir):
-    """Month-over-month revenue growth — the standard serving-dashboard
-    delta query: monthly rollup (map-combinable), then a lag window over
-    the TINY month table (dozens of rows — the single-partition window
-    is over the aggregate, never the facts)."""
-    o = t(spark, sf_dir, "orders")
-    m = o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month")).agg(
-        F.round(F.sum("o_totalprice"), 2).alias("revenue")
-    )
-    w = Window.orderBy("month")
-    prev = F.lag("revenue").over(w)
-    return m.select(
-        "month",
-        "revenue",
-        F.round(F.col("revenue") - prev, 2).alias("delta"),
-        F.round((F.col("revenue") - prev) / prev * 100, 4).alias("pct_growth"),
-    )
-
-
-@q(
-    "ts_mad_anomaly",
-    """
-    WITH med AS (
-      SELECT event_type, quantile_cont(value, 0.5) AS med
-      FROM events GROUP BY event_type),
-    dev AS (
-      SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
-      FROM events e JOIN med m USING (event_type) GROUP BY e.event_type),
-    s AS (SELECT med.event_type, med.med, dev.mad
-          FROM med JOIN dev USING (event_type))
-    SELECT e.event_id, e.event_type,
-           round(abs(e.value - s.med) / (s.mad * 1.4826), 4) AS robust_z
-    FROM events e JOIN s USING (event_type)
-    WHERE s.mad > 0 AND abs(e.value - s.med) / (s.mad * 1.4826) > 3.5
-    """,
-    tags=("timeseries", "anomaly", "robust"),
-)
-def ts_mad_anomaly_q(spark, sf_dir):
-    """Robust (median/MAD) outlier detection — immune to the outliers
-    that inflate z-score's own stddev.  Two tiny per-group exact
-    percentile aggregations broadcast back over the facts; the flag
-    compares unrounded doubles on both engines."""
-    ev = t(spark, sf_dir, "events")
-    med = ev.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.5)).alias("med")
-    )
-    dev = (
-        ev.join(F.broadcast(med), "event_type")
-        .groupBy("event_type")
-        .agg(F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad"))
-    )
-    s = med.join(dev, "event_type")
-    rz = F.abs(F.col("value") - F.col("med")) / (F.col("mad") * 1.4826)
-    return (
-        ev.join(F.broadcast(s), "event_type")
-        .filter((F.col("mad") > 0) & (rz > 3.5))
-        .select("event_id", "event_type", F.round(rz, 4).alias("robust_z"))
-    )
-
-
-@q(
-    "text_script_mix",
-    """
-    SELECT doc_id,
-           round(len(regexp_extract_all(text, '[a-zA-Z]')) * 1.0
-                 / greatest(length(text), 1), 4) AS latin_frac,
-           round(len(regexp_extract_all(text, '[0-9]')) * 1.0
-                 / greatest(length(text), 1), 4) AS digit_frac,
-           round(len(regexp_extract_all(text, '[一-鿿]')) * 1.0
-                 / greatest(length(text), 1), 4) AS han_frac
-    FROM documents
-    """,
-    tags=("text", "script", "langid"),
-)
-def text_script_mix_q(spark, sf_dir):
-    """Character-script composition per document (Latin / digit / Han
-    fractions) — the script-detection signal that routes docs to the
-    right tokenizer (whitespace vs CJK bigram vs FMM).  Pure narrow
-    regexp counting, no shuffle."""
-    docs = t(spark, sf_dir, "documents")
-    nc = F.greatest(F.length("text"), F.lit(1))
-
-    def frac(pat):
-        return F.round(
-            F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0))) / nc, 4
-        )
-
-    return docs.select(
-        "doc_id",
-        frac("[a-zA-Z]").alias("latin_frac"),
-        frac("[0-9]").alias("digit_frac"),
-        frac("[一-鿿]").alias("han_frac"),
-    )
-
-
-@q(
-    "ts_zscore_anomaly",
-    """
-    WITH s AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
-               FROM events GROUP BY event_type)
-    SELECT e.event_id, e.event_type,
-           round((e.value - s.mu) / s.sd, 4) AS z
-    FROM events e JOIN s USING (event_type)
-    WHERE s.sd > 0 AND abs(e.value - s.mu) > 3 * s.sd
-    """,
-    tags=("timeseries", "anomaly"),
-)
-def ts_zscore_anomaly_q(spark, sf_dir):
-    """Per-group z-score outlier detection (|z| > 3) — the monitoring
-    primitive over metric streams.  Two-pass plan: one tiny per-group
-    moment aggregation broadcast back over the facts; the flag compares
-    unrounded doubles on both engines (identical IEEE arithmetic), z
-    rounded for display only."""
-    ev = t(spark, sf_dir, "events")
-    s = ev.groupBy("event_type").agg(
-        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
-    )
-    return (
-        ev.join(F.broadcast(s), "event_type")
-        .filter((F.col("sd") > 0) & (F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sd")))
-        .select("event_id", "event_type", F.round((F.col("value") - F.col("mu")) / F.col("sd"), 4).alias("z"))
-    )
-
-
-@q(
-    "pack_chunk_overlap",
-    f"""
-    WITH toks AS (SELECT doc_id, {_DK_TOKS} AS tk FROM documents),
-    n AS (SELECT doc_id, tk,
-                 greatest(CAST(floor((len(tk) - 8 + 55) / 56.0) AS INT), 1) AS n_chunks
-          FROM toks),
-    e AS (SELECT doc_id, tk, unnest(range(0, n_chunks)) AS chunk_id FROM n)
-    SELECT doc_id,
-           CAST(chunk_id AS BIGINT) AS chunk_id,
-           CAST(len(tk[chunk_id * 56 + 1 : chunk_id * 56 + 64]) AS BIGINT) AS n_chunk_tokens,
-           substr(md5(array_to_string(tk[chunk_id * 56 + 1 : chunk_id * 56 + 64], ' ')), 1, 16) AS chunk_fp
-    FROM e
-    """,
-    tags=("sampling", "chunking", "pretraining"),
-)
-def pack_chunk_overlap_q(spark, sf_dir):
-    """Overlapping-window document chunking (64-token windows, 8-token
-    overlap) — the context-length chunker upstream of `pack_concat_chunk`;
-    chunks travel as md5 fingerprints, never text.  Zero-shuffle narrow
-    plan."""
-    docs = t(spark, sf_dir, "documents")
-    return sampling.chunk_documents(docs, chunk_tokens=64, overlap=8)
-
-
-@q(
-    "text_bpe_pair_counts",
-    f"""
-    WITH toks AS (SELECT {_DK_TOKS} AS tk FROM documents),
-    p AS (SELECT tk[i] AS left_tok, tk[i+1] AS right_tok
-          FROM toks, LATERAL (SELECT unnest(range(1, len(tk))) AS i)
-          WHERE len(tk) >= 2)
-    SELECT left_tok, right_tok, count(*) AS n
-    FROM p GROUP BY 1, 2 HAVING count(*) >= 5
-    """,
-    tags=("text", "tokenizer"),
-)
-def text_bpe_pair_counts_q(spark, sf_dir):
-    """Adjacent-token pair frequencies (min count 5) — the statistic one
-    BPE/WordPiece merge iteration ranks on; one map-combinable shuffle
-    over exploded pairs."""
-    docs = t(spark, sf_dir, "documents")
-    tk = text.tokenize("text")
-    # zip_with over shifted slices: a lambda capturing the outer token
-    # array (element_at(tk, i) over a sequence) re-evaluates split() per
-    # element in the interpreted higher-order path — the same O(len²)
-    # pathology fixed in text.dsir_logweights
-    n_bi = F.greatest(F.size(tk) - 1, F.lit(0))
-    pairs = F.zip_with(
-        F.slice(tk, 1, n_bi),
-        F.slice(tk, 2, n_bi),
-        lambda a, b: F.struct(a.alias("left_tok"), b.alias("right_tok")),
-    )
-    e = split.explode_computed(docs.select(pairs.alias("p")), [], "p", "pr")
-    return (
-        e.select(F.col("pr.left_tok").alias("left_tok"), F.col("pr.right_tok").alias("right_tok"))
-        .groupBy("left_tok", "right_tok")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 5)
-    )
-
-
-@q(
-    "multimodal_frame_sample",
-    """
-    WITH m AS (SELECT doc_id AS media_id,
-                      CASE WHEN doc_id % 4 = 2 THEN 'audio' ELSE 'image' END AS media_type,
-                      CASE WHEN doc_id % 4 = 2 THEN 1 + doc_id % 1000 ELSE 1 END AS n_frames
-               FROM documents)
-    SELECT media_id, media_type,
-           CAST(unnest(range(0, n_frames, 5)) AS BIGINT) AS frame_idx
-    FROM m
-    """,
-    tags=("multimodal",),
-)
-def mm_frame_sample(spark, sf_dir):
-    """Frame sampling (every 5th frame) over real synthetic containers —
-    the Arrow mapInPandas explode-with-parent stage, value-checked: the
-    oracle predicts the sampled frame grid arithmetically from the same
-    id-derived frame counts the WAV headers encode (audio rows carry the
-    sample-frame count; images are single-frame)."""
-    docs = t(spark, sf_dir, "documents")
-    media = multimodal.synthetic_media(docs, "doc_id")
-    return multimodal.frame_sample(media, every_n=5).select(
-        "media_id", "media_type", F.col("frame_idx").cast("long").alias("frame_idx")
-    )
-
-
-@q(
-    "path_analysis_sessions",
-    """
-    WITH g AS (
-      SELECT user_id, ts, event_id, event_type,
-             CASE WHEN lag(ts) OVER w IS NULL
-                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-    s AS (SELECT user_id, event_type, ts, event_id,
-                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) AS sid
-          FROM g),
-    p AS (SELECT user_id, sid,
-                 array_to_string(list(event_type ORDER BY ts, event_id)[1:5], '>') AS path
-          FROM s GROUP BY user_id, sid)
-    SELECT path, count(*) AS n_sessions
-    FROM p GROUP BY path HAVING count(*) >= 3
-    """,
-    tags=("session", "path", "ordered-agg"),
-)
-def path_analysis_q(spark, sf_dir):
-    """User-journey path analysis: per 30-min session, the ordered
-    sequence of the first 5 event types, counted across sessions — the
-    ordered-aggregation family (collect-sort-slice) the funnel/retention
-    queries don't cover.  Determinism: collect_list order is fixed by
-    sorting on (ts, event_id) structs before projection; sessions ride
-    the native session_window (equivalence with gaps-and-islands proven
-    by w_session_window)."""
-    ev = t(spark, sf_dir, "events")
-    sw = ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id").agg(
-        F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))).alias("evs")
-    )
-    path = F.array_join(
-        F.slice(F.transform("evs", lambda s: s["event_type"]), 1, 5), ">"
-    )
-    return (
-        sw.select(path.alias("path"))
-        .groupBy("path")
-        .agg(F.count(F.lit(1)).alias("n_sessions"))
-        .filter(F.col("n_sessions") >= 3)
-    )
-
-
-@q(
-    "dq_orders_expectations",
-    """
-    SELECT 'not_null_o_orderkey' AS check_name,
-           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
-    FROM orders
-    UNION ALL
-    SELECT 'accepted_values_o_orderstatus',
-           CAST(sum(CASE WHEN o_orderstatus IS NULL
-                         OR o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT)
-    FROM orders
-    UNION ALL
-    SELECT 'range_o_totalprice',
-           CAST(sum(CASE WHEN o_totalprice IS NULL
-                         OR o_totalprice < 0 OR o_totalprice > 1000000 THEN 1 ELSE 0 END) AS BIGINT)
-    FROM orders
-    UNION ALL
-    SELECT 'unique_o_orderkey',
-           CAST(coalesce((SELECT sum(n - 1) FROM
-                 (SELECT count(*) AS n FROM orders GROUP BY o_orderkey HAVING count(*) > 1)), 0) AS BIGINT)
-    UNION ALL
-    SELECT 'fk_o_custkey',
-           CAST((SELECT count(*) FROM orders o
-                 WHERE o.o_custkey IS NOT NULL
-                   AND NOT EXISTS (SELECT 1 FROM customer c
-                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
-    """,
-    tags=("quality", "expectations"),
-)
-def dq_orders_q(spark, sf_dir):
-    """Data-quality expectation suite over orders (not-null, accepted
-    values, range, key uniqueness, referential integrity vs customer) —
-    the dbt-test / Great-Expectations layer as Spark aggregations: all
-    row checks in ONE pass, uniqueness one groupBy, FK one broadcast
-    anti-join.  `passed` derived from counts on both engines."""
-    from ..operators import quality as dq
-
-    o = t(spark, sf_dir, "orders")
-    c = t(spark, sf_dir, "customer")
-    out = dq.run_expectations(
-        o,
-        [
-            dq.expect_not_null("o_orderkey"),
-            dq.expect_in("o_orderstatus", ["O", "F", "P"]),
-            dq.expect_between("o_totalprice", 0, 1_000_000),
-            dq.expect_unique(["o_orderkey"]),
-            dq.expect_fk("o_custkey", c, "c_custkey"),
-        ],
-    )
-    return out.drop("passed")
-
-
-@q(
-    "cep_match_sequence",
-    """
-    WITH a0 AS (
-      SELECT user_id, view_ts FROM (
-        SELECT user_id, view_ts,
-               row_number() OVER (PARTITION BY user_id ORDER BY view_ts) AS rn
-        FROM (SELECT DISTINCT user_id, ts AS view_ts
-              FROM events WHERE event_type = 'view'))
-      WHERE rn <= 5),
-    s1 AS (
-      SELECT a.user_id, a.view_ts, min(e.ts) AS click_ts
-      FROM a0 a JOIN events e ON e.user_id = a.user_id
-      WHERE e.event_type = 'click' AND e.ts > a.view_ts
-      GROUP BY a.user_id, a.view_ts),
-    s2 AS (
-      SELECT s.user_id, s.view_ts, s.click_ts, min(e.ts) AS purchase_ts
-      FROM s1 s JOIN events e ON e.user_id = s.user_id
-      WHERE e.event_type = 'purchase' AND e.ts > s.click_ts
-      GROUP BY s.user_id, s.view_ts, s.click_ts),
-    m AS (
-      SELECT user_id, view_ts, click_ts, purchase_ts,
-             row_number() OVER (PARTITION BY user_id ORDER BY view_ts) AS rn
-      FROM s2 WHERE purchase_ts <= view_ts + INTERVAL 3 DAY)
-    SELECT user_id, epoch_us(view_ts) AS view_us, epoch_us(click_ts) AS click_us,
-           epoch_us(purchase_ts) AS purchase_us
-    FROM m WHERE rn = 1
-    """,
-    tags=("cep", "pattern", "sequence"),
-)
-def cep_match_q(spark, sf_dir):
-    """Flink-CEP-style pattern match (Pattern.begin('view')
-    .followedBy('click').followedBy('purchase').within(3 days)) as keyed
-    joins + min-aggregations — see operators/cep.py for the exact
-    earliest-anchor greedy semantics the oracle replays.  Anchors capped
-    at 5 per key (hot-key bound); the winning chain's bound timestamps
-    are emitted as epoch micros (integer-exact)."""
-    from ..operators import cep
-
-    ev = t(spark, sf_dir, "events")
-    m = cep.match_sequence(
-        ev,
-        [
-            ("view", F.col("event_type") == "view"),
-            ("click", F.col("event_type") == "click"),
-            ("purchase", F.col("event_type") == "purchase"),
-        ],
-        within="3 DAY",
-        max_anchors_per_key=5,
-    )
-    return m.select(
-        "user_id",
-        F.unix_micros("view_ts").alias("view_us"),
-        F.unix_micros("click_ts").alias("click_us"),
-        F.unix_micros("purchase_ts").alias("purchase_us"),
-    )
-
-
-@q(
-    "markov_event_transitions",
-    """
-    WITH o AS (
-      SELECT user_id, event_type,
-             lag(event_type) OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id) AS prev_state
-      FROM events),
-    c AS (
-      SELECT prev_state, event_type AS next_state, count(*) AS n_transitions
-      FROM o WHERE prev_state IS NOT NULL
-      GROUP BY prev_state, event_type)
-    SELECT prev_state, next_state, n_transitions,
-           round(n_transitions / sum(n_transitions)
-                 OVER (PARTITION BY prev_state), 6) AS p_transition
-    FROM c
-    """,
-    tags=("cep", "markov", "analytics"),
-)
-def markov_q(spark, sf_dir):
-    """First-order Markov transition matrix of per-user event flows
-    (operators/cep.py:transition_matrix): one keyed lag pass + one
-    grouped count; normalization is a window over the |states|² result,
-    never the event stream."""
-    from ..operators import cep
-
-    ev = t(spark, sf_dir, "events")
-    return cep.transition_matrix(ev)
-
-
-@q(
-    "text_unigram_xent",
-    f"""
-    WITH tk AS (
-      SELECT doc_id, token FROM (
-        SELECT doc_id, unnest({_DK_TOKS}) AS token FROM documents)
-      WHERE token <> ''),
-    cf AS (SELECT token, count(*) AS cnt FROM tk GROUP BY token),
-    tot AS (SELECT sum(cnt) AS total, count(*) AS v FROM cf),
-    dtf AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY doc_id, token)
-    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
-           round(-sum(tf * log2((cnt + 1.0) / (total + v))) / sum(tf), 4) AS xent
-    FROM dtf JOIN cf USING (token) CROSS JOIN tot
-    GROUP BY doc_id
-    """,
-    tags=("text", "lm-filter", "quality"),
-)
-def text_unigram_xent_q(spark, sf_dir):
-    """CCNet-style LM quality score (text.unigram_logprob): per-doc
-    cross-entropy under the corpus's own add-1-smoothed unigram LM —
-    the perplexity-filter tier of a pre-training curation pipeline.
-    Vocabulary never leaves the executors (token-keyed shuffle join,
-    not a broadcast)."""
-    docs = t(spark, sf_dir, "documents")
-    return text.unigram_logprob(docs)
-
-
-_DSIR_SQL = f"""
-    WITH toks AS (
-      SELECT doc_id, source, {_DK_TOKS} AS tk FROM documents),
-    uni AS (SELECT doc_id, source, unnest(tk) AS feat FROM toks),
-    bi AS (
-      SELECT doc_id, source, tk[i] || ' ' || tk[i + 1] AS feat
-      FROM toks, unnest(generate_series(1, len(tk) - 1)) AS g(i)
-      WHERE len(tk) >= 2),
-    feats AS (
-      SELECT doc_id, source,
-             ('0x' || substr(md5(feat), 1, 6))::BIGINT % 4096 AS bucket
-      FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
-      WHERE feat <> ''),
-    rc AS (SELECT bucket, count(*) AS r_cnt FROM feats GROUP BY bucket),
-    tc AS (SELECT bucket, count(*) AS t_cnt FROM feats
-           WHERE source = 'src13' GROUP BY bucket),
-    rt AS (SELECT sum(r_cnt) AS r_total FROM rc),
-    tt AS (SELECT sum(t_cnt) AS t_total FROM tc),
-    ratios AS (
-      SELECT rc.bucket,
-             ln((coalesce(t_cnt, 0) + 1.0) / (t_total + 4096))
-             - ln((r_cnt + 1.0) / (r_total + 4096)) AS log_ratio
-      FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN rt CROSS JOIN tt)
-    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
-           round(sum(log_ratio), 4) AS log_weight
-    FROM feats JOIN ratios USING (bucket)
-    GROUP BY doc_id
-    """
-
-
-@q(
-    "text_dsir_logweights",
-    _DSIR_SQL,
-    tags=("text", "data-selection", "dsir"),
-)
-def text_dsir_q(spark, sf_dir):
-    """DSIR importance log-weights (text.dsir_logweights, arXiv:2302.03169):
-    hashed unigram+bigram features, target = the 'src13' slice of the
-    corpus, raw = everything.  Both feature distributions collapse to
-    4096-bucket tables, so scoring is a broadcast join against the
-    exploded feature stream — corpus-sized data crosses the wire only in
-    the two map-combinable bucket counts."""
-    docs = t(spark, sf_dir, "documents")
-    return text.dsir_logweights(docs, docs.filter(F.col("source") == "src13"))
-
-
-@q(
-    "pipeline_dsir_selection",
-    f"""
-    WITH dsir AS ({_DSIR_SQL.strip()}),
-    ranked AS (
-      SELECT d.doc_id, d.source, w.log_weight,
-             row_number() OVER (PARTITION BY d.source
-                                ORDER BY w.log_weight DESC, d.doc_id) AS rn,
-             count(*) OVER (PARTITION BY d.source) AS n_src
-      FROM documents d JOIN dsir w USING (doc_id))
-    SELECT doc_id, source, log_weight
-    FROM ranked WHERE rn <= ceil(n_src * 0.2)
-    """,
-    tags=("pipeline", "data-selection", "dsir", "composed"),
-)
-def pipeline_dsir_selection_q(spark, sf_dir):
-    """DSIR selection closed end-to-end: importance log-weights → keep
-    the top 20% per source (deterministic rank, doc-id tiebreak) — the
-    actual domain-shifted training subset, not just scores.  The rank
-    window runs per source; at one-giant-source scale swap in the
-    distributed global_rank like sample_length_bucket_batches."""
-    docs = t(spark, sf_dir, "documents")
-    w = text.dsir_logweights(docs, docs.filter(F.col("source") == "src13"))
-    j = docs.join(w, "doc_id").select("doc_id", "source", "log_weight")
-    win = Window.partitionBy("source").orderBy(
-        F.col("log_weight").desc(), "doc_id"
-    )
-    n_src = Window.partitionBy("source")
-    return (
-        j.withColumn("__rn", F.row_number().over(win))
-        .withColumn("__n", F.count(F.lit(1)).over(n_src))
-        .filter(F.col("__rn") <= F.ceil(F.col("__n") * 0.2))
-        .select("doc_id", "source", "log_weight")
-    )
-
-
-@q(
-    "pipeline_curriculum_order",
-    f"""
-    WITH tk AS (
-      SELECT doc_id, token FROM (
-        SELECT doc_id, unnest({_DK_TOKS}) AS token FROM documents)
-      WHERE token <> ''),
-    cf AS (SELECT token, count(*) AS cnt FROM tk GROUP BY token),
-    tot AS (SELECT sum(cnt) AS total, count(*) AS v FROM cf),
-    dtf AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY doc_id, token),
-    xent AS (
-      SELECT doc_id,
-             round(-sum(tf * log2((cnt + 1.0) / (total + v))) / sum(tf), 4) AS xent
-      FROM dtf JOIN cf USING (token) CROSS JOIN tot GROUP BY doc_id)
-    SELECT doc_id, xent,
-           CAST(row_number() OVER (ORDER BY xent, doc_id) AS BIGINT)
-             AS curriculum_rank
-    FROM xent
-    """,
-    tags=("pipeline", "curriculum", "training-prep"),
-)
-def pipeline_curriculum_q(spark, sf_dir):
-    """Curriculum ordering: documents ranked easiest-first by their
-    unigram-LM cross-entropy (fluent/common text early, rare/noisy text
-    late) — the data-ordering artifact curriculum-training consumes.
-    The total order runs as the distributed prefix-sum global_rank, not
-    a single-partition window."""
-    docs = t(spark, sf_dir, "documents")
-    x = text.unigram_logprob(docs).select("doc_id", "xent")
-    ranked = sampling.global_rank(
-        x, [F.col("xent"), F.col("doc_id")], [F.col("xent"), F.col("doc_id")],
-        "curriculum_rank",
-    )
-    return ranked.select(
-        "doc_id", "xent", F.col("curriculum_rank").cast("long").alias("curriculum_rank")
-    )
-
-
-@q(
-    "ts_winsorize",
-    """
-    WITH b AS (
-      SELECT event_type,
-             quantile_cont(value, 0.05) AS p05,
-             quantile_cont(value, 0.95) AS p95
-      FROM events GROUP BY event_type)
-    SELECT e.event_id, e.event_type,
-           round(CASE WHEN e.value < b.p05 THEN b.p05
-                      WHEN e.value > b.p95 THEN b.p95
-                      ELSE e.value END, 4) AS value_w,
-           CAST(CASE WHEN e.value < b.p05 OR e.value > b.p95
-                     THEN 1 ELSE 0 END AS INT) AS clipped
-    FROM events e JOIN b USING (event_type)
-    """,
-    tags=("timeseries", "robust", "cleaning"),
-)
-def ts_winsorize_q(spark, sf_dir):
-    """Winsorization: clip metric values to per-group exact [p05, p95] —
-    the outlier-capping cleaning step before averaging.  One tiny
-    percentile aggregation broadcast back over the facts."""
-    ev = t(spark, sf_dir, "events")
-    b = ev.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.05)).alias("p05"),
-        F.percentile("value", F.lit(0.95)).alias("p95"),
-    )
-    return (
-        ev.join(F.broadcast(b), "event_type")
-        .select(
-            "event_id",
-            "event_type",
-            F.round(
-                F.when(F.col("value") < F.col("p05"), F.col("p05"))
-                .when(F.col("value") > F.col("p95"), F.col("p95"))
-                .otherwise(F.col("value")),
-                4,
-            ).alias("value_w"),
-            (
-                (F.col("value") < F.col("p05")) | (F.col("value") > F.col("p95"))
-            ).cast("int").alias("clipped"),
-        )
-    )
-
-
-@q(
-    "funnel_time_to_convert",
-    """
-    WITH v1 AS (SELECT user_id, min(ts) AS v_ts FROM events
-                WHERE event_type = 'view' GROUP BY user_id),
-    p1 AS (SELECT e.user_id, min(e.ts) AS p_ts
-           FROM events e JOIN v1 ON e.user_id = v1.user_id
-           WHERE e.event_type = 'purchase' AND e.ts > v1.v_ts
-           GROUP BY e.user_id)
-    SELECT CAST(floor(epoch(p1.p_ts - v1.v_ts) / 86400) AS BIGINT) AS days,
-           CAST(count(*) AS BIGINT) AS n_users
-    FROM v1 JOIN p1 USING (user_id)
-    GROUP BY 1
-    """,
-    tags=("funnel", "analytics", "histogram"),
-)
-def funnel_ttc_q(spark, sf_dir):
-    """Time-to-convert histogram: days between a user's first view and
-    first later purchase — the duration distribution the funnel counts
-    don't show.  Two keyed min-aggregations and a day-bucket rollup."""
-    ev = t(spark, sf_dir, "events")
-    v1 = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id").agg(F.min("ts").alias("v_ts"))
-    )
-    p1 = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(v1, "user_id")
-        .filter(F.col("ts") > F.col("v_ts"))
-        .groupBy("user_id").agg(F.min("ts").alias("p_ts"))
-    )
-    return (
-        v1.join(p1, "user_id")
-        .select(
-            F.floor(
-                (F.unix_micros("p_ts") - F.unix_micros("v_ts"))
-                / (86400 * 1_000_000)
-            ).cast("long").alias("days")
-        )
-        .groupBy("days")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
-    )
-
-
-@q(
-    "dq_cross_split_leakage",
-    f"""
-    WITH fp AS (
-      SELECT doc_id,
-             md5(list_aggregate({_DK_TOKS}, 'string_agg', ' ')) AS f,
-             CASE WHEN substr(md5('split:' || COALESCE(CAST(doc_id AS VARCHAR), '')), 1, 4) < 'e666'
-                  THEN 'train'
-                  WHEN substr(md5('split:' || COALESCE(CAST(doc_id AS VARCHAR), '')), 1, 4) < 'f333'
-                  THEN 'val' ELSE 'test' END AS split
-      FROM documents)
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.split AS split_a, b.split AS split_b
-    FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
-    WHERE a.split <> b.split
-    """,
-    tags=("quality", "leakage", "composed"),
-)
-def dq_cross_split_leakage_q(spark, sf_dir):
-    """Cross-split leakage QA: exact-duplicate pairs that straddle the
-    train/val/test boundary — the check every split pipeline must run
-    (a test doc with a training twin invalidates the eval).  One
-    fingerprint self-join restricted to differing splits; at scale the
-    join key is the md5 fingerprint, so the shuffle carries hashes, not
-    text."""
-    docs = t(spark, sf_dir, "documents")
-    fp = sampling.split_assign(docs).select(
-        "doc_id", text.doc_fingerprint("text").alias("f"), "split"
-    )
-    a = fp.select(F.col("doc_id").alias("id_a"), "f", F.col("split").alias("split_a"))
-    b = fp.select(F.col("doc_id").alias("id_b"), "f", F.col("split").alias("split_b"))
-    return (
-        a.join(b, "f")
-        .filter((F.col("id_a") < F.col("id_b")) & (F.col("split_a") != F.col("split_b")))
-        .select("id_a", "id_b", "split_a", "split_b")
-    )
-
-
-@q(
-    "text_lexical_diversity",
-    f"""
-    WITH tk AS (SELECT doc_id, list_filter({_DK_TOKS}, x -> x <> '') AS t
-                FROM documents)
-    SELECT doc_id,
-           CAST(len(t) AS BIGINT) AS n_tokens,
-           CAST(len(list_distinct(t)) AS BIGINT) AS n_types,
-           round(len(list_distinct(t)) / greatest(len(t), 1), 4) AS ttr
-    FROM tk
-    """,
-    tags=("text", "quality", "diversity"),
-)
-def text_lexical_diversity_q(spark, sf_dir):
-    """Type-token ratio (lexical diversity) per document — low TTR marks
-    repetitive/templated text; pure array calculus, no shuffle."""
-    docs = t(spark, sf_dir, "documents")
-    tk = F.filter(text.tokenize("text"), lambda x: x != "")
-    base = docs.select("doc_id", tk.alias("t"))
-    return base.select(
-        "doc_id",
-        F.size("t").cast("long").alias("n_tokens"),
-        F.size(F.array_distinct("t")).cast("long").alias("n_types"),
-        F.round(
-            F.size(F.array_distinct("t")) / F.greatest(F.size("t"), F.lit(1)), 4
-        ).alias("ttr"),
-    )
-
-
-def _morton_sql(cols: list[str], bits: int) -> str:
-    k = len(cols)
-    terms = [
-        f"((({c} >> {i}) & 1) << {i * k + j})"
-        for i in range(bits)
-        for j, c in enumerate(cols)
-    ]
-    return " | ".join(terms)
-
-
-@q(
-    "layout_zorder_keys",
-    f"""
-    SELECT o_orderkey, {_morton_sql(['o_custkey', 'o_orderkey'], 16)} AS z
-    FROM orders
-    """,
-    tags=("layout", "zorder", "data-skipping"),
-)
-def layout_zorder_q(spark, sf_dir):
-    """Z-order (Morton) clustering key over (o_custkey, o_orderkey) —
-    the bit-interleave behind OPTIMIZE ZORDER BY, as a pure shift/mask
-    Column expression (operators/layout.py:morton_key).  The write path
-    (layout.write_zordered: range-repartition on this key + in-partition
-    sort) is exercised with a row-group-stats pruning test in
-    tests/test_plans.py."""
-    from ..operators import layout
-
-    o = t(spark, sf_dir, "orders")
-    return o.select(
-        "o_orderkey", layout.morton_key(["o_custkey", "o_orderkey"]).alias("z")
-    )
-
-
-@q(
-    "graph_pagerank_suppliers",
-    """
-    WITH e AS (
-      SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
-      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-    nn AS (SELECT count(*) AS n FROM nodes),
-    deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
-    r0 AS (SELECT node, 1.0 / n AS rank FROM nodes CROSS JOIN nn),
-    c1 AS (SELECT e.dst AS node, sum(r.rank / d.outdeg) AS mass
-           FROM e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
-           GROUP BY e.dst),
-    r1 AS (SELECT nodes.node, 0.15 / n + 0.85 * coalesce(mass, 0) AS rank
-           FROM nodes CROSS JOIN nn LEFT JOIN c1 ON nodes.node = c1.node),
-    c2 AS (SELECT e.dst AS node, sum(r.rank / d.outdeg) AS mass
-           FROM e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src
-           GROUP BY e.dst),
-    r2 AS (SELECT nodes.node, 0.15 / n + 0.85 * coalesce(mass, 0) AS rank
-           FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.node = c2.node),
-    c3 AS (SELECT e.dst AS node, sum(r.rank / d.outdeg) AS mass
-           FROM e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src
-           GROUP BY e.dst),
-    r3 AS (SELECT nodes.node, 0.15 / n + 0.85 * coalesce(mass, 0) AS rank
-           FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.node = c3.node)
-    SELECT node, round(rank, 9) AS pagerank FROM r3
-    """,
-    tags=("graph", "pagerank", "iterative"),
-)
-def graph_pagerank_q(spark, sf_dir):
-    """PageRank (3 power iterations, d = 0.85) over the customer→supplier
-    purchase graph (operators/graph.py) — link-graph importance as a
-    curation prior.  The oracle replays the exact simplified-PageRank
-    recurrence (no dangling redistribution) as chained CTEs; ranks are
-    rounded at the end only."""
-    from ..operators import graph
-
-    o = t(spark, sf_dir, "orders")
-    li = t(spark, sf_dir, "lineitem")
-    edges = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
-        )
-    )
-    pr = graph.pagerank(edges, iters=3, damping=0.85)
-    return pr.select("node", F.round("pagerank", 9).alias("pagerank"))
-
-
-@q(
-    "graph_pagerank_weighted",
-    """
-    WITH we AS (
-      SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst,
-             CAST(count(*) AS DOUBLE) AS w
-      FROM orders JOIN lineitem ON l_orderkey = o_orderkey GROUP BY 1, 2),
-    nodes AS (SELECT src AS node FROM we UNION SELECT dst FROM we),
-    nn AS (SELECT count(*) AS n FROM nodes),
-    deg AS (SELECT src, sum(w) AS wsum FROM we GROUP BY src),
-    r0 AS (SELECT node, 1.0 / n AS rank FROM nodes CROSS JOIN nn),
-    c1 AS (SELECT e.dst AS node, sum(r.rank * e.w / d.wsum) AS mass
-           FROM we e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
-           GROUP BY e.dst),
-    r1 AS (SELECT nodes.node, 0.15 / n + 0.85 * coalesce(mass, 0) AS rank
-           FROM nodes CROSS JOIN nn LEFT JOIN c1 ON nodes.node = c1.node),
-    c2 AS (SELECT e.dst AS node, sum(r.rank * e.w / d.wsum) AS mass
-           FROM we e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src
-           GROUP BY e.dst),
-    r2 AS (SELECT nodes.node, 0.15 / n + 0.85 * coalesce(mass, 0) AS rank
-           FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.node = c2.node),
-    c3 AS (SELECT e.dst AS node, sum(r.rank * e.w / d.wsum) AS mass
-           FROM we e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src
-           GROUP BY e.dst),
-    r3 AS (SELECT nodes.node, 0.15 / n + 0.85 * coalesce(mass, 0) AS rank
-           FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.node = c3.node)
-    SELECT node, round(rank, 9) AS pagerank FROM r3
-    """,
-    tags=("graph", "pagerank", "weighted"),
-)
-def graph_pagerank_weighted_q(spark, sf_dir):
-    """Weighted PageRank: mass distributes ∝ purchase volume (lineitem
-    count per customer→supplier edge) instead of uniformly — the
-    interaction-weighted variant (graph.pagerank(weight=...)); same
-    chained-CTE oracle with weighted mass."""
-    from ..operators import graph
-
-    o = t(spark, sf_dir, "orders")
-    li = t(spark, sf_dir, "lineitem")
-    edges = o.join(li, o.o_orderkey == li.l_orderkey).select(
-        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
-        F.lit(1.0).alias("w"),
-    )
-    pr = graph.pagerank(edges, iters=3, damping=0.85, weight="w")
-    return pr.select("node", F.round("pagerank", 9).alias("pagerank"))
-
-
-@q(
-    "late_event_flags",
-    """
-    WITH e AS (
-      SELECT event_id, ts, user_id % 8 AS part,
-             md5(CAST(event_id AS VARCHAR)) AS arrival
-      FROM events)
-    SELECT event_id,
-           CASE WHEN ts < max(ts) OVER (PARTITION BY part ORDER BY arrival
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                     - INTERVAL 7 DAY
-                THEN 1 ELSE 0 END AS is_late
-    FROM e
-    """,
-    tags=("streaming-twin", "watermark", "late-data"),
-)
-def late_event_flags_q(spark, sf_dir):
-    """Batch twin of the late-data side output
-    (streaming/sideoutput.py:late_flags_batch — Flink's
-    sideOutputLateData): replay the stream with an md5-shuffled arrival
-    order (simulated out-of-order delivery across 8 source partitions)
-    and flag each row against its partition's running-max watermark at
-    arrival, 7-day out-of-orderness bound.  Per-partition keyed window —
-    no global sort.  The cross-batch stateful router itself is golden-
-    tested in tests/test_streaming.py."""
-    from ..streaming.sideoutput import late_flags_batch
-
-    ev = t(spark, sf_dir, "events").select(
-        "event_id",
-        "ts",
-        (F.col("user_id") % 8).alias("part"),
-        F.md5(F.col("event_id").cast("string")).alias("arrival"),
-    )
-    return late_flags_batch(
-        ev, delay="7 DAY", partition_col="part", order_col="arrival"
-    ).select("event_id", "is_late")
-
-
-@q(
-    "assoc_part_pairs",
-    """
-    WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
-    nb AS (SELECT count(DISTINCT b) AS n_baskets FROM bi),
-    ic AS (SELECT i, count(*) AS cnt FROM bi GROUP BY i),
-    p AS (
-      SELECT a.i AS item_a, b2.i AS item_b, count(*) AS pair_cnt
-      FROM bi a JOIN bi b2 ON a.b = b2.b AND a.i < b2.i
-      GROUP BY a.i, b2.i HAVING count(*) >= 2)
-    SELECT item_a, item_b, pair_cnt,
-           round(pair_cnt / n_baskets, 6) AS support,
-           round(pair_cnt * n_baskets / (ca.cnt * cb.cnt), 6) AS lift
-    FROM p
-    JOIN ic ca ON ca.i = p.item_a
-    JOIN ic cb ON cb.i = p.item_b
-    CROSS JOIN nb
-    """,
-    tags=("assoc", "market-basket", "analytics"),
-)
-def assoc_part_pairs_q(spark, sf_dir):
-    """Market-basket co-occurrence over order baskets
-    (operators/assoc.py:basket_pairs): which parts sell together, with
-    exact support and lift.  Pair fan-out is Σ k² over basket sizes
-    (k ≈ 10 here; the max_items_per_basket cap guards pathological
-    baskets at scale)."""
-    from ..operators import assoc
-
-    li = t(spark, sf_dir, "lineitem")
-    return assoc.basket_pairs(li, basket="l_orderkey", item="l_partkey")
-
-
-@q(
-    "sample_negative_pairs",
-    """
-    WITH ids AS (SELECT DISTINCT vec_id FROM embeddings),
-    ranked AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS r FROM ids),
-    nn AS (SELECT count(*) AS n FROM ids),
-    expd AS (SELECT vec_id, j FROM ranked CROSS JOIN nn,
-             unnest(generate_series(1, 4)) AS g(j)),
-    cand AS (
-      SELECT vec_id, j,
-             (('0x' || substr(md5('ns' || vec_id || ':' || j), 1, 8))::BIGINT
-              % (SELECT n FROM nn)) + 1 AS neg_rank
-      FROM expd)
-    SELECT c.vec_id AS anchor_id, c.j AS j, r2.vec_id AS neg_id
-    FROM cand c JOIN ranked r2 ON r2.r = c.neg_rank
-    WHERE r2.vec_id <> c.vec_id
-    """,
-    tags=("sampling", "contrastive", "training-prep"),
-)
-def sample_negative_pairs_q(spark, sf_dir):
-    """Contrastive negative sampling (sampling.negative_pairs): 4
-    deterministic md5-derived negatives per embedding id, resolved via
-    the distributed-prefix-sum global rank — no RNG, no single-partition
-    window, oracle replays the draws bit-for-bit."""
-    from ..operators import sampling
-
-    emb = t(spark, sf_dir, "embeddings")
-    return sampling.negative_pairs(emb, id_col="vec_id", k=4)
-
-
-@q(
-    "text_gopher_rules",
-    _GOPHER_SQL,
-    tags=("text", "quality", "gopher"),
-)
-def text_gopher_q(spark, sf_dir):
-    """Gopher quality ruleset (text.gopher_rules, arXiv:2112.11446):
-    word/line well-formedness stats plus the top-2-gram repetition
-    fraction, and the paper's pass/fail thresholds — the standard
-    pre-training filter battery.  Array calculus per row; one explode +
-    two keyed aggregations for the 2-gram stage."""
-    docs = t(spark, sf_dir, "documents")
-    return text.gopher_rules(docs)
-
-
-@q(
-    "ts_ewma_level",
-    """
-    WITH s AS (
-      SELECT user_id, list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS xs
-      FROM events GROUP BY user_id)
-    SELECT user_id, CAST(len(xs) AS BIGINT) AS n_points,
-           round(list_reduce(xs, (acc, x) -> 0.8 * acc + 0.2 * x), 6) AS ewma
-    FROM s
-    """,
-    tags=("timeseries", "smoothing"),
-)
-def ts_ewma_q(spark, sf_dir):
-    """Per-user EWMA level (timeseries.ewma_level, α = 0.2): the
-    left-fold recurrence runs as a JVM higher-order aggregate on this
-    side and list_reduce on the oracle — identical double arithmetic, so
-    the smoothed levels are bit-reproducible."""
-    from ..operators import timeseries
-
-    ev = t(spark, sf_dir, "events")
-    return timeseries.ewma_level(ev, alpha=0.2)
-
-
-@q(
-    "attr_last_touch",
-    """
-    WITH f AS (
-      SELECT user_id, ts, event_type,
-             max(CASE WHEN event_type IN ('view','click') THEN ts END)
-               OVER w AS t_ts,
-             arg_max(CASE WHEN event_type IN ('view','click') THEN event_type END,
-                     CASE WHEN event_type IN ('view','click')
-                          THEN lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-                               || lpad(CAST(event_id AS VARCHAR), 12, '0') END)
-               OVER w AS t_type
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
-    SELECT user_id, epoch_us(ts) AS conversion_us,
-           CASE WHEN t_ts >= ts - INTERVAL 7 DAY THEN t_type
-                ELSE 'none' END AS touch_type,
-           CASE WHEN t_ts >= ts - INTERVAL 7 DAY THEN epoch_us(t_ts) END AS touch_us
-    FROM f WHERE event_type = 'purchase'
-    """,
-    tags=("attribution", "analytics", "window"),
-)
-def attr_last_touch_q(spark, sf_dir):
-    """Last-touch attribution (timeseries.last_touch_attribution): each
-    purchase attributed to the user's most recent prior view/click
-    within 7 days — one keyed window pass (running max + max_by over
-    preceding touches), no self-join, 'none' when no touch qualifies."""
-    from ..operators import timeseries
-
-    ev = t(spark, sf_dir, "events")
-    out = timeseries.last_touch_attribution(ev)
-    return out.select(
-        "user_id",
-        F.unix_micros("conversion_ts").alias("conversion_us"),
-        "touch_type",
-        F.unix_micros("touch_ts").alias("touch_us"),
-    )
-
-
-@q(
-    "attr_linear_weights",
-    """
-    WITH c AS (SELECT user_id, ts AS conversion_ts, event_id AS cid FROM events
-               WHERE event_type = 'purchase'),
-    tch AS (SELECT user_id, ts AS touch_ts, event_type AS touch_type
-            FROM events WHERE event_type IN ('view','click')),
-    j AS (
-      SELECT c.user_id, c.conversion_ts, c.cid, t.touch_ts, t.touch_type
-      FROM c JOIN tch t ON c.user_id = t.user_id
-      WHERE t.touch_ts < c.conversion_ts
-        AND t.touch_ts >= c.conversion_ts - INTERVAL 7 DAY)
-    SELECT user_id, epoch_us(conversion_ts) AS conversion_us,
-           epoch_us(touch_ts) AS touch_us, touch_type,
-           round(1.0 / count(*) OVER (PARTITION BY user_id, cid), 6)
-             AS weight
-    FROM j
-    """,
-    tags=("attribution", "analytics", "interval-join"),
-)
-def attr_linear_q(spark, sf_dir):
-    """Linear multi-touch attribution
-    (timeseries.linear_attribution): every view/click in the 7 days
-    before a purchase shares credit 1/k — the interval-join family with
-    the weight window over the joined result."""
-    from ..operators import timeseries
-
-    ev = t(spark, sf_dir, "events")
-    out = timeseries.linear_attribution(ev)
-    return out.select(
-        "user_id",
-        F.unix_micros("conversion_ts").alias("conversion_us"),
-        F.unix_micros("touch_ts").alias("touch_us"),
-        "touch_type",
-        "weight",
-    )
-
-
-@q(
-    "graph_triangle_counts",
-    """
-    WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
-    p AS (
-      SELECT a.i AS x, b2.i AS y
-      FROM bi a JOIN bi b2 ON a.b = b2.b AND a.i < b2.i
-      GROUP BY a.i, b2.i HAVING count(*) >= 2),
-    und AS (SELECT x AS a, y AS b FROM p UNION ALL SELECT y, x FROM p),
-    deg AS (SELECT a AS n, count(*) AS d FROM und GROUP BY a),
-    ori AS (
-      SELECT u.a, u.b
-      FROM und u JOIN deg da ON da.n = u.a JOIN deg db ON db.n = u.b
-      WHERE da.d < db.d OR (da.d = db.d AND u.a < u.b)),
-    tri AS (
-      SELECT w.x, w.y, w.z
-      FROM (SELECT o1.a AS x, o1.b AS y, o2.b AS z
-            FROM ori o1 JOIN ori o2 ON o1.b = o2.a) w
-      JOIN ori o3 ON o3.a = w.x AND o3.b = w.z),
-    corners AS (SELECT x AS node FROM tri
-                UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
-    SELECT node, count(*) AS n_triangles FROM corners GROUP BY node
-    """,
-    tags=("graph", "triangles"),
-)
-def graph_triangles_q(spark, sf_dir):
-    """Per-node triangle counts (graph.triangle_count) over the
-    co-purchase graph (part pairs bought together in ≥2 orders) —
-    degree-ordered orientation bounds the wedge fan-out at O(√m) per
-    node, the compact-forward scheme; the oracle replays the identical
-    orientation rule."""
-    from ..operators import assoc, graph
-
-    li = t(spark, sf_dir, "lineitem")
-    edges = assoc.cooccurrence_pairs(
-        li, basket="l_orderkey", item="l_partkey", min_pair_count=2
-    ).select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
-    return graph.triangle_count(edges).select(
-        F.col("node"), F.col("n_triangles")
-    )
-
-
-# ===========================================================================
-# Gopher Table A1 — the repetition-removal + stop-word signals that
-# complete the paper's filter (text.gopher_repetition; gopher_rules holds
-# the well-formedness half)
-# ===========================================================================
-
-_GOPHER_STOPS_SQL = "', '".join(
-    ("the", "be", "to", "of", "and", "that", "have", "with")
-)
-
-_GOPHER_REP_SQL = f"""
-    WITH base AS (
-      SELECT doc_id, text,
-             list_filter({_DK_TOKS}, x -> x <> '') AS tk,
-             string_split(regexp_replace(text, '\\n+$', ''), chr(10)) AS ln,
-             regexp_split_to_array(regexp_replace(text, '\\n+$', ''), '\\n{{2,}}') AS pg,
-             length(text) AS nc
-      FROM documents),
-    rowstats AS (
-      SELECT doc_id, nc,
-             CAST(len(list_filter(tk, x -> x IN ('{_GOPHER_STOPS_SQL}'))) AS BIGINT)
-               AS n_stop_words,
-             round(1 - len(list_distinct(pg)) / greatest(len(pg), 1), 4)
-               AS dup_para_frac
-      FROM base),
-    lx AS (SELECT doc_id, nc, unnest(ln) AS x FROM base),
-    lc AS (SELECT doc_id, nc, x, count(*) AS cnt FROM lx GROUP BY ALL),
-    dl AS (SELECT doc_id, round(sum((cnt - 1) * length(x)) / greatest(any_value(nc), 1), 4)
-                    AS dup_line_char_frac
-           FROM lc WHERE cnt > 1 GROUP BY doc_id),
-    px AS (SELECT doc_id, nc, unnest(pg) AS x FROM base),
-    pc AS (SELECT doc_id, nc, x, count(*) AS cnt FROM px GROUP BY ALL),
-    dp AS (SELECT doc_id, round(sum((cnt - 1) * length(x)) / greatest(any_value(nc), 1), 4)
-                    AS dup_para_char_frac
-           FROM pc WHERE cnt > 1 GROUP BY doc_id),
-    grams AS (
-      SELECT b.doc_id, b.nc, ns.n, gi.i,
-             array_to_string(list_slice(b.tk, gi.i, gi.i + ns.n - 1), ' ') AS gram
-      FROM base b
-      CROSS JOIN (SELECT unnest(generate_series(2, 10)) AS n) ns,
-           unnest(generate_series(1, len(b.tk))) AS gi(i)
-      WHERE gi.i + ns.n - 1 <= len(b.tk)),
-    gcnt AS (SELECT doc_id, nc, n, gram, count(*) AS cnt
-             FROM grams GROUP BY ALL),
-    topg AS (
-      SELECT doc_id, n,
-             round(cnt * length(gram) / greatest(nc, 1), 4) AS frac
-      FROM (SELECT doc_id, nc, n, gram, cnt,
-                   row_number() OVER (PARTITION BY doc_id, n
-                                      ORDER BY cnt DESC, gram DESC) AS rn
-            FROM gcnt WHERE n IN (3, 4)) x
-      WHERE rn = 1),
-    tops AS (
-      SELECT doc_id,
-             max(CASE WHEN n = 3 THEN frac END) AS top3gram_char_frac,
-             max(CASE WHEN n = 4 THEN frac END) AS top4gram_char_frac
-      FROM topg GROUP BY doc_id),
-    dupg AS (SELECT doc_id, n, gram FROM gcnt WHERE n >= 5 AND cnt >= 2),
-    cover AS (
-      SELECT DISTINCT g.doc_id, g.nc, g.n, pp.p
-      FROM grams g
-      JOIN dupg d ON d.doc_id = g.doc_id AND d.n = g.n AND d.gram = g.gram,
-           unnest(generate_series(g.i, g.i + g.n - 1)) AS pp(p)
-      WHERE g.n >= 5),
-    tokpos AS (
-      SELECT doc_id, ti.i, length(tk[ti.i]) AS tl
-      FROM base, unnest(generate_series(1, len(tk))) AS ti(i)),
-    covchars AS (
-      SELECT c.doc_id, c.n,
-             round(sum(t.tl) / greatest(any_value(c.nc), 1), 4) AS frac
-      FROM cover c JOIN tokpos t ON t.doc_id = c.doc_id AND t.i = c.p
-      GROUP BY c.doc_id, c.n),
-    covp AS (
-      SELECT doc_id,
-             max(CASE WHEN n = 5 THEN frac END) AS dup_5gram_char_frac,
-             max(CASE WHEN n = 6 THEN frac END) AS dup_6gram_char_frac,
-             max(CASE WHEN n = 7 THEN frac END) AS dup_7gram_char_frac,
-             max(CASE WHEN n = 8 THEN frac END) AS dup_8gram_char_frac,
-             max(CASE WHEN n = 9 THEN frac END) AS dup_9gram_char_frac,
-             max(CASE WHEN n = 10 THEN frac END) AS dup_10gram_char_frac
-      FROM covchars GROUP BY doc_id),
-    o AS (
-      SELECT r.doc_id, r.n_stop_words, r.dup_para_frac,
-             coalesce(dl.dup_line_char_frac, 0.0) AS dup_line_char_frac,
-             coalesce(dp.dup_para_char_frac, 0.0) AS dup_para_char_frac,
-             coalesce(t.top3gram_char_frac, 0.0) AS top3gram_char_frac,
-             coalesce(t.top4gram_char_frac, 0.0) AS top4gram_char_frac,
-             coalesce(c.dup_5gram_char_frac, 0.0) AS dup_5gram_char_frac,
-             coalesce(c.dup_6gram_char_frac, 0.0) AS dup_6gram_char_frac,
-             coalesce(c.dup_7gram_char_frac, 0.0) AS dup_7gram_char_frac,
-             coalesce(c.dup_8gram_char_frac, 0.0) AS dup_8gram_char_frac,
-             coalesce(c.dup_9gram_char_frac, 0.0) AS dup_9gram_char_frac,
-             coalesce(c.dup_10gram_char_frac, 0.0) AS dup_10gram_char_frac
-      FROM rowstats r
-      LEFT JOIN dl ON dl.doc_id = r.doc_id
-      LEFT JOIN dp ON dp.doc_id = r.doc_id
-      LEFT JOIN tops t ON t.doc_id = r.doc_id
-      LEFT JOIN covp c ON c.doc_id = r.doc_id)
-    SELECT *,
-           CASE WHEN n_stop_words >= 2
-                 AND dup_para_frac <= 0.30
-                 AND dup_line_char_frac <= 0.20
-                 AND dup_para_char_frac <= 0.20
-                 AND top3gram_char_frac <= 0.18
-                 AND top4gram_char_frac <= 0.16
-                 AND dup_5gram_char_frac <= 0.15
-                 AND dup_6gram_char_frac <= 0.14
-                 AND dup_7gram_char_frac <= 0.13
-                 AND dup_8gram_char_frac <= 0.12
-                 AND dup_9gram_char_frac <= 0.11
-                 AND dup_10gram_char_frac <= 0.10
-                THEN 1 ELSE 0 END AS gopher_rep_pass
-    FROM o
-    """
-
-
-@q(
-    "text_gopher_repetition",
-    _GOPHER_REP_SQL,
-    tags=("text", "quality", "gopher"),
-)
-def text_gopher_repetition_q(spark, sf_dir):
-    """Gopher repetition-removal + stop-word signals
-    (text.gopher_repetition, arXiv:2112.11446 Table A1): duplicate
-    line/paragraph char fractions, top 3-/4-gram coverage, duplicate
-    5..10-gram coverage (overlap-once semantics), and the paper's
-    thresholds ANDed into gopher_rep_pass.  One posexplode + one window
-    of 9 leads builds every n-gram; counts are map-combinable; only ids
-    and small ints shuffle."""
-    docs = t(spark, sf_dir, "documents")
-    return text.gopher_repetition(docs)
-
-
-@q(
-    "text_gopher_full",
-    f"""
-    WITH wf AS ({_GOPHER_SQL}),
-    rep AS ({_GOPHER_REP_SQL})
-    SELECT wf.doc_id, wf.gopher_pass, rep.gopher_rep_pass,
-           CASE WHEN wf.gopher_pass = 1 AND rep.gopher_rep_pass = 1
-                THEN 1 ELSE 0 END AS gopher_full_pass
-    FROM wf JOIN rep ON wf.doc_id = rep.doc_id
-    """,
-    tags=("text", "quality", "gopher"),
-)
-def text_gopher_full_q(spark, sf_dir):
-    """The COMPLETE Gopher filter (Rae et al. Table A1): well-formedness
-    half (gopher_rules) AND repetition half (gopher_repetition) — the
-    flag a pre-training curation pipeline actually gates on."""
-    docs = t(spark, sf_dir, "documents")
-    wf = text.gopher_rules(docs).select("doc_id", "gopher_pass")
-    rep = text.gopher_repetition(docs).select("doc_id", "gopher_rep_pass")
-    return wf.join(rep, "doc_id").select(
-        "doc_id", "gopher_pass", "gopher_rep_pass",
-        ((F.col("gopher_pass") == 1) & (F.col("gopher_rep_pass") == 1))
-        .cast("int")
-        .alias("gopher_full_pass"),
-    )
+from ._registry import CATALOG, QuerySpec, q, t  # noqa: F401
+
+# registration order == former single-file order (bench iterates CATALOG
+# in insertion order; the dedup cache-group adjacency depends on it)
+from . import q_survey  # noqa: F401,E402
+from . import q_dedup  # noqa: F401,E402
+from . import q_analytics  # noqa: F401,E402
+from . import q_tpch_extra  # noqa: F401,E402
+from . import q_curation  # noqa: F401,E402

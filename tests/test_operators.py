@@ -1853,3 +1853,62 @@ def test_gopher_repetition_hand_computed(spark):
     nc6 = len(overlap)
     assert out[6]["dup_5gram_char_frac"] == round(14 / nc6, 4)
     assert out[6]["gopher_rep_pass"] == 0
+
+
+def test_c4_rules_hand_computed(spark):
+    """C4 line/page rules on pathological fixtures: terminal punctuation
+    required, short lines dropped, javascript lines dropped, lorem-ipsum
+    and curly-brace pages flagged, >=3 sentences to keep."""
+    good = ("This is the first proper sentence of the page.\n"
+            "Here is another well formed sentence with plenty of words!\n"
+            "And a third one to clear the sentence minimum?")
+    short = "too short.\nAlso tiny.\nNope."
+    nopunct = ("this line has plenty of words but no terminal punctuation\n"
+               "same here with many words and still no closing mark")
+    js = ("Please enable javascript to view this page today.\n"
+          "A perfectly fine sentence stands alone right here.")
+    lorem = ("Lorem ipsum dolor sit amet consectetur adipiscing elit.\n"
+             "Another full sentence follows the placeholder text here.\n"
+             "And one more to pass the sentence count easily.")
+    code = 'function f() { return "not prose at all"; }'
+    docs = spark.createDataFrame(
+        [(1, good), (2, short), (3, nopunct), (4, js), (5, lorem), (6, code)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.asDict() for r in text.c4_rules(docs).collect()}
+    assert out[1]["n_lines_kept"] == 3 and out[1]["n_sentences"] == 3
+    assert out[1]["c4_keep"] == 1
+    assert out[2]["n_lines_kept"] == 0 and out[2]["c4_keep"] == 0
+    assert out[3]["n_lines_kept"] == 0  # no terminal punctuation
+    assert out[4]["n_lines_kept"] == 1  # javascript line dropped
+    assert out[4]["clean_text"] == "A perfectly fine sentence stands alone right here."
+    assert out[5]["has_lorem_ipsum"] == 1 and out[5]["c4_keep"] == 0
+    assert out[6]["has_curly_brace"] == 1 and out[6]["c4_keep"] == 0
+    # badwords param: hits counted (tokens lowercased), page dropped
+    out2 = {r.doc_id: r.asDict()
+            for r in text.c4_rules(docs, badwords=["placeholder"]).collect()}
+    assert out2[5]["badword_hits"] == 1 and out2[5]["c4_keep"] == 0
+    assert out2[1]["badword_hits"] == 0 and out2[1]["c4_keep"] == 1
+
+
+def test_psi_drift_hand_computed(spark):
+    """PSI on a known two-split fixture: per-bin Laplace-smoothed terms
+    and the bin=-1 total match the closed-form arithmetic."""
+    import math
+
+    from flink_realtime_dw4_0_spark.operators import quality
+
+    rows = ([("r", 5.0)] * 8 + [("r", 15.0)] * 2        # ref: 8/2
+            + [("c", 5.0)] * 2 + [("c", 15.0)] * 8)     # cur: 2/8 (shifted)
+    df = spark.createDataFrame(rows, "split string, v double")
+    out = {r.bin: r.asDict() for r in quality.psi_drift(
+        df, "v", "split", "r", "c", lo=0.0, hi=20.0, n_bins=2).collect()}
+    k = 4  # 2 bins + under/overflow
+    p0, q0 = (8 + 0.5) / (10 + 0.5 * k), (2 + 0.5) / (10 + 0.5 * k)
+    p1, q1 = (2 + 0.5) / (10 + 0.5 * k), (8 + 0.5) / (10 + 0.5 * k)
+    t0 = round((p0 - q0) * math.log(p0 / q0), 6)
+    t1 = round((p1 - q1) * math.log(p1 / q1), 6)
+    assert out[0]["psi_term"] == t0 and out[1]["psi_term"] == t1
+    assert out[-1]["psi_term"] == round(t0 + t1, 6)
+    assert out[-1]["n_ref"] == 10 and out[-1]["n_cur"] == 10
+    assert out[-1]["psi_term"] > 0.25  # reads as 'shifted' on the rule of thumb

@@ -680,3 +680,225 @@ def semantic_dedup_drops(
         .filter(cosine(F.col("__va"), F.col("__vb")) >= F.lit(threshold))
     )
     return pairs.select("cell", F.col("id_b").alias("drop_id")).distinct()
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_cap: int | None = None,
+):
+    """Product-quantization codebooks (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): the vector space is cut
+    into `m` subspaces; each subspace gets its own `k_codes`-centroid
+    codebook, so a d-dim float vector compresses to m small codes
+    (m bytes at k<=256) with quantization error far below a single
+    global codebook of the same budget (k^m effective cells).
+
+    Training is deterministic and driver-bounded exactly like
+    `_train_ivf_centroids`: the smallest-xxhash64(id) `sample_cap` rows
+    are the sample, each subspace runs `iters` numpy Lloyd steps from an
+    id-ordered stratified seed.  Returns (codebooks ndarray of shape
+    (m, k_codes, d//m), sample_size); only this k·d-float model ever
+    sits on the driver, regardless of corpus size.
+    """
+    import numpy as np
+
+    cap = int(sample_cap) if sample_cap is not None else max(k_codes * 64, 1024)
+    rows = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("id")), F.col("id"))
+        .limit(cap)
+        .collect()
+    )
+    rows.sort(key=lambda r: r.id)
+    mat = np.array([r.v for r in rows], dtype=np.float64)
+    d = mat.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = np.empty((m, k_codes, dsub))
+    for j in range(m):
+        sub = mat[:, j * dsub : (j + 1) * dsub]
+        stride = max(1, len(sub) // k_codes)
+        cents = sub[::stride][:k_codes].copy()
+        for _ in range(iters):
+            dist = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = dist.argmin(axis=1)
+            for c in range(k_codes):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[j] = cents
+    return books, len(rows)
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors to PQ codes: per subspace, the index of the nearest
+    codebook centroid.  One vectorized numpy pass per Arrow batch against
+    the broadcast (m, k, dsub) model — a narrow map, zero shuffle; output
+    is (id, codes array<int>), m ints per vector (m bytes on disk after
+    parquet dictionary encoding)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(np.asarray(codebooks))
+
+    def enc(batches):
+        books = bc.value
+        m, k, dsub = books.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(list(pdf[vec_col]), dtype=np.float64)
+            codes = np.empty((len(x), m), dtype=np.int32)
+            for j in range(m):
+                sub = x[:, j * dsub : (j + 1) * dsub]
+                dist = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = dist.argmin(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "codes": list(codes)})
+
+    return df.select(id_col, vec_col).mapInPandas(enc, f"{id_col} long, codes array<int>")
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    m: int = 16,
+    k_codes: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_cap: int | None = None,
+    rerank: int = 8,
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k with exact re-ranking: queries
+    stay float; each query precomputes an (m × k_codes) lookup table of
+    squared distances from its subvectors to every codebook centroid,
+    and a corpus vector's approximate distance is just m table lookups
+    summed over its codes — no float vector ever touches the scan side.
+    The ADC pass shortlists ``k·rerank`` candidates per query; only that
+    shortlist's float vectors are fetched (a semi-join on id) for the
+    exact cosine re-rank — the classic ADC-R design (Jégou et al. 2011),
+    which buys back the quantization error at the cost of reading
+    q·k·rerank full vectors instead of the whole corpus.
+
+    Scale shape: the codebooks AND the query LUTs broadcast (queries are
+    the small side, as in brute_force_topk); the corpus pass reads only
+    (id, m codes) — 4-32x less I/O than raw floats — computes the
+    gather-sum per Arrow batch in numpy, keeps a local shortlist per
+    partition, one shuffle on query_id ranks the global shortlist, and
+    the re-rank join touches q·k·rerank rows.  ``rerank=0/1`` disables
+    re-ranking (pure ADC order).  Approximate → rows-only check; recall
+    is pytest-measured against brute force.  Ordering ties break on
+    neighbor_id, so results are deterministic."""
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+
+    # L2-normalize first: brute-force ranks by COSINE, and on the unit
+    # sphere cosine order == L2 order, so the ADC approximation targets
+    # the same ranking (without this, vector norms leak into the code
+    # distances and recall drops ~noticeably).  JVM-side transform.
+    def normed(df):
+        v = F.col(vec_col)
+        nrm = F.sqrt(
+            F.aggregate(
+                F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        )
+        return df.filter(nrm > 0).select(
+            id_col,
+            F.transform(v, lambda x: x.cast("double") / nrm).alias(vec_col),
+        )
+
+    corpus = normed(corpus)
+    queries = normed(queries)
+    books, _ = pq_train(
+        corpus, m, k_codes, id_col=id_col, vec_col=vec_col, sample_cap=sample_cap
+    )
+    codes = pq_encode(corpus, books, id_col, vec_col)
+
+    q_rows = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("vq")).collect()
+    qids = np.array([r.qid for r in q_rows], dtype=np.int64)
+    qmat = np.array([r.vq for r in q_rows], dtype=np.float64)
+    mm, kk, dsub = books.shape
+    # LUT[q, j, c] = ||q_sub_j - books[j, c]||^2
+    luts = np.empty((len(qids), mm, kk))
+    for j in range(mm):
+        sub = qmat[:, j * dsub : (j + 1) * dsub]
+        luts[:, j, :] = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+    bc_luts = spark.sparkContext.broadcast((qids, luts))
+    topk = int(k)
+    shortk = topk * max(int(rerank), 1)
+
+    def scan(batches):
+        ids, tables = bc_luts.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c = np.array(list(pdf["codes"]), dtype=np.int64)      # (n, m)
+            nid = pdf[id_col].to_numpy()
+            # adist[q, n] = sum_j tables[q, j, c[n, j]]
+            adist = tables[:, np.arange(c.shape[1])[None, :], c].sum(axis=2)
+            # local top-(shortlist+1) per query bounds shuffle volume;
+            # +1 so dropping the self-match later can never evict a true
+            # candidate found in this partition
+            nloc = min(shortk + 1, adist.shape[1])
+            part = np.argpartition(adist, nloc - 1, axis=1)[:, :nloc]
+            out_q, out_n, out_d = [], [], []
+            for qi in range(len(ids)):
+                sel = part[qi]
+                out_q.extend([ids[qi]] * len(sel))
+                out_n.extend(nid[sel])
+                out_d.extend(adist[qi, sel])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "adist": out_d}
+            )
+
+    scored = codes.mapInPandas(
+        scan, "query_id long, neighbor_id long, adist double"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        scored.withColumn("srank", F.row_number().over(w_adc))
+        .filter(F.col("srank") <= shortk)
+        .drop("srank")
+    )
+    if rerank <= 1:
+        return (
+            shortlist.withColumn("rank", F.row_number().over(w_adc).cast("long"))
+            .filter(F.col("rank") <= topk)
+            .select("query_id", "rank", "neighbor_id", F.round("adist", 6).alias("adist"))
+        )
+    # exact re-rank: fetch float vectors for the q*k*rerank shortlist
+    # rows only, score true cosine, final window
+    cvec = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vc"))
+    qvec = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("vq"))
+    exact = (
+        shortlist.join(cvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .withColumn("sim", cosine(F.col("vq"), F.col("vc")))
+    )
+    w_sim = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w_sim).cast("long"))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim"))
+    )

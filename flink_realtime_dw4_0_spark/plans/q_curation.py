@@ -2983,3 +2983,15 @@ def dq_psi_drift_q(spark, sf_dir):
     return quality.psi_drift(
         o, "o_totalprice", "o_orderstatus", "O", "F", lo=0.0, hi=500000.0, n_bins=10
     )
+
+
+@q("ann_pq_topk", None, tags=("similarity", "pq"))
+def ann_pq(spark, sf_dir):
+    """Product-quantization ADC top-k (similarity.pq_topk): m-subspace
+    codebooks compress each vector to m codes; queries precompute
+    per-subspace distance LUTs and the corpus scan reads codes only —
+    4-32x less I/O than raw floats, the storage-side complement to
+    IVF's cell pruning.  Rows-only (float Lloyd); pytest measures
+    recall + encode determinism."""
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(emb.filter(F.col("vec_id") % 25 == 0), emb, k=5)

@@ -1912,3 +1912,31 @@ def test_psi_drift_hand_computed(spark):
     assert out[-1]["psi_term"] == round(t0 + t1, 6)
     assert out[-1]["n_ref"] == 10 and out[-1]["n_cur"] == 10
     assert out[-1]["psi_term"] > 0.25  # reads as 'shifted' on the rule of thumb
+
+
+def test_ann_pq_recall_and_determinism(spark, sf_dir):
+    """PQ ADC search: recall against brute force well above chance, codes
+    deterministic across repartitioned inputs, rank contract (1..k,
+    unique per query, no self matches)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 25 == 0)
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(probes, emb, k=5).collect()
+    }
+    pq = similarity.pq_topk(probes, emb, k=5).collect()  # m=16, k=32, rerank=8
+    got = {(r.query_id, r.neighbor_id) for r in pq}
+    assert len(got & brute) / len(brute) >= 0.7  # ADC shortlist + exact re-rank
+    per_q = {}
+    for r in pq:
+        assert r.query_id != r.neighbor_id
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+
+    books, n = similarity.pq_train(emb, m=8, k_codes=16)
+    assert books.shape[0] == 8 and books.shape[1] == 16 and n > 0
+    c1 = {r.vec_id: tuple(r.codes)
+          for r in similarity.pq_encode(emb, books).collect()}
+    c2 = {r.vec_id: tuple(r.codes)
+          for r in similarity.pq_encode(emb.repartition(7), books).collect()}
+    assert c1 == c2 and len(c1) == emb.count()

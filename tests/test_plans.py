@@ -432,3 +432,47 @@ def test_banded_interval_join_non_utc_session(spark, sf_dir):
         assert got_b == want_b
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def test_bucketed_tables_join_without_exchange(spark, sf_dir, tmp_path):
+    """Storage-bucketed join (layout.write_bucketed): orders and lineitem
+    bucketed + sorted on the join key must sort-merge-join with ZERO
+    Exchange and ZERO Sort in the physical plan — the storage-level
+    co-location that turns a recurring 100 TB fact⋈fact shuffle into a
+    per-bucket local merge.  The same join on the raw parquet plans an
+    Exchange on both sides (asserted as the contrast)."""
+    from flink_realtime_dw4_0_spark.operators import layout
+    from flink_realtime_dw4_0_spark.sources.files import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        # AQE rewrites SMJ plans at runtime; disable for a stable plan probe
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        layout.write_bucketed(
+            o, "t_orders_b", ["o_orderkey"], 4,
+            sort_cols=["o_orderkey"], path=str(tmp_path / "ob"))
+        layout.write_bucketed(
+            li, "t_lineitem_b", ["l_orderkey"], 4,
+            sort_cols=["l_orderkey"], path=str(tmp_path / "lb"))
+        ob = spark.table("t_orders_b")
+        lb = spark.table("t_lineitem_b")
+        j = ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan   # co-located: no shuffle either side
+        assert "+- Sort" not in plan    # sortBy carried: no re-sort either
+
+        raw = o.join(li, o.o_orderkey == li.l_orderkey)
+        raw_plan = raw._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in raw_plan   # the contrast: raw parquet shuffles
+
+        # correctness: identical row count both ways
+        assert j.count() == raw.count()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")

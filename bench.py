@@ -455,6 +455,11 @@ def main() -> None:
             "pipeline_pretrain_curation",
             "j10_banded_interval_join",
             "graph_walk_contexts",
+            # round-4 operators
+            "text_gopher_repetition",
+            "text_c4_rules",
+            "dq_psi_drift",
+            "ann_pq_topk",
         ]
         etimes: dict[str, float] = {}
         for name in extras:

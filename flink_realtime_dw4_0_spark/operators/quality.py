@@ -210,3 +210,60 @@ def psi_drift(
         F.round(F.sum("psi_term"), 6).alias("psi_term"),
     ).select(F.lit(-1).cast("int").alias("bin"), "n_ref", "n_cur", "p", "q", "psi_term")
     return per.unionByName(total)
+
+
+def psi_from_histograms(
+    ref: DataFrame,
+    cur: DataFrame,
+    bin_col: str = "bin",
+    cnt_col: str = "cnt",
+) -> DataFrame:
+    """PSI over two histogram REGISTER tables (operators.profiling.
+    histogram_registers output, or the streaming sketch state a
+    StreamingSketchMerge maintains) — the monitoring path that never
+    touches raw rows: registers are sum-mergeable across batches/splits,
+    so the reference is a frozen register table and the current side is
+    the live sketch; the PSI join costs O(bins), not O(events).
+
+    Same estimator as `psi_drift` (Laplace +0.5 per bin over the UNION
+    of observed bins; bins one side never saw count as 0).  Returns
+    per-bin rows plus the bin = -1 total."""
+    r = ref.select(F.col(bin_col).alias("bin"), F.col(cnt_col).cast("long").alias("n_ref"))
+    c = cur.select(F.col(bin_col).alias("bin"), F.col(cnt_col).cast("long").alias("n_cur"))
+    joined = (
+        r.join(c, "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    tot = joined.agg(
+        F.sum("n_ref").alias("t_ref"),
+        F.sum("n_cur").alias("t_cur"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    per = (
+        joined.crossJoin(F.broadcast(tot))
+        .select(
+            "bin", "n_ref", "n_cur",
+            ((F.col("n_ref") + 0.5) / (F.col("t_ref") + 0.5 * F.col("k"))).alias("p0"),
+            ((F.col("n_cur") + 0.5) / (F.col("t_cur") + 0.5 * F.col("k"))).alias("q0"),
+        )
+        .select(
+            "bin", "n_ref", "n_cur",
+            F.round("p0", 6).alias("p"),
+            F.round("q0", 6).alias("q"),
+            F.round((F.col("p0") - F.col("q0")) * F.log(F.col("p0") / F.col("q0")), 6)
+            .alias("psi_term"),
+        )
+    )
+    total = per.agg(
+        F.sum("n_ref").alias("n_ref"),
+        F.sum("n_cur").alias("n_cur"),
+        F.round(F.sum("p"), 6).alias("p"),
+        F.round(F.sum("q"), 6).alias("q"),
+        F.round(F.sum("psi_term"), 6).alias("psi_term"),
+    ).select(F.lit(-1).cast(joined.schema["bin"].dataType).alias("bin"),
+             "n_ref", "n_cur", "p", "q", "psi_term")
+    return per.unionByName(total)

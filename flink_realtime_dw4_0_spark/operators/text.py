@@ -1051,3 +1051,87 @@ def c4_rules(
         & (F.col("badword_hits") == 0)
     )
     return out.withColumn("c4_keep", keep.cast("int"))
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 20,
+    text_col: str = "text",
+    min_count: int = 1,
+    checkpoint_every: int = 8,
+) -> list[tuple[str, str]]:
+    """Learn a BPE merge table distributed (Sennrich et al. 2016): the
+    corpus collapses ONCE to a (word, count, symbols) vocabulary table —
+    corpus-sized work happens exactly once — and each merge iteration is
+    vocab-sized: one weighted adjacent-pair count (map-combinable
+    shuffle), a 1-row argmax to the driver, and a narrow Arrow pass that
+    splices the winning pair inside every word's symbol array.  This is
+    the shape a 100 TB tokenizer train needs: n_merges × O(vocab), not
+    n_merges × O(corpus).
+
+    Symbols follow `bpe_encode`'s contract (word chars + closing
+    '</w>'), so encode(trained merges) reproduces the trainer's final
+    symbol state exactly (property-tested).  Ties break on (count DESC,
+    left, right) — deterministic run-to-run.  Lineage is truncated with
+    localCheckpoint every `checkpoint_every` merges so iteration cost
+    stays flat instead of growing a plan layer per merge.  Stops early
+    when the best pair's count drops below `min_count`.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    toks = F.filter(tokenize(text_col), lambda t: t != "")
+    from .split import explode_computed
+
+    words = (
+        explode_computed(df.select(toks.alias("tk")), [], "tk", "w")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # split on every inter-character gap (lookahead keeps position 0 whole)
+    chars = F.filter(F.split(F.col("w"), "(?!^)"), lambda c: c != "")
+    cur = words.select(
+        "w", "cnt", F.concat(chars, F.array(F.lit("</w>"))).alias("sym")
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple[str, str]] = []
+    for it in range(int(n_merges)):
+        n_pairs = F.greatest(F.size("sym") - 1, F.lit(0))
+        pairs = F.zip_with(
+            F.slice(F.col("sym"), 1, n_pairs),
+            F.slice(F.col("sym"), 2, n_pairs),
+            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+        )
+        e = explode_computed(cur.select("cnt", pairs.alias("p")), ["cnt"], "p", "pr")
+        top = (
+            e.groupBy(F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.col("n").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] < min_count:
+            break
+        left, right = top[0]["l"], top[0]["r"]
+        merges.append((left, right))
+
+        def make_apply(lt: str, rt: str):
+            def apply_merge(s):
+                def one(sym):
+                    out, i = [], 0
+                    while i < len(sym):
+                        if i + 1 < len(sym) and sym[i] == lt and sym[i + 1] == rt:
+                            out.append(lt + rt)
+                            i += 2
+                        else:
+                            out.append(sym[i])
+                            i += 1
+                    return out
+
+                return s.map(one)
+
+            return pandas_udf(apply_merge, "array<string>")
+
+        cur = cur.withColumn("sym", make_apply(left, right)(F.col("sym")))
+        if (it + 1) % checkpoint_every == 0:
+            cur = cur.localCheckpoint(eager=True)
+    return merges

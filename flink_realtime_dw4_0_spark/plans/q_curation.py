@@ -2995,3 +2995,18 @@ def ann_pq(spark, sf_dir):
     recall + encode determinism."""
     emb = t(spark, sf_dir, "embeddings")
     return similarity.pq_topk(emb.filter(F.col("vec_id") % 25 == 0), emb, k=5)
+
+
+@q("text_bpe_trained_encode", None, tags=("text", "tokenizer", "bpe"))
+def text_bpe_trained_encode_q(spark, sf_dir):
+    """End-to-end learned tokenizer (text.bpe_train -> text.bpe_encode):
+    12 merges trained distributed on the corpus vocabulary (corpus-sized
+    work once, vocab-sized work per merge), then applied to every
+    document.  Deterministic (count-desc/lexicographic tiebreaks) but
+    the iterative argmax has no SQL twin -> rows-only; the trainer is
+    equivalence-tested against a pure-Python reference in pytest."""
+    docs = t(spark, sf_dir, "documents")
+    merges = text.bpe_train(docs, n_merges=12, min_count=2)
+    return text.bpe_encode(docs, merges).select(
+        "doc_id", F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens")
+    )

@@ -1940,3 +1940,53 @@ def test_ann_pq_recall_and_determinism(spark, sf_dir):
     c2 = {r.vec_id: tuple(r.codes)
           for r in similarity.pq_encode(emb.repartition(7), books).collect()}
     assert c1 == c2 and len(c1) == emb.count()
+
+
+def test_bpe_train_matches_reference_and_encode(spark):
+    """Distributed BPE trainer vs an inline pure-Python reference on the
+    classic Sennrich-style corpus: identical merge sequence, and
+    bpe_encode(trained merges) reproduces the trainer's implied final
+    segmentation."""
+    corpus = ("low low low low low "
+              "lower lower "
+              "newest newest newest newest newest newest "
+              "widest widest widest")
+    docs = spark.createDataFrame([(1, corpus)], "doc_id long, text string")
+    got = text.bpe_train(docs, n_merges=8)
+
+    # --- reference implementation (counts + argmax with the same
+    # (count DESC, left, right) tiebreak) ---
+    from collections import Counter
+
+    words = Counter(corpus.split())
+    state = {w: list(w) + ["</w>"] for w in words}
+    want = []
+    for _ in range(8):
+        pc = Counter()
+        for w, syms in state.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += words[w]
+        if not pc:
+            break
+        # (n desc, l asc, r asc) tiebreak, same as the trainer's orderBy
+        top_n = max(pc.values())
+        best = min((p for p, n in pc.items() if n == top_n))
+        want.append(best)
+        l, r = best
+        for w, syms in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r); i += 2
+                else:
+                    out.append(syms[i]); i += 1
+            state[w] = out
+    assert got == want
+
+    # encode with the learned table reproduces the trainer's final state
+    enc = {r.doc_id: r for r in text.bpe_encode(
+        spark.createDataFrame([(i, w) for i, w in enumerate(words)],
+                              "doc_id long, text string"),
+        got).collect()}
+    for i, w in enumerate(words):
+        assert list(enc[i].bpe_tokens) == state[w], w

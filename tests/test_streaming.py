@@ -1665,3 +1665,41 @@ def test_dws_keyword_window_dict_realistic(spark):
         "华为": 2, "智能手表": 1, "正品": 1, "包邮": 1,
         "苹果": 1, "笔记本电脑": 1, "旗舰店": 1,
     }
+
+
+def test_streaming_psi_drift_monitor(spark, tmp_path):
+    """Drift monitoring over the streaming histogram sketch: a frozen
+    reference register table vs a live StreamingSketchMerge state.  A
+    same-distribution batch keeps PSI low; a shifted batch pushes the
+    total past the 0.25 'shifted' threshold — and the check costs
+    O(bins), never O(events)."""
+    from flink_realtime_dw4_0_spark.operators import profiling, quality
+    from flink_realtime_dw4_0_spark.streaming.sketches import StreamingSketchMerge
+
+    def batch(vals):
+        return spark.createDataFrame([(float(v),) for v in vals], "v double")
+
+    ref_rows = [5] * 40 + [15] * 40 + [25] * 20
+    ref = profiling.histogram_registers(batch(ref_rows), "v", [], width=10.0)
+
+    mon = StreamingSketchMerge(str(tmp_path / "hist"), ["bin"], "cnt", "sum")
+    # batch 1: same shape as the reference -> stable
+    mon.process_batch(
+        profiling.histogram_registers(batch([5] * 20 + [15] * 20 + [25] * 10), "v", [], 10.0),
+        spark,
+    )
+    psi1 = {r.bin: r.psi_term for r in quality.psi_from_histograms(
+        ref, mon.read(spark)).collect()}
+    assert psi1[-1] < 0.1  # stable
+
+    # batch 2: mass shifts into high bins -> cumulative state drifts
+    mon.process_batch(
+        profiling.histogram_registers(batch([35] * 80 + [45] * 40), "v", [], 10.0),
+        spark,
+    )
+    psi2 = {r.bin: r.psi_term for r in quality.psi_from_histograms(
+        ref, mon.read(spark)).collect()}
+    assert psi2[-1] > 0.25  # shifted
+    # registers merged additively across the two batches
+    state = {r.bin: r.cnt for r in mon.read(spark).collect()}
+    assert state[0] == 20 and state[3] == 80

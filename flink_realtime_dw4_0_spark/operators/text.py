@@ -885,18 +885,37 @@ def gopher_repetition(
     dp = dup_char_frac("pg", "dup_para_char_frac")
 
     # --- one token-position frame feeds every n-gram statistic ---------
-    pos = base.select(
-        "__id", "nc", F.size("tk").alias("nt"), F.posexplode_outer("tk")
-    ).select(
-        "__id", "nc", "nt", F.col("pos").alias("__pos"), F.col("col").alias("tok")
+    # explicit repartition on the doc key: the bytes after this shuffle
+    # are small enough that AQE would coalesce to 2-3 partitions, but the
+    # DOWNSTREAM work per row (9-lead window, 8-way gram explode, hash)
+    # is compute-bound — an explicit partition count pins the fan-out
+    # (user-specified counts are exempt from AQE coalescing) and the
+    # window reuses the same hash partitioning, so no second exchange.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    pos = (
+        base.select(
+            "__id", "nc", F.size("tk").alias("nt"), F.posexplode_outer("tk")
+        )
+        .select(
+            "__id", "nc", "nt", F.col("pos").alias("__pos"), F.col("col").alias("tok")
+        )
+        .repartition(par, "__id")
     )
+    # n = 2 is gopher_rules' top-2-gram; this battery needs 3..10 only.
+    # The top tiers (3, 4) shuffle the gram STRING (the argmax tiebreak
+    # and char length need it); the dup tiers (5..10) only ever test
+    # gram EQUALITY within a (doc, n) scope, so they shuffle a 64-bit
+    # xxhash64 fingerprint instead — ~5x fewer shuffle bytes on the 6
+    # heaviest tiers, same result for any collision-free assignment (a
+    # within-doc 64-bit collision is ~1e-14 and would surface in the
+    # oracle sweep).
     leads = pos.select(
         "__id", "nc", "nt", "__pos", F.length("tok").alias("tok_len"),
         *[
             F.concat_ws(
                 " ", "tok", *[F.lead("tok", j).over(W) for j in range(1, n)]
             ).alias(f"g{n}")
-            for n in range(2, 11)
+            for n in range(3, 11)
         ],
     )
     grams = (
@@ -907,21 +926,31 @@ def gopher_repetition(
                     *[
                         F.when(
                             F.col("__pos") + n <= F.col("nt"),
-                            F.struct(F.lit(n).alias("n"), F.col(f"g{n}").alias("gram")),
+                            F.struct(
+                                F.lit(n).alias("n"),
+                                (F.col(f"g{n}") if n <= 4 else F.lit(None).cast("string")).alias("gram"),
+                                (F.xxhash64(F.col(f"g{n}")) if n >= 5 else F.lit(None).cast("long")).alias("gh"),
+                            ),
                         )
-                        for n in range(2, 11)
+                        for n in range(3, 11)
                     ]
                 )
             ).alias("s"),
         )
         .filter(F.col("s").isNotNull())
-        .select("__id", "nc", "__pos", F.col("s.n").alias("n"), F.col("s.gram").alias("gram"))
+        .select(
+            "__id", "nc", "__pos",
+            F.col("s.n").alias("n"), F.col("s.gram").alias("gram"),
+            F.col("s.gh").alias("gh"),
+        )
     )
-    gcnt = grams.groupBy("__id", "nc", "n", "gram").agg(F.count(F.lit(1)).alias("cnt"))
-
+    gcnt_top = (
+        grams.filter(F.col("n") <= 4)
+        .groupBy("__id", "nc", "n", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     tops = (
-        gcnt.filter(F.col("n") <= 4)
-        .groupBy("__id", "n")
+        gcnt_top.groupBy("__id", "n")
         .agg(F.max(F.struct("cnt", "gram")).alias("top"), F.first("nc").alias("nc"))
         .select(
             "__id", "n",
@@ -936,10 +965,15 @@ def gopher_repetition(
         .withColumnRenamed("4", "top4gram_char_frac")
     )
 
-    dupg = gcnt.filter((F.col("n") >= 5) & (F.col("cnt") >= 2)).select("__id", "n", "gram")
+    dup_side = grams.filter(F.col("n") >= 5).select("__id", "nc", "__pos", "n", "gh")
+    # duplicated iff the gram's (doc, n, gh) group has >= 2 members — an
+    # unbounded-frame window count marks occurrences in ONE shuffle,
+    # where a groupBy + join-back would shuffle the 6-tier gram stream a
+    # second time for the join
+    w_gram = Window.partitionBy("__id", "n", "gh")
     cover = (
-        grams.filter(F.col("n") >= 5)
-        .join(dupg, ["__id", "n", "gram"])
+        dup_side.withColumn("gcnt", F.count(F.lit(1)).over(w_gram))
+        .filter(F.col("gcnt") >= 2)
         .select("__id", "nc", "n", F.explode(F.sequence("__pos", F.col("__pos") + F.col("n") - 1)).alias("p"))
         .distinct()
     )

@@ -1703,3 +1703,70 @@ def test_streaming_psi_drift_monitor(spark, tmp_path):
     # registers merged additively across the two batches
     state = {r.bin: r.cnt for r in mon.read(spark).collect()}
     assert state[0] == 20 and state[3] == 80
+
+
+def test_streaming_cep_match_and_timeout(spark, tmp_path):
+    """Streaming CEP with event-time timeout (Flink Pattern...within
+    parity): a view→click→purchase chain inside the window emits a
+    'match'; an anchor whose window the watermark passes resolves as a
+    'timeout' carrying the partial binding; a chain split across
+    micro-batches continues from state."""
+    import json
+
+    from flink_realtime_dw4_0_spark.streaming.cep import match_sequence_stream
+
+    src = tmp_path / "cep_src"
+    src.mkdir()
+    base = 1_700_000_000_000
+    # batch 1 (file a): u1 view+click; u2 view only; u3 full chain
+    rows_a = [
+        {"user_id": "u1", "ts": base + 1_000, "event_type": "view"},
+        {"user_id": "u1", "ts": base + 2_000, "event_type": "click"},
+        {"user_id": "u2", "ts": base + 1_000, "event_type": "view"},
+        {"user_id": "u3", "ts": base + 1_000, "event_type": "view"},
+        {"user_id": "u3", "ts": base + 2_000, "event_type": "click"},
+        {"user_id": "u3", "ts": base + 3_000, "event_type": "purchase"},
+    ]
+    # batch 2 (file b): u1 purchase (continues from state, inside window);
+    # u4 far-future view advances the GLOBAL watermark past u2's window
+    rows_b = [
+        {"user_id": "u1", "ts": base + 20_000, "event_type": "purchase"},
+        {"user_id": "u4", "ts": base + 500_000, "event_type": "view"},
+    ]
+    for name, rows in (("a.json", rows_a), ("b.json", rows_b)):
+        with open(src / name, "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+    (src / "a.json").touch()
+    import os
+    os.utime(src / "a.json", (1_000_000, 1_000_000))
+    os.utime(src / "b.json", (1_000_010, 1_000_010))
+
+    stream = spark.readStream.schema(
+        "user_id string, ts long, event_type string"
+    ).option("maxFilesPerTrigger", 1).json(str(src))
+    steps = [
+        ("view", F.col("event_type") == "view"),
+        ("click", F.col("event_type") == "click"),
+        ("purchase", F.col("event_type") == "purchase"),
+    ]
+    out = match_sequence_stream(stream, steps, within="1 minute", watermark="5 seconds")
+    q = (
+        out.writeStream.format("memory").queryName("cep_out")
+        .option("checkpointLocation", str(tmp_path / "cep_ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    got = {(r.key, r.status): (r.anchor_ts, list(r.step_ts))
+           for r in spark.sql("SELECT * FROM cep_out").collect()}
+    # u3: full chain inside one batch
+    assert got[("u3", "match")] == (base + 1_000,
+                                    [base + 1_000, base + 2_000, base + 3_000])
+    # u1: continued across batches, still inside the 1-minute window
+    assert got[("u1", "match")] == (base + 1_000,
+                                    [base + 1_000, base + 2_000, base + 20_000])
+    # u2: anchor expired by the watermark -> timeout with partial binding
+    assert got[("u2", "timeout")][1] == [base + 1_000]
+    assert ("u2", "match") not in got

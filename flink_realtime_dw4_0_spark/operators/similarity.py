@@ -902,3 +902,214 @@ def pq_topk(
         .filter(F.col("rank") <= topk)
         .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim"))
     )
+
+
+def _l2_normalize(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    v = F.col(vec_col)
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    return df.filter(nrm > 0).select(
+        id_col, F.transform(v, lambda x: x.cast("double") / nrm).alias(vec_col)
+    )
+
+
+def ivfadc_index_write(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    m: int = 16,
+    k_codes: int = 32,
+    sample_cap: int | None = None,
+) -> None:
+    """Materialize an IVFADC index (Jégou et al. 2011's IVF + residual
+    product quantization — the FAISS `IVFx,PQy` architecture and the
+    standard billion-vector layout): vectors are L2-normalized, assigned
+    to their nearest coarse IVF cell, the RESIDUAL v − centroid(cell) is
+    PQ-encoded (residuals are small, so a fixed code budget quantizes
+    them far tighter than raw vectors), and the index stores only
+    (id, m codes) partitioned by `cell=N/` directories.
+
+    At scale this is both prunings at once: a probe reads only its
+    nprobe cells' DIRECTORIES (storage-level partition filter) and
+    within them only m-byte codes, never floats — I/O drops by
+    (nprobe/n_cells) × (m/(4·dim)) versus a flat scan.  Sidecars
+    `_ivf_centroids.json` / `_pq_codebooks.json` carry the model
+    (k·dim + m·k·dsub floats — trivially broadcastable)."""
+    import json
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    normed = _l2_normalize(corpus, id_col, vec_col)
+    cents, _ = _train_ivf_centroids(normed, id_col, vec_col, n_cells, sample_cap)
+    bc_c = spark.sparkContext.broadcast(cents)
+
+    def residual(batches):
+        c = bc_c.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(list(pdf[vec_col]), dtype=np.float64)
+            d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            cell = d.argmin(axis=1)
+            res = x - c[cell]
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "cell": cell.astype("int32"), "resid": list(res)}
+            )
+
+    resid = normed.mapInPandas(
+        residual, f"{id_col} long, cell int, resid array<double>"
+    )
+    books, _ = pq_train(
+        resid, m, k_codes, id_col=id_col, vec_col="resid", sample_cap=sample_cap
+    )
+    # encode inline (pq_encode would drop the cell column; a rejoin to
+    # recover it would shuffle — this stays one narrow pass)
+    bc_b = spark.sparkContext.broadcast(np.asarray(books))
+
+    def enc(batches):
+        bks = bc_b.value
+        mm, kk, dsub = bks.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(list(pdf["resid"]), dtype=np.float64)
+            cd = np.empty((len(x), mm), dtype=np.int32)
+            for j in range(mm):
+                sub = x[:, j * dsub : (j + 1) * dsub]
+                dist = ((sub[:, None, :] - bks[j][None, :, :]) ** 2).sum(axis=2)
+                cd[:, j] = dist.argmin(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "cell": pdf["cell"], "codes": list(cd)}
+            )
+
+    resid.mapInPandas(enc, f"{id_col} long, cell int, codes array<int>").write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(path)
+    with open(os.path.join(path, "_ivf_centroids.json"), "w") as fh:
+        json.dump(cents.tolist(), fh)
+    with open(os.path.join(path, "_pq_codebooks.json"), "w") as fh:
+        json.dump(np.asarray(books).tolist(), fh)
+
+
+def ivfadc_index_topk(
+    spark,
+    queries: DataFrame,
+    path: str,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 4,
+    refine_with: DataFrame | None = None,
+    rerank: int = 4,
+) -> DataFrame:
+    """Search a materialized IVFADC index: assign each query its nprobe
+    cells, read ONLY those `cell=N/` directories (static partition
+    pruning over the collected ≤ n_cells probed ids), score codes by ADC
+    against per-(query, cell) residual LUTs, keep a per-partition
+    shortlist, rank globally.  With `refine_with` (the original float
+    corpus) the k·rerank shortlist is exact-cosine re-ranked — FAISS's
+    IVFADC-R refinement — touching only q·k·rerank full vectors."""
+    import json
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    with open(os.path.join(path, "_ivf_centroids.json")) as fh:
+        cents = np.array(json.load(fh), dtype=np.float64)
+    with open(os.path.join(path, "_pq_codebooks.json")) as fh:
+        books = np.array(json.load(fh), dtype=np.float64)
+    mm, kk, dsub = books.shape
+
+    q_rows = _l2_normalize(queries, id_col, vec_col).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("vq")
+    ).collect()
+    qids = np.array([r.qid for r in q_rows], dtype=np.int64)
+    qmat = np.array([r.vq for r in q_rows], dtype=np.float64)
+    qd = ((qmat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    probe_cells = np.argsort(qd, axis=1)[:, : int(nprobe)]
+
+    # per-(query, probed cell) residual LUTs: lut[j, c] = ||r_sub_j - book[j,c]||^2
+    luts: dict[int, tuple] = {}
+    for ci in sorted(set(probe_cells.flatten().tolist())):
+        sel = np.nonzero((probe_cells == ci).any(axis=1))[0]
+        res = qmat[sel] - cents[ci]
+        lt = np.empty((len(sel), mm, kk))
+        for j in range(mm):
+            sub = res[:, j * dsub : (j + 1) * dsub]
+            lt[:, j, :] = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        luts[int(ci)] = (qids[sel], lt)
+    bc = spark.sparkContext.broadcast(luts)
+    topk, shortk = int(k), int(k) * max(int(rerank), 1)
+
+    probed = sorted(luts)
+    codes = spark.read.parquet(path).filter(F.col("cell").isin(probed))
+
+    def scan(batches):
+        tables = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_q, out_n, out_d = [], [], []
+            for cell, grp in pdf.groupby("cell"):
+                ent = tables.get(int(cell))
+                if ent is None:
+                    continue
+                ids, lt = ent
+                c = np.array(list(grp["codes"]), dtype=np.int64)
+                nid = grp[id_col].to_numpy()
+                adist = lt[:, np.arange(c.shape[1])[None, :], c].sum(axis=2)
+                nloc = min(shortk + 1, adist.shape[1])
+                part = np.argpartition(adist, nloc - 1, axis=1)[:, :nloc]
+                for qi in range(len(ids)):
+                    sel = part[qi]
+                    out_q.extend([ids[qi]] * len(sel))
+                    out_n.extend(nid[sel])
+                    out_d.extend(adist[qi, sel])
+            if out_q:
+                yield pd.DataFrame(
+                    {"query_id": out_q, "neighbor_id": out_n, "adist": out_d}
+                )
+
+    scored = codes.mapInPandas(
+        scan, "query_id long, neighbor_id long, adist double"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        scored.withColumn("srank", F.row_number().over(w_adc))
+        .filter(F.col("srank") <= shortk)
+        .drop("srank")
+    )
+    if refine_with is None:
+        return (
+            shortlist.withColumn("rank", F.row_number().over(w_adc).cast("long"))
+            .filter(F.col("rank") <= topk)
+            .select("query_id", "rank", "neighbor_id", F.round("adist", 6).alias("adist"))
+        )
+    cvec = refine_with.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vc"))
+    qvec = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("vq"))
+    exact = (
+        shortlist.join(cvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .withColumn("sim", cosine(F.col("vq"), F.col("vc")))
+    )
+    w_sim = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w_sim).cast("long"))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim"))
+    )

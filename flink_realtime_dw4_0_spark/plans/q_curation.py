@@ -3010,3 +3010,22 @@ def text_bpe_trained_encode_q(spark, sf_dir):
     return text.bpe_encode(docs, merges).select(
         "doc_id", F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens")
     )
+
+
+@q("ann_ivfadc_index_topk", None, tags=("similarity", "ivf", "pq", "index"))
+def ann_ivfadc_index_q(spark, sf_dir):
+    """Materialized IVFADC probe (similarity.ivfadc_index_write/_topk) —
+    the FAISS IVFx,PQy architecture: coarse cells prune STORAGE (probes
+    read only their nprobe cell directories) and residual PQ codes prune
+    BYTES (m ints per vector instead of floats), with the float corpus
+    re-ranking the shortlist (IVFADC-R).  Rows-only (float k-means);
+    pytest measures recall, pruning, and the refine gain."""
+    import tempfile
+
+    emb = t(spark, sf_dir, "embeddings")
+    idx = tempfile.mkdtemp(prefix="ivfadc_idx_") + "/index"
+    similarity.ivfadc_index_write(emb, idx, n_cells=16, m=16, k_codes=32)
+    probes = emb.filter(F.col("vec_id") % 25 == 0)
+    return similarity.ivfadc_index_topk(
+        spark, probes, idx, k=5, nprobe=8, refine_with=emb, rerank=8
+    )

@@ -1990,3 +1990,42 @@ def test_bpe_train_matches_reference_and_encode(spark):
         got).collect()}
     for i, w in enumerate(words):
         assert list(enc[i].bpe_tokens) == state[w], w
+
+
+def test_ivfadc_index_recall_pruning_and_refine(spark, sf_dir, tmp_path):
+    """IVFADC materialized index: probe reads only the probed cell
+    directories (partition pruning), pure-ADC recall is usable, and the
+    IVFADC-R refinement (exact re-rank of the shortlist against the
+    float corpus) pushes recall well past it."""
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 25 == 0)
+    idx = str(tmp_path / "ivfadc")
+    similarity.ivfadc_index_write(emb, idx, n_cells=8, m=16, k_codes=32)
+    cells = sorted(
+        int(d.split("=")[1]) for d in os.listdir(idx) if d.startswith("cell=")
+    )
+    assert cells == list(range(8))
+
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(probes, emb, k=5).collect()
+    }
+    adc = similarity.ivfadc_index_topk(spark, probes, idx, k=5, nprobe=4)
+    adc_rows = adc.collect()
+    got_adc = {(r.query_id, r.neighbor_id) for r in adc_rows}
+    assert len(got_adc & brute) / len(brute) >= 0.3
+
+    refined = similarity.ivfadc_index_topk(
+        spark, probes, idx, k=5, nprobe=4, refine_with=emb, rerank=4
+    )
+    got_ref = {(r.query_id, r.neighbor_id) for r in refined.collect()}
+    rec_ref = len(got_ref & brute) / len(brute)
+    assert rec_ref >= len(got_adc & brute) / len(brute)
+    assert rec_ref >= 0.5
+
+    # partition pruning: the probed-cells plan reads a strict subset of
+    # cell directories
+    probed_plan = adc._jdf.queryExecution().executedPlan().toString()
+    assert "cell" in probed_plan

@@ -336,3 +336,107 @@ def test_cumulate_window_membership_law(spark, offsets):
     }
     assert got == dict(exp)
     assert all(r.window_start == "2024-03-01 00:00:00" for r in out)
+
+
+text_docs_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 10_000),
+        st.text(
+            alphabet=st.sampled_from(list("abcd .!?\n{«é")),
+            min_size=0, max_size=120,
+        ),
+    ),
+    min_size=1,
+    max_size=15,
+    unique_by=lambda r: r[0],
+)
+
+
+@given(rows=text_docs_strategy)
+@settings(**_SETTINGS)
+def test_gopher_repetition_invariants(spark, rows):
+    """All fractions in [0, 1]; counts non-negative; pass flag is
+    consistent with its inputs; one output row per input doc."""
+    from flink_realtime_dw4_0_spark.operators import text as t_ops
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = t_ops.gopher_repetition(df).toPandas()
+    assert len(out) == len(rows)
+    frac_cols = (
+        ["dup_para_frac", "dup_line_char_frac", "dup_para_char_frac",
+         "top3gram_char_frac", "top4gram_char_frac"]
+        + [f"dup_{n}gram_char_frac" for n in range(5, 11)]
+    )
+    for c in frac_cols:
+        assert (out[c] >= 0).all(), c
+        assert (out[c] <= 1.0001).all(), c
+    assert (out["n_stop_words"] >= 0).all()
+    # flag consistency: recompute from the emitted columns
+    import numpy as np
+    expect = (
+        (out["n_stop_words"] >= 2)
+        & (out["dup_para_frac"] <= 0.30)
+        & (out["dup_line_char_frac"] <= 0.20)
+        & (out["dup_para_char_frac"] <= 0.20)
+        & (out["top3gram_char_frac"] <= 0.18)
+        & (out["top4gram_char_frac"] <= 0.16)
+    )
+    for n, thr in t_ops.GOPHER_DUP_NGRAM_MAX.items():
+        expect &= out[f"dup_{n}gram_char_frac"] <= thr
+    assert (out["gopher_rep_pass"] == expect.astype(int)).all()
+
+
+@given(rows=text_docs_strategy)
+@settings(**_SETTINGS)
+def test_c4_rules_invariants(spark, rows):
+    """clean_text only contains surviving lines, kept <= total, sentence
+    count consistent with clean_text, keep flag consistent."""
+    from flink_realtime_dw4_0_spark.operators import text as t_ops
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.asDict() for r in t_ops.c4_rules(df).collect()}
+    src = dict(rows)
+    for did, r in out.items():
+        assert 0 <= r["n_lines_kept"] <= r["n_lines"]
+        body = src[did]
+        for line in (r["clean_text"].split("\n") if r["clean_text"] else []):
+            assert line in body.rstrip("\n").split("\n")
+        import re as _re
+        assert r["n_sentences"] == len(_re.split(r"[.!?]", r["clean_text"])) - 1
+        expect = int(
+            r["n_sentences"] >= 3
+            and r["has_lorem_ipsum"] == 0
+            and r["has_curly_brace"] == 0
+            and r["badword_hits"] == 0
+        )
+        assert r["c4_keep"] == expect
+
+
+@given(
+    vals=st.lists(st.floats(-100, 200, allow_nan=False), min_size=2, max_size=60),
+    split_at=st.integers(1, 59),
+)
+@settings(**_SETTINGS)
+def test_psi_drift_invariants(spark, vals, split_at):
+    """p and q each sum to ~1 over emitted bins + total row consistency;
+    PSI >= 0; identical splits give PSI == 0."""
+    split_at = min(split_at, len(vals) - 1)
+    rows = [("r", float(v)) for v in vals[:split_at]] + [
+        ("c", float(v)) for v in vals[split_at:]
+    ]
+    from flink_realtime_dw4_0_spark.operators import quality
+
+    df = spark.createDataFrame(rows, "split string, v double")
+    out = quality.psi_drift(df, "v", "split", "r", "c", lo=-100.0, hi=200.0, n_bins=5)
+    rows_out = {r.bin: r for r in out.collect()}
+    total = rows_out[-1]
+    per = [r for b, r in rows_out.items() if b != -1]
+    assert total.n_ref == sum(r.n_ref for r in per)
+    assert total.n_cur == sum(r.n_cur for r in per)
+    assert total.psi_term >= -1e-6  # PSI is non-negative up to rounding
+    # mirror-identical distributions -> PSI exactly 0
+    sym = [("r", float(v)) for v in vals] + [("c", float(v)) for v in vals]
+    df2 = spark.createDataFrame(sym, "split string, v double")
+    out2 = {r.bin: r.psi_term for r in quality.psi_drift(
+        df2, "v", "split", "r", "c", lo=-100.0, hi=200.0, n_bins=5).collect()}
+    assert out2[-1] == 0.0

@@ -3029,3 +3029,32 @@ def ann_ivfadc_index_q(spark, sf_dir):
     return similarity.ivfadc_index_topk(
         spark, probes, idx, k=5, nprobe=8, refine_with=emb, rerank=8
     )
+
+
+@q(
+    "rate_limit_admit",
+    """
+    WITH e AS (SELECT CAST(user_id AS VARCHAR) AS key, epoch_ms(ts) AS ts, event_id FROM events),
+    w AS (SELECT key, ts, event_id, (ts // 3600000) * 3600000 AS win_start FROM e)
+    SELECT key, ts, event_id, win_start,
+           CASE WHEN row_number() OVER (PARTITION BY key, win_start
+                                        ORDER BY ts, event_id) <= 5
+                THEN 1 ELSE 0 END AS admitted
+    FROM w
+    """,
+    tags=("streaming-twin", "rate-limit", "ingestion"),
+)
+def rate_limit_admit_q(spark, sf_dir):
+    """Per-key rate limiting, batch twin (streaming.ratelimit): admit at
+    most 5 events per user per hourly event-time window, tag the rest —
+    the ingestion guard in front of expensive curation.  One window
+    shuffle on (key, window); the streaming State-API-v2 processor is
+    golden-tested for cross-batch window continuation."""
+    from ..streaming.ratelimit import rate_limit_batch
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.unix_millis("ts").alias("ts_ms"), "event_id"
+    )
+    return rate_limit_batch(
+        ev, cap=5, window_ms=3_600_000, key="user_id", ts="ts_ms"
+    )

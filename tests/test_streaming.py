@@ -1770,3 +1770,46 @@ def test_streaming_cep_match_and_timeout(spark, tmp_path):
     # u2: anchor expired by the watermark -> timeout with partial binding
     assert got[("u2", "timeout")][1] == [base + 1_000]
     assert ("u2", "match") not in got
+
+
+def test_rate_limit_stream_cross_batch(spark, tmp_path):
+    """State API v2 rate limiter: at most cap events per key per
+    event-time window, with the window's admitted-count surviving
+    micro-batch boundaries; overflow events are tagged, not dropped."""
+    import json
+    import os
+
+    from flink_realtime_dw4_0_spark.streaming.ratelimit import rate_limit_stream
+
+    src = tmp_path / "rl_src"
+    src.mkdir()
+    base = 1_700_000_000_000
+    rows_a = [  # 3 events for u1 in one minute-window (cap 2)
+        {"user_id": "u1", "ts": base + 1_000, "event_id": 1},
+        {"user_id": "u1", "ts": base + 2_000, "event_id": 2},
+        {"user_id": "u1", "ts": base + 3_000, "event_id": 3},
+        {"user_id": "u2", "ts": base + 1_000, "event_id": 4},
+    ]
+    rows_b = [  # u1 again in the SAME window (must stay blocked) + next window
+        {"user_id": "u1", "ts": base + 10_000, "event_id": 5},
+        {"user_id": "u1", "ts": base + 70_000, "event_id": 6},
+    ]
+    for name, rows, mt in (("a.json", rows_a, 1_000_000), ("b.json", rows_b, 1_000_010)):
+        with open(src / name, "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+        os.utime(src / name, (mt, mt))
+    stream = spark.readStream.schema(
+        "user_id string, ts long, event_id long"
+    ).option("maxFilesPerTrigger", 1).json(str(src))
+    out = rate_limit_stream(stream, cap=2, window="1 minute")
+    q = (
+        out.writeStream.format("memory").queryName("rl_out")
+        .option("checkpointLocation", str(tmp_path / "rl_ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    got = {r.event_id: r.admitted for r in spark.sql("SELECT * FROM rl_out").collect()}
+    assert got == {1: 1, 2: 1, 3: 0, 4: 1, 5: 0, 6: 1}

@@ -1,0 +1,125 @@
+"""Static scale audit: machine-checks the package's 100 TB design claims.
+
+Every driver-side materialization (`collect`/`toPandas`) in the engine
+must appear in the allowlist below with its boundedness justification —
+a new unguarded collect fails this test until it is either removed or
+consciously justified here.  Row-at-a-time Python UDFs are forbidden
+outright (Arrow-batched pandas UDFs / mapInPandas are the sanctioned
+Python path), and every crossJoin must either broadcast a side or be an
+allowlisted bounded/contrast path.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+PKG = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "flink_realtime_dw4_0_spark")
+
+# (filename, line-substring-regex) -> justification.  Keep these TIGHT:
+# the regex must match the materializing line itself.
+COLLECT_ALLOWLIST = [
+    ("streaming/dim.py", r"config\.collect\(\)",
+     "broadcast-config table: bounded by the config row count (T2)"),
+    ("streaming/dwd_trade.py", r"\.collect\(\)",
+     "per-batch stats: one row per routed table (<= 4 rows)"),
+    ("streaming/sideoutput.py", r"agg\(F\.min\(.max_ts.\)",
+     "watermark probe: single-row aggregate"),
+    ("sinks/serving.py", r"limit\(max_rows_per_batch \+ 1\)\.toPandas",
+     "serving upsert: limit-gated, fails loud past max_rows_per_batch"),
+    ("sinks/upsert.py", r"probe\.distinct\(\)\.collect\(\)",
+     "touched-bucket probe: bounded by n_buckets distinct values"),
+    ("operators/sampling.py", r"groupBy\(._pid.\)",
+     "per-partition totals: one row per partition (prefix-sum rank)"),
+    ("operators/dedup.py", r"limit\(driver_threshold \+ 1\)\.collect\(\)",
+     "components gate: limit-bounded at threshold+1 id rows"),
+    ("operators/text.py", r"\.collect\(\)",
+     "bpe_train argmax: limit(1) single-row top pair per merge"),
+    ("operators/similarity.py", r"corpus = base\.collect\(\)",
+     "cosine broadcast path: entered only after count <= broadcast_rows"),
+    ("operators/similarity.py", r"\.limit\(cap\)",
+     "IVF/PQ training sample: limit-bounded at sample_cap rows"),
+    ("operators/similarity.py", r"q_cells\.select\(.cell.\)\.distinct",
+     "probed-cell ids: bounded by n_cells integers"),
+    ("operators/similarity.py", r"agg\(F\.sum\(.d2.\)",
+     "k-means inertia: single scalar"),
+    ("operators/similarity.py", r"groupBy\(.cell., .pos.\)",
+     "k-means model update: k x dim partial sums (the model, not the data)"),
+    ("operators/similarity.py", r"queries\.select\(F\.col\(id_col\)\.alias\(.qid.\)",
+     "ADC query LUTs: queries are the declared small side (broadcast shape)"),
+    ("operators/similarity.py", r"_l2_normalize\(queries",
+     "IVFADC query set: queries are the declared small side"),
+]
+
+CROSSJOIN_ALLOWLIST = [
+    ("operators/text.py", r"crossJoin\(F\.broadcast"),
+    ("operators/quality.py", r"crossJoin\(F\.broadcast"),
+    ("operators/similarity.py", r"a\.crossJoin\(b\)"),   # documented naive contrast path
+    ("operators/similarity.py", r"\.crossJoin\(c\)"),    # broadcast(q) is the left side
+]
+
+
+def _hits(pattern: str, context: int = 6):
+    """(relpath, lineno, context) for each match; context is the match
+    line plus the `context` preceding lines (method chains split across
+    lines put the informative call — limit(...), distinct() — above the
+    terminal .collect())."""
+    out = []
+    for root, _dirs, files in os.walk(PKG):
+        if "plans" in root:  # catalog fns run at sf scale under the oracle gate
+            continue
+        for f in files:
+            if not f.endswith(".py"):
+                continue
+            path = os.path.join(root, f)
+            rel = os.path.relpath(path, PKG)
+            lines = open(path).readlines()
+            for i, line in enumerate(lines, 1):
+                stripped = line.split("#")[0]
+                if re.search(pattern, stripped):
+                    ctx = "".join(lines[max(0, i - 1 - context) : i])
+                    out.append((rel, i, ctx))
+    return out
+
+
+def test_no_unjustified_driver_materialization():
+    bad = []
+    for rel, i, line in _hits(r"\.collect\(\)|\.toPandas\(\)"):
+        ok = any(
+            rel.endswith(f) and re.search(rx, line)
+            for f, rx, _just in COLLECT_ALLOWLIST
+        )
+        if not ok:
+            bad.append(f"{rel}:{i}: {line}")
+    assert not bad, (
+        "unjustified driver materialization (add to COLLECT_ALLOWLIST with a "
+        "boundedness justification, or make the operator distributed):\n"
+        + "\n".join(bad)
+    )
+
+
+def test_no_row_at_a_time_python_udfs():
+    bad = [
+        f"{rel}:{i}: {line}"
+        for rel, i, line in _hits(r"F\.udf\(|@udf\b|functions\.udf\(")
+    ]
+    assert not bad, (
+        "row-at-a-time Python UDF found (use pandas_udf / mapInPandas):\n"
+        + "\n".join(bad)
+    )
+
+
+def test_crossjoins_broadcast_or_allowlisted():
+    bad = []
+    for rel, i, line in _hits(r"\.crossJoin\("):
+        ok = any(
+            rel.endswith(f) and re.search(rx, line)
+            for f, rx in CROSSJOIN_ALLOWLIST
+        )
+        if not ok:
+            bad.append(f"{rel}:{i}: {line}")
+    assert not bad, (
+        "crossJoin without a broadcast side (allowlist it with a bound, or "
+        "broadcast the small side):\n" + "\n".join(bad)
+    )

@@ -1,0 +1,100 @@
+"""Cross-table atomic publish for KeyedTables — the warehouse-level
+commit the reference's per-sink transactions approximate: one DWS
+micro-batch updates several serving tables, and a crash between their
+individual commits must not leave a reader seeing table A's new batch
+next to table B's old one.
+
+Two-phase with ROLL-FORWARD recovery (the same intent-journal shape as
+a filesystem redo log or Iceberg's multi-table catalog commit):
+
+  1. PREPARE — every table's next snapshot is written as an UNCOMMITTED
+     version dir + manifest (``KeyedTable.prepare``): full data on disk,
+     CURRENT untouched, invisible to readers and to ``_history`` (which
+     only trusts HISTORY + CURRENT).
+  2. INTENT — one journal file listing (table path, version) pairs is
+     written and fsync-renamed into place.  This is the commit point.
+  3. FLIP — each table's CURRENT pointer flips to its prepared version
+     (the same atomic tmp+rename every normal merge uses).
+  4. CLEAN — the journal is removed.
+
+Crash before INTENT: no journal → nothing flips; orphan version dirs
+are GC'd by each table's next commit.  Crash after INTENT: the journal
+survives, and ``recover()`` (called by ``publish_all`` and safe to call
+at every pipeline start) re-applies the remaining flips — readers see
+either no table flipped or, after recovery, all of them.  Flink's
+equivalent is the checkpoint-coordinated two-phase-commit sink
+(TwoPhaseCommitSinkFunction); Spark-side this is the batch-boundary
+restatement of the same idea.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .upsert import KeyedTable
+
+
+def _flip(table_path: str, version: str) -> None:
+    cur = os.path.join(table_path, "CURRENT")
+    tmp = f"{cur}.tmp_txn_{version}"
+    with open(tmp, "w") as fh:
+        fh.write(version)
+    os.replace(tmp, cur)
+    with open(os.path.join(table_path, "HISTORY"), "a") as fh:
+        fh.write(version + "\n")
+
+
+class TableTxn:
+    """Atomic all-or-nothing publish across multiple KeyedTables rooted
+    under one warehouse directory (where the journal lives)."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _journal(self) -> str:
+        return os.path.join(self.root, "TXN_INTENT")
+
+    def recover(self) -> bool:
+        """Roll forward an interrupted publish.  Returns True if a
+        journal was found and completed."""
+        j = self._journal()
+        if not os.path.exists(j):
+            return False
+        with open(j) as fh:
+            entries = json.load(fh)
+        for e in entries:
+            cur_f = os.path.join(e["path"], "CURRENT")
+            cur = open(cur_f).read().strip() if os.path.exists(cur_f) else None
+            if cur != e["version"] and os.path.exists(
+                os.path.join(e["path"], e["version"])
+            ):
+                _flip(e["path"], e["version"])
+        os.remove(j)
+        return True
+
+    def publish_all(
+        self, updates: dict[KeyedTable, DataFrame], spark: SparkSession | None = None
+    ) -> None:
+        """MERGE every table's batch and commit all results atomically.
+
+        Each table's merge result is computed with the NORMAL merge
+        logic but staged uncommitted (``prepare_merge``); the intent
+        journal then makes the set of flips all-or-nothing under
+        roll-forward recovery."""
+        self.recover()  # never stack a new txn on an unfinished one
+        prepared: list[tuple[str, str]] = []
+        for table, batch in updates.items():
+            sp = spark or batch.sparkSession
+            version = table.prepare_merge(sp, batch)
+            prepared.append({"path": table.path, "version": version})
+        tmp = self._journal() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(prepared, fh)
+        os.replace(tmp, self._journal())  # commit point
+        for e in prepared:
+            _flip(e["path"], e["version"])
+        os.remove(self._journal())

@@ -251,7 +251,9 @@ class KeyedTable:
             "_change_type",
         )
 
-    def _commit(self, df: DataFrame, inherit: dict[str, str]) -> None:
+    def _commit(
+        self, df: DataFrame, inherit: dict[str, str], flip: bool = True
+    ) -> str:
         """Crash-safe bucketed commit: write `df`'s rows partitioned by
         key-hash bucket into a fresh version dir, write the version's
         MANIFEST (rewritten buckets -> this version; `inherit` buckets ->
@@ -284,6 +286,12 @@ class KeyedTable:
         with open(tmp_m, "w") as fh:
             json.dump(man, fh)
         os.replace(tmp_m, self._manifest_path(v))
+        if not flip:
+            # STAGED (uncommitted) version: full data + manifest on disk,
+            # CURRENT/HISTORY untouched (invisible to readers), GC skipped
+            # (the stage isn't referenced yet — sinks/txn.py flips it
+            # under an intent journal; orphans die at the next real commit)
+            return v
         tmp = f"{self._current_file()}.tmp_{v}"
         with open(tmp, "w") as fh:
             fh.write(v)
@@ -310,6 +318,7 @@ class KeyedTable:
         with open(tmp_h, "w") as fh:
             fh.write("".join(n + "\n" for n in retained_list))
         os.replace(tmp_h, self._history_file())
+        return v
 
     def _overwrite(self, df: DataFrame) -> None:
         """Full-snapshot commit: every bucket rewritten."""
@@ -323,9 +332,19 @@ class KeyedTable:
         versioned commit as merge."""
         self._overwrite(df)
 
-    def merge(self, spark: SparkSession, batch: DataFrame, deletes: DataFrame | None = None) -> None:
+    def merge(
+        self,
+        spark: SparkSession,
+        batch: DataFrame,
+        deletes: DataFrame | None = None,
+        _flip: bool = True,
+    ) -> str:
         """MERGE: upsert `batch` rows by key (latest version wins within the
-        batch), then remove keys present in `deletes`."""
+        batch), then remove keys present in `deletes`.  Returns the new
+        version name.  ``_flip=False`` stages the merge UNCOMMITTED (data +
+        manifest written, CURRENT untouched) — the cross-table transaction
+        path (`sinks/txn.py`) flips staged versions under an intent
+        journal; use `prepare_merge` rather than passing the flag."""
         w_cols = [F.col(k) for k in self.keys]
         if self.version_col:
             # deterministic tiebreak: equal versions (e.g. Maxwell second-
@@ -357,8 +376,7 @@ class KeyedTable:
                 merged = merged.join(
                     deletes.select(*self.keys).distinct(), on=self.keys, how="left_anti"
                 )
-            self._commit(merged, inherit={})
-            return
+            return self._commit(merged, inherit={}, flip=_flip)
 
         man = self._load_manifest(cur_version)
         incremental = (
@@ -384,8 +402,7 @@ class KeyedTable:
                 merged = merged.join(
                     deletes.select(*self.keys).distinct(), on=self.keys, how="left_anti"
                 )
-            self._commit(merged, inherit={})
-            return
+            return self._commit(merged, inherit={}, flip=_flip)
 
         # incremental path: rewrite ONLY the buckets the batch (or the
         # deletes) touches; every other bucket is inherited by manifest
@@ -428,9 +445,17 @@ class KeyedTable:
             # nondeterministic
             merged = merged.select(*[f["name"] for f in man["schema"]["fields"]])
             inherit = {b: ver for b, ver in cur_map.items() if b not in touched}
-            self._commit(merged, inherit=inherit)
+            return self._commit(merged, inherit=inherit, flip=_flip)
         finally:
             batch.unpersist()
+
+    def prepare_merge(
+        self, spark: SparkSession, batch: DataFrame, deletes: DataFrame | None = None
+    ) -> str:
+        """Stage a merge without committing: full merge computation, data
+        + manifest written as an uncommitted version, CURRENT untouched.
+        Returns the version name for `sinks/txn.TableTxn` to flip."""
+        return self.merge(spark, batch, deletes, _flip=False)
 
     def compact(self, spark: SparkSession) -> None:
         """Eager physical cleanup: rewrite every bucket through the TTL

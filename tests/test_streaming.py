@@ -1813,3 +1813,96 @@ def test_rate_limit_stream_cross_batch(spark, tmp_path):
     q.awaitTermination(600)
     got = {r.event_id: r.admitted for r in spark.sql("SELECT * FROM rl_out").collect()}
     assert got == {1: 1, 2: 1, 3: 0, 4: 1, 5: 0, 6: 1}
+
+
+def test_native_drop_duplicates_within_watermark(spark, tmp_path):
+    """Flink-dedup parity via Spark's native dropDuplicatesWithinWatermark:
+    exact streaming deduplication on an id with state bounded by the
+    watermark delay (Flink's `deduplicate` keeps state under idle-state
+    TTL; Spark bounds it by event time) — duplicates inside the delay
+    collapse, including across micro-batches."""
+    import json
+    import os
+
+    src = tmp_path / "dd_src"
+    src.mkdir()
+    base = 1_700_000_000_000
+    rows_a = [
+        {"id": 1, "ts": base + 1_000, "v": "a"},
+        {"id": 1, "ts": base + 2_000, "v": "a-dup"},      # in-batch dup
+        {"id": 2, "ts": base + 1_000, "v": "b"},
+    ]
+    rows_b = [
+        {"id": 2, "ts": base + 3_000, "v": "b-dup"},      # cross-batch dup
+        {"id": 3, "ts": base + 4_000, "v": "c"},
+    ]
+    for name, rows, mt in (("a.json", rows_a, 1_000_000), ("b.json", rows_b, 1_000_010)):
+        with open(src / name, "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+        os.utime(src / name, (mt, mt))
+    stream = (
+        spark.readStream.schema("id long, ts long, v string")
+        .option("maxFilesPerTrigger", 1).json(str(src))
+        .withColumn("row_time", F.timestamp_millis("ts"))
+        .withWatermark("row_time", "10 seconds")
+        .dropDuplicatesWithinWatermark(["id"])
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("dd_out")
+        .option("checkpointLocation", str(tmp_path / "dd_ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    got = {r.id: r.v for r in spark.sql("SELECT * FROM dd_out").collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}
+
+
+def test_cross_table_atomic_publish_and_roll_forward(spark, tmp_path):
+    """TableTxn: a multi-table publish is all-or-nothing — staged
+    versions are invisible before the intent journal lands, a crash
+    between the flips rolls FORWARD on recover() (both tables end on the
+    new batch), and a normal publish leaves no journal behind."""
+    import json as _json
+    import os
+
+    from flink_realtime_dw4_0_spark.sinks.txn import TableTxn, _flip
+
+    root = str(tmp_path / "wh")
+    ta = KeyedTable(root + "/a", keys=["k"])
+    tb = KeyedTable(root + "/b", keys=["k"])
+    txn = TableTxn(root)
+    d = lambda rows: spark.createDataFrame(rows, "k string, v long")  # noqa: E731
+
+    # baseline batch commits both tables atomically
+    txn.publish_all({ta: d([("x", 1)]), tb: d([("y", 1)])})
+    assert not os.path.exists(root + "/TXN_INTENT")
+    assert {r.v for r in ta.read(spark).collect()} == {1}
+    assert {r.v for r in tb.read(spark).collect()} == {1}
+
+    # simulate a crash AFTER the intent journal + first flip: stage both,
+    # write the journal, flip only table a, 'crash'
+    va = ta.prepare_merge(spark, d([("x", 2)]))
+    vb = tb.prepare_merge(spark, d([("y", 2)]))
+    # staged versions are invisible
+    assert {r.v for r in ta.read(spark).collect()} == {1}
+    with open(root + "/TXN_INTENT", "w") as fh:
+        _json.dump([{"path": ta.path, "version": va},
+                    {"path": tb.path, "version": vb}], fh)
+    _flip(ta.path, va)
+    # 'restart': recovery completes the remaining flip
+    assert TableTxn(root).recover()
+    assert not os.path.exists(root + "/TXN_INTENT")
+    assert {r.v for r in ta.read(spark).collect()} == {2}
+    assert {r.v for r in tb.read(spark).collect()} == {2}
+
+    # crash BEFORE the journal: staged orphan never becomes visible and
+    # the next real commit GCs it
+    orphan = tb.prepare_merge(spark, d([("y", 99)]))
+    assert {r.v for r in tb.read(spark).collect()} == {2}
+    assert not TableTxn(root).recover()
+    tb.merge(spark, d([("z", 3)]))
+    assert not os.path.exists(os.path.join(tb.path, orphan))
+    assert {r.v for r in tb.read(spark).collect()} == {2, 3}

@@ -535,3 +535,54 @@ def weighted_sample_wor(
         .filter(F.col("__rn") <= k)
         .drop("__score", "__rn")
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    temperature: float = 0.7,
+    total: int = 1000,
+) -> DataFrame:
+    """Temperature-flattened mixture sampling (the Gopher/LLaMA-style
+    data-mixing knob): source i's share of the `total`-document budget is
+    count_i^(1/T) / Σ count_j^(1/T) — T = 1 keeps natural proportions,
+    T → ∞ approaches uniform-over-sources, T < 1 sharpens toward the big
+    sources.  Deterministic end to end: per-source targets come from a
+    broadcast share table (floor of the budget × share, both engines
+    rounding the share at 9 dec first so the floor boundary is not a
+    last-ulp pow() coin flip), and each source contributes its
+    lowest-md5(id) documents — a stable pseudo-random draw, replayable
+    bit-for-bit by the SQL oracle.
+
+    Plan: one count per source (map-combinable), the share table
+    broadcasts back, one window rank per source — a single shuffle over
+    the corpus at any scale."""
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    powed = counts.select(
+        source_col, "__n",
+        F.pow(F.col("__n").cast("double"), 1.0 / float(temperature)).alias("__w"),
+    )
+    tot = powed.agg(F.sum("__w").alias("__tw"))
+    targets = (
+        powed.crossJoin(F.broadcast(tot))
+        .select(
+            source_col,
+            F.floor(
+                F.round(F.lit(float(total)) * F.col("__w") / F.col("__tw"), 9)
+            ).cast("long").alias("__target"),
+        )
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        F.md5(F.concat(F.lit("mix:"), F.col(id_col).cast("string"))), id_col
+    )
+    return (
+        df.join(F.broadcast(targets), source_col)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= F.col("__target"))
+        .select(
+            id_col, source_col,
+            F.col("__target").alias("source_quota"),
+            F.col("__rk").cast("long").alias("draw_rank"),
+        )
+    )

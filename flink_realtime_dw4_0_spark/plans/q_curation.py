@@ -3058,3 +3058,34 @@ def rate_limit_admit_q(spark, sf_dir):
     return rate_limit_batch(
         ev, cap=5, window_ms=3_600_000, key="user_id", ts="ts_ms"
     )
+
+
+@q(
+    "sample_temperature_mixture",
+    """
+    WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    p AS (SELECT source, n, pow(CAST(n AS DOUBLE), 1.0 / 0.7) AS w FROM c),
+    t AS (SELECT sum(w) AS tw FROM p),
+    targets AS (
+      SELECT source,
+             CAST(floor(round(300.0 * w / tw, 9)) AS BIGINT) AS source_quota
+      FROM p, t),
+    ranked AS (
+      SELECT d.doc_id, d.source,
+             row_number() OVER (PARTITION BY d.source
+                                ORDER BY md5('mix:' || CAST(d.doc_id AS VARCHAR)),
+                                         d.doc_id) AS rk
+      FROM documents d)
+    SELECT r.doc_id, r.source, g.source_quota, CAST(r.rk AS BIGINT) AS draw_rank
+    FROM ranked r JOIN targets g USING (source)
+    WHERE r.rk <= g.source_quota
+    """,
+    tags=("sampling", "mixture", "pretraining"),
+)
+def sample_temperature_mixture_q(spark, sf_dir):
+    """Temperature-flattened source mixture (sampling.temperature_mixture,
+    T = 0.7, 300-doc budget): per-source quotas from count^(1/T) shares,
+    filled by each source's lowest-md5 documents — the deterministic
+    replay of the Gopher/LLaMA mixing knob, value-exact on both engines."""
+    docs = t(spark, sf_dir, "documents")
+    return sampling.temperature_mixture(docs, temperature=0.7, total=300)

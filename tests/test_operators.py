@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from flink_realtime_dw4_0_spark.operators import dedup, multimodal, similarity, text
+from flink_realtime_dw4_0_spark.operators import dedup, multimodal, sampling, similarity, text
 from flink_realtime_dw4_0_spark.sources.files import load_table
 
 
@@ -2029,3 +2029,41 @@ def test_ivfadc_index_recall_pruning_and_refine(spark, sf_dir, tmp_path):
     # cell directories
     probed_plan = adc._jdf.queryExecution().executedPlan().toString()
     assert "cell" in probed_plan
+
+
+def test_temperature_mixture_flattening(spark, sf_dir):
+    """Higher temperature flattens the mixture toward uniform across
+    sources; T=1 tracks natural proportions; quotas sum to ~total and
+    draws are partition-invariant."""
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents")
+    nat = {r.source: r.n for r in docs.groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n")).collect()}
+
+    def shares(T):
+        out = sampling.temperature_mixture(docs, temperature=T, total=200).collect()
+        got = {}
+        for r in out:
+            got[r.source] = got.get(r.source, 0) + 1
+        return got, out
+
+    s1, _ = shares(1.0)
+    s4, _ = shares(4.0)
+    # T=1 ~ natural proportions (floor rounding slack)
+    tot_n = sum(nat.values())
+    for src, n in nat.items():
+        assert abs(s1.get(src, 0) - 200 * n / tot_n) <= 2
+    # T=4 flattens: spread between biggest and smallest share shrinks
+    spread1 = max(s1.values()) - min(s1.values())
+    spread4 = max(s4.values()) - min(s4.values())
+    assert spread4 < spread1
+    assert abs(sum(s4.values()) - 200) <= len(nat)  # floor slack per source
+
+    # partition invariance: same draws from a different layout
+    a = sorted((r.doc_id for r in
+                sampling.temperature_mixture(docs, temperature=0.7, total=150).collect()))
+    b = sorted((r.doc_id for r in
+                sampling.temperature_mixture(docs.repartition(13), temperature=0.7,
+                                             total=150).collect()))
+    assert a == b

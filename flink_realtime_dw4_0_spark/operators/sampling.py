@@ -555,6 +555,11 @@ def temperature_mixture(
     lowest-md5(id) documents — a stable pseudo-random draw, replayable
     bit-for-bit by the SQL oracle.
 
+    A source whose quota exceeds its document count contributes ALL its
+    documents and the total undershoots — this operator never repeats
+    documents; pipelines that want epoch-style upsampling of small
+    sources repeat the draw downstream.
+
     Plan: one count per source (map-combinable), the share table
     broadcasts back, one window rank per source — a single shuffle over
     the corpus at any scale."""

@@ -2035,35 +2035,42 @@ def test_temperature_mixture_flattening(spark, sf_dir):
     """Higher temperature flattens the mixture toward uniform across
     sources; T=1 tracks natural proportions; quotas sum to ~total and
     draws are partition-invariant."""
-    import numpy as np
-
-    docs = load_table(spark, sf_dir, "documents")
-    nat = {r.source: r.n for r in docs.groupBy("source")
-           .agg(F.count(F.lit(1)).alias("n")).collect()}
+    # skewed synthetic corpus (the testdata sources are uniform, which no
+    # temperature can flatten further): 300 / 60 / 15 docs per source
+    rows = ([(i, "big") for i in range(300)]
+            + [(1000 + i, "mid") for i in range(60)]
+            + [(2000 + i, "small") for i in range(15)])
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    nat = {"big": 300, "mid": 60, "small": 15}
 
     def shares(T):
-        out = sampling.temperature_mixture(docs, temperature=T, total=200).collect()
-        got = {}
+        out = sampling.temperature_mixture(docs, temperature=T, total=120).collect()
+        got: dict = {}
         for r in out:
             got[r.source] = got.get(r.source, 0) + 1
-        return got, out
+        return got
 
-    s1, _ = shares(1.0)
-    s4, _ = shares(4.0)
+    s1 = shares(1.0)
+    s4 = shares(4.0)
     # T=1 ~ natural proportions (floor rounding slack)
     tot_n = sum(nat.values())
     for src, n in nat.items():
-        assert abs(s1.get(src, 0) - 200 * n / tot_n) <= 2
+        assert abs(s1.get(src, 0) - 120 * n / tot_n) <= 2
     # T=4 flattens: spread between biggest and smallest share shrinks
-    spread1 = max(s1.values()) - min(s1.values())
-    spread4 = max(s4.values()) - min(s4.values())
+    spread1 = max(s1.values()) - min(s1.get(s, 0) for s in nat)
+    spread4 = max(s4.values()) - min(s4.get(s, 0) for s in nat)
     assert spread4 < spread1
-    assert abs(sum(s4.values()) - 200) <= len(nat)  # floor slack per source
+    # T=4 pushes 'small''s quota past its 15 available docs: the draw
+    # caps at the source size (no upsampling), so the total undershoots
+    assert s4["small"] == 15
+    assert sum(s4.values()) <= 120
+    assert abs(sum(s1.values()) - 120) <= len(nat)  # floor slack only at T=1
 
     # partition invariance: same draws from a different layout
-    a = sorted((r.doc_id for r in
-                sampling.temperature_mixture(docs, temperature=0.7, total=150).collect()))
-    b = sorted((r.doc_id for r in
-                sampling.temperature_mixture(docs.repartition(13), temperature=0.7,
-                                             total=150).collect()))
+    real = load_table(spark, sf_dir, "documents")
+    a = sorted(r.doc_id for r in
+               sampling.temperature_mixture(real, temperature=0.7, total=150).collect())
+    b = sorted(r.doc_id for r in
+               sampling.temperature_mixture(real.repartition(13), temperature=0.7,
+                                            total=150).collect())
     assert a == b

@@ -460,6 +460,9 @@ def main() -> None:
             "text_c4_rules",
             "dq_psi_drift",
             "ann_pq_topk",
+            "ann_ivfadc_index_topk",
+            "sample_temperature_mixture",
+            "rate_limit_admit",
         ]
         etimes: dict[str, float] = {}
         for name in extras:

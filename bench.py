@@ -368,6 +368,24 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
+    # Streaming sections run BEFORE the stress/extras marathons: measured
+    # after ~15 min of heavy catalog work in the same JVM, throughput reads
+    # 30-40% low from heap fragmentation/GC debt (observed 6.2k vs 9.2k
+    # rows/s for the identical trade pipeline in a fresh session) — the
+    # number should measure the pipeline, not the collector's history.
+    if os.environ.get("SPARK_GRAFT_STREAM", "1") != "0":
+        spark.catalog.clearCache()
+        time.sleep(2)  # settle async block frees before timing the stream
+        out["streaming"] = bench_streaming(spark)
+        spark.catalog.clearCache()
+        time.sleep(1)
+        out["streaming_trade"] = bench_streaming_trade(spark)
+        spark.catalog.clearCache()
+        time.sleep(1)
+        # hot-order replay: same envelope volume, 25% of details on one key
+        out["streaming_trade_skew"] = bench_streaming_trade(spark, skew_frac=0.25)
+
+
     if os.environ.get("SPARK_GRAFT_STRESS", "1") != "0":
         scale = int(os.environ.get("SPARK_GRAFT_STRESS_SCALE", "8"))
         skew_frac = float(os.environ.get("SPARK_GRAFT_STRESS_SKEW", "0.25"))
@@ -483,18 +501,6 @@ def main() -> None:
                 reps.append(time.perf_counter() - t0)
             etimes[name] = round(min(reps), 3)
         out["extras"] = {"total": round(sum(etimes.values()), 3), "queries": etimes}
-
-    if os.environ.get("SPARK_GRAFT_STREAM", "1") != "0":
-        spark.catalog.clearCache()
-        time.sleep(2)  # settle async block frees before timing the stream
-        out["streaming"] = bench_streaming(spark)
-        spark.catalog.clearCache()
-        time.sleep(1)
-        out["streaming_trade"] = bench_streaming_trade(spark)
-        spark.catalog.clearCache()
-        time.sleep(1)
-        # hot-order replay: same envelope volume, 25% of details on one key
-        out["streaming_trade_skew"] = bench_streaming_trade(spark, skew_frac=0.25)
 
     # The driver tail-captures stdout and parses the LAST line as JSON —
     # r3's single giant object (stress+extras+streaming inline) overflowed

@@ -465,6 +465,57 @@ class KeyedTable:
         if current is not None:
             self._commit(current, inherit={})
 
+    def lookup(self, spark: SparkSession, key_values: list[tuple]) -> DataFrame | None:
+        """Point lookups via bucket pruning: compute each key's bucket
+        driver-side (same hash the writer used), read ONLY those
+        buckets' leaf dirs, and filter to the exact keys — a point read
+        touches 1/n_buckets of the table instead of scanning it.  This
+        is the serving-side payoff of the bucketed layout (the dim
+        `getRowOf` / HBase point-GET shape, HBaseUtil.java:151-185).
+
+        ``key_values``: list of tuples matching ``self.keys`` order
+        (bare values accepted for single-column keys).  Returns None on
+        an empty table; TTL applies as in read()."""
+        v = self._current_version()
+        if v is None or not self.keys:
+            return self.read(spark)
+        man = self._load_manifest(v)
+        if man is None:
+            df = self.read(spark)  # legacy layout: no pruning available
+        else:
+            kvs = [
+                kv if isinstance(kv, tuple) else (kv,) for kv in key_values
+            ]
+            # one tiny local job hashes the literal keys with the SAME
+            # expression the writer used — never re-derive F.hash in
+            # Python, where seed/semantics could drift
+            probe = spark.createDataFrame(kvs, ", ".join(
+                f"{k} {dict(self._read_snapshot(spark, v).dtypes)[k]}" for k in self.keys
+            ))
+            buckets = {
+                str(r["__b"])
+                for r in probe.select(self._bucket_expr().alias("__b")).collect()
+            }
+            paths = [
+                os.path.join(self.path, ver, f"__b={b}")
+                for b, ver in man["buckets"].items()
+                if b in buckets
+            ]
+            if not paths:
+                return self._apply_ttl(
+                    spark.createDataFrame([], StructType.fromJson(man["schema"]))
+                )
+            df = self._apply_ttl(spark.read.parquet(*paths))
+        cond = None
+        for kv in key_values:
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            one = None
+            for k, val in zip(self.keys, kv):
+                c = F.col(k) == F.lit(val)
+                one = c if one is None else (one & c)
+            cond = one if cond is None else (cond | one)
+        return df.filter(cond) if cond is not None else df
+
 
 def upsert_kafka_records(df: DataFrame, keys: list[str], tombstone_when=None) -> DataFrame:
     """Render a changelog batch as upsert-kafka wire records:

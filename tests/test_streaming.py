@@ -1906,3 +1906,24 @@ def test_cross_table_atomic_publish_and_roll_forward(spark, tmp_path):
     tb.merge(spark, d([("z", 3)]))
     assert not os.path.exists(os.path.join(tb.path, orphan))
     assert {r.v for r in tb.read(spark).collect()} == {2, 3}
+
+
+def test_keyed_table_point_lookup_prunes_buckets(spark, tmp_path):
+    """lookup() reads only the probed keys' bucket directories (verified
+    via the scan's input files) and returns exactly the requested rows,
+    honoring the TTL horizon."""
+    tb = KeyedTable(str(tmp_path / "pl"), keys=["k"], n_buckets=16)
+    tb.merge(spark, spark.createDataFrame(
+        [(f"k{i}", i, 100 + i) for i in range(400)], "k string, v long, ts long"))
+    got = tb.lookup(spark, ["k7", "k250"]).collect()
+    assert {(r.k, r.v) for r in got} == {("k7", 7), ("k250", 250)}
+    # pruning: the lookup's scan reads a strict subset of bucket dirs
+    df = tb.lookup(spark, ["k7"])
+    files = {f for f in df.inputFiles()}
+    all_files = {f for f in tb.read(spark).inputFiles()}
+    assert files and len(files) < len(all_files)
+    # composite keys + miss + TTL
+    assert tb.lookup(spark, ["nope"]).count() == 0
+    tb.set_ttl_horizon(100 + 300)  # expire keys below k300
+    assert tb.lookup(spark, ["k7"]).count() == 0
+    assert tb.lookup(spark, ["k350"]).count() == 1

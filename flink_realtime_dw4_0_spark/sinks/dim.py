@@ -86,3 +86,16 @@ class DimWarehouse:
 
     def read_dim(self, spark: SparkSession, sink_table: str) -> DataFrame | None:
         return KeyedTable(self.table_path(sink_table), keys=[]).read(spark)
+
+    def get_row_of(
+        self, spark: SparkSession, sink_table: str, row_key: str, value
+    ):
+        """HBase point-GET parity (HBaseUtil.java:151-185 getRowOf): fetch
+        ONE dim row by rowkey via bucket pruning — the lookup hashes the
+        literal key with the writer's own bucket expression and reads a
+        single bucket directory, never the table.  Returns the Row or
+        None — the serving shape a lookup-join cache miss takes."""
+        table = KeyedTable(self.table_path(sink_table), keys=[row_key])
+        df = table.lookup(spark, [value])
+        rows = df.limit(1).collect() if df is not None else []
+        return rows[0] if rows else None

@@ -192,6 +192,11 @@ def test_dim_pipeline_merge_prune_delete(spark, tmp_path):
     assert set(rows) == {"1201"}
     assert rows["1201"]["dic_name"] == "NEW"
 
+    # HBase point-GET parity (getRowOf): bucket-pruned single-row fetch
+    hit = wh.get_row_of(spark, "dim_base_dic", "rowkey", "1201")
+    assert hit is not None and dict(hit.data)["dic_name"] == "NEW"
+    assert wh.get_row_of(spark, "dim_base_dic", "rowkey", "1202") is None
+
 
 # --------------------------------------------------------------------------
 # DWD log pipeline end-to-end via file stream: ETL, is_new fix across

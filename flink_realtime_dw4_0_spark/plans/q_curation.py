@@ -2890,9 +2890,7 @@ def text_gopher_full_q(spark, sf_dir):
 # C4 heuristic cleaning + distribution-drift monitoring
 # ===========================================================================
 
-@q(
-    "text_c4_rules",
-    """
+_C4_SQL = """
     WITH base AS (
       SELECT doc_id, text,
              string_split(regexp_replace(text, '\\n+$', ''), chr(10)) AS ln
@@ -2922,7 +2920,12 @@ def text_gopher_full_q(spark, sf_dir):
                  AND has_curly_brace = 0 AND badword_hits = 0
                 THEN 1 ELSE 0 END AS c4_keep
     FROM o
-    """,
+    """
+
+
+@q(
+    "text_c4_rules",
+    _C4_SQL,
     tags=("text", "quality", "c4"),
 )
 def text_c4_rules_q(spark, sf_dir):
@@ -3089,3 +3092,101 @@ def sample_temperature_mixture_q(spark, sf_dir):
     replay of the Gopher/LLaMA mixing knob, value-exact on both engines."""
     docs = t(spark, sf_dir, "documents")
     return sampling.temperature_mixture(docs, temperature=0.7, total=300)
+
+
+from .q_analytics import _DK_NEARDUP_PAIRS  # noqa: E402
+
+
+@q(
+    "pipeline_drop_reasons",
+    _DK_SHINGLES.replace("WITH", "WITH RECURSIVE", 1)
+    + _DK_NEARDUP_PAIRS
+    + f"""
+    , gop AS (SELECT doc_id, gopher_pass FROM ({_GOPHER_SQL}) g),
+    c4 AS (SELECT doc_id, c4_keep FROM ({_C4_SQL}) c),
+    fp AS (SELECT doc_id,
+                  md5(list_aggregate(string_split_regex(lower(trim(text)), '\\s+'),
+                      'string_agg', ' ')) AS fp
+           FROM documents),
+    ek AS (SELECT doc_id,
+                  CAST(doc_id <> min(doc_id) OVER (PARTITION BY fp) AS INT)
+                    AS exact_dup
+           FROM fp),
+    nd AS (SELECT d.doc_id,
+                  CAST(coalesce(c.component, d.doc_id) <> d.doc_id AS INT)
+                    AS neardup_drop
+           FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+    SELECT d.doc_id,
+           CAST(1 - g.gopher_pass AS INT) AS gopher_fail,
+           CAST(1 - c.c4_keep AS INT) AS c4_fail,
+           e.exact_dup, n.neardup_drop,
+           CASE WHEN g.gopher_pass = 1 AND c.c4_keep = 1
+                 AND e.exact_dup = 0 AND n.neardup_drop = 0
+                THEN 1 ELSE 0 END AS keep,
+           CASE WHEN g.gopher_pass = 0 THEN 'gopher'
+                WHEN c.c4_keep = 0 THEN 'c4'
+                WHEN e.exact_dup = 1 THEN 'exact_dup'
+                WHEN n.neardup_drop = 1 THEN 'near_dup'
+                ELSE '' END AS drop_reason
+    FROM documents d
+    JOIN gop g USING (doc_id) JOIN c4 c USING (doc_id)
+    JOIN ek e USING (doc_id) JOIN nd n USING (doc_id)
+    """,
+    tags=("pipeline", "curation", "audit"),
+)
+def pipeline_drop_reasons_q(spark, sf_dir):
+    """Curation audit: EVERY document with an independent verdict from
+    each filter tier (Gopher well-formedness, C4 cleaning, exact dedup,
+    near-dup clustering) plus the precedence-ordered drop_reason — the
+    'why was my document removed' debugging surface a pipeline owner
+    needs before trusting a keep-list.  Flags are per-tier independent
+    (computed on the full corpus, not sequentially), so a document can
+    carry several; `keep` is the AND."""
+    from pyspark.sql.window import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    gop = text.gopher_rules(docs).select("doc_id", "gopher_pass")
+    c4 = text.c4_rules(docs).select("doc_id", "c4_keep")
+    ek = docs.select(
+        "doc_id", text.doc_fingerprint("text").alias("fp")
+    ).select(
+        "doc_id",
+        (F.col("doc_id") != F.min("doc_id").over(W.partitionBy("fp")))
+        .cast("int")
+        .alias("exact_dup"),
+    )
+    comps = dedup.connected_components(dedup.ngram_jaccard_pairs(docs))
+    nd = (
+        docs.select("doc_id")
+        .join(comps, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.coalesce("component", F.col("doc_id")) != F.col("doc_id"))
+            .cast("int")
+            .alias("neardup_drop"),
+        )
+    )
+    out = (
+        docs.select("doc_id")
+        .join(gop, "doc_id").join(c4, "doc_id")
+        .join(ek, "doc_id").join(nd, "doc_id")
+    )
+    keep = (
+        (F.col("gopher_pass") == 1) & (F.col("c4_keep") == 1)
+        & (F.col("exact_dup") == 0) & (F.col("neardup_drop") == 0)
+    )
+    reason = (
+        F.when(F.col("gopher_pass") == 0, "gopher")
+        .when(F.col("c4_keep") == 0, "c4")
+        .when(F.col("exact_dup") == 1, "exact_dup")
+        .when(F.col("neardup_drop") == 1, "near_dup")
+        .otherwise("")
+    )
+    return out.select(
+        "doc_id",
+        (1 - F.col("gopher_pass")).cast("int").alias("gopher_fail"),
+        (1 - F.col("c4_keep")).cast("int").alias("c4_fail"),
+        "exact_dup", "neardup_drop",
+        keep.cast("int").alias("keep"),
+        reason.alias("drop_reason"),
+    )

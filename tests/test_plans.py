@@ -476,3 +476,35 @@ def test_bucketed_tables_join_without_exchange(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_round4_operator_plan_shapes(spark, sf_dir):
+    """Plan gates for the round-4 operators: C4 is a pure narrow
+    projection (zero exchanges), PSI has exactly one aggregation
+    exchange plus a broadcast of the 1-row total, and the temperature
+    mixture broadcasts its quota table rather than shuffling the corpus
+    twice."""
+    from flink_realtime_dw4_0_spark.operators import quality, sampling, text
+    from flink_realtime_dw4_0_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    orders = load_table(spark, sf_dir, "orders")
+
+    c4_plan = text.c4_rules(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in c4_plan  # per-row array calculus only
+
+    psi = quality.psi_drift(orders, "o_totalprice", "o_orderstatus", "O", "F",
+                            lo=0.0, hi=500000.0, n_bins=10)
+    psi.collect()  # AQE finalizes the plan at runtime
+    psi_plan = psi._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in psi_plan  # 1-row total broadcast back
+    # the per-bin and total branches of the union share the counts
+    # aggregation via runtime exchange reuse — the fact scan + shuffle
+    # is not paid twice — and the split filter reaches the parquet scan
+    assert "ReusedExchange" in psi_plan
+    assert "In(o_orderstatus" in psi_plan
+
+    mix = sampling.temperature_mixture(docs, temperature=0.7, total=300)
+    mix_plan = mix._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in mix_plan      # quota table broadcast
+    assert "CartesianProduct" not in mix_plan

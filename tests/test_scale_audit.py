@@ -30,6 +30,10 @@ COLLECT_ALLOWLIST = [
      "serving upsert: limit-gated, fails loud past max_rows_per_batch"),
     ("sinks/upsert.py", r"probe\.distinct\(\)\.collect\(\)",
      "touched-bucket probe: bounded by n_buckets distinct values"),
+    ("sinks/upsert.py", r"probe\.select\(self\._bucket_expr\(\)",
+     "point-lookup bucket probe: one row per requested key"),
+    ("sinks/dim.py", r"df\.limit\(1\)\.collect\(\)",
+     "dim point-GET: limit(1) single row"),
     ("operators/sampling.py", r"groupBy\(._pid.\)",
      "per-partition totals: one row per partition (prefix-sum rank)"),
     ("operators/dedup.py", r"limit\(driver_threshold \+ 1\)\.collect\(\)",

@@ -64,6 +64,15 @@ class KeyedTable:
         if n_buckets < 1:
             raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
         self.n_buckets = n_buckets
+        # disk is the source of truth for an EXISTING table's bucket
+        # count: a reopening instance adopts the committed manifest's
+        # n_buckets (otherwise a default-parameter reopen would silently
+        # full-rewrite a rescaled table back to the default layout)
+        cur = self._current_version()
+        if cur is not None:
+            man = self._load_manifest(cur)
+            if man is not None:
+                self.n_buckets = int(man.get("n_buckets", n_buckets))
         self.ttl_col = ttl_col
         self.ttl_horizon: int | None = None
         ttl_f = os.path.join(self.path, "TTL")
@@ -464,6 +473,38 @@ class KeyedTable:
         current = self.read(spark)
         if current is not None:
             self._commit(current, inherit={})
+
+    def rescale(self, spark: SparkSession, n_buckets: int) -> None:
+        """Re-bucket the table to ``n_buckets`` (one full rewrite); later
+        merges are incremental against the new layout.  The growth path
+        for state that outlives its initial bucket count — the same
+        operation Iceberg's bucket-transform evolution or a Kafka topic
+        repartition performs."""
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+        current = self.read(spark)
+        self.n_buckets = int(n_buckets)
+        if current is not None:
+            self._commit(current, inherit={})
+
+    def maybe_rescale(
+        self, spark: SparkSession, max_rows_per_bucket: int = 1_000_000
+    ) -> int:
+        """Maintenance hook: if the average bucket now holds more than
+        ``max_rows_per_bucket`` rows, grow the bucket count to the next
+        power of two that brings it back under — O(touched) merges stay
+        O(touched) as state grows 100x.  One count job; call it from the
+        same cadence as compact().  Returns the (possibly new) count."""
+        current = self.read(spark)
+        if current is None:
+            return self.n_buckets
+        n = current.count()
+        if n > self.n_buckets * max_rows_per_bucket:
+            target = self.n_buckets
+            while n > target * max_rows_per_bucket:
+                target *= 2
+            self.rescale(spark, target)
+        return self.n_buckets
 
     def lookup(self, spark: SparkSession, key_values: list[tuple]) -> DataFrame | None:
         """Point lookups via bucket pruning: compute each key's bucket

@@ -1932,3 +1932,32 @@ def test_keyed_table_point_lookup_prunes_buckets(spark, tmp_path):
     tb.set_ttl_horizon(100 + 300)  # expire keys below k300
     assert tb.lookup(spark, ["k7"]).count() == 0
     assert tb.lookup(spark, ["k350"]).count() == 1
+
+
+def test_keyed_table_adaptive_rescale(spark, tmp_path):
+    """maybe_rescale grows the bucket count when buckets overfill; a
+    reopening instance adopts the committed layout instead of rewriting
+    it back to the default; merges stay incremental afterwards."""
+    import os
+
+    tb = KeyedTable(str(tmp_path / "rs"), keys=["k"], n_buckets=2)
+    tb.merge(spark, spark.createDataFrame(
+        [(f"k{i}", i) for i in range(200)], "k string, v long"))
+    assert tb.maybe_rescale(spark, max_rows_per_bucket=25) == 8  # 200/25
+    v = tb._current_version()
+    n_dirs = len([d for d in os.listdir(tmp_path / "rs" / v) if d.startswith("__b=")])
+    assert n_dirs == 8
+    assert tb.read(spark).count() == 200
+
+    # reopen with the DEFAULT bucket count: adopts 8 from the manifest
+    tb2 = KeyedTable(str(tmp_path / "rs"), keys=["k"])
+    assert tb2.n_buckets == 8
+    tb2.merge(spark, spark.createDataFrame([("k3", 999)], "k string, v long"))
+    v2 = tb2._current_version()
+    touched = [d for d in os.listdir(tmp_path / "rs" / v2) if d.startswith("__b=")]
+    assert len(touched) == 1  # still incremental on the adopted layout
+    got = {r.k: r.v for r in tb2.read(spark).collect()}
+    assert got["k3"] == 999 and len(got) == 200
+
+    # under the threshold: no change
+    assert tb2.maybe_rescale(spark, max_rows_per_bucket=1000) == 8

@@ -3190,3 +3190,31 @@ def pipeline_drop_reasons_q(spark, sf_dir):
         keep.cast("int").alias("keep"),
         reason.alias("drop_reason"),
     )
+
+
+_TREND_LAM = __import__("math").log(2.0) / (86400.0 * 1000.0)  # 1-day half-life
+
+
+@q(
+    "trending_decayed_scores",
+    f"""
+    WITH e AS (SELECT event_type AS item, epoch_ms(ts) AS t FROM events),
+    m AS (SELECT max(t) AS mx FROM e)
+    SELECT item, round(sum(exp(-{_TREND_LAM!r} * (mx - t))), 6) AS score,
+           count(*) AS n_events, CAST(mx AS BIGINT) AS asof_ms
+    FROM e, m GROUP BY item, mx
+    """,
+    tags=("trending", "serving", "decay"),
+)
+def trending_decayed_q(spark, sf_dir):
+    """Exponentially-decayed trending scores (streaming.trending), batch
+    twin: every occurrence contributes exp(-lambda*age) with a 1-day
+    half-life — the smooth 'hot right now' rollup a window-cliff count
+    can't express.  One map-combinable shuffle; the streaming recurrence
+    (decay carry + add batch) is golden-tested equal to this to 1e-9."""
+    from ..streaming.trending import decayed_scores_batch
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.unix_millis("ts").alias("ts_ms")
+    )
+    return decayed_scores_batch(ev, "event_type", "ts_ms", half_life_s=86400.0)

@@ -34,6 +34,8 @@ COLLECT_ALLOWLIST = [
      "point-lookup bucket probe: one row per requested key"),
     ("sinks/dim.py", r"df\.limit\(1\)\.collect\(\)",
      "dim point-GET: limit(1) single row"),
+    ("streaming/trending.py", r"agg\(F\.max\(ts\)",
+     "batch as-of probe: single-row max aggregate"),
     ("operators/sampling.py", r"groupBy\(._pid.\)",
      "per-partition totals: one row per partition (prefix-sum rank)"),
     ("operators/dedup.py", r"limit\(driver_threshold \+ 1\)\.collect\(\)",

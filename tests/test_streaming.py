@@ -1961,3 +1961,47 @@ def test_keyed_table_adaptive_rescale(spark, tmp_path):
 
     # under the threshold: no change
     assert tb2.maybe_rescale(spark, max_rows_per_bucket=1000) == 8
+
+
+def test_decayed_trending_incremental_equals_batch(spark, tmp_path):
+    """The streaming decay recurrence (carry * exp(-λΔt) + batch sum)
+    equals the direct batch recompute to float associativity, across
+    three micro-batches with idle items fading; topk orders by the
+    decayed score."""
+    import math
+
+    from flink_realtime_dw4_0_spark.streaming.trending import (
+        DecayedTrending, decayed_scores_batch,
+    )
+
+    base = 1_700_000_000_000
+    hl = 60.0  # 1-minute half-life
+    batches = [
+        [("a", base + 0), ("a", base + 1_000), ("b", base + 2_000)],
+        [("b", base + 60_000), ("c", base + 61_000)],
+        [("c", base + 300_000)],  # a and b idle: fade
+    ]
+    tr = DecayedTrending(str(tmp_path / "trend"), half_life_s=hl)
+    all_rows = []
+    for rows in batches:
+        all_rows.extend(rows)
+        tr.process_batch(
+            spark.createDataFrame(rows, "item string, ts long"), spark)
+    got = {r.item: r.score for r in tr.state.read(spark).collect()}
+    want = {
+        r.item: r.score
+        for r in decayed_scores_batch(
+            spark.createDataFrame(all_rows, "item string, ts long"),
+            "item", "ts", half_life_s=hl).collect()
+    }
+    assert set(got) == set(want)
+    for item in want:
+        # the batch twin rounds at 6 dec for its oracle; the streaming
+        # state is full precision — equality holds at that quantization
+        assert abs(got[item] - want[item]) <= 2e-6
+    # hand math: 'a' contributed 2 events ~300s ago with 60s half-life
+    lam = math.log(2.0) / (hl * 1000.0)
+    expect_a = math.exp(-lam * 300_000) + math.exp(-lam * 299_000)
+    assert abs(got["a"] - expect_a) < 1e-6
+    top = [r.item for r in tr.topk(spark, k=2).collect()]
+    assert top[0] == "c"  # freshest activity leads

@@ -145,3 +145,51 @@ def linear_attribution(
         "touch_type",
         F.round(1.0 / F.count(F.lit(1)).over(w), 6).alias("weight"),
     )
+
+
+def ab_ztest(
+    df: DataFrame,
+    variant_col: str,
+    converted_col,
+    control_value,
+    treatment_value,
+) -> DataFrame:
+    """Two-proportion z-test for an A/B experiment: conversion rates per
+    variant, pooled standard error, and the z statistic — the gate an
+    experimentation pipeline runs before shipping a variant.  The
+    z-score is pure closed-form double arithmetic (no erf), so it is
+    engine-exact; translate to a p-value with any normal table
+    downstream (|z| > 1.96 ≈ p < .05 two-sided).
+
+    One map-combinable aggregation over the exposure log; nothing but
+    the 2-row summary leaves the cluster."""
+    conv = F.col(converted_col).cast("int") if isinstance(converted_col, str) else converted_col.cast("int")
+    agg = (
+        df.filter(F.col(variant_col).isin(control_value, treatment_value))
+        .groupBy(F.col(variant_col).alias("variant"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(conv).cast("long").alias("conversions"),
+        )
+    )
+    c = agg.filter(F.col("variant") == control_value).select(
+        F.col("n").alias("n_c"), F.col("conversions").alias("x_c")
+    )
+    t = agg.filter(F.col("variant") == treatment_value).select(
+        F.col("n").alias("n_t"), F.col("conversions").alias("x_t")
+    )
+    j = c.crossJoin(F.broadcast(t))
+    p_c = F.col("x_c") / F.col("n_c")
+    p_t = F.col("x_t") / F.col("n_t")
+    p_pool = (F.col("x_c") + F.col("x_t")) / (F.col("n_c") + F.col("n_t"))
+    se = F.sqrt(
+        p_pool * (1 - p_pool) * (1.0 / F.col("n_c") + 1.0 / F.col("n_t"))
+    )
+    return j.select(
+        "n_c", "x_c", "n_t", "x_t",
+        F.round(p_c, 6).alias("rate_control"),
+        F.round(p_t, 6).alias("rate_treatment"),
+        F.round(p_t - p_c, 6).alias("lift_abs"),
+        F.round((p_t - p_c) / se, 4).alias("z_score"),
+        (F.abs((p_t - p_c) / se) > 1.959963985).cast("int").alias("significant_95"),
+    )

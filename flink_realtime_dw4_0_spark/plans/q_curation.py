@@ -3218,3 +3218,45 @@ def trending_decayed_q(spark, sf_dir):
         "event_type", F.unix_millis("ts").alias("ts_ms")
     )
     return decayed_scores_batch(ev, "event_type", "ts_ms", half_life_s=86400.0)
+
+
+@q(
+    "analytics_ab_ztest",
+    """
+    WITH e AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END AS variant,
+             CAST(event_type = 'purchase' AS INT) AS conv
+      FROM events),
+    a AS (SELECT variant, count(*) AS n, CAST(sum(conv) AS BIGINT) AS x
+          FROM e GROUP BY variant),
+    c AS (SELECT n AS n_c, x AS x_c FROM a WHERE variant = 'control'),
+    t AS (SELECT n AS n_t, x AS x_t FROM a WHERE variant = 'treatment'),
+    j AS (SELECT * FROM c, t)
+    SELECT n_c, x_c, n_t, x_t,
+           round(x_c / n_c, 6) AS rate_control,
+           round(x_t / n_t, 6) AS rate_treatment,
+           round(x_t / n_t - x_c / n_c, 6) AS lift_abs,
+           round((x_t / n_t - x_c / n_c)
+                 / sqrt(((x_c + x_t) / (n_c + n_t)) * (1 - (x_c + x_t) / (n_c + n_t))
+                        * (1.0 / n_c + 1.0 / n_t)), 4) AS z_score,
+           CAST(abs((x_t / n_t - x_c / n_c)
+                 / sqrt(((x_c + x_t) / (n_c + n_t)) * (1 - (x_c + x_t) / (n_c + n_t))
+                        * (1.0 / n_c + 1.0 / n_t))) > 1.959963985 AS INT)
+             AS significant_95
+    FROM j
+    """,
+    tags=("analytics", "experimentation"),
+)
+def analytics_ab_ztest_q(spark, sf_dir):
+    """Two-proportion z-test (timeseries.ab_ztest) over a deterministic
+    user-id split of the event log, conversion = purchase — closed-form
+    double arithmetic end to end (no erf), engine-exact.  One
+    map-combinable aggregation; only the 2-row summary leaves the
+    cluster."""
+    from ..operators import timeseries
+
+    ev = t(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 2 == 0, "control").otherwise("treatment").alias("variant"),
+        (F.col("event_type") == "purchase").alias("converted"),
+    )
+    return timeseries.ab_ztest(ev, "variant", "converted", "control", "treatment")

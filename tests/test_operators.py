@@ -2074,3 +2074,29 @@ def test_temperature_mixture_flattening(spark, sf_dir):
                sampling.temperature_mixture(real.repartition(13), temperature=0.7,
                                             total=150).collect())
     assert a == b
+
+
+def test_ab_ztest_hand_computed(spark):
+    """z-test against the closed-form arithmetic on a known 2x2 table,
+    both the significant and null cases."""
+    import math
+
+    from flink_realtime_dw4_0_spark.operators import timeseries
+
+    rows = ([("control", 1)] * 50 + [("control", 0)] * 450      # 10%
+            + [("treatment", 1)] * 90 + [("treatment", 0)] * 410)  # 18%
+    df = spark.createDataFrame(rows, "variant string, converted int")
+    r = timeseries.ab_ztest(df, "variant", "converted", "control", "treatment").collect()[0]
+    p_c, p_t = 50 / 500, 90 / 500
+    pool = 140 / 1000
+    se = math.sqrt(pool * (1 - pool) * (1 / 500 + 1 / 500))
+    assert r.rate_control == round(p_c, 6) and r.rate_treatment == round(p_t, 6)
+    assert r.z_score == round((p_t - p_c) / se, 4)
+    assert r.significant_95 == 1
+
+    null_rows = ([("control", 1)] * 50 + [("control", 0)] * 450
+                 + [("treatment", 1)] * 52 + [("treatment", 0)] * 448)
+    r0 = timeseries.ab_ztest(
+        spark.createDataFrame(null_rows, "variant string, converted int"),
+        "variant", "converted", "control", "treatment").collect()[0]
+    assert r0.significant_95 == 0

@@ -3260,3 +3260,42 @@ def analytics_ab_ztest_q(spark, sf_dir):
         (F.col("event_type") == "purchase").alias("converted"),
     )
     return timeseries.ab_ztest(ev, "variant", "converted", "control", "treatment")
+
+
+@q(
+    "pipeline_leakage_safe_split",
+    _DK_SHINGLES.replace("WITH", "WITH RECURSIVE", 1)
+    + _DK_NEARDUP_PAIRS
+    + """
+    , eff AS (SELECT d.doc_id,
+                     coalesce(c.component, d.doc_id) AS split_key
+              FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+    SELECT doc_id, split_key,
+           CASE WHEN substr(md5('split:' || CAST(split_key AS VARCHAR)), 1, 4) < 'e666'
+                THEN 'train'
+                WHEN substr(md5('split:' || CAST(split_key AS VARCHAR)), 1, 4) < 'f333'
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM eff
+    """,
+    tags=("pipeline", "sampling", "leakage"),
+)
+def pipeline_leakage_safe_split_q(spark, sf_dir):
+    """Leakage-safe train/val/test assignment: the split key is the
+    document's near-dup COMPONENT id (its own id when unclustered), so
+    every near-duplicate family lands in one split — the FIX for what
+    dq_cross_split_leakage detects.  Same deterministic md5-bucket split
+    as sample_split_assign, keyed one level up."""
+    docs = t(spark, sf_dir, "documents")
+    comps = dedup.connected_components(dedup.ngram_jaccard_pairs(docs))
+    eff = (
+        docs.select("doc_id")
+        .join(comps, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("split_key"),
+        )
+    )
+    return sampling.split_assign(eff, key_col="split_key").select(
+        "doc_id", "split_key", "split"
+    )

@@ -2100,3 +2100,18 @@ def test_ab_ztest_hand_computed(spark):
         spark.createDataFrame(null_rows, "variant string, converted int"),
         "variant", "converted", "control", "treatment").collect()[0]
     assert r0.significant_95 == 0
+
+
+def test_leakage_safe_split_no_cross_split_neardups(spark, sf_dir):
+    """Every near-dup pair lands in the SAME split under the
+    component-keyed assignment — the leakage checker finds zero planted
+    twins across splits (the property the doc-id split violates)."""
+    from flink_realtime_dw4_0_spark.plans.catalog import CATALOG
+
+    out = CATALOG["pipeline_leakage_safe_split"].fn(spark, sf_dir)
+    split_of = {r.doc_id: r.split for r in out.collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs).collect()
+    assert pairs  # the corpus has planted near-dups
+    for p in pairs:
+        assert split_of[p.id_a] == split_of[p.id_b], (p.id_a, p.id_b)

@@ -1113,3 +1113,63 @@ def ivfadc_index_topk(
         .filter(F.col("rank") <= topk)
         .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim"))
     )
+
+
+def kcenter_select(
+    corpus: DataFrame,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Greedy k-center (farthest-point) selection — the classic 2-approx
+    coreset: pick the min-id vector, then k-1 times pick the point
+    farthest from the selected set.  The curation use is DIVERSITY
+    sampling: a budgeted subset whose covering radius over the corpus is
+    within 2x of optimal, complementing frequency-based mixtures.
+
+    Scale shape: the per-row state is ONE double (distance to the
+    nearest selected center), updated each round by a narrow JVM
+    zip_with/aggregate pass against the newest center (broadcast as a
+    literal array — k·dim floats total ever leave the driver), and the
+    next center is a single max_by row.  k rounds = k narrow passes + k
+    1-row aggregates; lineage localCheckpoints every few rounds so round
+    cost stays flat.  Deterministic (min-id seed, max-dist/min-id
+    tiebreak) → partition-invariant; approximate by nature → rows-only
+    with property tests (radius monotonicity, determinism).
+
+    Returns (center_rank, id, radius_after) — radius_after is the
+    corpus-wide covering radius once this center joined."""
+    import math
+
+    state = corpus.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    first = state.orderBy("id").limit(1).collect()[0]
+    centers = [(1, first["id"])]
+    cur_vec = list(first["v"])
+    state = state.withColumn("d2", F.lit(float("inf")))
+    radii = []
+    out_rows = []
+    for rank in range(1, int(k) + 1):
+        lit_vec = F.array(*[F.lit(float(x)) for x in cur_vec])
+        step = F.aggregate(
+            F.zip_with("v", lit_vec, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        state = state.withColumn("d2", F.least(F.col("d2"), step))
+        if rank % checkpoint_every == 0:
+            state = state.localCheckpoint(eager=True)
+        far = state.agg(
+            F.max(F.struct(F.col("d2"), (-F.col("id")).alias("nid"), F.col("id"), F.col("v"))).alias("m")
+        ).collect()[0]["m"]
+        out_rows.append((rank, centers[-1][1], round(math.sqrt(far["d2"]), 6)))
+        if rank < k:
+            centers.append((rank + 1, far["id"]))
+            cur_vec = list(far["v"])
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        out_rows, "center_rank int, vec_id long, radius_after double"
+    )

@@ -3299,3 +3299,15 @@ def pipeline_leakage_safe_split_q(spark, sf_dir):
     return sampling.split_assign(eff, key_col="split_key").select(
         "doc_id", "split_key", "split"
     )
+
+
+@q("sample_kcenter_diversity", None, tags=("sampling", "diversity", "coreset"))
+def sample_kcenter_q(spark, sf_dir):
+    """Greedy k-center diversity selection (similarity.kcenter_select,
+    k=12): the 2-approx farthest-point coreset — budgeted subsets chosen
+    for COVERAGE of the embedding space, the complement to
+    frequency-based mixture sampling.  Rows-only (iterative argmax);
+    pytest proves radius monotonicity, determinism, and the 2-approx
+    coverage property."""
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.kcenter_select(emb, k=12)

@@ -2115,3 +2115,30 @@ def test_leakage_safe_split_no_cross_split_neardups(spark, sf_dir):
     assert pairs  # the corpus has planted near-dups
     for p in pairs:
         assert split_of[p.id_a] == split_of[p.id_b], (p.id_a, p.id_b)
+
+
+def test_kcenter_select_properties(spark, sf_dir):
+    """Farthest-point selection: covering radius is non-increasing, the
+    seed is the min id, selection is partition-invariant, and every
+    corpus point is within the final radius of some center (coverage)."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    out = similarity.kcenter_select(emb, k=8).collect()
+    assert [r.center_rank for r in out] == list(range(1, 9))
+    radii = [r.radius_after for r in out]
+    assert all(a >= b for a, b in zip(radii, radii[1:]))  # monotone
+    min_id = emb.agg(F.min("vec_id")).collect()[0][0]
+    assert out[0].vec_id == min_id
+
+    out2 = similarity.kcenter_select(emb.repartition(7), k=8).collect()
+    assert [(r.center_rank, r.vec_id) for r in out] == \
+           [(r.center_rank, r.vec_id) for r in out2]
+
+    # coverage: every point within radius_after[-1] of some center
+    rows = {r.vec_id: np.array(r.embedding, dtype=float) for r in emb.collect()}
+    centers = [rows[r.vec_id] for r in out]
+    final_r = radii[-1]
+    for v in rows.values():
+        d = min(np.sqrt(((v - c) ** 2).sum()) for c in centers)
+        assert d <= final_r + 1e-6

@@ -36,6 +36,10 @@ COLLECT_ALLOWLIST = [
      "dim point-GET: limit(1) single row"),
     ("streaming/trending.py", r"agg\(F\.max\(ts\)",
      "batch as-of probe: single-row max aggregate"),
+    ("operators/similarity.py", r"orderBy\(.id.\)\.limit\(1\)",
+     "k-center seed: limit(1) single row"),
+    ("operators/similarity.py", r"F\.max\(F\.struct\(F\.col\(.d2.\)",
+     "k-center argmax: single-row max_by per round"),
     ("operators/sampling.py", r"groupBy\(._pid.\)",
      "per-partition totals: one row per partition (prefix-sum rank)"),
     ("operators/dedup.py", r"limit\(driver_threshold \+ 1\)\.collect\(\)",

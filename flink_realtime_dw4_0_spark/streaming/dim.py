@@ -81,3 +81,44 @@ def run_dim_pipeline(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def schema_drift_report(
+    batch: DataFrame, config: DataFrame
+) -> DataFrame:
+    """CDC schema-drift detector: columns arriving in a configured
+    table's Maxwell payload that the dim config does NOT list — the
+    upstream-added-a-column signal that silently vanishes under the
+    keep-list pruning (P10) until someone notices the dim is stale.
+    Run it beside the dim merge and alert on any rows.
+
+    One explode of the payload's key set + a distinct + an anti-join
+    against the exploded config keep-lists; both sides are
+    (table, column) pairs, so the whole check moves kilobytes.
+    Returns (source_table, sink_table, new_column, n_rows_seen)."""
+    from ..operators import etl
+
+    valid = etl.etl_cdc_valid(batch)
+    cfg_cols = config.select(
+        "source_table", "sink_table",
+        F.explode(F.split(F.col("sink_columns"), ",")).alias("col"),
+    ).select("source_table", "sink_table", F.trim(F.col("col")).alias("col"))
+    seen = (
+        valid.join(
+            config.select(F.col("source_table").alias("table"), "sink_table"),
+            "table",
+        )
+        .select(
+            F.col("table").alias("source_table"), "sink_table",
+            F.explode(F.map_keys(F.col("data"))).alias("col"),
+        )
+        .groupBy("source_table", "sink_table", "col")
+        .agg(F.count(F.lit(1)).alias("n_rows_seen"))
+    )
+    return (
+        seen.join(cfg_cols, ["source_table", "sink_table", "col"], "left_anti")
+        .select(
+            "source_table", "sink_table",
+            F.col("col").alias("new_column"), "n_rows_seen",
+        )
+    )

@@ -2005,3 +2005,25 @@ def test_decayed_trending_incremental_equals_batch(spark, tmp_path):
     assert abs(got["a"] - expect_a) < 1e-6
     top = [r.item for r in tr.topk(spark, k=2).collect()]
     assert top[0] == "c"  # freshest activity leads
+
+
+def test_cdc_schema_drift_report(spark):
+    """A column added upstream (not in the config keep-list) surfaces in
+    the drift report with its row count; configured columns and
+    unconfigured tables stay silent."""
+    from flink_realtime_dw4_0_spark.streaming.dim import schema_drift_report
+
+    config = spark.createDataFrame(
+        [("base_dic", "dim_base_dic", "dic_code,dic_name", "info", "dic_code", "r")],
+        schemas.TABLE_PROCESS_DIM,
+    )
+    batch = ksrc.topic_db(values_df(spark, [
+        mx("base_dic", "insert",
+           {"dic_code": "1", "dic_name": "a", "added_col": "x"}, ts=1),
+        mx("base_dic", "insert",
+           {"dic_code": "2", "dic_name": "b", "added_col": "y"}, ts=1),
+        mx("unconfigured", "insert", {"weird": "1"}, ts=1),
+    ]), watermark=None)
+    out = {(r.sink_table, r.new_column): r.n_rows_seen
+           for r in schema_drift_report(batch, config).collect()}
+    assert out == {("dim_base_dic", "added_col"): 2}

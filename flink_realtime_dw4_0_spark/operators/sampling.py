@@ -591,3 +591,51 @@ def temperature_mixture(
             F.col("__rk").cast("long").alias("draw_rank"),
         )
     )
+
+
+def shard_assign(
+    df: DataFrame,
+    docs_per_shard: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic export sharding: documents in id order cut into
+    fixed-size shards — (shard_id, pos_in_shard) per doc — the layout a
+    training-data export writes (N docs per JSONL shard + a manifest).
+    Rides the distributed prefix-sum rank (`global_rank`), so no
+    single-partition window ever sees the corpus."""
+    ranked = global_rank(
+        df, [F.col(id_col).asc()], [F.col(id_col)], out_col="__r"
+    )
+    return ranked.select(
+        id_col,
+        ((F.col("__r") - 1) / docs_per_shard).cast("long").alias("shard_id"),
+        ((F.col("__r") - 1) % docs_per_shard).cast("long").alias("pos_in_shard"),
+    )
+
+
+def write_jsonl_shards(
+    df: DataFrame,
+    out_dir: str,
+    docs_per_shard: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Materialize the export: one directory per shard of exactly
+    ``docs_per_shard`` docs (id order), rows as JSON lines, plus a
+    returned manifest (shard_id, n_docs) the loader checks off.  The
+    repartition keys on shard_id so each shard is one task's file —
+    the write parallelism IS the shard count."""
+    assigned = shard_assign(df, docs_per_shard, id_col).join(df, id_col)
+    payload = assigned.select(
+        "shard_id",
+        F.to_json(F.struct(F.col(id_col), F.col(text_col))).alias("value"),
+    )
+    n_shards = payload.agg((F.max("shard_id") + 1).cast("int").alias("n")).collect()[0]["n"]
+    (
+        payload.repartition(n_shards, "shard_id")
+        .sortWithinPartitions("shard_id")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .text(out_dir)
+    )
+    return assigned.groupBy("shard_id").agg(F.count(F.lit(1)).alias("n_docs"))

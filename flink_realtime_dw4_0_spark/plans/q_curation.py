@@ -3311,3 +3311,25 @@ def sample_kcenter_q(spark, sf_dir):
     coverage property."""
     emb = t(spark, sf_dir, "embeddings")
     return similarity.kcenter_select(emb, k=12)
+
+
+@q(
+    "export_shard_assign",
+    """
+    WITH r AS (SELECT doc_id,
+                      row_number() OVER (ORDER BY doc_id) AS rn
+               FROM documents)
+    SELECT doc_id,
+           CAST((rn - 1) // 128 AS BIGINT) AS shard_id,
+           CAST((rn - 1) % 128 AS BIGINT) AS pos_in_shard
+    FROM r
+    """,
+    tags=("export", "sharding", "training-prep"),
+)
+def export_shard_assign_q(spark, sf_dir):
+    """Training-export sharding (sampling.shard_assign, 128 docs/shard):
+    id-ordered documents cut into fixed shards via the distributed
+    prefix-sum rank — the oracle's global row_number is the semantic
+    twin, never the plan (no single-partition window)."""
+    docs = t(spark, sf_dir, "documents")
+    return sampling.shard_assign(docs, docs_per_shard=128)

@@ -2142,3 +2142,33 @@ def test_kcenter_select_properties(spark, sf_dir):
     for v in rows.values():
         d = min(np.sqrt(((v - c) ** 2).sum()) for c in centers)
         assert d <= final_r + 1e-6
+
+
+def test_write_jsonl_shards_roundtrip(spark, sf_dir, tmp_path):
+    """The export writer produces one directory per 128-doc shard whose
+    JSONL contents round-trip to the source docs, with the manifest
+    counts matching; the tail shard carries the remainder."""
+    import json
+    import os
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.count()
+    out = str(tmp_path / "export")
+    manifest = {r.shard_id: r.n_docs for r in
+                sampling.write_jsonl_shards(docs, out, 128).collect()}
+    n_shards = (n + 127) // 128
+    assert len(manifest) == n_shards
+    assert sum(manifest.values()) == n
+    assert manifest[0] == 128 and manifest[n_shards - 1] == n - 128 * (n_shards - 1)
+
+    shard_dirs = sorted(d for d in os.listdir(out) if d.startswith("shard_id="))
+    assert len(shard_dirs) == n_shards
+    got_ids = set()
+    for d in shard_dirs:
+        full = os.path.join(out, d)
+        for f in os.listdir(full):
+            if f.endswith(".txt"):
+                for line in open(os.path.join(full, f)):
+                    got_ids.add(json.loads(line)["doc_id"])
+    src_ids = {r.doc_id for r in docs.collect()}
+    assert got_ids == src_ids

@@ -42,6 +42,8 @@ COLLECT_ALLOWLIST = [
      "k-center argmax: single-row max_by per round"),
     ("operators/sampling.py", r"groupBy\(._pid.\)",
      "per-partition totals: one row per partition (prefix-sum rank)"),
+    ("operators/sampling.py", r"agg\(\(F\.max\(.shard_id.\)",
+     "export shard count: single-row max aggregate"),
     ("operators/dedup.py", r"limit\(driver_threshold \+ 1\)\.collect\(\)",
      "components gate: limit-bounded at threshold+1 id rows"),
     ("operators/text.py", r"\.collect\(\)",

@@ -175,7 +175,12 @@ def psi_drift(
         .otherwise(F.floor((v - lo) / width))
         .cast("int")
     )
-    base = df.filter(F.col(split_col).isin(ref_value, cur_value)).select(
+    # NULL values belong to no numeric bin: drop them explicitly (they
+    # would otherwise surface as an undocumented bin=NULL row polluting
+    # the bin=-1 total); monitor null RATES with dq expectations instead
+    base = df.filter(
+        F.col(split_col).isin(ref_value, cur_value) & v.isNotNull()
+    ).select(
         bin_id.alias("bin"),
         F.when(F.col(split_col) == ref_value, 1).otherwise(0).alias("is_ref"),
     )

@@ -18,6 +18,8 @@ split granularity.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -625,15 +627,24 @@ def write_jsonl_shards(
     returned manifest (shard_id, n_docs) the loader checks off.  The
     repartition keys on shard_id so each shard is one task's file —
     the write parallelism IS the shard count."""
+    spark = df.sparkSession
     assigned = shard_assign(df, docs_per_shard, id_col).join(df, id_col)
     payload = assigned.select(
         "shard_id",
+        F.col(id_col).alias("__id"),
         F.to_json(F.struct(F.col(id_col), F.col(text_col))).alias("value"),
     )
     n_shards = payload.agg((F.max("shard_id") + 1).cast("int").alias("n")).collect()[0]["n"]
+    if not n_shards:  # empty corpus: empty export, empty manifest
+        os.makedirs(out_dir, exist_ok=True)
+        return spark.createDataFrame([], "shard_id long, n_docs long")
     (
+        # sort on (shard, id) so each shard FILE is in id order — the
+        # documented layout resumable position-based loaders rely on;
+        # the trailing narrow projection preserves that order
         payload.repartition(n_shards, "shard_id")
-        .sortWithinPartitions("shard_id")
+        .sortWithinPartitions("shard_id", "__id")
+        .select("shard_id", "value")
         .write.mode("overwrite")
         .partitionBy("shard_id")
         .text(out_dir)

@@ -725,6 +725,12 @@ def pq_train(
         sub = mat[:, j * dsub : (j + 1) * dsub]
         stride = max(1, len(sub) // k_codes)
         cents = sub[::stride][:k_codes].copy()
+        if len(cents) < k_codes:
+            # tiny corpus (< k_codes training rows): cycle the sample so
+            # the codebook keeps its declared shape — duplicate centroids
+            # are harmless (argmin picks the first) and Lloyd may still
+            # separate them
+            cents = np.resize(cents, (k_codes, dsub))
         for _ in range(iters):
             dist = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
             assign = dist.argmin(axis=1)

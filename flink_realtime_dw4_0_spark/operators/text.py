@@ -841,13 +841,19 @@ def gopher_repetition(
     calculus."""
     W = Window.partitionBy("__id").orderBy("__pos")
     toks = F.filter(tokenize(text_col), lambda t: t != "")
+    # localCheckpoint (not cache): the tokenized projection feeds five
+    # branches, but an explicit cache() here would leak — this builder
+    # returns a lazy DataFrame, so there is no point to unpersist at.
+    # Checkpoint blocks are released by the ContextCleaner once the
+    # returned plan is garbage-collected, instead of pinning executor
+    # storage for the application lifetime.
     base = df.select(
         F.col(id_col).alias("__id"),
         toks.alias("tk"),
         F.split(F.regexp_replace(F.col(text_col), r"\n+$", ""), "\n").alias("ln"),
         F.split(F.regexp_replace(F.col(text_col), r"\n+$", ""), r"\n{2,}").alias("pg"),
         F.length(text_col).alias("nc"),
-    ).cache()
+    ).localCheckpoint(eager=False)
     nc_den = F.greatest(F.col("nc"), F.lit(1))
 
     # --- per-row signals: stop words + paragraph duplicate fraction ----

@@ -88,12 +88,17 @@ class KeyedTable:
         the same lazy-compaction cleanup Flink's RocksDB TTL uses.
         Persisted so a restarted pipeline never resurrects expired rows."""
         self.ttl_horizon = horizon
+        ttl_f = os.path.join(self.path, "TTL")
         if horizon is not None:
             os.makedirs(self.path, exist_ok=True)
-            tmp = os.path.join(self.path, "TTL.tmp")
+            tmp = ttl_f + ".tmp"
             with open(tmp, "w") as fh:
                 fh.write(str(int(horizon)))
-            os.replace(tmp, os.path.join(self.path, "TTL"))
+            os.replace(tmp, ttl_f)
+        elif os.path.exists(ttl_f):
+            # disabling TTL must persist too, or a restart resurrects the
+            # old horizon and silently hides committed rows
+            os.remove(ttl_f)
 
     def _apply_ttl(self, df: DataFrame | None) -> DataFrame | None:
         if df is None or self.ttl_horizon is None or self.ttl_col not in df.columns:
@@ -148,6 +153,25 @@ class KeyedTable:
         with open(f) as fh:
             v = fh.read().strip()
         return v if os.path.exists(os.path.join(self.path, v)) else None
+
+    def _pending_txn_version(self) -> str | None:
+        """This table's version in a pending cross-table intent journal
+        (sinks/txn.py writes TXN_INTENT in the warehouse root — the
+        table paths' parent), or None.  A journaled version is
+        COMMITTED-but-not-yet-flipped: normal commits refuse while one
+        is pending (fail loud beats losing either batch to recovery
+        order), and recover() completes it."""
+        journal = os.path.join(os.path.dirname(self.path.rstrip("/")), "TXN_INTENT")
+        if not os.path.exists(journal):
+            return None
+        try:
+            with open(journal) as fh:
+                for e in json.load(fh):
+                    if os.path.normpath(e["path"]) == os.path.normpath(self.path):
+                        return e["version"]
+        except (json.JSONDecodeError, KeyError):
+            return None  # half-written journal: recover() treats as absent
+        return None
 
     def _manifest_path(self, version: str) -> str:
         return os.path.join(self.path, version, "MANIFEST.json")
@@ -301,6 +325,13 @@ class KeyedTable:
             # (the stage isn't referenced yet — sinks/txn.py flips it
             # under an intent journal; orphans die at the next real commit)
             return v
+        if self._pending_txn_version() is not None:
+            raise RuntimeError(
+                f"table {self.path} has a pending cross-table transaction "
+                "(TXN_INTENT in the warehouse root) — run TableTxn.recover() "
+                "before committing, or this merge and the journaled batch "
+                "would overwrite each other in recovery order"
+            )
         tmp = f"{self._current_file()}.tmp_{v}"
         with open(tmp, "w") as fh:
             fh.write(v)
@@ -529,10 +560,17 @@ class KeyedTable:
             ]
             # one tiny local job hashes the literal keys with the SAME
             # expression the writer used — never re-derive F.hash in
-            # Python, where seed/semantics could drift
-            probe = spark.createDataFrame(kvs, ", ".join(
-                f"{k} {dict(self._read_snapshot(spark, v).dtypes)[k]}" for k in self.keys
-            ))
+            # Python, where seed/semantics could drift.  Key types come
+            # from the manifest's stored schema (already on disk) — a
+            # snapshot read here would open every bucket's footer and
+            # defeat the point-read cost model.
+            ftypes = {
+                f["name"]: (f["type"] if isinstance(f["type"], str) else "string")
+                for f in man["schema"]["fields"]
+            }
+            probe = spark.createDataFrame(
+                kvs, ", ".join(f"{k} {ftypes[k]}" for k in self.keys)
+            )
             buckets = {
                 str(r["__b"])
                 for r in probe.select(self._bucket_expr().alias("__b")).collect()

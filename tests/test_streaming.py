@@ -2027,3 +2027,35 @@ def test_cdc_schema_drift_report(spark):
     out = {(r.sink_table, r.new_column): r.n_rows_seen
            for r in schema_drift_report(batch, config).collect()}
     assert out == {("dim_base_dic", "added_col"): 2}
+
+
+def test_txn_pending_journal_blocks_normal_commit(spark, tmp_path):
+    """A normal merge on a table with a PENDING intent journal fails
+    loud (committing would race the journaled batch in recovery order,
+    and its GC would delete the staged version recover() needs); after
+    recover() completes the transaction, merges proceed and both
+    batches survive."""
+    import json as _json
+    import os
+
+    import pytest as _pytest
+
+    from flink_realtime_dw4_0_spark.sinks.txn import TableTxn
+
+    root = str(tmp_path / "whgc")
+    tb = KeyedTable(root + "/t", keys=["k"])
+    d = lambda rows: spark.createDataFrame(rows, "k string, v long")  # noqa: E731
+    tb.merge(spark, d([("a", 1)]))
+
+    staged = tb.prepare_merge(spark, d([("a", 2)]))
+    with open(root + "/TXN_INTENT", "w") as fh:
+        _json.dump([{"path": tb.path, "version": staged}], fh)
+    # crash before any flip; on 'restart' a NORMAL merge runs first —
+    # it must refuse instead of racing the journaled batch
+    with _pytest.raises(RuntimeError, match="pending cross-table transaction"):
+        tb.merge(spark, d([("b", 3)]))
+    assert os.path.exists(os.path.join(tb.path, staged))  # stage untouched
+    assert TableTxn(root).recover()
+    tb.merge(spark, d([("b", 3)]))  # now allowed
+    got = {r.k: r.v for r in tb.read(spark).collect()}
+    assert got == {"a": 2, "b": 3}  # both batches survived, in order

@@ -4,8 +4,10 @@ Images/audio/video ride as `binary` columns with a metadata struct; decode
 and feature extraction run as Arrow-batched `mapInPandas` stages.
 
 Header metadata is REAL for container formats: stdlib-only parsers read
-PNG IHDR (width/height), BMP BITMAPINFOHEADER (width/height), and WAV
-RIFF chunks (sample_rate/channels/sample-frame count — surfaced as
+PNG IHDR (width/height), BMP BITMAPINFOHEADER (width/height), JPEG SOFn
+(marker-segment walk), GIF logical-screen descriptors, ISO-BMFF (MP4)
+moov/trak/tkhd dims + stbl/stsz sample counts, and WAV RIFF chunks
+(sample_rate/channels/sample-frame count — surfaced as
 width/height/n_frames).  Only full pixel/sample DECODE is stubbed (no
 PIL/ffmpeg in this container) behind a deterministic fake for payloads
 that are not a recognized container — the Spark-side plumbing (schema,
@@ -70,7 +72,8 @@ def to_media(df: DataFrame, id_col: str, bytes_src_col: str, media_type: str) ->
 
 def _parse_media_header(payload: bytes) -> tuple[int, int, int] | None:
     """stdlib-only container-header parse: PNG IHDR / BMP DIB / JPEG
-    SOFn (marker-segment scan) / WAV RIFF.
+    SOFn (marker-segment scan) / GIF LSD / ISO-BMFF (MP4) box walk /
+    WAV RIFF.
 
     Returns (width, height, n_frames); for WAV the triple carries
     (sample_rate, channels, sample_frames).  None if the payload is not a
@@ -121,6 +124,41 @@ def _parse_media_header(payload: bytes) -> tuple[int, int, int] | None:
                 return int(w), int(h), 1
             pos += 2 + seg_len
         return None  # JPEG without a parseable SOF — caller stubs
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        # logical screen descriptor: LE16 width at 6, height at 8
+        w, h = struct.unpack("<HH", payload[6:10])
+        return int(w), int(h), 1
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        # ISO-BMFF (MP4/MOV): recursive box walk to moov/trak/tkhd for
+        # the 16.16-fixed track dims and .../stbl/stsz for sample count
+        containers = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+        dims: list = [None, None]
+        frames = [0]
+
+        def walk(lo: int, hi: int) -> None:
+            pos = lo
+            while pos + 8 <= hi:
+                sz = struct.unpack(">I", payload[pos : pos + 4])[0]
+                typ = payload[pos + 4 : pos + 8]
+                if sz < 8:
+                    break  # size==0/1 (to-end / 64-bit) unsupported here
+                end = min(pos + sz, hi)
+                if typ in containers:
+                    walk(pos + 8, end)
+                elif typ == b"tkhd" and dims[0] is None:
+                    ver = payload[pos + 8]
+                    off = pos + 8 + (88 if ver == 1 else 76)
+                    if off + 8 <= end:
+                        w_fx, h_fx = struct.unpack(">II", payload[off : off + 8])
+                        dims[0], dims[1] = w_fx >> 16, h_fx >> 16
+                elif typ == b"stsz" and pos + 20 <= end and not frames[0]:
+                    frames[0] = struct.unpack(">I", payload[pos + 16 : pos + 20])[0]
+                pos = end
+
+        walk(0, len(payload))
+        if dims[0] is not None:
+            return int(dims[0]), int(dims[1]), int(frames[0]) or 1
+        return None  # ftyp without a tkhd — caller stubs
     if payload[:4] == b"RIFF" and len(payload) >= 12 and payload[8:12] == b"WAVE":
         pos, channels, rate, block_align, data_size = 12, None, None, None, None
         while pos + 8 <= len(payload):
@@ -170,12 +208,16 @@ def _decode(payload: bytes, media_type: str) -> tuple[int, int, int]:
 def synthetic_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic REAL-container media fixtures, built entirely JVM-side.
 
-    Per id, one of four genuine binary headers (kind = id % 4):
+    Per id, one of six genuine binary headers (kind = id % 6):
       0 → PNG  (signature + IHDR, big-endian width/height)     33 bytes
       1 → BMP  ('BM' + BITMAPINFOHEADER, little-endian dims)   26 bytes
       2 → WAV  (RIFF/WAVE + fmt + data chunk headers)          44 bytes
       3 → JPEG (SOI + APP0/JFIF + SOF0 + EOI — the parser must
                 WALK marker segments past APP0 to reach the dims) 35 bytes
+      4 → GIF  (GIF89a + logical screen descriptor, LE dims)   13 bytes
+      5 → MP4  (ftyp + moov{trak{tkhd, mdia/minf/stbl/stsz}} — the
+                parser must RECURSE the box tree for 16.16-fixed dims
+                and the sample count; media_type 'video')      168 bytes
     Dimensions are arithmetic in the id (width = 16 + id%1000, ...), so a
     SQL oracle can verify what the header PARSERS recover — closing the
     loop between the binary plumbing and the feature extractor.  The bytes
@@ -183,7 +225,7 @@ def synthetic_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     JVM map, no Python until the parse stage itself.
     """
     i = F.col(id_col).cast("long")
-    kind = i % 4
+    kind = i % 6
 
     def hx(col, n):  # fixed-width uppercase hex of a non-negative long
         return F.lpad(F.hex(col), n, "0")
@@ -232,17 +274,55 @@ def synthetic_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.lit("01" + "011100"),                          # 1 component
         F.lit("FFD9"),                                   # EOI
     )
+    gif_w = F.lit(1) + (i * 13) % 4000
+    gif_h = F.lit(1) + (i * 17) % 4000
+    gif_hex = F.concat(
+        F.lit("474946383961"),          # 'GIF89a'
+        le16(gif_w), le16(gif_h),
+        F.lit("000000"),                # packed/bg/aspect
+    )
+    mp4_w = F.lit(16) + (i * 19) % 2000
+    mp4_h = F.lit(16) + (i * 23) % 2000
+    mp4_nf = F.lit(1) + i % 500
+    tkhd_hex = F.concat(
+        F.lit("0000005C" + "746B6864"),             # size 92, 'tkhd'
+        F.lit("00000000" * 3 + "00000001" + "00000000" * 2),  # v0, track 1
+        F.lit("0000000000000000" + "0000" + "0000" + "0100" + "0000"),
+        F.lit("000100000000000000000000"            # identity matrix
+              + "000000000001000000000000"
+              + "000000000000000040000000"),
+        hx(mp4_w, 4), F.lit("0000"),                # 16.16 fixed width
+        hx(mp4_h, 4), F.lit("0000"),
+    )
+    stsz_hex = F.concat(
+        F.lit("00000014" + "7374737A" + "00000000" + "00000000"),
+        hx(mp4_nf, 8),                              # sample_count
+    )
+    mp4_hex = F.concat(
+        F.lit("00000010" + "66747970" + "69736F6D" + "00000000"),  # ftyp isom
+        F.lit("00000098" + "6D6F6F76"),             # moov size 152
+        F.lit("00000090" + "7472616B"),             # trak size 144
+        tkhd_hex,
+        F.lit("0000002C" + "6D646961"),             # mdia size 44
+        F.lit("00000024" + "6D696E66"),             # minf size 36
+        F.lit("0000001C" + "7374626C"),             # stbl size 28
+        stsz_hex,
+    )
     payload = F.to_binary(
         F.when(kind == 0, png_hex)
         .when(kind == 1, bmp_hex)
         .when(kind == 3, jpg_hex)
+        .when(kind == 4, gif_hex)
+        .when(kind == 5, mp4_hex)
         .otherwise(wav_hex),
         F.lit("hex"),
     )
     return df.select(
         i.alias("media_id"),
         payload.alias("payload"),
-        F.when(kind == 2, F.lit("audio")).otherwise(F.lit("image")).alias("media_type"),
+        F.when(kind == 2, F.lit("audio"))
+        .when(kind == 5, F.lit("video"))
+        .otherwise(F.lit("image")).alias("media_type"),
         F.length(payload).cast("long").alias("byte_len"),
         F.sha2(payload, 256).alias("sha256"),
     )

@@ -715,6 +715,11 @@ def pq_train(
         .collect()
     )
     rows.sort(key=lambda r: r.id)
+    if not rows:
+        raise ValueError(
+            "pq_train: empty training sample (empty corpus, or every "
+            "vector was dropped upstream, e.g. by a zero-norm filter)"
+        )
     mat = np.array([r.v for r in rows], dtype=np.float64)
     d = mat.shape[1]
     if d % m:
@@ -836,7 +841,35 @@ def pq_topk(
         corpus, m, k_codes, id_col=id_col, vec_col=vec_col, sample_cap=sample_cap
     )
     codes = pq_encode(corpus, books, id_col, vec_col)
+    return _pq_adc_search(
+        spark, queries, codes, books, k=k, rerank=rerank,
+        id_col=id_col, vec_col=vec_col,
+        refine_with=corpus if int(rerank) > 1 else None,
+    )
 
+
+def _pq_adc_search(
+    spark,
+    queries: DataFrame,
+    codes: DataFrame,
+    books,
+    *,
+    k: int,
+    rerank: int,
+    id_col: str,
+    vec_col: str,
+    refine_with: DataFrame | None,
+) -> DataFrame:
+    """Shared ADC search over an (id, codes) relation: broadcast
+    per-query distance LUTs, numpy gather-sum per Arrow batch with a
+    local shortlist, one shuffle on query_id, optional exact-cosine
+    re-rank of the q*k*rerank shortlist against ``refine_with`` (float
+    vectors).  Backs both pq_topk (codes built per call) and
+    pq_index_topk (codes read from a materialized index)."""
+    import numpy as np
+    import pandas as pd
+
+    books = np.asarray(books, dtype=np.float64)
     q_rows = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("vq")).collect()
     qids = np.array([r.qid for r in q_rows], dtype=np.int64)
     qmat = np.array([r.vq for r in q_rows], dtype=np.float64)
@@ -885,7 +918,7 @@ def pq_topk(
         .filter(F.col("srank") <= shortk)
         .drop("srank")
     )
-    if rerank <= 1:
+    if refine_with is None or rerank <= 1:
         return (
             shortlist.withColumn("rank", F.row_number().over(w_adc).cast("long"))
             .filter(F.col("rank") <= topk)
@@ -893,7 +926,7 @@ def pq_topk(
         )
     # exact re-rank: fetch float vectors for the q*k*rerank shortlist
     # rows only, score true cosine, final window
-    cvec = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vc"))
+    cvec = refine_with.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vc"))
     qvec = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("vq"))
     exact = (
         shortlist.join(cvec, "neighbor_id")
@@ -1118,6 +1151,70 @@ def ivfadc_index_topk(
         exact.withColumn("rank", F.row_number().over(w_sim).cast("long"))
         .filter(F.col("rank") <= topk)
         .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim"))
+    )
+
+
+def pq_index_write(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 16,
+    k_codes: int = 32,
+    sample_cap: int | None = None,
+) -> None:
+    """Materialize a FLAT PQ index: L2-normalize, train the m-subspace
+    codebooks once, and store only (id, m codes) parquet plus a
+    `_pq_codebooks.json` sidecar (m*k*dsub floats — trivially
+    broadcastable).  The storage-side counterpart of `pq_topk`: repeated
+    searches pay ONLY the code scan + LUT gather (the probe), never the
+    train+encode pass — the same memoization-by-materialization that
+    takes `ivfadc_index_write` from train-per-call to ~1 s probes, minus
+    the coarse cells (a flat ADC scan reads every code, but codes are
+    already 4-32x smaller than floats; use IVFADC when storage pruning
+    matters too)."""
+    import json
+    import os
+
+    normed_c = _l2_normalize(corpus, id_col, vec_col)
+    books, _ = pq_train(
+        normed_c, m, k_codes, id_col=id_col, vec_col=vec_col, sample_cap=sample_cap
+    )
+    pq_encode(normed_c, books, id_col, vec_col).write.mode("overwrite").parquet(path)
+    import numpy as np
+
+    with open(os.path.join(path, "_pq_codebooks.json"), "w") as fh:
+        json.dump(np.asarray(books).tolist(), fh)
+
+
+def pq_index_topk(
+    spark,
+    queries: DataFrame,
+    path: str,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank: int = 8,
+    refine_with: DataFrame | None = None,
+) -> DataFrame:
+    """Search a materialized flat-PQ index: load the codebook sidecar,
+    broadcast per-query LUTs, ADC-scan the stored (id, codes) relation,
+    and (optionally) exact-cosine re-rank the q*k*rerank shortlist
+    against ``refine_with`` float vectors (ADC-R).  Query-side work is
+    q*m*k_codes LUT floats; the corpus pass reads codes only."""
+    import json
+    import os
+
+    import numpy as np
+
+    with open(os.path.join(path, "_pq_codebooks.json")) as fh:
+        books = np.array(json.load(fh), dtype=np.float64)
+    codes = spark.read.parquet(path)
+    qn = _l2_normalize(queries, id_col, vec_col)
+    return _pq_adc_search(
+        spark, qn, codes, books, k=k, rerank=rerank,
+        id_col=id_col, vec_col=vec_col,
+        refine_with=refine_with if int(rerank) > 1 else None,
     )
 
 

@@ -1074,6 +1074,67 @@ def fuzzy_join_customers_q(spark, sf_dir):
 # frequent English character merges, in rank order — a fixed toy merge
 # table so the encode query is deterministic without a driver-side
 # training collect (the LEARN side is text_bpe_pair_counts per round)
+def _bpe_oracle_sql(merges) -> str:
+    """DuckDB twin of text.bpe_encode for a FIXED merge table: the
+    per-word merge fixpoint loop runs as a recursive CTE over unique
+    words — each step argmins (rank, position) over adjacent symbol
+    pairs via a literal rank MAP (embedded the way x14 embeds the FMM
+    dict) and splices the winning pair; terminal rows (no applicable
+    pair) carry each word's subword count, summed back per doc.  The
+    100000 stride packs (rank, pos) into one sortable int (words are
+    far shorter than 100k symbols)."""
+    def q(x):
+        return "'" + x.replace("'", "''") + "'"
+
+    keys = ", ".join(q(a + "\x1f" + b) for a, b in merges)
+    vals = ", ".join(str(i) for i in range(len(merges)))
+    rank_map = f"MAP(list_value({keys}), list_value({vals}))"
+    pair_rank = f"({rank_map})[syms[i] || chr(31) || syms[i+1]][1]"
+    return f"""
+    WITH RECURSIVE
+    words AS (
+      SELECT DISTINCT w FROM (
+        SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents)
+    ),
+    it(w, syms) AS (
+      SELECT w, list_append(list_transform(range(1, length(w) + 1), i -> w[i]),
+                            '</w>')
+      FROM words
+      UNION ALL
+      SELECT w, syms[:best % 100000 - 1]
+                || [syms[best % 100000] || syms[best % 100000 + 1]]
+                || syms[best % 100000 + 2:]
+      FROM (
+        SELECT w, syms,
+          list_min(list_filter(
+            list_transform(range(1, len(syms)), i ->
+              CASE WHEN {pair_rank} IS NOT NULL
+                   THEN {pair_rank} * 100000 + i END),
+            x -> x IS NOT NULL)) AS best
+        FROM it) WHERE best IS NOT NULL
+    ),
+    done AS (
+      SELECT w, len(syms) AS n FROM (
+        SELECT w, syms,
+          list_min(list_filter(
+            list_transform(range(1, len(syms)), i ->
+              CASE WHEN {pair_rank} IS NOT NULL THEN 1 END),
+            x -> x IS NOT NULL)) AS more
+        FROM it) WHERE more IS NULL
+    ),
+    perdoc AS (
+      SELECT doc_id, unnest(list_filter(
+               string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS w
+      FROM documents
+    )
+    SELECT d.doc_id, CAST(coalesce(sum(dn.n), 0) AS BIGINT) AS n_bpe_tokens
+    FROM documents d LEFT JOIN perdoc p USING (doc_id) LEFT JOIN done dn USING (w)
+    GROUP BY d.doc_id
+    """
+
+
 _BPE_MERGES = [
     ("t", "h"), ("th", "e"), ("the", "</w>"), ("i", "n"), ("e", "r"),
     ("a", "n"), ("r", "e"), ("o", "n"), ("er", "</w>"), ("a", "t"),
@@ -1226,16 +1287,18 @@ def pipeline_pretrain_q(spark, sf_dir):
 
 @q(
     "text_bpe_encode_counts",
-    None,  # the merge fixpoint loop has no SQL twin; golden-tested
-    tags=("text", "tokenizer", "rows-only"),
+    _bpe_oracle_sql(_BPE_MERGES),
+    tags=("text", "tokenizer"),
 )
 def text_bpe_encode_q(spark, sf_dir):
     """Real BPE encoding (text.bpe_encode): apply a ranked merge table
     per word until fixpoint — the GPT-2 apply algorithm as an
     Arrow-batched UDF with a per-batch word memo (Zipf hit rate).
-    Deterministic under the fixed merge table; rows-only by design
-    (the iterative merge loop is not SQL-expressible), semantics proven
-    by hand-checked goldens in tests/test_operators.py."""
+    Deterministic under the fixed merge table, and now ORACLE-EXACT:
+    the DuckDB twin replays the same fixpoint as a recursive CTE over
+    unique words with the merge ranks embedded as a literal MAP
+    (see _bpe_oracle_sql); hand-checked goldens remain in
+    tests/test_operators.py."""
     docs = t(spark, sf_dir, "documents")
     return text.bpe_encode(docs, _BPE_MERGES).select(
         "doc_id", "n_bpe_tokens"
@@ -1325,13 +1388,15 @@ def entity_resolution_q(spark, sf_dir):
     """
     WITH dims AS (
       SELECT doc_id AS media_id,
-             CAST(CASE doc_id % 4 WHEN 0 THEN 16 + doc_id % 1000
+             CAST(CASE doc_id % 6 WHEN 0 THEN 16 + doc_id % 1000
                              WHEN 1 THEN 1 + doc_id % 255
-                             ELSE 1 + (doc_id * 5) % 2000 END AS INTEGER) AS width,
-             CAST(CASE doc_id % 4 WHEN 0 THEN 16 + (doc_id * 7) % 1000
+                             WHEN 3 THEN 1 + (doc_id * 5) % 2000
+                             ELSE 1 + (doc_id * 13) % 4000 END AS INTEGER) AS width,
+             CAST(CASE doc_id % 6 WHEN 0 THEN 16 + (doc_id * 7) % 1000
                              WHEN 1 THEN 1 + (doc_id * 3) % 255
-                             ELSE 1 + (doc_id * 11) % 2000 END AS INTEGER) AS height
-      FROM documents WHERE doc_id % 4 <> 2)
+                             WHEN 3 THEN 1 + (doc_id * 11) % 2000
+                             ELSE 1 + (doc_id * 17) % 4000 END AS INTEGER) AS height
+      FROM documents WHERE doc_id % 6 NOT IN (2, 5))
     SELECT media_id, width, height, py.py AS py, px.px AS px
     FROM dims,
          unnest(range(0, CAST(ceil(height / 16.0) AS BIGINT))) AS py(py),
@@ -1829,8 +1894,11 @@ def text_bpe_pair_counts_q(spark, sf_dir):
     "multimodal_frame_sample",
     """
     WITH m AS (SELECT doc_id AS media_id,
-                      CASE WHEN doc_id % 4 = 2 THEN 'audio' ELSE 'image' END AS media_type,
-                      CASE WHEN doc_id % 4 = 2 THEN 1 + doc_id % 1000 ELSE 1 END AS n_frames
+                      CASE doc_id % 6 WHEN 2 THEN 'audio' WHEN 5 THEN 'video'
+                                      ELSE 'image' END AS media_type,
+                      CASE doc_id % 6 WHEN 2 THEN 1 + doc_id % 1000
+                                      WHEN 5 THEN 1 + doc_id % 500
+                                      ELSE 1 END AS n_frames
                FROM documents)
     SELECT media_id, media_type,
            CAST(unnest(range(0, n_frames, 5)) AS BIGINT) AS frame_idx
@@ -3001,18 +3069,60 @@ def ann_pq(spark, sf_dir):
     return similarity.pq_topk(emb.filter(F.col("vec_id") % 25 == 0), emb, k=5)
 
 
-@q("text_bpe_trained_encode", None, tags=("text", "tokenizer", "bpe"))
+_BPE_TRAINED_SF001 = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("er", "</w>"), ("o", "w"),
+    ("ow", "</w>"), ("o", "r"), ("s", "t"), ("h", "</w>"), ("a", "t"),
+    ("l", "u"), ("i", "n"),
+]
+
+
+@q(
+    "text_bpe_trained_encode",
+    _bpe_oracle_sql(_BPE_TRAINED_SF001),
+    tags=("text", "tokenizer", "bpe"),
+)
 def text_bpe_trained_encode_q(spark, sf_dir):
     """End-to-end learned tokenizer (text.bpe_train -> text.bpe_encode):
     12 merges trained distributed on the corpus vocabulary (corpus-sized
     work once, vocab-sized work per merge), then applied to every
-    document.  Deterministic (count-desc/lexicographic tiebreaks) but
-    the iterative argmax has no SQL twin -> rows-only; the trainer is
-    equivalence-tested against a pure-Python reference in pytest."""
+    document.  Training is deterministic (count-desc/lexicographic
+    tiebreaks), so the merge table it learns at the driver's check scale
+    (sf0.01) is a constant — `_BPE_TRAINED_SF001`, captured once and
+    embedded in the DuckDB twin the way x14 embeds the FMM dict.  The
+    oracle is therefore exact at sf0.01 (where the driver compares);
+    at other scale factors the Spark side retrains and the embedded
+    table may differ.  The trainer itself is equivalence-tested against
+    a pure-Python reference in pytest."""
     docs = t(spark, sf_dir, "documents")
     merges = text.bpe_train(docs, n_merges=12, min_count=2)
     return text.bpe_encode(docs, merges).select(
         "doc_id", F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens")
+    )
+
+
+_PQ_IDX_CACHE: dict[str, str] = {}
+
+
+@q("ann_pq_index_topk", None, tags=("similarity", "pq", "index"))
+def ann_pq_index_q(spark, sf_dir):
+    """Materialized flat-PQ probe (similarity.pq_index_write/_topk):
+    codebooks trained and the corpus encoded ONCE into an on-disk
+    (id, codes) index + codebook sidecar; every search pays only the
+    ADC probe (broadcast LUTs, code-only scan, exact re-rank) — the
+    per-call train+encode cost `ann_pq_topk` measures goes to the
+    build.  Rows-only (float Lloyd); pytest proves index==per-call
+    equivalence and recall."""
+    import tempfile
+
+    emb = t(spark, sf_dir, "embeddings")
+    idx = _PQ_IDX_CACHE.get(sf_dir)
+    if idx is None:
+        idx = tempfile.mkdtemp(prefix="pq_idx_") + "/index"
+        similarity.pq_index_write(emb, idx, m=16, k_codes=32)
+        _PQ_IDX_CACHE[sf_dir] = idx
+    probes = emb.filter(F.col("vec_id") % 25 == 0)
+    return similarity.pq_index_topk(
+        spark, probes, idx, k=5, rerank=8, refine_with=emb
     )
 
 

@@ -411,26 +411,34 @@ def mm_meta(spark, sf_dir):
     "multimodal_features",
     """
     SELECT doc_id AS media_id,
-           CASE WHEN doc_id % 4 = 2 THEN 'audio' ELSE 'image' END AS media_type,
-           CAST(CASE doc_id % 4 WHEN 0 THEN 33 WHEN 1 THEN 26
-                           WHEN 3 THEN 35 ELSE 44 END AS BIGINT) AS byte_len,
-           CAST(CASE doc_id % 4 WHEN 0 THEN 16 + doc_id % 1000
+           CASE doc_id % 6 WHEN 2 THEN 'audio' WHEN 5 THEN 'video'
+                           ELSE 'image' END AS media_type,
+           CAST(CASE doc_id % 6 WHEN 0 THEN 33 WHEN 1 THEN 26 WHEN 2 THEN 44
+                           WHEN 3 THEN 35 WHEN 4 THEN 13
+                           ELSE 168 END AS BIGINT) AS byte_len,
+           CAST(CASE doc_id % 6 WHEN 0 THEN 16 + doc_id % 1000
                            WHEN 1 THEN 1 + doc_id % 255
+                           WHEN 2 THEN 8000 + (doc_id % 100) * 50
                            WHEN 3 THEN 1 + (doc_id * 5) % 2000
-                           ELSE 8000 + (doc_id % 100) * 50 END AS INTEGER) AS width,
-           CAST(CASE doc_id % 4 WHEN 0 THEN 16 + (doc_id * 7) % 1000
+                           WHEN 4 THEN 1 + (doc_id * 13) % 4000
+                           ELSE 16 + (doc_id * 19) % 2000 END AS INTEGER) AS width,
+           CAST(CASE doc_id % 6 WHEN 0 THEN 16 + (doc_id * 7) % 1000
                            WHEN 1 THEN 1 + (doc_id * 3) % 255
+                           WHEN 2 THEN 1 + doc_id % 2
                            WHEN 3 THEN 1 + (doc_id * 11) % 2000
-                           ELSE 1 + doc_id % 2 END AS INTEGER) AS height,
-           CAST(CASE WHEN doc_id % 4 = 2 THEN 1 + doc_id % 1000 ELSE 1 END AS INTEGER) AS n_frames
+                           WHEN 4 THEN 1 + (doc_id * 17) % 4000
+                           ELSE 16 + (doc_id * 23) % 2000 END AS INTEGER) AS height,
+           CAST(CASE doc_id % 6 WHEN 2 THEN 1 + doc_id % 1000
+                           WHEN 5 THEN 1 + doc_id % 500
+                           ELSE 1 END AS INTEGER) AS n_frames
     FROM documents
     """,
     tags=("multimodal",),
 )
 def mm_features(spark, sf_dir):
     """Header feature-extract via Arrow-batched mapInPandas over REAL
-    container bytes: `synthetic_media` builds genuine PNG/BMP/WAV/JPEG headers
-    JVM-side with id-derived dimensions, and the stdlib parsers in
+    container bytes: `synthetic_media` builds genuine PNG/BMP/WAV/JPEG/
+    GIF/MP4 headers JVM-side with id-derived dimensions, and the stdlib parsers in
     operators/multimodal.py recover width/height/sample-rate/frames from
     the binary.  The oracle predicts the same dims arithmetically, so the
     binary build AND the parse are both value-checked (upgraded from the

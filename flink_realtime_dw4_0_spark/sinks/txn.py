@@ -34,10 +34,28 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .upsert import KeyedTable
+from .upsert import CommitConflictError, KeyedTable
 
 
 def _flip(table_path: str, version: str) -> None:
+    # optimistic-concurrency check: a staged manifest records the
+    # snapshot version it was computed against — if CURRENT moved since
+    # (e.g. a normal commit interleaved between staging and the intent
+    # journal), flipping would drop the interleaved writer's buckets.
+    man_p = os.path.join(table_path, version, "MANIFEST.json")
+    if os.path.exists(man_p):
+        with open(man_p) as fh:
+            man = json.load(fh)
+        if "base" in man:
+            cur_f = os.path.join(table_path, "CURRENT")
+            cur = open(cur_f).read().strip() if os.path.exists(cur_f) else None
+            if cur != man["base"]:
+                raise CommitConflictError(
+                    f"table {table_path}: staged version {version!r} was "
+                    f"computed against snapshot {man['base']!r} but CURRENT "
+                    f"is now {cur!r} — the publish lost the race; restage "
+                    "against the new snapshot"
+                )
     cur = os.path.join(table_path, "CURRENT")
     tmp = f"{cur}.tmp_txn_{version}"
     with open(tmp, "w") as fh:
@@ -45,6 +63,11 @@ def _flip(table_path: str, version: str) -> None:
     os.replace(tmp, cur)
     with open(os.path.join(table_path, "HISTORY"), "a") as fh:
         fh.write(version + "\n")
+    # the version is committed (manifest-referenced) now — drop the
+    # staging sentinel that protected it from GC before the flip
+    sentinel = os.path.join(table_path, version, "_STAGED")
+    if os.path.exists(sentinel):
+        os.remove(sentinel)
 
 
 class TableTxn:
@@ -69,10 +92,23 @@ class TableTxn:
         for e in entries:
             cur_f = os.path.join(e["path"], "CURRENT")
             cur = open(cur_f).read().strip() if os.path.exists(cur_f) else None
-            if cur != e["version"] and os.path.exists(
-                os.path.join(e["path"], e["version"])
-            ):
-                _flip(e["path"], e["version"])
+            if cur == e["version"]:
+                continue  # this flip already happened
+            if not os.path.exists(os.path.join(e["path"], e["version"])):
+                # The staged version dir is gone and CURRENT never flipped
+                # to it: the flip can neither be verified nor re-applied.
+                # Deleting the journal here would silently convert a
+                # partially applied publish into "success" — keep the
+                # journal (so every later publish keeps failing loud) and
+                # surface the broken entry to the operator instead.
+                raise RuntimeError(
+                    "TableTxn.recover: journaled version "
+                    f"{e['version']!r} for table {e['path']!r} is missing "
+                    "and CURRENT does not point at it; cross-table "
+                    "atomicity cannot be restored automatically. The "
+                    "intent journal was left in place."
+                )
+            _flip(e["path"], e["version"])
         os.remove(j)
         return True
 
@@ -91,6 +127,21 @@ class TableTxn:
             sp = spark or batch.sparkSession
             version = table.prepare_merge(sp, batch)
             prepared.append({"path": table.path, "version": version})
+        # conflict check BEFORE the commit point: once the journal lands,
+        # recovery must always be able to roll forward, so a publish that
+        # lost a race to an interleaved commit aborts HERE (staged dirs
+        # age out via their _STAGED sentinels) instead of journaling a
+        # flip that would drop the winner's buckets.
+        for table, e in zip(updates, prepared):
+            man = table._load_manifest(e["version"])
+            if man is not None and "base" in man and (
+                table._current_version() != man["base"]
+            ):
+                raise CommitConflictError(
+                    f"table {table.path}: snapshot {man['base']!r} was "
+                    "superseded while the publish was staging — re-read "
+                    "and retry the whole publish"
+                )
         tmp = self._journal() + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(prepared, fh)

@@ -31,12 +31,21 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 from pyspark.sql.window import Window
+
+
+class CommitConflictError(RuntimeError):
+    """Optimistic-concurrency conflict: CURRENT moved between the moment
+    a writer read its snapshot and the moment it tried to flip.  Same
+    contract as a Delta/Iceberg commit conflict — the loser fails loud
+    (its merge silently dropping the winner's buckets would be a lost
+    update) and should re-read and retry."""
 
 
 class KeyedTable:
@@ -64,6 +73,9 @@ class KeyedTable:
         if n_buckets < 1:
             raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
         self.n_buckets = n_buckets
+        # how long a staged-but-unjournaled version dir is protected from
+        # GC (closes the prepare_merge -> TXN_INTENT race; see _commit)
+        self.staged_protect_s: float = 3600.0
         # disk is the source of truth for an EXISTING table's bucket
         # count: a reopening instance adopts the committed manifest's
         # n_buckets (otherwise a default-parameter reopen would silently
@@ -285,7 +297,11 @@ class KeyedTable:
         )
 
     def _commit(
-        self, df: DataFrame, inherit: dict[str, str], flip: bool = True
+        self,
+        df: DataFrame,
+        inherit: dict[str, str],
+        flip: bool = True,
+        expected_base: str | None | bool = False,
     ) -> str:
         """Crash-safe bucketed commit: write `df`'s rows partitioned by
         key-hash bucket into a fresh version dir, write the version's
@@ -315,15 +331,29 @@ class KeyedTable:
         buckets = dict(inherit)
         buckets.update({b: v for b in written})
         man = {"n_buckets": self.n_buckets, "schema": schema_json, "buckets": buckets}
+        if expected_base is not False:
+            # the snapshot version this commit was computed against —
+            # optimistic-concurrency checks compare it to CURRENT at flip
+            # time (staged versions are flipped later by sinks/txn.py,
+            # which reads it back from here)
+            man["base"] = expected_base
         tmp_m = self._manifest_path(v) + ".tmp"
         with open(tmp_m, "w") as fh:
             json.dump(man, fh)
         os.replace(tmp_m, self._manifest_path(v))
         if not flip:
             # STAGED (uncommitted) version: full data + manifest on disk,
-            # CURRENT/HISTORY untouched (invisible to readers), GC skipped
-            # (the stage isn't referenced yet — sinks/txn.py flips it
-            # under an intent journal; orphans die at the next real commit)
+            # CURRENT/HISTORY untouched (invisible to readers).  The
+            # _STAGED sentinel closes the staging->TXN_INTENT window: a
+            # normal commit interleaved before the journal lands would
+            # otherwise GC this dir (it is referenced by no retained
+            # manifest) and the later flip would point CURRENT at a
+            # deleted dir.  GC skips sentinel'd dirs younger than
+            # `staged_protect_s`; abandoned stages age out and die at a
+            # later commit.  (Spark's parquet reader ignores '_'-prefixed
+            # files, so the sentinel never pollutes reads.)
+            with open(os.path.join(vdir, "_STAGED"), "w") as fh:
+                fh.write(str(int(time.time())))
             return v
         if self._pending_txn_version() is not None:
             raise RuntimeError(
@@ -331,6 +361,17 @@ class KeyedTable:
                 "(TXN_INTENT in the warehouse root) — run TableTxn.recover() "
                 "before committing, or this merge and the journaled batch "
                 "would overwrite each other in recovery order"
+            )
+        if expected_base is not False and self._current_version() != expected_base:
+            # another writer flipped CURRENT while this merge ran: our
+            # inherited-bucket map references the superseded snapshot, so
+            # flipping would silently drop the winner's buckets.  Abort
+            # loud, Delta/Iceberg-style; the written dir is GC'd now.
+            shutil.rmtree(vdir, ignore_errors=True)
+            raise CommitConflictError(
+                f"table {self.path}: snapshot {expected_base!r} was "
+                f"superseded by {self._current_version()!r} during this "
+                "merge — re-read and retry the batch"
             )
         tmp = f"{self._current_file()}.tmp_{v}"
         with open(tmp, "w") as fh:
@@ -351,6 +392,18 @@ class KeyedTable:
                 referenced.update(r_man["buckets"].values())
         for d in os.listdir(self.path):
             if d.startswith("v_") and d not in referenced:
+                sentinel = os.path.join(self.path, d, "_STAGED")
+                try:
+                    if (
+                        os.path.exists(sentinel)
+                        and time.time() - os.path.getmtime(sentinel)
+                        < self.staged_protect_s
+                    ):
+                        # freshly staged for a cross-table publish whose
+                        # intent journal may not exist yet — must survive
+                        continue
+                except OSError:
+                    pass  # sentinel vanished underneath us: plain orphan
                 shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
         # compact HISTORY to the retained tail so per-merge metadata cost
         # stays O(keep_versions), not O(total merges ever)
@@ -361,8 +414,11 @@ class KeyedTable:
         return v
 
     def _overwrite(self, df: DataFrame) -> None:
-        """Full-snapshot commit: every bucket rewritten."""
-        self._commit(df, inherit={})
+        """Full-snapshot commit: every bucket rewritten.  The base is
+        captured HERE, so the conflict window covered is entry-to-flip;
+        a replace() caller that read state earlier still owns the gap
+        between its read and this call."""
+        self._commit(df, inherit={}, expected_base=self._current_version())
 
     def replace(self, df: DataFrame) -> None:
         """Full-snapshot overwrite for callers that have ALREADY computed
@@ -378,10 +434,12 @@ class KeyedTable:
         batch: DataFrame,
         deletes: DataFrame | None = None,
         _flip: bool = True,
-    ) -> str:
+    ) -> str | None:
         """MERGE: upsert `batch` rows by key (latest version wins within the
         batch), then remove keys present in `deletes`.  Returns the new
-        version name.  ``_flip=False`` stages the merge UNCOMMITTED (data +
+        version name — or the unchanged current version (None for an
+        absent table) when the batch turns out to be empty, in which
+        case nothing is committed.  ``_flip=False`` stages the merge UNCOMMITTED (data +
         manifest written, CURRENT untouched) — the cross-table transaction
         path (`sinks/txn.py`) flips staged versions under an intent
         journal; use `prepare_merge` rather than passing the flag."""
@@ -416,7 +474,14 @@ class KeyedTable:
                 merged = merged.join(
                     deletes.select(*self.keys).distinct(), on=self.keys, how="left_anti"
                 )
-            return self._commit(merged, inherit={}, flip=_flip)
+            if _flip and merged.isEmpty():
+                # don't materialize an empty table for an empty first
+                # batch — keeps read() returning None (table absent) and
+                # lets callers merge unconditionally
+                return None
+            return self._commit(
+                merged, inherit={}, flip=_flip, expected_base=cur_version
+            )
 
         man = self._load_manifest(cur_version)
         incremental = (
@@ -442,7 +507,9 @@ class KeyedTable:
                 merged = merged.join(
                     deletes.select(*self.keys).distinct(), on=self.keys, how="left_anti"
                 )
-            return self._commit(merged, inherit={}, flip=_flip)
+            return self._commit(
+                merged, inherit={}, flip=_flip, expected_base=cur_version
+            )
 
         # incremental path: rewrite ONLY the buckets the batch (or the
         # deletes) touches; every other bucket is inherited by manifest
@@ -458,6 +525,14 @@ class KeyedTable:
                     deletes.select(self._bucket_expr().alias("__b"))
                 )
             touched = {str(r["__b"]) for r in probe.distinct().collect()}
+            if not touched and _flip:
+                # empty micro-batch: the probe (already paid for) proves
+                # there is nothing to merge — skip the commit entirely, so
+                # callers need no result.limit(1).count() pre-check of
+                # their own (one driver job saved per quiet batch).  The
+                # staged path (_flip=False) still commits: a transaction
+                # needs a real version name to journal and flip.
+                return cur_version
             cur_map = man["buckets"]
             touched_paths = [
                 os.path.join(self.path, cur_map[b], f"__b={b}")
@@ -485,7 +560,9 @@ class KeyedTable:
             # nondeterministic
             merged = merged.select(*[f["name"] for f in man["schema"]["fields"]])
             inherit = {b: ver for b, ver in cur_map.items() if b not in touched}
-            return self._commit(merged, inherit=inherit, flip=_flip)
+            return self._commit(
+                merged, inherit=inherit, flip=_flip, expected_base=cur_version
+            )
         finally:
             batch.unpersist()
 

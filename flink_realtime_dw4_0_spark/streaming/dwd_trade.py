@@ -97,7 +97,13 @@ class OrderDetailJoin:
     side, then re-joins only the order-detail keys touched by the batch
     and MERGEs the result keyed by od.id (the upsert-kafka PK, :86)."""
 
-    def __init__(self, root: str, state_ttl_sec: int | None = None):
+    def __init__(
+        self,
+        root: str,
+        state_ttl_sec: int | None = None,
+        maintenance_every: int = 64,
+        max_rows_per_bucket: int = 1_000_000,
+    ):
         self.od = KeyedTable(f"{root}/od", keys=["id"], version_col="ts")
         self.oi = KeyedTable(f"{root}/oi", keys=["id"], version_col="ts")
         self.oda = KeyedTable(f"{root}/oda", keys=["order_detail_id"], version_col="ts")
@@ -109,6 +115,15 @@ class OrderDetailJoin:
         # 5 s retention.  None = keep forever.
         self.state_ttl_sec = state_ttl_sec
         self._max_ts = 0
+        # state lifecycle cadence: every N micro-batches, grow any
+        # overfilled table's bucket count (keeps merges O(touched) as
+        # state grows 100x) and physically reclaim TTL-expired bytes.
+        # Amortized cost is 1/N of a count job + the occasional rewrite;
+        # 0 disables maintenance.
+        self.maintenance_every = maintenance_every
+        self.max_rows_per_bucket = max_rows_per_bucket
+        self._batch_n = 0
+        self._compacted_horizon: dict[str, int] = {}
 
     def _prune_ttl(self, spark: SparkSession) -> None:
         """Advance the logical TTL horizon on every side table.  Expired
@@ -122,6 +137,25 @@ class OrderDetailJoin:
         for table in (self.od, self.oi, self.oda, self.odc):
             table.set_ttl_horizon(horizon)
 
+    def _maintain(self, spark: SparkSession) -> None:
+        """Periodic state lifecycle: called once per micro-batch, acts
+        every ``maintenance_every`` batches.  maybe_rescale keeps the
+        incremental-merge contract as state grows (rows/bucket stays
+        bounded, so a merge rewrites a bounded slice, not the table);
+        compact reclaims TTL-expired bytes, but only for tables whose
+        horizon actually advanced since their last compaction (an
+        unchanged horizon has nothing new to reclaim, and a blanket
+        rewrite would be O(total state) for nothing)."""
+        self._batch_n += 1
+        if not self.maintenance_every or self._batch_n % self.maintenance_every:
+            return
+        for table in (self.od, self.oi, self.oda, self.odc, self.out):
+            table.maybe_rescale(spark, self.max_rows_per_bucket)
+            h = table.ttl_horizon
+            if h is not None and self._compacted_horizon.get(table.path) != h:
+                table.compact(spark)
+                self._compacted_horizon[table.path] = h
+
     @staticmethod
     def _slice(topic_db: DataFrame, table: str, fields: dict[str, str]) -> DataFrame:
         d = F.col("data")
@@ -130,6 +164,14 @@ class OrderDetailJoin:
         ).select(*[d.getItem(src).alias(dst) for dst, src in fields.items()], F.col("ts"))
 
     def process_batch(self, batch: DataFrame, spark: SparkSession) -> None:
+        try:
+            self._process_batch(batch, spark)
+        finally:
+            # the cadence counter ticks on every batch, including the
+            # no-state early returns, so maintenance timing is stable
+            self._maintain(spark)
+
+    def _process_batch(self, batch: DataFrame, spark: SparkSession) -> None:
         od_new = self._slice(
             batch, "order_detail",
             {
@@ -239,8 +281,10 @@ class OrderDetailJoin:
             F.col("od.split_coupon_amount").alias("split_coupon_amount"),
             F.col("od.ts").alias("ts"),
         )
-        if result.limit(1).count():
-            self.out.merge(spark, result)
+        # unconditional: merge() itself skips the commit when its
+        # touched-bucket probe (one tiny job it runs anyway) comes back
+        # empty — no separate result.limit(1).count() driver job
+        self.out.merge(spark, result)
 
     def foreach_batch(self) -> Callable[[DataFrame, int], None]:
         def fn(batch: DataFrame, batch_id: int) -> None:

@@ -74,12 +74,22 @@ class DecayedTrending:
         if not asof_row or asof_row[0]["m"] is None:
             return
         asof = int(asof_row[0]["m"])
+        prev = self.state.read(spark)
+        if prev is not None:
+            # An out-of-order micro-batch (batch max ts < stored as-of)
+            # must NOT rewind the table's as-of: a positive exponent would
+            # multiply every carried score by >1 and a later in-order
+            # batch would re-decay from the wrong baseline.  Clamp the
+            # merge as-of to the newest time either side has seen and age
+            # the batch's events relative to that clamped as-of instead.
+            stored_row = prev.agg(F.max("asof_ms").alias("m")).collect()
+            if stored_row and stored_row[0]["m"] is not None:
+                asof = max(asof, int(stored_row[0]["m"]))
         contrib = (
             batch.withColumn("__age", F.lit(asof) - ts)
             .groupBy(F.col(item_col).alias("item"))
             .agg(F.sum(F.exp(-self.lam * F.col("__age"))).alias("add"))
         )
-        prev = self.state.read(spark)
         if prev is not None:
             # decay carried scores by the time elapsed since their as-of
             carried = prev.select(

@@ -650,6 +650,55 @@ def test_media_header_parsers_real_bytes():
     assert _parse_media_header(b"just some text payload") is None
 
 
+def test_media_header_parsers_gif_and_mp4():
+    """GIF logical-screen descriptors (both 87a and 89a) and ISO-BMFF box
+    trees parse to true dims — including a free-box decoy before moov, a
+    version-1 tkhd (64-bit times shift the dim offsets), and an ftyp
+    without any tkhd (parser declines to the stub, no crash)."""
+    import struct
+
+    from flink_realtime_dw4_0_spark.operators.multimodal import _parse_media_header
+
+    for sig in (b"GIF87a", b"GIF89a"):
+        gif = sig + struct.pack("<HH", 800, 600) + b"\x00\x00\x00"
+        assert _parse_media_header(gif) == (800, 600, 1)
+
+    def box(typ, payload):
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    def tkhd(w, h, ver=0):
+        times = b"\x00" * (8 * 3 if ver == 1 else 4 * 3)  # c/m times + dur
+        body = (
+            bytes([ver]) + b"\x00\x00\x00"      # version + flags
+            + times[: (16 if ver == 1 else 8)]  # ctime, mtime
+            + struct.pack(">I", 1)              # track id
+            + b"\x00" * 4                       # reserved
+            + (b"\x00" * 8 if ver == 1 else b"\x00" * 4)  # duration
+            + b"\x00" * 8                       # reserved[2]
+            + b"\x00" * 8                       # layer/alt/volume/reserved
+            + b"\x00" * 36                      # matrix
+            + struct.pack(">II", w << 16, h << 16)
+        )
+        return box(b"tkhd", body)
+
+    stsz = box(b"stsz", b"\x00" * 8 + struct.pack(">I", 240))
+    stbl = box(b"stbl", stsz)
+    trak = box(b"trak", tkhd(1280, 720) + box(b"mdia", box(b"minf", stbl)))
+    ftyp = box(b"ftyp", b"isom\x00\x00\x00\x00")
+    # free-box decoy BEFORE moov: the walk must skip it by its size
+    mp4 = ftyp + box(b"free", b"\xff" * 24) + box(b"moov", trak)
+    assert _parse_media_header(mp4) == (1280, 720, 240)
+
+    # version-1 tkhd: dims sit 12 bytes later
+    mp4_v1 = ftyp + box(b"moov", box(b"trak", tkhd(640, 360, ver=1)))
+    assert _parse_media_header(mp4_v1) == (640, 360, 1)
+
+    # ftyp but no tkhd anywhere: decline (stub path), no crash
+    assert _parse_media_header(ftyp + box(b"mdat", b"\x00" * 16)) is None
+    # truncated box header: no crash
+    assert _parse_media_header(ftyp[:10]) is None
+
+
 def test_synthetic_media_roundtrip(spark):
     """JVM-built container bytes → Python header parse recovers the
     id-derived dimensions exactly (the multimodal_features oracle's claim,
@@ -658,16 +707,22 @@ def test_synthetic_media_roundtrip(spark):
         extract_features, synthetic_media,
     )
 
-    ids = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    ids = spark.range(0, 60).withColumnRenamed("id", "doc_id")
     feats = {r.media_id: r for r in extract_features(synthetic_media(ids)).collect()}
-    for i in range(40):
+    for i in range(60):
         r = feats[i]
-        if i % 4 == 0:
+        if i % 6 == 0:
             assert (r.width, r.height, r.n_frames) == (16 + i % 1000, 16 + (i * 7) % 1000, 1)
-        elif i % 4 == 1:
+        elif i % 6 == 1:
             assert (r.width, r.height, r.n_frames) == (1 + i % 255, 1 + (i * 3) % 255, 1)
-        elif i % 4 == 3:  # JPEG — dims live past APP0, parser walks to SOF0
+        elif i % 6 == 3:  # JPEG — dims live past APP0, parser walks to SOF0
             assert (r.width, r.height, r.n_frames) == (1 + (i * 5) % 2000, 1 + (i * 11) % 2000, 1)
+        elif i % 6 == 4:  # GIF — LE16 logical screen descriptor
+            assert (r.width, r.height, r.n_frames) == (1 + (i * 13) % 4000, 1 + (i * 17) % 4000, 1)
+        elif i % 6 == 5:  # MP4 — box walk to tkhd (16.16 dims) + stsz count
+            assert r.media_type == "video"
+            assert (r.width, r.height, r.n_frames) == (
+                16 + (i * 19) % 2000, 16 + (i * 23) % 2000, 1 + i % 500)
         else:
             assert (r.width, r.height, r.n_frames) == (8000 + (i % 100) * 50, 1 + i % 2, 1 + i % 1000)
 
@@ -2029,6 +2084,39 @@ def test_ivfadc_index_recall_pruning_and_refine(spark, sf_dir, tmp_path):
     # cell directories
     probed_plan = adc._jdf.queryExecution().executedPlan().toString()
     assert "cell" in probed_plan
+
+
+def test_pq_index_write_probe_equals_per_call_pq(spark, sf_dir, tmp_path):
+    """Materialized flat-PQ index: the stored codes + codebook sidecar
+    reproduce pq_topk's per-call results EXACTLY (training is
+    deterministic, so search-from-index == train-then-search), the
+    index stores only (id, m codes), and recall vs brute force matches
+    the per-call path's measured level."""
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 25 == 0)
+    idx = str(tmp_path / "pqidx")
+    similarity.pq_index_write(emb, idx, m=16, k_codes=32)
+    assert os.path.exists(os.path.join(idx, "_pq_codebooks.json"))
+    stored = spark.read.parquet(idx)
+    assert set(stored.columns) == {"vec_id", "codes"}  # codes only, no floats
+    assert stored.count() == emb.count()
+
+    from_index = similarity.pq_index_topk(
+        spark, probes, idx, k=5, rerank=8, refine_with=emb
+    ).collect()
+    per_call = similarity.pq_topk(probes, emb, k=5, m=16, k_codes=32, rerank=8).collect()
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    assert {key(r): r.neighbor_id for r in from_index} == \
+           {key(r): r.neighbor_id for r in per_call}
+
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(probes, emb, k=5).collect()
+    }
+    got = {(r.query_id, r.neighbor_id) for r in from_index}
+    assert len(got & brute) / len(brute) >= 0.7  # ADC-R recall level
 
 
 def test_temperature_mixture_flattening(spark, sf_dir):

@@ -36,6 +36,8 @@ COLLECT_ALLOWLIST = [
      "dim point-GET: limit(1) single row"),
     ("streaming/trending.py", r"agg\(F\.max\(ts\)",
      "batch as-of probe: single-row max aggregate"),
+    ("streaming/trending.py", r"agg\(F\.max\(.asof_ms.\)",
+     "stored as-of clamp probe: single-row max aggregate over state"),
     ("operators/similarity.py", r"orderBy\(.id.\)\.limit\(1\)",
      "k-center seed: limit(1) single row"),
     ("operators/similarity.py", r"F\.max\(F\.struct\(F\.col\(.d2.\)",

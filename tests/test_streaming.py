@@ -404,6 +404,67 @@ def test_order_detail_join_state_ttl(spark, tmp_path):
     assert (j.out.read(spark) or spark.createDataFrame([], "id string")).count() == 0
 
 
+def test_order_detail_join_maintenance_cadence(spark, tmp_path):
+    """State lifecycle wired into the pipeline: a driven stream whose od
+    side crosses the rows/bucket threshold (1) rescales exactly once at
+    the maintenance tick, (2) stays incremental on the new layout (a
+    later small batch touches one bucket, inheriting the rest), and
+    (3) physically reclaims TTL-expired bytes at the next tick after the
+    horizon advances (compact)."""
+    import os
+
+    def du(path):
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                total += os.path.getsize(os.path.join(root, f))
+        return total
+
+    j = dwd_trade.OrderDetailJoin(
+        str(tmp_path / "maintj"), state_ttl_sec=10,
+        maintenance_every=2, max_rows_per_bucket=10,
+    )
+    od = lambda i, ts: mx("order_detail", "insert", {  # noqa: E731
+        "id": f"d{i}", "order_id": f"o{i}", "sku_id": "s1", "sku_name": "x" * 64,
+        "order_price": "1", "sku_num": "1", "create_time": "t",
+        "split_total_amount": "1", "split_activity_amount": "1",
+        "split_coupon_amount": "1"}, ts=ts)
+    oi = lambda i, ts: mx("order_info", "insert", {  # noqa: E731
+        "id": f"o{i}", "user_id": f"u{i}", "province_id": "p"}, ts=ts)
+
+    n0 = j.od.n_buckets
+    # batch 1: 400 od rows >> 16 buckets * 10 rows/bucket
+    b1 = ksrc.topic_db(values_df(
+        spark, [od(i, 100) for i in range(400)]), watermark=None)
+    j.process_batch(b1, spark)
+    assert j.od.n_buckets == n0  # tick 1 of 2: no maintenance yet
+    # batch 2 hits the cadence: od rescales once (400/10 -> next pow2)
+    b2 = ksrc.topic_db(values_df(spark, [oi(0, 101)]), watermark=None)
+    j.process_batch(b2, spark)
+    assert j.od.n_buckets == 64 and j.od.n_buckets > n0  # 400/10 → 64
+    assert j.od.read(spark).count() == 400
+    size_before = du(j.od.path)
+
+    # batch 3: a small od batch stays INCREMENTAL on the new layout
+    b3 = ksrc.topic_db(values_df(spark, [od(400, 102)]), watermark=None)
+    j.process_batch(b3, spark)
+    v = j.od._current_version()
+    touched = [d for d in os.listdir(os.path.join(j.od.path, v))
+               if d.startswith("__b=")]
+    assert len(touched) == 1  # one bucket rewritten, 63 inherited
+
+    # batch 4 (cadence tick): ts jumps far ahead → TTL horizon passes all
+    # old rows; compact physically reclaims their bytes on disk
+    b4 = ksrc.topic_db(values_df(spark, [od(401, 100_000)]), watermark=None)
+    j.process_batch(b4, spark)
+    # horizon = 100000 - 10 = 99990: everything but d401 expired
+    assert j.od.read(spark).count() == 1
+    size_after = du(j.od.path)
+    assert size_after < size_before / 4  # expired bytes actually gone
+    # and the logical view agrees with the physical one
+    assert {r.id for r in j.od.read(spark).collect()} == {"d401"}
+
+
 # --------------------------------------------------------------------------
 # SQL-text API parity (BaseSQLAPP, SURVEY §3.3): the reference's own query
 # text (dialect-adjusted) over a decoded topic_db view
@@ -1777,6 +1838,91 @@ def test_streaming_cep_match_and_timeout(spark, tmp_path):
     assert ("u2", "match") not in got
 
 
+def test_streaming_cep_out_of_order_equals_batch_twin(spark, tmp_path):
+    """Flink-NFA parity under adversarial arrival order: events that
+    arrive ACROSS micro-batches in shuffled order (later pattern steps
+    before earlier ones) must still bind in event-time position, because
+    the matcher buffers (ts, event_id, mask) until the watermark seals
+    them.  The streaming result must equal the oracle-exact batch twin
+    on the same event set."""
+    import json
+
+    from flink_realtime_dw4_0_spark.operators.cep import match_sequence
+    from flink_realtime_dw4_0_spark.streaming.cep import match_sequence_stream
+
+    src = tmp_path / "cep_ooo_src"
+    src.mkdir()
+    base = 1_700_000_000_000
+    # u1: the whole chain arrives REVERSED across batches —
+    #     purchase+click first, the anchoring view only in batch 2.
+    # u5: view then purchase arrive first; the middle click arrives in
+    #     batch 2 with an event time BETWEEN them — forward-only binding
+    #     would have discarded the purchase and timed out.
+    rows_a = [
+        {"user_id": "u1", "ts": base + 3_000, "event_type": "purchase"},
+        {"user_id": "u1", "ts": base + 2_000, "event_type": "click"},
+        {"user_id": "u5", "ts": base + 1_000, "event_type": "view"},
+        {"user_id": "u5", "ts": base + 5_000, "event_type": "purchase"},
+    ]
+    rows_b = [
+        {"user_id": "u1", "ts": base + 1_000, "event_type": "view"},
+        {"user_id": "u5", "ts": base + 3_000, "event_type": "click"},
+    ]
+    # batch 3: far-future event advances the global watermark past every
+    # window so all buffered events seal and every anchor resolves
+    rows_c = [{"user_id": "u9", "ts": base + 500_000, "event_type": "view"}]
+    for i, (name, rows) in enumerate(
+        (("a.json", rows_a), ("b.json", rows_b), ("c.json", rows_c))
+    ):
+        with open(src / name, "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+        os.utime(src / name, (1_000_000 + 10 * i, 1_000_000 + 10 * i))
+
+    stream = spark.readStream.schema(
+        "user_id string, ts long, event_type string"
+    ).option("maxFilesPerTrigger", 1).json(str(src))
+    steps = [
+        ("view", F.col("event_type") == "view"),
+        ("click", F.col("event_type") == "click"),
+        ("purchase", F.col("event_type") == "purchase"),
+    ]
+    out = match_sequence_stream(stream, steps, within="1 minute", watermark="5 seconds")
+    q = (
+        out.writeStream.format("memory").queryName("cep_ooo_out")
+        .option("checkpointLocation", str(tmp_path / "cep_ooo_ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    got = {(r.key, r.status): (r.anchor_ts, list(r.step_ts))
+           for r in spark.sql("SELECT * FROM cep_ooo_out").collect()}
+    assert got[("u1", "match")] == (base + 1_000,
+                                    [base + 1_000, base + 2_000, base + 3_000])
+    assert got[("u5", "match")] == (base + 1_000,
+                                    [base + 1_000, base + 3_000, base + 5_000])
+    assert ("u1", "timeout") not in got and ("u5", "timeout") not in got
+
+    # the batch twin over the SAME (unioned) event set agrees exactly
+    all_rows = rows_a + rows_b + rows_c
+    batch_df = spark.createDataFrame(
+        [(r["user_id"], r["ts"], r["event_type"]) for r in all_rows],
+        "user_id string, ts_ms long, event_type string",
+    ).withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+    twin = {
+        r.user_id: [r.view_ts, r.click_ts, r.purchase_ts]
+        for r in match_sequence(batch_df, steps, within="1 minute")
+        .select(
+            "user_id",
+            *[F.unix_millis(c).alias(c) for c in ("view_ts", "click_ts", "purchase_ts")],
+        )
+        .collect()
+    }
+    for k in ("u1", "u5"):
+        assert got[(k, "match")][1] == twin[k]
+
+
 def test_rate_limit_stream_cross_batch(spark, tmp_path):
     """State API v2 rate limiter: at most cap events per key per
     event-time window, with the window's admitted-count surviving
@@ -1903,14 +2049,102 @@ def test_cross_table_atomic_publish_and_roll_forward(spark, tmp_path):
     assert {r.v for r in ta.read(spark).collect()} == {2}
     assert {r.v for r in tb.read(spark).collect()} == {2}
 
-    # crash BEFORE the journal: staged orphan never becomes visible and
-    # the next real commit GCs it
+    # crash BEFORE the journal: the staged orphan never becomes visible,
+    # and a normal commit landing inside the staging window must NOT GC
+    # it — the intent journal may be about to reference it.  The _STAGED
+    # sentinel protects it until it ages out; an aged orphan dies at the
+    # next real commit.
     orphan = tb.prepare_merge(spark, d([("y", 99)]))
     assert {r.v for r in tb.read(spark).collect()} == {2}
     assert not TableTxn(root).recover()
     tb.merge(spark, d([("z", 3)]))
-    assert not os.path.exists(os.path.join(tb.path, orphan))
-    assert {r.v for r in tb.read(spark).collect()} == {2, 3}
+    assert os.path.exists(os.path.join(tb.path, orphan))  # fresh: protected
+    assert {r.v for r in tb.read(spark).collect()} == {2, 3}  # still invisible
+    old = 1_000_000  # age the sentinel past the protection window
+    os.utime(os.path.join(tb.path, orphan, "_STAGED"), (old, old))
+    tb.merge(spark, d([("w", 4)]))
+    assert not os.path.exists(os.path.join(tb.path, orphan))  # aged: GC'd
+    assert {r.v for r in tb.read(spark).collect()} == {2, 3, 4}
+
+
+def test_staged_version_survives_interleaved_commit_and_conflicts_at_flip(
+    spark, tmp_path
+):
+    """The full ADVICE-r4 race, end to end: writer A stages a merge for
+    a cross-table publish; before A writes the intent journal, writer B
+    lands a NORMAL commit on the same table (allowed — no journal yet).
+    Two guarantees: (1) B's GC must not delete A's staged dir (the
+    _STAGED sentinel), and (2) A's later flip must fail LOUD instead of
+    silently dropping B's buckets — A staged against the pre-B snapshot,
+    so flipping it would be a lost update."""
+    import os
+
+    from flink_realtime_dw4_0_spark.sinks.txn import _flip
+    from flink_realtime_dw4_0_spark.sinks.upsert import CommitConflictError
+
+    root = str(tmp_path / "whrace")
+    tb = KeyedTable(root + "/t", keys=["k"])
+    d = lambda rows: spark.createDataFrame(rows, "k string, v long")  # noqa: E731
+    tb.merge(spark, d([("a", 1)]))
+
+    staged = tb.prepare_merge(spark, d([("a", 10)]))  # writer A stages
+    tb.merge(spark, d([("b", 2)]))  # writer B interleaves a normal commit
+    assert os.path.exists(os.path.join(tb.path, staged))  # survived B's GC
+    with pytest.raises(CommitConflictError, match="lost the race"):
+        _flip(tb.path, staged)  # A's flip detects the superseded base
+    # nothing was applied: B's committed state is intact
+    got = {r.k: r.v for r in tb.read(spark).collect()}
+    assert got == {"a": 1, "b": 2}
+
+
+def test_keyed_table_optimistic_concurrency_conflict(spark, tmp_path):
+    """Two interleaved writers on one table (Delta/Iceberg commit-
+    conflict parity): both read the same snapshot, writer 1 commits,
+    writer 2's flip must raise CommitConflictError (its inherited-bucket
+    map references the superseded snapshot) and leave the table exactly
+    as writer 1 committed it; writer 2's retry on a fresh read wins."""
+    from flink_realtime_dw4_0_spark.sinks.upsert import CommitConflictError
+
+    path = str(tmp_path / "occ")
+    w1 = KeyedTable(path, keys=["k"])
+    w2 = KeyedTable(path, keys=["k"])
+    d = lambda rows: spark.createDataFrame(rows, "k string, v long")  # noqa: E731
+    w1.merge(spark, d([(f"k{i}", i) for i in range(40)]))
+
+    # interleave: w2 computes its merge against the current snapshot but
+    # w1 commits first.  KeyedTable captures the base INSIDE merge(), so
+    # simulate w2's slow in-flight merge by monkeypatching its commit to
+    # let w1 land in between.
+    orig_commit = KeyedTable._commit
+
+    def racing_commit(self, df, inherit, flip=True, expected_base=False):
+        if self is w2 and not getattr(racing_commit, "fired", False):
+            racing_commit.fired = True
+            w1.merge(spark, d([("k1", 101)]))  # winner lands mid-flight
+        return orig_commit(self, df, inherit, flip, expected_base)
+
+    KeyedTable._commit = racing_commit
+    try:
+        with pytest.raises(CommitConflictError, match="superseded"):
+            w2.merge(spark, d([("k2", 202)]))
+    finally:
+        KeyedTable._commit = orig_commit
+    # the table is exactly what the winner committed — no lost update,
+    # no torn state; the loser's aborted version dir was cleaned up
+    got = {r.k: r.v for r in w1.read(spark).collect()}
+    assert got["k1"] == 101 and got["k2"] == 2 and len(got) == 40
+    import os
+    leftover = [v for v in os.listdir(path) if v.startswith("v_")
+                and not os.path.exists(os.path.join(path, v, "_STAGED"))]
+    referenced = set()
+    man = w1._load_manifest(w1._current_version())
+    referenced.update(man["buckets"].values())
+    assert set(leftover) <= referenced | {w1._current_version()}
+    # retry against the fresh snapshot succeeds
+    w2b = KeyedTable(path, keys=["k"])
+    w2b.merge(spark, d([("k2", 202)]))
+    got2 = {r.k: r.v for r in w2b.read(spark).collect()}
+    assert got2["k1"] == 101 and got2["k2"] == 202
 
 
 def test_keyed_table_point_lookup_prunes_buckets(spark, tmp_path):
@@ -2007,6 +2241,52 @@ def test_decayed_trending_incremental_equals_batch(spark, tmp_path):
     assert top[0] == "c"  # freshest activity leads
 
 
+def test_decayed_trending_out_of_order_batch_never_inflates(spark, tmp_path):
+    """An out-of-order micro-batch (batch max ts older than the stored
+    as-of) must not multiply carried scores by exp(+x) or rewind the
+    as-of: the merge clamps to max(batch max ts, stored as-of) and ages
+    the late contributions, so the final state still equals the batch
+    recompute over the union."""
+    from flink_realtime_dw4_0_spark.streaming.trending import (
+        DecayedTrending, decayed_scores_batch,
+    )
+
+    base = 1_700_000_000_000
+    hl = 60.0
+    in_order = [("a", base + 0), ("a", base + 60_000)]
+    late = [("b", base + 10_000)]  # arrives AFTER, but 50s older
+    tr = DecayedTrending(str(tmp_path / "trend_ooo"), half_life_s=hl)
+    tr.process_batch(spark.createDataFrame(in_order, "item string, ts long"), spark)
+    score_a_before = {r.item: r.score for r in tr.state.read(spark).collect()}["a"]
+    tr.process_batch(spark.createDataFrame(late, "item string, ts long"), spark)
+    state = {r.item: (r.score, r.asof_ms) for r in tr.state.read(spark).collect()}
+    # carried score did NOT inflate and the as-of did NOT rewind
+    assert state["a"][0] <= score_a_before + 1e-12
+    assert state["a"][1] == base + 60_000 and state["b"][1] == base + 60_000
+    # equals the batch recompute over the union, as of the true max ts
+    want = {
+        r.item: r.score
+        for r in decayed_scores_batch(
+            spark.createDataFrame(in_order + late, "item string, ts long"),
+            "item", "ts", half_life_s=hl).collect()
+    }
+    for item in want:
+        assert abs(state[item][0] - want[item]) <= 2e-6
+    # a later in-order batch decays from the correct (unrewound) baseline
+    tr.process_batch(
+        spark.createDataFrame([("c", base + 120_000)], "item string, ts long"), spark)
+    want2 = {
+        r.item: r.score
+        for r in decayed_scores_batch(
+            spark.createDataFrame(
+                in_order + late + [("c", base + 120_000)], "item string, ts long"),
+            "item", "ts", half_life_s=hl).collect()
+    }
+    got2 = {r.item: r.score for r in tr.state.read(spark).collect()}
+    for item in want2:
+        assert abs(got2[item] - want2[item]) <= 2e-6
+
+
 def test_cdc_schema_drift_report(spark):
     """A column added upstream (not in the config keep-list) surfaces in
     the drift report with its row count; configured columns and
@@ -2059,3 +2339,41 @@ def test_txn_pending_journal_blocks_normal_commit(spark, tmp_path):
     tb.merge(spark, d([("b", 3)]))  # now allowed
     got = {r.k: r.v for r in tb.read(spark).collect()}
     assert got == {"a": 2, "b": 3}  # both batches survived, in order
+
+
+def test_txn_recover_raises_on_unrestorable_entry(spark, tmp_path):
+    """recover() must NOT silently convert a partially applied publish
+    into success: if a journaled version dir is gone and CURRENT never
+    flipped to it, recovery raises and LEAVES the journal so every later
+    publish keeps failing loud; already-applied entries stay applied."""
+    import json as _json
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from flink_realtime_dw4_0_spark.sinks.txn import TableTxn, _flip
+
+    root = str(tmp_path / "whbroken")
+    ta = KeyedTable(root + "/a", keys=["k"])
+    tb = KeyedTable(root + "/b", keys=["k"])
+    d = lambda rows: spark.createDataFrame(rows, "k string, v long")  # noqa: E731
+    TableTxn(root).publish_all({ta: d([("x", 1)]), tb: d([("y", 1)])})
+
+    va = ta.prepare_merge(spark, d([("x", 2)]))
+    vb = tb.prepare_merge(spark, d([("y", 2)]))
+    with open(root + "/TXN_INTENT", "w") as fh:
+        _json.dump([{"path": ta.path, "version": va},
+                    {"path": tb.path, "version": vb}], fh)
+    _flip(ta.path, va)
+    shutil.rmtree(os.path.join(tb.path, vb))  # tb's staged dir lost
+
+    with _pytest.raises(RuntimeError, match="cannot be restored"):
+        TableTxn(root).recover()
+    assert os.path.exists(root + "/TXN_INTENT")  # journal left in place
+    # a second recovery attempt still fails loud (nothing was swallowed)
+    with _pytest.raises(RuntimeError, match="cannot be restored"):
+        TableTxn(root).recover()
+    # the applied table kept its flip; the broken one kept its old batch
+    assert {r.v for r in ta.read(spark).collect()} == {2}
+    assert {r.v for r in tb.read(spark).collect()} == {1}

@@ -434,6 +434,7 @@ class KeyedTable:
         batch: DataFrame,
         deletes: DataFrame | None = None,
         _flip: bool = True,
+        touched_buckets: set[str] | None = None,
     ) -> str | None:
         """MERGE: upsert `batch` rows by key (latest version wins within the
         batch), then remove keys present in `deletes`.  Returns the new
@@ -442,7 +443,16 @@ class KeyedTable:
         case nothing is committed.  ``_flip=False`` stages the merge UNCOMMITTED (data +
         manifest written, CURRENT untouched) — the cross-table transaction
         path (`sinks/txn.py`) flips staged versions under an intent
-        journal; use `prepare_merge` rather than passing the flag."""
+        journal; use `prepare_merge` rather than passing the flag.
+
+        ``touched_buckets``: precomputed bucket ids (stringified ints from
+        this table's ``_bucket_expr()`` over the batch AND deletes keys) —
+        callers that already ran a per-batch stats job (e.g. the trade
+        pipeline's combined route/bucket probe) pass it to skip merge's
+        own probe collect, cutting one driver job per merge.  Must cover
+        every key the batch/deletes touch; extra ids only cost an
+        unnecessary bucket rewrite, missing ids would corrupt the merge,
+        so derive it with the same hash, never approximate it."""
         w_cols = [F.col(k) for k in self.keys]
         if self.version_col:
             # deterministic tiebreak: equal versions (e.g. Maxwell second-
@@ -517,14 +527,19 @@ class KeyedTable:
         # n_buckets output rows; the deduped batch is persisted across it
         # so its plan (window dedupe + micro-batch scan) is not executed a
         # second time by the commit write.
-        batch = batch.persist()
+        persisted = touched_buckets is None
+        if persisted:
+            batch = batch.persist()
         try:
-            probe = batch.select(self._bucket_expr().alias("__b"))
-            if deletes is not None:
-                probe = probe.unionByName(
-                    deletes.select(self._bucket_expr().alias("__b"))
-                )
-            touched = {str(r["__b"]) for r in probe.distinct().collect()}
+            if touched_buckets is not None:
+                touched = {str(b) for b in touched_buckets}
+            else:
+                probe = batch.select(self._bucket_expr().alias("__b"))
+                if deletes is not None:
+                    probe = probe.unionByName(
+                        deletes.select(self._bucket_expr().alias("__b"))
+                    )
+                touched = {str(r["__b"]) for r in probe.distinct().collect()}
             if not touched and _flip:
                 # empty micro-batch: the probe (already paid for) proves
                 # there is nothing to merge — skip the commit entirely, so
@@ -564,7 +579,8 @@ class KeyedTable:
                 merged, inherit=inherit, flip=_flip, expected_base=cur_version
             )
         finally:
-            batch.unpersist()
+            if persisted:
+                batch.unpersist()
 
     def prepare_merge(
         self, spark: SparkSession, batch: DataFrame, deletes: DataFrame | None = None

@@ -198,32 +198,48 @@ class OrderDetailJoin:
             batch, "order_detail_coupon",
             {"order_detail_id": "order_detail_id", "coupon_id": "coupon_id"},
         )
-        # one driver action for all four sides: per-table row count + max
-        # ts in a single aggregation over the batch (was up to 8 jobs —
-        # limit(1).count() + agg(max).collect() per table — chatty at high
-        # trigger rates)
+        # ONE driver action for all four sides: per-(table, state bucket)
+        # row count + max ts in a single aggregation over the four slices.
+        # This job does double duty: it is the side merges' touched-bucket
+        # probe (each table's own _bucket_expr over its slice, grouped),
+        # so the merges below skip their per-table probe collect — per
+        # micro-batch driver jobs drop from ~9 to ~6 (was up to 12 in r3)
         routes = {
             "order_detail": (self.od, od_new),
             "order_info": (self.oi, oi_new),
             "order_detail_activity": (self.oda, oda_new),
             "order_detail_coupon": (self.odc, odc_new),
         }
-        stats = {
-            r["table"]: (r["n"], r["mx"])
-            for r in project.route_filter(batch, database=GMALL)
-            .filter((F.col("type") == "insert") & F.col("table").isin(*routes))
-            .groupBy("table")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.max(F.col("ts").cast("long")).alias("mx"),
-            )
-            .collect()
-        }
-        for name, (table, new) in routes.items():
-            n, mx = stats.get(name, (0, None))
-            if n:
-                table.merge(spark, new)
-                self._max_ts = max(self._max_ts, mx or 0)
+        # persist each slice across probe + merge-write: the probe job
+        # materializes all four into cache, the writes reuse it — without
+        # this, every write re-decodes the micro-batch JSON from scratch
+        for _, new in routes.values():
+            new.persist()
+        try:
+            probe = None
+            for name, (table, new) in routes.items():
+                sl = new.select(
+                    F.lit(name).alias("t"),
+                    table._bucket_expr().alias("b"),
+                    F.col("ts").cast("long").alias("ts"),
+                )
+                probe = sl if probe is None else probe.unionByName(sl)
+            stats: dict[str, tuple[int, int, set[str]]] = {}
+            for r in probe.groupBy("t", "b").agg(
+                F.count(F.lit(1)).alias("n"), F.max("ts").alias("mx")
+            ).collect():
+                n, mx, touched = stats.get(r["t"], (0, 0, set()))
+                stats[r["t"]] = (
+                    n + r["n"], max(mx, r["mx"] or 0), touched | {str(r["b"])}
+                )
+            for name, (table, new) in routes.items():
+                n, mx, touched = stats.get(name, (0, 0, set()))
+                if n:
+                    table.merge(spark, new, touched_buckets=touched)
+                    self._max_ts = max(self._max_ts, mx)
+        finally:
+            for _, new in routes.values():
+                new.unpersist()
         self._prune_ttl(spark)
 
         od_all = self.od.read(spark)

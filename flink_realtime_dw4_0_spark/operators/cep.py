@@ -103,6 +103,148 @@ def match_sequence(
     )
 
 
+def match_pattern(
+    events: DataFrame,
+    pattern: list[dict],
+    *,
+    within: str | None = None,
+    key: str = "user_id",
+    ts: str = "ts",
+    seq: str = "event_id",
+    max_anchors_per_key: int | None = None,
+) -> DataFrame:
+    """The rest of the Flink CEP pattern surface, declaratively: strict
+    contiguity (``next``), fixed quantifiers (``times(n)``), and negation
+    (``notFollowedBy``) on top of ``match_sequence``'s relaxed chains.
+
+    ``pattern`` is a list of step dicts::
+
+        {"name": "click", "where": <Column>,          # required
+         "times": 2,                                  # times(n), default 1
+         "contiguity": "strict",                      # 'next'; default relaxed
+         "negated": True}                             # notFollowedBy
+
+    Semantics (documented precisely so the DuckDB oracle replays them):
+
+    * every event gets a per-key sequence number ``rn`` ordered by
+      (ts, seq) — strictness and betweenness are defined on ``rn``, so
+      equal timestamps are deterministic;
+    * the first step anchors (must be positive/relaxed); each later
+      positive step binds the MINIMUM ``rn`` greater than the previous
+      bound (strict: exactly previous+1, else the anchor dies) — the
+      same greedy-per-anchor chaining as ``match_sequence``;
+    * ``times(n)`` unrolls to n copies (``name_1..name_n`` columns),
+      inheriting the step's contiguity;
+    * a negated step between two positive steps kills chains with ANY
+      matching event strictly between their bound ``rn``s; a TERMINAL
+      negated step (Flink requires ``within`` for this, and so do we)
+      kills chains with a match after the last bound event up to
+      ``anchor + within``;
+    * ``within`` bounds last-bound-ts − anchor-ts; earliest surviving
+      anchor per key wins (one row per key).
+
+    Scale shape: one window pass for ``rn`` (one keyed shuffle), then
+    per positive step one keyed equi-join + min/min_by aggregation
+    (shrinking left side), per negation one left-anti range join on the
+    key.  Nothing fans out beyond the anchors; ``max_anchors_per_key``
+    bounds hot keys exactly as in ``match_sequence``.
+    """
+    if not pattern or pattern[0].get("negated"):
+        raise ValueError("pattern must start with a positive anchor step")
+    if pattern[0].get("contiguity", "relaxed") == "strict":
+        raise ValueError("the anchor step cannot be strict (nothing precedes it)")
+    if pattern[-1].get("negated") and within is None:
+        raise ValueError("a terminal notFollowedBy requires `within` "
+                         "(Flink has the same restriction)")
+    names = [p["name"] for p in pattern]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate step names: {names}")
+
+    w_rn = Window.partitionBy(key).orderBy(ts, seq)
+    base = events.withColumn("__rn", F.row_number().over(w_rn)).withColumn(
+        "__ts", F.col(ts)
+    )
+
+    # unroll quantifiers into a flat positive-step list, remembering the
+    # negations and which positive neighbors they sit between
+    positives: list[tuple[str, object, bool]] = []  # (colname, pred, strict)
+    negations: list[tuple[object, int, int | None]] = []  # (pred, left_idx, right_idx)
+    for p in pattern:
+        times = int(p.get("times", 1))
+        strict = p.get("contiguity", "relaxed") == "strict"
+        if p.get("negated"):
+            if times != 1 or strict:
+                raise ValueError("negated steps take no times/contiguity")
+            negations.append(
+                (p["where"], len(positives) - 1,
+                 len(positives) if p is not pattern[-1] else None)
+            )
+            continue
+        if times < 1:
+            raise ValueError(f"times must be >= 1, got {times}")
+        for j in range(times):
+            cname = p["name"] if times == 1 else f"{p['name']}_{j + 1}"
+            positives.append((cname, p["where"], strict))
+    if len(positives) < 2:
+        raise ValueError("a pattern needs at least two positive step binds")
+    for _pred, li, ri in negations:
+        if ri is not None and ri >= len(positives):
+            raise ValueError("internal: negation right neighbor out of range")
+
+    n0, pred0, _ = positives[0]
+    anchors = base.filter(pred0).select(
+        F.col(key), F.col("__ts").alias(f"{n0}_ts"), F.col("__rn").alias(f"{n0}_rn")
+    )
+    if max_anchors_per_key is not None:
+        w_cap = Window.partitionBy(key).orderBy(f"{n0}_rn")
+        anchors = (
+            anchors.withColumn("__cap", F.row_number().over(w_cap))
+            .filter(F.col("__cap") <= max_anchors_per_key)
+            .drop("__cap")
+        )
+    chain = anchors
+    bound = [(f"{n0}_ts", f"{n0}_rn")]
+    for cname, pred, strict in positives[1:]:
+        cand = base.filter(pred).select(
+            F.col(key), F.col("__ts").alias("__c_ts"), F.col("__rn").alias("__c_rn")
+        )
+        prev_rn = F.col(bound[-1][1])
+        cond = (F.col("__c_rn") == prev_rn + 1) if strict else (F.col("__c_rn") > prev_rn)
+        flat = [c for pair in bound for c in pair]
+        chain = (
+            chain.join(cand, key)
+            .filter(cond)
+            .groupBy(key, *flat)
+            .agg(
+                F.min_by("__c_ts", "__c_rn").alias(f"{cname}_ts"),
+                F.min("__c_rn").alias(f"{cname}_rn"),
+            )
+        )
+        bound.append((f"{cname}_ts", f"{cname}_rn"))
+    anchor_ts, last_ts = bound[0][0], bound[-1][0]
+    if within is not None:
+        chain = chain.filter(
+            F.col(last_ts) <= F.col(anchor_ts) + F.expr(f"INTERVAL {within}")
+        )
+    for pred, li, ri in negations:
+        neg = base.filter(pred).select(F.col(key), F.col("__rn").alias("__n_rn"),
+                                       F.col("__ts").alias("__n_ts"))
+        left_rn = F.col(bound[li][1])
+        if ri is not None:
+            cond = (F.col("__n_rn") > left_rn) & (F.col("__n_rn") < F.col(bound[ri][1]))
+        else:  # terminal notFollowedBy: up to anchor + within
+            cond = (F.col("__n_rn") > left_rn) & (
+                F.col("__n_ts") <= F.col(anchor_ts) + F.expr(f"INTERVAL {within}")
+            )
+        chain = chain.join(neg, on=(chain[key] == neg[key]) & cond, how="left_anti")
+    w_first = Window.partitionBy(key).orderBy(bound[0][1])
+    return (
+        chain.withColumn("__pick", F.row_number().over(w_first))
+        .filter(F.col("__pick") == 1)
+        .select(key, *[t for t, _ in bound])
+    )
+
+
 def transition_matrix(
     events: DataFrame,
     *,

@@ -2074,6 +2074,139 @@ def cep_match_q(spark, sf_dir):
 
 
 @q(
+    "cep_pattern_times_strict",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    a0 AS (
+      SELECT user_id, view_ts, view_rn FROM (
+        SELECT user_id, ts AS view_ts, rn AS view_rn,
+               row_number() OVER (PARTITION BY user_id ORDER BY rn) AS cp
+        FROM e WHERE event_type = 'view')
+      WHERE cp <= 5),
+    s1 AS (
+      SELECT a.user_id, view_ts, view_rn,
+             min(e.rn) AS c1_rn, arg_min(e.ts, e.rn) AS c1_ts
+      FROM a0 a JOIN e ON e.user_id = a.user_id
+      WHERE e.event_type = 'click' AND e.rn > a.view_rn
+      GROUP BY 1, 2, 3),
+    s2 AS (
+      SELECT s.user_id, view_ts, view_rn, c1_rn, c1_ts,
+             min(e.rn) AS c2_rn, arg_min(e.ts, e.rn) AS c2_ts
+      FROM s1 s JOIN e ON e.user_id = s.user_id
+      WHERE e.event_type = 'click' AND e.rn > s.c1_rn
+      GROUP BY 1, 2, 3, 4, 5),
+    s3 AS (
+      SELECT s.user_id, view_ts, view_rn, c1_ts, c2_ts,
+             min(e.rn) AS p_rn, arg_min(e.ts, e.rn) AS p_ts
+      FROM s2 s JOIN e ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.rn = s.c2_rn + 1
+      GROUP BY 1, 2, 3, 4, 5),
+    m AS (
+      SELECT user_id, view_ts, c1_ts, c2_ts, p_ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY view_rn) AS pick
+      FROM s3 WHERE p_ts <= view_ts + INTERVAL 7 DAY)
+    SELECT user_id, epoch_us(view_ts) AS view_us, epoch_us(c1_ts) AS click_1_us,
+           epoch_us(c2_ts) AS click_2_us, epoch_us(p_ts) AS purchase_us
+    FROM m WHERE pick = 1
+    """,
+    tags=("cep", "pattern", "quantifier", "strict"),
+)
+def cep_pattern_times_strict_q(spark, sf_dir):
+    """Flink-CEP quantifier + strict contiguity
+    (Pattern.begin('view').followedBy('click').times(2)
+    .next('purchase').within(7 days)): times(2) unrolls to two minimal
+    click binds and the purchase must be the IMMEDIATELY next event
+    after the second click (per-key sequence number arithmetic, not
+    wall-clock) — see operators/cep.py match_pattern for the exact
+    rn-based semantics the oracle replays with arg_min + rn = prev+1."""
+    from ..operators import cep
+
+    ev = t(spark, sf_dir, "events")
+    m = cep.match_pattern(
+        ev,
+        [
+            {"name": "view", "where": F.col("event_type") == "view"},
+            {"name": "click", "where": F.col("event_type") == "click", "times": 2},
+            {"name": "purchase", "where": F.col("event_type") == "purchase",
+             "contiguity": "strict"},
+        ],
+        within="7 DAY",
+        max_anchors_per_key=5,
+    )
+    return m.select(
+        "user_id",
+        F.unix_micros("view_ts").alias("view_us"),
+        F.unix_micros("click_1_ts").alias("click_1_us"),
+        F.unix_micros("click_2_ts").alias("click_2_us"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+    )
+
+
+@q(
+    "cep_pattern_not_followed_by",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    a0 AS (
+      SELECT user_id, signup_ts, signup_rn FROM (
+        SELECT user_id, ts AS signup_ts, rn AS signup_rn,
+               row_number() OVER (PARTITION BY user_id ORDER BY rn) AS cp
+        FROM e WHERE event_type = 'signup')
+      WHERE cp <= 5),
+    s1 AS (
+      SELECT a.user_id, signup_ts, signup_rn,
+             min(e.rn) AS p_rn, arg_min(e.ts, e.rn) AS p_ts
+      FROM a0 a JOIN e ON e.user_id = a.user_id
+      WHERE e.event_type = 'purchase' AND e.rn > a.signup_rn
+      GROUP BY 1, 2, 3),
+    alive AS (
+      SELECT * FROM s1 s
+      WHERE p_ts <= signup_ts + INTERVAL 7 DAY
+        AND NOT EXISTS (
+          SELECT 1 FROM e
+          WHERE e.user_id = s.user_id AND e.event_type = 'error'
+            AND e.rn > s.signup_rn AND e.rn < s.p_rn)),
+    m AS (
+      SELECT user_id, signup_ts, p_ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY signup_rn) AS pick
+      FROM alive)
+    SELECT user_id, epoch_us(signup_ts) AS signup_us, epoch_us(p_ts) AS purchase_us
+    FROM m WHERE pick = 1
+    """,
+    tags=("cep", "pattern", "negation"),
+)
+def cep_pattern_not_followed_by_q(spark, sf_dir):
+    """Flink-CEP negation (Pattern.begin('signup')
+    .notFollowedBy('error').followedBy('purchase').within(7 days)): a
+    signup→purchase chain is killed if ANY error event sits strictly
+    between the two bound sequence positions — the oracle replays the
+    left-anti range join as NOT EXISTS over the same per-key rn."""
+    from ..operators import cep
+
+    ev = t(spark, sf_dir, "events")
+    m = cep.match_pattern(
+        ev,
+        [
+            {"name": "signup", "where": F.col("event_type") == "signup"},
+            {"name": "err", "where": F.col("event_type") == "error", "negated": True},
+            {"name": "purchase", "where": F.col("event_type") == "purchase"},
+        ],
+        within="7 DAY",
+        max_anchors_per_key=5,
+    )
+    return m.select(
+        "user_id",
+        F.unix_micros("signup_ts").alias("signup_us"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+    )
+
+
+@q(
     "markov_event_transitions",
     """
     WITH o AS (

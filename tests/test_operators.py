@@ -1383,6 +1383,69 @@ def test_cep_anchor_cap_bounds_hot_key(spark):
     assert r.a_ts.second == 0 and r.b_ts.minute == 1
 
 
+def test_cep_match_pattern_strict_times_negation(spark):
+    """match_pattern, the rest of the Flink CEP surface: times(2) with
+    strict contiguity binds consecutive sequence positions; a gap event
+    kills strict chains; a negated step between binds kills on ANY
+    in-between match; a terminal negation kills only inside `within`."""
+    from datetime import datetime as dt
+
+    from flink_realtime_dw4_0_spark.operators import cep
+
+    T = lambda s: dt(2024, 1, 1, 0, 0, min(s, 59), 0) if s < 60 else dt(2024, 1, 1, 8, 0, 0)  # noqa: E731
+    rows = [
+        # u1: signup, click, click, purchase — strict chain holds
+        ("u1", T(1), 1, "signup"), ("u1", T(2), 2, "click"),
+        ("u1", T(3), 3, "click"), ("u1", T(4), 4, "purchase"),
+        # u2: view breaks the strict click block
+        ("u2", T(1), 1, "signup"), ("u2", T(2), 2, "view"),
+        ("u2", T(3), 3, "click"), ("u2", T(4), 4, "click"), ("u2", T(5), 5, "purchase"),
+        # u3: error between click_2 and purchase — negation kills it
+        ("u3", T(1), 1, "signup"), ("u3", T(2), 2, "click"),
+        ("u3", T(3), 3, "click"), ("u3", T(4), 4, "error"), ("u3", T(5), 5, "purchase"),
+        # u4: view between the two clicks breaks internal strictness
+        ("u4", T(1), 1, "signup"), ("u4", T(2), 2, "click"),
+        ("u4", T(3), 3, "view"), ("u4", T(4), 4, "click"), ("u4", T(5), 5, "purchase"),
+        # u5: error right after purchase — terminal negation kills
+        ("u5", T(1), 1, "signup"), ("u5", T(2), 2, "purchase"), ("u5", T(3), 3, "error"),
+        # u6: error 8 h later — outside within(1 h), survives
+        ("u6", T(1), 1, "signup"), ("u6", T(2), 2, "purchase"), ("u6", T(99), 3, "error"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, event_id long, event_type string"
+    )
+    pat = [
+        {"name": "signup", "where": F.col("event_type") == "signup"},
+        {"name": "click", "where": F.col("event_type") == "click",
+         "times": 2, "contiguity": "strict"},
+        {"name": "noerr", "where": F.col("event_type") == "error", "negated": True},
+        {"name": "purchase", "where": F.col("event_type") == "purchase"},
+    ]
+    got = {r.user_id: (r.signup_ts.second, r.click_1_ts.second,
+                       r.click_2_ts.second, r.purchase_ts.second)
+           for r in cep.match_pattern(ev, pat, within="1 HOUR").collect()}
+    assert got == {"u1": (1, 2, 3, 4)}
+
+    term = [
+        {"name": "signup", "where": F.col("event_type") == "signup"},
+        {"name": "purchase", "where": F.col("event_type") == "purchase"},
+        {"name": "clean", "where": F.col("event_type") == "error", "negated": True},
+    ]
+    got2 = {r.user_id for r in cep.match_pattern(ev, term, within="1 HOUR").collect()
+            if r.user_id in ("u5", "u6")}
+    assert got2 == {"u6"}
+
+    # API guards: anchor can't be strict/negated; terminal negation
+    # requires within
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="anchor"):
+        cep.match_pattern(ev, [{"name": "a", "where": F.lit(True),
+                                "contiguity": "strict"},
+                               {"name": "b", "where": F.lit(True)}])
+    with _pytest.raises(ValueError, match="within"):
+        cep.match_pattern(ev, term, within=None)
+
+
 def test_transition_matrix_probabilities(spark):
     from datetime import datetime as dt
 

@@ -1,0 +1,302 @@
+"""Streaming CEP for the FULL pattern surface — strict contiguity
+(``next``), fixed quantifiers (``times(n)``), and negation
+(``notFollowedBy``) — on top of the watermark-buffered event-time
+machine `streaming/cep.py` introduced (events held in keyed state until
+the watermark seals them, then consumed in (ts, event_id) order, so
+arrival order never changes the result).
+
+Design, Spark-first like the base matcher: every predicate — positive
+steps AND negations — is evaluated declaratively into one ``step_mask``
+long before the stateful operator.  The ``applyInPandasWithState``
+function is pure control flow:
+
+* positive step i → mask bit i (times(n) unrolls to n bits with the
+  step's contiguity);
+* negation j → mask bit (P + j);
+* STRICT step i binds only if the very next sealed event carries bit i —
+  otherwise the partial match dies (Flink ``next``).  Patterns with a
+  strict step therefore keep ALL events of the key flowing through the
+  operator (a non-participating event is exactly what breaks
+  strictness); relaxed-only patterns drop mask==0 rows early as before;
+* a negation BETWEEN steps kills the pending partial match silently when
+  a matching sealed event arrives in the gap (Flink discards the partial
+  match — no timeout row is emitted for a negation kill);
+* a TERMINAL negation holds a completed match in state until
+  ``anchor + within`` passes on the watermark: a matching sealed event
+  inside the hold window discards it, the timer (or a later sealed
+  event past the deadline) releases it as a match.  This is exactly
+  Flink's ``notFollowedBy(...).within(...)`` deferred emission.
+
+State per key: the (prog, bound) machine (k longs), the unsealed event
+buffer (3 longs/event inside the watermark delay), and the hold list
+(groups of n_steps+1 longs, bounded by the ``within`` horizon).
+
+Parity: the batch twin is ``operators.cep.match_pattern`` (oracle-exact
+vs DuckDB); the shuffled-arrival golden asserts the stream equals it.
+Divergence contract (same as the base matcher, documented): the
+streaming machine runs ONE pending anchor at a time, so scenarios where
+a failed earlier anchor hides a later overlapping one need
+``match_pattern``'s multi-anchor batch semantics.
+
+availableNow caveat for goldens: Spark schedules the extra
+timer-firing batch only when the stateful operator itself observed the
+watermark move, and relaxed-only patterns drop mask-0 rows before the
+operator — so a test's watermark-advancing sentinel event must carry a
+pattern bit.  Continuous triggers get later batches regardless.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+from .cep import _out_schema
+
+_STATE = StructType(
+    [
+        StructField("packed", ArrayType(LongType())),
+        StructField("buf", ArrayType(LongType())),
+        StructField("hold", ArrayType(LongType())),
+    ]
+)
+
+
+def _unroll(pattern: list[dict]):
+    """Shared pattern normalization (mirrors operators.cep.match_pattern):
+    returns (positives [(name, pred, strict)], negations
+    [(pred, left_idx, right_or_None)])."""
+    if not pattern or pattern[0].get("negated"):
+        raise ValueError("pattern must start with a positive anchor step")
+    if pattern[0].get("contiguity", "relaxed") == "strict":
+        raise ValueError("the anchor step cannot be strict (nothing precedes it)")
+    positives: list[tuple[str, object, bool]] = []
+    negations: list[tuple[object, int, int | None]] = []
+    for p in pattern:
+        times = int(p.get("times", 1))
+        strict = p.get("contiguity", "relaxed") == "strict"
+        if p.get("negated"):
+            if times != 1 or strict:
+                raise ValueError("negated steps take no times/contiguity")
+            negations.append(
+                (p["where"], len(positives) - 1,
+                 len(positives) if p is not pattern[-1] else None)
+            )
+            continue
+        if times < 1:
+            raise ValueError(f"times must be >= 1, got {times}")
+        for j in range(times):
+            cname = p["name"] if times == 1 else f"{p['name']}_{j + 1}"
+            positives.append((cname, p["where"], strict))
+    if len(positives) < 2:
+        raise ValueError("a pattern needs at least two positive step binds")
+    return positives, negations
+
+
+def pattern_matcher_fn(
+    n_steps: int,
+    strict: list[bool],
+    neg_before: dict[int, list[int]],
+    terminal_bits: list[int],
+    within_ms: int,
+):
+    """Keyed state function for the full pattern machine.
+
+    ``strict[i]``: step i must bind the immediately-next sealed event.
+    ``neg_before[i]``: mask bit indices that kill a partial waiting for
+    step i.  ``terminal_bits``: mask bits that discard a held match.
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        k = key[0]
+        wm = state.getCurrentWatermarkMs()
+
+        if state.exists:
+            packed, buf, hold_flat = state.get
+            prog = int(packed[0])
+            bound = [int(t) for t in packed[1:]]
+            buffer = [
+                (int(buf[i]), int(buf[i + 1]), int(buf[i + 2]))
+                for i in range(0, len(buf), 3)
+            ]
+            g = n_steps + 1  # bound ts per step + deadline
+            holds = [
+                [int(x) for x in hold_flat[i : i + g]]
+                for i in range(0, len(hold_flat), g)
+            ]
+        else:
+            prog, bound, buffer, holds = 0, [], [], []
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                for ts_v, eid, mask in zip(
+                    pdf["ts"].astype("int64"),
+                    pdf["event_id"].astype("int64"),
+                    pdf["step_mask"].astype("int64"),
+                ):
+                    if int(ts_v) > wm:
+                        buffer.append((int(ts_v), int(eid), int(mask)))
+
+        buffer.sort()
+        sealed = [e for e in buffer if e[0] <= wm]
+        buffer = [e for e in buffer if e[0] > wm]
+
+        out_key, out_status, out_anchor, out_steps = [], [], [], []
+
+        def emit(status: str, steps: list[int]) -> None:
+            out_key.append(k)
+            out_status.append(status)
+            out_anchor.append(steps[0])
+            out_steps.append(list(steps))
+
+        def release_holds(now_ms: int) -> None:
+            # emit held matches whose no-B window has fully passed
+            nonlocal holds
+            due = [h for h in holds if now_ms > h[-1]]
+            holds = [h for h in holds if now_ms <= h[-1]]
+            for h in due:
+                emit("match", h[:-1])
+
+        for ts_v, _eid, mask in sealed:
+            release_holds(ts_v - 1)  # windows that closed before this event
+            # a sealed terminal-negation event inside a hold window
+            # discards that held match (Flink notFollowedBy-at-end)
+            if holds and any((mask >> b) & 1 for b in terminal_bits):
+                holds = [
+                    h for h in holds
+                    if not (ts_v > h[n_steps - 1] and ts_v <= h[-1])
+                ]
+            if bound and ts_v > bound[0] + within_ms and prog < n_steps:
+                emit("timeout", bound)
+                prog, bound = 0, []
+            if prog > 0:
+                # a negation event in the current gap kills the partial
+                # silently (no timeout row — Flink discards the partial)
+                if any((mask >> b) & 1 for b in neg_before.get(prog, ())):
+                    prog, bound = 0, []
+            if prog == 0:
+                if mask & 1:
+                    prog, bound = 1, [ts_v]
+            elif prog < n_steps:
+                if (mask >> prog) & 1 and ts_v > bound[-1]:
+                    bound.append(ts_v)
+                    prog += 1
+                elif strict[prog]:
+                    # strict step and the immediately-next sealed event
+                    # did not bind it: the partial dies; the same event
+                    # may re-anchor
+                    prog, bound = (1, [ts_v]) if mask & 1 else (0, [])
+            if prog == n_steps:
+                if bound[-1] - bound[0] <= within_ms:
+                    if terminal_bits:
+                        holds.append(list(bound) + [bound[0] + within_ms])
+                    else:
+                        emit("match", bound)
+                prog, bound = 0, []
+
+        release_holds(wm)
+        if prog > 0 and wm > bound[0] + within_ms:
+            emit("timeout", bound)
+            prog, bound = 0, []
+
+        if prog > 0 or buffer or holds:
+            state.update((
+                [prog] + bound,
+                [x for e in buffer for x in e],
+                [x for h in holds for x in h],
+            ))
+            deadlines = []
+            if prog > 0:
+                deadlines.append(bound[0] + within_ms + 1)
+            if buffer:
+                deadlines.append(buffer[0][0])
+            for h in holds:
+                deadlines.append(h[-1] + 1)
+            state.setTimeoutTimestamp(max(min(deadlines), wm + 1))
+        elif state.exists:
+            state.remove()
+        if out_key:
+            yield pd.DataFrame(
+                {
+                    "key": out_key,
+                    "status": out_status,
+                    "anchor_ts": out_anchor,
+                    "step_ts": out_steps,
+                }
+            )
+
+    return fn
+
+
+def match_pattern_stream(
+    events: DataFrame,
+    pattern: list[dict],
+    *,
+    within: str = "15 minutes",
+    key: str = "user_id",
+    ts: str = "ts",
+    watermark: str = "10 seconds",
+    event_id: str | None = None,
+) -> DataFrame:
+    """Streaming full-pattern matcher: the same ``pattern`` dicts as
+    ``operators.cep.match_pattern`` over a watermarked stream.  Returns
+    (key, status, anchor_ts, step_ts) where ``step_ts`` carries one
+    bound event time per unrolled positive step; negation kills emit
+    nothing and terminal negations defer the match to the watermark."""
+    import re
+
+    m = re.match(r"(\d+)\s*(second|minute|hour|day)s?", within, re.IGNORECASE)
+    if not m:
+        raise ValueError(f"within must look like '15 minutes', got {within!r}")
+    unit_ms = {"second": 1000, "minute": 60_000, "hour": 3_600_000, "day": 86_400_000}
+    within_ms = int(m.group(1)) * unit_ms[m.group(2).lower()]
+
+    positives, negations = _unroll(pattern)
+    if negations and negations[-1][2] is None and within is None:
+        raise ValueError("a terminal notFollowedBy requires `within`")
+    n_steps = len(positives)
+    strict = [s for _, _, s in positives]
+    neg_before: dict[int, list[int]] = {}
+    terminal_bits: list[int] = []
+    mask = F.lit(0).cast("long")
+    for i, (_, pred, _s) in enumerate(positives):
+        mask = mask + F.when(pred, F.lit(1 << i)).otherwise(0)
+    for j, (pred, _li, ri) in enumerate(negations):
+        bit = n_steps + j
+        mask = mask + F.when(pred, F.lit(1 << bit)).otherwise(0)
+        if ri is None:
+            terminal_bits.append(bit)
+        else:
+            neg_before.setdefault(ri, []).append(bit)
+
+    src = events
+    if "row_time" not in src.columns:
+        src = src.withColumn("row_time", F.timestamp_millis(F.col(ts).cast("long")))
+    eid_col = (
+        F.col(event_id).cast("long")
+        if event_id is not None
+        else F.xxhash64(F.col(key).cast("string"), F.col(ts).cast("long"), mask)
+    )
+    src = src.withWatermark("row_time", watermark).select(
+        F.col(key).cast("string").alias("key"),
+        F.col(ts).cast("long").alias("ts"),
+        eid_col.alias("event_id"),
+        mask.alias("step_mask"),
+        "row_time",
+    )
+    if not any(strict):
+        # relaxed-only: non-participating events can't affect the match
+        src = src.filter(F.col("step_mask") != 0)
+    return src.groupBy("key").applyInPandasWithState(
+        pattern_matcher_fn(n_steps, strict, neg_before, terminal_bits, within_ms),
+        outputStructType=_out_schema(),
+        stateStructType=_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -1923,6 +1923,150 @@ def test_streaming_cep_out_of_order_equals_batch_twin(spark, tmp_path):
         assert got[(k, "match")][1] == twin[k]
 
 
+def test_streaming_full_pattern_strict_negation_hold(spark, tmp_path):
+    """Streaming match_pattern_stream carries the full CEP surface with
+    out-of-order arrival: strict contiguity (a gap event kills), a
+    between-steps negation (kills silently), and a terminal
+    notFollowedBy (match held until the watermark passes anchor+within,
+    discarded if the negation arrives inside the window).  Events arrive
+    SHUFFLED across micro-batches; results must equal the oracle-exact
+    batch twin match_pattern."""
+    import json
+
+    from flink_realtime_dw4_0_spark.operators.cep import match_pattern
+    from flink_realtime_dw4_0_spark.streaming.cep_pattern import match_pattern_stream
+
+    base = 1_700_000_000_000
+    SEC = 1_000
+    # pattern: signup -> click times(2, strict) -> (not error) -> purchase
+    # u1: clean strict chain, arrives REVERSED across batches -> match
+    # u2: view gap inside the strict click block -> dead (silent)
+    # u3: error between click_2 and purchase -> negation kill (silent)
+    all_events = {
+        "u1": [("signup", 1), ("click", 2), ("click", 3), ("purchase", 4)],
+        "u2": [("signup", 1), ("click", 2), ("view", 3), ("click", 4),
+               ("purchase", 5)],
+        "u3": [("signup", 1), ("click", 2), ("click", 3), ("error", 4),
+               ("purchase", 5)],
+    }
+    rows = [
+        {"user_id": u, "ts": base + s * SEC, "event_id": s, "event_type": e}
+        for u, evs in all_events.items() for e, s in evs
+    ]
+    # shuffle arrival: batch 1 gets the LATER half of each chain, batch 2
+    # the earlier half (on-time vs the 10 s watermark: batch1 max ts is
+    # base+5s, so wm after batch1 = base-5s < every batch-2 ts)
+    b1 = [r for r in rows if r["ts"] >= base + 3 * SEC]
+    b2 = [r for r in rows if r["ts"] < base + 3 * SEC]
+    b3 = [{"user_id": "u9", "ts": base + 900_000, "event_id": 99,
+           "event_type": "view"}]  # advances the watermark past every window
+    src = tmp_path / "pat_src"
+    src.mkdir()
+    for i, (name, rs) in enumerate((("a.json", b1), ("b.json", b2), ("c.json", b3))):
+        with open(src / name, "w") as fh:
+            for r in rs:
+                fh.write(json.dumps(r) + "\n")
+        os.utime(src / name, (1_000_000 + 10 * i, 1_000_000 + 10 * i))
+
+    stream = spark.readStream.schema(
+        "user_id string, ts long, event_id long, event_type string"
+    ).option("maxFilesPerTrigger", 1).json(str(src))
+    pat = [
+        {"name": "signup", "where": F.col("event_type") == "signup"},
+        {"name": "click", "where": F.col("event_type") == "click",
+         "times": 2, "contiguity": "strict"},
+        {"name": "noerr", "where": F.col("event_type") == "error", "negated": True},
+        {"name": "purchase", "where": F.col("event_type") == "purchase"},
+    ]
+    out = match_pattern_stream(
+        stream, pat, within="1 minute", watermark="10 seconds",
+        event_id="event_id",
+    )
+    q = (
+        out.writeStream.format("memory").queryName("pat_out")
+        .option("checkpointLocation", str(tmp_path / "pat_ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    got = {(r.key, r.status): list(r.step_ts)
+           for r in spark.sql("SELECT * FROM pat_out").collect()}
+    assert got == {("u1", "match"):
+                   [base + 1 * SEC, base + 2 * SEC, base + 3 * SEC, base + 4 * SEC]}
+
+    # batch twin agrees on the SAME event set
+    bdf = spark.createDataFrame(
+        [(r["user_id"], r["ts"], r["event_id"], r["event_type"])
+         for r in rows + b3],
+        "user_id string, ts_ms long, event_id long, event_type string",
+    ).withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+    twin = {
+        r.user_id: [r.signup_ts, r.click_1_ts, r.click_2_ts, r.purchase_ts]
+        for r in match_pattern(bdf, pat, within="1 minute").collect()
+    }
+    assert set(twin) == {"u1"}
+
+
+def test_streaming_terminal_negation_hold_and_discard(spark, tmp_path):
+    """Terminal notFollowedBy in the stream: a completed match is HELD
+    until the watermark passes anchor+within — released as a match when
+    clean, discarded when the negation event arrives inside the hold
+    window (even from a LATER micro-batch)."""
+    import json
+
+    from flink_realtime_dw4_0_spark.streaming.cep_pattern import match_pattern_stream
+
+    base = 1_700_000_000_000
+    SEC = 1_000
+    b1 = [  # both keys complete signup->purchase in batch 1
+        {"user_id": "h1", "ts": base + 1 * SEC, "event_id": 1, "event_type": "signup"},
+        {"user_id": "h1", "ts": base + 2 * SEC, "event_id": 2, "event_type": "purchase"},
+        {"user_id": "h2", "ts": base + 1 * SEC, "event_id": 1, "event_type": "signup"},
+        {"user_id": "h2", "ts": base + 2 * SEC, "event_id": 2, "event_type": "purchase"},
+    ]
+    b2 = [  # h2's error lands INSIDE its hold window, from a later batch
+        {"user_id": "h2", "ts": base + 30 * SEC, "event_id": 3, "event_type": "error"},
+    ]
+    # the far-future row must CARRY a pattern bit: relaxed-only patterns
+    # filter mask-0 rows before the stateful operator, and availableNow
+    # only schedules the timer-firing extra batch when the operator
+    # itself saw the watermark move (a real trigger stream gets later
+    # batches anyway, so this is an availableNow-golden artifact)
+    b3 = [{"user_id": "h9", "ts": base + 900_000, "event_id": 9,
+           "event_type": "signup"}]
+    src = tmp_path / "hold_src"
+    src.mkdir()
+    for i, (name, rs) in enumerate((("a.json", b1), ("b.json", b2), ("c.json", b3))):
+        with open(src / name, "w") as fh:
+            for r in rs:
+                fh.write(json.dumps(r) + "\n")
+        os.utime(src / name, (1_000_000 + 10 * i, 1_000_000 + 10 * i))
+    stream = spark.readStream.schema(
+        "user_id string, ts long, event_id long, event_type string"
+    ).option("maxFilesPerTrigger", 1).json(str(src))
+    pat = [
+        {"name": "signup", "where": F.col("event_type") == "signup"},
+        {"name": "purchase", "where": F.col("event_type") == "purchase"},
+        {"name": "clean", "where": F.col("event_type") == "error", "negated": True},
+    ]
+    out = match_pattern_stream(
+        stream, pat, within="1 minute", watermark="5 seconds", event_id="event_id"
+    )
+    q = (
+        out.writeStream.format("memory").queryName("hold_out")
+        .option("checkpointLocation", str(tmp_path / "hold_ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    got = {(r.key, r.status) for r in spark.sql("SELECT * FROM hold_out").collect()}
+    assert ("h1", "match") in got          # clean hold released by watermark
+    assert ("h2", "match") not in got      # discarded by the in-window error
+    assert not any(k == "h2" for k, _ in got)
+
+
 def test_rate_limit_stream_cross_batch(spark, tmp_path):
     """State API v2 rate limiter: at most cap events per key per
     event-time window, with the window's admitted-count surviving

@@ -103,6 +103,49 @@ def match_sequence(
     )
 
 
+def unroll_pattern(pattern: list[dict]):
+    """Normalize + validate a pattern (shared by the batch matcher and
+    ``streaming/cep_pattern.py`` so the two can never drift): returns
+    (positives [(colname, pred, strict)], negations
+    [(pred, left_idx, right_idx_or_None_for_terminal)]).  Raises on
+    every invalid shape both engines must reject identically."""
+    if not pattern or pattern[0].get("negated"):
+        raise ValueError("pattern must start with a positive anchor step")
+    if pattern[0].get("contiguity", "relaxed") == "strict":
+        raise ValueError("the anchor step cannot be strict (nothing precedes it)")
+    names = [p["name"] for p in pattern]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate step names: {names}")
+    positives: list[tuple[str, object, bool]] = []
+    negations: list[tuple[object, int, int | None]] = []
+    for p in pattern:
+        times = int(p.get("times", 1))
+        strict = p.get("contiguity", "relaxed") == "strict"
+        if p.get("negated"):
+            if times != 1 or strict:
+                raise ValueError("negated steps take no times/contiguity")
+            negations.append(
+                (p["where"], len(positives) - 1,
+                 len(positives) if p is not pattern[-1] else None)
+            )
+            continue
+        if times < 1:
+            raise ValueError(f"times must be >= 1, got {times}")
+        for j in range(times):
+            cname = p["name"] if times == 1 else f"{p['name']}_{j + 1}"
+            positives.append((cname, p["where"], strict))
+    if len(positives) < 2:
+        raise ValueError("a pattern needs at least two positive step binds")
+    for _pred, _li, ri in negations:
+        if ri is not None and ri >= len(positives):
+            raise ValueError(
+                "a non-terminal negation must be followed by a positive "
+                "step (only the LAST pattern step may be a dangling "
+                "notFollowedBy, and it requires `within`)"
+            )
+    return positives, negations
+
+
 def match_pattern(
     events: DataFrame,
     pattern: list[dict],
@@ -149,47 +192,15 @@ def match_pattern(
     key.  Nothing fans out beyond the anchors; ``max_anchors_per_key``
     bounds hot keys exactly as in ``match_sequence``.
     """
-    if not pattern or pattern[0].get("negated"):
-        raise ValueError("pattern must start with a positive anchor step")
-    if pattern[0].get("contiguity", "relaxed") == "strict":
-        raise ValueError("the anchor step cannot be strict (nothing precedes it)")
-    if pattern[-1].get("negated") and within is None:
+    if pattern and pattern[-1].get("negated") and within is None:
         raise ValueError("a terminal notFollowedBy requires `within` "
                          "(Flink has the same restriction)")
-    names = [p["name"] for p in pattern]
-    if len(set(names)) != len(names):
-        raise ValueError(f"duplicate step names: {names}")
+    positives, negations = unroll_pattern(pattern)
 
     w_rn = Window.partitionBy(key).orderBy(ts, seq)
     base = events.withColumn("__rn", F.row_number().over(w_rn)).withColumn(
         "__ts", F.col(ts)
     )
-
-    # unroll quantifiers into a flat positive-step list, remembering the
-    # negations and which positive neighbors they sit between
-    positives: list[tuple[str, object, bool]] = []  # (colname, pred, strict)
-    negations: list[tuple[object, int, int | None]] = []  # (pred, left_idx, right_idx)
-    for p in pattern:
-        times = int(p.get("times", 1))
-        strict = p.get("contiguity", "relaxed") == "strict"
-        if p.get("negated"):
-            if times != 1 or strict:
-                raise ValueError("negated steps take no times/contiguity")
-            negations.append(
-                (p["where"], len(positives) - 1,
-                 len(positives) if p is not pattern[-1] else None)
-            )
-            continue
-        if times < 1:
-            raise ValueError(f"times must be >= 1, got {times}")
-        for j in range(times):
-            cname = p["name"] if times == 1 else f"{p['name']}_{j + 1}"
-            positives.append((cname, p["where"], strict))
-    if len(positives) < 2:
-        raise ValueError("a pattern needs at least two positive step binds")
-    for _pred, li, ri in negations:
-        if ri is not None and ri >= len(positives):
-            raise ValueError("internal: negation right neighbor out of range")
 
     n0, pred0, _ = positives[0]
     anchors = base.filter(pred0).select(

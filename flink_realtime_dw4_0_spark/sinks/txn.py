@@ -42,13 +42,12 @@ def _flip(table_path: str, version: str) -> None:
     # snapshot version it was computed against — if CURRENT moved since
     # (e.g. a normal commit interleaved between staging and the intent
     # journal), flipping would drop the interleaved writer's buckets.
-    man_p = os.path.join(table_path, version, "MANIFEST.json")
+    man_p = KeyedTable.manifest_path_of(table_path, version)
     if os.path.exists(man_p):
         with open(man_p) as fh:
             man = json.load(fh)
         if "base" in man:
-            cur_f = os.path.join(table_path, "CURRENT")
-            cur = open(cur_f).read().strip() if os.path.exists(cur_f) else None
+            cur = KeyedTable.current_pointer_of(table_path)
             if cur != man["base"]:
                 raise CommitConflictError(
                     f"table {table_path}: staged version {version!r} was "
@@ -90,8 +89,7 @@ class TableTxn:
         with open(j) as fh:
             entries = json.load(fh)
         for e in entries:
-            cur_f = os.path.join(e["path"], "CURRENT")
-            cur = open(cur_f).read().strip() if os.path.exists(cur_f) else None
+            cur = KeyedTable.current_pointer_of(e["path"])
             if cur == e["version"]:
                 continue  # this flip already happened
             if not os.path.exists(os.path.join(e["path"], e["version"])):

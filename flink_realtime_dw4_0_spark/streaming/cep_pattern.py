@@ -55,6 +55,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
+from ..operators.cep import unroll_pattern
 from .cep import _out_schema
 
 _STATE = StructType(
@@ -64,37 +65,6 @@ _STATE = StructType(
         StructField("hold", ArrayType(LongType())),
     ]
 )
-
-
-def _unroll(pattern: list[dict]):
-    """Shared pattern normalization (mirrors operators.cep.match_pattern):
-    returns (positives [(name, pred, strict)], negations
-    [(pred, left_idx, right_or_None)])."""
-    if not pattern or pattern[0].get("negated"):
-        raise ValueError("pattern must start with a positive anchor step")
-    if pattern[0].get("contiguity", "relaxed") == "strict":
-        raise ValueError("the anchor step cannot be strict (nothing precedes it)")
-    positives: list[tuple[str, object, bool]] = []
-    negations: list[tuple[object, int, int | None]] = []
-    for p in pattern:
-        times = int(p.get("times", 1))
-        strict = p.get("contiguity", "relaxed") == "strict"
-        if p.get("negated"):
-            if times != 1 or strict:
-                raise ValueError("negated steps take no times/contiguity")
-            negations.append(
-                (p["where"], len(positives) - 1,
-                 len(positives) if p is not pattern[-1] else None)
-            )
-            continue
-        if times < 1:
-            raise ValueError(f"times must be >= 1, got {times}")
-        for j in range(times):
-            cname = p["name"] if times == 1 else f"{p['name']}_{j + 1}"
-            positives.append((cname, p["where"], strict))
-    if len(positives) < 2:
-        raise ValueError("a pattern needs at least two positive step binds")
-    return positives, negations
 
 
 def pattern_matcher_fn(
@@ -163,30 +133,39 @@ def pattern_matcher_fn(
             for h in due:
                 emit("match", h[:-1])
 
+        # Sealed events are consumed one at a time in (ts, event_id)
+        # order, which IS the batch twin's per-key rn order: "positionally
+        # after" needs no timestamp comparison (an event sealed in a later
+        # invocation necessarily has ts > every previously-bound ts, and
+        # within one invocation the sort settles ties) — so binds, strict
+        # checks, and hold kills are all processing-order conditions,
+        # matching rn-strictly-greater / rn == prev+1 / rn-in-gap exactly,
+        # including equal-timestamp chains.
         for ts_v, _eid, mask in sealed:
             release_holds(ts_v - 1)  # windows that closed before this event
-            # a sealed terminal-negation event inside a hold window
-            # discards that held match (Flink notFollowedBy-at-end)
+            # a sealed terminal-negation event positionally after the
+            # match and inside its window discards the held match
+            # (Flink notFollowedBy-at-end)
             if holds and any((mask >> b) & 1 for b in terminal_bits):
-                holds = [
-                    h for h in holds
-                    if not (ts_v > h[n_steps - 1] and ts_v <= h[-1])
-                ]
+                holds = [h for h in holds if ts_v > h[-1]]
             if bound and ts_v > bound[0] + within_ms and prog < n_steps:
                 emit("timeout", bound)
                 prog, bound = 0, []
-            if prog > 0:
-                # a negation event in the current gap kills the partial
-                # silently (no timeout row — Flink discards the partial)
-                if any((mask >> b) & 1 for b in neg_before.get(prog, ())):
-                    prog, bound = 0, []
             if prog == 0:
                 if mask & 1:
                     prog, bound = 1, [ts_v]
             elif prog < n_steps:
-                if (mask >> prog) & 1 and ts_v > bound[-1]:
+                if (mask >> prog) & 1:
+                    # bind wins over negation: the batch twin's negation
+                    # range is STRICTLY between bound positions, so an
+                    # event that binds the awaited step is never a killer
                     bound.append(ts_v)
                     prog += 1
+                elif any((mask >> b) & 1 for b in neg_before.get(prog, ())):
+                    # negation event in the current gap: the partial dies
+                    # silently (Flink discards it — no timeout row); the
+                    # same event may re-anchor
+                    prog, bound = (1, [ts_v]) if mask & 1 else (0, [])
                 elif strict[prog]:
                     # strict step and the immediately-next sealed event
                     # did not bind it: the partial dies; the same event
@@ -251,15 +230,19 @@ def match_pattern_stream(
     nothing and terminal negations defer the match to the watermark."""
     import re
 
+    if within is None:
+        raise ValueError(
+            "match_pattern_stream requires `within`: the streaming machine "
+            "needs a timeout horizon to bound state and resolve anchors "
+            "(the batch twin allows within=None; a stream cannot)"
+        )
     m = re.match(r"(\d+)\s*(second|minute|hour|day)s?", within, re.IGNORECASE)
     if not m:
         raise ValueError(f"within must look like '15 minutes', got {within!r}")
     unit_ms = {"second": 1000, "minute": 60_000, "hour": 3_600_000, "day": 86_400_000}
     within_ms = int(m.group(1)) * unit_ms[m.group(2).lower()]
 
-    positives, negations = _unroll(pattern)
-    if negations and negations[-1][2] is None and within is None:
-        raise ValueError("a terminal notFollowedBy requires `within`")
+    positives, negations = unroll_pattern(pattern)
     n_steps = len(positives)
     strict = [s for _, _, s in positives]
     neg_before: dict[int, list[int]] = {}

@@ -164,9 +164,13 @@ class OrderDetailJoin:
         ).select(*[d.getItem(src).alias(dst) for dst, src in fields.items()], F.col("ts"))
 
     def process_batch(self, batch: DataFrame, spark: SparkSession) -> None:
+        self._slices: list[DataFrame] = []
         try:
             self._process_batch(batch, spark)
         finally:
+            for sl in self._slices:
+                sl.unpersist()
+            self._slices = []
             # the cadence counter ticks on every batch, including the
             # no-state early returns, so maintenance timing is stable
             self._maintain(spark)
@@ -210,36 +214,37 @@ class OrderDetailJoin:
             "order_detail_activity": (self.oda, oda_new),
             "order_detail_coupon": (self.odc, odc_new),
         }
-        # persist each slice across probe + merge-write: the probe job
-        # materializes all four into cache, the writes reuse it — without
-        # this, every write re-decodes the micro-batch JSON from scratch
-        for _, new in routes.values():
+        # persist each slice from the probe through the side writes AND
+        # the touched-keys/derive phase below (which re-reads od_new/
+        # oi_new/oda_new/odc_new): the probe job materializes all four
+        # into cache once; everything after reuses it instead of
+        # re-decoding the micro-batch JSON.  process_batch's finally
+        # unpersists them once the whole batch (incl. the out merge) is
+        # done.
+        self._slices = [new for _, new in routes.values()]
+        for new in self._slices:
             new.persist()
-        try:
-            probe = None
-            for name, (table, new) in routes.items():
-                sl = new.select(
-                    F.lit(name).alias("t"),
-                    table._bucket_expr().alias("b"),
-                    F.col("ts").cast("long").alias("ts"),
-                )
-                probe = sl if probe is None else probe.unionByName(sl)
-            stats: dict[str, tuple[int, int, set[str]]] = {}
-            for r in probe.groupBy("t", "b").agg(
-                F.count(F.lit(1)).alias("n"), F.max("ts").alias("mx")
-            ).collect():
-                n, mx, touched = stats.get(r["t"], (0, 0, set()))
-                stats[r["t"]] = (
-                    n + r["n"], max(mx, r["mx"] or 0), touched | {str(r["b"])}
-                )
-            for name, (table, new) in routes.items():
-                n, mx, touched = stats.get(name, (0, 0, set()))
-                if n:
-                    table.merge(spark, new, touched_buckets=touched)
-                    self._max_ts = max(self._max_ts, mx)
-        finally:
-            for _, new in routes.values():
-                new.unpersist()
+        probe = None
+        for name, (table, new) in routes.items():
+            sl = new.select(
+                F.lit(name).alias("t"),
+                table._bucket_expr().alias("b"),
+                F.col("ts").cast("long").alias("ts"),
+            )
+            probe = sl if probe is None else probe.unionByName(sl)
+        stats: dict[str, tuple[int, int, set[str]]] = {}
+        for r in probe.groupBy("t", "b").agg(
+            F.count(F.lit(1)).alias("n"), F.max("ts").alias("mx")
+        ).collect():
+            n, mx, touched = stats.get(r["t"], (0, 0, set()))
+            stats[r["t"]] = (
+                n + r["n"], max(mx, r["mx"] or 0), touched | {str(r["b"])}
+            )
+        for name, (table, new) in routes.items():
+            n, mx, touched = stats.get(name, (0, 0, set()))
+            if n:
+                table.merge(spark, new, touched_buckets=touched)
+                self._max_ts = max(self._max_ts, mx)
         self._prune_ttl(spark)
 
         od_all = self.od.read(spark)

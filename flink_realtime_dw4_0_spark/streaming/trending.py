@@ -66,6 +66,12 @@ class DecayedTrending:
     def __init__(self, path: str, half_life_s: float = 3600.0):
         self.lam = math.log(2.0) / (float(half_life_s) * 1000.0)
         self.state = KeyedTable(path, keys=["item"])
+        # cached copy of the stored as-of (every row carries the same
+        # value — the merge writes one F.lit): the out-of-order clamp
+        # reads it from here instead of scanning the whole state table
+        # per batch; None = not yet known (first batch after a restart
+        # reads it from the table once)
+        self._asof: int | None = None
 
     def process_batch(self, batch: DataFrame, spark: SparkSession,
                       item_col: str = "item", ts_col: str = "ts") -> None:
@@ -82,9 +88,14 @@ class DecayedTrending:
             # batch would re-decay from the wrong baseline.  Clamp the
             # merge as-of to the newest time either side has seen and age
             # the batch's events relative to that clamped as-of instead.
-            stored_row = prev.agg(F.max("asof_ms").alias("m")).collect()
-            if stored_row and stored_row[0]["m"] is not None:
-                asof = max(asof, int(stored_row[0]["m"]))
+            # (The stored as-of is a single scalar — cached after every
+            # merge; only a restart pays the one-row table read.)
+            if self._asof is None:
+                stored_row = prev.agg(F.max("asof_ms").alias("m")).collect()
+                if stored_row and stored_row[0]["m"] is not None:
+                    self._asof = int(stored_row[0]["m"])
+            if self._asof is not None:
+                asof = max(asof, self._asof)
         contrib = (
             batch.withColumn("__age", F.lit(asof) - ts)
             .groupBy(F.col(item_col).alias("item"))
@@ -111,6 +122,7 @@ class DecayedTrending:
                 "item", F.col("add").alias("score"), F.lit(asof).alias("asof_ms")
             )
         self.state.replace(merged.localCheckpoint())
+        self._asof = asof
 
     def topk(self, spark: SparkSession, k: int = 10) -> DataFrame | None:
         cur = self.state.read(spark)

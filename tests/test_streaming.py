@@ -2008,6 +2008,111 @@ def test_streaming_full_pattern_strict_negation_hold(spark, tmp_path):
     assert set(twin) == {"u1"}
 
 
+def test_streaming_pattern_equal_ts_and_bind_over_negation(spark, tmp_path):
+    """Two rn-semantics parity cases vs the batch twin (r5 self-review):
+    (1) equal-timestamp chains bind positionally (the batch twin chains
+    on per-key rn, not strictly-increasing time) and (2) an event that
+    satisfies BOTH the awaited positive predicate and an overlapping
+    negation predicate BINDS — the batch negation range is strictly
+    between bound positions, so a binder is never a killer."""
+    import json
+
+    from flink_realtime_dw4_0_spark.operators.cep import match_pattern
+    from flink_realtime_dw4_0_spark.streaming.cep_pattern import match_pattern_stream
+
+    base = 1_700_000_000_000
+    rows = [
+        # e1: signup and purchase share ONE timestamp; event_id orders them
+        {"user_id": "e1", "ts": base + 1_000, "event_id": 1,
+         "event_type": "signup", "value": 1.0},
+        {"user_id": "e1", "ts": base + 1_000, "event_id": 2,
+         "event_type": "purchase", "value": 5.0},
+        # e2: the purchase ALSO matches the negation predicate (value>100)
+        {"user_id": "e2", "ts": base + 1_000, "event_id": 1,
+         "event_type": "signup", "value": 1.0},
+        {"user_id": "e2", "ts": base + 2_000, "event_id": 2,
+         "event_type": "purchase", "value": 150.0},
+        # e3: a genuine high-value NON-purchase event in the gap kills
+        {"user_id": "e3", "ts": base + 1_000, "event_id": 1,
+         "event_type": "signup", "value": 1.0},
+        {"user_id": "e3", "ts": base + 2_000, "event_id": 2,
+         "event_type": "view", "value": 150.0},
+        {"user_id": "e3", "ts": base + 3_000, "event_id": 3,
+         "event_type": "purchase", "value": 5.0},
+    ]
+    sentinel = [{"user_id": "e9", "ts": base + 900_000, "event_id": 9,
+                 "event_type": "signup", "value": 1.0}]
+    src = tmp_path / "eqts_src"
+    src.mkdir()
+    for i, (name, rs) in enumerate((("a.json", rows), ("b.json", sentinel))):
+        with open(src / name, "w") as fh:
+            for r in rs:
+                fh.write(json.dumps(r) + "\n")
+        os.utime(src / name, (1_000_000 + 10 * i, 1_000_000 + 10 * i))
+    stream = spark.readStream.schema(
+        "user_id string, ts long, event_id long, event_type string, value double"
+    ).option("maxFilesPerTrigger", 1).json(str(src))
+    pat = [
+        {"name": "signup", "where": F.col("event_type") == "signup"},
+        {"name": "hi", "where": F.col("value") > 100, "negated": True},
+        {"name": "purchase", "where": F.col("event_type") == "purchase"},
+    ]
+    out = match_pattern_stream(
+        stream, pat, within="1 minute", watermark="5 seconds", event_id="event_id"
+    )
+    q = (
+        out.writeStream.format("memory").queryName("eqts_out")
+        .option("checkpointLocation", str(tmp_path / "eqts_ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    got = {(r.key, r.status): list(r.step_ts)
+           for r in spark.sql("SELECT * FROM eqts_out").collect()}
+    assert got.get(("e1", "match")) == [base + 1_000, base + 1_000]  # equal ts
+    assert got.get(("e2", "match")) == [base + 1_000, base + 2_000]  # bind wins
+    assert not any(k == "e3" and s == "match" for k, s in got)       # real kill
+
+    # batch twin agrees per key
+    bdf = spark.createDataFrame(
+        [(r["user_id"], r["ts"], r["event_id"], r["event_type"], r["value"])
+         for r in rows + sentinel],
+        "user_id string, ts_ms long, event_id long, event_type string, value double",
+    ).withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+    twin = {r.user_id for r in match_pattern(bdf, pat, within="1 minute").collect()}
+    assert {"e1", "e2"} <= twin and "e3" not in twin
+
+
+def test_pattern_validation_shared_between_batch_and_stream(spark):
+    """Both engines reject the same invalid shapes with the same error
+    (the normalization is one shared function, so they cannot drift):
+    a non-terminal negation followed only by negations, and a stream
+    without `within`."""
+    from flink_realtime_dw4_0_spark.operators.cep import match_pattern, unroll_pattern
+    from flink_realtime_dw4_0_spark.streaming.cep_pattern import match_pattern_stream
+
+    dangling = [
+        {"name": "a", "where": F.lit(True)},
+        {"name": "b", "where": F.lit(True)},
+        {"name": "n1", "where": F.lit(True), "negated": True},
+        {"name": "n2", "where": F.lit(True), "negated": True},
+    ]
+    dummy = spark.createDataFrame(
+        [("k", 1, 1, "x")], "user_id string, ts long, event_id long, event_type string")
+    with pytest.raises(ValueError, match="followed by a positive"):
+        unroll_pattern(dangling)
+    with pytest.raises(ValueError, match="followed by a positive"):
+        match_pattern(dummy.withColumn("ts", F.timestamp_millis("ts")), dangling,
+                      within="1 MINUTE")
+    with pytest.raises(ValueError, match="followed by a positive"):
+        match_pattern_stream(dummy, dangling)
+    ok_pat = [{"name": "a", "where": F.lit(True)},
+              {"name": "b", "where": F.lit(True)}]
+    with pytest.raises(ValueError, match="requires `within`"):
+        match_pattern_stream(dummy, ok_pat, within=None)
+
+
 def test_streaming_terminal_negation_hold_and_discard(spark, tmp_path):
     """Terminal notFollowedBy in the stream: a completed match is HELD
     until the watermark passes anchor+within — released as a match when

@@ -218,15 +218,74 @@ class KeyedTable:
             for b, ver in sorted(manifest["buckets"].items(), key=lambda kv: int(kv[0]))
         ]
 
-    def _read_snapshot(self, spark: SparkSession, version: str) -> DataFrame:
+    def _footer_stats(self, bucket_dir: str) -> dict | None:
+        """Per-bucket zone map for the TTL column, read from the parquet
+        FOOTERS the write already produced (pyarrow metadata — zero Spark
+        jobs): {"min": lo, "max": hi} over every row group, or None when
+        the column is absent/non-integer/statless.  Matching leaves by
+        path_in_schema keeps map/array columns from shifting indexes."""
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:  # pragma: no cover - pyarrow is baked in
+            return None
+        lo = hi = None
+        try:
+            for fn in os.listdir(bucket_dir):
+                if not fn.endswith(".parquet"):
+                    continue
+                md = pq.read_metadata(os.path.join(bucket_dir, fn))
+                for i in range(md.num_row_groups):
+                    rg = md.row_group(i)
+                    for j in range(rg.num_columns):
+                        col = rg.column(j)
+                        if col.path_in_schema != self.ttl_col:
+                            continue
+                        st = col.statistics
+                        if st is None or not st.has_min_max:
+                            return None
+                        mn, mx = st.min, st.max
+                        # integer zone maps only: the TTL compare casts
+                        # to long, and lexicographic string min/max does
+                        # NOT bound numeric order ('9' > '10')
+                        if not isinstance(mn, int) or isinstance(mn, bool):
+                            return None
+                        lo = mn if lo is None else min(lo, mn)
+                        hi = mx if hi is None else max(hi, mx)
+        except OSError:
+            return None
+        if lo is None:
+            return None
+        return {"min": int(lo), "max": int(hi)}
+
+    def _read_snapshot(
+        self, spark: SparkSession, version: str, ttl_prune: bool = False
+    ) -> DataFrame:
         """Raw snapshot read (no TTL filter): resolve the version's
         manifest to its bucket leaf dirs — untouched buckets live in
         OLDER version dirs; reading leaf dirs directly adds no inferred
-        partition column."""
+        partition column.  ``ttl_prune``: additionally SKIP buckets whose
+        manifest zone map proves every row is below the TTL horizon —
+        the Delta/Iceberg file-stats data-skipping shape; the logical
+        TTL filter still applies on top for partially-expired buckets."""
         man = self._load_manifest(version)
         if man is None:
             return spark.read.parquet(os.path.join(self.path, version))
         paths = self._bucket_paths(man)
+        if ttl_prune and self.ttl_horizon is not None and man.get("stats"):
+            horizon = int(self.ttl_horizon)
+            stats = man["stats"]
+            keep = {
+                b
+                for b in man["buckets"]
+                if b not in stats or stats[b]["max"] >= horizon
+            }
+            paths = [
+                os.path.join(self.path, ver, f"__b={b}")
+                for b, ver in sorted(
+                    man["buckets"].items(), key=lambda kv: int(kv[0])
+                )
+                if b in keep
+            ]
         if not paths:
             return spark.createDataFrame(
                 [], StructType.fromJson(man["schema"])
@@ -247,7 +306,7 @@ class KeyedTable:
         v = self._current_version()
         if v is None:
             return None
-        return self._apply_ttl(self._read_snapshot(spark, v))
+        return self._apply_ttl(self._read_snapshot(spark, v, ttl_prune=True))
 
     def read_version(self, spark: SparkSession, steps_back: int = 0) -> DataFrame | None:
         """Time-travel read: the snapshot `steps_back` merges ago
@@ -355,6 +414,31 @@ class KeyedTable:
         buckets = dict(inherit)
         buckets.update({b: v for b in written})
         man = {"n_buckets": self.n_buckets, "schema": schema_json, "buckets": buckets}
+        # per-bucket zone maps for the TTL column: written buckets read
+        # their own parquet footers (driver-side, no job); inherited
+        # buckets copy the stats of the snapshot they are inherited from.
+        # read() uses these to SKIP wholly-expired buckets (data
+        # skipping); absence of a bucket's entry just means no pruning.
+        base_v = (
+            expected_base
+            if isinstance(expected_base, str)
+            else self._current_version()
+        )
+        prev_stats = {}
+        if base_v is not None:
+            prev_man = self._load_manifest(base_v)
+            if prev_man is not None:
+                prev_stats = prev_man.get("stats", {})
+        stats = {}
+        for b in buckets:
+            if b in written:
+                st = self._footer_stats(os.path.join(vdir, f"__b={b}"))
+                if st is not None:
+                    stats[b] = st
+            elif b in prev_stats:
+                stats[b] = prev_stats[b]
+        if stats:
+            man["stats"] = stats
         if expected_base is not False:
             # the snapshot version this commit was computed against —
             # optimistic-concurrency checks compare it to CURRENT at flip
@@ -610,6 +694,52 @@ class KeyedTable:
         finally:
             if persisted:
                 batch.unpersist()
+
+    def merge_with_retry(
+        self,
+        spark: SparkSession,
+        batch: DataFrame,
+        deletes: DataFrame | None = None,
+        max_retries: int = 5,
+    ) -> str | None:
+        """MERGE with the standard optimistic-concurrency retry loop: on
+        `CommitConflictError` re-read the (now newer) snapshot and merge
+        again — upserts commute across writers touching different keys,
+        and same-key conflicts resolve last-writer-wins by version_col
+        exactly as a single writer's repeated merges would.  Raises after
+        ``max_retries`` losses (pathological contention should be loud,
+        not an unbounded spin)."""
+        last: Exception | None = None
+        for _attempt in range(max_retries + 1):
+            base = self._current_version()
+            try:
+                return self.merge(spark, batch, deletes)
+            except CommitConflictError as e:
+                last = e
+            except Exception as e:  # noqa: BLE001
+                # a winner's GC can delete the superseded snapshot's
+                # files UNDER the loser's in-flight plan (keep_versions=1
+                # retains no grace snapshot), surfacing as a
+                # FAILED_READ_FILE before the flip's own conflict check
+                # runs.  If CURRENT moved, that IS a commit conflict —
+                # retry against the fresh snapshot.  (Long-running
+                # concurrent readers should set keep_versions >= 2, the
+                # same retention lever Delta/Iceberg expose.)
+                moved = self._current_version() != base
+                if moved and (
+                    "FILE_NOT_EXIST" in str(e) or "FileNotFound" in str(e)
+                ):
+                    last = e
+                else:
+                    raise
+            # adopt the winner's (possibly rescaled) layout before
+            # retrying, like a fresh open would
+            cur = self._current_version()
+            man = self._load_manifest(cur) if cur else None
+            if man is not None:
+                self.n_buckets = int(man.get("n_buckets", self.n_buckets))
+        assert last is not None
+        raise last
 
     def prepare_merge(
         self, spark: SparkSession, batch: DataFrame, deletes: DataFrame | None = None

@@ -2446,6 +2446,98 @@ def test_keyed_table_adaptive_rescale(spark, tmp_path):
     assert tb2.maybe_rescale(spark, max_rows_per_bucket=1000) == 8
 
 
+def test_keyed_table_zone_map_pruning(spark, tmp_path):
+    """Per-bucket TTL zone maps (Delta/Iceberg file-stats data skipping):
+    commits record each bucket's min/max ttl from the parquet footers
+    already on disk (no extra job); read() SKIPS buckets whose max is
+    below the TTL horizon entirely — fewer input files, identical rows —
+    and inherited buckets keep their stats across incremental merges."""
+    import json as _json
+    import os
+
+    tb = KeyedTable(str(tmp_path / "zm"), keys=["k"], n_buckets=4)
+    # ts correlates with bucket: every key in bucket b gets ts 100*(b+1),
+    # discovered from the committed layout so the test is hash-agnostic
+    probe = spark.createDataFrame([(f"k{i}",) for i in range(64)], "k string")
+    from pyspark.sql import functions as F2
+    bmap = {r.k: r.b for r in probe.select(
+        "k", F2.pmod(F2.hash("k"), F2.lit(4)).alias("b")).collect()}
+    rows = [(k, 100 * (b + 1)) for k, b in bmap.items()]
+    tb.merge(spark, spark.createDataFrame(rows, "k string, ts long"))
+    man = tb._load_manifest(tb._current_version())
+    assert set(man["stats"]) == set(man["buckets"])
+    for b, st in man["stats"].items():
+        assert st == {"min": 100 * (int(b) + 1), "max": 100 * (int(b) + 1)}
+
+    # horizon above buckets 0 and 1 (ts 100, 200): read prunes their files
+    all_files = set(tb.read(spark).inputFiles())
+    tb.set_ttl_horizon(250)
+    pruned = set(tb.read(spark).inputFiles())
+    assert pruned < all_files
+    assert not any("__b=0" in f or "__b=1" in f for f in pruned)
+    want = {k for k, b in bmap.items() if b >= 2}
+    assert {r.k for r in tb.read(spark).collect()} == want
+
+    # an incremental merge touching ONE bucket inherits the others' stats
+    tb.set_ttl_horizon(None)
+    some_k = next(k for k, b in bmap.items() if b == 3)
+    tb.merge(spark, spark.createDataFrame([(some_k, 999)], "k string, ts long"))
+    man2 = tb._load_manifest(tb._current_version())
+    assert man2["stats"]["3"]["max"] == 999          # recomputed for touched
+    for b in ("0", "1", "2"):
+        assert man2["stats"][b] == man["stats"][b]   # inherited verbatim
+    # stats are honest after the merge (ttl filter result matches)
+    tb.set_ttl_horizon(950)
+    assert {r.k for r in tb.read(spark).collect()} == {some_k}
+
+
+def test_keyed_table_merge_with_retry_multi_writer(spark, tmp_path):
+    """OCC retry loop: when a concurrent writer wins the flip, the loser
+    re-reads and re-merges — different-key batches all land (upserts
+    commute), and the retry adopts a mid-flight rescale of the layout."""
+    from flink_realtime_dw4_0_spark.sinks.upsert import CommitConflictError
+
+    path = str(tmp_path / "occr")
+    w1 = KeyedTable(path, keys=["k"])
+    w2 = KeyedTable(path, keys=["k"])
+    d = lambda rows: spark.createDataFrame(rows, "k string, v long")  # noqa: E731
+    w1.merge(spark, d([(f"k{i}", i) for i in range(20)]))
+
+    orig_commit = KeyedTable._commit
+
+    def racing_commit(self, df, inherit, flip=True, expected_base=False):
+        # w1 lands a commit AND a rescale mid-flight, exactly once, while
+        # w2's first merge attempt is between read and flip
+        if self is w2 and not getattr(racing_commit, "fired", False):
+            racing_commit.fired = True
+            w1.merge(spark, d([("k1", 101)]))
+            w1.rescale(spark, 32)
+        return orig_commit(self, df, inherit, flip, expected_base)
+
+    KeyedTable._commit = racing_commit
+    try:
+        v = w2.merge_with_retry(spark, d([("k2", 202)]))
+    finally:
+        KeyedTable._commit = orig_commit
+    assert v is not None
+    assert w2.n_buckets == 32  # retry adopted the rescaled layout
+    got = {r.k: r.v for r in KeyedTable(path, keys=["k"]).read(spark).collect()}
+    assert got["k1"] == 101 and got["k2"] == 202 and len(got) == 20
+
+    # exhausted retries stay loud
+    def always_lose(self, df, inherit, flip=True, expected_base=False):
+        if self is w2 and flip:
+            w1.merge(spark, d([("k3", 3)]))
+        return orig_commit(self, df, inherit, flip, expected_base)
+
+    KeyedTable._commit = always_lose
+    try:
+        with pytest.raises(CommitConflictError):
+            w2.merge_with_retry(spark, d([("k4", 4)]), max_retries=2)
+    finally:
+        KeyedTable._commit = orig_commit
+
+
 def test_decayed_trending_incremental_equals_batch(spark, tmp_path):
     """The streaming decay recurrence (carry * exp(-λΔt) + batch sum)
     equals the direct batch recompute to float associativity, across

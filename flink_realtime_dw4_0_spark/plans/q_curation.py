@@ -850,6 +850,61 @@ def sketch_hll_registers_q(spark, sf_dir):
     return hll_registers(ev, "user_id", ["event_type"])
 
 
+_HLL_REG_FRAGMENT = """
+    h AS (SELECT event_type, md5('hll:' || CAST(user_id AS VARCHAR)) AS hx
+          FROM events WHERE user_id IS NOT NULL),
+    t AS (SELECT event_type, substr(hx, 1, 2) AS register, substr(hx, 3, 6) AS tail FROM h),
+    r0 AS (SELECT event_type, register, tail,
+                  length(regexp_extract(tail, '^0*')) AS nz FROM t),
+    x AS (SELECT event_type, register,
+                 CASE WHEN nz = 6 THEN 25
+                      ELSE 4 * nz
+                           + CASE substr(tail, nz + 1, 1)
+                               WHEN '1' THEN 3
+                               WHEN '2' THEN 2 WHEN '3' THEN 2
+                               WHEN '4' THEN 1 WHEN '5' THEN 1
+                               WHEN '6' THEN 1 WHEN '7' THEN 1
+                               ELSE 0 END
+                           + 1 END AS rho
+          FROM r0),
+    reg AS (SELECT event_type, register, max(rho) AS max_rho FROM x GROUP BY 1, 2)
+"""
+
+
+@q(
+    "sketch_hll_estimate",
+    f"""
+    WITH {_HLL_REG_FRAGMENT},
+    a AS (SELECT event_type,
+                 sum(power(2.0, -max_rho)) AS zsum,
+                 count(*) AS nreg
+          FROM reg GROUP BY 1)
+    SELECT event_type,
+           round(CASE WHEN (0.7213 / (1 + 1.079 / 256.0)) * 256 * 256
+                           / (zsum + (256 - nreg)) <= 2.5 * 256
+                       AND (256 - nreg) > 0
+                      THEN 256.0 * ln(256.0 / (256 - nreg))
+                      ELSE (0.7213 / (1 + 1.079 / 256.0)) * 256 * 256
+                           / (zsum + (256 - nreg)) END, 4) AS uu_hll
+    FROM a
+    """,
+    tags=("sketch", "approx", "mergeable", "estimator"),
+)
+def sketch_hll_estimate_q(spark, sf_dir):
+    """End-to-end HLL cardinality estimate per event_type, ORACLE-EXACT
+    (profiling.hll_estimate_df): unlike the opaque
+    `approx_count_distinct` twin (`sketch_hll_distinct`, rows-only by
+    necessity), this estimator runs over the repo's own register sketch
+    whose harmonic sum is exact float math (dyadic rationals inside the
+    53-bit mantissa — summation-order-independent), so DuckDB replays
+    the full pipeline hash → registers → estimate bit-for-bit at the
+    4-decimal rounding."""
+    from ..operators.profiling import hll_estimate_df
+
+    ev = t(spark, sf_dir, "events")
+    return hll_estimate_df(ev, "user_id", ["event_type"])
+
+
 @q(
     "dedup_substring_windows",
     """

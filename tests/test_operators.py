@@ -1049,6 +1049,22 @@ def test_hll_registers_estimate_accuracy_and_mergeability(spark, sf_dir):
     }
     assert merged == whole
 
+    # the distributed column-arithmetic estimator equals the driver-side
+    # reference estimator on the same registers (and hence inherits its
+    # error bound), for both the raw-harmonic and linear-counting branch
+    from flink_realtime_dw4_0_spark.operators.profiling import hll_estimate_df
+
+    dist = {r.event_type: r.uu_hll
+            for r in hll_estimate_df(ev, "user_id", ["event_type"]).collect()}
+    for et in exact:
+        assert abs(dist[et] - round(hll_estimate(regs[et], 256), 4)) < 1e-9, et
+    # linear-counting branch: a tiny group leaves most registers unseen
+    tiny = ev.filter(F.col("user_id") % 1000 == 0)
+    n_tiny = tiny.select("user_id").distinct().count()
+    est_tiny = hll_estimate_df(
+        tiny.withColumn("g", F.lit("all")), "user_id", ["g"]).collect()[0].uu_hll
+    assert abs(est_tiny - n_tiny) / max(n_tiny, 1) < 0.2, (est_tiny, n_tiny)
+
 
 def test_substring_dup_profile_planted_passage(spark):
     """A passage shared verbatim between two otherwise-different docs must

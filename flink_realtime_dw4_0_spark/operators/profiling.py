@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _stat_exprs(df: DataFrame, col: str) -> list:
@@ -269,6 +270,79 @@ def histogram_registers(
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def countmin_estimate_df(
+    registers: DataFrame,
+    keys: DataFrame,
+    key_col: str = "token",
+    depth: int = 3,
+    pos_hex: int = 3,
+    seed: str = "cm",
+) -> DataFrame:
+    """End-to-end count-min frequency estimates for a probe key set,
+    fully distributed: each probe key re-derives its ``depth`` counter
+    positions with the writer's hash, left-joins the register table on
+    (sketch_row, pos) — an absent counter is 0 — and takes the MIN
+    across rows.  Integer arithmetic throughout (oracle-exact), always
+    an over-estimate of the true count (collisions only add), and the
+    join touches depth rows per probe key, never the corpus."""
+    probes = None
+    for i in range(depth):
+        pos = F.substring(
+            F.md5(F.concat(F.lit(f"{seed}{i}:"), F.col(key_col).cast("string"))),
+            1,
+            pos_hex,
+        )
+        sl = keys.select(
+            F.col(key_col).alias("key"),
+            F.lit(i).alias("sketch_row"),
+            pos.alias("pos"),
+        )
+        probes = sl if probes is None else probes.unionByName(sl)
+    joined = probes.join(registers, ["sketch_row", "pos"], "left")
+    return joined.groupBy("key").agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est_count")
+    )
+
+
+def histogram_quantiles_df(
+    registers: DataFrame,
+    group_cols: list[str],
+    width: float,
+    probs: list[float],
+) -> DataFrame:
+    """Distributed quantile estimates from histogram registers: one
+    window cumsum per group orders the bins, each requested prob picks
+    the bin whose cumulative range covers q·total and interpolates
+    linearly inside it — EXACTLY the driver-side `histogram_quantile`
+    walk as column algebra (the boundary case q·total == cum(prev bin)
+    resolves to the PREVIOUS bin with fraction 1.0 in both).  Output:
+    (*group_cols, q, quantile); error bounded by ``width``; registers
+    sum-merge first, so month-to-date percentiles never re-scan days."""
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*group_cols)
+    base = registers.withColumn("__cum", F.sum("cnt").over(w_cum)).withColumn(
+        "__total", F.sum("cnt").over(w_all)
+    )
+    out = None
+    for q in probs:
+        target = F.lit(float(q)) * F.col("__total")
+        hit = base.filter(
+            (F.col("__cum") >= target) & ((F.col("__cum") - F.col("cnt")) < target)
+        )
+        frac = (target - (F.col("__cum") - F.col("cnt"))) / F.col("cnt")
+        sl = hit.select(
+            *group_cols,
+            F.lit(float(q)).alias("q"),
+            F.round((F.col("bin") + frac) * F.lit(float(width)), 6).alias("quantile"),
+        )
+        out = sl if out is None else out.unionByName(sl)
+    return out
 
 
 def histogram_quantile(bins: list[tuple[int, int]], width: float, q: float) -> float:

@@ -1006,6 +1006,88 @@ def sketch_countmin_q(spark, sf_dir):
     return countmin_registers(toks, "token")
 
 
+def _countmin_probe_oracle(depth: int = 3, pos_hex: int = 3) -> str:
+    probe = "\n      UNION ALL ".join(
+        f"SELECT key, {i} AS sketch_row, "
+        f"substr(md5('cm{i}:' || key), 1, {pos_hex}) AS pos FROM probe"
+        for i in range(depth)
+    )
+    reg = "\n      UNION ALL ".join(
+        f"SELECT {i} AS sketch_row, substr(md5('cm{i}:' || token), 1, {pos_hex}) AS pos FROM tok"
+        for i in range(depth)
+    )
+    return f"""
+    WITH tok AS (SELECT unnest({_DK_TOKS}) AS token FROM documents),
+    reg AS (SELECT sketch_row, pos, count(*) AS cnt FROM ({reg}) GROUP BY 1, 2),
+    probe AS (SELECT DISTINCT unnest({_DK_TOKS}) AS key FROM documents
+              WHERE doc_id % 97 = 0),
+    p AS ({probe})
+    SELECT p.key, CAST(min(coalesce(reg.cnt, 0)) AS BIGINT) AS est_count
+    FROM p LEFT JOIN reg USING (sketch_row, pos)
+    GROUP BY 1
+    """
+
+
+@q(
+    "sketch_countmin_estimate",
+    _countmin_probe_oracle(),
+    tags=("sketch", "approx", "mergeable", "estimator"),
+)
+def sketch_countmin_estimate_q(spark, sf_dir):
+    """End-to-end count-min frequency estimates
+    (profiling.countmin_estimate_df) for a bounded probe set (tokens of
+    every 97th doc) against the full-corpus registers — integer min
+    across depth counters, ORACLE-EXACT, always >= the true count.  The
+    estimate join touches depth rows per probe key, never the corpus."""
+    from ..operators.profiling import countmin_estimate_df, countmin_registers
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(text.tokenize("text")).alias("token"))
+    regs = countmin_registers(toks, "token")
+    probe = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(text.tokenize("text")).alias("token"))
+        .distinct()
+    )
+    return countmin_estimate_df(regs, probe)
+
+
+@q(
+    "sketch_histogram_quantiles",
+    """
+    WITH reg AS (
+      SELECT o_orderpriority,
+             CAST(floor(o_totalprice / 20000.0) AS BIGINT) AS bin,
+             count(*) AS cnt
+      FROM orders GROUP BY 1, 2),
+    c AS (
+      SELECT o_orderpriority, bin, cnt,
+             sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cnt) OVER (PARTITION BY o_orderpriority) AS total
+      FROM reg),
+    qs(q) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)), (CAST(0.99 AS DOUBLE)))
+    SELECT o_orderpriority, q,
+           round((bin + (q * total - (cum - cnt)) / cnt) * 20000.0, 6) AS quantile
+    FROM c, qs
+    WHERE cum >= q * total AND (cum - cnt) < q * total
+    """,
+    tags=("sketch", "approx", "mergeable", "estimator"),
+)
+def sketch_histogram_quantiles_q(spark, sf_dir):
+    """Distributed quantile estimates from the histogram registers
+    (profiling.histogram_quantiles_df): window cumsum + in-bin linear
+    interpolation as column algebra, ORACLE-EXACT (the register counts
+    are integers and the interpolation is the same IEEE arithmetic both
+    engines round identically at 6 decimals).  p50/p90/p99 of order
+    totals per priority; error bounded by the bin width."""
+    from ..operators.profiling import histogram_quantiles_df, histogram_registers
+
+    o = t(spark, sf_dir, "orders")
+    regs = histogram_registers(o, "o_totalprice", ["o_orderpriority"], 20000.0)
+    return histogram_quantiles_df(regs, ["o_orderpriority"], 20000.0, [0.5, 0.9, 0.99])
+
+
 @q(
     "x15_array_surface",
     """

@@ -1066,6 +1066,60 @@ def test_hll_registers_estimate_accuracy_and_mergeability(spark, sf_dir):
     assert abs(est_tiny - n_tiny) / max(n_tiny, 1) < 0.2, (est_tiny, n_tiny)
 
 
+def test_countmin_and_histogram_estimators_distributed(spark, sf_dir):
+    """The end-to-end sketch estimators (count-min probe estimates,
+    histogram quantiles) are (a) faithful to their driver-side reference
+    walks, (b) within the sketch's guarantee vs exact answers, and
+    (c) stable under register sum-merge of data halves."""
+    from flink_realtime_dw4_0_spark.operators import text
+    from flink_realtime_dw4_0_spark.operators.profiling import (
+        countmin_estimate_df, countmin_registers,
+        histogram_quantile, histogram_quantiles_df, histogram_registers,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(text.tokenize("text")).alias("token"))
+    regs = countmin_registers(toks, "token")
+    probe = (docs.filter(F.col("doc_id") % 97 == 0)
+             .select(F.explode(text.tokenize("text")).alias("token")).distinct())
+    est = {r.key: r.est_count
+           for r in countmin_estimate_df(regs, probe).collect()}
+    true = {r.token: r.n for r in toks.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert est and all(est[k] >= true[k] for k in est)  # one-sided bound
+    # merge: registers from the two halves, summed, give identical estimates
+    h1 = countmin_registers(
+        toks.withColumn("__h", F.crc32(F.col("token")) % 2).filter("__h = 0").drop("__h"),
+        "token")
+    h2 = countmin_registers(
+        toks.withColumn("__h", F.crc32(F.col("token")) % 2).filter("__h = 1").drop("__h"),
+        "token")
+    merged = h1.unionByName(h2).groupBy("sketch_row", "pos").agg(
+        F.sum("cnt").alias("cnt"))
+    est_m = {r.key: r.est_count
+             for r in countmin_estimate_df(merged, probe).collect()}
+    assert est_m == est
+
+    orders = load_table(spark, sf_dir, "orders")
+    regs_h = histogram_registers(orders, "o_totalprice", ["o_orderpriority"], 20000.0)
+    dist = {(r.o_orderpriority, r.q): r.quantile
+            for r in histogram_quantiles_df(
+                regs_h, ["o_orderpriority"], 20000.0, [0.5, 0.9, 0.99]).collect()}
+    bins: dict = {}
+    for r in regs_h.collect():
+        bins.setdefault(r.o_orderpriority, []).append((r.bin, r.cnt))
+    for (grp, q), v in dist.items():
+        assert abs(v - round(histogram_quantile(bins[grp], 20000.0, q), 6)) < 1e-6
+    # within one bin width of the exact percentile
+    exact = {(r.o_orderpriority, q): r[f"p{int(q*100)}"]
+             for r in orders.groupBy("o_orderpriority").agg(
+                 *[F.expr(f"percentile(o_totalprice, {q})").alias(f"p{int(q*100)}")
+                   for q in (0.5, 0.9, 0.99)]).collect()
+             for q in (0.5, 0.9, 0.99)}
+    for key, v in dist.items():
+        assert abs(v - exact[key]) <= 20000.0, (key, v, exact[key])
+
+
 def test_substring_dup_profile_planted_passage(spark):
     """A passage shared verbatim between two otherwise-different docs must
     mark exactly its windows as duplicated in both docs; a unique doc

@@ -287,19 +287,21 @@ def countmin_estimate_df(
     across rows.  Integer arithmetic throughout (oracle-exact), always
     an over-estimate of the true count (collisions only add), and the
     join touches depth rows per probe key, never the corpus."""
-    probes = None
-    for i in range(depth):
-        pos = F.substring(
-            F.md5(F.concat(F.lit(f"{seed}{i}:"), F.col(key_col).cast("string"))),
-            1,
-            pos_hex,
-        )
-        sl = keys.select(
-            F.col(key_col).alias("key"),
+    rows = F.array(*[
+        F.struct(
             F.lit(i).alias("sketch_row"),
-            pos.alias("pos"),
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}{i}:"), F.col(key_col).cast("string"))),
+                1,
+                pos_hex,
+            ).alias("pos"),
         )
-        probes = sl if probes is None else probes.unionByName(sl)
+        for i in range(depth)
+    ])
+    # one pass over the probe plan (a union would re-evaluate it per row)
+    probes = keys.select(
+        F.col(key_col).alias("key"), F.explode(rows).alias("rp")
+    ).select("key", "rp.sketch_row", "rp.pos")
     joined = probes.join(registers, ["sketch_row", "pos"], "left")
     return joined.groupBy("key").agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est_count")
@@ -329,20 +331,29 @@ def histogram_quantiles_df(
     base = registers.withColumn("__cum", F.sum("cnt").over(w_cum)).withColumn(
         "__total", F.sum("cnt").over(w_all)
     )
-    out = None
-    for q in probs:
-        target = F.lit(float(q)) * F.col("__total")
-        hit = base.filter(
-            (F.col("__cum") >= target) & ((F.col("__cum") - F.col("cnt")) < target)
-        )
-        frac = (target - (F.col("__cum") - F.col("cnt"))) / F.col("cnt")
-        sl = hit.select(
+    # ONE cumsum pass for every requested prob: broadcast the tiny probs
+    # frame across the windowed registers (a per-prob union would run the
+    # partitionBy+orderBy window once per prob)
+    qs = registers.sparkSession.createDataFrame(
+        [(float(q),) for q in probs], "q double"
+    )
+    target = F.col("q") * F.col("__total")
+    return (
+        base.crossJoin(F.broadcast(qs))
+        .filter((F.col("__cum") >= target) & ((F.col("__cum") - F.col("cnt")) < target))
+        .select(
             *group_cols,
-            F.lit(float(q)).alias("q"),
-            F.round((F.col("bin") + frac) * F.lit(float(width)), 6).alias("quantile"),
+            "q",
+            F.round(
+                (
+                    F.col("bin")
+                    + (target - (F.col("__cum") - F.col("cnt"))) / F.col("cnt")
+                )
+                * F.lit(float(width)),
+                6,
+            ).alias("quantile"),
         )
-        out = sl if out is None else out.unionByName(sl)
-    return out
+    )
 
 
 def histogram_quantile(bins: list[tuple[int, int]], width: float, q: float) -> float:

@@ -814,42 +814,6 @@ def dedup_decontaminate_bloom_q(spark, sf_dir):
     return dedup.decontaminate_bloom(corpus, bench, min_overlap=5)
 
 
-@q(
-    "sketch_hll_registers",
-    """
-    WITH h AS (SELECT event_type, md5('hll:' || CAST(user_id AS VARCHAR)) AS hx
-               FROM events WHERE user_id IS NOT NULL),
-    t AS (SELECT event_type, substr(hx, 1, 2) AS register, substr(hx, 3, 6) AS tail FROM h),
-    r AS (SELECT event_type, register, tail,
-                 length(regexp_extract(tail, '^0*')) AS nz FROM t),
-    x AS (SELECT event_type, register,
-                 CASE WHEN nz = 6 THEN 25
-                      ELSE 4 * nz
-                           + CASE substr(tail, nz + 1, 1)
-                               WHEN '1' THEN 3
-                               WHEN '2' THEN 2 WHEN '3' THEN 2
-                               WHEN '4' THEN 1 WHEN '5' THEN 1
-                               WHEN '6' THEN 1 WHEN '7' THEN 1
-                               ELSE 0 END
-                           + 1 END AS rho
-          FROM r)
-    SELECT event_type, register, CAST(max(rho) AS BIGINT) AS max_rho
-    FROM x GROUP BY 1, 2
-    """,
-    tags=("sketch", "approx", "mergeable"),
-)
-def sketch_hll_registers_q(spark, sf_dir):
-    """HLL register table per event_type (m = 256) — the mergeable sketch
-    STATE, integer-exact and oracle-replayed (unlike the opaque
-    `approx_count_distinct` twin `sketch_hll_distinct`, which stays
-    rows-only).  Registers merge across any partitioning with max —
-    incremental cardinality without re-scans."""
-    from ..operators.profiling import hll_registers
-
-    ev = t(spark, sf_dir, "events")
-    return hll_registers(ev, "user_id", ["event_type"])
-
-
 _HLL_REG_FRAGMENT = """
     h AS (SELECT event_type, md5('hll:' || CAST(user_id AS VARCHAR)) AS hx
           FROM events WHERE user_id IS NOT NULL),
@@ -869,6 +833,26 @@ _HLL_REG_FRAGMENT = """
           FROM r0),
     reg AS (SELECT event_type, register, max(rho) AS max_rho FROM x GROUP BY 1, 2)
 """
+
+
+@q(
+    "sketch_hll_registers",
+    f"""
+    WITH {_HLL_REG_FRAGMENT}
+    SELECT event_type, register, CAST(max_rho AS BIGINT) AS max_rho FROM reg
+    """,
+    tags=("sketch", "approx", "mergeable"),
+)
+def sketch_hll_registers_q(spark, sf_dir):
+    """HLL register table per event_type (m = 256) — the mergeable sketch
+    STATE, integer-exact and oracle-replayed (unlike the opaque
+    `approx_count_distinct` twin `sketch_hll_distinct`, which stays
+    rows-only).  Registers merge across any partitioning with max —
+    incremental cardinality without re-scans."""
+    from ..operators.profiling import hll_registers
+
+    ev = t(spark, sf_dir, "events")
+    return hll_registers(ev, "user_id", ["event_type"])
 
 
 @q(

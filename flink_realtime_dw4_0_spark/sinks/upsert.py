@@ -270,22 +270,16 @@ class KeyedTable:
         man = self._load_manifest(version)
         if man is None:
             return spark.read.parquet(os.path.join(self.path, version))
-        paths = self._bucket_paths(man)
+        bucket_map = man["buckets"]
         if ttl_prune and self.ttl_horizon is not None and man.get("stats"):
             horizon = int(self.ttl_horizon)
             stats = man["stats"]
-            keep = {
-                b
-                for b in man["buckets"]
+            bucket_map = {
+                b: ver
+                for b, ver in bucket_map.items()
                 if b not in stats or stats[b]["max"] >= horizon
             }
-            paths = [
-                os.path.join(self.path, ver, f"__b={b}")
-                for b, ver in sorted(
-                    man["buckets"].items(), key=lambda kv: int(kv[0])
-                )
-                if b in keep
-            ]
+        paths = self._bucket_paths({"buckets": bucket_map})
         if not paths:
             return spark.createDataFrame(
                 [], StructType.fromJson(man["schema"])
@@ -403,9 +397,33 @@ class KeyedTable:
         # task writes a file per bucket (tasks x buckets small files per
         # version — observed 4x slower streaming merges); this bounds the
         # file count at n_buckets while keeping the write parallel
-        df.withColumn("__b", self._bucket_expr()).repartition(
-            self.n_buckets, "__b"
-        ).write.mode("overwrite").partitionBy("__b").parquet(vdir)
+        try:
+            df.withColumn("__b", self._bucket_expr()).repartition(
+                self.n_buckets, "__b"
+            ).write.mode("overwrite").partitionBy("__b").parquet(vdir)
+        except Exception as e:  # noqa: BLE001
+            # GC-under-reader conflict: a concurrent commit can supersede
+            # the snapshot THIS write is reading and garbage-collect its
+            # now-unreferenced version dirs mid-plan, surfacing as a
+            # FILE/PATH_NOT_FOUND task failure before the flip-time OCC
+            # check ever runs.  If CURRENT moved off our base, that IS a
+            # commit conflict — convert it so compact()/rescale()/merge()
+            # all fail with the same loud, retryable contract.
+            if (
+                expected_base is not False
+                and self._current_version() != expected_base
+                and any(
+                    tag in str(e)
+                    for tag in ("FILE_NOT_EXIST", "FileNotFound", "PATH_NOT_FOUND")
+                )
+            ):
+                shutil.rmtree(vdir, ignore_errors=True)
+                raise CommitConflictError(
+                    f"table {self.path}: snapshot {expected_base!r} was "
+                    "superseded (and partially garbage-collected) during "
+                    "this rewrite — re-read and retry"
+                ) from e
+            raise
         written = {
             d.split("=", 1)[1]
             for d in os.listdir(vdir)
@@ -726,9 +744,12 @@ class KeyedTable:
                 # concurrent readers should set keep_versions >= 2, the
                 # same retention lever Delta/Iceberg expose.)
                 moved = self._current_version() != base
-                if moved and (
-                    "FILE_NOT_EXIST" in str(e) or "FileNotFound" in str(e)
+                if moved and any(
+                    tag in str(e)
+                    for tag in ("FILE_NOT_EXIST", "FileNotFound", "PATH_NOT_FOUND")
                 ):
+                    # PATH_NOT_FOUND: the whole superseded version dir was
+                    # rmtree'd before our read even listed it
                     last = e
                 else:
                     raise
@@ -752,10 +773,13 @@ class KeyedTable:
     def compact(self, spark: SparkSession) -> None:
         """Eager physical cleanup: rewrite every bucket through the TTL
         filter (and drop inherited references), reclaiming expired rows'
-        bytes now instead of at the next touch of their bucket."""
+        bytes now instead of at the next touch of their bucket.  OCC:
+        the base is captured before the read, so a concurrent merge
+        landing mid-rewrite raises instead of being silently dropped."""
+        base = self._current_version()
         current = self.read(spark)
         if current is not None:
-            self._commit(current, inherit={})
+            self._commit(current, inherit={}, expected_base=base)
 
     def rescale(self, spark: SparkSession, n_buckets: int) -> None:
         """Re-bucket the table to ``n_buckets`` (one full rewrite); later
@@ -765,10 +789,11 @@ class KeyedTable:
         repartition performs."""
         if n_buckets < 1:
             raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+        base = self._current_version()  # OCC, as in compact()
         current = self.read(spark)
         self.n_buckets = int(n_buckets)
         if current is not None:
-            self._commit(current, inherit={})
+            self._commit(current, inherit={}, expected_base=base)
 
     def maybe_rescale(
         self, spark: SparkSession, max_rows_per_bucket: int = 1_000_000

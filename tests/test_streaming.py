@@ -1771,6 +1771,41 @@ def test_streaming_psi_drift_monitor(spark, tmp_path):
     assert state[0] == 20 and state[3] == 80
 
 
+def test_streaming_histogram_quantile_monitoring(spark, tmp_path):
+    """Incremental percentile monitoring: per-batch histogram registers
+    sum-merge into KeyedTable state (StreamingSketchMerge), and the
+    distributed quantile estimator over the CUMULATIVE registers equals
+    a direct batch estimate over all events seen so far — percentiles
+    without re-scanning history, O(bins) state."""
+    from flink_realtime_dw4_0_spark.operators.profiling import (
+        histogram_quantiles_df, histogram_registers,
+    )
+    from flink_realtime_dw4_0_spark.streaming.sketches import StreamingSketchMerge
+
+    def batch(vals):
+        return spark.createDataFrame([("g", float(v)) for v in vals],
+                                     "grp string, v double")
+
+    mon = StreamingSketchMerge(str(tmp_path / "hq"), ["grp", "bin"], "cnt", "sum")
+    seen: list[float] = []
+    batches = [
+        [5, 8, 12, 15, 22, 30, 31],
+        [2, 2, 40, 44, 48],           # tail mass shifts the p90 up
+        [60, 61, 62, 63, 64, 65, 90],
+    ]
+    for vals in batches:
+        seen += vals
+        mon.process_batch(histogram_registers(batch(vals), "v", ["grp"], 10.0), spark)
+        got = {r.q: r.quantile for r in histogram_quantiles_df(
+            mon.read(spark), ["grp"], 10.0, [0.5, 0.9]).collect()}
+        want = {r.q: r.quantile for r in histogram_quantiles_df(
+            histogram_registers(batch(seen), "v", ["grp"], 10.0),
+            ["grp"], 10.0, [0.5, 0.9]).collect()}
+        assert got == want, (got, want)
+    # the monitored p90 actually moved with the tail mass
+    assert got[0.9] > 60.0
+
+
 def test_streaming_cep_match_and_timeout(spark, tmp_path):
     """Streaming CEP with event-time timeout (Flink Pattern...within
     parity): a view→click→purchase chain inside the window emits a
@@ -2489,6 +2524,50 @@ def test_keyed_table_zone_map_pruning(spark, tmp_path):
     # stats are honest after the merge (ttl filter result matches)
     tb.set_ttl_horizon(950)
     assert {r.k for r in tb.read(spark).collect()} == {some_k}
+
+
+def test_keyed_table_compact_rescale_occ(spark, tmp_path):
+    """Maintenance rewrites participate in optimistic concurrency too: a
+    merge landing while compact()/rescale() rebuilds the table raises a
+    conflict instead of being silently dropped by the full rewrite (the
+    r5 second-review finding — OCC held merge-vs-merge but not
+    maintenance-vs-merge)."""
+    from flink_realtime_dw4_0_spark.sinks.upsert import CommitConflictError
+
+    path = str(tmp_path / "occm")
+    t1 = KeyedTable(path, keys=["k"])
+    t2 = KeyedTable(path, keys=["k"])
+    d = lambda rows: spark.createDataFrame(rows, "k string, v long, ts long")  # noqa: E731
+    t1.merge(spark, d([(f"k{i}", i, 100) for i in range(30)]))
+
+    orig_commit = KeyedTable._commit
+
+    def racing_commit(self, df, inherit, flip=True, expected_base=False):
+        if self is t1 and not getattr(racing_commit, "fired", False):
+            racing_commit.fired = True
+            t2.merge(spark, d([("k1", 999, 200)]))  # lands mid-compact
+        return orig_commit(self, df, inherit, flip, expected_base)
+
+    t1.set_ttl_horizon(50)
+    KeyedTable._commit = racing_commit
+    try:
+        with pytest.raises(CommitConflictError):
+            t1.compact(spark)
+    finally:
+        KeyedTable._commit = orig_commit
+    # the concurrent merge survived
+    got = {r.k: r.v for r in KeyedTable(path, keys=["k"]).read(spark).collect()}
+    assert got["k1"] == 999 and len(got) == 30
+
+    racing_commit.fired = False
+    KeyedTable._commit = racing_commit
+    try:
+        with pytest.raises(CommitConflictError):
+            t1.rescale(spark, 32)
+    finally:
+        KeyedTable._commit = orig_commit
+    got2 = {r.k: r.v for r in KeyedTable(path, keys=["k"]).read(spark).collect()}
+    assert got2["k1"] == 999 and len(got2) == 30
 
 
 def test_keyed_table_merge_with_retry_multi_writer(spark, tmp_path):

@@ -437,6 +437,12 @@ class KeyedTable:
         # buckets copy the stats of the snapshot they are inherited from.
         # read() uses these to SKIP wholly-expired buckets (data
         # skipping); absence of a bucket's entry just means no pruning.
+        # Honest scope note: buckets are HASH-partitioned, so fresh keys
+        # land everywhere and a hot table's per-bucket max tracks the
+        # global max — pruning fires mainly for idle/cold tables (whole
+        # buckets aged out together) and dimension snapshots, unlike
+        # Delta/Iceberg where files are write-time-correlated and stats
+        # prune hot tables too.  Correct always, profitable when cold.
         base_v = (
             expected_base
             if isinstance(expected_base, str)

@@ -393,6 +393,18 @@ class KeyedTable:
         v = f"v_{uuid.uuid4().hex[:12]}"
         vdir = os.path.join(self.path, v)
         schema_json = df.schema.jsonValue()
+        # _INPROGRESS marker BEFORE the write: an in-flight version dir
+        # is referenced by no manifest yet, so a CONCURRENT writer's GC
+        # would otherwise rmtree it mid-write (observed as chmod-on-
+        # -_temporary task failures under two threads).  GC skips marked
+        # dirs until the marker ages out (crash orphans still die); the
+        # marker is removed once the manifest exists.  The write uses
+        # append mode into the freshly-created dir so Spark's overwrite
+        # cleanup cannot delete the marker.
+        os.makedirs(vdir, exist_ok=True)
+        marker = os.path.join(vdir, "_INPROGRESS")
+        with open(marker, "w") as fh:
+            fh.write(str(int(time.time())))
         # repartition on the bucket id BEFORE partitionBy: otherwise every
         # task writes a file per bucket (tasks x buckets small files per
         # version — observed 4x slower streaming merges); this bounds the
@@ -400,7 +412,7 @@ class KeyedTable:
         try:
             df.withColumn("__b", self._bucket_expr()).repartition(
                 self.n_buckets, "__b"
-            ).write.mode("overwrite").partitionBy("__b").parquet(vdir)
+            ).write.mode("append").partitionBy("__b").parquet(vdir)
         except Exception as e:  # noqa: BLE001
             # GC-under-reader conflict: a concurrent commit can supersede
             # the snapshot THIS write is reading and garbage-collect its
@@ -473,6 +485,10 @@ class KeyedTable:
         with open(tmp_m, "w") as fh:
             json.dump(man, fh)
         os.replace(tmp_m, self._manifest_path(v))
+        # manifest on disk: the dir is now a self-describing snapshot and
+        # (once flipped/journaled) manifest-referenced — drop the marker
+        if os.path.exists(marker):
+            os.remove(marker)
         if not flip:
             # STAGED (uncommitted) version: full data + manifest on disk,
             # CURRENT/HISTORY untouched (invisible to readers).  The
@@ -524,18 +540,25 @@ class KeyedTable:
                 referenced.update(r_man["buckets"].values())
         for d in os.listdir(self.path):
             if d.startswith("v_") and d not in referenced:
-                sentinel = os.path.join(self.path, d, "_STAGED")
-                try:
-                    if (
-                        os.path.exists(sentinel)
-                        and time.time() - os.path.getmtime(sentinel)
-                        < self.staged_protect_s
-                    ):
-                        # freshly staged for a cross-table publish whose
-                        # intent journal may not exist yet — must survive
-                        continue
-                except OSError:
-                    pass  # sentinel vanished underneath us: plain orphan
+                protected = False
+                for mark in ("_STAGED", "_INPROGRESS"):
+                    f = os.path.join(self.path, d, mark)
+                    try:
+                        if (
+                            os.path.exists(f)
+                            and time.time() - os.path.getmtime(f)
+                            < self.staged_protect_s
+                        ):
+                            # staged for a cross-table publish, or a
+                            # CONCURRENT writer's in-flight version dir —
+                            # either way not ours to delete (crash
+                            # orphans age out and die at a later commit)
+                            protected = True
+                            break
+                    except OSError:
+                        pass  # marker vanished underneath us: plain orphan
+                if protected:
+                    continue
                 shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
         # compact HISTORY to the retained tail so per-merge metadata cost
         # stays O(keep_versions), not O(total merges ever)

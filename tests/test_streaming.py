@@ -2526,6 +2526,37 @@ def test_keyed_table_zone_map_pruning(spark, tmp_path):
     assert {r.k for r in tb.read(spark).collect()} == {some_k}
 
 
+def test_keyed_table_threaded_writers_all_land(spark, tmp_path):
+    """REAL concurrency (not a monkeypatched interleave): two threads
+    each push 4 disjoint-key batches through merge_with_retry against
+    one table.  Whatever the interleaving, every batch lands exactly
+    once — conflicts resolve by re-read + re-merge, never lost updates."""
+    import threading
+
+    path = str(tmp_path / "thr")
+    d = lambda rows: spark.createDataFrame(rows, "k string, v long")  # noqa: E731
+    KeyedTable(path, keys=["k"]).merge(spark, d([("seed", 0)]))
+    errors: list = []
+
+    def writer(tag: str):
+        try:
+            table = KeyedTable(path, keys=["k"])
+            for i in range(4):
+                table.merge_with_retry(
+                    spark, d([(f"{tag}{i}", i)]), max_retries=20)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in ("a", "b")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    got = {r.k for r in KeyedTable(path, keys=["k"]).read(spark).collect()}
+    assert got == {"seed"} | {f"{t}{i}" for t in ("a", "b") for i in range(4)}
+
+
 def test_keyed_table_compact_rescale_occ(spark, tmp_path):
     """Maintenance rewrites participate in optimistic concurrency too: a
     merge landing while compact()/rescale() rebuilds the table raises a

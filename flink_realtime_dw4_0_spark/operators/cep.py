@@ -155,10 +155,18 @@ def match_pattern(
     ts: str = "ts",
     seq: str = "event_id",
     max_anchors_per_key: int | None = None,
+    emit: str = "first",
 ) -> DataFrame:
     """The rest of the Flink CEP pattern surface, declaratively: strict
     contiguity (``next``), fixed quantifiers (``times(n)``), and negation
     (``notFollowedBy``) on top of ``match_sequence``'s relaxed chains.
+
+    ``emit="first"`` (default) keeps one row per key — the earliest
+    surviving anchor, like ``match_sequence``.  ``emit="all"`` keeps
+    EVERY surviving anchor's chain (one row per completed anchor) —
+    Flink's NO_SKIP after-match strategy, where overlapping matches all
+    emit; this is the batch twin of the streaming matcher's
+    multi-anchor mode.
 
     ``pattern`` is a list of step dicts::
 
@@ -248,6 +256,10 @@ def match_pattern(
                 F.col("__n_ts") <= F.col(anchor_ts) + F.expr(f"INTERVAL {within}")
             )
         chain = chain.join(neg, on=(chain[key] == neg[key]) & cond, how="left_anti")
+    if emit == "all":
+        return chain.select(key, *[t for t, _ in bound])
+    if emit != "first":
+        raise ValueError(f"emit must be 'first' or 'all', got {emit!r}")
     w_first = Window.partitionBy(key).orderBy(bound[0][1])
     return (
         chain.withColumn("__pick", F.row_number().over(w_first))

@@ -213,6 +213,150 @@ def pattern_matcher_fn(
     return fn
 
 
+def pattern_matcher_all_fn(
+    n_steps: int,
+    strict: list[bool],
+    neg_before: dict[int, list[int]],
+    terminal_bits: list[int],
+    within_ms: int,
+    max_active_anchors: int = 16,
+):
+    """Multi-anchor (Flink NO_SKIP) keyed state function: EVERY step-1
+    event opens its own partial match and all partials advance
+    independently over the sealed, event-time-ordered stream — so a
+    failed earlier anchor can no longer hide a later overlapping one
+    (the single-anchor machine's one documented divergence).  State is
+    the partial list, flattened as [prog, t0..t_{prog-1}] groups, capped
+    at ``max_active_anchors`` EARLIEST live partials (hot-key bound, the
+    streaming analog of match_pattern's max_anchors_per_key); plus the
+    usual unsealed buffer and terminal-negation holds.  Every anchor
+    resolves as its own match/timeout row (or dies silently to a
+    negation/strict break, as in Flink's discarded partials)."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        k = key[0]
+        wm = state.getCurrentWatermarkMs()
+
+        partials: list[list[int]] = []  # each: [prog, t0..t_{prog-1}]
+        if state.exists:
+            packed, buf, hold_flat = state.get
+            i = 0
+            while i < len(packed):
+                prog = int(packed[i])
+                partials.append([prog] + [int(x) for x in packed[i + 1 : i + 1 + prog]])
+                i += 1 + prog
+            buffer = [
+                (int(buf[j]), int(buf[j + 1]), int(buf[j + 2]))
+                for j in range(0, len(buf), 3)
+            ]
+            g = n_steps + 1
+            holds = [
+                [int(x) for x in hold_flat[j : j + g]]
+                for j in range(0, len(hold_flat), g)
+            ]
+        else:
+            buffer, holds = [], []
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                for ts_v, eid, mask in zip(
+                    pdf["ts"].astype("int64"),
+                    pdf["event_id"].astype("int64"),
+                    pdf["step_mask"].astype("int64"),
+                ):
+                    if int(ts_v) > wm:
+                        buffer.append((int(ts_v), int(eid), int(mask)))
+
+        buffer.sort()
+        sealed = [e for e in buffer if e[0] <= wm]
+        buffer = [e for e in buffer if e[0] > wm]
+
+        out_key, out_status, out_anchor, out_steps = [], [], [], []
+
+        def emit(status: str, steps: list[int]) -> None:
+            out_key.append(k)
+            out_status.append(status)
+            out_anchor.append(steps[0])
+            out_steps.append(list(steps))
+
+        def release_holds(now_ms: int) -> None:
+            nonlocal holds
+            due = [h for h in holds if now_ms > h[-1]]
+            holds = [h for h in holds if now_ms <= h[-1]]
+            for h in due:
+                emit("match", h[:-1])
+
+        for ts_v, _eid, mask in sealed:
+            release_holds(ts_v - 1)
+            if holds and any((mask >> b) & 1 for b in terminal_bits):
+                holds = [h for h in holds if ts_v > h[-1]]
+            survivors: list[list[int]] = []
+            for p in partials:
+                prog, bound = p[0], p[1:]
+                if ts_v > bound[0] + within_ms:
+                    emit("timeout", bound)
+                    continue
+                if (mask >> prog) & 1:  # bind wins over negation
+                    bound = bound + [ts_v]
+                    prog += 1
+                    if prog == n_steps:
+                        if bound[-1] - bound[0] <= within_ms:
+                            if terminal_bits:
+                                holds.append(bound + [bound[0] + within_ms])
+                            else:
+                                emit("match", bound)
+                        continue  # completed; NO_SKIP: others carry on
+                    survivors.append([prog] + bound)
+                elif any((mask >> b) & 1 for b in neg_before.get(prog, ())):
+                    continue  # negation kill: silent, like Flink
+                elif strict[prog]:
+                    continue  # strict break: silent
+                else:
+                    survivors.append(p)
+            partials = survivors
+            # the SAME event may also open its own anchor (after it was
+            # offered to every existing partial — batch parity: chains
+            # bind strictly-later positions only)
+            if mask & 1 and len(partials) < max_active_anchors:
+                partials.append([1, ts_v])
+
+        release_holds(wm)
+        alive: list[list[int]] = []
+        for p in partials:
+            if wm > p[1] + within_ms:
+                emit("timeout", p[1:])
+            else:
+                alive.append(p)
+        partials = alive
+
+        if partials or buffer or holds:
+            state.update((
+                [x for p in partials for x in p],
+                [x for e in buffer for x in e],
+                [x for h in holds for x in h],
+            ))
+            deadlines = [p[1] + within_ms + 1 for p in partials]
+            if buffer:
+                deadlines.append(buffer[0][0])
+            deadlines.extend(h[-1] + 1 for h in holds)
+            state.setTimeoutTimestamp(max(min(deadlines), wm + 1))
+        elif state.exists:
+            state.remove()
+        if out_key:
+            yield pd.DataFrame(
+                {
+                    "key": out_key,
+                    "status": out_status,
+                    "anchor_ts": out_anchor,
+                    "step_ts": out_steps,
+                }
+            )
+
+    return fn
+
+
 def match_pattern_stream(
     events: DataFrame,
     pattern: list[dict],
@@ -222,12 +366,21 @@ def match_pattern_stream(
     ts: str = "ts",
     watermark: str = "10 seconds",
     event_id: str | None = None,
+    mode: str = "single",
+    max_active_anchors: int = 16,
 ) -> DataFrame:
     """Streaming full-pattern matcher: the same ``pattern`` dicts as
     ``operators.cep.match_pattern`` over a watermarked stream.  Returns
     (key, status, anchor_ts, step_ts) where ``step_ts`` carries one
     bound event time per unrolled positive step; negation kills emit
-    nothing and terminal negations defer the match to the watermark."""
+    nothing and terminal negations defer the match to the watermark.
+
+    ``mode="single"`` (default) runs one pending anchor at a time — the
+    lean k-longs machine, with the documented overlapping-anchor
+    divergence.  ``mode="all"`` runs the multi-anchor NO_SKIP machine:
+    every step-1 event opens its own partial (capped at
+    ``max_active_anchors`` earliest live partials per key), matching
+    Flink's NFA and the batch twin's ``emit="all"`` exactly."""
     import re
 
     if within is None:
@@ -276,8 +429,19 @@ def match_pattern_stream(
     if not any(strict):
         # relaxed-only: non-participating events can't affect the match
         src = src.filter(F.col("step_mask") != 0)
+    if mode == "all":
+        matcher = pattern_matcher_all_fn(
+            n_steps, strict, neg_before, terminal_bits, within_ms,
+            max_active_anchors=max_active_anchors,
+        )
+    elif mode == "single":
+        matcher = pattern_matcher_fn(
+            n_steps, strict, neg_before, terminal_bits, within_ms
+        )
+    else:
+        raise ValueError(f"mode must be 'single' or 'all', got {mode!r}")
     return src.groupBy("key").applyInPandasWithState(
-        pattern_matcher_fn(n_steps, strict, neg_before, terminal_bits, within_ms),
+        matcher,
         outputStructType=_out_schema(),
         stateStructType=_STATE,
         outputMode="append",

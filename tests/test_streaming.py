@@ -2119,6 +2119,88 @@ def test_streaming_pattern_equal_ts_and_bind_over_negation(spark, tmp_path):
     assert {"e1", "e2"} <= twin and "e3" not in twin
 
 
+def test_streaming_pattern_multi_anchor_no_skip(spark, tmp_path):
+    """mode='all' closes the single-anchor machine's one documented
+    divergence: a failed earlier anchor can no longer hide a later
+    overlapping one.  A@1's chain overruns `within` while A@30's chain
+    completes inside it — single-anchor times out and misses; the
+    multi-anchor NO_SKIP machine emits A@30's match, equal to the batch
+    twin's emit='all', under shuffled cross-batch arrival."""
+    import json
+
+    from flink_realtime_dw4_0_spark.operators.cep import match_pattern
+    from flink_realtime_dw4_0_spark.streaming.cep_pattern import match_pattern_stream
+
+    base = 1_700_000_000_000
+    SEC = 1_000
+    evs = [("A", 1), ("B", 2), ("A", 30), ("B", 31), ("C", 70)]
+    rows = [{"user_id": "m1", "ts": base + s * SEC, "event_id": s,
+             "event_type": e} for e, s in evs]
+    b1 = [r for r in rows if r["ts"] >= base + 30 * SEC]  # later half first
+    b2 = [r for r in rows if r["ts"] < base + 30 * SEC]
+    b3 = [{"user_id": "m9", "ts": base + 900_000, "event_id": 99,
+           "event_type": "A"}]  # sentinel carries bit 0 (see module note)
+    src = tmp_path / "multi_src"
+    src.mkdir()
+    for i, (name, rs) in enumerate((("a.json", b1), ("b.json", b2), ("c.json", b3))):
+        with open(src / name, "w") as fh:
+            for r in rs:
+                fh.write(json.dumps(r) + "\n")
+        os.utime(src / name, (1_000_000 + 10 * i, 1_000_000 + 10 * i))
+
+    pat = [
+        {"name": "a", "where": F.col("event_type") == "A"},
+        {"name": "b", "where": F.col("event_type") == "B"},
+        {"name": "c", "where": F.col("event_type") == "C"},
+    ]
+
+    def run(mode, qname):
+        stream = spark.readStream.schema(
+            "user_id string, ts long, event_id long, event_type string"
+        ).option("maxFilesPerTrigger", 1).json(str(src))
+        # watermark delay must cover the cross-batch shuffle span (~70 s)
+        # or the earlier half correctly drops as late data
+        out = match_pattern_stream(
+            stream, pat, within="1 minute", watermark="2 minutes",
+            event_id="event_id", mode=mode,
+        )
+        q = (
+            out.writeStream.format("memory").queryName(qname)
+            .option("checkpointLocation", str(tmp_path / f"{qname}_ck"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        return [(r.key, r.status, list(r.step_ts))
+                for r in spark.sql(f"SELECT * FROM {qname}").collect()]
+
+    all_rows = run("all", "multi_out")
+    matches = {tuple(st) for k, s, st in all_rows if k == "m1" and s == "match"}
+    # A@30's overlapping chain found, A@1's resolved as timeout
+    assert matches == {(base + 30 * SEC, base + 31 * SEC, base + 70 * SEC)}
+    assert any(k == "m1" and s == "timeout" and st[0] == base + 1 * SEC
+               for k, s, st in all_rows)
+
+    single_rows = run("single", "single_out")
+    assert not any(k == "m1" and s == "match" for k, s, _ in single_rows)
+
+    # batch twin emit='all' agrees on the surviving chains
+    bdf = spark.createDataFrame(
+        [(r["user_id"], r["ts"], r["event_id"], r["event_type"])
+         for r in rows + b3],
+        "user_id string, ts_ms long, event_id long, event_type string",
+    ).withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+    twin = {
+        (r.user_id, r.a_ts, r.b_ts, r.c_ts)
+        for r in match_pattern(bdf, pat, within="1 minute", emit="all")
+        .select("user_id", *[F.unix_millis(c).alias(c) for c in ("a_ts", "b_ts", "c_ts")])
+        .collect() if r.user_id == "m1"
+    }
+    assert {(u, a, b, c) for (u, a, b, c) in twin} == {
+        ("m1", base + 30 * SEC, base + 31 * SEC, base + 70 * SEC)}
+
+
 def test_pattern_validation_shared_between_batch_and_stream(spark):
     """Both engines reject the same invalid shapes with the same error
     (the normalization is one shared function, so they cannot drift):

@@ -203,6 +203,8 @@ def match_pattern(
     if pattern and pattern[-1].get("negated") and within is None:
         raise ValueError("a terminal notFollowedBy requires `within` "
                          "(Flink has the same restriction)")
+    if emit not in ("first", "all"):
+        raise ValueError(f"emit must be 'first' or 'all', got {emit!r}")
     positives, negations = unroll_pattern(pattern)
 
     w_rn = Window.partitionBy(key).orderBy(ts, seq)
@@ -258,8 +260,6 @@ def match_pattern(
         chain = chain.join(neg, on=(chain[key] == neg[key]) & cond, how="left_anti")
     if emit == "all":
         return chain.select(key, *[t for t, _ in bound])
-    if emit != "first":
-        raise ValueError(f"emit must be 'first' or 'all', got {emit!r}")
     w_first = Window.partitionBy(key).orderBy(bound[0][1])
     return (
         chain.withColumn("__pick", F.row_number().over(w_first))

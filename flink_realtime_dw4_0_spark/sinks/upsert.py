@@ -392,19 +392,25 @@ class KeyedTable:
         os.makedirs(self.path, exist_ok=True)
         v = f"v_{uuid.uuid4().hex[:12]}"
         vdir = os.path.join(self.path, v)
-        schema_json = df.schema.jsonValue()
-        # _INPROGRESS marker BEFORE the write: an in-flight version dir
-        # is referenced by no manifest yet, so a CONCURRENT writer's GC
-        # would otherwise rmtree it mid-write (observed as chmod-on-
-        # -_temporary task failures under two threads).  GC skips marked
-        # dirs until the marker ages out (crash orphans still die); the
-        # marker is removed once the manifest exists.  The write uses
-        # append mode into the freshly-created dir so Spark's overwrite
-        # cleanup cannot delete the marker.
-        os.makedirs(vdir, exist_ok=True)
-        marker = os.path.join(vdir, "_INPROGRESS")
-        with open(marker, "w") as fh:
+        # In-flight protection against a CONCURRENT writer's GC (an
+        # in-progress version dir is referenced by no manifest yet;
+        # observed as chmod-on-_temporary task failures under two
+        # threads).  The dir is BUILT under a tmp_ name GC never looks
+        # at — so there is no window where an unreferenced, unmarked
+        # v_* dir is visible — with an _INPROGRESS marker inside from
+        # birth, and atomically renamed to its v_* name only when fully
+        # built (parquet + manifest).  The marker keeps protecting the
+        # renamed dir until it is actually REFERENCED (CURRENT flip /
+        # HISTORY, or the _STAGED sentinel for transactions); stale
+        # tmp_ dirs and markers age out, so crash orphans still die.
+        # The write uses append mode into the freshly-created dir so
+        # Spark's overwrite cleanup cannot delete the marker.
+        build_dir = os.path.join(self.path, f"tmp_{v}")
+        os.makedirs(build_dir, exist_ok=True)
+        marker_name = "_INPROGRESS"
+        with open(os.path.join(build_dir, marker_name), "w") as fh:
             fh.write(str(int(time.time())))
+        schema_json = df.schema.jsonValue()
         # repartition on the bucket id BEFORE partitionBy: otherwise every
         # task writes a file per bucket (tasks x buckets small files per
         # version — observed 4x slower streaming merges); this bounds the
@@ -412,7 +418,7 @@ class KeyedTable:
         try:
             df.withColumn("__b", self._bucket_expr()).repartition(
                 self.n_buckets, "__b"
-            ).write.mode("append").partitionBy("__b").parquet(vdir)
+            ).write.mode("append").partitionBy("__b").parquet(build_dir)
         except Exception as e:  # noqa: BLE001
             # GC-under-reader conflict: a concurrent commit can supersede
             # the snapshot THIS write is reading and garbage-collect its
@@ -429,7 +435,7 @@ class KeyedTable:
                     for tag in ("FILE_NOT_EXIST", "FileNotFound", "PATH_NOT_FOUND")
                 )
             ):
-                shutil.rmtree(vdir, ignore_errors=True)
+                shutil.rmtree(build_dir, ignore_errors=True)
                 raise CommitConflictError(
                     f"table {self.path}: snapshot {expected_base!r} was "
                     "superseded (and partially garbage-collected) during "
@@ -438,7 +444,7 @@ class KeyedTable:
             raise
         written = {
             d.split("=", 1)[1]
-            for d in os.listdir(vdir)
+            for d in os.listdir(build_dir)
             if d.startswith("__b=")
         }
         buckets = dict(inherit)
@@ -468,7 +474,7 @@ class KeyedTable:
         stats = {}
         for b in buckets:
             if b in written:
-                st = self._footer_stats(os.path.join(vdir, f"__b={b}"))
+                st = self._footer_stats(os.path.join(build_dir, f"__b={b}"))
                 if st is not None:
                     stats[b] = st
             elif b in prev_stats:
@@ -481,14 +487,8 @@ class KeyedTable:
             # time (staged versions are flipped later by sinks/txn.py,
             # which reads it back from here)
             man["base"] = expected_base
-        tmp_m = self._manifest_path(v) + ".tmp"
-        with open(tmp_m, "w") as fh:
+        with open(os.path.join(build_dir, "MANIFEST.json"), "w") as fh:
             json.dump(man, fh)
-        os.replace(tmp_m, self._manifest_path(v))
-        # manifest on disk: the dir is now a self-describing snapshot and
-        # (once flipped/journaled) manifest-referenced — drop the marker
-        if os.path.exists(marker):
-            os.remove(marker)
         if not flip:
             # STAGED (uncommitted) version: full data + manifest on disk,
             # CURRENT/HISTORY untouched (invisible to readers).  The
@@ -500,10 +500,14 @@ class KeyedTable:
             # `staged_protect_s`; abandoned stages age out and die at a
             # later commit.  (Spark's parquet reader ignores '_'-prefixed
             # files, so the sentinel never pollutes reads.)
-            with open(os.path.join(vdir, "_STAGED"), "w") as fh:
+            with open(os.path.join(build_dir, "_STAGED"), "w") as fh:
                 fh.write(str(int(time.time())))
+            os.remove(os.path.join(build_dir, marker_name))
+            os.rename(build_dir, vdir)  # first GC-visible state: sentinel'd
             return v
+        os.rename(build_dir, vdir)  # first GC-visible state: marker'd
         if self._pending_txn_version() is not None:
+            shutil.rmtree(vdir, ignore_errors=True)
             raise RuntimeError(
                 f"table {self.path} has a pending cross-table transaction "
                 "(TXN_INTENT in the warehouse root) — run TableTxn.recover() "
@@ -530,6 +534,11 @@ class KeyedTable:
         os.replace(tmp, self._current_file())
         with open(self._history_file(), "a") as fh:
             fh.write(v + "\n")
+        # the dir is CURRENT now (referenced) — protection no longer needed
+        try:
+            os.remove(os.path.join(vdir, marker_name))
+        except OSError:
+            pass
         retained_list = self._history()[-self.keep_versions:]
         # a version dir stays on disk while ANY retained manifest points a
         # bucket at it (untouched buckets are inherited across versions)
@@ -560,6 +569,20 @@ class KeyedTable:
                 if protected:
                     continue
                 shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+            elif d.startswith("tmp_v_"):
+                # crashed build dirs: invisible to readers, reclaimed once
+                # their marker (or the dir itself) ages past the grace
+                try:
+                    if (
+                        time.time()
+                        - os.path.getmtime(os.path.join(self.path, d))
+                        > self.staged_protect_s
+                    ):
+                        shutil.rmtree(
+                            os.path.join(self.path, d), ignore_errors=True
+                        )
+                except OSError:
+                    pass
         # compact HISTORY to the retained tail so per-merge metadata cost
         # stays O(keep_versions), not O(total merges ever)
         tmp_h = f"{self._history_file()}.tmp_{v}"

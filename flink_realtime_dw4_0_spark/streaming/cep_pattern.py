@@ -67,6 +67,104 @@ _STATE = StructType(
 )
 
 
+def _unpack_common(state: GroupState, n_steps: int):
+    """Shared state plumbing for both matcher machines: returns
+    (packed, buffer, holds) with buffer as (ts, eid, mask) triplets and
+    holds as [t0..t_{n_steps-1}, deadline] groups; packed stays raw for
+    the machine-specific interpretation."""
+    if not state.exists:
+        return [], [], []
+    packed, buf, hold_flat = state.get
+    buffer = [
+        (int(buf[i]), int(buf[i + 1]), int(buf[i + 2]))
+        for i in range(0, len(buf), 3)
+    ]
+    g = n_steps + 1
+    holds = [
+        [int(x) for x in hold_flat[i : i + g]]
+        for i in range(0, len(hold_flat), g)
+    ]
+    return [int(x) for x in packed], buffer, holds
+
+
+def _ingest_and_seal(state: GroupState, pdfs, wm: int, buffer: list):
+    """Append on-time events from this invocation (late-beyond-watermark
+    rows drop, like Flink), then split the buffer into the sealed prefix
+    (ts <= wm, consumed now in (ts, event_id) order) and the still-open
+    remainder."""
+    if not state.hasTimedOut:
+        for pdf in pdfs:
+            for ts_v, eid, mask in zip(
+                pdf["ts"].astype("int64"),
+                pdf["event_id"].astype("int64"),
+                pdf["step_mask"].astype("int64"),
+            ):
+                if int(ts_v) > wm:
+                    buffer.append((int(ts_v), int(eid), int(mask)))
+    buffer.sort()
+    sealed = [e for e in buffer if e[0] <= wm]
+    return sealed, [e for e in buffer if e[0] > wm]
+
+
+class _Out:
+    """Emission accumulator shared by both machines: collects resolution
+    rows and manages terminal-negation holds (release on deadline pass,
+    discard on an in-window negation event)."""
+
+    def __init__(self, key: str, holds: list):
+        self.key = key
+        self.holds = holds
+        self.rows: list[tuple[str, int, list[int]]] = []
+
+    def emit(self, status: str, steps: list) -> None:
+        self.rows.append((status, int(steps[0]), [int(t) for t in steps]))
+
+    def release_holds(self, now_ms: int) -> None:
+        due = [h for h in self.holds if now_ms > h[-1]]
+        self.holds = [h for h in self.holds if now_ms <= h[-1]]
+        for h in due:
+            self.emit("match", h[:-1])
+
+    def kill_holds(self, ts_v: int, mask: int, terminal_bits: list) -> None:
+        if self.holds and any((mask >> b) & 1 for b in terminal_bits):
+            self.holds = [h for h in self.holds if ts_v > h[-1]]
+
+    def to_pdf(self):
+        if not self.rows:
+            return None
+        return pd.DataFrame(
+            {
+                "key": [self.key] * len(self.rows),
+                "status": [r[0] for r in self.rows],
+                "anchor_ts": [r[1] for r in self.rows],
+                "step_ts": [r[2] for r in self.rows],
+            }
+        )
+
+
+def _finalize(
+    state: GroupState, wm: int, packed: list, buffer: list, holds: list,
+    anchor_deadlines: list,
+) -> None:
+    """Shared save/timer/cleanup: persist (packed, buffer, holds) if any
+    survive, arm the event-time timer at the earliest pending deadline
+    (anchor windows, earliest unsealed event, hold releases), clamped
+    above the watermark; remove state when nothing remains."""
+    if packed or buffer or holds:
+        state.update((
+            packed,
+            [x for e in buffer for x in e],
+            [x for h in holds for x in h],
+        ))
+        deadlines = list(anchor_deadlines)
+        if buffer:
+            deadlines.append(buffer[0][0])
+        deadlines.extend(h[-1] + 1 for h in holds)
+        state.setTimeoutTimestamp(max(min(deadlines), wm + 1))
+    elif state.exists:
+        state.remove()
+
+
 def pattern_matcher_fn(
     n_steps: int,
     strict: list[bool],
@@ -84,54 +182,12 @@ def pattern_matcher_fn(
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        k = key[0]
         wm = state.getCurrentWatermarkMs()
-
-        if state.exists:
-            packed, buf, hold_flat = state.get
-            prog = int(packed[0])
-            bound = [int(t) for t in packed[1:]]
-            buffer = [
-                (int(buf[i]), int(buf[i + 1]), int(buf[i + 2]))
-                for i in range(0, len(buf), 3)
-            ]
-            g = n_steps + 1  # bound ts per step + deadline
-            holds = [
-                [int(x) for x in hold_flat[i : i + g]]
-                for i in range(0, len(hold_flat), g)
-            ]
-        else:
-            prog, bound, buffer, holds = 0, [], [], []
-
-        if not state.hasTimedOut:
-            for pdf in pdfs:
-                for ts_v, eid, mask in zip(
-                    pdf["ts"].astype("int64"),
-                    pdf["event_id"].astype("int64"),
-                    pdf["step_mask"].astype("int64"),
-                ):
-                    if int(ts_v) > wm:
-                        buffer.append((int(ts_v), int(eid), int(mask)))
-
-        buffer.sort()
-        sealed = [e for e in buffer if e[0] <= wm]
-        buffer = [e for e in buffer if e[0] > wm]
-
-        out_key, out_status, out_anchor, out_steps = [], [], [], []
-
-        def emit(status: str, steps: list[int]) -> None:
-            out_key.append(k)
-            out_status.append(status)
-            out_anchor.append(steps[0])
-            out_steps.append(list(steps))
-
-        def release_holds(now_ms: int) -> None:
-            # emit held matches whose no-B window has fully passed
-            nonlocal holds
-            due = [h for h in holds if now_ms > h[-1]]
-            holds = [h for h in holds if now_ms <= h[-1]]
-            for h in due:
-                emit("match", h[:-1])
+        packed, buffer, holds = _unpack_common(state, n_steps)
+        prog = packed[0] if packed else 0
+        bound = packed[1:] if packed else []
+        sealed, buffer = _ingest_and_seal(state, pdfs, wm, buffer)
+        out = _Out(key[0], holds)
 
         # Sealed events are consumed one at a time in (ts, event_id)
         # order, which IS the batch twin's per-key rn order: "positionally
@@ -142,14 +198,10 @@ def pattern_matcher_fn(
         # matching rn-strictly-greater / rn == prev+1 / rn-in-gap exactly,
         # including equal-timestamp chains.
         for ts_v, _eid, mask in sealed:
-            release_holds(ts_v - 1)  # windows that closed before this event
-            # a sealed terminal-negation event positionally after the
-            # match and inside its window discards the held match
-            # (Flink notFollowedBy-at-end)
-            if holds and any((mask >> b) & 1 for b in terminal_bits):
-                holds = [h for h in holds if ts_v > h[-1]]
+            out.release_holds(ts_v - 1)  # windows closed before this event
+            out.kill_holds(ts_v, mask, terminal_bits)
             if bound and ts_v > bound[0] + within_ms and prog < n_steps:
-                emit("timeout", bound)
+                out.emit("timeout", bound)
                 prog, bound = 0, []
             if prog == 0:
                 if mask & 1:
@@ -174,41 +226,25 @@ def pattern_matcher_fn(
             if prog == n_steps:
                 if bound[-1] - bound[0] <= within_ms:
                     if terminal_bits:
-                        holds.append(list(bound) + [bound[0] + within_ms])
+                        out.holds.append(list(bound) + [bound[0] + within_ms])
                     else:
-                        emit("match", bound)
+                        out.emit("match", bound)
                 prog, bound = 0, []
 
-        release_holds(wm)
+        out.release_holds(wm)
         if prog > 0 and wm > bound[0] + within_ms:
-            emit("timeout", bound)
+            out.emit("timeout", bound)
             prog, bound = 0, []
 
-        if prog > 0 or buffer or holds:
-            state.update((
-                [prog] + bound,
-                [x for e in buffer for x in e],
-                [x for h in holds for x in h],
-            ))
-            deadlines = []
-            if prog > 0:
-                deadlines.append(bound[0] + within_ms + 1)
-            if buffer:
-                deadlines.append(buffer[0][0])
-            for h in holds:
-                deadlines.append(h[-1] + 1)
-            state.setTimeoutTimestamp(max(min(deadlines), wm + 1))
-        elif state.exists:
-            state.remove()
-        if out_key:
-            yield pd.DataFrame(
-                {
-                    "key": out_key,
-                    "status": out_status,
-                    "anchor_ts": out_anchor,
-                    "step_ts": out_steps,
-                }
-            )
+        _finalize(
+            state, wm,
+            ([prog] + bound) if prog > 0 else [],
+            buffer, out.holds,
+            [bound[0] + within_ms + 1] if prog > 0 else [],
+        )
+        pdf_out = out.to_pdf()
+        if pdf_out is not None:
+            yield pdf_out
 
     return fn
 
@@ -227,76 +263,39 @@ def pattern_matcher_all_fn(
     failed earlier anchor can no longer hide a later overlapping one
     (the single-anchor machine's one documented divergence).  State is
     the partial list, flattened as [prog, t0..t_{prog-1}] groups, capped
-    at ``max_active_anchors`` EARLIEST live partials (hot-key bound, the
-    streaming analog of match_pattern's max_anchors_per_key); plus the
-    usual unsealed buffer and terminal-negation holds.  Every anchor
-    resolves as its own match/timeout row (or dies silently to a
-    negation/strict break, as in Flink's discarded partials)."""
+    at ``max_active_anchors`` LIVE partials — anchors arriving while the
+    key is at the cap are silently declined (state must stay bounded on
+    hot keys; a resolved partial frees its slot).  This live-count cap
+    is deliberately NOT the batch twin's first-N-ever
+    ``max_anchors_per_key``; parity with ``emit='all'`` holds when the
+    concurrent-live count stays under the cap (the goldens' regime).
+    Plus the usual unsealed buffer and terminal-negation holds.  Every
+    ACCEPTED anchor resolves as its own match/timeout row (or dies
+    silently to a negation/strict break, as in Flink's discarded
+    partials)."""
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        k = key[0]
         wm = state.getCurrentWatermarkMs()
-
+        packed, buffer, holds = _unpack_common(state, n_steps)
         partials: list[list[int]] = []  # each: [prog, t0..t_{prog-1}]
-        if state.exists:
-            packed, buf, hold_flat = state.get
-            i = 0
-            while i < len(packed):
-                prog = int(packed[i])
-                partials.append([prog] + [int(x) for x in packed[i + 1 : i + 1 + prog]])
-                i += 1 + prog
-            buffer = [
-                (int(buf[j]), int(buf[j + 1]), int(buf[j + 2]))
-                for j in range(0, len(buf), 3)
-            ]
-            g = n_steps + 1
-            holds = [
-                [int(x) for x in hold_flat[j : j + g]]
-                for j in range(0, len(hold_flat), g)
-            ]
-        else:
-            buffer, holds = [], []
-
-        if not state.hasTimedOut:
-            for pdf in pdfs:
-                for ts_v, eid, mask in zip(
-                    pdf["ts"].astype("int64"),
-                    pdf["event_id"].astype("int64"),
-                    pdf["step_mask"].astype("int64"),
-                ):
-                    if int(ts_v) > wm:
-                        buffer.append((int(ts_v), int(eid), int(mask)))
-
-        buffer.sort()
-        sealed = [e for e in buffer if e[0] <= wm]
-        buffer = [e for e in buffer if e[0] > wm]
-
-        out_key, out_status, out_anchor, out_steps = [], [], [], []
-
-        def emit(status: str, steps: list[int]) -> None:
-            out_key.append(k)
-            out_status.append(status)
-            out_anchor.append(steps[0])
-            out_steps.append(list(steps))
-
-        def release_holds(now_ms: int) -> None:
-            nonlocal holds
-            due = [h for h in holds if now_ms > h[-1]]
-            holds = [h for h in holds if now_ms <= h[-1]]
-            for h in due:
-                emit("match", h[:-1])
+        i = 0
+        while i < len(packed):
+            prog = packed[i]
+            partials.append(packed[i : i + 1 + prog])
+            i += 1 + prog
+        sealed, buffer = _ingest_and_seal(state, pdfs, wm, buffer)
+        out = _Out(key[0], holds)
 
         for ts_v, _eid, mask in sealed:
-            release_holds(ts_v - 1)
-            if holds and any((mask >> b) & 1 for b in terminal_bits):
-                holds = [h for h in holds if ts_v > h[-1]]
+            out.release_holds(ts_v - 1)
+            out.kill_holds(ts_v, mask, terminal_bits)
             survivors: list[list[int]] = []
             for p in partials:
                 prog, bound = p[0], p[1:]
                 if ts_v > bound[0] + within_ms:
-                    emit("timeout", bound)
+                    out.emit("timeout", bound)
                     continue
                 if (mask >> prog) & 1:  # bind wins over negation
                     bound = bound + [ts_v]
@@ -304,9 +303,9 @@ def pattern_matcher_all_fn(
                     if prog == n_steps:
                         if bound[-1] - bound[0] <= within_ms:
                             if terminal_bits:
-                                holds.append(bound + [bound[0] + within_ms])
+                                out.holds.append(bound + [bound[0] + within_ms])
                             else:
-                                emit("match", bound)
+                                out.emit("match", bound)
                         continue  # completed; NO_SKIP: others carry on
                     survivors.append([prog] + bound)
                 elif any((mask >> b) & 1 for b in neg_before.get(prog, ())):
@@ -322,37 +321,24 @@ def pattern_matcher_all_fn(
             if mask & 1 and len(partials) < max_active_anchors:
                 partials.append([1, ts_v])
 
-        release_holds(wm)
+        out.release_holds(wm)
         alive: list[list[int]] = []
         for p in partials:
             if wm > p[1] + within_ms:
-                emit("timeout", p[1:])
+                out.emit("timeout", p[1:])
             else:
                 alive.append(p)
         partials = alive
 
-        if partials or buffer or holds:
-            state.update((
-                [x for p in partials for x in p],
-                [x for e in buffer for x in e],
-                [x for h in holds for x in h],
-            ))
-            deadlines = [p[1] + within_ms + 1 for p in partials]
-            if buffer:
-                deadlines.append(buffer[0][0])
-            deadlines.extend(h[-1] + 1 for h in holds)
-            state.setTimeoutTimestamp(max(min(deadlines), wm + 1))
-        elif state.exists:
-            state.remove()
-        if out_key:
-            yield pd.DataFrame(
-                {
-                    "key": out_key,
-                    "status": out_status,
-                    "anchor_ts": out_anchor,
-                    "step_ts": out_steps,
-                }
-            )
+        _finalize(
+            state, wm,
+            [x for p in partials for x in p],
+            buffer, out.holds,
+            [p[1] + within_ms + 1 for p in partials],
+        )
+        pdf_out = out.to_pdf()
+        if pdf_out is not None:
+            yield pdf_out
 
     return fn
 
@@ -378,9 +364,14 @@ def match_pattern_stream(
     ``mode="single"`` (default) runs one pending anchor at a time — the
     lean k-longs machine, with the documented overlapping-anchor
     divergence.  ``mode="all"`` runs the multi-anchor NO_SKIP machine:
-    every step-1 event opens its own partial (capped at
-    ``max_active_anchors`` earliest live partials per key), matching
-    Flink's NFA and the batch twin's ``emit="all"`` exactly."""
+    every step-1 event opens its own partial, matching Flink's NFA and
+    the batch twin's ``emit="all"`` whenever the number of
+    CONCURRENTLY-LIVE partials for a key stays under
+    ``max_active_anchors``.  The cap bounds state on hot keys by
+    silently declining NEW anchors while full (a resolved/dead partial
+    frees its slot) — note this is a LIVE-count bound, not the batch
+    twin's first-N-anchors-ever ``max_anchors_per_key``, so the two
+    knobs are not interchangeable on keys that exceed either."""
     import re
 
     if within is None:

@@ -376,6 +376,13 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_STREAM", "1") != "0":
         spark.catalog.clearCache()
         time.sleep(2)  # settle async block frees before timing the stream
+        # unmeasured warm-up first (same rationale as trade below): the
+        # log pipeline's decode/fanout plans JIT on first execution —
+        # cold 26k vs warm 73-87k rows/s in A/B; steady state is the
+        # number that predicts cluster sizing
+        bench_streaming(spark)
+        spark.catalog.clearCache()
+        time.sleep(1)
         out["streaming"] = bench_streaming(spark)
         spark.catalog.clearCache()
         time.sleep(1)

@@ -36,9 +36,61 @@ way ``max_bucket_size`` bounds LSH buckets.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+_WITHIN_UNIT_MS = {
+    "millisecond": 1,
+    "second": 1000,
+    "minute": 60_000,
+    "hour": 3_600_000,
+    "day": 86_400_000,
+}
+_WITHIN_TERM = re.compile(
+    r"\s*(\d+)\s*(millisecond|second|minute|hour|day)s?", re.IGNORECASE
+)
+
+
+def parse_within_ms(within: str) -> int:
+    """THE parser for the CEP ``within`` horizon — the batch matchers and
+    both streaming machines all route through this one function, so the
+    two engines can never interpret the same string differently (a
+    compound interval like ``'7 days 6 hours'`` previously truncated to
+    7 days in the stream while Spark's INTERVAL parser honored it in
+    batch).  Anchored: any unrecognized remainder raises instead of
+    silently truncating, and nothing user-supplied ever reaches
+    ``F.expr`` raw."""
+    if not isinstance(within, str):
+        raise ValueError(
+            f"within must be a string like '15 minutes', got {within!r}"
+        )
+    pos, total = 0, 0
+    while pos < len(within):
+        m = _WITHIN_TERM.match(within, pos)
+        if m is None:
+            if within[pos:].strip() == "":
+                break
+            raise ValueError(
+                f"within: unrecognized interval text {within[pos:]!r} in "
+                f"{within!r} (expected 'N second|minute|hour|day"
+                " [N unit ...]')"
+            )
+        total += int(m.group(1)) * _WITHIN_UNIT_MS[m.group(2).lower()]
+        pos = m.end()
+    if total <= 0:
+        raise ValueError(f"within must be a positive interval, got {within!r}")
+    return total
+
+
+def within_interval(within: str) -> Column:
+    """Validated day-time interval Column for the batch matchers: built
+    from the SAME millisecond normalization the streaming machines use
+    (batch/stream parity by construction) and injection-proof — the raw
+    string is parsed here, never interpolated into SQL."""
+    return F.expr(f"INTERVAL {parse_within_ms(within)} MILLISECOND")
 
 
 def match_sequence(
@@ -93,7 +145,7 @@ def match_sequence(
         bound_cols.append(ts_i)
     if within is not None:
         chain = chain.filter(
-            F.col(bound_cols[-1]) <= F.col(anchor_col) + F.expr(f"INTERVAL {within}")
+            F.col(bound_cols[-1]) <= F.col(anchor_col) + within_interval(within)
         )
     w_first = Window.partitionBy(key).orderBy(anchor_col)
     return (
@@ -245,7 +297,7 @@ def match_pattern(
     anchor_ts, last_ts = bound[0][0], bound[-1][0]
     if within is not None:
         chain = chain.filter(
-            F.col(last_ts) <= F.col(anchor_ts) + F.expr(f"INTERVAL {within}")
+            F.col(last_ts) <= F.col(anchor_ts) + within_interval(within)
         )
     for pred, li, ri in negations:
         neg = base.filter(pred).select(F.col(key), F.col("__rn").alias("__n_rn"),
@@ -255,7 +307,7 @@ def match_pattern(
             cond = (F.col("__n_rn") > left_rn) & (F.col("__n_rn") < F.col(bound[ri][1]))
         else:  # terminal notFollowedBy: up to anchor + within
             cond = (F.col("__n_rn") > left_rn) & (
-                F.col("__n_ts") <= F.col(anchor_ts) + F.expr(f"INTERVAL {within}")
+                F.col("__n_ts") <= F.col(anchor_ts) + within_interval(within)
             )
         chain = chain.join(neg, on=(chain[key] == neg[key]) & cond, how="left_anti")
     if emit == "all":

@@ -321,7 +321,15 @@ def histogram_quantiles_df(
     walk as column algebra (the boundary case q·total == cum(prev bin)
     resolves to the PREVIOUS bin with fraction 1.0 in both).  Output:
     (*group_cols, q, quantile); error bounded by ``width``; registers
-    sum-merge first, so month-to-date percentiles never re-scan days."""
+    sum-merge first, so month-to-date percentiles never re-scan days.
+
+    q == 0.0 resolves to the first non-empty bin with fraction 0 (the
+    driver walk's behavior — ``target 0`` would otherwise satisfy
+    ``cum - cnt < target`` in no bin and silently drop the prob);
+    probs outside [0, 1] raise."""
+    bad = [p for p in probs if not (0.0 <= float(p) <= 1.0)]
+    if bad:
+        raise ValueError(f"probs must be within [0, 1], got {bad}")
     w_cum = (
         Window.partitionBy(*group_cols)
         .orderBy("bin")
@@ -338,9 +346,15 @@ def histogram_quantiles_df(
         [(float(q),) for q in probs], "q double"
     )
     target = F.col("q") * F.col("__total")
+    hit = F.when(
+        F.col("q") == 0.0,  # first non-empty bin, fraction 0 (driver twin)
+        (F.col("cnt") > 0) & (F.col("__cum") == F.col("cnt")),
+    ).otherwise(
+        (F.col("__cum") >= target) & ((F.col("__cum") - F.col("cnt")) < target)
+    )
     return (
         base.crossJoin(F.broadcast(qs))
-        .filter((F.col("__cum") >= target) & ((F.col("__cum") - F.col("cnt")) < target))
+        .filter(hit)
         .select(
             *group_cols,
             "q",
@@ -359,6 +373,8 @@ def histogram_quantiles_df(
 def histogram_quantile(bins: list[tuple[int, int]], width: float, q: float) -> float:
     """Driver-side quantile estimate over one group's (bin, cnt) rows —
     cumulative walk + linear interpolation within the hit bin."""
+    if not (0.0 <= q <= 1.0):
+        raise ValueError(f"q must be within [0, 1], got {q}")
     bins = sorted(bins)
     total = sum(c for _, c in bins)
     target = q * total

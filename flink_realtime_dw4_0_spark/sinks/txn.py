@@ -21,7 +21,13 @@ Crash before INTENT: no journal → nothing flips; orphan version dirs
 are GC'd by each table's next commit.  Crash after INTENT: the journal
 survives, and ``recover()`` (called by ``publish_all`` and safe to call
 at every pipeline start) re-applies the remaining flips — readers see
-either no table flipped or, after recovery, all of them.  Flink's
+either no table flipped or, after recovery, all of them.  If a flip
+CONFLICTS instead (a concurrent single-table commit slipped into the
+check→journal window), the journal's recorded pre-flip ``prev``
+pointers roll the applied flips BACK, the journal is removed, and
+``CommitConflictError`` propagates — all-or-nothing holds in either
+direction and the warehouse is never wedged on an unfinishable
+journal.  Flink's
 equivalent is the checkpoint-coordinated two-phase-commit sink
 (TwoPhaseCommitSinkFunction); Spark-side this is the batch-boundary
 restatement of the same idea.
@@ -69,6 +75,41 @@ def _flip(table_path: str, version: str) -> None:
         os.remove(sentinel)
 
 
+def _unflip(table_path: str, version: str, prev: str | None) -> None:
+    """Reverse one ``_flip``: restore the previous CURRENT pointer, drop
+    the HISTORY line the flip appended (atomic rewrite), and re-mark the
+    version dir ``_STAGED`` so the staged-dir GC ages it out normally."""
+    cur = os.path.join(table_path, "CURRENT")
+    if prev is None:
+        if os.path.exists(cur):
+            os.remove(cur)
+    else:
+        tmp = f"{cur}.tmp_untxn_{version}"
+        with open(tmp, "w") as fh:
+            fh.write(prev)
+        os.replace(tmp, cur)
+    hist = os.path.join(table_path, "HISTORY")
+    if os.path.exists(hist):
+        with open(hist) as fh:
+            lines = fh.read().splitlines()
+        for i in range(len(lines) - 1, -1, -1):
+            if lines[i] == version:
+                del lines[i]
+                break
+        tmp_h = f"{hist}.tmp_untxn_{version}"
+        with open(tmp_h, "w") as fh:
+            fh.write("".join(ln + "\n" for ln in lines))
+        os.replace(tmp_h, hist)
+    vdir = os.path.join(table_path, version)
+    if os.path.isdir(vdir):
+        with open(os.path.join(vdir, "_STAGED"), "w"):
+            pass
+
+
+class _RollForwardImpossible(RuntimeError):
+    """A journaled flip can neither be verified nor re-applied."""
+
+
 class TableTxn:
     """Atomic all-or-nothing publish across multiple KeyedTables rooted
     under one warehouse directory (where the journal lives)."""
@@ -82,33 +123,80 @@ class TableTxn:
 
     def recover(self) -> bool:
         """Roll forward an interrupted publish.  Returns True if a
-        journal was found and completed."""
+        journal was found and completed.
+
+        If roll-forward hits an OCC conflict (a concurrent single-table
+        merge flipped CURRENT between the publisher's conflict check and
+        its journal write — the unavoidable check→journal window) or a
+        missing staged dir, the publish is rolled BACK instead: every
+        already-applied flip is reversed via the journal's recorded
+        ``prev`` pointers, the journal is removed, and
+        ``CommitConflictError`` propagates — readers see NONE of the
+        publish, atomicity holds, and the warehouse is immediately
+        usable (no wedged journal).  Only when neither direction can
+        restore atomicity (a table's CURRENT moved beyond both the
+        journaled version and its predecessor) does the journal stay in
+        place and every later publish keep failing loud."""
         j = self._journal()
         if not os.path.exists(j):
             return False
         with open(j) as fh:
             entries = json.load(fh)
+        try:
+            self._apply_flips(entries)
+        except (CommitConflictError, _RollForwardImpossible) as exc:
+            self._roll_back(entries, exc)  # always raises
+        os.remove(j)
+        return True
+
+    @staticmethod
+    def _apply_flips(entries: list[dict]) -> None:
         for e in entries:
             cur = KeyedTable.current_pointer_of(e["path"])
             if cur == e["version"]:
                 continue  # this flip already happened
             if not os.path.exists(os.path.join(e["path"], e["version"])):
-                # The staged version dir is gone and CURRENT never flipped
-                # to it: the flip can neither be verified nor re-applied.
-                # Deleting the journal here would silently convert a
-                # partially applied publish into "success" — keep the
-                # journal (so every later publish keeps failing loud) and
-                # surface the broken entry to the operator instead.
-                raise RuntimeError(
-                    "TableTxn.recover: journaled version "
-                    f"{e['version']!r} for table {e['path']!r} is missing "
-                    "and CURRENT does not point at it; cross-table "
-                    "atomicity cannot be restored automatically. The "
-                    "intent journal was left in place."
+                raise _RollForwardImpossible(
+                    f"journaled version {e['version']!r} for table "
+                    f"{e['path']!r} is missing and CURRENT does not point "
+                    "at it"
                 )
             _flip(e["path"], e["version"])
-        os.remove(j)
-        return True
+
+    def _roll_back(self, entries: list[dict], cause: Exception) -> None:
+        """All-or-NOTHING: reverse every applied flip, drop the journal,
+        raise.  Only entries whose CURRENT equals the journaled version
+        actually flipped (a landed journal blocks normal merges, so any
+        other CURRENT value predates the commit point and is someone
+        else's legitimate commit — nothing of ours to reverse there);
+        a flipped entry is reversed via the journal's recorded ``prev``
+        pointer.  Reversibility is verified for EVERY entry before any
+        is touched, so the rollback itself is never left half-done by a
+        precondition failure."""
+        flipped = [
+            e
+            for e in entries
+            if KeyedTable.current_pointer_of(e["path"]) == e["version"]
+        ]
+        for e in flipped:
+            if "prev" not in e:
+                raise RuntimeError(
+                    f"TableTxn: cannot roll forward ({cause}) and cannot "
+                    f"roll back (table {e['path']} flipped to "
+                    f"{e['version']!r} but the journal carries no "
+                    "predecessor pointer); cross-table atomicity cannot "
+                    "be restored automatically — the intent journal was "
+                    "left in place."
+                ) from cause
+        for e in flipped:
+            _unflip(e["path"], e["version"], e.get("prev"))
+        os.remove(self._journal())
+        raise CommitConflictError(
+            "cross-table publish lost a race to a concurrent commit after "
+            "its intent journal landed; every already-applied flip was "
+            "rolled back (readers saw none of the publish) — restage and "
+            f"retry. Cause: {cause}"
+        ) from cause
 
     def publish_all(
         self, updates: dict[KeyedTable, DataFrame], spark: SparkSession | None = None
@@ -120,7 +208,7 @@ class TableTxn:
         journal then makes the set of flips all-or-nothing under
         roll-forward recovery."""
         self.recover()  # never stack a new txn on an unfinished one
-        prepared: list[tuple[str, str]] = []
+        prepared: list[dict] = []
         for table, batch in updates.items():
             sp = spark or batch.sparkSession
             version = table.prepare_merge(sp, batch)
@@ -140,10 +228,22 @@ class TableTxn:
                     "superseded while the publish was staging — re-read "
                     "and retry the whole publish"
                 )
+        # record each table's pre-flip CURRENT in the journal: if a
+        # concurrent commit slips into the check→journal window above,
+        # _flip's OCC check fires AFTER the commit point — the recorded
+        # `prev` pointers are what let _roll_back reverse the applied
+        # flips instead of wedging the warehouse on an unfinishable
+        # journal (the old behavior: partially flipped tables + recover()
+        # re-raising forever).
+        for e in prepared:
+            e["prev"] = KeyedTable.current_pointer_of(e["path"])
         tmp = self._journal() + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(prepared, fh)
         os.replace(tmp, self._journal())  # commit point
-        for e in prepared:
-            _flip(e["path"], e["version"])
+        try:
+            for e in prepared:
+                _flip(e["path"], e["version"])
+        except CommitConflictError as exc:
+            self._roll_back(prepared, exc)  # always raises
         os.remove(self._journal())

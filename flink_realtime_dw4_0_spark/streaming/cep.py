@@ -191,13 +191,9 @@ def match_sequence_stream(
     the row's (key, ts, mask) stands in.  Returns a stream of
     (key, status, anchor_ts, step_ts).
     """
-    import re
+    from ..operators.cep import parse_within_ms
 
-    m = re.match(r"(\d+)\s*(second|minute|hour|day)s?", within)
-    if not m:
-        raise ValueError(f"within must look like '15 minutes', got {within!r}")
-    unit_ms = {"second": 1000, "minute": 60_000, "hour": 3_600_000, "day": 86_400_000}
-    within_ms = int(m.group(1)) * unit_ms[m.group(2)]
+    within_ms = parse_within_ms(within)  # shared with the batch matcher
 
     mask = F.lit(0).cast("long")
     for i, (_, pred) in enumerate(steps):

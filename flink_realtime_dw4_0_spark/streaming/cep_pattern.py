@@ -55,7 +55,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
-from ..operators.cep import unroll_pattern
+from ..operators.cep import parse_within_ms, unroll_pattern
 from .cep import _out_schema
 
 _STATE = StructType(
@@ -372,19 +372,13 @@ def match_pattern_stream(
     frees its slot) — note this is a LIVE-count bound, not the batch
     twin's first-N-anchors-ever ``max_anchors_per_key``, so the two
     knobs are not interchangeable on keys that exceed either."""
-    import re
-
     if within is None:
         raise ValueError(
             "match_pattern_stream requires `within`: the streaming machine "
             "needs a timeout horizon to bound state and resolve anchors "
             "(the batch twin allows within=None; a stream cannot)"
         )
-    m = re.match(r"(\d+)\s*(second|minute|hour|day)s?", within, re.IGNORECASE)
-    if not m:
-        raise ValueError(f"within must look like '15 minutes', got {within!r}")
-    unit_ms = {"second": 1000, "minute": 60_000, "hour": 3_600_000, "day": 86_400_000}
-    within_ms = int(m.group(1)) * unit_ms[m.group(2).lower()]
+    within_ms = parse_within_ms(within)  # shared with the batch matcher
 
     positives, negations = unroll_pattern(pattern)
     n_steps = len(positives)

@@ -2393,3 +2393,74 @@ def test_write_jsonl_shards_roundtrip(spark, sf_dir, tmp_path):
                     got_ids.add(json.loads(line)["doc_id"])
     src_ids = {r.doc_id for r in docs.collect()}
     assert got_ids == src_ids
+
+
+def test_cep_within_shared_parser(spark):
+    """ADVICE r5: one `within` parser for batch and stream.  Compound
+    intervals are honored end to end (not silently truncated), garbage
+    and injection-shaped strings raise BEFORE any F.expr, and the batch
+    filter built from the parsed milliseconds matches the compound
+    horizon exactly."""
+    from datetime import datetime as dt
+
+    import pytest as _pytest
+
+    from flink_realtime_dw4_0_spark.operators import cep
+    from flink_realtime_dw4_0_spark.operators.cep import parse_within_ms
+
+    assert parse_within_ms("7 days 6 hours") == 7 * 86_400_000 + 6 * 3_600_000
+    assert parse_within_ms("10 SECOND") == 10_000
+    assert parse_within_ms("1 minute 30 seconds") == 90_000
+    assert parse_within_ms("250 milliseconds") == 250
+    for bad in ("7 days and a bit", "1; DROP TABLE x", "", "0 seconds",
+                None, "abc", "3 fortnights", "5"):
+        with _pytest.raises(ValueError):
+            parse_within_ms(bad)
+
+    # batch honors the compound horizon: chain ends 80 s after the anchor
+    # (inside 1 min 30 s) for u1, 100 s after for u2 (outside)
+    rows = [
+        ("u1", dt(2024, 1, 1, 0, 0, 0), "A"), ("u1", dt(2024, 1, 1, 0, 1, 20), "B"),
+        ("u2", dt(2024, 1, 1, 0, 0, 0), "A"), ("u2", dt(2024, 1, 1, 0, 1, 40), "B"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id string, ts timestamp, event_type string")
+    steps = [("a", F.col("event_type") == "A"), ("b", F.col("event_type") == "B")]
+    got = {r.user_id for r in
+           cep.match_sequence(ev, steps, within="1 minute 30 seconds").collect()}
+    assert got == {"u1"}
+    # the injection guard reaches match_pattern too
+    pat = [{"name": "a", "where": F.col("event_type") == "A"},
+           {"name": "b", "where": F.col("event_type") == "B"}]
+    with _pytest.raises(ValueError, match="unrecognized"):
+        cep.match_pattern(
+            ev.withColumn("event_id", F.lit(1)), pat,
+            within="1 HOUR); select 1 --",
+        )
+
+
+def test_histogram_quantiles_q_zero_and_bounds(spark):
+    """ADVICE r5: q=0.0 must resolve to the first non-empty bin with
+    fraction 0 (matching the driver walk) instead of silently emitting
+    no row; probs outside [0, 1] raise in both twins."""
+    import pytest as _pytest
+
+    from flink_realtime_dw4_0_spark.operators.profiling import (
+        histogram_quantile, histogram_quantiles_df,
+    )
+
+    # bin 0 empty, data starts in bin 2 (values 20..29 at width 10)
+    regs = spark.createDataFrame(
+        [("g", 0, 0), ("g", 2, 5), ("g", 3, 5)], "grp string, bin long, cnt long"
+    )
+    got = {r.q: r.quantile for r in
+           histogram_quantiles_df(regs, ["grp"], 10.0, [0.0, 0.5, 1.0]).collect()}
+    assert got[0.0] == 20.0  # first non-empty bin edge, fraction 0
+    assert got[0.0] == round(histogram_quantile([(0, 0), (2, 5), (3, 5)], 10.0, 0.0), 6)
+    assert got[0.5] == round(histogram_quantile([(0, 0), (2, 5), (3, 5)], 10.0, 0.5), 6)
+    assert got[1.0] == round(histogram_quantile([(0, 0), (2, 5), (3, 5)], 10.0, 1.0), 6)
+    with _pytest.raises(ValueError, match=r"\[0, 1\]"):
+        histogram_quantiles_df(regs, ["grp"], 10.0, [-0.1])
+    with _pytest.raises(ValueError, match=r"\[0, 1\]"):
+        histogram_quantiles_df(regs, ["grp"], 10.0, [1.5])
+    with _pytest.raises(ValueError, match=r"\[0, 1\]"):
+        histogram_quantile([(0, 1)], 10.0, -0.5)

@@ -2910,3 +2910,51 @@ def test_txn_recover_raises_on_unrestorable_entry(spark, tmp_path):
     # the applied table kept its flip; the broken one kept its old batch
     assert {r.v for r in ta.read(spark).collect()} == {2}
     assert {r.v for r in tb.read(spark).collect()} == {1}
+
+
+def test_txn_flip_conflict_after_journal_rolls_back(spark, tmp_path):
+    """ADVICE r5 TOCTOU: a concurrent single-table merge lands between
+    publish_all's conflict check and its journal write, so the flip's
+    OCC check fires AFTER the commit point.  The journal's recorded
+    `prev` pointers must roll every applied flip BACK (readers see none
+    of the publish), remove the journal, and leave the warehouse
+    immediately retryable — not wedged on an unfinishable journal."""
+    import json as _json
+    import os
+
+    from flink_realtime_dw4_0_spark.sinks.txn import TableTxn, _flip
+    from flink_realtime_dw4_0_spark.sinks.upsert import CommitConflictError
+
+    root = str(tmp_path / "whtoctou")
+    ta = KeyedTable(root + "/a", keys=["k"])
+    tb = KeyedTable(root + "/b", keys=["k"])
+    d = lambda rows: spark.createDataFrame(rows, "k string, v long")  # noqa: E731
+    TableTxn(root).publish_all({ta: d([("x", 1)]), tb: d([("y", 1)])})
+
+    va = ta.prepare_merge(spark, d([("x", 2)]))
+    vb = tb.prepare_merge(spark, d([("y", 2)]))
+    # the TOCTOU: a normal merge flips tb's CURRENT inside the
+    # check->journal window (still legal — no journal on disk yet)
+    tb.merge(spark, d([("z", 9)]))
+    # the journal lands exactly as publish_all writes it (prev captured
+    # at journal time), then ta flips and tb's flip conflicts = 'crash'
+    entries = [
+        {"path": ta.path, "version": va,
+         "prev": KeyedTable.current_pointer_of(ta.path)},
+        {"path": tb.path, "version": vb,
+         "prev": KeyedTable.current_pointer_of(tb.path)},
+    ]
+    with open(root + "/TXN_INTENT", "w") as fh:
+        _json.dump(entries, fh)
+    _flip(ta.path, va)
+
+    with pytest.raises(CommitConflictError, match="rolled back"):
+        TableTxn(root).recover()
+    # journal gone, NOTHING of the publish visible, interleaver intact
+    assert not os.path.exists(root + "/TXN_INTENT")
+    assert {r.v for r in ta.read(spark).collect()} == {1}
+    assert {(r.k, r.v) for r in tb.read(spark).collect()} == {("y", 1), ("z", 9)}
+    # the warehouse is immediately usable: a restaged publish wins
+    TableTxn(root).publish_all({ta: d([("x", 2)]), tb: d([("y", 2)])})
+    assert {r.v for r in ta.read(spark).collect()} == {2}
+    assert {(r.k, r.v) for r in tb.read(spark).collect()} == {("y", 2), ("z", 9)}

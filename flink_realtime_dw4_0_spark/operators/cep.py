@@ -155,12 +155,29 @@ def match_sequence(
     )
 
 
+def is_plain(spec: tuple) -> bool:
+    """A plain (non-looping, non-optional) unrolled positive step."""
+    return spec[3] == 1 and spec[4] == 1
+
+
 def unroll_pattern(pattern: list[dict]):
     """Normalize + validate a pattern (shared by the batch matcher and
     ``streaming/cep_pattern.py`` so the two can never drift): returns
-    (positives [(colname, pred, strict)], negations
-    [(pred, left_idx, right_idx_or_None_for_terminal)]).  Raises on
-    every invalid shape both engines must reject identically."""
+    (positives ``[(colname, pred, strict, min_times, max_times)]``,
+    negations ``[(pred, left_idx, right_idx_or_None_for_terminal)]``).
+    ``min/max_times`` are the step's quantifier bounds — plain steps
+    ``(1, 1)``, ``optional: True`` → ``(0, 1)``, ``one_or_more: True``
+    → ``(1, None)``, ``times_or_more: n`` → ``(n, None)`` (``None`` =
+    unbounded).  ``times: n`` still unrolls to n plain copies.  Raises
+    on every invalid shape both engines must reject identically:
+
+    * the anchor must be a plain positive step;
+    * quantified steps are relaxed-contiguity only (no Flink
+      ``consecutive()`` loops), may not be consecutive, and a strict
+      step may not directly follow one (its bind position is a span,
+      not a single event);
+    * a ``notFollowedBy`` may not sit adjacent to a quantified step
+      (the gap boundary would not be a single bound event)."""
     if not pattern or pattern[0].get("negated"):
         raise ValueError("pattern must start with a positive anchor step")
     if pattern[0].get("contiguity", "relaxed") == "strict":
@@ -168,33 +185,81 @@ def unroll_pattern(pattern: list[dict]):
     names = [p["name"] for p in pattern]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate step names: {names}")
-    positives: list[tuple[str, object, bool]] = []
+    positives: list[tuple[str, object, bool, int, int | None]] = []
     negations: list[tuple[object, int, int | None]] = []
     for p in pattern:
-        times = int(p.get("times", 1))
         strict = p.get("contiguity", "relaxed") == "strict"
+        quant = [k for k in ("one_or_more", "times_or_more", "optional")
+                 if p.get(k)]
         if p.get("negated"):
-            if times != 1 or strict:
-                raise ValueError("negated steps take no times/contiguity")
+            if "times" in p or strict or quant:
+                raise ValueError(
+                    "negated steps take no times/contiguity/quantifier"
+                )
             negations.append(
                 (p["where"], len(positives) - 1,
                  len(positives) if p is not pattern[-1] else None)
             )
             continue
+        if quant:
+            if len(quant) > 1 or "times" in p:
+                raise ValueError(
+                    f"step {p['name']!r}: one_or_more / times_or_more / "
+                    "optional / times are mutually exclusive"
+                )
+            if strict:
+                raise ValueError(
+                    f"step {p['name']!r}: a quantified step uses relaxed "
+                    "contiguity (Flink consecutive() loops are not "
+                    "supported)"
+                )
+            if not positives:
+                raise ValueError(
+                    "the anchor step must be a plain positive step "
+                    "(no quantifier — a pattern opens on a concrete event)"
+                )
+            if not is_plain(positives[-1]):
+                raise ValueError(
+                    "two consecutive quantified steps are not supported — "
+                    "merge the predicates or insert a concrete step"
+                )
+            if quant[0] == "one_or_more":
+                mn, mx = 1, None
+            elif quant[0] == "optional":
+                mn, mx = 0, 1
+            else:
+                mn, mx = int(p["times_or_more"]), None
+                if mn < 1:
+                    raise ValueError(f"times_or_more needs n >= 1, got {mn}")
+            positives.append((p["name"], p["where"], False, mn, mx))
+            continue
+        times = int(p.get("times", 1))
         if times < 1:
             raise ValueError(f"times must be >= 1, got {times}")
+        if strict and positives and not is_plain(positives[-1]):
+            raise ValueError(
+                "a strict step cannot directly follow a quantified step "
+                "(the loop's end is a span, not a single bind position)"
+            )
         for j in range(times):
             cname = p["name"] if times == 1 else f"{p['name']}_{j + 1}"
-            positives.append((cname, p["where"], strict))
+            positives.append((cname, p["where"], strict, 1, 1))
     if len(positives) < 2:
         raise ValueError("a pattern needs at least two positive step binds")
-    for _pred, _li, ri in negations:
+    for _pred, li, ri in negations:
         if ri is not None and ri >= len(positives):
             raise ValueError(
                 "a non-terminal negation must be followed by a positive "
                 "step (only the LAST pattern step may be a dangling "
                 "notFollowedBy, and it requires `within`)"
             )
+        for idx in (li,) if ri is None else (li, ri):
+            if idx >= 0 and not is_plain(positives[idx]):
+                raise ValueError(
+                    "a notFollowedBy adjacent to a quantified step is not "
+                    "supported — the negation gap boundary would not be a "
+                    "single bound event"
+                )
     return positives, negations
 
 
@@ -208,22 +273,41 @@ def match_pattern(
     seq: str = "event_id",
     max_anchors_per_key: int | None = None,
     emit: str = "first",
+    after_match: str = "no_skip",
 ) -> DataFrame:
-    """The rest of the Flink CEP pattern surface, declaratively: strict
-    contiguity (``next``), fixed quantifiers (``times(n)``), and negation
-    (``notFollowedBy``) on top of ``match_sequence``'s relaxed chains.
+    """The full Flink CEP pattern surface, declaratively: strict
+    contiguity (``next``), fixed quantifiers (``times(n)``), LOOPING
+    quantifiers (``oneOrMore`` / ``timesOrMore(n)`` / ``optional``),
+    negation (``notFollowedBy``), and after-match skip strategies on
+    top of ``match_sequence``'s relaxed chains.
 
     ``emit="first"`` (default) keeps one row per key — the earliest
     surviving anchor, like ``match_sequence``.  ``emit="all"`` keeps
     EVERY surviving anchor's chain (one row per completed anchor) —
-    Flink's NO_SKIP after-match strategy, where overlapping matches all
-    emit; this is the batch twin of the streaming matcher's
-    multi-anchor mode.
+    Flink's NO_SKIP after-match strategy; ``after_match`` then prunes
+    that set:
+
+    * ``"no_skip"`` (default) — every surviving anchor emits;
+    * ``"skip_to_next"`` — Flink discards further partial matches that
+      START at the same event as an emitted match; this machine binds
+      each anchor's chain deterministically (one maximal match per
+      anchor), so the strategy is inherently satisfied and the output
+      equals NO_SKIP — accepted for API parity, documented here;
+    * ``"skip_past_last"`` — after a match EMITS, every partial match
+      that started at or before its last bound event is discarded and
+      matching resumes past that event: matches are selected greedily
+      in completion order (``last_rn``, then anchor), keeping a chain
+      only if its anchor lies strictly after the previous kept chain's
+      last bound position — exactly the surviving set of Flink's NFA
+      under SKIP_PAST_LAST_EVENT, replayed per key.
 
     ``pattern`` is a list of step dicts::
 
         {"name": "click", "where": <Column>,          # required
          "times": 2,                                  # times(n), default 1
+         "one_or_more": True,                         # oneOrMore (greedy)
+         "times_or_more": 3,                          # timesOrMore(n)
+         "optional": True,                            # times(0..1)
          "contiguity": "strict",                      # 'next'; default relaxed
          "negated": True}                             # notFollowedBy
 
@@ -232,41 +316,90 @@ def match_pattern(
     * every event gets a per-key sequence number ``rn`` ordered by
       (ts, seq) — strictness and betweenness are defined on ``rn``, so
       equal timestamps are deterministic;
-    * the first step anchors (must be positive/relaxed); each later
+    * the first step anchors (must be plain positive); each later plain
       positive step binds the MINIMUM ``rn`` greater than the previous
       bound (strict: exactly previous+1, else the anchor dies) — the
       same greedy-per-anchor chaining as ``match_sequence``;
     * ``times(n)`` unrolls to n copies (``name_1..name_n`` columns),
       inheriting the step's contiguity;
+    * a LOOPING step (min..max occurrences) takes matching events
+      greedily UNTIL the next step binds — "until-style" stop: the next
+      step's bind position ``h`` is the minimum rn of a next-step
+      candidate with at least ``min`` loop matches strictly between the
+      previous bound and ``h`` (a too-early candidate is skipped, a
+      LATER one can still bind); the loop then owns the first
+      ``min(gap_count, max)`` loop-matching events in that gap and
+      emits ``{name}_first_ts / {name}_last_ts / {name}_count`` columns
+      (NULL/0 for an empty ``optional``).  An event matching BOTH the
+      loop and the next step binds the next step (proceed priority) —
+      the one deterministic divergence from Flink's branching NFA,
+      which would emit both continuations;
+    * a TERMINAL looping step (requires ``within``; ``optional`` cannot
+      be terminal) takes every loop-matching event inside
+      ``anchor + within`` and needs at least ``min`` of them;
     * a negated step between two positive steps kills chains with ANY
       matching event strictly between their bound ``rn``s; a TERMINAL
       negated step (Flink requires ``within`` for this, and so do we)
       kills chains with a match after the last bound event up to
       ``anchor + within``;
     * ``within`` bounds last-bound-ts − anchor-ts; earliest surviving
-      anchor per key wins (one row per key).
+      anchor per key wins under ``emit="first"``.
 
-    Scale shape: one window pass for ``rn`` (one keyed shuffle), then
-    per positive step one keyed equi-join + min/min_by aggregation
-    (shrinking left side), per negation one left-anti range join on the
-    key.  Nothing fans out beyond the anchors; ``max_anchors_per_key``
-    bounds hot keys exactly as in ``match_sequence``.
+    Scale shape: one window pass computes ``rn`` AND every loop step's
+    per-key cumulative match count (same shuffle), then per positive
+    step one keyed equi-join + min/min_by aggregation (shrinking left
+    side; a loop adds two keyed equi-joins against its cum-indexed
+    match list for the first/last taken events), per negation one
+    left-anti range join on the key.  ``skip_past_last`` adds one
+    ``applyInPandas`` greedy scan over each key's COMPLETED chains —
+    bounded by anchors per key, never by events.  Nothing fans out
+    beyond the anchors; ``max_anchors_per_key`` bounds hot keys exactly
+    as in ``match_sequence``.
     """
     if pattern and pattern[-1].get("negated") and within is None:
         raise ValueError("a terminal notFollowedBy requires `within` "
                          "(Flink has the same restriction)")
     if emit not in ("first", "all"):
         raise ValueError(f"emit must be 'first' or 'all', got {emit!r}")
+    if after_match not in ("no_skip", "skip_to_next", "skip_past_last"):
+        raise ValueError(
+            "after_match must be 'no_skip', 'skip_to_next' or "
+            f"'skip_past_last', got {after_match!r}"
+        )
+    if after_match == "skip_past_last" and emit != "all":
+        raise ValueError(
+            "after_match='skip_past_last' prunes the multi-anchor match "
+            "set — use emit='all' (emit='first' already keeps one match)"
+        )
     positives, negations = unroll_pattern(pattern)
+    loops = [i for i, s in enumerate(positives) if not is_plain(s)]
+    if loops and loops[-1] == len(positives) - 1:
+        if within is None:
+            raise ValueError(
+                "a terminal looping step requires `within` (the loop's "
+                "end is the window edge, like Flink's oneOrMore tail)"
+            )
+        if positives[-1][3] < 1:
+            raise ValueError(
+                "an optional step cannot be terminal (nothing after it "
+                "ever binds, so the match would be the shorter pattern)"
+            )
 
     w_rn = Window.partitionBy(key).orderBy(ts, seq)
+    w_cum = w_rn.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     base = events.withColumn("__rn", F.row_number().over(w_rn)).withColumn(
         "__ts", F.col(ts)
     )
+    for i in loops:
+        base = base.withColumn(
+            f"__m{i}", F.when(positives[i][1], F.lit(1)).otherwise(F.lit(0))
+        ).withColumn(f"__cum{i}", F.sum(f"__m{i}").over(w_cum).cast("long"))
+    pcum_cols = [f"__pcum{i}" for i in loops]
 
-    n0, pred0, _ = positives[0]
-    anchors = base.filter(pred0).select(
-        F.col(key), F.col("__ts").alias(f"{n0}_ts"), F.col("__rn").alias(f"{n0}_rn")
+    n0 = positives[0][0]
+    anchors = base.filter(positives[0][1]).select(
+        F.col(key), F.col("__ts").alias(f"{n0}_ts"), F.col("__rn").alias(f"{n0}_rn"),
+        *[F.col(f"__cum{i}").alias(f"__pcum{i}") for i in loops],
     )
     if max_anchors_per_key is not None:
         w_cap = Window.partitionBy(key).orderBy(f"{n0}_rn")
@@ -276,48 +409,223 @@ def match_pattern(
             .drop("__cap")
         )
     chain = anchors
-    bound = [(f"{n0}_ts", f"{n0}_rn")]
-    for cname, pred, strict in positives[1:]:
-        cand = base.filter(pred).select(
-            F.col(key), F.col("__ts").alias("__c_ts"), F.col("__rn").alias("__c_rn")
-        )
-        prev_rn = F.col(bound[-1][1])
-        cond = (F.col("__c_rn") == prev_rn + 1) if strict else (F.col("__c_rn") > prev_rn)
-        flat = [c for pair in bound for c in pair]
-        chain = (
-            chain.join(cand, key)
-            .filter(cond)
-            .groupBy(key, *flat)
-            .agg(
-                F.min_by("__c_ts", "__c_rn").alias(f"{cname}_ts"),
-                F.min("__c_rn").alias(f"{cname}_rn"),
+    # bound: one dict per positive step — plain: {ts, rn}; loop adds
+    # first/last/count column names.  carry: the chain's persistent cols.
+    bound: list[dict] = [{"kind": "plain", "ts": f"{n0}_ts", "rn": f"{n0}_rn"}]
+    carry: list[str] = [f"{n0}_ts", f"{n0}_rn", *pcum_cols]
+
+    pending_loop: int | None = None
+    for idx in range(1, len(positives)):
+        cname, pred, strict, mn, mx = positives[idx]
+        if not (mn == 1 and mx == 1) and idx < len(positives) - 1:
+            pending_loop = idx  # bound together with its successor below
+            continue
+        if not (mn == 1 and mx == 1):
+            # terminal loop: every match inside anchor+within, >= mn of them
+            lev = base.filter(pred).select(
+                F.col(key), F.col("__ts").alias("__c_ts"),
+                F.col("__rn").alias("__c_rn"),
             )
-        )
-        bound.append((f"{cname}_ts", f"{cname}_rn"))
-    anchor_ts, last_ts = bound[0][0], bound[-1][0]
-    if within is not None:
+            prev_rn = F.col(bound[-1]["rn"])
+            cond = (F.col("__c_rn") > prev_rn) & (
+                F.col("__c_ts")
+                <= F.col(bound[0]["ts"]) + within_interval(within)
+            )
+            chain = (
+                chain.join(lev, key)
+                .filter(cond)
+                .groupBy(key, *carry)
+                .agg(
+                    F.min_by("__c_ts", "__c_rn").alias(f"{cname}_first_ts"),
+                    F.min("__c_rn").alias(f"{cname}_first_rn"),
+                    F.max_by("__c_ts", "__c_rn").alias(f"{cname}_last_ts"),
+                    F.max("__c_rn").alias(f"{cname}_last_rn"),
+                    F.count(F.lit(1)).cast("long").alias(f"{cname}_count"),
+                )
+                .filter(F.col(f"{cname}_count") >= mn)
+            )
+            bound.append({
+                "kind": "loop", "first_ts": f"{cname}_first_ts",
+                "last_ts": f"{cname}_last_ts", "cnt": f"{cname}_count",
+                "first_rn": f"{cname}_first_rn", "last_rn": f"{cname}_last_rn",
+            })
+            carry += [f"{cname}_first_ts", f"{cname}_first_rn",
+                      f"{cname}_last_ts", f"{cname}_last_rn", f"{cname}_count"]
+            continue
+        prev_rn = F.col(bound[-1]["rn"])
+        sel = [
+            F.col(key), F.col("__ts").alias("__c_ts"),
+            F.col("__rn").alias("__c_rn"),
+            *[F.col(f"__cum{j}").alias(f"__c_cum{j}") for j in loops],
+        ]
+        aggs = [
+            F.min_by("__c_ts", "__c_rn").alias(f"{cname}_ts"),
+            F.min("__c_rn").alias(f"{cname}_rn"),
+            *[F.min_by(f"__c_cum{j}", "__c_rn").alias(f"__npcum{j}")
+              for j in loops],
+        ]
+        if pending_loop is None:
+            cand = base.filter(pred).select(*sel)
+            cond = (
+                (F.col("__c_rn") == prev_rn + 1)
+                if strict
+                else (F.col("__c_rn") > prev_rn)
+            )
+        else:
+            # successor bind with embedded loop hand-off: h = min rn of a
+            # successor candidate with >= min loop matches in the gap (a
+            # too-early candidate is skipped; a candidate also matching
+            # the loop does not count itself — proceed priority)
+            li = pending_loop
+            lname, _lpred, _, lmn, lmx = positives[li]
+            sel.append(
+                (F.col(f"__cum{li}") - F.col(f"__m{li}")).alias("__c_gap")
+            )
+            cand = base.filter(pred).select(*sel)
+            cond = (F.col("__c_rn") > prev_rn) & (
+                (F.col("__c_gap") - F.col(f"__pcum{li}")) >= F.lit(lmn)
+            )
+            aggs.append(F.min_by("__c_gap", "__c_rn").alias("__h_gap"))
+        chain = chain.join(cand, key).filter(cond).groupBy(key, *carry).agg(*aggs)
+        if pending_loop is not None:
+            # __pcum{li} (a groupBy key) still holds the PREDECESSOR's cum
+            li = pending_loop
+            lname, _lpred, _, lmn, lmx = positives[li]
+            cnt = (F.col("__h_gap") - F.col(f"__pcum{li}")).cast("long")
+            if lmx is not None:
+                cnt = F.least(cnt, F.lit(lmx).cast("long"))
+            chain = chain.withColumn(f"{lname}_count", cnt).drop("__h_gap")
+            # first/last taken loop events, fetched by per-key cum index
+            # (two keyed equi-joins against the loop-match list)
+            lev = base.filter(F.col(f"__m{li}") == 1)
+            first_ev = lev.select(
+                F.col(key).alias("__lf_key"),
+                F.col(f"__cum{li}").alias("__lf_idx"),
+                F.col("__ts").alias(f"{lname}_first_ts"),
+                F.col("__rn").alias(f"{lname}_first_rn"),
+            )
+            last_ev = lev.select(
+                F.col(key).alias("__ll_key"),
+                F.col(f"__cum{li}").alias("__ll_idx"),
+                F.col("__ts").alias(f"{lname}_last_ts"),
+                F.col("__rn").alias(f"{lname}_last_rn"),
+            )
+            chain = (
+                chain.withColumn(
+                    "__want_f",
+                    F.when(F.col(f"{lname}_count") > 0,
+                           F.col(f"__pcum{li}") + 1),
+                )
+                .withColumn(
+                    "__want_l",
+                    F.when(F.col(f"{lname}_count") > 0,
+                           F.col(f"__pcum{li}") + F.col(f"{lname}_count")),
+                )
+                .join(
+                    first_ev,
+                    (F.col(key) == F.col("__lf_key"))
+                    & (F.col("__want_f") == F.col("__lf_idx")),
+                    "left",
+                )
+                .drop("__lf_key", "__lf_idx")
+                .join(
+                    last_ev,
+                    (F.col(key) == F.col("__ll_key"))
+                    & (F.col("__want_l") == F.col("__ll_idx")),
+                    "left",
+                )
+                .drop("__ll_key", "__ll_idx", "__want_f", "__want_l")
+            )
+            bound.append({
+                "kind": "loop", "first_ts": f"{lname}_first_ts",
+                "last_ts": f"{lname}_last_ts", "cnt": f"{lname}_count",
+                "first_rn": f"{lname}_first_rn", "last_rn": f"{lname}_last_rn",
+            })
+            carry += [f"{lname}_first_ts", f"{lname}_first_rn",
+                      f"{lname}_last_ts", f"{lname}_last_rn", f"{lname}_count"]
+        for j in loops:
+            chain = chain.withColumn(f"__pcum{j}", F.col(f"__npcum{j}")).drop(
+                f"__npcum{j}"
+            )
+        bound.append({"kind": "plain", "ts": f"{cname}_ts", "rn": f"{cname}_rn"})
+        carry += [f"{cname}_ts", f"{cname}_rn"]
+        pending_loop = None
+
+    anchor_ts = bound[0]["ts"]
+    if within is not None and bound[-1]["kind"] == "plain":
         chain = chain.filter(
-            F.col(last_ts) <= F.col(anchor_ts) + within_interval(within)
+            F.col(bound[-1]["ts"]) <= F.col(anchor_ts) + within_interval(within)
         )
     for pred, li, ri in negations:
         neg = base.filter(pred).select(F.col(key), F.col("__rn").alias("__n_rn"),
                                        F.col("__ts").alias("__n_ts"))
-        left_rn = F.col(bound[li][1])
+        left_rn = F.col(bound[li]["rn"])
         if ri is not None:
-            cond = (F.col("__n_rn") > left_rn) & (F.col("__n_rn") < F.col(bound[ri][1]))
+            cond = (F.col("__n_rn") > left_rn) & (
+                F.col("__n_rn") < F.col(bound[ri]["rn"])
+            )
         else:  # terminal notFollowedBy: up to anchor + within
             cond = (F.col("__n_rn") > left_rn) & (
                 F.col("__n_ts") <= F.col(anchor_ts) + within_interval(within)
             )
         chain = chain.join(neg, on=(chain[key] == neg[key]) & cond, how="left_anti")
+
+    out_cols: list[str] = []
+    for i, spec in enumerate(positives):
+        b = bound[i]
+        if b["kind"] == "plain":
+            out_cols.append(b["ts"])
+        else:
+            out_cols += [b["first_ts"], b["last_ts"], b["cnt"]]
     if emit == "all":
-        return chain.select(key, *[t for t, _ in bound])
-    w_first = Window.partitionBy(key).orderBy(bound[0][1])
+        if after_match == "skip_past_last":
+            return _skip_past_last(chain, key, bound, out_cols)
+        return chain.select(key, *out_cols)
+    w_first = Window.partitionBy(key).orderBy(bound[0]["rn"])
     return (
         chain.withColumn("__pick", F.row_number().over(w_first))
         .filter(F.col("__pick") == 1)
-        .select(key, *[t for t, _ in bound])
+        .select(key, *out_cols)
     )
+
+
+def _skip_past_last(
+    chain: DataFrame, key: str, bound: list[dict], out_cols: list[str]
+) -> DataFrame:
+    """Flink SKIP_PAST_LAST_EVENT replay over one key's COMPLETED
+    chains: scan in completion order (last bound rn, then anchor rn)
+    and keep a chain only if its anchor lies strictly after the
+    previously kept chain's last bound position.  Valid because chains
+    bind per-anchor deterministically (no cross-anchor interaction), so
+    skipping only selects WHICH anchors survive — the kept set is
+    exactly what the streaming NFA emits under SKIP_PAST_LAST.  Scale:
+    grouped by key; each group holds that key's completed chains
+    (bounded by anchors, <= max_anchors_per_key when set), never its
+    events."""
+    from pyspark.sql.types import StructType
+
+    last = bound[-1]
+    last_rn = last["rn"] if last["kind"] == "plain" else last["last_rn"]
+    sel = chain.select(
+        F.col(key),
+        F.col(bound[0]["rn"]).alias("__a_rn"),
+        F.col(last_rn).alias("__e_rn"),
+        *out_cols,
+    )
+    out_schema = StructType(
+        [f for f in sel.schema.fields if f.name not in ("__a_rn", "__e_rn")]
+    )
+
+    def pick(pdf):
+        pdf = pdf.sort_values(["__e_rn", "__a_rn"])
+        keep, horizon = [], -1
+        for row_idx, a_rn, e_rn in zip(pdf.index, pdf["__a_rn"], pdf["__e_rn"]):
+            if a_rn > horizon:
+                keep.append(row_idx)
+                horizon = e_rn
+        return pdf.loc[keep].drop(columns=["__a_rn", "__e_rn"])
+
+    return sel.groupBy(key).applyInPandas(pick, schema=out_schema)
 
 
 def transition_matrix(

@@ -2464,3 +2464,167 @@ def test_histogram_quantiles_q_zero_and_bounds(spark):
         histogram_quantiles_df(regs, ["grp"], 10.0, [1.5])
     with _pytest.raises(ValueError, match=r"\[0, 1\]"):
         histogram_quantile([(0, 1)], 10.0, -0.5)
+
+
+def test_cep_pattern_loop_quantifiers(spark):
+    """Looping quantifiers on match_pattern: one_or_more takes matching
+    events greedily UNTIL the next step binds (until-style stop), a
+    too-early successor candidate is skipped until the loop minimum is
+    met, times_or_more(n) needs n loop matches before the hand-off,
+    optional takes at most one (empty -> NULLs/0), and a TERMINAL loop
+    takes every match inside anchor+within."""
+    from datetime import datetime as dt
+
+    import pytest as _pytest
+
+    from flink_realtime_dw4_0_spark.operators import cep
+
+    T = lambda s: dt(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # u1: A c c c B -> loop takes 3 clicks
+        ("u1", T(1), 1, "A"), ("u1", T(2), 2, "c"), ("u1", T(3), 3, "c"),
+        ("u1", T(4), 4, "c"), ("u1", T(5), 5, "B"),
+        # u2: A B (no click) -> one_or_more fails; optional passes empty
+        ("u2", T(1), 1, "A"), ("u2", T(2), 2, "B"),
+        # u3: A c B c B -> loop stops at the FIRST viable B (1 click)
+        ("u3", T(1), 1, "A"), ("u3", T(2), 2, "c"), ("u3", T(3), 3, "B"),
+        ("u3", T(4), 4, "c"), ("u3", T(5), 5, "B"),
+        # u4: A B c B -> too-early B skipped; loop takes c; later B binds
+        ("u4", T(1), 1, "A"), ("u4", T(2), 2, "B"), ("u4", T(3), 3, "c"),
+        ("u4", T(4), 4, "B"),
+        # u5: A x c x c B -> noise skipped (relaxed), 2 clicks taken
+        ("u5", T(1), 1, "A"), ("u5", T(2), 2, "x"), ("u5", T(3), 3, "c"),
+        ("u5", T(4), 4, "x"), ("u5", T(5), 5, "c"), ("u5", T(6), 6, "B"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, event_id long, event_type string"
+    )
+    A = F.col("event_type") == "A"
+    C = F.col("event_type") == "c"
+    B = F.col("event_type") == "B"
+
+    got = {r.user_id: (r.click_first_ts and r.click_first_ts.second,
+                       r.click_last_ts and r.click_last_ts.second,
+                       r.click_count, r.b_ts.second)
+           for r in cep.match_pattern(
+               ev, [{"name": "a", "where": A},
+                    {"name": "click", "where": C, "one_or_more": True},
+                    {"name": "b", "where": B}], within="1 HOUR").collect()}
+    assert got == {"u1": (2, 4, 3, 5), "u3": (2, 2, 1, 3),
+                   "u4": (3, 3, 1, 4), "u5": (3, 5, 2, 6)}
+
+    got2 = {r.user_id: (r.click_count, r.b_ts.second)
+            for r in cep.match_pattern(
+                ev, [{"name": "a", "where": A},
+                     {"name": "click", "where": C, "times_or_more": 2},
+                     {"name": "b", "where": B}], within="1 HOUR").collect()}
+    assert got2 == {"u1": (3, 5), "u3": (2, 5), "u5": (2, 6)}
+
+    got3 = {r.user_id: (r.click_first_ts and r.click_first_ts.second,
+                        r.click_count, r.b_ts.second)
+            for r in cep.match_pattern(
+                ev, [{"name": "a", "where": A},
+                     {"name": "click", "where": C, "optional": True},
+                     {"name": "b", "where": B}], within="1 HOUR").collect()}
+    assert got3 == {"u1": (2, 1, 5), "u2": (None, 0, 2), "u3": (2, 1, 3),
+                    "u4": (None, 0, 2), "u5": (3, 1, 6)}
+
+    # terminal loop: clicks at 2,3 inside a 10 s window; the one at 40 out
+    rows_t = [("t1", T(1), 1, "A"), ("t1", T(2), 2, "c"), ("t1", T(3), 3, "c"),
+              ("t1", T(40), 4, "c"), ("t2", T(1), 1, "A"), ("t2", T(40), 2, "c")]
+    evt = spark.createDataFrame(
+        rows_t, "user_id string, ts timestamp, event_id long, event_type string"
+    )
+    term = [{"name": "a", "where": A},
+            {"name": "click", "where": C, "one_or_more": True}]
+    gt = {r.user_id: (r.click_first_ts.second, r.click_last_ts.second,
+                      r.click_count)
+          for r in cep.match_pattern(evt, term, within="10 SECOND").collect()}
+    assert gt == {"t1": (2, 3, 2)}
+
+    # validation guards
+    with _pytest.raises(ValueError, match="terminal looping"):
+        cep.match_pattern(evt, term, within=None)
+    with _pytest.raises(ValueError, match="optional step cannot be terminal"):
+        cep.match_pattern(
+            evt, [{"name": "a", "where": A},
+                  {"name": "click", "where": C, "optional": True}],
+            within="1 HOUR")
+    with _pytest.raises(ValueError, match="consecutive quantified"):
+        cep.unroll_pattern(
+            [{"name": "a", "where": A},
+             {"name": "b", "where": B, "one_or_more": True},
+             {"name": "c", "where": C, "optional": True},
+             {"name": "d", "where": A}])
+    with _pytest.raises(ValueError, match="strict step cannot directly follow"):
+        cep.unroll_pattern(
+            [{"name": "a", "where": A},
+             {"name": "b", "where": B, "one_or_more": True},
+             {"name": "c", "where": C, "contiguity": "strict"}])
+    with _pytest.raises(ValueError, match="relaxed contiguity"):
+        cep.unroll_pattern(
+            [{"name": "a", "where": A},
+             {"name": "b", "where": B, "one_or_more": True,
+              "contiguity": "strict"}])
+    with _pytest.raises(ValueError, match="adjacent to a quantified"):
+        cep.unroll_pattern(
+            [{"name": "a", "where": A},
+             {"name": "b", "where": B, "one_or_more": True},
+             {"name": "n", "where": C, "negated": True},
+             {"name": "d", "where": A}])
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        cep.unroll_pattern(
+            [{"name": "a", "where": A},
+             {"name": "b", "where": B, "one_or_more": True, "times": 2}])
+    with _pytest.raises(ValueError, match="anchor step must be a plain"):
+        cep.unroll_pattern(
+            [{"name": "a", "where": A, "one_or_more": True},
+             {"name": "b", "where": B}])
+
+
+def test_cep_pattern_after_match_skip(spark):
+    """After-match strategies on emit='all': skip_past_last keeps only
+    chains whose anchor lies strictly past the previous kept chain's
+    last bound event (Flink SKIP_PAST_LAST_EVENT); skip_to_next equals
+    no_skip in this machine (one deterministic match per anchor) and is
+    accepted for API parity; invalid combos raise."""
+    from datetime import datetime as dt
+
+    import pytest as _pytest
+
+    from flink_realtime_dw4_0_spark.operators import cep
+
+    T = lambda s: dt(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # three overlapping anchors complete on the same B@4 -> one kept;
+        # A@6 -> B@7 is past it -> second kept
+        ("k", T(1), 1, "A"), ("k", T(2), 2, "A"), ("k", T(3), 3, "A"),
+        ("k", T(4), 4, "B"), ("k", T(5), 5, "B"),
+        ("k", T(6), 6, "A"), ("k", T(7), 7, "B"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, event_id long, event_type string"
+    )
+    pat = [{"name": "a", "where": F.col("event_type") == "A"},
+           {"name": "b", "where": F.col("event_type") == "B"}]
+    all_rows = {(r.a_ts.second, r.b_ts.second)
+                for r in cep.match_pattern(ev, pat, within="1 HOUR",
+                                           emit="all").collect()}
+    assert all_rows == {(1, 4), (2, 4), (3, 4), (6, 7)}
+    kept = {(r.a_ts.second, r.b_ts.second)
+            for r in cep.match_pattern(
+                ev, pat, within="1 HOUR", emit="all",
+                after_match="skip_past_last").collect()}
+    assert kept == {(1, 4), (6, 7)}
+    next_rows = {(r.a_ts.second, r.b_ts.second)
+                 for r in cep.match_pattern(
+                     ev, pat, within="1 HOUR", emit="all",
+                     after_match="skip_to_next").collect()}
+    assert next_rows == all_rows
+
+    with _pytest.raises(ValueError, match="emit='all'"):
+        cep.match_pattern(ev, pat, within="1 HOUR",
+                          after_match="skip_past_last")
+    with _pytest.raises(ValueError, match="after_match"):
+        cep.match_pattern(ev, pat, within="1 HOUR", emit="all",
+                          after_match="skip_to_last")

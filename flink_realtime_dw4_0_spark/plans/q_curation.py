@@ -2384,6 +2384,229 @@ def cep_pattern_all_matches_q(spark, sf_dir):
 
 
 @q(
+    "cep_pattern_one_or_more",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS cumc
+      FROM events),
+    a0 AS (
+      SELECT user_id, view_ts, view_rn, view_cum FROM (
+        SELECT user_id, ts AS view_ts, rn AS view_rn, cumc AS view_cum,
+               row_number() OVER (PARTITION BY user_id ORDER BY rn) AS cp
+        FROM e WHERE event_type = 'view')
+      WHERE cp <= 5),
+    h AS (
+      SELECT a.user_id, view_ts, view_rn, view_cum,
+             min(e.rn) AS p_rn, arg_min(e.ts, e.rn) AS p_ts,
+             arg_min(e.cumc - CASE WHEN e.event_type = 'click' THEN 1 ELSE 0 END,
+                     e.rn) AS h_gap
+      FROM a0 a JOIN e ON e.user_id = a.user_id
+      WHERE e.event_type = 'purchase' AND e.rn > a.view_rn
+        AND (e.cumc - CASE WHEN e.event_type = 'click' THEN 1 ELSE 0 END)
+            - a.view_cum >= 1
+      GROUP BY 1, 2, 3, 4),
+    c AS (SELECT h.*, h_gap - view_cum AS n_clicks FROM h),
+    fl AS (
+      SELECT c.user_id, view_ts, view_rn, p_ts, n_clicks,
+             f.ts AS first_ts, l.ts AS last_ts
+      FROM c
+      JOIN e f ON f.user_id = c.user_id AND f.event_type = 'click'
+              AND f.cumc = c.view_cum + 1
+      JOIN e l ON l.user_id = c.user_id AND l.event_type = 'click'
+              AND l.cumc = c.view_cum + c.n_clicks),
+    m AS (
+      SELECT user_id, view_ts, first_ts, last_ts, n_clicks, p_ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY view_rn) AS pick
+      FROM fl WHERE p_ts <= view_ts + INTERVAL 7 DAY)
+    SELECT user_id, epoch_us(view_ts) AS view_us,
+           epoch_us(first_ts) AS click_first_us,
+           epoch_us(last_ts) AS click_last_us,
+           CAST(n_clicks AS BIGINT) AS click_count,
+           epoch_us(p_ts) AS purchase_us
+    FROM m WHERE pick = 1
+    """,
+    tags=("cep", "pattern", "quantifier", "loop"),
+)
+def cep_pattern_one_or_more_q(spark, sf_dir):
+    """Flink-CEP looping quantifier (Pattern.begin('view')
+    .followedBy('click').oneOrMore().followedBy('purchase')
+    .within(7 days)): the click loop takes every click greedily UNTIL
+    the purchase binds — the hand-off is the minimum purchase position
+    with at least one click strictly in the gap (a too-early purchase
+    is skipped), and the loop emits first/last/count.  The oracle
+    replays the hand-off with a per-key cumulative click count window
+    and fetches the first/last taken clicks by cum index — exactly
+    operators/cep.py match_pattern's plan shape."""
+    from ..operators import cep
+
+    ev = t(spark, sf_dir, "events")
+    m = cep.match_pattern(
+        ev,
+        [
+            {"name": "view", "where": F.col("event_type") == "view"},
+            {"name": "click", "where": F.col("event_type") == "click",
+             "one_or_more": True},
+            {"name": "purchase", "where": F.col("event_type") == "purchase"},
+        ],
+        within="7 DAY",
+        max_anchors_per_key=5,
+    )
+    return m.select(
+        "user_id",
+        F.unix_micros("view_ts").alias("view_us"),
+        F.unix_micros("click_first_ts").alias("click_first_us"),
+        F.unix_micros("click_last_ts").alias("click_last_us"),
+        F.col("click_count"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+    )
+
+
+@q(
+    "cep_pattern_optional",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS cumv
+      FROM events),
+    a0 AS (
+      SELECT user_id, signup_ts, signup_rn, signup_cum FROM (
+        SELECT user_id, ts AS signup_ts, rn AS signup_rn, cumv AS signup_cum,
+               row_number() OVER (PARTITION BY user_id ORDER BY rn) AS cp
+        FROM e WHERE event_type = 'signup')
+      WHERE cp <= 5),
+    s1 AS (
+      SELECT a.user_id, signup_ts, signup_rn, signup_cum,
+             min(e.rn) AS p_rn, arg_min(e.ts, e.rn) AS p_ts,
+             arg_min(e.cumv - CASE WHEN e.event_type = 'view' THEN 1 ELSE 0 END,
+                     e.rn) AS h_gap
+      FROM a0 a JOIN e ON e.user_id = a.user_id
+      WHERE e.event_type = 'purchase' AND e.rn > a.signup_rn
+      GROUP BY 1, 2, 3, 4),
+    c AS (
+      SELECT s1.*, CASE WHEN h_gap - signup_cum >= 1 THEN 1 ELSE 0 END AS n_views
+      FROM s1),
+    fl AS (
+      SELECT c.user_id, signup_ts, signup_rn, p_ts, n_views, f.ts AS view_ts
+      FROM c LEFT JOIN e f
+        ON f.user_id = c.user_id AND f.event_type = 'view'
+       AND c.n_views = 1 AND f.cumv = c.signup_cum + 1),
+    m AS (
+      SELECT user_id, signup_ts, view_ts, n_views, p_ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY signup_rn) AS pick
+      FROM fl WHERE p_ts <= signup_ts + INTERVAL 7 DAY)
+    SELECT user_id, epoch_us(signup_ts) AS signup_us,
+           epoch_us(view_ts) AS view_us, CAST(n_views AS BIGINT) AS view_count,
+           epoch_us(p_ts) AS purchase_us
+    FROM m WHERE pick = 1
+    """,
+    tags=("cep", "pattern", "quantifier", "optional"),
+)
+def cep_pattern_optional_q(spark, sf_dir):
+    """Flink-CEP optional quantifier (Pattern.begin('signup')
+    .followedBy('view').optional().followedBy('purchase')
+    .within(7 days)): the purchase binds at its earliest position
+    regardless (min = 0), the optional view takes the first view in the
+    gap if any (NULL + count 0 otherwise) — proceed priority, so a
+    too-late view is simply absent.  Oracle: the same cum-index fetch
+    as the loop twin, LEFT-joined."""
+    from ..operators import cep
+
+    ev = t(spark, sf_dir, "events")
+    m = cep.match_pattern(
+        ev,
+        [
+            {"name": "signup", "where": F.col("event_type") == "signup"},
+            {"name": "view", "where": F.col("event_type") == "view",
+             "optional": True},
+            {"name": "purchase", "where": F.col("event_type") == "purchase"},
+        ],
+        within="7 DAY",
+        max_anchors_per_key=5,
+    )
+    return m.select(
+        "user_id",
+        F.unix_micros("signup_ts").alias("signup_us"),
+        F.unix_micros("view_first_ts").alias("view_us"),
+        F.col("view_count"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+    )
+
+
+@q(
+    "cep_pattern_skip_past_last",
+    """
+    WITH RECURSIVE e AS (
+      SELECT user_id, ts, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    a0 AS (
+      SELECT user_id, signup_ts, signup_rn FROM (
+        SELECT user_id, ts AS signup_ts, rn AS signup_rn,
+               row_number() OVER (PARTITION BY user_id ORDER BY rn) AS cp
+        FROM e WHERE event_type = 'signup')
+      WHERE cp <= 5),
+    chains AS (
+      SELECT a.user_id, signup_ts, signup_rn,
+             min(e.rn) AS p_rn, arg_min(e.ts, e.rn) AS p_ts
+      FROM a0 a JOIN e ON e.user_id = a.user_id
+      WHERE e.event_type = 'purchase' AND e.rn > a.signup_rn
+      GROUP BY 1, 2, 3),
+    surv AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY p_rn, signup_rn) AS idx
+      FROM chains WHERE p_ts <= signup_ts + INTERVAL 7 DAY),
+    rec AS (
+      SELECT user_id, idx, signup_ts, signup_rn, p_ts, p_rn,
+             TRUE AS kept, p_rn AS horizon
+      FROM surv WHERE idx = 1
+      UNION ALL
+      SELECT s.user_id, s.idx, s.signup_ts, s.signup_rn, s.p_ts, s.p_rn,
+             s.signup_rn > r.horizon,
+             CASE WHEN s.signup_rn > r.horizon THEN s.p_rn ELSE r.horizon END
+      FROM surv s JOIN rec r ON s.user_id = r.user_id AND s.idx = r.idx + 1)
+    SELECT user_id, epoch_us(signup_ts) AS signup_us,
+           epoch_us(p_ts) AS purchase_us
+    FROM rec WHERE kept
+    """,
+    tags=("cep", "pattern", "after-match", "skip"),
+)
+def cep_pattern_skip_past_last_q(spark, sf_dir):
+    """Flink AfterMatchSkipStrategy.skipPastLastEvent() on the
+    multi-anchor match set: an emitted match discards every partial
+    that started at or before its last event, so overlapping
+    signup→purchase chains collapse to a non-overlapping greedy
+    selection in completion order.  The oracle replays the per-key
+    greedy scan as a recursive CTE over the completed chains (keep a
+    chain iff its anchor lies strictly past the running horizon)."""
+    from ..operators import cep
+
+    ev = t(spark, sf_dir, "events")
+    m = cep.match_pattern(
+        ev,
+        [
+            {"name": "signup", "where": F.col("event_type") == "signup"},
+            {"name": "purchase", "where": F.col("event_type") == "purchase"},
+        ],
+        within="7 DAY",
+        max_anchors_per_key=5,
+        emit="all",
+        after_match="skip_past_last",
+    )
+    return m.select(
+        "user_id",
+        F.unix_micros("signup_ts").alias("signup_us"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+    )
+
+
+@q(
     "markov_event_transitions",
     """
     WITH o AS (

@@ -3215,3 +3215,169 @@ def test_streaming_pattern_anchor_caps(spark, tmp_path):
                   match_pattern(bdf, pat, within="1 minute", emit="all",
                                 max_anchors_per_key=2).collect())
     assert twin == [base + 1 * SEC, base + 2 * SEC]
+
+
+def _drive_restart(spark, tmp_path, name, build_out, batches, split):
+    """Checkpoint-restart harness: run `build_out(stream)` over the
+    first `split` files, let the availableNow query terminate, append
+    the remaining files, then start a brand-NEW query object on the
+    SAME checkpoint and sink.  Also runs an uninterrupted twin (all
+    files, one query, separate checkpoint).  Returns (restarted,
+    uninterrupted) result row sets read back from the parquet sinks
+    (whose _spark_metadata logs give the exactly-once view)."""
+    import json
+
+    def write_files(src, upto):
+        src.mkdir(exist_ok=True)
+        for i, rs in enumerate(batches[:upto]):
+            p = src / f"b{i}.json"
+            if p.exists():
+                continue
+            with open(p, "w") as fh:
+                for r in rs:
+                    fh.write(json.dumps(r) + "\n")
+            os.utime(p, (1_000_000 + 10 * i, 1_000_000 + 10 * i))
+
+    schema = "user_id string, ts long, event_id long, event_type string"
+
+    def run(src, ck, out, upto):
+        write_files(src, upto)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).json(str(src))
+        )
+        q = (
+            build_out(stream).writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ck))
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(600)
+
+    n = len(batches)
+    run(tmp_path / f"{name}_s1", tmp_path / f"{name}_ck1",
+        tmp_path / f"{name}_o1", split)
+    # process boundary: the first query object is gone; a NEW one resumes
+    # from the checkpoint's offsets + state store
+    run(tmp_path / f"{name}_s1", tmp_path / f"{name}_ck1",
+        tmp_path / f"{name}_o1", n)
+    run(tmp_path / f"{name}_s2", tmp_path / f"{name}_ck2",
+        tmp_path / f"{name}_o2", n)
+
+    def read(out):
+        rows = spark.read.parquet(str(out)).collect()
+        return sorted(tuple(x if not isinstance(x, list) else tuple(x)
+                            for x in r) for r in rows)
+
+    return read(tmp_path / f"{name}_o1"), read(tmp_path / f"{name}_o2")
+
+
+@pytest.mark.parametrize("op", ["cep_seq", "cep_pattern_loop", "rate_limit",
+                                "first_seen"])
+def test_checkpoint_restart_equals_uninterrupted(spark, tmp_path, op):
+    """T7 exactly-once STATE across a process boundary (BaseAPP.java's
+    checkpoint contract): for each stateful family, stop an availableNow
+    query, append more source files, restart a brand-new query object
+    from the same checkpoint — the combined output must equal an
+    uninterrupted run.  In-flight partial matches, seal buffers, loop
+    accumulators, window counters, and first-seen markers all round-trip
+    through the checkpoint state store."""
+    base = 1_700_000_000_000
+    SEC = 1_000
+
+    def ev(u, t_s, eid, et):
+        return {"user_id": u, "ts": base + int(t_s * SEC), "event_id": eid,
+                "event_type": et}
+
+    if op == "cep_seq":
+        from flink_realtime_dw4_0_spark.streaming.cep import match_sequence_stream
+
+        batches = [
+            [ev("u1", 1, 1, "A"), ev("u2", 2, 2, "A")],
+            [ev("u1", 5, 3, "B"), ev("u3", 6, 4, "A")],
+            # ---- restart happens here: u1 mid-chain, u2/u3 pending ----
+            [ev("u1", 8, 5, "C"), ev("u2", 9, 6, "B")],
+            [ev("u9", 900, 9, "A")],  # watermark sentinel
+        ]
+
+        def build(stream):
+            return match_sequence_stream(
+                stream,
+                [("a", F.col("event_type") == "A"),
+                 ("b", F.col("event_type") == "B"),
+                 ("c", F.col("event_type") == "C")],
+                within="1 minute", watermark="5 seconds", event_id="event_id",
+            )
+
+    elif op == "cep_pattern_loop":
+        from flink_realtime_dw4_0_spark.streaming.cep_pattern import (
+            match_pattern_stream,
+        )
+
+        batches = [
+            [ev("u1", 1, 1, "A"), ev("u1", 2, 2, "c")],
+            [ev("u1", 3, 3, "c"), ev("u9", 30, 4, "A")],  # wm seals u1's head
+            # ---- restart: u1's loop accumulator (cnt=?,first,last) live ----
+            [ev("u1", 40, 5, "B")],
+            [ev("u9", 900, 9, "c")],  # watermark sentinel
+        ]
+
+        def build(stream):
+            return match_pattern_stream(
+                stream,
+                [{"name": "a", "where": F.col("event_type") == "A"},
+                 {"name": "click", "where": F.col("event_type") == "c",
+                  "one_or_more": True},
+                 {"name": "b", "where": F.col("event_type") == "B"}],
+                within="1 minute", watermark="5 seconds", event_id="event_id",
+                mode="all",
+            )
+
+    elif op == "rate_limit":
+        from flink_realtime_dw4_0_spark.streaming.ratelimit import rate_limit_stream
+
+        batches = [
+            [ev("u1", 1, 1, "x"), ev("u1", 2, 2, "x")],
+            # ---- restart: the window counter (2 admitted) must persist ----
+            [ev("u1", 3, 3, "x"), ev("u1", 4, 4, "x")],  # same window: reject
+            [ev("u1", 15, 5, "x")],  # next window: admit again
+        ]
+
+        def build(stream):
+            return rate_limit_stream(stream, cap=2, window="10 seconds",
+                                     key="user_id", watermark="5 seconds")
+
+    else:  # first_seen
+        from flink_realtime_dw4_0_spark.operators.state import first_seen
+
+        DAY = 86_400_000
+        batches = [
+            [{"user_id": "k1", "ts": base, "event_id": 1, "event_type": "x"},
+             {"user_id": "k2", "ts": base + 1, "event_id": 2, "event_type": "x"}],
+            # ---- restart: k1/k2 already flagged; dups must NOT re-flag ----
+            [{"user_id": "k1", "ts": base + 2, "event_id": 3, "event_type": "x"},
+             {"user_id": "k3", "ts": base + 3, "event_id": 4, "event_type": "x"}],
+            [{"user_id": "k1", "ts": base + DAY, "event_id": 5,
+              "event_type": "x"}],  # next day: k1 flags again
+        ]
+
+        def build(stream):
+            return first_seen(
+                stream.select(F.col("user_id").alias("key"), "ts"),
+                delay="1 hour",
+            )
+
+    split = 2
+    restarted, uninterrupted = _drive_restart(
+        spark, tmp_path, f"ckr_{op}", build, batches, split
+    )
+    assert restarted == uninterrupted and len(uninterrupted) > 0
+    if op == "rate_limit":
+        admitted = {(r[1] - base) // 1000: r[4] for r in uninterrupted}
+        assert admitted == {1: 1, 2: 1, 3: 0, 4: 0, 15: 1}
+    if op == "cep_pattern_loop":
+        # the in-flight loop accumulator crossed the restart intact
+        matches = [r for r in uninterrupted if r[1] == "match"]
+        assert any(tuple(r[3]) == (base + 1 * SEC, base + 2 * SEC,
+                                   base + 3 * SEC, 2, base + 40 * SEC)
+                   for r in matches)

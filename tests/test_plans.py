@@ -508,3 +508,44 @@ def test_round4_operator_plan_shapes(spark, sf_dir):
     mix_plan = mix._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" in mix_plan      # quota table broadcast
     assert "CartesianProduct" not in mix_plan
+
+
+def test_estimator_plan_shapes(spark, sf_dir):
+    """Plan gates for the end-to-end sketch estimators (r5 VERDICT #7):
+    count-min probes derive their depth positions in ONE pass over the
+    probe plan (no per-row Union re-evaluation) feeding a single join
+    against the registers; histogram quantiles run a FIXED number of
+    window passes shared by every requested prob (the tiny probs frame
+    is broadcast — never a window per prob, never a cartesian)."""
+    from flink_realtime_dw4_0_spark.operators import text
+    from flink_realtime_dw4_0_spark.operators.profiling import (
+        countmin_estimate_df, countmin_registers, histogram_quantiles_df,
+        histogram_registers,
+    )
+    from flink_realtime_dw4_0_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    orders = load_table(spark, sf_dir, "orders")
+    toks = docs.select(F.explode(text.tokenize("text")).alias("token"))
+    regs = countmin_registers(toks, "token")
+    probe = spark.createDataFrame([("alpha",), ("beta",)], "token string")
+    cm_plan = (
+        countmin_estimate_df(regs, probe)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Union" not in cm_plan  # one pass over the probe plan
+    assert cm_plan.count("Join") == 1  # depth rows/key -> registers, once
+
+    regs_h = histogram_registers(orders, "o_totalprice", ["o_orderstatus"],
+                                 20000.0)
+    def win_plan(probs):
+        return (
+            histogram_quantiles_df(regs_h, ["o_orderstatus"], 20000.0, probs)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    p1, p3 = win_plan([0.5]), win_plan([0.1, 0.5, 0.9])
+    # the cumsum + total windows are a FIXED cost: more probs, same plan
+    assert p1.count("Window [") == p3.count("Window [") == 2
+    assert "BroadcastNestedLoopJoin" in p3  # broadcast probs, not cartesian
+    assert "CartesianProduct" not in p3
+    assert p3.count("Exchange hashpartitioning") <= 2

@@ -556,6 +556,7 @@ def main() -> None:
             "cep_pattern_one_or_more",
             "cep_pattern_optional",
             "cep_pattern_skip_past_last",
+            "cep_pattern_times_range",
         ]
         etimes: dict[str, float] = {}
         ereps: dict[str, list[float]] = {}

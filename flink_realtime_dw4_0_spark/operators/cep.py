@@ -167,8 +167,9 @@ def unroll_pattern(pattern: list[dict]):
     negations ``[(pred, left_idx, right_idx_or_None_for_terminal)]``).
     ``min/max_times`` are the step's quantifier bounds — plain steps
     ``(1, 1)``, ``optional: True`` → ``(0, 1)``, ``one_or_more: True``
-    → ``(1, None)``, ``times_or_more: n`` → ``(n, None)`` (``None`` =
-    unbounded).  ``times: n`` still unrolls to n plain copies.  Raises
+    → ``(1, None)``, ``times_or_more: n`` → ``(n, None)``,
+    ``times_range: (m, M)`` → ``(m, M)`` (``None`` = unbounded).
+    ``times: n`` still unrolls to n plain copies.  Raises
     on every invalid shape both engines must reject identically:
 
     * the anchor must be a plain positive step;
@@ -189,8 +190,8 @@ def unroll_pattern(pattern: list[dict]):
     negations: list[tuple[object, int, int | None]] = []
     for p in pattern:
         strict = p.get("contiguity", "relaxed") == "strict"
-        quant = [k for k in ("one_or_more", "times_or_more", "optional")
-                 if p.get(k)]
+        quant = [k for k in ("one_or_more", "times_or_more", "optional",
+                             "times_range") if p.get(k)]
         if p.get("negated"):
             if "times" in p or strict or quant:
                 raise ValueError(
@@ -227,6 +228,13 @@ def unroll_pattern(pattern: list[dict]):
                 mn, mx = 1, None
             elif quant[0] == "optional":
                 mn, mx = 0, 1
+            elif quant[0] == "times_range":  # Flink times(from, to)
+                mn, mx = (int(x) for x in p["times_range"])
+                if mn < 0 or mx < max(mn, 1):
+                    raise ValueError(
+                        f"times_range needs 0 <= from <= to (to >= 1), "
+                        f"got {p['times_range']!r}"
+                    )
             else:
                 mn, mx = int(p["times_or_more"]), None
                 if mn < 1:
@@ -307,6 +315,7 @@ def match_pattern(
          "times": 2,                                  # times(n), default 1
          "one_or_more": True,                         # oneOrMore (greedy)
          "times_or_more": 3,                          # timesOrMore(n)
+         "times_range": (1, 4),                       # times(from, to)
          "optional": True,                            # times(0..1)
          "contiguity": "strict",                      # 'next'; default relaxed
          "negated": True}                             # notFollowedBy
@@ -383,6 +392,12 @@ def match_pattern(
             raise ValueError(
                 "an optional step cannot be terminal (nothing after it "
                 "ever binds, so the match would be the shorter pattern)"
+            )
+        if positives[-1][4] is not None:
+            raise ValueError(
+                "a terminal quantified step must be unbounded "
+                "(one_or_more / times_or_more) — a bounded times_range "
+                "needs a following step to hand off to"
             )
 
     w_rn = Window.partitionBy(key).orderBy(ts, seq)

@@ -544,11 +544,18 @@ def match_pattern_stream(
     positives, negations = unroll_pattern(pattern)
     n_steps = len(positives)
     specs = [(s[2], s[3], -1 if s[4] is None else s[4]) for s in positives]
-    if not (specs[-1][1] == 1 and specs[-1][2] == 1) and specs[-1][1] < 1:
-        raise ValueError(
-            "an optional step cannot be terminal (nothing after it ever "
-            "binds, so the match would be the shorter pattern)"
-        )
+    if not (specs[-1][1] == 1 and specs[-1][2] == 1):
+        if specs[-1][1] < 1:
+            raise ValueError(
+                "an optional step cannot be terminal (nothing after it "
+                "ever binds, so the match would be the shorter pattern)"
+            )
+        if specs[-1][2] != -1:
+            raise ValueError(
+                "a terminal quantified step must be unbounded "
+                "(one_or_more / times_or_more) — a bounded times_range "
+                "needs a following step to hand off to"
+            )
     if after_match not in ("no_skip", "skip_to_next", "skip_past_last"):
         raise ValueError(
             "after_match must be 'no_skip', 'skip_to_next' or "

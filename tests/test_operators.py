@@ -2726,3 +2726,58 @@ def test_resize_real_png_kernel(spark):
                                   "media_id long, payload binary"),
             "media_id", "payload", "image")).collect()}
     assert feats[1] == (2, 2)
+
+
+def test_cep_pattern_times_range(spark):
+    """Flink times(from, to) as times_range: the loop takes at most `to`
+    matches before the hand-off (extra loop matches in the gap are
+    skipped as relaxed noise), needs at least `from`, and a bounded
+    range cannot be terminal."""
+    from datetime import datetime as dt
+
+    import pytest as _pytest
+
+    from flink_realtime_dw4_0_spark.operators import cep
+
+    T = lambda s: dt(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # u1: A c c c c B -> range (1,2) takes the FIRST 2 clicks
+        ("u1", T(1), 1, "A"), ("u1", T(2), 2, "c"), ("u1", T(3), 3, "c"),
+        ("u1", T(4), 4, "c"), ("u1", T(5), 5, "c"), ("u1", T(6), 6, "B"),
+        # u2: A B -> below min, dead
+        ("u2", T(1), 1, "A"), ("u2", T(2), 2, "B"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, event_id long, event_type string"
+    )
+    pat = [{"name": "a", "where": F.col("event_type") == "A"},
+           {"name": "click", "where": F.col("event_type") == "c",
+            "times_range": (1, 2)},
+           {"name": "b", "where": F.col("event_type") == "B"}]
+    got = {r.user_id: (r.click_first_ts.second, r.click_last_ts.second,
+                       r.click_count, r.b_ts.second)
+           for r in cep.match_pattern(ev, pat, within="1 HOUR").collect()}
+    assert got == {"u1": (2, 3, 2, 6)}
+
+    with _pytest.raises(ValueError, match="0 <= from <= to"):
+        cep.unroll_pattern(
+            [{"name": "a", "where": F.lit(True)},
+             {"name": "b", "where": F.lit(True), "times_range": (3, 2)}])
+    with _pytest.raises(ValueError, match="terminal quantified step must be unbounded"):
+        cep.match_pattern(
+            ev, [{"name": "a", "where": F.col("event_type") == "A"},
+                 {"name": "click", "where": F.col("event_type") == "c",
+                  "times_range": (1, 2)}], within="1 HOUR")
+
+    # the stream machine rejects the same terminal-bounded shape
+    from flink_realtime_dw4_0_spark.streaming.cep_pattern import (
+        match_pattern_stream,
+    )
+    with _pytest.raises(ValueError, match="terminal quantified step"):
+        match_pattern_stream(
+            spark.readStream.format("rate").load().selectExpr(
+                "cast(value as string) as user_id", "1 as ts",
+                "value as event_id", "'A' as event_type"),
+            [{"name": "a", "where": F.col("event_type") == "A"},
+             {"name": "click", "where": F.col("event_type") == "c",
+              "times_range": (1, 2)}], within="1 minute")

@@ -3217,6 +3217,69 @@ def test_streaming_pattern_anchor_caps(spark, tmp_path):
     assert twin == [base + 1 * SEC, base + 2 * SEC]
 
 
+def test_streaming_pattern_times_range_golden(spark, tmp_path):
+    """Streaming times_range(from, to) with SHUFFLED arrival equals the
+    batch twin: the loop takes at most `to` matches (the FIRST `to` in
+    stream order — later in-gap loop events are relaxed noise), the
+    successor binds only once `from` is met, and below-minimum anchors
+    resolve as timeouts."""
+    from flink_realtime_dw4_0_spark.operators.cep import match_pattern
+
+    base = 1_700_000_000_000
+    SEC = 1_000
+    all_events = {
+        # 4 clicks, range (1,2): take clicks @2,@3; @4,@5 are noise
+        "u1": [("A", 1), ("c", 2), ("c", 3), ("c", 4), ("c", 5), ("B", 6)],
+        # exactly the minimum
+        "u3": [("A", 1), ("c", 2), ("B", 3)],
+        # zero clicks: below min -> timeout
+        "u2": [("A", 1), ("B", 2)],
+    }
+    rows = [
+        {"user_id": u, "ts": base + s * SEC, "event_id": s, "event_type": e}
+        for u, evs in all_events.items() for e, s in evs
+    ]
+    b1 = [r for r in rows if r["ts"] >= base + 3 * SEC]   # reversed halves
+    b2 = [r for r in rows if r["ts"] < base + 3 * SEC]
+    b3 = [{"user_id": "u9", "ts": base + 900_000, "event_id": 99,
+           "event_type": "A"}]
+    pat = [
+        {"name": "a", "where": F.col("event_type") == "A"},
+        {"name": "click", "where": F.col("event_type") == "c",
+         "times_range": (1, 2)},
+        {"name": "b", "where": F.col("event_type") == "B"},
+    ]
+    got = {
+        (r.key, r.status): list(r.step_ts)
+        for r in _run_pattern_stream(
+            spark, tmp_path, "trange", [b1, b2, b3], pat,
+            within="1 minute", watermark="10 seconds")
+        if r.key != "u9"
+    }
+    assert got == {
+        ("u1", "match"): [base + 1 * SEC, base + 2 * SEC, base + 3 * SEC, 2,
+                          base + 6 * SEC],
+        ("u3", "match"): [base + 1 * SEC, base + 2 * SEC, base + 2 * SEC, 1,
+                          base + 3 * SEC],
+        ("u2", "timeout"): [base + 1 * SEC],
+    }
+
+    # batch twin agrees on the same event set
+    bdf = spark.createDataFrame(
+        [(r["user_id"], r["ts"], r["event_id"], r["event_type"])
+         for r in rows],
+        "user_id string, ts_ms long, event_id long, event_type string",
+    ).withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+    twin = {r.user_id: (int(r.click_first_ts.timestamp() * 1000),
+                        int(r.click_last_ts.timestamp() * 1000),
+                        r.click_count)
+            for r in match_pattern(bdf, pat, within="1 minute").collect()}
+    assert twin == {
+        "u1": (base + 2 * SEC, base + 3 * SEC, 2),
+        "u3": (base + 2 * SEC, base + 2 * SEC, 1),
+    }
+
+
 def _drive_restart(spark, tmp_path, name, build_out, batches, split):
     """Checkpoint-restart harness: run `build_out(stream)` over the
     first `split` files, let the availableNow query terminate, append

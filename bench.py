@@ -557,6 +557,7 @@ def main() -> None:
             "cep_pattern_optional",
             "cep_pattern_skip_past_last",
             "cep_pattern_times_range",
+            "cep_pattern_skip_to_first",
         ]
         etimes: dict[str, float] = {}
         ereps: dict[str, list[float]] = {}

@@ -271,6 +271,48 @@ def unroll_pattern(pattern: list[dict]):
     return positives, negations
 
 
+def parse_after_match(after_match: str) -> tuple[str, str] | None:
+    """Validate an ``after_match`` strategy string shared by the batch
+    and streaming matchers.  Returns ``(kind, target_name)`` for the
+    targeted Flink strategies ``'skip_to_first:<name>'`` /
+    ``'skip_to_last:<name>'`` (AfterMatchSkipStrategy.skipToFirst/
+    skipToLast), ``None`` for the untargeted ones, and raises on
+    anything else — one parser, so the two engines cannot accept
+    different spellings."""
+    if after_match in ("no_skip", "skip_to_next", "skip_past_last"):
+        return None
+    kind, sep, name = after_match.partition(":")
+    if kind in ("skip_to_first", "skip_to_last") and sep and name:
+        return kind, name
+    raise ValueError(
+        "after_match must be 'no_skip', 'skip_to_next', 'skip_past_last', "
+        f"'skip_to_first:<step>' or 'skip_to_last:<step>', got "
+        f"{after_match!r}"
+    )
+
+
+def validate_skip_target(positives: list[tuple], name: str) -> int:
+    """Resolve a skip_to_first/skip_to_last target against the UNROLLED
+    positive steps.  Returns the step index.  Raises if the name does
+    not bind a step (``times(n)`` unrolls to ``name_1..name_n`` — the
+    skip must target one concrete copy) or if the step can be EMPTY in
+    a match (``optional`` / min 0), where Flink would throw
+    at match time for the missing horizon event."""
+    names = [s[0] for s in positives]
+    if name not in names:
+        raise ValueError(
+            f"skip_to target {name!r} is not a positive step — have "
+            f"{names} (times(n) unrolls to name_1..name_n)"
+        )
+    idx = names.index(name)
+    if positives[idx][3] < 1:
+        raise ValueError(
+            f"skip_to target {name!r} is optional (min 0) — a match may "
+            "contain no event for it, leaving the skip horizon undefined"
+        )
+    return idx
+
+
 def match_pattern(
     events: DataFrame,
     pattern: list[dict],
@@ -308,6 +350,14 @@ def match_pattern(
       only if its anchor lies strictly after the previous kept chain's
       last bound position — exactly the surviving set of Flink's NFA
       under SKIP_PAST_LAST_EVENT, replayed per key.
+    * ``"skip_to_first:<step>"`` / ``"skip_to_last:<step>"`` — Flink
+      AfterMatchSkipStrategy.skipToFirst/skipToLast(step): after a
+      match emits, partial matches anchored BEFORE the time of the
+      first/last event bound to ``step`` are discarded; ones anchored
+      at or after it survive.  Horizon comparisons are by event time
+      (see ``_skip_to``); the target must be a concrete unrolled step
+      name and may not be optional (its horizon event must exist in
+      every match).
 
     ``pattern`` is a list of step dicts::
 
@@ -370,17 +420,16 @@ def match_pattern(
                          "(Flink has the same restriction)")
     if emit not in ("first", "all"):
         raise ValueError(f"emit must be 'first' or 'all', got {emit!r}")
-    if after_match not in ("no_skip", "skip_to_next", "skip_past_last"):
+    skip_to = parse_after_match(after_match)
+    if after_match != "no_skip" and after_match != "skip_to_next" \
+            and emit != "all":
         raise ValueError(
-            "after_match must be 'no_skip', 'skip_to_next' or "
-            f"'skip_past_last', got {after_match!r}"
-        )
-    if after_match == "skip_past_last" and emit != "all":
-        raise ValueError(
-            "after_match='skip_past_last' prunes the multi-anchor match "
+            f"after_match={after_match!r} prunes the multi-anchor match "
             "set — use emit='all' (emit='first' already keeps one match)"
         )
     positives, negations = unroll_pattern(pattern)
+    if skip_to is not None:
+        validate_skip_target(positives, skip_to[1])
     loops = [i for i, s in enumerate(positives) if not is_plain(s)]
     if loops and loops[-1] == len(positives) - 1:
         if within is None:
@@ -595,6 +644,14 @@ def match_pattern(
     if emit == "all":
         if after_match == "skip_past_last":
             return _skip_past_last(chain, key, bound, out_cols)
+        if skip_to is not None:
+            kind, tname = skip_to
+            tidx = validate_skip_target(positives, tname)
+            b = bound[tidx]
+            hz_col = (b["ts"] if b["kind"] == "plain"
+                      else b["first_ts" if kind == "skip_to_first"
+                             else "last_ts"])
+            return _skip_to(chain, key, bound, out_cols, hz_col)
         return chain.select(key, *out_cols)
     w_first = Window.partitionBy(key).orderBy(bound[0]["rn"])
     return (
@@ -639,6 +696,53 @@ def _skip_past_last(
                 keep.append(row_idx)
                 horizon = e_rn
         return pdf.loc[keep].drop(columns=["__a_rn", "__e_rn"])
+
+    return sel.groupBy(key).applyInPandas(pick, schema=out_schema)
+
+
+def _skip_to(
+    chain: DataFrame, key: str, bound: list[dict], out_cols: list[str],
+    horizon_ts_col: str,
+) -> DataFrame:
+    """Flink SKIP_TO_FIRST/SKIP_TO_LAST[name] replay over one key's
+    COMPLETED chains: scan in completion order (last bound rn, then
+    anchor rn) and keep a chain iff its ANCHOR TIME is at or after the
+    previously kept chain's horizon — the time of the first/last event
+    bound to the target step (``horizon_ts_col``).  Kept chains move
+    the horizon; pruned ones do not (they were discarded live partials,
+    they never emitted).
+
+    Horizon comparisons are by EVENT TIME, not sequence position: an
+    anchor at exactly the horizon timestamp survives, on both engines
+    and in the oracle, so equal-timestamp ties cannot make the batch
+    and streaming matchers disagree.  Scale: grouped by key; each
+    group holds that key's completed chains (bounded by anchors,
+    <= max_anchors_per_key when set), never its events."""
+    from pyspark.sql.types import StructType
+
+    last = bound[-1]
+    last_rn = last["rn"] if last["kind"] == "plain" else last["last_rn"]
+    sel = chain.select(
+        F.col(key),
+        F.col(bound[0]["rn"]).alias("__a_rn"),
+        F.col(last_rn).alias("__e_rn"),
+        F.unix_micros(F.col(bound[0]["ts"])).alias("__a_t"),
+        F.unix_micros(F.col(horizon_ts_col)).alias("__h_t"),
+        *out_cols,
+    )
+    drop = ("__a_rn", "__e_rn", "__a_t", "__h_t")
+    out_schema = StructType(
+        [f for f in sel.schema.fields if f.name not in drop]
+    )
+
+    def pick(pdf):
+        pdf = pdf.sort_values(["__e_rn", "__a_rn"])
+        keep, horizon = [], None
+        for row_idx, a_t, h_t in zip(pdf.index, pdf["__a_t"], pdf["__h_t"]):
+            if horizon is None or a_t >= horizon:
+                keep.append(row_idx)
+                horizon = h_t
+        return pdf.loc[keep].drop(columns=list(drop))
 
     return sel.groupBy(key).applyInPandas(pick, schema=out_schema)
 

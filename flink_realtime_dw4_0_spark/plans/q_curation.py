@@ -2688,6 +2688,82 @@ def cep_pattern_skip_past_last_q(spark, sf_dir):
 
 
 @q(
+    "cep_pattern_skip_to_first",
+    """
+    WITH RECURSIVE e AS (
+      SELECT user_id, ts, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    a0 AS (
+      SELECT user_id, view_ts, view_rn FROM (
+        SELECT user_id, ts AS view_ts, rn AS view_rn,
+               row_number() OVER (PARTITION BY user_id ORDER BY rn) AS cp
+        FROM e WHERE event_type = 'view')
+      WHERE cp <= 5),
+    c1 AS (
+      SELECT a.user_id, view_ts, view_rn,
+             min(e.rn) AS c_rn, arg_min(e.ts, e.rn) AS c_ts
+      FROM a0 a JOIN e ON e.user_id = a.user_id
+      WHERE e.event_type = 'click' AND e.rn > a.view_rn
+      GROUP BY 1, 2, 3),
+    chains AS (
+      SELECT c.user_id, view_ts, view_rn, c_ts, c_rn,
+             min(e.rn) AS p_rn, arg_min(e.ts, e.rn) AS p_ts
+      FROM c1 c JOIN e ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.rn > c.c_rn
+      GROUP BY 1, 2, 3, 4, 5),
+    surv AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY p_rn, view_rn) AS idx
+      FROM chains WHERE p_ts <= view_ts + INTERVAL 7 DAY),
+    rec AS (
+      SELECT user_id, idx, view_ts, c_ts, p_ts,
+             TRUE AS kept, c_ts AS horizon
+      FROM surv WHERE idx = 1
+      UNION ALL
+      SELECT s.user_id, s.idx, s.view_ts, s.c_ts, s.p_ts,
+             s.view_ts >= r.horizon,
+             CASE WHEN s.view_ts >= r.horizon THEN s.c_ts ELSE r.horizon END
+      FROM surv s JOIN rec r ON s.user_id = r.user_id AND s.idx = r.idx + 1)
+    SELECT user_id, epoch_us(view_ts) AS view_us,
+           epoch_us(c_ts) AS click_us, epoch_us(p_ts) AS purchase_us
+    FROM rec WHERE kept
+    """,
+    tags=("cep", "pattern", "after-match", "skip"),
+)
+def cep_pattern_skip_to_first_q(spark, sf_dir):
+    """Flink AfterMatchSkipStrategy.skipToFirst('click') on the
+    multi-anchor match set: an emitted view->click->purchase match
+    discards live partials anchored BEFORE its bound click's time;
+    ones anchored at or after it survive and may still match — a
+    strictly looser prune than SKIP_PAST_LAST, stricter than NO_SKIP.
+    The oracle replays the per-key greedy scan as a recursive CTE over
+    completed chains in completion order, carrying the kept chain's
+    click time as the running horizon (operators/cep.py:_skip_to)."""
+    from ..operators import cep
+
+    ev = t(spark, sf_dir, "events")
+    m = cep.match_pattern(
+        ev,
+        [
+            {"name": "view", "where": F.col("event_type") == "view"},
+            {"name": "click", "where": F.col("event_type") == "click"},
+            {"name": "purchase", "where": F.col("event_type") == "purchase"},
+        ],
+        within="7 DAY",
+        max_anchors_per_key=5,
+        emit="all",
+        after_match="skip_to_first:click",
+    )
+    return m.select(
+        "user_id",
+        F.unix_micros("view_ts").alias("view_us"),
+        F.unix_micros("click_ts").alias("click_us"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+    )
+
+
+@q(
     "markov_event_transitions",
     """
     WITH o AS (

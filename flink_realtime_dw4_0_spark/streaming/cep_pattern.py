@@ -57,7 +57,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
-from ..operators.cep import parse_within_ms, unroll_pattern
+from ..operators.cep import (
+    parse_after_match,
+    parse_within_ms,
+    unroll_pattern,
+    validate_skip_target,
+)
 from .cep import _out_schema
 
 _STATE = StructType(
@@ -343,6 +348,7 @@ def pattern_matcher_all_fn(
     max_active_anchors: int = 16,
     max_anchors_per_key: int | None = None,
     after_match: str = "no_skip",
+    skip_to_vidx: int | None = None,
 ):
     """Multi-anchor (Flink NO_SKIP / SKIP_*) keyed state function: EVERY
     step-1 event opens its own partial match and all partials advance
@@ -369,10 +375,15 @@ def pattern_matcher_all_fn(
     started at or before the match's last event) and the completing
     event cannot re-anchor; matching resumes with the next event.
     ``'skip_to_next'`` is inherently satisfied (one deterministic match
-    per anchor) and behaves like NO_SKIP.  Skip strategies are rejected
-    for patterns with deferred emission (terminal negation / terminal
-    quantifier) — the kill set at release time would need the full
-    event history.
+    per anchor) and behaves like NO_SKIP.  ``skip_to_vidx`` (set for
+    ``'skip_to_first:<step>'`` / ``'skip_to_last:<step>'``) is the
+    index into a completed match's vals of the target step's bound
+    time: when a match emits, live partials anchored BEFORE that time
+    are discarded, at-or-after survive — the same event-time horizon
+    rule the batch ``_skip_to`` replay uses.  Skip strategies are
+    rejected for patterns with deferred emission (terminal negation /
+    terminal quantifier) — the kill set at release time would need the
+    full event history.
 
     Every ACCEPTED anchor resolves as its own match/timeout row (or
     dies silently to a negation/strict break, as in Flink's discarded
@@ -418,9 +429,12 @@ def pattern_matcher_all_fn(
             out.kill_holds(ts_v, mask, terminal_bits)
             survivors: list[list[int]] = []
             skip_now = False
+            horizon: int | None = None  # SKIP_TO_* prune line, this event
             for p in partials:
                 if skip_now:
                     continue  # discarded by the emitted match (SKIP_PAST_LAST)
+                if horizon is not None and p[4] < horizon:
+                    continue  # anchored before the skip horizon (SKIP_TO_*)
                 if ts_v > p[4] + within_ms:
                     expire(p)
                     continue
@@ -442,6 +456,18 @@ def pattern_matcher_all_fn(
                                 # and this event cannot re-anchor
                                 survivors = []
                                 skip_now = True
+                            elif skip_to_vidx is not None:
+                                # SKIP_TO_FIRST/LAST[name]: live partials
+                                # anchored before the bound target event
+                                # die; at-or-after survive (event-time
+                                # horizon — the batch replay compares the
+                                # same way, so ties agree)
+                                hz = vals[skip_to_vidx]
+                                horizon = hz if horizon is None \
+                                    else max(horizon, hz)
+                                survivors = [
+                                    q for q in survivors if q[4] >= horizon
+                                ]
                     continue  # completed; NO_SKIP: others carry on
                 survivors.append([prog, lcnt, lfirst, llast] + vals)
             partials = survivors
@@ -528,10 +554,15 @@ def match_pattern_stream(
       cap, for exact stream/batch parity on keys that exceed it;
     * ``after_match``: ``'no_skip'`` (default, Flink NO_SKIP),
       ``'skip_to_next'`` (inherently equal to no_skip here — one
-      deterministic match per anchor), or ``'skip_past_last'`` (Flink
+      deterministic match per anchor), ``'skip_past_last'`` (Flink
       SKIP_PAST_LAST_EVENT: an emitted match discards every live
-      partial and its completing event cannot re-anchor).  Rejected
-      with deferred-emission patterns (terminal negation / terminal
+      partial and its completing event cannot re-anchor), or
+      ``'skip_to_first:<step>'`` / ``'skip_to_last:<step>'`` (Flink
+      skipToFirst/skipToLast: an emitted match discards live partials
+      anchored before the time of the first/last event it bound to
+      ``<step>``; the target must be a concrete unrolled step name and
+      may not be optional).  Skip strategies are rejected with
+      deferred-emission patterns (terminal negation / terminal
       quantifier) whose kill set isn't known at event time."""
     if within is None:
         raise ValueError(
@@ -556,15 +587,12 @@ def match_pattern_stream(
                 "(one_or_more / times_or_more) — a bounded times_range "
                 "needs a following step to hand off to"
             )
-    if after_match not in ("no_skip", "skip_to_next", "skip_past_last"):
-        raise ValueError(
-            "after_match must be 'no_skip', 'skip_to_next' or "
-            f"'skip_past_last', got {after_match!r}"
-        )
-    if after_match == "skip_past_last":
+    skip_to = parse_after_match(after_match)  # shared with the batch twin
+    skip_to_vidx: int | None = None
+    if after_match not in ("no_skip", "skip_to_next"):
         if mode != "all":
             raise ValueError(
-                "after_match='skip_past_last' prunes the multi-anchor "
+                f"after_match={after_match!r} prunes the multi-anchor "
                 "match set — use mode='all'"
             )
         if (pattern and pattern[-1].get("negated")) or not (
@@ -575,6 +603,14 @@ def match_pattern_stream(
                 "notFollowedBy / terminal quantifier defers the match to "
                 "the watermark, where the partials to discard are no "
                 "longer knowable — restructure the pattern"
+            )
+        if skip_to is not None:
+            tidx = validate_skip_target(positives, skip_to[1])
+            off = _vals_len(specs, tidx)
+            skip_to_vidx = (
+                off
+                if _spec_is_plain(specs[tidx]) or skip_to[0] == "skip_to_first"
+                else off + 1  # loop step: (first, last, count) triple
             )
     neg_before: dict[int, list[int]] = {}
     terminal_bits: list[int] = []
@@ -613,6 +649,7 @@ def match_pattern_stream(
             max_active_anchors=max_active_anchors,
             max_anchors_per_key=max_anchors_per_key,
             after_match=after_match,
+            skip_to_vidx=skip_to_vidx,
         )
     elif mode == "single":
         matcher = pattern_matcher_fn(

@@ -2781,3 +2781,68 @@ def test_cep_pattern_times_range(spark):
             [{"name": "a", "where": F.col("event_type") == "A"},
              {"name": "click", "where": F.col("event_type") == "c",
               "times_range": (1, 2)}], within="1 minute")
+
+
+def test_cep_skip_to_first_and_last(spark):
+    """Flink skipToFirst/skipToLast(step): after a match emits, chains
+    anchored before the time of the first/last event bound to the
+    target step are pruned; at-or-after survive.  Distinguishable from
+    both no_skip and skip_past_last on the same event set."""
+    from datetime import datetime as dt
+
+    import pytest as _pytest
+
+    from flink_realtime_dw4_0_spark.operators import cep
+
+    T = lambda s: dt(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [("k", T(1), 1, "A"), ("k", T(2), 2, "A"), ("k", T(3), 3, "B"),
+            ("k", T(4), 4, "A"), ("k", T(5), 5, "C"), ("k", T(6), 6, "B"),
+            ("k", T(7), 7, "C")]
+    ev = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, event_id long, event_type string"
+    )
+    pat = [{"name": "a", "where": F.col("event_type") == "A"},
+           {"name": "click", "where": F.col("event_type") == "B"},
+           {"name": "buy", "where": F.col("event_type") == "C"}]
+    # chains: a@1,a@2 both bind (B@3, C@5); a@4 binds (B@6, C@7).
+    # skip_to_first:click prunes a@2 (anchored before B@3) but keeps
+    # a@4 — strictly between no_skip {1,2,4} and skip_past_last {1}
+    for am, expect in [("no_skip", {1, 2, 4}), ("skip_past_last", {1}),
+                       ("skip_to_first:click", {1, 4}),
+                       ("skip_to_last:click", {1, 4})]:
+        got = {r.a_ts.second for r in cep.match_pattern(
+            ev, pat, within="1 HOUR", emit="all", after_match=am).collect()}
+        assert got == expect, (am, got)
+
+    # loop target: horizon = first vs last taken loop event differ
+    rows2 = [("k", T(1), 1, "A"), ("k", T(2), 2, "c"), ("k", T(3), 3, "A"),
+             ("k", T(4), 4, "c"), ("k", T(5), 5, "B"), ("k", T(6), 6, "c"),
+             ("k", T(7), 7, "B")]
+    ev2 = spark.createDataFrame(
+        rows2, "user_id string, ts timestamp, event_id long, event_type string"
+    )
+    pat2 = [{"name": "a", "where": F.col("event_type") == "A"},
+            {"name": "c", "where": F.col("event_type") == "c",
+             "one_or_more": True},
+            {"name": "b", "where": F.col("event_type") == "B"}]
+    # a@1 takes clicks {2,4} (b@5); a@3 takes {4} (b@5).  skip_to_last:c
+    # horizon 4 prunes a@3; skip_to_first:c horizon 2 keeps it
+    for am, expect in [("no_skip", {1, 3}), ("skip_to_last:c", {1}),
+                       ("skip_to_first:c", {1, 3})]:
+        got = {r.a_ts.second for r in cep.match_pattern(
+            ev2, pat2, within="1 HOUR", emit="all", after_match=am).collect()}
+        assert got == expect, (am, got)
+
+    # shared validation: unknown / empty / bogus spellings and an
+    # optional (min-0) target are rejected identically by both engines
+    for bad in ("skip_to_first:nope", "skip_to_first:", "bogus"):
+        with _pytest.raises(ValueError):
+            cep.match_pattern(ev, pat, within="1 HOUR", emit="all",
+                              after_match=bad)
+    with _pytest.raises(ValueError, match="optional"):
+        cep.match_pattern(
+            ev, [{"name": "a", "where": F.col("event_type") == "A"},
+                 {"name": "click", "where": F.col("event_type") == "B",
+                  "optional": True},
+                 {"name": "buy", "where": F.col("event_type") == "C"}],
+            within="1 HOUR", emit="all", after_match="skip_to_first:click")

@@ -3280,6 +3280,90 @@ def test_streaming_pattern_times_range_golden(spark, tmp_path):
     }
 
 
+def test_streaming_pattern_skip_to_first_last_golden(spark, tmp_path):
+    """Streaming skipToFirst/skipToLast(step) equals the batch twin
+    under shuffled arrival: an emitted match prunes live partials
+    anchored before the time of the first/last event it bound to the
+    target step; at-or-after survive (event-time horizon, both
+    engines)."""
+    from flink_realtime_dw4_0_spark.operators.cep import match_pattern
+    from flink_realtime_dw4_0_spark.streaming.cep_pattern import (
+        match_pattern_stream,
+    )
+
+    base = 1_700_000_000_000
+    SEC = 1_000
+    # a@1,a@2 -> (B@3, C@5); a@4 -> (B@6, C@7): skip_to_first:click
+    # prunes a@2 (anchored before B@3), keeps a@4
+    evs = [("A", 1), ("A", 2), ("B", 3), ("A", 4), ("C", 5), ("B", 6),
+           ("C", 7)]
+    rows = [{"user_id": "k", "ts": base + s * SEC, "event_id": s,
+             "event_type": e} for e, s in evs]
+    b1 = [r for r in rows if r["ts"] >= base + 4 * SEC]   # reversed halves
+    b2 = [r for r in rows if r["ts"] < base + 4 * SEC]
+    b3 = [{"user_id": "k9", "ts": base + 900_000, "event_id": 99,
+           "event_type": "A"}]
+    pat = [{"name": "a", "where": F.col("event_type") == "A"},
+           {"name": "click", "where": F.col("event_type") == "B"},
+           {"name": "buy", "where": F.col("event_type") == "C"}]
+    for am, expect in [("skip_to_first:click", {1, 4}),
+                       ("skip_to_last:click", {1, 4})]:
+        got = sorted(
+            (r.anchor_ts - base) // SEC
+            for r in _run_pattern_stream(
+                spark, tmp_path, f"stf_{am.split(':')[0][-5:]}",
+                [b1, b2, b3], pat, within="1 minute",
+                watermark="10 seconds", mode="all", after_match=am)
+            if r.key != "k9" and r.status == "match")
+        assert got == sorted(expect), (am, got)
+
+    # loop target, first vs last horizons diverge: a@1 takes clicks
+    # {2,4}, a@3 takes {4} (both complete on b@5) — skip_to_last:c
+    # (horizon 4) prunes a@3, skip_to_first:c (horizon 2) keeps it
+    evs2 = [("A", 1), ("c", 2), ("A", 3), ("c", 4), ("B", 5), ("c", 6),
+            ("B", 7)]
+    rows2 = [{"user_id": "k", "ts": base + s * SEC, "event_id": s,
+              "event_type": e} for e, s in evs2]
+    c1 = [r for r in rows2 if r["ts"] >= base + 4 * SEC]
+    c2 = [r for r in rows2 if r["ts"] < base + 4 * SEC]
+    pat2 = [{"name": "a", "where": F.col("event_type") == "A"},
+            {"name": "c", "where": F.col("event_type") == "c",
+             "one_or_more": True},
+            {"name": "b", "where": F.col("event_type") == "B"}]
+    for am, expect in [("skip_to_last:c", {1}), ("skip_to_first:c", {1, 3})]:
+        got = sorted(
+            (r.anchor_ts - base) // SEC
+            for r in _run_pattern_stream(
+                spark, tmp_path, f"stl_{am.replace(':', '_')}",
+                [c1, c2, b3], pat2, within="1 minute",
+                watermark="10 seconds", mode="all", after_match=am)
+            if r.key != "k9" and r.status == "match")
+        assert got == sorted(expect), (am, got)
+        # batch twin agrees
+        bdf = spark.createDataFrame(
+            [(r["user_id"], r["ts"], r["event_id"], r["event_type"])
+             for r in rows2],
+            "user_id string, ts_ms long, event_id long, event_type string",
+        ).withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+        twin = sorted(
+            (int(r.a_ts.timestamp() * 1000) - base) // SEC
+            for r in match_pattern(bdf, pat2, within="1 minute", emit="all",
+                                   after_match=am).collect())
+        assert twin == got, (am, twin, got)
+
+    # shared validation: stream rejects the same shapes the batch does
+    rate = spark.readStream.format("rate").load().selectExpr(
+        "cast(value as string) as user_id", "1 as ts",
+        "value as event_id", "'A' as event_type")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not a positive step"):
+        match_pattern_stream(rate, pat, within="1 minute", mode="all",
+                             after_match="skip_to_first:nope")
+    with _pytest.raises(ValueError, match="mode='all'"):
+        match_pattern_stream(rate, pat, within="1 minute",
+                             after_match="skip_to_first:click")
+
+
 def _drive_restart(spark, tmp_path, name, build_out, batches, split):
     """Checkpoint-restart harness: run `build_out(stream)` over the
     first `split` files, let the availableNow query terminate, append

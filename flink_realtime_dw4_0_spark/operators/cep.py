@@ -169,14 +169,20 @@ def unroll_pattern(pattern: list[dict]):
     ``(1, 1)``, ``optional: True`` → ``(0, 1)``, ``one_or_more: True``
     → ``(1, None)``, ``times_or_more: n`` → ``(n, None)``,
     ``times_range: (m, M)`` → ``(m, M)`` (``None`` = unbounded).
-    ``times: n`` still unrolls to n plain copies.  Raises
-    on every invalid shape both engines must reject identically:
+    ``times: n`` still unrolls to n plain copies.  The third return
+    value ``untils`` maps unrolled step index → stop predicate for
+    quantified steps carrying ``until: <Column>`` (Flink
+    ``oneOrMore().until(cond)``: once a matching event occurs, the
+    loop accepts no more events — the stop event itself is never
+    taken).  Raises on every invalid shape both engines must reject
+    identically:
 
     * the anchor must be a plain positive step;
     * quantified steps are relaxed-contiguity only (no Flink
       ``consecutive()`` loops), may not be consecutive, and a strict
       step may not directly follow one (its bind position is a span,
       not a single event);
+    * ``until`` is only meaningful on a quantified step;
     * a ``notFollowedBy`` may not sit adjacent to a quantified step
       (the gap boundary would not be a single bound event)."""
     if not pattern or pattern[0].get("negated"):
@@ -188,10 +194,16 @@ def unroll_pattern(pattern: list[dict]):
         raise ValueError(f"duplicate step names: {names}")
     positives: list[tuple[str, object, bool, int, int | None]] = []
     negations: list[tuple[object, int, int | None]] = []
+    untils: dict[int, object] = {}
     for p in pattern:
         strict = p.get("contiguity", "relaxed") == "strict"
         quant = [k for k in ("one_or_more", "times_or_more", "optional",
                              "times_range") if p.get(k)]
+        if p.get("until") is not None and not quant:
+            raise ValueError(
+                f"step {p['name']!r}: `until` is a loop stop condition — "
+                "only meaningful on a quantified step"
+            )
         if p.get("negated"):
             if "times" in p or strict or quant:
                 raise ValueError(
@@ -239,6 +251,8 @@ def unroll_pattern(pattern: list[dict]):
                 mn, mx = int(p["times_or_more"]), None
                 if mn < 1:
                     raise ValueError(f"times_or_more needs n >= 1, got {mn}")
+            if p.get("until") is not None:
+                untils[len(positives)] = p["until"]
             positives.append((p["name"], p["where"], False, mn, mx))
             continue
         times = int(p.get("times", 1))
@@ -268,7 +282,7 @@ def unroll_pattern(pattern: list[dict]):
                     "supported — the negation gap boundary would not be a "
                     "single bound event"
                 )
-    return positives, negations
+    return positives, negations, untils
 
 
 def parse_after_match(after_match: str) -> tuple[str, str] | None:
@@ -311,6 +325,40 @@ def validate_skip_target(positives: list[tuple], name: str) -> int:
             "contain no event for it, leaving the skip horizon undefined"
         )
     return idx
+
+
+_NO_UNTIL = 1 << 62  # "no stop event" sentinel: larger than any rn/cum
+
+
+def _attach_first_until(
+    chain: DataFrame, base: DataFrame, key: str, carry: list[str],
+    until_pred, li: int, prev_rn,
+) -> DataFrame:
+    """Left-join the FIRST until-stop event after loop ``li``'s
+    predecessor bind onto each chain: ``__u_rn{li}`` (its rn) and
+    ``__u_pre{li}`` (the loop cum just BEFORE it — how many loop
+    matches are takeable), NULL when no stop event exists.  An event
+    matching both the loop and the stop condition is a stop, never a
+    take (Flink: until's match is not accepted into the loop).
+    Appends the two columns to ``carry`` (the caller drops them once
+    the loop is bound).  One keyed equi-join + min_by aggregation —
+    the same scale shape as a positive step bind."""
+    u = base.filter(until_pred).select(
+        F.col(key).alias("__u_key"),
+        F.col("__rn").alias("__u_c_rn"),
+        (F.col(f"__cum{li}") - F.col(f"__m{li}")).alias("__u_c_pre"),
+    )
+    joined = chain.join(
+        u,
+        (chain[key] == u["__u_key"]) & (u["__u_c_rn"] > prev_rn),
+        "left",
+    )
+    out = joined.groupBy(key, *carry).agg(
+        F.min("__u_c_rn").alias(f"__u_rn{li}"),
+        F.min_by("__u_c_pre", "__u_c_rn").alias(f"__u_pre{li}"),
+    )
+    carry += [f"__u_rn{li}", f"__u_pre{li}"]
+    return out
 
 
 def match_pattern(
@@ -367,6 +415,7 @@ def match_pattern(
          "times_or_more": 3,                          # timesOrMore(n)
          "times_range": (1, 4),                       # times(from, to)
          "optional": True,                            # times(0..1)
+         "until": <Column>,                           # loop stop condition
          "contiguity": "strict",                      # 'next'; default relaxed
          "negated": True}                             # notFollowedBy
 
@@ -393,6 +442,12 @@ def match_pattern(
       loop and the next step binds the next step (proceed priority) —
       the one deterministic divergence from Flink's branching NFA,
       which would emit both continuations;
+    * ``until: <Column>`` on a looping step (Flink
+      ``oneOrMore().until(cond)``) stops the loop at the first
+      matching event after the predecessor bind: only loop matches
+      strictly before it are takeable (the stop event itself is never
+      taken, even if it also matches the loop), the hand-off minimum
+      counts only those, and the next step may still bind later;
     * a TERMINAL looping step (requires ``within``; ``optional`` cannot
       be terminal) takes every loop-matching event inside
       ``anchor + within`` and needs at least ``min`` of them;
@@ -427,7 +482,7 @@ def match_pattern(
             f"after_match={after_match!r} prunes the multi-anchor match "
             "set — use emit='all' (emit='first' already keeps one match)"
         )
-    positives, negations = unroll_pattern(pattern)
+    positives, negations, untils = unroll_pattern(pattern)
     if skip_to is not None:
         validate_skip_target(positives, skip_to[1])
     loops = [i for i, s in enumerate(positives) if not is_plain(s)]
@@ -495,6 +550,16 @@ def match_pattern(
                 F.col("__c_ts")
                 <= F.col(bound[0]["ts"]) + within_interval(within)
             )
+            if idx in untils:
+                # until(stop): the loop only owns events strictly before
+                # the first stop-event after the predecessor bind
+                chain = _attach_first_until(
+                    chain, base, key, carry, untils[idx], idx, prev_rn
+                )
+                cond = cond & (
+                    F.col("__c_rn")
+                    < F.coalesce(F.col(f"__u_rn{idx}"), F.lit(_NO_UNTIL))
+                )
             chain = (
                 chain.join(lev, key)
                 .filter(cond)
@@ -508,6 +573,10 @@ def match_pattern(
                 )
                 .filter(F.col(f"{cname}_count") >= mn)
             )
+            if idx in untils:
+                chain = chain.drop(f"__u_rn{idx}", f"__u_pre{idx}")
+                carry = [c for c in carry
+                         if c not in (f"__u_rn{idx}", f"__u_pre{idx}")]
             bound.append({
                 "kind": "loop", "first_ts": f"{cname}_first_ts",
                 "last_ts": f"{cname}_last_ts", "cnt": f"{cname}_count",
@@ -546,19 +615,38 @@ def match_pattern(
                 (F.col(f"__cum{li}") - F.col(f"__m{li}")).alias("__c_gap")
             )
             cand = base.filter(pred).select(*sel)
-            cond = (F.col("__c_rn") > prev_rn) & (
-                (F.col("__c_gap") - F.col(f"__pcum{li}")) >= F.lit(lmn)
-            )
+            gap_cnt = F.col("__c_gap") - F.col(f"__pcum{li}")
+            if li in untils:
+                # until(stop): only loop events strictly before the first
+                # stop-event count; c_gap(r) <= pre_u for r <= u_rn makes
+                # LEAST correct for every candidate position
+                chain = _attach_first_until(
+                    chain, base, key, carry, untils[li], li, prev_rn
+                )
+                gap_cnt = F.least(
+                    F.col("__c_gap"),
+                    F.coalesce(F.col(f"__u_pre{li}"), F.lit(_NO_UNTIL)),
+                ) - F.col(f"__pcum{li}")
+            cond = (F.col("__c_rn") > prev_rn) & (gap_cnt >= F.lit(lmn))
             aggs.append(F.min_by("__c_gap", "__c_rn").alias("__h_gap"))
         chain = chain.join(cand, key).filter(cond).groupBy(key, *carry).agg(*aggs)
         if pending_loop is not None:
             # __pcum{li} (a groupBy key) still holds the PREDECESSOR's cum
             li = pending_loop
             lname, _lpred, _, lmn, lmx = positives[li]
-            cnt = (F.col("__h_gap") - F.col(f"__pcum{li}")).cast("long")
+            h_gap = F.col("__h_gap")
+            if li in untils:
+                h_gap = F.least(
+                    h_gap, F.coalesce(F.col(f"__u_pre{li}"), F.lit(_NO_UNTIL))
+                )
+            cnt = (h_gap - F.col(f"__pcum{li}")).cast("long")
             if lmx is not None:
                 cnt = F.least(cnt, F.lit(lmx).cast("long"))
             chain = chain.withColumn(f"{lname}_count", cnt).drop("__h_gap")
+            if li in untils:
+                chain = chain.drop(f"__u_rn{li}", f"__u_pre{li}")
+                carry = [c for c in carry
+                         if c not in (f"__u_rn{li}", f"__u_pre{li}")]
             # first/last taken loop events, fetched by per-key cum index
             # (two keyed equi-joins against the loop-match list)
             lev = base.filter(F.col(f"__m{li}") == 1)

@@ -2688,6 +2688,101 @@ def cep_pattern_skip_past_last_q(spark, sf_dir):
 
 
 @q(
+    "cep_pattern_one_or_more_until",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS cumc
+      FROM events),
+    a0 AS (
+      SELECT user_id, view_ts, view_rn, view_cum FROM (
+        SELECT user_id, ts AS view_ts, rn AS view_rn, cumc AS view_cum,
+               row_number() OVER (PARTITION BY user_id ORDER BY rn) AS cp
+        FROM e WHERE event_type = 'view')
+      WHERE cp <= 5),
+    uu AS (
+      SELECT a.user_id, a.view_rn,
+             arg_min(e.cumc - CASE WHEN e.event_type = 'click' THEN 1 ELSE 0 END,
+                     e.rn) AS u_pre
+      FROM a0 a JOIN e ON e.user_id = a.user_id
+      WHERE e.event_type = 'error' AND e.rn > a.view_rn
+      GROUP BY 1, 2),
+    a1 AS (
+      SELECT a0.*, u_pre FROM a0 LEFT JOIN uu USING (user_id, view_rn)),
+    h AS (
+      SELECT a.user_id, view_ts, view_rn, view_cum, u_pre,
+             min(e.rn) AS p_rn, arg_min(e.ts, e.rn) AS p_ts,
+             arg_min(e.cumc - CASE WHEN e.event_type = 'click' THEN 1 ELSE 0 END,
+                     e.rn) AS h_gap
+      FROM a1 a JOIN e ON e.user_id = a.user_id
+      WHERE e.event_type = 'purchase' AND e.rn > a.view_rn
+        AND (e.cumc - CASE WHEN e.event_type = 'click' THEN 1 ELSE 0 END)
+            - a.view_cum >= 1
+        AND (a.u_pre IS NULL OR a.u_pre - a.view_cum >= 1)
+      GROUP BY 1, 2, 3, 4, 5),
+    c AS (
+      SELECT h.*, least(h_gap, coalesce(u_pre, h_gap)) - view_cum AS n_clicks
+      FROM h),
+    fl AS (
+      SELECT c.user_id, view_ts, view_rn, p_ts, n_clicks,
+             f.ts AS first_ts, l.ts AS last_ts
+      FROM c
+      JOIN e f ON f.user_id = c.user_id AND f.event_type = 'click'
+              AND f.cumc = c.view_cum + 1
+      JOIN e l ON l.user_id = c.user_id AND l.event_type = 'click'
+              AND l.cumc = c.view_cum + c.n_clicks),
+    m AS (
+      SELECT user_id, view_ts, first_ts, last_ts, n_clicks, p_ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY view_rn) AS pick
+      FROM fl WHERE p_ts <= view_ts + INTERVAL 7 DAY)
+    SELECT user_id, epoch_us(view_ts) AS view_us,
+           epoch_us(first_ts) AS click_first_us,
+           epoch_us(last_ts) AS click_last_us,
+           CAST(n_clicks AS BIGINT) AS click_count,
+           epoch_us(p_ts) AS purchase_us
+    FROM m WHERE pick = 1
+    """,
+    tags=("cep", "pattern", "quantifier", "until"),
+)
+def cep_pattern_one_or_more_until_q(spark, sf_dir):
+    """Flink loop stop condition (Pattern.begin('view')
+    .followedBy('click').oneOrMore().until(error)
+    .followedBy('purchase').within(7 days)): the click loop only owns
+    clicks strictly before the first error after the view (the error
+    is never taken), the purchase hand-off minimum counts only those,
+    and the purchase may still bind past the error.  Oracle: the
+    oneOrMore twin with a per-anchor first-error LEFT JOIN — the
+    takeable count is LEAST(h_gap, pre_error), the hand-off needs both
+    legs >= min (least(x,y) >= m  <=>  x >= m AND y >= m)."""
+    from ..operators import cep
+
+    ev = t(spark, sf_dir, "events")
+    m = cep.match_pattern(
+        ev,
+        [
+            {"name": "view", "where": F.col("event_type") == "view"},
+            {"name": "click", "where": F.col("event_type") == "click",
+             "one_or_more": True,
+             "until": F.col("event_type") == "error"},
+            {"name": "purchase", "where": F.col("event_type") == "purchase"},
+        ],
+        within="7 DAY",
+        max_anchors_per_key=5,
+    )
+    return m.select(
+        "user_id",
+        F.unix_micros("view_ts").alias("view_us"),
+        F.unix_micros("click_first_ts").alias("click_first_us"),
+        F.unix_micros("click_last_ts").alias("click_last_us"),
+        F.col("click_count"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+    )
+
+
+@q(
     "cep_pattern_skip_to_first",
     """
     WITH RECURSIVE e AS (

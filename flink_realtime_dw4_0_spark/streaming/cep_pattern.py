@@ -177,6 +177,19 @@ def _spec_is_plain(spec: tuple) -> bool:
     return spec[1] == 1 and spec[2] == 1
 
 
+# High bit on the loop-count accumulator marking a loop FROZEN by its
+# until-stop condition (Flink oneOrMore().until): the count survives (the
+# successor still binds once the minimum is met) but no further loop
+# events are accepted.  Encoded in-band so the packed state layout —
+# groups of longs — is unchanged and checkpoints stay compatible.
+_FROZEN = 1 << 40
+
+
+def _loop_cnt(lcnt: int) -> int:
+    """Decode the actual loop take count from the accumulator."""
+    return lcnt - _FROZEN if lcnt >= _FROZEN else lcnt
+
+
 def _vals_len(specs: list[tuple], prog: int) -> int:
     """Completed-value count after binding steps 0..prog-1: plain steps
     contribute one ts, quantified steps a (first, last, count) triple."""
@@ -187,6 +200,7 @@ def _advance_event(
     prog: int, lcnt: int, lfirst: int, llast: int, vals: list[int],
     ts_v: int, mask: int, specs: list[tuple],
     neg_before: dict[int, list[int]],
+    until_bits: dict[int, int] | None = None,
 ):
     """One sealed event offered to one partial match.  Returns
     (status, prog, lcnt, lfirst, llast, vals); status 'alive' | 'dead'
@@ -197,9 +211,11 @@ def _advance_event(
     then strict break.  Quantified awaited step (validated loop-free of
     negations/strictness): the SUCCESSOR binds first whenever its bit is
     set and the loop has met its minimum — proceed priority, the batch
-    twin's hand-off `h` — otherwise a loop-matching event below the max
-    is taken greedily; anything else passes (relaxed).  An empty
-    optional finalizes as (-1, -1, 0)."""
+    twin's hand-off `h` — then an until-stop event FREEZES the loop
+    (count kept, no more takes; the stop event itself is never taken
+    even if it also matches the loop); otherwise a loop-matching event
+    below the max is taken greedily if not frozen; anything else passes
+    (relaxed).  An empty optional finalizes as (-1, -1, 0)."""
     n = len(specs)
     strict, mn, mx = specs[prog]
     if mn == 1 and mx == 1:  # plain awaited step
@@ -213,16 +229,20 @@ def _advance_event(
             return "dead", prog, lcnt, lfirst, llast, vals
         return "alive", prog, lcnt, lfirst, llast, vals
     nxt = prog + 1
-    if nxt < n and ((mask >> nxt) & 1) and lcnt >= mn:
+    cnt = _loop_cnt(lcnt)
+    if nxt < n and ((mask >> nxt) & 1) and cnt >= mn:
         vals = (
             vals
-            + ([lfirst, llast, lcnt] if lcnt > 0 else [-1, -1, 0])
+            + ([lfirst, llast, cnt] if cnt > 0 else [-1, -1, 0])
             + [ts_v]
         )
         prog = nxt + 1
         return ("complete" if prog == n else "alive"), prog, 0, 0, 0, vals
-    if ((mask >> prog) & 1) and (mx < 0 or lcnt < mx):
-        return "alive", prog, lcnt + 1, (ts_v if lcnt == 0 else lfirst), ts_v, vals
+    ubit = (until_bits or {}).get(prog)
+    if ubit is not None and (mask >> ubit) & 1:
+        return "alive", prog, cnt + _FROZEN, lfirst, llast, vals
+    if lcnt < _FROZEN and ((mask >> prog) & 1) and (mx < 0 or cnt < mx):
+        return "alive", prog, lcnt + 1, (ts_v if cnt == 0 else lfirst), ts_v, vals
     return "alive", prog, lcnt, lfirst, llast, vals
 
 
@@ -231,6 +251,7 @@ def pattern_matcher_fn(
     neg_before: dict[int, list[int]],
     terminal_bits: list[int],
     within_ms: int,
+    until_bits: dict[int, int] | None = None,
 ):
     """Keyed state function for the full single-anchor pattern machine.
 
@@ -269,9 +290,9 @@ def pattern_matcher_fn(
             if (
                 prog < n_steps
                 and not _spec_is_plain(specs[prog])
-                and lcnt > 0
+                and _loop_cnt(lcnt) > 0
             ):
-                return vals + [lfirst, llast, lcnt]
+                return vals + [lfirst, llast, _loop_cnt(lcnt)]
             return list(vals)
 
         def resolve_expiry():
@@ -279,8 +300,9 @@ def pattern_matcher_fn(
             # quantified step with its minimum met IS a match (deferred
             # emission); anything else times out
             nonlocal prog, lcnt, lfirst, llast, vals
-            if term_loop and prog == n_steps - 1 and lcnt >= specs[-1][1]:
-                out.emit("match", vals + [lfirst, llast, lcnt])
+            if (term_loop and prog == n_steps - 1
+                    and _loop_cnt(lcnt) >= specs[-1][1]):
+                out.emit("match", vals + [lfirst, llast, _loop_cnt(lcnt)])
             else:
                 out.emit("timeout", partial_vals())
             prog, lcnt, lfirst, llast, vals = 0, 0, 0, 0, []
@@ -305,7 +327,7 @@ def pattern_matcher_fn(
             elif prog < n_steps:
                 st, prog, lcnt, lfirst, llast, vals = _advance_event(
                     prog, lcnt, lfirst, llast, vals, ts_v, mask, specs,
-                    neg_before,
+                    neg_before, until_bits,
                 )
                 if st == "dead":
                     # negation/strict kill: silent (Flink discards the
@@ -349,6 +371,7 @@ def pattern_matcher_all_fn(
     max_anchors_per_key: int | None = None,
     after_match: str = "no_skip",
     skip_to_vidx: int | None = None,
+    until_bits: dict[int, int] | None = None,
 ):
     """Multi-anchor (Flink NO_SKIP / SKIP_*) keyed state function: EVERY
     step-1 event opens its own partial match and all partials advance
@@ -413,14 +436,15 @@ def pattern_matcher_all_fn(
         def expire(p) -> None:
             prog, lcnt, lfirst, llast = p[0], p[1], p[2], p[3]
             vals = p[4:]
-            if term_loop and prog == n_steps - 1 and lcnt >= specs[-1][1]:
-                out.emit("match", vals + [lfirst, llast, lcnt])
+            if (term_loop and prog == n_steps - 1
+                    and _loop_cnt(lcnt) >= specs[-1][1]):
+                out.emit("match", vals + [lfirst, llast, _loop_cnt(lcnt)])
             elif (
                 prog < n_steps
                 and not _spec_is_plain(specs[prog])
-                and lcnt > 0
+                and _loop_cnt(lcnt) > 0
             ):
-                out.emit("timeout", vals + [lfirst, llast, lcnt])
+                out.emit("timeout", vals + [lfirst, llast, _loop_cnt(lcnt)])
             else:
                 out.emit("timeout", vals)
 
@@ -440,7 +464,7 @@ def pattern_matcher_all_fn(
                     continue
                 st, prog, lcnt, lfirst, llast, vals = _advance_event(
                     p[0], p[1], p[2], p[3], p[4:], ts_v, mask, specs,
-                    neg_before,
+                    neg_before, until_bits,
                 )
                 if st == "dead":
                     continue  # negation/strict kill: silent, like Flink
@@ -572,7 +596,7 @@ def match_pattern_stream(
         )
     within_ms = parse_within_ms(within)  # shared with the batch matcher
 
-    positives, negations = unroll_pattern(pattern)
+    positives, negations, untils = unroll_pattern(pattern)
     n_steps = len(positives)
     specs = [(s[2], s[3], -1 if s[4] is None else s[4]) for s in positives]
     if not (specs[-1][1] == 1 and specs[-1][2] == 1):
@@ -624,6 +648,11 @@ def match_pattern_stream(
             terminal_bits.append(bit)
         else:
             neg_before.setdefault(ri, []).append(bit)
+    until_bits: dict[int, int] = {}
+    for k, sidx in enumerate(sorted(untils)):
+        bit = n_steps + len(negations) + k
+        mask = mask + F.when(untils[sidx], F.lit(1 << bit)).otherwise(0)
+        until_bits[sidx] = bit
 
     src = events
     if "row_time" not in src.columns:
@@ -650,10 +679,12 @@ def match_pattern_stream(
             max_anchors_per_key=max_anchors_per_key,
             after_match=after_match,
             skip_to_vidx=skip_to_vidx,
+            until_bits=until_bits,
         )
     elif mode == "single":
         matcher = pattern_matcher_fn(
-            specs, neg_before, terminal_bits, within_ms
+            specs, neg_before, terminal_bits, within_ms,
+            until_bits=until_bits,
         )
     else:
         raise ValueError(f"mode must be 'single' or 'all', got {mode!r}")

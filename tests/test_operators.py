@@ -2846,3 +2846,51 @@ def test_cep_skip_to_first_and_last(spark):
                   "optional": True},
                  {"name": "buy", "where": F.col("event_type") == "C"}],
             within="1 HOUR", emit="all", after_match="skip_to_first:click")
+
+
+def test_cep_pattern_until(spark):
+    """Flink oneOrMore().until(stop): the loop only owns matches
+    strictly before the first stop event after the predecessor bind
+    (the stop event itself is never taken), the hand-off minimum
+    counts only those, the successor may still bind past the stop,
+    and `until` on a plain step is rejected."""
+    from datetime import datetime as dt
+
+    import pytest as _pytest
+
+    from flink_realtime_dw4_0_spark.operators import cep
+
+    T = lambda s: dt(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        ("u1", T(1), 1, "A"), ("u1", T(2), 2, "c"), ("u1", T(3), 3, "c"),
+        ("u1", T(4), 4, "x"), ("u1", T(5), 5, "c"), ("u1", T(6), 6, "B"),
+        ("u2", T(1), 1, "A"), ("u2", T(2), 2, "x"), ("u2", T(3), 3, "c"),
+        ("u2", T(4), 4, "B"),
+        ("u3", T(1), 1, "A"), ("u3", T(2), 2, "c"), ("u3", T(3), 3, "B"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, event_id long, event_type string"
+    )
+    pat = [{"name": "a", "where": F.col("event_type") == "A"},
+           {"name": "c", "where": F.col("event_type") == "c",
+            "one_or_more": True, "until": F.col("event_type") == "x"},
+           {"name": "b", "where": F.col("event_type") == "B"}]
+    got = {r.user_id: (r.c_first_ts.second, r.c_last_ts.second, r.c_count,
+                       r.b_ts.second)
+           for r in cep.match_pattern(ev, pat, within="1 HOUR").collect()}
+    # u1: stop @4 freezes after clicks {2,3}; c@5 not taken; B@6 binds.
+    # u2: stop before any click -> below min, dead.  u3: no stop.
+    assert got == {"u1": (2, 3, 2, 6), "u3": (2, 2, 1, 3)}
+
+    # terminal loop with until
+    pat_t = [{"name": "a", "where": F.col("event_type") == "A"},
+             {"name": "c", "where": F.col("event_type") == "c",
+              "one_or_more": True, "until": F.col("event_type") == "x"}]
+    got_t = {r.user_id: (r.c_first_ts.second, r.c_last_ts.second, r.c_count)
+             for r in cep.match_pattern(ev, pat_t, within="1 HOUR").collect()}
+    assert got_t == {"u1": (2, 3, 2), "u3": (2, 2, 1)}
+
+    with _pytest.raises(ValueError, match="only meaningful on a quantified"):
+        cep.unroll_pattern(
+            [{"name": "a", "where": F.lit(True)},
+             {"name": "b", "where": F.lit(True), "until": F.lit(True)}])

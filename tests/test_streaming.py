@@ -3364,6 +3364,92 @@ def test_streaming_pattern_skip_to_first_last_golden(spark, tmp_path):
                              after_match="skip_to_first:click")
 
 
+def test_streaming_pattern_until_golden(spark, tmp_path):
+    """Streaming until(stop) equals the batch twin under shuffled
+    arrival: a stop event freezes the loop (count kept, no more takes,
+    the stop event itself never taken), the successor may still bind
+    later, and a frozen loop below its minimum resolves as a timeout.
+    Covers mid-pattern and terminal loops, both machine modes."""
+    from flink_realtime_dw4_0_spark.operators.cep import match_pattern
+
+    base = 1_700_000_000_000
+    SEC = 1_000
+    all_events = {
+        # clicks @2,@3 then stop @4 freezes; c@5 not taken; B@6 binds
+        "u1": [("A", 1), ("c", 2), ("c", 3), ("x", 4), ("c", 5), ("B", 6)],
+        # stop before any click: frozen at 0 < min -> timeout
+        "u2": [("A", 1), ("x", 2), ("c", 3), ("B", 4)],
+        # no stop event: plain oneOrMore behavior
+        "u3": [("A", 1), ("c", 2), ("B", 3)],
+    }
+    rows = [
+        {"user_id": u, "ts": base + s * SEC, "event_id": s, "event_type": e}
+        for u, evs in all_events.items() for e, s in evs
+    ]
+    b1 = [r for r in rows if r["ts"] >= base + 3 * SEC]   # reversed halves
+    b2 = [r for r in rows if r["ts"] < base + 3 * SEC]
+    b3 = [{"user_id": "u9", "ts": base + 900_000, "event_id": 99,
+           "event_type": "A"}]
+    pat = [
+        {"name": "a", "where": F.col("event_type") == "A"},
+        {"name": "c", "where": F.col("event_type") == "c",
+         "one_or_more": True, "until": F.col("event_type") == "x"},
+        {"name": "b", "where": F.col("event_type") == "B"},
+    ]
+    for mode in ("single", "all"):
+        got = {
+            (r.key, r.status): list(r.step_ts)
+            for r in _run_pattern_stream(
+                spark, tmp_path, f"unt_{mode}", [b1, b2, b3], pat,
+                within="1 minute", watermark="10 seconds", mode=mode)
+            if r.key != "u9"
+        }
+        assert got == {
+            ("u1", "match"): [base + 1 * SEC, base + 2 * SEC,
+                              base + 3 * SEC, 2, base + 6 * SEC],
+            ("u2", "timeout"): [base + 1 * SEC],
+            ("u3", "match"): [base + 1 * SEC, base + 2 * SEC,
+                              base + 2 * SEC, 1, base + 3 * SEC],
+        }, (mode, got)
+
+    # batch twin agrees
+    bdf = spark.createDataFrame(
+        [(r["user_id"], r["ts"], r["event_id"], r["event_type"])
+         for r in rows],
+        "user_id string, ts_ms long, event_id long, event_type string",
+    ).withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+    twin = {r.user_id: (int(r.c_first_ts.timestamp() * 1000),
+                        int(r.c_last_ts.timestamp() * 1000), r.c_count)
+            for r in match_pattern(bdf, pat, within="1 minute").collect()}
+    assert twin == {
+        "u1": (base + 2 * SEC, base + 3 * SEC, 2),
+        "u3": (base + 2 * SEC, base + 2 * SEC, 1),
+    }
+
+    # TERMINAL loop with until: resolves on the watermark at
+    # anchor+within; only pre-stop clicks counted
+    pat_t = [
+        {"name": "a", "where": F.col("event_type") == "A"},
+        {"name": "c", "where": F.col("event_type") == "c",
+         "one_or_more": True, "until": F.col("event_type") == "x"},
+    ]
+    got_t = {
+        (r.key, r.status): list(r.step_ts)
+        for r in _run_pattern_stream(
+            spark, tmp_path, "untt", [b1, b2, b3], pat_t,
+            within="1 minute", watermark="10 seconds")
+        if r.key != "u9"
+    }
+    assert got_t == {
+        ("u1", "match"): [base + 1 * SEC, base + 2 * SEC, base + 3 * SEC, 2],
+        ("u2", "timeout"): [base + 1 * SEC],
+        ("u3", "match"): [base + 1 * SEC, base + 2 * SEC, base + 2 * SEC, 1],
+    }
+    twin_t = {r.user_id: r.c_count for r in
+              match_pattern(bdf, pat_t, within="1 minute").collect()}
+    assert twin_t == {"u1": 2, "u3": 1}
+
+
 def _drive_restart(spark, tmp_path, name, build_out, batches, split):
     """Checkpoint-restart harness: run `build_out(stream)` over the
     first `split` files, let the availableNow query terminate, append

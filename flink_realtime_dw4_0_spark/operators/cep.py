@@ -178,11 +178,14 @@ def unroll_pattern(pattern: list[dict]):
     identically:
 
     * the anchor must be a plain positive step;
-    * quantified steps are relaxed-contiguity only (no Flink
-      ``consecutive()`` loops), may not be consecutive, and a strict
-      step may not directly follow one (its bind position is a span,
-      not a single event);
+    * a quantified step's strict slot carries Flink ``consecutive()``
+      (``consecutive: True`` — strict contiguity INSIDE the loop; the
+      step's connection to its neighbours stays relaxed); two
+      quantified steps may not be adjacent, and a strict plain step may
+      not directly follow one (its bind position is a span, not a
+      single event);
     * ``until`` is only meaningful on a quantified step;
+      ``consecutive`` only on a looping quantifier;
     * a ``notFollowedBy`` may not sit adjacent to a quantified step
       (the gap boundary would not be a single bound event)."""
     if not pattern or pattern[0].get("negated"):
@@ -222,9 +225,10 @@ def unroll_pattern(pattern: list[dict]):
                 )
             if strict:
                 raise ValueError(
-                    f"step {p['name']!r}: a quantified step uses relaxed "
-                    "contiguity (Flink consecutive() loops are not "
-                    "supported)"
+                    f"step {p['name']!r}: contiguity='strict' is the "
+                    "plain-step `next` relation — for strict contiguity "
+                    "INSIDE a loop use consecutive: True (Flink "
+                    "oneOrMore().consecutive())"
                 )
             if not positives:
                 raise ValueError(
@@ -247,14 +251,30 @@ def unroll_pattern(pattern: list[dict]):
                         f"times_range needs 0 <= from <= to (to >= 1), "
                         f"got {p['times_range']!r}"
                     )
+                if (mn, mx) == (1, 1):
+                    raise ValueError(
+                        "times_range (1, 1) is a plain step — drop the "
+                        "quantifier (loop semantics like relaxed run entry "
+                        "would silently differ from the plain-step bind)"
+                    )
             else:
                 mn, mx = int(p["times_or_more"]), None
                 if mn < 1:
                     raise ValueError(f"times_or_more needs n >= 1, got {mn}")
             if p.get("until") is not None:
                 untils[len(positives)] = p["until"]
-            positives.append((p["name"], p["where"], False, mn, mx))
+            # the strict slot carries consecutive() for quantified steps:
+            # strict contiguity INSIDE the loop (a non-matching event ends
+            # the run), reusing the tuple shape both engines already read
+            positives.append(
+                (p["name"], p["where"], bool(p.get("consecutive")), mn, mx)
+            )
             continue
+        if p.get("consecutive"):
+            raise ValueError(
+                f"step {p['name']!r}: consecutive() modifies a looping "
+                "quantifier — for plain steps use contiguity='strict'"
+            )
         times = int(p.get("times", 1))
         if times < 1:
             raise ValueError(f"times must be >= 1, got {times}")
@@ -361,6 +381,42 @@ def _attach_first_until(
     return out
 
 
+def _attach_run_bounds(
+    chain: DataFrame, base: DataFrame, key: str, carry: list[str],
+    li: int, prev_rn,
+) -> DataFrame:
+    """For a consecutive() loop ``li``, left-join each chain's run
+    bounds: ``__s{li}`` = rn of the first loop match after the
+    predecessor bind (the run start), ``__e{li}`` = rn of the first
+    NON-matching event after the run start (exclusive run end) — NULL
+    when absent.  The run is the half-open rn interval [s, e): strict
+    contiguity inside the loop means any non-matching event ends it.
+    Two keyed equi-join + min aggregations (e depends on s), appended
+    to ``carry`` for the caller to drop once the loop is bound."""
+    m_ev = base.filter(F.col(f"__m{li}") == 1).select(
+        F.col(key).alias("__s_key"), F.col("__rn").alias("__s_c_rn")
+    )
+    j1 = chain.join(
+        m_ev,
+        (chain[key] == m_ev["__s_key"]) & (m_ev["__s_c_rn"] > prev_rn),
+        "left",
+    )
+    chain = j1.groupBy(key, *carry).agg(F.min("__s_c_rn").alias(f"__s{li}"))
+    carry.append(f"__s{li}")
+    nm_ev = base.filter(F.col(f"__m{li}") == 0).select(
+        F.col(key).alias("__e_key"), F.col("__rn").alias("__e_c_rn")
+    )
+    j2 = chain.join(
+        nm_ev,
+        (chain[key] == nm_ev["__e_key"])
+        & (nm_ev["__e_c_rn"] > F.col(f"__s{li}")),
+        "left",
+    )
+    chain = j2.groupBy(key, *carry).agg(F.min("__e_c_rn").alias(f"__e{li}"))
+    carry.append(f"__e{li}")
+    return chain
+
+
 def match_pattern(
     events: DataFrame,
     pattern: list[dict],
@@ -416,6 +472,7 @@ def match_pattern(
          "times_range": (1, 4),                       # times(from, to)
          "optional": True,                            # times(0..1)
          "until": <Column>,                           # loop stop condition
+         "consecutive": True,                         # strict INSIDE the loop
          "contiguity": "strict",                      # 'next'; default relaxed
          "negated": True}                             # notFollowedBy
 
@@ -448,6 +505,12 @@ def match_pattern(
       strictly before it are takeable (the stop event itself is never
       taken, even if it also matches the loop), the hand-off minimum
       counts only those, and the next step may still bind later;
+    * ``consecutive: True`` on a looping step (Flink
+      ``oneOrMore().consecutive()``) makes the loop own the RUN — the
+      first maximal strictly-contiguous stretch of matching events
+      after the predecessor bind; any non-matching event ends it (a
+      successor candidate may simultaneously end the run and bind);
+      the step's connection to its neighbours stays relaxed;
     * a TERMINAL looping step (requires ``within``; ``optional`` cannot
       be terminal) takes every loop-matching event inside
       ``anchor + within`` and needs at least ``min`` of them;
@@ -550,15 +613,25 @@ def match_pattern(
                 F.col("__c_ts")
                 <= F.col(bound[0]["ts"]) + within_interval(within)
             )
+            helper_cols: list[str] = []
             if idx in untils:
                 # until(stop): the loop only owns events strictly before
                 # the first stop-event after the predecessor bind
                 chain = _attach_first_until(
                     chain, base, key, carry, untils[idx], idx, prev_rn
                 )
+                helper_cols += [f"__u_rn{idx}", f"__u_pre{idx}"]
                 cond = cond & (
                     F.col("__c_rn")
                     < F.coalesce(F.col(f"__u_rn{idx}"), F.lit(_NO_UNTIL))
+                )
+            if strict:  # consecutive(): the run ends at the first non-match
+                chain = _attach_run_bounds(chain, base, key, carry, idx,
+                                           prev_rn)
+                helper_cols += [f"__s{idx}", f"__e{idx}"]
+                cond = cond & (
+                    F.col("__c_rn")
+                    < F.coalesce(F.col(f"__e{idx}"), F.lit(_NO_UNTIL))
                 )
             chain = (
                 chain.join(lev, key)
@@ -573,10 +646,9 @@ def match_pattern(
                 )
                 .filter(F.col(f"{cname}_count") >= mn)
             )
-            if idx in untils:
-                chain = chain.drop(f"__u_rn{idx}", f"__u_pre{idx}")
-                carry = [c for c in carry
-                         if c not in (f"__u_rn{idx}", f"__u_pre{idx}")]
+            if helper_cols:
+                chain = chain.drop(*helper_cols)
+                carry = [c for c in carry if c not in helper_cols]
             bound.append({
                 "kind": "loop", "first_ts": f"{cname}_first_ts",
                 "last_ts": f"{cname}_last_ts", "cnt": f"{cname}_count",
@@ -610,69 +682,112 @@ def match_pattern(
             # too-early candidate is skipped; a candidate also matching
             # the loop does not count itself — proceed priority)
             li = pending_loop
-            lname, _lpred, _, lmn, lmx = positives[li]
+            lname, _lpred, lconsec, lmn, lmx = positives[li]
             sel.append(
                 (F.col(f"__cum{li}") - F.col(f"__m{li}")).alias("__c_gap")
             )
             cand = base.filter(pred).select(*sel)
-            gap_cnt = F.col("__c_gap") - F.col(f"__pcum{li}")
-            if li in untils:
-                # until(stop): only loop events strictly before the first
-                # stop-event count; c_gap(r) <= pre_u for r <= u_rn makes
-                # LEAST correct for every candidate position
-                chain = _attach_first_until(
-                    chain, base, key, carry, untils[li], li, prev_rn
+            if lconsec:
+                # consecutive(): the loop owns the run [s, e) — the first
+                # maximal strictly-contiguous stretch of matches after the
+                # predecessor; takeable count before candidate r is
+                # rn-arithmetic, clamped to the run (and the until stop)
+                chain = _attach_run_bounds(chain, base, key, carry, li,
+                                           prev_rn)
+                run_end = F.coalesce(F.col(f"__e{li}"), F.lit(_NO_UNTIL))
+                if li in untils:
+                    chain = _attach_first_until(
+                        chain, base, key, carry, untils[li], li, prev_rn
+                    )
+                    run_end = F.least(
+                        run_end,
+                        F.coalesce(F.col(f"__u_rn{li}"), F.lit(_NO_UNTIL)),
+                    )
+                run_start = F.coalesce(F.col(f"__s{li}"), F.lit(_NO_UNTIL))
+                gap_cnt = F.greatest(
+                    F.least(F.col("__c_rn"), run_end) - run_start, F.lit(0)
                 )
-                gap_cnt = F.least(
-                    F.col("__c_gap"),
-                    F.coalesce(F.col(f"__u_pre{li}"), F.lit(_NO_UNTIL)),
-                ) - F.col(f"__pcum{li}")
+            else:
+                gap_cnt = F.col("__c_gap") - F.col(f"__pcum{li}")
+                if li in untils:
+                    # until(stop): only loop events strictly before the
+                    # first stop-event count; c_gap(r) <= pre_u for
+                    # r <= u_rn makes LEAST correct for every candidate
+                    chain = _attach_first_until(
+                        chain, base, key, carry, untils[li], li, prev_rn
+                    )
+                    gap_cnt = F.least(
+                        F.col("__c_gap"),
+                        F.coalesce(F.col(f"__u_pre{li}"), F.lit(_NO_UNTIL)),
+                    ) - F.col(f"__pcum{li}")
             cond = (F.col("__c_rn") > prev_rn) & (gap_cnt >= F.lit(lmn))
             aggs.append(F.min_by("__c_gap", "__c_rn").alias("__h_gap"))
         chain = chain.join(cand, key).filter(cond).groupBy(key, *carry).agg(*aggs)
         if pending_loop is not None:
             # __pcum{li} (a groupBy key) still holds the PREDECESSOR's cum
             li = pending_loop
-            lname, _lpred, _, lmn, lmx = positives[li]
-            h_gap = F.col("__h_gap")
-            if li in untils:
-                h_gap = F.least(
-                    h_gap, F.coalesce(F.col(f"__u_pre{li}"), F.lit(_NO_UNTIL))
-                )
-            cnt = (h_gap - F.col(f"__pcum{li}")).cast("long")
+            lname, _lpred, lconsec, lmn, lmx = positives[li]
+            helper_cols = []
+            if lconsec:
+                run_end = F.coalesce(F.col(f"__e{li}"), F.lit(_NO_UNTIL))
+                if li in untils:
+                    run_end = F.least(
+                        run_end,
+                        F.coalesce(F.col(f"__u_rn{li}"), F.lit(_NO_UNTIL)),
+                    )
+                    helper_cols += [f"__u_rn{li}", f"__u_pre{li}"]
+                run_start = F.coalesce(F.col(f"__s{li}"), F.lit(_NO_UNTIL))
+                cnt = F.greatest(
+                    F.least(F.col(f"{cname}_rn"), run_end) - run_start,
+                    F.lit(0),
+                ).cast("long")
+                helper_cols += [f"__s{li}", f"__e{li}"]
+            else:
+                h_gap = F.col("__h_gap")
+                if li in untils:
+                    h_gap = F.least(
+                        h_gap,
+                        F.coalesce(F.col(f"__u_pre{li}"), F.lit(_NO_UNTIL)),
+                    )
+                    helper_cols += [f"__u_rn{li}", f"__u_pre{li}"]
+                cnt = (h_gap - F.col(f"__pcum{li}")).cast("long")
             if lmx is not None:
                 cnt = F.least(cnt, F.lit(lmx).cast("long"))
             chain = chain.withColumn(f"{lname}_count", cnt).drop("__h_gap")
-            if li in untils:
-                chain = chain.drop(f"__u_rn{li}", f"__u_pre{li}")
-                carry = [c for c in carry
-                         if c not in (f"__u_rn{li}", f"__u_pre{li}")]
-            # first/last taken loop events, fetched by per-key cum index
-            # (two keyed equi-joins against the loop-match list)
+            # first/last taken loop events, fetched by per-key index
+            # equi-joins against the loop-match list: cum index for a
+            # relaxed loop (pcum+1 .. pcum+cnt), rn index for a
+            # consecutive run (s .. s+cnt-1)
             lev = base.filter(F.col(f"__m{li}") == 1)
+            idx_col = F.col("__rn") if lconsec else F.col(f"__cum{li}")
             first_ev = lev.select(
                 F.col(key).alias("__lf_key"),
-                F.col(f"__cum{li}").alias("__lf_idx"),
+                idx_col.alias("__lf_idx"),
                 F.col("__ts").alias(f"{lname}_first_ts"),
                 F.col("__rn").alias(f"{lname}_first_rn"),
             )
             last_ev = lev.select(
                 F.col(key).alias("__ll_key"),
-                F.col(f"__cum{li}").alias("__ll_idx"),
+                idx_col.alias("__ll_idx"),
                 F.col("__ts").alias(f"{lname}_last_ts"),
                 F.col("__rn").alias(f"{lname}_last_rn"),
             )
+            has_take = F.col(f"{lname}_count") > 0
+            if lconsec:
+                want_f = F.when(has_take, F.col(f"__s{li}"))
+                want_l = F.when(
+                    has_take,
+                    F.col(f"__s{li}") + F.col(f"{lname}_count") - 1,
+                )
+            else:
+                want_f = F.when(has_take, F.col(f"__pcum{li}") + 1)
+                want_l = F.when(
+                    has_take,
+                    F.col(f"__pcum{li}") + F.col(f"{lname}_count"),
+                )
             chain = (
-                chain.withColumn(
-                    "__want_f",
-                    F.when(F.col(f"{lname}_count") > 0,
-                           F.col(f"__pcum{li}") + 1),
-                )
-                .withColumn(
-                    "__want_l",
-                    F.when(F.col(f"{lname}_count") > 0,
-                           F.col(f"__pcum{li}") + F.col(f"{lname}_count")),
-                )
+                chain.withColumn("__want_f", want_f)
+                .withColumn("__want_l", want_l)
                 .join(
                     first_ev,
                     (F.col(key) == F.col("__lf_key"))
@@ -688,6 +803,9 @@ def match_pattern(
                 )
                 .drop("__ll_key", "__ll_idx", "__want_f", "__want_l")
             )
+            if helper_cols:
+                chain = chain.drop(*helper_cols)
+                carry = [c for c in carry if c not in helper_cols]
             bound.append({
                 "kind": "loop", "first_ts": f"{lname}_first_ts",
                 "last_ts": f"{lname}_last_ts", "cnt": f"{lname}_count",

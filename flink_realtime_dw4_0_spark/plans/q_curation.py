@@ -2783,6 +2783,98 @@ def cep_pattern_one_or_more_until_q(spark, sf_dir):
 
 
 @q(
+    "cep_pattern_consecutive",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    a0 AS (
+      SELECT user_id, view_ts, view_rn FROM (
+        SELECT user_id, ts AS view_ts, rn AS view_rn,
+               row_number() OVER (PARTITION BY user_id ORDER BY rn) AS cp
+        FROM e WHERE event_type = 'view')
+      WHERE cp <= 5),
+    ss AS (
+      SELECT a.user_id, a.view_rn, min(e.rn) AS s_rn
+      FROM a0 a JOIN e ON e.user_id = a.user_id
+      WHERE e.event_type = 'click' AND e.rn > a.view_rn
+      GROUP BY 1, 2),
+    ee AS (
+      SELECT s.user_id, s.view_rn, min(e.rn) AS b_rn
+      FROM ss s JOIN e ON e.user_id = s.user_id
+      WHERE e.event_type <> 'click' AND e.rn > s.s_rn
+      GROUP BY 1, 2),
+    a1 AS (
+      SELECT a0.*, s_rn, b_rn
+      FROM a0 LEFT JOIN ss USING (user_id, view_rn)
+              LEFT JOIN ee USING (user_id, view_rn)),
+    h AS (
+      SELECT a.user_id, view_ts, view_rn, s_rn, b_rn,
+             min(e.rn) AS p_rn, arg_min(e.ts, e.rn) AS p_ts
+      FROM a1 a JOIN e ON e.user_id = a.user_id
+      WHERE e.event_type = 'purchase' AND e.rn > a.view_rn
+        AND greatest(least(e.rn, coalesce(a.b_rn, 4611686018427387904))
+                     - coalesce(a.s_rn, 4611686018427387904), 0) >= 1
+      GROUP BY 1, 2, 3, 4, 5),
+    c AS (
+      SELECT h.*, least(p_rn, coalesce(b_rn, p_rn)) - s_rn AS n_clicks
+      FROM h),
+    fl AS (
+      SELECT c.user_id, view_ts, view_rn, p_ts, n_clicks,
+             f.ts AS first_ts, l.ts AS last_ts
+      FROM c
+      JOIN e f ON f.user_id = c.user_id AND f.rn = c.s_rn
+      JOIN e l ON l.user_id = c.user_id AND l.rn = c.s_rn + c.n_clicks - 1),
+    m AS (
+      SELECT user_id, view_ts, first_ts, last_ts, n_clicks, p_ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY view_rn) AS pick
+      FROM fl WHERE p_ts <= view_ts + INTERVAL 7 DAY)
+    SELECT user_id, epoch_us(view_ts) AS view_us,
+           epoch_us(first_ts) AS click_first_us,
+           epoch_us(last_ts) AS click_last_us,
+           CAST(n_clicks AS BIGINT) AS click_count,
+           epoch_us(p_ts) AS purchase_us
+    FROM m WHERE pick = 1
+    """,
+    tags=("cep", "pattern", "quantifier", "consecutive"),
+)
+def cep_pattern_consecutive_q(spark, sf_dir):
+    """Flink strict-contiguity loop (Pattern.begin('view')
+    .followedBy('click').oneOrMore().consecutive()
+    .followedBy('purchase').within(7 days)): the click loop owns the
+    RUN — the first maximal strictly-contiguous click stretch after the
+    view; any non-click event ends it (a purchase may end the run and
+    bind at once); entry into the run stays relaxed.  Oracle: run
+    start = first click after the anchor, run end = first non-click
+    after the start, takeable count before candidate r is pure rn
+    arithmetic clamped to the run — exactly
+    operators/cep.py:_attach_run_bounds' plan."""
+    from ..operators import cep
+
+    ev = t(spark, sf_dir, "events")
+    m = cep.match_pattern(
+        ev,
+        [
+            {"name": "view", "where": F.col("event_type") == "view"},
+            {"name": "click", "where": F.col("event_type") == "click",
+             "one_or_more": True, "consecutive": True},
+            {"name": "purchase", "where": F.col("event_type") == "purchase"},
+        ],
+        within="7 DAY",
+        max_anchors_per_key=5,
+    )
+    return m.select(
+        "user_id",
+        F.unix_micros("view_ts").alias("view_us"),
+        F.unix_micros("click_first_ts").alias("click_first_us"),
+        F.unix_micros("click_last_ts").alias("click_last_us"),
+        F.col("click_count"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+    )
+
+
+@q(
     "cep_pattern_skip_to_first",
     """
     WITH RECURSIVE e AS (

@@ -208,13 +208,15 @@ def _advance_event(
 
     Plain awaited step: bind wins over negation (the batch twin's
     negation range is STRICTLY between bound positions), then negation,
-    then strict break.  Quantified awaited step (validated loop-free of
-    negations/strictness): the SUCCESSOR binds first whenever its bit is
-    set and the loop has met its minimum — proceed priority, the batch
-    twin's hand-off `h` — then an until-stop event FREEZES the loop
-    (count kept, no more takes; the stop event itself is never taken
-    even if it also matches the loop); otherwise a loop-matching event
-    below the max is taken greedily if not frozen; anything else passes
+    then strict break.  Quantified awaited step (validated free of
+    adjacent negations; its strict slot carries ``consecutive()``): the
+    SUCCESSOR binds first whenever its bit is set and the loop has met
+    its minimum — proceed priority, the batch twin's hand-off `h` —
+    then an until-stop event FREEZES the loop (count kept, no more
+    takes; the stop event itself is never taken even if it also matches
+    the loop); otherwise a loop-matching event below the max is taken
+    greedily if not frozen; for a consecutive() loop any OTHER event
+    after the run started also freezes it; anything else passes
     (relaxed).  An empty optional finalizes as (-1, -1, 0)."""
     n = len(specs)
     strict, mn, mx = specs[prog]
@@ -243,6 +245,10 @@ def _advance_event(
         return "alive", prog, cnt + _FROZEN, lfirst, llast, vals
     if lcnt < _FROZEN and ((mask >> prog) & 1) and (mx < 0 or cnt < mx):
         return "alive", prog, lcnt + 1, (ts_v if cnt == 0 else lfirst), ts_v, vals
+    if strict and lcnt < _FROZEN and cnt > 0:
+        # consecutive(): any event not taken into a started run ends it
+        # (count kept — the successor may still bind once min is met)
+        return "alive", prog, cnt + _FROZEN, lfirst, llast, vals
     return "alive", prog, lcnt, lfirst, llast, vals
 
 

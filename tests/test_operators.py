@@ -2561,7 +2561,7 @@ def test_cep_pattern_loop_quantifiers(spark):
             [{"name": "a", "where": A},
              {"name": "b", "where": B, "one_or_more": True},
              {"name": "c", "where": C, "contiguity": "strict"}])
-    with _pytest.raises(ValueError, match="relaxed contiguity"):
+    with _pytest.raises(ValueError, match="consecutive"):
         cep.unroll_pattern(
             [{"name": "a", "where": A},
              {"name": "b", "where": B, "one_or_more": True,
@@ -2894,3 +2894,74 @@ def test_cep_pattern_until(spark):
         cep.unroll_pattern(
             [{"name": "a", "where": F.lit(True)},
              {"name": "b", "where": F.lit(True), "until": F.lit(True)}])
+
+
+def test_cep_pattern_consecutive(spark):
+    """Flink oneOrMore().consecutive(): the loop owns the RUN — the
+    first maximal strictly-contiguous stretch of matches after the
+    predecessor bind; any non-matching event ends it (a successor
+    candidate may end the run and bind at once); entry into the run
+    stays relaxed.  Composes with times_range caps; degenerate
+    times_range(1,1) and consecutive-on-plain are rejected."""
+    from datetime import datetime as dt
+
+    import pytest as _pytest
+
+    from flink_realtime_dw4_0_spark.operators import cep
+
+    T = lambda s: dt(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # noise, run {3,4}, break @5, stray c@6 not taken
+        ("u1", T(1), 1, "A"), ("u1", T(2), 2, "n"), ("u1", T(3), 3, "c"),
+        ("u1", T(4), 4, "c"), ("u1", T(5), 5, "n"), ("u1", T(6), 6, "c"),
+        ("u1", T(7), 7, "B"),
+        # successor ends the run and binds
+        ("u2", T(1), 1, "A"), ("u2", T(2), 2, "c"), ("u2", T(3), 3, "B"),
+        # no run at all: dead
+        ("u3", T(1), 1, "A"), ("u3", T(2), 2, "n"), ("u3", T(3), 3, "B"),
+        # 3-run for the cap case
+        ("u5", T(1), 1, "A"), ("u5", T(2), 2, "c"), ("u5", T(3), 3, "c"),
+        ("u5", T(4), 4, "c"), ("u5", T(5), 5, "B"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, event_id long, event_type string"
+    )
+    pat = [{"name": "a", "where": F.col("event_type") == "A"},
+           {"name": "c", "where": F.col("event_type") == "c",
+            "one_or_more": True, "consecutive": True},
+           {"name": "b", "where": F.col("event_type") == "B"}]
+    got = {r.user_id: (r.c_first_ts.second, r.c_last_ts.second, r.c_count,
+                       r.b_ts.second)
+           for r in cep.match_pattern(ev, pat, within="1 HOUR").collect()}
+    assert got == {"u1": (3, 4, 2, 7), "u2": (2, 2, 1, 3),
+                   "u5": (2, 4, 3, 5)}
+
+    # terminal consecutive loop: run bounded by the first non-match
+    pat_t = [{"name": "a", "where": F.col("event_type") == "A"},
+             {"name": "c", "where": F.col("event_type") == "c",
+              "one_or_more": True, "consecutive": True}]
+    got_t = {r.user_id: r.c_count
+             for r in cep.match_pattern(ev, pat_t, within="1 HOUR").collect()}
+    assert got_t == {"u1": 2, "u2": 1, "u5": 3}
+
+    # bounded range cap applies on top of the run
+    pat_r = [{"name": "a", "where": F.col("event_type") == "A"},
+             {"name": "c", "where": F.col("event_type") == "c",
+              "times_range": (1, 2), "consecutive": True},
+             {"name": "b", "where": F.col("event_type") == "B"}]
+    got_r = {r.user_id: (r.c_first_ts.second, r.c_last_ts.second, r.c_count)
+             for r in cep.match_pattern(ev, pat_r, within="1 HOUR").collect()}
+    assert got_r == {"u1": (3, 4, 2), "u2": (2, 2, 1), "u5": (2, 3, 2)}
+
+    with _pytest.raises(ValueError, match="modifies a looping"):
+        cep.unroll_pattern([{"name": "a", "where": F.lit(True)},
+                            {"name": "b", "where": F.lit(True),
+                             "consecutive": True}])
+    with _pytest.raises(ValueError, match="times_range \\(1, 1\\)"):
+        cep.unroll_pattern([{"name": "a", "where": F.lit(True)},
+                            {"name": "b", "where": F.lit(True),
+                             "times_range": (1, 1)}])
+    with _pytest.raises(ValueError, match="consecutive"):
+        cep.unroll_pattern([{"name": "a", "where": F.lit(True)},
+                            {"name": "b", "where": F.lit(True),
+                             "one_or_more": True, "contiguity": "strict"}])

@@ -3450,6 +3450,90 @@ def test_streaming_pattern_until_golden(spark, tmp_path):
     assert twin_t == {"u1": 2, "u3": 1}
 
 
+def test_streaming_pattern_consecutive_golden(spark, tmp_path):
+    """Streaming consecutive() equals the batch twin under shuffled
+    arrival: relaxed entry into the run, any non-taken event after the
+    run started freezes the loop (stray later matches are noise), a
+    successor candidate may end the run and bind at once, and a key
+    with no run times out."""
+    from flink_realtime_dw4_0_spark.operators.cep import match_pattern
+
+    base = 1_700_000_000_000
+    SEC = 1_000
+    all_events = {
+        "u1": [("A", 1), ("n", 2), ("c", 3), ("c", 4), ("n", 5), ("c", 6),
+               ("B", 7)],
+        "u2": [("A", 1), ("c", 2), ("B", 3)],
+        "u3": [("A", 1), ("n", 2), ("B", 3)],
+    }
+    rows = [
+        {"user_id": u, "ts": base + s * SEC, "event_id": s, "event_type": e}
+        for u, evs in all_events.items() for e, s in evs
+    ]
+    b1 = [r for r in rows if r["ts"] >= base + 4 * SEC]   # reversed halves
+    b2 = [r for r in rows if r["ts"] < base + 4 * SEC]
+    b3 = [{"user_id": "u9", "ts": base + 900_000, "event_id": 99,
+           "event_type": "A"}]
+    pat = [
+        {"name": "a", "where": F.col("event_type") == "A"},
+        {"name": "c", "where": F.col("event_type") == "c",
+         "one_or_more": True, "consecutive": True},
+        {"name": "b", "where": F.col("event_type") == "B"},
+    ]
+    for mode in ("single", "all"):
+        got = {
+            (r.key, r.status): list(r.step_ts)
+            for r in _run_pattern_stream(
+                spark, tmp_path, f"csc_{mode}", [b1, b2, b3], pat,
+                within="1 minute", watermark="10 seconds", mode=mode)
+            if r.key != "u9"
+        }
+        assert got == {
+            ("u1", "match"): [base + 1 * SEC, base + 3 * SEC,
+                              base + 4 * SEC, 2, base + 7 * SEC],
+            ("u2", "match"): [base + 1 * SEC, base + 2 * SEC,
+                              base + 2 * SEC, 1, base + 3 * SEC],
+            ("u3", "timeout"): [base + 1 * SEC],
+        }, (mode, got)
+
+    # batch twin agrees
+    bdf = spark.createDataFrame(
+        [(r["user_id"], r["ts"], r["event_id"], r["event_type"])
+         for r in rows],
+        "user_id string, ts_ms long, event_id long, event_type string",
+    ).withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+    twin = {r.user_id: (int(r.c_first_ts.timestamp() * 1000),
+                        int(r.c_last_ts.timestamp() * 1000), r.c_count)
+            for r in match_pattern(bdf, pat, within="1 minute").collect()}
+    assert twin == {
+        "u1": (base + 3 * SEC, base + 4 * SEC, 2),
+        "u2": (base + 2 * SEC, base + 2 * SEC, 1),
+    }
+
+    # TERMINAL consecutive loop resolves on the watermark: the run is
+    # bounded by its first break even though the window stays open
+    pat_t = [
+        {"name": "a", "where": F.col("event_type") == "A"},
+        {"name": "c", "where": F.col("event_type") == "c",
+         "one_or_more": True, "consecutive": True},
+    ]
+    got_t = {
+        (r.key, r.status): list(r.step_ts)
+        for r in _run_pattern_stream(
+            spark, tmp_path, "csct", [b1, b2, b3], pat_t,
+            within="1 minute", watermark="10 seconds")
+        if r.key != "u9"
+    }
+    assert got_t == {
+        ("u1", "match"): [base + 1 * SEC, base + 3 * SEC, base + 4 * SEC, 2],
+        ("u2", "match"): [base + 1 * SEC, base + 2 * SEC, base + 2 * SEC, 1],
+        ("u3", "timeout"): [base + 1 * SEC],
+    }
+    twin_t = {r.user_id: r.c_count for r in
+              match_pattern(bdf, pat_t, within="1 minute").collect()}
+    assert twin_t == {"u1": 2, "u2": 1}
+
+
 def _drive_restart(spark, tmp_path, name, build_out, batches, split):
     """Checkpoint-restart harness: run `build_out(stream)` over the
     first `split` files, let the availableNow query terminate, append

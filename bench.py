@@ -560,6 +560,7 @@ def main() -> None:
             "cep_pattern_skip_to_first",
             "cep_pattern_one_or_more_until",
             "cep_pattern_consecutive",
+            "multimodal_audio_features",
         ]
         etimes: dict[str, float] = {}
         ereps: dict[str, list[float]] = {}

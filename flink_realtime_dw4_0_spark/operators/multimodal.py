@@ -31,7 +31,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    BinaryType, IntegerType, LongType, StringType, StructField, StructType,
+    BinaryType, BooleanType, DoubleType, IntegerType, LongType, StringType,
+    StructField, StructType,
 )
 
 MEDIA_SCHEMA = StructType(
@@ -288,6 +289,137 @@ def encode_png(pixels) -> bytes:
     )
 
 
+def decode_bmp_pixels(payload: bytes):
+    """Pure-stdlib BMP PIXEL decode: 24-bit uncompressed
+    BITMAPINFOHEADER (the overwhelmingly common on-disk shape) →
+    (h, w, 3) uint8 RGB.  Rows are 4-byte padded and stored bottom-up
+    (positive height) or top-down (negative); pixels are BGR on disk.
+    Other depths/compressions and header-only fixtures (declared pixel
+    array missing) raise NotImplementedError so callers fall back to
+    the disclosed stub."""
+    import struct
+
+    import numpy as np
+
+    payload = bytes(payload)
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP payload (or header-only fixture)")
+    data_off = struct.unpack("<I", payload[10:14])[0]
+    dib = struct.unpack("<I", payload[14:18])[0]
+    if dib < 40:
+        raise NotImplementedError(f"unsupported DIB header size {dib}")
+    w, h_signed = struct.unpack("<ii", payload[18:26])
+    bpp = struct.unpack("<H", payload[28:30])[0]
+    comp = struct.unpack("<I", payload[30:34])[0]
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"unsupported BMP shape: bpp={bpp} compression={comp}"
+        )
+    h = abs(h_signed)
+    stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+    if len(payload) < data_off + stride * h:
+        raise NotImplementedError("BMP without a pixel array (header-only)")
+    rows = np.frombuffer(
+        payload, np.uint8, stride * h, data_off
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if h_signed > 0:  # bottom-up storage
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def encode_bmp(pixels) -> bytes:
+    """Minimal REAL 24-bit BMP encoder (BITMAPINFOHEADER, bottom-up,
+    4-byte row padding) — round-trips through ``decode_bmp_pixels``
+    bit-exactly and parses under ``_parse_media_header``."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.repeat(arr[:, :, None], 3, axis=2)
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up, BGR
+        row = arr[y, :, ::-1].tobytes()
+        body += row + b"\x00" * (stride - len(row))
+    return (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                      2835, 2835, 0, 0)
+        + bytes(body)
+    )
+
+
+def decode_wav_samples(payload: bytes):
+    """Pure-stdlib WAV PCM SAMPLE decode: RIFF/WAVE chunk walk →
+    16-bit PCM data → (sample_rate, (frames, channels) int16 array).
+    Non-PCM formats, other bit depths, and header-only fixtures (data
+    chunk declared but bytes absent) raise NotImplementedError so
+    callers fall back to the disclosed stub."""
+    import struct
+
+    import numpy as np
+
+    payload = bytes(payload)
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos = 12
+    fmt_tag = channels = rate = bits = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        sz = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        if cid == b"fmt " and pos + 24 <= len(payload):
+            fmt_tag, channels = struct.unpack(
+                "<HH", payload[pos + 8 : pos + 12]
+            )
+            rate = struct.unpack("<I", payload[pos + 12 : pos + 16])[0]
+            bits = struct.unpack("<H", payload[pos + 22 : pos + 24])[0]
+        elif cid == b"data":
+            data = payload[pos + 8 : pos + 8 + sz]
+            if len(data) < sz:
+                raise NotImplementedError(
+                    "WAV data chunk declared but bytes absent (header-only)"
+                )
+        pos += 8 + sz + (sz % 2)
+    if fmt_tag is None or data is None:
+        raise NotImplementedError("WAV without fmt+data chunks")
+    if fmt_tag != 1 or bits != 16:
+        raise NotImplementedError(
+            f"unsupported WAV shape: format={fmt_tag} bits={bits}"
+        )
+    frames = len(data) // (2 * channels)
+    arr = np.frombuffer(data, "<i2", frames * channels).reshape(
+        frames, channels
+    )
+    return int(rate), arr.copy()
+
+
+def encode_wav(samples, rate: int) -> bytes:
+    """Minimal REAL PCM16 WAV encoder — round-trips through
+    ``decode_wav_samples`` bit-exactly and parses under
+    ``_parse_media_header``."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype="<i2")
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    frames, channels = arr.shape
+    data = arr.tobytes()
+    ba = channels * 2
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, rate,
+                                rate * ba, ba, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
 def _resize_png(payload: bytes, tw: int, th: int) -> bytes:
     """Real nearest-neighbor resize for decodable PNGs: decode → index
     rows/cols at the target sampling grid → re-encode."""
@@ -451,6 +583,58 @@ def synthetic_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def synthetic_tone_wavs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL playable WAVs, built entirely JVM-side: per
+    id, a mono PCM16 square tone alternating +A/-A per frame with
+
+      A      = 1 + id % 32767          (full-scale amplitude)
+      frames = 2 * (1 + id % 500)      (even, so the tone is whole blocks)
+      rate   = 8000 + (id % 100) * 50
+
+    so every signal statistic the audio kernel extracts is PURE
+    ARITHMETIC in the id: rms == peak == A/32768 exactly (dyadic
+    rational — IEEE-exact in numpy and any SQL engine), zero-crossing
+    rate == 1.0 (the sign flips every frame), duration_ms ==
+    frames*1000.0/rate.  The bytes come from hex expressions (header +
+    repeat()ed two-frame block) via to_binary — narrow codegen'd JVM
+    maps, no Python until the decode stage itself.  Closes the loop
+    between ``decode_wav_samples``/``audio_features`` and a SQL oracle
+    the same way ``synthetic_media`` does for the header parsers."""
+    i = F.col(id_col).cast("long")
+
+    def hx(col, n):
+        return F.lpad(F.hex(col), n, "0")
+
+    def le16(col):
+        return F.concat(hx(col % 256, 2), hx(F.floor(col / 256).cast("long"), 2))
+
+    amp = F.lit(1) + i % 32767
+    half = F.lit(1) + i % 500         # frames / 2
+    frames = half * 2
+    rate = F.lit(8000) + (i % 100) * 50
+    ds = frames * 2                   # mono 16-bit data bytes
+    header_hex = F.concat(
+        F.lit("52494646"), le16(ds + 36), F.lit("0000"), F.lit("57415645"),
+        F.lit("666D7420" + "10000000" + "0100" + "0100"),  # PCM, mono
+        le16(rate), F.lit("0000"),
+        le16(rate * 2), F.lit("0000"),                      # byte rate
+        F.lit("0200" + "1000"),                             # align 2, 16-bit
+        F.lit("64617461"), le16(ds), F.lit("0000"),
+    )
+    block_hex = F.concat(le16(amp), le16(F.lit(65536) - amp))  # +A, -A
+    payload = F.to_binary(
+        F.concat(header_hex, F.repeat(block_hex, half.cast("int"))),
+        F.lit("hex"),
+    )
+    return df.select(
+        i.alias("media_id"),
+        payload.alias("payload"),
+        F.lit("audio").alias("media_type"),
+        F.length(payload).cast("long").alias("byte_len"),
+        F.sha2(payload, 256).alias("sha256"),
+    )
+
+
 def extract_features(df: DataFrame) -> DataFrame:
     """Decode/feature-extract via Arrow-batched mapInPandas.
 
@@ -478,22 +662,108 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(fn, FEATURE_SCHEMA)
 
 
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", DoubleType()),
+        StructField("rms", DoubleType()),
+        StructField("zero_cross_rate", DoubleType()),
+        StructField("peak", DoubleType()),
+        StructField("decoded", BooleanType()),
+    ]
+)
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """REAL audio feature extraction over decodable PCM16 WAV payloads
+    via Arrow-batched mapInPandas: sample rate / channel count /
+    frame count / duration, plus signal stats computed from the actual
+    samples — RMS and peak in full-scale units (int16 / 32768, so a
+    constant-amplitude tone of amplitude A has rms == peak == A/32768
+    exactly — dyadic rationals, bit-stable across engines) and
+    zero-crossing rate (sign changes between consecutive frames of
+    channel 0, over frames-1).  Non-decodable payloads (header-only
+    fixtures, non-PCM shapes, other containers) come back with
+    decoded=false and NULL stats — the honest-stub contract the rest
+    of the multimodal tier uses.  Scale shape: one narrow projection
+    into the Python worker per partition, no shuffle, no driver."""
+    import numpy as np
+
+    def one(p):
+        try:
+            rate, arr = decode_wav_samples(bytes(p))
+        except (NotImplementedError, ValueError):
+            return None
+        frames, channels = arr.shape
+        x = arr.astype(np.float64) / 32768.0
+        ch0 = x[:, 0]
+        crossings = (
+            int(np.count_nonzero(np.signbit(ch0[1:]) != np.signbit(ch0[:-1])))
+            if frames > 1 else 0
+        )
+        return (
+            rate, channels, frames,
+            frames * 1000.0 / rate if rate else 0.0,
+            float(np.sqrt(np.mean(x * x))) if frames else 0.0,
+            crossings / (frames - 1) if frames > 1 else 0.0,
+            float(np.max(np.abs(x))) if frames else 0.0,
+        )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": [f[0] if f else None for f in feats],
+                    "channels": [f[1] if f else None for f in feats],
+                    "n_samples": [f[2] if f else None for f in feats],
+                    "duration_ms": [f[3] if f else None for f in feats],
+                    "rms": [f[4] if f else None for f in feats],
+                    "zero_cross_rate": [f[5] if f else None for f in feats],
+                    "peak": [f[6] if f else None for f in feats],
+                    "decoded": [f is not None for f in feats],
+                }
+            )
+
+    return df.mapInPandas(fn, AUDIO_FEATURE_SCHEMA)
+
+
+def _resize_bmp(payload: bytes, tw: int, th: int) -> bytes:
+    """Real nearest-neighbor resize for decodable 24-bit BMPs."""
+    import numpy as np
+
+    px = decode_bmp_pixels(payload)
+    h, w = px.shape[:2]
+    ys = np.arange(th) * h // th
+    xs = np.arange(tw) * w // tw
+    return encode_bmp(px[ys][:, xs])
+
+
 def resize(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
-    """Resize stage: REAL for decodable PNGs (pure-stdlib decode →
-    nearest-neighbor sample → re-encode, see ``decode_png_pixels``),
-    honestly stubbed for everything else (JPEG/GIF/MP4 kernels need
-    PIL/ffmpeg, absent in this container — the stub rewrites the
-    payload deterministically and stamps the op).  Header-only PNG
-    fixtures (no IDAT) take the stub path too.  The Spark plumbing —
-    schema in/out, Arrow batch shape, partition-parallel execution —
-    is identical on both paths.
+    """Resize stage: REAL for decodable PNGs and 24-bit BMPs
+    (pure-stdlib decode → nearest-neighbor sample → re-encode, see
+    ``decode_png_pixels`` / ``decode_bmp_pixels``), honestly stubbed
+    for everything else (JPEG/GIF/MP4 kernels need PIL/ffmpeg, absent
+    in this container — the stub rewrites the payload deterministically
+    and stamps the op).  Header-only fixtures (no pixel data) take the
+    stub path too.  The Spark plumbing — schema in/out, Arrow batch
+    shape, partition-parallel execution — is identical on both paths.
     """
 
     def one(p) -> bytes:
         bp = bytes(p)
+        kernel = None
         if bp[:8] == b"\x89PNG\r\n\x1a\n":
+            kernel = _resize_png
+        elif bp[:2] == b"BM":
+            kernel = _resize_bmp
+        if kernel is not None:
             try:
-                return _resize_png(bp, target_w, target_h)
+                return kernel(bp, target_w, target_h)
             except (NotImplementedError, ValueError):
                 pass  # header-only or exotic shape: disclosed stub below
         return bp + f"|resized:{target_w}x{target_h}".encode()

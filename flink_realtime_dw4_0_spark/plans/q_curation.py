@@ -1542,6 +1542,37 @@ def mm_patch_grid(spark, sf_dir):
 
 
 @q(
+    "multimodal_audio_features",
+    """
+    SELECT doc_id AS media_id,
+           CAST(8000 + (doc_id % 100) * 50 AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS channels,
+           CAST(2 * (1 + doc_id % 500) AS BIGINT) AS n_samples,
+           (2 * (1 + doc_id % 500)) * 1000.0
+             / (8000 + (doc_id % 100) * 50) AS duration_ms,
+           (1 + doc_id % 32767) / 32768.0 AS rms,
+           CAST(1.0 AS DOUBLE) AS zero_cross_rate,
+           (1 + doc_id % 32767) / 32768.0 AS peak,
+           TRUE AS decoded
+    FROM documents
+    """,
+    tags=("multimodal", "audio", "kernel"),
+)
+def mm_audio_features(spark, sf_dir):
+    """REAL audio pipeline end to end: JVM-built playable PCM16 square
+    tones (multimodal.synthetic_tone_wavs — header + repeat()ed ±A
+    frame blocks, to_binary'd hex) decoded by the pure-stdlib WAV
+    kernel and measured by multimodal.audio_features.  Every statistic
+    is id-arithmetic: rms == peak == A/32768 (dyadic-rational exact in
+    IEEE, so numpy and DuckDB agree bit-for-bit), zero-crossing rate
+    1.0, duration frames*1000/rate — the oracle predicts the signal
+    math, not just the plumbing."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    tones = multimodal.synthetic_tone_wavs(docs, "doc_id")
+    return multimodal.audio_features(tones)
+
+
+@q(
     "sample_weighted_wor",
     """
     WITH s AS (

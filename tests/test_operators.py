@@ -2965,3 +2965,73 @@ def test_cep_pattern_consecutive(spark):
         cep.unroll_pattern([{"name": "a", "where": F.lit(True)},
                             {"name": "b", "where": F.lit(True),
                              "one_or_more": True, "contiguity": "strict"}])
+
+
+def test_bmp_wav_real_kernels(spark):
+    """Pure-stdlib BMP pixel and WAV PCM16 sample kernels: bit-exact
+    round trips (incl. odd-width row padding), honest header-only
+    failures, real nearest-neighbor BMP resize through the Spark op,
+    and audio_features computing EXACT signal stats on JVM-built
+    playable square tones (rms == peak == A/32768 dyadic-exact,
+    zero-cross rate 1.0)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from flink_realtime_dw4_0_spark.operators import multimodal as mm
+
+    # BMP round trip, even and odd widths (4-byte row padding)
+    for shape in ((2, 4, 3), (3, 3, 3)):
+        px = np.arange(np.prod(shape), dtype=np.uint8).reshape(shape)
+        enc = mm.encode_bmp(px)
+        assert np.array_equal(mm.decode_bmp_pixels(enc), px)
+        w, h, _ = mm._parse_media_header(enc)
+        assert (w, h) == (shape[1], shape[0])
+
+    # WAV round trip + header parse agreement
+    samples = np.array([[100, -7], [-100, 8], [300, -9]], dtype="<i2")
+    enc = mm.encode_wav(samples, 8000)
+    rate, arr = mm.decode_wav_samples(enc)
+    assert rate == 8000 and np.array_equal(arr, samples)
+    assert mm._parse_media_header(enc) == (8000, 2, 3)
+
+    # header-only fixtures fail honestly (synthetic_media's WAV/BMP
+    # declare sizes but carry no payload bytes)
+    hdr_wav = enc[:44]
+    with _pytest.raises((NotImplementedError, ValueError)):
+        mm.decode_wav_samples(hdr_wav)
+    with _pytest.raises((NotImplementedError, ValueError)):
+        mm.decode_bmp_pixels(mm.encode_bmp(np.zeros((2, 2, 3), np.uint8))[:26])
+
+    # real BMP resize through the Spark op: 4x4 -> 2x2 keeps the
+    # top-left pixel of each quadrant (nearest-neighbor at 2x)
+    src = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    med = spark.createDataFrame(
+        [(1, bytearray(mm.encode_bmp(src)), "image", 0, "")],
+        mm.MEDIA_SCHEMA,
+    )
+    out = mm.resize(med, 2, 2).collect()[0]
+    assert np.array_equal(
+        mm.decode_bmp_pixels(bytes(out.payload)), src[::2, ::2]
+    )
+
+    # tone WAVs: every stat is id-arithmetic and IEEE-exact
+    ids = spark.range(0, 12).withColumnRenamed("id", "doc_id")
+    feats = mm.audio_features(mm.synthetic_tone_wavs(ids)).collect()
+    assert len(feats) == 12
+    for r in feats:
+        i, A = r.media_id, 1 + r.media_id % 32767
+        frames = 2 * (1 + i % 500)
+        rate = 8000 + (i % 100) * 50
+        assert (r.sample_rate, r.channels, r.n_samples, r.decoded) == (
+            rate, 1, frames, True)
+        assert r.rms == A / 32768.0 and r.peak == A / 32768.0
+        assert r.zero_cross_rate == 1.0
+        assert r.duration_ms == frames * 1000.0 / rate
+
+    # synthetic_media's header-only WAVs come back decoded=false with
+    # NULL stats — the honest-stub contract
+    med6 = mm.synthetic_media(spark.range(0, 12).withColumnRenamed(
+        "id", "doc_id"))
+    audio = mm.audio_features(med6.filter(F.col("media_type") == "audio"))
+    rows = audio.collect()
+    assert rows and all(not r.decoded and r.rms is None for r in rows)

@@ -561,6 +561,7 @@ def main() -> None:
             "cep_pattern_one_or_more_until",
             "cep_pattern_consecutive",
             "multimodal_audio_features",
+            "multimodal_image_stats",
         ]
         etimes: dict[str, float] = {}
         ereps: dict[str, list[float]] = {}

@@ -8,13 +8,18 @@ PNG IHDR (width/height), BMP BITMAPINFOHEADER (width/height), JPEG SOFn
 (marker-segment walk), GIF logical-screen descriptors, ISO-BMFF (MP4)
 moov/trak/tkhd dims + stbl/stsz sample counts, and WAV RIFF chunks
 (sample_rate/channels/sample-frame count — surfaced as
-width/height/n_frames).  PNG pixel decode is REAL and pure-stdlib
-(`decode_png_pixels`: IDAT zlib inflate + scanline unfilter, filters
-0-4; `encode_png` re-encodes), so `resize` runs an actual
-nearest-neighbor kernel on decodable PNGs.  JPEG/GIF/MP4 pixel/sample
-decode stays stubbed (no PIL/ffmpeg in this container) behind a
-deterministic fake — the Spark-side plumbing (schema, batching,
-partition shape) is real and tested either way.
+width/height/n_frames).  Pixel/sample decode is REAL and pure-stdlib
+for four containers: PNG (`decode_png_pixels`: IDAT zlib inflate +
+scanline unfilter, filters 0-4), 24-bit BMP (`decode_bmp_pixels`:
+padded BGR rows, bottom-up/top-down), GIF (`decode_gif_pixels`: full
+LZW with dictionary growth), and PCM16 WAV (`decode_wav_samples`) —
+each with a matching encoder that round-trips bit-exactly — so
+`resize` runs an actual nearest-neighbor kernel on decodable
+PNG/BMP/GIF payloads, `image_stats` measures real pixels, and
+`audio_features` measures real samples.  JPEG/MP4 pixel decode stays
+stubbed (no PIL/ffmpeg in this container) behind a deterministic
+fake — the Spark-side plumbing (schema, batching, partition shape) is
+real and tested either way.
 
 Scale notes: binary payloads dominate row size — keep
 `spark.sql.files.maxPartitionBytes` small enough that a partition of blobs
@@ -353,6 +358,167 @@ def encode_bmp(pixels) -> bytes:
     )
 
 
+def decode_gif_pixels(payload: bytes):
+    """Pure-stdlib GIF PIXEL decode: header + logical screen descriptor
+    walk, global/local color table, then a full LZW decoder (variable
+    code width 3..12 bits LSB-first, clear/end codes, dictionary growth
+    per GIF89a appendix F) over the FIRST image frame → (h, w, 3) uint8
+    RGB via the active palette.  Interlaced frames and frames without a
+    palette raise NotImplementedError (caller falls back to the
+    disclosed stub); header-only fixtures (no image descriptor) raise
+    too."""
+    import struct
+
+    import numpy as np
+
+    payload = bytes(payload)
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise NotImplementedError("GIF header-only fixture")
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            if pos + 10 > len(payload):
+                raise NotImplementedError("truncated GIF image descriptor")
+            w, h = struct.unpack("<HH", payload[pos + 5 : pos + 9])
+            ipacked = payload[pos + 9]
+            pos += 10
+            pal = gct
+            if ipacked & 0x80:  # local color table
+                n = 2 << (ipacked & 0x07)
+                pal = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+                pos += 3 * n
+            if ipacked & 0x40:
+                raise NotImplementedError("interlaced GIF frame")
+            if pal is None:
+                raise NotImplementedError("GIF frame without a color table")
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(payload) and payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            if not data:
+                raise NotImplementedError("GIF without LZW data (header-only)")
+            # LZW decode, LSB-first bit stream
+            clear, end = 1 << min_code, (1 << min_code) + 1
+            width = min_code + 1
+            dict_: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+            out = bytearray()
+            acc = nbits = 0
+            prev: bytes | None = None
+            for byte in data:
+                acc |= byte << nbits
+                nbits += 8
+                while nbits >= width:
+                    code = acc & ((1 << width) - 1)
+                    acc >>= width
+                    nbits -= width
+                    if code == clear:
+                        dict_ = [bytes([i]) for i in range(clear)] + [b"", b""]
+                        width = min_code + 1
+                        prev = None
+                        continue
+                    if code == end:
+                        nbits = 0
+                        break
+                    if prev is None:
+                        entry = dict_[code]
+                    elif code < len(dict_):
+                        entry = dict_[code]
+                        dict_.append(prev + entry[:1])
+                    elif code == len(dict_):  # KwKwK case
+                        entry = prev + prev[:1]
+                        dict_.append(entry)
+                    else:
+                        raise ValueError("corrupt GIF LZW stream")
+                    out += entry
+                    prev = entry
+                    if len(dict_) == (1 << width) and width < 12:
+                        width += 1
+            if len(out) < w * h:
+                raise ValueError("truncated GIF LZW stream")
+            idx = np.frombuffer(bytes(out[: w * h]), np.uint8)
+            if idx.max(initial=0) >= len(pal):
+                raise ValueError("GIF index outside the color table")
+            return pal[idx].reshape(h, w, 3).copy()
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    raise NotImplementedError("GIF without an image frame (header-only)")
+
+
+def encode_gif(pixels) -> bytes:
+    """Minimal REAL GIF89a encoder: palette from the unique colors
+    (<= 256 or raises), single frame, LZW with a clear code before
+    every literal so the code width never grows (valid, uncompressed-
+    style stream) — round-trips through ``decode_gif_pixels``
+    bit-exactly and parses under ``_parse_media_header``."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.repeat(arr[:, :, None], 3, axis=2)
+    h, w, _ = arr.shape
+    flat = arr.reshape(-1, 3)
+    colors, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError("encode_gif supports <= 256 unique colors")
+    min_code = max(2, int(len(colors) - 1).bit_length())
+    pal_n = 1 << min_code
+    pal = np.zeros((pal_n, 3), np.uint8)
+    pal[: len(colors)] = colors
+    clear, end = pal_n, pal_n + 1
+    width = min_code + 1
+    # bit-pack LSB-first: CLEAR before every pixel code keeps width fixed
+    acc = nbits = 0
+    stream = bytearray()
+
+    def put(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    for i in idx:
+        put(clear)
+        put(int(i))
+    put(end)
+    if nbits:
+        stream.append(acc & 0xFF)
+    blocks = b"".join(
+        bytes([len(stream[i : i + 255])]) + bytes(stream[i : i + 255])
+        for i in range(0, len(stream), 255)
+    )
+    gct_flag = 0x80 | (min_code - 1)  # GCT present, size 2^min_code
+    return (
+        b"GIF89a" + struct.pack("<HHBBB", w, h, gct_flag, 0, 0)
+        + pal.tobytes()
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        + bytes([min_code]) + blocks + b"\x00" + b"\x3b"
+    )
+
+
 def decode_wav_samples(payload: bytes):
     """Pure-stdlib WAV PCM SAMPLE decode: RIFF/WAVE chunk walk →
     16-bit PCM data → (sample_rate, (frames, channels) int16 array).
@@ -635,6 +801,131 @@ def synthetic_tone_wavs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def synthetic_solid_bmps(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL 24-bit BMPs, built entirely JVM-side: per id a
+    solid-color w×h image with
+
+      w = 1 + id % 16,  h = 1 + (id * 3) % 16
+      (r, g, b) = (id % 256, (id * 7) % 256, (id * 13) % 256)
+
+    so the pixel statistics ``image_stats`` extracts are PURE ARITHMETIC
+    in the id (per-channel mean == the channel value exactly — the mean
+    of n identical uint8s is IEEE-exact — and one unique color).  The
+    bytes are a real BITMAPINFOHEADER plus repeat()ed BGR pixel rows
+    with correct 4-byte padding, via to_binary hex — the image twin of
+    ``synthetic_tone_wavs``."""
+    i = F.col(id_col).cast("long")
+
+    def hx(col, n):
+        return F.lpad(F.hex(col), n, "0")
+
+    def le32(col):  # little-endian 4 bytes, value < 65536 here
+        return F.concat(
+            hx(col % 256, 2),
+            hx(F.floor(col / 256).cast("long") % 256, 2),
+            F.lit("0000"),
+        )
+
+    w = F.lit(1) + i % 16
+    h = F.lit(1) + (i * 3) % 16
+    r, g, b = i % 256, (i * 7) % 256, (i * 13) % 256
+    pad = (F.lit(4) - (w * 3) % 4) % 4
+    stride = w * 3 + pad
+    body = stride * h
+    header_hex = F.concat(
+        F.lit("424D"), le32(body + 54), F.lit("00000000"), F.lit("36000000"),
+        F.lit("28000000"), le32(w), le32(h), F.lit("0100" + "1800"),
+        F.lit("00000000"), le32(body),
+        F.lit("130B0000" + "130B0000" + "00000000" + "00000000"),
+    )
+    pixel_hex = F.concat(hx(b, 2), hx(g, 2), hx(r, 2))  # BGR on disk
+    row_hex = F.concat(
+        F.repeat(pixel_hex, w.cast("int")),
+        F.repeat(F.lit("00"), pad.cast("int")),
+    )
+    payload = F.to_binary(
+        F.concat(header_hex, F.repeat(row_hex, h.cast("int"))), F.lit("hex")
+    )
+    return df.select(
+        i.alias("media_id"),
+        payload.alias("payload"),
+        F.lit("image").alias("media_type"),
+        F.length(payload).cast("long").alias("byte_len"),
+        F.sha2(payload, 256).alias("sha256"),
+    )
+
+
+IMAGE_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_r", DoubleType()),
+        StructField("mean_g", DoubleType()),
+        StructField("mean_b", DoubleType()),
+        StructField("n_unique_colors", LongType()),
+        StructField("decoded", BooleanType()),
+    ]
+)
+
+
+def image_stats(df: DataFrame) -> DataFrame:
+    """REAL pixel statistics over decodable image payloads (PNG / 24-bit
+    BMP / GIF — the three pure-stdlib kernels) via Arrow-batched
+    mapInPandas: dimensions from the decoded array (not the header),
+    per-channel means in float64 (IEEE-exact for solid fixtures), and
+    the unique-color count.  Non-decodable payloads (JPEG/MP4,
+    header-only fixtures) come back decoded=false with NULL stats —
+    the honest-stub contract.  Scale shape: per-partition Python
+    workers, no shuffle, no driver."""
+    import numpy as np
+
+    def one(p):
+        bp = bytes(p)
+        try:
+            if bp[:8] == b"\x89PNG\r\n\x1a\n":
+                px = decode_png_pixels(bp)
+            elif bp[:2] == b"BM":
+                px = decode_bmp_pixels(bp)
+            elif bp[:6] in (b"GIF87a", b"GIF89a"):
+                px = decode_gif_pixels(bp)
+            else:
+                return None
+        except (NotImplementedError, ValueError):
+            return None
+        c = px.shape[2]
+        if c in (1, 2):  # gray / gray+alpha PNG: replicate for RGB stats
+            px = np.repeat(px[:, :, :1], 3, axis=2)
+        else:
+            px = px[:, :, :3]
+        rgb = px.astype(np.float64)
+        h, w = px.shape[:2]
+        uniq = len(np.unique(px.reshape(-1, 3), axis=0))
+        return (
+            w, h,
+            float(rgb[:, :, 0].mean()), float(rgb[:, :, 1].mean()),
+            float(rgb[:, :, 2].mean()), uniq,
+        )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            st = [one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [s[0] if s else None for s in st],
+                    "height": [s[1] if s else None for s in st],
+                    "mean_r": [s[2] if s else None for s in st],
+                    "mean_g": [s[3] if s else None for s in st],
+                    "mean_b": [s[4] if s else None for s in st],
+                    "n_unique_colors": [s[5] if s else None for s in st],
+                    "decoded": [s is not None for s in st],
+                }
+            )
+
+    return df.mapInPandas(fn, IMAGE_STATS_SCHEMA)
+
+
 def extract_features(df: DataFrame) -> DataFrame:
     """Decode/feature-extract via Arrow-batched mapInPandas.
 
@@ -743,6 +1034,19 @@ def _resize_bmp(payload: bytes, tw: int, th: int) -> bytes:
     return encode_bmp(px[ys][:, xs])
 
 
+def _resize_gif(payload: bytes, tw: int, th: int) -> bytes:
+    """Real nearest-neighbor resize for decodable GIF frames (the
+    resized image uses a subset of the source palette, so re-encoding
+    never exceeds 256 colors)."""
+    import numpy as np
+
+    px = decode_gif_pixels(payload)
+    h, w = px.shape[:2]
+    ys = np.arange(th) * h // th
+    xs = np.arange(tw) * w // tw
+    return encode_gif(px[ys][:, xs])
+
+
 def resize(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
     """Resize stage: REAL for decodable PNGs and 24-bit BMPs
     (pure-stdlib decode → nearest-neighbor sample → re-encode, see
@@ -761,6 +1065,8 @@ def resize(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
             kernel = _resize_png
         elif bp[:2] == b"BM":
             kernel = _resize_bmp
+        elif bp[:6] in (b"GIF87a", b"GIF89a"):
+            kernel = _resize_gif
         if kernel is not None:
             try:
                 return kernel(bp, target_w, target_h)

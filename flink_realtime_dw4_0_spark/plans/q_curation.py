@@ -1573,6 +1573,35 @@ def mm_audio_features(spark, sf_dir):
 
 
 @q(
+    "multimodal_image_stats",
+    """
+    SELECT doc_id AS media_id,
+           CAST(1 + doc_id % 16 AS INTEGER) AS width,
+           CAST(1 + (doc_id * 3) % 16 AS INTEGER) AS height,
+           CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+           CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
+           CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b,
+           CAST(1 AS BIGINT) AS n_unique_colors,
+           TRUE AS decoded
+    FROM documents
+    """,
+    tags=("multimodal", "image", "kernel"),
+)
+def mm_image_stats(spark, sf_dir):
+    """REAL image pipeline end to end: JVM-built solid-color 24-bit
+    BMPs (multimodal.synthetic_solid_bmps — real BITMAPINFOHEADER +
+    repeat()ed BGR rows with 4-byte padding) decoded by the pure-stdlib
+    BMP kernel and measured by multimodal.image_stats.  Dimensions come
+    from the decoded pixel array (not the header), per-channel means of
+    n identical uint8s are IEEE-exact, and a solid image has exactly
+    one unique color — the oracle predicts the pixel math
+    arithmetically from the id."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    bmps = multimodal.synthetic_solid_bmps(docs, "doc_id")
+    return multimodal.image_stats(bmps)
+
+
+@q(
     "sample_weighted_wor",
     """
     WITH s AS (

@@ -3035,3 +3035,88 @@ def test_bmp_wav_real_kernels(spark):
     audio = mm.audio_features(med6.filter(F.col("media_type") == "audio"))
     rows = audio.collect()
     assert rows and all(not r.decoded and r.rms is None for r in rows)
+
+
+def test_gif_kernel_and_image_stats(spark):
+    """Pure-stdlib GIF LZW kernel: palette round trips, dictionary
+    growth incl. the KwKwK self-reference case on a hand-built stream,
+    nearest-neighbor resize through the shared kernel dispatch, honest
+    header-only failure; image_stats computes EXACT pixel math on
+    JVM-built solid BMPs (mean == channel value, one unique color) and
+    stubs honestly on undecodable payloads."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from flink_realtime_dw4_0_spark.operators import multimodal as mm
+
+    # round trip through encode_gif's clear-per-literal LZW stream
+    rng = np.random.RandomState(7)
+    px = np.repeat(rng.randint(0, 5, (6, 9, 1)).astype(np.uint8) * 50,
+                   3, axis=2)
+    enc = mm.encode_gif(px)
+    assert np.array_equal(mm.decode_gif_pixels(enc), px)
+    assert mm._parse_media_header(enc) == (9, 6, 1)
+
+    # hand-built growing-dictionary stream exercising the KwKwK case:
+    # CLEAR,1,2,<len(dict)>,END over a 4-color palette decodes to
+    # indexes [1,2,2,2] (the last code names the just-created entry)
+    def pack_lsb(codes, widths):
+        acc = nbits = 0
+        out = bytearray()
+        for c, w in zip(codes, widths):
+            acc |= c << nbits
+            nbits += w
+            while nbits >= 8:
+                out.append(acc & 255)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            out.append(acc & 255)
+        return bytes(out)
+
+    stream = pack_lsb([4, 1, 2, 7, 5], [3, 3, 3, 3, 4])
+    gif = (b"GIF89a" + struct.pack("<HHBBB", 4, 1, 0x81, 0, 0)
+           + bytes(range(12))
+           + b"\x2c" + struct.pack("<HHHHB", 0, 0, 4, 1, 0)
+           + bytes([2]) + bytes([len(stream)]) + stream + b"\x00\x3b")
+    dec = mm.decode_gif_pixels(gif)
+    assert dec.shape == (1, 4, 3)
+    assert list(dec[0, :, 0]) == [3, 6, 6, 6]
+
+    # resize keeps quadrant top-left pixels; header-only fails honestly
+    src = np.repeat(np.arange(16, dtype=np.uint8).reshape(4, 4, 1) * 10,
+                    3, axis=2)
+    rz = mm.decode_gif_pixels(mm._resize_gif(mm.encode_gif(src), 2, 2))
+    assert np.array_equal(rz, src[::2, ::2])
+    with _pytest.raises((NotImplementedError, ValueError)):
+        mm.decode_gif_pixels(
+            b"GIF89a" + struct.pack("<HHBBB", 9, 9, 0, 0, 0))
+
+    # image_stats over solid BMPs: exact id-arithmetic
+    ids = spark.range(0, 12).withColumnRenamed("id", "doc_id")
+    stats = mm.image_stats(mm.synthetic_solid_bmps(ids)).collect()
+    assert len(stats) == 12
+    for r in stats:
+        i = r.media_id
+        assert (r.width, r.height) == (1 + i % 16, 1 + (i * 3) % 16)
+        assert (r.mean_r, r.mean_g, r.mean_b) == (
+            float(i % 256), float((i * 7) % 256), float((i * 13) % 256))
+        assert r.n_unique_colors == 1 and r.decoded
+
+    # GIF payloads flow through image_stats too (palette colors back)
+    med = spark.createDataFrame(
+        [(5, bytearray(mm.encode_gif(np.full((2, 3, 3), 90, np.uint8))),
+          "image", 0, "")],
+        mm.MEDIA_SCHEMA,
+    )
+    row = mm.image_stats(med).collect()[0]
+    assert (row.width, row.height, row.mean_r, row.n_unique_colors,
+            row.decoded) == (3, 2, 90.0, 1, True)
+
+    # undecodable (JPEG header fixture) -> decoded=false, NULL stats
+    med_j = mm.synthetic_media(spark.range(3, 4).withColumnRenamed(
+        "id", "doc_id"))  # kind 3 = JPEG
+    rj = mm.image_stats(med_j).collect()[0]
+    assert not rj.decoded and rj.mean_r is None

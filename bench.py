@@ -562,6 +562,7 @@ def main() -> None:
             "cep_pattern_consecutive",
             "multimodal_audio_features",
             "multimodal_image_stats",
+            "multimodal_jpeg_codec_stats",
         ]
         etimes: dict[str, float] = {}
         ereps: dict[str, list[float]] = {}

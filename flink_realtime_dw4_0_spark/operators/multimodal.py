@@ -16,10 +16,14 @@ LZW with dictionary growth), and PCM16 WAV (`decode_wav_samples`) —
 each with a matching encoder that round-trips bit-exactly — so
 `resize` runs an actual nearest-neighbor kernel on decodable
 PNG/BMP/GIF payloads, `image_stats` measures real pixels, and
-`audio_features` measures real samples.  JPEG/MP4 pixel decode stays
-stubbed (no PIL/ffmpeg in this container) behind a deterministic
-fake — the Spark-side plumbing (schema, batching, partition shape) is
-real and tested either way.
+`audio_features` measures real samples.  A pure stdlib+numpy baseline
+JPEG codec (`operators/jpeg_codec.py`) adds a FIFTH real kernel:
+encode + decode for 8-bit 1×1-sampled (4:4:4/grayscale) streams, with
+solid even-gray as its exactness class; progressive/subsampled
+real-world JPEGs and MP4 sample decode stay honestly stubbed (those
+need a real media library) behind a deterministic fake — the
+Spark-side plumbing (schema, batching, partition shape) is real and
+tested either way.
 
 Scale notes: binary payloads dominate row size — keep
 `spark.sql.files.maxPartitionBytes` small enough that a partition of blobs
@@ -855,6 +859,44 @@ def synthetic_solid_bmps(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def synthetic_jpegs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL baseline JPEGs: per id a solid EVEN-gray w×h
+    image (v = 2·(id % 128), w = 1 + id % 16, h = 1 + (id·3) % 16) run
+    through the repo's own ``jpeg_codec.encode_jpeg``.  Even gray is
+    the codec's exactness class (DC quantization is pure integer
+    halving — module docstring), so ``image_stats`` over these verifies
+    the FULL encode→Huffman→decode→IDCT pipeline against id arithmetic.
+    Unlike ``synthetic_tone_wavs``/``synthetic_solid_bmps`` this
+    fixture is built in a mapInPandas stage (the entropy-coded scan is
+    a bitstream, not JVM-expressible hex) — disclosed here; it is a
+    codec fixture, not an ingest path."""
+    import numpy as np
+
+    from .jpeg_codec import encode_jpeg
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                v = 2 * (int(i) % 128)
+                w, h = 1 + int(i) % 16, 1 + (int(i) * 3) % 16
+                payloads.append(
+                    encode_jpeg(np.full((h, w, 3), v, np.uint8))
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": payloads,
+                    "media_type": ["image"] * len(ids),
+                    "byte_len": [len(p) for p in payloads],
+                    "sha256": [""] * len(ids),
+                }
+            )
+
+    return df.select(id_col).mapInPandas(fn, MEDIA_SCHEMA)
+
+
 IMAGE_STATS_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -881,6 +923,8 @@ def image_stats(df: DataFrame) -> DataFrame:
     import numpy as np
 
     def one(p):
+        from .jpeg_codec import decode_jpeg_pixels
+
         bp = bytes(p)
         try:
             if bp[:8] == b"\x89PNG\r\n\x1a\n":
@@ -889,6 +933,8 @@ def image_stats(df: DataFrame) -> DataFrame:
                 px = decode_bmp_pixels(bp)
             elif bp[:6] in (b"GIF87a", b"GIF89a"):
                 px = decode_gif_pixels(bp)
+            elif bp[:2] == b"\xff\xd8":
+                px = decode_jpeg_pixels(bp)
             else:
                 return None
         except (NotImplementedError, ValueError):
@@ -1047,6 +1093,20 @@ def _resize_gif(payload: bytes, tw: int, th: int) -> bytes:
     return encode_gif(px[ys][:, xs])
 
 
+def _resize_jpeg(payload: bytes, tw: int, th: int) -> bytes:
+    """Real nearest-neighbor resize for decodable baseline 4:4:4 JPEGs
+    (decode → sample → re-encode; lossy like any JPEG rewrite)."""
+    import numpy as np
+
+    from .jpeg_codec import decode_jpeg_pixels, encode_jpeg
+
+    px = decode_jpeg_pixels(payload)
+    h, w = px.shape[:2]
+    ys = np.arange(th) * h // th
+    xs = np.arange(tw) * w // tw
+    return encode_jpeg(px[ys][:, xs])
+
+
 def resize(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
     """Resize stage: REAL for decodable PNGs and 24-bit BMPs
     (pure-stdlib decode → nearest-neighbor sample → re-encode, see
@@ -1067,6 +1127,8 @@ def resize(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
             kernel = _resize_bmp
         elif bp[:6] in (b"GIF87a", b"GIF89a"):
             kernel = _resize_gif
+        elif bp[:2] == b"\xff\xd8":
+            kernel = _resize_jpeg
         if kernel is not None:
             try:
                 return kernel(bp, target_w, target_h)

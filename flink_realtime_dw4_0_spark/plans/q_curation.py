@@ -1602,6 +1602,36 @@ def mm_image_stats(spark, sf_dir):
 
 
 @q(
+    "multimodal_jpeg_codec_stats",
+    """
+    SELECT doc_id AS media_id,
+           CAST(1 + doc_id % 16 AS INTEGER) AS width,
+           CAST(1 + (doc_id * 3) % 16 AS INTEGER) AS height,
+           CAST(2 * (doc_id % 128) AS DOUBLE) AS mean_r,
+           CAST(2 * (doc_id % 128) AS DOUBLE) AS mean_g,
+           CAST(2 * (doc_id % 128) AS DOUBLE) AS mean_b,
+           CAST(1 AS BIGINT) AS n_unique_colors,
+           TRUE AS decoded
+    FROM documents
+    """,
+    tags=("multimodal", "image", "jpeg", "codec"),
+)
+def mm_jpeg_codec_stats(spark, sf_dir):
+    """The repo's own baseline JPEG codec verified END TO END against
+    id arithmetic: solid even-gray fixtures go through the real
+    encoder (FDCT → flat quantization → canonical Huffman → stuffed
+    bitstream) and back through the real decoder (marker walk → Huffman
+    → dequant → IDCT → YCbCr→RGB) inside image_stats.  Even gray is the
+    codec's exactness class — DC quantization is integer halving, every
+    AC coefficient is zero — so mean == v and one unique color exactly;
+    any drift in either codec half fails the oracle
+    (operators/jpeg_codec.py)."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    jpegs = multimodal.synthetic_jpegs(docs, "doc_id")
+    return multimodal.image_stats(jpegs)
+
+
+@q(
     "sample_weighted_wor",
     """
     WITH s AS (

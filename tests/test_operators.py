@@ -3120,3 +3120,76 @@ def test_gif_kernel_and_image_stats(spark):
         "id", "doc_id"))  # kind 3 = JPEG
     rj = mm.image_stats(med_j).collect()[0]
     assert not rj.decoded and rj.mean_r is None
+
+
+def test_jpeg_codec(spark):
+    """Pure stdlib+numpy baseline JPEG codec: solid EVEN-gray images
+    round-trip EXACTLY (DC quantization is integer halving, all ACs
+    zero), odd gray is off by at most 1, gradients and noise stay
+    within quantization error, grayscale 1-component works, dims that
+    are not multiples of 8 crop correctly, header-only fixtures and
+    non-baseline markers fail honestly, and the codec plugs into
+    image_stats and resize."""
+    import numpy as np
+    import pytest as _pytest
+
+    from flink_realtime_dw4_0_spark.operators import jpeg_codec as jc
+    from flink_realtime_dw4_0_spark.operators import multimodal as mm
+
+    for v in (0, 2, 64, 128, 200, 254):
+        px = np.full((8, 8, 3), v, np.uint8)
+        assert np.array_equal(jc.decode_jpeg_pixels(jc.encode_jpeg(px)), px)
+
+    out = jc.decode_jpeg_pixels(jc.encode_jpeg(np.full((8, 8, 3), 101,
+                                                       np.uint8)))
+    assert np.abs(out.astype(int) - 101).max() <= 1
+
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, (13, 21, 3)).astype(np.uint8)
+    out = jc.decode_jpeg_pixels(jc.encode_jpeg(px))
+    assert out.shape == (13, 21, 3)
+    err = np.abs(out.astype(int) - px.astype(int))
+    # flat Q=16 quantization: DCT-domain error bound ~8 per coefficient
+    assert err.max() <= 64 and err.mean() < 12
+
+    gx = np.linspace(0, 255, 32).astype(np.uint8)
+    grad = np.repeat(np.repeat(gx[None, :, None], 24, 0), 3, 2)
+    err = np.abs(jc.decode_jpeg_pixels(jc.encode_jpeg(grad)).astype(int)
+                 - grad.astype(int))
+    assert err.max() <= 4
+
+    gray = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    outg = jc.decode_jpeg_pixels(jc.encode_jpeg(gray))
+    assert outg.shape == (8, 8, 1)
+    assert np.abs(outg[:, :, 0].astype(int) - gray).max() <= 4
+
+    # synthetic_media's header-only JPEG (SOF but no scan) and
+    # progressive markers fail honestly
+    hdr = bytes.fromhex(
+        "FFD8FFE000104A46494600010100000100010000"
+        "FFC0000B08000A000A01011100FFD9")
+    with _pytest.raises((NotImplementedError, ValueError)):
+        jc.decode_jpeg_pixels(hdr)
+    prog = hdr.replace(b"\xff\xc0", b"\xff\xc2")
+    with _pytest.raises(NotImplementedError, match="non-baseline"):
+        jc.decode_jpeg_pixels(prog)
+
+    # plugs into image_stats (exact for the even-gray fixture class)
+    # and resize (real kernel dispatch)
+    ids = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+    stats = mm.image_stats(mm.synthetic_jpegs(ids)).collect()
+    assert len(stats) == 10
+    for r in stats:
+        i, v = r.media_id, float(2 * (r.media_id % 128))
+        assert (r.width, r.height) == (1 + i % 16, 1 + (i * 3) % 16)
+        assert (r.mean_r, r.mean_g, r.mean_b) == (v, v, v)
+        assert r.n_unique_colors == 1 and r.decoded
+    med = spark.createDataFrame(
+        [(1, bytearray(jc.encode_jpeg(np.full((4, 4, 3), 80, np.uint8))),
+          "image", 0, "")],
+        mm.MEDIA_SCHEMA,
+    )
+    rp = jc.decode_jpeg_pixels(bytes(mm.resize(med, 2, 2).collect()[0]
+                                     .payload))
+    assert rp.shape == (2, 2, 3) and np.array_equal(
+        rp, np.full((2, 2, 3), 80, np.uint8))

@@ -527,8 +527,10 @@ def match_pattern(
     step one keyed equi-join + min/min_by aggregation (shrinking left
     side; a loop adds two keyed equi-joins against its cum-indexed
     match list for the first/last taken events), per negation one
-    left-anti range join on the key.  ``skip_past_last`` adds one
-    ``applyInPandas`` greedy scan over each key's COMPLETED chains —
+    left-anti range join on the key.  The skip strategies add ONE
+    key-partitioned sort + ``mapInPandas`` greedy scan over the
+    COMPLETED chains (one Python invocation per partition, per-key
+    state carried across Arrow batches — see ``_skip_replay``) —
     bounded by anchors per key, never by events.  Nothing fans out
     beyond the anchors; ``max_anchors_per_key`` bounds hot keys exactly
     as in ``match_sequence``.
@@ -867,6 +869,49 @@ def match_pattern(
     )
 
 
+def _skip_replay(sel: DataFrame, key: str, strict: bool) -> DataFrame:
+    """Shared greedy after-match replay: chains arrive key-partitioned
+    and sorted in per-key completion order (``__e_rn``, ``__a_rn``);
+    one running horizon per key keeps a chain iff its ``cmp_col`` lies
+    past it (strictly for SKIP_PAST_LAST's rn comparison, at-or-after
+    for SKIP_TO_*'s event-time comparison), and a kept chain moves the
+    horizon to its ``hz_col``.
+
+    Scale shape: ONE ``repartition(key) + sortWithinPartitions`` over
+    the completed chains (bounded by anchors, <= max_anchors_per_key
+    when set — never events) and ONE ``mapInPandas`` pass whose per-key
+    state carries across Arrow batches inside a partition — one Python
+    invocation per PARTITION, not per key (a per-group applyInPandas
+    costs ~1 ms × |keys|, which dominated the whole query at bench
+    scale)."""
+    from pyspark.sql.types import StructType
+
+    drop = ("__a_rn", "__e_rn", "__cmp", "__hz")
+    out_schema = StructType(
+        [f for f in sel.schema.fields if f.name not in drop]
+    )
+    part = sel.repartition(F.col(key)).sortWithinPartitions(
+        key, "__e_rn", "__a_rn"
+    )
+
+    def fn(pdfs):
+        cur_key, horizon = None, None
+        for pdf in pdfs:
+            keep = []
+            for row_idx, k, c, hz in zip(
+                pdf.index, pdf[key], pdf["__cmp"], pdf["__hz"]
+            ):
+                if k != cur_key:
+                    cur_key, horizon = k, None
+                if horizon is None or (c > horizon if strict
+                                       else c >= horizon):
+                    keep.append(row_idx)
+                    horizon = hz
+            yield pdf.loc[keep].drop(columns=list(drop))
+
+    return part.mapInPandas(fn, out_schema)
+
+
 def _skip_past_last(
     chain: DataFrame, key: str, bound: list[dict], out_cols: list[str]
 ) -> DataFrame:
@@ -876,34 +921,19 @@ def _skip_past_last(
     previously kept chain's last bound position.  Valid because chains
     bind per-anchor deterministically (no cross-anchor interaction), so
     skipping only selects WHICH anchors survive — the kept set is
-    exactly what the streaming NFA emits under SKIP_PAST_LAST.  Scale:
-    grouped by key; each group holds that key's completed chains
-    (bounded by anchors, <= max_anchors_per_key when set), never its
-    events."""
-    from pyspark.sql.types import StructType
-
+    exactly what the streaming NFA emits under SKIP_PAST_LAST.  See
+    ``_skip_replay`` for the scale shape."""
     last = bound[-1]
     last_rn = last["rn"] if last["kind"] == "plain" else last["last_rn"]
     sel = chain.select(
         F.col(key),
         F.col(bound[0]["rn"]).alias("__a_rn"),
         F.col(last_rn).alias("__e_rn"),
+        F.col(bound[0]["rn"]).alias("__cmp"),
+        F.col(last_rn).alias("__hz"),
         *out_cols,
     )
-    out_schema = StructType(
-        [f for f in sel.schema.fields if f.name not in ("__a_rn", "__e_rn")]
-    )
-
-    def pick(pdf):
-        pdf = pdf.sort_values(["__e_rn", "__a_rn"])
-        keep, horizon = [], -1
-        for row_idx, a_rn, e_rn in zip(pdf.index, pdf["__a_rn"], pdf["__e_rn"]):
-            if a_rn > horizon:
-                keep.append(row_idx)
-                horizon = e_rn
-        return pdf.loc[keep].drop(columns=["__a_rn", "__e_rn"])
-
-    return sel.groupBy(key).applyInPandas(pick, schema=out_schema)
+    return _skip_replay(sel, key, strict=True)
 
 
 def _skip_to(
@@ -921,36 +951,19 @@ def _skip_to(
     Horizon comparisons are by EVENT TIME, not sequence position: an
     anchor at exactly the horizon timestamp survives, on both engines
     and in the oracle, so equal-timestamp ties cannot make the batch
-    and streaming matchers disagree.  Scale: grouped by key; each
-    group holds that key's completed chains (bounded by anchors,
-    <= max_anchors_per_key when set), never its events."""
-    from pyspark.sql.types import StructType
-
+    and streaming matchers disagree.  See ``_skip_replay`` for the
+    scale shape."""
     last = bound[-1]
     last_rn = last["rn"] if last["kind"] == "plain" else last["last_rn"]
     sel = chain.select(
         F.col(key),
         F.col(bound[0]["rn"]).alias("__a_rn"),
         F.col(last_rn).alias("__e_rn"),
-        F.unix_micros(F.col(bound[0]["ts"])).alias("__a_t"),
-        F.unix_micros(F.col(horizon_ts_col)).alias("__h_t"),
+        F.unix_micros(F.col(bound[0]["ts"])).alias("__cmp"),
+        F.unix_micros(F.col(horizon_ts_col)).alias("__hz"),
         *out_cols,
     )
-    drop = ("__a_rn", "__e_rn", "__a_t", "__h_t")
-    out_schema = StructType(
-        [f for f in sel.schema.fields if f.name not in drop]
-    )
-
-    def pick(pdf):
-        pdf = pdf.sort_values(["__e_rn", "__a_rn"])
-        keep, horizon = [], None
-        for row_idx, a_t, h_t in zip(pdf.index, pdf["__a_t"], pdf["__h_t"]):
-            if horizon is None or a_t >= horizon:
-                keep.append(row_idx)
-                horizon = h_t
-        return pdf.loc[keep].drop(columns=list(drop))
-
-    return sel.groupBy(key).applyInPandas(pick, schema=out_schema)
+    return _skip_replay(sel, key, strict=False)
 
 
 def transition_matrix(

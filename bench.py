@@ -563,6 +563,7 @@ def main() -> None:
             "multimodal_audio_features",
             "multimodal_image_stats",
             "multimodal_jpeg_codec_stats",
+            "multimodal_video_frame_stats",
         ]
         etimes: dict[str, float] = {}
         ereps: dict[str, list[float]] = {}

@@ -172,6 +172,23 @@ def _parse_media_header(payload: bytes) -> tuple[int, int, int] | None:
         if dims[0] is not None:
             return int(dims[0]), int(dims[1]), int(frames[0]) or 1
         return None  # ftyp without a tkhd — caller stubs
+    if payload[:4] == b"RIFF" and len(payload) >= 12 and payload[8:12] == b"AVI ":
+        # avih carries dwWidth/dwHeight at offsets 32/36 of its body and
+        # dwTotalFrames at 16; it is the first chunk of LIST hdrl
+        pos = 12
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            sz = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+            if cid == b"LIST":
+                pos += 12  # descend into the list (skip its type fourcc)
+                continue
+            if cid == b"avih" and pos + 8 + 40 <= len(payload):
+                body = payload[pos + 8 :]
+                frames = struct.unpack("<I", body[16:20])[0]
+                w, h = struct.unpack("<II", body[32:40])
+                return int(w), int(h), int(frames) or 1
+            pos += 8 + sz + (sz % 2)
+        return None
     if payload[:4] == b"RIFF" and len(payload) >= 12 and payload[8:12] == b"WAVE":
         pos, channels, rate, block_align, data_size = 12, None, None, None, None
         while pos + 8 <= len(payload):
@@ -590,6 +607,90 @@ def encode_wav(samples, rate: int) -> bytes:
     )
 
 
+def encode_mjpeg_avi(frames, fps: int = 10) -> bytes:
+    """Minimal REAL AVI container with an MJPEG video stream: each
+    frame is a baseline JPEG (``jpeg_codec.encode_jpeg``) in a '00dc'
+    chunk under LIST movi, with honest avih/strh/strf headers — the
+    one video format a pure-stdlib pipeline can round-trip, because
+    every frame is just a JPEG."""
+    import struct as _s
+
+    import numpy as np
+
+    from .jpeg_codec import encode_jpeg
+
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if not frames:
+        raise ValueError("encode_mjpeg_avi needs at least one frame")
+    h, w = frames[0].shape[:2]
+    payloads = [encode_jpeg(f) for f in frames]
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + _s.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) % 2 else b""
+        )
+
+    def lst(typ: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", typ + body)
+
+    avih = _s.pack(
+        "<10I", 1_000_000 // fps, 0, 0, 0x10, len(frames), 0, 1, 0, w, h
+    ) + b"\x00" * 16
+    strh = (b"vids" + b"MJPG" + _s.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps,
+                                        0, len(frames), 0, 0, 0)
+            + _s.pack("<4H", 0, 0, w, h))
+    strf = _s.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                   w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", p) for p in payloads))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + _s.pack("<I", len(body)) + body
+
+
+def decode_mjpeg_avi_frames(payload: bytes):
+    """Pure-stdlib AVI/MJPEG frame decode: RIFF walk to LIST movi,
+    decode every '00dc'/'00db' chunk with the baseline JPEG kernel.
+    Returns a list of (h, w, c) uint8 arrays.  Non-MJPEG streams
+    (H.264 etc. — fourcc checked in strh), AVIs without movi, and
+    undecodable frame payloads raise NotImplementedError so callers
+    fall back to the disclosed stub."""
+    import struct as _s
+
+    from .jpeg_codec import decode_jpeg_pixels
+
+    payload = bytes(payload)
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    frames = []
+    fourcc = None
+
+    def walk(lo: int, hi: int) -> None:
+        nonlocal fourcc
+        pos = lo
+        while pos + 8 <= hi:
+            cid = payload[pos : pos + 4]
+            sz = _s.unpack("<I", payload[pos + 4 : pos + 8])[0]
+            end = min(pos + 8 + sz, hi)
+            if cid == b"LIST":
+                walk(pos + 12, end)
+            elif cid == b"strh" and len(payload) >= pos + 16:
+                if payload[pos + 8 : pos + 12] == b"vids":
+                    fourcc = payload[pos + 12 : pos + 16]
+            elif cid in (b"00dc", b"00db"):
+                frames.append(payload[pos + 8 : end])
+            pos += 8 + sz + (sz % 2)
+
+    walk(12, len(payload))
+    if fourcc is not None and fourcc not in (b"MJPG", b"mjpg"):
+        raise NotImplementedError(
+            f"AVI stream fourcc {fourcc!r} needs a real codec library"
+        )
+    if not frames:
+        raise NotImplementedError("AVI without movi frames (header-only)")
+    return [decode_jpeg_pixels(f) for f in frames]
+
+
 def _resize_png(payload: bytes, tw: int, th: int) -> bytes:
     """Real nearest-neighbor resize for decodable PNGs: decode → index
     rows/cols at the target sampling grid → re-encode."""
@@ -857,6 +958,96 @@ def synthetic_solid_bmps(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.length(payload).cast("long").alias("byte_len"),
         F.sha2(payload, 256).alias("sha256"),
     )
+
+
+def synthetic_mjpeg_avis(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL playable AVI/MJPEG videos: per id, F = 1 +
+    id % 4 frames of solid EVEN-gray v_f = 2·((id·5 + f·7) % 128) at
+    w = 8 + id % 8, h = 8 + (id·3) % 8 — inside the JPEG codec's
+    exactness class, so per-frame pixel statistics are pure id/frame
+    arithmetic.  Built in a mapInPandas stage through the repo's own
+    encoders (the entropy-coded frames are bitstreams, not
+    JVM-expressible hex) — a codec fixture, like ``synthetic_jpegs``."""
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                nf = 1 + i % 4
+                w, h = 8 + i % 8, 8 + (i * 3) % 8
+                frames = [
+                    np.full((h, w, 3), 2 * ((i * 5 + f * 7) % 128), np.uint8)
+                    for f in range(nf)
+                ]
+                payloads.append(encode_mjpeg_avi(frames))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": payloads,
+                    "media_type": ["video"] * len(ids),
+                    "byte_len": [len(p) for p in payloads],
+                    "sha256": [""] * len(ids),
+                }
+            )
+
+    return df.select(id_col).mapInPandas(fn, MEDIA_SCHEMA)
+
+
+VIDEO_FRAME_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_r", DoubleType()),
+        StructField("mean_g", DoubleType()),
+        StructField("mean_b", DoubleType()),
+        StructField("decoded", BooleanType()),
+    ]
+)
+
+
+def video_frame_stats(df: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL per-frame video statistics for decodable AVI/MJPEG payloads
+    (every ``every_n``-th frame decoded through the JPEG kernel →
+    dims + per-channel means), one output row per sampled frame.
+    Non-decodable video (MP4 header fixtures, non-MJPEG streams) yields
+    a single decoded=false row with NULL stats — the honest-stub
+    contract.  Scale shape: frames explode inside the Python worker
+    (no Spark-side explode of binary blobs), no shuffle, no driver."""
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    frames = decode_mjpeg_avi_frames(bytes(p))
+                except (NotImplementedError, ValueError):
+                    rows.append((mid, None, None, None, None, None, None,
+                                 False))
+                    continue
+                for fi in range(0, len(frames), every_n):
+                    px = frames[fi]
+                    if px.shape[2] == 1:
+                        px = np.repeat(px, 3, axis=2)
+                    rgb = px[:, :, :3].astype(np.float64)
+                    rows.append((
+                        mid, fi, px.shape[1], px.shape[0],
+                        float(rgb[:, :, 0].mean()),
+                        float(rgb[:, :, 1].mean()),
+                        float(rgb[:, :, 2].mean()), True,
+                    ))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "width", "height",
+                         "mean_r", "mean_g", "mean_b", "decoded"],
+            )
+
+    return df.mapInPandas(fn, VIDEO_FRAME_STATS_SCHEMA)
 
 
 def synthetic_jpegs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -1632,6 +1632,36 @@ def mm_jpeg_codec_stats(spark, sf_dir):
 
 
 @q(
+    "multimodal_video_frame_stats",
+    """
+    SELECT doc_id AS media_id,
+           CAST(fi.f AS INTEGER) AS frame_idx,
+           CAST(8 + doc_id % 8 AS INTEGER) AS width,
+           CAST(8 + (doc_id * 3) % 8 AS INTEGER) AS height,
+           CAST(2 * ((doc_id * 5 + fi.f * 7) % 128) AS DOUBLE) AS mean_r,
+           CAST(2 * ((doc_id * 5 + fi.f * 7) % 128) AS DOUBLE) AS mean_g,
+           CAST(2 * ((doc_id * 5 + fi.f * 7) % 128) AS DOUBLE) AS mean_b,
+           TRUE AS decoded
+    FROM documents,
+         unnest(range(0, CAST(1 + doc_id % 4 AS BIGINT))) AS fi(f)
+    """,
+    tags=("multimodal", "video", "mjpeg", "codec"),
+)
+def mm_video_frame_stats(spark, sf_dir):
+    """REAL video pipeline end to end: playable AVI/MJPEG fixtures
+    (multimodal.synthetic_mjpeg_avis — every frame a baseline JPEG from
+    the repo's own codec) walked by the pure-stdlib RIFF parser, each
+    frame decoded by the JPEG kernel, per-frame stats exploded inside
+    the Python worker (multimodal.video_frame_stats).  Solid even-gray
+    frames are the codec's exactness class, so every frame's mean is
+    pure (id, frame) arithmetic — the oracle predicts the whole
+    container→codec→stats path."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    avis = multimodal.synthetic_mjpeg_avis(docs, "doc_id")
+    return multimodal.video_frame_stats(avis)
+
+
+@q(
     "sample_weighted_wor",
     """
     WITH s AS (

@@ -3193,3 +3193,48 @@ def test_jpeg_codec(spark):
                                      .payload))
     assert rp.shape == (2, 2, 3) and np.array_equal(
         rp, np.full((2, 2, 3), 80, np.uint8))
+
+
+def test_mjpeg_avi_video_kernel(spark):
+    """AVI/MJPEG: the one video container a pure-stdlib pipeline can
+    round-trip (every frame is a baseline JPEG).  Frame-exact round
+    trips for the codec's exactness class, real header parse
+    (width/height/n_frames from avih), honest failures for foreign
+    codecs and header-only payloads, and video_frame_stats exploding
+    exact per-frame stats inside the Python worker."""
+    import numpy as np
+    import pytest as _pytest
+
+    from flink_realtime_dw4_0_spark.operators import multimodal as mm
+
+    frames = [np.full((6, 10, 3), v, np.uint8) for v in (20, 40, 60)]
+    avi = mm.encode_mjpeg_avi(frames)
+    back = mm.decode_mjpeg_avi_frames(avi)
+    assert len(back) == 3
+    assert all(np.array_equal(a, b) for a, b in zip(frames, back))
+    assert mm._parse_media_header(avi) == (10, 6, 3)
+
+    with _pytest.raises((NotImplementedError, ValueError)):
+        mm.decode_mjpeg_avi_frames(avi[:60])  # no movi yet
+    with _pytest.raises(NotImplementedError, match="fourcc"):
+        mm.decode_mjpeg_avi_frames(avi.replace(b"MJPG", b"H264", 1))
+
+    # per-frame stats: exact (id, frame) arithmetic on the fixtures
+    ids = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+    rows = mm.video_frame_stats(mm.synthetic_mjpeg_avis(ids)).collect()
+    assert len(rows) == sum(1 + i % 4 for i in range(10))
+    for r in rows:
+        i, f = r.media_id, r.frame_idx
+        v = float(2 * ((i * 5 + f * 7) % 128))
+        assert (r.width, r.height) == (8 + i % 8, 8 + (i * 3) % 8)
+        assert (r.mean_r, r.mean_g, r.mean_b) == (v, v, v) and r.decoded
+
+    # every_n sampling + honest stub row for non-MJPEG video payloads
+    sampled = mm.video_frame_stats(
+        mm.synthetic_mjpeg_avis(spark.range(3, 4).withColumnRenamed(
+            "id", "doc_id")), every_n=2).collect()
+    assert sorted(r.frame_idx for r in sampled) == [0, 2]  # id 3 -> 4 frames
+    mp4 = mm.synthetic_media(spark.range(5, 6).withColumnRenamed(
+        "id", "doc_id"))  # kind 5 = MP4 header fixture
+    stub = mm.video_frame_stats(mp4).collect()
+    assert len(stub) == 1 and not stub[0].decoded and stub[0].mean_r is None

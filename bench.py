@@ -558,6 +558,7 @@ def main() -> None:
             "cep_pattern_skip_past_last",
             "cep_pattern_times_range",
             "cep_pattern_skip_to_first",
+            "cep_match_recognize",
             "cep_pattern_one_or_more_until",
             "cep_pattern_consecutive",
             "multimodal_audio_features",

@@ -168,7 +168,8 @@ def unroll_pattern(pattern: list[dict]):
     ``min/max_times`` are the step's quantifier bounds — plain steps
     ``(1, 1)``, ``optional: True`` → ``(0, 1)``, ``one_or_more: True``
     → ``(1, None)``, ``times_or_more: n`` → ``(n, None)``,
-    ``times_range: (m, M)`` → ``(m, M)`` (``None`` = unbounded).
+    ``times_range: (m, M)`` → ``(m, M)``, ``zero_or_more: True`` →
+    ``(0, None)`` (``None`` = unbounded).
     ``times: n`` still unrolls to n plain copies.  The third return
     value ``untils`` maps unrolled step index → stop predicate for
     quantified steps carrying ``until: <Column>`` (Flink
@@ -201,7 +202,7 @@ def unroll_pattern(pattern: list[dict]):
     for p in pattern:
         strict = p.get("contiguity", "relaxed") == "strict"
         quant = [k for k in ("one_or_more", "times_or_more", "optional",
-                             "times_range") if p.get(k)]
+                             "times_range", "zero_or_more") if p.get(k)]
         if p.get("until") is not None and not quant:
             raise ValueError(
                 f"step {p['name']!r}: `until` is a loop stop condition — "
@@ -242,6 +243,8 @@ def unroll_pattern(pattern: list[dict]):
                 )
             if quant[0] == "one_or_more":
                 mn, mx = 1, None
+            elif quant[0] == "zero_or_more":  # MATCH_RECOGNIZE's V*
+                mn, mx = 0, None
             elif quant[0] == "optional":
                 mn, mx = 0, 1
             elif quant[0] == "times_range":  # Flink times(from, to)
@@ -428,6 +431,7 @@ def match_pattern(
     max_anchors_per_key: int | None = None,
     emit: str = "first",
     after_match: str = "no_skip",
+    keep_rns: bool = False,
 ) -> DataFrame:
     """The full Flink CEP pattern surface, declaratively: strict
     contiguity (``next``), fixed quantifiers (``times(n)``), LOOPING
@@ -849,6 +853,10 @@ def match_pattern(
             out_cols.append(b["ts"])
         else:
             out_cols += [b["first_ts"], b["last_ts"], b["cnt"]]
+    if keep_rns:  # positional columns for match_recognize's adjacency
+        for b in bound:
+            out_cols += ([b["rn"]] if b["kind"] == "plain"
+                         else [b["first_rn"], b["last_rn"]])
     if emit == "all":
         if after_match == "skip_past_last":
             return _skip_past_last(chain, key, bound, out_cols)
@@ -964,6 +972,168 @@ def _skip_to(
         *out_cols,
     )
     return _skip_replay(sel, key, strict=False)
+
+
+_MR_TOKEN = re.compile(
+    r"\s*([A-Za-z_][A-Za-z_0-9]*)\s*"
+    r"(\+|\*|\?|\{\s*\d+\s*(?:,\s*\d*\s*)?\})?"
+)
+
+
+def parse_mr_pattern(pattern: str) -> list[tuple[str, dict]]:
+    """Parse a MATCH_RECOGNIZE ``PATTERN`` clause body — a sequence of
+    variables with optional regex quantifiers ``A B+ C* D? E{2} F{2,}
+    G{2,4}`` — into ``(name, quantifier_kwargs)`` pairs.  Alternation,
+    grouping, exclusion, and anchors (``| ( ) {- -} ^ $``) are not
+    supported and raise (honest scope: the deterministic machine has no
+    branching NFA)."""
+    out: list[tuple[str, dict]] = []
+    pos = 0
+    while pos < len(pattern):
+        if pattern[pos:].strip() == "":
+            break
+        m = _MR_TOKEN.match(pattern, pos)
+        if m is None:
+            raise ValueError(
+                f"MATCH_RECOGNIZE pattern: unsupported syntax at "
+                f"{pattern[pos:]!r} (variables with + * ? {{n}} {{n,}} "
+                f"{{n,m}} quantifiers only — no alternation/grouping)"
+            )
+        name, quant = m.group(1), m.group(2)
+        kw: dict = {}
+        if quant == "+":
+            kw = {"one_or_more": True}
+        elif quant == "*":
+            kw = {"zero_or_more": True}
+        elif quant == "?":
+            kw = {"optional": True}
+        elif quant:
+            inner = quant.strip("{}").replace(" ", "")
+            if "," not in inner:
+                kw = {"times": int(inner)}
+            elif inner.endswith(","):
+                kw = {"times_or_more": int(inner[:-1])}
+            else:
+                lo, hi = inner.split(",")
+                kw = {"times_range": (int(lo), int(hi))}
+        out.append((name, kw))
+        pos = m.end()
+    if len(out) < 2:
+        raise ValueError("MATCH_RECOGNIZE pattern needs at least two steps")
+    return out
+
+
+def match_recognize(
+    events: DataFrame,
+    *,
+    partition_by: str = "user_id",
+    order_by: str = "ts",
+    seq: str = "event_id",
+    pattern: str,
+    define: dict,
+    within: str | None = None,
+    after_match: str = "skip_to_next",
+    contiguity: str = "strict",
+    max_anchors_per_key: int | None = None,
+) -> DataFrame:
+    """Flink SQL ``MATCH_RECOGNIZE`` front-end over the deterministic
+    pattern machine: ``PATTERN (A B+ C)`` + ``DEFINE`` predicates
+    (Columns or SQL strings), ``WITHIN``, and ``AFTER MATCH SKIP``
+    (``skip_to_next`` = TO NEXT ROW, ``skip_past_last`` = PAST LAST
+    ROW, ``skip_to_first:<var>`` / ``skip_to_last:<var>``).
+
+    ``contiguity='strict'`` (default) gives MATCH_RECOGNIZE's actual
+    row-regex semantics: the matched rows must be CONTIGUOUS in the
+    partition order.  Spark-first shape: the relaxed machine runs
+    unchanged (loops as ``consecutive()`` runs) with positional rn
+    columns kept, then one vectorized adjacency filter keeps exactly
+    the chains whose bound positions form an unbroken row interval —
+    strictness costs a filter, not a new engine.  ``'relaxed'`` gives
+    Flink-CEP ``followedBy`` semantics instead.
+
+    Documented divergence (same proceed-priority contract as
+    ``match_pattern``): when a row satisfies both a loop variable and
+    its successor, the machine binds the successor once the loop
+    minimum is met, so a greedy regex that would prefer a longer loop
+    may emit the shorter match.  Alternation/grouping are rejected at
+    parse time; the first variable must be un-quantified (the machine
+    anchors on a concrete row)."""
+    if contiguity not in ("strict", "relaxed"):
+        raise ValueError(f"contiguity must be strict|relaxed, got {contiguity!r}")
+    steps = parse_mr_pattern(pattern)
+    missing = [n for n, _ in steps if n not in define]
+    if missing:
+        raise ValueError(f"MATCH_RECOGNIZE: DEFINE missing for {missing}")
+    pat = []
+    for name, kw in steps:
+        pred = define[name]
+        if isinstance(pred, str):
+            pred = F.expr(pred)
+        d = {"name": name, "where": pred, **kw}
+        if contiguity == "strict" and kw and "times" not in kw:
+            d["consecutive"] = True
+        pat.append(d)
+    skip_to = parse_after_match(after_match)
+    chains = match_pattern(
+        events, pat, within=within, key=partition_by, ts=order_by, seq=seq,
+        max_anchors_per_key=max_anchors_per_key, emit="all",
+        after_match="no_skip", keep_rns=True,
+    )
+    positives, _negs, _untils = unroll_pattern(pat)
+    # the unrolled step layout mirrors match_pattern's bound list
+    layout = []
+    for cname, _p, _s, mn, mx in positives:
+        layout.append(("plain" if (mn, mx) == (1, 1) else "loop", cname))
+    if contiguity == "strict":
+        # adjacency: every bound position continues the row interval
+        cond = F.lit(True)
+        prev_end = F.col(f"{layout[0][1]}_rn")
+        for kind, cname in layout[1:]:
+            if kind == "plain":
+                cond = cond & (F.col(f"{cname}_rn") == prev_end + 1)
+                prev_end = F.col(f"{cname}_rn")
+            else:
+                cnt = F.col(f"{cname}_count")
+                cond = cond & (
+                    (cnt == 0) | (F.col(f"{cname}_first_rn") == prev_end + 1)
+                )
+                prev_end = F.when(cnt > 0, F.col(f"{cname}_last_rn")) \
+                    .otherwise(prev_end)
+        chains = chains.filter(cond)
+    out_cols = []
+    for kind, cname in layout:
+        if kind == "plain":
+            out_cols.append(f"{cname}_ts")
+        else:
+            out_cols += [f"{cname}_first_ts", f"{cname}_last_ts",
+                         f"{cname}_count"]
+    if after_match == "skip_past_last" or skip_to is not None:
+        # the after-match replay runs on the FILTERED chains (a chain
+        # killed by strictness never consumes a skip horizon)
+        k0, kl = layout[0][1], layout[-1][1]
+        a_rn = F.col(f"{k0}_rn")
+        e_rn = (F.col(f"{kl}_rn") if layout[-1][0] == "plain"
+                else F.col(f"{kl}_last_rn"))
+        if after_match == "skip_past_last":
+            cmp_c, hz_c, strict_cmp = a_rn, e_rn, True
+        else:
+            kind_s, tname = skip_to
+            tidx = validate_skip_target(positives, tname)
+            tk, tn = layout[tidx]
+            hz_name = (f"{tn}_ts" if tk == "plain"
+                       else (f"{tn}_first_ts" if kind_s == "skip_to_first"
+                             else f"{tn}_last_ts"))
+            cmp_c = F.unix_micros(F.col(f"{k0}_ts"))
+            hz_c = F.unix_micros(F.col(hz_name))
+            strict_cmp = False
+        sel = chains.select(
+            F.col(partition_by),
+            a_rn.alias("__a_rn"), e_rn.alias("__e_rn"),
+            cmp_c.alias("__cmp"), hz_c.alias("__hz"),
+            *out_cols,
+        )
+        return _skip_replay(sel, partition_by, strict=strict_cmp)
+    return chains.select(partition_by, *out_cols)
 
 
 def transition_matrix(

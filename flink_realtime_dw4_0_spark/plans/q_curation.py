@@ -3071,6 +3071,77 @@ def cep_pattern_skip_to_first_q(spark, sf_dir):
 
 
 @q(
+    "cep_match_recognize",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    a0 AS (
+      SELECT user_id, view_ts, view_rn FROM (
+        SELECT user_id, ts AS view_ts, rn AS view_rn,
+               row_number() OVER (PARTITION BY user_id ORDER BY rn) AS cp
+        FROM e WHERE event_type = 'view')
+      WHERE cp <= 5),
+    nx AS (
+      SELECT a.user_id, a.view_ts, a.view_rn, min(e.rn) AS b_rn
+      FROM a0 a JOIN e ON e.user_id = a.user_id
+      WHERE e.event_type <> 'click' AND e.rn > a.view_rn
+      GROUP BY 1, 2, 3),
+    m AS (
+      SELECT n.user_id, view_ts, view_rn,
+             b_rn - view_rn - 1 AS n_clicks,
+             f.ts AS first_ts, l.ts AS last_ts, p.ts AS p_ts
+      FROM nx n
+      JOIN e p ON p.user_id = n.user_id AND p.rn = n.b_rn
+              AND p.event_type = 'purchase'
+      JOIN e f ON f.user_id = n.user_id AND f.rn = n.view_rn + 1
+      JOIN e l ON l.user_id = n.user_id AND l.rn = n.b_rn - 1
+      WHERE b_rn > view_rn + 1)
+    SELECT user_id, epoch_us(view_ts) AS view_us,
+           epoch_us(first_ts) AS click_first_us,
+           epoch_us(last_ts) AS click_last_us,
+           CAST(n_clicks AS BIGINT) AS click_count,
+           epoch_us(p_ts) AS purchase_us
+    FROM m WHERE p_ts <= view_ts + INTERVAL 7 DAY
+    """,
+    tags=("cep", "match-recognize", "sql-api"),
+)
+def cep_match_recognize_q(spark, sf_dir):
+    """Flink SQL MATCH_RECOGNIZE over events — PATTERN (V C+ P),
+    DEFINE by event type, WITHIN 7 days, AFTER MATCH SKIP TO NEXT ROW —
+    with the clause's ACTUAL row-regex semantics: the matched rows are
+    CONTIGUOUS (every click immediately follows, the purchase
+    immediately ends the run).  The oracle replays strict contiguity
+    directly: the first non-click row after each view must be a
+    purchase, the clicks are exactly the rows between, pure rn
+    arithmetic (operators/cep.py:match_recognize — the relaxed machine
+    + one vectorized adjacency filter, not a new engine)."""
+    from ..operators import cep
+
+    ev = t(spark, sf_dir, "events")
+    m = cep.match_recognize(
+        ev,
+        pattern="V C+ P",
+        define={
+            "V": F.col("event_type") == "view",
+            "C": F.col("event_type") == "click",
+            "P": F.col("event_type") == "purchase",
+        },
+        within="7 DAY",
+        max_anchors_per_key=5,
+    )
+    return m.select(
+        "user_id",
+        F.unix_micros("V_ts").alias("view_us"),
+        F.unix_micros("C_first_ts").alias("click_first_us"),
+        F.unix_micros("C_last_ts").alias("click_last_us"),
+        F.col("C_count").alias("click_count"),
+        F.unix_micros("P_ts").alias("purchase_us"),
+    )
+
+
+@q(
     "markov_event_transitions",
     """
     WITH o AS (

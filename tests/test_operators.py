@@ -3238,3 +3238,74 @@ def test_mjpeg_avi_video_kernel(spark):
         "id", "doc_id"))  # kind 5 = MP4 header fixture
     stub = mm.video_frame_stats(mp4).collect()
     assert len(stub) == 1 and not stub[0].decoded and stub[0].mean_r is None
+
+
+def test_match_recognize(spark):
+    """Flink SQL MATCH_RECOGNIZE front-end: strict row-regex contiguity
+    by default (relaxed machine + one vectorized adjacency filter),
+    'relaxed' giving followedBy semantics, full quantifier surface
+    (+ * ? {n} {n,} {n,m}), SQL-string or Column DEFINEs, after-match
+    skip strategies on the FILTERED chains, and honest parse rejections
+    for alternation/grouping/one-step patterns."""
+    from datetime import datetime as dt
+
+    import pytest as _pytest
+
+    from flink_realtime_dw4_0_spark.operators import cep
+
+    T = lambda s: dt(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        ("k1", T(1), 1, "A"), ("k1", T(2), 2, "B"), ("k1", T(3), 3, "B"),
+        ("k1", T(4), 4, "C"),
+        ("k2", T(1), 1, "A"), ("k2", T(2), 2, "B"), ("k2", T(3), 3, "X"),
+        ("k2", T(4), 4, "C"),
+        ("k3", T(1), 1, "A"), ("k3", T(2), 2, "X"), ("k3", T(3), 3, "B"),
+        ("k3", T(4), 4, "C"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, event_id long, event_type string"
+    )
+    define = {"A": "event_type = 'A'", "B": "event_type = 'B'",
+              "C": F.col("event_type") == "C"}
+
+    # strict (true MR): only the fully-contiguous k1 survives
+    strict = {r.user_id: (r.B_first_ts.second, r.B_last_ts.second,
+                          r.B_count, r.C_ts.second)
+              for r in cep.match_recognize(
+                  ev, pattern="A B+ C", define=define,
+                  within="1 HOUR").collect()}
+    assert strict == {"k1": (2, 3, 2, 4)}
+
+    # relaxed = followedBy: every key matches
+    relaxed = {r.user_id: r.B_count for r in cep.match_recognize(
+        ev, pattern="A B+ C", define=define, within="1 HOUR",
+        contiguity="relaxed").collect()}
+    assert relaxed == {"k1": 2, "k2": 1, "k3": 1}
+
+    # B*: empty loop still needs C adjacent to A under strict
+    zs = {r.user_id: r.B_count for r in cep.match_recognize(
+        ev, pattern="A B* C", define=define, within="1 HOUR").collect()}
+    assert zs == {"k1": 2}
+
+    # {1,2} range + skip_past_last over overlapping anchors: the
+    # anchor@1 chain dies to strictness (A@2 is not B) and must NOT
+    # consume a skip horizon — both surviving matches emit
+    rows2 = [("m", T(1), 1, "A"), ("m", T(2), 2, "A"), ("m", T(3), 3, "B"),
+             ("m", T(4), 4, "C"), ("m", T(5), 5, "A"), ("m", T(6), 6, "B"),
+             ("m", T(7), 7, "C")]
+    ev2 = spark.createDataFrame(
+        rows2,
+        "user_id string, ts timestamp, event_id long, event_type string",
+    )
+    for am in ("skip_to_next", "skip_past_last"):
+        got = sorted(r.A_ts.second for r in cep.match_recognize(
+            ev2, pattern="A B{1,2} C", define=define, within="1 HOUR",
+            after_match=am).collect())
+        assert got == [2, 5], (am, got)
+
+    for bad in ("A | B", "(A B)", "A"):
+        with _pytest.raises(ValueError):
+            cep.parse_mr_pattern(bad)
+    with _pytest.raises(ValueError, match="DEFINE missing"):
+        cep.match_recognize(ev, pattern="A Z+ C", define=define,
+                            within="1 HOUR")

@@ -1101,38 +1101,35 @@ def match_recognize(
                     .otherwise(prev_end)
         chains = chains.filter(cond)
     out_cols = []
+    bound = []
     for kind, cname in layout:
         if kind == "plain":
             out_cols.append(f"{cname}_ts")
+            bound.append({"kind": "plain", "ts": f"{cname}_ts",
+                          "rn": f"{cname}_rn"})
         else:
             out_cols += [f"{cname}_first_ts", f"{cname}_last_ts",
                          f"{cname}_count"]
-    if after_match == "skip_past_last" or skip_to is not None:
-        # the after-match replay runs on the FILTERED chains (a chain
-        # killed by strictness never consumes a skip horizon)
-        k0, kl = layout[0][1], layout[-1][1]
-        a_rn = F.col(f"{k0}_rn")
-        e_rn = (F.col(f"{kl}_rn") if layout[-1][0] == "plain"
-                else F.col(f"{kl}_last_rn"))
-        if after_match == "skip_past_last":
-            cmp_c, hz_c, strict_cmp = a_rn, e_rn, True
-        else:
-            kind_s, tname = skip_to
-            tidx = validate_skip_target(positives, tname)
-            tk, tn = layout[tidx]
-            hz_name = (f"{tn}_ts" if tk == "plain"
-                       else (f"{tn}_first_ts" if kind_s == "skip_to_first"
-                             else f"{tn}_last_ts"))
-            cmp_c = F.unix_micros(F.col(f"{k0}_ts"))
-            hz_c = F.unix_micros(F.col(hz_name))
-            strict_cmp = False
-        sel = chains.select(
-            F.col(partition_by),
-            a_rn.alias("__a_rn"), e_rn.alias("__e_rn"),
-            cmp_c.alias("__cmp"), hz_c.alias("__hz"),
-            *out_cols,
-        )
-        return _skip_replay(sel, partition_by, strict=strict_cmp)
+            bound.append({
+                "kind": "loop", "first_ts": f"{cname}_first_ts",
+                "last_ts": f"{cname}_last_ts", "cnt": f"{cname}_count",
+                "first_rn": f"{cname}_first_rn",
+                "last_rn": f"{cname}_last_rn",
+            })
+    # the after-match replay runs on the FILTERED chains (a chain killed
+    # by strictness never consumes a skip horizon) — through the SAME
+    # _skip_past_last/_skip_to helpers match_pattern uses, so the
+    # horizon/column contract has exactly one implementation
+    if after_match == "skip_past_last":
+        return _skip_past_last(chains, partition_by, bound, out_cols)
+    if skip_to is not None:
+        kind_s, tname = skip_to
+        tidx = validate_skip_target(positives, tname)
+        b = bound[tidx]
+        hz_col = (b["ts"] if b["kind"] == "plain"
+                  else b["first_ts" if kind_s == "skip_to_first"
+                         else "last_ts"])
+        return _skip_to(chains, partition_by, bound, out_cols, hz_col)
     return chains.select(partition_by, *out_cols)
 
 

@@ -249,7 +249,7 @@ def encode_jpeg(pixels) -> bytes:
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
-    qz = _QTABLE[_ZIGZAG.argsort()][_ZIGZAG]  # table in zigzag order
+    qz = _QTABLE[_ZIGZAG]  # natural-order table serialized in zigzag order
     dqt = seg(0xDB, bytes([0x00]) + bytes(int(x) for x in qz))
     ncomp = len(planes)
     sof_comps = b"".join(
@@ -289,6 +289,9 @@ def decode_jpeg_pixels(payload: bytes):
         if payload[pos] != 0xFF:
             raise ValueError("desynchronized JPEG marker stream")
         marker = payload[pos + 1]
+        if marker == 0xFF:  # spec-legal fill byte before a marker (B.1.1.2)
+            pos += 1
+            continue
         if marker == 0xD9:
             break
         if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,

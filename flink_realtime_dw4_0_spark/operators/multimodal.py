@@ -442,7 +442,10 @@ def decode_gif_pixels(payload: bytes):
             out = bytearray()
             acc = nbits = 0
             prev: bytes | None = None
+            ended = False
             for byte in data:
+                if ended:
+                    break  # post-END padding bytes are legal; ignore them
                 acc |= byte << nbits
                 nbits += 8
                 while nbits >= width:
@@ -455,6 +458,7 @@ def decode_gif_pixels(payload: bytes):
                         prev = None
                         continue
                     if code == end:
+                        ended = True
                         nbits = 0
                         break
                     if prev is None:
@@ -574,9 +578,10 @@ def decode_wav_samples(payload: bytes):
         pos += 8 + sz + (sz % 2)
     if fmt_tag is None or data is None:
         raise NotImplementedError("WAV without fmt+data chunks")
-    if fmt_tag != 1 or bits != 16:
+    if fmt_tag != 1 or bits != 16 or not channels:
         raise NotImplementedError(
-            f"unsupported WAV shape: format={fmt_tag} bits={bits}"
+            f"unsupported WAV shape: format={fmt_tag} bits={bits} "
+            f"channels={channels}"
         )
     frames = len(data) // (2 * channels)
     arr = np.frombuffer(data, "<i2", frames * channels).reshape(
@@ -691,16 +696,22 @@ def decode_mjpeg_avi_frames(payload: bytes):
     return [decode_jpeg_pixels(f) for f in frames]
 
 
-def _resize_png(payload: bytes, tw: int, th: int) -> bytes:
-    """Real nearest-neighbor resize for decodable PNGs: decode → index
-    rows/cols at the target sampling grid → re-encode."""
+def _resize_via(decode_fn, encode_fn, payload: bytes, tw: int, th: int) -> bytes:
+    """One nearest-neighbor resize kernel shared by every codec pair:
+    decode → index rows/cols at the target sampling grid → re-encode.
+    The sampling-grid arithmetic lives HERE only (a rounding-policy fix
+    applies once, not per container)."""
     import numpy as np
 
-    px = decode_png_pixels(payload)
+    px = decode_fn(payload)
     h, w = px.shape[:2]
     ys = np.arange(th) * h // th
     xs = np.arange(tw) * w // tw
-    return encode_png(px[ys][:, xs])
+    return encode_fn(px[ys][:, xs])
+
+
+def _resize_png(payload: bytes, tw: int, th: int) -> bytes:
+    return _resize_via(decode_png_pixels, encode_png, payload, tw, th)
 
 
 def _fake_decode(payload: bytes, media_type: str) -> tuple[int, int, int]:
@@ -1261,50 +1272,30 @@ def audio_features(df: DataFrame) -> DataFrame:
 
 
 def _resize_bmp(payload: bytes, tw: int, th: int) -> bytes:
-    """Real nearest-neighbor resize for decodable 24-bit BMPs."""
-    import numpy as np
-
-    px = decode_bmp_pixels(payload)
-    h, w = px.shape[:2]
-    ys = np.arange(th) * h // th
-    xs = np.arange(tw) * w // tw
-    return encode_bmp(px[ys][:, xs])
+    return _resize_via(decode_bmp_pixels, encode_bmp, payload, tw, th)
 
 
 def _resize_gif(payload: bytes, tw: int, th: int) -> bytes:
-    """Real nearest-neighbor resize for decodable GIF frames (the
-    resized image uses a subset of the source palette, so re-encoding
-    never exceeds 256 colors)."""
-    import numpy as np
-
-    px = decode_gif_pixels(payload)
-    h, w = px.shape[:2]
-    ys = np.arange(th) * h // th
-    xs = np.arange(tw) * w // tw
-    return encode_gif(px[ys][:, xs])
+    # the resized image uses a subset of the source palette, so the
+    # re-encode never exceeds 256 colors
+    return _resize_via(decode_gif_pixels, encode_gif, payload, tw, th)
 
 
 def _resize_jpeg(payload: bytes, tw: int, th: int) -> bytes:
-    """Real nearest-neighbor resize for decodable baseline 4:4:4 JPEGs
-    (decode → sample → re-encode; lossy like any JPEG rewrite)."""
-    import numpy as np
-
+    # lossy like any JPEG rewrite
     from .jpeg_codec import decode_jpeg_pixels, encode_jpeg
 
-    px = decode_jpeg_pixels(payload)
-    h, w = px.shape[:2]
-    ys = np.arange(th) * h // th
-    xs = np.arange(tw) * w // tw
-    return encode_jpeg(px[ys][:, xs])
+    return _resize_via(decode_jpeg_pixels, encode_jpeg, payload, tw, th)
 
 
 def resize(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
-    """Resize stage: REAL for decodable PNGs and 24-bit BMPs
-    (pure-stdlib decode → nearest-neighbor sample → re-encode, see
-    ``decode_png_pixels`` / ``decode_bmp_pixels``), honestly stubbed
-    for everything else (JPEG/GIF/MP4 kernels need PIL/ffmpeg, absent
-    in this container — the stub rewrites the payload deterministically
-    and stamps the op).  Header-only fixtures (no pixel data) take the
+    """Resize stage: REAL for decodable PNG / 24-bit BMP / GIF /
+    baseline-4:4:4 JPEG payloads (pure-stdlib decode → shared
+    nearest-neighbor kernel → re-encode, ``_resize_via``; the JPEG leg
+    is lossy like any JPEG rewrite), honestly stubbed for everything
+    else (progressive/subsampled JPEG and MP4 need a real media
+    library — the stub rewrites the payload deterministically and
+    stamps the op).  Header-only fixtures (no pixel data) take the
     stub path too.  The Spark plumbing — schema in/out, Arrow batch
     shape, partition-parallel execution — is identical on both paths.
     """

@@ -3309,3 +3309,67 @@ def test_match_recognize(spark):
     with _pytest.raises(ValueError, match="DEFINE missing"):
         cep.match_recognize(ev, pattern="A Z+ C", define=define,
                             within="1 HOUR")
+
+
+def test_codec_robustness_regressions(spark):
+    """Review-pass regressions: a WAV declaring channels=0 fails with
+    the CONTRACTED exception (not ZeroDivisionError) and flows to the
+    honest-stub row; GIF data after the LZW END code is ignored (legal
+    padding, not corruption); JPEG marker walks tolerate spec-legal
+    0xFF fill bytes; and the DQT zigzag write/read pair is inverse for
+    a NON-flat quantization table (the flat default masked an identity
+    permutation bug)."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from flink_realtime_dw4_0_spark.operators import jpeg_codec as jc
+    from flink_realtime_dw4_0_spark.operators import multimodal as mm
+
+    # WAV channels=0: contracted failure + stub row through the operator
+    bad = bytearray(mm.encode_wav(np.zeros((4, 1), "<i2"), 8000))
+    bad[22:24] = struct.pack("<H", 0)  # fmt nChannels = 0
+    with _pytest.raises(NotImplementedError, match="channels=0"):
+        mm.decode_wav_samples(bytes(bad))
+    med = spark.createDataFrame(
+        [(1, bytes(bad), "audio", 0, "")], mm.MEDIA_SCHEMA)
+    row = mm.audio_features(med).collect()[0]
+    assert not row.decoded and row.rms is None
+
+    # GIF: trailing bytes after END inside the data sub-blocks ignored
+    px = np.full((2, 3, 3), 90, np.uint8)
+    g = bytearray(mm.encode_gif(px))
+    # splice two junk bytes into the (single) data sub-block after the
+    # END code: grow the sub-block length and append 0xFF 0xFF
+    tre = g.rindex(b"\x00\x3b")
+    lzw_min_pos = 13 + 3 * 4 + 10  # header+gct+image descriptor
+    blk_len_pos = lzw_min_pos + 1
+    g[blk_len_pos] += 2
+    g[tre:tre] = b"\xff\xff"
+    assert np.array_equal(mm.decode_gif_pixels(bytes(g)), px)
+
+    # JPEG: fill bytes before a marker are legal
+    j = jc.encode_jpeg(np.full((4, 4, 3), 80, np.uint8))
+    sof = j.index(b"\xff\xc0")
+    j2 = j[:sof] + b"\xff\xff" + j[sof:]
+    assert np.array_equal(
+        jc.decode_jpeg_pixels(j2),
+        np.full((4, 4, 3), 80, np.uint8),
+    )
+
+    # non-flat DQT: encode/decode stay inverse through the zigzag
+    # serialization (gradient within per-coefficient quant error)
+    old = jc._QTABLE.copy()
+    try:
+        rng = np.random.RandomState(5)
+        jc._QTABLE = np.concatenate(
+            [np.array([16]), rng.randint(10, 60, 63)]
+        ).astype(np.int32)
+        gx = np.linspace(0, 255, 16).astype(np.uint8)
+        grad = np.repeat(np.repeat(gx[None, :, None], 16, 0), 3, 2)
+        out = jc.decode_jpeg_pixels(jc.encode_jpeg(grad))
+        err = np.abs(out.astype(int) - grad.astype(int))
+        assert err.max() <= 40, int(err.max())  # scrambled DQT -> ~200
+    finally:
+        jc._QTABLE = old

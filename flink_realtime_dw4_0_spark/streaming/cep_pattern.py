@@ -201,6 +201,7 @@ def _advance_event(
     ts_v: int, mask: int, specs: list[tuple],
     neg_before: dict[int, list[int]],
     until_bits: dict[int, int] | None = None,
+    mr_strict: bool = False,
 ):
     """One sealed event offered to one partial match.  Returns
     (status, prog, lcnt, lfirst, llast, vals); status 'alive' | 'dead'
@@ -217,7 +218,14 @@ def _advance_event(
     the loop); otherwise a loop-matching event below the max is taken
     greedily if not frozen; for a consecutive() loop any OTHER event
     after the run started also freezes it; anything else passes
-    (relaxed).  An empty optional finalizes as (-1, -1, 0)."""
+    (relaxed).  An empty optional finalizes as (-1, -1, 0).
+
+    ``mr_strict`` (streaming MATCH_RECOGNIZE's row-regex contiguity):
+    EVERY offered event must advance the partial — a plain step that
+    does not bind kills it, and a loop event that is neither taken
+    (entry miss, at-cap extra) nor a successor bind kills it — so
+    surviving matches are exactly the unbroken row intervals the batch
+    ``match_recognize`` adjacency filter keeps."""
     n = len(specs)
     strict, mn, mx = specs[prog]
     if mn == 1 and mx == 1:  # plain awaited step
@@ -227,7 +235,7 @@ def _advance_event(
             return ("complete" if prog == n else "alive"), prog, 0, 0, 0, vals
         if any((mask >> b) & 1 for b in neg_before.get(prog, ())):
             return "dead", prog, lcnt, lfirst, llast, vals
-        if strict:
+        if strict or mr_strict:
             return "dead", prog, lcnt, lfirst, llast, vals
         return "alive", prog, lcnt, lfirst, llast, vals
     nxt = prog + 1
@@ -245,6 +253,10 @@ def _advance_event(
         return "alive", prog, cnt + _FROZEN, lfirst, llast, vals
     if lcnt < _FROZEN and ((mask >> prog) & 1) and (mx < 0 or cnt < mx):
         return "alive", prog, lcnt + 1, (ts_v if cnt == 0 else lfirst), ts_v, vals
+    if mr_strict:
+        # row-regex: the event neither bound the successor nor extended
+        # the run — the match is broken at this row
+        return "dead", prog, lcnt, lfirst, llast, vals
     if strict and lcnt < _FROZEN and cnt > 0:
         # consecutive(): any event not taken into a started run ends it
         # (count kept — the successor may still bind once min is met)
@@ -258,6 +270,7 @@ def pattern_matcher_fn(
     terminal_bits: list[int],
     within_ms: int,
     until_bits: dict[int, int] | None = None,
+    mr_strict: bool = False,
 ):
     """Keyed state function for the full single-anchor pattern machine.
 
@@ -333,7 +346,7 @@ def pattern_matcher_fn(
             elif prog < n_steps:
                 st, prog, lcnt, lfirst, llast, vals = _advance_event(
                     prog, lcnt, lfirst, llast, vals, ts_v, mask, specs,
-                    neg_before, until_bits,
+                    neg_before, until_bits, mr_strict,
                 )
                 if st == "dead":
                     # negation/strict kill: silent (Flink discards the
@@ -378,6 +391,7 @@ def pattern_matcher_all_fn(
     after_match: str = "no_skip",
     skip_to_vidx: int | None = None,
     until_bits: dict[int, int] | None = None,
+    mr_strict: bool = False,
 ):
     """Multi-anchor (Flink NO_SKIP / SKIP_*) keyed state function: EVERY
     step-1 event opens its own partial match and all partials advance
@@ -470,7 +484,7 @@ def pattern_matcher_all_fn(
                     continue
                 st, prog, lcnt, lfirst, llast, vals = _advance_event(
                     p[0], p[1], p[2], p[3], p[4:], ts_v, mask, specs,
-                    neg_before, until_bits,
+                    neg_before, until_bits, mr_strict,
                 )
                 if st == "dead":
                     continue  # negation/strict kill: silent, like Flink
@@ -558,6 +572,7 @@ def match_pattern_stream(
     max_active_anchors: int = 16,
     max_anchors_per_key: int | None = None,
     after_match: str = "no_skip",
+    _mr_strict: bool = False,
 ) -> DataFrame:
     """Streaming full-pattern matcher: the same ``pattern`` dicts as
     ``operators.cep.match_pattern`` — including the looping quantifiers
@@ -675,8 +690,10 @@ def match_pattern_stream(
         mask.alias("step_mask"),
         "row_time",
     )
-    if not any(s[0] for s in specs):
+    if not any(s[0] for s in specs) and not _mr_strict:
         # relaxed-only: non-participating events can't affect the match
+        # (row-regex contiguity needs EVERY row — the non-participating
+        # one is exactly what breaks a match)
         src = src.filter(F.col("step_mask") != 0)
     if mode == "all":
         matcher = pattern_matcher_all_fn(
@@ -686,11 +703,13 @@ def match_pattern_stream(
             after_match=after_match,
             skip_to_vidx=skip_to_vidx,
             until_bits=until_bits,
+            mr_strict=_mr_strict,
         )
     elif mode == "single":
         matcher = pattern_matcher_fn(
             specs, neg_before, terminal_bits, within_ms,
             until_bits=until_bits,
+            mr_strict=_mr_strict,
         )
     else:
         raise ValueError(f"mode must be 'single' or 'all', got {mode!r}")
@@ -700,4 +719,69 @@ def match_pattern_stream(
         stateStructType=_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def match_recognize_stream(
+    events: DataFrame,
+    *,
+    partition_by: str = "user_id",
+    order_by: str = "ts",
+    event_id: str | None = "event_id",
+    pattern: str,
+    define: dict,
+    within: str = "15 minutes",
+    watermark: str = "10 seconds",
+    after_match: str = "skip_to_next",
+    contiguity: str = "strict",
+    mode: str = "all",
+    max_active_anchors: int = 16,
+    max_anchors_per_key: int | None = None,
+) -> DataFrame:
+    """Streaming Flink SQL ``MATCH_RECOGNIZE`` — the same PATTERN /
+    DEFINE / WITHIN / AFTER MATCH surface as the batch
+    ``operators.cep.match_recognize``, over a watermarked stream.
+
+    ``contiguity='strict'`` (default) gives the clause's actual
+    row-regex semantics via the machine's ``mr_strict`` mode: every
+    sealed event offered to a partial must advance it (bind a plain
+    step, extend the loop run, or bind the loop's successor) or the
+    partial dies — the surviving matches are exactly the unbroken row
+    intervals the batch twin's adjacency filter keeps, so the two
+    engines agree by construction.  ALL events of the key flow through
+    the operator in this mode (a non-participating row is precisely
+    what breaks a match).  ``'relaxed'`` gives Flink-CEP ``followedBy``
+    semantics.  A terminal quantifier under strict contiguity is
+    rejected (its match would complete on the BREAKING row, whose
+    timestamp is not part of the match — restructure with an explicit
+    end step, as Flink MR patterns do in practice)."""
+    from ..operators.cep import parse_mr_pattern
+
+    if contiguity not in ("strict", "relaxed"):
+        raise ValueError(
+            f"contiguity must be strict|relaxed, got {contiguity!r}"
+        )
+    steps = parse_mr_pattern(pattern)
+    missing = [n for n, _ in steps if n not in define]
+    if missing:
+        raise ValueError(f"MATCH_RECOGNIZE: DEFINE missing for {missing}")
+    if contiguity == "strict" and steps[-1][1]:
+        raise ValueError(
+            "streaming MATCH_RECOGNIZE with strict contiguity cannot end "
+            "in a quantifier — the match would complete on the breaking "
+            "row; add a concrete terminal step"
+        )
+    pat = []
+    for name, kw in steps:
+        pred = define[name]
+        if isinstance(pred, str):
+            pred = F.expr(pred)
+        pat.append({"name": name, "where": pred, **kw})
+    return match_pattern_stream(
+        events, pat, within=within, key=partition_by, ts=order_by,
+        watermark=watermark, event_id=event_id, mode=mode,
+        max_active_anchors=max_active_anchors,
+        max_anchors_per_key=max_anchors_per_key,
+        after_match=after_match,
+        _mr_strict=(contiguity == "strict"),
     )

@@ -3534,6 +3534,109 @@ def test_streaming_pattern_consecutive_golden(spark, tmp_path):
     assert twin_t == {"u1": 2, "u2": 1}
 
 
+def _run_mr_stream(spark, tmp_path, name, batches, **kwargs):
+    import json
+
+    from flink_realtime_dw4_0_spark.streaming.cep_pattern import (
+        match_recognize_stream,
+    )
+
+    src = tmp_path / f"{name}_src"
+    src.mkdir()
+    for i, rs in enumerate(batches):
+        with open(src / f"b{i}.json", "w") as fh:
+            for r in rs:
+                fh.write(json.dumps(r) + "\n")
+        os.utime(src / f"b{i}.json", (1_000_000 + 10 * i, 1_000_000 + 10 * i))
+    stream = spark.readStream.schema(
+        "user_id string, ts long, event_id long, event_type string"
+    ).option("maxFilesPerTrigger", 1).json(str(src))
+    out = match_recognize_stream(stream, **kwargs)
+    q = (
+        out.writeStream.format("memory").queryName(f"{name}_out")
+        .option("checkpointLocation", str(tmp_path / f"{name}_ck"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(600)
+    return spark.sql(f"SELECT * FROM {name}_out").collect()
+
+
+def test_streaming_match_recognize_golden(spark, tmp_path):
+    """Streaming MATCH_RECOGNIZE equals the batch twin under shuffled
+    arrival, in BOTH contiguity modes: strict (row-regex — a
+    non-participating row between bound positions kills the partial)
+    and relaxed (followedBy).  The strict kill is exactly the batch
+    adjacency filter's keep-set."""
+    from flink_realtime_dw4_0_spark.operators.cep import match_recognize
+
+    base = 1_700_000_000_000
+    SEC = 1_000
+    all_events = {
+        "k1": [("A", 1), ("B", 2), ("B", 3), ("C", 4)],   # contiguous
+        "k2": [("A", 1), ("B", 2), ("X", 3), ("C", 4)],   # broken run
+        "k3": [("A", 1), ("X", 2), ("B", 3), ("C", 4)],   # broken entry
+    }
+    rows = [
+        {"user_id": u, "ts": base + s * SEC, "event_id": s, "event_type": e}
+        for u, evs in all_events.items() for e, s in evs
+    ]
+    b1 = [r for r in rows if r["ts"] >= base + 3 * SEC]   # reversed halves
+    b2 = [r for r in rows if r["ts"] < base + 3 * SEC]
+    b3 = [{"user_id": "k9", "ts": base + 900_000, "event_id": 99,
+           "event_type": "A"}]
+    define = {"A": "event_type = 'A'", "B": "event_type = 'B'",
+              "C": F.col("event_type") == "C"}
+
+    strict = {
+        (r.key, r.status): list(r.step_ts)
+        for r in _run_mr_stream(
+            spark, tmp_path, "mrs", [b1, b2, b3],
+            pattern="A B+ C", define=define, within="1 minute",
+            watermark="10 seconds")
+        if r.key != "k9" and r.status == "match"
+    }
+    assert strict == {
+        ("k1", "match"): [base + 1 * SEC, base + 2 * SEC, base + 3 * SEC,
+                          2, base + 4 * SEC],
+    }
+
+    relaxed = {
+        r.key: list(r.step_ts)
+        for r in _run_mr_stream(
+            spark, tmp_path, "mrr", [b1, b2, b3],
+            pattern="A B+ C", define=define, within="1 minute",
+            watermark="10 seconds", contiguity="relaxed")
+        if r.key != "k9" and r.status == "match"
+    }
+    assert set(relaxed) == {"k1", "k2", "k3"}
+
+    # batch twin agrees with the strict stream
+    bdf = spark.createDataFrame(
+        [(r["user_id"], r["ts"], r["event_id"], r["event_type"])
+         for r in rows],
+        "user_id string, ts_ms long, event_id long, event_type string",
+    ).withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+    twin = {r.user_id: r.B_count for r in match_recognize(
+        bdf, pattern="A B+ C", define=define, within="1 minute").collect()}
+    assert twin == {"k1": 2}
+
+    # terminal quantifier under strict contiguity is rejected; relaxed
+    # mode and unknown DEFINEs share the batch validations
+    import pytest as _pytest
+    rate = spark.readStream.format("rate").load().selectExpr(
+        "cast(value as string) as user_id", "1 as ts",
+        "value as event_id", "'A' as event_type")
+    from flink_realtime_dw4_0_spark.streaming.cep_pattern import (
+        match_recognize_stream,
+    )
+    with _pytest.raises(ValueError, match="cannot end\nin a quantifier|cannot end in a quantifier|breaking"):
+        match_recognize_stream(rate, pattern="A B+", define=define,
+                               within="1 minute")
+    with _pytest.raises(ValueError, match="DEFINE missing"):
+        match_recognize_stream(rate, pattern="A Z C", define=define,
+                               within="1 minute")
+
+
 def _drive_restart(spark, tmp_path, name, build_out, batches, split):
     """Checkpoint-restart harness: run `build_out(stream)` over the
     first `split` files, let the availableNow query terminate, append

@@ -1612,7 +1612,7 @@ def mm_image_stats(spark, sf_dir):
            CAST(2 * (doc_id % 128) AS DOUBLE) AS mean_b,
            CAST(1 AS BIGINT) AS n_unique_colors,
            TRUE AS decoded
-    FROM documents
+    FROM documents WHERE doc_id % 5 = 0
     """,
     tags=("multimodal", "image", "jpeg", "codec"),
 )
@@ -1626,7 +1626,11 @@ def mm_jpeg_codec_stats(spark, sf_dir):
     AC coefficient is zero — so mean == v and one unique color exactly;
     any drift in either codec half fails the oracle
     (operators/jpeg_codec.py)."""
-    docs = t(spark, sf_dir, "documents").select("doc_id")
+    docs = t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") % 5 == 0  # sample: the codec check needs
+        # coverage of the (v, w, h) space, not every row — each fixture
+        # is a real Python encode+decode round trip
+    )
     jpegs = multimodal.synthetic_jpegs(docs, "doc_id")
     return multimodal.image_stats(jpegs)
 
@@ -1644,6 +1648,7 @@ def mm_jpeg_codec_stats(spark, sf_dir):
            TRUE AS decoded
     FROM documents,
          unnest(range(0, CAST(1 + doc_id % 4 AS BIGINT))) AS fi(f)
+    WHERE doc_id % 5 = 0
     """,
     tags=("multimodal", "video", "mjpeg", "codec"),
 )
@@ -1656,7 +1661,9 @@ def mm_video_frame_stats(spark, sf_dir):
     frames are the codec's exactness class, so every frame's mean is
     pure (id, frame) arithmetic — the oracle predicts the whole
     container→codec→stats path."""
-    docs = t(spark, sf_dir, "documents").select("doc_id")
+    docs = t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") % 5 == 0  # sample (see mm_jpeg_codec_stats)
+    )
     avis = multimodal.synthetic_mjpeg_avis(docs, "doc_id")
     return multimodal.video_frame_stats(avis)
 

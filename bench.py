@@ -559,6 +559,7 @@ def main() -> None:
             "cep_pattern_times_range",
             "cep_pattern_skip_to_first",
             "cep_match_recognize",
+            "dedup_keep_best_quality",
             "cep_pattern_one_or_more_until",
             "cep_pattern_consecutive",
             "multimodal_audio_features",

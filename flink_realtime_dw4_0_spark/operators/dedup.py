@@ -775,6 +775,43 @@ def connected_components_star(
     )
 
 
+def keep_best_list(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    components_fn=None,
+) -> DataFrame:
+    """Quality-aware keep policy: per near-dup component, keep the BEST
+    member — most whitespace tokens, then smallest id — instead of
+    ``dedup_keep_list``'s arbitrary min-id representative.  This is the
+    curation policy real pretraining dedup uses (among near-duplicates,
+    the longest/cleanest copy survives; truncated or boilerplate-padded
+    variants drop).
+
+    Scale shape: the same components pass as ``dedup_keep_list``, one
+    narrow quality projection (token count, JVM-side), and ONE window
+    ranked within components — window partitions are near-dup families,
+    which are bounded by the pair-graph caps, never corpus-sized."""
+    from pyspark.sql.window import Window
+
+    comps = (components_fn or connected_components)(pairs)
+    eff = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(tokenize(text_col)).alias("__q"),
+        )
+        .join(comps, "doc_id", "left")
+        .withColumn("component", F.coalesce("component", "doc_id"))
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("__q").desc(), F.col("doc_id")
+    )
+    return eff.withColumn(
+        "keep", (F.row_number().over(w) == 1).cast("int")
+    ).select("doc_id", "component", "keep")
+
+
 def dedup_keep_list(
     df: DataFrame,
     pairs: DataFrame,

@@ -772,6 +772,39 @@ def dedup_components_q(spark, sf_dir):
 
 
 @q(
+    "dedup_keep_best_quality",
+    _DK_SHINGLES.replace("WITH", "WITH RECURSIVE", 1)
+    + _DK_NEARDUP_PAIRS
+    + """
+    , q AS (SELECT doc_id,
+                   len(string_split_regex(lower(trim(text)), '\\s+')) AS nt
+            FROM documents),
+    eff AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+                   q.nt
+            FROM documents d JOIN q USING (doc_id)
+            LEFT JOIN comp c ON d.doc_id = c.doc_id)
+    SELECT doc_id, component,
+           CAST(row_number() OVER (PARTITION BY component
+                                   ORDER BY nt DESC, doc_id) = 1 AS INT)
+             AS keep
+    FROM eff
+    """,
+    tags=("dedup", "graph", "curation"),
+)
+def dedup_keep_best_q(spark, sf_dir):
+    """Quality-aware near-dup retention (dedup.keep_best_list): per
+    component keep the member with the MOST tokens (ties to the smaller
+    id) — the policy real pretraining dedup uses, where the longest
+    copy survives and truncated variants drop — instead of the
+    arbitrary min-id representative.  One components pass + one narrow
+    token-count projection + one window ranked WITHIN components (never
+    corpus-sized partitions).  Oracle: the recursive-CTE closure plus
+    the same ranking window."""
+    docs = t(spark, sf_dir, "documents")
+    return dedup.keep_best_list(docs, dedup.ngram_jaccard_pairs(docs))
+
+
+@q(
     "dedup_components_star",
     _DK_SHINGLES.replace("WITH", "WITH RECURSIVE", 1)
     + _DK_NEARDUP_PAIRS

@@ -3373,3 +3373,29 @@ def test_codec_robustness_regressions(spark):
         assert err.max() <= 40, int(err.max())  # scrambled DQT -> ~200
     finally:
         jc._QTABLE = old
+
+
+def test_dedup_keep_best_quality(spark):
+    """Quality-aware near-dup retention: within a component the member
+    with the MOST tokens wins (ties to the smaller id), unlike
+    dedup_keep_list's min-id policy; singletons keep themselves."""
+    from flink_realtime_dw4_0_spark.operators import dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, base),                      # near-dup of 2, shorter
+            (2, base + " iota kappa"),      # LONGER -> wins despite id 2
+            (7, "totally unrelated text about ships and harbors today"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    got = {r.doc_id: (r.component, r.keep)
+           for r in dedup.keep_best_list(docs, pairs).collect()}
+    assert got == {1: (1, 0), 2: (1, 1), 7: (7, 1)}
+
+    # min-id policy (the old keep list) would keep doc 1 instead
+    old = {r.doc_id: r.keep
+           for r in dedup.dedup_keep_list(docs, pairs).collect()}
+    assert old == {1: 1, 2: 0, 7: 1}

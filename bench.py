@@ -566,6 +566,7 @@ def main() -> None:
             "multimodal_image_stats",
             "multimodal_jpeg_codec_stats",
             "multimodal_video_frame_stats",
+            "multimodal_mp4_frame_stats",
         ]
         etimes: dict[str, float] = {}
         ereps: dict[str, list[float]] = {}

@@ -696,6 +696,142 @@ def decode_mjpeg_avi_frames(payload: bytes):
     return [decode_jpeg_pixels(f) for f in frames]
 
 
+def encode_jpeg_mp4(frames, fps: int = 10) -> bytes:
+    """Minimal REAL ISO-BMFF (MP4) file with a self-contained
+    JPEG-coded video track: every sample in mdat is a baseline JPEG
+    from the repo's own codec, and moov carries the genuine box tree —
+    mvhd, trak(tkhd with 16.16 dims, mdia(mdhd, hdlr 'vide',
+    minf(vmhd, dinf/dref, stbl(stsd 'jpeg', stts, stsc, stsz,
+    stco)))) — so foreign parsers can walk it and `decode_mp4_jpeg_frames`
+    reads the samples back via the real stsd/stsz/stco tables.  The one
+    MP4 shape a pure-stdlib pipeline can round-trip; H.264/HEVC tracks
+    stay honestly out of scope."""
+    import struct as _s
+
+    import numpy as np
+
+    from .jpeg_codec import encode_jpeg
+
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if not frames:
+        raise ValueError("encode_jpeg_mp4 needs at least one frame")
+    h, w = frames[0].shape[:2]
+    payloads = [encode_jpeg(f) for f in frames]
+    n = len(payloads)
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return _s.pack(">I", 8 + len(body)) + typ + body
+
+    matrix = _s.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    mvhd = box(b"mvhd", _s.pack(">IIIII", 0, 0, 0, fps, n)
+               + _s.pack(">IHH", 0x10000, 0x100, 0) + b"\x00" * 8
+               + matrix + b"\x00" * 24 + _s.pack(">I", 2))
+    tkhd = box(b"tkhd", _s.pack(">IIIIII", 7, 0, 0, 1, 0, n)
+               + b"\x00" * 8 + _s.pack(">HHHH", 0, 0, 0, 0) + matrix
+               + _s.pack(">II", w << 16, h << 16))
+    mdhd = box(b"mdhd", _s.pack(">IIIII", 0, 0, 0, fps, n)
+               + _s.pack(">HH", 0x55C4, 0))
+    hdlr = box(b"hdlr", _s.pack(">II", 0, 0) + b"vide" + b"\x00" * 12
+               + b"\x00")
+    vmhd = box(b"vmhd", _s.pack(">I", 1) + _s.pack(">HHHH", 0, 0, 0, 0))
+    dref = box(b"dref", _s.pack(">II", 0, 1) + box(b"url ", _s.pack(">I", 1)))
+    dinf = box(b"dinf", dref)
+    entry = (_s.pack(">I", 86) + b"jpeg" + b"\x00" * 6 + _s.pack(">H", 1)
+             + b"\x00" * 16 + _s.pack(">HH", w, h)
+             + _s.pack(">II", 0x480000, 0x480000) + b"\x00" * 4
+             + _s.pack(">H", 1) + b"\x00" * 32
+             + _s.pack(">Hh", 24, -1))
+    stsd = box(b"stsd", _s.pack(">II", 0, 1) + entry)
+    stts = box(b"stts", _s.pack(">II", 0, 1) + _s.pack(">II", n, 1))
+    stsc = box(b"stsc", _s.pack(">II", 0, 1) + _s.pack(">III", 1, n, 1))
+    stsz = box(b"stsz", _s.pack(">III", 0, 0, n)
+               + b"".join(_s.pack(">I", len(p)) for p in payloads))
+    stco = box(b"stco", _s.pack(">II", 0, 1) + _s.pack(">I", 24))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = box(b"minf", vmhd + dinf + stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    ftyp = box(b"ftyp", b"isom" + _s.pack(">I", 0))
+    mdat = box(b"mdat", b"".join(payloads))
+    assert len(ftyp) == 16  # stco offset 24 = ftyp + mdat header
+    return ftyp + mdat + moov
+
+
+def decode_mp4_jpeg_frames(payload: bytes):
+    """Pure-stdlib MP4 sample decode for self-contained JPEG video
+    tracks: box walk to stbl, verify the stsd sample-entry fourcc is
+    'jpeg'/'mjpa', then read each sample at its stco/stsz position and
+    decode with the baseline JPEG kernel.  Returns a list of (h, w, c)
+    uint8 arrays.  Real-world codecs (avc1/hev1/mp4v...) and
+    header-only fixtures (no sample tables / mdat bytes) raise
+    NotImplementedError — those genuinely need a media library."""
+    import struct as _s
+
+    from .jpeg_codec import decode_jpeg_pixels
+
+    payload = bytes(payload)
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF payload")
+    containers = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+    fourcc: list = [None]
+    sizes: list = []
+    offsets: list = []
+
+    def walk(lo: int, hi: int) -> None:
+        pos = lo
+        while pos + 8 <= hi:
+            sz = _s.unpack(">I", payload[pos : pos + 4])[0]
+            typ = payload[pos + 4 : pos + 8]
+            if sz < 8:
+                break
+            end = min(pos + sz, hi)
+            body = pos + 8
+            if typ in containers:
+                walk(body, end)
+            elif typ == b"stsd" and body + 16 <= end:
+                fourcc[0] = payload[body + 12 : body + 16]
+            elif typ == b"stsz" and body + 12 <= end:
+                cnt = _s.unpack(">I", payload[body + 8 : body + 12])[0]
+                fixed = _s.unpack(">I", payload[body + 4 : body + 8])[0]
+                if fixed:
+                    sizes.extend([fixed] * cnt)
+                else:
+                    for i in range(cnt):
+                        o = body + 12 + 4 * i
+                        if o + 4 > end:
+                            break
+                        sizes.append(
+                            _s.unpack(">I", payload[o : o + 4])[0]
+                        )
+            elif typ == b"stco" and body + 8 <= end:
+                cnt = _s.unpack(">I", payload[body + 4 : body + 8])[0]
+                for i in range(cnt):
+                    o = body + 8 + 4 * i
+                    if o + 4 > end:
+                        break
+                    offsets.append(_s.unpack(">I", payload[o : o + 4])[0])
+            pos = end
+
+    walk(0, len(payload))
+    if fourcc[0] is None or not sizes or not offsets:
+        raise NotImplementedError(
+            "MP4 without stsd/stsz/stco sample tables (header-only fixture)"
+        )
+    if fourcc[0] not in (b"jpeg", b"mjpa"):
+        raise NotImplementedError(
+            f"MP4 codec {fourcc[0]!r} needs a real media library"
+        )
+    frames = []
+    pos = offsets[0]
+    for sz in sizes:
+        if pos + sz > len(payload):
+            raise NotImplementedError("MP4 sample data truncated (header-only)")
+        frames.append(decode_jpeg_pixels(payload[pos : pos + sz]))
+        pos += sz
+    return frames
+
+
 def _resize_via(decode_fn, encode_fn, payload: bytes, tw: int, th: int) -> bytes:
     """One nearest-neighbor resize kernel shared by every codec pair:
     decode → index rows/cols at the target sampling grid → re-encode.
@@ -1007,6 +1143,41 @@ def synthetic_mjpeg_avis(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(fn, MEDIA_SCHEMA)
 
 
+def synthetic_jpeg_mp4s(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL MP4s with self-contained JPEG tracks: per id,
+    F = 1 + (id·7) % 3 solid EVEN-gray frames v_f = 2·((id·11 + f·13)
+    % 128) at w = 8 + (id·5) % 8, h = 8 + (id·9) % 8 — the codec's
+    exactness class, so per-frame stats are (id, frame) arithmetic.
+    Built through the repo's own encoders in a mapInPandas stage (like
+    ``synthetic_mjpeg_avis``) — a codec fixture, not an ingest path."""
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                nf = 1 + (i * 7) % 3
+                w, h = 8 + (i * 5) % 8, 8 + (i * 9) % 8
+                payloads.append(encode_jpeg_mp4([
+                    np.full((h, w, 3), 2 * ((i * 11 + f * 13) % 128),
+                            np.uint8)
+                    for f in range(nf)
+                ]))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": payloads,
+                    "media_type": ["video"] * len(ids),
+                    "byte_len": [len(p) for p in payloads],
+                    "sha256": [""] * len(ids),
+                }
+            )
+
+    return df.select(id_col).mapInPandas(fn, MEDIA_SCHEMA)
+
+
 VIDEO_FRAME_STATS_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -1022,10 +1193,11 @@ VIDEO_FRAME_STATS_SCHEMA = StructType(
 
 
 def video_frame_stats(df: DataFrame, every_n: int = 1) -> DataFrame:
-    """REAL per-frame video statistics for decodable AVI/MJPEG payloads
-    (every ``every_n``-th frame decoded through the JPEG kernel →
-    dims + per-channel means), one output row per sampled frame.
-    Non-decodable video (MP4 header fixtures, non-MJPEG streams) yields
+    """REAL per-frame video statistics for decodable AVI/MJPEG and
+    MP4-with-JPEG-track payloads (every ``every_n``-th frame decoded
+    through the JPEG kernel → dims + per-channel means), one output row
+    per sampled frame.  Non-decodable video (header fixtures, real-world
+    codec streams) yields
     a single decoded=false row with NULL stats — the honest-stub
     contract.  Scale shape: frames explode inside the Python worker
     (no Spark-side explode of binary blobs), no shuffle, no driver."""
@@ -1035,8 +1207,14 @@ def video_frame_stats(df: DataFrame, every_n: int = 1) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                bp = bytes(p)
                 try:
-                    frames = decode_mjpeg_avi_frames(bytes(p))
+                    if bp[:4] == b"RIFF":
+                        frames = decode_mjpeg_avi_frames(bp)
+                    elif len(bp) >= 12 and bp[4:8] == b"ftyp":
+                        frames = decode_mp4_jpeg_frames(bp)
+                    else:
+                        raise NotImplementedError("unrecognized container")
                 except (NotImplementedError, ValueError):
                     rows.append((mid, None, None, None, None, None, None,
                                  False))

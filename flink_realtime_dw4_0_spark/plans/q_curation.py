@@ -1669,6 +1669,39 @@ def mm_video_frame_stats(spark, sf_dir):
 
 
 @q(
+    "multimodal_mp4_frame_stats",
+    """
+    SELECT doc_id AS media_id,
+           CAST(fi.f AS INTEGER) AS frame_idx,
+           CAST(8 + (doc_id * 5) % 8 AS INTEGER) AS width,
+           CAST(8 + (doc_id * 9) % 8 AS INTEGER) AS height,
+           CAST(2 * ((doc_id * 11 + fi.f * 13) % 128) AS DOUBLE) AS mean_r,
+           CAST(2 * ((doc_id * 11 + fi.f * 13) % 128) AS DOUBLE) AS mean_g,
+           CAST(2 * ((doc_id * 11 + fi.f * 13) % 128) AS DOUBLE) AS mean_b,
+           TRUE AS decoded
+    FROM documents,
+         unnest(range(0, CAST(1 + (doc_id * 7) % 3 AS BIGINT))) AS fi(f)
+    WHERE doc_id % 5 = 0
+    """,
+    tags=("multimodal", "video", "mp4", "codec"),
+)
+def mm_mp4_frame_stats(spark, sf_dir):
+    """REAL MP4 pipeline end to end: ISO-BMFF files with genuine box
+    trees and self-contained JPEG tracks
+    (multimodal.synthetic_jpeg_mp4s) read back through the stsd/stsz/
+    stco sample tables (multimodal.decode_mp4_jpeg_frames) and the JPEG
+    kernel inside video_frame_stats.  Solid even-gray frames make every
+    per-frame mean pure (id, frame) arithmetic — the oracle predicts
+    the whole box-walk→sample-table→codec→stats path.  Real-world
+    codecs (avc1/hev1) stay honestly out of scope."""
+    docs = t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") % 5 == 0  # sample (see mm_jpeg_codec_stats)
+    )
+    mp4s = multimodal.synthetic_jpeg_mp4s(docs, "doc_id")
+    return multimodal.video_frame_stats(mp4s)
+
+
+@q(
     "sample_weighted_wor",
     """
     WITH s AS (

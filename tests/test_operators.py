@@ -3399,3 +3399,45 @@ def test_dedup_keep_best_quality(spark):
     old = {r.doc_id: r.keep
            for r in dedup.dedup_keep_list(docs, pairs).collect()}
     assert old == {1: 1, 2: 0, 7: 1}
+
+
+def test_mp4_jpeg_track_kernel(spark):
+    """ISO-BMFF with a self-contained JPEG track — the one MP4 shape a
+    pure-stdlib pipeline can round-trip: genuine box tree (mvhd/trak/
+    tkhd/mdia/stbl with real stsd/stts/stsc/stsz/stco tables), samples
+    read back via the tables and decoded frame-exact; foreign codecs
+    (avc1) and header-only fixtures fail honestly; video_frame_stats
+    dispatches MP4 alongside AVI."""
+    import numpy as np
+    import pytest as _pytest
+
+    from flink_realtime_dw4_0_spark.operators import multimodal as mm
+
+    frames = [np.full((6, 10, 3), v, np.uint8) for v in (20, 40, 60)]
+    mp4 = mm.encode_jpeg_mp4(frames)
+    back = mm.decode_mp4_jpeg_frames(mp4)
+    assert len(back) == 3
+    assert all(np.array_equal(a, b) for a, b in zip(frames, back))
+    assert mm._parse_media_header(mp4) == (10, 6, 3)
+
+    with _pytest.raises(NotImplementedError, match="avc1"):
+        mm.decode_mp4_jpeg_frames(mp4.replace(b"jpeg", b"avc1", 1))
+    with _pytest.raises((NotImplementedError, ValueError)):
+        mm.decode_mp4_jpeg_frames(
+            bytes.fromhex("000000106674797069736f6d00000000"))
+
+    # exact (id, frame) arithmetic through video_frame_stats
+    ids = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+    rows = mm.video_frame_stats(mm.synthetic_jpeg_mp4s(ids)).collect()
+    assert len(rows) == sum(1 + (i * 7) % 3 for i in range(10))
+    for r in rows:
+        i, f = r.media_id, r.frame_idx
+        v = float(2 * ((i * 11 + f * 13) % 128))
+        assert (r.width, r.height) == (8 + (i * 5) % 8, 8 + (i * 9) % 8)
+        assert (r.mean_r, r.mean_g, r.mean_b) == (v, v, v) and r.decoded
+
+    # synthetic_media's header-only MP4 fixtures still stub honestly
+    med = mm.synthetic_media(spark.range(5, 6).withColumnRenamed(
+        "id", "doc_id"))  # kind 5 = header-only MP4
+    stub = mm.video_frame_stats(med).collect()
+    assert len(stub) == 1 and not stub[0].decoded

@@ -549,3 +549,38 @@ def test_estimator_plan_shapes(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in p3  # broadcast probs, not cartesian
     assert "CartesianProduct" not in p3
     assert p3.count("Exchange hashpartitioning") <= 2
+
+
+def test_skip_replay_plan_shape(spark, sf_dir):
+    """The after-match skip replay must stay ONE key-partitioned
+    mapInPandas pass over the completed chains (a per-group
+    applyInPandas here cost ~1 ms x |keys| and made the skip entries
+    10x their chain at bench scale — the r6 finding).  Gate: exactly
+    one Python-eval node, reached through exactly one extra hash
+    exchange + sort beyond the chain plan, and NO FlatMapGroupsInPandas
+    (the per-group operator)."""
+    from flink_realtime_dw4_0_spark.operators import cep
+    from flink_realtime_dw4_0_spark.sources.files import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    pat = [
+        {"name": "view", "where": F.col("event_type") == "view"},
+        {"name": "click", "where": F.col("event_type") == "click"},
+        {"name": "purchase", "where": F.col("event_type") == "purchase"},
+    ]
+    def plan(am):
+        df = cep.match_pattern(ev, pat, within="7 DAY",
+                               max_anchors_per_key=5, emit="all",
+                               after_match=am)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    base = plan("no_skip")
+    for am in ("skip_past_last", "skip_to_first:click"):
+        p = plan(am)
+        assert "FlatMapGroupsInPandas" not in p, am  # per-key Python: banned
+        assert p.count("MapInPandas") == 1, am       # one replay pass
+        # one repartition(key) + one sortWithinPartitions beyond the chain
+        extra_ex = (p.count("Exchange hashpartitioning")
+                    - base.count("Exchange hashpartitioning"))
+        assert extra_ex <= 1, (am, extra_ex)
+        assert p.count("Sort [") - base.count("Sort [") <= 1, am

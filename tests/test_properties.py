@@ -440,3 +440,65 @@ def test_psi_drift_invariants(spark, vals, split_at):
     out2 = {r.bin: r.psi_term for r in quality.psi_drift(
         df2, "v", "split", "r", "c", lo=-100.0, hi=200.0, n_bins=5).collect()}
     assert out2[-1] == 0.0
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    c=st.sampled_from([1, 3]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_lossless_codec_roundtrips_property(h, w, c, seed):
+    """PNG, 24-bit BMP, and GIF pixel kernels are BIT-EXACT inverses on
+    arbitrary small images (GIF capped at 256 unique colors by
+    construction here), and WAV PCM16 round-trips arbitrary sample
+    blocks — pure-Python property, no Spark."""
+    import numpy as np
+
+    from flink_realtime_dw4_0_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(seed)
+    px = rng.randint(0, 256, (h, w, c)).astype(np.uint8)
+    assert np.array_equal(
+        mm.decode_png_pixels(mm.encode_png(px)),
+        px if c > 1 else px,
+    )
+    px3 = px if c == 3 else np.repeat(px, 3, axis=2)
+    assert np.array_equal(mm.decode_bmp_pixels(mm.encode_bmp(px3)), px3)
+    # GIF: quantize to <= 16 distinct values to stay within a palette
+    gif_px = (px3 // 16) * 16
+    assert np.array_equal(mm.decode_gif_pixels(mm.encode_gif(gif_px)),
+                          gif_px)
+    samples = rng.randint(-32768, 32768, (max(1, h * w), c)).astype("<i2")
+    rate = 8000 + (seed % 1000)
+    r2, back = mm.decode_wav_samples(mm.encode_wav(samples, rate))
+    assert r2 == rate and np.array_equal(back, samples)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_codec_bounded_error_property(h, w, seed):
+    """The baseline JPEG codec is a BOUNDED-ERROR inverse on arbitrary
+    small RGB images: with the flat Q=16 table the DCT-domain
+    quantization error is <= 8 per coefficient, so pixel error stays
+    well under 64 full-scale; dims always crop back exactly; and solid
+    even-gray inputs (the exactness class) reconstruct EXACTLY whatever
+    the dims."""
+    import numpy as np
+
+    from flink_realtime_dw4_0_spark.operators import jpeg_codec as jc
+
+    rng = np.random.RandomState(seed)
+    px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    out = jc.decode_jpeg_pixels(jc.encode_jpeg(px))
+    assert out.shape == (h, w, 3)
+    assert int(np.abs(out.astype(int) - px.astype(int)).max()) <= 64
+    v = 2 * (seed % 128)
+    solid = np.full((h, w, 3), v, np.uint8)
+    assert np.array_equal(jc.decode_jpeg_pixels(jc.encode_jpeg(solid)),
+                          solid)

@@ -3637,6 +3637,83 @@ def test_streaming_match_recognize_golden(spark, tmp_path):
                                within="1 minute")
 
 
+def test_streaming_pattern_randomized_parity(spark, tmp_path):
+    """Randomized batch/stream parity sweep: seeded random event
+    sequences over several keys, shuffled across arrival batches, run
+    through FOUR pattern shapes covering the quantifier algebra
+    (oneOrMore, zero-or-more via range, until, consecutive) in
+    multi-anchor mode — every match row must equal the batch twin's
+    emit='all' chains exactly.  Hand goldens pin specific semantics;
+    this sweeps the space between them."""
+    import random
+
+    from flink_realtime_dw4_0_spark.operators.cep import match_pattern
+
+    rng = random.Random(20260815)
+    base = 1_700_000_000_000
+    SEC = 1_000
+    alphabet = ["A", "c", "B", "x"]
+    rows = []
+    for k in range(6):
+        n = rng.randint(6, 12)
+        for s in range(1, n + 1):
+            rows.append({
+                "user_id": f"u{k}", "ts": base + s * SEC, "event_id": s,
+                "event_type": rng.choice(alphabet),
+            })
+    shuffled = rows[:]
+    rng.shuffle(shuffled)
+    half = len(shuffled) // 2
+    batches = [shuffled[:half], shuffled[half:],
+               [{"user_id": "zz", "ts": base + 900_000, "event_id": 999,
+                 "event_type": "A"}]]
+
+    A = F.col("event_type") == "A"
+    C = F.col("event_type") == "c"
+    B = F.col("event_type") == "B"
+    X = F.col("event_type") == "x"
+    patterns = {
+        "oom": [{"name": "a", "where": A},
+                {"name": "c", "where": C, "one_or_more": True},
+                {"name": "b", "where": B}],
+        "rng": [{"name": "a", "where": A},
+                {"name": "c", "where": C, "times_range": (1, 2)},
+                {"name": "b", "where": B}],
+        "unt": [{"name": "a", "where": A},
+                {"name": "c", "where": C, "one_or_more": True,
+                 "until": X},
+                {"name": "b", "where": B}],
+        "csc": [{"name": "a", "where": A},
+                {"name": "c", "where": C, "one_or_more": True,
+                 "consecutive": True},
+                {"name": "b", "where": B}],
+    }
+    bdf = spark.createDataFrame(
+        [(r["user_id"], r["ts"], r["event_id"], r["event_type"])
+         for r in rows],
+        "user_id string, ts_ms long, event_id long, event_type string",
+    ).withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+    for name, pat in patterns.items():
+        got = sorted(
+            (r.key, tuple(r.step_ts))
+            for r in _run_pattern_stream(
+                spark, tmp_path, f"rp_{name}", batches, pat,
+                within="1 minute", watermark="10 seconds", mode="all")
+            if r.key != "zz" and r.status == "match"
+        )
+        want = sorted(
+            (r.user_id,
+             (int(r.a_ts.timestamp() * 1000),
+              int(r.c_first_ts.timestamp() * 1000),
+              int(r.c_last_ts.timestamp() * 1000),
+              r.c_count,
+              int(r.b_ts.timestamp() * 1000)))
+            for r in match_pattern(bdf, pat, within="1 minute",
+                                   emit="all").collect()
+        )
+        assert got == want, (name, got, want)
+
+
 def _drive_restart(spark, tmp_path, name, build_out, batches, split):
     """Checkpoint-restart harness: run `build_out(stream)` over the
     first `split` files, let the availableNow query terminate, append

@@ -760,12 +760,16 @@ def encode_jpeg_mp4(frames, fps: int = 10) -> bytes:
 
 def decode_mp4_jpeg_frames(payload: bytes):
     """Pure-stdlib MP4 sample decode for self-contained JPEG video
-    tracks: box walk to stbl, verify the stsd sample-entry fourcc is
-    'jpeg'/'mjpa', then read each sample at its stco/stsz position and
-    decode with the baseline JPEG kernel.  Returns a list of (h, w, c)
-    uint8 arrays.  Real-world codecs (avc1/hev1/mp4v...) and
-    header-only fixtures (no sample tables / mdat bytes) raise
-    NotImplementedError — those genuinely need a media library."""
+    tracks: each ``trak`` box is walked SEPARATELY (an audio trak's
+    tables can never be misattributed to the video track), the first
+    trak whose stsd sample-entry fourcc is 'jpeg'/'mjpa' is selected,
+    and its samples are located through the REAL stsc chunk mapping —
+    chunk i starts at stco[i] and holds the stsc-declared number of
+    samples, with sizes from stsz — so multi-chunk foreign files with
+    gaps between chunks decode correctly.  Returns a list of (h, w, c)
+    uint8 arrays.  Real-world codecs (avc1/hev1/mp4v...) raise
+    NotImplementedError, as do header-only fixtures (no sample tables /
+    mdat bytes) — those genuinely need a media library."""
     import struct as _s
 
     from .jpeg_codec import decode_jpeg_pixels
@@ -773,62 +777,110 @@ def decode_mp4_jpeg_frames(payload: bytes):
     payload = bytes(payload)
     if len(payload) < 12 or payload[4:8] != b"ftyp":
         raise ValueError("not an ISO-BMFF payload")
-    containers = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
-    fourcc: list = [None]
-    sizes: list = []
-    offsets: list = []
 
-    def walk(lo: int, hi: int) -> None:
+    def child_boxes(lo: int, hi: int):
         pos = lo
         while pos + 8 <= hi:
             sz = _s.unpack(">I", payload[pos : pos + 4])[0]
-            typ = payload[pos + 4 : pos + 8]
             if sz < 8:
                 break
-            end = min(pos + sz, hi)
-            body = pos + 8
-            if typ in containers:
-                walk(body, end)
-            elif typ == b"stsd" and body + 16 <= end:
-                fourcc[0] = payload[body + 12 : body + 16]
-            elif typ == b"stsz" and body + 12 <= end:
-                cnt = _s.unpack(">I", payload[body + 8 : body + 12])[0]
-                fixed = _s.unpack(">I", payload[body + 4 : body + 8])[0]
-                if fixed:
-                    sizes.extend([fixed] * cnt)
-                else:
-                    for i in range(cnt):
-                        o = body + 12 + 4 * i
-                        if o + 4 > end:
-                            break
-                        sizes.append(
-                            _s.unpack(">I", payload[o : o + 4])[0]
-                        )
-            elif typ == b"stco" and body + 8 <= end:
-                cnt = _s.unpack(">I", payload[body + 4 : body + 8])[0]
-                for i in range(cnt):
-                    o = body + 8 + 4 * i
-                    if o + 4 > end:
-                        break
-                    offsets.append(_s.unpack(">I", payload[o : o + 4])[0])
-            pos = end
+            yield payload[pos + 4 : pos + 8], pos + 8, min(pos + sz, hi)
+            pos += sz + (0 if sz else 8)
 
-    walk(0, len(payload))
-    if fourcc[0] is None or not sizes or not offsets:
+    def find(typ: bytes, lo: int, hi: int):
+        """Recursive first-match descent through container boxes."""
+        for t, body, end in child_boxes(lo, hi):
+            if t == typ:
+                return body, end
+            if t in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+                got = find(typ, body, end)
+                if got is not None:
+                    return got
+        return None
+
+    def trak_tables(lo: int, hi: int):
+        stbl = find(b"stbl", lo, hi)
+        if stbl is None:
+            return None
+        tables: dict = {}
+        for t, body, end in child_boxes(*stbl):
+            if t == b"stsd" and body + 16 <= end:
+                tables["fourcc"] = payload[body + 12 : body + 16]
+            elif t == b"stsz" and body + 12 <= end:
+                fixed = _s.unpack(">I", payload[body + 4 : body + 8])[0]
+                cnt = _s.unpack(">I", payload[body + 8 : body + 12])[0]
+                if fixed:
+                    tables["sizes"] = [fixed] * cnt
+                else:
+                    tables["sizes"] = [
+                        _s.unpack(">I", payload[o : o + 4])[0]
+                        for o in range(body + 12, min(body + 12 + 4 * cnt,
+                                                      end - 3), 4)
+                    ]
+            elif t == b"stco" and body + 8 <= end:
+                cnt = _s.unpack(">I", payload[body + 4 : body + 8])[0]
+                tables["offsets"] = [
+                    _s.unpack(">I", payload[o : o + 4])[0]
+                    for o in range(body + 8, min(body + 8 + 4 * cnt,
+                                                 end - 3), 4)
+                ]
+            elif t == b"stsc" and body + 8 <= end:
+                cnt = _s.unpack(">I", payload[body + 4 : body + 8])[0]
+                tables["stsc"] = [
+                    _s.unpack(">III", payload[o : o + 12])
+                    for o in range(body + 8, min(body + 8 + 12 * cnt,
+                                                 end - 11), 12)
+                ]
+        return tables
+
+    moov = find(b"moov", 0, len(payload))
+    traks = []
+    if moov is not None:
+        for t, body, end in child_boxes(*moov):
+            if t == b"trak":
+                tb = trak_tables(body, end)
+                if tb:
+                    traks.append(tb)
+    video = [t for t in traks
+             if t.get("fourcc") in (b"jpeg", b"mjpa")
+             and t.get("sizes") and t.get("offsets")]
+    if not video:
+        others = [t.get("fourcc") for t in traks if t.get("fourcc")]
+        if others:
+            raise NotImplementedError(
+                f"MP4 codec(s) {others!r} need a real media library"
+            )
         raise NotImplementedError(
             "MP4 without stsd/stsz/stco sample tables (header-only fixture)"
         )
-    if fourcc[0] not in (b"jpeg", b"mjpa"):
-        raise NotImplementedError(
-            f"MP4 codec {fourcc[0]!r} needs a real media library"
-        )
+    tb = video[0]
+    sizes, offsets = tb["sizes"], tb["offsets"]
+    # samples-per-chunk from stsc: entry (first_chunk, spc, _desc) applies
+    # from first_chunk until the next entry's first_chunk (1-based)
+    stsc = tb.get("stsc") or [(1, len(sizes), 1)]
+    spc_at = []
+    for i, (first, spc, _d) in enumerate(stsc):
+        until = stsc[i + 1][0] if i + 1 < len(stsc) else len(offsets) + 1
+        spc_at.extend([spc] * (until - first))
     frames = []
-    pos = offsets[0]
-    for sz in sizes:
-        if pos + sz > len(payload):
-            raise NotImplementedError("MP4 sample data truncated (header-only)")
-        frames.append(decode_jpeg_pixels(payload[pos : pos + sz]))
-        pos += sz
+    si = 0
+    for ci, off in enumerate(offsets):
+        pos = off
+        take = spc_at[ci] if ci < len(spc_at) else spc_at[-1]
+        for _ in range(take):
+            if si >= len(sizes):
+                break
+            sz = sizes[si]
+            if pos + sz > len(payload):
+                raise NotImplementedError(
+                    "MP4 sample data truncated (header-only)"
+                )
+            frames.append(decode_jpeg_pixels(payload[pos : pos + sz]))
+            pos += sz
+            si += 1
+    if si < len(sizes):
+        raise NotImplementedError("MP4 chunk map covers fewer samples "
+                                  "than stsz declares")
     return frames
 
 

@@ -3441,3 +3441,61 @@ def test_mp4_jpeg_track_kernel(spark):
         "id", "doc_id"))  # kind 5 = header-only MP4
     stub = mm.video_frame_stats(med).collect()
     assert len(stub) == 1 and not stub[0].decoded
+
+
+def test_mp4_foreign_multi_chunk_multi_trak():
+    """Review-pass regression: foreign jpeg-track MP4s with MULTIPLE
+    chunks (gaps between them in mdat) and extra non-video traks decode
+    correctly — each trak's tables stay isolated, the first jpeg/mjpa
+    trak is selected, and samples are located through the real stsc
+    chunk mapping rather than assumed contiguous from stco[0]."""
+    import struct
+
+    import numpy as np
+
+    from flink_realtime_dw4_0_spark.operators import multimodal as mm
+    from flink_realtime_dw4_0_spark.operators.jpeg_codec import encode_jpeg
+
+    def box(typ, body):
+        return struct.pack(">I", 8 + len(body)) + typ + body
+
+    frames = [np.full((6, 10, 3), v, np.uint8) for v in (20, 40, 60)]
+    payloads = [encode_jpeg(f) for f in frames]
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0))
+    gap = b"JUNKJUNK"
+    mdat = box(b"mdat", payloads[0] + payloads[1] + gap + payloads[2])
+    off1 = len(ftyp) + 8
+    off2 = off1 + len(payloads[0]) + len(payloads[1]) + len(gap)
+
+    def trak(fourcc, sizes, offsets, stsc_entries):
+        entry = (struct.pack(">I", 86) + fourcc + b"\x00" * 6
+                 + struct.pack(">H", 1) + b"\x00" * 16
+                 + struct.pack(">HH", 10, 6)
+                 + struct.pack(">II", 0x480000, 0x480000) + b"\x00" * 4
+                 + struct.pack(">H", 1) + b"\x00" * 32
+                 + struct.pack(">Hh", 24, -1))
+        stbl = box(b"stbl",
+                   box(b"stsd", struct.pack(">II", 0, 1) + entry)
+                   + box(b"stsz", struct.pack(">III", 0, 0, len(sizes))
+                         + b"".join(struct.pack(">I", s) for s in sizes))
+                   + box(b"stsc", struct.pack(">II", 0, len(stsc_entries))
+                         + b"".join(struct.pack(">III", *e)
+                                    for e in stsc_entries))
+                   + box(b"stco", struct.pack(">II", 0, len(offsets))
+                         + b"".join(struct.pack(">I", o)
+                                    for o in offsets)))
+        return box(b"trak", box(b"mdia", box(b"minf", stbl)))
+
+    audio = trak(b"mp4a", [999, 999], [1, 2], [(1, 2, 1)])
+    video = trak(b"jpeg", [len(p) for p in payloads], [off1, off2],
+                 [(1, 2, 1), (2, 1, 1)])
+    foreign = ftyp + mdat + box(b"moov", audio + video)
+    back = mm.decode_mp4_jpeg_frames(foreign)
+    assert len(back) == 3
+    assert all(np.array_equal(a, b) for a, b in zip(frames, back))
+
+    import pytest as _pytest
+    avc = ftyp + mdat + box(b"moov",
+                            trak(b"avc1", [10], [off1], [(1, 1, 1)]))
+    with _pytest.raises(NotImplementedError, match="avc1"):
+        mm.decode_mp4_jpeg_frames(avc)

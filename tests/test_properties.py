@@ -460,10 +460,7 @@ def test_lossless_codec_roundtrips_property(h, w, c, seed):
 
     rng = np.random.RandomState(seed)
     px = rng.randint(0, 256, (h, w, c)).astype(np.uint8)
-    assert np.array_equal(
-        mm.decode_png_pixels(mm.encode_png(px)),
-        px if c > 1 else px,
-    )
+    assert np.array_equal(mm.decode_png_pixels(mm.encode_png(px)), px)
     px3 = px if c == 3 else np.repeat(px, 3, axis=2)
     assert np.array_equal(mm.decode_bmp_pixels(mm.encode_bmp(px3)), px3)
     # GIF: quantize to <= 16 distinct values to stay within a palette

@@ -274,9 +274,31 @@ def unroll_pattern(pattern: list[dict]):
             )
             continue
         if p.get("consecutive"):
+            times = int(p.get("times", 0))
+            if times >= 2:
+                # Flink times(n).consecutive(): exactly n strictly
+                # contiguous matches == a consecutive run bounded (n, n) —
+                # same anchor/adjacency rules as any quantified step
+                if not positives:
+                    raise ValueError(
+                        "the anchor step must be a plain positive step "
+                        "(no quantifier — a pattern opens on a concrete "
+                        "event)"
+                    )
+                if not is_plain(positives[-1]):
+                    raise ValueError(
+                        "two consecutive quantified steps are not "
+                        "supported — merge the predicates or insert a "
+                        "concrete step"
+                    )
+                if p.get("until") is not None:
+                    untils[len(positives)] = p["until"]
+                positives.append((p["name"], p["where"], True, times, times))
+                continue
             raise ValueError(
                 f"step {p['name']!r}: consecutive() modifies a looping "
-                "quantifier — for plain steps use contiguity='strict'"
+                "quantifier (or times >= 2) — for single plain steps use "
+                "contiguity='strict'"
             )
         times = int(p.get("times", 1))
         if times < 1:

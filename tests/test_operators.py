@@ -3499,3 +3499,45 @@ def test_mp4_foreign_multi_chunk_multi_trak():
                             trak(b"avc1", [10], [off1], [(1, 1, 1)]))
     with _pytest.raises(NotImplementedError, match="avc1"):
         mm.decode_mp4_jpeg_frames(avc)
+
+
+def test_cep_times_consecutive(spark):
+    """Flink times(n).consecutive(): exactly n strictly-contiguous
+    matches (mapped to a consecutive (n, n) run) — a broken run below n
+    kills the anchor, a longer run contributes its first n, and the
+    anchor/adjacency validations still apply."""
+    from datetime import datetime as dt
+
+    import pytest as _pytest
+
+    from flink_realtime_dw4_0_spark.operators import cep
+
+    T = lambda s: dt(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        ("k1", T(1), 1, "A"), ("k1", T(2), 2, "B"), ("k1", T(3), 3, "B"),
+        ("k1", T(4), 4, "C"),
+        ("k2", T(1), 1, "A"), ("k2", T(2), 2, "B"), ("k2", T(3), 3, "X"),
+        ("k2", T(4), 4, "B"), ("k2", T(5), 5, "C"),
+        ("k3", T(1), 1, "A"), ("k3", T(2), 2, "B"), ("k3", T(3), 3, "B"),
+        ("k3", T(4), 4, "B"), ("k3", T(5), 5, "C"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, event_id long, event_type string"
+    )
+    pat = [{"name": "a", "where": F.col("event_type") == "A"},
+           {"name": "b", "where": F.col("event_type") == "B",
+            "times": 2, "consecutive": True},
+           {"name": "c", "where": F.col("event_type") == "C"}]
+    got = {r.user_id: (r.b_first_ts.second, r.b_last_ts.second, r.b_count,
+                       r.c_ts.second)
+           for r in cep.match_pattern(ev, pat, within="1 HOUR").collect()}
+    assert got == {"k1": (2, 3, 2, 4), "k3": (2, 3, 2, 5)}
+
+    with _pytest.raises(ValueError, match="anchor step must be a plain"):
+        cep.unroll_pattern([{"name": "b", "where": F.lit(True),
+                             "times": 2, "consecutive": True},
+                            {"name": "c", "where": F.lit(True)}])
+    with _pytest.raises(ValueError, match="modifies a looping"):
+        cep.unroll_pattern([{"name": "a", "where": F.lit(True)},
+                            {"name": "b", "where": F.lit(True),
+                             "times": 1, "consecutive": True}])

@@ -3687,6 +3687,10 @@ def test_streaming_pattern_randomized_parity(spark, tmp_path):
                 {"name": "c", "where": C, "one_or_more": True,
                  "consecutive": True},
                 {"name": "b", "where": B}],
+        "tc2": [{"name": "a", "where": A},
+                {"name": "c", "where": C, "times": 2,
+                 "consecutive": True},
+                {"name": "b", "where": B}],
     }
     bdf = spark.createDataFrame(
         [(r["user_id"], r["ts"], r["event_id"], r["event_type"])

@@ -567,6 +567,7 @@ def main() -> None:
             "multimodal_jpeg_codec_stats",
             "multimodal_video_frame_stats",
             "multimodal_mp4_frame_stats",
+            "multimodal_resize_stats",
         ]
         etimes: dict[str, float] = {}
         ereps: dict[str, list[float]] = {}

@@ -1702,6 +1702,37 @@ def mm_mp4_frame_stats(spark, sf_dir):
 
 
 @q(
+    "multimodal_resize_stats",
+    """
+    SELECT doc_id AS media_id,
+           CAST(4 AS INTEGER) AS width,
+           CAST(4 AS INTEGER) AS height,
+           CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+           CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
+           CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b,
+           CAST(1 AS BIGINT) AS n_unique_colors,
+           TRUE AS decoded
+    FROM documents WHERE doc_id % 5 = 0
+    """,
+    tags=("multimodal", "image", "resize", "pipeline"),
+)
+def mm_resize_stats(spark, sf_dir):
+    """The resize kernel verified END TO END: solid-color BMP fixtures
+    go through the real nearest-neighbor resize (decode → sample grid →
+    re-encode, multimodal.resize) and the re-encoded payloads through
+    image_stats — a solid image stays solid at any target size, so the
+    oracle predicts exact 4×4 dims, unchanged per-channel means, and
+    one unique color.  Catches a broken resize (wrong dims, channel
+    swap, padding bleed) anywhere in the decode→sample→encode→decode
+    chain."""
+    docs = t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") % 5 == 0
+    )
+    bmps = multimodal.synthetic_solid_bmps(docs, "doc_id")
+    return multimodal.image_stats(multimodal.resize(bmps, 4, 4))
+
+
+@q(
     "sample_weighted_wor",
     """
     WITH s AS (

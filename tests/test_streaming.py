@@ -3718,6 +3718,52 @@ def test_streaming_pattern_randomized_parity(spark, tmp_path):
         assert got == want, (name, got, want)
 
 
+def test_streaming_multimodal_feature_extraction(spark, tmp_path):
+    """The multimodal feature operators run UNCHANGED on streams —
+    mapInPandas is trigger-agnostic, which is the whole '100 TB
+    featurizer plug-in' claim: image_stats over a parquet STREAM of
+    real solid BMPs and audio_features over a stream of playable tones
+    produce the same exact id-arithmetic values as the batch path,
+    through a real checkpointed availableNow query."""
+    from flink_realtime_dw4_0_spark.operators import multimodal as mm
+
+    ids = spark.range(0, 8).withColumnRenamed("id", "doc_id")
+    src_img = str(tmp_path / "img_src")
+    mm.synthetic_solid_bmps(ids).write.parquet(src_img)
+    stream = spark.readStream.schema(
+        mm.MEDIA_SCHEMA
+    ).parquet(src_img)
+    q = (
+        mm.image_stats(stream)
+        .writeStream.format("memory").queryName("mm_img_out")
+        .option("checkpointLocation", str(tmp_path / "img_ck"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(600)
+    rows = spark.sql("SELECT * FROM mm_img_out").collect()
+    assert len(rows) == 8
+    for r in rows:
+        i = r.media_id
+        assert (r.mean_r, r.n_unique_colors, r.decoded) == (
+            float(i % 256), 1, True)
+
+    src_wav = str(tmp_path / "wav_src")
+    mm.synthetic_tone_wavs(ids).write.parquet(src_wav)
+    q2 = (
+        mm.audio_features(
+            spark.readStream.schema(mm.MEDIA_SCHEMA).parquet(src_wav))
+        .writeStream.format("memory").queryName("mm_wav_out")
+        .option("checkpointLocation", str(tmp_path / "wav_ck"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(600)
+    rows2 = spark.sql("SELECT * FROM mm_wav_out").collect()
+    assert len(rows2) == 8
+    for r in rows2:
+        A = 1 + r.media_id % 32767
+        assert r.rms == A / 32768.0 and r.zero_cross_rate == 1.0
+
+
 def _drive_restart(spark, tmp_path, name, build_out, batches, split):
     """Checkpoint-restart harness: run `build_out(stream)` over the
     first `split` files, let the availableNow query terminate, append

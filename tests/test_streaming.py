@@ -3697,15 +3697,23 @@ def test_streaming_pattern_randomized_parity(spark, tmp_path):
          for r in rows],
         "user_id string, ts_ms long, event_id long, event_type string",
     ).withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
-    for name, pat in patterns.items():
-        got = sorted(
+
+    # watermark must COVER the shuffle displacement (events span <= 15 s;
+    # a 10 s delay would make some shuffled arrivals legitimately LATE and
+    # the stream would drop them — correct behavior, but this sweep tests
+    # order-insensitivity, so arrival has to stay within allowed lateness)
+    def stream_rows(name, pat, am):
+        return sorted(
             (r.key, tuple(r.step_ts))
             for r in _run_pattern_stream(
                 spark, tmp_path, f"rp_{name}", batches, pat,
-                within="1 minute", watermark="10 seconds", mode="all")
+                within="1 minute", watermark="60 seconds", mode="all",
+                after_match=am)
             if r.key != "zz" and r.status == "match"
         )
-        want = sorted(
+
+    def batch_rows(pat, am):
+        return sorted(
             (r.user_id,
              (int(r.a_ts.timestamp() * 1000),
               int(r.c_first_ts.timestamp() * 1000),
@@ -3713,9 +3721,22 @@ def test_streaming_pattern_randomized_parity(spark, tmp_path):
               r.c_count,
               int(r.b_ts.timestamp() * 1000)))
             for r in match_pattern(bdf, pat, within="1 minute",
-                                   emit="all").collect()
+                                   emit="all", after_match=am).collect()
         )
+
+    for name, pat in patterns.items():
+        got = stream_rows(name, pat, "no_skip")
+        want = batch_rows(pat, "no_skip")
         assert got == want, (name, got, want)
+
+    # the full skip-strategy surface over the same random data, on the
+    # oneOrMore pattern (every strategy must prune identically)
+    for tag, am in (("spl", "skip_past_last"),
+                    ("stf", "skip_to_first:c"),
+                    ("stl", "skip_to_last:c")):
+        got = stream_rows(tag, patterns["oom"], am)
+        want = batch_rows(patterns["oom"], am)
+        assert got == want, (am, got, want)
 
 
 def test_streaming_multimodal_feature_extraction(spark, tmp_path):

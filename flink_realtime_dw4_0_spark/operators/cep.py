@@ -1001,25 +1001,56 @@ _MR_TOKEN = re.compile(
     r"(\+|\*|\?|\{\s*\d+\s*(?:,\s*\d*\s*)?\})?"
 )
 
+# single-level alternation group: (A|B[|C...]) of BARE variables, no
+# quantifier on the group (a quantified group would need a branching NFA)
+_MR_ALT = re.compile(
+    r"\s*\(\s*([A-Za-z_][A-Za-z_0-9]*"
+    r"(?:\s*\|\s*[A-Za-z_][A-Za-z_0-9]*)+)\s*\)"
+)
 
-def parse_mr_pattern(pattern: str) -> list[tuple[str, dict]]:
+
+def parse_mr_pattern(pattern: str) -> list[tuple[str | list[str], dict]]:
     """Parse a MATCH_RECOGNIZE ``PATTERN`` clause body — a sequence of
     variables with optional regex quantifiers ``A B+ C* D? E{2} F{2,}
-    G{2,4}`` — into ``(name, quantifier_kwargs)`` pairs.  Alternation,
-    grouping, exclusion, and anchors (``| ( ) {- -} ^ $``) are not
-    supported and raise (honest scope: the deterministic machine has no
-    branching NFA)."""
-    out: list[tuple[str, dict]] = []
+    G{2,4}``, plus single-level alternation groups ``(A|B)`` of bare
+    variables — into ``(name, quantifier_kwargs)`` pairs, where an
+    alternation step's name is the ``list`` of its alternatives in
+    written (preference) order.  Quantified groups, nesting, exclusion,
+    and anchors (``(A|B)+ ( ) {- -} ^ $``) are not supported and raise
+    (honest scope: the deterministic machine has no branching NFA;
+    un-quantified single-level alternation needs none — under MR's
+    strict row contiguity every position is forced, so ``(A|B)`` is
+    exactly one step matching ``A OR B`` with leftmost classifier
+    preference, which is how it compiles)."""
+    out: list[tuple[str | list[str], dict]] = []
     pos = 0
     while pos < len(pattern):
         if pattern[pos:].strip() == "":
             break
+        ma = _MR_ALT.match(pattern, pos)
+        if ma is not None:
+            alts = [a.strip() for a in ma.group(1).split("|")]
+            if len(set(alts)) != len(alts):
+                raise ValueError(
+                    f"MATCH_RECOGNIZE alternation repeats a variable: "
+                    f"({ma.group(1)})"
+                )
+            nxt = pattern[ma.end():].lstrip()
+            if nxt[:1] in ("+", "*", "?", "{"):
+                raise ValueError(
+                    "MATCH_RECOGNIZE: quantified alternation groups "
+                    f"(…){nxt[0]} are not supported (branching NFA)"
+                )
+            out.append((alts, {}))
+            pos = ma.end()
+            continue
         m = _MR_TOKEN.match(pattern, pos)
         if m is None:
             raise ValueError(
                 f"MATCH_RECOGNIZE pattern: unsupported syntax at "
                 f"{pattern[pos:]!r} (variables with + * ? {{n}} {{n,}} "
-                f"{{n,m}} quantifiers only — no alternation/grouping)"
+                f"{{n,m}} quantifiers, and un-quantified single-level "
+                f"alternation groups (A|B), only)"
             )
         name, quant = m.group(1), m.group(2)
         kw: dict = {}
@@ -1077,21 +1108,43 @@ def match_recognize(
     ``match_pattern``): when a row satisfies both a loop variable and
     its successor, the machine binds the successor once the loop
     minimum is met, so a greedy regex that would prefer a longer loop
-    may emit the shorter match.  Alternation/grouping are rejected at
+    may emit the shorter match.  Single-level un-quantified alternation
+    ``(A|B)`` is supported: it compiles to ONE step matching ``A OR B``
+    — under strict contiguity every row position is forced, so this is
+    exactly SQL MR's regex alternation (the only remaining choice is
+    which variable to credit, resolved leftmost like a regex; the
+    ``<group>_classifier`` output column carries it, SQL ``CLASSIFIER()``
+    style).  Under relaxed contiguity the OR-step binds the FIRST row
+    satisfying any alternative (same proceed-priority contract as
+    above; a branching NFA that waits for a later, different-variable
+    row is out of scope).  Quantified groups / nesting are rejected at
     parse time; the first variable must be un-quantified (the machine
     anchors on a concrete row)."""
     if contiguity not in ("strict", "relaxed"):
         raise ValueError(f"contiguity must be strict|relaxed, got {contiguity!r}")
     steps = parse_mr_pattern(pattern)
-    missing = [n for n, _ in steps if n not in define]
+    missing = [n for nm, _ in steps
+               for n in (nm if isinstance(nm, list) else [nm])
+               if n not in define]
     if missing:
         raise ValueError(f"MATCH_RECOGNIZE: DEFINE missing for {missing}")
+
+    def _pred(name):
+        p = define[name]
+        return F.expr(p) if isinstance(p, str) else p
+
     pat = []
+    alt_groups: list[tuple[str, list[str]]] = []
     for name, kw in steps:
-        pred = define[name]
-        if isinstance(pred, str):
-            pred = F.expr(pred)
-        d = {"name": name, "where": pred, **kw}
+        if isinstance(name, list):
+            gname = "_or_".join(name)
+            pred = _pred(name[0])
+            for a in name[1:]:
+                pred = pred | _pred(a)
+            alt_groups.append((gname, name))
+            pat.append({"name": gname, "where": pred})
+            continue
+        d = {"name": name, "where": _pred(name), **kw}
         if contiguity == "strict" and kw and "times" not in kw:
             d["consecutive"] = True
         pat.append(d)
@@ -1122,6 +1175,29 @@ def match_recognize(
                 prev_end = F.when(cnt > 0, F.col(f"{cname}_last_rn")) \
                     .otherwise(prev_end)
         chains = chains.filter(cond)
+    cls_cols: list[str] = []
+    if alt_groups:
+        # CLASSIFIER(): which alternative the bound row satisfied,
+        # leftmost-preferred.  The bound row is re-identified by its rn
+        # (the same row_number window match_pattern ranks with), so the
+        # lookup is one equi-join of match-sized chains against a 3-column
+        # projection of events — AQE broadcasts the chains side at scale.
+        w_rn = Window.partitionBy(partition_by).orderBy(order_by, seq)
+        ev_rn = events.withColumn("__mr_rn", F.row_number().over(w_rn))
+        for gname, alts in alt_groups:
+            cls = F.coalesce(
+                *[F.when(_pred(a), F.lit(a)) for a in alts]
+            ).alias(f"{gname}_classifier")
+            proj = ev_rn.select(
+                F.col(partition_by).alias("__mr_k"), "__mr_rn", cls
+            )
+            chains = chains.join(
+                proj,
+                (chains[partition_by] == proj["__mr_k"])
+                & (chains[f"{gname}_rn"] == proj["__mr_rn"]),
+                "left",
+            ).drop("__mr_k", "__mr_rn")
+            cls_cols.append(f"{gname}_classifier")
     out_cols = []
     bound = []
     for kind, cname in layout:
@@ -1138,6 +1214,7 @@ def match_recognize(
                 "first_rn": f"{cname}_first_rn",
                 "last_rn": f"{cname}_last_rn",
             })
+    out_cols += cls_cols
     # the after-match replay runs on the FILTERED chains (a chain killed
     # by strictness never consumes a skip horizon) — through the SAME
     # _skip_past_last/_skip_to helpers match_pattern uses, so the

@@ -762,7 +762,9 @@ def match_recognize_stream(
             f"contiguity must be strict|relaxed, got {contiguity!r}"
         )
     steps = parse_mr_pattern(pattern)
-    missing = [n for n, _ in steps if n not in define]
+    missing = [n for nm, _ in steps
+               for n in (nm if isinstance(nm, list) else [nm])
+               if n not in define]
     if missing:
         raise ValueError(f"MATCH_RECOGNIZE: DEFINE missing for {missing}")
     if contiguity == "strict" and steps[-1][1]:
@@ -771,12 +773,24 @@ def match_recognize_stream(
             "in a quantifier — the match would complete on the breaking "
             "row; add a concrete terminal step"
         )
+
+    def _pred(name):
+        p = define[name]
+        return F.expr(p) if isinstance(p, str) else p
+
     pat = []
     for name, kw in steps:
-        pred = define[name]
-        if isinstance(pred, str):
-            pred = F.expr(pred)
-        pat.append({"name": name, "where": pred, **kw})
+        if isinstance(name, list):
+            # (A|B) compiles to ONE step matching A OR B — identical to
+            # the batch front-end, so stream/batch parity is structural
+            # (the stream emits step timestamps; the batch classifier
+            # column is a batch-only measure)
+            pred = _pred(name[0])
+            for a in name[1:]:
+                pred = pred | _pred(a)
+            pat.append({"name": "_or_".join(name), "where": pred})
+            continue
+        pat.append({"name": name, "where": _pred(name), **kw})
     return match_pattern_stream(
         events, pat, within=within, key=partition_by, ts=order_by,
         watermark=watermark, event_id=event_id, mode=mode,

@@ -4,7 +4,8 @@ Scope, chosen so both directions are exactly inverse where the math
 allows and honestly rejected where it doesn't:
 
 * ``encode_jpeg``: baseline sequential DCT, 8-bit, 3-component YCbCr
-  4:4:4 (no chroma subsampling) or 1-component grayscale, one scan.
+  4:4:4 (default) or 4:2:0 (``subsample='420'`` — box-averaged chroma,
+  real-photo MCU layout) or 1-component grayscale, one scan.
   Quantization uses a single flat table (all entries 16 — the standard
   luminance DC step), so the DC path is pure integer halving and a
   SOLID image whose Y value is even reconstructs EXACTLY (DC =
@@ -13,11 +14,12 @@ allows and honestly rejected where it doesn't:
   codes; AC: 162 8-bit codes) and carried in DHT — the decoder reads
   whatever DHT declares, so no memorized Annex-K constants can drift.
 * ``decode_jpeg_pixels``: any baseline JPEG with 8-bit precision and
-  1×1 sampling factors (4:4:4 or grayscale) — ours or foreign.
-  Progressive scans, chroma subsampling, 12-bit precision, arithmetic
-  coding, and restart intervals raise NotImplementedError so callers
-  fall back to the disclosed stub (real-world photo JPEGs are usually
-  4:2:0 — decoding those honestly needs a real library).
+  integer-divisor sampling factors — ours or foreign, INCLUDING the
+  4:2:0 / 4:2:2 chroma-subsampled shapes real-world photo JPEGs use
+  (general interleaved MCU walk + nearest-neighbor chroma upsample).
+  Progressive scans, 12-bit precision, arithmetic coding, restart
+  intervals, and non-interleaved multi-scan streams raise
+  NotImplementedError so callers fall back to the disclosed stub.
 
 The DCT pair is the exact orthonormal matrix form of the JPEG spec:
 S = M·B·Mᵀ with M[u,x] = ½·C(u)·cos((2x+1)uπ/16), and the IDCT is its
@@ -186,64 +188,97 @@ def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
-def encode_jpeg(pixels) -> bytes:
+def _pad_replicate(p: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    h, w = p.shape
+    pp = np.empty((ph, pw))
+    pp[:h, :w] = p
+    pp[h:, :w] = p[-1:, :]
+    pp[:, w:] = pp[:, w - 1 : w]
+    return pp
+
+
+def encode_jpeg(pixels, subsample: str = "444") -> bytes:
     """Encode an (h, w, 3) RGB or (h, w)/(h, w, 1) grayscale uint8 array
-    as a baseline 4:4:4 JPEG (see module docstring for the exactness
-    contract)."""
+    as a baseline JPEG (see module docstring for the exactness
+    contract).  ``subsample='444'`` (default) emits 1×1 sampling;
+    ``'420'`` emits the real-world photo shape — Y at 2×2, box-averaged
+    half-resolution Cb/Cr, four-Y-blocks-then-Cb-then-Cr MCUs."""
+    if subsample not in ("444", "420"):
+        raise ValueError(f"subsample must be 444|420, got {subsample!r}")
     arr = np.asarray(pixels, dtype=np.uint8)
     gray = arr.ndim == 2 or arr.shape[2] == 1
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w = arr.shape[:2]
+    sub = subsample == "420" and not gray
+    dc_enc, _ = _canonical(_DC_BITS, _DC_VALS)
+    ac_enc, _ = _canonical(_AC_BITS, _AC_VALS)
+    bw = _BitWriter()
+
+    def write_block(ci: int, block: np.ndarray) -> None:
+        coef = _DCT_M @ block @ _DCT_M.T
+        q = np.round(coef / _QTABLE.reshape(8, 8)).astype(np.int64)
+        zz = q.flatten()[_ZIGZAG]
+        dc_diff = int(zz[0]) - prev_dc[ci]
+        prev_dc[ci] = int(zz[0])
+        size = _category(dc_diff)
+        code, ln = dc_enc[size]
+        bw.put(code, ln)
+        if size:
+            bw.put(_amplitude(dc_diff, size), size)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, l = ac_enc[0xF0]  # ZRL
+                bw.put(c, l)
+                run -= 16
+            size = _category(v)
+            c, l = ac_enc[(run << 4) | size]
+            bw.put(c, l)
+            bw.put(_amplitude(v, size), size)
+            run = 0
+        if run:
+            c, l = ac_enc[0x00]  # EOB
+            bw.put(c, l)
+
     if gray:
         planes = [arr[:, :, 0].astype(np.float64)]
     else:
         ycc = _rgb_to_ycbcr(arr)
         planes = [ycc[:, :, i] for i in range(3)]
-    ph, pw = (h + 7) & ~7, (w + 7) & ~7
-    dc_enc, _ = _canonical(_DC_BITS, _DC_VALS)
-    ac_enc, _ = _canonical(_AC_BITS, _AC_VALS)
-    bw = _BitWriter()
     prev_dc = [0] * len(planes)
-    padded = []
-    for p in planes:
-        pp = np.empty((ph, pw))
-        pp[:h, :w] = p
-        pp[h:, :w] = p[-1:, :]
-        pp[:, w:] = pp[:, w - 1 : w]
-        padded.append(pp - 128.0)
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            for ci, p in enumerate(padded):
-                block = p[by : by + 8, bx : bx + 8]
-                coef = _DCT_M @ block @ _DCT_M.T
-                q = np.round(coef / _QTABLE.reshape(8, 8)).astype(np.int64)
-                zz = q.flatten()[_ZIGZAG]
-                dc_diff = int(zz[0]) - prev_dc[ci]
-                prev_dc[ci] = int(zz[0])
-                size = _category(dc_diff)
-                code, ln = dc_enc[size]
-                bw.put(code, ln)
-                if size:
-                    bw.put(_amplitude(dc_diff, size), size)
-                run = 0
-                for k in range(1, 64):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        c, l = ac_enc[0xF0]  # ZRL
-                        bw.put(c, l)
-                        run -= 16
-                    size = _category(v)
-                    c, l = ac_enc[(run << 4) | size]
-                    bw.put(c, l)
-                    bw.put(_amplitude(v, size), size)
-                    run = 0
-                if run:
-                    c, l = ac_enc[0x00]  # EOB
-                    bw.put(c, l)
+    if not sub:
+        ph, pw = (h + 7) & ~7, (w + 7) & ~7
+        padded = [_pad_replicate(p, ph, pw) - 128.0 for p in planes]
+        for by in range(0, ph, 8):
+            for bx in range(0, pw, 8):
+                for ci, p in enumerate(padded):
+                    write_block(ci, p[by : by + 8, bx : bx + 8])
+        samplings = [0x11] * len(planes)
+    else:
+        ph, pw = (h + 15) & ~15, (w + 15) & ~15
+        y = _pad_replicate(planes[0], ph, pw) - 128.0
+        chroma = []
+        for p in planes[1:]:
+            pp = _pad_replicate(p, ph, pw)
+            # 2x2 box average to half resolution
+            c = (pp[0::2, 0::2] + pp[0::2, 1::2]
+                 + pp[1::2, 0::2] + pp[1::2, 1::2]) / 4.0
+            chroma.append(c - 128.0)
+        for my in range(0, ph, 16):
+            for mx in range(0, pw, 16):
+                for v in (0, 8):
+                    for hx in (0, 8):
+                        write_block(0, y[my + v : my + v + 8,
+                                         mx + hx : mx + hx + 8])
+                cy, cx = my // 2, mx // 2
+                write_block(1, chroma[0][cy : cy + 8, cx : cx + 8])
+                write_block(2, chroma[1][cy : cy + 8, cx : cx + 8])
+        samplings = [0x22, 0x11, 0x11]
     scan = bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -253,7 +288,7 @@ def encode_jpeg(pixels) -> bytes:
     dqt = seg(0xDB, bytes([0x00]) + bytes(int(x) for x in qz))
     ncomp = len(planes)
     sof_comps = b"".join(
-        bytes([i + 1, 0x11, 0]) for i in range(ncomp)  # 1x1 sampling, Q0
+        bytes([i + 1, samplings[i], 0]) for i in range(ncomp)
     )
     sof = seg(0xC0, bytes([8]) + struct.pack(">HH", h, w)
               + bytes([ncomp]) + sof_comps)
@@ -270,9 +305,10 @@ def encode_jpeg(pixels) -> bytes:
 
 
 def decode_jpeg_pixels(payload: bytes):
-    """Decode a baseline 8-bit 1×1-sampled (4:4:4 or grayscale) JPEG to
-    an (h, w, 3) or (h, w, 1) uint8 array.  Progressive / subsampled /
-    12-bit / arithmetic-coded / restart-interval streams raise
+    """Decode a baseline 8-bit JPEG — any integer-divisor sampling
+    (4:4:4, 4:2:2, 4:2:0, grayscale) — to an (h, w, 3) or (h, w, 1)
+    uint8 array.  Progressive / 12-bit / arithmetic-coded /
+    restart-interval / non-interleaved-multi-scan streams raise
     NotImplementedError (honest scope — see module docstring); streams
     without a scan (header-only fixtures) raise too."""
     payload = bytes(payload)
@@ -282,7 +318,7 @@ def decode_jpeg_pixels(payload: bytes):
     qtables: dict[int, np.ndarray] = {}
     htables: dict[int, dict[tuple[int, int], int]] = {}
     dims = None
-    comps: list[tuple[int, int, int]] = []  # (id, sampling, qsel)
+    comps: list[tuple[int, int, int, int]] = []  # (id, Hi, Vi, qsel)
     scan_comps: list[tuple[int, int, int]] = []  # (id, dc_sel, ac_sel)
     scan_data = None
     while pos + 4 <= len(payload):
@@ -321,11 +357,7 @@ def decode_jpeg_pixels(payload: bytes):
             comps = []
             for i in range(nc):
                 cid, samp, qsel = body[6 + 3 * i : 9 + 3 * i]
-                if samp != 0x11:
-                    raise NotImplementedError(
-                        "subsampled JPEG (needs a real library)"
-                    )
-                comps.append((cid, samp, qsel))
+                comps.append((cid, samp >> 4, samp & 0x0F, qsel))
             dims = (hh, ww)
         elif marker == 0xC4:
             b = 0
@@ -351,45 +383,80 @@ def decode_jpeg_pixels(payload: bytes):
     if dims is None or scan_data is None:
         raise NotImplementedError("JPEG without SOF+SOS (header-only fixture)")
     h, w = dims
-    ph, pw = (h + 7) & ~7, (w + 7) & ~7
     nc = len(comps)
-    planes = [np.zeros((ph, pw)) for _ in range(nc)]
+    if len(scan_comps) != nc:
+        raise NotImplementedError("non-interleaved multi-scan baseline JPEG")
+    if nc == 1:
+        # a single-component scan has no MCU structure: sampling factors
+        # are ignored and blocks raster the lone plane (libjpeg behavior)
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if any(c[1] < 1 or c[2] < 1 or hmax % c[1] or vmax % c[2]
+           for c in comps):
+        raise NotImplementedError("non-divisor JPEG sampling ratios")
+    # interleaved MCU walk (spec A.2.3): each MCU covers 8·Hmax × 8·Vmax
+    # pixels; component ci contributes Hi×Vi blocks per MCU, raster order
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    info = {cid: (hi, vi, qs) for cid, hi, vi, qs in comps}
+    order, planes = [], []
+    for cid, dc_sel, ac_sel in scan_comps:
+        hi, vi, qs = info[cid]
+        order.append((hi, vi, qs, dc_sel, ac_sel))
+        planes.append(np.zeros((mcuy * 8 * vi, mcux * 8 * hi)))
     br = _BitReader(scan_data)
     prev_dc = [0] * nc
-    qsel = {cid: q for cid, _s, q in comps}
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            for ci, (cid, dc_sel, ac_sel) in enumerate(scan_comps):
+
+    def read_block(ci: int, dc_tab, ac_tab, q) -> np.ndarray:
+        zz = np.zeros(64, np.int64)
+        size = br.huff(dc_tab)
+        diff = _extend(br.bits(size), size) if size else 0
+        prev_dc[ci] += diff
+        zz[0] = prev_dc[ci]
+        k = 1
+        while k < 64:
+            sym = br.huff(ac_tab)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                k += 16
+                continue
+            run, size = sym >> 4, sym & 0x0F
+            k += run
+            if k > 63:
+                raise ValueError("JPEG AC run past block end")
+            zz[k] = _extend(br.bits(size), size)
+            k += 1
+        coef = np.zeros(64, np.float64)
+        coef[_ZIGZAG] = zz * q[_ZIGZAG]
+        return _DCT_M.T @ coef.reshape(8, 8) @ _DCT_M
+
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (hi, vi, qs, dc_sel, ac_sel) in enumerate(order):
                 dc_tab = htables.get(0x00 | dc_sel)
                 ac_tab = htables.get(0x10 | ac_sel)
-                q = qtables.get(qsel[cid])
+                q = qtables.get(qs)
                 if dc_tab is None or ac_tab is None or q is None:
                     raise ValueError("JPEG scan references a missing table")
-                zz = np.zeros(64, np.int64)
-                size = br.huff(dc_tab)
-                diff = _extend(br.bits(size), size) if size else 0
-                prev_dc[ci] += diff
-                zz[0] = prev_dc[ci]
-                k = 1
-                while k < 64:
-                    sym = br.huff(ac_tab)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    run, size = sym >> 4, sym & 0x0F
-                    k += run
-                    if k > 63:
-                        raise ValueError("JPEG AC run past block end")
-                    zz[k] = _extend(br.bits(size), size)
-                    k += 1
-                coef = np.zeros(64, np.float64)
-                coef[_ZIGZAG] = zz * q[_ZIGZAG]
-                block = _DCT_M.T @ coef.reshape(8, 8) @ _DCT_M
-                planes[ci][by : by + 8, bx : bx + 8] = block + 128.0
+                for v in range(vi):
+                    for hx in range(hi):
+                        block = read_block(ci, dc_tab, ac_tab, q)
+                        by = (my * vi + v) * 8
+                        bx = (mx * hi + hx) * 8
+                        planes[ci][by : by + 8, bx : bx + 8] = block + 128.0
+    full = []
+    for ci, (hi, vi, *_rest) in enumerate(order):
+        p = planes[ci]
+        ry, rx = vmax // vi, hmax // hi
+        if ry > 1 or rx > 1:
+            # nearest-neighbor chroma upsample (spec-sanctioned simple
+            # reconstruction; libjpeg's default is fancier smoothing, so
+            # subsampled pixels agree to a bounded error, not exactly)
+            p = p.repeat(ry, axis=0).repeat(rx, axis=1)
+        full.append(p[:h, :w])
     if nc == 1:
-        out = np.clip(np.round(planes[0][:h, :w]), 0, 255).astype(np.uint8)
+        out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
         return out[:, :, None]
-    ycc = np.stack([p[:h, :w] for p in planes], axis=2)
-    return _ycbcr_to_rgb(ycc)
+    return _ycbcr_to_rgb(np.stack(full, axis=2))

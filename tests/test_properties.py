@@ -499,3 +499,14 @@ def test_jpeg_codec_bounded_error_property(h, w, seed):
     solid = np.full((h, w, 3), v, np.uint8)
     assert np.array_equal(jc.decode_jpeg_pixels(jc.encode_jpeg(solid)),
                           solid)
+    # 4:2:0: dims crop exactly, luma keeps the full-resolution bound
+    # (chroma is box-averaged — lossy by design on noise), solid
+    # even-gray stays EXACT through the subsampled path too
+    out420 = jc.decode_jpeg_pixels(jc.encode_jpeg(px, subsample="420"))
+    assert out420.shape == (h, w, 3)
+    luma = lambda a: (0.299 * a[:, :, 0].astype(float)  # noqa: E731
+                      + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2])
+    assert float(np.abs(luma(out420) - luma(px)).max()) <= 64
+    assert np.array_equal(
+        jc.decode_jpeg_pixels(jc.encode_jpeg(solid, subsample="420")),
+        solid)

@@ -175,8 +175,81 @@ def _first_seen_fn(ttl_ms: int):
 first_seen_fn = _first_seen_fn(0)
 
 
+def _first_seen_tws(with_dt: DataFrame, ttl_ms: int) -> DataFrame:
+    """``transformWithStateInPandas`` twin of ``_first_seen_fn`` — same
+    state (one 'seen' marker per (key, day)), same TTL contract
+    (event-time timer re-armed per activity, anchored to max(event ts,
+    watermark) so the first micro-batch's 0-watermark can't wipe live
+    state), same output schema.  The new API is Spark 4.x's successor to
+    ``applyInPandasWithState`` (which is slated for deprecation); the
+    processor is declared inside this builder so module import never
+    requires it."""
+    from ..session import ensure_protobuf
+
+    if not ensure_protobuf():
+        raise RuntimeError(
+            "first_seen(impl='tws') needs the public `protobuf` runtime "
+            "(transformWithState's state-server protocol); install "
+            "protobuf or use impl='apply'"
+        )
+    from pyspark.sql.streaming.stateful_processor import (
+        ExpiredTimerInfo, StatefulProcessor, StatefulProcessorHandle,
+        TimerValues,
+    )
+
+    class Proc(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.handle = handle
+            self.seen = handle.getValueState("seen", _FIRST_SEEN_STATE)
+
+        def handleInputRows(
+            self, key, rows, timerValues: TimerValues
+        ) -> Iterator[pd.DataFrame]:
+            seen = self.seen.exists()
+            max_ts = 0
+            for pdf in rows:
+                pdf = pdf.sort_values("ts")
+                max_ts = max(max_ts, int(pdf["ts"].max()))
+                flags = np.zeros(len(pdf), dtype=np.int32)
+                if not seen and len(pdf):
+                    flags[0] = 1
+                    seen = True
+                yield pd.DataFrame(
+                    {
+                        "key": pdf["key"],
+                        "dt": pdf["dt"],
+                        "ts": pdf["ts"],
+                        "is_first": flags,
+                    }
+                )
+            self.seen.update((1,))
+            if ttl_ms > 0:
+                base = max(timerValues.getCurrentWatermarkInMs(), max_ts)
+                for t in self.handle.listTimers():  # re-arm on activity
+                    self.handle.deleteTimer(t)
+                self.handle.registerTimer(base + ttl_ms)
+
+        def handleExpiredTimer(
+            self, key, timerValues: TimerValues,
+            expiredTimerInfo: ExpiredTimerInfo,
+        ) -> Iterator[pd.DataFrame]:
+            self.seen.clear()  # TTL: drop the (key, day) marker
+            return iter(())
+
+        def close(self) -> None:
+            pass
+
+    return with_dt.groupBy("key", "dt").transformWithStateInPandas(
+        Proc(),
+        outputStructType=_FIRST_SEEN_OUT,
+        outputMode="append",
+        timeMode="eventTime" if ttl_ms > 0 else "none",
+    )
+
+
 def first_seen(
-    df: DataFrame, delay: str = "24 hours", ttl_ms: int | None = FIRST_SEEN_TTL_MS
+    df: DataFrame, delay: str = "24 hours",
+    ttl_ms: int | None = FIRST_SEEN_TTL_MS, impl: str = "apply",
 ) -> DataFrame:
     """Per-(key, day) first-seen marker over a stream with columns
     (key, ts) — the UU dedup primitive behind A3/A4/A6 (SURVEY §2.5):
@@ -203,12 +276,22 @@ def first_seen(
     some other way); keep the default TTL when the flags feed a
     sink/foreachBatch directly — the warehouse instead layers flags
     through a DWD table (two queries), keeping both the TTL and the
-    windows."""
+    windows.
+
+    ``impl='tws'`` runs the identical state machine on Spark 4.x's
+    ``transformWithStateInPandas`` (the successor API —
+    ``applyInPandasWithState`` is slated for deprecation); equivalence
+    and checkpoint-restart are pinned by tests, so the default can flip
+    once the old API is removed."""
+    if impl not in ("apply", "tws"):
+        raise ValueError(f"impl must be apply|tws, got {impl!r}")
     ttl = ttl_ms or 0  # None and 0 both mean "no TTL" (NoTimeout)
     with_dt = df.withColumn("row_time", F.timestamp_millis("ts"))
     if ttl > 0:
         with_dt = with_dt.withWatermark("row_time", delay)
     with_dt = with_dt.withColumn("dt", F.date_format("row_time", "yyyy-MM-dd"))
+    if impl == "tws":
+        return _first_seen_tws(with_dt, ttl)
     return with_dt.groupBy("key", "dt").applyInPandasWithState(
         _first_seen_fn(ttl),
         outputStructType=_FIRST_SEEN_OUT,

@@ -29,6 +29,57 @@ from pyspark.sql import SparkSession
 REFERENCE_TZ = "Asia/Shanghai"
 HARNESS_TZ = "UTC"
 
+# Spark 4.x's transformWithStateInPandas talks to its state server over a
+# protobuf protocol (pyspark/sql/streaming/proto), which needs the PUBLIC
+# `protobuf` runtime at import time in every python worker.  This sandbox
+# has no pip, but ships a vanilla protobuf wheel inside the cloud-sdk's
+# bundled platform dir; if `google.protobuf` is not importable, splice
+# that copy onto sys.path AND PYTHONPATH (workers are forked by the JVM
+# and inherit the env, so this must run BEFORE the session launches).
+# Pure environment shim — no cloud service is referenced or used; on a
+# normally-provisioned cluster (pip install protobuf) this is a no-op.
+_PROTOBUF_FALLBACKS = [
+    "/usr/lib/google-cloud-sdk/platform/google_appengine",
+]
+
+
+def ensure_protobuf() -> bool:
+    """Make `google.protobuf` importable for this process and its python
+    workers if a local copy exists; returns availability."""
+    import importlib.util
+    import sys
+
+    def _has() -> bool:
+        try:  # find_spec raises when the parent 'google' pkg is absent
+            return importlib.util.find_spec("google.protobuf") is not None
+        except ModuleNotFoundError:
+            return False
+
+    if _has():
+        return True
+    for p in _PROTOBUF_FALLBACKS:
+        if os.path.isdir(os.path.join(p, "google", "protobuf")):
+            if p not in sys.path:
+                sys.path.append(p)
+            env = os.environ.get("PYTHONPATH", "")
+            if p not in env.split(os.pathsep):
+                os.environ["PYTHONPATH"] = (
+                    f"{env}{os.pathsep}{p}" if env else p
+                )
+            # a partially-imported namespace package (a failed earlier
+            # `import google.x`) would shadow the new path
+            sys.modules.pop("google", None)
+            # the bundled runtime (6.32.0-dev) is one minor behind the
+            # gencode pyspark ships (6.33); protobuf's own sanctioned
+            # escape hatch bypasses the strict-ordering guard — the wire
+            # protocol is unchanged at this delta, and on a pip-installed
+            # current runtime none of this triggers
+            os.environ.setdefault(
+                "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true"
+            )
+            return _has()
+    return False
+
 
 def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
@@ -47,6 +98,7 @@ def get_spark(
     (master then comes from spark-submit, not from here).
     """
     cpus = default_parallelism()
+    ensure_protobuf()  # before JVM launch: workers inherit PYTHONPATH
     builder = (
         SparkSession.builder.appName(app_name)
         # --- core engine tuning -------------------------------------------

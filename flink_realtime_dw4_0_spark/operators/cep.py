@@ -500,6 +500,7 @@ def match_pattern(
          "until": <Column>,                           # loop stop condition
          "consecutive": True,                         # strict INSIDE the loop
          "contiguity": "strict",                      # 'next'; default relaxed
+         "followed_by_any": True,                     # Flink followedByAny
          "negated": True}                             # notFollowedBy
 
     Semantics (documented precisely so the DuckDB oracle replays them):
@@ -525,6 +526,15 @@ def match_pattern(
       loop and the next step binds the next step (proceed priority) —
       the one deterministic divergence from Flink's branching NFA,
       which would emit both continuations;
+    * ``followed_by_any: True`` on a plain relaxed step (Flink
+      ``followedByAny``): EVERY qualifying later event binds — the
+      chain forks per candidate and each fork continues independently,
+      enumerating all combinations like Flink's non-deterministic NFA.
+      Requires ``emit='all'`` and ``within`` (fan-out is pre-bounded to
+      the anchor window); not supported on anchors, quantified/strict/
+      negated steps, or directly after a quantified step; batch-only
+      (the streaming machine is deterministic one-match-per-anchor and
+      rejects it);
     * ``until: <Column>`` on a looping step (Flink
       ``oneOrMore().until(cond)``) stops the loop at the first
       matching event after the predecessor bind: only loop matches
@@ -566,6 +576,49 @@ def match_pattern(
                          "(Flink has the same restriction)")
     if emit not in ("first", "all"):
         raise ValueError(f"emit must be 'first' or 'all', got {emit!r}")
+    any_names = {p["name"] for p in pattern if p.get("followed_by_any")}
+    if any_names:
+        _QUANT = ("one_or_more", "times_or_more", "optional",
+                  "times_range", "zero_or_more")
+        last_positive = None
+        for i, p in enumerate(pattern):
+            if p["name"] not in any_names:
+                if not p.get("negated"):
+                    last_positive = p
+                continue
+            if (p.get("negated") or "times" in p
+                    or any(p.get(k) for k in _QUANT)
+                    or p.get("contiguity", "relaxed") == "strict"):
+                raise ValueError(
+                    f"step {p['name']!r}: followed_by_any is only "
+                    "supported on plain relaxed positive steps"
+                )
+            if i == 0:
+                raise ValueError(
+                    "the anchor step already opens on every matching "
+                    "event — followed_by_any on it is meaningless"
+                )
+            if last_positive is not None and (
+                "times" in last_positive
+                or any(last_positive.get(k) for k in _QUANT)
+            ):
+                raise ValueError(
+                    f"step {p['name']!r}: followed_by_any directly after "
+                    "a quantified step is not supported (the loop "
+                    "hand-off needs a single bind position)"
+                )
+            last_positive = p
+        if emit != "all":
+            raise ValueError(
+                "followed_by_any enumerates EVERY qualifying bind — "
+                "use emit='all' (Flink's followedByAny has no "
+                "single-match form either)"
+            )
+        if within is None:
+            raise ValueError(
+                "followed_by_any requires `within` (the fan-out is "
+                "bounded by the anchor window, never the full stream)"
+            )
     skip_to = parse_after_match(after_match)
     if after_match != "no_skip" and after_match != "skip_to_next" \
             and emit != "all":
@@ -750,7 +803,26 @@ def match_pattern(
                     ) - F.col(f"__pcum{li}")
             cond = (F.col("__c_rn") > prev_rn) & (gap_cnt >= F.lit(lmn))
             aggs.append(F.min_by("__c_gap", "__c_rn").alias("__h_gap"))
-        chain = chain.join(cand, key).filter(cond).groupBy(key, *carry).agg(*aggs)
+        if cname in any_names:
+            # Flink followedByAny: EVERY qualifying candidate binds —
+            # the chain FORKS per candidate instead of taking the min rn
+            # (the one non-deterministic-NFA semantic the deterministic
+            # machine can express in batch: a join without the
+            # aggregation).  Fan-out is bounded to the anchor window up
+            # front; every downstream step then binds per forked chain.
+            cond = cond & (
+                F.col("__c_ts")
+                <= F.col(bound[0]["ts"]) + within_interval(within)
+            )
+            chain = chain.join(cand, key).filter(cond).select(
+                F.col(key), *[F.col(c) for c in carry],
+                F.col("__c_ts").alias(f"{cname}_ts"),
+                F.col("__c_rn").alias(f"{cname}_rn"),
+                *[F.col(f"__c_cum{j}").alias(f"__npcum{j}") for j in loops],
+            )
+        else:
+            chain = chain.join(cand, key).filter(cond) \
+                .groupBy(key, *carry).agg(*aggs)
         if pending_loop is not None:
             # __pcum{li} (a groupBy key) still holds the PREDECESSOR's cum
             li = pending_loop

@@ -3213,6 +3213,67 @@ def cep_match_recognize_q(spark, sf_dir):
 
 
 @q(
+    "cep_followed_by_any",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    a0 AS (
+      SELECT user_id, view_ts, view_rn FROM (
+        SELECT user_id, ts AS view_ts, rn AS view_rn,
+               row_number() OVER (PARTITION BY user_id ORDER BY rn) AS cp
+        FROM e WHERE event_type = 'view')
+      WHERE cp <= 5),
+    b AS (
+      SELECT a.user_id, a.view_ts, a.view_rn, e.ts AS c_ts, e.rn AS c_rn
+      FROM a0 a JOIN e ON e.user_id = a.user_id
+      WHERE e.event_type = 'click' AND e.rn > a.view_rn
+        AND e.ts <= a.view_ts + INTERVAL 7 DAY),
+    m AS (
+      SELECT b.user_id, view_ts, view_rn, c_ts, c_rn,
+             min(e.rn) AS p_rn, arg_min(e.ts, e.rn) AS p_ts
+      FROM b JOIN e ON e.user_id = b.user_id
+      WHERE e.event_type = 'purchase' AND e.rn > b.c_rn
+      GROUP BY 1, 2, 3, 4, 5)
+    SELECT user_id, epoch_us(view_ts) AS view_us, epoch_us(c_ts) AS click_us,
+           epoch_us(p_ts) AS purchase_us
+    FROM m WHERE p_ts <= view_ts + INTERVAL 7 DAY
+    """,
+    tags=("cep", "pattern", "followed-by-any"),
+)
+def cep_followed_by_any_q(spark, sf_dir):
+    """Flink CEP ``followedByAny`` (batch): EVERY click between a view
+    anchor and its window binds its own chain — all (view, click,
+    purchase) combinations emit, not just the greedy first click.  The
+    fork is a join WITHOUT the min-rn aggregation, pre-bounded to the
+    anchor window; each fork's purchase then binds min-rn per forked
+    chain as usual.  The oracle enumerates the same combinations
+    directly (operators/cep.py:match_pattern, followed_by_any)."""
+    from ..operators import cep
+
+    ev = t(spark, sf_dir, "events")
+    m = cep.match_pattern(
+        ev,
+        [
+            {"name": "view", "where": F.col("event_type") == "view"},
+            {"name": "click", "where": F.col("event_type") == "click",
+             "followed_by_any": True},
+            {"name": "purchase", "where": F.col("event_type") == "purchase"},
+        ],
+        within="7 DAY",
+        max_anchors_per_key=5,
+        emit="all",
+    )
+    return m.select(
+        "user_id",
+        F.unix_micros("view_ts").alias("view_us"),
+        F.unix_micros("click_ts").alias("click_us"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+    )
+
+
+@q(
     "cep_mr_alternation",
     """
     WITH e AS (

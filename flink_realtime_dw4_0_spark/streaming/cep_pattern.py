@@ -615,6 +615,13 @@ def match_pattern_stream(
             "needs a timeout horizon to bound state and resolve anchors "
             "(the batch twin allows within=None; a stream cannot)"
         )
+    if any(p.get("followed_by_any") for p in pattern):
+        raise ValueError(
+            "followed_by_any is batch-only: it forks a chain per "
+            "qualifying bind (non-deterministic NFA), which this "
+            "deterministic one-match-per-anchor streaming machine "
+            "cannot express — run the batch matcher over sealed data"
+        )
     within_ms = parse_within_ms(within)  # shared with the batch matcher
 
     positives, negations, untils = unroll_pattern(pattern)

@@ -465,6 +465,61 @@ def test_concat_chunk_assign_contiguous_and_distributed(spark, sf_dir):
     assert "rangepartitioning" in plan
 
 
+def test_pack_sequences_nosplit(spark):
+    """No-split packing: greedy per-shard fill against a hand-computed
+    trace (pairs pack, boundary resets, an over-long doc opens its own
+    flagged sequence, a doc exactly at the cap fills it), per-shard
+    state carried across Arrow batches (forced 3-row batches), and the
+    capacity invariant — every sequence's token sum <= L unless it is a
+    single overflow doc."""
+    from flink_realtime_dw4_0_spark.operators import sampling
+
+    # shard 0 (ids % 8 == 0) + one doc on shard 1
+    data = [(0, 50), (8, 30), (16, 40), (24, 120), (32, 10), (40, 96),
+            (48, 1), (1, 96)]
+    df = spark.createDataFrame(data, "doc_id long, n_tokens long")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        rows = {r.doc_id: (r.shard, r.seq_id, r.seq_off, r.overflow)
+                for r in sampling.pack_sequences_nosplit(
+                    df, 96, n_shards=8).collect()}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert rows == {
+        0: (0, 0, 0, 0),    # opens seq 0
+        8: (0, 0, 50, 0),   # 50+30 <= 96: packs behind it
+        16: (0, 1, 0, 0),   # 80+40 > 96: reset
+        24: (0, 2, 0, 1),   # over-long: own sequence, flagged
+        32: (0, 3, 0, 0),   # running 120 forces reset
+        40: (0, 4, 0, 0),   # 10+96 > 96: reset; exactly fills the cap
+        48: (0, 5, 0, 0),   # full seq forces reset
+        1: (1, 0, 0, 0),    # independent shard
+    }
+
+    # capacity invariant on a bigger random frame
+    import random
+    rng = random.Random(5)
+    big = spark.createDataFrame(
+        [(i, rng.randint(1, 140)) for i in range(400)],
+        "doc_id long, n_tokens long",
+    )
+    out = sampling.pack_sequences_nosplit(big, 96, n_shards=4).collect()
+    by_seq: dict = {}
+    for r in out:
+        by_seq.setdefault((r.shard, r.seq_id), []).append(r)
+    for members in by_seq.values():
+        total = sum(m.n_tokens for m in members)
+        if total > 96:
+            assert len(members) == 1 and members[0].overflow == 1
+        offs = sorted((m.seq_off, m.n_tokens) for m in members)
+        expect = 0
+        for off, n in offs:  # members are gapless within the sequence
+            assert off == expect
+            expect += n
+    assert len(out) == 400
+
+
 def test_global_rank_total_order_and_distributed(spark):
     """global_rank == the single-partition window row_number it replaces,
     on a frame big enough to span several range partitions (including
@@ -3377,6 +3432,85 @@ def test_match_recognize(spark):
     with _pytest.raises(ValueError, match="DEFINE missing"):
         cep.match_recognize(ev, pattern="A Z+ C", define=define,
                             within="1 HOUR")
+
+
+def test_followed_by_any(spark):
+    """Flink followedByAny (batch): every qualifying bind forks its own
+    chain — A with two B's before C emits BOTH (a,b1,c) and (a,b2,c);
+    downstream steps bind per fork (b2's purchase can differ from b1's);
+    the window pre-bounds the fan-out; validations reject anchors,
+    quantified/strict/negated carriers, emit='first', missing within,
+    and a quantified predecessor; streaming rejects the flag."""
+    from datetime import datetime as dt
+
+    import pytest as _pytest
+
+    from flink_realtime_dw4_0_spark.operators import cep
+
+    T = lambda s: dt(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # k1: A, B@2, B@3, C@4, B@5, C@6 — forks b2/b3 share C@4; b5 gets C@6
+        ("k1", T(1), 1, "A"), ("k1", T(2), 2, "B"), ("k1", T(3), 3, "B"),
+        ("k1", T(4), 4, "C"), ("k1", T(5), 5, "B"), ("k1", T(6), 6, "C"),
+        # k2: the B outside the window never forks
+        ("k2", T(1), 1, "A"), ("k2", T(2), 2, "B"), ("k2", T(50), 3, "B"),
+        ("k2", T(51), 4, "C"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, event_id long, event_type string"
+    )
+    pat = [
+        {"name": "a", "where": F.col("event_type") == "A"},
+        {"name": "b", "where": F.col("event_type") == "B",
+         "followed_by_any": True},
+        {"name": "c", "where": F.col("event_type") == "C"},
+    ]
+    got = sorted(
+        (r.user_id, r.b_ts.second, r.c_ts.second)
+        for r in cep.match_pattern(ev, pat, within="10 seconds",
+                                   emit="all").collect()
+    )
+    # k2: B@50 never forks (outside the anchor window) and the B@2 fork
+    # dies at the final within filter (its purchase lands at @51)
+    assert got == [("k1", 2, 4), ("k1", 3, 4), ("k1", 5, 6)]
+
+    # default followedBy on the same data: ONE chain per anchor
+    plain = sorted(
+        (r.user_id, r.b_ts.second, r.c_ts.second)
+        for r in cep.match_pattern(
+            ev, [dict(p, **({"followed_by_any": False}
+                            if p["name"] == "b" else {}))
+                 for p in pat],
+            within="10 seconds", emit="all").collect()
+    )
+    assert [g for g in plain if g[0] == "k1"] == [("k1", 2, 4)]
+
+    for bad_pat, kw in [
+        ([{"name": "a", "where": F.col("event_type") == "A",
+           "followed_by_any": True},
+          {"name": "c", "where": F.col("event_type") == "C"}], {}),
+        ([pat[0], dict(pat[1], one_or_more=True), pat[2]], {}),
+        ([pat[0], dict(pat[1], contiguity="strict"), pat[2]], {}),
+        ([pat[0], {"name": "x", "where": F.col("event_type") == "B",
+                   "one_or_more": True}, dict(pat[1], name="b2"),
+          pat[2]], {}),
+    ]:
+        with _pytest.raises(ValueError):
+            cep.match_pattern(ev, bad_pat, within="10 seconds",
+                              emit="all", **kw)
+    with _pytest.raises(ValueError, match="emit='all'"):
+        cep.match_pattern(ev, pat, within="10 seconds")
+    with _pytest.raises(ValueError, match="within"):
+        cep.match_pattern(ev, pat, emit="all")
+
+    from flink_realtime_dw4_0_spark.streaming.cep_pattern import (
+        match_pattern_stream,
+    )
+    rate = spark.readStream.format("rate").load().selectExpr(
+        "cast(value as string) as user_id",
+        "timestamp as ts", "value as event_id", "'A' as event_type")
+    with _pytest.raises(ValueError, match="batch-only"):
+        match_pattern_stream(rate, pat, within="1 minute")
 
 
 def test_match_recognize_alternation(spark):

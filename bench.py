@@ -668,6 +668,8 @@ def main() -> None:
             "multimodal_resize_stats",
             # round-7 operators
             "cep_mr_alternation",
+            "cep_followed_by_any",
+            "pack_sequences_nosplit",
         ]
         etimes: dict[str, float] = {}
         ereps: dict[str, list[float]] = {}

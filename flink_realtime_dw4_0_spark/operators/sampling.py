@@ -191,6 +191,82 @@ def concat_chunk_assign(
     return out
 
 
+def pack_sequences_nosplit(
+    df: DataFrame,
+    seq_tokens: int,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """No-split sequence packing — the SFT/boundary-preserving twin of
+    ``concat_chunk_assign``: documents are NEVER cut across sequences.
+    Within each shard (``doc_id % n_shards``), docs are taken in id
+    order and greedily packed: when the running total would exceed
+    ``seq_tokens``, a new sequence starts.  One uniform rule also covers
+    over-long docs (a doc longer than ``seq_tokens`` opens its own
+    sequence at offset 0, and the next doc starts a fresh one);
+    ``overflow`` flags them.  Returns
+    (doc_id, shard, n_tokens, seq_id, seq_off, overflow) with ``seq_id``
+    sequential per shard — (shard, seq_id) is the training-sequence key.
+
+    Scale shape: the greedy fill is inherently sequential PER SHARD (a
+    capacitated reset-cumsum has no prefix-sum closed form), so shards
+    are the parallelism unit: ONE repartition on shard, a
+    sortWithinPartitions, and one mapInPandas pass whose per-shard
+    running state crosses Arrow batches (same carry pattern as the CEP
+    skip replay) — no driver loop, no global window.  Pick n_shards ~
+    cluster cores; each shard's work is O(its docs).
+
+    Determinism: shard assignment and in-shard order are pure id
+    arithmetic, so the DuckDB oracle (per-shard recursive-CTE replay of
+    the same greedy rule) hash-matches (``pack_sequences_nosplit``)."""
+    import pandas as pd
+    from collections.abc import Iterator
+
+    L = int(seq_tokens)
+    base = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            (F.col(id_col) % n_shards).cast("int").alias("shard"),
+            F.col(tokens_col).cast("long").alias("n_tokens"),
+        )
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "doc_id")
+    )
+
+    def fill(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-shard (running_tokens, seq_counter), carried across Arrow
+        # batches of the same partition; a partition may hold several
+        # shards (rows arrive grouped by the sort above)
+        state: dict[int, tuple[int, int]] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            seq_ids, offs = [], []
+            for shard, n in zip(pdf["shard"].to_numpy(),
+                                pdf["n_tokens"].to_numpy()):
+                run, seq = state.get(int(shard), (0, -1))
+                n = int(n)
+                if seq < 0 or run + n > L:
+                    seq += 1
+                    run = 0
+                seq_ids.append(seq)
+                offs.append(run)
+                state[int(shard)] = (run + n, seq)
+            pdf = pdf.assign(
+                seq_id=pd.Series(seq_ids, index=pdf.index, dtype="int64"),
+                seq_off=pd.Series(offs, index=pdf.index, dtype="int64"),
+                overflow=(pdf["n_tokens"] > L).astype("int32"),
+            )
+            yield pdf
+
+    return base.mapInPandas(
+        fill,
+        "doc_id long, shard int, n_tokens long, "
+        "seq_id long, seq_off long, overflow int",
+    )
+
+
 def global_rank(
     df: DataFrame,
     order_cols: list[Column],

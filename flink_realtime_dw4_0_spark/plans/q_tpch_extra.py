@@ -857,3 +857,49 @@ def pack_concat_chunk_q(spark, sf_dir):
     return sampling.concat_chunk_assign(with_tokens, 2048)
 
 
+@q(
+    "pack_sequences_nosplit",
+    f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+             CAST(len({_DK_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents),
+    o AS (
+      SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      FROM toks),
+    rec AS (
+      SELECT doc_id, shard, n_tokens, rn,
+             CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS seq_off,
+             n_tokens AS running
+      FROM o WHERE rn = 1
+      UNION ALL
+      SELECT s.doc_id, s.shard, s.n_tokens, s.rn,
+             CASE WHEN r.running + s.n_tokens > 96
+                  THEN r.seq_id + 1 ELSE r.seq_id END,
+             CASE WHEN r.running + s.n_tokens > 96
+                  THEN CAST(0 AS BIGINT) ELSE r.running END,
+             CASE WHEN r.running + s.n_tokens > 96
+                  THEN s.n_tokens ELSE r.running + s.n_tokens END
+      FROM o s JOIN rec r ON s.shard = r.shard AND s.rn = r.rn + 1)
+    SELECT doc_id, shard, n_tokens, seq_id, seq_off,
+           CAST(CASE WHEN n_tokens > 96 THEN 1 ELSE 0 END AS INT) AS overflow
+    FROM rec
+    """,
+    tags=("packing", "pretraining", "sft"),
+)
+def pack_sequences_nosplit_q(spark, sf_dir):
+    """No-split sequence packing (SFT / boundary-preserving): within each
+    of 8 id-arithmetic shards, docs pack greedily into 96-token
+    sequences; a doc never crosses a boundary, an over-long doc opens
+    its own flagged sequence.  Spark side is ONE shard repartition +
+    in-partition sort + one mapInPandas pass carrying per-shard
+    (running, seq) state across Arrow batches; the oracle replays the
+    same greedy rule as a per-shard recursive CTE in lockstep rn order
+    (operators/sampling.py:pack_sequences_nosplit)."""
+    docs = t(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id", text.token_count_ws("text").alias("n_tokens")
+    )
+    return sampling.pack_sequences_nosplit(with_tokens, 96, n_shards=8)
+
+

@@ -92,6 +92,9 @@ DUP_STRESS_QUERIES = [
     "dedup_exact",          # the right tier for exact copies: one groupBy
     "dedup_minhash_lsh",    # hot-bucket cap keeps the clique sub-quadratic
     "dedup_ngram_capped",   # hot-shingle cap drops the boilerplate grams
+    "dedup_substring_rewrite",  # Lee-et-al rewrite: dup windows fan out
+                                # linearly even when most of the corpus
+                                # is one replicated clique
 ]
 
 
@@ -670,6 +673,7 @@ def main() -> None:
             "cep_mr_alternation",
             "cep_followed_by_any",
             "pack_sequences_nosplit",
+            "dedup_substring_rewrite",
         ]
         etimes: dict[str, float] = {}
         ereps: dict[str, list[float]] = {}

@@ -1034,6 +1034,92 @@ def substring_dup_profile(
     )
 
 
+def substring_dedup_rewrite(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    win: int = 8,
+    fp_hex: int = 16,
+) -> DataFrame:
+    """Exact substring deduplication as a REWRITE — the actionable step
+    of Lee et al. 2022 (arXiv:2107.06499) that `substring_dup_profile`
+    only measures: every length-`win` token window that recurs anywhere
+    in the corpus keeps its GLOBAL FIRST occurrence (ordered by
+    (doc_id, pos)) and every other occurrence's tokens are cut from the
+    text.  A token is removed iff at least one duplicate window covers
+    it; tokens of the first copy survive.  Docs shorter than `win`
+    tokens pass through untouched.
+
+    Returns (doc_id, n_tokens, n_removed, text_clean) where text_clean
+    is the kept tokens rejoined with single spaces over the NORMALIZED
+    token stream (lowercased, whitespace-collapsed — the same `tokenize`
+    every dedup tier uses), '' when a doc is entirely duplicate.
+
+    Scale shape: windows travel as `fp_hex`-char md5 fingerprints; the
+    first-occurrence reduction is one map-combinable groupBy(fp) of
+    min(struct(doc, pos)); only DUPLICATE occurrences fan out (×win) to
+    covered positions, shuffled as (doc, int) pairs; the rebuild is one
+    per-doc aggregation bounded by document length.  Nothing is ever
+    quadratic in the corpus — the fp table is linear in total tokens.
+    """
+    parts = df.rdd.getNumPartitions()
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if parts < target:
+        df = df.repartition(target)
+    toks = df.select(F.col(id_col).alias("doc_id"), tokenize(text_col).alias("tk"))
+    n = F.size("tk")
+    fps = F.when(
+        n >= win,
+        F.transform(
+            F.sequence(F.lit(1), n - win + 1),
+            lambda i: F.substring(
+                F.md5(F.array_join(F.slice("tk", i, win), " ")), 1, fp_hex
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = toks.select(
+        "doc_id", F.posexplode(fps).alias("idx", "fp")
+    ).select("doc_id", (F.col("idx") + 1).alias("pos"), "fp")
+    firsts = occ.groupBy("fp").agg(F.min(F.struct("doc_id", "pos")).alias("f"))
+    dups = (
+        occ.join(firsts, "fp")
+        .filter(
+            (F.col("doc_id") != F.col("f.doc_id"))
+            | (F.col("pos") != F.col("f.pos"))
+        )
+        .select("doc_id", "pos")
+    )
+    removed = dups.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + win - 1)).alias("p"),
+    ).distinct()
+    tok = toks.select("doc_id", F.posexplode("tk").alias("idx", "w")).select(
+        "doc_id", (F.col("idx") + 1).alias("p"), "w"
+    )
+    kept = tok.join(removed, ["doc_id", "p"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+    return (
+        toks.select("doc_id", n.cast("long").alias("n_tokens"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long").alias("n_removed"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )
+
+
 def char_ngrams(col: Column | str, n: int = 3) -> Column:
     """Distinct character n-grams of a string — the candidate-generation
     key for fuzzy string matching (trigram indexing, the pg_trgm /

@@ -923,6 +923,55 @@ def dedup_substring_windows_q(spark, sf_dir):
 
 
 @q(
+    "dedup_substring_rewrite",
+    """
+    WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+                  FROM documents),
+    occ AS (
+      SELECT doc_id, i AS pos,
+             substr(md5(array_to_string(tk[i:i+2], ' ')), 1, 16) AS fp
+      FROM toks, LATERAL unnest(generate_series(1, len(tk) - 2)) AS g(i)
+      WHERE len(tk) >= 3),
+    dups AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rnk
+        FROM occ) WHERE rnk > 1),
+    removed AS (
+      SELECT DISTINCT doc_id, pos + d AS p
+      FROM dups, LATERAL unnest(generate_series(0, 2)) AS gg(d)),
+    tok AS (
+      SELECT doc_id, i AS p, tk[i] AS w
+      FROM toks, LATERAL unnest(generate_series(1, len(tk))) AS g(i)),
+    kept AS (
+      SELECT t.doc_id, t.p, t.w FROM tok t
+      WHERE NOT EXISTS (SELECT 1 FROM removed r
+                        WHERE r.doc_id = t.doc_id AND r.p = t.p)),
+    agg AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(w, ' ' ORDER BY p) AS text_clean
+      FROM kept GROUP BY doc_id)
+    SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+           CAST(len(t.tk) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(a.text_clean, '') AS text_clean
+    FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
+    """,
+    tags=("dedup", "substring", "rewrite", "pretraining"),
+)
+def dedup_substring_rewrite_q(spark, sf_dir):
+    """Exact substring dedup as a REWRITE (the actionable Lee et al.
+    2022 step): every recurring 3-token window keeps its global first
+    occurrence ((doc_id, pos) order) and later occurrences' tokens are
+    cut from the text; emits the cleaned text + removal counts.  win=3
+    so the natural corpus (small vocabulary, ~54-token docs) has real
+    recurring windows to cut, not only the synthetic dup-stress corpus.
+    Oracle replays the same first-copy rule via a row_number over fp
+    (operators/dedup.py:substring_dedup_rewrite)."""
+    docs = t(spark, sf_dir, "documents")
+    return dedup.substring_dedup_rewrite(docs, win=3)
+
+
+@q(
     "w_analytic_suite",
     """
     SELECT o_custkey, o_orderkey,

@@ -3434,6 +3434,35 @@ def test_match_recognize(spark):
                             within="1 HOUR")
 
 
+def test_substring_dedup_rewrite(spark):
+    """Lee et al. substring dedup as a rewrite: the global first copy of
+    a recurring window survives, later copies' tokens are cut (cross-
+    AND intra-document), overlapping dup windows merge their cover,
+    fully-duplicate docs collapse to '', short docs pass through, and
+    normalization (case/whitespace) is the shared tokenize contract."""
+    from flink_realtime_dw4_0_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),          # all windows first occurrences
+            (2, "x A  B c y"),         # 'a b c' dup of doc 1 -> cut
+            (3, "a b c"),              # entirely duplicate -> ''
+            (4, "p q r s p q r s"),    # intra-doc repeat -> first copy kept
+            (5, "m n"),                # shorter than win: untouched
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: (r.n_tokens, r.n_removed, r.text_clean)
+            for r in dedup.substring_dedup_rewrite(df, win=3).collect()}
+    assert rows == {
+        1: (5, 0, "a b c d e"),
+        2: (5, 3, "x y"),
+        3: (3, 3, ""),
+        4: (8, 4, "p q r s"),
+        5: (2, 0, "m n"),
+    }
+
+
 def test_followed_by_any(spark):
     """Flink followedByAny (batch): every qualifying bind forks its own
     chain — A with two B's before C emits BOTH (a,b1,c) and (a,b2,c);

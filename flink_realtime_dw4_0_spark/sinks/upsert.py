@@ -63,10 +63,21 @@ class KeyedTable:
         keep_versions: int = 1,
         n_buckets: int = 16,
         ttl_col: str = "ts",
+        bloom_cols: list[str] | None = None,
+        bloom_bits: int = 65536,
+        bloom_k: int = 4,
     ):
         self.path = path
         self.keys = keys
         self.version_col = version_col
+        # per-bucket bloom sidecars for equality skipping on NON-key
+        # columns (see read_eq): built at commit for written buckets;
+        # inherited buckets keep the sidecar next to their data files
+        self.bloom_cols = list(bloom_cols or [])
+        if bloom_bits % 8 or bloom_bits < 8:
+            raise ValueError(f"bloom_bits must be a multiple of 8, got {bloom_bits}")
+        self.bloom_bits = bloom_bits
+        self.bloom_k = bloom_k
         if keep_versions < 1:
             raise ValueError(f"keep_versions must be >= 1, got {keep_versions}")
         self.keep_versions = keep_versions
@@ -256,6 +267,118 @@ class KeyedTable:
         if lo is None:
             return None
         return {"min": int(lo), "max": int(hi)}
+
+    @staticmethod
+    def _bloom_positions(value, bits: int, k: int) -> list[int]:
+        """The k bit positions of `value` — md5 double hashing over the
+        value's STRING form (matching the Spark build side's
+        md5(cast(col as string)); int and string columns format
+        identically on both sides)."""
+        import hashlib
+
+        h = hashlib.md5(str(value).encode()).hexdigest()
+        h1 = int(h[:8], 16) % bits
+        h2 = int(h[8:16], 16) % (bits - 1) + 1  # never 0
+        return [(h1 + i * h2) % bits for i in range(k)]
+
+    def _bloom_pos_expr(self, col: str):
+        """Spark twin of `_bloom_positions`: array of the k positions."""
+        md5 = F.md5(F.col(col).cast("string"))
+        h1 = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long") % self.bloom_bits
+        h2 = (
+            F.conv(F.substring(md5, 9, 8), 16, 10).cast("long")
+            % (self.bloom_bits - 1) + 1
+        )
+        return F.array(
+            *[(h1 + F.lit(i) * h2) % self.bloom_bits for i in range(self.bloom_k)]
+        )
+
+    def _write_bloom_sidecars(self, spark, build_dir: str, written: set) -> None:
+        """Build `_bloom_{col}.json` inside every written bucket dir (the
+        '_' prefix keeps Spark's parquet reader from touching it; the
+        sidecar travels WITH the bucket, so inherited buckets keep their
+        filters without any manifest bookkeeping).  The build is one
+        distributed pass: k bit positions per row, collect_set per
+        bucket — the driver receives at most n_buckets x bloom_bits
+        ints (the filter itself, never the data)."""
+        import base64
+
+        src = spark.read.parquet(build_dir)
+        for col in self.bloom_cols:
+            if col not in src.columns:
+                continue
+            rows = (
+                src.where(F.col(col).isNotNull())
+                .select(
+                    F.col("__b").cast("string").alias("__b"),
+                    F.explode(self._bloom_pos_expr(col)).alias("p"),
+                )
+                .groupBy("__b")
+                .agg(F.collect_set("p").alias("ps"))
+            ).collect()  # bounded: <= n_buckets rows x <= bloom_bits ints
+            for r in rows:
+                bm = bytearray(self.bloom_bits // 8)
+                for p in r["ps"]:
+                    p = int(p)
+                    bm[p // 8] |= 1 << (p % 8)
+                side = {"bits": self.bloom_bits, "k": self.bloom_k,
+                        "bitmap": base64.b64encode(bytes(bm)).decode()}
+                with open(
+                    os.path.join(build_dir, f"__b={r['__b']}",
+                                 f"_bloom_{col}.json"), "w"
+                ) as fh:
+                    json.dump(side, fh)
+
+    def read_eq(self, spark: SparkSession, col: str, value) -> DataFrame | None:
+        """Equality read with BLOOM data skipping on a non-key column —
+        the pruning type that still fires under hash bucketing: zone
+        maps need value-correlated layout (see the TTL note in _commit),
+        but a high-cardinality equality probe is excluded by most
+        buckets' blooms regardless of layout.  Buckets without a sidecar
+        (never bloom-built, or legacy) are scanned — absence only costs
+        pruning, never correctness; the logical filter always applies on
+        top, so false positives are harmless.  `self.last_eq_scan`
+        records {buckets_total, buckets_scanned} for observability.
+        Requires a bloom-typed column (int/string — the hash is over the
+        string form)."""
+        import base64
+
+        if value is None:
+            raise ValueError("read_eq probes a concrete value, not NULL "
+                             "(blooms never index NULLs)")
+        v = self._current_version()
+        if v is None:
+            return None
+        man = self._load_manifest(v)
+        if man is None:  # legacy flat layout: no buckets, no sidecars
+            df = self.read(spark)
+            return None if df is None else df.filter(F.col(col) == F.lit(value))
+        kept: dict[str, str] = {}
+        for b, ver in man["buckets"].items():
+            side_f = os.path.join(self.path, ver, f"__b={b}",
+                                  f"_bloom_{col}.json")
+            keep = True
+            if os.path.exists(side_f):
+                with open(side_f) as fh:
+                    side = json.load(fh)
+                bm = base64.b64decode(side["bitmap"])
+                keep = all(
+                    (bm[p // 8] >> (p % 8)) & 1
+                    for p in self._bloom_positions(
+                        value, side["bits"], side["k"])
+                )
+            if keep:
+                kept[b] = ver
+        self.last_eq_scan = {"buckets_total": len(man["buckets"]),
+                             "buckets_scanned": len(kept)}
+        schema = StructType.fromJson(man["schema"])
+        if not kept:
+            df = spark.createDataFrame([], schema)
+        else:
+            df = spark.read.schema(schema).parquet(
+                *self._bucket_paths({"buckets": kept})
+            )
+        return self._apply_ttl(df.filter(F.col(col) == F.lit(value)))
 
     def _read_snapshot(
         self, spark: SparkSession, version: str, ttl_prune: bool = False
@@ -447,6 +570,8 @@ class KeyedTable:
             for d in os.listdir(build_dir)
             if d.startswith("__b=")
         }
+        if self.bloom_cols and written:
+            self._write_bloom_sidecars(df.sparkSession, build_dir, written)
         buckets = dict(inherit)
         buckets.update({b: v for b in written})
         man = {"n_buckets": self.n_buckets, "schema": schema_json, "buckets": buckets}

@@ -30,6 +30,9 @@ COLLECT_ALLOWLIST = [
      "serving upsert: limit-gated, fails loud past max_rows_per_batch"),
     ("sinks/upsert.py", r"probe\.distinct\(\)\.collect\(\)",
      "touched-bucket probe: bounded by n_buckets distinct values"),
+    ("sinks/upsert.py", r"agg\(F\.collect_set\(.p.\)",
+     "bloom sidecar build: <= n_buckets rows x <= bloom_bits bit "
+     "positions (the filter itself, never the data)"),
     ("sinks/upsert.py", r"probe\.select\(self\._bucket_expr\(\)",
      "point-lookup bucket probe: one row per requested key"),
     ("sinks/dim.py", r"df\.limit\(1\)\.collect\(\)",

@@ -1675,6 +1675,65 @@ def test_keyed_table_bucketed_incremental_merge(spark, tmp_path):
     assert tb2.read(spark).count() == 499
 
 
+def test_keyed_table_bloom_equality_skipping(spark, tmp_path):
+    """Per-bucket bloom sidecars prune equality probes on a NON-key
+    column — the skipping type that still fires under hash bucketing
+    (zone maps need value-correlated layout).  A present value scans
+    only the buckets whose blooms admit it, an absent value scans ~none,
+    results always equal the brute-force filter, sidecars ride along
+    with inherited buckets across incremental merges, and a bloom-less
+    table just scans everything (absence costs pruning, not
+    correctness)."""
+    tb = KeyedTable(str(tmp_path / "blm"), keys=["k"], n_buckets=16,
+                    bloom_cols=["sku"])
+    base = spark.createDataFrame(
+        [(f"k{i}", f"sku{i % 200}", i) for i in range(500)],
+        "k string, sku string, v long",
+    )
+    tb.merge(spark, base)
+
+    want = sorted((r.k, r.v) for r in tb.read(spark)
+                  .filter(F.col("sku") == "sku7").collect())
+    got = sorted((r.k, r.v) for r in tb.read_eq(spark, "sku", "sku7").collect())
+    assert got == want and len(got) == 3  # 7, 207, 407
+    scan = tb.last_eq_scan
+    assert scan["buckets_total"] == 16
+    # sku7's 3 carriers hash into <= 3 buckets; FPs are ~0 at these sizes
+    assert 1 <= scan["buckets_scanned"] <= 5
+
+    # absent value: every bucket's bloom excludes it
+    assert tb.read_eq(spark, "sku", "sku_missing").count() == 0
+    assert tb.last_eq_scan["buckets_scanned"] <= 1
+
+    # incremental merge: ONE bucket rewritten, 15 inherit their sidecars
+    tb.merge(spark, spark.createDataFrame(
+        [("k3", "sku_new", 999)], "k string, sku string, v long"))
+    assert [r.k for r in tb.read_eq(spark, "sku", "sku_new").collect()] == ["k3"]
+    assert tb.last_eq_scan["buckets_scanned"] <= 2
+    # the OLD value still resolves through inherited sidecars (k7 etc.)
+    got2 = sorted(r.k for r in tb.read_eq(spark, "sku", "sku7").collect())
+    assert got2 == ["k207", "k407", "k7"]
+
+    # NULL probe is a contract error; blooms never index NULLs
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="NULL"):
+        tb.read_eq(spark, "sku", None)
+
+    # bloom-less table: read_eq still correct, zero pruning
+    tb2 = KeyedTable(str(tmp_path / "noblm"), keys=["k"], n_buckets=4)
+    tb2.merge(spark, base)
+    assert tb2.read_eq(spark, "sku", "sku7").count() == 3
+    assert tb2.last_eq_scan["buckets_scanned"] == 4
+
+    # TTL horizon applies to read_eq like read()
+    tb3 = KeyedTable(str(tmp_path / "blmttl"), keys=["k"], n_buckets=4,
+                     bloom_cols=["sku"])
+    tb3.merge(spark, spark.createDataFrame(
+        [("a", "s1", 100), ("b", "s1", 200)], "k string, sku string, ts long"))
+    tb3.set_ttl_horizon(150)
+    assert [r.k for r in tb3.read_eq(spark, "sku", "s1").collect()] == ["b"]
+
+
 def test_keyed_table_ttl_lazy_compaction(spark, tmp_path):
     """Logical TTL horizon: expired rows vanish from read() immediately,
     survive on disk until their bucket is rewritten (compaction-style),

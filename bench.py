@@ -674,6 +674,7 @@ def main() -> None:
             "cep_followed_by_any",
             "pack_sequences_nosplit",
             "dedup_substring_rewrite",
+            "pipeline_sft_pack",
         ]
         etimes: dict[str, float] = {}
         ereps: dict[str, list[float]] = {}

@@ -1370,6 +1370,89 @@ _GOPHER_SQL = f"""
 
 
 @q(
+    "pipeline_sft_pack",
+    """
+    WITH RECURSIVE
+    ex AS (SELECT min(doc_id) AS doc_id FROM (
+             SELECT doc_id,
+                    md5(list_aggregate(string_split_regex(lower(trim(text)), '\\s+'),
+                        'string_agg', ' ')) AS fp
+             FROM documents) GROUP BY fp),
+    d2 AS (SELECT d.doc_id, d.text FROM documents d JOIN ex USING (doc_id)),
+    toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+             FROM d2),
+    occ AS (
+      SELECT doc_id, i AS pos,
+             substr(md5(array_to_string(tk[i:i+2], ' ')), 1, 16) AS fp
+      FROM toks, LATERAL unnest(generate_series(1, len(tk) - 2)) AS g(i)
+      WHERE len(tk) >= 3),
+    dups AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rnk
+        FROM occ) WHERE rnk > 1),
+    removed AS (
+      SELECT DISTINCT doc_id, pos + d AS p
+      FROM dups, LATERAL unnest(generate_series(0, 2)) AS gg(d)),
+    rem AS (SELECT doc_id, count(*) AS n_rem FROM removed GROUP BY doc_id),
+    alive AS (
+      SELECT t.doc_id,
+             CAST(len(t.tk) - coalesce(r.n_rem, 0) AS BIGINT) AS n_clean
+      FROM toks t LEFT JOIN rem r ON t.doc_id = r.doc_id
+      WHERE len(t.tk) - coalesce(r.n_rem, 0) > 0),
+    o AS (
+      SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard, n_clean,
+             row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+      FROM alive),
+    rec AS (
+      SELECT doc_id, shard, n_clean, rn,
+             CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS seq_off,
+             n_clean AS running
+      FROM o WHERE rn = 1
+      UNION ALL
+      SELECT s.doc_id, s.shard, s.n_clean, s.rn,
+             CASE WHEN r.running + s.n_clean > 96
+                  THEN r.seq_id + 1 ELSE r.seq_id END,
+             CASE WHEN r.running + s.n_clean > 96
+                  THEN CAST(0 AS BIGINT) ELSE r.running END,
+             CASE WHEN r.running + s.n_clean > 96
+                  THEN s.n_clean ELSE r.running + s.n_clean END
+      FROM o s JOIN rec r ON s.shard = r.shard AND s.rn = r.rn + 1)
+    SELECT doc_id, shard, seq_id, seq_off, n_clean AS n_clean_tokens,
+           CAST(CASE WHEN n_clean > 96 THEN 1 ELSE 0 END AS INT) AS overflow
+    FROM rec
+    """,
+    tags=("pipeline", "curation", "composed", "sft"),
+)
+def pipeline_sft_pack_q(spark, sf_dir):
+    """End-to-end SFT data prep as ONE declarative plan: exact dedup
+    (min-id per fingerprint) → substring-dedup REWRITE (recurring
+    3-token windows keep the global first copy; fully-cut docs drop) →
+    no-split packing of the cleaned token counts into 96-token
+    sequences per shard.  Every stage is a library operator the
+    standalone queries already verify; the COMPOSITION is oracle-exact
+    end to end (exact-dedup keep list feeding the rewrite feeding the
+    per-shard recursive packing replay)."""
+    from ..operators import sampling
+
+    docs = t(spark, sf_dir, "documents")
+    keep = dedup.exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    d2 = docs.join(keep, "doc_id")
+    rw = dedup.substring_dedup_rewrite(d2, win=3)
+    alive = rw.select(
+        "doc_id",
+        (F.col("n_tokens") - F.col("n_removed")).alias("n_clean"),
+    ).filter(F.col("n_clean") > 0)
+    packed = sampling.pack_sequences_nosplit(
+        alive, 96, n_shards=8, tokens_col="n_clean"
+    )
+    return packed.select(
+        "doc_id", "shard", "seq_id", "seq_off",
+        F.col("n_tokens").alias("n_clean_tokens"), "overflow",
+    )
+
+
+@q(
     "pipeline_pretrain_curation",
     f"""
     WITH RECURSIVE

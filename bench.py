@@ -675,6 +675,7 @@ def main() -> None:
             "pack_sequences_nosplit",
             "dedup_substring_rewrite",
             "pipeline_sft_pack",
+            "cep_pattern_not_next",
         ]
         etimes: dict[str, float] = {}
         ereps: dict[str, list[float]] = {}

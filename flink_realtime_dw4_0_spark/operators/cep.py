@@ -164,7 +164,11 @@ def unroll_pattern(pattern: list[dict]):
     """Normalize + validate a pattern (shared by the batch matcher and
     ``streaming/cep_pattern.py`` so the two can never drift): returns
     (positives ``[(colname, pred, strict, min_times, max_times)]``,
-    negations ``[(pred, left_idx, right_idx_or_None_for_terminal)]``).
+    negations ``[(pred, left_idx, right_idx_or_None_for_terminal,
+    strict)]`` — a STRICT negation is Flink's ``notNext``: only the
+    event immediately after the previous bound position can kill, and
+    it kills even if it would also bind the next step; terminal notNext
+    is rejected).
     ``min/max_times`` are the step's quantifier bounds — plain steps
     ``(1, 1)``, ``optional: True`` → ``(0, 1)``, ``one_or_more: True``
     → ``(1, None)``, ``times_or_more: n`` → ``(n, None)``,
@@ -209,13 +213,24 @@ def unroll_pattern(pattern: list[dict]):
                 "only meaningful on a quantified step"
             )
         if p.get("negated"):
-            if "times" in p or strict or quant:
+            if "times" in p or quant:
                 raise ValueError(
-                    "negated steps take no times/contiguity/quantifier"
+                    "negated steps take no times/quantifier"
                 )
+            if strict and p is pattern[-1]:
+                raise ValueError(
+                    "a terminal notNext is not supported — its match "
+                    "would emit only at the window edge; use a terminal "
+                    "notFollowedBy with `within` instead"
+                )
+            # strict negation = Flink notNext: ONLY the event immediately
+            # after the previous bound position can kill (checked before
+            # bind — the adjacent row kills even if it would also bind,
+            # matching the batch anti-join's precedence)
             negations.append(
                 (p["where"], len(positives) - 1,
-                 len(positives) if p is not pattern[-1] else None)
+                 len(positives) if p is not pattern[-1] else None,
+                 strict)
             )
             continue
         if quant:
@@ -313,7 +328,7 @@ def unroll_pattern(pattern: list[dict]):
             positives.append((cname, p["where"], strict, 1, 1))
     if len(positives) < 2:
         raise ValueError("a pattern needs at least two positive step binds")
-    for _pred, li, ri in negations:
+    for _pred, li, ri, nstrict in negations:
         if ri is not None and ri >= len(positives):
             raise ValueError(
                 "a non-terminal negation must be followed by a positive "
@@ -323,9 +338,9 @@ def unroll_pattern(pattern: list[dict]):
         for idx in (li,) if ri is None else (li, ri):
             if idx >= 0 and not is_plain(positives[idx]):
                 raise ValueError(
-                    "a notFollowedBy adjacent to a quantified step is not "
-                    "supported — the negation gap boundary would not be a "
-                    "single bound event"
+                    "a notFollowedBy/notNext adjacent to a quantified "
+                    "step is not supported — the negation gap boundary "
+                    "would not be a single bound event"
                 )
     return positives, negations, untils
 
@@ -926,11 +941,15 @@ def match_pattern(
         chain = chain.filter(
             F.col(bound[-1]["ts"]) <= F.col(anchor_ts) + within_interval(within)
         )
-    for pred, li, ri in negations:
+    for pred, li, ri, nstrict in negations:
         neg = base.filter(pred).select(F.col(key), F.col("__rn").alias("__n_rn"),
                                        F.col("__ts").alias("__n_ts"))
         left_rn = F.col(bound[li]["rn"])
-        if ri is not None:
+        if nstrict:
+            # notNext: only the immediately-adjacent row can kill (and it
+            # kills even when it is the row the next step bound)
+            cond = F.col("__n_rn") == left_rn + 1
+        elif ri is not None:
             cond = (F.col("__n_rn") > left_rn) & (
                 F.col("__n_rn") < F.col(bound[ri]["rn"])
             )

@@ -2651,6 +2651,70 @@ def cep_pattern_not_followed_by_q(spark, sf_dir):
 
 
 @q(
+    "cep_pattern_not_next",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    a0 AS (
+      SELECT user_id, signup_ts, signup_rn FROM (
+        SELECT user_id, ts AS signup_ts, rn AS signup_rn,
+               row_number() OVER (PARTITION BY user_id ORDER BY rn) AS cp
+        FROM e WHERE event_type = 'signup')
+      WHERE cp <= 5),
+    s1 AS (
+      SELECT a.user_id, signup_ts, signup_rn,
+             min(e.rn) AS p_rn, arg_min(e.ts, e.rn) AS p_ts
+      FROM a0 a JOIN e ON e.user_id = a.user_id
+      WHERE e.event_type = 'purchase' AND e.rn > a.signup_rn
+      GROUP BY 1, 2, 3),
+    alive AS (
+      SELECT * FROM s1 s
+      WHERE p_ts <= signup_ts + INTERVAL 7 DAY
+        AND NOT EXISTS (
+          SELECT 1 FROM e
+          WHERE e.user_id = s.user_id AND e.event_type = 'error'
+            AND e.rn = s.signup_rn + 1)),
+    m AS (
+      SELECT user_id, signup_ts, p_ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY signup_rn) AS pick
+      FROM alive)
+    SELECT user_id, epoch_us(signup_ts) AS signup_us, epoch_us(p_ts) AS purchase_us
+    FROM m WHERE pick = 1
+    """,
+    tags=("cep", "pattern", "negation", "not-next"),
+)
+def cep_pattern_not_next_q(spark, sf_dir):
+    """Flink-CEP STRICT negation (Pattern.begin('signup')
+    .notNext('error').followedBy('purchase').within(7 days)): only the
+    event IMMEDIATELY after the signup can kill the chain — an error
+    further downstream is fine (the notFollowedBy twin above kills on
+    any in-gap error).  The oracle's NOT EXISTS checks exactly
+    rn = signup_rn + 1 (operators/cep.py:match_pattern, negated +
+    contiguity='strict')."""
+    from ..operators import cep
+
+    ev = t(spark, sf_dir, "events")
+    m = cep.match_pattern(
+        ev,
+        [
+            {"name": "signup", "where": F.col("event_type") == "signup"},
+            {"name": "err", "where": F.col("event_type") == "error",
+             "negated": True, "contiguity": "strict"},
+            {"name": "purchase", "where": F.col("event_type") == "purchase"},
+        ],
+        within="7 DAY",
+        max_anchors_per_key=5,
+    )
+    return m.select(
+        "user_id",
+        F.unix_micros("signup_ts").alias("signup_us"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+    )
+
+
+@q(
     "cep_pattern_all_matches",
     """
     WITH e AS (

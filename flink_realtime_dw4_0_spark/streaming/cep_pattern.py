@@ -202,6 +202,7 @@ def _advance_event(
     neg_before: dict[int, list[int]],
     until_bits: dict[int, int] | None = None,
     mr_strict: bool = False,
+    neg_next: dict[int, list[int]] | None = None,
 ):
     """One sealed event offered to one partial match.  Returns
     (status, prog, lcnt, lfirst, llast, vals); status 'alive' | 'dead'
@@ -220,6 +221,11 @@ def _advance_event(
     after the run started also freezes it; anything else passes
     (relaxed).  An empty optional finalizes as (-1, -1, 0).
 
+    ``neg_next[i]``: mask bits of a STRICT negation (Flink notNext)
+    guarding step i — checked only on the FIRST event offered after the
+    previous bind (the `lcnt == 1` pending flag on plain steps, where
+    lcnt is otherwise unused), and it kills before the event may bind.
+
     ``mr_strict`` (streaming MATCH_RECOGNIZE's row-regex contiguity):
     EVERY offered event must advance the partial — a plain step that
     does not bind kills it, and a loop event that is neither taken
@@ -227,12 +233,27 @@ def _advance_event(
     surviving matches are exactly the unbroken row intervals the batch
     ``match_recognize`` adjacency filter keeps."""
     n = len(specs)
+    nn = neg_next or {}
+
+    def lcnt_for(new_prog: int) -> int:
+        # notNext pending flag: the NEXT offered event is the adjacency
+        # check.  Only plain awaited steps carry it (notNext adjacent to
+        # quantified steps is rejected at unroll), where lcnt is unused.
+        return 1 if new_prog < n and nn.get(new_prog) else 0
+
     strict, mn, mx = specs[prog]
     if mn == 1 and mx == 1:  # plain awaited step
+        if lcnt:  # adjacency pending: Flink notNext — the first event
+            # after the previous bind kills BEFORE it may bind (the
+            # batch anti-join on rn == prev+1 has the same precedence)
+            if any((mask >> b) & 1 for b in nn.get(prog, ())):
+                return "dead", prog, lcnt, lfirst, llast, vals
+            lcnt = 0
         if (mask >> prog) & 1:
             vals = vals + [ts_v]
             prog += 1
-            return ("complete" if prog == n else "alive"), prog, 0, 0, 0, vals
+            return (("complete" if prog == n else "alive"),
+                    prog, lcnt_for(prog), 0, 0, vals)
         if any((mask >> b) & 1 for b in neg_before.get(prog, ())):
             return "dead", prog, lcnt, lfirst, llast, vals
         if strict or mr_strict:
@@ -247,7 +268,8 @@ def _advance_event(
             + [ts_v]
         )
         prog = nxt + 1
-        return ("complete" if prog == n else "alive"), prog, 0, 0, 0, vals
+        return (("complete" if prog == n else "alive"),
+                prog, lcnt_for(prog), 0, 0, vals)
     ubit = (until_bits or {}).get(prog)
     if ubit is not None and (mask >> ubit) & 1:
         return "alive", prog, cnt + _FROZEN, lfirst, llast, vals
@@ -267,6 +289,8 @@ def _advance_event(
 def pattern_matcher_fn(
     specs: list[tuple],
     neg_before: dict[int, list[int]],
+    *,
+    neg_next: dict[int, list[int]] | None = None,
     terminal_bits: list[int],
     within_ms: int,
     until_bits: dict[int, int] | None = None,
@@ -291,6 +315,9 @@ def pattern_matcher_fn(
     n_steps = len(specs)
     out_len = _vals_len(specs, n_steps)
     term_loop = not _spec_is_plain(specs[-1])
+    # a fresh anchor awaiting step 1 starts adjacency-pending when a
+    # notNext guards step 1 (lcnt is unused for plain awaited steps)
+    anchor_lcnt = 1 if (neg_next or {}).get(1) else 0
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -342,18 +369,20 @@ def pattern_matcher_fn(
             if prog == 0:
                 if mask & 1:
                     prog, vals = 1, [ts_v]
-                    lcnt = lfirst = llast = 0
+                    lfirst = llast = 0
+                    lcnt = anchor_lcnt
             elif prog < n_steps:
                 st, prog, lcnt, lfirst, llast, vals = _advance_event(
                     prog, lcnt, lfirst, llast, vals, ts_v, mask, specs,
-                    neg_before, until_bits, mr_strict,
+                    neg_before, until_bits, mr_strict, neg_next,
                 )
                 if st == "dead":
                     # negation/strict kill: silent (Flink discards the
                     # partial — no timeout row); the same event may
                     # re-anchor
                     prog, vals = (1, [ts_v]) if mask & 1 else (0, [])
-                    lcnt = lfirst = llast = 0
+                    lfirst = llast = 0
+                    lcnt = anchor_lcnt if prog else 0
                 elif st == "complete":
                     if vals[-1] - vals[0] <= within_ms:
                         if terminal_bits:
@@ -384,6 +413,8 @@ def pattern_matcher_fn(
 def pattern_matcher_all_fn(
     specs: list[tuple],
     neg_before: dict[int, list[int]],
+    *,
+    neg_next: dict[int, list[int]] | None = None,
     terminal_bits: list[int],
     within_ms: int,
     max_active_anchors: int = 16,
@@ -435,6 +466,7 @@ def pattern_matcher_all_fn(
     out_len = _vals_len(specs, n_steps)
     term_loop = not _spec_is_plain(specs[-1])
     skip_past = after_match == "skip_past_last"
+    anchor_lcnt = 1 if (neg_next or {}).get(1) else 0  # see single machine
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -484,7 +516,7 @@ def pattern_matcher_all_fn(
                     continue
                 st, prog, lcnt, lfirst, llast, vals = _advance_event(
                     p[0], p[1], p[2], p[3], p[4:], ts_v, mask, specs,
-                    neg_before, until_bits, mr_strict,
+                    neg_before, until_bits, mr_strict, neg_next,
                 )
                 if st == "dead":
                     continue  # negation/strict kill: silent, like Flink
@@ -526,7 +558,7 @@ def pattern_matcher_all_fn(
                 ):
                     pass  # batch-parity first-N-ever cap: never opens
                 elif len(partials) < max_active_anchors:
-                    partials.append([1, 0, 0, 0, ts_v])
+                    partials.append([1, anchor_lcnt, 0, 0, ts_v])
                 else:
                     # live-cap decline is DATA LOSS on a hot key — make
                     # it visible downstream instead of silent
@@ -665,14 +697,17 @@ def match_pattern_stream(
                 else off + 1  # loop step: (first, last, count) triple
             )
     neg_before: dict[int, list[int]] = {}
+    neg_next: dict[int, list[int]] = {}
     terminal_bits: list[int] = []
     mask = F.lit(0).cast("long")
     for i, s in enumerate(positives):
         mask = mask + F.when(s[1], F.lit(1 << i)).otherwise(0)
-    for j, (pred, _li, ri) in enumerate(negations):
+    for j, (pred, _li, ri, nstrict) in enumerate(negations):
         bit = n_steps + j
         mask = mask + F.when(pred, F.lit(1 << bit)).otherwise(0)
-        if ri is None:
+        if nstrict:  # Flink notNext: adjacency-checked, never terminal
+            neg_next.setdefault(ri, []).append(bit)
+        elif ri is None:
             terminal_bits.append(bit)
         else:
             neg_before.setdefault(ri, []).append(bit)
@@ -697,14 +732,17 @@ def match_pattern_stream(
         mask.alias("step_mask"),
         "row_time",
     )
-    if not any(s[0] for s in specs) and not _mr_strict:
+    if not any(s[0] for s in specs) and not _mr_strict and not neg_next:
         # relaxed-only: non-participating events can't affect the match
         # (row-regex contiguity needs EVERY row — the non-participating
-        # one is exactly what breaks a match)
+        # one is exactly what breaks a match, and a notNext's adjacency
+        # check is against the ACTUAL next row, participating or not)
         src = src.filter(F.col("step_mask") != 0)
     if mode == "all":
         matcher = pattern_matcher_all_fn(
-            specs, neg_before, terminal_bits, within_ms,
+            specs, neg_before,
+            neg_next=neg_next,
+            terminal_bits=terminal_bits, within_ms=within_ms,
             max_active_anchors=max_active_anchors,
             max_anchors_per_key=max_anchors_per_key,
             after_match=after_match,
@@ -714,7 +752,9 @@ def match_pattern_stream(
         )
     elif mode == "single":
         matcher = pattern_matcher_fn(
-            specs, neg_before, terminal_bits, within_ms,
+            specs, neg_before,
+            neg_next=neg_next,
+            terminal_bits=terminal_bits, within_ms=within_ms,
             until_bits=until_bits,
             mr_strict=_mr_strict,
         )

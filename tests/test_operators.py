@@ -3434,6 +3434,71 @@ def test_match_recognize(spark):
                             within="1 HOUR")
 
 
+def test_cep_not_next(spark):
+    """Flink notNext (strict negation): only the row immediately after
+    the previous bind can kill — a later negation event is fine (the
+    notFollowedBy contrast), the adjacent row kills even when it would
+    ALSO bind the next step (batch anti-join precedence), and terminal /
+    quantifier-adjacent notNext are honest rejections."""
+    from datetime import datetime as dt
+
+    import pytest as _pytest
+
+    from flink_realtime_dw4_0_spark.operators import cep
+
+    T = lambda s: dt(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        ("k1", T(1), 1, "A"), ("k1", T(2), 2, "B"),                  # clean
+        ("k2", T(1), 1, "A"), ("k2", T(2), 2, "X"), ("k2", T(3), 3, "B"),
+        ("k3", T(1), 1, "A"), ("k3", T(2), 2, "Y"), ("k3", T(3), 3, "B"),
+        # X AFTER a benign adjacent row: notNext survives, notFollowedBy dies
+        ("k4", T(1), 1, "A"), ("k4", T(2), 2, "Y"), ("k4", T(3), 3, "X"),
+        ("k4", T(4), 4, "B"),
+        # the adjacent row matches BOTH the negation and B: still killed
+        ("k5", T(1), 1, "A"), ("k5", T(2), 2, "XB"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, event_id long, event_type string"
+    )
+
+    def pat(strict):
+        neg = {"name": "n", "where": F.col("event_type").isin("X", "XB"),
+               "negated": True}
+        if strict:
+            neg["contiguity"] = "strict"
+        return [
+            {"name": "a", "where": F.col("event_type") == "A"},
+            neg,
+            {"name": "b", "where": F.col("event_type").isin("B", "XB")},
+        ]
+
+    nn = {r.user_id for r in cep.match_pattern(
+        ev, pat(True), within="1 minute").collect()}
+    assert nn == {"k1", "k3", "k4"}
+    # the notFollowedBy contrast: k4's downstream X kills only here; k5
+    # MATCHES here (bind wins — the negation range strictly between the
+    # bound positions is empty) while notNext's adjacency check kills it
+    nf = {r.user_id for r in cep.match_pattern(
+        ev, pat(False), within="1 minute").collect()}
+    assert nf == {"k1", "k3", "k5"}
+
+    with _pytest.raises(ValueError, match="terminal notNext"):
+        cep.match_pattern(ev, [
+            {"name": "a", "where": F.col("event_type") == "A"},
+            {"name": "n", "where": F.col("event_type") == "X",
+             "negated": True, "contiguity": "strict"},
+        ], within="1 minute")
+    with _pytest.raises(ValueError, match="adjacent to a quantified"):
+        cep.match_pattern(ev, [
+            {"name": "a", "where": F.col("event_type") == "A"},
+            {"name": "c", "where": F.col("event_type") == "Y",
+             "one_or_more": True},
+            {"name": "n", "where": F.col("event_type") == "X",
+             "negated": True, "contiguity": "strict"},
+            {"name": "b", "where": F.col("event_type") == "B"},
+        ], within="1 minute")
+
+
 def test_substring_dedup_rewrite(spark):
     """Lee et al. substring dedup as a rewrite: the global first copy of
     a recurring window survives, later copies' tokens are cut (cross-

@@ -3755,6 +3755,61 @@ def test_streaming_mr_alternation_golden(spark, tmp_path):
     assert {k: list(v[:3]) for k, v in twin.items()} == got
 
 
+def test_streaming_pattern_not_next_golden(spark, tmp_path):
+    """Streaming notNext equals the batch twin under SHUFFLED arrival:
+    the adjacency check runs against the ACTUAL next sealed event —
+    including a non-participating one (k3's Y row satisfies the
+    obligation, which requires all events to flow through the operator
+    when a strict negation is present), a later negation event does not
+    kill (k4), and an adjacent event that would also bind is still a
+    kill (k5, the batch anti-join precedence)."""
+    from flink_realtime_dw4_0_spark.operators.cep import match_pattern
+
+    base = 1_700_000_000_000
+    SEC = 1_000
+    all_events = {
+        "k1": [("A", 1), ("B", 2)],
+        "k2": [("A", 1), ("X", 2), ("B", 3)],
+        "k3": [("A", 1), ("Y", 2), ("B", 3)],
+        "k4": [("A", 1), ("Y", 2), ("X", 3), ("B", 4)],
+        "k5": [("A", 1), ("XB", 2)],
+    }
+    rows = [
+        {"user_id": u, "ts": base + s * SEC, "event_id": s, "event_type": e}
+        for u, evs in all_events.items() for e, s in evs
+    ]
+    b1 = [r for r in rows if r["ts"] >= base + 3 * SEC]   # reversed halves
+    b2 = [r for r in rows if r["ts"] < base + 3 * SEC]
+    b3 = [{"user_id": "k9", "ts": base + 900_000, "event_id": 99,
+           "event_type": "A"}]
+    pat = [
+        {"name": "a", "where": F.col("event_type") == "A"},
+        {"name": "n", "where": F.col("event_type").isin("X", "XB"),
+         "negated": True, "contiguity": "strict"},
+        {"name": "b", "where": F.col("event_type").isin("B", "XB")},
+    ]
+    got = {
+        r.key: list(r.step_ts)
+        for r in _run_pattern_stream(
+            spark, tmp_path, "nn", [b1, b2, b3], pat,
+            within="1 minute", watermark="10 seconds", mode="all")
+        if r.key != "k9" and r.status == "match"
+    }
+    want = {
+        r.user_id: [int(r.a_ts.timestamp() * 1000),
+                    int(r.b_ts.timestamp() * 1000)]
+        for r in match_pattern(
+            spark.createDataFrame(
+                [(r["user_id"], r["ts"], r["event_id"], r["event_type"])
+                 for r in rows],
+                "user_id string, ts_ms long, event_id long, event_type string",
+            ).withColumn("ts", F.timestamp_millis(F.col("ts_ms"))),
+            pat, within="1 minute", emit="all").collect()
+    }
+    assert got == want
+    assert set(got) == {"k1", "k3", "k4"}
+
+
 def test_streaming_anchor_decline_cap_seam(spark, tmp_path):
     """The two anchor caps' INTERACTION, pinned (r6 judge item #7): on a
     key where the live cap (max_active_anchors=2) fires — visible

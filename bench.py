@@ -676,6 +676,7 @@ def main() -> None:
             "dedup_substring_rewrite",
             "pipeline_sft_pack",
             "cep_pattern_not_next",
+            "cep_mr_measures",
         ]
         etimes: dict[str, float] = {}
         ereps: dict[str, list[float]] = {}

@@ -1179,12 +1179,25 @@ def match_recognize(
     after_match: str = "skip_to_next",
     contiguity: str = "strict",
     max_anchors_per_key: int | None = None,
+    measures: dict[str, tuple[str, str, str]] | None = None,
 ) -> DataFrame:
     """Flink SQL ``MATCH_RECOGNIZE`` front-end over the deterministic
     pattern machine: ``PATTERN (A B+ C)`` + ``DEFINE`` predicates
-    (Columns or SQL strings), ``WITHIN``, and ``AFTER MATCH SKIP``
+    (Columns or SQL strings), ``WITHIN``, ``AFTER MATCH SKIP``
     (``skip_to_next`` = TO NEXT ROW, ``skip_past_last`` = PAST LAST
-    ROW, ``skip_to_first:<var>`` / ``skip_to_last:<var>``).
+    ROW, ``skip_to_first:<var>`` / ``skip_to_last:<var>``), and
+    ``MEASURES``.
+
+    ``measures`` maps an output column to ``(agg, value_col, var)``
+    with ``agg`` in ``sum|avg|min|max|first|last`` — the SQL clause's
+    ``MEASURES SUM(B.price) AS total`` surface.  For a plain variable
+    every agg is the value at its single bound row; for a quantified
+    variable the agg runs over the TAKEN loop rows (the machine's
+    first/last/count contract — always ``count`` consecutive entries of
+    the per-key loop-match list starting at the first taken event), via
+    ONE bounded range join per measure against that list: no machine
+    change, and the fan-out is the taken rows themselves (within-
+    bounded), never the stream.  An empty ``optional`` yields NULL.
 
     ``contiguity='strict'`` (default) gives MATCH_RECOGNIZE's actual
     row-regex semantics: the matched rows must be CONTIGUOUS in the
@@ -1289,6 +1302,84 @@ def match_recognize(
                 "left",
             ).drop("__mr_k", "__mr_rn")
             cls_cols.append(f"{gname}_classifier")
+    meas_cols: list[str] = []
+    if measures:
+        aggs = {
+            "sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max,
+            "first": lambda c: F.min_by(c, F.col("__mv_cum")),
+            "last": lambda c: F.max_by(c, F.col("__mv_cum")),
+        }
+        w_rn2 = Window.partitionBy(partition_by).orderBy(order_by, seq)
+        ev_rn2 = events.withColumn("__mr_rn", F.row_number().over(w_rn2))
+        for out_name, (magg, val_col, var) in measures.items():
+            if magg not in aggs:
+                raise ValueError(
+                    f"MEASURES {out_name}: agg must be one of "
+                    f"{sorted(aggs)}, got {magg!r}"
+                )
+            hit = [(k, c) for k, c in layout if c == var]
+            if not hit:
+                raise ValueError(
+                    f"MEASURES {out_name}: unknown pattern variable {var!r}"
+                )
+            kind, cname = hit[0]
+            if kind == "plain":
+                # single bound row: every agg is the value at it
+                proj = ev_rn2.select(
+                    F.col(partition_by).alias("__mv_k"),
+                    F.col("__mr_rn").alias("__mv_rn"),
+                    F.col(val_col).alias(out_name),
+                )
+                chains = chains.join(
+                    proj,
+                    (chains[partition_by] == proj["__mv_k"])
+                    & (F.col(f"{cname}_rn") == proj["__mv_rn"]),
+                    "left",
+                ).drop("__mv_k", "__mv_rn")
+            else:
+                # quantified variable: the taken rows are always `count`
+                # consecutive entries of the per-key loop-match list
+                # starting at the first taken event (every loop variant's
+                # contract), so the agg is one range join on that list's
+                # cum index — fan-out = the taken rows, within-bounded
+                lpred = next(d["where"] for d in pat if d["name"] == var)
+                w_cum2 = Window.partitionBy(partition_by).orderBy("__mr_rn")
+                loopev = (
+                    ev_rn2.filter(lpred)
+                    .withColumn("__mv_cum", F.row_number().over(w_cum2))
+                    .select(
+                        F.col(partition_by).alias("__mv_k"),
+                        F.col("__mr_rn").alias("__mv_rn"),
+                        "__mv_cum",
+                        F.col(val_col).alias("__mv_val"),
+                    )
+                )
+                cf = loopev.select(
+                    F.col("__mv_k").alias("__cf_k"),
+                    F.col("__mv_rn").alias("__cf_rn"),
+                    F.col("__mv_cum").alias("__cum_first"),
+                )
+                chains = chains.join(
+                    cf,
+                    (chains[partition_by] == cf["__cf_k"])
+                    & (F.col(f"{cname}_first_rn") == cf["__cf_rn"]),
+                    "left",
+                ).drop("__cf_k", "__cf_rn")
+                grp = [c for c in chains.columns if c != "__cum_first"]
+                j = chains.join(
+                    loopev,
+                    (chains[partition_by] == loopev["__mv_k"])
+                    & (loopev["__mv_cum"] >= chains["__cum_first"])
+                    & (
+                        loopev["__mv_cum"]
+                        < chains["__cum_first"] + chains[f"{cname}_count"]
+                    ),
+                    "left",
+                )
+                chains = j.groupBy(*[j[c] for c in grp]).agg(
+                    aggs[magg](F.col("__mv_val")).alias(out_name)
+                )
+            meas_cols.append(out_name)
     out_cols = []
     bound = []
     for kind, cname in layout:
@@ -1305,7 +1396,7 @@ def match_recognize(
                 "first_rn": f"{cname}_first_rn",
                 "last_rn": f"{cname}_last_rn",
             })
-    out_cols += cls_cols
+    out_cols += cls_cols + meas_cols
     # the after-match replay runs on the FILTERED chains (a chain killed
     # by strictness never consumes a skip horizon) — through the SAME
     # _skip_past_last/_skip_to helpers match_pattern uses, so the

@@ -3470,6 +3470,85 @@ def cep_followed_by_any_q(spark, sf_dir):
 
 
 @q(
+    "cep_mr_measures",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    a0 AS (
+      SELECT user_id, view_ts, view_rn FROM (
+        SELECT user_id, ts AS view_ts, rn AS view_rn,
+               row_number() OVER (PARTITION BY user_id ORDER BY rn) AS cp
+        FROM e WHERE event_type = 'view')
+      WHERE cp <= 5),
+    nx AS (
+      SELECT a.user_id, a.view_ts, a.view_rn, min(e.rn) AS b_rn
+      FROM a0 a JOIN e ON e.user_id = a.user_id
+      WHERE e.event_type <> 'click' AND e.rn > a.view_rn
+      GROUP BY 1, 2, 3),
+    m AS (
+      SELECT n.user_id, view_ts, view_rn, b_rn,
+             b_rn - view_rn - 1 AS n_clicks, p.ts AS p_ts, p.value AS p_val
+      FROM nx n
+      JOIN e p ON p.user_id = n.user_id AND p.rn = n.b_rn
+              AND p.event_type = 'purchase'
+      WHERE b_rn > view_rn + 1),
+    alive AS (SELECT * FROM m WHERE p_ts <= view_ts + INTERVAL 7 DAY),
+    meas AS (
+      SELECT a.user_id, a.view_rn,
+             round(sum(e.value), 6) AS click_sum,
+             round(max(e.value), 6) AS click_max
+      FROM alive a JOIN e ON e.user_id = a.user_id
+       AND e.rn > a.view_rn AND e.rn < a.b_rn
+      GROUP BY 1, 2)
+    SELECT a.user_id, epoch_us(a.view_ts) AS view_us,
+           CAST(a.n_clicks AS BIGINT) AS click_count,
+           ms.click_sum, ms.click_max, round(a.p_val, 6) AS purchase_val
+    FROM alive a JOIN meas ms
+      ON a.user_id = ms.user_id AND a.view_rn = ms.view_rn
+    """,
+    tags=("cep", "match-recognize", "measures", "sql-api"),
+)
+def cep_mr_measures_q(spark, sf_dir):
+    """MATCH_RECOGNIZE MEASURES — ``SUM(C.value) / MAX(C.value) /
+    LAST(P.value)`` over PATTERN (V C+ P) with strict row contiguity:
+    aggregates over the TAKEN loop rows via one bounded range join on
+    the loop-match list's cum index (no machine change), plain-variable
+    measures via one rn equi-join.  Rounded at 6 decimals on both sides
+    (float sums are order-sensitive at the last ulp).  The oracle
+    aggregates the same forced row interval directly
+    (operators/cep.py:match_recognize, measures)."""
+    from ..operators import cep
+
+    ev = t(spark, sf_dir, "events")
+    m = cep.match_recognize(
+        ev,
+        pattern="V C+ P",
+        define={
+            "V": F.col("event_type") == "view",
+            "C": F.col("event_type") == "click",
+            "P": F.col("event_type") == "purchase",
+        },
+        within="7 DAY",
+        max_anchors_per_key=5,
+        measures={
+            "click_sum": ("sum", "value", "C"),
+            "click_max": ("max", "value", "C"),
+            "purchase_val": ("last", "value", "P"),
+        },
+    )
+    return m.select(
+        "user_id",
+        F.unix_micros("V_ts").alias("view_us"),
+        F.col("C_count").alias("click_count"),
+        F.round("click_sum", 6).alias("click_sum"),
+        F.round("click_max", 6).alias("click_max"),
+        F.round("purchase_val", 6).alias("purchase_val"),
+    )
+
+
+@q(
     "cep_mr_alternation",
     """
     WITH e AS (

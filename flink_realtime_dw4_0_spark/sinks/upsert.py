@@ -96,6 +96,14 @@ class KeyedTable:
             man = self._load_manifest(cur)
             if man is not None:
                 self.n_buckets = int(man.get("n_buckets", n_buckets))
+                # adopt the committed bloom config like n_buckets: a
+                # default-parameter reopen must keep building sidecars,
+                # or the next compaction would silently shed them
+                blm = man.get("bloom")
+                if blm and not self.bloom_cols:
+                    self.bloom_cols = list(blm["cols"])
+                    self.bloom_bits = int(blm["bits"])
+                    self.bloom_k = int(blm["k"])
         self.ttl_col = ttl_col
         self.ttl_horizon: int | None = None
         ttl_f = os.path.join(self.path, "TTL")
@@ -575,6 +583,9 @@ class KeyedTable:
         buckets = dict(inherit)
         buckets.update({b: v for b in written})
         man = {"n_buckets": self.n_buckets, "schema": schema_json, "buckets": buckets}
+        if self.bloom_cols:
+            man["bloom"] = {"cols": self.bloom_cols,
+                            "bits": self.bloom_bits, "k": self.bloom_k}
         # per-bucket zone maps for the TTL column: written buckets read
         # their own parquet footers (driver-side, no job); inherited
         # buckets copy the stats of the snapshot they are inherited from.

@@ -3607,6 +3607,54 @@ def test_followed_by_any(spark):
         match_pattern_stream(rate, pat, within="1 minute")
 
 
+def test_cep_combo_surfaces(spark):
+    """Cross-feature seams: (1) followedByAny forks each run their OWN
+    negation range (a kill between fork b1 and the successor spares the
+    later fork); (2) MEASURES columns survive the after-match
+    skip_past_last replay with per-match values."""
+    from datetime import datetime as dt
+
+    from flink_realtime_dw4_0_spark.operators import cep
+
+    T = lambda s: dt(2024, 1, 1, 0, 0, s)  # noqa: E731
+    ev = spark.createDataFrame(
+        [("k", T(1), 1, "A"), ("k", T(2), 2, "B"), ("k", T(3), 3, "X"),
+         ("k", T(4), 4, "B"), ("k", T(5), 5, "C")],
+        "user_id string, ts timestamp, event_id long, event_type string",
+    )
+    got = sorted(
+        (r.b_ts.second, r.c_ts.second)
+        for r in cep.match_pattern(ev, [
+            {"name": "a", "where": F.col("event_type") == "A"},
+            {"name": "b", "where": F.col("event_type") == "B",
+             "followed_by_any": True},
+            {"name": "n", "where": F.col("event_type") == "X",
+             "negated": True},
+            {"name": "c", "where": F.col("event_type") == "C"},
+        ], within="1 minute", emit="all").collect()
+    )
+    assert got == [(4, 5)]  # fork b@2 dies to X@3; fork b@4's gap is clean
+
+    ev2 = spark.createDataFrame(
+        [("m", T(1), 1, "A", 0.0), ("m", T(2), 2, "B", 2.0),
+         ("m", T(3), 3, "C", 0.0), ("m", T(4), 4, "A", 0.0),
+         ("m", T(5), 5, "B", 7.0), ("m", T(6), 6, "B", 1.0),
+         ("m", T(7), 7, "C", 0.0)],
+        "user_id string, ts timestamp, event_id long, "
+        "event_type string, value double",
+    )
+    out = sorted(
+        (r.A_ts.second, r.b_sum)
+        for r in cep.match_recognize(
+            ev2, pattern="A B+ C",
+            define={"A": "event_type = 'A'", "B": "event_type = 'B'",
+                    "C": "event_type = 'C'"},
+            within="1 HOUR", after_match="skip_past_last",
+            measures={"b_sum": ("sum", "value", "B")}).collect()
+    )
+    assert out == [(1, 2.0), (4, 8.0)]  # per-match sums through the replay
+
+
 def test_match_recognize_alternation(spark):
     """Single-level alternation (A|B): compiles to ONE OR-step (under
     strict contiguity every row position is forced, so the OR-step IS

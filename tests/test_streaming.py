@@ -1733,6 +1733,15 @@ def test_keyed_table_bloom_equality_skipping(spark, tmp_path):
     tb3.set_ttl_horizon(150)
     assert [r.k for r in tb3.read_eq(spark, "sku", "s1").collect()] == ["b"]
 
+    # the bloom config persists in the manifest: a default-parameter
+    # reopen keeps building sidecars, so compaction (a full bucket
+    # rewrite through _commit) does not shed the filters
+    tb4 = KeyedTable(str(tmp_path / "blm"), keys=["k"], n_buckets=16)
+    assert tb4.bloom_cols == ["sku"]
+    tb4.compact(spark)
+    assert tb4.read_eq(spark, "sku", "sku_missing").count() == 0
+    assert tb4.last_eq_scan["buckets_scanned"] <= 1  # sidecars rebuilt
+
 
 def test_keyed_table_ttl_lazy_compaction(spark, tmp_path):
     """Logical TTL horizon: expired rows vanish from read() immediately,

@@ -3995,6 +3995,29 @@ def test_streaming_pattern_randomized_parity(spark, tmp_path):
         want = batch_rows(patterns["oom"], am)
         assert got == want, (am, got, want)
 
+    # notNext over the same random data: the adjacency kill runs against
+    # the ACTUAL next row (any of the four letters — non-participating
+    # rows must flow), with both negation shapes compared to batch
+    for tag, nstrict in (("nnx", True), ("nfb", False)):
+        neg = {"name": "n", "where": X, "negated": True}
+        if nstrict:
+            neg["contiguity"] = "strict"
+        pat_n = [{"name": "a", "where": A}, neg, {"name": "b", "where": B}]
+        got = sorted(
+            (r.key, tuple(r.step_ts))
+            for r in _run_pattern_stream(
+                spark, tmp_path, f"rp_{tag}", batches, pat_n,
+                within="1 minute", watermark="60 seconds", mode="all")
+            if r.key != "zz" and r.status == "match"
+        )
+        want = sorted(
+            (r.user_id, (int(r.a_ts.timestamp() * 1000),
+                         int(r.b_ts.timestamp() * 1000)))
+            for r in match_pattern(bdf, pat_n, within="1 minute",
+                                   emit="all").collect()
+        )
+        assert got == want, (tag, got, want)
+
 
 def test_streaming_multimodal_feature_extraction(spark, tmp_path):
     """The multimodal feature operators run UNCHANGED on streams —

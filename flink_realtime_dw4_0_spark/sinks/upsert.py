@@ -349,18 +349,36 @@ class KeyedTable:
         records {buckets_total, buckets_scanned} for observability.
         Requires a bloom-typed column (int/string — the hash is over the
         string form)."""
-        import base64
-
         if value is None:
             raise ValueError("read_eq probes a concrete value, not NULL "
                              "(blooms never index NULLs)")
+        return self._read_bloom_pruned(
+            spark, col, [value], F.col(col) == F.lit(value))
+
+    def read_in(self, spark: SparkSession, col: str, values: list) -> DataFrame | None:
+        """IN-list twin of ``read_eq``: keeps a bucket when its bloom
+        admits ANY of the probed values (pruning weakens gracefully as
+        the list grows — at |values| ~ bloom capacity every bucket
+        admits something and this degrades to a full read + filter,
+        never to a wrong answer)."""
+        vals = [v for v in dict.fromkeys(values)]
+        if not vals or any(v is None for v in vals):
+            raise ValueError("read_in probes a non-empty list of concrete "
+                             "values (blooms never index NULLs)")
+        return self._read_bloom_pruned(spark, col, vals, F.col(col).isin(vals))
+
+    def _read_bloom_pruned(
+        self, spark: SparkSession, col: str, values: list, predicate
+    ) -> DataFrame | None:
+        import base64
+
         v = self._current_version()
         if v is None:
             return None
         man = self._load_manifest(v)
         if man is None:  # legacy flat layout: no buckets, no sidecars
             df = self.read(spark)
-            return None if df is None else df.filter(F.col(col) == F.lit(value))
+            return None if df is None else df.filter(predicate)
         kept: dict[str, str] = {}
         for b, ver in man["buckets"].items():
             side_f = os.path.join(self.path, ver, f"__b={b}",
@@ -370,10 +388,11 @@ class KeyedTable:
                 with open(side_f) as fh:
                     side = json.load(fh)
                 bm = base64.b64decode(side["bitmap"])
-                keep = all(
-                    (bm[p // 8] >> (p % 8)) & 1
-                    for p in self._bloom_positions(
-                        value, side["bits"], side["k"])
+                keep = any(
+                    all((bm[p // 8] >> (p % 8)) & 1
+                        for p in self._bloom_positions(
+                            val, side["bits"], side["k"]))
+                    for val in values
                 )
             if keep:
                 kept[b] = ver
@@ -386,7 +405,7 @@ class KeyedTable:
             df = spark.read.schema(schema).parquet(
                 *self._bucket_paths({"buckets": kept})
             )
-        return self._apply_ttl(df.filter(F.col(col) == F.lit(value)))
+        return self._apply_ttl(df.filter(predicate))
 
     def _read_snapshot(
         self, spark: SparkSession, version: str, ttl_prune: bool = False

@@ -1742,6 +1742,19 @@ def test_keyed_table_bloom_equality_skipping(spark, tmp_path):
     assert tb4.read_eq(spark, "sku", "sku_missing").count() == 0
     assert tb4.last_eq_scan["buckets_scanned"] <= 1  # sidecars rebuilt
 
+    # read_in: buckets admitting ANY probed value scan; result equals the
+    # brute-force isin; absent-only lists scan ~nothing
+    got_in = sorted(r.k for r in tb4.read_in(
+        spark, "sku", ["sku7", "sku_new", "nope"]).collect())
+    assert got_in == ["k207", "k3", "k407", "k7"]
+    assert tb4.last_eq_scan["buckets_scanned"] <= 6
+    assert tb4.read_in(spark, "sku", ["no1", "no2"]).count() == 0
+    assert tb4.last_eq_scan["buckets_scanned"] <= 1
+    with _pytest.raises(ValueError, match="non-empty"):
+        tb4.read_in(spark, "sku", [])
+    with _pytest.raises(ValueError, match="non-empty"):
+        tb4.read_in(spark, "sku", ["a", None])
+
 
 def test_keyed_table_ttl_lazy_compaction(spark, tmp_path):
     """Logical TTL horizon: expired rows vanish from read() immediately,

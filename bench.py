@@ -677,6 +677,7 @@ def main() -> None:
             "pipeline_sft_pack",
             "cep_pattern_not_next",
             "cep_mr_measures",
+            "sketch_kmv_overlap",
         ]
         etimes: dict[str, float] = {}
         ereps: dict[str, list[float]] = {}

@@ -385,3 +385,105 @@ def histogram_quantile(bins: list[tuple[int, int]], width: float, q: float) -> f
             return (b + frac) * width
         seen += c
     return (bins[-1][0] + 1) * width if bins else float("nan")
+
+
+def kmv_overlap(
+    df: DataFrame,
+    group_col: str = "event_type",
+    key_col: str = "user_id",
+    k: int = 64,
+) -> DataFrame:
+    """Pairwise distinct-set OVERLAP estimation between segments via KMV
+    (k-minimum-values) sketches — the set-intersection cardinality a
+    union-only sketch (HLL) cannot give, and the classic serving shape
+    behind "audience overlap" dashboards.
+
+    Per group, the sketch is the k lexicographically-smallest
+    ``md5(key)`` prefixes over the group's DISTINCT keys (hex-string
+    order == a fixed pseudo-random order — the same portable-determinism
+    trick the minhash tier uses, so the DuckDB oracle replays the EXACT
+    estimates).  For each unordered group pair, merging the two sketches
+    and re-trimming to k yields the k smallest of the UNION (the KMV
+    merge property), every kept hash's membership in either side is
+    exact (kept h <= the pair kth <= each group's kth), and:
+
+      est_union        = n_kept < k ? n_kept : (k-1) / u(kth)
+      est_intersection = |kept in BOTH| * est_union / n_kept
+
+    Returns (group_a, group_b, est_a, est_b, est_union,
+    est_intersection), 4-dec rounded; groups with fewer than k distinct
+    keys estimate exactly.
+
+    Scale shape: ONE distinct over (group, key) is the only data-sized
+    shuffle; the per-group rank emits <= k rows per group, and every
+    pairwise computation runs over sketch rows only (k x |groups|) with
+    the tiny pair list broadcast.  Relative error ~ 1/sqrt(k).
+    """
+    _SCALE = float(1 << 60)  # 15 hex chars
+
+    def u_of(h):
+        return F.conv(h, 16, 10).cast("double") / F.lit(_SCALE)
+
+    dk = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.substring(F.md5(F.col(key_col).cast("string")), 1, 15).alias("h"),
+        )
+        .distinct()
+    )
+    w_g = Window.partitionBy("g").orderBy("h")
+    sk = dk.withColumn("rnk", F.row_number().over(w_g)).filter(
+        F.col("rnk") <= k
+    ).select("g", "h")
+    ge = sk.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_sk"), F.max("h").alias("kth")
+    ).select(
+        "g",
+        F.when(F.col("n_sk") < k, F.col("n_sk").cast("double"))
+        .otherwise(F.lit(float(k - 1)) / u_of(F.col("kth"))).alias("est_g"),
+    )
+    groups = sk.select("g").distinct()
+    pairs = (
+        groups.select(F.col("g").alias("group_a"))
+        .crossJoin(F.broadcast(groups.select(F.col("g").alias("group_b"))))
+        .filter(F.col("group_a") < F.col("group_b"))
+    )
+    merged = (
+        pairs.join(
+            sk, (sk["g"] == pairs["group_a"]) | (sk["g"] == pairs["group_b"])
+        )
+        .groupBy("group_a", "group_b", "h")
+        .agg(
+            F.max((F.col("g") == F.col("group_a")).cast("int")).alias("in_a"),
+            F.max((F.col("g") == F.col("group_b")).cast("int")).alias("in_b"),
+        )
+    )
+    w_p = Window.partitionBy("group_a", "group_b").orderBy("h")
+    kept = merged.withColumn("rnk", F.row_number().over(w_p)).filter(
+        F.col("rnk") <= k
+    )
+    agg = kept.groupBy("group_a", "group_b").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("h").alias("kth"),
+        F.sum((F.col("in_a") * F.col("in_b"))).alias("k_int"),
+    )
+    est_union = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / u_of(F.col("kth")))
+    out = agg.select(
+        "group_a", "group_b",
+        est_union.alias("est_union"),
+        (F.col("k_int") * est_union / F.col("n_kept")).alias("est_intersection"),
+    )
+    ea = ge.select(F.col("g").alias("group_a"), F.col("est_g").alias("est_a"))
+    eb = ge.select(F.col("g").alias("group_b"), F.col("est_g").alias("est_b"))
+    return (
+        out.join(F.broadcast(ea), "group_a").join(F.broadcast(eb), "group_b")
+        .select(
+            "group_a", "group_b",
+            F.round("est_a", 4).alias("est_a"),
+            F.round("est_b", 4).alias("est_b"),
+            F.round("est_union", 4).alias("est_union"),
+            F.round("est_intersection", 4).alias("est_intersection"),
+        )
+    )

@@ -856,6 +856,70 @@ def sketch_hll_registers_q(spark, sf_dir):
 
 
 @q(
+    "sketch_kmv_overlap",
+    """
+    WITH dk AS (
+      SELECT DISTINCT event_type AS g,
+             substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS h
+      FROM events),
+    sk AS (
+      SELECT g, h FROM (
+        SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rnk
+        FROM dk) WHERE rnk <= 64),
+    ge AS (
+      SELECT g,
+             CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                  ELSE 63.0 / (CAST(concat('0x', max(h)) AS BIGINT)
+                               / 1152921504606846976.0) END AS est_g
+      FROM sk GROUP BY g),
+    pairs AS (
+      SELECT a.g AS group_a, b.g AS group_b
+      FROM (SELECT DISTINCT g FROM sk) a, (SELECT DISTINCT g FROM sk) b
+      WHERE a.g < b.g),
+    merged AS (
+      SELECT p.group_a, p.group_b, s.h,
+             max(CASE WHEN s.g = p.group_a THEN 1 ELSE 0 END) AS in_a,
+             max(CASE WHEN s.g = p.group_b THEN 1 ELSE 0 END) AS in_b
+      FROM pairs p JOIN sk s ON s.g = p.group_a OR s.g = p.group_b
+      GROUP BY 1, 2, 3),
+    kept AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY group_a, group_b
+                                     ORDER BY h) AS rnk
+        FROM merged) WHERE rnk <= 64),
+    agg AS (
+      SELECT group_a, group_b, count(*) AS n_kept, max(h) AS kth,
+             sum(in_a * in_b) AS k_int
+      FROM kept GROUP BY 1, 2),
+    est AS (
+      SELECT group_a, group_b, n_kept, k_int,
+             CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+                  ELSE 63.0 / (CAST(concat('0x', kth) AS BIGINT)
+                               / 1152921504606846976.0) END AS est_union
+      FROM agg)
+    SELECT e.group_a, e.group_b,
+           round(ga.est_g, 4) AS est_a, round(gb.est_g, 4) AS est_b,
+           round(e.est_union, 4) AS est_union,
+           round(e.k_int * e.est_union / e.n_kept, 4) AS est_intersection
+    FROM est e JOIN ge ga ON ga.g = e.group_a JOIN ge gb ON gb.g = e.group_b
+    """,
+    tags=("sketch", "kmv", "overlap", "serving"),
+)
+def sketch_kmv_overlap_q(spark, sf_dir):
+    """Audience-overlap estimation: pairwise distinct-user INTERSECTION
+    cardinality between event-type segments via KMV (k=64) sketches —
+    the set operation HLL cannot answer.  md5-hex order makes the
+    sketch (hence the ESTIMATE) deterministic, so the oracle replays it
+    value-exactly; one distinct over (segment, user) is the only
+    data-sized shuffle, and every pairwise computation runs over k x
+    |segments| sketch rows (operators/profiling.py:kmv_overlap)."""
+    from ..operators import profiling
+
+    ev = t(spark, sf_dir, "events")
+    return profiling.kmv_overlap(ev, "event_type", "user_id", k=64)
+
+
+@q(
     "sketch_hll_estimate",
     f"""
     WITH {_HLL_REG_FRAGMENT},

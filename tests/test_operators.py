@@ -3434,6 +3434,34 @@ def test_match_recognize(spark):
                             within="1 HOUR")
 
 
+def test_kmv_overlap(spark):
+    """KMV audience overlap: engineered segments A=u0..999, B=u500..1499
+    (|A∩B|=500), C=u0..49.  At k=64 (stderr ~12.6%) every estimate must
+    land within 35% of truth; a sub-k segment (C) estimates EXACTLY; a
+    disjoint pair estimates 0; estimates are deterministic (md5 order),
+    so a repeat run returns identical values."""
+    from flink_realtime_dw4_0_spark.operators.profiling import kmv_overlap
+
+    rows = ([("A", f"u{i}") for i in range(1000)]
+            + [("B", f"u{i}") for i in range(500, 1500)]
+            + [("C", f"u{i}") for i in range(50)])
+    df = spark.createDataFrame(rows, "g string, u string")
+    out = {(r.group_a, r.group_b): r for r in
+           kmv_overlap(df, "g", "u", k=64).collect()}
+    ab = out[("A", "B")]
+    assert abs(ab.est_a - 1000) / 1000 < 0.35
+    assert abs(ab.est_b - 1000) / 1000 < 0.35
+    assert abs(ab.est_union - 1500) / 1500 < 0.35
+    assert abs(ab.est_intersection - 500) / 500 < 0.35
+    ac, bc = out[("A", "C")], out[("B", "C")]
+    assert ac.est_b == 50.0 and bc.est_b == 50.0  # sub-k: exact
+    assert 15 < ac.est_intersection < 95          # true 50
+    assert bc.est_intersection == 0.0             # disjoint
+    again = {(r.group_a, r.group_b): r.est_intersection for r in
+             kmv_overlap(df, "g", "u", k=64).collect()}
+    assert again[("A", "B")] == ab.est_intersection  # deterministic
+
+
 def test_cep_not_next(spark):
     """Flink notNext (strict negation): only the row immediately after
     the previous bind can kill — a later negation event is fine (the

@@ -678,6 +678,7 @@ def main() -> None:
             "cep_pattern_not_next",
             "cep_mr_measures",
             "sketch_kmv_overlap",
+            "pack_efficiency_report",
         ]
         etimes: dict[str, float] = {}
         ereps: dict[str, list[float]] = {}

@@ -267,6 +267,53 @@ def pack_sequences_nosplit(
     )
 
 
+def pack_efficiency(
+    packed: DataFrame, seq_tokens: int
+) -> DataFrame:
+    """Padding/utilization report over a ``pack_sequences_nosplit``
+    result — the number a capacity plan actually reads: per shard,
+    how many sequences, how many are over-long singletons, and what
+    fraction of the non-overflow capacity is padding.
+
+    Input is the packing output (doc_id, shard, n_tokens, seq_id,
+    seq_off, overflow); returns per shard
+    (shard, n_docs, n_seqs, n_overflow_seqs, total_tokens,
+    total_padding, padding_frac) where padding counts only non-overflow
+    sequences (an over-long singleton has no padding by construction)
+    and padding_frac = total_padding / (non_overflow_seqs * L), 4-dec.
+    Two narrow aggregations over the packing result — nothing rescans
+    the corpus."""
+    L = int(seq_tokens)
+    per_seq = packed.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("seq_tokens"),
+        F.max("overflow").alias("overflow"),
+    )
+    return (
+        per_seq.groupBy("shard")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_seqs"),
+            F.sum("overflow").cast("long").alias("n_overflow_seqs"),
+            F.sum("seq_tokens").cast("long").alias("total_tokens"),
+            F.sum(
+                F.when(F.col("overflow") == 0, F.lit(L) - F.col("seq_tokens"))
+                .otherwise(F.lit(0))
+            ).cast("long").alias("total_padding"),
+            F.sum((F.col("overflow") == 0).cast("long")).alias("__n_full"),
+        )
+        .select(
+            "shard", "n_docs", "n_seqs", "n_overflow_seqs",
+            "total_tokens", "total_padding",
+            F.when(
+                F.col("__n_full") > 0,
+                F.round(F.col("total_padding")
+                        / (F.col("__n_full") * L), 4),
+            ).otherwise(F.lit(0.0)).alias("padding_frac"),
+        )
+    )
+
+
 def global_rank(
     df: DataFrame,
     order_cols: list[Column],

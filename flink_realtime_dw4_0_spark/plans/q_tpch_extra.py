@@ -903,3 +903,61 @@ def pack_sequences_nosplit_q(spark, sf_dir):
     return sampling.pack_sequences_nosplit(with_tokens, 96, n_shards=8)
 
 
+@q(
+    "pack_efficiency_report",
+    f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+             CAST(len({_DK_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents),
+    o AS (
+      SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      FROM toks),
+    rec AS (
+      SELECT doc_id, shard, n_tokens, rn,
+             CAST(0 AS BIGINT) AS seq_id, n_tokens AS running
+      FROM o WHERE rn = 1
+      UNION ALL
+      SELECT s.doc_id, s.shard, s.n_tokens, s.rn,
+             CASE WHEN r.running + s.n_tokens > 96
+                  THEN r.seq_id + 1 ELSE r.seq_id END,
+             CASE WHEN r.running + s.n_tokens > 96
+                  THEN s.n_tokens ELSE r.running + s.n_tokens END
+      FROM o s JOIN rec r ON s.shard = r.shard AND s.rn = r.rn + 1),
+    per_seq AS (
+      SELECT shard, seq_id, count(*) AS n_docs, sum(n_tokens) AS seq_tokens,
+             max(CASE WHEN n_tokens > 96 THEN 1 ELSE 0 END) AS overflow
+      FROM rec GROUP BY 1, 2),
+    agg AS (
+      SELECT shard,
+             CAST(sum(n_docs) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_seqs,
+             CAST(sum(overflow) AS BIGINT) AS n_overflow_seqs,
+             CAST(sum(seq_tokens) AS BIGINT) AS total_tokens,
+             CAST(sum(CASE WHEN overflow = 0 THEN 96 - seq_tokens
+                           ELSE 0 END) AS BIGINT) AS total_padding,
+             sum(CASE WHEN overflow = 0 THEN 1 ELSE 0 END) AS n_full
+      FROM per_seq GROUP BY shard)
+    SELECT shard, n_docs, n_seqs, n_overflow_seqs, total_tokens,
+           total_padding,
+           CASE WHEN n_full > 0
+                THEN round(total_padding / (n_full * 96), 4)
+                ELSE 0.0 END AS padding_frac
+    FROM agg
+    """,
+    tags=("packing", "pretraining", "report"),
+)
+def pack_efficiency_report_q(spark, sf_dir):
+    """Padding/utilization report over the no-split packing — per shard:
+    sequences, over-long singletons, total tokens, and the padding
+    fraction of non-overflow capacity.  Two narrow aggregations over the
+    packing result; the oracle replays the same greedy packing and the
+    same rollup (operators/sampling.py:pack_efficiency)."""
+    docs = t(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id", text.token_count_ws("text").alias("n_tokens")
+    )
+    packed = sampling.pack_sequences_nosplit(with_tokens, 96, n_shards=8)
+    return sampling.pack_efficiency(packed, 96)
+
+

@@ -497,6 +497,18 @@ def test_pack_sequences_nosplit(spark):
         1: (1, 0, 0, 0),    # independent shard
     }
 
+    # the efficiency report over the same hand trace: per-shard padding
+    # counts only non-overflow sequences; the fraction is of their
+    # capacity (seq tokens: 80, 40, 120!, 10, 96, 1 -> padding 253/480)
+    eff = {r.shard: r for r in sampling.pack_efficiency(
+        sampling.pack_sequences_nosplit(df, 96, n_shards=8), 96).collect()}
+    s0 = eff[0]
+    assert (s0.n_docs, s0.n_seqs, s0.n_overflow_seqs) == (7, 6, 1)
+    assert (s0.total_tokens, s0.total_padding) == (347, 253)
+    assert s0.padding_frac == round(253 / 480, 4)
+    assert (eff[1].n_seqs, eff[1].total_padding, eff[1].padding_frac) \
+        == (1, 0, 0.0)
+
     # capacity invariant on a bigger random frame
     import random
     rng = random.Random(5)

@@ -121,13 +121,16 @@ def build_dup_stress_dir(spark, sf_dir: str, out_dir: str, scale: int, dup_frac:
     df.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
 
 
-def _progress_series(qh, rows_per_batch: int) -> list[dict]:
+def _progress_series(qh, batch_rows: list[int]) -> list[dict]:
     """Per-batch (rows, trigger ms) from the terminated query's progress
     log — the in-artifact evidence for warm-up vs steady-state that the
     r6 judge asked for (recorded-vs-claimed streaming gaps could not be
     classified from a single wall-clock number).
 
-    `rows_per_batch` is the ground-truth line count per trigger; the
+    `batch_rows[batch_id]` is the ground-truth line count of the files
+    that trigger consumed (the callers track lines per written file, so
+    a trailing short batch — files % max_files != 0, or n % files
+    truncation — is attributed its ACTUAL rows, not a constant).  The
     source's own numInputRows is NOT used because a foreachBatch body
     that scans its batch k times reports k*rows (observed: 2x on the log
     pipeline's state+route passes, 4x on the trade join's 4-way table
@@ -137,11 +140,15 @@ def _progress_series(qh, rows_per_batch: int) -> list[dict]:
         dur = (p.get("durationMs") or {}).get("triggerExecution")
         if dur is None or p.get("numInputRows", 0) == 0:
             continue
+        bid = p.get("batchId")
+        if bid is None or not (0 <= bid < len(batch_rows)):
+            continue  # replay/no-data batches carry no tracked rows
+        rows = batch_rows[bid]
         series.append({
-            "batch_id": p.get("batchId"),
-            "rows": rows_per_batch,
+            "batch_id": bid,
+            "rows": rows,
             "ms": dur,
-            "rows_per_sec": int(rows_per_batch / (dur / 1000.0)) if dur else None,
+            "rows_per_sec": int(rows / (dur / 1000.0)) if dur else None,
         })
     return series
 
@@ -183,6 +190,7 @@ def bench_streaming(spark, files: int = 6, max_files: int = 2) -> dict:
         os.makedirs(src)
         day_ms = 1_700_000_000_000
         per = n // files
+        file_lines = [per] * files  # uniform here; tracked for the series
         for fi in range(files):
             with open(os.path.join(src, f"f{fi}.json"), "w") as fh:
                 for j in range(per):
@@ -231,7 +239,11 @@ def bench_streaming(spark, files: int = 6, max_files: int = 2) -> dict:
         )
         qh.awaitTermination(600)
         dt = time.perf_counter() - t0
-        series = _progress_series(qh, per * max_files)
+        batch_rows = [
+            sum(file_lines[b : b + max_files])
+            for b in range(0, files, max_files)
+        ]
+        series = _progress_series(qh, batch_rows)
         return {
             "pipeline": "dwd_log",
             "rows": files * per,
@@ -274,6 +286,7 @@ def bench_streaming_trade(spark, skew_frac: float = 0.0) -> dict:
         files = 3  # 3 batches -> a 2-batch steady-state tail in the series
         per = n_det // files
         total = 0
+        file_lines: list[int] = []  # actual envelopes per file (per batch)
 
         def env(table, data, ts):
             return _json.dumps(
@@ -283,6 +296,7 @@ def bench_streaming_trade(spark, skew_frac: float = 0.0) -> dict:
 
         for fi in range(files):
             path = os.path.join(src, f"f{fi}.json")
+            file_start = total
             with open(path, "w") as fh:
                 for j in range(per):
                     i = fi * per + j
@@ -327,6 +341,7 @@ def bench_streaming_trade(spark, skew_frac: float = 0.0) -> dict:
                         }, ts) + "\n")
                         total += 1
             os.utime(path, (1_000_000 + fi * 10, 1_000_000 + fi * 10))
+            file_lines.append(total - file_start)
 
         from flink_realtime_dw4_0_spark.sources import kafka as ksrc
         from flink_realtime_dw4_0_spark.streaming import dwd_trade
@@ -343,7 +358,7 @@ def bench_streaming_trade(spark, skew_frac: float = 0.0) -> dict:
         )
         q.awaitTermination(600)
         dt = time.perf_counter() - t0
-        series = _progress_series(q, total // files)
+        series = _progress_series(q, file_lines)  # 1 file per trigger
         return {
             "pipeline": "dwd_trade_order_detail",
             "rows": total,

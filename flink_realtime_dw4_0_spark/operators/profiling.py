@@ -448,10 +448,19 @@ def kmv_overlap(
         .crossJoin(F.broadcast(groups.select(F.col("g").alias("group_b"))))
         .filter(F.col("group_a") < F.col("group_b"))
     )
+    # pair membership as an EXPLOSION + one equi-join, not an OR-condition
+    # join (which planned as a BroadcastNestedLoopJoin doing |pairs| x
+    # sketch-rows predicate work — fine at dashboard-scale |groups|, a
+    # wall at thousands): each pair emits two (pair, member-group) rows,
+    # then the sketch attaches by a plain hash/broadcast equi-join on g.
+    # Same joined rows, so the kept hashes and estimates are unchanged.
+    sides = pairs.select(
+        "group_a",
+        "group_b",
+        F.explode(F.array(F.col("group_a"), F.col("group_b"))).alias("g"),
+    )
     merged = (
-        pairs.join(
-            sk, (sk["g"] == pairs["group_a"]) | (sk["g"] == pairs["group_b"])
-        )
+        sides.join(sk, "g")
         .groupBy("group_a", "group_b", "h")
         .agg(
             F.max((F.col("g") == F.col("group_a")).cast("int")).alias("in_a"),

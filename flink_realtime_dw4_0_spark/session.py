@@ -41,6 +41,34 @@ HARNESS_TZ = "UTC"
 _PROTOBUF_FALLBACKS = [
     "/usr/lib/google-cloud-sdk/platform/google_appengine",
 ]
+# the shim dir exposes ONLY google/protobuf via symlink — never the
+# other packages bundled next to it (appengine/auth/oauth2/pyglib),
+# which would otherwise ride along on sys.path + worker PYTHONPATH and
+# could shadow same-named modules in every python worker
+_PROTOBUF_SHIM = os.path.join(
+    os.environ.get("TMPDIR", "/tmp"), "sparkdw-protobuf-shim"
+)
+
+
+def _protobuf_shim_dir(src_root: str) -> str | None:
+    """Build (idempotently) a dir containing nothing but a
+    ``google/protobuf`` symlink into ``src_root``.  Returns the shim
+    path, or None when the filesystem refuses (read-only tmp) — the
+    caller then skips that fallback rather than splice the wide dir."""
+    src = os.path.join(src_root, "google", "protobuf")
+    g = os.path.join(_PROTOBUF_SHIM, "google")
+    link = os.path.join(g, "protobuf")
+    try:
+        os.makedirs(g, exist_ok=True)
+        if os.path.islink(link):
+            if os.path.realpath(link) != os.path.realpath(src):
+                os.remove(link)
+                os.symlink(src, link)
+        elif not os.path.exists(link):
+            os.symlink(src, link)
+        return _PROTOBUF_SHIM
+    except OSError:
+        return None
 
 
 def ensure_protobuf() -> bool:
@@ -58,26 +86,35 @@ def ensure_protobuf() -> bool:
     if _has():
         return True
     for p in _PROTOBUF_FALLBACKS:
-        if os.path.isdir(os.path.join(p, "google", "protobuf")):
-            if p not in sys.path:
-                sys.path.append(p)
-            env = os.environ.get("PYTHONPATH", "")
-            if p not in env.split(os.pathsep):
-                os.environ["PYTHONPATH"] = (
-                    f"{env}{os.pathsep}{p}" if env else p
-                )
-            # a partially-imported namespace package (a failed earlier
-            # `import google.x`) would shadow the new path
-            sys.modules.pop("google", None)
-            # the bundled runtime (6.32.0-dev) is one minor behind the
-            # gencode pyspark ships (6.33); protobuf's own sanctioned
-            # escape hatch bypasses the strict-ordering guard — the wire
-            # protocol is unchanged at this delta, and on a pip-installed
-            # current runtime none of this triggers
-            os.environ.setdefault(
-                "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true"
+        if not os.path.isdir(os.path.join(p, "google", "protobuf")):
+            continue
+        shim = _protobuf_shim_dir(p)
+        if shim is None:
+            continue
+        if shim not in sys.path:
+            sys.path.append(shim)
+        env = os.environ.get("PYTHONPATH", "")
+        if shim not in env.split(os.pathsep):
+            os.environ["PYTHONPATH"] = (
+                f"{env}{os.pathsep}{shim}" if env else shim
             )
-            return _has()
+        # a partially-imported namespace package (a failed earlier
+        # `import google.x`) would shadow the new path
+        sys.modules.pop("google", None)
+        # the bundled runtime (6.32.0-dev) is one minor behind the
+        # gencode pyspark ships (6.33); protobuf's own sanctioned
+        # escape hatch bypasses the strict-ordering guard — the wire
+        # protocol is unchanged at this delta, and on a pip-installed
+        # current runtime none of this triggers.  Set HERE, at splice
+        # time, by necessity: python workers inherit the JVM's env,
+        # captured at JVM launch — deferring this to the
+        # transformWithStateInPandas call site would be too late for
+        # the workers that actually import the generated protos.  It
+        # is only ever set when this fallback runtime is spliced.
+        os.environ.setdefault(
+            "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true"
+        )
+        return _has()
     return False
 
 

@@ -23,10 +23,24 @@ from .upsert import KeyedTable
 
 
 class DimWarehouse:
-    """Directory-per-dim-table warehouse driven by the config stream."""
+    """Directory-per-dim-table warehouse driven by the config stream.
 
-    def __init__(self, root: str):
+    ``bloom_attrs`` maps a sink table to the payload attributes it is
+    probed by BESIDES the rowkey (e.g. ``{"dim_sku_info": ["spu_id"]}``
+    — the secondary-access shape the DWS joins take when fetching the
+    skus of an spu).  Those attributes are promoted out of the CDC
+    ``data`` map into real columns at merge time and declared as the
+    table's bloom columns, so ``lookup_by_attr`` point-probes read only
+    the buckets whose per-bucket bloom sidecars admit the value —
+    secondary-attribute data skipping on a table whose BUCKET hashing
+    only serves the rowkey."""
+
+    def __init__(self, root: str, bloom_attrs: dict[str, list[str]] | None = None):
         self.root = root
+        self.bloom_attrs = dict(bloom_attrs or {})
+        # pruning observability of the latest lookup_by_attr:
+        # {buckets_total, buckets_scanned}
+        self.last_attr_scan: dict | None = None
         os.makedirs(root, exist_ok=True)
 
     def table_path(self, sink_table: str) -> str:
@@ -53,10 +67,17 @@ class DimWarehouse:
         """K4 — per-record upsert/delete resolved by CDC type
         (DimHBaseSinkFunction.java:42-51: 'delete' deletes, everything else
         — insert/update/bootstrap-insert — puts)."""
-        table = KeyedTable(self.table_path(sink_table), keys=[row_key], version_col="ts")
+        attrs = self.bloom_attrs.get(sink_table, [])
+        table = KeyedTable(self.table_path(sink_table), keys=[row_key],
+                           version_col="ts", bloom_cols=attrs or None)
         # a null rowkey is undeliverable (HBase put requires one — the
         # reference would fail the put, DimHBaseSinkFunction.java:56)
         batch = batch.filter(F.col(row_key).isNotNull())
+        # secondary probe attributes become real (string) columns so the
+        # commit can build their per-bucket bloom sidecars — map values
+        # are not bloomable, promoted scalars are
+        for a in attrs:
+            batch = batch.withColumn(a, F.element_at("data", a))
         # The reference applies puts/deletes in stream order per record
         # (DimHBaseSinkFunction.java:42-51): a delete followed by a
         # re-insert of the same key must leave the row present.  Resolve to
@@ -99,3 +120,29 @@ class DimWarehouse:
         df = table.lookup(spark, [value])
         rows = df.limit(1).collect() if df is not None else []
         return rows[0] if rows else None
+
+    def lookup_by_attr(
+        self, spark: SparkSession, sink_table: str, attr: str, value
+    ) -> DataFrame | None:
+        """Point-probe a dim table by a SECONDARY attribute (not the
+        rowkey) with bloom data skipping: reads only the buckets whose
+        ``_bloom_{attr}.json`` sidecars admit ``value`` — the rowkey
+        bucket hash cannot prune this shape, the blooms can.  The
+        logical equality filter always applies on top, so bloom false
+        positives cost reads, never correctness.  ``self.last_attr_scan``
+        records {buckets_total, buckets_scanned} for the plan gate /
+        dashboards; tables merged without ``bloom_attrs`` fall back to a
+        full scan + filter (correct, zero pruning)."""
+        table = KeyedTable(self.table_path(sink_table), keys=[])
+        if attr in table.bloom_cols:
+            df = table.read_eq(spark, attr, value)
+            self.last_attr_scan = table.last_eq_scan
+        else:
+            df = table.read(spark)
+            if df is not None:
+                # never promoted to a column: probe the payload map
+                probe = (F.col(attr) if attr in df.columns
+                         else F.element_at("data", attr))
+                df = df.filter(probe == F.lit(value))
+            self.last_attr_scan = None
+        return df

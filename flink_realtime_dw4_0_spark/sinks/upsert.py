@@ -70,6 +70,9 @@ class KeyedTable:
         self.path = path
         self.keys = keys
         self.version_col = version_col
+        # pruning observability of the latest read_eq/read_in (None until
+        # a bloom-pruned read runs; stays None on the legacy flat layout)
+        self.last_eq_scan: dict | None = None
         # per-bucket bloom sidecars for equality skipping on NON-key
         # columns (see read_eq): built at commit for written buckets;
         # inherited buckets keep the sidecar next to their data files
@@ -301,6 +304,26 @@ class KeyedTable:
             *[(h1 + F.lit(i) * h2) % self.bloom_bits for i in range(self.bloom_k)]
         )
 
+    # Bloom hashing relies on Python str(value) matching Spark's
+    # CAST(col AS STRING) bit-for-bit.  That parity holds ONLY for
+    # integral and string types; it silently breaks for boolean ('True'
+    # vs 'true'), float/decimal (Java '1.5E7' vs Python '15000000.0'),
+    # and date/timestamp formatting — where a mismatched hash would
+    # prune buckets that DO contain matches, i.e. return wrong results.
+    # Enforced at sidecar-build time and again at probe time.
+    _BLOOM_TYPES = ("byte", "short", "integer", "long", "string")
+
+    @classmethod
+    def _check_bloom_dtype(cls, col: str, type_name: str) -> None:
+        if type_name not in cls._BLOOM_TYPES:
+            raise ValueError(
+                f"bloom column {col!r} has type {type_name!r}: bloom "
+                "equality skipping supports integral/string columns only "
+                "(the md5 is over the value's string form, and Python "
+                "str(value) must equal Spark CAST(col AS STRING) exactly "
+                "— it does not for boolean/float/decimal/timestamp)"
+            )
+
     def _write_bloom_sidecars(self, spark, build_dir: str, written: set) -> None:
         """Build `_bloom_{col}.json` inside every written bucket dir (the
         '_' prefix keeps Spark's parquet reader from touching it; the
@@ -308,13 +331,17 @@ class KeyedTable:
         filters without any manifest bookkeeping).  The build is one
         distributed pass: k bit positions per row, collect_set per
         bucket — the driver receives at most n_buckets x bloom_bits
-        ints (the filter itself, never the data)."""
+        ints (the filter itself, never the data).  ``written`` names the
+        bucket ids this commit materialized; the write loop is
+        restricted to them, so a build layout that ever grows
+        non-written entries cannot produce stray sidecars."""
         import base64
 
         src = spark.read.parquet(build_dir)
         for col in self.bloom_cols:
             if col not in src.columns:
                 continue
+            self._check_bloom_dtype(col, src.schema[col].dataType.typeName())
             rows = (
                 src.where(F.col(col).isNotNull())
                 .select(
@@ -325,6 +352,8 @@ class KeyedTable:
                 .agg(F.collect_set("p").alias("ps"))
             ).collect()  # bounded: <= n_buckets rows x <= bloom_bits ints
             for r in rows:
+                if r["__b"] not in written:
+                    continue
                 bm = bytearray(self.bloom_bits // 8)
                 for p in r["ps"]:
                     p = int(p)
@@ -352,6 +381,12 @@ class KeyedTable:
         if value is None:
             raise ValueError("read_eq probes a concrete value, not NULL "
                              "(blooms never index NULLs)")
+        if isinstance(value, bool) or not isinstance(value, (int, str)):
+            raise ValueError(
+                f"read_eq probe {value!r}: only int/str probes are "
+                "supported (str(value) must equal the column's "
+                "CAST AS STRING form — see _check_bloom_dtype)"
+            )
         return self._read_bloom_pruned(
             spark, col, [value], F.col(col) == F.lit(value))
 
@@ -365,6 +400,13 @@ class KeyedTable:
         if not vals or any(v is None for v in vals):
             raise ValueError("read_in probes a non-empty list of concrete "
                              "values (blooms never index NULLs)")
+        if any(isinstance(v, bool) or not isinstance(v, (int, str))
+               for v in vals):
+            raise ValueError(
+                "read_in probes int/str values only (str(value) must "
+                "equal the column's CAST AS STRING form — see "
+                "_check_bloom_dtype)"
+            )
         return self._read_bloom_pruned(spark, col, vals, F.col(col).isin(vals))
 
     def _read_bloom_pruned(
@@ -379,6 +421,12 @@ class KeyedTable:
         if man is None:  # legacy flat layout: no buckets, no sidecars
             df = self.read(spark)
             return None if df is None else df.filter(predicate)
+        man_schema = StructType.fromJson(man["schema"])
+        if col in man_schema.fieldNames():
+            # probe-time guard: a sidecar built before the dtype check
+            # existed (or a column whose type changed) must fail loudly,
+            # never mis-prune buckets that contain matches
+            self._check_bloom_dtype(col, man_schema[col].dataType.typeName())
         kept: dict[str, str] = {}
         for b, ver in man["buckets"].items():
             side_f = os.path.join(self.path, ver, f"__b={b}",
@@ -398,7 +446,7 @@ class KeyedTable:
                 kept[b] = ver
         self.last_eq_scan = {"buckets_total": len(man["buckets"]),
                              "buckets_scanned": len(kept)}
-        schema = StructType.fromJson(man["schema"])
+        schema = man_schema
         if not kept:
             df = spark.createDataFrame([], schema)
         else:
@@ -539,6 +587,12 @@ class KeyedTable:
         absent — a crash leaves either the old or the new version
         current, and an uncommitted version dir is invisible (HISTORY is
         appended only after the flip)."""
+        # fail fast on an un-bloomable column type BEFORE any bytes are
+        # written (the sidecar builder re-checks for direct callers)
+        for bcol in self.bloom_cols:
+            if bcol in df.columns:
+                self._check_bloom_dtype(
+                    bcol, df.schema[bcol].dataType.typeName())
         os.makedirs(self.path, exist_ok=True)
         v = f"v_{uuid.uuid4().hex[:12]}"
         vdir = os.path.join(self.path, v)

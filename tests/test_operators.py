@@ -3472,6 +3472,13 @@ def test_kmv_overlap(spark):
     again = {(r.group_a, r.group_b): r.est_intersection for r in
              kmv_overlap(df, "g", "u", k=64).collect()}
     assert again[("A", "B")] == ab.est_intersection  # deterministic
+    # plan gate: sketch rows attach to pairs via the explode + equi-join,
+    # never an OR-condition nested loop — the ONLY nested-loop left is
+    # the a<b pair enumeration over the group-NAME list (two |groups|-row
+    # inputs, no sketch rows), which is inherent to inequality pairing
+    plan = kmv_overlap(df, "g", "u", k=64)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("BroadcastNestedLoopJoin") == 1
 
 
 def test_cep_not_next(spark):

@@ -198,6 +198,58 @@ def test_dim_pipeline_merge_prune_delete(spark, tmp_path):
     assert wh.get_row_of(spark, "dim_base_dic", "rowkey", "1202") is None
 
 
+def test_dim_bloom_attr_probe_prunes_buckets(spark, tmp_path):
+    """Secondary-attribute dim probe with bloom data skipping, through
+    the REAL dim pipeline path: dim_sku_info is keyed (bucketed) by sku
+    id but probed by spu_id — the shape the rowkey bucket hash cannot
+    prune.  With bloom_attrs configured, the merge promotes spu_id out
+    of the CDC payload map and builds per-bucket bloom sidecars at
+    commit; lookup_by_attr then reads ONLY the admitting buckets.
+    Asserts buckets_scanned < buckets_total, output identical to a full
+    scan + filter, absent value scans ~nothing, and a warehouse WITHOUT
+    bloom_attrs stays correct with zero pruning."""
+    wh = DimWarehouse(str(tmp_path / "dimwh_bloom"),
+                      bloom_attrs={"dim_sku_info": ["spu_id"]})
+    config = spark.createDataFrame(
+        [("sku_info", "dim_sku_info", "id,spu_id,sku_name", "info", "id", "r")],
+        schemas.TABLE_PROCESS_DIM,
+    )
+    fn = dim_foreach_batch(wh, lambda s: config)
+    lines = [
+        mx("sku_info", "insert",
+           {"id": f"sku{i}", "spu_id": f"spu{i % 40}", "sku_name": f"n{i}"},
+           ts=1)
+        for i in range(200)
+    ]
+    fn(ksrc.topic_db(values_df(spark, lines), watermark=None), 0)
+
+    probe = wh.lookup_by_attr(spark, "dim_sku_info", "spu_id", "spu7")
+    got = sorted(r.rowkey for r in probe.collect())
+    assert got == sorted(f"sku{i}" for i in range(200) if i % 40 == 7)
+    scan = wh.last_attr_scan
+    assert scan is not None and scan["buckets_scanned"] < scan["buckets_total"]
+    # full-scan twin: identical rows (pruning is a read optimization only)
+    full = sorted(
+        r.rowkey
+        for r in wh.read_dim(spark, "dim_sku_info")
+        .filter(F.element_at("data", "spu_id") == "spu7").collect()
+    )
+    assert got == full
+    # absent value: every bucket's bloom excludes it
+    assert wh.lookup_by_attr(
+        spark, "dim_sku_info", "spu_id", "spu_nope").count() == 0
+    assert wh.last_attr_scan["buckets_scanned"] == 0
+    # un-bloomed warehouse: same rows, no pruning telemetry
+    wh2 = DimWarehouse(str(tmp_path / "dimwh_plain"))
+    fn2 = dim_foreach_batch(wh2, lambda s: config)
+    fn2(ksrc.topic_db(values_df(spark, lines[:80]), watermark=None), 0)
+    r2 = wh2.lookup_by_attr(spark, "dim_sku_info", "spu_id", "spu7")
+    assert sorted(r.rowkey for r in r2.collect()) == sorted(
+        f"sku{i}" for i in range(80) if i % 40 == 7
+    )
+    assert wh2.last_attr_scan is None
+
+
 # --------------------------------------------------------------------------
 # DWD log pipeline end-to-end via file stream: ETL, is_new fix across
 # batches, 5-way split + explode (DwdBaseLog.java)
@@ -1754,6 +1806,43 @@ def test_keyed_table_bloom_equality_skipping(spark, tmp_path):
         tb4.read_in(spark, "sku", [])
     with _pytest.raises(ValueError, match="non-empty"):
         tb4.read_in(spark, "sku", ["a", None])
+
+
+def test_keyed_table_bloom_dtype_guard(spark, tmp_path):
+    """Bloom hashing is md5 over the value's STRING form, which only
+    matches Spark's CAST(col AS STRING) for integral/string columns —
+    boolean ('True' vs 'true'), float ('1.5E7' vs '15000000.0'), and
+    timestamp columns would silently prune buckets that DO contain
+    matches.  The guard fires at sidecar-build time, at probe time
+    against the manifest schema, and on non-int/str probe values."""
+    import pytest as _pytest
+
+    # build-time: committing a float bloom column raises
+    tb = KeyedTable(str(tmp_path / "badblm"), keys=["k"], n_buckets=4,
+                    bloom_cols=["price"])
+    df = spark.createDataFrame(
+        [("a", 1.5e7), ("b", 2.0)], "k string, price double")
+    with _pytest.raises(ValueError, match="integral/string"):
+        tb.merge(spark, df)
+    # boolean is NOT an acceptable int probe (True/'true' mismatch)
+    tb2 = KeyedTable(str(tmp_path / "okblm"), keys=["k"], n_buckets=4,
+                     bloom_cols=["sku"])
+    tb2.merge(spark, spark.createDataFrame(
+        [("a", 7, 1.0)], "k string, sku int, price double"))
+    with _pytest.raises(ValueError, match="int/str"):
+        tb2.read_eq(spark, "sku", True)
+    with _pytest.raises(ValueError, match="int/str"):
+        tb2.read_eq(spark, "sku", 7.0)
+    with _pytest.raises(ValueError, match="int/str"):
+        tb2.read_in(spark, "sku", [7, 8.5])
+    # int bloom column: int probe round-trips (str(7) == CAST(7 AS STRING))
+    assert [r.k for r in tb2.read_eq(spark, "sku", 7).collect()] == ["a"]
+    assert tb2.last_eq_scan["buckets_scanned"] <= 1
+    # probe-time guard against the manifest schema: probing an unsafe
+    # column type raises even if a sidecar existed (never mis-prunes)
+    with _pytest.raises(ValueError, match="integral/string"):
+        tb2._read_bloom_pruned(spark, "price", [2],
+                               F.col("price") == F.lit(2))
 
 
 def test_keyed_table_ttl_lazy_compaction(spark, tmp_path):

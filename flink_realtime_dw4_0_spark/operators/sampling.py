@@ -267,6 +267,100 @@ def pack_sequences_nosplit(
     )
 
 
+def pack_sequences_ffd(
+    df: DataFrame,
+    seq_tokens: int,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """First-fit-decreasing no-split packing — the utilization upgrade
+    over ``pack_sequences_nosplit``'s in-id-order greedy fill: within
+    each shard, docs are taken in (n_tokens DESC, doc_id) order and each
+    goes into the FIRST already-open sequence with enough remaining
+    capacity, opening a new one only when none fits (classic FFD, ≤
+    11/9·OPT+1 bins).  A doc longer than ``seq_tokens`` fits nowhere, so
+    it opens its own sequence (residual goes negative — it never admits
+    another doc), which is exactly the greedy variant's flagged
+    ``overflow`` singleton.  Same output schema
+    (doc_id, shard, n_tokens, seq_id, seq_off, overflow); ``seq_id`` is
+    the per-shard sequence CREATION index, ``seq_off`` the tokens
+    already packed into it at placement.
+
+    Scale shape: identical to the greedy variant — ONE repartition on
+    shard + sortWithinPartitions + one mapInPandas pass whose per-shard
+    open-sequence residual lists carry across Arrow batches.  The
+    in-shard fill is a linear first-fit scan over OPEN sequences
+    (O(docs × open-seqs) worst case vs greedy's O(docs)); a running
+    upper bound on the max residual short-circuits the common
+    doesn't-fit-anywhere case, and with DESC order the early sequences
+    saturate quickly so real scans are short.  Shards bound both memory
+    (one residual long per open sequence) and the scan — pick n_shards
+    so docs-per-shard stays ~10⁶; past that, close sequences whose
+    residual drops below the smallest remaining doc (not implemented —
+    needs a second pass to know that minimum).
+
+    Determinism: shard assignment and the (n_tokens DESC, doc_id) order
+    are pure column arithmetic — the DuckDB oracle replays the same
+    first-fit rule as a per-shard recursive CTE carrying the residual
+    list (``pack_sequences_ffd``) and hash-matches."""
+    import pandas as pd
+    from collections.abc import Iterator
+
+    L = int(seq_tokens)
+    base = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            (F.col(id_col) % n_shards).cast("int").alias("shard"),
+            F.col(tokens_col).cast("long").alias("n_tokens"),
+        )
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions(
+            F.col("shard"), F.col("n_tokens").desc(), F.col("doc_id")
+        )
+    )
+
+    def fill(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-shard (open-sequence residuals in creation order, upper
+        # bound on their max), carried across Arrow batches; the bound
+        # only loosens (residuals shrink, it doesn't), staying a sound
+        # skip-the-scan test for docs larger than every residual
+        state: dict[int, tuple[list[int], int]] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            seq_ids, offs = [], []
+            for shard, n in zip(pdf["shard"].to_numpy(),
+                                pdf["n_tokens"].to_numpy()):
+                bins, ub = state.get(int(shard), ([], -1))
+                n = int(n)
+                fit = -1
+                if n <= ub:
+                    for i, r in enumerate(bins):
+                        if r >= n:
+                            fit = i
+                            break
+                if fit < 0:
+                    bins.append(L)
+                    fit = len(bins) - 1
+                offs.append(L - bins[fit])
+                seq_ids.append(fit)
+                bins[fit] -= n
+                state[int(shard)] = (bins, max(ub, bins[fit]))
+            pdf = pdf.assign(
+                seq_id=pd.Series(seq_ids, index=pdf.index, dtype="int64"),
+                seq_off=pd.Series(offs, index=pdf.index, dtype="int64"),
+                overflow=(pdf["n_tokens"] > L).astype("int32"),
+            )
+            yield pdf
+
+    return base.mapInPandas(
+        fill,
+        "doc_id long, shard int, n_tokens long, "
+        "seq_id long, seq_off long, overflow int",
+    )
+
+
 def pack_efficiency(
     packed: DataFrame, seq_tokens: int
 ) -> DataFrame:

@@ -904,6 +904,63 @@ def pack_sequences_nosplit_q(spark, sf_dir):
 
 
 @q(
+    "pack_sequences_ffd",
+    f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+             CAST(len({_DK_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents),
+    o AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY shard ORDER BY n_tokens DESC, doc_id) AS rn
+      FROM toks),
+    rec AS (
+      SELECT doc_id, shard, n_tokens, rn,
+             CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS seq_off,
+             [CAST(96 - n_tokens AS BIGINT)] AS resids
+      FROM o WHERE rn = 1
+      UNION ALL
+      SELECT doc_id, shard, n_tokens, rn,
+             CASE WHEN fit IS NULL THEN CAST(len(resids) AS BIGINT)
+                  ELSE CAST(fit - 1 AS BIGINT) END AS seq_id,
+             CASE WHEN fit IS NULL THEN CAST(0 AS BIGINT)
+                  ELSE CAST(96 - resids[fit] AS BIGINT) END AS seq_off,
+             CASE WHEN fit IS NULL
+                  THEN list_append(resids, CAST(96 - n_tokens AS BIGINT))
+                  ELSE list_transform(
+                         generate_series(1, CAST(len(resids) AS BIGINT)),
+                         i -> CASE WHEN i = fit THEN resids[i] - n_tokens
+                                   ELSE resids[i] END) END AS resids
+      FROM (
+        SELECT s.doc_id, s.shard, s.n_tokens, s.rn, r.resids,
+               list_filter(generate_series(1, CAST(len(r.resids) AS BIGINT)),
+                           i -> r.resids[i] >= s.n_tokens)[1] AS fit
+        FROM o s JOIN rec r ON s.shard = r.shard AND s.rn = r.rn + 1
+      ) z)
+    SELECT doc_id, shard, n_tokens, seq_id, seq_off,
+           CAST(CASE WHEN n_tokens > 96 THEN 1 ELSE 0 END AS INT) AS overflow
+    FROM rec
+    """,
+    tags=("packing", "pretraining", "sft", "ffd"),
+)
+def pack_sequences_ffd_q(spark, sf_dir):
+    """First-fit-decreasing no-split packing: within each shard, docs in
+    (n_tokens DESC, doc_id) order go into the FIRST open 96-token
+    sequence that fits, opening one only when none does — the standard
+    padding-utilization win over the in-id-order greedy fill.  Spark
+    side is the same one-repartition + in-partition-sort + mapInPandas
+    shape with per-shard residual lists carried across Arrow batches;
+    the oracle replays first-fit exactly as a per-shard recursive CTE
+    carrying the residual LIST (operators/sampling.py:
+    pack_sequences_ffd)."""
+    docs = t(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id", text.token_count_ws("text").alias("n_tokens")
+    )
+    return sampling.pack_sequences_ffd(with_tokens, 96, n_shards=8)
+
+
+@q(
     "pack_efficiency_report",
     f"""
     WITH RECURSIVE toks AS (

@@ -532,6 +532,75 @@ def test_pack_sequences_nosplit(spark):
     assert len(out) == 400
 
 
+def test_pack_sequences_ffd(spark):
+    """First-fit-decreasing packing: hand-computed trace (largest-first
+    order, first OPEN sequence that fits wins, over-long docs become
+    flagged singletons whose negative residual never admits another
+    doc), per-shard residual state carried across forced 3-row Arrow
+    batches, the capacity/gapless invariants, and — the point of the
+    variant — strictly less padding than the in-id-order greedy fill on
+    a random corpus."""
+    import random
+
+    from flink_realtime_dw4_0_spark.operators import sampling
+
+    # one shard; desc order: 120, 96, 50, 46, 40, 30, 10 — matches the
+    # oracle prototype trace (overlong singleton, exact-fill, first-fit
+    # into the earliest open residual)
+    data = [(0, 50), (8, 40), (16, 30), (24, 120), (32, 10), (40, 46),
+            (48, 96)]
+    df = spark.createDataFrame(data, "doc_id long, n_tokens long")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        rows = {r.doc_id: (r.seq_id, r.seq_off, r.overflow)
+                for r in sampling.pack_sequences_ffd(
+                    df, 96, n_shards=8).collect()}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert rows == {
+        24: (0, 0, 1),   # 120: over-long singleton, flagged
+        48: (1, 0, 0),   # 96: exactly fills seq 1
+        0: (2, 0, 0),    # 50: opens seq 2
+        40: (2, 50, 0),  # 46: first fit -> seq 2 (resid 46)
+        8: (3, 0, 0),    # 40: nothing fits (resids -24,0,0) -> seq 3
+        16: (3, 40, 0),  # 30: seq 3 resid 56
+        32: (3, 70, 0),  # 10: seq 3 resid 26
+    }
+
+    rng = random.Random(7)
+    big = spark.createDataFrame(
+        [(i, rng.randint(1, 140)) for i in range(400)],
+        "doc_id long, n_tokens long",
+    )
+    ffd = sampling.pack_sequences_ffd(big, 96, n_shards=4).collect()
+    by_seq: dict = {}
+    for r in ffd:
+        by_seq.setdefault((r.shard, r.seq_id), []).append(r)
+    for members in by_seq.values():
+        total = sum(m.n_tokens for m in members)
+        if total > 96:
+            assert len(members) == 1 and members[0].overflow == 1
+        offs = sorted((m.seq_off, m.n_tokens) for m in members)
+        expect = 0
+        for off, n in offs:  # gapless within the sequence
+            assert off == expect
+            expect += n
+    # the utilization win: FFD pads no more than greedy on every shard
+    # and strictly less in aggregate (the reason the variant exists)
+    eff_g = {r.shard: r for r in sampling.pack_efficiency(
+        sampling.pack_sequences_nosplit(big, 96, n_shards=4), 96).collect()}
+    eff_f = {r.shard: r for r in sampling.pack_efficiency(
+        sampling.pack_sequences_ffd(big, 96, n_shards=4), 96).collect()}
+    assert sum(eff_f[s].total_padding for s in eff_f) \
+        < sum(eff_g[s].total_padding for s in eff_g)
+    for s in eff_f:  # same docs, same tokens — only the packing differs
+        assert eff_f[s].n_docs == eff_g[s].n_docs
+        assert eff_f[s].total_tokens == eff_g[s].total_tokens
+        assert eff_f[s].n_seqs <= eff_g[s].n_seqs
+    assert len(ffd) == 400
+
+
 def test_global_rank_total_order_and_distributed(spark):
     """global_rank == the single-partition window row_number it replaces,
     on a frame big enough to span several range partitions (including

@@ -387,6 +387,51 @@ def validate_skip_target(positives: list[tuple], name: str) -> int:
     return idx
 
 
+def validate_any_steps(pattern: list[dict]) -> set[str]:
+    """Placement validation for Flink ``followedByAny`` steps, shared by
+    the batch matcher and ``streaming/cep_pattern.py`` so the two
+    engines reject identical shapes: only plain relaxed positive
+    non-anchor steps, never directly after a quantified step (the loop
+    hand-off needs a single bind position).  Returns the set of
+    any-step names; engine-specific requirements (batch: emit='all' +
+    within; stream: mode='all' + no skip strategy) stay with each
+    engine."""
+    any_names = {p["name"] for p in pattern if p.get("followed_by_any")}
+    if not any_names:
+        return any_names
+    _QUANT = ("one_or_more", "times_or_more", "optional",
+              "times_range", "zero_or_more")
+    last_positive = None
+    for i, p in enumerate(pattern):
+        if p["name"] not in any_names:
+            if not p.get("negated"):
+                last_positive = p
+            continue
+        if (p.get("negated") or "times" in p
+                or any(p.get(k) for k in _QUANT)
+                or p.get("contiguity", "relaxed") == "strict"):
+            raise ValueError(
+                f"step {p['name']!r}: followed_by_any is only "
+                "supported on plain relaxed positive steps"
+            )
+        if i == 0:
+            raise ValueError(
+                "the anchor step already opens on every matching "
+                "event — followed_by_any on it is meaningless"
+            )
+        if last_positive is not None and (
+            "times" in last_positive
+            or any(last_positive.get(k) for k in _QUANT)
+        ):
+            raise ValueError(
+                f"step {p['name']!r}: followed_by_any directly after "
+                "a quantified step is not supported (the loop "
+                "hand-off needs a single bind position)"
+            )
+        last_positive = p
+    return any_names
+
+
 _NO_UNTIL = 1 << 62  # "no stop event" sentinel: larger than any rn/cum
 
 
@@ -547,9 +592,11 @@ def match_pattern(
       enumerating all combinations like Flink's non-deterministic NFA.
       Requires ``emit='all'`` and ``within`` (fan-out is pre-bounded to
       the anchor window); not supported on anchors, quantified/strict/
-      negated steps, or directly after a quantified step; batch-only
-      (the streaming machine is deterministic one-match-per-anchor and
-      rejects it);
+      negated steps, or directly after a quantified step.  The
+      streaming twin (``match_pattern_stream``, ``mode='all'``) forks a
+      live partial per qualifying bind under the ``max_active_anchors``
+      cap with visible ``fork_declined`` rows — randomized parity vs
+      this batch fan-out is pinned in the goldens;
     * ``until: <Column>`` on a looping step (Flink
       ``oneOrMore().until(cond)``) stops the loop at the first
       matching event after the predecessor bind: only loop matches
@@ -591,38 +638,8 @@ def match_pattern(
                          "(Flink has the same restriction)")
     if emit not in ("first", "all"):
         raise ValueError(f"emit must be 'first' or 'all', got {emit!r}")
-    any_names = {p["name"] for p in pattern if p.get("followed_by_any")}
+    any_names = validate_any_steps(pattern)
     if any_names:
-        _QUANT = ("one_or_more", "times_or_more", "optional",
-                  "times_range", "zero_or_more")
-        last_positive = None
-        for i, p in enumerate(pattern):
-            if p["name"] not in any_names:
-                if not p.get("negated"):
-                    last_positive = p
-                continue
-            if (p.get("negated") or "times" in p
-                    or any(p.get(k) for k in _QUANT)
-                    or p.get("contiguity", "relaxed") == "strict"):
-                raise ValueError(
-                    f"step {p['name']!r}: followed_by_any is only "
-                    "supported on plain relaxed positive steps"
-                )
-            if i == 0:
-                raise ValueError(
-                    "the anchor step already opens on every matching "
-                    "event — followed_by_any on it is meaningless"
-                )
-            if last_positive is not None and (
-                "times" in last_positive
-                or any(last_positive.get(k) for k in _QUANT)
-            ):
-                raise ValueError(
-                    f"step {p['name']!r}: followed_by_any directly after "
-                    "a quantified step is not supported (the loop "
-                    "hand-off needs a single bind position)"
-                )
-            last_positive = p
         if emit != "all":
             raise ValueError(
                 "followed_by_any enumerates EVERY qualifying bind — "

@@ -49,18 +49,26 @@ pattern bit.  Continuous triggers get later batches regardless.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 from ..operators.cep import (
     parse_after_match,
     parse_within_ms,
     unroll_pattern,
+    validate_any_steps,
     validate_skip_target,
 )
 from .cep import _out_schema
@@ -74,17 +82,78 @@ _STATE = StructType(
 )
 
 
-def _unpack_common(state: GroupState, n_steps: int):
+def _d2l(x: float) -> int:
+    """Measure values ride inside the long-array state as their IEEE-754
+    bit pattern — the layout (groups of longs) is unchanged, so
+    measure-less checkpoints stay compatible (stride grows only when
+    measures are configured)."""
+    return struct.unpack("<q", struct.pack("<d", x))[0]
+
+
+def _l2d(x: int) -> float:
+    return struct.unpack("<d", struct.pack("<q", x))[0]
+
+
+def _macc(mslots: list[int], mi: int, agg: str, v: float) -> None:
+    """Fold one bound/taken event's value into measure ``mi``'s
+    accumulator pair [acc_bits, n_nonnull].  NaN (a NULL value column)
+    is skipped — SQL aggregate semantics, matching the batch twin's
+    F.sum/avg/min/max over the taken rows.  ``avg`` accumulates the sum
+    and divides by the count at emission."""
+    nn = mslots[2 * mi + 1]
+    if nn == 0 or agg == "last":
+        a = v
+    elif agg == "first":
+        a = _l2d(mslots[2 * mi])
+    elif agg in ("sum", "avg"):
+        a = _l2d(mslots[2 * mi]) + v
+    elif agg == "min":
+        a = min(_l2d(mslots[2 * mi]), v)
+    else:  # max
+        a = max(_l2d(mslots[2 * mi]), v)
+    mslots[2 * mi] = _d2l(a)
+    mslots[2 * mi + 1] = nn + 1
+
+
+def _mdecode(maggs: list[str], mslots: list[int]) -> list[float | None]:
+    """Resolve the accumulator pairs into the emitted measure values:
+    None when no non-null value was ever folded (empty optional loop, or
+    every taken value NULL — the batch twin's left-join/agg NULLs)."""
+    out: list[float | None] = []
+    for mi, agg in enumerate(maggs):
+        nn = mslots[2 * mi + 1]
+        if nn == 0:
+            out.append(None)
+        else:
+            a = _l2d(mslots[2 * mi])
+            out.append(a / nn if agg == "avg" else a)
+    return out
+
+
+def _fresh_mslots(n_meas: int, mstep: dict, mvals: list[float] | None):
+    """Measure state for a brand-new anchor partial: zeroed pairs, then
+    the anchor event's own value folded into any step-0 measures."""
+    mslots = [0] * (2 * n_meas)
+    if mvals is not None:
+        for mi, agg in mstep.get(0, ()):
+            v = mvals[mi]
+            if v == v:  # not NaN
+                _macc(mslots, mi, agg, v)
+    return mslots
+
+
+def _unpack_common(state: GroupState, n_steps: int, ev_stride: int = 3):
     """Shared state plumbing for both matcher machines: returns
-    (packed, buffer, holds) with buffer as (ts, eid, mask) triplets and
-    holds as [t0..t_{n_steps-1}, deadline] groups; packed stays raw for
-    the machine-specific interpretation."""
+    (packed, buffer, holds) with buffer as (ts, eid, mask[, mbits...])
+    tuples of width ``ev_stride`` and holds as
+    [t0..t_{n_steps-1}, deadline] groups; packed stays raw for the
+    machine-specific interpretation."""
     if not state.exists:
         return [], [], []
     packed, buf, hold_flat = state.get
     buffer = [
-        (int(buf[i]), int(buf[i + 1]), int(buf[i + 2]))
-        for i in range(0, len(buf), 3)
+        tuple(int(buf[i + k]) for k in range(ev_stride))
+        for i in range(0, len(buf), ev_stride)
     ]
     g = n_steps + 1
     holds = [
@@ -94,20 +163,31 @@ def _unpack_common(state: GroupState, n_steps: int):
     return [int(x) for x in packed], buffer, holds
 
 
-def _ingest_and_seal(state: GroupState, pdfs, wm: int, buffer: list):
+def _ingest_and_seal(
+    state: GroupState, pdfs, wm: int, buffer: list, n_meas: int = 0
+):
     """Append on-time events from this invocation (late-beyond-watermark
     rows drop, like Flink), then split the buffer into the sealed prefix
     (ts <= wm, consumed now in (ts, event_id) order) and the still-open
-    remainder."""
+    remainder.  With measures configured, each event carries its value
+    columns as double-bit longs after the mask (the (ts, eid) sort
+    prefix is untouched, so ordering semantics are identical)."""
     if not state.hasTimedOut:
         for pdf in pdfs:
-            for ts_v, eid, mask in zip(
+            mv = [
+                pdf[f"__mv{i}"].astype("float64").to_numpy()
+                for i in range(n_meas)
+            ]
+            for j, (ts_v, eid, mask) in enumerate(zip(
                 pdf["ts"].astype("int64"),
                 pdf["event_id"].astype("int64"),
                 pdf["step_mask"].astype("int64"),
-            ):
+            )):
                 if int(ts_v) > wm:
-                    buffer.append((int(ts_v), int(eid), int(mask)))
+                    buffer.append(
+                        (int(ts_v), int(eid), int(mask))
+                        + tuple(_d2l(float(c[j])) for c in mv)
+                    )
     buffer.sort()
     sealed = [e for e in buffer if e[0] <= wm]
     return sealed, [e for e in buffer if e[0] > wm]
@@ -118,13 +198,16 @@ class _Out:
     rows and manages terminal-negation holds (release on deadline pass,
     discard on an in-window negation event)."""
 
-    def __init__(self, key: str, holds: list):
+    def __init__(self, key: str, holds: list, mnames: list[str] | None = None):
         self.key = key
         self.holds = holds
-        self.rows: list[tuple[str, int, list[int]]] = []
+        self.mnames = mnames or []
+        self.rows: list[tuple] = []
 
-    def emit(self, status: str, steps: list) -> None:
-        self.rows.append((status, int(steps[0]), [int(t) for t in steps]))
+    def emit(self, status: str, steps: list, meas=None) -> None:
+        self.rows.append(
+            (status, int(steps[0]), [int(t) for t in steps], meas)
+        )
 
     def release_holds(self, now_ms: int) -> None:
         due = [h for h in self.holds if now_ms > h[-1]]
@@ -139,14 +222,23 @@ class _Out:
     def to_pdf(self):
         if not self.rows:
             return None
-        return pd.DataFrame(
-            {
-                "key": [self.key] * len(self.rows),
-                "status": [r[0] for r in self.rows],
-                "anchor_ts": [r[1] for r in self.rows],
-                "step_ts": [r[2] for r in self.rows],
-            }
-        )
+        cols = {
+            "key": [self.key] * len(self.rows),
+            "status": [r[0] for r in self.rows],
+            "anchor_ts": [r[1] for r in self.rows],
+            "step_ts": [r[2] for r in self.rows],
+        }
+        # measures emit as NAMED top-level double columns (the batch
+        # twin's shape, and the only Arrow path that round-trips NULLs —
+        # the stateful-exec bridge rejects null ARRAY elements on
+        # decode).  Non-match rows (timeout / anchor_declined) are NULL.
+        for mi, name in enumerate(self.mnames):
+            cols[name] = pd.array(
+                [r[3][mi] if r[3] is not None else None
+                 for r in self.rows],
+                dtype="float64",
+            )
+        return pd.DataFrame(cols)
 
 
 def _finalize(
@@ -203,6 +295,9 @@ def _advance_event(
     until_bits: dict[int, int] | None = None,
     mr_strict: bool = False,
     neg_next: dict[int, list[int]] | None = None,
+    mstep: dict[int, list] | None = None,
+    mslots: list[int] | None = None,
+    mvals: list[float] | None = None,
 ):
     """One sealed event offered to one partial match.  Returns
     (status, prog, lcnt, lfirst, llast, vals); status 'alive' | 'dead'
@@ -241,6 +336,16 @@ def _advance_event(
         # quantified steps is rejected at unroll), where lcnt is unused.
         return 1 if new_prog < n and nn.get(new_prog) else 0
 
+    def take_meas(step_idx: int) -> None:
+        # fold this event's value columns into the measures bound to the
+        # step it just bound / the loop that just took it (NaN = NULL
+        # skipped, SQL-agg style); mutates the partial's own mslots
+        if mstep and mslots is not None:
+            for mi, agg in mstep.get(step_idx, ()):
+                v = mvals[mi]
+                if v == v:
+                    _macc(mslots, mi, agg, v)
+
     strict, mn, mx = specs[prog]
     if mn == 1 and mx == 1:  # plain awaited step
         if lcnt:  # adjacency pending: Flink notNext — the first event
@@ -250,6 +355,7 @@ def _advance_event(
                 return "dead", prog, lcnt, lfirst, llast, vals
             lcnt = 0
         if (mask >> prog) & 1:
+            take_meas(prog)
             vals = vals + [ts_v]
             prog += 1
             return (("complete" if prog == n else "alive"),
@@ -262,6 +368,7 @@ def _advance_event(
     nxt = prog + 1
     cnt = _loop_cnt(lcnt)
     if nxt < n and ((mask >> nxt) & 1) and cnt >= mn:
+        take_meas(nxt)
         vals = (
             vals
             + ([lfirst, llast, cnt] if cnt > 0 else [-1, -1, 0])
@@ -274,6 +381,7 @@ def _advance_event(
     if ubit is not None and (mask >> ubit) & 1:
         return "alive", prog, cnt + _FROZEN, lfirst, llast, vals
     if lcnt < _FROZEN and ((mask >> prog) & 1) and (mx < 0 or cnt < mx):
+        take_meas(prog)
         return "alive", prog, lcnt + 1, (ts_v if cnt == 0 else lfirst), ts_v, vals
     if mr_strict:
         # row-regex: the event neither bound the successor nor extended
@@ -295,6 +403,9 @@ def pattern_matcher_fn(
     within_ms: int,
     until_bits: dict[int, int] | None = None,
     mr_strict: bool = False,
+    mstep: dict[int, list] | None = None,
+    maggs: list[str] | None = None,
+    mnames: list[str] | None = None,
 ):
     """Keyed state function for the full single-anchor pattern machine.
 
@@ -315,6 +426,8 @@ def pattern_matcher_fn(
     n_steps = len(specs)
     out_len = _vals_len(specs, n_steps)
     term_loop = not _spec_is_plain(specs[-1])
+    n_meas = len(maggs or [])
+    mstep = mstep or {}
     # a fresh anchor awaiting step 1 starts adjacency-pending when a
     # notNext guards step 1 (lcnt is unused for plain awaited steps)
     anchor_lcnt = 1 if (neg_next or {}).get(1) else 0
@@ -323,14 +436,17 @@ def pattern_matcher_fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         wm = state.getCurrentWatermarkMs()
-        packed, buffer, holds = _unpack_common(state, out_len)
+        packed, buffer, holds = _unpack_common(state, out_len, 3 + n_meas)
         if packed:
             prog, lcnt, lfirst, llast = packed[0], packed[1], packed[2], packed[3]
-            vals = packed[4:]
+            vlen = _vals_len(specs, prog)
+            vals = packed[4 : 4 + vlen]
+            mslots = packed[4 + vlen :]
         else:
             prog, lcnt, lfirst, llast, vals = 0, 0, 0, 0, []
-        sealed, buffer = _ingest_and_seal(state, pdfs, wm, buffer)
-        out = _Out(key[0], holds)
+            mslots = [0] * (2 * n_meas)
+        sealed, buffer = _ingest_and_seal(state, pdfs, wm, buffer, n_meas)
+        out = _Out(key[0], holds, mnames)
 
         def partial_vals():
             if (
@@ -341,17 +457,22 @@ def pattern_matcher_fn(
                 return vals + [lfirst, llast, _loop_cnt(lcnt)]
             return list(vals)
 
+        def meas_of():
+            return _mdecode(maggs, mslots) if n_meas else None
+
         def resolve_expiry():
             # the window closed on an incomplete partial: a terminal
             # quantified step with its minimum met IS a match (deferred
             # emission); anything else times out
-            nonlocal prog, lcnt, lfirst, llast, vals
+            nonlocal prog, lcnt, lfirst, llast, vals, mslots
             if (term_loop and prog == n_steps - 1
                     and _loop_cnt(lcnt) >= specs[-1][1]):
-                out.emit("match", vals + [lfirst, llast, _loop_cnt(lcnt)])
+                out.emit("match", vals + [lfirst, llast, _loop_cnt(lcnt)],
+                         meas_of())
             else:
                 out.emit("timeout", partial_vals())
             prog, lcnt, lfirst, llast, vals = 0, 0, 0, 0, []
+            mslots = [0] * (2 * n_meas)
 
         # Sealed events are consumed one at a time in (ts, event_id)
         # order, which IS the batch twin's per-key rn order: "positionally
@@ -361,7 +482,9 @@ def pattern_matcher_fn(
         # checks, loop hand-offs, and hold kills are all processing-order
         # conditions, matching the batch twin's rn arithmetic exactly,
         # including equal-timestamp chains.
-        for ts_v, _eid, mask in sealed:
+        for ev in sealed:
+            ts_v, _eid, mask = ev[0], ev[1], ev[2]
+            mvals = [_l2d(x) for x in ev[3:]] if n_meas else None
             out.release_holds(ts_v - 1)  # windows closed before this event
             out.kill_holds(ts_v, mask, terminal_bits)
             if vals and ts_v > vals[0] + within_ms and prog < n_steps:
@@ -371,10 +494,12 @@ def pattern_matcher_fn(
                     prog, vals = 1, [ts_v]
                     lfirst = llast = 0
                     lcnt = anchor_lcnt
+                    mslots = _fresh_mslots(n_meas, mstep, mvals)
             elif prog < n_steps:
                 st, prog, lcnt, lfirst, llast, vals = _advance_event(
                     prog, lcnt, lfirst, llast, vals, ts_v, mask, specs,
                     neg_before, until_bits, mr_strict, neg_next,
+                    mstep, mslots, mvals,
                 )
                 if st == "dead":
                     # negation/strict kill: silent (Flink discards the
@@ -383,6 +508,8 @@ def pattern_matcher_fn(
                     prog, vals = (1, [ts_v]) if mask & 1 else (0, [])
                     lfirst = llast = 0
                     lcnt = anchor_lcnt if prog else 0
+                    mslots = (_fresh_mslots(n_meas, mstep, mvals)
+                              if prog else [0] * (2 * n_meas))
                 elif st == "complete":
                     if vals[-1] - vals[0] <= within_ms:
                         if terminal_bits:
@@ -390,8 +517,9 @@ def pattern_matcher_fn(
                                 list(vals) + [vals[0] + within_ms]
                             )
                         else:
-                            out.emit("match", vals)
+                            out.emit("match", vals, meas_of())
                     prog, lcnt, lfirst, llast, vals = 0, 0, 0, 0, []
+                    mslots = [0] * (2 * n_meas)
 
         out.release_holds(wm)
         if prog > 0 and wm > vals[0] + within_ms:
@@ -399,7 +527,8 @@ def pattern_matcher_fn(
 
         _finalize(
             state, wm,
-            ([prog, lcnt, lfirst, llast] + vals) if prog > 0 else [],
+            ([prog, lcnt, lfirst, llast] + vals + mslots)
+            if prog > 0 else [],
             buffer, out.holds,
             [vals[0] + within_ms + 1] if prog > 0 else [],
         )
@@ -423,6 +552,10 @@ def pattern_matcher_all_fn(
     skip_to_vidx: int | None = None,
     until_bits: dict[int, int] | None = None,
     mr_strict: bool = False,
+    mstep: dict[int, list] | None = None,
+    maggs: list[str] | None = None,
+    mnames: list[str] | None = None,
+    any_steps: frozenset[int] = frozenset(),
 ):
     """Multi-anchor (Flink NO_SKIP / SKIP_*) keyed state function: EVERY
     step-1 event opens its own partial match and all partials advance
@@ -466,31 +599,39 @@ def pattern_matcher_all_fn(
     out_len = _vals_len(specs, n_steps)
     term_loop = not _spec_is_plain(specs[-1])
     skip_past = after_match == "skip_past_last"
+    n_meas = len(maggs or [])
+    mstep = mstep or {}
     anchor_lcnt = 1 if (neg_next or {}).get(1) else 0  # see single machine
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         wm = state.getCurrentWatermarkMs()
-        packed, buffer, holds = _unpack_common(state, out_len)
+        packed, buffer, holds = _unpack_common(state, out_len, 3 + n_meas)
         anchors_seen = packed[0] if packed else 0
-        # each partial: [prog, lcnt, lfirst, llast, *vals]
+        # each partial: [prog, lcnt, lfirst, llast, *vals, *mslots]
         partials: list[list[int]] = []
         i = 1
         while i < len(packed):
             prog = packed[i]
-            g = 4 + _vals_len(specs, prog)
+            g = 4 + _vals_len(specs, prog) + 2 * n_meas
             partials.append(packed[i : i + g])
             i += g
-        sealed, buffer = _ingest_and_seal(state, pdfs, wm, buffer)
-        out = _Out(key[0], holds)
+        sealed, buffer = _ingest_and_seal(state, pdfs, wm, buffer, n_meas)
+        out = _Out(key[0], holds, mnames)
+
+        def split_p(p):
+            # (vals, mslots) slices of one packed partial (core is p[:4])
+            vlen = _vals_len(specs, p[0])
+            return p[4 : 4 + vlen], p[4 + vlen :]
 
         def expire(p) -> None:
             prog, lcnt, lfirst, llast = p[0], p[1], p[2], p[3]
-            vals = p[4:]
+            vals, mslots = split_p(p)
             if (term_loop and prog == n_steps - 1
                     and _loop_cnt(lcnt) >= specs[-1][1]):
-                out.emit("match", vals + [lfirst, llast, _loop_cnt(lcnt)])
+                out.emit("match", vals + [lfirst, llast, _loop_cnt(lcnt)],
+                         _mdecode(maggs, mslots) if n_meas else None)
             elif (
                 prog < n_steps
                 and not _spec_is_plain(specs[prog])
@@ -500,10 +641,13 @@ def pattern_matcher_all_fn(
             else:
                 out.emit("timeout", vals)
 
-        for ts_v, _eid, mask in sealed:
+        for ev in sealed:
+            ts_v, _eid, mask = ev[0], ev[1], ev[2]
+            mvals = [_l2d(x) for x in ev[3:]] if n_meas else None
             out.release_holds(ts_v - 1)
             out.kill_holds(ts_v, mask, terminal_bits)
             survivors: list[list[int]] = []
+            forks: list[list[int]] = []  # followedByAny continuations
             skip_now = False
             horizon: int | None = None  # SKIP_TO_* prune line, this event
             for p in partials:
@@ -514,9 +658,52 @@ def pattern_matcher_all_fn(
                 if ts_v > p[4] + within_ms:
                     expire(p)
                     continue
+                if p[0] < n_steps and p[0] in any_steps:
+                    # Flink followedByAny: EVERY qualifying event forks
+                    # its own continuation (the non-deterministic NFA's
+                    # combination enumeration); the ORIGINAL stays armed
+                    # for later candidates and expires at anchor+within
+                    # like any partial.  Skip strategies are rejected up
+                    # front, so no skip bookkeeping runs here.
+                    if (mask >> p[0]) & 1:
+                        q_vals, q_mslots = split_p(p)  # slices = copies
+                        st, prog, lcnt, lfirst, llast, vals = \
+                            _advance_event(
+                                p[0], p[1], p[2], p[3], q_vals, ts_v,
+                                mask, specs, neg_before, until_bits,
+                                mr_strict, neg_next,
+                                mstep, q_mslots, mvals,
+                            )
+                        if st == "complete":
+                            if vals[-1] - vals[0] <= within_ms:
+                                if terminal_bits:
+                                    out.holds.append(
+                                        vals + [vals[0] + within_ms]
+                                    )
+                                else:
+                                    out.emit(
+                                        "match", vals,
+                                        _mdecode(maggs, q_mslots)
+                                        if n_meas else None,
+                                    )
+                        else:  # alive: takes a live slot after the loop
+                            forks.append(
+                                [prog, lcnt, lfirst, llast]
+                                + vals + q_mslots
+                            )
+                    # a negation event in the gap kills the ORIGINAL —
+                    # a candidate on this very event already forked (the
+                    # batch anti-join is strictly-between, so a bind AT
+                    # the negation row survives there too)
+                    if not any((mask >> b) & 1
+                               for b in neg_before.get(p[0], ())):
+                        survivors.append(p)
+                    continue
+                p_vals, p_mslots = split_p(p)
                 st, prog, lcnt, lfirst, llast, vals = _advance_event(
-                    p[0], p[1], p[2], p[3], p[4:], ts_v, mask, specs,
+                    p[0], p[1], p[2], p[3], p_vals, ts_v, mask, specs,
                     neg_before, until_bits, mr_strict, neg_next,
+                    mstep, p_mslots, mvals,
                 )
                 if st == "dead":
                     continue  # negation/strict kill: silent, like Flink
@@ -525,7 +712,10 @@ def pattern_matcher_all_fn(
                         if terminal_bits:
                             out.holds.append(vals + [vals[0] + within_ms])
                         else:
-                            out.emit("match", vals)
+                            out.emit(
+                                "match", vals,
+                                _mdecode(maggs, p_mslots) if n_meas else None,
+                            )
                             if skip_past:
                                 # every live partial started at or before
                                 # this match's last event — all discarded,
@@ -545,8 +735,18 @@ def pattern_matcher_all_fn(
                                     q for q in survivors if q[4] >= horizon
                                 ]
                     continue  # completed; NO_SKIP: others carry on
-                survivors.append([prog, lcnt, lfirst, llast] + vals)
+                survivors.append(
+                    [prog, lcnt, lfirst, llast] + vals + p_mslots
+                )
             partials = survivors
+            # forks admit under the SAME live cap as anchors — a fork
+            # declined at the cap is data loss on a hot key, made
+            # visible exactly like an anchor decline
+            for f in forks:
+                if len(partials) < max_active_anchors:
+                    partials.append(f)
+                else:
+                    out.emit("fork_declined", [ts_v])
             # the SAME event may also open its own anchor (after it was
             # offered to every existing partial — batch parity: chains
             # bind strictly-later positions only)
@@ -558,7 +758,10 @@ def pattern_matcher_all_fn(
                 ):
                     pass  # batch-parity first-N-ever cap: never opens
                 elif len(partials) < max_active_anchors:
-                    partials.append([1, anchor_lcnt, 0, 0, ts_v])
+                    partials.append(
+                        [1, anchor_lcnt, 0, 0, ts_v]
+                        + _fresh_mslots(n_meas, mstep, mvals)
+                    )
                 else:
                     # live-cap decline is DATA LOSS on a hot key — make
                     # it visible downstream instead of silent
@@ -604,6 +807,7 @@ def match_pattern_stream(
     max_active_anchors: int = 16,
     max_anchors_per_key: int | None = None,
     after_match: str = "no_skip",
+    measures: dict[str, tuple[str, str, str]] | None = None,
     _mr_strict: bool = False,
 ) -> DataFrame:
     """Streaming full-pattern matcher: the same ``pattern`` dicts as
@@ -617,11 +821,26 @@ def match_pattern_stream(
     and a TERMINAL quantified step resolves at ``anchor + within`` on
     the watermark (count >= min → match, else timeout).
 
+    ``measures`` (same ``{out: (agg, value_col, var)}`` surface as the
+    batch ``match_recognize``) adds one named nullable double output
+    column per measure: values fold into per-partial accumulators at
+    bind/take time (see ``match_recognize_stream`` for the full
+    contract); rejected with negated steps (terminal-negation holds
+    outlive their measure context, and MATCH_RECOGNIZE patterns have no
+    negations).
+
     ``mode="single"`` (default) runs one pending anchor at a time — the
     lean k-longs machine, with the documented overlapping-anchor
     divergence.  ``mode="all"`` runs the multi-anchor machine: every
     step-1 event opens its own partial, matching Flink's NFA and the
-    batch twin's ``emit="all"``.  Knobs, mode="all" only:
+    batch twin's ``emit="all"``.  ``followed_by_any`` steps (mode="all"
+    only) FORK a continuation per qualifying bind — Flink's
+    non-deterministic followedByAny — with the armed original staying
+    live for later candidates; forks admit under the same
+    ``max_active_anchors`` cap and a declined fork emits a visible
+    ``status='fork_declined'`` row.  Skip strategies are rejected with
+    any-steps (an emitted fork's horizon would prune sibling forks of
+    its own anchor mid-event).  Knobs, mode="all" only:
 
     * ``max_active_anchors`` bounds LIVE partials; an anchor declined
       at the cap emits a visible ``status='anchor_declined'`` row
@@ -647,13 +866,28 @@ def match_pattern_stream(
             "needs a timeout horizon to bound state and resolve anchors "
             "(the batch twin allows within=None; a stream cannot)"
         )
-    if any(p.get("followed_by_any") for p in pattern):
-        raise ValueError(
-            "followed_by_any is batch-only: it forks a chain per "
-            "qualifying bind (non-deterministic NFA), which this "
-            "deterministic one-match-per-anchor streaming machine "
-            "cannot express — run the batch matcher over sealed data"
-        )
+    any_names = validate_any_steps(pattern)  # shared placement rules
+    if any_names:
+        if mode != "all":
+            raise ValueError(
+                "followed_by_any forks a partial per qualifying bind — "
+                "use mode='all' (the single-anchor machine runs one "
+                "deterministic chain and cannot fork)"
+            )
+        if _mr_strict:
+            raise ValueError(
+                "followed_by_any under MATCH_RECOGNIZE row-regex "
+                "contiguity is not a thing — every position is forced, "
+                "so there is exactly one candidate per step"
+            )
+        if after_match not in ("no_skip", "skip_to_next"):
+            raise ValueError(
+                "followed_by_any with a pruning skip strategy is not "
+                "supported on the stream: an emitted fork's skip "
+                "horizon would have to prune sibling forks of its own "
+                "anchor mid-event — run the batch matcher + skip replay "
+                "over sealed data"
+            )
     within_ms = parse_within_ms(within)  # shared with the batch matcher
 
     positives, negations, untils = unroll_pattern(pattern)
@@ -696,6 +930,41 @@ def match_pattern_stream(
                 if _spec_is_plain(specs[tidx]) or skip_to[0] == "skip_to_first"
                 else off + 1  # loop step: (first, last, count) triple
             )
+    # MEASURES (same surface as the batch match_recognize): each output
+    # maps to (agg, value_col, var); the value rides with the event into
+    # the machine and folds into per-partial accumulators at the moment
+    # its step binds / its loop takes — Flink's NFA does exactly this,
+    # and it is the only shape that works on a stream (the batch twin's
+    # output-side range join needs the full event history)
+    mspecs: list[tuple[str, str, str]] = []  # (agg, val_col, var)
+    mstep: dict[int, list[tuple[int, str]]] = {}
+    if measures:
+        if negations:
+            raise ValueError(
+                "streaming measures with negated steps are not supported "
+                "(a terminal notFollowedBy holds completed matches in "
+                "state past their measure context; MATCH_RECOGNIZE "
+                "patterns have no negations)"
+            )
+        step_names = [s[0] for s in positives]
+        _MAGGS = ("sum", "avg", "min", "max", "first", "last")
+        for out_name, spec in measures.items():
+            magg, val_col, var = spec
+            if magg not in _MAGGS:
+                raise ValueError(
+                    f"MEASURES {out_name}: agg must be one of "
+                    f"{sorted(_MAGGS)}, got {magg!r}"
+                )
+            if var not in step_names:
+                raise ValueError(
+                    f"MEASURES {out_name}: unknown pattern variable "
+                    f"{var!r} — have {step_names} (times(n) unrolls to "
+                    "name_1..name_n, as in the batch twin)"
+                )
+            mstep.setdefault(step_names.index(var), []).append(
+                (len(mspecs), magg)
+            )
+            mspecs.append((magg, val_col, var))
     neg_before: dict[int, list[int]] = {}
     neg_next: dict[int, list[int]] = {}
     terminal_bits: list[int] = []
@@ -716,6 +985,17 @@ def match_pattern_stream(
         bit = n_steps + len(negations) + k
         mask = mask + F.when(untils[sidx], F.lit(1 << bit)).otherwise(0)
         until_bits[sidx] = bit
+    # followedByAny steps by UNROLLED index (any-steps are plain
+    # times-1, so their unrolled name equals the pattern name)
+    any_idx = frozenset(
+        i for i, s in enumerate(positives) if s[0] in any_names
+    )
+    if any(ri in any_idx for ri in neg_next):
+        raise ValueError(
+            "notNext guarding a followed_by_any step is not supported: "
+            "the adjacency obligation is defined against ONE next bind "
+            "position, and an any-step has many"
+        )
 
     src = events
     if "row_time" not in src.columns:
@@ -731,6 +1011,8 @@ def match_pattern_stream(
         eid_col.alias("event_id"),
         mask.alias("step_mask"),
         "row_time",
+        *[F.col(vc).cast("double").alias(f"__mv{i}")
+          for i, (_a, vc, _v) in enumerate(mspecs)],
     )
     if not any(s[0] for s in specs) and not _mr_strict and not neg_next:
         # relaxed-only: non-participating events can't affect the match
@@ -738,6 +1020,7 @@ def match_pattern_stream(
         # one is exactly what breaks a match, and a notNext's adjacency
         # check is against the ACTUAL next row, participating or not)
         src = src.filter(F.col("step_mask") != 0)
+    maggs = [a for a, _vc, _v in mspecs]
     if mode == "all":
         matcher = pattern_matcher_all_fn(
             specs, neg_before,
@@ -749,6 +1032,8 @@ def match_pattern_stream(
             skip_to_vidx=skip_to_vidx,
             until_bits=until_bits,
             mr_strict=_mr_strict,
+            mstep=mstep, maggs=maggs, mnames=list(measures or {}),
+            any_steps=any_idx,
         )
     elif mode == "single":
         matcher = pattern_matcher_fn(
@@ -757,12 +1042,19 @@ def match_pattern_stream(
             terminal_bits=terminal_bits, within_ms=within_ms,
             until_bits=until_bits,
             mr_strict=_mr_strict,
+            mstep=mstep, maggs=maggs, mnames=list(measures or {}),
         )
     else:
         raise ValueError(f"mode must be 'single' or 'all', got {mode!r}")
+    out_schema = _out_schema()
+    if mspecs:
+        out_schema = StructType(
+            out_schema.fields
+            + [StructField(nm, DoubleType()) for nm in measures]
+        )
     return src.groupBy("key").applyInPandasWithState(
         matcher,
-        outputStructType=_out_schema(),
+        outputStructType=out_schema,
         stateStructType=_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
@@ -784,10 +1076,26 @@ def match_recognize_stream(
     mode: str = "all",
     max_active_anchors: int = 16,
     max_anchors_per_key: int | None = None,
+    measures: dict[str, tuple[str, str, str]] | None = None,
 ) -> DataFrame:
     """Streaming Flink SQL ``MATCH_RECOGNIZE`` — the same PATTERN /
-    DEFINE / WITHIN / AFTER MATCH surface as the batch
+    DEFINE / WITHIN / AFTER MATCH / MEASURES surface as the batch
     ``operators.cep.match_recognize``, over a watermarked stream.
+
+    ``measures`` maps an output name to ``(agg, value_col, var)`` with
+    ``agg`` in ``sum|avg|min|max|first|last`` — identical to the batch
+    clause.  The stream resolves them Flink-style: each event's value
+    columns ride into the machine and fold into per-partial
+    accumulators (one (acc, n_nonnull) long pair per measure, doubles
+    as IEEE-754 bits) at the moment the variable binds / the loop takes
+    the event, so a match emits its measures without ever re-reading
+    history.  The output gains one NAMED nullable double column per
+    measure — the batch twin's exact shape — NULL for a variable whose
+    taken rows were all NULL or an empty optional, and NULL on
+    non-match rows (timeout / anchor_declined).  Sums fold in event
+    order vs the batch twin's unordered aggregation, so float totals
+    agree to the last ulp only — round on both sides when comparing,
+    as the batch oracle does.
 
     ``contiguity='strict'`` (default) gives the clause's actual
     row-regex semantics via the machine's ``mr_strict`` mode: every
@@ -844,5 +1152,6 @@ def match_recognize_stream(
         max_active_anchors=max_active_anchors,
         max_anchors_per_key=max_anchors_per_key,
         after_match=after_match,
+        measures=measures,
         _mr_strict=(contiguity == "strict"),
     )

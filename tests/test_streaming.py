@@ -3704,7 +3704,7 @@ def test_streaming_pattern_consecutive_golden(spark, tmp_path):
     assert twin_t == {"u1": 2, "u2": 1}
 
 
-def _run_mr_stream(spark, tmp_path, name, batches, **kwargs):
+def _run_mr_stream(spark, tmp_path, name, batches, schema=None, **kwargs):
     import json
 
     from flink_realtime_dw4_0_spark.streaming.cep_pattern import (
@@ -3719,7 +3719,7 @@ def _run_mr_stream(spark, tmp_path, name, batches, **kwargs):
                 fh.write(json.dumps(r) + "\n")
         os.utime(src / f"b{i}.json", (1_000_000 + 10 * i, 1_000_000 + 10 * i))
     stream = spark.readStream.schema(
-        "user_id string, ts long, event_id long, event_type string"
+        schema or "user_id string, ts long, event_id long, event_type string"
     ).option("maxFilesPerTrigger", 1).json(str(src))
     out = match_recognize_stream(stream, **kwargs)
     q = (
@@ -3864,6 +3864,300 @@ def test_streaming_mr_alternation_golden(spark, tmp_path):
         "k2": (base + 1 * SEC, base + 2 * SEC, base + 3 * SEC, "S"),
     }
     assert {k: list(v[:3]) for k, v in twin.items()} == got
+
+
+def test_streaming_followed_by_any_golden(spark, tmp_path):
+    """Streaming followedByAny under SHUFFLED arrival equals the batch
+    twin: every qualifying B forks its own continuation (three B
+    candidates -> three matches off one anchor), each fork binds its own
+    minimum C, the armed original times out at the window edge without
+    emitting a match, and the live cap declines forks VISIBLY
+    (status='fork_declined')."""
+    from flink_realtime_dw4_0_spark.operators.cep import match_pattern
+
+    base = 1_700_000_000_000
+    SEC = 1_000
+    all_events = {
+        "k1": [("A", 1), ("B", 2), ("B", 3), ("C", 4), ("B", 5), ("C", 6)],
+        "k2": [("A", 1), ("C", 2), ("B", 3)],   # B after last C: no match
+    }
+    rows = [
+        {"user_id": u, "ts": base + s * SEC, "event_id": s, "event_type": e}
+        for u, evs in all_events.items() for e, s in evs
+    ]
+    b1 = [r for r in rows if r["ts"] >= base + 4 * SEC]   # reversed halves
+    b2 = [r for r in rows if r["ts"] < base + 4 * SEC]
+    b3 = [{"user_id": "k9", "ts": base + 900_000, "event_id": 99,
+           "event_type": "A"}]
+    pat = [
+        {"name": "a", "where": F.col("event_type") == "A"},
+        {"name": "b", "where": F.col("event_type") == "B",
+         "followed_by_any": True},
+        {"name": "c", "where": F.col("event_type") == "C"},
+    ]
+    got = sorted(
+        tuple(r.step_ts)
+        for r in _run_pattern_stream(
+            spark, tmp_path, "fba", [b1, b2, b3], pat,
+            within="1 minute", watermark="10 seconds", mode="all")
+        if r.key == "k1" and r.status == "match"
+    )
+    T = lambda s: base + s * SEC  # noqa: E731
+    assert got == [(T(1), T(2), T(4)), (T(1), T(3), T(4)),
+                   (T(1), T(5), T(6))]
+
+    # batch twin on the same events: identical match set
+    bdf = spark.createDataFrame(
+        [(r["user_id"], r["ts"], r["event_id"], r["event_type"])
+         for r in rows],
+        "user_id string, ts_ms long, event_id long, event_type string",
+    ).withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+    twin = sorted(
+        (int(r.a_ts.timestamp() * 1000), int(r.b_ts.timestamp() * 1000),
+         int(r.c_ts.timestamp() * 1000))
+        for r in match_pattern(bdf, pat, within="1 minute",
+                               emit="all").collect()
+        if r.user_id == "k1"
+    )
+    assert twin == got
+
+    # live-cap golden: cap 2 = the armed original + ONE fork; the second
+    # concurrent fork declines visibly, and only the fork that got a
+    # slot completes
+    capped = _run_pattern_stream(
+        spark, tmp_path, "fbacap", [b1, b2, b3], pat,
+        within="1 minute", watermark="10 seconds", mode="all",
+        max_active_anchors=2)
+    k1 = [r for r in capped if r.key == "k1"]
+    assert [tuple(r.step_ts) for r in k1 if r.status == "match"] \
+        == [(T(1), T(2), T(4)), (T(1), T(5), T(6))]
+    assert sum(1 for r in k1 if r.status == "fork_declined") == 1
+
+    # single-anchor machine / skip strategies / MR contiguity reject
+    import pytest as _pytest
+
+    from flink_realtime_dw4_0_spark.streaming.cep_pattern import (
+        match_pattern_stream,
+    )
+    rate = spark.readStream.format("rate").load().selectExpr(
+        "cast(value as string) as user_id", "1 as ts",
+        "value as event_id", "'A' as event_type")
+    with _pytest.raises(ValueError, match="mode='all'"):
+        match_pattern_stream(rate, pat, within="1 minute", mode="single")
+    with _pytest.raises(ValueError, match="skip"):
+        match_pattern_stream(rate, pat, within="1 minute", mode="all",
+                             after_match="skip_past_last")
+
+
+def test_streaming_followed_by_any_randomized_parity(spark, tmp_path):
+    """Randomized followedByAny batch/stream parity: seeded random
+    A/B/C/X soups arrive SHUFFLED; with a cap high enough not to fire,
+    the streamed match multiset equals the batch matcher's
+    emit='all' fan-out (every B candidate x its own min-C bind)."""
+    import random
+
+    from flink_realtime_dw4_0_spark.operators.cep import match_pattern
+
+    rng = random.Random(1234)
+    base = 1_700_000_000_000
+    SEC = 1_000
+    rows = []
+    for k in range(20):
+        for s in range(rng.randint(5, 14)):
+            rows.append({
+                "user_id": f"f{k}", "ts": base + s * SEC, "event_id": s,
+                "event_type": rng.choice("ABBBCCX"),
+            })
+    shuffled = rows[:]
+    rng.shuffle(shuffled)
+    half = len(shuffled) // 2
+    batches = [shuffled[:half], shuffled[half:],
+               [{"user_id": "f999", "ts": base + 900_000, "event_id": 999,
+                 "event_type": "A"}]]
+    pat = [
+        {"name": "a", "where": F.col("event_type") == "A"},
+        {"name": "b", "where": F.col("event_type") == "B",
+         "followed_by_any": True},
+        {"name": "c", "where": F.col("event_type") == "C"},
+    ]
+    stream = sorted(
+        (r.key, tuple(r.step_ts))
+        for r in _run_pattern_stream(
+            spark, tmp_path, "fbar", batches, pat,
+            # delay > the 14 s span: shuffled arrival must not late-drop
+            within="1 minute", watermark="30 seconds", mode="all",
+            max_active_anchors=256)
+        if r.key != "f999" and r.status == "match"
+    )
+    bdf = spark.createDataFrame(
+        [(r["user_id"], r["ts"], r["event_id"], r["event_type"])
+         for r in rows],
+        "user_id string, ts_ms long, event_id long, event_type string",
+    ).withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+    batch = sorted(
+        (r.user_id, (int(r.a_ts.timestamp() * 1000),
+                     int(r.b_ts.timestamp() * 1000),
+                     int(r.c_ts.timestamp() * 1000)))
+        for r in match_pattern(bdf, pat, within="1 minute",
+                               emit="all").collect()
+    )
+    # seed 1234 yields 21 matches incl. multi-anchor multi-fork keys
+    assert stream == batch and len(batch) >= 15
+
+
+_MRM_SCHEMA = ("user_id string, ts long, event_id long, "
+               "event_type string, value double")
+
+
+def test_streaming_mr_measures_golden(spark, tmp_path):
+    """Streaming MATCH_RECOGNIZE MEASURES under SHUFFLED arrival equals
+    the batch twin: sum/avg/min/max over the TAKEN loop rows, first/last
+    and plain-variable values fold into per-partial accumulators at
+    bind/take time (the Flink-NFA shape — no history re-read), an
+    all-NULL variable yields None, and a loop event arriving after the
+    successor bound contributes nothing (proceed priority, both
+    engines)."""
+    from flink_realtime_dw4_0_spark.operators.cep import match_recognize
+
+    base = 1_700_000_000_000
+    SEC = 1_000
+    # (event_type, second, value) — V C+ P with measures over C and P
+    all_events = {
+        "u1": [("V", 1, 9.0), ("C", 2, 1.5), ("C", 3, 2.5), ("C", 4, 0.5),
+               ("P", 5, 10.0)],
+        "u2": [("V", 1, 1.0), ("C", 2, 7.25), ("P", 3, 20.0)],
+        "u3": [("V", 1, 1.0), ("P", 2, 5.0)],                 # no click: dead
+        "u4": [("V", 1, 2.0), ("C", 2, None), ("C", 3, None),
+               ("P", 4, 30.0)],                               # all-NULL sum
+        "u5": [("V", 1, 3.0), ("C", 2, 4.0)],  # no P: times out on the wm
+    }
+    rows = [
+        {"user_id": u, "ts": base + s * SEC, "event_id": s,
+         "event_type": e, "value": v}
+        for u, evs in all_events.items() for e, s, v in evs
+    ]
+    b1 = [r for r in rows if r["ts"] >= base + 3 * SEC]   # reversed halves
+    b2 = [r for r in rows if r["ts"] < base + 3 * SEC]
+    b3 = [{"user_id": "u9", "ts": base + 900_000, "event_id": 99,
+           "event_type": "V", "value": 0.0}]
+    define = {"V": "event_type = 'V'", "C": "event_type = 'C'",
+              "P": "event_type = 'P'"}
+    measures = {
+        "click_sum": ("sum", "value", "C"),
+        "click_avg": ("avg", "value", "C"),
+        "click_max": ("max", "value", "C"),
+        "click_first": ("first", "value", "C"),
+        "purchase_val": ("last", "value", "P"),
+        "anchor_val": ("min", "value", "V"),
+    }
+    mcols = list(measures)  # named double output columns, dict order
+
+    def demeas(r):
+        return [None if r[c] is None else round(r[c], 6) for c in mcols]
+
+    got = {
+        r.key: demeas(r)
+        for r in _run_mr_stream(
+            spark, tmp_path, "mrm", [b1, b2, b3], schema=_MRM_SCHEMA,
+            pattern="V C+ P", define=define, within="1 minute",
+            watermark="10 seconds", measures=measures)
+        if r.key != "u9" and r.status == "match"
+    }
+    assert got == {
+        "u1": [4.5, 1.5, 2.5, 1.5, 10.0, 9.0],
+        "u2": [7.25, 7.25, 7.25, 7.25, 20.0, 1.0],
+        "u4": [None, None, None, None, 30.0, 2.0],
+    }
+    # timeout rows carry all-NULL measures, never stale values
+    to = [r for r in spark.sql("SELECT * FROM mrm_out").collect()
+          if r.status == "timeout"]
+    assert to and all(all(r[c] is None for c in mcols) for r in to)
+
+    # batch twin, same data + same measures clause: identical values
+    bdf = spark.createDataFrame(
+        [(r["user_id"], r["ts"], r["event_id"], r["event_type"], r["value"])
+         for r in rows],
+        _MRM_SCHEMA.replace("ts long", "ts_ms long"),
+    ).withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+    twin = {
+        r.user_id: [None if v is None else round(v, 6) for v in
+                    (r.click_sum, r.click_avg, r.click_max, r.click_first,
+                     r.purchase_val, r.anchor_val)]
+        for r in match_recognize(
+            bdf, pattern="V C+ P", define=define, within="1 minute",
+            measures=measures).collect()
+    }
+    assert twin == got
+
+
+def test_streaming_mr_measures_randomized_parity(spark, tmp_path):
+    """Randomized batch/stream MEASURES parity: seeded random event
+    soups (types V/C/P/X with random values) arrive SHUFFLED across
+    three files; every streamed match's (anchor, measures) multiset
+    equals the batch match_recognize with the same measures clause —
+    6-dec rounded (stream folds sums in event order; batch aggregates
+    unordered)."""
+    import random
+
+    from flink_realtime_dw4_0_spark.operators.cep import match_recognize
+
+    rng = random.Random(42)
+    base = 1_700_000_000_000
+    SEC = 1_000
+    rows = []
+    for k in range(24):
+        for s in range(rng.randint(4, 14)):
+            rows.append({
+                "user_id": f"r{k}",
+                "ts": base + s * SEC,
+                "event_id": s,
+                "event_type": rng.choice("VVCCCPX"),
+                "value": round(rng.uniform(-5, 50), 3),
+            })
+    shuffled = rows[:]
+    rng.shuffle(shuffled)
+    third = len(shuffled) // 3
+    batches = [shuffled[:third], shuffled[third:2 * third],
+               shuffled[2 * third:],
+               [{"user_id": "r999", "ts": base + 900_000, "event_id": 999,
+                 "event_type": "V", "value": 0.0}]]
+    define = {"V": "event_type = 'V'", "C": "event_type = 'C'",
+              "P": "event_type = 'P'"}
+    measures = {
+        "c_sum": ("sum", "value", "C"),
+        "c_min": ("min", "value", "C"),
+        "p_val": ("first", "value", "P"),
+    }
+    stream = sorted(
+        (r.key, r.anchor_ts,
+         tuple(None if r[c] is None else round(r[c], 6)
+               for c in ("c_sum", "c_min", "p_val")))
+        for r in _run_mr_stream(
+            spark, tmp_path, "mrp", batches, schema=_MRM_SCHEMA,
+            pattern="V C+ P", define=define, within="1 minute",
+            # delay > the 14 s event span: shuffled arrival must never
+            # late-drop (this test pins machine parity, not lateness)
+            watermark="30 seconds", max_active_anchors=64,
+            measures=measures)
+        if r.key != "r999" and r.status == "match"
+    )
+    bdf = spark.createDataFrame(
+        [(r["user_id"], r["ts"], r["event_id"], r["event_type"], r["value"])
+         for r in rows],
+        _MRM_SCHEMA.replace("ts long", "ts_ms long"),
+    ).withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+    batch = sorted(
+        (r.user_id, int(r.V_ts.timestamp() * 1000),
+         tuple(None if v is None else round(v, 6)
+               for v in (r.c_sum, r.c_min, r.p_val)))
+        for r in match_recognize(
+            bdf, pattern="V C+ P", define=define, within="1 minute",
+            measures=measures).collect()
+    )
+    # strict-contiguity V C+ P is rare in a random soup: seed 42 yields
+    # exactly 4 matches (incl. two anchors on one key) — enough to pin
+    # multi-anchor measure isolation; the golden covers the value shapes
+    assert stream == batch and len(batch) >= 4
 
 
 def test_streaming_pattern_not_next_golden(spark, tmp_path):
@@ -4167,7 +4461,8 @@ def test_streaming_multimodal_feature_extraction(spark, tmp_path):
         assert r.rms == A / 32768.0 and r.zero_cross_rate == 1.0
 
 
-def _drive_restart(spark, tmp_path, name, build_out, batches, split):
+def _drive_restart(spark, tmp_path, name, build_out, batches, split,
+                   schema=None):
     """Checkpoint-restart harness: run `build_out(stream)` over the
     first `split` files, let the availableNow query terminate, append
     the remaining files, then start a brand-NEW query object on the
@@ -4188,7 +4483,8 @@ def _drive_restart(spark, tmp_path, name, build_out, batches, split):
                     fh.write(json.dumps(r) + "\n")
             os.utime(p, (1_000_000 + 10 * i, 1_000_000 + 10 * i))
 
-    schema = "user_id string, ts long, event_id long, event_type string"
+    schema = schema or \
+        "user_id string, ts long, event_id long, event_type string"
 
     def run(src, ck, out, upto):
         write_files(src, upto)
@@ -4338,7 +4634,8 @@ def _drive_restart_foreach(spark, tmp_path, name, make_op, schema, batches,
 
 @pytest.mark.parametrize("op", ["cep_seq", "cep_pattern_loop", "rate_limit",
                                 "first_seen", "first_seen_tws",
-                                "topn", "neardup"])
+                                "topn", "neardup",
+                                "mr_measures", "followed_by_any"])
 def test_checkpoint_restart_equals_uninterrupted(spark, tmp_path, op):
     """T7 exactly-once STATE across a process boundary (BaseAPP.java's
     checkpoint contract): for each stateful family, stop an availableNow
@@ -4418,6 +4715,69 @@ def test_checkpoint_restart_equals_uninterrupted(spark, tmp_path, op):
         return {"user_id": u, "ts": base + int(t_s * SEC), "event_id": eid,
                 "event_type": et}
 
+    rst_schema = None
+    if op == "mr_measures":
+        # the NEW measure accumulators (acc-bits + nonnull-count pairs in
+        # the packed state) must round-trip the checkpoint: the loop sum
+        # over C folds 2.0 BEFORE the restart and 4.0 after, and the
+        # match emits 6.0 only if the pre-restart fold survived
+        from flink_realtime_dw4_0_spark.streaming.cep_pattern import (
+            match_recognize_stream,
+        )
+
+        def mev(u, t_s, eid, et, v):
+            return {**ev(u, t_s, eid, et), "value": v}
+
+        rst_schema = ("user_id string, ts long, event_id long, "
+                      "event_type string, value double")
+        batches = [
+            [mev("u1", 1, 1, "V", 5.0), mev("u1", 2, 2, "C", 2.0)],
+            [mev("u9", 30, 4, "V", 0.0)],  # wm seals u1's head pre-restart
+            # ---- restart: V bound + loop cnt=1 + c_sum acc 2.0 live ----
+            # (ts past the 25 s watermark; row-regex contiguity is by
+            # per-key ROW NUMBER, so the gap in seconds does not break it)
+            [mev("u1", 40, 5, "C", 4.0), mev("u1", 41, 6, "P", 10.0)],
+            [mev("u9", 900, 9, "V", 0.0)],  # watermark sentinel
+        ]
+
+        def build(stream):
+            return match_recognize_stream(
+                stream, pattern="V C+ P",
+                define={"V": "event_type = 'V'", "C": "event_type = 'C'",
+                        "P": "event_type = 'P'"},
+                within="1 minute", watermark="5 seconds",
+                measures={"c_sum": ("sum", "value", "C"),
+                          "p_val": ("last", "value", "P")},
+            )
+
+    elif op == "followed_by_any":
+        # LIVE FORKS must cross the restart: B(2) and B(3) each forked a
+        # continuation before the boundary; the C(40) after it completes
+        # BOTH forks — a restart that lost the forked partials would
+        # emit at most one match
+        from flink_realtime_dw4_0_spark.streaming.cep_pattern import (
+            match_pattern_stream,
+        )
+
+        batches = [
+            [ev("u1", 1, 1, "A"), ev("u1", 2, 2, "B")],
+            [ev("u1", 3, 3, "B"), ev("u9", 30, 4, "A")],  # wm seals 1..3
+            # ---- restart: original + two forks awaiting C in state ----
+            [ev("u1", 40, 5, "C")],
+            [ev("u9", 900, 9, "C")],  # watermark sentinel
+        ]
+
+        def build(stream):
+            return match_pattern_stream(
+                stream,
+                [{"name": "a", "where": F.col("event_type") == "A"},
+                 {"name": "b", "where": F.col("event_type") == "B",
+                  "followed_by_any": True},
+                 {"name": "c", "where": F.col("event_type") == "C"}],
+                within="1 minute", watermark="5 seconds",
+                event_id="event_id", mode="all",
+            )
+
     if op == "cep_seq":
         from flink_realtime_dw4_0_spark.streaming.cep import match_sequence_stream
 
@@ -4476,7 +4836,8 @@ def test_checkpoint_restart_equals_uninterrupted(spark, tmp_path, op):
             return rate_limit_stream(stream, cap=2, window="10 seconds",
                                      key="user_id", watermark="5 seconds")
 
-    else:  # first_seen on either state API (impl flag: r6 judge item #8)
+    elif op in ("first_seen", "first_seen_tws"):
+        # first_seen on either state API (impl flag: r6 judge item #8)
         from flink_realtime_dw4_0_spark.operators.state import first_seen
 
         impl = "tws" if op == "first_seen_tws" else "apply"
@@ -4499,7 +4860,8 @@ def test_checkpoint_restart_equals_uninterrupted(spark, tmp_path, op):
 
     split = 2
     restarted, uninterrupted = _drive_restart(
-        spark, tmp_path, f"ckr_{op}", build, batches, split
+        spark, tmp_path, f"ckr_{op}", build, batches, split,
+        schema=rst_schema,
     )
     assert restarted == uninterrupted and len(uninterrupted) > 0
     if op == "rate_limit":
@@ -4511,3 +4873,15 @@ def test_checkpoint_restart_equals_uninterrupted(spark, tmp_path, op):
         assert any(tuple(r[3]) == (base + 1 * SEC, base + 2 * SEC,
                                    base + 3 * SEC, 2, base + 40 * SEC)
                    for r in matches)
+    if op == "mr_measures":
+        # the pre-restart 2.0 fold survived: the match sums 2.0 + 4.0
+        m = [r for r in uninterrupted if r[0] == "u1" and r[1] == "match"]
+        assert len(m) == 1 and (m[0][4], m[0][5]) == (6.0, 10.0)
+    if op == "followed_by_any":
+        # BOTH pre-restart forks completed on the post-restart C
+        m = sorted(tuple(r[3]) for r in uninterrupted
+                   if r[0] == "u1" and r[1] == "match")
+        assert m == [
+            (base + 1 * SEC, base + 2 * SEC, base + 40 * SEC),
+            (base + 1 * SEC, base + 3 * SEC, base + 40 * SEC),
+        ]

@@ -60,38 +60,88 @@ def visitor_fix_fn(
     """
     first_dt = state.get[0] if state.exists else None
     for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        n = len(pdf)
-        is_new = pdf["is_new"].to_numpy(dtype=object)
-        days = pdf["dt"].to_numpy(dtype=object)
-        firsts = np.full(n, first_dt, dtype=object)
-        if first_dt is None:
-            valid = (is_new == "1") | (is_new == "0")
-            if valid.any():
-                i = int(np.argmax(valid))
-                if is_new[i] == "1":
-                    est = days[i]
-                else:  # backfill: day before the first valid record's day
-                    est = (pd.Timestamp(days[i]) - pd.Timedelta(days=1)).strftime(
-                        "%Y-%m-%d"
-                    )
-                firsts[i:] = est
-                first_dt = est
-        known = firsts != None  # noqa: E711 — elementwise on object array
-        fixed = np.where((is_new == "1") & known & (days != firsts), "0", is_new)
-        yield pd.DataFrame(
-            {
-                "mid": pdf["mid"],
-                "event_id": pdf["event_id"],
-                "ts": pdf["ts"],
-                "is_new": fixed,
-                "first_login_dt": firsts,
-            }
-        )
+        out, first_dt = _visitor_apply(first_dt, pdf)
+        yield out
     state.update((first_dt,))
 
 
-def visitor_fix(df: DataFrame) -> DataFrame:
+def _visitor_apply(first_dt, pdf):
+    """THE visitor-fix decision table applied to one Arrow batch, shared
+    by both state-API backends: returns (output pdf, new first_dt)."""
+    pdf = pdf.sort_values(["ts", "event_id"])
+    n = len(pdf)
+    is_new = pdf["is_new"].to_numpy(dtype=object)
+    days = pdf["dt"].to_numpy(dtype=object)
+    firsts = np.full(n, first_dt, dtype=object)
+    if first_dt is None:
+        valid = (is_new == "1") | (is_new == "0")
+        if valid.any():
+            i = int(np.argmax(valid))
+            if is_new[i] == "1":
+                est = days[i]
+            else:  # backfill: day before the first valid record's day
+                est = (pd.Timestamp(days[i]) - pd.Timedelta(days=1)).strftime(
+                    "%Y-%m-%d"
+                )
+            firsts[i:] = est
+            first_dt = est
+    known = firsts != None  # noqa: E711 — elementwise on object array
+    fixed = np.where((is_new == "1") & known & (days != firsts), "0", is_new)
+    out = pd.DataFrame(
+        {
+            "mid": pdf["mid"],
+            "event_id": pdf["event_id"],
+            "ts": pdf["ts"],
+            "is_new": fixed,
+            "first_login_dt": firsts,
+        }
+    )
+    return out, first_dt
+
+
+def _visitor_fix_tws(with_dt: DataFrame) -> DataFrame:
+    """``transformWithStateInPandas`` twin of ``visitor_fix_fn`` — the
+    SAME decision table through ``_visitor_apply``, state as one
+    ValueState holding first_login_dt.  Equivalence and restart are
+    pinned by tests (the deprecation-path contract first_seen/rate_limit
+    established)."""
+    from ..session import ensure_protobuf
+
+    if not ensure_protobuf():
+        raise RuntimeError(
+            "visitor_fix(impl='tws') needs the public `protobuf` runtime "
+            "(transformWithState's state-server protocol); install "
+            "protobuf or use impl='apply'"
+        )
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle, TimerValues,
+    )
+
+    class Proc(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.first = handle.getValueState("first_dt", _VISITOR_STATE)
+
+        def handleInputRows(
+            self, key, rows, timerValues: TimerValues
+        ) -> Iterator[pd.DataFrame]:
+            first_dt = self.first.get()[0] if self.first.exists() else None
+            for pdf in rows:
+                out, first_dt = _visitor_apply(first_dt, pdf)
+                yield out
+            self.first.update((first_dt,))
+
+        def close(self) -> None:
+            pass
+
+    return with_dt.groupBy("mid").transformWithStateInPandas(
+        Proc(),
+        outputStructType=_VISITOR_OUT,
+        outputMode="append",
+        timeMode="none",
+    )
+
+
+def visitor_fix(df: DataFrame, impl: str = "apply") -> DataFrame:
     """T1 — apply the new-visitor fix to a stream with columns
     (mid, event_id, ts, is_new).  Keyed shuffle on mid, per-key ValueState —
     the same topology as keyBy + KeyedProcessFunction (DwdBaseLog.java:202-206).
@@ -99,10 +149,18 @@ def visitor_fix(df: DataFrame) -> DataFrame:
     The event day is attached here as a JVM-side session-timezone
     `date_format` (the pipeline default is the reference's UTC+8,
     session.py) so streaming and batch day attribution agree.
+
+    ``impl='tws'`` runs the identical decision table on Spark 4.x's
+    ``transformWithStateInPandas`` (equivalence + restart pinned by
+    tests — the migration contract for the old API's deprecation).
     """
+    if impl not in ("apply", "tws"):
+        raise ValueError(f"impl must be apply|tws, got {impl!r}")
     with_dt = df.withColumn(
         "dt", F.date_format(F.timestamp_millis("ts"), "yyyy-MM-dd")
     )
+    if impl == "tws":
+        return _visitor_fix_tws(with_dt)
     return with_dt.groupBy("mid").applyInPandasWithState(
         visitor_fix_fn,
         outputStructType=_VISITOR_OUT,

@@ -3,14 +3,15 @@ crawl/CDC intake runs in front of expensive curation: admit at most
 ``cap`` events per key per tumbling event-time window, tag the rest
 ``admitted = 0`` (audit stream, not silent drop).
 
-Implementation note: the natural home for this on Spark 4 is the State
-API v2 (``transformWithStateInPandas`` with a ``getMapState`` of
-window → count and built-in state TTL), but the v2 Python worker
-requires ``google.protobuf``, which this container does not ship — so
-the processor runs on ``applyInPandasWithState`` with the window→count
-map packed into two parallel array columns, and windows older than the
-newest-seen window minus ``keep_windows`` retire inline (the same
-bounded-state contract the v2 TTL would give).
+Implementation note: both state backends are supported behind
+``impl=`` — the default ``applyInPandasWithState`` path and the State
+API v2 ``transformWithStateInPandas`` twin (reachable since the
+public-protobuf PYTHONPATH shim in ``session.ensure_protobuf``; the v2
+Python worker needs ``google.protobuf``).  Both run the SAME
+window→count transition (``_admit_batch``) with the map packed into
+two parallel array columns, and windows older than the newest-seen
+window minus ``keep_windows`` retire inline (the bounded-state
+contract a v2 TTL would give).
 
 Semantics are deterministic per arrival order within (key, window):
 events are processed in (ts, event_id) order inside each micro-batch,
@@ -59,6 +60,48 @@ _STATE = StructType(
 )
 
 
+def _admit_batch(k, local, pdfs, cap, window_ms, keep_windows):
+    """THE rate-limit state transition, shared by both state-API
+    backends: fold one micro-batch's events (in (ts, event_id) order)
+    through the window→count map, returning (output pdf or None,
+    packed (wins, counts) state tuple).  Windows older than the newest
+    keep_windows retire inline — bounded state on both APIs."""
+    batch = [pdf[["ts", "event_id"]] for pdf in pdfs]
+    if not batch:
+        ws = sorted(local)
+        return None, (ws, [local[w] for w in ws])
+    ev = (
+        pd.concat(batch, ignore_index=True)
+        .sort_values(["ts", "event_id"])
+        .reset_index(drop=True)  # fresh index: mixing sorted Series
+        # with new lists below must not realign on the old positions
+    )
+    wins_col = ((ev["ts"] // window_ms) * window_ms).astype("int64")
+    out_adm = []
+    for w in wins_col:
+        w = int(w)
+        n = local.get(w, 0)
+        admitted = n < cap
+        if admitted:
+            local[w] = n + 1
+        out_adm.append(1 if admitted else 0)
+    # retire windows older than the newest keep_windows — bounded state
+    if len(local) > keep_windows:
+        horizon = max(local) - keep_windows * window_ms
+        local = {w: n for w, n in local.items() if w >= horizon}
+    ws = sorted(local)
+    out = pd.DataFrame(
+        {
+            "key": [k] * len(ev),
+            "ts": ev["ts"].astype("int64"),
+            "event_id": ev["event_id"].astype("int64"),
+            "win_start": wins_col,
+            "admitted": out_adm,
+        }
+    )
+    return out, (ws, [local[w] for w in ws])
+
+
 def rate_limit_fn(cap: int, window_ms: int, keep_windows: int = 8):
     """Build the keyed state function: admit the first `cap` events per
     (key, tumbling window); state holds the last `keep_windows` windows'
@@ -70,7 +113,6 @@ def rate_limit_fn(cap: int, window_ms: int, keep_windows: int = 8):
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        k = key[0]
         if state.hasTimedOut:  # pragma: no cover - NoTimeout configured
             state.remove()
             return
@@ -79,41 +121,68 @@ def rate_limit_fn(cap: int, window_ms: int, keep_windows: int = 8):
             local = dict(zip(wins, counts))
         else:
             local = {}
-        batch = [pdf[["ts", "event_id"]] for pdf in pdfs]
-        if not batch:
+        out, packed = _admit_batch(
+            key[0], local, pdfs, cap, window_ms, keep_windows
+        )
+        if out is None:
             return
-        ev = (
-            pd.concat(batch, ignore_index=True)
-            .sort_values(["ts", "event_id"])
-            .reset_index(drop=True)  # fresh index: mixing sorted Series
-            # with new lists below must not realign on the old positions
-        )
-        wins_col = ((ev["ts"] // window_ms) * window_ms).astype("int64")
-        out_adm = []
-        for w in wins_col:
-            w = int(w)
-            n = local.get(w, 0)
-            admitted = n < cap
-            if admitted:
-                local[w] = n + 1
-            out_adm.append(1 if admitted else 0)
-        # retire windows older than the newest keep_windows — bounded state
-        if len(local) > keep_windows:
-            horizon = max(local) - keep_windows * window_ms
-            local = {w: n for w, n in local.items() if w >= horizon}
-        ws = sorted(local)
-        state.update((ws, [local[w] for w in ws]))
-        yield pd.DataFrame(
-            {
-                "key": [k] * len(ev),
-                "ts": ev["ts"].astype("int64"),
-                "event_id": ev["event_id"].astype("int64"),
-                "win_start": wins_col,
-                "admitted": out_adm,
-            }
-        )
+        state.update(packed)
+        yield out
 
     return fn
+
+
+def _rate_limit_tws(src: DataFrame, cap: int, window_ms: int,
+                    keep_windows: int) -> DataFrame:
+    """``transformWithStateInPandas`` twin of the apply path — the state
+    API v2 home the module docstring always named (now reachable via the
+    public-protobuf shim): the SAME window→count transition through
+    ``_admit_batch``, state as one ValueState of (wins, counts) arrays.
+    Equivalence and checkpoint-restart are pinned by tests so the
+    default can flip when ``applyInPandasWithState`` is removed."""
+    from ..session import ensure_protobuf
+
+    if not ensure_protobuf():
+        raise RuntimeError(
+            "rate_limit_stream(impl='tws') needs the public `protobuf` "
+            "runtime (transformWithState's state-server protocol); "
+            "install protobuf or use impl='apply'"
+        )
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle, TimerValues,
+    )
+
+    cap_, win_, keep_ = cap, window_ms, keep_windows
+
+    class Proc(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.state = handle.getValueState("wincounts", _STATE)
+
+        def handleInputRows(
+            self, key, rows, timerValues: TimerValues
+        ) -> Iterator[pd.DataFrame]:
+            if self.state.exists():
+                got = self.state.get()
+                local = dict(zip(got[0], got[1]))
+            else:
+                local = {}
+            out, packed = _admit_batch(
+                key[0], local, rows, cap_, win_, keep_
+            )
+            if out is None:
+                return
+            self.state.update(packed)
+            yield out
+
+        def close(self) -> None:
+            pass
+
+    return src.groupBy("key").transformWithStateInPandas(
+        Proc(),
+        outputStructType=OUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
 
 
 def rate_limit_stream(
@@ -125,10 +194,17 @@ def rate_limit_stream(
     event_id: str = "event_id",
     watermark: str = "10 seconds",
     keep_windows: int = 8,
+    impl: str = "apply",
 ) -> DataFrame:
     """Apply the per-key rate limit to a stream with millisecond `ts`.
-    Returns every event tagged admitted 0/1 plus its window start."""
+    Returns every event tagged admitted 0/1 plus its window start.
+    ``impl='tws'`` runs the identical transition on Spark 4.x's
+    ``transformWithStateInPandas`` (successor to the slated-for-
+    deprecation ``applyInPandasWithState``) — see ``_rate_limit_tws``."""
     import re
+
+    if impl not in ("apply", "tws"):
+        raise ValueError(f"impl must be apply|tws, got {impl!r}")
 
     m = re.match(r"(\d+)\s*(second|minute|hour)s?", window)
     if not m:
@@ -145,6 +221,8 @@ def rate_limit_stream(
         F.col(event_id).cast("long").alias("event_id"),
         "row_time",
     )
+    if impl == "tws":
+        return _rate_limit_tws(src, cap, window_ms, keep_windows)
     return src.groupBy("key").applyInPandasWithState(
         rate_limit_fn(cap, window_ms, keep_windows),
         outputStructType=OUT_SCHEMA,

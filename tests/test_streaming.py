@@ -360,6 +360,66 @@ def test_visitor_fix_stateful_stream(spark, tmp_path):
     assert rows[3] == ("0", "2023-12-31")   # backfill yesterday
 
 
+def test_visitor_fix_tws_equals_apply(spark, tmp_path):
+    """The transformWithStateInPandas port of the new-visitor fix
+    (impl='tws') emits IDENTICAL rows to the applyInPandasWithState path
+    over a multi-batch keyed stream — the first_login_dt set in batch 1
+    must rewrite a later-day is_new='1' arriving in batch 2, the
+    backfill and dirty-marker branches behave the same, and an invalid
+    impl raises."""
+    from flink_realtime_dw4_0_spark.operators.state import visitor_fix
+
+    batches = [
+        [{"mid": "m1", "event_id": 1, "ts": DAY1 + 1000, "is_new": "1"},
+         {"mid": "m2", "event_id": 2, "ts": DAY1 + 2000, "is_new": "0"},
+         {"mid": "m3", "event_id": 3, "ts": DAY1 + 3000, "is_new": "x"}],
+        # cross-batch: m1's day-2 repeat rewrites; m3's first VALID row
+        [{"mid": "m1", "event_id": 4, "ts": DAY2 + 1000, "is_new": "1"},
+         {"mid": "m3", "event_id": 5, "ts": DAY1 + 4000, "is_new": "1"}],
+    ]
+
+    def run(impl):
+        src = tmp_path / f"vftw_{impl}_src"
+        src.mkdir()
+        for i, rs in enumerate(batches):
+            with open(src / f"b{i}.json", "w") as fh:
+                for r in rs:
+                    fh.write(json.dumps(r) + "\n")
+            os.utime(src / f"b{i}.json", (1_000_000 + 10 * i,) * 2)
+        stream = (
+            spark.readStream
+            .schema("mid string, event_id long, ts long, is_new string")
+            .option("maxFilesPerTrigger", 1).json(str(src))
+        )
+        q = (
+            visitor_fix(stream, impl=impl)
+            .writeStream.format("memory").queryName(f"vftw_{impl}")
+            .option("checkpointLocation", str(tmp_path / f"vftw_{impl}_ck"))
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(600)
+        return sorted(
+            (r.mid, r.event_id, r.ts, r.is_new, r.first_login_dt)
+            for r in spark.sql(f"SELECT * FROM vftw_{impl}").collect()
+        )
+
+    apply_rows = run("apply")
+    tws_rows = run("tws")
+    assert apply_rows == tws_rows and len(apply_rows) == 5
+    by_eid = {r[1]: (r[3], r[4]) for r in apply_rows}
+    assert by_eid[1] == ("1", "2024-01-01")
+    assert by_eid[2] == ("0", "2023-12-31")   # backfill yesterday
+    assert by_eid[3] == ("x", None)           # dirty marker untouched
+    assert by_eid[4] == ("0", "2024-01-01")   # cross-batch rewrite
+    assert by_eid[5] == ("1", "2024-01-01")   # first valid row flags
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="impl"):
+        visitor_fix(spark.readStream.format("rate").load().selectExpr(
+            "cast(value as string) as mid", "value as event_id",
+            "1 as ts", "'1' as is_new"), impl="nope")
+
+
 # --------------------------------------------------------------------------
 # DWS windowed aggs on decoded streams (batch-mode check of the transforms)
 # --------------------------------------------------------------------------
@@ -4578,6 +4638,67 @@ def test_first_seen_tws_equals_apply(spark, tmp_path):
             "cast(value as string) as key", "value as ts"), impl="nope")
 
 
+def test_rate_limit_tws_equals_apply(spark, tmp_path):
+    """The transformWithStateInPandas port of the per-key rate limiter
+    (impl='tws') emits IDENTICAL rows to the applyInPandasWithState path
+    over the same multi-batch keyed stream — window counts continue
+    across micro-batches (the 3rd same-window event rejects even though
+    it arrives in a later batch), and a new window admits afresh."""
+    import json as _json
+
+    from flink_realtime_dw4_0_spark.streaming.ratelimit import (
+        rate_limit_stream,
+    )
+
+    base = 1_700_000_000_000
+    batches = [
+        [{"user_id": "u1", "ts": base + 1_000, "event_id": 1},
+         {"user_id": "u1", "ts": base + 2_000, "event_id": 2},
+         {"user_id": "u2", "ts": base + 2_500, "event_id": 3}],
+        [{"user_id": "u1", "ts": base + 3_000, "event_id": 4},   # reject
+         {"user_id": "u1", "ts": base + 4_000, "event_id": 5}],  # reject
+        [{"user_id": "u1", "ts": base + 15_000, "event_id": 6}],  # new win
+    ]
+
+    def run(impl):
+        src = tmp_path / f"rltw_{impl}_src"
+        src.mkdir()
+        for i, rs in enumerate(batches):
+            with open(src / f"b{i}.json", "w") as fh:
+                for r in rs:
+                    fh.write(_json.dumps(r) + "\n")
+            os.utime(src / f"b{i}.json", (1_000_000 + 10 * i,) * 2)
+        stream = (
+            spark.readStream.schema("user_id string, ts long, event_id long")
+            .option("maxFilesPerTrigger", 1).json(str(src))
+        )
+        out = rate_limit_stream(stream, cap=2, window="10 seconds",
+                                watermark="5 seconds", impl=impl)
+        q = (
+            out.writeStream.format("memory").queryName(f"rltw_{impl}")
+            .option("checkpointLocation", str(tmp_path / f"rltw_{impl}_ck"))
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(600)
+        return sorted(
+            (r.key, r.ts, r.event_id, r.win_start, r.admitted)
+            for r in spark.sql(f"SELECT * FROM rltw_{impl}").collect()
+        )
+
+    apply_rows = run("apply")
+    tws_rows = run("tws")
+    assert apply_rows == tws_rows and len(apply_rows) == 6
+    adm = {eid: a for _k, _t, eid, _w, a in apply_rows}
+    assert adm == {1: 1, 2: 1, 3: 1, 4: 0, 5: 0, 6: 1}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="impl"):
+        rate_limit_stream(
+            spark.readStream.format("rate").load().selectExpr(
+                "cast(value as string) as user_id", "1 as ts",
+                "value as event_id"), cap=1, impl="nope")
+
+
 def _drive_restart_foreach(spark, tmp_path, name, make_op, schema, batches,
                            split, out_cols):
     """Checkpoint-restart harness for the foreachBatch + KeyedTable
@@ -4633,6 +4754,7 @@ def _drive_restart_foreach(spark, tmp_path, name, make_op, schema, batches,
 
 
 @pytest.mark.parametrize("op", ["cep_seq", "cep_pattern_loop", "rate_limit",
+                                "rate_limit_tws", "visitor_fix_tws",
                                 "first_seen", "first_seen_tws",
                                 "topn", "neardup",
                                 "mr_measures", "followed_by_any"])
@@ -4822,9 +4944,30 @@ def test_checkpoint_restart_equals_uninterrupted(spark, tmp_path, op):
                 mode="all",
             )
 
-    elif op == "rate_limit":
+    elif op == "visitor_fix_tws":
+        # the first_login_dt ValueState set pre-restart must rewrite a
+        # later-day is_new='1' arriving after the boundary
+        from flink_realtime_dw4_0_spark.operators.state import visitor_fix
+
+        DAY = 86_400_000
+        rst_schema = "mid string, event_id long, ts long, is_new string"
+        batches = [
+            [{"mid": "m1", "event_id": 1, "ts": base + 1000, "is_new": "1"}],
+            [{"mid": "m2", "event_id": 2, "ts": base + 2000, "is_new": "0"}],
+            # ---- restart: m1's first day + m2's backfill in state ----
+            [{"mid": "m1", "event_id": 3, "ts": base + DAY + 1000,
+              "is_new": "1"},   # must rewrite to '0' via restored state
+             {"mid": "m2", "event_id": 4, "ts": base + DAY + 2000,
+              "is_new": "1"}],
+        ]
+
+        def build(stream):
+            return visitor_fix(stream, impl="tws")
+
+    elif op in ("rate_limit", "rate_limit_tws"):
         from flink_realtime_dw4_0_spark.streaming.ratelimit import rate_limit_stream
 
+        rl_impl = "tws" if op == "rate_limit_tws" else "apply"
         batches = [
             [ev("u1", 1, 1, "x"), ev("u1", 2, 2, "x")],
             # ---- restart: the window counter (2 admitted) must persist ----
@@ -4834,7 +4977,8 @@ def test_checkpoint_restart_equals_uninterrupted(spark, tmp_path, op):
 
         def build(stream):
             return rate_limit_stream(stream, cap=2, window="10 seconds",
-                                     key="user_id", watermark="5 seconds")
+                                     key="user_id", watermark="5 seconds",
+                                     impl=rl_impl)
 
     elif op in ("first_seen", "first_seen_tws"):
         # first_seen on either state API (impl flag: r6 judge item #8)
@@ -4864,9 +5008,13 @@ def test_checkpoint_restart_equals_uninterrupted(spark, tmp_path, op):
         schema=rst_schema,
     )
     assert restarted == uninterrupted and len(uninterrupted) > 0
-    if op == "rate_limit":
+    if op in ("rate_limit", "rate_limit_tws"):
         admitted = {(r[1] - base) // 1000: r[4] for r in uninterrupted}
         assert admitted == {1: 1, 2: 1, 3: 0, 4: 0, 15: 1}
+    if op == "visitor_fix_tws":
+        by_eid = {r[1]: (r[3], r[4]) for r in uninterrupted}
+        assert by_eid[3][0] == "0"  # restored state rewrote the repeat
+        assert by_eid[4][0] == "0"  # restored backfill suppressed the flag
     if op == "cep_pattern_loop":
         # the in-flight loop accumulator crossed the restart intact
         matches = [r for r in uninterrupted if r[1] == "match"]

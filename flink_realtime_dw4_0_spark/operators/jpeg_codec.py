@@ -13,13 +13,18 @@ allows and honestly rejected where it doesn't:
   Huffman tables are generated canonically here (DC: twelve 4-bit
   codes; AC: 162 8-bit codes) and carried in DHT — the decoder reads
   whatever DHT declares, so no memorized Annex-K constants can drift.
-* ``decode_jpeg_pixels``: any baseline JPEG with 8-bit precision and
-  integer-divisor sampling factors — ours or foreign, INCLUDING the
-  4:2:0 / 4:2:2 chroma-subsampled shapes real-world photo JPEGs use
-  (general interleaved MCU walk + nearest-neighbor chroma upsample).
-  Progressive scans, 12-bit precision, arithmetic coding, restart
-  intervals, and non-interleaved multi-scan streams raise
-  NotImplementedError so callers fall back to the disclosed stub.
+* ``decode_jpeg_pixels``: any 8-bit Huffman-coded JPEG with
+  integer-divisor sampling factors — ours or foreign — in BOTH coding
+  processes: baseline sequential (general interleaved MCU walk +
+  nearest-neighbor chroma upsample, including the 4:2:0 / 4:2:2 shapes
+  real-world photos use) and PROGRESSIVE (SOF2: spectral selection +
+  successive approximation, DC/AC first and refinement scans,
+  interleaved or per-component — ``_decode_progressive``, validated
+  against real libjpeg-family fixtures with javax.imageio as the
+  independent ground truth).  12-bit precision, arithmetic coding,
+  lossless, restart intervals, and non-interleaved multi-scan BASELINE
+  streams raise NotImplementedError so callers fall back to the
+  disclosed stub.
 
 The DCT pair is the exact orthonormal matrix form of the JPEG spec:
 S = M·B·Mᵀ with M[u,x] = ½·C(u)·cos((2x+1)uπ/16), and the IDCT is its
@@ -305,12 +310,14 @@ def encode_jpeg(pixels, subsample: str = "444") -> bytes:
 
 
 def decode_jpeg_pixels(payload: bytes):
-    """Decode a baseline 8-bit JPEG — any integer-divisor sampling
-    (4:4:4, 4:2:2, 4:2:0, grayscale) — to an (h, w, 3) or (h, w, 1)
-    uint8 array.  Progressive / 12-bit / arithmetic-coded /
-    restart-interval / non-interleaved-multi-scan streams raise
-    NotImplementedError (honest scope — see module docstring); streams
-    without a scan (header-only fixtures) raise too."""
+    """Decode an 8-bit Huffman-coded JPEG — baseline OR progressive
+    (spectral selection + successive approximation, T.81 G.1.2), any
+    integer-divisor sampling (4:4:4, 4:2:2, 4:2:0, grayscale) — to an
+    (h, w, 3) or (h, w, 1) uint8 array.  12-bit / arithmetic-coded /
+    lossless / restart-interval / non-interleaved-multi-scan-BASELINE
+    streams raise NotImplementedError (honest scope — see module
+    docstring); streams without a scan (header-only fixtures) raise
+    too."""
     payload = bytes(payload)
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
@@ -318,10 +325,13 @@ def decode_jpeg_pixels(payload: bytes):
     qtables: dict[int, np.ndarray] = {}
     htables: dict[int, dict[tuple[int, int], int]] = {}
     dims = None
+    sof_marker = None
     comps: list[tuple[int, int, int, int]] = []  # (id, Hi, Vi, qsel)
-    scan_comps: list[tuple[int, int, int]] = []  # (id, dc_sel, ac_sel)
-    scan_data = None
-    while pos + 4 <= len(payload):
+    # every scan: (scan_comps [(id, dc_sel, ac_sel)], Ss, Se, Ah, Al,
+    # entropy bytes, snapshot of the Huffman tables in effect) — DHT may
+    # legally be redefined between progressive scans
+    scans: list[tuple] = []
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("desynchronized JPEG marker stream")
         marker = payload[pos + 1]
@@ -330,10 +340,10 @@ def decode_jpeg_pixels(payload: bytes):
             continue
         if marker == 0xD9:
             break
-        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                       0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF marker 0x{marker:02x})"
+                f"unsupported JPEG coding process (SOF marker 0x{marker:02x})"
             )
         ln = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
         body = payload[pos + 4 : pos + 2 + ln]
@@ -348,7 +358,7 @@ def decode_jpeg_pixels(payload: bytes):
                 out[_ZIGZAG] = tbl  # de-zigzag to natural order
                 qtables[tq] = out
                 b += 65
-        elif marker == 0xC0:
+        elif marker in (0xC0, 0xC2):
             prec = body[0]
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG precision")
@@ -359,6 +369,7 @@ def decode_jpeg_pixels(payload: bytes):
                 cid, samp, qsel = body[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, samp >> 4, samp & 0x0F, qsel))
             dims = (hh, ww)
+            sof_marker = marker
         elif marker == 0xC4:
             b = 0
             while b < len(body):
@@ -373,19 +384,32 @@ def decode_jpeg_pixels(payload: bytes):
             raise NotImplementedError("JPEG restart intervals")
         elif marker == 0xDA:
             ns = body[0]
-            scan_comps = [
+            sc = [
                 (body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0x0F)
                 for i in range(ns)
             ]
-            scan_data = payload[pos + 2 + ln :]
-            break
+            ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            start = pos + 2 + ln
+            j = start  # entropy data ends at a marker that isn't FF00/RSTn
+            while j < len(payload) - 1:
+                if payload[j] == 0xFF and payload[j + 1] != 0x00 \
+                        and not (0xD0 <= payload[j + 1] <= 0xD7):
+                    break
+                j += 1
+            scans.append((sc, ss, se, ahal >> 4, ahal & 0x0F,
+                          payload[start:j], dict(htables)))
+            pos = j
+            continue
         pos += 2 + ln
-    if dims is None or scan_data is None:
+    if dims is None or not scans:
         raise NotImplementedError("JPEG without SOF+SOS (header-only fixture)")
     h, w = dims
     nc = len(comps)
-    if len(scan_comps) != nc:
+    if sof_marker == 0xC2:
+        return _decode_progressive(h, w, comps, scans, qtables)
+    if len(scans) != 1 or len(scans[0][0]) != nc:
         raise NotImplementedError("non-interleaved multi-scan baseline JPEG")
+    scan_comps, _ss, _se, _ah, _al, scan_data, htables = scans[0]
     if nc == 1:
         # a single-component scan has no MCU structure: sampling factors
         # are ignored and blocks raster the lone plane (libjpeg behavior)
@@ -457,6 +481,193 @@ def decode_jpeg_pixels(payload: bytes):
             p = p.repeat(ry, axis=0).repeat(rx, axis=1)
         full.append(p[:h, :w])
     if nc == 1:
+        out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return out[:, :, None]
+    return _ycbcr_to_rgb(np.stack(full, axis=2))
+
+
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _decode_progressive(h, w, comps, scans, qtables):
+    """Progressive (SOF2) Huffman decode — ITU T.81 G.1.2: spectral
+    selection + successive approximation, both scan kinds in both
+    passes (DC first/refine over interleaved MCUs or a lone component's
+    block raster; AC first/refine single-component with EOB-run codes
+    and the correction-bit algorithm of G.1.2.3, structured like
+    libjpeg's decode_mcu_AC_refine).  Coefficients accumulate across
+    scans in ZIGZAG order per block; dequantization + IDCT + chroma
+    upsample run once at the end, batched in numpy.
+
+    Non-interleaved scans raster ceil(comp_extent/8) blocks — the
+    UNPADDED per-component grid — while the coefficient arrays are
+    MCU-padded, exactly the two geometries the spec distinguishes
+    (A.2.2/A.2.3).  DHT between scans is honored via per-scan table
+    snapshots captured at parse time."""
+    if len(comps) == 1:
+        # single-component frame: sampling factors don't partition
+        # anything (libjpeg behavior, same as the baseline path)
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if any(c[1] < 1 or c[2] < 1 or hmax % c[1] or vmax % c[2]
+           for c in comps):
+        raise NotImplementedError("non-divisor JPEG sampling ratios")
+    mcux = _ceil_div(w, 8 * hmax)
+    mcuy = _ceil_div(h, 8 * vmax)
+    info: dict[int, tuple[int, int, int, int, int]] = {}
+    coef: dict[int, list[list[list[int]]]] = {}
+    for cid, hi, vi, qs in comps:
+        bw_used = _ceil_div(_ceil_div(w * hi, hmax), 8)
+        bh_used = _ceil_div(_ceil_div(h * vi, vmax), 8)
+        info[cid] = (hi, vi, qs, bw_used, bh_used)
+        coef[cid] = [
+            [[0] * 64 for _ in range(mcux * hi)] for _ in range(mcuy * vi)
+        ]
+
+    for sc, ss, se, ah, al, data, ht in scans:
+        br = _BitReader(data)
+        if ss == 0:  # DC scan
+            if se != 0:
+                raise ValueError("progressive DC scan with Se != 0")
+            pred = {cid: 0 for cid, _d, _a in sc}
+
+            def dc_one(cid, dc_sel, by, bx):
+                blk = coef[cid][by][bx]
+                if ah == 0:  # first pass: diff-coded, Al-shifted
+                    tab = ht.get(0x00 | dc_sel)
+                    if tab is None:
+                        raise ValueError("JPEG scan references a missing table")
+                    size = br.huff(tab)
+                    diff = _extend(br.bits(size), size) if size else 0
+                    pred[cid] += diff
+                    blk[0] = pred[cid] << al
+                else:  # refinement: one appended magnitude bit per block
+                    if br.bit():
+                        blk[0] |= 1 << al
+
+            if len(sc) > 1:  # interleaved: the standard MCU walk
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        for cid, dc_sel, _ac in sc:
+                            hi, vi = info[cid][0], info[cid][1]
+                            for v in range(vi):
+                                for hx in range(hi):
+                                    dc_one(cid, dc_sel,
+                                           my * vi + v, mx * hi + hx)
+            else:  # non-interleaved: the component's UNPADDED block grid
+                cid, dc_sel, _ac = sc[0]
+                _hi, _vi, _qs, bw_used, bh_used = info[cid]
+                for by in range(bh_used):
+                    for bx in range(bw_used):
+                        dc_one(cid, dc_sel, by, bx)
+            continue
+        # AC scan: the spec allows exactly one component
+        if len(sc) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        cid, _dc, ac_sel = sc[0]
+        tab = ht.get(0x10 | ac_sel)
+        if tab is None:
+            raise ValueError("JPEG scan references a missing table")
+        _hi, _vi, _qs, bw_used, bh_used = info[cid]
+        rows = coef[cid]
+        eobrun = 0
+        p1, m1 = 1 << al, -(1 << al)
+        for by in range(bh_used):
+            for bx in range(bw_used):
+                blk = rows[by][bx]
+                if ah == 0:  # first pass (G.1.2.2): EOB runs span blocks
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        sym = br.huff(tab)
+                        r, s = sym >> 4, sym & 0x0F
+                        if s == 0:
+                            if r == 15:  # ZRL: sixteen zeros
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1  # EOBn: this block ends
+                            if r:
+                                eobrun += br.bits(r)
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("JPEG AC run past band end")
+                        blk[k] = _extend(br.bits(s), s) << al
+                        k += 1
+                    continue
+                # refinement pass (G.1.2.3, libjpeg decode_mcu_AC_refine):
+                # history-nonzero coefficients consume one correction bit
+                # whenever the scan pointer passes them
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        sym = br.huff(tab)
+                        r, s = sym >> 4, sym & 0x0F
+                        val = 0
+                        if s == 0:
+                            if r != 15:  # EOBn (counts THIS block too)
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += br.bits(r)
+                                break
+                            # r == 15: ZRL — skip 16 zero-history slots
+                        else:
+                            if s != 1:
+                                raise ValueError(
+                                    "JPEG AC refinement magnitude != 1"
+                                )
+                            val = p1 if br.bit() else m1
+                        while k <= se:
+                            c = blk[k]
+                            if c != 0:
+                                if br.bit() and (c & p1) == 0:
+                                    blk[k] = c + (p1 if c >= 0 else m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val and k <= se:
+                            blk[k] = val
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:  # refine the block's remaining history
+                        c = blk[k]
+                        if c != 0 and br.bit() and (c & p1) == 0:
+                            blk[k] = c + (p1 if c >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
+
+    # dequantize + IDCT once, batched per component
+    full = []
+    for cid, hi, vi, qs in comps:
+        q = qtables.get(qs)
+        if q is None:
+            raise ValueError("JPEG component references a missing q-table")
+        rows = coef[cid]
+        bh, bw = len(rows), len(rows[0])
+        zz = np.array(
+            [blk for row in rows for blk in row], dtype=np.float64
+        )  # (n_blocks, 64) in zigzag order
+        nat = np.zeros_like(zz)
+        nat[:, _ZIGZAG] = zz * q[_ZIGZAG].astype(np.float64)
+        spat = np.matmul(
+            _DCT_M.T, np.matmul(nat.reshape(-1, 8, 8), _DCT_M)
+        ) + 128.0
+        plane = (
+            spat.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
+        ry, rx = vmax // vi, hmax // hi
+        if ry > 1 or rx > 1:
+            plane = plane.repeat(ry, axis=0).repeat(rx, axis=1)
+        full.append(plane[:h, :w])
+    if len(comps) == 1:
         out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
         return out[:, :, None]
     return _ycbcr_to_rgb(np.stack(full, axis=2))

@@ -16,14 +16,15 @@ LZW with dictionary growth), and PCM16 WAV (`decode_wav_samples`) —
 each with a matching encoder that round-trips bit-exactly — so
 `resize` runs an actual nearest-neighbor kernel on decodable
 PNG/BMP/GIF payloads, `image_stats` measures real pixels, and
-`audio_features` measures real samples.  A pure stdlib+numpy baseline
-JPEG codec (`operators/jpeg_codec.py`) adds a FIFTH real kernel:
-encode + decode for 8-bit 1×1-sampled (4:4:4/grayscale) streams, with
-solid even-gray as its exactness class; progressive/subsampled
-real-world JPEGs and MP4 sample decode stay honestly stubbed (those
-need a real media library) behind a deterministic fake — the
-Spark-side plumbing (schema, batching, partition shape) is real and
-tested either way.
+`audio_features` measures real samples.  A pure stdlib+numpy JPEG
+codec (`operators/jpeg_codec.py`) adds a FIFTH real kernel: encode
+(4:4:4 / 4:2:0 / grayscale, solid even-gray as its exactness class)
+and decode for any 8-bit Huffman stream — baseline at any
+integer-divisor sampling AND progressive (spectral selection +
+successive approximation).  Arithmetic/12-bit/lossless JPEG and MP4
+sample decode stay honestly stubbed (those need a real media library)
+behind a deterministic fake — the Spark-side plumbing (schema,
+batching, partition shape) is real and tested either way.
 
 Scale notes: binary payloads dominate row size — keep
 `spark.sql.files.maxPartitionBytes` small enough that a partition of blobs
@@ -1519,15 +1520,16 @@ def _resize_jpeg(payload: bytes, tw: int, th: int) -> bytes:
 
 
 def resize(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
-    """Resize stage: REAL for decodable PNG / 24-bit BMP / GIF /
-    baseline-4:4:4 JPEG payloads (pure-stdlib decode → shared
-    nearest-neighbor kernel → re-encode, ``_resize_via``; the JPEG leg
-    is lossy like any JPEG rewrite), honestly stubbed for everything
-    else (progressive/subsampled JPEG and MP4 need a real media
-    library — the stub rewrites the payload deterministically and
-    stamps the op).  Header-only fixtures (no pixel data) take the
-    stub path too.  The Spark plumbing — schema in/out, Arrow batch
-    shape, partition-parallel execution — is identical on both paths.
+    """Resize stage: REAL for decodable PNG / 24-bit BMP / GIF / JPEG
+    payloads — baseline at any integer-divisor sampling AND progressive
+    (pure-stdlib decode → shared nearest-neighbor kernel → baseline
+    re-encode, ``_resize_via``; the JPEG leg is lossy like any JPEG
+    rewrite) — honestly stubbed for everything else
+    (arithmetic/12-bit JPEG and MP4 need a real media library — the
+    stub rewrites the payload deterministically and stamps the op).
+    Header-only fixtures (no pixel data) take the stub path too.  The
+    Spark plumbing — schema in/out, Arrow batch shape,
+    partition-parallel execution — is identical on both paths.
     """
 
     def one(p) -> bytes:

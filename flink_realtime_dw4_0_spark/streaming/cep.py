@@ -76,6 +76,96 @@ _STATE = StructType(
 )
 
 
+class _TwsState:
+    """GroupState-shaped adapter over a transformWithStateInPandas
+    ValueState + timer handle, so the CEP machine bodies (this module's
+    ``sequence_matcher_fn`` and ``cep_pattern``'s two matchers) run
+    VERBATIM on both state APIs — one transition implementation, zero
+    drift.  Exposes exactly the operations the machines use:
+    ``exists`` / ``get`` (properties, like GroupState),
+    ``getCurrentWatermarkMs``, ``update`` + ``setTimeoutTimestamp``
+    (register-after-clearing — TWS timers persist, GroupState's is
+    re-armed per invocation), and ``remove``."""
+
+    def __init__(self, vs, handle, timer_values, timed_out: bool):
+        self._vs = vs
+        self._handle = handle
+        self._tv = timer_values
+        self.hasTimedOut = timed_out
+
+    @property
+    def exists(self) -> bool:
+        return self._vs.exists()
+
+    @property
+    def get(self):
+        return tuple(list(x) for x in self._vs.get())
+
+    def getCurrentWatermarkMs(self) -> int:
+        return self._tv.getCurrentWatermarkInMs()
+
+    def update(self, value) -> None:
+        self._vs.update(tuple(value))
+
+    def setTimeoutTimestamp(self, ts: int) -> None:
+        for t in self._handle.listTimers():
+            self._handle.deleteTimer(t)
+        self._handle.registerTimer(int(ts))
+
+    def remove(self) -> None:
+        self._vs.clear()
+        for t in self._handle.listTimers():
+            self._handle.deleteTimer(t)
+
+
+def run_matcher_tws(src, matcher, out_schema, state_schema, ctx: str):
+    """Run a GroupState-style keyed matcher generator on Spark 4.x's
+    ``transformWithStateInPandas`` through the ``_TwsState`` adapter:
+    ``handleInputRows`` feeds it rows; an expired event-time timer
+    re-enters it with empty input and ``hasTimedOut=True`` — exactly
+    GroupState's EventTimeTimeout invocation contract."""
+    from ..session import ensure_protobuf
+
+    if not ensure_protobuf():
+        raise RuntimeError(
+            f"{ctx}(impl='tws') needs the public `protobuf` runtime "
+            "(transformWithState's state-server protocol); install "
+            "protobuf or use impl='apply'"
+        )
+    from pyspark.sql.streaming.stateful_processor import (
+        ExpiredTimerInfo, StatefulProcessor, StatefulProcessorHandle,
+        TimerValues,
+    )
+
+    class Proc(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._vs = handle.getValueState("machine", state_schema)
+
+        def handleInputRows(
+            self, key, rows, timerValues: TimerValues
+        ) -> Iterator[pd.DataFrame]:
+            shim = _TwsState(self._vs, self._handle, timerValues, False)
+            yield from matcher(key, rows, shim)
+
+        def handleExpiredTimer(
+            self, key, timerValues: TimerValues,
+            expiredTimerInfo: ExpiredTimerInfo,
+        ) -> Iterator[pd.DataFrame]:
+            shim = _TwsState(self._vs, self._handle, timerValues, True)
+            yield from matcher(key, iter(()), shim)
+
+        def close(self) -> None:
+            pass
+
+    return src.groupBy("key").transformWithStateInPandas(
+        Proc(),
+        outputStructType=out_schema,
+        outputMode="append",
+        timeMode="eventTime",
+    )
+
+
 def sequence_matcher_fn(n_steps: int, within_ms: int):
     """Build the keyed state function: buffers events until the watermark
     seals them, then binds steps 0..n_steps-1 in event-time order; emits
@@ -180,6 +270,7 @@ def match_sequence_stream(
     ts: str = "ts",
     watermark: str = "10 seconds",
     event_id: str | None = None,
+    impl: str = "apply",
 ) -> DataFrame:
     """Streaming sequence matcher over a watermarked event stream.
 
@@ -190,6 +281,10 @@ def match_sequence_stream(
     timestamps deterministically; when absent a stable 64-bit hash of
     the row's (key, ts, mask) stands in.  Returns a stream of
     (key, status, anchor_ts, step_ts).
+
+    ``impl='tws'`` runs the identical machine on Spark 4.x's
+    ``transformWithStateInPandas`` via ``run_matcher_tws`` (equivalence
+    + restart pinned by tests, like every other stateful family).
     """
     from ..operators.cep import parse_within_ms
 
@@ -217,6 +312,13 @@ def match_sequence_stream(
         )
         .filter(F.col("step_mask") != 0)  # non-participating events drop early
     )
+    if impl == "tws":
+        return run_matcher_tws(
+            src, sequence_matcher_fn(len(steps), within_ms),
+            _out_schema(), _STATE, "match_sequence_stream",
+        )
+    if impl != "apply":
+        raise ValueError(f"impl must be apply|tws, got {impl!r}")
     return src.groupBy("key").applyInPandasWithState(
         sequence_matcher_fn(len(steps), within_ms),
         outputStructType=_out_schema(),

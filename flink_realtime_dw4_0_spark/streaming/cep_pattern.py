@@ -71,7 +71,7 @@ from ..operators.cep import (
     validate_any_steps,
     validate_skip_target,
 )
-from .cep import _out_schema
+from .cep import _out_schema, run_matcher_tws
 
 _STATE = StructType(
     [
@@ -808,6 +808,7 @@ def match_pattern_stream(
     max_anchors_per_key: int | None = None,
     after_match: str = "no_skip",
     measures: dict[str, tuple[str, str, str]] | None = None,
+    impl: str = "apply",
     _mr_strict: bool = False,
 ) -> DataFrame:
     """Streaming full-pattern matcher: the same ``pattern`` dicts as
@@ -828,6 +829,13 @@ def match_pattern_stream(
     contract); rejected with negated steps (terminal-negation holds
     outlive their measure context, and MATCH_RECOGNIZE patterns have no
     negations).
+
+    ``impl='tws'`` runs the IDENTICAL machine generator on Spark 4.x's
+    ``transformWithStateInPandas`` through the ``_TwsState`` adapter
+    (expired event-time timers re-enter it exactly like GroupState's
+    timeout invocation); equivalence and checkpoint-restart are pinned
+    by tests, completing the deprecation-path coverage for every
+    applyInPandasWithState family in the repo.
 
     ``mode="single"`` (default) runs one pending anchor at a time — the
     lean k-longs machine, with the documented overlapping-anchor
@@ -1052,6 +1060,17 @@ def match_pattern_stream(
             out_schema.fields
             + [StructField(nm, DoubleType()) for nm in measures]
         )
+    if impl == "tws":
+        # State API v2: the SAME matcher generator runs through the
+        # shared _TwsState adapter (streaming/cep.py) — handleInputRows
+        # feeds it rows, an expired event-time timer re-enters it with
+        # empty input and hasTimedOut=True (exactly GroupState's
+        # timeout invocation)
+        return run_matcher_tws(
+            src, matcher, out_schema, _STATE, "match_pattern_stream"
+        )
+    if impl != "apply":
+        raise ValueError(f"impl must be apply|tws, got {impl!r}")
     return src.groupBy("key").applyInPandasWithState(
         matcher,
         outputStructType=out_schema,
@@ -1077,6 +1096,7 @@ def match_recognize_stream(
     max_active_anchors: int = 16,
     max_anchors_per_key: int | None = None,
     measures: dict[str, tuple[str, str, str]] | None = None,
+    impl: str = "apply",
 ) -> DataFrame:
     """Streaming Flink SQL ``MATCH_RECOGNIZE`` — the same PATTERN /
     DEFINE / WITHIN / AFTER MATCH / MEASURES surface as the batch
@@ -1153,5 +1173,6 @@ def match_recognize_stream(
         max_anchors_per_key=max_anchors_per_key,
         after_match=after_match,
         measures=measures,
+        impl=impl,
         _mr_strict=(contiguity == "strict"),
     )

@@ -3926,6 +3926,54 @@ def test_streaming_mr_alternation_golden(spark, tmp_path):
     assert {k: list(v[:3]) for k, v in twin.items()} == got
 
 
+def test_streaming_cep_pattern_tws_equals_apply(spark, tmp_path):
+    """The transformWithStateInPandas port of the CEP pattern machine
+    (impl='tws', the _TwsState adapter running the SAME matcher
+    generator) emits IDENTICAL rows to the applyInPandasWithState path
+    under SHUFFLED arrival, across both modes: the loop pattern's
+    (first, last, count) triple, the empty-optional sentinel, timeouts
+    resolved by an expired event-time TIMER (the adapter's
+    hasTimedOut=True re-entry), and the multi-anchor machine's
+    independent partials."""
+    base = 1_700_000_000_000
+    SEC = 1_000
+    all_events = {
+        "u1": [("A", 1), ("c", 2), ("c", 3), ("c", 4), ("B", 5)],
+        "u4": [("A", 1), ("B", 2), ("c", 3), ("B", 4)],
+        "u2": [("A", 1), ("B", 2)],
+        "u5": [("A", 1), ("c", 2)],   # never completes: timer timeout
+    }
+    rows = [
+        {"user_id": u, "ts": base + s * SEC, "event_id": s, "event_type": e}
+        for u, evs in all_events.items() for e, s in evs
+    ]
+    b1 = [r for r in rows if r["ts"] >= base + 3 * SEC]   # reversed halves
+    b2 = [r for r in rows if r["ts"] < base + 3 * SEC]
+    b3 = [{"user_id": "u9", "ts": base + 900_000, "event_id": 99,
+           "event_type": "A"}]
+    pat = [
+        {"name": "a", "where": F.col("event_type") == "A"},
+        {"name": "click", "where": F.col("event_type") == "c",
+         "one_or_more": True},
+        {"name": "b", "where": F.col("event_type") == "B"},
+    ]
+    for mode in ("single", "all"):
+        got = {}
+        for impl in ("apply", "tws"):
+            got[impl] = sorted(
+                (r.key, r.status, tuple(r.step_ts))
+                for r in _run_pattern_stream(
+                    spark, tmp_path, f"ctw_{mode}_{impl}", [b1, b2, b3],
+                    pat, within="1 minute", watermark="10 seconds",
+                    mode=mode, impl=impl)
+                if r.key != "u9"
+            )
+        assert got["apply"] == got["tws"] and len(got["apply"]) >= 4
+        statuses = {(k, s) for k, s, _ in got["apply"]}
+        assert ("u1", "match") in statuses
+        assert ("u5", "timeout") in statuses  # timer-resolved on both
+
+
 def test_streaming_followed_by_any_golden(spark, tmp_path):
     """Streaming followedByAny under SHUFFLED arrival equals the batch
     twin: every qualifying B forks its own continuation (three B
@@ -4753,7 +4801,9 @@ def _drive_restart_foreach(spark, tmp_path, name, make_op, schema, batches,
     return read(tmp_path / f"{name}_o1"), read(tmp_path / f"{name}_o2")
 
 
-@pytest.mark.parametrize("op", ["cep_seq", "cep_pattern_loop", "rate_limit",
+@pytest.mark.parametrize("op", ["cep_seq", "cep_seq_tws",
+                                "cep_pattern_loop",
+                                "cep_pattern_tws", "rate_limit",
                                 "rate_limit_tws", "visitor_fix_tws",
                                 "first_seen", "first_seen_tws",
                                 "topn", "neardup",
@@ -4900,9 +4950,10 @@ def test_checkpoint_restart_equals_uninterrupted(spark, tmp_path, op):
                 event_id="event_id", mode="all",
             )
 
-    if op == "cep_seq":
+    if op in ("cep_seq", "cep_seq_tws"):
         from flink_realtime_dw4_0_spark.streaming.cep import match_sequence_stream
 
+        seq_impl = "tws" if op == "cep_seq_tws" else "apply"
         batches = [
             [ev("u1", 1, 1, "A"), ev("u2", 2, 2, "A")],
             [ev("u1", 5, 3, "B"), ev("u3", 6, 4, "A")],
@@ -4918,13 +4969,15 @@ def test_checkpoint_restart_equals_uninterrupted(spark, tmp_path, op):
                  ("b", F.col("event_type") == "B"),
                  ("c", F.col("event_type") == "C")],
                 within="1 minute", watermark="5 seconds", event_id="event_id",
+                impl=seq_impl,
             )
 
-    elif op == "cep_pattern_loop":
+    elif op in ("cep_pattern_loop", "cep_pattern_tws"):
         from flink_realtime_dw4_0_spark.streaming.cep_pattern import (
             match_pattern_stream,
         )
 
+        cep_impl = "tws" if op == "cep_pattern_tws" else "apply"
         batches = [
             [ev("u1", 1, 1, "A"), ev("u1", 2, 2, "c")],
             [ev("u1", 3, 3, "c"), ev("u9", 30, 4, "A")],  # wm seals u1's head
@@ -4941,7 +4994,7 @@ def test_checkpoint_restart_equals_uninterrupted(spark, tmp_path, op):
                   "one_or_more": True},
                  {"name": "b", "where": F.col("event_type") == "B"}],
                 within="1 minute", watermark="5 seconds", event_id="event_id",
-                mode="all",
+                mode="all", impl=cep_impl,
             )
 
     elif op == "visitor_fix_tws":
@@ -5015,7 +5068,7 @@ def test_checkpoint_restart_equals_uninterrupted(spark, tmp_path, op):
         by_eid = {r[1]: (r[3], r[4]) for r in uninterrupted}
         assert by_eid[3][0] == "0"  # restored state rewrote the repeat
         assert by_eid[4][0] == "0"  # restored backfill suppressed the flag
-    if op == "cep_pattern_loop":
+    if op in ("cep_pattern_loop", "cep_pattern_tws"):
         # the in-flight loop accumulator crossed the restart intact
         matches = [r for r in uninterrupted if r[1] == "match"]
         assert any(tuple(r[3]) == (base + 1 * SEC, base + 2 * SEC,

@@ -961,6 +961,76 @@ def pack_sequences_ffd_q(spark, sf_dir):
 
 
 @q(
+    "pack_efficiency_ffd",
+    f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+             CAST(len({_DK_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents),
+    o AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY shard ORDER BY n_tokens DESC, doc_id) AS rn
+      FROM toks),
+    rec AS (
+      SELECT doc_id, shard, n_tokens, rn,
+             CAST(0 AS BIGINT) AS seq_id,
+             [CAST(96 - n_tokens AS BIGINT)] AS resids
+      FROM o WHERE rn = 1
+      UNION ALL
+      SELECT doc_id, shard, n_tokens, rn,
+             CASE WHEN fit IS NULL THEN CAST(len(resids) AS BIGINT)
+                  ELSE CAST(fit - 1 AS BIGINT) END AS seq_id,
+             CASE WHEN fit IS NULL
+                  THEN list_append(resids, CAST(96 - n_tokens AS BIGINT))
+                  ELSE list_transform(
+                         generate_series(1, CAST(len(resids) AS BIGINT)),
+                         i -> CASE WHEN i = fit THEN resids[i] - n_tokens
+                                   ELSE resids[i] END) END AS resids
+      FROM (
+        SELECT s.doc_id, s.shard, s.n_tokens, s.rn, r.resids,
+               list_filter(generate_series(1, CAST(len(r.resids) AS BIGINT)),
+                           i -> r.resids[i] >= s.n_tokens)[1] AS fit
+        FROM o s JOIN rec r ON s.shard = r.shard AND s.rn = r.rn + 1
+      ) z),
+    per_seq AS (
+      SELECT shard, seq_id, count(*) AS n_docs, sum(n_tokens) AS seq_tokens,
+             max(CASE WHEN n_tokens > 96 THEN 1 ELSE 0 END) AS overflow
+      FROM rec GROUP BY 1, 2),
+    agg AS (
+      SELECT shard,
+             CAST(sum(n_docs) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_seqs,
+             CAST(sum(overflow) AS BIGINT) AS n_overflow_seqs,
+             CAST(sum(seq_tokens) AS BIGINT) AS total_tokens,
+             CAST(sum(CASE WHEN overflow = 0 THEN 96 - seq_tokens
+                           ELSE 0 END) AS BIGINT) AS total_padding,
+             sum(CASE WHEN overflow = 0 THEN 1 ELSE 0 END) AS n_full
+      FROM per_seq GROUP BY shard)
+    SELECT shard, n_docs, n_seqs, n_overflow_seqs, total_tokens,
+           total_padding,
+           CASE WHEN n_full > 0
+                THEN round(total_padding / (n_full * 96), 4)
+                ELSE 0.0 END AS padding_frac
+    FROM agg
+    """,
+    tags=("packing", "pretraining", "report", "ffd"),
+)
+def pack_efficiency_ffd_q(spark, sf_dir):
+    """Padding/utilization report over the FIRST-FIT-DECREASING packing
+    — the comparison row a capacity plan reads next to
+    pack_efficiency_report's greedy numbers (on this corpus at L=96:
+    greedy 381 seqs / 26.5% padding vs FFD 305 / 7.5%).  The oracle
+    replays the residual-list first-fit CTE and the same rollup
+    (operators/sampling.py:pack_sequences_ffd + pack_efficiency)."""
+    docs = t(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id", text.token_count_ws("text").alias("n_tokens")
+    )
+    packed = sampling.pack_sequences_ffd(with_tokens, 96, n_shards=8)
+    return sampling.pack_efficiency(packed, 96)
+
+
+@q(
     "pack_efficiency_report",
     f"""
     WITH RECURSIVE toks AS (

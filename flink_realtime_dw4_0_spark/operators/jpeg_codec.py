@@ -21,10 +21,12 @@ allows and honestly rejected where it doesn't:
   successive approximation, DC/AC first and refinement scans,
   interleaved or per-component — ``_decode_progressive``, validated
   against real libjpeg-family fixtures with javax.imageio as the
-  independent ground truth).  12-bit precision, arithmetic coding,
-  lossless, restart intervals, and non-interleaved multi-scan BASELINE
-  streams raise NotImplementedError so callers fall back to the
-  disclosed stub.
+  independent ground truth).  Baseline RESTART INTERVALS (DRI + RSTn:
+  byte-align, marker consume, per-interval DC predictor reset) are
+  supported and fixture-validated too.  12-bit precision, arithmetic
+  coding, lossless, progressive-with-DRI, and non-interleaved
+  multi-scan BASELINE streams raise NotImplementedError so callers
+  fall back to the disclosed stub.
 
 The DCT pair is the exact orthonormal matrix form of the JPEG spec:
 S = M·B·Mᵀ with M[u,x] = ½·C(u)·cos((2x+1)uπ/16), and the IDCT is its
@@ -150,6 +152,26 @@ class _BitReader:
             if sym is not None:
                 return sym
         raise ValueError("invalid JPEG Huffman code")
+
+    def restart(self) -> None:
+        """Consume an RSTn marker at a restart boundary: byte-align
+        (dropping the encoder's pad bits), skip spec-legal FF fill, and
+        eat the two marker bytes.  The caller resets its DC predictors
+        (B.2.3.1 — decoding restarts independently per interval)."""
+        self.n = 0  # byte-align: the interval's entropy data ends padded
+        while (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and self.data[self.pos + 1] == 0xFF
+        ):
+            self.pos += 1  # fill bytes before the marker (B.1.1.2)
+        if (
+            self.pos + 1 >= len(self.data)
+            or self.data[self.pos] != 0xFF
+            or not (0xD0 <= self.data[self.pos + 1] <= 0xD7)
+        ):
+            raise ValueError("expected JPEG restart marker")
+        self.pos += 2
 
 
 def _category(v: int) -> int:
@@ -326,6 +348,7 @@ def decode_jpeg_pixels(payload: bytes):
     htables: dict[int, dict[tuple[int, int], int]] = {}
     dims = None
     sof_marker = None
+    restart_interval = 0  # DRI: MCUs per restart interval (0 = none)
     comps: list[tuple[int, int, int, int]] = []  # (id, Hi, Vi, qsel)
     # every scan: (scan_comps [(id, dc_sel, ac_sel)], Ss, Se, Ah, Al,
     # entropy bytes, snapshot of the Huffman tables in effect) — DHT may
@@ -381,7 +404,7 @@ def decode_jpeg_pixels(payload: bytes):
                 htables[tc_th] = dec
                 b += 17 + nvals
         elif marker == 0xDD:
-            raise NotImplementedError("JPEG restart intervals")
+            restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:
             ns = body[0]
             sc = [
@@ -406,6 +429,12 @@ def decode_jpeg_pixels(payload: bytes):
     h, w = dims
     nc = len(comps)
     if sof_marker == 0xC2:
+        if restart_interval:
+            raise NotImplementedError(
+                "progressive JPEG with restart intervals (no honestly-"
+                "sourced fixture to validate against; baseline DRI is "
+                "supported)"
+            )
         return _decode_progressive(h, w, comps, scans, qtables)
     if len(scans) != 1 or len(scans[0][0]) != nc:
         raise NotImplementedError("non-interleaved multi-scan baseline JPEG")
@@ -456,8 +485,18 @@ def decode_jpeg_pixels(payload: bytes):
         coef[_ZIGZAG] = zz * q[_ZIGZAG]
         return _DCT_M.T @ coef.reshape(8, 8) @ _DCT_M
 
+    n_mcu_done = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if (
+                restart_interval
+                and n_mcu_done
+                and n_mcu_done % restart_interval == 0
+            ):
+                # restart boundary (B.2.3.1): byte-align + eat RSTn,
+                # DC prediction restarts independently per interval
+                br.restart()
+                prev_dc = [0] * nc
             for ci, (hi, vi, qs, dc_sel, ac_sel) in enumerate(order):
                 dc_tab = htables.get(0x00 | dc_sel)
                 ac_tab = htables.get(0x10 | ac_sel)
@@ -470,6 +509,7 @@ def decode_jpeg_pixels(payload: bytes):
                         by = (my * vi + v) * 8
                         bx = (mx * hi + hx) * 8
                         planes[ci][by : by + 8, bx : bx + 8] = block + 128.0
+            n_mcu_done += 1
     full = []
     for ci, (hi, vi, *_rest) in enumerate(order):
         p = planes[ci]

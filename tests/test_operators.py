@@ -3822,7 +3822,10 @@ def test_followed_by_any(spark):
     rate = spark.readStream.format("rate").load().selectExpr(
         "cast(value as string) as user_id",
         "timestamp as ts", "value as event_id", "'A' as event_type")
-    with _pytest.raises(ValueError, match="batch-only"):
+    # the deterministic single-anchor machine still cannot fork; the
+    # multi-anchor machine now CAN (see the streaming followedByAny
+    # goldens) — so the rejection moved from "batch-only" to mode-scoped
+    with _pytest.raises(ValueError, match="mode='all'"):
         match_pattern_stream(rate, pat, within="1 minute")
 
 

@@ -1109,27 +1109,50 @@ _MR_TOKEN = re.compile(
     r"(\+|\*|\?|\{\s*\d+\s*(?:,\s*\d*\s*)?\})?"
 )
 
-# single-level alternation group: (A|B[|C...]) of BARE variables, no
-# quantifier on the group (a quantified group would need a branching NFA)
+# single-level alternation group: (A|B[|C...]) of BARE variables,
+# optionally followed by a quantifier (matched by _MR_QUANT)
 _MR_ALT = re.compile(
     r"\s*\(\s*([A-Za-z_][A-Za-z_0-9]*"
     r"(?:\s*\|\s*[A-Za-z_][A-Za-z_0-9]*)+)\s*\)"
 )
+_MR_QUANT = re.compile(r"\s*(\+|\*|\?|\{\s*\d+\s*(?:,\s*\d*\s*)?\})")
+
+
+def _quant_kwargs(quant: str | None) -> dict:
+    """Map one regex quantifier token to the pattern-dict kwargs (shared
+    by bare variables and alternation groups)."""
+    if not quant:
+        return {}
+    if quant == "+":
+        return {"one_or_more": True}
+    if quant == "*":
+        return {"zero_or_more": True}
+    if quant == "?":
+        return {"optional": True}
+    inner = quant.strip("{}").replace(" ", "")
+    if "," not in inner:
+        return {"times": int(inner)}
+    if inner.endswith(","):
+        return {"times_or_more": int(inner[:-1])}
+    lo, hi = inner.split(",")
+    return {"times_range": (int(lo), int(hi))}
 
 
 def parse_mr_pattern(pattern: str) -> list[tuple[str | list[str], dict]]:
     """Parse a MATCH_RECOGNIZE ``PATTERN`` clause body — a sequence of
     variables with optional regex quantifiers ``A B+ C* D? E{2} F{2,}
     G{2,4}``, plus single-level alternation groups ``(A|B)`` of bare
-    variables — into ``(name, quantifier_kwargs)`` pairs, where an
-    alternation step's name is the ``list`` of its alternatives in
-    written (preference) order.  Quantified groups, nesting, exclusion,
-    and anchors (``(A|B)+ ( ) {- -} ^ $``) are not supported and raise
-    (honest scope: the deterministic machine has no branching NFA;
-    un-quantified single-level alternation needs none — under MR's
-    strict row contiguity every position is forced, so ``(A|B)`` is
-    exactly one step matching ``A OR B`` with leftmost classifier
-    preference, which is how it compiles)."""
+    variables, QUANTIFIED or not (``(A|B)+ (A|B){2,4}`` …) — into
+    ``(name, quantifier_kwargs)`` pairs, where an alternation step's
+    name is the ``list`` of its alternatives in written (preference)
+    order.  Nesting, exclusion, and anchors (``( ) {- -} ^ $``) are not
+    supported and raise.  Honest scope note: the deterministic machine
+    has no branching NFA, and none is needed here — under MR's strict
+    row contiguity every position is forced, so ``(A|B)`` is exactly
+    one step matching ``A OR B`` (leftmost classifier preference) and
+    ``(A|B)+`` is exactly a consecutive RUN of rows each matching
+    ``A OR B`` (per-row classifiers are not emitted for quantified
+    groups — a run has many)."""
     out: list[tuple[str | list[str], dict]] = []
     pos = 0
     while pos < len(pattern):
@@ -1143,14 +1166,9 @@ def parse_mr_pattern(pattern: str) -> list[tuple[str | list[str], dict]]:
                     f"MATCH_RECOGNIZE alternation repeats a variable: "
                     f"({ma.group(1)})"
                 )
-            nxt = pattern[ma.end():].lstrip()
-            if nxt[:1] in ("+", "*", "?", "{"):
-                raise ValueError(
-                    "MATCH_RECOGNIZE: quantified alternation groups "
-                    f"(…){nxt[0]} are not supported (branching NFA)"
-                )
-            out.append((alts, {}))
-            pos = ma.end()
+            mq = _MR_QUANT.match(pattern, ma.end())
+            out.append((alts, _quant_kwargs(mq.group(1)) if mq else {}))
+            pos = mq.end() if mq else ma.end()
             continue
         m = _MR_TOKEN.match(pattern, pos)
         if m is None:
@@ -1160,24 +1178,7 @@ def parse_mr_pattern(pattern: str) -> list[tuple[str | list[str], dict]]:
                 f"{{n,m}} quantifiers, and un-quantified single-level "
                 f"alternation groups (A|B), only)"
             )
-        name, quant = m.group(1), m.group(2)
-        kw: dict = {}
-        if quant == "+":
-            kw = {"one_or_more": True}
-        elif quant == "*":
-            kw = {"zero_or_more": True}
-        elif quant == "?":
-            kw = {"optional": True}
-        elif quant:
-            inner = quant.strip("{}").replace(" ", "")
-            if "," not in inner:
-                kw = {"times": int(inner)}
-            elif inner.endswith(","):
-                kw = {"times_or_more": int(inner[:-1])}
-            else:
-                lo, hi = inner.split(",")
-                kw = {"times_range": (int(lo), int(hi))}
-        out.append((name, kw))
+        out.append((m.group(1), _quant_kwargs(m.group(2))))
         pos = m.end()
     if len(out) < 2:
         raise ValueError("MATCH_RECOGNIZE pattern needs at least two steps")
@@ -1229,18 +1230,22 @@ def match_recognize(
     ``match_pattern``): when a row satisfies both a loop variable and
     its successor, the machine binds the successor once the loop
     minimum is met, so a greedy regex that would prefer a longer loop
-    may emit the shorter match.  Single-level un-quantified alternation
-    ``(A|B)`` is supported: it compiles to ONE step matching ``A OR B``
-    — under strict contiguity every row position is forced, so this is
-    exactly SQL MR's regex alternation (the only remaining choice is
-    which variable to credit, resolved leftmost like a regex; the
-    ``<group>_classifier`` output column carries it, SQL ``CLASSIFIER()``
-    style).  Under relaxed contiguity the OR-step binds the FIRST row
-    satisfying any alternative (same proceed-priority contract as
-    above; a branching NFA that waits for a later, different-variable
-    row is out of scope).  Quantified groups / nesting are rejected at
-    parse time; the first variable must be un-quantified (the machine
-    anchors on a concrete row)."""
+    may emit the shorter match.  Single-level alternation ``(A|B)`` is
+    supported, quantified or not: a bare group compiles to ONE step
+    matching ``A OR B`` — under strict contiguity every row position is
+    forced, so this is exactly SQL MR's regex alternation (the only
+    remaining choice is which variable to credit, resolved leftmost
+    like a regex; the ``<group>_classifier`` output column carries it,
+    SQL ``CLASSIFIER()`` style) — and a QUANTIFIED group ``(A|B)+`` /
+    ``{m,n}`` compiles to one quantified step with the OR predicate
+    (under strict contiguity: a consecutive RUN of rows each matching
+    an alternative — still no branching NFA needed; per-row classifiers
+    are not emitted for a run).  Under relaxed contiguity the OR-step
+    binds/takes the FIRST row satisfying any alternative (same
+    proceed-priority contract as above; a branching NFA that waits for
+    a later, different-variable row is out of scope).  Nesting is
+    rejected at parse time; the first variable must be un-quantified
+    (the machine anchors on a concrete row)."""
     if contiguity not in ("strict", "relaxed"):
         raise ValueError(f"contiguity must be strict|relaxed, got {contiguity!r}")
     steps = parse_mr_pattern(pattern)
@@ -1262,8 +1267,15 @@ def match_recognize(
             pred = _pred(name[0])
             for a in name[1:]:
                 pred = pred | _pred(a)
-            alt_groups.append((gname, name))
-            pat.append({"name": gname, "where": pred})
+            if not kw:
+                # the classifier column only exists for SINGLE-bind
+                # groups; a quantified group's run has many rows (its
+                # per-row crediting is not emitted — documented)
+                alt_groups.append((gname, name))
+            d = {"name": gname, "where": pred, **kw}
+            if contiguity == "strict" and kw and "times" not in kw:
+                d["consecutive"] = True
+            pat.append(d)
             continue
         d = {"name": name, "where": _pred(name), **kw}
         if contiguity == "strict" and kw and "times" not in kw:

@@ -3613,6 +3613,78 @@ def cep_mr_measures_q(spark, sf_dir):
 
 
 @q(
+    "cep_mr_alt_quantified",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    a0 AS (
+      SELECT user_id, view_ts, view_rn FROM (
+        SELECT user_id, ts AS view_ts, rn AS view_rn,
+               row_number() OVER (PARTITION BY user_id ORDER BY rn) AS cp
+        FROM e WHERE event_type = 'view')
+      WHERE cp <= 5),
+    nx AS (
+      SELECT a.user_id, a.view_ts, a.view_rn, min(e.rn) AS b_rn
+      FROM a0 a JOIN e ON e.user_id = a.user_id
+      WHERE e.event_type NOT IN ('click', 'error') AND e.rn > a.view_rn
+      GROUP BY 1, 2, 3),
+    m AS (
+      SELECT n.user_id, view_ts, view_rn, b_rn,
+             b_rn - view_rn - 1 AS run_n, p.ts AS p_ts
+      FROM nx n
+      JOIN e p ON p.user_id = n.user_id AND p.rn = n.b_rn
+              AND p.event_type = 'purchase'
+      WHERE b_rn > view_rn + 1),
+    alive AS (SELECT * FROM m WHERE p_ts <= view_ts + INTERVAL 7 DAY)
+    SELECT a.user_id, epoch_us(a.view_ts) AS view_us,
+           epoch_us(ef.ts) AS run_first_us, epoch_us(el.ts) AS run_last_us,
+           CAST(a.run_n AS BIGINT) AS run_count,
+           epoch_us(a.p_ts) AS purchase_us
+    FROM alive a
+    JOIN e ef ON ef.user_id = a.user_id AND ef.rn = a.view_rn + 1
+    JOIN e el ON el.user_id = a.user_id AND el.rn = a.b_rn - 1
+    """,
+    tags=("cep", "match-recognize", "alternation", "quantified", "sql-api"),
+)
+def cep_mr_alt_quantified_q(spark, sf_dir):
+    """MATCH_RECOGNIZE QUANTIFIED alternation — ``PATTERN
+    (V (C|E)+ P)`` with strict row contiguity: the r7-documented
+    exclusion that needed no branching NFA after all — under forced row
+    positions ``(C|E)+`` is exactly a consecutive RUN of rows each
+    matching C OR E, i.e. one one_or_more step with the OR predicate
+    (per-row classifiers are not emitted for a run — documented).  The
+    oracle derives the run directly: the first non-{click,error} row
+    after each view must be a purchase with at least one loop row in
+    between (operators/cep.py:parse_mr_pattern quantified groups +
+    match_recognize)."""
+    from ..operators import cep
+
+    ev = t(spark, sf_dir, "events")
+    m = cep.match_recognize(
+        ev,
+        pattern="V (C|E)+ P",
+        define={
+            "V": F.col("event_type") == "view",
+            "C": F.col("event_type") == "click",
+            "E": F.col("event_type") == "error",
+            "P": F.col("event_type") == "purchase",
+        },
+        within="7 DAY",
+        max_anchors_per_key=5,
+    )
+    return m.select(
+        "user_id",
+        F.unix_micros("V_ts").alias("view_us"),
+        F.unix_micros("C_or_E_first_ts").alias("run_first_us"),
+        F.unix_micros("C_or_E_last_ts").alias("run_last_us"),
+        F.col("C_or_E_count").alias("run_count"),
+        F.unix_micros("P_ts").alias("purchase_us"),
+    )
+
+
+@q(
     "cep_mr_alternation",
     """
     WITH e AS (

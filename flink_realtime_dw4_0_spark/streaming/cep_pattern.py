@@ -1159,11 +1159,14 @@ def match_recognize_stream(
             # (A|B) compiles to ONE step matching A OR B — identical to
             # the batch front-end, so stream/batch parity is structural
             # (the stream emits step timestamps; the batch classifier
-            # column is a batch-only measure)
+            # column is a batch-only measure).  A QUANTIFIED group
+            # ((A|B)+ …) carries its quantifier like a bare variable:
+            # under strict contiguity the machine's mr_strict mode
+            # already enforces the run semantics
             pred = _pred(name[0])
             for a in name[1:]:
                 pred = pred | _pred(a)
-            pat.append({"name": "_or_".join(name), "where": pred})
+            pat.append({"name": "_or_".join(name), "where": pred, **kw})
             continue
         pat.append({"name": name, "where": _pred(name), **kw})
     return match_pattern_stream(

@@ -3618,6 +3618,56 @@ def test_match_recognize(spark):
                             within="1 HOUR")
 
 
+def test_mr_quantified_alternation(spark):
+    """Quantified alternation groups (A|B)+ / {m,n} in MATCH_RECOGNIZE —
+    the r7-documented exclusion that needs NO branching NFA: under
+    strict row contiguity the group is one consecutive run with the OR
+    predicate.  Hand trace: mixed C/E run matches with the (first,
+    last, count) triple and loop MEASURES; a broken entry and a
+    zero-length run do not match; {2,3} bounds the run; plain (A|B)
+    still carries its classifier while quantified groups do not."""
+    from datetime import datetime as dt
+
+    from flink_realtime_dw4_0_spark.operators import cep
+
+    T = lambda s: dt(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        ("u1", T(1), 1, "V"), ("u1", T(2), 2, "C"), ("u1", T(3), 3, "E"),
+        ("u1", T(4), 4, "C"), ("u1", T(5), 5, "P"),
+        ("u2", T(1), 1, "V"), ("u2", T(2), 2, "X"), ("u2", T(3), 3, "C"),
+        ("u2", T(4), 4, "P"),                     # broken entry: no match
+        ("u3", T(1), 1, "V"), ("u3", T(2), 2, "P"),   # empty run: no match
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, event_id long, event_type string"
+    )
+    define = {"V": "event_type = 'V'", "C": "event_type = 'C'",
+              "E": "event_type = 'E'", "P": "event_type = 'P'"}
+    got = {r.user_id: (r.C_or_E_first_ts.second, r.C_or_E_last_ts.second,
+                       r.C_or_E_count, r.n_sum)
+           for r in cep.match_recognize(
+               ev, pattern="V (C|E)+ P", define=define, within="1 HOUR",
+               measures={"n_sum": ("sum", "event_id", "C_or_E")}).collect()}
+    assert got == {"u1": (2, 4, 3, 9)}
+    # bounded {2,3}: u1's 3-run fits; a 1-run would not
+    got23 = {r.user_id: r.C_or_E_count for r in cep.match_recognize(
+        ev, pattern="V (C|E){2,3} P", define=define,
+        within="1 HOUR").collect()}
+    assert got23 == {"u1": 3}
+    # parse surface: quantifiers attach to groups like bare variables
+    assert cep.parse_mr_pattern("A (B|C)* D")[1] == (
+        ["B", "C"], {"zero_or_more": True})
+    assert cep.parse_mr_pattern("A (B|C){2,} D")[1] == (
+        ["B", "C"], {"times_or_more": 2})
+    # a quantified group emits NO classifier column (a run has many rows)
+    cols = cep.match_recognize(ev, pattern="V (C|E)+ P", define=define,
+                               within="1 HOUR").columns
+    assert "C_or_E_classifier" not in cols
+    cols_plain = cep.match_recognize(
+        ev, pattern="V (C|E) P", define=define, within="1 HOUR").columns
+    assert "C_or_E_classifier" in cols_plain
+
+
 def test_kmv_overlap(spark):
     """KMV audience overlap: engineered segments A=u0..999, B=u500..1499
     (|A∩B|=500), C=u0..49.  At k=64 (stderr ~12.6%) every estimate must
@@ -3919,7 +3969,9 @@ def test_match_recognize_alternation(spark):
         contiguity="relaxed").collect()}
     assert relaxed == {"k1": "B", "k2": "S", "k4": "B", "k5": "S"}
 
-    for bad in ("A (B|S)+ C", "A (B|B) C", "A ((B|S)) C"):
+    # quantified groups PARSE now (see test_mr_quantified_alternation);
+    # repeated alternatives and nesting stay rejections
+    for bad in ("A (B|B) C", "A ((B|S)) C"):
         with _pytest.raises(ValueError):
             cep.parse_mr_pattern(bad)
     # group alternatives need DEFINEs like any variable

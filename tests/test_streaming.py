@@ -4268,6 +4268,58 @@ def test_streaming_mr_measures_randomized_parity(spark, tmp_path):
     assert stream == batch and len(batch) >= 4
 
 
+def test_streaming_mr_alt_quantified_golden(spark, tmp_path):
+    """Streaming quantified alternation (C|E)+ under SHUFFLED arrival
+    equals the batch twin: the OR-predicate run accumulates across the
+    seal order (triple first/last/count), a broken entry kills under
+    row-regex contiguity, and an empty run never matches."""
+    from flink_realtime_dw4_0_spark.operators.cep import match_recognize
+
+    base = 1_700_000_000_000
+    SEC = 1_000
+    all_events = {
+        "q1": [("V", 1), ("C", 2), ("E", 3), ("C", 4), ("P", 5)],
+        "q2": [("V", 1), ("X", 2), ("C", 3), ("P", 4)],   # broken entry
+        "q3": [("V", 1), ("P", 2)],                        # empty run
+    }
+    rows = [
+        {"user_id": u, "ts": base + s * SEC, "event_id": s, "event_type": e}
+        for u, evs in all_events.items() for e, s in evs
+    ]
+    b1 = [r for r in rows if r["ts"] >= base + 3 * SEC]   # reversed halves
+    b2 = [r for r in rows if r["ts"] < base + 3 * SEC]
+    b3 = [{"user_id": "q9", "ts": base + 900_000, "event_id": 99,
+           "event_type": "V"}]
+    define = {"V": "event_type = 'V'", "C": "event_type = 'C'",
+              "E": "event_type = 'E'", "P": "event_type = 'P'"}
+    got = {
+        r.key: list(r.step_ts)
+        for r in _run_mr_stream(
+            spark, tmp_path, "mraq", [b1, b2, b3],
+            pattern="V (C|E)+ P", define=define, within="1 minute",
+            watermark="10 seconds")
+        if r.key != "q9" and r.status == "match"
+    }
+    assert got == {
+        "q1": [base + 1 * SEC, base + 2 * SEC, base + 4 * SEC, 3,
+               base + 5 * SEC],
+    }
+    bdf = spark.createDataFrame(
+        [(r["user_id"], r["ts"], r["event_id"], r["event_type"])
+         for r in rows],
+        "user_id string, ts_ms long, event_id long, event_type string",
+    ).withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+    twin = {r.user_id: [int(r.V_ts.timestamp() * 1000),
+                        int(r.C_or_E_first_ts.timestamp() * 1000),
+                        int(r.C_or_E_last_ts.timestamp() * 1000),
+                        r.C_or_E_count,
+                        int(r.P_ts.timestamp() * 1000)]
+            for r in match_recognize(
+                bdf, pattern="V (C|E)+ P", define=define,
+                within="1 minute").collect()}
+    assert twin == got
+
+
 def test_streaming_pattern_not_next_golden(spark, tmp_path):
     """Streaming notNext equals the batch twin under SHUFFLED arrival:
     the adjacency check runs against the ACTUAL next sealed event —

@@ -53,7 +53,7 @@ import struct
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
@@ -837,6 +837,15 @@ def match_pattern_stream(
     by tests, completing the deprecation-path coverage for every
     applyInPandasWithState family in the repo.
 
+    Plain alternation groups ``(A|B)`` additionally emit a
+    ``<group>_classifier`` string column like the batch twin: the
+    leftmost-matching alternative's index rides into the machine as a
+    synthetic ``first`` measure folded at the bound row and resolves to
+    the variable name on output.  Quantified groups ``(A|B)+`` compile
+    to one quantified OR-step (a consecutive run under strict
+    contiguity) and emit no classifier — a run has many rows, same as
+    batch.
+
     ``mode="single"`` (default) runs one pending anchor at a time — the
     lean k-longs machine, with the documented overlapping-anchor
     divergence.  ``mode="all"`` runs the multi-anchor machine: every
@@ -1019,7 +1028,10 @@ def match_pattern_stream(
         eid_col.alias("event_id"),
         mask.alias("step_mask"),
         "row_time",
-        *[F.col(vc).cast("double").alias(f"__mv{i}")
+        # a measure's value source may be a column NAME or a computed
+        # Column (the MR front-end's classifier index rides this way)
+        *[(vc if isinstance(vc, Column) else F.col(vc))
+          .cast("double").alias(f"__mv{i}")
           for i, (_a, vc, _v) in enumerate(mspecs)],
     )
     if not any(s[0] for s in specs) and not _mr_strict and not neg_next:
@@ -1154,28 +1166,56 @@ def match_recognize_stream(
         return F.expr(p) if isinstance(p, str) else p
 
     pat = []
+    cls_groups: list[tuple[str, list[str]]] = []
     for name, kw in steps:
         if isinstance(name, list):
             # (A|B) compiles to ONE step matching A OR B — identical to
-            # the batch front-end, so stream/batch parity is structural
-            # (the stream emits step timestamps; the batch classifier
-            # column is a batch-only measure).  A QUANTIFIED group
-            # ((A|B)+ …) carries its quantifier like a bare variable:
-            # under strict contiguity the machine's mr_strict mode
-            # already enforces the run semantics
+            # the batch front-end, so stream/batch parity is structural.
+            # A QUANTIFIED group ((A|B)+ …) carries its quantifier like
+            # a bare variable: under strict contiguity the machine's
+            # mr_strict mode already enforces the run semantics
             pred = _pred(name[0])
             for a in name[1:]:
                 pred = pred | _pred(a)
-            pat.append({"name": "_or_".join(name), "where": pred, **kw})
+            gname = "_or_".join(name)
+            if not kw:
+                # CLASSIFIER() for single-bind groups, streaming-native:
+                # the leftmost-matching alternative's INDEX rides into
+                # the machine as a synthetic measure folded at the bound
+                # row (the same accumulator path user measures take),
+                # and resolves to the variable name on the way out —
+                # quantified groups emit none (a run has many rows),
+                # matching the batch contract
+                cls_groups.append((gname, list(name)))
+            pat.append({"name": gname, "where": pred, **kw})
             continue
         pat.append({"name": name, "where": _pred(name), **kw})
-    return match_pattern_stream(
+    all_meas = dict(measures or {})
+    for gname, alts in cls_groups:
+        mkey = f"__cls_{gname}"
+        if mkey in all_meas:
+            raise ValueError(f"measure name {mkey!r} is reserved for the "
+                             "group's CLASSIFIER column")
+        idx = F.coalesce(
+            *[F.when(_pred(a), F.lit(float(i))) for i, a in enumerate(alts)]
+        )
+        all_meas[mkey] = ("first", idx, gname)
+    out = match_pattern_stream(
         events, pat, within=within, key=partition_by, ts=order_by,
         watermark=watermark, event_id=event_id, mode=mode,
         max_active_anchors=max_active_anchors,
         max_anchors_per_key=max_anchors_per_key,
         after_match=after_match,
-        measures=measures,
+        measures=all_meas or None,
         impl=impl,
         _mr_strict=(contiguity == "strict"),
     )
+    for gname, alts in cls_groups:
+        out = out.withColumn(
+            f"{gname}_classifier",
+            F.element_at(
+                F.array(*[F.lit(a) for a in alts]),
+                F.col(f"__cls_{gname}").cast("int") + 1,
+            ),
+        ).drop(f"__cls_{gname}")
+    return out

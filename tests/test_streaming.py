@@ -3871,9 +3871,10 @@ def test_streaming_mr_alternation_golden(spark, tmp_path):
     """Streaming MATCH_RECOGNIZE alternation under SHUFFLED arrival
     equals the batch twin: (B|S) compiles to the same OR-step in both
     engines, so a B-path match, an S-path match, and a strict-contiguity
-    kill behave identically; the batch side additionally carries the
-    classifier column (a batch-only measure — the stream emits step
-    timestamps)."""
+    kill behave identically; the stream now carries the CLASSIFIER
+    column too (leftmost alternative index folded at the bound row via
+    the measures path, resolved to the variable name on output) and it
+    must equal the batch classifier per key."""
     from flink_realtime_dw4_0_spark.operators.cep import match_recognize
 
     base = 1_700_000_000_000
@@ -3894,18 +3895,20 @@ def test_streaming_mr_alternation_golden(spark, tmp_path):
     define = {"A": "event_type = 'A'", "B": "event_type = 'B'",
               "S": "event_type = 'S'", "C": "event_type = 'C'"}
 
-    got = {
-        r.key: list(r.step_ts)
-        for r in _run_mr_stream(
+    srows = [
+        r for r in _run_mr_stream(
             spark, tmp_path, "mra", [b1, b2, b3],
             pattern="A (B|S) C", define=define, within="1 minute",
             watermark="10 seconds")
         if r.key != "k9" and r.status == "match"
-    }
+    ]
+    got = {r.key: list(r.step_ts) for r in srows}
     assert got == {
         "k1": [base + 1 * SEC, base + 2 * SEC, base + 3 * SEC],
         "k2": [base + 1 * SEC, base + 2 * SEC, base + 3 * SEC],
     }
+    s_cls = {r.key: r.B_or_S_classifier for r in srows}
+    assert s_cls == {"k1": "B", "k2": "S"}
 
     bdf = spark.createDataFrame(
         [(r["user_id"], r["ts"], r["event_id"], r["event_type"])
@@ -3924,6 +3927,7 @@ def test_streaming_mr_alternation_golden(spark, tmp_path):
         "k2": (base + 1 * SEC, base + 2 * SEC, base + 3 * SEC, "S"),
     }
     assert {k: list(v[:3]) for k, v in twin.items()} == got
+    assert {k: v[3] for k, v in twin.items()} == s_cls  # classifier parity
 
 
 def test_streaming_cep_pattern_tws_equals_apply(spark, tmp_path):

@@ -1905,6 +1905,59 @@ def test_keyed_table_bloom_dtype_guard(spark, tmp_path):
                                F.col("price") == F.lit(2))
 
 
+def test_keyed_table_schema_evolution(spark, tmp_path):
+    """MERGE schema evolution (the lakehouse add-a-column path): a batch
+    carrying a NEW column triggers the full-rewrite re-baseline
+    (unionByName with missing columns as NULL) — old rows read NULL for
+    the new column, updated rows carry values, and the NEXT merge with
+    the evolved schema is INCREMENTAL again (only touched buckets
+    rewritten, the rest inherited).  Time travel still reads the
+    pre-evolution snapshot with the old schema, and a batch MISSING a
+    column null-overwrites its keys (last-write-wins on the whole row,
+    pinned so the semantics cannot drift silently)."""
+    from flink_realtime_dw4_0_spark.sinks.upsert import KeyedTable
+
+    tb = KeyedTable(str(tmp_path / "evo"), keys=["k"], n_buckets=4,
+                    keep_versions=4)
+    tb.merge(spark, spark.createDataFrame(
+        [("a", 1, 100), ("b", 2, 100), ("c", 3, 100)],
+        "k string, v long, ts long"))
+    v1 = tb._current_version()
+
+    # evolve: batch adds `extra`; full rewrite re-baselines every bucket
+    tb.merge(spark, spark.createDataFrame(
+        [("b", 20, 200, "hello"), ("d", 4, 200, "new")],
+        "k string, v long, ts long, extra string"))
+    rows = {r.k: (r.v, r.extra) for r in tb.read(spark).collect()}
+    assert rows == {"a": (1, None), "b": (20, "hello"),
+                    "c": (3, None), "d": (4, "new")}
+    assert set(tb.read(spark).columns) == {"k", "v", "ts", "extra"}
+
+    # post-evolution merge with the SAME schema is incremental: exactly
+    # one bucket rewritten, the rest inherited by manifest reference
+    tb.merge(spark, spark.createDataFrame(
+        [("a", 10, 300, "later")], "k string, v long, ts long, extra string"))
+    man = tb._load_manifest(tb._current_version())
+    vers = set(man["buckets"].values())
+    assert len(vers) > 1  # inherited buckets keep their older version dir
+    rows = {r.k: (r.v, r.extra) for r in tb.read(spark).collect()}
+    assert rows["a"] == (10, "later") and rows["c"] == (3, None)
+
+    # time travel: the pre-evolution snapshot keeps the OLD schema
+    old = tb.read_version(spark, steps_back=2)
+    assert set(old.columns) == {"k", "v", "ts"}
+    assert {r.k: r.v for r in old.collect()} == {"a": 1, "b": 2, "c": 3}
+    assert tb._current_version() != v1
+
+    # de-evolution semantics (pinned): a batch MISSING `extra` rewrites
+    # its keys with NULL there — rows are replaced whole, never patched
+    tb.merge(spark, spark.createDataFrame(
+        [("b", 200, 400)], "k string, v long, ts long"))
+    rows = {r.k: (r.v, r.extra) for r in tb.read(spark).collect()}
+    assert rows["b"] == (200, None) and rows["a"] == (10, "later")
+    assert set(tb.read(spark).columns) == {"k", "v", "ts", "extra"}
+
+
 def test_keyed_table_ttl_lazy_compaction(spark, tmp_path):
     """Logical TTL horizon: expired rows vanish from read() immediately,
     survive on disk until their bucket is rewritten (compaction-style),

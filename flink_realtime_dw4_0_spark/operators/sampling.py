@@ -361,6 +361,98 @@ def pack_sequences_ffd(
     )
 
 
+def reservoir_sample(
+    df: DataFrame,
+    k: int,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    salt: str = "res",
+) -> DataFrame:
+    """Deterministic-hash reservoir sampling — Algorithm R with the
+    random draw replaced by a PORTABLE hash, so the k-sample of an
+    arbitrarily long per-key stream is a pure function of the (key, ts,
+    id) value set (replayable by the DuckDB oracle, stable across
+    partitionings, and identical between this batch operator and the
+    streaming twin):
+
+    per key, events are consumed in (ts, id) order; the n-th event
+    (1-based) fills slot n-1 while n <= k, and afterwards computes
+    ``j = int(md5('{salt}:{key}:{id}')[:15], 16) % n`` — replacing slot
+    j when j < k, exactly Algorithm R's uniform draw with the hash as
+    the randomness source.  Every retained prefix is a uniform-ish
+    k-sample of the events seen so far (the hash is equidistributed
+    over [0, n)), which is the eval-set-construction contract a
+    training pipeline needs from an unbounded stream.
+
+    Returns one row per occupied slot: (key, slot, ts, id) — fewer than
+    k rows for keys with fewer than k events.
+
+    Scale shape: ONE repartition on the key + sortWithinPartitions +
+    one mapInPandas pass whose per-key (count, slots) state carries
+    across Arrow batches (the same sequential-fold pattern as the
+    packers; a capacitated replacement chain has no closed form).
+    State is O(k) per key; ``str(key)``/``str(id)`` must match the SQL
+    VARCHAR casts for oracle parity (int/string columns do)."""
+    import hashlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_schema = (
+        f"{key_col} {fields[key_col]}, slot int, "
+        f"{ts_col} {fields[ts_col]}, {id_col} {fields[id_col]}"
+    )
+    base = (
+        df.select(key_col, ts_col, id_col)
+        .repartition(F.col(key_col))
+        .sortWithinPartitions(key_col, ts_col, id_col)
+    )
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-key (count, [slot -> (ts, id)]) carried across Arrow
+        # batches; emitted once per key when the NEXT key starts (rows
+        # arrive key-grouped by the sort), plus a flush at iterator end
+        state: dict = {}
+        order: list = []  # key emission order
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            for key, ts_v, id_v in zip(
+                pdf[key_col], pdf[ts_col], pdf[id_col]
+            ):
+                if key not in state:
+                    state[key] = [0, []]
+                    order.append(key)
+                st = state[key]
+                st[0] += 1
+                n = st[0]
+                if n <= k:
+                    st[1].append((ts_v, id_v))
+                else:
+                    h = int(hashlib.md5(
+                        f"{salt}:{key}:{id_v}".encode()
+                    ).hexdigest()[:15], 16)
+                    j = h % n
+                    if j < k:
+                        st[1][j] = (ts_v, id_v)
+        rows = {key_col: [], "slot": [], ts_col: [], id_col: []}
+        for key in order:
+            for slot, (ts_v, id_v) in enumerate(state[key][1]):
+                rows[key_col].append(key)
+                rows["slot"].append(slot)
+                rows[ts_col].append(ts_v)
+                rows[id_col].append(id_v)
+        if rows["slot"]:
+            yield pd.DataFrame(rows)
+
+    return base.mapInPandas(fold, out_schema)
+
+
 def pack_efficiency(
     packed: DataFrame, seq_tokens: int
 ) -> DataFrame:

@@ -4890,6 +4890,66 @@ def sample_temperature_mixture_q(spark, sf_dir):
     return sampling.temperature_mixture(docs, temperature=2.0, total=300)
 
 
+@q(
+    "sample_reservoir",
+    """
+    WITH RECURSIVE e AS (
+      SELECT event_type, epoch_us(ts) AS ts_us, event_id,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    rec AS (
+      SELECT event_type, rn, [ts_us] AS r_ts, [event_id] AS r_id
+      FROM e WHERE rn = 1
+      UNION ALL
+      SELECT event_type, rn,
+             CASE WHEN rn <= 8 THEN list_append(r_ts, ts_us)
+                  WHEN j < 8 THEN list_transform(
+                      generate_series(1, CAST(8 AS BIGINT)),
+                      i -> CASE WHEN i = j + 1 THEN ts_us ELSE r_ts[i] END)
+                  ELSE r_ts END,
+             CASE WHEN rn <= 8 THEN list_append(r_id, event_id)
+                  WHEN j < 8 THEN list_transform(
+                      generate_series(1, CAST(8 AS BIGINT)),
+                      i -> CASE WHEN i = j + 1 THEN event_id ELSE r_id[i] END)
+                  ELSE r_id END
+      FROM (
+        SELECT s.event_type, s.rn, s.ts_us, s.event_id, r.r_ts, r.r_id,
+               CAST(('0x' || substr(md5('res:' || s.event_type || ':'
+                     || CAST(s.event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                 % s.rn AS j
+        FROM e s JOIN rec r
+          ON s.event_type = r.event_type AND s.rn = r.rn + 1
+      ) z),
+    last AS (SELECT event_type, max(rn) AS mr FROM rec GROUP BY 1),
+    fin AS (
+      SELECT r.event_type, r.r_ts, r.r_id
+      FROM rec r JOIN last l
+        ON r.event_type = l.event_type AND r.rn = l.mr)
+    SELECT event_type,
+           CAST(unnest(generate_series(1, len(r_ts))) - 1 AS INT) AS slot,
+           unnest(r_ts) AS ts_us, unnest(r_id) AS event_id
+    FROM fin
+    """,
+    tags=("sampling", "reservoir", "streaming-twin"),
+)
+def sample_reservoir_q(spark, sf_dir):
+    """Deterministic-hash reservoir sampling (Algorithm R with a
+    portable md5 draw): per event_type, the k=8 sample of the
+    event-time-ordered stream — the eval-set-construction primitive an
+    unbounded intake needs, replayable because the 'random' replacement
+    index is md5('res:key:id') % n.  The oracle replays the exact
+    replacement chain as a per-key recursive CTE carrying the reservoir
+    LISTS (operators/sampling.py:reservoir_sample; the streaming twin's
+    changelog converges to the same slots)."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    return sampling.reservoir_sample(
+        ev, 8, key_col="event_type", ts_col="ts_us", id_col="event_id"
+    )
+
+
 from .q_analytics import _DK_NEARDUP_PAIRS  # noqa: E402
 
 

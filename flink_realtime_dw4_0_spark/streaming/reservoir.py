@@ -1,0 +1,146 @@
+"""Streaming reservoir sampling — the unbounded-intake twin of
+``operators.sampling.reservoir_sample``: per key, maintain the SAME
+deterministic-hash Algorithm-R reservoir (replacement index =
+``md5('{salt}:{key}:{id}')[:15] % n``) in keyed state, and emit a
+CHANGELOG row ``(key, slot, ts, event_id)`` whenever a slot's occupant
+changes — downstream keeps the latest row per (key, slot), which
+converges to exactly the batch operator's output on the same event
+set (golden-pinned; the batch/oracle twin is ``sample_reservoir``).
+
+Ordering contract (same as ``streaming/ratelimit.py``): events are
+folded in (ts, event_id) order WITHIN each micro-batch; the reservoir
+equals the batch twin whenever arrival respects event-time order
+across micro-batches (the file-source goldens' shape).  State is O(k)
+longs per key — count + the slot arrays — so a million-key intake
+carries k+1 longs each, and nothing ever rescans history.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+OUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("slot", IntegerType()),
+        StructField("ts", LongType()),
+        StructField("event_id", LongType()),
+    ]
+)
+
+_STATE = StructType(
+    [
+        StructField("count", LongType()),
+        StructField("slot_ts", ArrayType(LongType())),
+        StructField("slot_id", ArrayType(LongType())),
+    ]
+)
+
+
+def reservoir_fn(k: int, salt: str):
+    """Keyed state function: fold the batch's events (in (ts, event_id)
+    order) through the hash-draw replacement chain; emit each slot that
+    changed this invocation (latest occupant only — a changelog)."""
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        kk = key[0]
+        if state.hasTimedOut:  # pragma: no cover - NoTimeout configured
+            state.remove()
+            return
+        if state.exists:
+            cnt, s_ts, s_id = state.get
+            cnt = int(cnt)
+            slots = [(int(t), int(i)) for t, i in zip(s_ts, s_id)]
+        else:
+            cnt, slots = 0, []
+        batch = [pdf[["ts", "event_id"]] for pdf in pdfs]
+        if not batch:
+            return
+        ev = (
+            pd.concat(batch, ignore_index=True)
+            .sort_values(["ts", "event_id"])
+            .reset_index(drop=True)
+        )
+        changed: set[int] = set()
+        for ts_v, id_v in zip(ev["ts"].astype("int64"),
+                              ev["event_id"].astype("int64")):
+            cnt += 1
+            if cnt <= k:
+                slots.append((int(ts_v), int(id_v)))
+                changed.add(len(slots) - 1)
+            else:
+                h = int(hashlib.md5(
+                    f"{salt}:{kk}:{int(id_v)}".encode()
+                ).hexdigest()[:15], 16)
+                j = h % cnt
+                if j < k:
+                    slots[j] = (int(ts_v), int(id_v))
+                    changed.add(j)
+        state.update((
+            cnt, [t for t, _ in slots], [i for _, i in slots],
+        ))
+        if changed:
+            sl = sorted(changed)
+            yield pd.DataFrame(
+                {
+                    "key": [kk] * len(sl),
+                    "slot": sl,
+                    "ts": [slots[j][0] for j in sl],
+                    "event_id": [slots[j][1] for j in sl],
+                }
+            )
+
+    return fn
+
+
+def reservoir_sample_stream(
+    events: DataFrame,
+    k: int,
+    key: str = "user_id",
+    ts: str = "ts",
+    event_id: str = "event_id",
+    salt: str = "res",
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Apply the per-key deterministic reservoir to a stream with
+    millisecond ``ts``.  Returns the slot CHANGELOG — keep the latest
+    row per (key, slot) downstream; that set equals the batch
+    ``reservoir_sample`` of the same events."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    src = events
+    if "row_time" not in src.columns:
+        src = src.withColumn(
+            "row_time", F.timestamp_millis(F.col(ts).cast("long"))
+        )
+    src = src.withWatermark("row_time", watermark).select(
+        F.col(key).cast("string").alias("key"),
+        F.col(ts).cast("long").alias("ts"),
+        F.col(event_id).cast("long").alias("event_id"),
+        "row_time",
+    )
+    return src.groupBy("key").applyInPandasWithState(
+        reservoir_fn(k, salt),
+        outputStructType=OUT_SCHEMA,
+        stateStructType=_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -4795,6 +4795,68 @@ def test_first_seen_tws_equals_apply(spark, tmp_path):
             "cast(value as string) as key", "value as ts"), impl="nope")
 
 
+def test_streaming_reservoir_equals_batch(spark, tmp_path):
+    """Streaming reservoir changelog converges to the batch operator:
+    drive the deterministic-hash reservoir over multi-batch keyed
+    streams (event-time-ordered arrival, the documented contract), keep
+    the LATEST row per (key, slot), and the result must equal
+    operators.sampling.reservoir_sample on the same events — slots,
+    occupants, and counts (< k events -> < k slots)."""
+    import json as _json
+
+    from flink_realtime_dw4_0_spark.operators.sampling import reservoir_sample
+    from flink_realtime_dw4_0_spark.streaming.reservoir import (
+        reservoir_sample_stream,
+    )
+
+    base = 1_700_000_000_000
+    rows = (
+        [{"user_id": "u1", "ts": base + i * 1000, "event_id": i}
+         for i in range(30)]
+        + [{"user_id": "u2", "ts": base + i * 1000, "event_id": 100 + i}
+           for i in range(2)]  # fewer than k: fills 2 slots only
+    )
+    rows.sort(key=lambda r: r["ts"])
+    batches = [rows[:10], rows[10:20], rows[20:]]
+    src = tmp_path / "resv_src"
+    src.mkdir()
+    for i, rs in enumerate(batches):
+        with open(src / f"b{i}.json", "w") as fh:
+            for r in rs:
+                fh.write(_json.dumps(r) + "\n")
+        os.utime(src / f"b{i}.json", (1_000_000 + 10 * i,) * 2)
+    stream = (
+        spark.readStream.schema("user_id string, ts long, event_id long")
+        .option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    q = (
+        reservoir_sample_stream(stream, k=4, key="user_id")
+        .writeStream.format("memory").queryName("resv_out")
+        .option("checkpointLocation", str(tmp_path / "resv_ck"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(600)
+    latest: dict = {}
+    for r in spark.sql(
+        "SELECT * FROM resv_out ORDER BY key, slot"
+    ).collect():
+        latest[(r.key, r.slot)] = (r.ts, r.event_id)
+
+    bdf = spark.createDataFrame(
+        [(r["user_id"], r["ts"], r["event_id"]) for r in rows],
+        "user_id string, ts long, event_id long",
+    )
+    batch = {
+        (r.user_id, r.slot): (r.ts, r.event_id)
+        for r in reservoir_sample(
+            bdf, 4, key_col="user_id", ts_col="ts", id_col="event_id"
+        ).collect()
+    }
+    assert latest == batch
+    assert sum(1 for k_ in batch if k_[0] == "u1") == 4  # full reservoir
+    assert sum(1 for k_ in batch if k_[0] == "u2") == 2  # under-filled
+
+
 def test_rate_limit_tws_equals_apply(spark, tmp_path):
     """The transformWithStateInPandas port of the per-key rate limiter
     (impl='tws') emits IDENTICAL rows to the applyInPandasWithState path
@@ -4915,7 +4977,7 @@ def _drive_restart_foreach(spark, tmp_path, name, make_op, schema, batches,
                                 "cep_pattern_tws", "rate_limit",
                                 "rate_limit_tws", "visitor_fix_tws",
                                 "first_seen", "first_seen_tws",
-                                "topn", "neardup",
+                                "topn", "neardup", "reservoir",
                                 "mr_measures", "followed_by_any"])
 def test_checkpoint_restart_equals_uninterrupted(spark, tmp_path, op):
     """T7 exactly-once STATE across a process boundary (BaseAPP.java's
@@ -5125,6 +5187,25 @@ def test_checkpoint_restart_equals_uninterrupted(spark, tmp_path, op):
 
         def build(stream):
             return visitor_fix(stream, impl="tws")
+
+    elif op == "reservoir":
+        # the (count, slots) state must cross the boundary: with k=2 and
+        # counts restored, post-restart events replace via j = hash % n
+        # with the TRUE running n — a reset count would misdraw
+        from flink_realtime_dw4_0_spark.streaming.reservoir import (
+            reservoir_sample_stream,
+        )
+
+        batches = [
+            [ev("u1", 1, 1, "x"), ev("u1", 2, 2, "x")],
+            [ev("u1", 3, 3, "x")],
+            # ---- restart: count=3, two slots in state ----
+            [ev("u1", 4, 4, "x"), ev("u1", 5, 5, "x")],
+        ]
+
+        def build(stream):
+            return reservoir_sample_stream(stream, k=2, key="user_id",
+                                           watermark="5 seconds")
 
     elif op in ("rate_limit", "rate_limit_tws"):
         from flink_realtime_dw4_0_spark.streaming.ratelimit import rate_limit_stream

@@ -453,6 +453,50 @@ def reservoir_sample(
     return base.mapInPandas(fold, out_schema)
 
 
+def weighted_reservoir(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+    salt: str = "wres",
+) -> DataFrame:
+    """Weighted reservoir sampling (Efraimidis–Spirakis A-Res) with the
+    uniform draw replaced by a PORTABLE hash: each row gets the sort
+    key ``u^(1/w)`` where ``u = md5('{salt}:{id}')[:15]/16^15 ∈ (0,1)``
+    and ``w = weight``; the k LARGEST keys per group are exactly a
+    weight-proportional without-replacement sample — deterministic,
+    partition-stable, and oracle-replayable (no sequential fold at all:
+    one window per group, unlike the unweighted streaming reservoir).
+
+    Zero/negative weights never sample (their key is 0); ties cannot
+    happen (md5 over distinct ids).  Returns the input columns plus
+    ``draw_rank`` (1..k).  Scale shape: ONE hash shuffle on the group
+    key + a top-k window — at 100 TB this is the same plan as any
+    per-group top-k, and AQE handles group skew."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    u = (
+        F.conv(F.substring(F.md5(
+            F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+        ), 1, 15), 16, 10).cast("double")
+        / F.lit(float(1 << 60))
+    )
+    skey = F.when(
+        F.col(weight_col) > 0,
+        F.pow(u, F.lit(1.0) / F.col(weight_col)),
+    ).otherwise(F.lit(0.0))
+    w = (Window.partitionBy(group_col) if group_col
+         else Window.partitionBy(F.lit(1)))
+    ranked = df.withColumn("__sk", skey).withColumn(
+        "draw_rank",
+        F.row_number().over(w.orderBy(F.col("__sk").desc(), id_col)),
+    )
+    return ranked.filter(
+        (F.col("draw_rank") <= k) & (F.col("__sk") > 0)
+    ).drop("__sk")
+
+
 def pack_efficiency(
     packed: DataFrame, seq_tokens: int
 ) -> DataFrame:

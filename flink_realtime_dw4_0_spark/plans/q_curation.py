@@ -4950,6 +4950,56 @@ def sample_reservoir_q(spark, sf_dir):
     )
 
 
+@q(
+    "sample_weighted_reservoir",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len({_DK_TOKS}) AS DOUBLE) AS w
+      FROM documents),
+    keyed AS (
+      SELECT doc_id, source, w,
+             CASE WHEN w > 0 THEN pow(
+               CAST(('0x' || substr(md5('wres:' || CAST(doc_id AS VARCHAR)),
+                                    1, 15)) AS BIGINT)
+                 / 1152921504606846976.0,
+               1.0 / w)
+             ELSE 0.0 END AS sk
+      FROM d),
+    r AS (
+      SELECT doc_id, source, w,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY sk DESC, doc_id) AS draw_rank,
+             sk
+      FROM keyed)
+    SELECT doc_id, source, CAST(w AS BIGINT) AS n_tokens,
+           CAST(draw_rank AS INT) AS draw_rank
+    FROM r WHERE draw_rank <= 20 AND sk > 0
+    """,
+    tags=("sampling", "reservoir", "weighted", "pretraining"),
+)
+def sample_weighted_reservoir_q(spark, sf_dir):
+    """Weighted reservoir sampling (Efraimidis–Spirakis A-Res) with a
+    portable md5 uniform: per source, the 20 documents with the largest
+    ``u^(1/w)`` keys are a token-count-proportional without-replacement
+    sample — longer documents proportionally likelier, deterministic
+    and partition-stable on both engines (one hash shuffle + top-k
+    window; operators/sampling.py:weighted_reservoir)."""
+    docs = t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "source",
+        text.token_count_ws("text").cast("double").alias("w"),
+    )
+    out = sampling.weighted_reservoir(
+        d, 20, weight_col="w", group_col="source", id_col="doc_id"
+    )
+    return out.select(
+        "doc_id", "source",
+        F.col("w").cast("long").alias("n_tokens"),
+        F.col("draw_rank").cast("int").alias("draw_rank"),
+    )
+
+
 from .q_analytics import _DK_NEARDUP_PAIRS  # noqa: E402
 
 

@@ -3618,6 +3618,42 @@ def test_match_recognize(spark):
                             within="1 HOUR")
 
 
+def test_weighted_reservoir(spark):
+    """Efraimidis–Spirakis A-Res with the portable md5 uniform:
+    deterministic across runs, zero/negative weights never sample,
+    under-k groups return all positive-weight rows, and the sample is
+    genuinely weight-proportional — an item with 50x the weight of its
+    99 peers appears in the k=10 sample for the overwhelming majority
+    of 40 salted replications (p_include ≈ 1 - (1-p1)^... >> uniform's
+    10%)."""
+    from flink_realtime_dw4_0_spark.operators.sampling import (
+        weighted_reservoir,
+    )
+
+    rows = [(i, "g1", 50.0 if i == 0 else 1.0) for i in range(100)] \
+        + [(100 + i, "g2", float(i)) for i in range(3)]  # one zero weight
+    df = spark.createDataFrame(rows, "doc_id long, grp string, w double")
+    out = weighted_reservoir(df, 10, weight_col="w", group_col="grp")
+    got = {(r.doc_id, r.grp, r.draw_rank) for r in out.collect()}
+    again = {(r.doc_id, r.grp, r.draw_rank) for r in
+             weighted_reservoir(df, 10, weight_col="w",
+                                group_col="grp").collect()}
+    assert got == again  # deterministic
+    g2 = {d for d, g, _ in got if g == "g2"}
+    assert g2 == {101, 102}  # zero-weight 100 never samples; under-k
+    assert sum(1 for _, g, _ in got if g == "g1") == 10
+    # weight proportionality: count heavy-item inclusion across salts
+    hits = 0
+    for s in range(40):
+        sample = weighted_reservoir(df, 10, weight_col="w",
+                                    group_col="grp", salt=f"t{s}")
+        hits += int(any(r.doc_id == 0 and r.grp == "g1"
+                        for r in sample.collect()))
+    # heavy item's inclusion prob ~ 1 - prod(1 - 50/(50+99-j)) >= 0.97;
+    # a uniform sampler would hit ~10% of 40 ≈ 4.  Require >= 30/40.
+    assert hits >= 30
+
+
 def test_mr_quantified_alternation(spark):
     """Quantified alternation groups (A|B)+ / {m,n} in MATCH_RECOGNIZE —
     the r7-documented exclusion that needs NO branching NFA: under

@@ -486,8 +486,22 @@ def weighted_reservoir(
         F.col(weight_col) > 0,
         F.pow(u, F.lit(1.0) / F.col(weight_col)),
     ).otherwise(F.lit(0.0))
-    w = (Window.partitionBy(group_col) if group_col
-         else Window.partitionBy(F.lit(1)))
+    if group_col is None:
+        # global top-k: sort+limit plans as a distributed TakeOrdered
+        # (per-partition top-k, then a k-row merge) — never the
+        # single-partition global window; the draw_rank window then
+        # runs over exactly k rows
+        tiny = (
+            df.withColumn("__sk", skey)
+            .filter(F.col("__sk") > 0)
+            .orderBy(F.col("__sk").desc(), id_col)
+            .limit(k)
+        )
+        w2 = Window.orderBy(F.col("__sk").desc(), id_col)
+        return tiny.withColumn(
+            "draw_rank", F.row_number().over(w2)
+        ).drop("__sk")
+    w = Window.partitionBy(group_col)
     ranked = df.withColumn("__sk", skey).withColumn(
         "draw_rank",
         F.row_number().over(w.orderBy(F.col("__sk").desc(), id_col)),

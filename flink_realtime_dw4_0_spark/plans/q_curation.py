@@ -4951,6 +4951,81 @@ def sample_reservoir_q(spark, sf_dir):
 
 
 @q(
+    "pipeline_eval_set",
+    _DK_SHINGLES.replace("WITH", "WITH RECURSIVE", 1)
+    + f""",
+    gop AS (SELECT doc_id FROM ({_GOPHER_SQL}) g WHERE gopher_pass = 1),
+    bench AS (SELECT DISTINCT shingle FROM inv WHERE doc_id % 97 = 0),
+    hits AS (
+      SELECT i.doc_id, count(*) AS overlap
+      FROM inv i JOIN bench b USING (shingle)
+      WHERE i.doc_id % 97 <> 0 GROUP BY 1),
+    clean AS (
+      SELECT d.doc_id, d.source
+      FROM documents d
+      JOIN gop USING (doc_id)
+      LEFT JOIN hits h ON d.doc_id = h.doc_id
+      WHERE d.doc_id % 97 <> 0 AND coalesce(h.overlap, 0) < 5),
+    e AS (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM clean),
+    rec AS (
+      SELECT source, rn, [doc_id] AS r_id FROM e WHERE rn = 1
+      UNION ALL
+      SELECT source, rn,
+             CASE WHEN rn <= 10 THEN list_append(r_id, doc_id)
+                  WHEN j < 10 THEN list_transform(
+                      generate_series(1, CAST(10 AS BIGINT)),
+                      i -> CASE WHEN i = j + 1 THEN doc_id ELSE r_id[i] END)
+                  ELSE r_id END
+      FROM (
+        SELECT s.source, s.rn, s.doc_id, r.r_id,
+               CAST(('0x' || substr(md5('res:' || s.source || ':'
+                     || CAST(s.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                 % s.rn AS j
+        FROM e s JOIN rec r ON s.source = r.source AND s.rn = r.rn + 1
+      ) z),
+    last AS (SELECT source, max(rn) AS mr FROM rec GROUP BY 1),
+    fin AS (
+      SELECT r.source, r.r_id FROM rec r
+      JOIN last l ON r.source = l.source AND r.rn = l.mr)
+    SELECT source,
+           CAST(unnest(generate_series(1, len(r_id))) - 1 AS INT) AS slot,
+           unnest(r_id) AS doc_id
+    FROM fin
+    """,
+    tags=("pipeline", "eval", "composed", "sampling"),
+)
+def pipeline_eval_set_q(spark, sf_dir):
+    """Composed EVAL-SET construction pipeline, oracle-exact end to end:
+    Gopher quality gate → exact-shingle decontamination against the
+    benchmark slice (doc_id % 97, the repo's stand-in eval suite;
+    contaminated = >= 5 shared 3-gram shingles) → deterministic-hash
+    reservoir (k=10 per source) over the clean survivors.  Every stage
+    is an already-verified library operator; the composition — the
+    thing a real eval-set build actually runs — is what this entry
+    pins."""
+    docs = t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    gop = (
+        text.gopher_rules(corpus)
+        .filter(F.col("gopher_pass") == 1)
+        .select("doc_id")
+    )
+    d1 = corpus.join(gop, "doc_id")
+    dec = dedup.decontaminate(d1, bench, min_overlap=5)
+    clean = d1.join(
+        dec.filter(F.col("contaminated") == 0).select("doc_id"), "doc_id"
+    ).select("source", F.col("doc_id").alias("ord"), "doc_id")
+    res = sampling.reservoir_sample(
+        clean, 10, key_col="source", ts_col="ord", id_col="doc_id",
+    )
+    return res.select("source", "slot", "doc_id")
+
+
+@q(
     "sample_weighted_reservoir",
     f"""
     WITH d AS (

@@ -694,6 +694,13 @@ def main() -> None:
             "cep_mr_measures",
             "sketch_kmv_overlap",
             "pack_efficiency_report",
+            # round-8 operators
+            "pack_sequences_ffd",
+            "pack_efficiency_ffd",
+            "cep_mr_alt_quantified",
+            "sample_reservoir",
+            "sample_weighted_reservoir",
+            "pipeline_eval_set",
         ]
         etimes: dict[str, float] = {}
         ereps: dict[str, list[float]] = {}

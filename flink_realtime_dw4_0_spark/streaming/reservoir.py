@@ -111,6 +111,151 @@ def reservoir_fn(k: int, salt: str):
     return fn
 
 
+W_OUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("op", StringType()),  # 'upsert' | 'evict'
+        StructField("id", LongType()),
+        StructField("weight", LongType()),
+    ]
+)
+
+# per-key weighted reservoir state: parallel arrays of member ids,
+# integer weights, and the A-Res sort key as IEEE-754 bits
+_W_STATE = StructType(
+    [
+        StructField("ids", ArrayType(LongType())),
+        StructField("ws", ArrayType(LongType())),
+        StructField("sk_bits", ArrayType(LongType())),
+    ]
+)
+
+
+def _wres_key(salt: str, id_v: int, w: float) -> float:
+    """Efraimidis–Spirakis sort key u^(1/w) with the portable md5
+    uniform — the SAME formula as the batch ``weighted_reservoir``, so
+    stream membership converges to the batch top-k."""
+    if w <= 0:
+        return 0.0
+    u = int(hashlib.md5(
+        f"{salt}:{id_v}".encode()
+    ).hexdigest()[:15], 16) / float(1 << 60)
+    return u ** (1.0 / w)
+
+
+def weighted_reservoir_fn(k: int, salt: str):
+    """Keyed state function: maintain the per-key top-k by A-Res key;
+    emit a membership CHANGELOG — 'upsert' rows for members that
+    entered this invocation, 'evict' rows for members they displaced.
+    Downstream applies upserts minus evicts; the surviving set equals
+    the batch ``weighted_reservoir`` membership on the same rows."""
+    import struct as _struct
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        kk = key[0]
+        if state.hasTimedOut:  # pragma: no cover - NoTimeout configured
+            state.remove()
+            return
+        if state.exists:
+            ids, ws, skb = state.get
+            members = [
+                (int(i), int(w),
+                 _struct.unpack("<d", _struct.pack("<q", int(b)))[0])
+                for i, w, b in zip(ids, ws, skb)
+            ]
+        else:
+            members = []
+        batch = [pdf[["event_id", "weight"]] for pdf in pdfs]
+        if not batch:
+            return
+        ev = pd.concat(batch, ignore_index=True)
+        rows: list[tuple[str, int, int]] = []
+        present = {m[0] for m in members}
+        for id_v, w_v in zip(ev["event_id"].astype("int64"),
+                             ev["weight"].astype("int64")):
+            id_v, w_v = int(id_v), int(w_v)
+            if id_v in present:
+                continue  # ids are unique members; repeats no-op
+            sk = _wres_key(salt, id_v, float(w_v))
+            if sk <= 0.0:
+                continue
+            if len(members) < k:
+                members.append((id_v, w_v, sk))
+                present.add(id_v)
+                rows.append(("upsert", id_v, w_v))
+            else:
+                jmin = min(range(len(members)),
+                           key=lambda j: (members[j][2], -members[j][0]))
+                if sk > members[jmin][2]:
+                    old = members[jmin]
+                    members[jmin] = (id_v, w_v, sk)
+                    present.discard(old[0])
+                    present.add(id_v)
+                    rows.append(("evict", old[0], old[1]))
+                    rows.append(("upsert", id_v, w_v))
+        state.update((
+            [m[0] for m in members],
+            [m[1] for m in members],
+            [_struct.unpack("<q", _struct.pack("<d", m[2]))[0]
+             for m in members],
+        ))
+        if rows:
+            yield pd.DataFrame(
+                {
+                    "key": [kk] * len(rows),
+                    "op": [r[0] for r in rows],
+                    "id": [r[1] for r in rows],
+                    "weight": [r[2] for r in rows],
+                }
+            )
+
+    return fn
+
+
+def weighted_reservoir_stream(
+    events: DataFrame,
+    k: int,
+    key: str = "source",
+    id_col: str = "doc_id",
+    weight_col: str = "w",
+    salt: str = "wres",
+    ts: str = "ts",
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Streaming Efraimidis–Spirakis A-Res: per key, the running
+    weight-proportional k-sample of everything seen so far, as a
+    membership changelog (op='upsert'/'evict').  Apply upserts minus
+    evicts downstream; that set equals the batch ``weighted_reservoir``
+    of the same rows (golden-pinned) — ORDER-INDEPENDENT, unlike the
+    unweighted reservoir, because top-k-by-key is a pure function of
+    the row set.  Integer weights only (they ride the long-array
+    state); duplicate ids no-op."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    src = events
+    if "row_time" not in src.columns:
+        src = src.withColumn(
+            "row_time", F.timestamp_millis(F.col(ts).cast("long"))
+        )
+    src = src.withWatermark("row_time", watermark).select(
+        F.col(key).cast("string").alias("key"),
+        F.col(id_col).cast("long").alias("event_id"),
+        F.col(weight_col).cast("long").alias("weight"),
+        "row_time",
+    )
+    return src.groupBy("key").applyInPandasWithState(
+        weighted_reservoir_fn(k, salt),
+        outputStructType=W_OUT_SCHEMA,
+        stateStructType=_W_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def reservoir_sample_stream(
     events: DataFrame,
     k: int,

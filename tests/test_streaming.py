@@ -4857,6 +4857,70 @@ def test_streaming_reservoir_equals_batch(spark, tmp_path):
     assert sum(1 for k_ in batch if k_[0] == "u2") == 2  # under-filled
 
 
+def test_streaming_weighted_reservoir_equals_batch(spark, tmp_path):
+    """Streaming A-Res changelog converges to the batch operator: apply
+    upserts minus evicts over multi-batch keyed streams and the
+    surviving membership equals sampling.weighted_reservoir on the same
+    rows — per group, order-independent (top-k-by-key is a pure
+    function of the row set), zero weights never enter, under-k groups
+    keep everything."""
+    import json as _json
+
+    from flink_realtime_dw4_0_spark.operators.sampling import (
+        weighted_reservoir,
+    )
+    from flink_realtime_dw4_0_spark.streaming.reservoir import (
+        weighted_reservoir_stream,
+    )
+
+    base = 1_700_000_000_000
+    rows = (
+        [{"source": "s1", "doc_id": i, "w": (i * 7) % 23 + 1,
+          "ts": base + i * 1000} for i in range(40)]
+        + [{"source": "s2", "doc_id": 100, "w": 5, "ts": base + 1000},
+           {"source": "s2", "doc_id": 101, "w": 0, "ts": base + 2000}]
+    )
+    batches = [rows[:15], rows[15:30], rows[30:]]
+    src = tmp_path / "wres_src"
+    src.mkdir()
+    for i, rs in enumerate(batches):
+        with open(src / f"b{i}.json", "w") as fh:
+            for r in rs:
+                fh.write(_json.dumps(r) + "\n")
+        os.utime(src / f"b{i}.json", (1_000_000 + 10 * i,) * 2)
+    stream = (
+        spark.readStream
+        .schema("source string, doc_id long, w long, ts long")
+        .option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    q = (
+        weighted_reservoir_stream(stream, k=6, key="source",
+                                  id_col="doc_id", weight_col="w")
+        .writeStream.format("memory").queryName("wres_out")
+        .option("checkpointLocation", str(tmp_path / "wres_ck"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(600)
+    member: dict = {}
+    for r in spark.sql("SELECT * FROM wres_out").collect():
+        if r.op == "upsert":
+            member[(r.key, r.id)] = r.weight
+        else:
+            member.pop((r.key, r.id), None)
+
+    bdf = spark.createDataFrame(
+        [(r["source"], r["doc_id"], float(r["w"])) for r in rows],
+        "source string, doc_id long, w double",
+    )
+    batch = {(r.source, r.doc_id): int(r.w) for r in weighted_reservoir(
+        bdf, 6, weight_col="w", group_col="source", id_col="doc_id"
+    ).collect()}
+    assert member == batch
+    assert sum(1 for k_ in batch if k_[0] == "s1") == 6
+    # s2: the zero-weight doc never entered; the under-k group keeps 1
+    assert {k_ for k_ in batch if k_[0] == "s2"} == {("s2", 100)}
+
+
 def test_rate_limit_tws_equals_apply(spark, tmp_path):
     """The transformWithStateInPandas port of the per-key rate limiter
     (impl='tws') emits IDENTICAL rows to the applyInPandasWithState path
@@ -4978,6 +5042,7 @@ def _drive_restart_foreach(spark, tmp_path, name, make_op, schema, batches,
                                 "rate_limit_tws", "visitor_fix_tws",
                                 "first_seen", "first_seen_tws",
                                 "topn", "neardup", "reservoir",
+                                "weighted_reservoir",
                                 "mr_measures", "followed_by_any"])
 def test_checkpoint_restart_equals_uninterrupted(spark, tmp_path, op):
     """T7 exactly-once STATE across a process boundary (BaseAPP.java's
@@ -5187,6 +5252,31 @@ def test_checkpoint_restart_equals_uninterrupted(spark, tmp_path, op):
 
         def build(stream):
             return visitor_fix(stream, impl="tws")
+
+    elif op == "weighted_reservoir":
+        # the (ids, weights, sort-key-bits) state must cross the
+        # boundary: post-restart candidates compare against the
+        # RESTORED members' A-Res keys, and the changelog's evict rows
+        # name pre-restart members
+        from flink_realtime_dw4_0_spark.streaming.reservoir import (
+            weighted_reservoir_stream,
+        )
+
+        rst_schema = "source string, doc_id long, w long, ts long"
+        batches = [
+            [{"source": "s", "doc_id": i, "w": (i * 7) % 23 + 1,
+              "ts": base + i * 1000} for i in range(8)],
+            [{"source": "s", "doc_id": 8 + i, "w": (i * 11) % 19 + 1,
+              "ts": base + (8 + i) * 1000} for i in range(6)],
+            # ---- restart: k members + their sort keys in state ----
+            [{"source": "s", "doc_id": 14 + i, "w": 200 + i,
+              "ts": base + (14 + i) * 1000} for i in range(4)],
+        ]
+
+        def build(stream):
+            return weighted_reservoir_stream(
+                stream, k=4, key="source", id_col="doc_id",
+                weight_col="w", watermark="5 seconds")
 
     elif op == "reservoir":
         # the (count, slots) state must cross the boundary: with k=2 and

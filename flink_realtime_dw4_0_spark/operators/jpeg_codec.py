@@ -368,6 +368,8 @@ def decode_jpeg_pixels(payload: bytes):
             raise NotImplementedError(
                 f"unsupported JPEG coding process (SOF marker 0x{marker:02x})"
             )
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG segment header")
         ln = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
         body = payload[pos + 4 : pos + 2 + ln]
         if marker == 0xDB:
@@ -416,7 +418,11 @@ def decode_jpeg_pixels(payload: bytes):
             j = start  # entropy data ends at a marker that isn't FF00/RSTn
             while j < len(payload) - 1:
                 if payload[j] == 0xFF and payload[j + 1] != 0x00 \
+                        and payload[j + 1] != 0xFF \
                         and not (0xD0 <= payload[j + 1] <= 0xD7):
+                    # FF FF is a spec-legal fill byte run before a marker
+                    # (B.1.1.2) — _BitReader.restart already skips them;
+                    # the slicer must too or valid DRI streams truncate
                     break
                 j += 1
             scans.append((sc, ss, se, ahal >> 4, ahal & 0x0F,

@@ -267,6 +267,41 @@ def pack_sequences_nosplit(
     )
 
 
+def _ffd_place(
+    open_bins: list, next_id: int, ub: int, n: int, L: int, shard_min: int
+) -> tuple[int, int, int, int]:
+    """Place ONE doc of ``n`` tokens into ``open_bins`` (mutated in
+    place; entries are (seq_id, residual) in creation order) under
+    first-fit-decreasing with the close-saturated-bins hardening: after
+    placement, a bin whose residual drops below ``shard_min`` (the
+    static minimum doc size of the shard — every future doc in DESC
+    order is >= it) is REMOVED from the open list, since it can never
+    admit another doc.  Closure never changes a first-fit choice, so
+    outputs are bit-identical to the unhardened scan; it bounds the
+    open list (and thus both memory and the scan) on pathological
+    many-tiny-docs shards.  Returns (seq_id, seq_off, next_id, ub);
+    ``ub`` stays a sound upper bound on open residuals (it only
+    loosens)."""
+    fit = -1
+    if n <= ub:
+        for i, (_sid, r) in enumerate(open_bins):
+            if r >= n:
+                fit = i
+                break
+    if fit < 0:
+        open_bins.append((next_id, L))
+        fit = len(open_bins) - 1
+        next_id += 1
+    sid, r = open_bins[fit]
+    off = L - r
+    r -= n
+    if r < shard_min:  # saturated: no remaining doc can fit
+        open_bins.pop(fit)
+    else:
+        open_bins[fit] = (sid, r)
+    return sid, off, next_id, max(ub, r)
+
+
 def pack_sequences_ffd(
     df: DataFrame,
     seq_tokens: int,
@@ -287,18 +322,19 @@ def pack_sequences_ffd(
     the per-shard sequence CREATION index, ``seq_off`` the tokens
     already packed into it at placement.
 
-    Scale shape: identical to the greedy variant — ONE repartition on
-    shard + sortWithinPartitions + one mapInPandas pass whose per-shard
-    open-sequence residual lists carry across Arrow batches.  The
-    in-shard fill is a linear first-fit scan over OPEN sequences
-    (O(docs × open-seqs) worst case vs greedy's O(docs)); a running
-    upper bound on the max residual short-circuits the common
-    doesn't-fit-anywhere case, and with DESC order the early sequences
-    saturate quickly so real scans are short.  Shards bound both memory
-    (one residual long per open sequence) and the scan — pick n_shards
-    so docs-per-shard stays ~10⁶; past that, close sequences whose
-    residual drops below the smallest remaining doc (not implemented —
-    needs a second pass to know that minimum).
+    Scale shape: one cheap 3-column pre-aggregation for the per-shard
+    MIN doc size, then — identical to the greedy variant — ONE
+    repartition on shard + sortWithinPartitions + one mapInPandas pass
+    whose per-shard open-sequence residual lists carry across Arrow
+    batches.  The in-shard fill is a linear first-fit scan over OPEN
+    sequences; two hardenings keep the O(docs × open-seqs) worst case
+    unreachable: a running upper bound on the max residual
+    short-circuits the doesn't-fit-anywhere case, and any sequence
+    whose residual drops below the shard's static min doc size CLOSES
+    (``_ffd_place`` — in DESC order nothing remaining can fit it, so
+    closure never changes a first-fit choice; outputs are
+    bit-identical).  On a many-tiny-equal-docs adversarial shard the
+    open list stays O(1) instead of O(docs/L).
 
     Determinism: shard assignment and the (n_tokens DESC, doc_id) order
     are pure column arithmetic — the DuckDB oracle replays the same
@@ -308,12 +344,18 @@ def pack_sequences_ffd(
     from collections.abc import Iterator
 
     L = int(seq_tokens)
+    proj = df.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(id_col) % n_shards).cast("int").alias("shard"),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+    )
+    # static per-shard min doc size: the close-saturated-bins threshold
+    # (n_shards rows — always broadcastable)
+    mins = proj.groupBy("shard").agg(
+        F.min("n_tokens").alias("shard_min")
+    )
     base = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            (F.col(id_col) % n_shards).cast("int").alias("shard"),
-            F.col(tokens_col).cast("long").alias("n_tokens"),
-        )
+        proj.join(F.broadcast(mins), "shard")
         .repartition(n_shards, "shard")
         .sortWithinPartitions(
             F.col("shard"), F.col("n_tokens").desc(), F.col("doc_id")
@@ -321,33 +363,27 @@ def pack_sequences_ffd(
     )
 
     def fill(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # per-shard (open-sequence residuals in creation order, upper
-        # bound on their max), carried across Arrow batches; the bound
-        # only loosens (residuals shrink, it doesn't), staying a sound
-        # skip-the-scan test for docs larger than every residual
-        state: dict[int, tuple[list[int], int]] = {}
+        # per-shard (open (seq_id, residual) list in creation order,
+        # next seq_id, upper bound on open residuals), carried across
+        # Arrow batches; the bound only loosens (residuals shrink, it
+        # doesn't), staying a sound skip-the-scan test for docs larger
+        # than every residual
+        state: dict[int, tuple[list, int, int]] = {}
         for pdf in batches:
             if pdf.empty:
                 continue
             seq_ids, offs = [], []
-            for shard, n in zip(pdf["shard"].to_numpy(),
-                                pdf["n_tokens"].to_numpy()):
-                bins, ub = state.get(int(shard), ([], -1))
-                n = int(n)
-                fit = -1
-                if n <= ub:
-                    for i, r in enumerate(bins):
-                        if r >= n:
-                            fit = i
-                            break
-                if fit < 0:
-                    bins.append(L)
-                    fit = len(bins) - 1
-                offs.append(L - bins[fit])
-                seq_ids.append(fit)
-                bins[fit] -= n
-                state[int(shard)] = (bins, max(ub, bins[fit]))
-            pdf = pdf.assign(
+            for shard, n, smin in zip(pdf["shard"].to_numpy(),
+                                      pdf["n_tokens"].to_numpy(),
+                                      pdf["shard_min"].to_numpy()):
+                open_bins, nxt, ub = state.get(int(shard), ([], 0, -1))
+                sid, off, nxt, ub = _ffd_place(
+                    open_bins, nxt, ub, int(n), L, int(smin)
+                )
+                seq_ids.append(sid)
+                offs.append(off)
+                state[int(shard)] = (open_bins, nxt, ub)
+            pdf = pdf.drop(columns=["shard_min"]).assign(
                 seq_id=pd.Series(seq_ids, index=pdf.index, dtype="int64"),
                 seq_off=pd.Series(offs, index=pdf.index, dtype="int64"),
                 overflow=(pdf["n_tokens"] > L).astype("int32"),
@@ -413,11 +449,20 @@ def reservoir_sample(
     )
 
     def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # per-key (count, [slot -> (ts, id)]) carried across Arrow
-        # batches; emitted once per key when the NEXT key starts (rows
-        # arrive key-grouped by the sort), plus a flush at iterator end
-        state: dict = {}
-        order: list = []  # key emission order
+        # rows arrive key-grouped (the sort above), so only the CURRENT
+        # key's (count, slots) lives in memory — O(k), not
+        # O(distinct keys x k); each finished key's slots append to an
+        # output buffer that is yielded in bounded chunks
+        _NONE = object()  # sentinel: distinguishes "no key yet" from any value
+        cur, cnt, slots = _NONE, 0, []
+        rows = {key_col: [], "slot": [], ts_col: [], id_col: []}
+
+        def flush_key() -> None:
+            for slot, (ts_v, id_v) in enumerate(slots):
+                rows[key_col].append(cur)
+                rows["slot"].append(slot)
+                rows[ts_col].append(ts_v)
+                rows[id_col].append(id_v)
 
         for pdf in batches:
             if pdf.empty:
@@ -425,28 +470,25 @@ def reservoir_sample(
             for key, ts_v, id_v in zip(
                 pdf[key_col], pdf[ts_col], pdf[id_col]
             ):
-                if key not in state:
-                    state[key] = [0, []]
-                    order.append(key)
-                st = state[key]
-                st[0] += 1
-                n = st[0]
-                if n <= k:
-                    st[1].append((ts_v, id_v))
+                if cur is _NONE or key != cur:
+                    if cur is not _NONE:
+                        flush_key()
+                    cur, cnt, slots = key, 0, []
+                cnt += 1
+                if cnt <= k:
+                    slots.append((ts_v, id_v))
                 else:
                     h = int(hashlib.md5(
                         f"{salt}:{key}:{id_v}".encode()
                     ).hexdigest()[:15], 16)
-                    j = h % n
+                    j = h % cnt
                     if j < k:
-                        st[1][j] = (ts_v, id_v)
-        rows = {key_col: [], "slot": [], ts_col: [], id_col: []}
-        for key in order:
-            for slot, (ts_v, id_v) in enumerate(state[key][1]):
-                rows[key_col].append(key)
-                rows["slot"].append(slot)
-                rows[ts_col].append(ts_v)
-                rows[id_col].append(id_v)
+                        slots[j] = (ts_v, id_v)
+            if len(rows["slot"]) >= 8192:
+                yield pd.DataFrame(rows)
+                rows = {key_col: [], "slot": [], ts_col: [], id_col: []}
+        if cur is not _NONE:
+            flush_key()
         if rows["slot"]:
             yield pd.DataFrame(rows)
 

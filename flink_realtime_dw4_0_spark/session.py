@@ -45,16 +45,21 @@ _PROTOBUF_FALLBACKS = [
 # other packages bundled next to it (appengine/auth/oauth2/pyglib),
 # which would otherwise ride along on sys.path + worker PYTHONPATH and
 # could shadow same-named modules in every python worker
+# per-user path: a fixed shared /tmp name would let another local user
+# pre-create the dir with arbitrary code that every python worker imports
 _PROTOBUF_SHIM = os.path.join(
-    os.environ.get("TMPDIR", "/tmp"), "sparkdw-protobuf-shim"
+    os.environ.get("TMPDIR", "/tmp"),
+    f"sparkdw-protobuf-shim-{os.getuid()}",
 )
 
 
 def _protobuf_shim_dir(src_root: str) -> str | None:
     """Build (idempotently) a dir containing nothing but a
     ``google/protobuf`` symlink into ``src_root``.  Returns the shim
-    path, or None when the filesystem refuses (read-only tmp) — the
-    caller then skips that fallback rather than splice the wide dir."""
+    path, or None when the filesystem refuses (read-only tmp) OR when a
+    pre-existing entry is anything but a symlink resolving to the
+    expected source — the caller then skips that fallback rather than
+    splice an untrusted dir onto every worker's PYTHONPATH."""
     src = os.path.join(src_root, "google", "protobuf")
     g = os.path.join(_PROTOBUF_SHIM, "google")
     link = os.path.join(g, "protobuf")
@@ -64,7 +69,10 @@ def _protobuf_shim_dir(src_root: str) -> str | None:
             if os.path.realpath(link) != os.path.realpath(src):
                 os.remove(link)
                 os.symlink(src, link)
-        elif not os.path.exists(link):
+        elif os.path.exists(link):
+            # a real dir/file someone else planted — refuse to use it
+            return None
+        else:
             os.symlink(src, link)
         return _PROTOBUF_SHIM
     except OSError:

@@ -99,7 +99,14 @@ class _TwsState:
 
     @property
     def get(self):
-        return tuple(list(x) for x in self._vs.get())
+        # array fields come back as sequences (normalize to list, like
+        # GroupState); scalar fields (e.g. the reservoir's count) pass
+        # through untouched
+        return tuple(
+            list(x) if isinstance(x, (list, tuple)) or hasattr(x, "__len__")
+            and not isinstance(x, (str, bytes)) else x
+            for x in self._vs.get()
+        )
 
     def getCurrentWatermarkMs(self) -> int:
         return self._tv.getCurrentWatermarkInMs()

@@ -33,6 +33,64 @@ from pyspark.sql.types import (
     StructType,
 )
 
+# weights ride the long-array state; a float/decimal weight would be
+# silently truncated and quietly diverge from the batch twin (which
+# folds the double) — fail loud instead, like KeyedTable._check_bloom_dtype
+_INTEGRAL_WEIGHT_TYPES = {"byte", "short", "integer", "long"}
+
+
+def _check_weight_dtype(col: str, type_name: str) -> None:
+    if type_name not in _INTEGRAL_WEIGHT_TYPES:
+        raise ValueError(
+            f"weight column {col!r} has type {type_name!r}: the streaming "
+            "weighted reservoir carries integer weights only (they ride "
+            "the long-array keyed state); cast explicitly or use the "
+            "batch weighted_reservoir for fractional weights"
+        )
+
+
+def _run_reservoir_tws(src, fn, out_schema, state_schema, ctx: str):
+    """``transformWithStateInPandas`` twin runner for the reservoir
+    family: the SAME GroupState-style generator runs through the
+    ``_TwsState`` adapter (streaming/cep.py) — one fold implementation
+    on both state APIs.  The reservoirs are timer-free (NoTimeout on
+    the apply path), so ``timeMode='none'``."""
+    from ..session import ensure_protobuf
+
+    if not ensure_protobuf():
+        raise RuntimeError(
+            f"{ctx}(impl='tws') needs the public `protobuf` runtime "
+            "(transformWithState's state-server protocol); install "
+            "protobuf or use impl='apply'"
+        )
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle, TimerValues,
+    )
+
+    from .cep import _TwsState
+
+    class Proc(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._vs = handle.getValueState("reservoir", state_schema)
+
+        def handleInputRows(
+            self, key, rows, timerValues: TimerValues
+        ) -> Iterator[pd.DataFrame]:
+            shim = _TwsState(self._vs, self._handle, timerValues, False)
+            yield from fn(key, rows, shim)
+
+        def close(self) -> None:
+            pass
+
+    return src.groupBy("key").transformWithStateInPandas(
+        Proc(),
+        outputStructType=out_schema,
+        outputMode="append",
+        timeMode="none",
+    )
+
+
 OUT_SCHEMA = StructType(
     [
         StructField("key", StringType()),
@@ -225,6 +283,7 @@ def weighted_reservoir_stream(
     salt: str = "wres",
     ts: str = "ts",
     watermark: str = "10 seconds",
+    impl: str = "apply",
 ) -> DataFrame:
     """Streaming Efraimidis–Spirakis A-Res: per key, the running
     weight-proportional k-sample of everything seen so far, as a
@@ -232,10 +291,16 @@ def weighted_reservoir_stream(
     evicts downstream; that set equals the batch ``weighted_reservoir``
     of the same rows (golden-pinned) — ORDER-INDEPENDENT, unlike the
     unweighted reservoir, because top-k-by-key is a pure function of
-    the row set.  Integer weights only (they ride the long-array
-    state); duplicate ids no-op."""
+    the row set.  Integer weights only, validated loud (they ride the
+    long-array state); duplicate ids no-op.  ``impl='tws'`` runs the
+    identical fold on ``transformWithStateInPandas``."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if impl not in ("apply", "tws"):
+        raise ValueError(f"impl must be apply|tws, got {impl!r}")
+    _check_weight_dtype(
+        weight_col, events.schema[weight_col].dataType.typeName()
+    )
     src = events
     if "row_time" not in src.columns:
         src = src.withColumn(
@@ -247,6 +312,11 @@ def weighted_reservoir_stream(
         F.col(weight_col).cast("long").alias("weight"),
         "row_time",
     )
+    if impl == "tws":
+        return _run_reservoir_tws(
+            src, weighted_reservoir_fn(k, salt), W_OUT_SCHEMA, _W_STATE,
+            "weighted_reservoir_stream",
+        )
     return src.groupBy("key").applyInPandasWithState(
         weighted_reservoir_fn(k, salt),
         outputStructType=W_OUT_SCHEMA,
@@ -264,13 +334,17 @@ def reservoir_sample_stream(
     event_id: str = "event_id",
     salt: str = "res",
     watermark: str = "10 seconds",
+    impl: str = "apply",
 ) -> DataFrame:
     """Apply the per-key deterministic reservoir to a stream with
     millisecond ``ts``.  Returns the slot CHANGELOG — keep the latest
     row per (key, slot) downstream; that set equals the batch
-    ``reservoir_sample`` of the same events."""
+    ``reservoir_sample`` of the same events.  ``impl='tws'`` runs the
+    identical fold on ``transformWithStateInPandas``."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if impl not in ("apply", "tws"):
+        raise ValueError(f"impl must be apply|tws, got {impl!r}")
     src = events
     if "row_time" not in src.columns:
         src = src.withColumn(
@@ -282,6 +356,11 @@ def reservoir_sample_stream(
         F.col(event_id).cast("long").alias("event_id"),
         "row_time",
     )
+    if impl == "tws":
+        return _run_reservoir_tws(
+            src, reservoir_fn(k, salt), OUT_SCHEMA, _STATE,
+            "reservoir_sample_stream",
+        )
     return src.groupBy("key").applyInPandasWithState(
         reservoir_fn(k, salt),
         outputStructType=OUT_SCHEMA,

@@ -124,18 +124,26 @@ class DimWarehouse:
     def lookup_by_attr(
         self, spark: SparkSession, sink_table: str, attr: str, value
     ) -> DataFrame | None:
-        """Point-probe a dim table by a SECONDARY attribute (not the
-        rowkey) with bloom data skipping: reads only the buckets whose
-        ``_bloom_{attr}.json`` sidecars admit ``value`` — the rowkey
-        bucket hash cannot prune this shape, the blooms can.  The
-        logical equality filter always applies on top, so bloom false
-        positives cost reads, never correctness.  ``self.last_attr_scan``
-        records {buckets_total, buckets_scanned} for the plan gate /
-        dashboards; tables merged without ``bloom_attrs`` fall back to a
-        full scan + filter (correct, zero pruning)."""
+        """Probe a dim table by a SECONDARY attribute (not the rowkey)
+        with bloom data skipping: reads only the buckets whose
+        ``_bloom_{attr}.json`` sidecars admit the probe — the rowkey
+        bucket hash cannot prune this shape, the blooms can.  ``value``
+        is a scalar (point probe, ``read_eq``) or a list/tuple/set (the
+        DWS batch-fetch shape — "all skus of these N spus" — routed
+        through ``read_in``, which keeps a bucket when its bloom admits
+        ANY of the values).  The logical filter always applies on top,
+        so bloom false positives cost reads, never correctness.
+        ``self.last_attr_scan`` records {buckets_total, buckets_scanned}
+        for the plan gate / dashboards; tables merged without
+        ``bloom_attrs`` fall back to a full scan + filter (correct,
+        zero pruning)."""
         table = KeyedTable(self.table_path(sink_table), keys=[])
+        multi = isinstance(value, (list, tuple, set, frozenset))
         if attr in table.bloom_cols:
-            df = table.read_eq(spark, attr, value)
+            if multi:
+                df = table.read_in(spark, attr, list(value))
+            else:
+                df = table.read_eq(spark, attr, value)
             self.last_attr_scan = table.last_eq_scan
         else:
             df = table.read(spark)
@@ -143,6 +151,7 @@ class DimWarehouse:
                 # never promoted to a column: probe the payload map
                 probe = (F.col(attr) if attr in df.columns
                          else F.element_at("data", attr))
-                df = df.filter(probe == F.lit(value))
+                df = df.filter(probe.isin(list(value)) if multi
+                               else probe == F.lit(value))
             self.last_attr_scan = None
         return df

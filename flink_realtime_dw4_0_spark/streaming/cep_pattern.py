@@ -883,6 +883,14 @@ def match_pattern_stream(
             "needs a timeout horizon to bound state and resolve anchors "
             "(the batch twin allows within=None; a stream cannot)"
         )
+    if any(p.get("allow_combinations") for p in pattern):
+        raise ValueError(
+            "allowCombinations has no streaming leg: a live fork per "
+            "SUBSET of loop binds is 2^n partials per anchor — no "
+            "bounded-state form exists (honest bound, like nested "
+            "alternation).  Batch: operators.cep.match_combinations "
+            "(candidate + combination caps with declined counters)."
+        )
     any_names = validate_any_steps(pattern)  # shared placement rules
     if any_names:
         if mode != "all":

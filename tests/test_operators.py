@@ -1745,6 +1745,106 @@ def test_cep_match_pattern_strict_times_negation(spark):
         cep.match_pattern(ev, term, within=None)
 
 
+def test_cep_allow_combinations(spark):
+    """Flink ``oneOrMore().allowCombinations()`` — the documented
+    ``a b+ c`` example over ``a b1 b2 b3 c`` must emit all 7
+    order-preserving click subsets, each bound to the purchase; the
+    candidate and combination caps decline OBSERVABLY (counted, never
+    silent); quantifier variants restrict subset sizes; match_pattern
+    and the streaming machine reject allow_combinations by name."""
+    from datetime import datetime as dt
+
+    import pytest as _pytest
+
+    from flink_realtime_dw4_0_spark.operators import cep
+
+    T = lambda s: dt(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        ("u1", T(1), 1, "A"), ("u1", T(2), 2, "B"), ("u1", T(3), 3, "B"),
+        ("u1", T(4), 4, "B"), ("u1", T(5), 5, "C"),
+        # u2: loop matches but no successor -> no 3-step match
+        ("u2", T(1), 6, "A"), ("u2", T(2), 7, "B"),
+        # u3: successor outside within -> no match
+        ("u3", T(1), 8, "A"), ("u3", T(2), 9, "B"),
+        ("u3", dt(2024, 1, 1, 2, 0, 0), 10, "C"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, event_id long, event_type string"
+    )
+    pat = [
+        {"name": "a", "where": F.col("event_type") == "A"},
+        {"name": "b", "where": F.col("event_type") == "B",
+         "one_or_more": True, "allow_combinations": True},
+        {"name": "c", "where": F.col("event_type") == "C"},
+    ]
+    got = {(r.user_id, r.b_taken_rns): (r.b_count, r.b_first_ts.second,
+                                        r.b_last_ts.second, r.c_ts.second)
+           for r in cep.match_combinations(
+               ev, pat, within="1 HOUR", ts="ts", seq="event_id").collect()}
+    # all 2^3 - 1 = 7 subsets for u1, every one continuing into c
+    assert got == {
+        ("u1", "2"): (1, 2, 2, 5), ("u1", "3"): (1, 3, 3, 5),
+        ("u1", "2,3"): (2, 2, 3, 5), ("u1", "4"): (1, 4, 4, 5),
+        ("u1", "2,4"): (2, 2, 4, 5), ("u1", "3,4"): (2, 3, 4, 5),
+        ("u1", "2,3,4"): (3, 2, 4, 5),
+    }
+
+    # without the successor: u2's single-click subset appears too
+    got2 = {(r.user_id, r.b_taken_rns)
+            for r in cep.match_combinations(
+                ev, pat[:2], within="1 HOUR", ts="ts",
+                seq="event_id").collect()}
+    assert ("u2", "2") in got2 and len(got2) == 9  # 7 + u2 + u3
+
+    # combination cap: ascending-mask order keeps {b1},{b2},{b1 b2};
+    # the closed-form remainder (4) rides every emitted row
+    capped = cep.match_combinations(ev, pat[:2], within="1 HOUR", ts="ts",
+                                    seq="event_id", max_combinations=3)
+    u1 = {r.b_taken_rns: r.b_combos_declined
+          for r in capped.collect() if r.user_id == "u1"}
+    assert u1 == {"2": 4, "3": 4, "2,3": 4}
+
+    # candidate cap: only b1, b2 enumerable; the dropped tail is counted
+    cands = cep.match_combinations(ev, pat[:2], within="1 HOUR", ts="ts",
+                                   seq="event_id", max_loop_candidates=2)
+    u1c = {r.b_taken_rns: r.b_cands_declined
+           for r in cands.collect() if r.user_id == "u1"}
+    assert u1c == {"2": 1, "3": 1, "2,3": 1}
+
+    # quantifier variants restrict subset sizes
+    pr = [pat[0], {"name": "b", "where": F.col("event_type") == "B",
+                   "times_range": (2, 2), "allow_combinations": True}]
+    pairs = {r.b_taken_rns for r in cep.match_combinations(
+        ev, pr, within="1 HOUR", ts="ts", seq="event_id").collect()
+        if r.user_id == "u1"}
+    assert pairs == {"2,3", "2,4", "3,4"}
+
+    # honest rejections: the generic matchers point here / refuse
+    with _pytest.raises(ValueError, match="match_combinations"):
+        cep.match_pattern(ev, pat, within="1 HOUR", emit="all")
+    from flink_realtime_dw4_0_spark.streaming.cep_pattern import (
+        match_pattern_stream,
+    )
+    with _pytest.raises(ValueError, match="no streaming leg"):
+        match_pattern_stream(ev, pat, within="1 hour")
+    with _pytest.raises(ValueError, match="min occurrences"):
+        cep.match_combinations(
+            ev, [pat[0], {"name": "b", "where": F.lit(True),
+                          "optional": True, "times_range": (0, 2),
+                          "allow_combinations": True}],
+            within="1 HOUR")
+    with _pytest.raises(ValueError, match="consecutive"):
+        cep.match_combinations(
+            ev, [pat[0], {"name": "b", "where": F.lit(True),
+                          "one_or_more": True, "consecutive": True,
+                          "allow_combinations": True}],
+            within="1 HOUR")
+    with _pytest.raises(ValueError, match="plain relaxed"):
+        cep.match_combinations(
+            ev, [{"name": "a", "where": F.lit(True), "times": 2}, pat[1]],
+            within="1 HOUR")
+
+
 def test_transition_matrix_probabilities(spark):
     from datetime import datetime as dt
 

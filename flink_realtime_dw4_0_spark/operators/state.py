@@ -307,7 +307,7 @@ def _first_seen_tws(with_dt: DataFrame, ttl_ms: int) -> DataFrame:
 
 def first_seen(
     df: DataFrame, delay: str = "24 hours",
-    ttl_ms: int | None = FIRST_SEEN_TTL_MS, impl: str = "apply",
+    ttl_ms: int | None = FIRST_SEEN_TTL_MS, impl: str = "auto",
 ) -> DataFrame:
     """Per-(key, day) first-seen marker over a stream with columns
     (key, ts) — the UU dedup primitive behind A3/A4/A6 (SURVEY §2.5):
@@ -338,11 +338,22 @@ def first_seen(
 
     ``impl='tws'`` runs the identical state machine on Spark 4.x's
     ``transformWithStateInPandas`` (the successor API —
-    ``applyInPandasWithState`` is slated for deprecation); equivalence
-    and checkpoint-restart are pinned by tests, so the default can flip
-    once the old API is removed."""
-    if impl not in ("apply", "tws"):
-        raise ValueError(f"impl must be apply|tws, got {impl!r}")
+    ``applyInPandasWithState`` is slated for deprecation).  The DEFAULT
+    is now ``'auto'`` — the r9 pilot flip, gated on the measured A/B
+    (BENCH_TWS_AB.json: rate-limit steady throughput 38,117 rows/s on
+    tws vs 36,271 on apply — parity; the wall-clock gap is one-time
+    query-start cost): ``auto`` resolves to ``'tws'`` when the public
+    protobuf runtime is importable (transformWithState's state-server
+    protocol needs it) and falls back to ``'apply'`` otherwise, so a
+    protobuf-less environment keeps working during the deprecation
+    window.  Both explicit spellings remain available; equivalence and
+    checkpoint-restart are pinned by tests for both."""
+    if impl not in ("auto", "apply", "tws"):
+        raise ValueError(f"impl must be auto|apply|tws, got {impl!r}")
+    if impl == "auto":
+        from ..session import ensure_protobuf
+
+        impl = "tws" if ensure_protobuf() else "apply"
     ttl = ttl_ms or 0  # None and 0 both mean "no TTL" (NoTimeout)
     with_dt = df.withColumn("row_time", F.timestamp_millis("ts"))
     if ttl > 0:

@@ -194,17 +194,25 @@ def rate_limit_stream(
     event_id: str = "event_id",
     watermark: str = "10 seconds",
     keep_windows: int = 8,
-    impl: str = "apply",
+    impl: str = "auto",
 ) -> DataFrame:
     """Apply the per-key rate limit to a stream with millisecond `ts`.
     Returns every event tagged admitted 0/1 plus its window start.
     ``impl='tws'`` runs the identical transition on Spark 4.x's
     ``transformWithStateInPandas`` (successor to the slated-for-
-    deprecation ``applyInPandasWithState``) — see ``_rate_limit_tws``."""
+    deprecation ``applyInPandasWithState``) — see ``_rate_limit_tws``.
+    The DEFAULT is ``'auto'`` (r9 flip policy, gated on this family's
+    own measured A/B — BENCH_TWS_AB.json: steady 38,117 rows/s tws vs
+    36,271 apply): tws when the public protobuf runtime is importable,
+    apply otherwise."""
     import re
 
-    if impl not in ("apply", "tws"):
-        raise ValueError(f"impl must be apply|tws, got {impl!r}")
+    if impl not in ("auto", "apply", "tws"):
+        raise ValueError(f"impl must be auto|apply|tws, got {impl!r}")
+    if impl == "auto":
+        from ..session import ensure_protobuf
+
+        impl = "tws" if ensure_protobuf() else "apply"
 
     m = re.match(r"(\d+)\s*(second|minute|hour)s?", window)
     if not m:

@@ -4773,10 +4773,22 @@ def test_first_seen_tws_equals_apply(spark, tmp_path):
     same multi-batch keyed stream — per-(key, day) single flag, dup
     suppression across batches, next-day re-flag, and an out-of-order
     earlier-day event still flagged.  Future-proofing gate for the old
-    API's slated deprecation (r6 judge item #8)."""
+    API's slated deprecation (r6 judge item #8).  Since the r9 pilot
+    flip the DEFAULT is impl='auto' — tws whenever protobuf is
+    importable (it is, in this env), apply otherwise."""
     import json as _json
 
     from flink_realtime_dw4_0_spark.operators.state import first_seen
+    from flink_realtime_dw4_0_spark.session import ensure_protobuf
+
+    # the pilot default: auto resolves to the successor API here
+    assert ensure_protobuf() is True
+    stream0 = (
+        spark.readStream.format("rate").load()
+        .selectExpr("cast(value as string) as key", "1 as ts")
+    )
+    assert "transformWithState" in first_seen(stream0)._jdf.queryExecution() \
+        .analyzed().toString()
 
     base = 1_700_000_000_000
     DAY = 86_400_000

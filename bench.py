@@ -438,6 +438,69 @@ def bench_streaming_ratelimit(spark, impl: str = "apply") -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def bench_streaming_reservoir(spark, impl: str = "apply") -> dict:
+    """Throughput of the streaming deterministic reservoir on both
+    keyed-state APIs — the flip gate for the reservoir families (r9
+    policy: a family's default flips to 'auto' only after its own bench
+    section exists).  2k keys x k=16 slots, 3 availableNow batches,
+    parquet changelog sink."""
+    import json as _json
+    import tempfile
+
+    n = int(os.environ.get("SPARK_GRAFT_RESV_ROWS", "150000"))
+    files, max_files = 6, 2
+    tmp = tempfile.mkdtemp(prefix="bench_resv_")
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        day_ms = 1_700_000_000_000
+        per = n // files
+        for fi in range(files):
+            path = os.path.join(src, f"f{fi}.json")
+            with open(path, "w") as fh:
+                for j in range(per):
+                    i = fi * per + j
+                    fh.write(_json.dumps({
+                        "user_id": f"u{i % 2000}",
+                        "ts": day_ms + i * 3,
+                        "event_id": i,
+                    }) + "\n")
+            os.utime(path, (1_000_000 + fi * 10, 1_000_000 + fi * 10))
+
+        from flink_realtime_dw4_0_spark.streaming.reservoir import (
+            reservoir_sample_stream,
+        )
+
+        stream = (
+            spark.readStream.schema("user_id string, ts long, event_id long")
+            .option("maxFilesPerTrigger", max_files).json(src)
+        )
+        out = reservoir_sample_stream(stream, k=16, key="user_id",
+                                      watermark="5 seconds", impl=impl)
+        t0 = time.perf_counter()
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", os.path.join(tmp, "out"))
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(600)
+        dt = time.perf_counter() - t0
+        batch_rows = [per * max_files] * (files // max_files)
+        series = _progress_series(q, batch_rows)
+        return {
+            "pipeline": f"reservoir[{impl}]",
+            "impl": impl,
+            "rows": files * per,
+            "sec": round(dt, 3),
+            "rows_per_sec": int((files * per) / dt),
+            "batches": series,
+            "steady_rows_per_sec": _steady_rows_per_sec(series),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def streaming_main() -> None:
     """`bench.py --streaming-json`: run ONLY the streaming sections in
     THIS process and print one JSON object.  main() invokes this as a
@@ -502,7 +565,8 @@ def streaming_main() -> None:
 
     sections = ("streaming", "streaming_trade", "streaming_trade_skew",
                 "streaming_trade_skew90", "streaming_ratelimit",
-                "streaming_ratelimit_tws")
+                "streaming_ratelimit_tws", "streaming_reservoir",
+                "streaming_reservoir_tws")
     bench_streaming(spark)  # warm-up
     out["streaming"] = best_of(bench_streaming)
     bench_streaming_trade(spark)  # warm-up
@@ -521,6 +585,12 @@ def streaming_main() -> None:
     out["streaming_ratelimit"] = best_of(bench_streaming_ratelimit,
                                          impl="apply")
     out["streaming_ratelimit_tws"] = best_of(bench_streaming_ratelimit,
+                                             impl="tws")
+    bench_streaming_reservoir(spark, impl="apply")  # warm-up (both
+    bench_streaming_reservoir(spark, impl="tws")    # code paths)
+    out["streaming_reservoir"] = best_of(bench_streaming_reservoir,
+                                         impl="apply")
+    out["streaming_reservoir_tws"] = best_of(bench_streaming_reservoir,
                                              impl="tws")
 
     out["canary_end"] = run_canary()
@@ -829,7 +899,8 @@ def main() -> None:
         compact["canary_end_tpch_q1_sec"] = out["canary_end"]["sec"]
     for k in ("streaming", "streaming_trade", "streaming_trade_skew",
               "streaming_trade_skew90", "streaming_ratelimit",
-              "streaming_ratelimit_tws"):
+              "streaming_ratelimit_tws", "streaming_reservoir",
+              "streaming_reservoir_tws"):
         if k in out:
             compact[f"{k}_rows_per_sec"] = out[k]["rows_per_sec"]
             if out[k].get("steady_rows_per_sec"):

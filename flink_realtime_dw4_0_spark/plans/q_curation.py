@@ -1573,6 +1573,14 @@ def pipeline_pretrain_q(spark, sf_dir):
     jaccard is corpus-independent) → deterministic train/val/test
     split.  Every stage is the library operator the standalone queries
     already verify; the composition itself is oracle-exact."""
+    return _pipeline_pretrain(spark, sf_dir, max_shingle_freq=None)
+
+
+def _pipeline_pretrain(spark, sf_dir, max_shingle_freq=None):
+    """Shared body of the pretrain-curation pipeline; the capped twin
+    passes ``max_shingle_freq`` through to the jaccard stage (jaccard
+    over the surviving shingle universe — the df-filter semantics of
+    ``dedup_ngram_capped``)."""
     docs = t(spark, sf_dir, "documents")
     gop = (
         text.gopher_rules(docs)
@@ -1587,7 +1595,8 @@ def pipeline_pretrain_q(spark, sf_dir):
     d1 = docs.join(gop, "doc_id").cache()
     ex = dedup.exact_dedup(d1).select(F.col("keep_id").alias("doc_id"))
     d2 = d1.join(ex, "doc_id").cache()
-    pairs = dedup.ngram_jaccard_pairs_prefix(d2)  # == naive output, scale plan
+    pairs = dedup.ngram_jaccard_pairs_prefix(
+        d2, max_shingle_freq=max_shingle_freq)  # == naive output when uncapped
     # star contraction, not hash-min: survivors of exact dedup chain
     # (A~B~C with A,C not direct pairs), so cluster diameter — hash-min's
     # round count — is unbounded; star converges in O(log n) rounds
@@ -1600,6 +1609,71 @@ def pipeline_pretrain_q(spark, sf_dir):
         text.token_count_ws("text").cast("long").alias("n_tokens"),
         "split",
     )
+
+
+@q(
+    "pipeline_pretrain_curation_capped",
+    f"""
+    WITH RECURSIVE
+    gop AS (SELECT doc_id FROM ({_GOPHER_SQL}) g WHERE gopher_pass = 1),
+    d1 AS (SELECT d.* FROM documents d JOIN gop USING (doc_id)),
+    ex AS (SELECT min(doc_id) AS doc_id FROM (
+             SELECT doc_id,
+                    md5(list_aggregate(string_split_regex(lower(trim(text)), '\\s+'),
+                        'string_agg', ' ')) AS fp
+             FROM d1) GROUP BY fp),
+    d2 AS (SELECT d1.* FROM d1 JOIN ex USING (doc_id)),
+    toks2 AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+              FROM d2),
+    sh AS (SELECT doc_id,
+                  CASE WHEN len(tk) >= 3
+                       THEN list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                           for i in range(1, len(tk) - 1)])
+                       ELSE [] END AS s
+           FROM toks2),
+    inv0 AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    freq AS (SELECT shingle FROM inv0 GROUP BY shingle HAVING count(*) <= 50),
+    inv AS (SELECT inv0.doc_id, inv0.shingle FROM inv0 JOIN freq USING (shingle)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM inv GROUP BY doc_id),
+    jp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+           FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+    np AS (SELECT p.id_a, p.id_b
+           FROM jp p JOIN sizes sa ON p.id_a = sa.doc_id
+                     JOIN sizes sb ON p.id_b = sb.doc_id
+           WHERE p.inter * 3 >= (sa.n + sb.n)),
+    e AS (SELECT id_a AS u, id_b AS v FROM np UNION SELECT id_b, id_a FROM np),
+    reach(u, r) AS (
+      SELECT u, u FROM e
+      UNION
+      SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u),
+    comp AS (SELECT u AS doc_id, min(r) AS component FROM reach GROUP BY u),
+    keepers AS (SELECT d2.doc_id FROM d2 LEFT JOIN comp c USING (doc_id)
+                WHERE c.component IS NULL OR c.component = d2.doc_id)
+    SELECT k.doc_id,
+           CAST(len(string_split_regex(lower(trim(d.text)), '\\s+')) AS BIGINT)
+             AS n_tokens,
+           CASE WHEN substr(md5('split:' || COALESCE(CAST(k.doc_id AS VARCHAR), '')), 1, 4) < 'e666'
+                THEN 'train'
+                WHEN substr(md5('split:' || COALESCE(CAST(k.doc_id AS VARCHAR), '')), 1, 4) < 'f333'
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM keepers k JOIN documents d USING (doc_id)
+    """,
+    tags=("pipeline", "curation", "composed", "scale-knob"),
+)
+def pipeline_pretrain_capped_q(spark, sf_dir):
+    """The pretrain-curation pipeline with the near-dup stage's
+    df-filter cap ON (shingles in > 50 docs dropped first; jaccard over
+    the survivors — `dedup_ngram_capped`'s semantics inside the
+    composition).  This is the 100 TB plan of record: the r9 scale
+    ladder measured the UNCAPPED exact stage's candidate join growing
+    ~quadratically on a dense-vocab corpus (SCALING.md — at the sf10
+    documents point its shuffle exhausted local disk), while the capped
+    stage stays flat.  The uncapped twin (`pipeline_pretrain_curation`)
+    remains the exactness reference; the oracle here mirrors the capped
+    two-stage definition with the naive join."""
+    return _pipeline_pretrain(spark, sf_dir, max_shingle_freq=50)
 
 
 @q(

@@ -1157,8 +1157,8 @@ def parse_mr_pattern(pattern: str) -> list[tuple[str | list[str], dict]]:
     row contiguity every position is forced, so ``(A|B)`` is exactly
     one step matching ``A OR B`` (leftmost classifier preference) and
     ``(A|B)+`` is exactly a consecutive RUN of rows each matching
-    ``A OR B`` (per-row classifiers are not emitted for quantified
-    groups — a run has many)."""
+    ``A OR B`` (per-row classifiers for the run are available as an
+    array column via ``match_recognize(run_classifiers=True)``)."""
     out: list[tuple[str | list[str], dict]] = []
     pos = 0
     while pos < len(pattern):
@@ -1204,6 +1204,7 @@ def match_recognize(
     contiguity: str = "strict",
     max_anchors_per_key: int | None = None,
     measures: dict[str, tuple[str, str, str]] | None = None,
+    run_classifiers: bool = False,
 ) -> DataFrame:
     """Flink SQL ``MATCH_RECOGNIZE`` front-end over the deterministic
     pattern machine: ``PATTERN (A B+ C)`` + ``DEFINE`` predicates
@@ -1245,8 +1246,14 @@ def match_recognize(
     SQL ``CLASSIFIER()`` style) — and a QUANTIFIED group ``(A|B)+`` /
     ``{m,n}`` compiles to one quantified step with the OR predicate
     (under strict contiguity: a consecutive RUN of rows each matching
-    an alternative — still no branching NFA needed; per-row classifiers
-    are not emitted for a run).  Under relaxed contiguity the OR-step
+    an alternative — still no branching NFA needed).
+    ``run_classifiers=True`` additionally emits per-row CLASSIFIER()
+    for every quantified group as ``<group>_classifiers:
+    array<string>`` — the leftmost-preferred alternative credited to
+    each TAKEN loop row in row order (NULL for an empty ``optional``
+    run), computed with one bounded range join on the loop-match
+    list's cum index, the same taken-rows contract MEASURES aggregates
+    over.  Under relaxed contiguity the OR-step
     binds/takes the FIRST row satisfying any alternative (same
     proceed-priority contract as above; a branching NFA that waits for
     a later, different-variable row is out of scope).  Nesting is
@@ -1267,6 +1274,7 @@ def match_recognize(
 
     pat = []
     alt_groups: list[tuple[str, list[str]]] = []
+    alt_run_groups: list[tuple[str, list[str]]] = []
     for name, kw in steps:
         if isinstance(name, list):
             gname = "_or_".join(name)
@@ -1274,10 +1282,15 @@ def match_recognize(
             for a in name[1:]:
                 pred = pred | _pred(a)
             if not kw:
-                # the classifier column only exists for SINGLE-bind
-                # groups; a quantified group's run has many rows (its
-                # per-row crediting is not emitted — documented)
+                # the scalar classifier column only exists for
+                # SINGLE-bind groups; a quantified group's run has many
+                # rows — its per-row crediting is the ARRAY column
+                # ``<group>_classifiers``, emitted under
+                # ``run_classifiers=True`` (off by default: the range
+                # join it costs shouldn't tax callers who don't ask)
                 alt_groups.append((gname, name))
+            else:
+                alt_run_groups.append((gname, name))
             d = {"name": gname, "where": pred, **kw}
             if contiguity == "strict" and kw and "times" not in kw:
                 d["consecutive"] = True
@@ -1337,6 +1350,78 @@ def match_recognize(
                 "left",
             ).drop("__mr_k", "__mr_rn")
             cls_cols.append(f"{gname}_classifier")
+    run_cols: list[str] = []
+    if run_classifiers and alt_run_groups:
+        # per-row CLASSIFIER() inside a quantified run (the r8-
+        # documented "not emitted" hole, closed): the taken rows of any
+        # loop variant are always `count` consecutive entries of the
+        # per-key loop-match list starting at the first taken event
+        # (the same contract MEASURES aggregates over), so the per-row
+        # crediting is ONE bounded range join on that list's cum index
+        # + an order-preserving collect — fan-out = the taken rows,
+        # within-bounded, never the stream.  Leftmost preference is the
+        # coalesce order over the alternatives' DEFINE predicates.
+        w_rc = Window.partitionBy(partition_by).orderBy(order_by, seq)
+        ev_rc = events.withColumn("__mr_rn", F.row_number().over(w_rc))
+        for gname, alts in alt_run_groups:
+            lpred = next(d["where"] for d in pat if d["name"] == gname)
+            cls = F.coalesce(*[F.when(_pred(a), F.lit(a)) for a in alts])
+            w_cum = Window.partitionBy(partition_by).orderBy("__mr_rn")
+            loopev = (
+                ev_rc.filter(lpred)
+                .withColumn("__rc_cum", F.row_number().over(w_cum))
+                .select(
+                    F.col(partition_by).alias("__rc_k"),
+                    F.col("__mr_rn").alias("__rc_rn"),
+                    "__rc_cum",
+                    cls.alias("__rc_cls"),
+                )
+            )
+            cf = loopev.select(
+                F.col("__rc_k").alias("__cf_k"),
+                F.col("__rc_rn").alias("__cf_rn"),
+                F.col("__rc_cum").alias("__rc_first"),
+            )
+            chains = chains.join(
+                cf,
+                (chains[partition_by] == cf["__cf_k"])
+                & (F.col(f"{gname}_first_rn") == cf["__cf_rn"]),
+                "left",
+            ).drop("__cf_k", "__cf_rn")
+            grp = [c for c in chains.columns if c != "__rc_first"]
+            j = chains.join(
+                loopev,
+                (chains[partition_by] == loopev["__rc_k"])
+                & (loopev["__rc_cum"] >= chains["__rc_first"])
+                & (
+                    loopev["__rc_cum"]
+                    < chains["__rc_first"] + chains[f"{gname}_count"]
+                ),
+                "left",
+            )
+            out_name = f"{gname}_classifiers"
+            chains = (
+                j.groupBy(*[j[c] for c in grp])
+                .agg(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("__rc_cum").alias("c"),
+                                    F.col("__rc_cls").alias("v"),
+                                )
+                            )
+                        ),
+                        lambda s: s["v"],
+                    ).alias("__rc_arr")
+                )
+                .withColumn(
+                    out_name,
+                    F.when(F.col(f"{gname}_count") > 0, F.col("__rc_arr")),
+                )
+                .drop("__rc_arr")
+            )
+            run_cols.append(out_name)
     meas_cols: list[str] = []
     if measures:
         aggs = {
@@ -1431,7 +1516,7 @@ def match_recognize(
                 "first_rn": f"{cname}_first_rn",
                 "last_rn": f"{cname}_last_rn",
             })
-    out_cols += cls_cols + meas_cols
+    out_cols += cls_cols + run_cols + meas_cols
     # the after-match replay runs on the FILTERED chains (a chain killed
     # by strictness never consumes a skip horizon) — through the SAME
     # _skip_past_last/_skip_to helpers match_pattern uses, so the

@@ -3867,6 +3867,81 @@ def cep_mr_alt_quantified_q(spark, sf_dir):
 
 
 @q(
+    "cep_mr_run_classifiers",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    a0 AS (
+      SELECT user_id, view_ts, view_rn FROM (
+        SELECT user_id, ts AS view_ts, rn AS view_rn,
+               row_number() OVER (PARTITION BY user_id ORDER BY rn) AS cp
+        FROM e WHERE event_type = 'view')
+      WHERE cp <= 5),
+    nx AS (
+      SELECT a.user_id, a.view_ts, a.view_rn, min(e.rn) AS b_rn
+      FROM a0 a JOIN e ON e.user_id = a.user_id
+      WHERE e.event_type NOT IN ('click', 'error') AND e.rn > a.view_rn
+      GROUP BY 1, 2, 3),
+    m AS (
+      SELECT n.user_id, view_ts, view_rn, b_rn,
+             b_rn - view_rn - 1 AS run_n, p.ts AS p_ts
+      FROM nx n
+      JOIN e p ON p.user_id = n.user_id AND p.rn = n.b_rn
+              AND p.event_type = 'purchase'
+      WHERE b_rn > view_rn + 1),
+    alive AS (SELECT * FROM m WHERE p_ts <= view_ts + INTERVAL 7 DAY)
+    SELECT a.user_id, epoch_us(a.view_ts) AS view_us,
+           CAST(a.run_n AS BIGINT) AS run_count,
+           string_agg(CASE WHEN r.event_type = 'click' THEN 'C' ELSE 'E' END,
+                      ',' ORDER BY r.rn) AS run_vars,
+           epoch_us(a.p_ts) AS purchase_us
+    FROM alive a
+    JOIN e r ON r.user_id = a.user_id
+            AND r.rn > a.view_rn AND r.rn < a.b_rn
+    GROUP BY a.user_id, a.view_ts, a.run_n, a.p_ts
+    """,
+    tags=("cep", "match-recognize", "classifier", "quantified", "sql-api"),
+)
+def cep_mr_run_classifiers_q(spark, sf_dir):
+    """Per-row CLASSIFIER() inside a quantified run — the r8-documented
+    "not emitted" hole, closed: ``PATTERN (V (C|E)+ P)`` with
+    ``run_classifiers=True`` emits ``C_or_E_classifiers``, the
+    leftmost-preferred alternative credited to each TAKEN loop row in
+    row order, via one bounded range join on the loop-match list's cum
+    index (the same taken-rows contract MEASURES aggregates over — no
+    machine change).  The DEFINE predicates OVERLAP on purpose (E
+    matches clicks too), so the output pins leftmost preference, not
+    just row typing; the oracle replays the forced row interval and
+    string_aggs the same leftmost CASE in rn order
+    (operators/cep.py:match_recognize run_classifiers)."""
+    from ..operators import cep
+
+    ev = t(spark, sf_dir, "events")
+    m = cep.match_recognize(
+        ev,
+        pattern="V (C|E)+ P",
+        define={
+            "V": F.col("event_type") == "view",
+            "C": F.col("event_type") == "click",
+            "E": F.col("event_type").isin("click", "error"),
+            "P": F.col("event_type") == "purchase",
+        },
+        within="7 DAY",
+        max_anchors_per_key=5,
+        run_classifiers=True,
+    )
+    return m.select(
+        "user_id",
+        F.unix_micros("V_ts").alias("view_us"),
+        F.col("C_or_E_count").alias("run_count"),
+        F.array_join("C_or_E_classifiers", ",").alias("run_vars"),
+        F.unix_micros("P_ts").alias("purchase_us"),
+    )
+
+
+@q(
     "cep_mr_alternation",
     """
     WITH e AS (

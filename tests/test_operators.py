@@ -3897,6 +3897,51 @@ def test_mr_quantified_alternation(spark):
     assert "C_or_E_classifier" in cols_plain
 
 
+def test_mr_run_classifiers(spark):
+    """Per-row CLASSIFIER() inside a quantified run (match_recognize
+    run_classifiers=True): the taken rows credit their leftmost-
+    preferred alternative in row order as ``<group>_classifiers``.
+    Hand trace: a mixed C/E run yields the exact array; OVERLAPPING
+    define predicates (E also matches C rows) still credit C (leftmost
+    coalesce); an empty ``optional`` run yields NULL; the column is
+    absent unless asked for."""
+    from datetime import datetime as dt
+
+    from flink_realtime_dw4_0_spark.operators import cep
+
+    T = lambda s: dt(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        ("u1", T(1), 1, "V"), ("u1", T(2), 2, "C"), ("u1", T(3), 3, "E"),
+        ("u1", T(4), 4, "C"), ("u1", T(5), 5, "P"),
+        ("u3", T(1), 1, "V"), ("u3", T(2), 2, "P"),  # empty optional run
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, event_id long, event_type string"
+    )
+    define = {"V": "event_type = 'V'", "C": "event_type = 'C'",
+              "E": "event_type = 'E'", "P": "event_type = 'P'"}
+    got = {r.user_id: r.C_or_E_classifiers for r in cep.match_recognize(
+        ev, pattern="V (C|E)+ P", define=define, within="1 HOUR",
+        run_classifiers=True).collect()}
+    assert got == {"u1": ["C", "E", "C"]}
+    # leftmost preference under OVERLAP: E matches C rows too, but a C
+    # row still credits C — coalesce order is the written order
+    define_ov = dict(define, E="event_type IN ('C', 'E')")
+    got_ov = {r.user_id: r.C_or_E_classifiers for r in cep.match_recognize(
+        ev, pattern="V (C|E)+ P", define=define_ov, within="1 HOUR",
+        run_classifiers=True).collect()}
+    assert got_ov == {"u1": ["C", "E", "C"]}
+    # empty optional run -> NULL array (mirrors first_ts/last_ts NULLs)
+    got_opt = {r.user_id: r.C_or_E_classifiers for r in cep.match_recognize(
+        ev, pattern="V (C|E)* P", define=define, within="1 HOUR",
+        run_classifiers=True).collect()}
+    assert got_opt == {"u1": ["C", "E", "C"], "u3": None}
+    # off by default (the range join shouldn't tax callers who don't ask)
+    cols = cep.match_recognize(ev, pattern="V (C|E)+ P", define=define,
+                               within="1 HOUR").columns
+    assert "C_or_E_classifiers" not in cols
+
+
 def test_kmv_overlap(spark):
     """KMV audience overlap: engineered segments A=u0..999, B=u500..1499
     (|A∩B|=500), C=u0..49.  At k=64 (stderr ~12.6%) every estimate must

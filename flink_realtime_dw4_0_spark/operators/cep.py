@@ -1115,12 +1115,6 @@ _MR_TOKEN = re.compile(
     r"(\+|\*|\?|\{\s*\d+\s*(?:,\s*\d*\s*)?\})?"
 )
 
-# single-level alternation group: (A|B[|C...]) of BARE variables,
-# optionally followed by a quantifier (matched by _MR_QUANT)
-_MR_ALT = re.compile(
-    r"\s*\(\s*([A-Za-z_][A-Za-z_0-9]*"
-    r"(?:\s*\|\s*[A-Za-z_][A-Za-z_0-9]*)+)\s*\)"
-)
 _MR_QUANT = re.compile(r"\s*(\+|\*|\?|\{\s*\d+\s*(?:,\s*\d*\s*)?\})")
 
 
@@ -1144,45 +1138,151 @@ def _quant_kwargs(quant: str | None) -> dict:
     return {"times_range": (int(lo), int(hi))}
 
 
-def parse_mr_pattern(pattern: str) -> list[tuple[str | list[str], dict]]:
+def _parse_var_seq(text: str) -> list[tuple[str, dict]]:
+    """Parse one alternation-group alternative — a sequence of
+    quantified bare variables like ``B C+`` — into (name, kwargs)
+    pairs.  Shared token grammar with the top-level pattern walk."""
+    seq: list[tuple[str, dict]] = []
+    p = 0
+    while p < len(text):
+        if text[p:].strip() == "":
+            break
+        m = _MR_TOKEN.match(text, p)
+        if m is None:
+            raise ValueError(
+                f"MATCH_RECOGNIZE alternation: unsupported syntax in "
+                f"alternative {text!r}"
+            )
+        seq.append((m.group(1), _quant_kwargs(m.group(2))))
+        p = m.end()
+    if not seq:
+        raise ValueError("MATCH_RECOGNIZE alternation: empty alternative")
+    names = [n for n, _ in seq]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"MATCH_RECOGNIZE alternation: alternative repeats a "
+            f"variable: {text!r}"
+        )
+    return seq
+
+
+def _mr_is_nested(nm) -> bool:
+    """A nested alternation step's name is a list of ALTERNATIVES, each
+    a list of (var, kwargs) pairs; a flat group's name is a list of
+    bare variable strings."""
+    return isinstance(nm, list) and bool(nm) and not isinstance(nm[0], str)
+
+
+def _mr_step_vars(nm) -> list[str]:
+    """All variable names referenced by one parsed step (plain, flat
+    group, or nested group)."""
+    if _mr_is_nested(nm):
+        return [v for alt in nm for v, _ in alt]
+    if isinstance(nm, list):
+        return list(nm)
+    return [nm]
+
+
+def _quant_text(kw: dict) -> str:
+    """Inverse of ``_quant_kwargs``: render quantifier kwargs back to
+    the regex suffix (for variant-choice labels)."""
+    if not kw:
+        return ""
+    if kw.get("one_or_more"):
+        return "+"
+    if kw.get("zero_or_more"):
+        return "*"
+    if kw.get("optional"):
+        return "?"
+    if "times" in kw:
+        return "{%d}" % kw["times"]
+    if "times_or_more" in kw:
+        return "{%d,}" % kw["times_or_more"]
+    if "times_range" in kw:
+        return "{%d,%d}" % kw["times_range"]
+    return ""
+
+
+def parse_mr_pattern(pattern: str) -> list[tuple[str | list, dict]]:
     """Parse a MATCH_RECOGNIZE ``PATTERN`` clause body — a sequence of
     variables with optional regex quantifiers ``A B+ C* D? E{2} F{2,}
-    G{2,4}``, plus single-level alternation groups ``(A|B)`` of bare
-    variables, QUANTIFIED or not (``(A|B)+ (A|B){2,4}`` …) — into
-    ``(name, quantifier_kwargs)`` pairs, where an alternation step's
-    name is the ``list`` of its alternatives in written (preference)
-    order.  Nesting, exclusion, and anchors (``( ) {- -} ^ $``) are not
-    supported and raise.  Honest scope note: the deterministic machine
-    has no branching NFA, and none is needed here — under MR's strict
-    row contiguity every position is forced, so ``(A|B)`` is exactly
-    one step matching ``A OR B`` (leftmost classifier preference) and
-    ``(A|B)+`` is exactly a consecutive RUN of rows each matching
-    ``A OR B`` (per-row classifiers for the run are available as an
-    array column via ``match_recognize(run_classifiers=True)``)."""
-    out: list[tuple[str | list[str], dict]] = []
+    G{2,4}``, plus alternation groups — into ``(name,
+    quantifier_kwargs)`` pairs.
+
+    Group forms, in written (preference) order:
+
+    * flat ``(A|B)`` of bare variables, QUANTIFIED or not (``(A|B)+``
+      ``(A|B){2,4}`` …): name is the ``list`` of alternative strings —
+      one OR-step, no branching needed (under MR's strict row
+      contiguity every position is forced, so ``(A|B)`` is exactly one
+      step matching ``A OR B`` with leftmost classifier preference and
+      ``(A|B)+`` is a consecutive RUN; per-row classifiers via
+      ``match_recognize(run_classifiers=True)``);
+    * NESTED ``(A | B C+)`` whose alternatives are variable SEQUENCES
+      (kwargs carry ``{"nested": True}``): name is the list of
+      alternatives, each a list of (var, kwargs) pairs.  These expand
+      to a bounded UNION of linear pattern variants in
+      ``match_recognize`` (regex alternation by expansion — the
+      product of branch choices, leftmost-preferred per anchor).  A
+      QUANTIFIED nested group (``(A | B C)+``) would need a branching
+      NFA over variable-length bodies and raises.
+
+    Two-level nesting, exclusion, and anchors (``{- -} ^ $``) are not
+    supported and raise."""
+    out: list[tuple[str | list, dict]] = []
     pos = 0
     while pos < len(pattern):
         if pattern[pos:].strip() == "":
             break
-        ma = _MR_ALT.match(pattern, pos)
-        if ma is not None:
-            alts = [a.strip() for a in ma.group(1).split("|")]
-            if len(set(alts)) != len(alts):
+        stripped = pattern[pos:].lstrip()
+        if stripped.startswith("("):
+            op = pattern.index("(", pos)
+            close = pattern.find(")", op + 1)
+            if close == -1:
+                raise ValueError("MATCH_RECOGNIZE pattern: unbalanced '('")
+            inner = pattern[op + 1:close]
+            if "(" in inner:
                 raise ValueError(
-                    f"MATCH_RECOGNIZE alternation repeats a variable: "
-                    f"({ma.group(1)})"
+                    "MATCH_RECOGNIZE pattern: two-level group nesting is "
+                    "not supported"
                 )
-            mq = _MR_QUANT.match(pattern, ma.end())
-            out.append((alts, _quant_kwargs(mq.group(1)) if mq else {}))
-            pos = mq.end() if mq else ma.end()
+            alts_txt = [a.strip() for a in inner.split("|")]
+            if len(alts_txt) < 2:
+                raise ValueError(
+                    f"MATCH_RECOGNIZE pattern: a parenthesized group must "
+                    f"alternate — ({inner}) has no '|' (sequences need no "
+                    f"parentheses)"
+                )
+            seqs = [_parse_var_seq(a) for a in alts_txt]
+            mq = _MR_QUANT.match(pattern, close + 1)
+            if all(len(s) == 1 and not s[0][1] for s in seqs):
+                # flat group of bare variables: one OR-step
+                alts = [s[0][0] for s in seqs]
+                if len(set(alts)) != len(alts):
+                    raise ValueError(
+                        f"MATCH_RECOGNIZE alternation repeats a variable: "
+                        f"({inner})"
+                    )
+                out.append((alts, _quant_kwargs(mq.group(1)) if mq else {}))
+                pos = mq.end() if mq else close + 1
+                continue
+            if mq:
+                raise ValueError(
+                    "MATCH_RECOGNIZE: a QUANTIFIED nested alternation "
+                    "group ((A | B C)+ …) needs a branching NFA over "
+                    "variable-length bodies — not supported; quantify "
+                    "bare-variable groups (A|B)+ instead"
+                )
+            out.append((seqs, {"nested": True}))
+            pos = close + 1
             continue
         m = _MR_TOKEN.match(pattern, pos)
         if m is None:
             raise ValueError(
                 f"MATCH_RECOGNIZE pattern: unsupported syntax at "
                 f"{pattern[pos:]!r} (variables with + * ? {{n}} {{n,}} "
-                f"{{n,m}} quantifiers, and un-quantified single-level "
-                f"alternation groups (A|B), only)"
+                f"{{n,m}} quantifiers, and single-level alternation "
+                f"groups (A|B) / (A | B C), only)"
             )
         out.append((m.group(1), _quant_kwargs(m.group(2))))
         pos = m.end()
@@ -1256,17 +1356,64 @@ def match_recognize(
     over.  Under relaxed contiguity the OR-step
     binds/takes the FIRST row satisfying any alternative (same
     proceed-priority contract as above; a branching NFA that waits for
-    a later, different-variable row is out of scope).  Nesting is
-    rejected at parse time; the first variable must be un-quantified
-    (the machine anchors on a concrete row)."""
+    a later, different-variable row is out of scope).
+
+    NESTED alternation groups whose alternatives are variable
+    SEQUENCES — ``(A | B C+)`` — are supported by VARIANT EXPANSION
+    (see ``_mr_variants``): the pattern multiplies out to the product
+    of branch choices, each variant runs the linear machine, and the
+    union is deduplicated per anchor row by lexicographic choice index
+    — regex alternation preference exactly.  Each nested group emits a
+    ``<group>_variant`` column naming the chosen alternative; the
+    un-chosen branches' columns are NULL.  A QUANTIFIED nested group
+    raises at parse time (branching NFA over variable-length bodies);
+    two-level nesting raises; with nested groups,
+    ``skip_to_first/last`` targets must live outside every group.  The
+    first variable of every variant must be un-quantified (the machine
+    anchors on a concrete row)."""
     if contiguity not in ("strict", "relaxed"):
         raise ValueError(f"contiguity must be strict|relaxed, got {contiguity!r}")
     steps = parse_mr_pattern(pattern)
-    missing = [n for nm, _ in steps
-               for n in (nm if isinstance(nm, list) else [nm])
+    missing = [n for nm, _ in steps for n in _mr_step_vars(nm)
                if n not in define]
     if missing:
         raise ValueError(f"MATCH_RECOGNIZE: DEFINE missing for {missing}")
+    common = dict(
+        partition_by=partition_by, order_by=order_by, seq=seq,
+        define=define, within=within, contiguity=contiguity,
+        max_anchors_per_key=max_anchors_per_key, measures=measures,
+        run_classifiers=run_classifiers,
+    )
+    if any(_mr_is_nested(nm) for nm, _ in steps):
+        return _mr_variants(events, steps, after_match=after_match, **common)
+    return _mr_linear(events, steps, after_match=after_match, **common)
+
+
+def _mr_linear(
+    events: DataFrame,
+    steps: list[tuple[str | list, dict]],
+    *,
+    partition_by: str,
+    order_by: str,
+    seq: str,
+    define: dict,
+    within: str | None,
+    after_match: str,
+    contiguity: str,
+    max_anchors_per_key: int | None,
+    measures: dict | None,
+    run_classifiers: bool,
+    _variant_mode: bool = False,
+) -> DataFrame | tuple[DataFrame, list[str]]:
+    """The LINEAR-pattern MATCH_RECOGNIZE body (plain variables + flat
+    alternation groups) — see ``match_recognize`` for the public
+    contract.  Under ``_variant_mode=True`` (one branch choice of a
+    nested-group expansion, see ``_mr_variants``): measures whose
+    variable is absent from this variant are silently skipped (the
+    union fills NULL), after-match handling is deferred to the union
+    level, and the return value is ``(chains, out_cols)`` with
+    ``__mr_anchor_rn`` / ``__mr_anchor_ts`` / ``__mr_last_rn``
+    appended for the per-anchor leftmost dedup and skip replay."""
 
     def _pred(name):
         p = define[name]
@@ -1439,6 +1586,10 @@ def match_recognize(
                 )
             hit = [(k, c) for k, c in layout if c == var]
             if not hit:
+                if _variant_mode:
+                    # the variable lives in another branch of a nested
+                    # group; this variant's rows get NULL via the union
+                    continue
                 raise ValueError(
                     f"MEASURES {out_name}: unknown pattern variable {var!r}"
                 )
@@ -1517,6 +1668,24 @@ def match_recognize(
                 "last_rn": f"{cname}_last_rn",
             })
     out_cols += cls_cols + run_cols + meas_cols
+    if _variant_mode:
+        # last bound position: forward fold over the bound layout (an
+        # empty optional loop leaves the previous step's position)
+        last_expr = F.col(bound[0]["rn"])
+        for b in bound[1:]:
+            if b["kind"] == "plain":
+                last_expr = F.col(b["rn"])
+            else:
+                last_expr = F.when(
+                    F.col(b["cnt"]) > 0, F.col(b["last_rn"])
+                ).otherwise(last_expr)
+        sel = chains.select(
+            partition_by, *out_cols,
+            F.col(bound[0]["rn"]).alias("__mr_anchor_rn"),
+            F.col(bound[0]["ts"]).alias("__mr_anchor_ts"),
+            last_expr.alias("__mr_last_rn"),
+        )
+        return sel, out_cols
     # the after-match replay runs on the FILTERED chains (a chain killed
     # by strictness never consumes a skip horizon) — through the SAME
     # _skip_past_last/_skip_to helpers match_pattern uses, so the
@@ -1532,6 +1701,140 @@ def match_recognize(
                          else "last_ts"])
         return _skip_to(chains, partition_by, bound, out_cols, hz_col)
     return chains.select(partition_by, *out_cols)
+
+
+def _mr_variants(
+    events: DataFrame,
+    steps: list[tuple[str | list, dict]],
+    *,
+    partition_by: str,
+    order_by: str,
+    seq: str,
+    define: dict,
+    within: str | None,
+    after_match: str,
+    contiguity: str,
+    max_anchors_per_key: int | None,
+    measures: dict | None,
+    run_classifiers: bool,
+) -> DataFrame:
+    """Nested alternation groups by VARIANT EXPANSION: each nested
+    group ``(A | B C+)`` multiplies the pattern into the (parse-time
+    bounded) product of branch choices, each a LINEAR pattern the
+    deterministic machine already runs; the union of the per-variant
+    matches, deduplicated per anchor row by the lexicographic choice
+    index, is exactly regex alternation preference — alternatives
+    tried left to right, with the RIGHTMOST group's choice backtracked
+    first, which is the enumeration order of the variant product —
+    under the machine's documented proceed-priority contract.  Each
+    group contributes a ``<group>_variant`` column naming its chosen
+    alternative; the un-chosen branches' variable columns are NULL.
+
+    Scale shape: |variants| = product of branch counts (a parse-time
+    constant, typically 2-4) independent machine runs united by name —
+    the expansion multiplies SCANS, never rows; the per-anchor dedup
+    is one window over match-sized chains.  ``max_anchors_per_key``
+    bounds each variant's anchor set independently.
+
+    After-match across the union: ``skip_to_next`` is inherently
+    satisfied (<= 1 match per anchor row after the dedup — the same
+    contract the linear machine documents); ``skip_past_last`` replays
+    greedily on the union's anchor/last-bound positions through the
+    same ``_skip_replay`` machine; ``skip_to_first/last:<var>``
+    requires the target to be an un-quantified variable OUTSIDE every
+    nested group, so its horizon column exists in every variant."""
+    import itertools as _it
+    from functools import reduce as _reduce
+
+    groups: list[tuple[int, str, list, list[str]]] = []
+    for i, (nm, kw) in enumerate(steps):
+        if _mr_is_nested(nm):
+            texts = [" ".join(v + _quant_text(k) for v, k in alt)
+                     for alt in nm]
+            gname = "_or_".join("_".join(v for v, _ in alt) for alt in nm)
+            groups.append((i, gname, nm, texts))
+    common = dict(
+        partition_by=partition_by, order_by=order_by, seq=seq,
+        define=define, within=within, contiguity=contiguity,
+        max_anchors_per_key=max_anchors_per_key, measures=measures,
+        run_classifiers=run_classifiers,
+    )
+    nested_idx = {g[0] for g in groups}
+    runs: list[DataFrame] = []
+    all_cols: list[str] = []
+    seen_cols: set[str] = set()
+    resolvable: set[str] = set()
+    choices = list(_it.product(*[range(len(g[2])) for g in groups]))
+    for vi, choice in enumerate(choices):
+        pick = {g[0]: g[2][ci] for g, ci in zip(groups, choice)}
+        vsteps: list[tuple[str | list, dict]] = []
+        for i, (nm, kw) in enumerate(steps):
+            if i in nested_idx:
+                vsteps.extend(pick[i])
+            else:
+                vsteps.append((nm, kw))
+        names = [n for nm, _ in vsteps for n in _mr_step_vars(nm)]
+        if len(set(names)) != len(names):
+            raise ValueError(
+                f"MATCH_RECOGNIZE: pattern variant {names} repeats a "
+                f"variable across steps"
+            )
+        for nm, _ in vsteps:
+            resolvable.add(nm if isinstance(nm, str) else "_or_".join(nm))
+        r, cols = _mr_linear(events, vsteps, after_match="skip_to_next",
+                             _variant_mode=True, **common)
+        for g, ci in zip(groups, choice):
+            r = r.withColumn(f"{g[1]}_variant", F.lit(g[3][ci]))
+        runs.append(r.withColumn("__mr_vi", F.lit(vi)))
+        for c in cols:
+            if c not in seen_cols:
+                seen_cols.add(c)
+                all_cols.append(c)
+    for out_name, (_agg, _vc, var) in (measures or {}).items():
+        if var not in resolvable:
+            raise ValueError(
+                f"MEASURES {out_name}: unknown pattern variable {var!r}"
+            )
+    u = _reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True),
+                runs)
+    # leftmost preference: per anchor row keep the first branch choice
+    # (lexicographic in the product enumeration) that completed
+    w = Window.partitionBy(partition_by, "__mr_anchor_rn")
+    u = (u.withColumn("__mr_vmin", F.min("__mr_vi").over(w))
+          .filter(F.col("__mr_vi") == F.col("__mr_vmin")))
+    out_cols = all_cols + [f"{g[1]}_variant" for g in groups]
+    if after_match == "skip_past_last":
+        sel = u.select(
+            F.col(partition_by),
+            F.col("__mr_anchor_rn").alias("__a_rn"),
+            F.col("__mr_last_rn").alias("__e_rn"),
+            F.col("__mr_anchor_rn").alias("__cmp"),
+            F.col("__mr_last_rn").alias("__hz"),
+            *out_cols,
+        )
+        return _skip_replay(sel, partition_by, strict=True)
+    skip_to = parse_after_match(after_match)
+    if skip_to is not None:
+        _kind_s, tname = skip_to
+        plain_top = {nm for nm, kw in steps if isinstance(nm, str)
+                     and not kw}
+        if tname not in plain_top:
+            raise ValueError(
+                "MATCH_RECOGNIZE with nested alternation groups: the "
+                "skip_to_first/skip_to_last target must be an "
+                "un-quantified variable outside every group (its "
+                "horizon must exist in every pattern variant)"
+            )
+        sel = u.select(
+            F.col(partition_by),
+            F.col("__mr_anchor_rn").alias("__a_rn"),
+            F.col("__mr_last_rn").alias("__e_rn"),
+            F.unix_micros(F.col("__mr_anchor_ts")).alias("__cmp"),
+            F.unix_micros(F.col(f"{tname}_ts")).alias("__hz"),
+            *out_cols,
+        )
+        return _skip_replay(sel, partition_by, strict=False)
+    return u.select(partition_by, *out_cols)
 
 
 def transition_matrix(

@@ -3867,6 +3867,85 @@ def cep_mr_alt_quantified_q(spark, sf_dir):
 
 
 @q(
+    "cep_mr_nested_alternation",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    a0 AS (
+      SELECT user_id, view_ts, view_rn FROM (
+        SELECT user_id, ts AS view_ts, rn AS view_rn,
+               row_number() OVER (PARTITION BY user_id ORDER BY rn) AS cp
+        FROM e WHERE event_type = 'view')
+      WHERE cp <= 5),
+    s AS (
+      SELECT a.user_id, a.view_ts, 'S' AS variant,
+             b.ts AS s_ts, CAST(NULL AS TIMESTAMP) AS c_ts,
+             CAST(NULL AS TIMESTAMP) AS e_ts, p.ts AS p_ts
+      FROM a0 a
+      JOIN e b ON b.user_id = a.user_id AND b.rn = a.view_rn + 1
+              AND b.event_type = 'signup'
+      JOIN e p ON p.user_id = a.user_id AND p.rn = a.view_rn + 2
+              AND p.event_type = 'purchase'),
+    ce AS (
+      SELECT a.user_id, a.view_ts, 'C E' AS variant,
+             CAST(NULL AS TIMESTAMP) AS s_ts, b.ts AS c_ts,
+             c.ts AS e_ts, p.ts AS p_ts
+      FROM a0 a
+      JOIN e b ON b.user_id = a.user_id AND b.rn = a.view_rn + 1
+              AND b.event_type = 'click'
+      JOIN e c ON c.user_id = a.user_id AND c.rn = a.view_rn + 2
+              AND c.event_type = 'error'
+      JOIN e p ON p.user_id = a.user_id AND p.rn = a.view_rn + 3
+              AND p.event_type = 'purchase'),
+    u AS (SELECT * FROM s UNION ALL SELECT * FROM ce)
+    SELECT user_id, epoch_us(view_ts) AS view_us, variant,
+           epoch_us(s_ts) AS signup_us, epoch_us(c_ts) AS click_us,
+           epoch_us(e_ts) AS error_us, epoch_us(p_ts) AS purchase_us
+    FROM u WHERE p_ts <= view_ts + INTERVAL 7 DAY
+    """,
+    tags=("cep", "match-recognize", "alternation", "nested", "sql-api"),
+)
+def cep_mr_nested_alternation_q(spark, sf_dir):
+    """NESTED alternation — ``PATTERN (V (S | C E) P)`` whose
+    alternatives are variable SEQUENCES, the last MATCH_RECOGNIZE
+    parse rejection, closed by VARIANT EXPANSION
+    (operators/cep.py:_mr_variants): the two branch choices each run
+    the linear machine and the union keeps the leftmost completing
+    choice per anchor row; ``S_or_C_E_variant`` names the chosen
+    alternative and the un-chosen branch's columns are NULL.  The
+    oracle replays both variants as forced-rn joins and unions them
+    (the branch entry types are disjoint here, so the leftmost dedup
+    is vacuous — the unit test pins the tie case)."""
+    from ..operators import cep
+
+    ev = t(spark, sf_dir, "events")
+    m = cep.match_recognize(
+        ev,
+        pattern="V (S | C E) P",
+        define={
+            "V": F.col("event_type") == "view",
+            "S": F.col("event_type") == "signup",
+            "C": F.col("event_type") == "click",
+            "E": F.col("event_type") == "error",
+            "P": F.col("event_type") == "purchase",
+        },
+        within="7 DAY",
+        max_anchors_per_key=5,
+    )
+    return m.select(
+        "user_id",
+        F.unix_micros("V_ts").alias("view_us"),
+        F.col("S_or_C_E_variant").alias("variant"),
+        F.unix_micros("S_ts").alias("signup_us"),
+        F.unix_micros("C_ts").alias("click_us"),
+        F.unix_micros("E_ts").alias("error_us"),
+        F.unix_micros("P_ts").alias("purchase_us"),
+    )
+
+
+@q(
     "cep_mr_run_classifiers",
     """
     WITH e AS (

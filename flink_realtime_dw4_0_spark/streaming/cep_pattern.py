@@ -1150,15 +1150,24 @@ def match_recognize_stream(
     rejected (its match would complete on the BREAKING row, whose
     timestamp is not part of the match — restructure with an explicit
     end step, as Flink MR patterns do in practice)."""
-    from ..operators.cep import parse_mr_pattern
+    from ..operators.cep import _mr_is_nested, _mr_step_vars, \
+        parse_mr_pattern
 
     if contiguity not in ("strict", "relaxed"):
         raise ValueError(
             f"contiguity must be strict|relaxed, got {contiguity!r}"
         )
     steps = parse_mr_pattern(pattern)
-    missing = [n for nm, _ in steps
-               for n in (nm if isinstance(nm, list) else [nm])
+    if any(_mr_is_nested(nm) for nm, _ in steps):
+        raise ValueError(
+            "streaming MATCH_RECOGNIZE does not support nested "
+            "alternation groups ((A | B C)): the batch twin expands "
+            "them to a bounded union of pattern variants, but a live "
+            "stream would need one keyed machine per variant sharing "
+            "after-match state — run the variants as separate streams "
+            "or use the batch operator"
+        )
+    missing = [n for nm, _ in steps for n in _mr_step_vars(nm)
                if n not in define]
     if missing:
         raise ValueError(f"MATCH_RECOGNIZE: DEFINE missing for {missing}")

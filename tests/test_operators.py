@@ -3942,6 +3942,109 @@ def test_mr_run_classifiers(spark):
     assert "C_or_E_classifiers" not in cols
 
 
+def test_mr_nested_alternation(spark):
+    """Nested alternation groups (A | B C) in MATCH_RECOGNIZE by
+    variant expansion: each branch choice runs the linear machine and
+    the union keeps, per anchor row, the LEFTMOST completing choice.
+    Hand traces: branch selection, a leftmost tie (both branches
+    complete at the same anchor), a quantifier inside an alternative,
+    NULL columns for the un-chosen branch, skip_past_last replay over
+    the union, measures on branch-local variables, and the honest
+    rejections (quantified nested group, two-level nesting, skip
+    target inside a group, streaming front-end)."""
+    from datetime import datetime as dt
+
+    import pytest as _pytest
+
+    from flink_realtime_dw4_0_spark.operators import cep
+
+    T = lambda s: dt(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        ("u1", T(1), 1, "V"), ("u1", T(2), 2, "A"), ("u1", T(3), 3, "P"),
+        ("u2", T(1), 1, "V"), ("u2", T(2), 2, "B"), ("u2", T(3), 3, "C"),
+        ("u2", T(4), 4, "P"),
+        ("u3", T(1), 1, "V"), ("u3", T(2), 2, "X"), ("u3", T(3), 3, "P"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, event_id long, event_type string"
+    )
+    define = {"V": "event_type = 'V'", "A": "event_type = 'A'",
+              "B": "event_type = 'B'", "C": "event_type = 'C'",
+              "P": "event_type = 'P'"}
+    got = {r.user_id: (r.A_or_B_C_variant, r.A_ts, r.B_ts and r.B_ts.second,
+                       r.C_ts and r.C_ts.second)
+           for r in cep.match_recognize(
+               ev, pattern="V (A | B C) P", define=define,
+               within="1 HOUR").collect()}
+    assert set(got) == {"u1", "u2"}
+    assert got["u1"][0] == "A" and got["u1"][2] is None  # B_ts NULL
+    assert got["u2"] == ("B C", None, 2, 3)              # A_ts NULL
+    # leftmost tie: M satisfies both A and B; both variants complete at
+    # the same anchor -> the written-order-first branch wins
+    rows_tie = [("t1", T(1), 1, "V"), ("t1", T(2), 2, "M"),
+                ("t1", T(3), 3, "P")]
+    evt = spark.createDataFrame(
+        rows_tie,
+        "user_id string, ts timestamp, event_id long, event_type string",
+    )
+    define_ov = {"V": "event_type = 'V'",
+                 "A": "event_type IN ('A', 'M')",
+                 "B": "event_type IN ('B', 'M')", "P": "event_type = 'P'"}
+    tie = cep.match_recognize(evt, pattern="V (A P | B P)",
+                              define=define_ov, within="1 HOUR").collect()
+    assert len(tie) == 1 and tie[0].A_P_or_B_P_variant == "A P"
+    # quantifier inside an alternative: (A | B C+) takes the C run
+    rows_q = [("q1", T(1), 1, "V"), ("q1", T(2), 2, "B"), ("q1", T(3), 3, "C"),
+              ("q1", T(4), 4, "C"), ("q1", T(5), 5, "P")]
+    evq = spark.createDataFrame(
+        rows_q,
+        "user_id string, ts timestamp, event_id long, event_type string",
+    )
+    mq = cep.match_recognize(evq, pattern="V (A | B C+) P", define=define,
+                             within="1 HOUR").collect()
+    assert len(mq) == 1 and mq[0].C_count == 2 \
+        and mq[0].A_or_B_C_variant == "B C+"
+    # measures on a branch-local variable: NULL on the other branch
+    mm = {r.user_id: r.c_sum for r in cep.match_recognize(
+        ev, pattern="V (A | B C) P", define=define, within="1 HOUR",
+        measures={"c_sum": ("sum", "event_id", "C")}).collect()}
+    assert mm == {"u1": None, "u2": 3}
+    # skip_past_last over the union: overlapping anchors, second match
+    # consumed by the first's horizon
+    rows_sp = [("s1", T(1), 1, "V"), ("s1", T(2), 2, "V"), ("s1", T(3), 3, "A"),
+               ("s1", T(4), 4, "P")]
+    evs = spark.createDataFrame(
+        rows_sp,
+        "user_id string, ts timestamp, event_id long, event_type string",
+    )
+    # relaxed contiguity so both V anchors can reach A/P
+    all_m = cep.match_recognize(evs, pattern="V (A | B C) P", define=define,
+                                within="1 HOUR", contiguity="relaxed")
+    assert all_m.count() == 2
+    sp = cep.match_recognize(evs, pattern="V (A | B C) P", define=define,
+                             within="1 HOUR", contiguity="relaxed",
+                             after_match="skip_past_last")
+    assert [r.V_ts.second for r in sp.collect()] == [1]
+    # honest rejections
+    with _pytest.raises(ValueError, match="branching NFA"):
+        cep.parse_mr_pattern("V (A | B C)+ P")
+    with _pytest.raises(ValueError, match="two-level"):
+        cep.parse_mr_pattern("V (A | (B|C) D) P")
+    with _pytest.raises(ValueError, match="outside every group"):
+        cep.match_recognize(ev, pattern="V (A | B C) P", define=define,
+                            within="1 HOUR",
+                            after_match="skip_to_last:C").collect()
+    with _pytest.raises(ValueError, match="repeats a variable across"):
+        cep.match_recognize(ev, pattern="V (A P | B P) P", define=define,
+                            within="1 HOUR")
+    from flink_realtime_dw4_0_spark.streaming.cep_pattern import (
+        match_recognize_stream,
+    )
+    with _pytest.raises(ValueError, match="nested"):
+        match_recognize_stream(ev, pattern="V (A | B C) P", define=define,
+                               within="1 HOUR")
+
+
 def test_kmv_overlap(spark):
     """KMV audience overlap: engineered segments A=u0..999, B=u500..1499
     (|A∩B|=500), C=u0..49.  At k=64 (stderr ~12.6%) every estimate must

@@ -1874,6 +1874,70 @@ def transition_matrix(
     )
 
 
+def validate_combinations_pattern(
+    pattern: list[dict], max_loop_candidates: int
+) -> tuple[dict, dict, dict | None, int, int | None]:
+    """Shared allowCombinations pattern validation (batch
+    ``match_combinations`` + streaming ``match_combinations_stream`` —
+    ONE implementation of the scope rules): 2 or 3 steps, a plain
+    relaxed anchor, ONE quantified ``allow_combinations`` loop (min >=
+    1, relaxed, no until/consecutive/negation), an optional plain
+    relaxed successor.  Returns (anchor, loop, successor_or_None, min,
+    max_or_None)."""
+    if len(pattern) not in (2, 3):
+        raise ValueError(
+            "match_combinations takes [anchor, combinations-loop] or "
+            f"[anchor, combinations-loop, successor], got {len(pattern)} steps"
+        )
+    a, b = pattern[0], pattern[1]
+    c = pattern[2] if len(pattern) == 3 else None
+    _QUANT = ("one_or_more", "times_or_more", "optional",
+              "times_range", "zero_or_more")
+    for p, role in ((a, "anchor"), (c, "successor")):
+        if p is None:
+            continue
+        if (p.get("negated") or "times" in p or any(p.get(k) for k in _QUANT)
+                or p.get("contiguity", "relaxed") == "strict"
+                or p.get("followed_by_any") or p.get("allow_combinations")):
+            raise ValueError(
+                f"{role} step {p['name']!r} must be a plain relaxed "
+                "positive step"
+            )
+    if not b.get("allow_combinations"):
+        raise ValueError("the middle step must set allow_combinations: True")
+    if b.get("consecutive") or b.get("until") is not None \
+            or b.get("contiguity", "relaxed") == "strict" or b.get("negated"):
+        raise ValueError(
+            "allow_combinations is relaxed BY DEFINITION (Flink's "
+            "consecutive()/until() exclude it) — no consecutive/until/"
+            "strict/negated on the combinations step"
+        )
+    if b.get("one_or_more"):
+        mn, mx = 1, None
+    elif "times_or_more" in b:
+        mn, mx = int(b["times_or_more"]), None
+    elif "times_range" in b:
+        mn, mx = int(b["times_range"][0]), int(b["times_range"][1])
+    elif "times" in b:
+        mn, mx = int(b["times"]), int(b["times"])
+    else:
+        raise ValueError(
+            "the combinations step needs a quantifier (one_or_more / "
+            "times_or_more / times_range / times)"
+        )
+    if mn < 1:
+        raise ValueError(
+            "allow_combinations needs min occurrences >= 1 (an optional "
+            "combinations loop is just the shorter pattern)"
+        )
+    if not 1 <= max_loop_candidates <= 16:
+        raise ValueError(
+            "max_loop_candidates must be in [1, 16]: the mask explode is "
+            "2^n per chain and factorial(n) must stay exact in a long"
+        )
+    return a, b, c, mn, mx
+
+
 def match_combinations(
     events: DataFrame,
     pattern: list[dict],
@@ -1932,57 +1996,9 @@ def match_combinations(
     bit_count filter, a per-chain row_number cap, and for the successor
     one keyed equi-join + min_by aggregation.  No Python anywhere.
     """
-    if len(pattern) not in (2, 3):
-        raise ValueError(
-            "match_combinations takes [anchor, combinations-loop] or "
-            f"[anchor, combinations-loop, successor], got {len(pattern)} steps"
-        )
-    a, b = pattern[0], pattern[1]
-    c = pattern[2] if len(pattern) == 3 else None
-    _QUANT = ("one_or_more", "times_or_more", "optional",
-              "times_range", "zero_or_more")
-    for p, role in ((a, "anchor"), (c, "successor")):
-        if p is None:
-            continue
-        if (p.get("negated") or "times" in p or any(p.get(k) for k in _QUANT)
-                or p.get("contiguity", "relaxed") == "strict"
-                or p.get("followed_by_any") or p.get("allow_combinations")):
-            raise ValueError(
-                f"{role} step {p['name']!r} must be a plain relaxed "
-                "positive step"
-            )
-    if not b.get("allow_combinations"):
-        raise ValueError("the middle step must set allow_combinations: True")
-    if b.get("consecutive") or b.get("until") is not None \
-            or b.get("contiguity", "relaxed") == "strict" or b.get("negated"):
-        raise ValueError(
-            "allow_combinations is relaxed BY DEFINITION (Flink's "
-            "consecutive()/until() exclude it) — no consecutive/until/"
-            "strict/negated on the combinations step"
-        )
-    if b.get("one_or_more"):
-        mn, mx = 1, None
-    elif "times_or_more" in b:
-        mn, mx = int(b["times_or_more"]), None
-    elif "times_range" in b:
-        mn, mx = int(b["times_range"][0]), int(b["times_range"][1])
-    elif "times" in b:
-        mn, mx = int(b["times"]), int(b["times"])
-    else:
-        raise ValueError(
-            "the combinations step needs a quantifier (one_or_more / "
-            "times_or_more / times_range / times)"
-        )
-    if mn < 1:
-        raise ValueError(
-            "allow_combinations needs min occurrences >= 1 (an optional "
-            "combinations loop is just the shorter pattern)"
-        )
-    if not 1 <= max_loop_candidates <= 16:
-        raise ValueError(
-            "max_loop_candidates must be in [1, 16]: the mask explode is "
-            "2^n per chain and factorial(n) must stay exact in a long"
-        )
+    a, b, c, mn, mx = validate_combinations_pattern(
+        pattern, max_loop_candidates
+    )
     an, bn = a["name"], b["name"]
 
     w_rn = Window.partitionBy(key).orderBy(ts, seq)

@@ -60,6 +60,7 @@ from pyspark.sql.types import (
     ArrayType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -885,11 +886,12 @@ def match_pattern_stream(
         )
     if any(p.get("allow_combinations") for p in pattern):
         raise ValueError(
-            "allowCombinations has no streaming leg: a live fork per "
-            "SUBSET of loop binds is 2^n partials per anchor — no "
-            "bounded-state form exists (honest bound, like nested "
-            "alternation).  Batch: operators.cep.match_combinations "
-            "(candidate + combination caps with declined counters)."
+            "allowCombinations is not a fork machine (a live fork per "
+            "SUBSET of loop binds is 2^n partials per anchor) — use "
+            "match_combinations_stream, which buffers bounded "
+            "candidates per anchor and enumerates ONCE at window "
+            "close under the batch cap contract; batch: "
+            "operators.cep.match_combinations."
         )
     any_names = validate_any_steps(pattern)  # shared placement rules
     if any_names:
@@ -1235,4 +1237,297 @@ def match_recognize_stream(
                 F.col(f"__cls_{gname}").cast("int") + 1,
             ),
         ).drop(f"__cls_{gname}")
+    return out
+
+
+def combinations_matcher_fn(
+    mn: int,
+    mx: int | None,
+    has_c: bool,
+    within_ms: int,
+    max_loop_candidates: int,
+    max_combinations: int,
+    max_active_anchors: int,
+    max_anchors_per_key: int | None,
+):
+    """Keyed allowCombinations machine (see
+    ``match_combinations_stream``).  Per-key state: a 2-long header
+    [rn_counter, anchors_seen] + one bounded group per LIVE anchor
+    [a_ts, a_rn, cands_declined, n_cands, (cand_rn, cand_ts)*,
+    n_cs, (c_rn, c_ts)*] — candidates capped at
+    ``max_loop_candidates`` (declines counted, never silent) and
+    successor events pruned to the first-after-each-candidate set
+    (<= n_cands entries: a successor event is stored only when some
+    candidate lies after the last stored one — any other successor
+    can never be a combination's min-rn bind).  Subset ENUMERATION
+    never lives in state: it runs once, at the anchor's window close
+    on the watermark, over the final candidate list — the only point
+    where the batch cap contract (first ``max_combinations`` in
+    ascending bitmask order over the FINAL list) is decidable."""
+    from math import comb
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        wm = state.getCurrentWatermarkMs()
+        packed, buffer, _holds = _unpack_common(state, 0, 3)
+        seq_count = packed[0] if packed else 0
+        anchors_seen = packed[1] if packed else 0
+        anchors: list[list] = []
+        i = 2
+        while i < len(packed):
+            a_ts, a_rn, decl, ncand = packed[i:i + 4]
+            i += 4
+            cands = [(packed[i + 2 * j], packed[i + 2 * j + 1])
+                     for j in range(ncand)]
+            i += 2 * ncand
+            ncs = packed[i]
+            i += 1
+            cs = [(packed[i + 2 * j], packed[i + 2 * j + 1])
+                  for j in range(ncs)]
+            i += 2 * ncs
+            anchors.append([a_ts, a_rn, decl, cands, cs])
+        sealed, buffer = _ingest_and_seal(state, pdfs, wm, buffer)
+        rows: list[tuple] = []
+
+        def emit(status, a_ts, a_rn, bft=None, blt=None, bc=None,
+                 trns=None, cdecl=None, codecl=None, cts=None):
+            rows.append((status, a_ts, a_rn, bft, blt, bc, trns,
+                         cdecl, codecl, cts))
+
+        for ts_v, _eid, mask in sealed:
+            seq_count += 1
+            rn = seq_count
+            for a in anchors:
+                if ts_v > a[0] + within_ms:
+                    continue  # outside this anchor's window
+                if mask & 2:
+                    if len(a[3]) < max_loop_candidates:
+                        a[3].append((rn, ts_v))
+                    else:
+                        a[2] += 1  # candidate declined: counted
+                if has_c and (mask & 4):
+                    # store only if some candidate lies after the last
+                    # stored successor (else it can't be any subset's
+                    # min-rn bind) — bounds the list at n_cands
+                    if a[3] and (not a[4] or a[4][-1][0] < a[3][-1][0]):
+                        a[4].append((rn, ts_v))
+            if mask & 1:
+                anchors_seen += 1
+                if (max_anchors_per_key is not None
+                        and anchors_seen > max_anchors_per_key):
+                    pass  # batch-parity first-N-ever cap: never opens
+                elif len(anchors) < max_active_anchors:
+                    anchors.append([ts_v, rn, 0, [], []])
+                else:
+                    emit("anchor_declined", ts_v, rn)
+
+        live: list[list] = []
+        for a_ts, a_rn, decl, cands, cs in anchors:
+            if wm <= a_ts + within_ms:
+                live.append([a_ts, a_rn, decl, cands, cs])
+                continue
+            # window closed: enumerate — same contract as the batch
+            # operator (ascending bitmask, popcount in [mn, mx], first
+            # max_combinations; closed-form declined count)
+            n = len(cands)
+            mxp = min(mx, n) if mx is not None else n
+            total = (sum(comb(n, s) for s in range(mn, mxp + 1))
+                     if mxp >= mn else 0)
+            if total == 0:
+                emit("timeout", a_ts, a_rn, cdecl=decl, codecl=0)
+                continue
+            codecl = max(total - max_combinations, 0)
+            picked = 0
+            for m_ in range(1, 1 << n):
+                pc = m_.bit_count()
+                if pc < mn or pc > mxp:
+                    continue
+                picked += 1
+                if picked > max_combinations:
+                    break
+                taken = [cands[j] for j in range(n) if (m_ >> j) & 1]
+                c_ts_v = None
+                if has_c:
+                    last_rn = taken[-1][0]
+                    c_ts_v = next(
+                        (ct for crn, ct in cs if crn > last_rn), None
+                    )
+                    if c_ts_v is None:
+                        continue  # no successor bind: batch emits no row
+                emit("match", a_ts, a_rn, bft=taken[0][1],
+                     blt=taken[-1][1], bc=pc,
+                     trns=",".join(str(t[0]) for t in taken),
+                     cdecl=decl, codecl=codecl, cts=c_ts_v)
+        anchors = live
+
+        packed2 = [seq_count, anchors_seen]
+        for a_ts, a_rn, decl, cands, cs in anchors:
+            packed2 += [a_ts, a_rn, decl, len(cands)]
+            for r_, t_ in cands:
+                packed2 += [r_, t_]
+            packed2.append(len(cs))
+            for r_, t_ in cs:
+                packed2 += [r_, t_]
+        # the rn counter persists for the key's lifetime (taken_rns
+        # parity with the batch row_number needs every event counted),
+        # so state never self-removes — 2 longs per idle key, the same
+        # shape as the first-N-ever anchor cap counter
+        _finalize(
+            state, wm, packed2, buffer, [],
+            [a[0] + within_ms + 1 for a in anchors],
+        )
+        if rows:
+            yield pd.DataFrame({
+                "key": [key[0]] * len(rows),
+                "status": [r[0] for r in rows],
+                "anchor_ts": pd.array([r[1] for r in rows], dtype="Int64"),
+                "anchor_rn": pd.array([r[2] for r in rows], dtype="Int64"),
+                "loop_first_ts": pd.array([r[3] for r in rows],
+                                          dtype="Int64"),
+                "loop_last_ts": pd.array([r[4] for r in rows],
+                                         dtype="Int64"),
+                "loop_count": pd.array([r[5] for r in rows], dtype="Int64"),
+                "loop_taken_rns": [r[6] for r in rows],
+                "loop_cands_declined": pd.array([r[7] for r in rows],
+                                                dtype="Int64"),
+                "loop_combos_declined": pd.array([r[8] for r in rows],
+                                                 dtype="Int64"),
+                "successor_ts": pd.array([r[9] for r in rows],
+                                         dtype="Int64"),
+            })
+
+    return fn
+
+
+def match_combinations_stream(
+    events: DataFrame,
+    pattern: list[dict],
+    *,
+    within: str,
+    key: str = "user_id",
+    ts: str = "ts",
+    watermark: str = "10 seconds",
+    event_id: str | None = None,
+    max_anchors_per_key: int | None = None,
+    max_loop_candidates: int = 16,
+    max_combinations: int = 128,
+    max_active_anchors: int = 16,
+    impl: str = "apply",
+) -> DataFrame:
+    """Streaming Flink CEP ``oneOrMore().allowCombinations()`` — the
+    r8-documented "no streaming leg" rejection, closed under the SAME
+    cap contract as the batch twin (``operators.cep
+    .match_combinations`` — shared ``validate_combinations_pattern``):
+    subsets are NOT live forks.  The machine keeps one bounded group
+    per live anchor (candidates capped at ``max_loop_candidates`` with
+    a visible declined counter, successor events pruned to the
+    first-after-each-candidate set) and enumerates the subset fan-out
+    ONCE, when the watermark closes the anchor's ``within`` window —
+    the only point where the batch contract ("first
+    ``max_combinations`` valid subsets in ascending bitmask order over
+    the final candidate list") is decidable.  Matches therefore emit
+    at window close, not live — the honest trade for exact batch
+    parity on an exponential-by-definition operator (a live fork per
+    subset is 2^n partials per anchor; the old rejection text was
+    right about THAT shape).
+
+    Output (longs are epoch ms, matching the machine convention):
+    ``key, status, <anchor>_ts, <anchor>_rn, <loop>_first_ts,
+    <loop>_last_ts, <loop>_count, <loop>_taken_rns,
+    <loop>_cands_declined, <loop>_combos_declined[, <successor>_ts]``
+    with status ``match`` per emitted combination, ``timeout`` for an
+    anchor whose window closed with no valid subset, and
+    ``anchor_declined`` at the live cap (visible data loss, as
+    everywhere in this machine family).
+
+    ALL events of the key flow through the operator (no mask
+    pre-filter): ``taken_rns`` parity with the batch row_number needs
+    every event counted, so the per-key rn counter persists for the
+    key's lifetime (2 longs per idle key).  ``impl='tws'`` runs the
+    identical generator on ``transformWithStateInPandas`` through the
+    shared ``_TwsState`` adapter.
+
+    Reference: Pattern.java combinations() semantics
+    (flink-cep); parity is pinned by randomized shuffled-arrival
+    equivalence vs the batch operator."""
+    from ..operators.cep import (
+        parse_within_ms as _pw,
+        validate_combinations_pattern,
+    )
+
+    a, b, c, mn, mx = validate_combinations_pattern(
+        pattern, max_loop_candidates
+    )
+    within_ms = _pw(within)
+    an, bn = a["name"], b["name"]
+    mask = (
+        F.when(a["where"], F.lit(1)).otherwise(0)
+        + F.when(b["where"], F.lit(2)).otherwise(0)
+    )
+    if c is not None:
+        mask = mask + F.when(c["where"], F.lit(4)).otherwise(0)
+    src = events
+    if "row_time" not in src.columns:
+        src = src.withColumn(
+            "row_time", F.timestamp_millis(F.col(ts).cast("long"))
+        )
+    eid_col = (
+        F.col(event_id).cast("long")
+        if event_id is not None
+        else F.xxhash64(F.col(key).cast("string"), F.col(ts).cast("long"))
+    )
+    src = src.withWatermark("row_time", watermark).select(
+        F.col(key).cast("string").alias("key"),
+        F.col(ts).cast("long").alias("ts"),
+        eid_col.alias("event_id"),
+        mask.cast("long").alias("step_mask"),
+        "row_time",
+    )
+    matcher = combinations_matcher_fn(
+        mn, mx, c is not None, within_ms, max_loop_candidates,
+        max_combinations, max_active_anchors, max_anchors_per_key,
+    )
+    out_schema = StructType([
+        StructField("key", StringType()),
+        StructField("status", StringType()),
+        StructField("anchor_ts", LongType()),
+        StructField("anchor_rn", LongType()),
+        StructField("loop_first_ts", LongType()),
+        StructField("loop_last_ts", LongType()),
+        StructField("loop_count", LongType()),
+        StructField("loop_taken_rns", StringType()),
+        StructField("loop_cands_declined", LongType()),
+        StructField("loop_combos_declined", LongType()),
+        StructField("successor_ts", LongType()),
+    ])
+    if impl == "tws":
+        out = run_matcher_tws(
+            src, matcher, out_schema, _STATE, "match_combinations_stream"
+        )
+    elif impl == "apply":
+        out = src.groupBy("key").applyInPandasWithState(
+            matcher,
+            outputStructType=out_schema,
+            stateStructType=_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    else:
+        raise ValueError(f"impl must be apply|tws, got {impl!r}")
+    renames = {
+        "anchor_ts": f"{an}_ts",
+        "anchor_rn": f"{an}_rn",
+        "loop_first_ts": f"{bn}_first_ts",
+        "loop_last_ts": f"{bn}_last_ts",
+        "loop_count": f"{bn}_count",
+        "loop_taken_rns": f"{bn}_taken_rns",
+        "loop_cands_declined": f"{bn}_cands_declined",
+        "loop_combos_declined": f"{bn}_combos_declined",
+    }
+    if c is not None:
+        renames["successor_ts"] = f"{c['name']}_ts"
+    out = out.withColumnsRenamed(renames)
+    if c is None:
+        out = out.drop("successor_ts")
     return out

@@ -1825,7 +1825,7 @@ def test_cep_allow_combinations(spark):
     from flink_realtime_dw4_0_spark.streaming.cep_pattern import (
         match_pattern_stream,
     )
-    with _pytest.raises(ValueError, match="no streaming leg"):
+    with _pytest.raises(ValueError, match="match_combinations_stream"):
         match_pattern_stream(ev, pat, within="1 hour")
     with _pytest.raises(ValueError, match="min occurrences"):
         cep.match_combinations(

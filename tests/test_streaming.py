@@ -4202,6 +4202,180 @@ def test_streaming_followed_by_any_randomized_parity(spark, tmp_path):
     assert stream == batch and len(batch) >= 15
 
 
+def _run_combinations_stream(spark, tmp_path, name, batches, pat, **kwargs):
+    """Drive match_combinations_stream over json file batches (arrival
+    order = file order) with availableNow; returns collected rows."""
+    import json
+
+    from flink_realtime_dw4_0_spark.streaming.cep_pattern import (
+        match_combinations_stream,
+    )
+
+    src = tmp_path / f"{name}_src"
+    src.mkdir()
+    for i, rs in enumerate(batches):
+        with open(src / f"b{i}.json", "w") as fh:
+            for r in rs:
+                fh.write(json.dumps(r) + "\n")
+        os.utime(src / f"b{i}.json", (1_000_000 + 10 * i, 1_000_000 + 10 * i))
+    stream = spark.readStream.schema(
+        "user_id string, ts long, event_id long, event_type string"
+    ).option("maxFilesPerTrigger", 1).json(str(src))
+    out = match_combinations_stream(stream, pat, event_id="event_id",
+                                    **kwargs)
+    q = (
+        out.writeStream.format("memory").queryName(f"{name}_out")
+        .option("checkpointLocation", str(tmp_path / f"{name}_ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.sql(f"SELECT * FROM {name}_out").collect()
+
+
+def _combo_pat():
+    return [
+        {"name": "a", "where": F.col("event_type") == "A"},
+        {"name": "b", "where": F.col("event_type") == "B",
+         "one_or_more": True, "allow_combinations": True},
+        {"name": "c", "where": F.col("event_type") == "C"},
+    ]
+
+
+def test_streaming_allow_combinations_golden(spark, tmp_path):
+    """Streaming allowCombinations (the r8 'no streaming leg' rejection,
+    closed): subsets enumerate at the anchor's window close under the
+    batch cap contract.  Hand trace: B candidates at rn {2,3,5} with C
+    events at rn {4,6} yield all 7 non-empty subsets, each bound to the
+    first C after its last taken rn; arrival is SHUFFLED (batch halves
+    reversed) and parity with the batch operator is exact, including
+    taken_rns."""
+    from flink_realtime_dw4_0_spark.operators.cep import match_combinations
+
+    base = 1_700_000_000_000
+    SEC = 1_000
+    evs = [("A", 1), ("B", 2), ("B", 3), ("C", 4), ("B", 5), ("C", 6)]
+    rows = [{"user_id": "g1", "ts": base + s * SEC, "event_id": s,
+             "event_type": e} for e, s in evs]
+    b1 = [r for r in rows if r["ts"] >= base + 4 * SEC]   # reversed halves
+    b2 = [r for r in rows if r["ts"] < base + 4 * SEC]
+    b3 = [{"user_id": "z999", "ts": base + 900_000, "event_id": 99,
+           "event_type": "A"}]
+    got = sorted(
+        (r.key, r.b_taken_rns, r.b_count, r.c_ts)
+        for r in _run_combinations_stream(
+            spark, tmp_path, "combo", [b1, b2, b3], _combo_pat(),
+            within="1 minute", watermark="30 seconds")
+        if r.key == "g1" and r.status == "match"
+    )
+    t = lambda s: base + s * SEC  # noqa: E731
+    assert got == sorted([
+        ("g1", "2", 1, t(4)), ("g1", "3", 1, t(4)), ("g1", "2,3", 2, t(4)),
+        ("g1", "5", 1, t(6)), ("g1", "2,5", 2, t(6)), ("g1", "3,5", 2, t(6)),
+        ("g1", "2,3,5", 3, t(6)),
+    ])
+    # declines: zero on this fixture, and visible columns exist
+    out_rows = [r for r in spark.sql("SELECT * FROM combo_out").collect()
+                if r.key == "g1" and r.status == "match"]
+    assert all(r.b_cands_declined == 0 and r.b_combos_declined == 0
+               for r in out_rows)
+    # batch twin, same data: identical multiset incl. taken_rns
+    bdf = spark.createDataFrame(
+        [(r["user_id"], r["ts"], r["event_id"], r["event_type"])
+         for r in rows],
+        "user_id string, ts_ms long, event_id long, event_type string",
+    ).withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+    twin = sorted(
+        (r.user_id, r.b_taken_rns, int(r.b_count),
+         int(r.c_ts.timestamp() * 1000))
+        for r in match_combinations(bdf, _combo_pat(),
+                                    within="1 minute").collect()
+    )
+    assert twin == got
+
+
+def test_streaming_allow_combinations_randomized_capped_parity(
+        spark, tmp_path):
+    """Randomized allowCombinations batch/stream parity WITH the caps
+    firing: seeded A/B/C/X soups arrive shuffled; max_loop_candidates=4
+    and max_combinations=10 decline real candidates/subsets on both
+    engines, and the match multisets — anchor ts, taken_rns, both
+    declined counters, successor bind — stay identical."""
+    import random
+
+    from flink_realtime_dw4_0_spark.operators.cep import match_combinations
+
+    rng = random.Random(4321)
+    base = 1_700_000_000_000
+    SEC = 1_000
+    rows = []
+    for k in range(15):
+        for s in range(rng.randint(4, 12)):
+            rows.append({
+                "user_id": f"r{k}", "ts": base + s * SEC, "event_id": s,
+                "event_type": rng.choice("ABBBBCCX"),
+            })
+    shuffled = rows[:]
+    rng.shuffle(shuffled)
+    half = len(shuffled) // 2
+    batches = [shuffled[:half], shuffled[half:],
+               [{"user_id": "z999", "ts": base + 900_000, "event_id": 999,
+                 "event_type": "A"}]]
+    stream = sorted(
+        (r.key, r.a_ts, r.b_taken_rns, r.b_count,
+         r.b_cands_declined, r.b_combos_declined, r.c_ts)
+        for r in _run_combinations_stream(
+            spark, tmp_path, "comborand", batches, _combo_pat(),
+            within="1 minute", watermark="30 seconds",
+            max_loop_candidates=4, max_combinations=10,
+            max_active_anchors=256)
+        if r.key != "z999" and r.status == "match"
+    )
+    bdf = spark.createDataFrame(
+        [(r["user_id"], r["ts"], r["event_id"], r["event_type"])
+         for r in rows],
+        "user_id string, ts_ms long, event_id long, event_type string",
+    ).withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+    batch = sorted(
+        (r.user_id, int(r.a_ts.timestamp() * 1000), r.b_taken_rns,
+         int(r.b_count), int(r.b_cands_declined),
+         int(r.b_combos_declined), int(r.c_ts.timestamp() * 1000))
+        for r in match_combinations(
+            bdf, _combo_pat(), within="1 minute",
+            max_loop_candidates=4, max_combinations=10).collect()
+    )
+    assert stream == batch and len(batch) >= 20
+    # the caps genuinely fired somewhere in this soup
+    assert any(r[4] > 0 for r in batch) and any(r[5] > 0 for r in batch)
+
+
+def test_streaming_allow_combinations_tws_equals_apply(spark, tmp_path):
+    """The identical combinations machine on transformWithStateInPandas
+    (shared _TwsState adapter): same golden fixture, same emitted
+    multiset as impl='apply' — completing the TWS-twin coverage for the
+    new family."""
+    base = 1_700_000_000_000
+    SEC = 1_000
+    evs = [("A", 1), ("B", 2), ("B", 3), ("C", 4), ("B", 5), ("C", 6)]
+    rows = [{"user_id": "g1", "ts": base + s * SEC, "event_id": s,
+             "event_type": e} for e, s in evs]
+    b3 = [{"user_id": "z999", "ts": base + 900_000, "event_id": 99,
+           "event_type": "A"}]
+    outs = {}
+    for impl in ("apply", "tws"):
+        outs[impl] = sorted(
+            (r.key, r.status, r.a_ts, r.b_taken_rns, r.b_count, r.c_ts)
+            for r in _run_combinations_stream(
+                spark, tmp_path, f"combotws_{impl}", [rows, b3],
+                _combo_pat(), within="1 minute", watermark="30 seconds",
+                impl=impl)
+            if r.key == "g1"
+        )
+    assert outs["apply"] == outs["tws"]
+    assert sum(1 for r in outs["apply"] if r[1] == "match") == 7
+
+
 _MRM_SCHEMA = ("user_id string, ts long, event_id long, "
                "event_type string, value double")
 
@@ -5178,7 +5352,8 @@ def _drive_restart_foreach(spark, tmp_path, name, make_op, schema, batches,
                                 "reservoir_tws",
                                 "weighted_reservoir",
                                 "weighted_reservoir_tws",
-                                "mr_measures", "followed_by_any"])
+                                "mr_measures", "followed_by_any",
+                                "combinations", "combinations_tws"])
 def test_checkpoint_restart_equals_uninterrupted(spark, tmp_path, op):
     """T7 exactly-once STATE across a process boundary (BaseAPP.java's
     checkpoint contract): for each stateful family, stop an availableNow
@@ -5319,6 +5494,37 @@ def test_checkpoint_restart_equals_uninterrupted(spark, tmp_path, op):
                  {"name": "c", "where": F.col("event_type") == "C"}],
                 within="1 minute", watermark="5 seconds",
                 event_id="event_id", mode="all",
+            )
+
+    if op in ("combinations", "combinations_tws"):
+        # the bounded per-anchor candidate group (rn counter + candidate
+        # list) must cross the boundary: B(2) and B(3) were buffered
+        # pre-restart, the C arrives after it, and the window-close
+        # enumeration emits all three subsets with the ORIGINAL rns —
+        # a reset rn counter or lost candidate list would change
+        # taken_rns or drop subsets; on either state API
+        from flink_realtime_dw4_0_spark.streaming.cep_pattern import (
+            match_combinations_stream,
+        )
+
+        combo_impl = "tws" if op == "combinations_tws" else "apply"
+        batches = [
+            [ev("u1", 1, 1, "A"), ev("u1", 2, 2, "B")],
+            [ev("u1", 3, 3, "B"), ev("u9", 30, 4, "A")],  # wm seals 1..3
+            # ---- restart: anchor + 2 candidates + rn counter in state ----
+            [ev("u1", 40, 5, "C")],
+            [ev("u9", 900, 9, "C")],  # watermark sentinel
+        ]
+
+        def build(stream):
+            return match_combinations_stream(
+                stream,
+                [{"name": "a", "where": F.col("event_type") == "A"},
+                 {"name": "b", "where": F.col("event_type") == "B",
+                  "one_or_more": True, "allow_combinations": True},
+                 {"name": "c", "where": F.col("event_type") == "C"}],
+                within="1 minute", watermark="5 seconds",
+                event_id="event_id", impl=combo_impl,
             )
 
     if op in ("cep_seq", "cep_seq_tws"):
@@ -5505,3 +5711,8 @@ def test_checkpoint_restart_equals_uninterrupted(spark, tmp_path, op):
             (base + 1 * SEC, base + 2 * SEC, base + 40 * SEC),
             (base + 1 * SEC, base + 3 * SEC, base + 40 * SEC),
         ]
+    if op in ("combinations", "combinations_tws"):
+        # all 3 subsets of the pre-restart candidates, original rns
+        m = {r[7] for r in uninterrupted
+             if r[0] == "u1" and r[1] == "match"}
+        assert m == {"2", "3", "2,3"}

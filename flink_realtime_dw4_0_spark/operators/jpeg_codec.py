@@ -21,12 +21,15 @@ allows and honestly rejected where it doesn't:
   successive approximation, DC/AC first and refinement scans,
   interleaved or per-component — ``_decode_progressive``, validated
   against real libjpeg-family fixtures with javax.imageio as the
-  independent ground truth).  Baseline RESTART INTERVALS (DRI + RSTn:
-  byte-align, marker consume, per-interval DC predictor reset) are
-  supported and fixture-validated too.  12-bit precision, arithmetic
-  coding, lossless, progressive-with-DRI, and non-interleaved
-  multi-scan BASELINE streams raise NotImplementedError so callers
-  fall back to the disclosed stub.
+  independent ground truth).  RESTART INTERVALS (DRI + RSTn:
+  byte-align, marker consume, per-interval DC predictor reset, and in
+  progressive scans per-interval EOB-run reset) are supported in BOTH
+  processes and fixture-validated (the progressive+DRI fixtures are
+  encoded by javax.imageio — an independent encoder — via
+  tools/fixture_gen/GenProgDriFixtures.java, and verified against the
+  same library's decoder).  12-bit precision, arithmetic coding,
+  lossless, and non-interleaved multi-scan BASELINE streams raise
+  NotImplementedError so callers fall back to the disclosed stub.
 
 The DCT pair is the exact orthonormal matrix form of the JPEG spec:
 S = M·B·Mᵀ with M[u,x] = ½·C(u)·cos((2x+1)uπ/16), and the IDCT is its
@@ -334,12 +337,13 @@ def encode_jpeg(pixels, subsample: str = "444") -> bytes:
 def decode_jpeg_pixels(payload: bytes):
     """Decode an 8-bit Huffman-coded JPEG — baseline OR progressive
     (spectral selection + successive approximation, T.81 G.1.2), any
-    integer-divisor sampling (4:4:4, 4:2:2, 4:2:0, grayscale) — to an
-    (h, w, 3) or (h, w, 1) uint8 array.  12-bit / arithmetic-coded /
-    lossless / restart-interval / non-interleaved-multi-scan-BASELINE
-    streams raise NotImplementedError (honest scope — see module
-    docstring); streams without a scan (header-only fixtures) raise
-    too."""
+    integer-divisor sampling (4:4:4, 4:2:2, 4:2:0, grayscale), with or
+    without RESTART INTERVALS (DRI snapshots per scan, like the DHT
+    tables) — to an (h, w, 3) or (h, w, 1) uint8 array.  12-bit /
+    arithmetic-coded / lossless /
+    non-interleaved-multi-scan-BASELINE streams raise
+    NotImplementedError (honest scope — see module docstring); streams
+    without a scan (header-only fixtures) raise too."""
     payload = bytes(payload)
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
@@ -426,7 +430,8 @@ def decode_jpeg_pixels(payload: bytes):
                     break
                 j += 1
             scans.append((sc, ss, se, ahal >> 4, ahal & 0x0F,
-                          payload[start:j], dict(htables)))
+                          payload[start:j], dict(htables),
+                          restart_interval))
             pos = j
             continue
         pos += 2 + ln
@@ -435,16 +440,11 @@ def decode_jpeg_pixels(payload: bytes):
     h, w = dims
     nc = len(comps)
     if sof_marker == 0xC2:
-        if restart_interval:
-            raise NotImplementedError(
-                "progressive JPEG with restart intervals (no honestly-"
-                "sourced fixture to validate against; baseline DRI is "
-                "supported)"
-            )
         return _decode_progressive(h, w, comps, scans, qtables)
     if len(scans) != 1 or len(scans[0][0]) != nc:
         raise NotImplementedError("non-interleaved multi-scan baseline JPEG")
-    scan_comps, _ss, _se, _ah, _al, scan_data, htables = scans[0]
+    scan_comps, _ss, _se, _ah, _al, scan_data, htables, restart_interval = \
+        scans[0]
     if nc == 1:
         # a single-component scan has no MCU structure: sampling factors
         # are ignored and blocks raster the lone plane (libjpeg behavior)
@@ -572,7 +572,12 @@ def _decode_progressive(h, w, comps, scans, qtables):
             [[0] * 64 for _ in range(mcux * hi)] for _ in range(mcuy * vi)
         ]
 
-    for sc, ss, se, ah, al, data, ht in scans:
+    for sc, ss, se, ah, al, data, ht, ri in scans:
+        # restart intervals apply per scan (DRI may be redefined between
+        # scans): every `ri` MCUs — interleaved scan — or data units —
+        # non-interleaved scan — the reader byte-aligns and consumes the
+        # RSTn marker, DC predictors reset (B.2.3.1), and the EOB run
+        # ends (G.1.2: an EOB run never crosses a restart boundary)
         br = _BitReader(data)
         if ss == 0:  # DC scan
             if se != 0:
@@ -593,9 +598,15 @@ def _decode_progressive(h, w, comps, scans, qtables):
                     if br.bit():
                         blk[0] |= 1 << al
 
+            n_done = 0
             if len(sc) > 1:  # interleaved: the standard MCU walk
                 for my in range(mcuy):
                     for mx in range(mcux):
+                        if ri and n_done and n_done % ri == 0:
+                            br.restart()
+                            for c2 in pred:
+                                pred[c2] = 0
+                        n_done += 1
                         for cid, dc_sel, _ac in sc:
                             hi, vi = info[cid][0], info[cid][1]
                             for v in range(vi):
@@ -607,6 +618,10 @@ def _decode_progressive(h, w, comps, scans, qtables):
                 _hi, _vi, _qs, bw_used, bh_used = info[cid]
                 for by in range(bh_used):
                     for bx in range(bw_used):
+                        if ri and n_done and n_done % ri == 0:
+                            br.restart()
+                            pred[cid] = 0
+                        n_done += 1
                         dc_one(cid, dc_sel, by, bx)
             continue
         # AC scan: the spec allows exactly one component
@@ -619,9 +634,14 @@ def _decode_progressive(h, w, comps, scans, qtables):
         _hi, _vi, _qs, bw_used, bh_used = info[cid]
         rows = coef[cid]
         eobrun = 0
+        n_done = 0
         p1, m1 = 1 << al, -(1 << al)
         for by in range(bh_used):
             for bx in range(bw_used):
+                if ri and n_done and n_done % ri == 0:
+                    br.restart()
+                    eobrun = 0
+                n_done += 1
                 blk = rows[by][bx]
                 if ah == 0:  # first pass (G.1.2.2): EOB runs span blocks
                     if eobrun:

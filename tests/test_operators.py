@@ -3601,13 +3601,10 @@ def test_jpeg_restart_interval_decode(spark):
     decodes through the restart machinery — byte-align + RSTn consume +
     per-interval DC predictor reset at every boundary — and matches
     javax.imageio pixel-for-pixel within 1 (a gray image: all three
-    channel sums equal).  Progressive + DRI stays an honest rejection
-    (no honestly-sourced fixture exists in this sandbox)."""
+    channel sums equal)."""
     import os
-    import struct as _struct
 
     import numpy as np
-    import pytest as _pytest
 
     from flink_realtime_dw4_0_spark.operators import jpeg_codec as jc
 
@@ -3627,16 +3624,51 @@ def test_jpeg_restart_interval_decode(spark):
         .reshape(row.height, row.width, row.nChannels)[:, :, ::-1]
     assert np.abs(px.astype(int) - ref.astype(int)).max() <= 1
 
-    # progressive + DRI: honest rejection (marker-level synthesis only —
-    # never a decodable fake from the encoder under test)
-    def seg(marker, body):
-        return bytes([0xFF, marker]) + _struct.pack(">H", len(body) + 2) + body
 
-    pj = (b"\xff\xd8" + seg(0xDD, _struct.pack(">H", 4))
-          + seg(0xC2, _struct.pack(">BHHB", 8, 16, 16, 1) + b"\x01\x11\x00")
-          + seg(0xDA, b"\x01\x01\x00\x00\x00\x00") + b"\xff\xd9")
-    with _pytest.raises(NotImplementedError, match="restart"):
-        jc.decode_jpeg_pixels(pj)
+def test_jpeg_progressive_dri_decode(spark):
+    """PROGRESSIVE + restart intervals — the last restart gap, closed:
+    two fixtures encoded by javax.imageio (an INDEPENDENT encoder —
+    generator checked in at tools/fixture_gen/GenProgDriFixtures.java;
+    the decoder under test shares no code with it) carrying a full
+    progressive ladder (interleaved DC first pass, per-component AC
+    first passes, DC and AC refinement passes) with DRI=3 / DRI=2 and
+    hundreds of RSTn markers.  The decode exercises byte-align + RSTn
+    consume + per-interval DC predictor reset AND per-interval EOB-run
+    reset in every scan kind, and matches javax.imageio's own decoder
+    (Spark's `image` source) within the established rounding envelope
+    (gray <=1; color 1x1-sampled, so no upsample-policy slack, <=2).
+    Channel sums pinned as the fast regression golden."""
+    import os
+
+    import numpy as np
+
+    from flink_realtime_dw4_0_spark.operators import jpeg_codec as jc
+
+    fdir = os.path.join(os.path.dirname(__file__), "fixtures")
+    cases = [
+        ("jpeg_progressive_dri_gray.jpg", (56, 72, 1), [515829], 1),
+        ("jpeg_progressive_dri_color.jpg", (56, 72, 3),
+         [512445, 512337, 518257], 2),
+    ]
+    for name, shape, sums, tol in cases:
+        path = os.path.join(fdir, name)
+        with open(path, "rb") as fh:
+            payload = fh.read()
+        # the fixtures genuinely carry SOF2 + DRI + RSTn markers
+        assert b"\xff\xc2" in payload and b"\xff\xdd" in payload
+        n_rst = sum(payload.count(bytes([0xFF, 0xD0 + i])) for i in range(8))
+        assert n_rst > 100
+        px = jc.decode_jpeg_pixels(payload)
+        assert px.shape == shape and px.dtype == np.uint8
+        assert [int(px[:, :, i].astype(np.int64).sum())
+                for i in range(shape[2])] == sums
+        row = spark.read.format("image").load(path) \
+            .select("image.*").collect()[0]
+        ref = np.frombuffer(bytes(row.data), np.uint8) \
+            .reshape(row.height, row.width, row.nChannels)
+        if row.nChannels == 3:
+            ref = ref[:, :, ::-1]  # image source is BGR
+        assert np.abs(px.astype(int) - ref.astype(int)).max() <= tol
 
 
 def test_jpeg_progressive_decode(spark):

@@ -1703,6 +1703,47 @@ def _mr_linear(
     return chains.select(partition_by, *out_cols)
 
 
+def mr_expand_variants(
+    steps: list[tuple[str | list, dict]],
+) -> tuple[list[tuple[int, str, list, list[str]]],
+           list[tuple[tuple[int, ...], list[tuple[str | list, dict]]]]]:
+    """Expand a parsed pattern containing nested alternation groups into
+    the product of branch choices (shared by the batch ``_mr_variants``
+    expansion and the streaming nested machine — ONE enumeration order,
+    so leftmost preference agrees by construction).  Returns
+    ``(groups, variants)``: groups as (step_idx, gname, alternatives,
+    alternative_texts); variants as (choice_index_tuple, linear_steps),
+    enumerated with the RIGHTMOST group's choice varying first (regex
+    backtracking order).  Raises when a variant repeats a variable."""
+    import itertools as _it
+
+    groups: list[tuple[int, str, list, list[str]]] = []
+    for i, (nm, kw) in enumerate(steps):
+        if _mr_is_nested(nm):
+            texts = [" ".join(v + _quant_text(k) for v, k in alt)
+                     for alt in nm]
+            gname = "_or_".join("_".join(v for v, _ in alt) for alt in nm)
+            groups.append((i, gname, nm, texts))
+    nested_idx = {g[0] for g in groups}
+    variants = []
+    for choice in _it.product(*[range(len(g[2])) for g in groups]):
+        pick = {g[0]: g[2][ci] for g, ci in zip(groups, choice)}
+        vsteps: list[tuple[str | list, dict]] = []
+        for i, (nm, kw) in enumerate(steps):
+            if i in nested_idx:
+                vsteps.extend(pick[i])
+            else:
+                vsteps.append((nm, kw))
+        names = [n for nm, _ in vsteps for n in _mr_step_vars(nm)]
+        if len(set(names)) != len(names):
+            raise ValueError(
+                f"MATCH_RECOGNIZE: pattern variant {names} repeats a "
+                f"variable across steps"
+            )
+        variants.append((choice, vsteps))
+    return groups, variants
+
+
 def _mr_variants(
     events: DataFrame,
     steps: list[tuple[str | list, dict]],
@@ -1743,42 +1784,20 @@ def _mr_variants(
     same ``_skip_replay`` machine; ``skip_to_first/last:<var>``
     requires the target to be an un-quantified variable OUTSIDE every
     nested group, so its horizon column exists in every variant."""
-    import itertools as _it
     from functools import reduce as _reduce
 
-    groups: list[tuple[int, str, list, list[str]]] = []
-    for i, (nm, kw) in enumerate(steps):
-        if _mr_is_nested(nm):
-            texts = [" ".join(v + _quant_text(k) for v, k in alt)
-                     for alt in nm]
-            gname = "_or_".join("_".join(v for v, _ in alt) for alt in nm)
-            groups.append((i, gname, nm, texts))
+    groups, variants = mr_expand_variants(steps)
     common = dict(
         partition_by=partition_by, order_by=order_by, seq=seq,
         define=define, within=within, contiguity=contiguity,
         max_anchors_per_key=max_anchors_per_key, measures=measures,
         run_classifiers=run_classifiers,
     )
-    nested_idx = {g[0] for g in groups}
     runs: list[DataFrame] = []
     all_cols: list[str] = []
     seen_cols: set[str] = set()
     resolvable: set[str] = set()
-    choices = list(_it.product(*[range(len(g[2])) for g in groups]))
-    for vi, choice in enumerate(choices):
-        pick = {g[0]: g[2][ci] for g, ci in zip(groups, choice)}
-        vsteps: list[tuple[str | list, dict]] = []
-        for i, (nm, kw) in enumerate(steps):
-            if i in nested_idx:
-                vsteps.extend(pick[i])
-            else:
-                vsteps.append((nm, kw))
-        names = [n for nm, _ in vsteps for n in _mr_step_vars(nm)]
-        if len(set(names)) != len(names):
-            raise ValueError(
-                f"MATCH_RECOGNIZE: pattern variant {names} repeats a "
-                f"variable across steps"
-            )
+    for vi, (choice, vsteps) in enumerate(variants):
         for nm, _ in vsteps:
             resolvable.add(nm if isinstance(nm, str) else "_or_".join(nm))
         r, cols = _mr_linear(events, vsteps, after_match="skip_to_next",

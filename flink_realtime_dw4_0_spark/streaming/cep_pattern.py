@@ -1160,19 +1160,20 @@ def match_recognize_stream(
             f"contiguity must be strict|relaxed, got {contiguity!r}"
         )
     steps = parse_mr_pattern(pattern)
-    if any(_mr_is_nested(nm) for nm, _ in steps):
-        raise ValueError(
-            "streaming MATCH_RECOGNIZE does not support nested "
-            "alternation groups ((A | B C)): the batch twin expands "
-            "them to a bounded union of pattern variants, but a live "
-            "stream would need one keyed machine per variant sharing "
-            "after-match state — run the variants as separate streams "
-            "or use the batch operator"
-        )
     missing = [n for nm, _ in steps for n in _mr_step_vars(nm)
                if n not in define]
     if missing:
         raise ValueError(f"MATCH_RECOGNIZE: DEFINE missing for {missing}")
+    if any(_mr_is_nested(nm) for nm, _ in steps):
+        return _mr_nested_stream(
+            events, steps, partition_by=partition_by, order_by=order_by,
+            event_id=event_id, define=define, within=within,
+            watermark=watermark, after_match=after_match,
+            contiguity=contiguity, mode=mode,
+            max_active_anchors=max_active_anchors,
+            max_anchors_per_key=max_anchors_per_key, measures=measures,
+            impl=impl,
+        )
     if contiguity == "strict" and steps[-1][1]:
         raise ValueError(
             "streaming MATCH_RECOGNIZE with strict contiguity cannot end "
@@ -1530,4 +1531,313 @@ def match_combinations_stream(
     out = out.withColumnsRenamed(renames)
     if c is None:
         out = out.drop("successor_ts")
+    return out
+
+
+def mr_nested_matcher_fn(
+    variant_specs: list[list[tuple]],
+    offsets: list[int],
+    within_ms: int,
+    max_active_anchors: int,
+    max_anchors_per_key: int | None,
+):
+    """Keyed nested-alternation MATCH_RECOGNIZE machine (see
+    ``match_recognize_stream``): one partial list PER VARIANT advances
+    through the shared pure ``_advance_event`` transition in mr_strict
+    mode (every offered row must advance a partial or it dies — the
+    row-regex contract), completed matches HOLD per anchor until the
+    watermark passes ``anchor + within``, and the release keeps the
+    minimum variant index per anchor timestamp — the same lexicographic
+    choice-index preference the batch ``_mr_variants`` union applies,
+    so the engines agree by construction.  State per key: per-variant
+    lifetime anchor counters, per-variant partial lists (bounded by
+    ``max_active_anchors`` each, declines visible), and the hold list
+    (bounded by matches inside the ``within`` horizon)."""
+    nv = len(variant_specs)
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        wm = state.getCurrentWatermarkMs()
+        packed, buffer, _holds = _unpack_common(state, 0, 3)
+        anchors_seen = list(packed[0:nv]) if packed else [0] * nv
+        partials: list[list[list[int]]] = [[] for _ in range(nv)]
+        holds: list[list[int]] = []  # [vi, n_vals, *vals, deadline]
+        idx = nv
+        if packed:
+            for v in range(nv):
+                np_ = packed[idx]
+                idx += 1
+                for _ in range(np_):
+                    g = 4 + _vals_len(variant_specs[v], packed[idx])
+                    partials[v].append(list(packed[idx:idx + g]))
+                    idx += g
+            nh = packed[idx]
+            idx += 1
+            for _ in range(nh):
+                nvals = packed[idx + 1]
+                holds.append(list(packed[idx:idx + 2 + nvals + 1]))
+                idx += 2 + nvals + 1
+        sealed, buffer = _ingest_and_seal(state, pdfs, wm, buffer)
+        rows: list[tuple] = []
+        for ts_v, _eid, mask in sealed:
+            for v in range(nv):
+                specs = variant_specs[v]
+                vmask = (mask >> offsets[v]) & ((1 << len(specs)) - 1)
+                surv: list[list[int]] = []
+                for p in partials[v]:
+                    anchor = p[4]
+                    if ts_v > anchor + within_ms:
+                        rows.append(("timeout", v, anchor, p[4:]))
+                        continue
+                    st, prog, lcnt, lfirst, llast, vals = _advance_event(
+                        p[0], p[1], p[2], p[3], p[4:], ts_v, vmask,
+                        specs, {}, None, True, None,
+                    )
+                    if st == "dead":
+                        continue
+                    if st == "complete":
+                        if vals[-1] - vals[0] <= within_ms:
+                            holds.append([v, len(vals)] + vals
+                                         + [vals[0] + within_ms])
+                        continue
+                    surv.append([prog, lcnt, lfirst, llast] + vals)
+                partials[v] = surv
+                if vmask & 1:
+                    anchors_seen[v] += 1
+                    if (max_anchors_per_key is not None
+                            and anchors_seen[v] > max_anchors_per_key):
+                        pass  # batch-parity first-N-ever cap per variant
+                    elif len(partials[v]) < max_active_anchors:
+                        partials[v].append([1, 0, 0, 0, ts_v])
+                    else:
+                        rows.append(("anchor_declined", v, ts_v, [ts_v]))
+        for v in range(nv):
+            alive: list[list[int]] = []
+            for p in partials[v]:
+                if wm > p[4] + within_ms:
+                    rows.append(("timeout", v, p[4], p[4:]))
+                else:
+                    alive.append(p)
+            partials[v] = alive
+        # release due holds: all matches of one anchor share the same
+        # deadline, so they release together — keep the minimum variant
+        # index per anchor timestamp (leftmost preference; same-ms
+        # anchors collapse, documented — the eid tiebreak is not part
+        # of the emitted anchor identity)
+        due = [h for h in holds if wm > h[-1]]
+        holds = [h for h in holds if wm <= h[-1]]
+        best: dict[int, list[int]] = {}
+        for h in due:
+            a = h[2]
+            if a not in best or h[0] < best[a][0]:
+                best[a] = h
+        for a in sorted(best):
+            h = best[a]
+            rows.append(("match", h[0], a, h[2:-1]))
+        packed2 = list(anchors_seen)
+        for v in range(nv):
+            packed2.append(len(partials[v]))
+            for p in partials[v]:
+                packed2 += p
+        packed2.append(len(holds))
+        for h in holds:
+            packed2 += h
+        if not any(partials) and not holds and not buffer \
+                and not (max_anchors_per_key is not None
+                         and any(anchors_seen)):
+            packed2 = []
+        _finalize(
+            state, wm, packed2, buffer, [],
+            [p[4] + within_ms + 1 for v in range(nv) for p in partials[v]]
+            + [h[-1] + 1 for h in holds],
+        )
+        if rows:
+            yield pd.DataFrame({
+                "key": [key[0]] * len(rows),
+                "status": [r[0] for r in rows],
+                "variant_idx": [r[1] for r in rows],
+                "anchor_ts": [r[2] for r in rows],
+                "step_ts": [[int(x) for x in r[3]] for r in rows],
+            })
+
+    return fn
+
+
+def _mr_nested_stream(
+    events: DataFrame,
+    steps: list,
+    *,
+    partition_by: str,
+    order_by: str,
+    event_id: str | None,
+    define: dict,
+    within: str,
+    watermark: str,
+    after_match: str,
+    contiguity: str,
+    mode: str,
+    max_active_anchors: int,
+    max_anchors_per_key: int | None,
+    measures: dict | None,
+    impl: str,
+) -> DataFrame:
+    """Streaming MATCH_RECOGNIZE with NESTED alternation groups
+    ``(A | B C+)`` — the batch ``_mr_variants`` expansion, live: the
+    SAME ``mr_expand_variants`` enumeration produces the branch-choice
+    variants (one enumeration order, so leftmost preference agrees by
+    construction), every variant runs the shared ``_advance_event``
+    transition in mr_strict mode inside ONE keyed machine
+    (``mr_nested_matcher_fn``), and completed matches hold per anchor
+    until the watermark passes ``anchor + within``, where the minimum
+    variant index per anchor row emits — regex alternation preference.
+    Matches therefore emit at window close, not at completion: the
+    leftmost-branch decision needs every variant's verdict for the
+    anchor, which is only final then (the same honest trade
+    ``match_combinations_stream`` makes for its cap contract).
+
+    Output: ``(key, status, variant_idx, anchor_ts, step_ts)`` plus one
+    ``<group>_variant`` label column per nested group; ``step_ts`` is
+    the chosen variant's linear layout (one entry per plain step, a
+    (first, last, count) triple per quantified step).  ``status``:
+    ``match`` / ``timeout`` (per variant — a branch whose partial
+    expired) / ``anchor_declined`` (per variant at the live cap).
+
+    Scope (validated loud): strict contiguity only (the row-regex
+    reading is what makes per-variant advancement deterministic),
+    ``after_match`` skip_to_next/no_skip (a pruning skip strategy
+    across variant machines would need cross-variant horizon
+    coordination mid-event), ``mode='all'``, no measures (and hence no
+    flat-group classifier columns — the classifier rides the measure
+    machinery); same-millisecond anchors collapse to the leftmost
+    variant (the eid tiebreak is not part of the emitted anchor
+    identity, documented).  ``max_anchors_per_key`` and
+    ``max_active_anchors`` bound each VARIANT's anchors independently,
+    like the batch expansion."""
+    from ..operators.cep import (
+        mr_expand_variants,
+        parse_within_ms,
+        unroll_pattern,
+    )
+
+    if contiguity != "strict":
+        raise ValueError(
+            "streaming nested alternation groups need strict contiguity "
+            "(the row-regex reading is what makes per-variant "
+            "advancement deterministic) — use the batch match_recognize "
+            "for relaxed nested patterns"
+        )
+    if mode != "all":
+        raise ValueError(
+            "nested alternation groups run one partial list per "
+            "variant — use mode='all'"
+        )
+    if measures:
+        raise ValueError(
+            "streaming nested alternation groups do not support "
+            "MEASURES (a measure bound to a branch-local variable has "
+            "no value on the other branches' machines) — use the batch "
+            "match_recognize"
+        )
+    if after_match not in ("skip_to_next", "no_skip"):
+        raise ValueError(
+            "streaming nested alternation groups support "
+            "after_match='skip_to_next'/'no_skip' only: a pruning skip "
+            "strategy would need cross-variant horizon coordination "
+            "mid-event — run the batch matcher over sealed data"
+        )
+
+    def _pred(name):
+        p = define[name]
+        return F.expr(p) if isinstance(p, str) else p
+
+    groups, variants = mr_expand_variants(steps)
+    variant_specs: list[list[tuple]] = []
+    offsets: list[int] = []
+    bits: list[tuple[int, Column]] = []
+    bit = 0
+    for _choice, vsteps in variants:
+        if vsteps[-1][1]:
+            raise ValueError(
+                "streaming MATCH_RECOGNIZE with strict contiguity cannot "
+                "end in a quantifier — the match would complete on the "
+                "breaking row; add a concrete terminal step (pattern "
+                "variant ending in a quantified step)"
+            )
+        pat = []
+        for name, kw in vsteps:
+            if isinstance(name, list):
+                pred = _pred(name[0])
+                for a in name[1:]:
+                    pred = pred | _pred(a)
+                pat.append({"name": "_or_".join(name), "where": pred, **kw})
+            else:
+                pat.append({"name": name, "where": _pred(name), **kw})
+        positives, _negs, _untils = unroll_pattern(pat)
+        specs = [(s[2], s[3], -1 if s[4] is None else s[4])
+                 for s in positives]
+        offsets.append(bit)
+        for i, s in enumerate(positives):
+            bits.append((bit + i, s[1]))
+        bit += len(positives)
+        variant_specs.append(specs)
+    if bit > 62:
+        raise ValueError(
+            f"nested alternation expansion needs {bit} step-mask bits "
+            "(> 62): fewer/narrower variants required"
+        )
+    within_ms = parse_within_ms(within)
+    mask = F.lit(0).cast("long")
+    for b, pred in bits:
+        mask = mask + F.when(pred, F.lit(1 << b)).otherwise(0)
+    src = events
+    if "row_time" not in src.columns:
+        src = src.withColumn(
+            "row_time", F.timestamp_millis(F.col(order_by).cast("long"))
+        )
+    eid_col = (
+        F.col(event_id).cast("long")
+        if event_id is not None
+        else F.xxhash64(F.col(partition_by).cast("string"),
+                        F.col(order_by).cast("long"))
+    )
+    src = src.withWatermark("row_time", watermark).select(
+        F.col(partition_by).cast("string").alias("key"),
+        F.col(order_by).cast("long").alias("ts"),
+        eid_col.alias("event_id"),
+        mask.alias("step_mask"),
+        "row_time",
+    )
+    matcher = mr_nested_matcher_fn(
+        variant_specs, offsets, within_ms, max_active_anchors,
+        max_anchors_per_key,
+    )
+    out_schema = StructType([
+        StructField("key", StringType()),
+        StructField("status", StringType()),
+        StructField("variant_idx", LongType()),
+        StructField("anchor_ts", LongType()),
+        StructField("step_ts", ArrayType(LongType())),
+    ])
+    if impl == "tws":
+        out = run_matcher_tws(
+            src, matcher, out_schema, _STATE, "match_recognize_stream"
+        )
+    elif impl == "apply":
+        out = src.groupBy("key").applyInPandasWithState(
+            matcher,
+            outputStructType=out_schema,
+            stateStructType=_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    else:
+        raise ValueError(f"impl must be apply|tws, got {impl!r}")
+    for gi, (_i, gname, _alts, texts) in enumerate(groups):
+        labels = [texts[choice[gi]] for choice, _ in variants]
+        out = out.withColumn(
+            f"{gname}_variant",
+            F.element_at(F.array(*[F.lit(t) for t in labels]),
+                         F.col("variant_idx").cast("int") + 1),
+        )
     return out

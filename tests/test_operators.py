@@ -4069,12 +4069,22 @@ def test_mr_nested_alternation(spark):
     with _pytest.raises(ValueError, match="repeats a variable across"):
         cep.match_recognize(ev, pattern="V (A P | B P) P", define=define,
                             within="1 HOUR")
+    # the STREAMING leg exists too (scoped): strict-only, no measures,
+    # no pruning skips — see test_streaming_mr_nested_golden
     from flink_realtime_dw4_0_spark.streaming.cep_pattern import (
         match_recognize_stream,
     )
-    with _pytest.raises(ValueError, match="nested"):
+    with _pytest.raises(ValueError, match="MEASURES"):
         match_recognize_stream(ev, pattern="V (A | B C) P", define=define,
-                               within="1 HOUR")
+                               within="1 HOUR",
+                               measures={"m": ("sum", "event_id", "C")})
+    with _pytest.raises(ValueError, match="strict contiguity"):
+        match_recognize_stream(ev, pattern="V (A | B C) P", define=define,
+                               within="1 HOUR", contiguity="relaxed")
+    with _pytest.raises(ValueError, match="cross-variant"):
+        match_recognize_stream(ev, pattern="V (A | B C) P", define=define,
+                               within="1 HOUR",
+                               after_match="skip_past_last")
 
 
 def test_kmv_overlap(spark):

@@ -4202,6 +4202,82 @@ def test_streaming_followed_by_any_randomized_parity(spark, tmp_path):
     assert stream == batch and len(batch) >= 15
 
 
+def test_streaming_mr_nested_golden(spark, tmp_path):
+    """Streaming NESTED alternation (A | B C+) — the batch variant
+    expansion, live: one keyed machine runs every branch variant
+    through the shared _advance_event transition, matches hold per
+    anchor until the window closes, and the minimum variant index per
+    anchor emits (leftmost preference).  Hand traces: plain-branch and
+    loop-branch selection with exact step_ts layouts, the leftmost TIE,
+    shuffled arrival, batch parity, and TWS == apply."""
+    from flink_realtime_dw4_0_spark.operators.cep import match_recognize
+
+    base = 1_700_000_000_000
+    SEC = 1_000
+    all_events = {
+        "u1": [("V", 1), ("A", 2), ("P", 3)],            # variant "A"
+        "u2": [("V", 1), ("B", 2), ("C", 3), ("C", 4),
+               ("P", 5)],                                # variant "B C+"
+        "u3": [("V", 1), ("X", 2), ("P", 3)],            # no match
+    }
+    rows = [{"user_id": u, "ts": base + s * SEC, "event_id": s,
+             "event_type": e}
+            for u, evs in all_events.items() for e, s in evs]
+    b1 = [r for r in rows if r["ts"] >= base + 3 * SEC]   # reversed halves
+    b2 = [r for r in rows if r["ts"] < base + 3 * SEC]
+    b3 = [{"user_id": "u9", "ts": base + 900_000, "event_id": 99,
+           "event_type": "V"}]
+    define = {"V": "event_type = 'V'", "A": "event_type = 'A'",
+              "B": "event_type = 'B'", "C": "event_type = 'C'",
+              "P": "event_type = 'P'"}
+    outs = {}
+    for impl in ("apply", "tws"):
+        outs[impl] = sorted(
+            (r.key, r.A_or_B_C_variant, tuple(r.step_ts))
+            for r in _run_mr_stream(
+                spark, tmp_path, f"mrnest_{impl}", [b1, b2, b3],
+                pattern="V (A | B C+) P", define=define,
+                within="1 minute", watermark="30 seconds", impl=impl)
+            if r.key != "u9" and r.status == "match"
+        )
+    t = lambda s: base + s * SEC  # noqa: E731
+    assert outs["apply"] == [
+        ("u1", "A", (t(1), t(2), t(3))),
+        ("u2", "B C+", (t(1), t(2), t(3), t(4), 2, t(5))),
+    ]
+    assert outs["tws"] == outs["apply"]
+    # batch parity on the same rows (variant label + anchor + bounds)
+    bdf = spark.createDataFrame(
+        [(r["user_id"], r["ts"], r["event_id"], r["event_type"])
+         for r in rows],
+        "user_id string, ts_ms long, event_id long, event_type string",
+    ).withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+    twin = sorted(
+        (r.user_id, r.A_or_B_C_variant,
+         int(r.V_ts.timestamp() * 1000), int(r.P_ts.timestamp() * 1000))
+        for r in match_recognize(bdf, pattern="V (A | B C+) P",
+                                 define=define, within="1 minute").collect()
+    )
+    assert twin == [(k, v, s[0], s[-1]) for k, v, s in outs["apply"]]
+    # leftmost TIE: M satisfies both A and B -> the written-order-first
+    # branch wins on the stream exactly like the batch union dedup
+    tie_rows = [{"user_id": "t1", "ts": base + s * SEC, "event_id": s,
+                 "event_type": e} for e, s in
+                [("V", 1), ("M", 2), ("P", 3)]]
+    define_ov = {"V": "event_type = 'V'",
+                 "A": "event_type IN ('A', 'M')",
+                 "B": "event_type IN ('B', 'M')", "P": "event_type = 'P'"}
+    tie = [
+        (r.A_P_or_B_P_variant, tuple(r.step_ts))
+        for r in _run_mr_stream(
+            spark, tmp_path, "mrnest_tie", [tie_rows, b3],
+            pattern="V (A P | B P)", define=define_ov,
+            within="1 minute", watermark="30 seconds")
+        if r.key == "t1" and r.status == "match"
+    ]
+    assert tie == [("A P", (t(1), t(2), t(3)))]
+
+
 def _run_combinations_stream(spark, tmp_path, name, batches, pat, **kwargs):
     """Drive match_combinations_stream over json file batches (arrival
     order = file order) with availableNow; returns collected rows."""
@@ -5353,7 +5429,8 @@ def _drive_restart_foreach(spark, tmp_path, name, make_op, schema, batches,
                                 "weighted_reservoir",
                                 "weighted_reservoir_tws",
                                 "mr_measures", "followed_by_any",
-                                "combinations", "combinations_tws"])
+                                "combinations", "combinations_tws",
+                                "mr_nested", "mr_nested_tws"])
 def test_checkpoint_restart_equals_uninterrupted(spark, tmp_path, op):
     """T7 exactly-once STATE across a process boundary (BaseAPP.java's
     checkpoint contract): for each stateful family, stop an availableNow
@@ -5494,6 +5571,37 @@ def test_checkpoint_restart_equals_uninterrupted(spark, tmp_path, op):
                  {"name": "c", "where": F.col("event_type") == "C"}],
                 within="1 minute", watermark="5 seconds",
                 event_id="event_id", mode="all",
+            )
+
+    if op in ("mr_nested", "mr_nested_tws"):
+        # the per-variant partial lists AND the per-anchor hold must
+        # cross the boundary: u1's completed match holds (awaiting its
+        # window close) over the restart; u2's loop-branch partial
+        # (B bound, C-run count=1) continues with post-restart rows —
+        # a lost hold would drop u1's match, a reset loop accumulator
+        # would mis-count u2's run; on either state API
+        from flink_realtime_dw4_0_spark.streaming.cep_pattern import (
+            match_recognize_stream,
+        )
+
+        nested_impl = "tws" if op == "mr_nested_tws" else "apply"
+        batches = [
+            [ev("u1", 1, 1, "V"), ev("u1", 2, 2, "A"), ev("u1", 3, 3, "P"),
+             ev("u2", 1, 4, "V"), ev("u2", 2, 5, "B")],
+            [ev("u2", 3, 6, "C"), ev("u9", 30, 7, "V")],  # wm seals 1..3
+            # ---- restart: u1's hold + u2's mid-loop partial in state ----
+            [ev("u2", 40, 8, "C"), ev("u2", 41, 9, "P")],
+            [ev("u9", 900, 99, "V")],  # watermark sentinel: releases holds
+        ]
+
+        def build(stream):
+            return match_recognize_stream(
+                stream, pattern="V (A | B C+) P",
+                define={"V": "event_type = 'V'", "A": "event_type = 'A'",
+                        "B": "event_type = 'B'", "C": "event_type = 'C'",
+                        "P": "event_type = 'P'"},
+                within="1 minute", watermark="5 seconds",
+                event_id="event_id", impl=nested_impl,
             )
 
     if op in ("combinations", "combinations_tws"):
@@ -5716,3 +5824,11 @@ def test_checkpoint_restart_equals_uninterrupted(spark, tmp_path, op):
         m = {r[7] for r in uninterrupted
              if r[0] == "u1" and r[1] == "match"}
         assert m == {"2", "3", "2,3"}
+    if op in ("mr_nested", "mr_nested_tws"):
+        m = {(r[0], r[5], tuple(r[4])) for r in uninterrupted
+             if r[1] == "match"}
+        assert m == {
+            ("u1", "A", (base + 1 * SEC, base + 2 * SEC, base + 3 * SEC)),
+            ("u2", "B C+", (base + 1 * SEC, base + 2 * SEC, base + 3 * SEC,
+                            base + 40 * SEC, 2, base + 41 * SEC)),
+        }

@@ -283,7 +283,7 @@ def weighted_reservoir_stream(
     salt: str = "wres",
     ts: str = "ts",
     watermark: str = "10 seconds",
-    impl: str = "apply",
+    impl: str = "auto",
 ) -> DataFrame:
     """Streaming Efraimidis–Spirakis A-Res: per key, the running
     weight-proportional k-sample of everything seen so far, as a
@@ -293,11 +293,19 @@ def weighted_reservoir_stream(
     unweighted reservoir, because top-k-by-key is a pure function of
     the row set.  Integer weights only, validated loud (they ride the
     long-array state); duplicate ids no-op.  ``impl='tws'`` runs the
-    identical fold on ``transformWithStateInPandas``."""
+    identical fold on ``transformWithStateInPandas``.  The DEFAULT is
+    ``'auto'`` (r9 flip policy, gated on the family's own measured A/B
+    — BENCH_RESERVOIR_AB.json: steady canary-normalized 6,981 tws vs
+    5,270 apply): tws when the public protobuf runtime is importable,
+    apply otherwise."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    if impl not in ("apply", "tws"):
-        raise ValueError(f"impl must be apply|tws, got {impl!r}")
+    if impl not in ("auto", "apply", "tws"):
+        raise ValueError(f"impl must be auto|apply|tws, got {impl!r}")
+    if impl == "auto":
+        from ..session import ensure_protobuf
+
+        impl = "tws" if ensure_protobuf() else "apply"
     _check_weight_dtype(
         weight_col, events.schema[weight_col].dataType.typeName()
     )
@@ -334,17 +342,25 @@ def reservoir_sample_stream(
     event_id: str = "event_id",
     salt: str = "res",
     watermark: str = "10 seconds",
-    impl: str = "apply",
+    impl: str = "auto",
 ) -> DataFrame:
     """Apply the per-key deterministic reservoir to a stream with
     millisecond ``ts``.  Returns the slot CHANGELOG — keep the latest
     row per (key, slot) downstream; that set equals the batch
     ``reservoir_sample`` of the same events.  ``impl='tws'`` runs the
-    identical fold on ``transformWithStateInPandas``."""
+    identical fold on ``transformWithStateInPandas``.  The DEFAULT is
+    ``'auto'`` (r9 flip policy, gated on the family's own measured A/B
+    — BENCH_RESERVOIR_AB.json: steady canary-normalized 6,981 tws vs
+    5,270 apply): tws when the public protobuf runtime is importable,
+    apply otherwise."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    if impl not in ("apply", "tws"):
-        raise ValueError(f"impl must be apply|tws, got {impl!r}")
+    if impl not in ("auto", "apply", "tws"):
+        raise ValueError(f"impl must be auto|apply|tws, got {impl!r}")
+    if impl == "auto":
+        from ..session import ensure_protobuf
+
+        impl = "tws" if ensure_protobuf() else "apply"
     src = events
     if "row_time" not in src.columns:
         src = src.withColumn(

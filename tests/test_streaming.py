@@ -5220,12 +5220,32 @@ def test_reservoir_tws_equals_apply(spark, tmp_path):
     (impl='tws') emit IDENTICAL changelogs to the applyInPandasWithState
     paths over the same multi-batch keyed streams — the last two
     families of the 'every stateful family has a TWS twin' sweep
-    (ROUND8 §10 / r8 judge What's-wrong #1)."""
+    (ROUND8 §10 / r8 judge What's-wrong #1).  Since the r9 flip (gated
+    on BENCH_RESERVOIR_AB.json showing tws steady-state ahead) the
+    DEFAULT is impl='auto' — tws whenever protobuf is importable."""
     import json as _json
 
     from flink_realtime_dw4_0_spark.streaming.reservoir import (
         reservoir_sample_stream, weighted_reservoir_stream,
     )
+    from flink_realtime_dw4_0_spark.session import ensure_protobuf
+
+    # the flipped default: auto resolves to the successor API here
+    assert ensure_protobuf() is True
+    stream0 = (
+        spark.readStream.format("rate").load()
+        .selectExpr("cast(value as string) as user_id", "1L as ts",
+                    "value as event_id")
+    )
+    assert "transformWithState" in reservoir_sample_stream(
+        stream0, k=3)._jdf.queryExecution().analyzed().toString()
+    stream1 = (
+        spark.readStream.format("rate").load()
+        .selectExpr("cast(value as string) as source", "value as doc_id",
+                    "value as w", "1L as ts")
+    )
+    assert "transformWithState" in weighted_reservoir_stream(
+        stream1, k=3)._jdf.queryExecution().analyzed().toString()
 
     base = 1_700_000_000_000
     r_rows = [{"user_id": f"u{1 + i % 2}", "ts": base + i * 1000,

@@ -1224,8 +1224,11 @@ def parse_mr_pattern(pattern: str) -> list[tuple[str | list, dict]]:
       to a bounded UNION of linear pattern variants in
       ``match_recognize`` (regex alternation by expansion — the
       product of branch choices, leftmost-preferred per anchor).  A
-      QUANTIFIED nested group (``(A | B C)+``) would need a branching
-      NFA over variable-length bodies and raises.
+      BOUNDED repetition quantifier (``{m}`` ``{m,n}`` ``?``) expands
+      exactly too (kwargs carry ``reps=(m, n)``; greedy — more
+      repetitions preferred; copies rename ``<var>_<rep>``); an
+      UNBOUNDED one (``+ * {m,}``) would need a branching NFA over
+      variable-length bodies and raises.
 
     Two-level nesting, exclusion, and anchors (``{- -} ^ $``) are not
     supported and raise."""
@@ -1267,12 +1270,34 @@ def parse_mr_pattern(pattern: str) -> list[tuple[str | list, dict]]:
                 pos = mq.end() if mq else close + 1
                 continue
             if mq:
-                raise ValueError(
-                    "MATCH_RECOGNIZE: a QUANTIFIED nested alternation "
-                    "group ((A | B C)+ …) needs a branching NFA over "
-                    "variable-length bodies — not supported; quantify "
-                    "bare-variable groups (A|B)+ instead"
-                )
+                qkw = _quant_kwargs(mq.group(1))
+                # BOUNDED repetition expands exactly (sum of |alts|^m
+                # selections, m in [mn, mx] — a parse-time constant);
+                # UNBOUNDED (+ * {m,}) genuinely needs a branching NFA
+                # over variable-length bodies and stays rejected
+                if "times" in qkw:
+                    mn_, mx_ = qkw["times"], qkw["times"]
+                elif "times_range" in qkw:
+                    mn_, mx_ = qkw["times_range"]
+                elif qkw.get("optional"):
+                    mn_, mx_ = 0, 1
+                else:
+                    raise ValueError(
+                        "MATCH_RECOGNIZE: an UNBOUNDED quantifier on a "
+                        "nested alternation group ((A | B C)+ / * / "
+                        "{m,}) needs a branching NFA over "
+                        "variable-length bodies — not supported; use a "
+                        "bounded {m,n} (expanded exactly) or quantify "
+                        "bare-variable groups (A|B)+ instead"
+                    )
+                if mx_ < 1 or mn_ < 0 or mn_ > mx_:
+                    raise ValueError(
+                        f"MATCH_RECOGNIZE: nested group repetition "
+                        f"bounds {{{mn_},{mx_}}} are invalid"
+                    )
+                out.append((seqs, {"nested": True, "reps": (mn_, mx_)}))
+                pos = mq.end()
+                continue
             out.append((seqs, {"nested": True}))
             pos = close + 1
             continue
@@ -1365,8 +1390,12 @@ def match_recognize(
     union is deduplicated per anchor row by lexicographic choice index
     — regex alternation preference exactly.  Each nested group emits a
     ``<group>_variant`` column naming the chosen alternative; the
-    un-chosen branches' columns are NULL.  A QUANTIFIED nested group
-    raises at parse time (branching NFA over variable-length bodies);
+    un-chosen branches' columns are NULL.  BOUNDED repetition
+    (``(A | B C){m,n}`` / ``{m}`` / ``?``) expands exactly as well —
+    greedy (more repetitions preferred), repetition copies renamed
+    ``<var>_<rep>`` like ``times(n)`` unrolling, capped at 64 variants
+    — while an UNBOUNDED quantifier (``+ * {m,}``) raises at parse
+    time (branching NFA over variable-length bodies);
     two-level nesting raises; with nested groups,
     ``skip_to_first/last`` targets must live outside every group.  The
     first variable of every variant must be un-quantified (the machine
@@ -1706,25 +1735,68 @@ def _mr_linear(
 def mr_expand_variants(
     steps: list[tuple[str | list, dict]],
 ) -> tuple[list[tuple[int, str, list, list[str]]],
-           list[tuple[tuple[int, ...], list[tuple[str | list, dict]]]]]:
+           list[tuple[tuple[int, ...], list[tuple[str | list, dict]]]],
+           dict[str, str]]:
     """Expand a parsed pattern containing nested alternation groups into
     the product of branch choices (shared by the batch ``_mr_variants``
     expansion and the streaming nested machine — ONE enumeration order,
-    so leftmost preference agrees by construction).  Returns
-    ``(groups, variants)``: groups as (step_idx, gname, alternatives,
-    alternative_texts); variants as (choice_index_tuple, linear_steps),
-    enumerated with the RIGHTMOST group's choice varying first (regex
-    backtracking order).  Raises when a variant repeats a variable."""
+    so leftmost preference agrees by construction).
+
+    An un-quantified group contributes one SELECTION per alternative.
+    A BOUNDED-repetition group ``(A | B C){m,n}`` (kwargs carry
+    ``reps=(m, n)``) contributes one selection per alternative-index
+    tuple, enumerated GREEDILY — n repetitions before n-1 (regex
+    ``{m,n}`` preference) and lexicographically by alternative within a
+    length; repetition copies rename their variables ``<var>_<rep>``
+    (the same copy-naming convention ``times(n)`` unrolling uses) and
+    the returned ``alias_map`` maps each renamed variable back to its
+    DEFINE name.  The selection product is capped at 64 variants,
+    validated loud.
+
+    Returns ``(groups, variants, alias_map)``: groups as (step_idx,
+    gname, selection_steps, selection_texts); variants as
+    (choice_index_tuple, linear_steps), enumerated with the RIGHTMOST
+    group's choice varying first (regex backtracking order).  Raises
+    when a variant repeats a variable."""
     import itertools as _it
 
     groups: list[tuple[int, str, list, list[str]]] = []
+    alias_map: dict[str, str] = {}
     for i, (nm, kw) in enumerate(steps):
-        if _mr_is_nested(nm):
-            texts = [" ".join(v + _quant_text(k) for v, k in alt)
+        if not _mr_is_nested(nm):
+            continue
+        alt_texts = [" ".join(v + _quant_text(k) for v, k in alt)
                      for alt in nm]
-            gname = "_or_".join("_".join(v for v, _ in alt) for alt in nm)
-            groups.append((i, gname, nm, texts))
+        gname = "_or_".join("_".join(v for v, _ in alt) for alt in nm)
+        reps = kw.get("reps")
+        sel_steps: list[list[tuple[str, dict]]] = []
+        sel_texts: list[str] = []
+        if reps is None:
+            for ai, alt in enumerate(nm):
+                sel_steps.append(list(alt))
+                sel_texts.append(alt_texts[ai])
+        else:
+            mn_, mx_ = reps
+            for m in range(mx_, mn_ - 1, -1):  # greedy: more reps first
+                for combo in _it.product(range(len(nm)), repeat=m):
+                    st: list[tuple[str, dict]] = []
+                    for rep_i, ai in enumerate(combo, start=1):
+                        for v, vkw in nm[ai]:
+                            st.append((f"{v}_{rep_i}", vkw))
+                            alias_map[f"{v}_{rep_i}"] = v
+                    sel_steps.append(st)
+                    sel_texts.append(" ".join(alt_texts[ai] for ai in combo))
+        groups.append((i, gname, sel_steps, sel_texts))
     nested_idx = {g[0] for g in groups}
+    total = 1
+    for g in groups:
+        total *= len(g[2])
+    if total > 64:
+        raise ValueError(
+            f"MATCH_RECOGNIZE: nested alternation expands to {total} "
+            "pattern variants (> 64) — narrow the repetition bounds or "
+            "the alternative count"
+        )
     variants = []
     for choice in _it.product(*[range(len(g[2])) for g in groups]):
         pick = {g[0]: g[2][ci] for g, ci in zip(groups, choice)}
@@ -1741,7 +1813,7 @@ def mr_expand_variants(
                 f"variable across steps"
             )
         variants.append((choice, vsteps))
-    return groups, variants
+    return groups, variants, alias_map
 
 
 def _mr_variants(
@@ -1786,7 +1858,10 @@ def _mr_variants(
     nested group, so its horizon column exists in every variant."""
     from functools import reduce as _reduce
 
-    groups, variants = mr_expand_variants(steps)
+    groups, variants, alias_map = mr_expand_variants(steps)
+    if alias_map:
+        # repetition copies resolve to their DEFINE name's predicate
+        define = {**define, **{n: define[o] for n, o in alias_map.items()}}
     common = dict(
         partition_by=partition_by, order_by=order_by, seq=seq,
         define=define, within=within, contiguity=contiguity,

@@ -3946,6 +3946,129 @@ def cep_mr_nested_alternation_q(spark, sf_dir):
 
 
 @q(
+    "cep_mr_nested_repetition",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    a0 AS (
+      SELECT user_id, view_ts, view_rn FROM (
+        SELECT user_id, ts AS view_ts, rn AS view_rn,
+               row_number() OVER (PARTITION BY user_id ORDER BY rn) AS cp
+        FROM e WHERE event_type = 'view')
+      WHERE cp <= 5),
+    v0 AS (
+      SELECT a.user_id, a.view_ts, 0 AS vi, 'S S' AS variant, p.ts AS p_ts
+      FROM a0 a
+      JOIN e s1 ON s1.user_id = a.user_id AND s1.rn = a.view_rn + 1
+               AND s1.event_type = 'signup'
+      JOIN e s2 ON s2.user_id = a.user_id AND s2.rn = a.view_rn + 2
+               AND s2.event_type = 'signup'
+      JOIN e p ON p.user_id = a.user_id AND p.rn = a.view_rn + 3
+              AND p.event_type = 'purchase'),
+    v1 AS (
+      SELECT a.user_id, a.view_ts, 1 AS vi, 'S C E' AS variant, p.ts AS p_ts
+      FROM a0 a
+      JOIN e s1 ON s1.user_id = a.user_id AND s1.rn = a.view_rn + 1
+               AND s1.event_type = 'signup'
+      JOIN e c2 ON c2.user_id = a.user_id AND c2.rn = a.view_rn + 2
+               AND c2.event_type = 'click'
+      JOIN e x2 ON x2.user_id = a.user_id AND x2.rn = a.view_rn + 3
+               AND x2.event_type = 'error'
+      JOIN e p ON p.user_id = a.user_id AND p.rn = a.view_rn + 4
+              AND p.event_type = 'purchase'),
+    v2 AS (
+      SELECT a.user_id, a.view_ts, 2 AS vi, 'C E S' AS variant, p.ts AS p_ts
+      FROM a0 a
+      JOIN e c1 ON c1.user_id = a.user_id AND c1.rn = a.view_rn + 1
+               AND c1.event_type = 'click'
+      JOIN e x1 ON x1.user_id = a.user_id AND x1.rn = a.view_rn + 2
+               AND x1.event_type = 'error'
+      JOIN e s2 ON s2.user_id = a.user_id AND s2.rn = a.view_rn + 3
+               AND s2.event_type = 'signup'
+      JOIN e p ON p.user_id = a.user_id AND p.rn = a.view_rn + 4
+              AND p.event_type = 'purchase'),
+    v3 AS (
+      SELECT a.user_id, a.view_ts, 3 AS vi, 'C E C E' AS variant,
+             p.ts AS p_ts
+      FROM a0 a
+      JOIN e c1 ON c1.user_id = a.user_id AND c1.rn = a.view_rn + 1
+               AND c1.event_type = 'click'
+      JOIN e x1 ON x1.user_id = a.user_id AND x1.rn = a.view_rn + 2
+               AND x1.event_type = 'error'
+      JOIN e c2 ON c2.user_id = a.user_id AND c2.rn = a.view_rn + 3
+               AND c2.event_type = 'click'
+      JOIN e x2 ON x2.user_id = a.user_id AND x2.rn = a.view_rn + 4
+               AND x2.event_type = 'error'
+      JOIN e p ON p.user_id = a.user_id AND p.rn = a.view_rn + 5
+              AND p.event_type = 'purchase'),
+    v4 AS (
+      SELECT a.user_id, a.view_ts, 4 AS vi, 'S' AS variant, p.ts AS p_ts
+      FROM a0 a
+      JOIN e s1 ON s1.user_id = a.user_id AND s1.rn = a.view_rn + 1
+               AND s1.event_type = 'signup'
+      JOIN e p ON p.user_id = a.user_id AND p.rn = a.view_rn + 2
+              AND p.event_type = 'purchase'),
+    v5 AS (
+      SELECT a.user_id, a.view_ts, 5 AS vi, 'C E' AS variant, p.ts AS p_ts
+      FROM a0 a
+      JOIN e c1 ON c1.user_id = a.user_id AND c1.rn = a.view_rn + 1
+               AND c1.event_type = 'click'
+      JOIN e x1 ON x1.user_id = a.user_id AND x1.rn = a.view_rn + 2
+               AND x1.event_type = 'error'
+      JOIN e p ON p.user_id = a.user_id AND p.rn = a.view_rn + 3
+              AND p.event_type = 'purchase'),
+    u AS (SELECT * FROM v0 UNION ALL SELECT * FROM v1
+          UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM v3
+          UNION ALL SELECT * FROM v4 UNION ALL SELECT * FROM v5),
+    alive AS (SELECT * FROM u WHERE p_ts <= view_ts + INTERVAL 7 DAY),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id, view_ts
+                                   ORDER BY vi) AS rk
+      FROM alive)
+    SELECT user_id, epoch_us(view_ts) AS view_us, variant,
+           epoch_us(p_ts) AS purchase_us
+    FROM ranked WHERE rk = 1
+    """,
+    tags=("cep", "match-recognize", "alternation", "nested", "repetition",
+          "sql-api"),
+)
+def cep_mr_nested_repetition_q(spark, sf_dir):
+    """BOUNDED repetition on a nested alternation group — ``PATTERN
+    (V (S | C E){1,2} P)``: the group's repetitions expand exactly to
+    the sum of |alts|^m selections (6 here), enumerated GREEDILY (two
+    repetitions preferred over one, regex {m,n} semantics) with
+    repetition copies renamed ``<var>_<rep>`` and the leftmost
+    completing selection kept per anchor row.  The oracle replays all
+    six selections as forced-rn join chains, unions them with the
+    greedy preference index, and keeps rank 1 per anchor
+    (operators/cep.py:mr_expand_variants bounded reps)."""
+    from ..operators import cep
+
+    ev = t(spark, sf_dir, "events")
+    m = cep.match_recognize(
+        ev,
+        pattern="V (S | C E){1,2} P",
+        define={
+            "V": F.col("event_type") == "view",
+            "S": F.col("event_type") == "signup",
+            "C": F.col("event_type") == "click",
+            "E": F.col("event_type") == "error",
+            "P": F.col("event_type") == "purchase",
+        },
+        within="7 DAY",
+        max_anchors_per_key=5,
+    )
+    return m.select(
+        "user_id",
+        F.unix_micros("V_ts").alias("view_us"),
+        F.col("S_or_C_E_variant").alias("variant"),
+        F.unix_micros("P_ts").alias("purchase_us"),
+    )
+
+
+@q(
     "cep_mr_run_classifiers",
     """
     WITH e AS (

@@ -1608,6 +1608,11 @@ def mr_nested_matcher_fn(
                     if (max_anchors_per_key is not None
                             and anchors_seen[v] > max_anchors_per_key):
                         pass  # batch-parity first-N-ever cap per variant
+                    elif len(specs) == 1:
+                        # single-step variant (an empty bounded-repetition
+                        # selection next to one concrete step): the anchor
+                        # IS the match — straight to the hold
+                        holds.append([v, 1, ts_v, ts_v + within_ms])
                     elif len(partials[v]) < max_active_anchors:
                         partials[v].append([1, 0, 0, 0, ts_v])
                     else:
@@ -1747,11 +1752,15 @@ def _mr_nested_stream(
             "mid-event — run the batch matcher over sealed data"
         )
 
+    groups, variants, alias_map = mr_expand_variants(steps)
+    if alias_map:
+        # repetition copies resolve to their DEFINE name's predicate
+        define = {**define, **{n: define[o] for n, o in alias_map.items()}}
+
     def _pred(name):
         p = define[name]
         return F.expr(p) if isinstance(p, str) else p
 
-    groups, variants = mr_expand_variants(steps)
     variant_specs: list[list[tuple]] = []
     offsets: list[int] = []
     bits: list[tuple[int, Column]] = []

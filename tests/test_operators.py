@@ -4087,6 +4087,62 @@ def test_mr_nested_alternation(spark):
                                after_match="skip_past_last")
 
 
+def test_mr_nested_bounded_repetition(spark):
+    """BOUNDED repetition on nested alternation groups —
+    ``(A | B C){m,n}`` — expands exactly (sum of |alts|^m selections,
+    greedy: more repetitions preferred, regex {m,n} semantics);
+    repetition copies rename their variables ``<var>_<rep>`` (the
+    times(n) copy-naming convention) and resolve to the original
+    DEFINE predicate.  Hand traces: greedy 2-rep over 1-rep, mixed
+    branches across repetitions, ``?`` with the empty selection, the
+    64-variant cap, and unbounded still raising."""
+    from datetime import datetime as dt
+
+    import pytest as _pytest
+
+    from flink_realtime_dw4_0_spark.operators import cep
+
+    T = lambda s: dt(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        ("u1", T(1), 1, "V"), ("u1", T(2), 2, "A"), ("u1", T(3), 3, "A"),
+        ("u1", T(4), 4, "P"),
+        ("u2", T(1), 1, "V"), ("u2", T(2), 2, "B"), ("u2", T(3), 3, "C"),
+        ("u2", T(4), 4, "A"), ("u2", T(5), 5, "P"),
+        ("u3", T(1), 1, "V"), ("u3", T(2), 2, "A"), ("u3", T(3), 3, "P"),
+        ("u4", T(1), 1, "V"), ("u4", T(2), 2, "P"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, event_id long, event_type string"
+    )
+    define = {"V": "event_type = 'V'", "A": "event_type = 'A'",
+              "B": "event_type = 'B'", "C": "event_type = 'C'",
+              "P": "event_type = 'P'"}
+    got = {r.user_id: r.A_or_B_C_variant for r in cep.match_recognize(
+        ev, pattern="V (A | B C){1,2} P", define=define,
+        within="1 HOUR").collect()}
+    assert got == {"u1": "A A", "u2": "B C A", "u3": "A"}
+    # renamed copy columns carry the bound rows of their repetition
+    r2 = {r.user_id: (r.B_1_ts and r.B_1_ts.second,
+                      r.A_2_ts and r.A_2_ts.second)
+          for r in cep.match_recognize(
+              ev, pattern="V (A | B C){1,2} P", define=define,
+              within="1 HOUR").collect()}
+    assert r2["u2"] == (2, 4)
+    # '?': the EMPTY selection matches u4 (V directly followed by P)
+    got_opt = {r.user_id: r.A_or_B_C_variant for r in cep.match_recognize(
+        ev, pattern="V (A | B C)? P", define=define,
+        within="1 HOUR").collect()}
+    assert got_opt == {"u3": "A", "u4": ""}
+    # the expansion cap is validated loud: 2 alts x {1,6} = 126 variants
+    with _pytest.raises(ValueError, match="> 64"):
+        cep.match_recognize(ev, pattern="V (A | B C){1,6} P",
+                            define=define, within="1 HOUR")
+    # unbounded nested quantifiers still need a branching NFA
+    for bad in ("V (A | B C)+ P", "V (A | B C)* P", "V (A | B C){2,} P"):
+        with _pytest.raises(ValueError, match="branching NFA"):
+            cep.parse_mr_pattern(bad)
+
+
 def test_kmv_overlap(spark):
     """KMV audience overlap: engineered segments A=u0..999, B=u500..1499
     (|A∩B|=500), C=u0..49.  At k=64 (stderr ~12.6%) every estimate must

@@ -4276,6 +4276,20 @@ def test_streaming_mr_nested_golden(spark, tmp_path):
         if r.key == "t1" and r.status == "match"
     ]
     assert tie == [("A P", (t(1), t(2), t(3)))]
+    # bounded repetition {1,2} through the SAME shared expansion:
+    # greedy picks the 2-rep selection; copies carry their own step_ts
+    rep_rows = [{"user_id": "r1", "ts": base + s * SEC, "event_id": s,
+                 "event_type": e} for e, s in
+                [("V", 1), ("A", 2), ("A", 3), ("P", 4)]]
+    rep = [
+        (r.A_or_B_C_variant, tuple(r.step_ts))
+        for r in _run_mr_stream(
+            spark, tmp_path, "mrnest_rep", [rep_rows, b3],
+            pattern="V (A | B C){1,2} P", define=define,
+            within="1 minute", watermark="30 seconds")
+        if r.key == "r1" and r.status == "match"
+    ]
+    assert rep == [("A A", (t(1), t(2), t(3), t(4)))]
 
 
 def _run_combinations_stream(spark, tmp_path, name, batches, pat, **kwargs):

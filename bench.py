@@ -792,7 +792,10 @@ def main() -> None:
             "ts_ewma_level",
             "attr_linear_weights",
             "sample_negative_pairs",
-            "pipeline_pretrain_curation",
+            # plan of record at scale (r10): the capped twin is the
+            # benched pipeline; the uncapped exactness reference carries
+            # a scale_contract tag in the catalog instead of a timing
+            "pipeline_pretrain_curation_capped",
             "j10_banded_interval_join",
             "graph_walk_contexts",
             # round-4 operators

@@ -1392,7 +1392,9 @@ def match_recognize(
     ``<group>_variant`` column naming the chosen alternative; the
     un-chosen branches' columns are NULL.  BOUNDED repetition
     (``(A | B C){m,n}`` / ``{m}`` / ``?``) expands exactly as well —
-    greedy (more repetitions preferred), repetition copies renamed
+    selections preferred in regex depth-first backtracking order
+    (alternatives left to right per slot, one more repetition over
+    stopping), repetition copies renamed
     ``<var>_<rep>`` like ``times(n)`` unrolling, capped at 64 variants
     — while an UNBOUNDED quantifier (``+ * {m,}``) raises at parse
     time (branching NFA over variable-length bodies);
@@ -1451,6 +1453,7 @@ def _mr_linear(
     pat = []
     alt_groups: list[tuple[str, list[str]]] = []
     alt_run_groups: list[tuple[str, list[str]]] = []
+    alt_times_groups: list[tuple[str, list[str], int]] = []
     for name, kw in steps:
         if isinstance(name, list):
             gname = "_or_".join(name)
@@ -1465,6 +1468,12 @@ def _mr_linear(
                 # ``run_classifiers=True`` (off by default: the range
                 # join it costs shouldn't tax callers who don't ask)
                 alt_groups.append((gname, name))
+            elif "times" in kw:
+                # exact {n} unrolls to n PLAIN copies (<group>_1.._n,
+                # or the bare name for n=1) — no loop-match list
+                # exists, so the run path's <group>_first_rn join
+                # would reference a column unroll_pattern never made
+                alt_times_groups.append((gname, name, int(kw["times"])))
             else:
                 alt_run_groups.append((gname, name))
             d = {"name": gname, "where": pred, **kw}
@@ -1597,6 +1606,41 @@ def _mr_linear(
                 )
                 .drop("__rc_arr")
             )
+            run_cols.append(out_name)
+    if run_classifiers and alt_times_groups:
+        # exact {n} on a flat alternation group: the run is the n
+        # unrolled plain copies, each a single bound row — so the
+        # per-row crediting is n single-bind rn lookups (the same
+        # 3-column events projection alt_groups joins), assembled in
+        # copy order into the same ``<group>_classifiers`` array the
+        # loop path emits.  Each join's build side is match-sized —
+        # AQE broadcasts it — and n is a parse-time constant.
+        w_tc = Window.partitionBy(partition_by).orderBy(order_by, seq)
+        ev_tc = events.withColumn("__mr_rn", F.row_number().over(w_tc))
+        for gname, alts, times in alt_times_groups:
+            cls = F.coalesce(*[F.when(_pred(a), F.lit(a)) for a in alts])
+            copy_rns = (
+                [f"{gname}_rn"] if times == 1
+                else [f"{gname}_{j}_rn" for j in range(1, times + 1)]
+            )
+            tmp_cols = []
+            for j, rn_col in enumerate(copy_rns, start=1):
+                pj = ev_tc.select(
+                    F.col(partition_by).alias("__tc_k"),
+                    F.col("__mr_rn").alias("__tc_rn"),
+                    cls.alias(f"__tc_cls_{j}"),
+                )
+                chains = chains.join(
+                    pj,
+                    (chains[partition_by] == pj["__tc_k"])
+                    & (chains[rn_col] == pj["__tc_rn"]),
+                    "left",
+                ).drop("__tc_k", "__tc_rn")
+                tmp_cols.append(f"__tc_cls_{j}")
+            out_name = f"{gname}_classifiers"
+            chains = chains.withColumn(
+                out_name, F.array(*[F.col(c) for c in tmp_cols])
+            ).drop(*tmp_cols)
             run_cols.append(out_name)
     meas_cols: list[str] = []
     if measures:
@@ -1745,9 +1789,15 @@ def mr_expand_variants(
     An un-quantified group contributes one SELECTION per alternative.
     A BOUNDED-repetition group ``(A | B C){m,n}`` (kwargs carry
     ``reps=(m, n)``) contributes one selection per alternative-index
-    tuple, enumerated GREEDILY — n repetitions before n-1 (regex
-    ``{m,n}`` preference) and lexicographically by alternative within a
-    length; repetition copies rename their variables ``<var>_<rep>``
+    tuple, enumerated in DEPTH-FIRST BACKTRACKING order — exactly how
+    a regex engine walks a greedy ``{m,n}``: at each repetition slot
+    alternatives are tried left to right and one more repetition is
+    preferred over stopping, so every extension of a prefix precedes
+    the prefix itself and the FIRST slot's alternative is the most
+    significant preference key (for ``(A | B C){1,2}``: ``A A``,
+    ``A B C``, ``A``, ``B C A``, ``B C B C``, ``B C`` — the 1-rep
+    ``A`` outranks every ``B C``-prefixed selection, unlike a
+    reps-major order); repetition copies rename their variables ``<var>_<rep>``
     (the same copy-naming convention ``times(n)`` unrolling uses) and
     the returned ``alias_map`` maps each renamed variable back to its
     DEFINE name.  The selection product is capped at 64 variants,
@@ -1777,15 +1827,26 @@ def mr_expand_variants(
                 sel_texts.append(alt_texts[ai])
         else:
             mn_, mx_ = reps
-            for m in range(mx_, mn_ - 1, -1):  # greedy: more reps first
-                for combo in _it.product(range(len(nm)), repeat=m):
-                    st: list[tuple[str, dict]] = []
-                    for rep_i, ai in enumerate(combo, start=1):
-                        for v, vkw in nm[ai]:
-                            st.append((f"{v}_{rep_i}", vkw))
-                            alias_map[f"{v}_{rep_i}"] = v
-                    sel_steps.append(st)
-                    sel_texts.append(" ".join(alt_texts[ai] for ai in combo))
+
+            def _dfs(prefix, _alts=len(nm), _mn=mn_, _mx=mx_):
+                # depth-first backtracking order (regex greedy {m,n}):
+                # at each slot try alternatives left to right, prefer
+                # one more repetition over stopping — every extension
+                # of a prefix precedes the prefix itself
+                if len(prefix) < _mx:
+                    for ai in range(_alts):
+                        yield from _dfs(prefix + (ai,))
+                if len(prefix) >= _mn:
+                    yield prefix
+
+            for combo in _dfs(()):
+                st: list[tuple[str, dict]] = []
+                for rep_i, ai in enumerate(combo, start=1):
+                    for v, vkw in nm[ai]:
+                        st.append((f"{v}_{rep_i}", vkw))
+                        alias_map[f"{v}_{rep_i}"] = v
+                sel_steps.append(st)
+                sel_texts.append(" ".join(alt_texts[ai] for ai in combo))
         groups.append((i, gname, sel_steps, sel_texts))
     nested_idx = {g[0] for g in groups}
     total = 1

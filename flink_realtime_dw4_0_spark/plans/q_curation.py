@@ -1564,15 +1564,25 @@ def pipeline_sft_pack_q(spark, sf_dir):
     FROM keepers k JOIN documents d USING (doc_id)
     """,
     tags=("pipeline", "curation", "composed"),
+    scale_contract=(
+        "exact-reference: the uncapped jaccard stage's candidate "
+        "shuffle DNF'd the sf10 scale probe (>150 GB spill, "
+        "SCALING.md) — plan of record at scale: "
+        "pipeline_pretrain_curation_capped (df<=50 inside the "
+        "composition, own FULL oracle, 5.9 s warm at sf10)"
+    ),
 )
 def pipeline_pretrain_q(spark, sf_dir):
-    """The flagship end-to-end curation pipeline as ONE declarative
-    plan: Gopher quality gate → exact dedup (min-id per fingerprint) →
-    near-dup component drop (jaccard ≥ ½ on the surviving subset —
-    induced-subgraph components equal filtered-pair components because
-    jaccard is corpus-independent) → deterministic train/val/test
-    split.  Every stage is the library operator the standalone queries
-    already verify; the composition itself is oracle-exact."""
+    """EXACTNESS REFERENCE for the end-to-end curation pipeline as ONE
+    declarative plan: Gopher quality gate → exact dedup (min-id per
+    fingerprint) → near-dup component drop (jaccard ≥ ½ on the
+    surviving subset — induced-subgraph components equal filtered-pair
+    components because jaccard is corpus-independent) → deterministic
+    train/val/test split.  Every stage is the library operator the
+    standalone queries already verify; the composition itself is
+    oracle-exact.  NOT the plan of record at scale — see
+    ``scale_contract`` and ``pipeline_pretrain_curation_capped`` (the
+    benched, measured-flat twin)."""
     return _pipeline_pretrain(spark, sf_dir, max_shingle_freq=None)
 
 
@@ -3979,7 +3989,7 @@ def cep_mr_nested_alternation_q(spark, sf_dir):
       JOIN e p ON p.user_id = a.user_id AND p.rn = a.view_rn + 4
               AND p.event_type = 'purchase'),
     v2 AS (
-      SELECT a.user_id, a.view_ts, 2 AS vi, 'C E S' AS variant, p.ts AS p_ts
+      SELECT a.user_id, a.view_ts, 3 AS vi, 'C E S' AS variant, p.ts AS p_ts
       FROM a0 a
       JOIN e c1 ON c1.user_id = a.user_id AND c1.rn = a.view_rn + 1
                AND c1.event_type = 'click'
@@ -3990,7 +4000,7 @@ def cep_mr_nested_alternation_q(spark, sf_dir):
       JOIN e p ON p.user_id = a.user_id AND p.rn = a.view_rn + 4
               AND p.event_type = 'purchase'),
     v3 AS (
-      SELECT a.user_id, a.view_ts, 3 AS vi, 'C E C E' AS variant,
+      SELECT a.user_id, a.view_ts, 4 AS vi, 'C E C E' AS variant,
              p.ts AS p_ts
       FROM a0 a
       JOIN e c1 ON c1.user_id = a.user_id AND c1.rn = a.view_rn + 1
@@ -4004,7 +4014,7 @@ def cep_mr_nested_alternation_q(spark, sf_dir):
       JOIN e p ON p.user_id = a.user_id AND p.rn = a.view_rn + 5
               AND p.event_type = 'purchase'),
     v4 AS (
-      SELECT a.user_id, a.view_ts, 4 AS vi, 'S' AS variant, p.ts AS p_ts
+      SELECT a.user_id, a.view_ts, 2 AS vi, 'S' AS variant, p.ts AS p_ts
       FROM a0 a
       JOIN e s1 ON s1.user_id = a.user_id AND s1.rn = a.view_rn + 1
                AND s1.event_type = 'signup'
@@ -4037,12 +4047,13 @@ def cep_mr_nested_alternation_q(spark, sf_dir):
 def cep_mr_nested_repetition_q(spark, sf_dir):
     """BOUNDED repetition on a nested alternation group — ``PATTERN
     (V (S | C E){1,2} P)``: the group's repetitions expand exactly to
-    the sum of |alts|^m selections (6 here), enumerated GREEDILY (two
-    repetitions preferred over one, regex {m,n} semantics) with
-    repetition copies renamed ``<var>_<rep>`` and the leftmost
-    completing selection kept per anchor row.  The oracle replays all
-    six selections as forced-rn join chains, unions them with the
-    greedy preference index, and keeps rank 1 per anchor
+    the sum of |alts|^m selections (6 here), preferred in regex
+    DEPTH-FIRST backtracking order (alternatives left to right per
+    slot, one more repetition over stopping: S S, S C E, S, C E S,
+    C E C E, C E) with repetition copies renamed ``<var>_<rep>`` and
+    the first completing selection kept per anchor row.  The oracle
+    replays all six selections as forced-rn join chains, unions them
+    with the depth-first preference index, and keeps rank 1 per anchor
     (operators/cep.py:mr_expand_variants bounded reps)."""
     from ..operators import cep
 

@@ -64,6 +64,13 @@ def dedup_exact_q(spark, sf_dir):
     """,
     tags=("dedup",),
     bench=True,
+    scale_contract=(
+        "exact-reference: uncapped AllPairs candidates grow "
+        "super-linearly on dense vocab (measured exp_last 1.61 over a "
+        "100x span, BENCH_SCALE.json) — plan of record at scale: "
+        "dedup_ngram_capped (measured flat) or the dedup_minhash_lsh "
+        "tier (exp 0.28)"
+    ),
 )
 def dedup_jaccard_q(spark, sf_dir):
     """N-gram jaccard near-dup pairs (threshold 1/2, integer-exact test).
@@ -197,6 +204,12 @@ def dedup_simhash_q(spark, sf_dir):
     """,
     tags=("similarity",),
     bench=True,
+    scale_contract=(
+        "output-bound: within-cluster pair count is quadratic by "
+        "SEMANTICS (measured exp_last 1.84 tracks pair growth 102x for "
+        "10x rows; time-per-output-row improved) — bounded variants at "
+        "scale: ann_brute_force_topk / dedup_semantic_cells"
+    ),
 )
 def ann_pairs(spark, sf_dir):
     """Brute-force cosine similarity join (threshold 0.3)."""

@@ -175,8 +175,13 @@ def _ingest_and_seal(
     prefix is untouched, so ordering semantics are identical)."""
     if not state.hasTimedOut:
         for pdf in pdfs:
+            # measure value columns are named mv_{i}, NOT __mv{i}:
+            # transformWithStateInPandas's Arrow bridge drops
+            # leading-dunder field names (they arrive positionally as
+            # _5, _6, ...), while applyInPandasWithState passes them
+            # through — one non-dunder convention keeps both APIs fed
             mv = [
-                pdf[f"__mv{i}"].astype("float64").to_numpy()
+                pdf[f"mv_{i}"].astype("float64").to_numpy()
                 for i in range(n_meas)
             ]
             for j, (ts_v, eid, mask) in enumerate(zip(
@@ -1041,7 +1046,7 @@ def match_pattern_stream(
         # a measure's value source may be a column NAME or a computed
         # Column (the MR front-end's classifier index rides this way)
         *[(vc if isinstance(vc, Column) else F.col(vc))
-          .cast("double").alias(f"__mv{i}")
+          .cast("double").alias(f"mv_{i}")
           for i, (_a, vc, _v) in enumerate(mspecs)],
     )
     if not any(s[0] for s in specs) and not _mr_strict and not neg_next:
@@ -1540,6 +1545,9 @@ def mr_nested_matcher_fn(
     within_ms: int,
     max_active_anchors: int,
     max_anchors_per_key: int | None,
+    variant_msteps: list[dict[int, list]] | None = None,
+    maggs: list[str] | None = None,
+    mnames: list[str] | None = None,
 ):
     """Keyed nested-alternation MATCH_RECOGNIZE machine (see
     ``match_recognize_stream``): one partial list PER VARIANT advances
@@ -1547,61 +1555,95 @@ def mr_nested_matcher_fn(
     mode (every offered row must advance a partial or it dies — the
     row-regex contract), completed matches HOLD per anchor until the
     watermark passes ``anchor + within``, and the release keeps the
-    minimum variant index per anchor timestamp — the same lexicographic
-    choice-index preference the batch ``_mr_variants`` union applies,
-    so the engines agree by construction.  State per key: per-variant
+    minimum variant index per ANCHOR ROW ``(anchor_ts, anchor_eid)`` —
+    the same per-anchor-row lexicographic choice-index preference the
+    batch ``_mr_variants`` union applies, so the engines agree by
+    construction (two distinct anchor rows in the same millisecond
+    each emit, exactly like batch; the eid rides the partial/hold
+    records).  State per key: per-variant
     lifetime anchor counters, per-variant partial lists (bounded by
-    ``max_active_anchors`` each, declines visible), and the hold list
-    (bounded by matches inside the ``within`` horizon)."""
+    ``max_active_anchors`` each, declines visible; each record carries
+    its anchor eid as a trailing long), and the hold list
+    (bounded by matches inside the ``within`` horizon).
+
+    MEASURES (``variant_msteps``/``maggs``/``mnames``): each variant
+    carries its OWN step-index→measure map (a measure bound to a
+    branch-local variable folds only on the variants that contain it —
+    the batch ``_variant_mode`` skip), accumulator pairs ride each
+    partial via the same ``_macc`` fold the linear machine uses, and a
+    completed match's DECODED values (NaN = NULL) ride its hold record,
+    so the winning variant's measures emit at release — measures bound
+    to the un-chosen branch's variables are NULL, exactly the batch
+    union's fill."""
     nv = len(variant_specs)
+    msteps = variant_msteps or [{} for _ in range(nv)]
+    maggs = maggs or []
+    n_meas = len(maggs)
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         wm = state.getCurrentWatermarkMs()
-        packed, buffer, _holds = _unpack_common(state, 0, 3)
+        packed, buffer, _holds = _unpack_common(state, 0, 3 + n_meas)
         anchors_seen = list(packed[0:nv]) if packed else [0] * nv
         partials: list[list[list[int]]] = [[] for _ in range(nv)]
-        holds: list[list[int]] = []  # [vi, n_vals, *vals, deadline]
+        # hold: [vi, n_vals, *vals, *mbits(n_meas), anchor_eid, deadline];
+        # partial: [prog, lcnt, lfirst, llast, *vals, *mslots(2*n_meas),
+        # anchor_eid] — the eid makes the release dedup per ANCHOR ROW,
+        # matching the batch union's per-anchor-row_number dedup when
+        # two anchors share a ms
+        holds: list[list[int]] = []
         idx = nv
         if packed:
             for v in range(nv):
                 np_ = packed[idx]
                 idx += 1
                 for _ in range(np_):
-                    g = 4 + _vals_len(variant_specs[v], packed[idx])
+                    g = (4 + _vals_len(variant_specs[v], packed[idx])
+                         + 2 * n_meas + 1)
                     partials[v].append(list(packed[idx:idx + g]))
                     idx += g
             nh = packed[idx]
             idx += 1
             for _ in range(nh):
                 nvals = packed[idx + 1]
-                holds.append(list(packed[idx:idx + 2 + nvals + 1]))
-                idx += 2 + nvals + 1
-        sealed, buffer = _ingest_and_seal(state, pdfs, wm, buffer)
+                g = 2 + nvals + n_meas + 2
+                holds.append(list(packed[idx:idx + g]))
+                idx += g
+        sealed, buffer = _ingest_and_seal(state, pdfs, wm, buffer, n_meas)
         rows: list[tuple] = []
-        for ts_v, _eid, mask in sealed:
+        for ev in sealed:
+            ts_v, eid, mask = ev[0], ev[1], ev[2]
+            mvals = [_l2d(b) for b in ev[3:]] if n_meas else None
             for v in range(nv):
                 specs = variant_specs[v]
                 vmask = (mask >> offsets[v]) & ((1 << len(specs)) - 1)
+                mtail = 2 * n_meas + 1  # mslots + aeid after the vals
                 surv: list[list[int]] = []
                 for p in partials[v]:
-                    anchor = p[4]
+                    anchor, aeid = p[4], p[-1]
+                    mslots = p[len(p) - mtail:-1]
                     if ts_v > anchor + within_ms:
-                        rows.append(("timeout", v, anchor, p[4:]))
+                        rows.append(("timeout", v, anchor,
+                                     p[4:len(p) - mtail], None))
                         continue
                     st, prog, lcnt, lfirst, llast, vals = _advance_event(
-                        p[0], p[1], p[2], p[3], p[4:], ts_v, vmask,
-                        specs, {}, None, True, None,
+                        p[0], p[1], p[2], p[3], p[4:len(p) - mtail], ts_v,
+                        vmask, specs, {}, None, True, None,
+                        msteps[v], mslots, mvals,
                     )
                     if st == "dead":
                         continue
                     if st == "complete":
                         if vals[-1] - vals[0] <= within_ms:
-                            holds.append([v, len(vals)] + vals
-                                         + [vals[0] + within_ms])
+                            mbits = [_d2l(x if x is not None else
+                                          float("nan"))
+                                     for x in _mdecode(maggs, mslots)]
+                            holds.append([v, len(vals)] + vals + mbits
+                                         + [aeid, vals[0] + within_ms])
                         continue
-                    surv.append([prog, lcnt, lfirst, llast] + vals)
+                    surv.append([prog, lcnt, lfirst, llast] + vals
+                                + mslots + [aeid])
                 partials[v] = surv
                 if vmask & 1:
                     anchors_seen[v] += 1
@@ -1612,34 +1654,49 @@ def mr_nested_matcher_fn(
                         # single-step variant (an empty bounded-repetition
                         # selection next to one concrete step): the anchor
                         # IS the match — straight to the hold
-                        holds.append([v, 1, ts_v, ts_v + within_ms])
+                        ms0 = _fresh_mslots(n_meas, msteps[v], mvals)
+                        mbits = [_d2l(x if x is not None else float("nan"))
+                                 for x in _mdecode(maggs, ms0)]
+                        holds.append([v, 1, ts_v] + mbits
+                                     + [eid, ts_v + within_ms])
                     elif len(partials[v]) < max_active_anchors:
-                        partials[v].append([1, 0, 0, 0, ts_v])
+                        partials[v].append(
+                            [1, 0, 0, 0, ts_v]
+                            + _fresh_mslots(n_meas, msteps[v], mvals)
+                            + [eid])
                     else:
-                        rows.append(("anchor_declined", v, ts_v, [ts_v]))
+                        rows.append(("anchor_declined", v, ts_v, [ts_v],
+                                     None))
+        mtail = 2 * n_meas + 1
         for v in range(nv):
             alive: list[list[int]] = []
             for p in partials[v]:
                 if wm > p[4] + within_ms:
-                    rows.append(("timeout", v, p[4], p[4:]))
+                    rows.append(("timeout", v, p[4], p[4:len(p) - mtail],
+                                 None))
                 else:
                     alive.append(p)
             partials[v] = alive
         # release due holds: all matches of one anchor share the same
         # deadline, so they release together — keep the minimum variant
-        # index per anchor timestamp (leftmost preference; same-ms
-        # anchors collapse, documented — the eid tiebreak is not part
-        # of the emitted anchor identity)
+        # index per ANCHOR ROW (anchor_ts, anchor_eid): leftmost
+        # preference with batch per-anchor-row parity (two distinct
+        # anchors in one ms each emit; ties order by ts then eid)
         due = [h for h in holds if wm > h[-1]]
         holds = [h for h in holds if wm <= h[-1]]
-        best: dict[int, list[int]] = {}
+        best: dict[tuple[int, int], list[int]] = {}
         for h in due:
-            a = h[2]
+            a = (h[2], h[-2])
             if a not in best or h[0] < best[a][0]:
                 best[a] = h
         for a in sorted(best):
             h = best[a]
-            rows.append(("match", h[0], a, h[2:-1]))
+            nvals = h[1]
+            meas = ([_l2d(b) for b in h[2 + nvals:2 + nvals + n_meas]]
+                    if n_meas else None)
+            if meas is not None:
+                meas = [None if x != x else x for x in meas]
+            rows.append(("match", h[0], h[2], h[2:2 + nvals], meas))
         packed2 = list(anchors_seen)
         for v in range(nv):
             packed2.append(len(partials[v]))
@@ -1658,13 +1715,19 @@ def mr_nested_matcher_fn(
             + [h[-1] + 1 for h in holds],
         )
         if rows:
-            yield pd.DataFrame({
+            cols = {
                 "key": [key[0]] * len(rows),
                 "status": [r[0] for r in rows],
                 "variant_idx": [r[1] for r in rows],
                 "anchor_ts": [r[2] for r in rows],
                 "step_ts": [[int(x) for x in r[3]] for r in rows],
-            })
+            }
+            for mi, name in enumerate(mnames or []):
+                cols[name] = pd.array(
+                    [r[4][mi] if r[4] is not None else None for r in rows],
+                    dtype="float64",
+                )
+            yield pd.DataFrame(cols)
 
     return fn
 
@@ -1702,21 +1765,32 @@ def _mr_nested_stream(
     ``match_combinations_stream`` makes for its cap contract).
 
     Output: ``(key, status, variant_idx, anchor_ts, step_ts)`` plus one
-    ``<group>_variant`` label column per nested group; ``step_ts`` is
+    ``<group>_variant`` label column per nested group and one nullable
+    double column per MEASURES entry; ``step_ts`` is
     the chosen variant's linear layout (one entry per plain step, a
     (first, last, count) triple per quantified step).  ``status``:
     ``match`` / ``timeout`` (per variant — a branch whose partial
     expired) / ``anchor_declined`` (per variant at the live cap).
 
+    MEASURES (r10, closing the r9 "no measures" scope): the same
+    ``{out: (agg, value_col, var)}`` surface as the linear streaming
+    machine, composed PER VARIANT — each variant folds only the
+    measures whose variable exists in its unrolled layout (the batch
+    ``_variant_mode`` skip), the accumulator pairs ride each partial,
+    and the winning variant's decoded values emit at window close; a
+    measure on the un-chosen branch's variable is NULL, exactly the
+    batch union's fill.  A variable present in NO variant raises
+    (repetition copies are named ``<var>_<rep>``, as in batch).
+
     Scope (validated loud): strict contiguity only (the row-regex
     reading is what makes per-variant advancement deterministic),
     ``after_match`` skip_to_next/no_skip (a pruning skip strategy
     across variant machines would need cross-variant horizon
-    coordination mid-event), ``mode='all'``, no measures (and hence no
-    flat-group classifier columns — the classifier rides the measure
-    machinery); same-millisecond anchors collapse to the leftmost
-    variant (the eid tiebreak is not part of the emitted anchor
-    identity, documented).  ``max_anchors_per_key`` and
+    coordination mid-event), ``mode='all'``.
+    The release dedup is per anchor ROW ``(anchor_ts,
+    anchor_eid)`` — two distinct anchors in the same millisecond each
+    emit their own leftmost variant, matching the batch union's
+    per-anchor-row_number dedup.  ``max_anchors_per_key`` and
     ``max_active_anchors`` bound each VARIANT's anchors independently,
     like the batch expansion."""
     from ..operators.cep import (
@@ -1737,13 +1811,6 @@ def _mr_nested_stream(
             "nested alternation groups run one partial list per "
             "variant — use mode='all'"
         )
-    if measures:
-        raise ValueError(
-            "streaming nested alternation groups do not support "
-            "MEASURES (a measure bound to a branch-local variable has "
-            "no value on the other branches' machines) — use the batch "
-            "match_recognize"
-        )
     if after_match not in ("skip_to_next", "no_skip"):
         raise ValueError(
             "streaming nested alternation groups support "
@@ -1762,6 +1829,7 @@ def _mr_nested_stream(
         return F.expr(p) if isinstance(p, str) else p
 
     variant_specs: list[list[tuple]] = []
+    variant_step_names: list[list[str]] = []
     offsets: list[int] = []
     bits: list[tuple[int, Column]] = []
     bit = 0
@@ -1790,11 +1858,41 @@ def _mr_nested_stream(
             bits.append((bit + i, s[1]))
         bit += len(positives)
         variant_specs.append(specs)
+        variant_step_names.append([s[0] for s in positives])
     if bit > 62:
         raise ValueError(
             f"nested alternation expansion needs {bit} step-mask bits "
             "(> 62): fewer/narrower variants required"
         )
+    # MEASURES compose per variant: each variant gets its OWN
+    # step-index map (the batch _variant_mode contract — a measure on a
+    # branch-local variable folds only where the variable exists and
+    # emits NULL when the winning variant lacks it); the value columns
+    # ride the stream ONCE, shared by every variant's accumulators
+    mspecs: list[tuple[str, str, str]] = []
+    variant_msteps: list[dict[int, list[tuple[int, str]]]] = [
+        {} for _ in variants
+    ]
+    if measures:
+        _MAGGS = ("sum", "avg", "min", "max", "first", "last")
+        for out_name, (magg, val_col, var) in measures.items():
+            if magg not in _MAGGS:
+                raise ValueError(
+                    f"MEASURES {out_name}: agg must be one of "
+                    f"{sorted(_MAGGS)}, got {magg!r}"
+                )
+            if not any(var in names for names in variant_step_names):
+                raise ValueError(
+                    f"MEASURES {out_name}: variable {var!r} appears in "
+                    f"no pattern variant (repetition copies are named "
+                    f"<var>_<rep>, as in the batch twin)"
+                )
+            mi = len(mspecs)
+            for v, names in enumerate(variant_step_names):
+                if var in names:
+                    variant_msteps[v].setdefault(
+                        names.index(var), []).append((mi, magg))
+            mspecs.append((magg, val_col, var))
     within_ms = parse_within_ms(within)
     mask = F.lit(0).cast("long")
     for b, pred in bits:
@@ -1816,10 +1914,16 @@ def _mr_nested_stream(
         eid_col.alias("event_id"),
         mask.alias("step_mask"),
         "row_time",
+        *[(vc if isinstance(vc, Column) else F.col(vc))
+          .cast("double").alias(f"mv_{i}")
+          for i, (_a, vc, _v) in enumerate(mspecs)],
     )
     matcher = mr_nested_matcher_fn(
         variant_specs, offsets, within_ms, max_active_anchors,
         max_anchors_per_key,
+        variant_msteps=variant_msteps,
+        maggs=[a for a, _vc, _v in mspecs],
+        mnames=list(measures or {}),
     )
     out_schema = StructType([
         StructField("key", StringType()),
@@ -1827,7 +1931,7 @@ def _mr_nested_stream(
         StructField("variant_idx", LongType()),
         StructField("anchor_ts", LongType()),
         StructField("step_ts", ArrayType(LongType())),
-    ])
+    ] + [StructField(nm, DoubleType()) for nm in (measures or {})])
     if impl == "tws":
         out = run_matcher_tws(
             src, matcher, out_schema, _STATE, "match_recognize_stream"

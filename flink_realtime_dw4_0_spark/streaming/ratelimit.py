@@ -204,7 +204,15 @@ def rate_limit_stream(
     The DEFAULT is ``'auto'`` (r9 flip policy, gated on this family's
     own measured A/B — BENCH_TWS_AB.json: steady 38,117 rows/s tws vs
     36,271 apply): tws when the public protobuf runtime is importable,
-    apply otherwise."""
+    apply otherwise.
+
+    COLD-START TAX: tws launches a per-query state server once, so a
+    SHORT-LIVED job (``availableNow`` / a few micro-batches) pays
+    seconds of one-time setup that steady-state parity never amortizes
+    — in the driver A/B the tws WALL throughput read −40% vs apply
+    while steady-state was at parity (BENCH_TWS_AB.json wall vs steady
+    sections).  Long-running streams (the design target) amortize it to
+    noise; for short batch-ish replays pass ``impl='apply'``."""
     import re
 
     if impl not in ("auto", "apply", "tws"):

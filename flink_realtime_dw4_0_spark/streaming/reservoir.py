@@ -297,7 +297,15 @@ def weighted_reservoir_stream(
     ``'auto'`` (r9 flip policy, gated on the family's own measured A/B
     — BENCH_RESERVOIR_AB.json: steady canary-normalized 6,981 tws vs
     5,270 apply): tws when the public protobuf runtime is importable,
-    apply otherwise."""
+    apply otherwise.
+
+    COLD-START TAX: tws launches a per-query state server once, so a
+    SHORT-LIVED job (``availableNow`` / a few micro-batches) pays
+    seconds of one-time setup that steady-state parity never amortizes
+    (BENCH_RESERVOIR_AB.json wall vs steady: wall within 16% of apply
+    only because the run was long enough).  Long-running streams (the
+    design target) amortize it to noise; for short batch-ish replays
+    pass ``impl='apply'``."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if impl not in ("auto", "apply", "tws"):
@@ -352,7 +360,15 @@ def reservoir_sample_stream(
     ``'auto'`` (r9 flip policy, gated on the family's own measured A/B
     — BENCH_RESERVOIR_AB.json: steady canary-normalized 6,981 tws vs
     5,270 apply): tws when the public protobuf runtime is importable,
-    apply otherwise."""
+    apply otherwise.
+
+    COLD-START TAX: tws launches a per-query state server once, so a
+    SHORT-LIVED job (``availableNow`` / a few micro-batches) pays
+    seconds of one-time setup that steady-state parity never amortizes
+    (BENCH_RESERVOIR_AB.json wall vs steady: wall within 16% of apply
+    only because the run was long enough).  Long-running streams (the
+    design target) amortize it to noise; for short batch-ish replays
+    pass ``impl='apply'``."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if impl not in ("auto", "apply", "tws"):

@@ -3972,6 +3972,28 @@ def test_mr_run_classifiers(spark):
     cols = cep.match_recognize(ev, pattern="V (C|E)+ P", define=define,
                                within="1 HOUR").columns
     assert "C_or_E_classifiers" not in cols
+    # exact {n}: unrolls to plain copies (no loop-match list), so the
+    # crediting is per-copy rn lookups — same array column, same
+    # leftmost preference (the r9 ADVICE crash: the run path referenced
+    # C_or_E_first_rn which {n} unrolling never creates)
+    # under strict (default) u1 = V C E C P has no {2} match: after two
+    # group rows the adjacent row is C, not P
+    assert cep.match_recognize(
+        ev, pattern="V (C|E){2} P", define=define, within="1 HOUR",
+        run_classifiers=True).count() == 0
+    got_n = {r.user_id: r.C_or_E_classifiers for r in cep.match_recognize(
+        ev, pattern="V (C|E){2} P", define=define, within="1 HOUR",
+        contiguity="relaxed", run_classifiers=True).collect()}
+    assert got_n == {"u1": ["C", "E"]}
+    got_n_ov = {r.user_id: r.C_or_E_classifiers for r in cep.match_recognize(
+        ev, pattern="V (C|E){2} P", define=define_ov, within="1 HOUR",
+        contiguity="relaxed", run_classifiers=True).collect()}
+    assert got_n_ov == {"u1": ["C", "E"]}
+    # {1}: the single copy keeps the bare group name
+    got_1 = {r.user_id: r.C_or_E_classifiers for r in cep.match_recognize(
+        ev, pattern="V (C|E){1} P", define=define, within="1 HOUR",
+        contiguity="relaxed", run_classifiers=True).collect()}
+    assert got_1 == {"u1": ["C"]}
 
 
 def test_mr_nested_alternation(spark):
@@ -4074,10 +4096,12 @@ def test_mr_nested_alternation(spark):
     from flink_realtime_dw4_0_spark.streaming.cep_pattern import (
         match_recognize_stream,
     )
-    with _pytest.raises(ValueError, match="MEASURES"):
+    # nested MEASURES are supported since r10 (per-variant fold) — but a
+    # variable present in NO variant is still loud
+    with _pytest.raises(ValueError, match="no pattern variant"):
         match_recognize_stream(ev, pattern="V (A | B C) P", define=define,
                                within="1 HOUR",
-                               measures={"m": ("sum", "event_id", "C")})
+                               measures={"m": ("sum", "event_id", "Z")})
     with _pytest.raises(ValueError, match="strict contiguity"):
         match_recognize_stream(ev, pattern="V (A | B C) P", define=define,
                                within="1 HOUR", contiguity="relaxed")

@@ -140,3 +140,28 @@ def test_crossjoins_broadcast_or_allowlisted():
         "crossJoin without a broadcast side (allowlist it with a bound, or "
         "broadcast the small side):\n" + "\n".join(bad)
     )
+
+
+def test_super_linear_exacts_declare_scale_contract():
+    """Every catalog entry the measured scale ladder flagged >= 1.5
+    (BENCH_SCALE.json, 100x span) must carry a scale_contract naming
+    its measured-flat plan of record — so no consumer of queries()
+    mistakes an exactness reference for the 100 TB path — and the named
+    twin must actually exist in the catalog."""
+    from flink_realtime_dw4_0_spark.plans.catalog import CATALOG
+
+    flagged = {
+        "dedup_ngram_jaccard": "dedup_ngram_capped",
+        "ann_cosine_pairs": "ann_brute_force_topk",
+        "pipeline_pretrain_curation": "pipeline_pretrain_curation_capped",
+    }
+    for name, twin in flagged.items():
+        sc = CATALOG[name].scale_contract
+        assert sc, f"{name} measured super-linear but has no scale_contract"
+        assert twin in sc, f"{name} scale_contract must name its twin {twin}"
+        assert twin in CATALOG, f"named plan of record {twin} not in catalog"
+    # and the default contract stays the default: nothing else opts in
+    # without a measured flag to point at
+    extra = [n for n, s in CATALOG.items()
+             if s.scale_contract and n not in flagged]
+    assert not extra, f"unexpected scale_contract on {extra}"

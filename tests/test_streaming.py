@@ -4290,6 +4290,79 @@ def test_streaming_mr_nested_golden(spark, tmp_path):
         if r.key == "r1" and r.status == "match"
     ]
     assert rep == [("A A", (t(1), t(2), t(3), t(4)))]
+    # per-anchor-ROW release (r9 ADVICE): two distinct V anchors in the
+    # SAME millisecond — overlapping defines let both complete — each
+    # emit their own match instead of collapsing on anchor_ts, exactly
+    # like the batch union's per-anchor-row_number dedup
+    sm_rows = [{"user_id": "m1", "ts": ts, "event_id": e, "event_type": et}
+               for et, ts, e in [("V", base + SEC, 1), ("V", base + SEC, 2),
+                                 ("A", base + 2 * SEC, 3),
+                                 ("P", base + 3 * SEC, 4)]]
+    define_sm = {"V": "event_type = 'V'",
+                 "A": "event_type IN ('V', 'A')",
+                 "B": "event_type = 'B'", "C": "event_type = 'C'",
+                 "P": "event_type IN ('A', 'P')"}
+    sm = sorted(
+        (r.A_or_B_C_variant, tuple(r.step_ts))
+        for r in _run_mr_stream(
+            spark, tmp_path, "mrnest_samems", [sm_rows, b3],
+            pattern="V (A | B C) P", define=define_sm,
+            within="1 minute", watermark="30 seconds")
+        if r.key == "m1" and r.status == "match"
+    )
+    assert sm == [("A", (t(1), t(1), t(2))), ("A", (t(1), t(2), t(3)))]
+    smdf = spark.createDataFrame(
+        [(r["user_id"], r["ts"], r["event_id"], r["event_type"])
+         for r in sm_rows],
+        "user_id string, ts_ms long, event_id long, event_type string",
+    ).withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+    sm_batch = sorted(
+        (r.A_or_B_C_variant,
+         (int(r.V_ts.timestamp() * 1000), int(r.A_ts.timestamp() * 1000),
+          int(r.P_ts.timestamp() * 1000)))
+        for r in match_recognize(
+            smdf, pattern="V (A | B C) P", define=define_sm,
+            within="1 minute").collect())
+    assert sm_batch == sm
+    # MEASURES per variant (r10): a measure on a branch-local variable
+    # folds only on variants that contain it and is NULL when the
+    # winning variant lacks it — batch-union parity under shuffled
+    # arrival.  u1 wins variant "A" (a_sum = eid 2, c_sum NULL); u2
+    # wins "B C+" (a_sum NULL, c_sum = eids 3+4 = 7)
+    meas = {
+        m_r.key: (m_r.A_or_B_C_variant, m_r.a_sum, m_r.c_sum)
+        for m_r in _run_mr_stream(
+            spark, tmp_path, "mrnest_meas", [b1, b2, b3],
+            pattern="V (A | B C+) P", define=define,
+            within="1 minute", watermark="30 seconds",
+            measures={"a_sum": ("sum", "event_id", "A"),
+                      "c_sum": ("sum", "event_id", "C")})
+        if m_r.key in ("u1", "u2") and m_r.status == "match"
+    }
+    assert meas == {"u1": ("A", 2.0, None), "u2": ("B C+", None, 7.0)}
+    meas_b = {
+        m_r.user_id: (m_r.A_or_B_C_variant,
+                      m_r.a_sum and float(m_r.a_sum),
+                      m_r.c_sum and float(m_r.c_sum))
+        for m_r in match_recognize(
+            bdf, pattern="V (A | B C+) P", define=define,
+            within="1 minute",
+            measures={"a_sum": ("sum", "event_id", "A"),
+                      "c_sum": ("sum", "event_id", "C")}).collect()
+    }
+    assert meas_b == meas
+    # TWS twin carries the measures too
+    meas_t = {
+        m_r.key: (m_r.A_or_B_C_variant, m_r.a_sum, m_r.c_sum)
+        for m_r in _run_mr_stream(
+            spark, tmp_path, "mrnest_meas_tws", [b1, b2, b3],
+            pattern="V (A | B C+) P", define=define,
+            within="1 minute", watermark="30 seconds", impl="tws",
+            measures={"a_sum": ("sum", "event_id", "A"),
+                      "c_sum": ("sum", "event_id", "C")})
+        if m_r.key in ("u1", "u2") and m_r.status == "match"
+    }
+    assert meas_t == meas
 
 
 def _run_combinations_stream(spark, tmp_path, name, batches, pat, **kwargs):
@@ -4549,6 +4622,19 @@ def test_streaming_mr_measures_golden(spark, tmp_path):
             measures=measures).collect()
     }
     assert twin == got
+    # TWS leg (r10): the measure value columns are named mv_{i}, not
+    # __mv{i}, because transformWithStateInPandas's Arrow bridge drops
+    # leading-dunder field names — this leg pins that both state APIs
+    # receive the values
+    got_tws = {
+        r.key: demeas(r)
+        for r in _run_mr_stream(
+            spark, tmp_path, "mrm_tws", [b1, b2, b3], schema=_MRM_SCHEMA,
+            pattern="V C+ P", define=define, within="1 minute",
+            watermark="10 seconds", measures=measures, impl="tws")
+        if r.key != "u9" and r.status == "match"
+    }
+    assert got_tws == got
 
 
 def test_streaming_mr_measures_randomized_parity(spark, tmp_path):
@@ -5629,6 +5715,11 @@ def test_checkpoint_restart_equals_uninterrupted(spark, tmp_path, op):
         ]
 
         def build(stream):
+            # the measure accumulator must ALSO cross the boundary:
+            # u2's pre-restart C (eid 6) folds into c_sum before the
+            # restart, the post-restart C (eid 8) after — a reset
+            # accumulator would emit 8.0 instead of 14.0 (r10 nested
+            # MEASURES)
             return match_recognize_stream(
                 stream, pattern="V (A | B C+) P",
                 define={"V": "event_type = 'V'", "A": "event_type = 'A'",
@@ -5636,6 +5727,7 @@ def test_checkpoint_restart_equals_uninterrupted(spark, tmp_path, op):
                         "P": "event_type = 'P'"},
                 within="1 minute", watermark="5 seconds",
                 event_id="event_id", impl=nested_impl,
+                measures={"c_sum": ("sum", "event_id", "C")},
             )
 
     if op in ("combinations", "combinations_tws"):
@@ -5859,10 +5951,13 @@ def test_checkpoint_restart_equals_uninterrupted(spark, tmp_path, op):
              if r[0] == "u1" and r[1] == "match"}
         assert m == {"2", "3", "2,3"}
     if op in ("mr_nested", "mr_nested_tws"):
-        m = {(r[0], r[5], tuple(r[4])) for r in uninterrupted
+        # columns: key,status,variant_idx,anchor_ts,step_ts,c_sum,variant
+        m = {(r[0], r[6], tuple(r[4]), r[5]) for r in uninterrupted
              if r[1] == "match"}
         assert m == {
-            ("u1", "A", (base + 1 * SEC, base + 2 * SEC, base + 3 * SEC)),
+            ("u1", "A", (base + 1 * SEC, base + 2 * SEC, base + 3 * SEC),
+             None),
             ("u2", "B C+", (base + 1 * SEC, base + 2 * SEC, base + 3 * SEC,
-                            base + 40 * SEC, 2, base + 41 * SEC)),
+                            base + 40 * SEC, 2, base + 41 * SEC),
+             14.0),  # eid 6 folded pre-restart + eid 8 post-restart
         }

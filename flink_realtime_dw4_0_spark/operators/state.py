@@ -141,7 +141,7 @@ def _visitor_fix_tws(with_dt: DataFrame) -> DataFrame:
     )
 
 
-def visitor_fix(df: DataFrame, impl: str = "apply") -> DataFrame:
+def visitor_fix(df: DataFrame, impl: str = "auto") -> DataFrame:
     """T1 — apply the new-visitor fix to a stream with columns
     (mid, event_id, ts, is_new).  Keyed shuffle on mid, per-key ValueState —
     the same topology as keyBy + KeyedProcessFunction (DwdBaseLog.java:202-206).
@@ -153,9 +153,20 @@ def visitor_fix(df: DataFrame, impl: str = "apply") -> DataFrame:
     ``impl='tws'`` runs the identical decision table on Spark 4.x's
     ``transformWithStateInPandas`` (equivalence + restart pinned by
     tests — the migration contract for the old API's deprecation).
+    The DEFAULT is ``'auto'`` (r10 flip, gated on this family's own
+    best-of-3 fresh-JVM canary-normalized A/B — BENCH_TWS_FLIP.json:
+    best tws 20,932 vs apply 21,430 rows/canary = 0.977, parity): tws
+    when the public protobuf runtime is importable, apply otherwise.
+    COLD-START TAX: tws launches a per-query state server once —
+    short-lived ``availableNow`` replays should pass ``impl='apply'``;
+    long-running streams amortize it to noise.
     """
-    if impl not in ("apply", "tws"):
-        raise ValueError(f"impl must be apply|tws, got {impl!r}")
+    if impl not in ("auto", "apply", "tws"):
+        raise ValueError(f"impl must be auto|apply|tws, got {impl!r}")
+    if impl == "auto":
+        from ..session import ensure_protobuf
+
+        impl = "tws" if ensure_protobuf() else "apply"
     with_dt = df.withColumn(
         "dt", F.date_format(F.timestamp_millis("ts"), "yyyy-MM-dd")
     )

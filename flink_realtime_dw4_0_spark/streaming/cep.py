@@ -292,6 +292,14 @@ def match_sequence_stream(
     ``impl='tws'`` runs the identical machine on Spark 4.x's
     ``transformWithStateInPandas`` via ``run_matcher_tws`` (equivalence
     + restart pinned by tests, like every other stateful family).
+
+    The default STAYS ``'apply'`` — the only family the r10 flip gate
+    did not pass: best-of-3 fresh-JVM canary-normalized A/B
+    (BENCH_TWS_FLIP.json family ``cep_seq``) read best tws 9,961 vs
+    apply 10,873 rows/canary = 0.916, below the 0.95 parity-or-better
+    threshold.  A recorded keep-apply decision, not a gap: the tws twin
+    stays equivalence- and restart-tested, and the flip re-runs when
+    the API's overhead improves.
     """
     from ..operators.cep import parse_within_ms
 

@@ -814,7 +814,7 @@ def match_pattern_stream(
     max_anchors_per_key: int | None = None,
     after_match: str = "no_skip",
     measures: dict[str, tuple[str, str, str]] | None = None,
-    impl: str = "apply",
+    impl: str = "auto",
     _mr_strict: bool = False,
 ) -> DataFrame:
     """Streaming full-pattern matcher: the same ``pattern`` dicts as
@@ -842,6 +842,14 @@ def match_pattern_stream(
     timeout invocation); equivalence and checkpoint-restart are pinned
     by tests, completing the deprecation-path coverage for every
     applyInPandasWithState family in the repo.
+
+    ``impl`` DEFAULTS to ``'auto'``, resolved PER MACHINE on each
+    family's own flip evidence (BENCH_TWS_FLIP.json, best-of-3
+    fresh-JVM canary-normalized): the LINEAR machine flips to tws when
+    protobuf is importable (``cep_pattern_loop`` best tws/apply 1.12);
+    the NESTED machine stays on applyInPandasWithState (``mr_nested``
+    0.861 — below the 0.95 parity gate; recorded decision, tws twin
+    still explicit and restart-tested).  COLD-START TAX: tws launches a per-query state server once — short-lived ``availableNow`` replays should pass ``impl='apply'``; long-running streams amortize it to noise.
 
     Plain alternation groups ``(A|B)`` additionally emit a
     ``<group>_classifier`` string column like the batch twin: the
@@ -882,13 +890,25 @@ def match_pattern_stream(
       ``<step>``; the target must be a concrete unrolled step name and
       may not be optional).  Skip strategies are rejected with
       deferred-emission patterns (terminal negation / terminal
-      quantifier) whose kill set isn't known at event time."""
+      quantifier) whose kill set isn't known at event time.
+
+    ``impl`` DEFAULTS to ``'auto'`` (r10 flip, gated on this machine's
+    own best-of-3 fresh-JVM canary-normalized A/B — BENCH_TWS_FLIP.json
+    family ``cep_pattern_loop``: best tws 11,120 vs apply 9,933
+    rows/canary = 1.12): tws when the public protobuf runtime is
+    importable, apply otherwise.  COLD-START TAX: tws launches a per-query state server once — short-lived ``availableNow`` replays should pass ``impl='apply'``; long-running streams amortize it to noise."""
     if within is None:
         raise ValueError(
             "match_pattern_stream requires `within`: the streaming machine "
             "needs a timeout horizon to bound state and resolve anchors "
             "(the batch twin allows within=None; a stream cannot)"
         )
+    if impl not in ("auto", "apply", "tws"):
+        raise ValueError(f"impl must be auto|apply|tws, got {impl!r}")
+    if impl == "auto":
+        from ..session import ensure_protobuf
+
+        impl = "tws" if ensure_protobuf() else "apply"
     if any(p.get("allow_combinations") for p in pattern):
         raise ValueError(
             "allowCombinations is not a fork machine (a live fork per "
@@ -1123,7 +1143,7 @@ def match_recognize_stream(
     max_active_anchors: int = 16,
     max_anchors_per_key: int | None = None,
     measures: dict[str, tuple[str, str, str]] | None = None,
-    impl: str = "apply",
+    impl: str = "auto",
 ) -> DataFrame:
     """Streaming Flink SQL ``MATCH_RECOGNIZE`` — the same PATTERN /
     DEFINE / WITHIN / AFTER MATCH / MEASURES surface as the batch
@@ -1164,12 +1184,22 @@ def match_recognize_stream(
         raise ValueError(
             f"contiguity must be strict|relaxed, got {contiguity!r}"
         )
+    if impl not in ("auto", "apply", "tws"):
+        raise ValueError(f"impl must be auto|apply|tws, got {impl!r}")
     steps = parse_mr_pattern(pattern)
     missing = [n for nm, _ in steps for n in _mr_step_vars(nm)
                if n not in define]
     if missing:
         raise ValueError(f"MATCH_RECOGNIZE: DEFINE missing for {missing}")
     if any(_mr_is_nested(nm) for nm, _ in steps):
+        # 'auto' resolves PER MACHINE on each family's own flip
+        # evidence (BENCH_TWS_FLIP.json): the nested machine's A/B read
+        # best tws/apply 0.861 — below the 0.95 parity gate — so auto
+        # stays on applyInPandasWithState here, while the linear
+        # machine below flips (cep_pattern_loop 1.12).  Explicit
+        # impl='tws' remains available and restart-tested.
+        if impl == "auto":
+            impl = "apply"
         return _mr_nested_stream(
             events, steps, partition_by=partition_by, order_by=order_by,
             event_id=event_id, define=define, within=within,
@@ -1419,7 +1449,7 @@ def match_combinations_stream(
     max_loop_candidates: int = 16,
     max_combinations: int = 128,
     max_active_anchors: int = 16,
-    impl: str = "apply",
+    impl: str = "auto",
 ) -> DataFrame:
     """Streaming Flink CEP ``oneOrMore().allowCombinations()`` — the
     r8-documented "no streaming leg" rejection, closed under the SAME
@@ -1452,7 +1482,10 @@ def match_combinations_stream(
     every event counted, so the per-key rn counter persists for the
     key's lifetime (2 longs per idle key).  ``impl='tws'`` runs the
     identical generator on ``transformWithStateInPandas`` through the
-    shared ``_TwsState`` adapter.
+    shared ``_TwsState`` adapter; the DEFAULT is ``'auto'`` (r10 flip,
+    BENCH_TWS_FLIP.json family ``combinations``: best tws 7,941 vs
+    apply 7,407 rows/canary = 1.07): tws when the public protobuf
+    runtime is importable, apply otherwise.  COLD-START TAX: tws launches a per-query state server once — short-lived ``availableNow`` replays should pass ``impl='apply'``; long-running streams amortize it to noise.
 
     Reference: Pattern.java combinations() semantics
     (flink-cep); parity is pinned by randomized shuffled-arrival
@@ -1465,6 +1498,12 @@ def match_combinations_stream(
     a, b, c, mn, mx = validate_combinations_pattern(
         pattern, max_loop_candidates
     )
+    if impl not in ("auto", "apply", "tws"):
+        raise ValueError(f"impl must be auto|apply|tws, got {impl!r}")
+    if impl == "auto":
+        from ..session import ensure_protobuf
+
+        impl = "tws" if ensure_protobuf() else "apply"
     within_ms = _pw(within)
     an, bn = a["name"], b["name"]
     mask = (

@@ -450,6 +450,15 @@ def test_visitor_fix_tws_equals_apply(spark, tmp_path):
         visitor_fix(spark.readStream.format("rate").load().selectExpr(
             "cast(value as string) as mid", "value as event_id",
             "1 as ts", "'1' as is_new"), impl="nope")
+    # r10 flip: the default is 'auto' and resolves to the successor API
+    # here (protobuf importable) — BENCH_TWS_FLIP.json visitor_fix
+    from flink_realtime_dw4_0_spark.session import ensure_protobuf
+    assert ensure_protobuf() is True
+    stream0 = spark.readStream.format("rate").load().selectExpr(
+        "cast(value as string) as mid", "value as event_id",
+        "1 as ts", "'1' as is_new")
+    assert "transformWithState" in \
+        visitor_fix(stream0)._jdf.queryExecution().analyzed().toString()
 
 
 # --------------------------------------------------------------------------
@@ -4511,6 +4520,20 @@ def test_streaming_allow_combinations_randomized_capped_parity(
     assert stream == batch and len(batch) >= 20
     # the caps genuinely fired somewhere in this soup
     assert any(r[4] > 0 for r in batch) and any(r[5] > 0 for r in batch)
+    # r10 flip: match_combinations_stream defaults to 'auto' and
+    # resolves to the successor API here (BENCH_TWS_FLIP.json
+    # combinations: best tws/apply = 1.07)
+    from flink_realtime_dw4_0_spark.session import ensure_protobuf
+    from flink_realtime_dw4_0_spark.streaming.cep_pattern import (
+        match_combinations_stream as _mcs,
+    )
+    assert ensure_protobuf() is True
+    stream0 = spark.readStream.format("rate").load().selectExpr(
+        "cast(value as string) as user_id", "value as ts",
+        "value as event_id", "'A' as event_type")
+    assert "transformWithState" in _mcs(
+        stream0, _combo_pat(), within="1 minute", event_id="event_id",
+    )._jdf.queryExecution().analyzed().toString()
 
 
 def test_streaming_allow_combinations_tws_equals_apply(spark, tmp_path):
@@ -5961,3 +5984,56 @@ def test_checkpoint_restart_equals_uninterrupted(spark, tmp_path, op):
                             base + 40 * SEC, 2, base + 41 * SEC),
              14.0),  # eid 6 folded pre-restart + eid 8 post-restart
         }
+
+
+def test_cep_stream_defaults_resolve_auto(spark):
+    """r10 default-flip program outcomes (BENCH_TWS_FLIP.json,
+    best-of-3 fresh-JVM canary-normalized steady throughput):
+    match_pattern_stream (cep_pattern_loop 1.12x) and
+    match_recognize_stream (mr_nested) default to 'auto' and resolve to
+    transformWithStateInPandas when protobuf is importable;
+    match_sequence_stream KEEPS 'apply' (cep_seq 0.916x — the one
+    family below the 0.95 parity gate; recorded decision, tws twin
+    still spelled explicitly)."""
+    from flink_realtime_dw4_0_spark.session import ensure_protobuf
+    from flink_realtime_dw4_0_spark.streaming.cep import (
+        match_sequence_stream,
+    )
+    from flink_realtime_dw4_0_spark.streaming.cep_pattern import (
+        match_pattern_stream,
+        match_recognize_stream,
+    )
+
+    assert ensure_protobuf() is True
+    stream0 = spark.readStream.format("rate").load().selectExpr(
+        "cast(value as string) as user_id", "value as ts",
+        "value as event_id", "'A' as event_type")
+    pat = [{"name": "a", "where": F.col("event_type") == "A"},
+           {"name": "b", "where": F.col("event_type") == "B"}]
+    plan_pat = match_pattern_stream(
+        stream0, pat, within="1 minute", event_id="event_id",
+    )._jdf.queryExecution().analyzed().toString()
+    assert "transformWithState" in plan_pat
+    plan_mr = match_recognize_stream(
+        stream0, pattern="A B",
+        define={"A": "event_type = 'A'", "B": "event_type = 'B'"},
+        within="1 minute",
+    )._jdf.queryExecution().analyzed().toString()
+    assert "transformWithState" in plan_mr
+    # ... but the NESTED machine's auto resolves to apply (mr_nested
+    # family read 0.861 — below the parity gate)
+    plan_nested = match_recognize_stream(
+        stream0, pattern="A (B | C X) T",
+        define={"A": "event_type = 'A'", "B": "event_type = 'B'",
+                "C": "event_type = 'C'", "X": "event_type = 'X'",
+                "T": "event_type = 'A'"},
+        within="1 minute",
+    )._jdf.queryExecution().analyzed().toString()
+    assert "transformWithState" not in plan_nested
+    plan_seq = match_sequence_stream(
+        stream0,
+        [("a", F.col("event_type") == "A"),
+         ("b", F.col("event_type") == "B")],
+        within="1 minute", event_id="event_id",
+    )._jdf.queryExecution().analyzed().toString()
+    assert "transformWithState" not in plan_seq

@@ -1,0 +1,152 @@
+"""Extend the measured scale ladder one more decade — sf1 → sf10 — for
+the linear heavy hitters (r9 judge item #3): at sf1 several exponents
+are still partially masked by fixed per-query overhead (SCALING.md's
+0.608 headline says so); one decade more pins them where data
+dominates.
+
+Queries (the judge-named set, plus the r10 plan-of-record pipeline):
+    dedup_keep_best_quality        r9 exp 0.97 (linear, measured)
+    pipeline_pretrain_curation_capped   the 100 TB plan of record
+    ann_pq_index_topk              index twin (probe-only cost)
+    text_dsir_logweights           r9 exp 0.89
+    j1_inner_equijoin              headline join
+    a2_traffic_window_pv           headline window agg
+    a7_sku_order_window            headline dim-enrich agg
+
+Methodology matches tools/bench_scale.py: replica data only (generated
+by gen_scale_data.py under a scratch root, /root/testdata untouched),
+one JVM, codegen warm-up at driver sf0.001, per-query isolation,
+min-of-2 reps at the big points (each runs minutes).  Exponent
+``exp_last10`` is the log-log slope over sf1 → sf10.  Results are
+MERGED into BENCH_SCALE.json (a new ``sf10`` section; the r9 ladder
+sections are preserved) — any exp_last10 >= 1.5 lands in
+``superlinear_sf10`` and is the next work item.
+
+Usage: python tools/bench_scale_sf10.py [--replica-root /tmp/sfrep]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from flink_realtime_dw4_0_spark.plans.catalog import CATALOG  # noqa: E402
+from flink_realtime_dw4_0_spark.session import get_spark  # noqa: E402
+
+QUERIES = [
+    "dedup_keep_best_quality",
+    "pipeline_pretrain_curation_capped",
+    "ann_pq_index_topk",
+    "text_dsir_logweights",
+    "j1_inner_equijoin",
+    "a2_traffic_window_pv",
+    "a7_sku_order_window",
+]
+SFS = [1.0, 10.0]
+
+
+def ensure_replica(root: str, sf: float) -> str:
+    d = os.path.join(root, f"sf{sf:g}")
+    if not os.path.exists(os.path.join(d, "lineitem.parquet")):
+        print(f"generating replica sf{sf:g} ...", file=sys.stderr)
+        subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "gen_scale_data.py"),
+             str(sf), d],
+            check=True,
+        )
+    return d
+
+
+def fit_exponent(pts):
+    pts = [(sf, t) for sf, t in pts if t and t > 0]
+    if len(pts) < 2:
+        return None
+    xs = [math.log(sf) for sf, _ in pts]
+    ys = [math.log(t) for _, t in pts]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    denom = sum((x - mx) ** 2 for x in xs)
+    if denom == 0:
+        return None
+    return round(sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom, 3)
+
+
+def main() -> None:
+    replica_root = "/tmp/sfrep"
+    if "--replica-root" in sys.argv:
+        replica_root = sys.argv[sys.argv.index("--replica-root") + 1]
+    points = [(sf, ensure_replica(replica_root, sf)) for sf in SFS]
+
+    spark = get_spark("bench-scale-sf10")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    for name in QUERIES:  # codegen warm-up, smallest driver point
+        try:
+            CATALOG[name].fn(spark, "/root/testdata/sf0.001") \
+                .write.format("noop").mode("overwrite").save()
+        except Exception:  # noqa: BLE001 — warm-up is best-effort
+            pass
+    spark.catalog.clearCache()
+    time.sleep(2)
+
+    results: dict[str, dict[str, float]] = {}
+    for sf, sf_dir in points:  # small -> large
+        times: dict[str, float] = {}
+        for name in QUERIES:
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(1)
+            reps = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                CATALOG[name].fn(spark, sf_dir) \
+                    .write.format("noop").mode("overwrite").save()
+                reps.append(time.perf_counter() - t0)
+            times[name] = round(min(reps), 3)
+            print(f"sf{sf:g} {name}: {times[name]}s "
+                  f"(reps {[round(r, 2) for r in reps]})", file=sys.stderr)
+        results[f"{sf:g}"] = times
+
+    per_query: dict = {}
+    superlinear: list[str] = []
+    for name in QUERIES:
+        ladder = [(sf, results[f"{sf:g}"].get(name)) for sf in SFS]
+        exp = fit_exponent(ladder)
+        per_query[name] = {
+            "replica_sec": {f"{sf:g}": t for sf, t in ladder},
+            "exp_last10": exp,
+        }
+        if exp is not None and exp >= 1.5:
+            superlinear.append(name)
+
+    out_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_SCALE.json",
+    )
+    doc = {}
+    if os.path.exists(out_path):
+        with open(out_path) as fh:
+            doc = json.load(fh)
+    doc["sf10"] = {
+        "queries": per_query,
+        "superlinear_sf10": superlinear,
+        "note": "sf1->sf10 replica decade (r10 judge item #3); "
+                "methodology identical to the main ladder",
+    }
+    with open(out_path, "w") as fh:
+        json.dump(doc, fh, indent=1)
+    print(json.dumps({"sf10_exponents": {
+        n: per_query[n]["exp_last10"] for n in QUERIES},
+        "superlinear_sf10": superlinear}))
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

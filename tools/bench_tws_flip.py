@@ -185,10 +185,13 @@ def _family_mr_nested(spark, tmp, impl):
 
     n, keys, files, max_files = 90_000, 3000, 6, 2
     stream = _cep_src(spark, tmp, n, keys, files, max_files)
+    # T reuses the 'A' rows as the terminal (pattern variables must be
+    # unique per variant; predicates may overlap)
     out = match_recognize_stream(
-        stream, pattern="A (B | C X) B",
+        stream, pattern="A (B | C X) T",
         define={"A": "event_type = 'A'", "B": "event_type = 'B'",
-                "C": "event_type = 'C'", "X": "event_type = 'X'"},
+                "C": "event_type = 'C'", "X": "event_type = 'X'",
+                "T": "event_type = 'A'"},
         within="5 minutes", watermark="5 seconds", impl=impl,
     )
     return out, n, files, max_files
@@ -302,10 +305,19 @@ def main() -> int:
         print(f"DECISION {family}: tws/apply = {best_t}/{best_a} "
               f"= {best_t / best_a:.3f} -> "
               f"{'FLIP to auto' if flip else 'KEEP apply'}", flush=True)
+    # merge into an existing artifact so a re-run of one failed family
+    # doesn't discard the others' sessions
     out = {"protocol": "best-of-3 fresh-JVM sessions per side, "
                        "steady-state canary-normalized, flip at "
                        f"tws >= {PARITY} x apply",
-           "runs": runs, "decisions": decisions}
+           "runs": {}, "decisions": {}}
+    if os.path.exists("BENCH_TWS_FLIP.json"):
+        with open("BENCH_TWS_FLIP.json") as fh:
+            prev = json.load(fh)
+        out["runs"] = prev.get("runs", {})
+        out["decisions"] = prev.get("decisions", {})
+    out["runs"].update(runs)
+    out["decisions"].update(decisions)
     with open("BENCH_TWS_FLIP.json", "w") as fh:
         json.dump(out, fh, indent=1)
     print("wrote BENCH_TWS_FLIP.json", flush=True)

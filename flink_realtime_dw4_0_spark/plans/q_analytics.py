@@ -790,6 +790,14 @@ def dedup_components_q(spark, sf_dir):
     FROM eff
     """,
     tags=("dedup", "graph", "curation"),
+    scale_contract=(
+        "exact-reference: the pair stage is the uncapped AllPairs "
+        "jaccard — at the r10 sf10 ladder probe (500k docs) its "
+        "candidate shuffle spilled >50 GB and was aborted, the same "
+        "measured failure mode as the uncapped pretrain pipeline; "
+        "r9's 0.97 exponent held only to sf1 — plan of record at "
+        "scale: dedup_keep_best_capped (sf10-measured)"
+    ),
 )
 def dedup_keep_best_q(spark, sf_dir):
     """Quality-aware near-dup retention (dedup.keep_best_list): per
@@ -799,9 +807,73 @@ def dedup_keep_best_q(spark, sf_dir):
     arbitrary min-id representative.  One components pass + one narrow
     token-count projection + one window ranked WITHIN components (never
     corpus-sized partitions).  Oracle: the recursive-CTE closure plus
-    the same ranking window."""
+    the same ranking window.  EXACTNESS REFERENCE: the pair stage here
+    is the UNCAPPED AllPairs jaccard — see ``scale_contract`` and
+    ``dedup_keep_best_capped`` (the sf10-measured plan of record)."""
     docs = t(spark, sf_dir, "documents")
     return dedup.keep_best_list(docs, dedup.ngram_jaccard_pairs(docs))
+
+
+@q(
+    "dedup_keep_best_capped",
+    _DK_SHINGLES.replace("WITH", "WITH RECURSIVE", 1)
+    + """
+    , freq AS (SELECT shingle FROM inv GROUP BY shingle
+               HAVING count(*) <= 50),
+    inv_c AS (SELECT inv.doc_id, inv.shingle
+              FROM inv JOIN freq USING (shingle)),
+    sizes_c AS (SELECT doc_id, count(*) AS n FROM inv_c GROUP BY doc_id),
+    jp AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM inv_c a JOIN inv_c b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    np AS (
+      SELECT p.id_a, p.id_b
+      FROM jp p JOIN sizes_c sa ON p.id_a = sa.doc_id
+                JOIN sizes_c sb ON p.id_b = sb.doc_id
+      WHERE p.inter * 3 >= (sa.n + sb.n)),
+    e AS (SELECT id_a AS u, id_b AS v FROM np
+          UNION SELECT id_b, id_a FROM np),
+    reach(u, r) AS (
+      SELECT u, u FROM e
+      UNION
+      SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u),
+    comp AS (SELECT u AS doc_id, min(r) AS component FROM reach GROUP BY u),
+    q AS (SELECT doc_id,
+                 len(string_split_regex(lower(trim(text)), '\\s+')) AS nt
+          FROM documents),
+    eff AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+                   q.nt
+            FROM documents d JOIN q USING (doc_id)
+            LEFT JOIN comp c ON d.doc_id = c.doc_id)
+    SELECT doc_id, component,
+           CAST(row_number() OVER (PARTITION BY component
+                                   ORDER BY nt DESC, doc_id) = 1 AS INT)
+             AS keep
+    FROM eff
+    """,
+    tags=("dedup", "graph", "curation", "scale-knob"),
+)
+def dedup_keep_best_capped_q(spark, sf_dir):
+    """``dedup_keep_best_quality`` with the df-CAPPED pair stage
+    (shingles in >50 docs dropped, jaccard 1/2 over the survivors —
+    ``dedup_ngram_capped``'s semantics feeding the same components pass
+    and quality window): the 100 TB plan of record for quality-aware
+    retention.  Added in r10 after the sf10 ladder probe showed the
+    uncapped entry's AllPairs candidate stage spilling >50 GB at 500k
+    docs (the same measured failure mode as the uncapped pretrain
+    pipeline) — r9's linear 0.97 exponent held only to sf1, where fixed
+    overhead still masked the candidate growth.  The oracle mirrors the
+    capped two-stage definition with the naive join + recursive-CTE
+    closure + the identical ranking window."""
+    docs = t(spark, sf_dir, "documents")
+    return dedup.keep_best_list(
+        docs,
+        dedup.ngram_jaccard_pairs_prefix_capped(
+            docs, threshold_num=1, threshold_den=2, max_shingle_freq=50
+        ),
+    )
 
 
 @q(

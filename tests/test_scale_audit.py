@@ -154,6 +154,9 @@ def test_super_linear_exacts_declare_scale_contract():
         "dedup_ngram_jaccard": "dedup_ngram_capped",
         "ann_cosine_pairs": "ann_brute_force_topk",
         "pipeline_pretrain_curation": "pipeline_pretrain_curation_capped",
+        # r10 sf10 probe: the uncapped pair stage spilled >50 GB at
+        # 500k docs — r9's 0.97 exponent was overhead-masked at sf1
+        "dedup_keep_best_quality": "dedup_keep_best_capped",
     }
     for name, twin in flagged.items():
         sc = CATALOG[name].scale_contract

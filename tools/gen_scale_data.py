@@ -69,7 +69,14 @@ def _ts_us(date_str: str) -> int:
 
 
 def _write(out_dir: str, name: str, table: pa.Table) -> None:
-    pq.write_table(table, os.path.join(out_dir, f"{name}.parquet"))
+    # bounded row groups: Spark's parquet splits align to row groups, so
+    # a single-group 100MB+ file caps a stage at 1-2 tasks regardless of
+    # executor count (found at the r10 sf10 point: the 200k x 128-float
+    # embeddings file starved the ADC scan to 2 of 32 cores).  64k-row
+    # groups keep every table splittable — the layout a real multi-file
+    # dataset has — without changing a byte of the data.
+    pq.write_table(table, os.path.join(out_dir, f"{name}.parquet"),
+                   row_group_size=65536)
 
 
 def _tscol(arr_us: np.ndarray) -> pa.Array:

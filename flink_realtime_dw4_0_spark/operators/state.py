@@ -160,6 +160,12 @@ def visitor_fix(df: DataFrame, impl: str = "auto") -> DataFrame:
     COLD-START TAX: tws launches a per-query state server once —
     short-lived ``availableNow`` replays should pass ``impl='apply'``;
     long-running streams amortize it to noise.
+    CHECKPOINT PINNING: ``'auto'`` resolves per environment (protobuf
+    importability), so restarting from an existing checkpoint on a
+    machine where the resolution differs selects a DIFFERENT stateful
+    physical operator against an incompatible state store — pin
+    ``impl`` explicitly for any checkpointed long-running query and
+    keep it for the checkpoint's lifetime.
     """
     if impl not in ("auto", "apply", "tws"):
         raise ValueError(f"impl must be auto|apply|tws, got {impl!r}")

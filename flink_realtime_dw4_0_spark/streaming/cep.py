@@ -76,6 +76,13 @@ _STATE = StructType(
 )
 
 
+# Per-processor timer-memo capacity: ~60 B per entry, so the cap holds
+# worker memory under ~15 MB per partition even on extreme-cardinality
+# key spaces; eviction only costs the evicted key a listTimers fallback
+# on its next re-arm.
+_TIMER_MEMO_MAX = 200_000
+
+
 class _TwsState:
     """GroupState-shaped adapter over a transformWithStateInPandas
     ValueState + timer handle, so the CEP machine bodies (this module's
@@ -85,13 +92,30 @@ class _TwsState:
     ``exists`` / ``get`` (properties, like GroupState),
     ``getCurrentWatermarkMs``, ``update`` + ``setTimeoutTimestamp``
     (register-after-clearing — TWS timers persist, GroupState's is
-    re-armed per invocation), and ``remove``."""
+    re-armed per invocation), and ``remove``.
 
-    def __init__(self, vs, handle, timer_values, timed_out: bool):
+    ``timer_memo`` (r11, the cep_seq/nested-MR flip-gap work): the
+    adapter keeps AT MOST ONE live timer per key, so an LRU memo of
+    {key: registered_ts} per processor instance replaces the
+    listTimers round trip on every re-arm — an unchanged deadline
+    skips the state server entirely (0 RPCs instead of 3), a moved
+    deadline is delete+register (2).  SAFE because every machine
+    routed through ``run_matcher_tws`` clamps its re-arm to
+    ``max(min_deadline, wm + 1)``: a deadline equal to a timer that
+    already fired (ts <= wm) can never recur, so a memo hit always
+    refers to a timer that is genuinely still registered.  The memo is
+    a CACHE: a restarted worker starts empty and falls back to
+    listTimers, restoring the one-timer invariant before trusting the
+    memo again."""
+
+    def __init__(self, vs, handle, timer_values, timed_out: bool,
+                 key=None, timer_memo=None):
         self._vs = vs
         self._handle = handle
         self._tv = timer_values
         self.hasTimedOut = timed_out
+        self._key = key
+        self._memo = timer_memo
 
     @property
     def exists(self) -> bool:
@@ -115,12 +139,34 @@ class _TwsState:
         self._vs.update(tuple(value))
 
     def setTimeoutTimestamp(self, ts: int) -> None:
-        for t in self._handle.listTimers():
-            self._handle.deleteTimer(t)
-        self._handle.registerTimer(int(ts))
+        ts = int(ts)
+        if self._memo is None:
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
+            self._handle.registerTimer(ts)
+            return
+        known = self._memo.get(self._key)
+        if known == ts:  # already armed there — 0 round trips
+            self._memo.move_to_end(self._key)
+            return
+        if known is not None:
+            self._handle.deleteTimer(known)  # idempotent if it fired
+        else:  # memo miss (fresh worker / evicted): restore invariant
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
+        self._handle.registerTimer(ts)
+        self._memo[self._key] = ts
+        self._memo.move_to_end(self._key)
+        if len(self._memo) > _TIMER_MEMO_MAX:
+            self._memo.popitem(last=False)
 
     def remove(self) -> None:
         self._vs.clear()
+        if self._memo is not None:
+            known = self._memo.pop(self._key, None)
+            if known is not None:
+                self._handle.deleteTimer(known)
+                return
         for t in self._handle.listTimers():
             self._handle.deleteTimer(t)
 
@@ -144,22 +190,34 @@ def run_matcher_tws(src, matcher, out_schema, state_schema, ctx: str):
         TimerValues,
     )
 
+    from collections import OrderedDict
+
     class Proc(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._handle = handle
             self._vs = handle.getValueState("machine", state_schema)
+            # per-partition timer memo (see _TwsState): keys are sticky
+            # to their state-store partition across micro-batches, so
+            # the memo hit rate is ~1 after the first batch
+            self._timer_memo = OrderedDict()
 
         def handleInputRows(
             self, key, rows, timerValues: TimerValues
         ) -> Iterator[pd.DataFrame]:
-            shim = _TwsState(self._vs, self._handle, timerValues, False)
+            shim = _TwsState(self._vs, self._handle, timerValues, False,
+                             key=key, timer_memo=self._timer_memo)
             yield from matcher(key, rows, shim)
 
         def handleExpiredTimer(
             self, key, timerValues: TimerValues,
             expiredTimerInfo: ExpiredTimerInfo,
         ) -> Iterator[pd.DataFrame]:
-            shim = _TwsState(self._vs, self._handle, timerValues, True)
+            # the runtime deletes the fired timer itself: drop the memo
+            # entry so a later re-arm doesn't delete a fresh timer that
+            # happens to land on the stale memo value
+            self._timer_memo.pop(key, None)
+            shim = _TwsState(self._vs, self._handle, timerValues, True,
+                             key=key, timer_memo=self._timer_memo)
             yield from matcher(key, iter(()), shim)
 
         def close(self) -> None:

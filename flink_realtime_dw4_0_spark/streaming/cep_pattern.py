@@ -85,9 +85,13 @@ _STATE = StructType(
 
 def _d2l(x: float) -> int:
     """Measure values ride inside the long-array state as their IEEE-754
-    bit pattern — the layout (groups of longs) is unchanged, so
-    measure-less checkpoints stay compatible (stride grows only when
-    measures are configured)."""
+    bit pattern.  For the LINEAR machine the layout (groups of longs) is
+    unchanged and the stride grows only when measures are configured, so
+    its measure-less checkpoints stay compatible across versions.  The
+    NESTED machine's records changed unconditionally in r10 (trailing
+    anchor_eid long) — it carries an explicit layout-version sentinel
+    (``_MRN_LAYOUT_V2``) so any older checkpoint fails loudly on restart
+    instead of decoding garbage through a stride mismatch."""
     return struct.unpack("<q", struct.pack("<d", x))[0]
 
 
@@ -849,7 +853,15 @@ def match_pattern_stream(
     protobuf is importable (``cep_pattern_loop`` best tws/apply 1.12);
     the NESTED machine stays on applyInPandasWithState (``mr_nested``
     0.861 — below the 0.95 parity gate; recorded decision, tws twin
-    still explicit and restart-tested).  COLD-START TAX: tws launches a per-query state server once — short-lived ``availableNow`` replays should pass ``impl='apply'``; long-running streams amortize it to noise.
+    still explicit and restart-tested).  COLD-START TAX: tws launches a
+    per-query state server once — short-lived ``availableNow`` replays
+    should pass ``impl='apply'``; long-running streams amortize it to
+    noise.  CHECKPOINT PINNING: ``'auto'`` resolves per environment
+    (protobuf importability), so a query restarted from an existing
+    checkpoint on a different machine could select a different stateful
+    physical operator against an incompatible state store — long-running
+    checkpointed queries should pin ``impl='apply'`` or ``impl='tws'``
+    explicitly and keep it for the checkpoint's lifetime.
 
     Plain alternation groups ``(A|B)`` additionally emit a
     ``<group>_classifier`` string column like the batch twin: the
@@ -890,13 +902,7 @@ def match_pattern_stream(
       ``<step>``; the target must be a concrete unrolled step name and
       may not be optional).  Skip strategies are rejected with
       deferred-emission patterns (terminal negation / terminal
-      quantifier) whose kill set isn't known at event time.
-
-    ``impl`` DEFAULTS to ``'auto'`` (r10 flip, gated on this machine's
-    own best-of-3 fresh-JVM canary-normalized A/B — BENCH_TWS_FLIP.json
-    family ``cep_pattern_loop``: best tws 11,120 vs apply 9,933
-    rows/canary = 1.12): tws when the public protobuf runtime is
-    importable, apply otherwise.  COLD-START TAX: tws launches a per-query state server once — short-lived ``availableNow`` replays should pass ``impl='apply'``; long-running streams amortize it to noise."""
+      quantifier) whose kill set isn't known at event time."""
     if within is None:
         raise ValueError(
             "match_pattern_stream requires `within`: the streaming machine "
@@ -1176,7 +1182,14 @@ def match_recognize_stream(
     semantics.  A terminal quantifier under strict contiguity is
     rejected (its match would complete on the BREAKING row, whose
     timestamp is not part of the match — restructure with an explicit
-    end step, as Flink MR patterns do in practice)."""
+    end step, as Flink MR patterns do in practice).
+
+    ``impl`` defaults to ``'auto'``, resolved PER MACHINE on flip
+    evidence (see ``match_pattern_stream``): the linear machine flips
+    to tws when protobuf is importable; the nested machine keeps apply.
+    CHECKPOINT PINNING: ``'auto'`` resolves per environment, so
+    checkpointed long-running queries must pin ``impl`` explicitly and
+    keep it for the checkpoint's lifetime."""
     from ..operators.cep import _mr_is_nested, _mr_step_vars, \
         parse_mr_pattern
 
@@ -1485,7 +1498,12 @@ def match_combinations_stream(
     shared ``_TwsState`` adapter; the DEFAULT is ``'auto'`` (r10 flip,
     BENCH_TWS_FLIP.json family ``combinations``: best tws 7,941 vs
     apply 7,407 rows/canary = 1.07): tws when the public protobuf
-    runtime is importable, apply otherwise.  COLD-START TAX: tws launches a per-query state server once — short-lived ``availableNow`` replays should pass ``impl='apply'``; long-running streams amortize it to noise.
+    runtime is importable, apply otherwise.  COLD-START TAX: tws
+    launches a per-query state server once — short-lived
+    ``availableNow`` replays should pass ``impl='apply'``; long-running
+    streams amortize it to noise.  CHECKPOINT PINNING: ``'auto'``
+    resolves per environment, so checkpointed long-running queries must
+    pin ``impl`` explicitly (see ``match_pattern_stream``).
 
     Reference: Pattern.java combinations() semantics
     (flink-cep); parity is pinned by randomized shuffled-arrival
@@ -1578,6 +1596,18 @@ def match_combinations_stream(
     return out
 
 
+# Packed-state layout version sentinel for the nested-alternation
+# machine: the leading long of every non-empty packed array.  Strictly
+# negative, so it can never collide with the anchors_seen counters an
+# older (pre-r10, sentinel-less) layout stored first — r10 changed the
+# record strides unconditionally (trailing anchor_eid long per partial/
+# hold, plus measure slots when configured), and a checkpoint written
+# under a different stride must fail LOUDLY on restart instead of
+# decoding garbage through a stride mismatch.  Bump the constant
+# whenever the packed record layout changes again.
+_MRN_LAYOUT_V2 = -(1 << 62) - 2
+
+
 def mr_nested_matcher_fn(
     variant_specs: list[list[tuple]],
     offsets: list[int],
@@ -1624,6 +1654,18 @@ def mr_nested_matcher_fn(
     ) -> Iterator[pd.DataFrame]:
         wm = state.getCurrentWatermarkMs()
         packed, buffer, _holds = _unpack_common(state, 0, 3 + n_meas)
+        if packed:
+            if packed[0] != _MRN_LAYOUT_V2:
+                raise ValueError(
+                    "mr_nested checkpoint layout mismatch: the packed "
+                    "state was written under a different record stride "
+                    "(pre-v2 layouts lack the leading version sentinel "
+                    "and the trailing anchor_eid/measure slots). "
+                    "Restart from a fresh checkpoint location, or "
+                    "drain the query with the engine version that "
+                    "wrote the checkpoint."
+                )
+            packed = packed[1:]
         anchors_seen = list(packed[0:nv]) if packed else [0] * nv
         partials: list[list[list[int]]] = [[] for _ in range(nv)]
         # hold: [vi, n_vals, *vals, *mbits(n_meas), anchor_eid, deadline];
@@ -1736,7 +1778,7 @@ def mr_nested_matcher_fn(
             if meas is not None:
                 meas = [None if x != x else x for x in meas]
             rows.append(("match", h[0], h[2], h[2:2 + nvals], meas))
-        packed2 = list(anchors_seen)
+        packed2 = [_MRN_LAYOUT_V2] + list(anchors_seen)
         for v in range(nv):
             packed2.append(len(partials[v]))
             for p in partials[v]:

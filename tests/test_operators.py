@@ -4113,13 +4113,21 @@ def test_mr_nested_alternation(spark):
 
 def test_mr_nested_bounded_repetition(spark):
     """BOUNDED repetition on nested alternation groups —
-    ``(A | B C){m,n}`` — expands exactly (sum of |alts|^m selections,
-    greedy: more repetitions preferred, regex {m,n} semantics);
-    repetition copies rename their variables ``<var>_<rep>`` (the
+    ``(A | B C){m,n}`` — expands exactly (sum of |alts|^m selections)
+    in DEPTH-FIRST BACKTRACKING order, exactly how a regex engine walks
+    a greedy ``{m,n}``: at each repetition slot alternatives are tried
+    left to right and one more repetition is preferred over stopping,
+    so the FIRST slot's alternative is the most significant preference
+    key (``(A | B C){1,2}`` enumerates ``A A``, ``A B C``, ``A``,
+    ``B C A``, ``B C B C``, ``B C`` — a 1-rep ``A`` selection outranks
+    every ``B C``-prefixed one, unlike the pre-r10 reps-major order).
+    Repetition copies rename their variables ``<var>_<rep>`` (the
     times(n) copy-naming convention) and resolve to the original
-    DEFINE predicate.  Hand traces: greedy 2-rep over 1-rep, mixed
-    branches across repetitions, ``?`` with the empty selection, the
-    64-variant cap, and unbounded still raising."""
+    DEFINE predicate.  Hand traces: mixed branches across repetitions,
+    a fixture where a 1-rep earlier-alternative and a 2-rep
+    later-alternative BOTH complete for one anchor (the two orders
+    disagree; DFS picks the 1-rep ``A``), ``?`` with the empty
+    selection, the 64-variant cap, and unbounded still raising."""
     from datetime import datetime as dt
 
     import pytest as _pytest
@@ -4157,6 +4165,30 @@ def test_mr_nested_bounded_repetition(spark):
         ev, pattern="V (A | B C)? P", define=define,
         within="1 HOUR").collect()}
     assert got_opt == {"u3": "A", "u4": ""}
+    # DFS-vs-reps-major discriminator (r10 ADVICE): overlapping DEFINE
+    # predicates make BOTH the 1-rep earlier-alternative selection [A]
+    # (rows V,ab,cp — 'ab' binds A, 'cp' binds P) and the 2-rep
+    # later-alternative selection [B C, A] (rows V,ab,cp,a,p — 'ab'
+    # binds B, 'cp' binds C) complete for the SAME anchor under strict
+    # contiguity.  Regex DFS order ranks 'A' (index 2) above 'B C A'
+    # (index 3); the old reps-major order ranked every 2-rep first and
+    # would emit 'B C A'.
+    rows5 = [("u5", T(1), 1, "V"), ("u5", T(2), 2, "ab"),
+             ("u5", T(3), 3, "cp"), ("u5", T(4), 4, "a"),
+             ("u5", T(5), 5, "p")]
+    ev5 = spark.createDataFrame(
+        rows5,
+        "user_id string, ts timestamp, event_id long, event_type string")
+    define5 = {"V": "event_type = 'V'",
+               "A": "event_type IN ('a', 'ab')",
+               "B": "event_type IN ('b', 'ab')",
+               "C": "event_type IN ('c', 'cp')",
+               "P": "event_type IN ('p', 'cp')"}
+    got_dfs = [(r.A_or_B_C_variant, r.A_1_ts.second)
+               for r in cep.match_recognize(
+                   ev5, pattern="V (A | B C){1,2} P", define=define5,
+                   within="1 HOUR").collect()]
+    assert got_dfs == [("A", 2)]
     # the expansion cap is validated loud: 2 alts x {1,6} = 126 variants
     with _pytest.raises(ValueError, match="> 64"):
         cep.match_recognize(ev, pattern="V (A | B C){1,6} P",

@@ -6037,3 +6037,68 @@ def test_cep_stream_defaults_resolve_auto(spark):
         within="1 minute", event_id="event_id",
     )._jdf.queryExecution().analyzed().toString()
     assert "transformWithState" not in plan_seq
+
+
+class _FakeGroupState:
+    """Minimal applyInPandasWithState GroupState stand-in for driving a
+    matcher generator directly (no Spark job): enough surface for the
+    unpack/pack path — exists/get/update/timers."""
+
+    def __init__(self, packed, buf=None, hold=None, wm=0):
+        self._tuple = (list(packed), list(buf or []), list(hold or []))
+        self.exists = bool(packed or buf or hold)
+        self.hasTimedOut = False
+        self._wm = wm
+        self.updated = None
+
+    @property
+    def get(self):
+        return self._tuple
+
+    def getCurrentWatermarkMs(self):
+        return self._wm
+
+    def update(self, value):
+        self.updated = value
+        self.exists = True
+
+    def setTimeoutTimestamp(self, ts):
+        self.timeout_ts = ts
+
+    def remove(self):
+        self.exists = False
+
+
+def test_mr_nested_old_layout_checkpoint_fails_loudly():
+    """r10 ADVICE (medium): the nested-MR machine's packed record stride
+    changed unconditionally in r10 (trailing anchor_eid long per
+    partial/hold, measure slots when configured) — a checkpoint written
+    by the pre-sentinel layout must fail LOUDLY on restart, not decode
+    garbage through the stride mismatch.  Every non-empty packed array
+    now leads with the negative ``_MRN_LAYOUT_V2`` sentinel; the old
+    layout began with non-negative anchors_seen counters, which can
+    never equal it."""
+    import pandas as pd
+    import pytest as _pt
+
+    from flink_realtime_dw4_0_spark.streaming.cep_pattern import (
+        _MRN_LAYOUT_V2,
+        mr_nested_matcher_fn,
+    )
+
+    fn = mr_nested_matcher_fn(
+        [[(1, 1, -1), (1, 1, -1)]], [0], 10_000, 4, None
+    )
+    # pre-v2 layout: [anchors_seen(v0), n_partials(v0), n_holds]
+    old_packed = [3, 0, 0]
+    with _pt.raises(ValueError, match="layout mismatch"):
+        list(fn(("k",), iter([]), _FakeGroupState(old_packed)))
+
+    # a v2 machine's own save leads with the sentinel ...
+    st = _FakeGroupState([])
+    ev = pd.DataFrame({"ts": [1000], "event_id": [7], "step_mask": [1]})
+    list(fn(("k",), iter([ev]), st))
+    assert st.updated is not None and st.updated[0][0] == _MRN_LAYOUT_V2
+    # ... and feeding that state back round-trips without raising
+    st2 = _FakeGroupState(*st.updated, wm=500)
+    list(fn(("k",), iter([]), st2))

@@ -93,6 +93,21 @@ def main() -> None:
     spark = get_spark("bench-scale-sf10")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # r10 carry-over check: the r10 sf10 run starved ann_pq_index_topk
+    # to 2-of-32 cores on a monolithic single-file embeddings table.
+    # gen_scale_data now writes big tables as directories of part files
+    # — observe (and record) that the sf10 embeddings scan actually
+    # fans out across executor cores before burning an hour measuring.
+    emb_fanout = spark.read.parquet(
+        os.path.join(points[-1][1], "embeddings.parquet")
+    ).rdd.getNumPartitions()
+    print(f"sf10 embeddings scan partitions: {emb_fanout}",
+          file=sys.stderr)
+    if emb_fanout < 16:
+        print("WARNING: sf10 embeddings scan fans out to "
+              f"{emb_fanout} (< 16) tasks — regenerate the replica "
+              "with the sharded gen_scale_data layout", file=sys.stderr)
+
     for name in QUERIES:  # codegen warm-up, smallest driver point
         try:
             CATALOG[name].fn(spark, "/root/testdata/sf0.001") \
@@ -149,9 +164,13 @@ def main() -> None:
     doc["sf10"] = {
         "queries": per_query,
         "superlinear_sf10": superlinear,
+        "sf10_embeddings_scan_partitions": emb_fanout,
         "note": "sf1->sf10 replica decade (r10 judge item #3); "
                 "min-of-2 at sf1, single rep at sf10 (each runs "
-                "minutes; one GC hiccup cannot fake a >=1.5 exponent)",
+                "minutes; one GC hiccup cannot fake a >=1.5 exponent); "
+                "replica uses the r11 sharded directory-of-parts "
+                "layout (the multi-file layout any real dataset has), "
+                "fan-out recorded above",
     }
     with open(out_path, "w") as fh:
         json.dump(doc, fh, indent=1)

@@ -24,7 +24,9 @@ Row-count laws measured from sf0.001/0.01/0.1 (all exact multiples):
 
 Usage:  python tools/gen_scale_data.py SF OUT_DIR [table ...]
 (e.g. ``1 /tmp/sfrep/sf1`` for everything, or ``10 /tmp/sfrep/sf10docs
-documents`` for a targeted big point).  Writes one parquet per table.
+documents`` for a targeted big point).  Small tables are single parquet
+files; big tables are ``name.parquet/`` DIRECTORIES of part files (see
+SHARD_ROWS) — Spark reads both layouts transparently.
 NEVER writes under /root/testdata.
 """
 
@@ -68,15 +70,47 @@ def _ts_us(date_str: str) -> int:
     return int(np.datetime64(date_str, "us").astype(np.int64))
 
 
+# Rows per output file for the big tables.  One monolithic file caps a
+# Spark scan at ceil(bytes / maxPartitionBytes) tasks — the r10 sf10 run
+# starved ann_pq_index_topk to 2-of-32 cores on a 55 MB single-file
+# embeddings table (row groups alone do NOT help: Spark splits files by
+# byte ranges of maxPartitionBytes, so any file under 128 MB is one
+# task).  A directory of part files is both the layout every real
+# multi-file dataset has AND what fans the scan out: with N files,
+# Spark's dynamic split sizing (totalSize/defaultParallelism, capped at
+# maxPartitionBytes) assigns ~one small file per task.  Shard sizes are
+# chosen so the sf10 point yields >= 16 files for every table in the
+# sf10 bench set (embeddings 200k/8k = 25, documents 500k/16k = 31,
+# lineitem 60M/2M = 29, orders 15M/512k = 29, events 10M/512k = 20).
+SHARD_ROWS = {
+    "customer": 262_144,
+    "part": 1_048_576,
+    "orders": 524_288,
+    "lineitem": 2_097_152,
+    "events": 524_288,
+    "documents": 16_384,
+    "embeddings": 8_192,
+}
+
+
 def _write(out_dir: str, name: str, table: pa.Table) -> None:
-    # bounded row groups: Spark's parquet splits align to row groups, so
-    # a single-group 100MB+ file caps a stage at 1-2 tasks regardless of
-    # executor count (found at the r10 sf10 point: the 200k x 128-float
-    # embeddings file starved the ADC scan to 2 of 32 cores).  64k-row
-    # groups keep every table splittable — the layout a real multi-file
-    # dataset has — without changing a byte of the data.
-    pq.write_table(table, os.path.join(out_dir, f"{name}.parquet"),
-                   row_group_size=65536)
+    path = os.path.join(out_dir, f"{name}.parquet")
+    shard_rows = SHARD_ROWS.get(name)
+    if shard_rows is None or table.num_rows <= shard_rows:
+        # small tables stay single-file; 64k row groups keep even those
+        # splittable if they ever exceed maxPartitionBytes
+        pq.write_table(table, path, row_group_size=65536)
+        return
+    if os.path.isfile(path):
+        os.remove(path)  # replace an old single-file layout in place
+    os.makedirs(path, exist_ok=True)
+    n_shards = -(-table.num_rows // shard_rows)
+    for i in range(n_shards):
+        pq.write_table(
+            table.slice(i * shard_rows, shard_rows),
+            os.path.join(path, f"part-{i:05d}.parquet"),
+            row_group_size=65536,
+        )
 
 
 def _tscol(arr_us: np.ndarray) -> pa.Array:

@@ -848,6 +848,46 @@ def pq_topk(
     )
 
 
+# ADC gather chunk size (queries per block): bounds every numpy
+# temporary at qchunk*n doubles (~80 MB at the default Arrow batch),
+# flat in the number of queries.
+_ADC_QCHUNK = 1024
+
+
+def _adc_scan_block(ids, tables, c, nid, shortk):
+    """Chunked ADC gather-sum + per-partition shortlist, shared by the
+    flat-PQ and IVFADC probes: returns (query_id, neighbor_id, adist)
+    numpy arrays.  ``tables`` is (Q, m, k) per-query LUTs; ``c`` is
+    (n, m) codes; ``nid`` the n corpus ids.
+
+    The pre-r11 implementation computed the whole distance matrix in
+    one fancy-index expression, materializing the full (Q, n, m)
+    gather tensor before the subspace sum — 8+ GB PER ARROW BATCH at
+    the sf10 ladder point (8k probes x 8k codes x m=16), every page of
+    it zeroed by the kernel (transparent-huge-page fault storm): the
+    profiled stage ran 75-80% SYSTEM time across 25 workers.  Chunking
+    the queries and accumulating a (qchunk, n) block per subspace
+    keeps the peak temporary bounded and flat in Q, with identical
+    output (same per-row argpartition over the same distances)."""
+    import numpy as np
+
+    n, m = c.shape
+    nloc = min(int(shortk) + 1, n)
+    cols = [np.ascontiguousarray(c[:, j]) for j in range(m)]
+    q_parts, n_parts, d_parts = [], [], []
+    for q0 in range(0, tables.shape[0], _ADC_QCHUNK):
+        tq = tables[q0:q0 + _ADC_QCHUNK]
+        adist = tq[:, 0, cols[0]].copy()
+        for j in range(1, m):
+            np.add(adist, tq[:, j, cols[j]], out=adist)
+        part = np.argpartition(adist, nloc - 1, axis=1)[:, :nloc]
+        q_parts.append(np.repeat(ids[q0:q0 + tq.shape[0]], nloc))
+        n_parts.append(nid[part].ravel())
+        d_parts.append(np.take_along_axis(adist, part, axis=1).ravel())
+    return (np.concatenate(q_parts), np.concatenate(n_parts),
+            np.concatenate(d_parts))
+
+
 def _pq_adc_search(
     spark,
     queries: DataFrame,
@@ -890,21 +930,14 @@ def _pq_adc_search(
                 continue
             c = np.array(list(pdf["codes"]), dtype=np.int64)      # (n, m)
             nid = pdf[id_col].to_numpy()
-            # adist[q, n] = sum_j tables[q, j, c[n, j]]
-            adist = tables[:, np.arange(c.shape[1])[None, :], c].sum(axis=2)
-            # local top-(shortlist+1) per query bounds shuffle volume;
-            # +1 so dropping the self-match later can never evict a true
+            # adist[q, n] = sum_j tables[q, j, c[n, j]], computed in
+            # bounded query chunks (see _adc_scan_block); the local
+            # top-(shortlist+1) per query bounds shuffle volume — +1 so
+            # dropping the self-match later can never evict a true
             # candidate found in this partition
-            nloc = min(shortk + 1, adist.shape[1])
-            part = np.argpartition(adist, nloc - 1, axis=1)[:, :nloc]
-            out_q, out_n, out_d = [], [], []
-            for qi in range(len(ids)):
-                sel = part[qi]
-                out_q.extend([ids[qi]] * len(sel))
-                out_n.extend(nid[sel])
-                out_d.extend(adist[qi, sel])
+            oq, on, od = _adc_scan_block(ids, tables, c, nid, shortk)
             yield pd.DataFrame(
-                {"query_id": out_q, "neighbor_id": out_n, "adist": out_d}
+                {"query_id": oq, "neighbor_id": on, "adist": od}
             )
 
     scored = codes.mapInPandas(
@@ -1099,7 +1132,7 @@ def ivfadc_index_topk(
         for pdf in batches:
             if not len(pdf):
                 continue
-            out_q, out_n, out_d = [], [], []
+            parts = []
             for cell, grp in pdf.groupby("cell"):
                 ent = tables.get(int(cell))
                 if ent is None:
@@ -1107,18 +1140,15 @@ def ivfadc_index_topk(
                 ids, lt = ent
                 c = np.array(list(grp["codes"]), dtype=np.int64)
                 nid = grp[id_col].to_numpy()
-                adist = lt[:, np.arange(c.shape[1])[None, :], c].sum(axis=2)
-                nloc = min(shortk + 1, adist.shape[1])
-                part = np.argpartition(adist, nloc - 1, axis=1)[:, :nloc]
-                for qi in range(len(ids)):
-                    sel = part[qi]
-                    out_q.extend([ids[qi]] * len(sel))
-                    out_n.extend(nid[sel])
-                    out_d.extend(adist[qi, sel])
-            if out_q:
-                yield pd.DataFrame(
-                    {"query_id": out_q, "neighbor_id": out_n, "adist": out_d}
-                )
+                # chunked gather-sum (see _adc_scan_block) — the same
+                # (Q, n, m) tensor bomb as the flat-PQ scan, fixed once
+                parts.append(_adc_scan_block(ids, lt, c, nid, shortk))
+            if parts:
+                yield pd.DataFrame({
+                    "query_id": np.concatenate([p[0] for p in parts]),
+                    "neighbor_id": np.concatenate([p[1] for p in parts]),
+                    "adist": np.concatenate([p[2] for p in parts]),
+                })
 
     scored = codes.mapInPandas(
         scan, "query_id long, neighbor_id long, adist double"

@@ -796,7 +796,8 @@ def dedup_components_q(spark, sf_dir):
         "candidate shuffle spilled >50 GB and was aborted, the same "
         "measured failure mode as the uncapped pretrain pipeline; "
         "r9's 0.97 exponent held only to sf1 — plan of record at "
-        "scale: dedup_keep_best_capped (sf10 ladder: BENCH_SCALE.json)"
+        "scale: dedup_keep_best_capped (sf10-measured in r11: "
+        "exp_last10 0.941, BENCH_SCALE.json sf10 section)"
     ),
 )
 def dedup_keep_best_q(spark, sf_dir):
@@ -809,8 +810,8 @@ def dedup_keep_best_q(spark, sf_dir):
     corpus-sized partitions).  Oracle: the recursive-CTE closure plus
     the same ranking window.  EXACTNESS REFERENCE: the pair stage here
     is the UNCAPPED AllPairs jaccard — see ``scale_contract`` and
-    ``dedup_keep_best_capped`` (the plan of record at scale; its own
-    sf10 ladder point lives in BENCH_SCALE.json's ``sf10`` section)."""
+    ``dedup_keep_best_capped`` (the plan of record at scale —
+    sf10-measured in r11 at exp_last10 0.941, BENCH_SCALE.json)."""
     docs = t(spark, sf_dir, "documents")
     return dedup.keep_best_list(docs, dedup.ngram_jaccard_pairs(docs))
 

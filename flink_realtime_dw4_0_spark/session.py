@@ -144,6 +144,19 @@ def get_spark(
     """
     cpus = default_parallelism()
     ensure_protobuf()  # before JVM launch: workers inherit PYTHONPATH
+    # One BLAS thread per python worker (unless the caller overrides):
+    # Spark supplies the parallelism as TASKS, and numpy's default of
+    # one OpenBLAS/MKL pool per process sized to ALL cores means N
+    # concurrent pandas-UDF tasks spawn N*cores threads — measured at
+    # the r11 sf10 ladder as 25 workers x 32 threads = ~800 runnable
+    # threads, 79% kernel time, and a PQ-encode stage 10x slower than
+    # its arithmetic.  Same rule a real cluster uses: executor cores
+    # are divided between tasks, so per-task math must be
+    # single-threaded.  Must happen BEFORE the JVM launches — python
+    # workers are forked by the JVM and inherit its env snapshot.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
+                "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     builder = (
         SparkSession.builder.appName(app_name)
         # --- core engine tuning -------------------------------------------

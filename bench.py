@@ -675,6 +675,13 @@ def main() -> None:
     # bench totals ranged 9.5-14.1 s under min-of-2); the min measures the
     # plan, not the collector.  Later runs legally reuse caches the first
     # built — warm numbers are the steady-state a pipeline run sees.
+    # CROSS-ROUND comparisons must normalize by the IN-SET tpch_q1: the
+    # host's co-tenant slow phase oscillates WITHIN a run (canary start
+    # vs end differ up to 1.6x), so raw per-query deltas at different
+    # canaries are phase noise — r10's minhash "+58%" (code untouched)
+    # read 4.83 q1-normalized in its slow-phase run and 2.51 in r11's
+    # exclusive re-run, bracketing r9's 3.29.  Judge by mh/q1-style
+    # ratios, not seconds.
     cache_groups = {"dedup_ngram_jaccard": "shingles", "dedup_minhash_lsh": "shingles"}
     times: dict[str, float] = {}
     rep_detail: dict[str, list[float]] = {}

@@ -159,7 +159,10 @@ def visitor_fix(df: DataFrame, impl: str = "auto") -> DataFrame:
     when the public protobuf runtime is importable, apply otherwise.
     COLD-START TAX: tws launches a per-query state server once —
     short-lived ``availableNow`` replays should pass ``impl='apply'``;
-    long-running streams amortize it to noise.
+    long-running streams amortize it to noise.  The r11
+    ``probe_tws_coldstart.py`` measurement refines this: the tax is
+    per-SESSION — tws queries after the first in one JVM ran at parity
+    with apply, so only one-shot fresh-JVM replays need the pin.
     CHECKPOINT PINNING: ``'auto'`` resolves per environment (protobuf
     importability), so restarting from an existing checkpoint on a
     machine where the resolution differs selects a DIFFERENT stateful

@@ -335,7 +335,7 @@ def match_sequence_stream(
     ts: str = "ts",
     watermark: str = "10 seconds",
     event_id: str | None = None,
-    impl: str = "apply",
+    impl: str = "auto",
 ) -> DataFrame:
     """Streaming sequence matcher over a watermarked event stream.
 
@@ -351,15 +351,30 @@ def match_sequence_stream(
     ``transformWithStateInPandas`` via ``run_matcher_tws`` (equivalence
     + restart pinned by tests, like every other stateful family).
 
-    The default STAYS ``'apply'`` — the only family the r10 flip gate
-    did not pass: best-of-3 fresh-JVM canary-normalized A/B
-    (BENCH_TWS_FLIP.json family ``cep_seq``) read best tws 9,961 vs
-    apply 10,873 rows/canary = 0.916, below the 0.95 parity-or-better
-    threshold.  A recorded keep-apply decision, not a gap: the tws twin
-    stays equivalence- and restart-tested, and the flip re-runs when
-    the API's overhead improves.
+    The default is ``'auto'`` (r11 flip): the r10 gate read 0.916 —
+    below the 0.95 parity threshold — but the gap was the adapter's
+    ``listTimers`` round trip on every re-arm; with the r11 timer memo
+    the same best-of-3 fresh-JVM canary-normalized A/B
+    (BENCH_TWS_FLIP.json family ``cep_seq``) reads best tws 10,653 vs
+    apply 10,350 rows/canary = 1.029.  ``'auto'`` resolves to tws when
+    the public protobuf runtime is importable, apply otherwise.
+    COLD-START TAX: tws launches a per-query state server once —
+    short-lived ``availableNow`` replays should pass ``impl='apply'``.  The r11 ``probe_tws_coldstart.py`` measurement refines
+    this: the tax is per-SESSION — tws queries after the first
+    in one JVM ran at parity with apply, so only one-shot
+    fresh-JVM replays need the pin.
+    CHECKPOINT PINNING: ``'auto'`` resolves per environment, so
+    checkpointed long-running queries must pin ``impl`` explicitly
+    (see ``match_pattern_stream``).
     """
     from ..operators.cep import parse_within_ms
+
+    if impl not in ("auto", "apply", "tws"):
+        raise ValueError(f"impl must be auto|apply|tws, got {impl!r}")
+    if impl == "auto":
+        from ..session import ensure_protobuf
+
+        impl = "tws" if ensure_protobuf() else "apply"
 
     within_ms = parse_within_ms(within)  # shared with the batch matcher
 

@@ -847,16 +847,20 @@ def match_pattern_stream(
     by tests, completing the deprecation-path coverage for every
     applyInPandasWithState family in the repo.
 
-    ``impl`` DEFAULTS to ``'auto'``, resolved PER MACHINE on each
-    family's own flip evidence (BENCH_TWS_FLIP.json, best-of-3
-    fresh-JVM canary-normalized): the LINEAR machine flips to tws when
-    protobuf is importable (``cep_pattern_loop`` best tws/apply 1.12);
-    the NESTED machine stays on applyInPandasWithState (``mr_nested``
-    0.861 — below the 0.95 parity gate; recorded decision, tws twin
-    still explicit and restart-tested).  COLD-START TAX: tws launches a
+    ``impl`` DEFAULTS to ``'auto'``, resolved on each family's own
+    flip evidence (BENCH_TWS_FLIP.json, best-of-3 fresh-JVM
+    canary-normalized): since the r11 timer memo removed the adapter's
+    per-re-arm ``listTimers`` round trip, EVERY machine in this module
+    resolves to tws when protobuf is importable (``cep_pattern_loop``
+    1.12, ``cep_seq`` 1.029, ``mr_nested`` 1.091, ``combinations``
+    1.072 — all past the 0.95 gate).  COLD-START TAX: tws launches a
     per-query state server once — short-lived ``availableNow`` replays
     should pass ``impl='apply'``; long-running streams amortize it to
-    noise.  CHECKPOINT PINNING: ``'auto'`` resolves per environment
+    noise.  The r11 ``probe_tws_coldstart.py`` measurement refines
+    this: the tax is per-SESSION — tws queries after the first
+    in one JVM ran at parity with apply, so only one-shot
+    fresh-JVM replays need the pin.
+    CHECKPOINT PINNING: ``'auto'`` resolves per environment
     (protobuf importability), so a query restarted from an existing
     checkpoint on a different machine could select a different stateful
     physical operator against an incompatible state store — long-running
@@ -1184,9 +1188,10 @@ def match_recognize_stream(
     timestamp is not part of the match — restructure with an explicit
     end step, as Flink MR patterns do in practice).
 
-    ``impl`` defaults to ``'auto'``, resolved PER MACHINE on flip
-    evidence (see ``match_pattern_stream``): the linear machine flips
-    to tws when protobuf is importable; the nested machine keeps apply.
+    ``impl`` defaults to ``'auto'``, resolved on flip evidence (see
+    ``match_pattern_stream``): since the r11 timer memo, both the
+    linear and the nested machine resolve to tws when protobuf is
+    importable (``mr_nested`` re-ran at 1.091 past the 0.95 gate).
     CHECKPOINT PINNING: ``'auto'`` resolves per environment, so
     checkpointed long-running queries must pin ``impl`` explicitly and
     keep it for the checkpoint's lifetime."""
@@ -1206,13 +1211,16 @@ def match_recognize_stream(
         raise ValueError(f"MATCH_RECOGNIZE: DEFINE missing for {missing}")
     if any(_mr_is_nested(nm) for nm, _ in steps):
         # 'auto' resolves PER MACHINE on each family's own flip
-        # evidence (BENCH_TWS_FLIP.json): the nested machine's A/B read
-        # best tws/apply 0.861 — below the 0.95 parity gate — so auto
-        # stays on applyInPandasWithState here, while the linear
-        # machine below flips (cep_pattern_loop 1.12).  Explicit
-        # impl='tws' remains available and restart-tested.
+        # evidence (BENCH_TWS_FLIP.json): the nested machine's r10 A/B
+        # read 0.861 (kept apply), but the gap was the adapter's
+        # listTimers round trip per re-arm — with the r11 timer memo
+        # the re-run reads best tws/apply 1.091, so auto now resolves
+        # exactly like the linear machine (tws when protobuf is
+        # importable).
         if impl == "auto":
-            impl = "apply"
+            from ..session import ensure_protobuf
+
+            impl = "tws" if ensure_protobuf() else "apply"
         return _mr_nested_stream(
             events, steps, partition_by=partition_by, order_by=order_by,
             event_id=event_id, define=define, within=within,
@@ -1501,7 +1509,11 @@ def match_combinations_stream(
     runtime is importable, apply otherwise.  COLD-START TAX: tws
     launches a per-query state server once — short-lived
     ``availableNow`` replays should pass ``impl='apply'``; long-running
-    streams amortize it to noise.  CHECKPOINT PINNING: ``'auto'``
+    streams amortize it to noise.  The r11 ``probe_tws_coldstart.py`` measurement refines
+    this: the tax is per-SESSION — tws queries after the first
+    in one JVM ran at parity with apply, so only one-shot
+    fresh-JVM replays need the pin.
+    CHECKPOINT PINNING: ``'auto'``
     resolves per environment, so checkpointed long-running queries must
     pin ``impl`` explicitly (see ``match_pattern_stream``).
 

@@ -208,7 +208,9 @@ def rate_limit_stream(
 
     COLD-START TAX: tws launches a per-query state server once, so a
     SHORT-LIVED job (``availableNow`` / a few micro-batches) pays
-    seconds of one-time setup that steady-state parity never amortizes
+    seconds of one-time setup that steady-state parity never amortizes (r11 probe: the launch is per-SESSION — later tws queries
+    in the same JVM run at parity, so only one-shot fresh-JVM
+    replays pay it)
     — in the driver A/B the tws WALL throughput read −40% vs apply
     while steady-state was at parity (BENCH_TWS_AB.json wall vs steady
     sections).  Long-running streams (the design target) amortize it to

@@ -301,7 +301,9 @@ def weighted_reservoir_stream(
 
     COLD-START TAX: tws launches a per-query state server once, so a
     SHORT-LIVED job (``availableNow`` / a few micro-batches) pays
-    seconds of one-time setup that steady-state parity never amortizes
+    seconds of one-time setup that steady-state parity never amortizes (r11 probe: the launch is per-SESSION — later tws queries
+    in the same JVM run at parity, so only one-shot fresh-JVM
+    replays pay it)
     (BENCH_RESERVOIR_AB.json wall vs steady: wall within 16% of apply
     only because the run was long enough).  Long-running streams (the
     design target) amortize it to noise; for short batch-ish replays
@@ -364,7 +366,9 @@ def reservoir_sample_stream(
 
     COLD-START TAX: tws launches a per-query state server once, so a
     SHORT-LIVED job (``availableNow`` / a few micro-batches) pays
-    seconds of one-time setup that steady-state parity never amortizes
+    seconds of one-time setup that steady-state parity never amortizes (r11 probe: the launch is per-SESSION — later tws queries
+    in the same JVM run at parity, so only one-shot fresh-JVM
+    replays pay it)
     (BENCH_RESERVOIR_AB.json wall vs steady: wall within 16% of apply
     only because the run was long enough).  Long-running streams (the
     design target) amortize it to noise; for short batch-ish replays

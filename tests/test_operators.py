@@ -4852,3 +4852,46 @@ def test_cep_times_consecutive(spark):
         cep.unroll_pattern([{"name": "a", "where": F.lit(True)},
                             {"name": "b", "where": F.lit(True),
                              "times": 1, "consecutive": True}])
+
+
+def test_adc_scan_block_matches_naive_tensor():
+    """The r11 chunked ADC kernel must select exactly what the naive
+    full-tensor expression selected (the r10 implementation that
+    materialized the (Q, n, m) gather — 8+ GB/batch at the sf10 ladder
+    point): same per-query shortlist sets at any chunk size, including
+    chunk boundaries that split the query range."""
+    import numpy as np
+
+    import flink_realtime_dw4_0_spark.operators.similarity as sim
+
+    rng = np.random.default_rng(7)
+    q_n, m, k, n = 37, 4, 8, 101
+    tables = rng.normal(size=(q_n, m, k)) ** 2
+    c = rng.integers(0, k, size=(n, m))
+    nid = (rng.permutation(n) + 1000).astype("int64")
+    ids = np.arange(q_n, dtype="int64")
+    shortk = 10
+    nloc = min(shortk + 1, n)
+
+    oq, on, od = sim._adc_scan_block(ids, tables, c, nid, shortk)
+    assert len(oq) == q_n * nloc
+    naive = tables[:, np.arange(m)[None, :], c].sum(axis=2)  # (Q, n)
+    for qi in range(q_n):
+        got = np.sort(od[oq == ids[qi]])
+        want = np.sort(naive[qi])[:nloc]
+        assert np.allclose(got, want, atol=1e-9)
+
+    # chunk-boundary invariance: a chunk size that splits the queries
+    # mid-range selects the identical rows
+    old = sim._ADC_QCHUNK
+    sim._ADC_QCHUNK = 8
+    try:
+        oq2, on2, od2 = sim._adc_scan_block(ids, tables, c, nid, shortk)
+    finally:
+        sim._ADC_QCHUNK = old
+
+    def norm(qs, ns, ds):
+        return sorted(zip(qs.tolist(), ns.tolist(),
+                          np.round(ds, 9).tolist()))
+
+    assert norm(oq, on, od) == norm(oq2, on2, od2)

@@ -5987,14 +5987,14 @@ def test_checkpoint_restart_equals_uninterrupted(spark, tmp_path, op):
 
 
 def test_cep_stream_defaults_resolve_auto(spark):
-    """r10 default-flip program outcomes (BENCH_TWS_FLIP.json,
-    best-of-3 fresh-JVM canary-normalized steady throughput):
-    match_pattern_stream (cep_pattern_loop 1.12x) and
-    match_recognize_stream (mr_nested) default to 'auto' and resolve to
-    transformWithStateInPandas when protobuf is importable;
-    match_sequence_stream KEEPS 'apply' (cep_seq 0.916x — the one
-    family below the 0.95 parity gate; recorded decision, tws twin
-    still spelled explicitly)."""
+    """Default-flip program outcomes (BENCH_TWS_FLIP.json, best-of-3
+    fresh-JVM canary-normalized steady throughput): after the r11
+    _TwsState timer memo removed the per-re-arm listTimers round trip,
+    EVERY CEP machine passed the 0.95 parity gate
+    (cep_pattern_loop 1.12, cep_seq 1.029, mr_nested 1.091,
+    combinations 1.072) — all four entry points default to 'auto' and
+    resolve to transformWithStateInPandas when protobuf is
+    importable."""
     from flink_realtime_dw4_0_spark.session import ensure_protobuf
     from flink_realtime_dw4_0_spark.streaming.cep import (
         match_sequence_stream,
@@ -6020,8 +6020,8 @@ def test_cep_stream_defaults_resolve_auto(spark):
         within="1 minute",
     )._jdf.queryExecution().analyzed().toString()
     assert "transformWithState" in plan_mr
-    # ... but the NESTED machine's auto resolves to apply (mr_nested
-    # family read 0.861 — below the parity gate)
+    # the NESTED machine's auto now also resolves to tws (r11 re-run:
+    # mr_nested 1.091, past the parity gate with the timer memo)
     plan_nested = match_recognize_stream(
         stream0, pattern="A (B | C X) T",
         define={"A": "event_type = 'A'", "B": "event_type = 'B'",
@@ -6029,14 +6029,15 @@ def test_cep_stream_defaults_resolve_auto(spark):
                 "T": "event_type = 'A'"},
         within="1 minute",
     )._jdf.queryExecution().analyzed().toString()
-    assert "transformWithState" not in plan_nested
+    assert "transformWithState" in plan_nested
+    # ... and so does match_sequence_stream (r11 re-run: cep_seq 1.029)
     plan_seq = match_sequence_stream(
         stream0,
         [("a", F.col("event_type") == "A"),
          ("b", F.col("event_type") == "B")],
         within="1 minute", event_id="event_id",
     )._jdf.queryExecution().analyzed().toString()
-    assert "transformWithState" not in plan_seq
+    assert "transformWithState" in plan_seq
 
 
 class _FakeGroupState:

@@ -6103,3 +6103,86 @@ def test_mr_nested_old_layout_checkpoint_fails_loudly():
     # ... and feeding that state back round-trips without raising
     st2 = _FakeGroupState(*st.updated, wm=500)
     list(fn(("k",), iter([]), st2))
+
+
+def test_tws_timer_memo_rpc_contract():
+    """The r11 _TwsState timer memo's RPC contract (the optimization
+    that closed the cep_seq/mr_nested flip gaps): an unchanged deadline
+    re-arm touches the state server ZERO times, a moved deadline is
+    delete+register (no listTimers), a memo miss falls back to
+    listTimers before trusting the memo, remove() with a memo hit
+    deletes directly, and the LRU cap evicts oldest-first."""
+    from collections import OrderedDict
+
+    import flink_realtime_dw4_0_spark.streaming.cep as cep_mod
+    from flink_realtime_dw4_0_spark.streaming.cep import _TwsState
+
+    class Handle:
+        def __init__(self, existing=()):
+            self.existing = list(existing)
+            self.calls = []
+
+        def listTimers(self):
+            self.calls.append("list")
+            return list(self.existing)
+
+        def deleteTimer(self, ts):
+            self.calls.append(("del", ts))
+
+        def registerTimer(self, ts):
+            self.calls.append(("reg", ts))
+
+    class VS:
+        def exists(self):
+            return False
+
+        def clear(self):
+            pass
+
+    memo = OrderedDict()
+    h = Handle(existing=[500])
+    st = _TwsState(VS(), h, None, False, key=("k1",), timer_memo=memo)
+    # memo miss: listTimers fallback clears the pre-existing timer
+    st.setTimeoutTimestamp(1000)
+    assert h.calls == ["list", ("del", 500), ("reg", 1000)]
+    # unchanged deadline: zero RPCs
+    h.calls.clear()
+    st.setTimeoutTimestamp(1000)
+    assert h.calls == []
+    # moved deadline: direct delete + register, no listTimers
+    st.setTimeoutTimestamp(2000)
+    assert h.calls == [("del", 1000), ("reg", 2000)]
+    # remove with a memo hit: direct delete, no listTimers
+    h.calls.clear()
+    st.remove()
+    assert h.calls == [("del", 2000)] and ("k1",) not in memo
+    # remove with a memo miss: listTimers fallback
+    h.calls.clear()
+    st.remove()
+    assert h.calls == ["list", ("del", 500)]
+    # LRU eviction: oldest key leaves once capacity is exceeded
+    old_cap = cep_mod._TIMER_MEMO_MAX
+    cep_mod._TIMER_MEMO_MAX = 2
+    try:
+        memo.clear()
+        h2 = Handle()
+        for i, k in enumerate([("a",), ("b",), ("c",)]):
+            _TwsState(VS(), h2, None, False, key=k,
+                      timer_memo=memo).setTimeoutTimestamp(100 + i)
+        assert list(memo) == [("b",), ("c",)]
+    finally:
+        cep_mod._TIMER_MEMO_MAX = old_cap
+
+
+def test_worker_blas_thread_cap_set(spark):
+    """session.get_spark caps worker BLAS pools before the JVM launches
+    (r11: 25 pandas-UDF workers x full-width OpenBLAS pools measured as
+    ~800 runnable threads at 79% kernel time on the sf10 ladder).  The
+    env must be present in THIS process — python workers are forked by
+    the JVM and inherit its snapshot of it."""
+    import os
+
+    # the conftest session fixture has already called get_spark
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
+                "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
+        assert os.environ.get(var), f"{var} not set by get_spark"

@@ -871,6 +871,13 @@ def _adc_scan_block(ids, tables, c, nid, shortk):
     output (same per-row argpartition over the same distances)."""
     import numpy as np
 
+    if tables.shape[0] == 0:
+        # zero queries in the broadcast set: the chunk loop would leave
+        # the parts lists empty and np.concatenate([]) raises — return
+        # typed empties so the kernel keeps the pre-r11 empty-frame
+        # contract even if the driver-side guard ever admits Q=0
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                np.empty(0, np.float64))
     n, m = c.shape
     nloc = min(int(shortk) + 1, n)
     cols = [np.ascontiguousarray(c[:, j]) for j in range(m)]

@@ -173,9 +173,10 @@ def visitor_fix(df: DataFrame, impl: str = "auto") -> DataFrame:
     if impl not in ("auto", "apply", "tws"):
         raise ValueError(f"impl must be auto|apply|tws, got {impl!r}")
     if impl == "auto":
-        from ..session import ensure_protobuf
+        from ..session import ensure_protobuf, warn_default_flip
 
         impl = "tws" if ensure_protobuf() else "apply"
+        warn_default_flip("visitor_fix", impl)
     with_dt = df.withColumn(
         "dt", F.date_format(F.timestamp_millis("ts"), "yyyy-MM-dd")
     )

@@ -130,6 +130,49 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
+# Worker-math thread-cap bookkeeping: vars get_spark caps to "1" via
+# setdefault, and the subset that an ambient environment had already set
+# to something else (so the cap did NOT take effect this process).
+_BLAS_CAP_VARS = ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
+                  "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS")
+_BLAS_CAP_PRESET: set[str] = set()
+
+
+# Stateful families whose DEFAULT impl flipped from 'apply' to 'auto'
+# (evidence-gated, BENCH_TWS_FLIP.json) — a silent breaking change for
+# existing checkpoints that relied on the old default: restarting such
+# a checkpoint under a different resolved physical operator fails on
+# operator/state mismatch.  warn_default_flip emits ONE process-wide
+# warning per family the first time 'auto' resolves to something other
+# than the pre-flip default, so upgraders hit the README "Upgrade
+# notes" pointer before the restart error does.
+_FLIP_WARNED: set[str] = set()
+
+
+def warn_default_flip(family: str, resolved: str,
+                      prior_default: str = "apply") -> None:
+    """One-time-per-family upgrade warning when an ``impl='auto'``
+    default resolves to a different stateful physical operator than the
+    release that introduced the family defaulted to (see README
+    "Upgrade notes").  Checkpoints are bound to the operator that wrote
+    them; callers restarting an existing checkpointLocation must pin
+    ``impl`` explicitly."""
+    if resolved == prior_default or family in _FLIP_WARNED:
+        return
+    _FLIP_WARNED.add(family)
+    import warnings
+
+    warnings.warn(
+        f"{family}: the default impl now resolves to {resolved!r} "
+        f"(previously {prior_default!r}).  An existing checkpoint "
+        f"written under the old default cannot restart on the new "
+        f"operator (state-store mismatch) — pin impl={prior_default!r} "
+        f"to keep draining it, or restart from a fresh "
+        f"checkpointLocation.  See README 'Upgrade notes'.",
+        stacklevel=3,
+    )
+
+
 def get_spark(
     app_name: str = "flink_realtime_dw4_0_spark",
     master: str | None = None,
@@ -154,8 +197,13 @@ def get_spark(
     # are divided between tasks, so per-task math must be
     # single-threaded.  Must happen BEFORE the JVM launches — python
     # workers are forked by the JVM and inherit its env snapshot.
-    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
-                "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
+    for var in _BLAS_CAP_VARS:
+        if var in os.environ and os.environ[var] != "1":
+            # caller/ambient override wins (setdefault semantics), but
+            # record it so tests can tell "cap applied" from "cap
+            # defeated by the environment" (r11 ADVICE: presence alone
+            # let an ambient OMP_NUM_THREADS=32 pass the pin test)
+            _BLAS_CAP_PRESET.add(var)
         os.environ.setdefault(var, "1")
     builder = (
         SparkSession.builder.appName(app_name)

@@ -372,9 +372,10 @@ def match_sequence_stream(
     if impl not in ("auto", "apply", "tws"):
         raise ValueError(f"impl must be auto|apply|tws, got {impl!r}")
     if impl == "auto":
-        from ..session import ensure_protobuf
+        from ..session import ensure_protobuf, warn_default_flip
 
         impl = "tws" if ensure_protobuf() else "apply"
+        warn_default_flip("match_sequence_stream (cep_seq)", impl)
 
     within_ms = parse_within_ms(within)  # shared with the batch matcher
 

@@ -916,9 +916,10 @@ def match_pattern_stream(
     if impl not in ("auto", "apply", "tws"):
         raise ValueError(f"impl must be auto|apply|tws, got {impl!r}")
     if impl == "auto":
-        from ..session import ensure_protobuf
+        from ..session import ensure_protobuf, warn_default_flip
 
         impl = "tws" if ensure_protobuf() else "apply"
+        warn_default_flip("match_pattern_stream (cep_pattern_loop)", impl)
     if any(p.get("allow_combinations") for p in pattern):
         raise ValueError(
             "allowCombinations is not a fork machine (a live fork per "
@@ -1218,9 +1219,10 @@ def match_recognize_stream(
         # exactly like the linear machine (tws when protobuf is
         # importable).
         if impl == "auto":
-            from ..session import ensure_protobuf
+            from ..session import ensure_protobuf, warn_default_flip
 
             impl = "tws" if ensure_protobuf() else "apply"
+            warn_default_flip("match_recognize_stream (mr_nested)", impl)
         return _mr_nested_stream(
             events, steps, partition_by=partition_by, order_by=order_by,
             event_id=event_id, define=define, within=within,
@@ -1531,9 +1533,10 @@ def match_combinations_stream(
     if impl not in ("auto", "apply", "tws"):
         raise ValueError(f"impl must be auto|apply|tws, got {impl!r}")
     if impl == "auto":
-        from ..session import ensure_protobuf
+        from ..session import ensure_protobuf, warn_default_flip
 
         impl = "tws" if ensure_protobuf() else "apply"
+        warn_default_flip("match_combinations_stream (combinations)", impl)
     within_ms = _pw(within)
     an, bn = a["name"], b["name"]
     mask = (
@@ -1670,9 +1673,15 @@ def mr_nested_matcher_fn(
             if packed[0] != _MRN_LAYOUT_V2:
                 raise ValueError(
                     "mr_nested checkpoint layout mismatch: the packed "
-                    "state was written under a different record stride "
-                    "(pre-v2 layouts lack the leading version sentinel "
-                    "and the trailing anchor_eid/measure slots). "
+                    "state lacks the v2 version sentinel.  This covers "
+                    "two cohorts: pre-v2 layouts written under a "
+                    "different record stride (no trailing "
+                    "anchor_eid/measure slots), AND sentinel-less "
+                    "checkpoints from the release immediately before "
+                    "the sentinel was introduced, which are rejected "
+                    "even though their record stride already matches "
+                    "the current layout (the sentinel is the only "
+                    "reliable discriminator, so absence fails closed). "
                     "Restart from a fresh checkpoint location, or "
                     "drain the query with the engine version that "
                     "wrote the checkpoint."

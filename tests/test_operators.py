@@ -4895,3 +4895,22 @@ def test_adc_scan_block_matches_naive_tensor():
                           np.round(ds, 9).tolist()))
 
     assert norm(oq, on, od) == norm(oq2, on2, od2)
+
+
+def test_adc_scan_block_empty_query_set():
+    """Q=0 must yield typed empty arrays, not ValueError from
+    np.concatenate([]) (r11 ADVICE: the chunked kernel regressed the
+    pre-r11 empty-frame contract for an empty broadcast query set)."""
+    import numpy as np
+
+    import flink_realtime_dw4_0_spark.operators.similarity as sim
+
+    tables = np.empty((0, 4, 8))
+    c = np.zeros((5, 4), dtype="int64")
+    nid = np.arange(5, dtype="int64")
+    oq, on, od = sim._adc_scan_block(
+        np.empty(0, "int64"), tables, c, nid, 3
+    )
+    assert oq.dtype == np.int64 and on.dtype == np.int64
+    assert od.dtype == np.float64
+    assert len(oq) == len(on) == len(od) == 0

@@ -168,3 +168,32 @@ def test_super_linear_exacts_declare_scale_contract():
     extra = [n for n, s in CATALOG.items()
              if s.scale_contract and n not in flagged]
     assert not extra, f"unexpected scale_contract on {extra}"
+
+
+def test_gen_scale_data_write_clears_stale_shards(tmp_path):
+    """Regenerating a sharded table with FEWER part files must remove
+    the old shard set first (r11 ADVICE medium): Spark reads every
+    part-*.parquet in the directory, so a leftover shard silently
+    inflates row counts and corrupts ladder exponents."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import sys
+
+    sys.path.insert(0, "tools")
+    try:
+        import gen_scale_data as g
+    finally:
+        sys.path.pop(0)
+
+    out = str(tmp_path)
+    big = pa.table({"x": pa.array(range(3 * g.SHARD_ROWS["embeddings"]))})
+    g._write(out, "embeddings", big)
+    tdir = tmp_path / "embeddings.parquet"
+    assert len(list(tdir.glob("part-*.parquet"))) == 3
+
+    small = pa.table({"x": pa.array(range(g.SHARD_ROWS["embeddings"] + 1))})
+    g._write(out, "embeddings", small)
+    parts = sorted(p.name for p in tdir.glob("part-*.parquet"))
+    assert parts == ["part-00000.parquet", "part-00001.parquet"], parts
+    total = sum(pq.read_table(str(tdir / p)).num_rows for p in parts)
+    assert total == small.num_rows

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 
 import numpy as np
@@ -103,6 +104,13 @@ def _write(out_dir: str, name: str, table: pa.Table) -> None:
         return
     if os.path.isfile(path):
         os.remove(path)  # replace an old single-file layout in place
+    elif os.path.isdir(path):
+        # a previous shard set may have MORE part files than this one
+        # (smaller sf into the same OUT_DIR, or a future SHARD_ROWS
+        # bump); Spark reads every part-*.parquet in the directory, so
+        # stale shards would silently inflate row counts and corrupt
+        # bench/exponent measurements.  Replace the whole set.
+        shutil.rmtree(path)
     os.makedirs(path, exist_ok=True)
     n_shards = -(-table.num_rows // shard_rows)
     for i in range(n_shards):

@@ -74,9 +74,14 @@ def tpch_q3(spark, sf_dir):
     c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-06-01"))
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-06-01"))
+    # r12: stream the filtered lineitem and build the dims — the
+    # c⋈o-first order made the planner broadcast the filtered lineitem
+    # scan itself (hashed relation of the fact table; plan 13 in
+    # plans/r12/tpch_q3_shipping_priority_before.txt).  Same inner-join
+    # result; measured 0.92x at sf0.1 (guide §3.1).
     return (
-        joins.equi_join(c, o, on=c.c_custkey == o.o_custkey)
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue")
@@ -114,9 +119,17 @@ def tpch_q5(spark, sf_dir):
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # r12: lineitem (the fact table) STREAMS and every other relation is
+    # the build side — the syntactic c⋈o-first order made the planner
+    # broadcast the 600k-row lineitem scan (driver collect + hashed
+    # relation of the biggest table) while probing with the small c⋈o
+    # stream.  Same inner-join result, same oracle; at cluster scale the
+    # orderkey join becomes the one big shuffle either way, but the
+    # build sides are now the dims (guide §3.1: broadcast the side that
+    # fits, stream the fact).
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, c.c_custkey == F.col("o_custkey"))
         .join(s, (F.col("l_suppkey") == s.s_suppkey) & (F.col("c_nationkey") == s.s_nationkey))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)

@@ -366,21 +366,31 @@ def minhash_lsh_pairs(
     if max_bucket_size is not None:
         # Per-band salted deterministic order, then fixed-size chunking.
         # One extra shuffle of the (doc_id, band, bucket) table — narrow
-        # rows, and the self-join below was going to shuffle on the same
-        # keys anyway.
+        # rows, and the pair generation below reuses the same keys.
         bands = _cap_buckets(bands, max_bucket_size)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        # Capped path (r12): sub-buckets are bounded by max_bucket_size,
+        # so per-bucket pairs can be enumerated from ONE collect_list row
+        # instead of a bands⋈bands self-join — the band table (and its
+        # cap window) is computed once instead of twice, and no join
+        # build side is materialized.  Identical candidate set
+        # (equality-tested); measured ~0.8x on the dup-stress corpus.
+        # The uncapped branch keeps the self-join: without the cap a hot
+        # bucket's collect_list row would be unbounded (guide §5 — never
+        # put corpus-sized state in one row).
+        cand = _bucket_pairs(bands)
+    else:
+        a = bands.alias("a")
+        b = bands.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+            .distinct()
         )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
-    )
     # Exact verify on candidates only: join the candidate pair list (tiny
     # after LSH — it is the point of LSH that it is) against the cached
     # shingle table twice and intersect the arrays directly.  Arrays move
@@ -404,6 +414,40 @@ def minhash_lsh_pairs(
             >= threshold_num * (F.col("n_a") + F.col("n_b"))
         )
         .select("id_a", "id_b", "inter", "n_a", "n_b")
+    )
+
+
+def _bucket_pairs(
+    bands: DataFrame,
+    group_cols: tuple[str, ...] = ("band", "bucket"),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distinct within-group id pairs (id_a < id_b) for SIZE-BOUNDED
+    groups: one collect_list per group, pairs enumerated from the sorted
+    array.  Callers must guarantee a group-size bound (the `_cap_buckets`
+    cap) — each group becomes one row carrying its member array, so an
+    unbounded group would be unbounded row state.  Equivalent to the
+    bands⋈bands self-join but computes the (usually window-capped) band
+    table once instead of twice and builds no join hash relation."""
+    ids = F.array_sort(F.collect_list(id_col))
+    g = (
+        bands.groupBy(*group_cols)
+        .agg(ids.alias("__ids"))
+        .filter(F.size("__ids") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            "__ids",
+            lambda x, i: F.transform(
+                F.slice(F.col("__ids"), i + 2, F.size("__ids")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        g.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
     )
 
 
@@ -528,21 +572,26 @@ def simhash_pairs(
         "bb",
     ).select("doc_id", "bb.band", "bb.bucket")
     if max_bucket_size is not None:
+        # capped groups are size-bounded: enumerate pairs per sub-bucket
+        # from one collect_list row (see _bucket_pairs) — band table and
+        # its cap window computed once, no self-join build side
         banded = _cap_buckets(banded, max_bucket_size)
-    a = banded.alias("a")
-    b = banded.alias("b")
-    # dedupe candidates on ids only — distinct over rows carrying two
-    # 32-int arrays shuffles ~10x more bytes for the same answer
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        cand = _bucket_pairs(banded)
+    else:
+        a = banded.alias("a")
+        b = banded.alias("b")
+        # dedupe candidates on ids only — distinct over rows carrying two
+        # 32-int arrays shuffles ~10x more bytes for the same answer
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+            .distinct()
         )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
-    )
     sva = sig.select(F.col("doc_id").alias("id_a"), F.col("bv").alias("bv_a"))
     svb = sig.select(F.col("doc_id").alias("id_b"), F.col("bv").alias("bv_b"))
     # cast to long: F.size yields INT while any SQL-oracle twin's

@@ -5484,7 +5484,11 @@ def pipeline_eval_set_q(spark, sf_dir):
         .filter(F.col("gopher_pass") == 1)
         .select("doc_id")
     )
-    d1 = corpus.join(gop, "doc_id")
+    # cached (r12): d1 feeds BOTH the decontamination probe and the
+    # clean-survivor join — uncached, the gopher gate (the pipeline's
+    # most expensive stage) ran twice, exactly the re-execution
+    # _pipeline_pretrain's stage-boundary caches already prevent there
+    d1 = corpus.join(gop, "doc_id").cache()
     dec = dedup.decontaminate(d1, bench, min_overlap=5)
     clean = d1.join(
         dec.filter(F.col("contaminated") == 0).select("doc_id"), "doc_id"

@@ -432,14 +432,13 @@ def kmv_overlap(
         .distinct()
     )
     w_g = Window.partitionBy("g").orderBy("h")
-    # cached (r12): sk is consumed by three branches (per-group
-    # estimates, the group list, the pair merge) — uncached, each branch
-    # re-ran the data-sized distinct + rank window (the only corpus-scale
-    # work here; 3 passes → 1).  The cached relation itself is bounded at
-    # k × |groups| rows.
+    # NOT cached (r12 probe): sk feeds three branches, but the heavy
+    # part (the distinct's exchange) is byte-identical across them and
+    # Spark's ReusedExchange already shares it within the one plan — a
+    # .cache() here measured 1.08x (materialization cost, no saved work)
     sk = dk.withColumn("rnk", F.row_number().over(w_g)).filter(
         F.col("rnk") <= k
-    ).select("g", "h").cache()
+    ).select("g", "h")
     ge = sk.groupBy("g").agg(
         F.count(F.lit(1)).alias("n_sk"), F.max("h").alias("kth")
     ).select(

@@ -768,7 +768,7 @@ def dedup_components_q(spark, sf_dir):
     their own component.  The oracle mirrors the closure with a recursive
     CTE (exact for the test graph; the Spark plan is the one that scales)."""
     docs = t(spark, sf_dir, "documents")
-    return dedup.dedup_keep_list(docs, dedup.ngram_jaccard_pairs(docs))
+    return dedup.dedup_keep_list(docs, dedup.ngram_jaccard_pairs_prefix(docs))
 
 
 @q(
@@ -813,7 +813,11 @@ def dedup_keep_best_q(spark, sf_dir):
     ``dedup_keep_best_capped`` (the plan of record at scale —
     sf10-measured in r11 at exp_last10 0.941, BENCH_SCALE.json)."""
     docs = t(spark, sf_dir, "documents")
-    return dedup.keep_best_list(docs, dedup.ngram_jaccard_pairs(docs))
+    # r12: the pair stage runs the prefix-filtered AllPairs plan —
+    # identical output to the naive inverted-index self-join (the oracle
+    # mirrors the naive form; equality-tested), measured 0.52x here in
+    # canary-gated paired runs, same swap dedup_ngram_jaccard made in r8
+    return dedup.keep_best_list(docs, dedup.ngram_jaccard_pairs_prefix(docs))
 
 
 @q(
@@ -895,7 +899,7 @@ def dedup_components_star_q(spark, sf_dir):
     algorithm-independent), checked against the same recursive-CTE
     closure; a 120-node chain golden lives in tests/test_operators.py."""
     docs = t(spark, sf_dir, "documents")
-    return dedup.connected_components_star(dedup.ngram_jaccard_pairs(docs))
+    return dedup.connected_components_star(dedup.ngram_jaccard_pairs_prefix(docs))
 
 
 @q(
@@ -936,7 +940,7 @@ def corpus_clean_q(spark, sf_dir):
         .select("doc_id", "lang", "source", F.col("n_tokens").cast("long").alias("n_tokens"), "text")
     )
     exact_keep = dedup.exact_dedup(quality).select(F.col("keep_id").alias("doc_id"))
-    near_keep = dedup.dedup_keep_list(docs, dedup.ngram_jaccard_pairs(docs)).filter(
+    near_keep = dedup.dedup_keep_list(docs, dedup.ngram_jaccard_pairs_prefix(docs)).filter(
         F.col("keep") == 1
     ).select("doc_id")
     return (

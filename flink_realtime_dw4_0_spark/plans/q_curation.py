@@ -5610,7 +5610,7 @@ def pipeline_drop_reasons_q(spark, sf_dir):
         .cast("int")
         .alias("exact_dup"),
     )
-    comps = dedup.connected_components(dedup.ngram_jaccard_pairs(docs))
+    comps = dedup.connected_components(dedup.ngram_jaccard_pairs_prefix(docs))
     nd = (
         docs.select("doc_id")
         .join(comps, "doc_id", "left")
@@ -5742,7 +5742,7 @@ def pipeline_leakage_safe_split_q(spark, sf_dir):
     dq_cross_split_leakage detects.  Same deterministic md5-bucket split
     as sample_split_assign, keyed one level up."""
     docs = t(spark, sf_dir, "documents")
-    comps = dedup.connected_components(dedup.ngram_jaccard_pairs(docs))
+    comps = dedup.connected_components(dedup.ngram_jaccard_pairs_prefix(docs))
     eff = (
         docs.select("doc_id")
         .join(comps, "doc_id", "left")

@@ -34,6 +34,19 @@ def _basket_items(
     return bi
 
 
+def _pairs_of(bi: DataFrame, min_pair_count: int) -> DataFrame:
+    """Pair aggregation over a prebuilt (b, i) basket-item table."""
+    a = bi.withColumnRenamed("i", "item_a")
+    b = bi.withColumnRenamed("i", "item_b")
+    return (
+        a.join(b, "b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= min_pair_count)
+    )
+
+
 def cooccurrence_pairs(
     df: DataFrame,
     *,
@@ -45,17 +58,15 @@ def cooccurrence_pairs(
     """(item_a, item_b, pair_cnt) for unordered item pairs co-occurring
     in a basket (item_a < item_b; items deduped per basket) — the pair
     core without the support/lift statistics, for consumers that only
-    need the edge list (e.g. graph.triangle_count)."""
-    bi = _basket_items(df, basket, item, max_items_per_basket)
-    a = bi.withColumnRenamed("i", "item_a")
-    b = bi.withColumnRenamed("i", "item_b")
-    return (
-        a.join(b, "b")
-        .filter(F.col("item_a") < F.col("item_b"))
-        .groupBy("item_a", "item_b")
-        .agg(F.count(F.lit(1)).alias("pair_cnt"))
-        .filter(F.col("pair_cnt") >= min_pair_count)
+    need the edge list (e.g. graph.triangle_count).
+
+    The basket-item table is materialized once (lazy localCheckpoint,
+    r13): the self-join otherwise re-executes the distinct (and the
+    upstream scan) for BOTH sides."""
+    bi = _basket_items(df, basket, item, max_items_per_basket).localCheckpoint(
+        eager=False
     )
+    return _pairs_of(bi, min_pair_count)
 
 
 def basket_pairs(
@@ -74,16 +85,17 @@ def basket_pairs(
     both over the (possibly truncated) basket-item universe, so the
     definition stays internally consistent under the cap.
     """
-    bi = _basket_items(df, basket, item, max_items_per_basket)
+    # ONE basket-item table serves all four consumers (r13): the former
+    # plan derived it independently for the basket count (an eager job),
+    # the item counts, and both sides of the pair self-join — four
+    # executions of the distinct + upstream scan.  The count() job below
+    # materializes the lazy checkpoint as a side effect.
+    bi = _basket_items(df, basket, item, max_items_per_basket).localCheckpoint(
+        eager=False
+    )
     n_baskets = bi.select("b").distinct().count()
     item_cnt = bi.groupBy("i").agg(F.count(F.lit(1)).alias("cnt"))
-    pairs = cooccurrence_pairs(
-        df,
-        basket=basket,
-        item=item,
-        min_pair_count=min_pair_count,
-        max_items_per_basket=max_items_per_basket,
-    )
+    pairs = _pairs_of(bi, min_pair_count)
     return (
         pairs.join(item_cnt.withColumnRenamed("i", "item_a").withColumnRenamed("cnt", "cnt_a"), "item_a")
         .join(item_cnt.withColumnRenamed("i", "item_b").withColumnRenamed("cnt", "cnt_b"), "item_b")

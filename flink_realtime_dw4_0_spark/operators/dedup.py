@@ -184,12 +184,18 @@ def ngram_jaccard_pairs_prefix(
     from pyspark.sql.window import Window
 
     capped = max_shingle_freq is not None
-    # Both stages cached: the shingle table feeds the index and the verify
-    # stage; the exploded inverted index's logical subplan is exactly the
-    # minhash signature stage's input, so the cache is shared when both
-    # dedup tiers run in one session (the common pipeline case).
-    sh = _shingled(df, id_col, text_col, n).cache()
-    inv = explode_computed(sh, ["doc_id"], "sh", "shingle").cache()
+    # Cache audit (r13): only MULTI-consumer stages persist.  Uncapped,
+    # the shingle table feeds the index AND the verify stage — cached;
+    # capped, verify reads the df-filtered `ranked` table instead and sh
+    # has exactly one consumer, so caching it was pure materialization
+    # cost (extras are timed cache-cold).  The exploded inverted index
+    # has ONE consumer (the freq window) in both modes — its former
+    # cache() materialized the full exploded index for nothing; the
+    # minhash tier keeps its own sh-subplan cache for cross-query reuse.
+    sh = _shingled(df, id_col, text_col, n)
+    if not capped:
+        sh = sh.cache()
+    inv = explode_computed(sh, ["doc_id"], "sh", "shingle")
     # Global shingle frequency via a window (one shuffle by shingle), then
     # rank + per-doc size in a single doc_id shuffle — shingles are
     # distinct per doc, so count-over-doc == |shingle set|.
@@ -361,7 +367,13 @@ def minhash_lsh_pairs(
     DuckDB oracle mirrors the capped plan bit-for-bit.
     """
     assert num_perm % band_size == 0
-    sig = minhash_signatures(df, id_col, text_col, n, num_perm).cache()
+    sig = minhash_signatures(df, id_col, text_col, n, num_perm)
+    if max_bucket_size is None:
+        # only the uncapped bands⋈bands self-join consumes the signature
+        # subtree twice; the capped path is one linear chain through
+        # _cap_buckets/_bucket_pairs, where a cache is pure
+        # materialization cost (r13 cache audit)
+        sig = sig.cache()
     bands = minhash_bands(sig, num_perm, band_size)
     if max_bucket_size is not None:
         # Per-band salted deterministic order, then fixed-size chunking.

@@ -69,18 +69,22 @@ def pagerank(
     # the (small) rank vector, so no further repartition is needed
     e = e.localCheckpoint()
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
+        e.select(F.explode(F.array("src", "dst")).alias("node"))
         .distinct()
         .localCheckpoint()
     )
     n = nodes.count()
     deg = e.groupBy("src").agg(F.sum("w").alias("wsum"))
+    # fold the out-degree onto the edge list ONCE (r13): the former plan
+    # recomputed deg and re-joined it against e in EVERY iteration — the
+    # same groupBy+join three times for iters=3.  The per-row arithmetic
+    # below is unchanged (rank * w / wsum over identical operand values),
+    # so ranks are bit-identical to the unfolded plan.
+    ew = e.join(deg, "src").localCheckpoint()
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for it in range(iters):
         contrib = (
-            e.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(deg, "src")
+            ew.join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("w") / F.col("wsum")).alias("mass"))
         )
@@ -111,15 +115,35 @@ def triangle_count(edges: DataFrame, *, src: str = "src", dst: str = "dst") -> D
     Returns (node, n_triangles) for every node in ≥1 triangle; the
     total is Σ/3 per the usual convention (each triangle counted at its
     three corners)."""
+    # Materialize the shared subtrees (r13).  Catalyst inlines every
+    # DataFrame reference, so `oriented` (referenced 3x by the wedge
+    # join) and `und`/`deg` (2x each) were re-planned and re-executed
+    # per reference — the formatted plan held 216 copies of the upstream
+    # edge scan and 632 Exchange nodes, and the dominant cost was
+    # recomputing the (typically join-heavy) edge derivation.  A lazy
+    # localCheckpoint computes each once and serves every consumer from
+    # stored blocks (released by the ContextCleaner when the plan is
+    # GC'd, unlike cache()).
     e = (
         edges.select(
             F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # one pass instead of union-of-two-selects: explode emits (a,b) and
+    # (b,a) per edge row — identical multiset, e evaluated once
+    und = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a"), F.col("b")),
+                F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+            )
+        ).alias("s")
+    ).select("s.a", "s.b")
     deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d")).withColumnRenamed("a", "n")
+    deg = deg.localCheckpoint(eager=False)
     # orient: keep (u, v) if (deg_u, u) < (deg_v, v)
     du = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
     dv = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
@@ -131,6 +155,7 @@ def triangle_count(edges: DataFrame, *, src: str = "src", dst: str = "dst") -> D
             | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
         )
         .select("a", "b")
+        .localCheckpoint(eager=False)
     )
     # wedges a->b, b->c ; close with oriented edge a->c
     w = oriented.select(F.col("a").alias("x"), F.col("b").alias("y")).join(
@@ -140,10 +165,10 @@ def triangle_count(edges: DataFrame, *, src: str = "src", dst: str = "dst") -> D
         oriented.select(F.col("a").alias("x"), F.col("b").alias("z")),
         ["x", "z"],
     )
-    corners = (
-        tri.select(F.col("x").alias("node"))
-        .union(tri.select(F.col("y").alias("node")))
-        .union(tri.select(F.col("z").alias("node")))
+    # explode instead of 3-way union: `tri` (the wedge-close join) is
+    # evaluated once, not three times; corner multiset identical
+    corners = tri.select(
+        F.explode(F.array("x", "y", "z")).alias("node")
     )
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
 
@@ -172,9 +197,26 @@ def deterministic_walks(
 
     Returns (start, step, node): step 0 is the start itself.
     """
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
-    nbrs = e.groupBy("u").agg(F.sort_array(F.collect_set("v")).alias("ns"))
-    nodes = e.select("u").union(e.select(F.col("v").alias("u"))).distinct()
+    # Materialize the shared stages (r13): the walk output is a union of
+    # ``length + 1`` frontier branches, and branch k's plan chained every
+    # join back to the raw edge derivation — `nbrs` (a full groupBy over
+    # the deduped edge list) was re-executed once PER JOIN, i.e.
+    # O(length²) times across the union (the formatted plan held 112
+    # copies of the upstream scans).  Lazy localCheckpoints compute the
+    # edge list, the adjacency table, and each frontier once.
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nbrs = (
+        e.groupBy("u")
+        .agg(F.sort_array(F.collect_set("v")).alias("ns"))
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.explode(F.array("u", "v")).alias("u")).distinct()
+    )
     frontier = nodes.select(F.col("u").alias("start"), F.col("u").alias("cur"))
     out = frontier.select(
         "start", F.lit(0).alias("step"), F.col("cur").alias("node")
@@ -201,6 +243,10 @@ def deterministic_walks(
                 "start",
                 F.element_at("ns", (h % F.size("ns") + 1).cast("int")).alias("cur"),
             )
+            # each frontier feeds BOTH the output union and the next
+            # step's join — checkpoint so step k runs its joins once
+            # instead of being replayed by every later branch
+            .localCheckpoint(eager=False)
         )
         out = out.unionByName(
             stepped.select("start", F.lit(k).alias("step"), F.col("cur").alias("node"))

@@ -598,7 +598,23 @@ def dsir_logweights(
     """
     raw_f = _hashed_ngram_features(raw, id_col, text_col, m)
     tgt_f = _hashed_ngram_features(target, id_col, text_col, m)
-    raw_c = raw_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("r_cnt"))
+    # Reduce the raw feature stream ONCE to per-(doc, bucket) counts
+    # (r13): `raw_f` feeds both the global raw distribution and the
+    # per-doc scoring join, and Catalyst re-executed the whole
+    # tokenize+bigram explode for each.  The (doc, bucket) rollup is the
+    # common reduction — the global counts are its second-level
+    # aggregate (sum of tf), and the per-doc score is Σ tf·log_ratio ==
+    # the per-occurrence sum (tf is exact; the oracle already tolerates
+    # FP summation-order differences at the rounded 4th decimal).  The
+    # rollup shuffles (doc, bucket) keyed partial counts — strictly
+    # fewer rows than the raw occurrence stream — and one lazy
+    # localCheckpoint serves both consumers.
+    raw_db = (
+        raw_f.groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    raw_c = raw_db.groupBy("bucket").agg(F.sum("tf").alias("r_cnt"))
     tgt_c = tgt_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("t_cnt"))
     rt = raw_c.agg(F.sum("r_cnt").alias("r_total"))
     tt = tgt_c.agg(F.sum("t_cnt").alias("t_total"))
@@ -615,11 +631,11 @@ def dsir_logweights(
         )
     )
     return (
-        raw_f.join(F.broadcast(ratios), "bucket")
+        raw_db.join(F.broadcast(ratios), "bucket")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_features"),
-            F.round(F.sum("log_ratio"), 4).alias("log_weight"),
+            F.sum("tf").cast("long").alias("n_features"),
+            F.round(F.sum(F.col("tf") * F.col("log_ratio")), 4).alias("log_weight"),
         )
     )
 
@@ -915,17 +931,25 @@ def gopher_repetition(
     # heaviest tiers, same result for any collision-free assignment (a
     # within-doc 64-bit collision is ~1e-14 and would surface in the
     # oracle sweep).
-    leads = pos.select(
-        "__id", "nc", "nt", "__pos", F.length("tok").alias("tok_len"),
+    #
+    # r13: the top (3-4) and dup (5-10) tiers are built by SEPARATE lead
+    # windows.  The former single 9-lead frame fed two consumers, and
+    # Catalyst re-evaluated the whole window subtree per consumer — every
+    # n-gram string was concatenated twice and 6 of the 8 struct slots
+    # were built only to be filtered away on each side.  Split, the top
+    # branch pays a 3-lead window and the 9-lead window runs ONCE, each
+    # branch building only its own grams.
+    leads_top = pos.select(
+        "__id", "nc", "nt", "__pos",
         *[
             F.concat_ws(
                 " ", "tok", *[F.lead("tok", j).over(W) for j in range(1, n)]
             ).alias(f"g{n}")
-            for n in range(3, 11)
+            for n in (3, 4)
         ],
     )
-    grams = (
-        leads.select(
+    gcnt_top = (
+        leads_top.select(
             "__id", "nc", "nt", "__pos",
             F.explode(
                 F.array(
@@ -934,25 +958,16 @@ def gopher_repetition(
                             F.col("__pos") + n <= F.col("nt"),
                             F.struct(
                                 F.lit(n).alias("n"),
-                                (F.col(f"g{n}") if n <= 4 else F.lit(None).cast("string")).alias("gram"),
-                                (F.xxhash64(F.col(f"g{n}")) if n >= 5 else F.lit(None).cast("long")).alias("gh"),
+                                F.col(f"g{n}").alias("gram"),
                             ),
                         )
-                        for n in range(3, 11)
+                        for n in (3, 4)
                     ]
                 )
             ).alias("s"),
         )
         .filter(F.col("s").isNotNull())
-        .select(
-            "__id", "nc", "__pos",
-            F.col("s.n").alias("n"), F.col("s.gram").alias("gram"),
-            F.col("s.gh").alias("gh"),
-        )
-    )
-    gcnt_top = (
-        grams.filter(F.col("n") <= 4)
-        .groupBy("__id", "nc", "n", "gram")
+        .groupBy("__id", "nc", F.col("s.n").alias("n"), F.col("s.gram").alias("gram"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     tops = (
@@ -971,7 +986,36 @@ def gopher_repetition(
         .withColumnRenamed("4", "top4gram_char_frac")
     )
 
-    dup_side = grams.filter(F.col("n") >= 5).select("__id", "nc", "__pos", "n", "gh")
+    leads_dup = pos.select(
+        "__id", "nc", "nt", "__pos",
+        *[
+            F.concat_ws(
+                " ", "tok", *[F.lead("tok", j).over(W) for j in range(1, n)]
+            ).alias(f"g{n}")
+            for n in range(5, 11)
+        ],
+    )
+    dup_side = (
+        leads_dup.select(
+            "__id", "nc", "nt", "__pos",
+            F.explode(
+                F.array(
+                    *[
+                        F.when(
+                            F.col("__pos") + n <= F.col("nt"),
+                            F.struct(
+                                F.lit(n).alias("n"),
+                                F.xxhash64(F.col(f"g{n}")).alias("gh"),
+                            ),
+                        )
+                        for n in range(5, 11)
+                    ]
+                )
+            ).alias("s"),
+        )
+        .filter(F.col("s").isNotNull())
+        .select("__id", "nc", "__pos", F.col("s.n").alias("n"), F.col("s.gh").alias("gh"))
+    )
     # duplicated iff the gram's (doc, n, gh) group has >= 2 members — an
     # unbounded-frame window count marks occurrences in ONE shuffle,
     # where a groupBy + join-back would shuffle the 6-tier gram stream a
@@ -983,11 +1027,17 @@ def gopher_repetition(
         .select("__id", "nc", "n", F.explode(F.sequence("__pos", F.col("__pos") + F.col("n") - 1)).alias("p"))
         .distinct()
     )
+    # token lengths for the coverage sum come from a LENGTH-ONLY
+    # posexplode of the checkpointed base (r13) — the former probe side
+    # re-evaluated the full token-string `pos` frame (strings + an
+    # explicit repartition exchange) only to take each token's length;
+    # the join re-shuffles by (__id, p) either way, so the repartition
+    # bought nothing and the strings were dead weight in the exchange.
+    plen = base.select(
+        "__id", F.posexplode(F.transform("tk", lambda x: F.length(x)))
+    ).select("__id", F.col("pos").alias("p"), F.col("col").alias("tl"))
     covchars = (
-        cover.join(
-            pos.select("__id", F.col("__pos").alias("p"), F.length("tok").alias("tl")),
-            ["__id", "p"],
-        )
+        cover.join(plen, ["__id", "p"])
         .groupBy("__id", "n")
         .agg(F.round(F.sum("tl") / F.greatest(F.first("nc"), F.lit(1)), 4).alias("frac"))
         .groupBy("__id")
